@@ -1,0 +1,391 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.schema.OmeSchema
+
+/**
+ * Spark-native operators over the canonical OME-Arrow struct column.
+ *
+ * Every operator here is a pure `DataFrame => DataFrame` transformation
+ * built only from Catalyst expressions (higher-order array functions,
+ * struct rebuilds, `when` chains) — no UDFs, no driver-side loops — so
+ * plans stay inside whole-stage codegen and scale with partition count.
+ *
+ * Reference semantics re-expressed (citations into /root/reference):
+ *  - describe: src/ome_arrow/utils.py:30-83 (exact golden strings)
+ *  - slice:    src/ome_arrow/transform.py:14-182
+ *  - plane lookup: src/ome_arrow/view.py:32-41
+ */
+object OmeOps {
+
+  private def pm(rec: Column): Column = rec.getField("pixels_meta")
+
+  /**
+   * Introspection (utils.py:30-83). Adds the classification columns the
+   * reference returns; string formats are byte-exact with the reference
+   * (utils.py:59-75) for golden-test parity.
+   *
+   * Thanks to nested-schema pruning this reads only `id` + `pixels_meta.size_*`
+   * from Parquet — the reference's "metadata-only cheap path" for free.
+   */
+  def describe(df: DataFrame, column: String = OmeSchema.DefaultColumn): DataFrame = {
+    val rec = col(column)
+    val t = pm(rec).getField("size_t").cast("int")
+    val c = pm(rec).getField("size_c").cast("int")
+    val z = pm(rec).getField("size_z").cast("int")
+    val y = pm(rec).getField("size_y").cast("int")
+    val x = pm(rec).getField("size_x").cast("int")
+    val kind = when(t === 1 && z === 1, "2D image")
+      .when(t === 1 && z > 1, "3D image (z-stack)")
+      .when(t > 1 && z === 1, "movie / timelapse")
+      .when(t > 1 && z > 1, "4D timelapse-volume")
+      .otherwise("unknown")
+    val channelInfo = when(c > 1,
+      format_string("multi-channel (%d channels)", c))
+      .otherwise(lit("single-channel"))
+    df.select(
+      rec.getField("id").as("id"),
+      t.as("size_t"), c.as("size_c"), z.as("size_z"),
+      y.as("size_y"), x.as("size_x"),
+      kind.as("type"),
+      c.as("channels"),
+      (c > 1).as("is_multichannel"),
+      format_string("%s, %s - shape (T=%d, C=%d, Z=%d, Y=%d, X=%d)",
+        kind, channelInfo, t, c, z, y, x).as("summary"))
+  }
+
+  /** Schema conformance check (utils.py:10-27 / ingest.py:872-888): does
+    * `df(column)` carry an OME-Arrow struct? Lenient = field-name set
+    * equality; strict = types too. Pure metadata — no job runs. */
+  def verifySchema(df: DataFrame, column: String = OmeSchema.DefaultColumn,
+      strict: Boolean = false): Boolean =
+    df.schema.fields.find(_.name == column).exists { f =>
+      if (strict) OmeSchema.strictMatches(f.dataType)
+      else OmeSchema.fieldSetMatches(f.dataType)
+    }
+
+  /** Struct columns in `df` that look like OME-Arrow records — the
+    * reference's auto-detect matcher (ingest.py:872-912). */
+  def detectOmeColumns(df: DataFrame, strict: Boolean = false): Seq[String] =
+    df.schema.fields.collect {
+      case f if (if (strict) OmeSchema.strictMatches(f.dataType)
+                 else OmeSchema.fieldSetMatches(f.dataType)) => f.name
+    }.toSeq
+
+  /**
+   * Exact-coordinate plane lookup (view.py:32-41): returns one row per
+   * image with the matching plane's pixels, erroring (like the reference's
+   * KeyError) when the plane is absent. Duplicate (t,c,z) entries:
+   * last-wins, matching the reference's dict-based consumers.
+   */
+  def planeLookup(df: DataFrame, t: Int, c: Int, z: Int,
+      column: String = OmeSchema.DefaultColumn): DataFrame = {
+    val rec = col(column)
+    val matches = filter(rec.getField("planes"), p =>
+      p.getField("t") === t && p.getField("c").cast("int") === c &&
+        p.getField("z") === z)
+    val plane = get(matches, size(matches) - 1) // last wins; null if none
+    val px = when(plane.isNull,
+      raise_error(format_string(
+        "No plane found for (t=%d, c=%d, z=%d).", lit(t), lit(c), lit(z))))
+      .otherwise(plane.getField("pixels"))
+    df.select(
+      rec.getField("id").as("id"),
+      lit(t).as("t"), lit(c).as("c"), lit(z).as("z"),
+      px.as("pixels"),
+      pm(rec).getField("size_x").as("size_x"),
+      pm(rec).getField("size_y").as("size_y"))
+  }
+
+  /** Display autoscale substrate (view.py:49-54): per-image min/max of the
+    * (t,c,z) plane. */
+  def planeStats(df: DataFrame, t: Int, c: Int, z: Int,
+      column: String = OmeSchema.DefaultColumn): DataFrame = {
+    val looked = planeLookup(df, t, c, z, column)
+    looked.select(col("id"), col("t"), col("c"), col("z"),
+      array_min(col("pixels")).as("px_min"),
+      array_max(col("pixels")).as("px_max"),
+      size(col("pixels")).as("n_px"),
+      aggregate(col("pixels"), lit(0L), (acc, p) => acc + p).as("px_sum"))
+  }
+
+  /**
+   * The reference's one relational transform: crop + T/C/Z selection
+   * (transform.py:14-182), re-expressed as a single Catalyst expression
+   * tree over the nested column — no explode, no shuffle, no UDF.
+   *
+   * Semantics preserved exactly:
+   *  - half-open crop bounds, validated per record against size_x/size_y
+   *    (transform.py:57-61) via `raise_error`;
+   *  - selections deduplicated, sorted (driver-side — they are query
+   *    constants), out-of-range silently dropped per record, then must be
+   *    non-empty (transform.py:64-75);
+   *  - output coordinates reindexed dense 0..n-1 (transform.py:78-80);
+   *  - planes emitted in dense t-major, c, z selection order
+   *    (transform.py:115-117);
+   *  - duplicate (t,c,z) source planes: last wins (transform.py:94-99);
+   *  - missing planes zero-filled, or dropped when `fillMissing=false`
+   *    (transform.py:118-129);
+   *  - per-plane strict length check (transform.py:104-108);
+   *  - channel metadata filtered and re-id'd `ch-{new}`; synthesized when
+   *    inconsistent with size_c (transform.py:143-159);
+   *  - sizes updated, `dimension_order` left unchanged (transform.py:161-175).
+   */
+  def sliceOmeArrow(df: DataFrame,
+      xMin: Int, xMax: Int, yMin: Int, yMax: Int,
+      tIndices: Option[Seq[Int]] = None,
+      cIndices: Option[Seq[Int]] = None,
+      zIndices: Option[Seq[Int]] = None,
+      fillMissing: Boolean = true,
+      column: String = OmeSchema.DefaultColumn): DataFrame = {
+    require(0 <= xMin && xMin < xMax, s"Crop bounds out of range: x[$xMin,$xMax)")
+    require(0 <= yMin && yMin < yMax, s"Crop bounds out of range: y[$yMin,$yMax)")
+
+    val rec = col(column)
+    val meta = pm(rec)
+    val sx = meta.getField("size_x")
+    val sy = meta.getField("size_y")
+    val sc = meta.getField("size_c").cast("int")
+    val st = meta.getField("size_t")
+    val szz = meta.getField("size_z")
+    val newSx = xMax - xMin
+    val newSy = yMax - yMin
+
+    // --- selections: dedupe+sort driver-side, drop OOB per record, and
+    // raise if a selection goes empty (transform.py:64-75).
+    def keep(sel: Option[Seq[Int]], sizeCol: Column, axis: String): Column = {
+      val raw = sel match {
+        case None    => sequence(lit(0), sizeCol.cast("int") - 1)
+        case Some(s) =>
+          val norm = s.distinct.sorted
+          require(norm.nonEmpty, s"Selection must keep at least one index in $axis.")
+          filter(array(norm.map(i => lit(i)): _*), i => i >= 0 && i < sizeCol)
+      }
+      when(size(raw) === 0, raise_error(lit(
+        "Selection must keep at least one index in each of T/C/Z.")))
+        .otherwise(raw)
+    }
+    val keepT = keep(tIndices, st, "T")
+    val keepC = keep(cIndices, sc, "C")
+    val keepZ = keep(zIndices, szz, "Z")
+
+    // --- per-record crop bound validation (transform.py:57-61)
+    val boundsOk = lit(xMax) <= sx && lit(yMax) <= sy
+    val expectedLen = sx * sy
+
+    // crop one flat row-major plane: y in [yMin,yMax) rows, slice is 1-based
+    def cropPixels(px: Column): Column = {
+      val checked = when(size(px) =!= expectedLen, raise_error(
+        format_string("Plane has %d pixels; expected %d.", size(px), expectedLen)))
+        .otherwise(px)
+      flatten(transform(sequence(lit(yMin), lit(yMax - 1)),
+        y => slice(checked, y * sx + lit(xMin + 1), lit(newSx))))
+    }
+
+    val planesIn = rec.getField("planes")
+    def matchesOf(t: Column, c: Column, z: Column): Column =
+      filter(planesIn, p =>
+        p.getField("t") === t && p.getField("c").cast("int") === c &&
+          p.getField("z") === z)
+
+    // dense selection grid in t-major, c, z order; reindex via position in
+    // the kept arrays (positions are 1-based -> minus 1).
+    val grid = flatten(transform(keepT, t =>
+      flatten(transform(keepC, c =>
+        transform(keepZ, z => struct(t.as("t"), c.as("c"), z.as("z")))))))
+    val gridKept =
+      if (fillMissing) grid
+      else filter(grid, cell => exists(planesIn, p =>
+        p.getField("t") === cell.getField("t") &&
+          p.getField("c").cast("int") === cell.getField("c") &&
+          p.getField("z") === cell.getField("z")))
+    val planesOut = transform(gridKept, cell => {
+      val t = cell.getField("t"); val c = cell.getField("c"); val z = cell.getField("z")
+      val ms = matchesOf(t, c, z)
+      val src = get(ms, size(ms) - 1) // last wins
+      struct(
+        (array_position(keepZ, z) - 1).cast("int").as("z"),
+        (array_position(keepT, t) - 1).cast("int").as("t"),
+        (array_position(keepC, c) - 1).cast("short").as("c"),
+        when(src.isNull, array_repeat(lit(0), newSx * newSy))
+          .otherwise(cropPixels(src.getField("pixels"))).as("pixels"))
+    })
+
+    // --- channels: synthesize when metadata length mismatches size_c
+    // (transform.py:146-150), then filter+reindex (transform.py:151-159).
+    val chansIn = meta.getField("channels")
+    val chansNorm = when(coalesce(size(chansIn), lit(-1)) === sc, chansIn)
+      .otherwise(transform(sequence(lit(0), sc - 1), i => struct(
+        concat(lit("ch-"), i).as("id"),
+        concat(lit("C"), i).as("name"),
+        lit(null).cast("float").as("emission_um"),
+        lit(null).cast("float").as("excitation_um"),
+        lit(null).cast("string").as("illumination"),
+        lit(0xFFFFFFFFL).as("color_rgba"))))
+    val chansOut = transform(keepC, (oldC, newIdx) => {
+      val src = get(chansNorm, oldC)
+      struct(
+        concat(lit("ch-"), newIdx).as("id"),
+        coalesce(src.getField("name").cast("string"),
+          concat(lit("C"), newIdx)).as("name"),
+        src.getField("emission_um").as("emission_um"),
+        src.getField("excitation_um").as("excitation_um"),
+        src.getField("illumination").as("illumination"),
+        src.getField("color_rgba").as("color_rgba"))
+    })
+
+    val pmOut = struct(
+      meta.getField("dimension_order").as("dimension_order"),
+      meta.getField("type").as("type"),
+      lit(newSx).as("size_x"),
+      lit(newSy).as("size_y"),
+      size(keepZ).as("size_z"),
+      size(keepC).cast("short").as("size_c"),
+      size(keepT).as("size_t"),
+      meta.getField("physical_size_x").as("physical_size_x"),
+      meta.getField("physical_size_y").as("physical_size_y"),
+      meta.getField("physical_size_z").as("physical_size_z"),
+      meta.getField("physical_size_x_unit").as("physical_size_x_unit"),
+      meta.getField("physical_size_y_unit").as("physical_size_y_unit"),
+      meta.getField("physical_size_z_unit").as("physical_size_z_unit"),
+      chansOut.as("channels"))
+
+    val newRec = struct(
+      rec.getField("type").as("type"),
+      rec.getField("version").as("version"),
+      rec.getField("id").as("id"),
+      rec.getField("name").as("name"),
+      rec.getField("acquisition_datetime").as("acquisition_datetime"),
+      pmOut.as("pixels_meta"),
+      planesOut.as("planes"))
+
+    val validated = when(!boundsOk, raise_error(format_string(
+      s"Crop bounds out of range: x[$xMin,$xMax) within [0,%d), " +
+        s"y[$yMin,$yMax) within [0,%d).", sx, sy)))
+      .otherwise(when(size(planesIn) === 0,
+        raise_error(lit("Record contains no planes to slice.")))
+        .otherwise(newRec))
+
+    df.withColumn(column, validated)
+  }
+
+  /**
+   * Nested record -> flat plane table `(image_id, t, c, z, pixels, size_x,
+   * size_y)` — the 100 TB-scale representation (SURVEY.md §1.4 form 2):
+   * planes, not whole images, become the unit of parallelism. Inverse of
+   * `nestPlanes`.
+   */
+  def explodePlanes(df: DataFrame,
+      column: String = OmeSchema.DefaultColumn): DataFrame = {
+    val rec = col(column)
+    df.select(
+      rec.getField("id").as("image_id"),
+      pm(rec).getField("size_x").as("size_x"),
+      pm(rec).getField("size_y").as("size_y"),
+      explode(rec.getField("planes")).as("plane"))
+      .select(col("image_id"), col("size_x"), col("size_y"),
+        col("plane.t").as("t"), col("plane.c").cast("int").as("c"),
+        col("plane.z").as("z"), col("plane.pixels").as("pixels"))
+  }
+
+  /** Flat plane table -> per-image nested plane array, planes re-sorted to
+    * the canonical t-major, c, z convention. One shuffle (the groupBy). */
+  def nestPlanes(planeDf: DataFrame): DataFrame =
+    planeDf
+      .groupBy(col("image_id"), col("size_x"), col("size_y"))
+      .agg(array_sort(collect_list(struct(
+        col("t"), col("c").cast("short").as("c"), col("z"),
+        col("pixels")))).as("planes_tcz"))
+      // reorder struct fields to the canonical (z,t,c,pixels) layout
+      .withColumn("planes", transform(col("planes_tcz"), p => struct(
+        p.getField("z").as("z"), p.getField("t").as("t"),
+        p.getField("c").as("c"), p.getField("pixels").as("pixels"))))
+      .drop("planes_tcz")
+
+  /**
+   * One level of the OME-Zarr multiscale pyramid (export.py:317-337) as a
+   * native operator: 2x2 block-mean spatial downscale of every plane,
+   * computed per record with higher-order functions — zero shuffle, stays
+   * in whole-stage codegen. Odd trailing rows/columns are truncated
+   * (floor halving, matching `max(1, n // 2)` level shapes).
+   */
+  def downscale2x(df: DataFrame,
+      column: String = OmeSchema.DefaultColumn): DataFrame = {
+    val rec = col(column)
+    val meta = pm(rec)
+    val sx = meta.getField("size_x")
+    val sy = meta.getField("size_y")
+    val nx = greatest(sx / 2, lit(1))
+    val ny = greatest(sy / 2, lit(1))
+    def down(px: Column): Column =
+      flatten(transform(sequence(lit(0), ny - 1), by =>
+        transform(sequence(lit(0), nx - 1), bx => {
+          val base = (by * 2) * sx + bx * 2
+          val s = get(px, base) + get(px, base + 1) +
+            get(px, base + sx) + get(px, base + sx + 1)
+          (s / 4).cast("int")
+        })))
+    val planesOut = transform(rec.getField("planes"), p => struct(
+      p.getField("z").as("z"), p.getField("t").as("t"),
+      p.getField("c").as("c"), down(p.getField("pixels")).as("pixels")))
+    val pmOut = struct(
+      meta.getField("dimension_order").as("dimension_order"),
+      meta.getField("type").as("type"),
+      nx.as("size_x"),
+      ny.as("size_y"),
+      meta.getField("size_z").as("size_z"),
+      meta.getField("size_c").as("size_c"),
+      meta.getField("size_t").as("size_t"),
+      (meta.getField("physical_size_x") * 2).as("physical_size_x"),
+      (meta.getField("physical_size_y") * 2).as("physical_size_y"),
+      meta.getField("physical_size_z").as("physical_size_z"),
+      meta.getField("physical_size_x_unit").as("physical_size_x_unit"),
+      meta.getField("physical_size_y_unit").as("physical_size_y_unit"),
+      meta.getField("physical_size_z_unit").as("physical_size_z_unit"),
+      meta.getField("channels").as("channels"))
+    df.withColumn(column, struct(
+      rec.getField("type").as("type"),
+      rec.getField("version").as("version"),
+      rec.getField("id").as("id"),
+      rec.getField("name").as("name"),
+      rec.getField("acquisition_datetime").as("acquisition_datetime"),
+      pmOut.as("pixels_meta"),
+      planesOut.as("planes")))
+  }
+
+  /**
+   * Dense export bridge (export.py:14-113 `to_numpy` semantics): per image,
+   * the full T*C*Z*Y*X volume as one flat row-major array, zero-filled for
+   * missing planes. Plane scatter happens inside one expression per record;
+   * at 100 TB this is only ever used per-image inside a sink task, never
+   * collected to the driver.
+   */
+  def toDense(df: DataFrame,
+      column: String = OmeSchema.DefaultColumn): DataFrame = {
+    val rec = col(column)
+    val meta = pm(rec)
+    val st = meta.getField("size_t"); val sc = meta.getField("size_c").cast("int")
+    val sz = meta.getField("size_z")
+    val planeLen = meta.getField("size_x") * meta.getField("size_y")
+    val planesIn = rec.getField("planes")
+    def planeFor(t: Column, c: Column, z: Column): Column = {
+      val ms = filter(planesIn, p =>
+        p.getField("t") === t && p.getField("c").cast("int") === c &&
+          p.getField("z") === z)
+      val src = get(ms, size(ms) - 1)
+      when(src.isNull, array_repeat(lit(0), planeLen))
+        .otherwise(src.getField("pixels"))
+    }
+    val dense = flatten(flatten(flatten(
+      transform(sequence(lit(0), st - 1), t =>
+        transform(sequence(lit(0), sc - 1), c =>
+          transform(sequence(lit(0), sz - 1), z => planeFor(t, c, z)))))))
+    df.select(
+      rec.getField("id").as("id"),
+      st.as("size_t"), sc.as("size_c"), sz.as("size_z"),
+      meta.getField("size_y").as("size_y"),
+      meta.getField("size_x").as("size_x"),
+      dense.as("dense"))
+  }
+}
