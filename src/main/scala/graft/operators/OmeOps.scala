@@ -21,6 +21,12 @@ object OmeOps {
 
   private def pm(rec: Column): Column = rec.getField("pixels_meta")
 
+  /** Collision-free bigint key for a (t,c,z) coordinate (each < 1e6 — far
+    * beyond any real axis length). Lets plane lookups probe a packed long
+    * array instead of re-filtering struct arrays that carry pixel payloads. */
+  private def tczKey(t: Column, c: Column, z: Column): Column =
+    (t.cast("long") * 1000000L + c.cast("long")) * 1000000L + z.cast("long")
+
   /**
    * Introspection (utils.py:30-83). Adds the classification columns the
    * reference returns; string formats are byte-exact with the reference
@@ -77,7 +83,9 @@ object OmeOps {
    * Exact-coordinate plane lookup (view.py:32-41): returns one row per
    * image with the matching plane's pixels, erroring (like the reference's
    * KeyError) when the plane is absent. Duplicate (t,c,z) entries:
-   * last-wins, matching the reference's dict-based consumers.
+   * FIRST match wins, matching the reference's `next(...)` generator
+   * (view.py:33-38) — unlike the dict-based consumers (slice/to_numpy),
+   * which are last-wins.
    */
   def planeLookup(df: DataFrame, t: Int, c: Int, z: Int,
       column: String = OmeSchema.DefaultColumn): DataFrame = {
@@ -85,7 +93,7 @@ object OmeOps {
     val matches = filter(rec.getField("planes"), p =>
       p.getField("t") === t && p.getField("c").cast("int") === c &&
         p.getField("z") === z)
-    val plane = get(matches, size(matches) - 1) // last wins; null if none
+    val plane = get(matches, lit(0)) // first match; null if none
     val px = when(plane.isNull,
       raise_error(format_string(
         "No plane found for (t=%d, c=%d, z=%d).", lit(t), lit(c), lit(z))))
@@ -184,10 +192,14 @@ object OmeOps {
     }
 
     val planesIn = rec.getField("planes")
-    def matchesOf(t: Column, c: Column, z: Column): Column =
-      filter(planesIn, p =>
-        p.getField("t") === t && p.getField("c").cast("int") === c &&
-          p.getField("z") === z)
+    // Keyed lookup: one bigint-key array per record, probed with integer
+    // compares — O(planes) cheap scans per grid cell instead of re-filtering
+    // full plane structs (pixel arrays) for every cell (VERDICT r1 #3).
+    // Reversed so that array_position's first hit = the LAST duplicate,
+    // preserving the reference's dict last-wins (transform.py:94-99).
+    val planeKeysRev = reverse(transform(planesIn, p => tczKey(
+      p.getField("t"), p.getField("c"), p.getField("z"))))
+    val nPlanes = size(planesIn)
 
     // dense selection grid in t-major, c, z order; reindex via position in
     // the kept arrays (positions are 1-based -> minus 1).
@@ -196,14 +208,13 @@ object OmeOps {
         transform(keepZ, z => struct(t.as("t"), c.as("c"), z.as("z")))))))
     val gridKept =
       if (fillMissing) grid
-      else filter(grid, cell => exists(planesIn, p =>
-        p.getField("t") === cell.getField("t") &&
-          p.getField("c").cast("int") === cell.getField("c") &&
-          p.getField("z") === cell.getField("z")))
+      else filter(grid, cell => array_contains(planeKeysRev, tczKey(
+        cell.getField("t"), cell.getField("c"), cell.getField("z"))))
     val planesOut = transform(gridKept, cell => {
       val t = cell.getField("t"); val c = cell.getField("c"); val z = cell.getField("z")
-      val ms = matchesOf(t, c, z)
-      val src = get(ms, size(ms) - 1) // last wins
+      val posR = array_position(planeKeysRev, tczKey(t, c, z))
+      val src = when(posR === 0, lit(null))
+        .otherwise(get(planesIn, (nPlanes - posR).cast("int"))) // last wins
       struct(
         (array_position(keepZ, z) - 1).cast("int").as("z"),
         (array_position(keepT, t) - 1).cast("int").as("t"),
@@ -283,25 +294,49 @@ object OmeOps {
       rec.getField("id").as("image_id"),
       pm(rec).getField("size_x").as("size_x"),
       pm(rec).getField("size_y").as("size_y"),
+      // Full record-level metadata rides along (planes dropped) so that
+      // nestPlanes can reconstruct the canonical record losslessly
+      // (VERDICT r1 #4). Small relative to pixel payloads.
+      struct(
+        rec.getField("type").as("type"),
+        rec.getField("version").as("version"),
+        rec.getField("id").as("id"),
+        rec.getField("name").as("name"),
+        rec.getField("acquisition_datetime").as("acquisition_datetime"),
+        pm(rec).as("pixels_meta")).as("record_meta"),
       explode(rec.getField("planes")).as("plane"))
       .select(col("image_id"), col("size_x"), col("size_y"),
+        col("record_meta"),
         col("plane.t").as("t"), col("plane.c").cast("int").as("c"),
         col("plane.z").as("z"), col("plane.pixels").as("pixels"))
   }
 
-  /** Flat plane table -> per-image nested plane array, planes re-sorted to
-    * the canonical t-major, c, z convention. One shuffle (the groupBy). */
-  def nestPlanes(planeDf: DataFrame): DataFrame =
+  /** Flat plane table -> canonical nested records, planes re-sorted to the
+    * canonical t-major, c, z convention. One shuffle (the groupBy, keyed by
+    * image_id — similar-sized images, so no skew). Inverse of explodePlanes:
+    * the `record_meta` struct it emitted is restored around the re-nested
+    * plane array, reconstructing the full record
+    * (`type/version/id/name/acquisition_datetime/pixels_meta`). */
+  def nestPlanes(planeDf: DataFrame,
+      column: String = OmeSchema.DefaultColumn): DataFrame =
     planeDf
-      .groupBy(col("image_id"), col("size_x"), col("size_y"))
-      .agg(array_sort(collect_list(struct(
-        col("t"), col("c").cast("short").as("c"), col("z"),
-        col("pixels")))).as("planes_tcz"))
-      // reorder struct fields to the canonical (z,t,c,pixels) layout
-      .withColumn("planes", transform(col("planes_tcz"), p => struct(
-        p.getField("z").as("z"), p.getField("t").as("t"),
-        p.getField("c").as("c"), p.getField("pixels").as("pixels"))))
-      .drop("planes_tcz")
+      .groupBy(col("image_id"))
+      // Sort on a packed (t,c,z) key, not the full plane struct — struct
+      // comparison would deep-compare pixel arrays on (t,c,z) ties.
+      .agg(first(col("record_meta")).as("record_meta"),
+        array_sort(collect_list(struct(
+          tczKey(col("t"), col("c"), col("z")).as("k"),
+          struct(col("z"), col("t"), col("c").cast("short").as("c"),
+            col("pixels")).as("p")))).as("planes_keyed"))
+      .select(struct(
+        col("record_meta.type").as("type"),
+        col("record_meta.version").as("version"),
+        col("record_meta.id").as("id"),
+        col("record_meta.name").as("name"),
+        col("record_meta.acquisition_datetime").as("acquisition_datetime"),
+        col("record_meta.pixels_meta").as("pixels_meta"),
+        transform(col("planes_keyed"), kp => kp.getField("p")).as("planes"))
+        .as(column))
 
   /**
    * One level of the OME-Zarr multiscale pyramid (export.py:317-337) as a
@@ -316,15 +351,22 @@ object OmeOps {
     val meta = pm(rec)
     val sx = meta.getField("size_x")
     val sy = meta.getField("size_y")
-    val nx = greatest(sx / 2, lit(1))
-    val ny = greatest(sy / 2, lit(1))
+    // Integral floor-halving (Column `/` is double division — r1 defect):
+    // level shape contract is max(1, n // 2) (export.py:317-318).
+    val nx = greatest(floor(sx / 2).cast("int"), lit(1))
+    val ny = greatest(floor(sy / 2).cast("int"), lit(1))
+    // Degenerate axes (size 1): no neighbor in that direction — re-read the
+    // base pixel instead (offset 0), which keeps the block mean exact:
+    // floor((2a+2b)/4) == floor((a+b)/2).
+    val dx = when(sx >= 2, lit(1)).otherwise(lit(0))
+    val dyOff = when(sy >= 2, sx).otherwise(lit(0))
     def down(px: Column): Column =
       flatten(transform(sequence(lit(0), ny - 1), by =>
         transform(sequence(lit(0), nx - 1), bx => {
           val base = (by * 2) * sx + bx * 2
-          val s = get(px, base) + get(px, base + 1) +
-            get(px, base + sx) + get(px, base + sx + 1)
-          (s / 4).cast("int")
+          val s = get(px, base) + get(px, base + dx) +
+            get(px, base + dyOff) + get(px, base + dyOff + dx)
+          floor(s / 4).cast("int")
         })))
     val planesOut = transform(rec.getField("planes"), p => struct(
       p.getField("z").as("z"), p.getField("t").as("t"),
@@ -337,8 +379,8 @@ object OmeOps {
       meta.getField("size_z").as("size_z"),
       meta.getField("size_c").as("size_c"),
       meta.getField("size_t").as("size_t"),
-      (meta.getField("physical_size_x") * 2).as("physical_size_x"),
-      (meta.getField("physical_size_y") * 2).as("physical_size_y"),
+      (meta.getField("physical_size_x") * 2).cast("float").as("physical_size_x"),
+      (meta.getField("physical_size_y") * 2).cast("float").as("physical_size_y"),
       meta.getField("physical_size_z").as("physical_size_z"),
       meta.getField("physical_size_x_unit").as("physical_size_x_unit"),
       meta.getField("physical_size_y_unit").as("physical_size_y_unit"),
@@ -352,6 +394,89 @@ object OmeOps {
       rec.getField("acquisition_datetime").as("acquisition_datetime"),
       pmOut.as("pixels_meta"),
       planesOut.as("planes")))
+  }
+
+  /**
+   * Stride-`k` downsample (view.py:123-125 `vol[::ds, ::ds, ::ds]`) as a
+   * native operator over the whole record: every plane keeps pixels at
+   * (y % k == 0, x % k == 0); planes survive only when z % k == 0 and are
+   * reindexed z/k. New axis lengths are ceil(n/k) (numpy `[::k]` semantics);
+   * physical sizes rescale by k (view.py:125). Zero shuffle, pure codegen.
+   */
+  def strideDownsample(df: DataFrame, k: Int,
+      column: String = OmeSchema.DefaultColumn): DataFrame = {
+    require(k >= 1, s"stride must be >= 1, got $k")
+    val rec = col(column)
+    val meta = pm(rec)
+    val sx = meta.getField("size_x")
+    val sy = meta.getField("size_y")
+    val sz = meta.getField("size_z")
+    def ceilDiv(n: Column): Column = floor((n + (k - 1)) / k).cast("int")
+    val nx = ceilDiv(sx); val ny = ceilDiv(sy); val nz = ceilDiv(sz)
+    def down(px: Column): Column =
+      flatten(transform(sequence(lit(0), ny - 1), yy =>
+        transform(sequence(lit(0), nx - 1), xx =>
+          get(px, (yy * k) * sx + xx * k))))
+    val planesOut = transform(
+      filter(rec.getField("planes"), p => p.getField("z") % k === 0),
+      p => struct(
+        (p.getField("z") / k).cast("int").as("z"),
+        p.getField("t").as("t"),
+        p.getField("c").as("c"),
+        down(p.getField("pixels")).as("pixels")))
+    val pmOut = struct(
+      meta.getField("dimension_order").as("dimension_order"),
+      meta.getField("type").as("type"),
+      nx.as("size_x"), ny.as("size_y"), nz.as("size_z"),
+      meta.getField("size_c").as("size_c"),
+      meta.getField("size_t").as("size_t"),
+      (meta.getField("physical_size_x") * k).cast("float").as("physical_size_x"),
+      (meta.getField("physical_size_y") * k).cast("float").as("physical_size_y"),
+      (meta.getField("physical_size_z") * k).cast("float").as("physical_size_z"),
+      meta.getField("physical_size_x_unit").as("physical_size_x_unit"),
+      meta.getField("physical_size_y_unit").as("physical_size_y_unit"),
+      meta.getField("physical_size_z_unit").as("physical_size_z_unit"),
+      meta.getField("channels").as("channels"))
+    df.withColumn(column, struct(
+      rec.getField("type").as("type"),
+      rec.getField("version").as("version"),
+      rec.getField("id").as("id"),
+      rec.getField("name").as("name"),
+      rec.getField("acquisition_datetime").as("acquisition_datetime"),
+      pmOut.as("pixels_meta"),
+      planesOut.as("planes")))
+  }
+
+  /**
+   * Contrast-limit percentiles (view.py:132-136): per image, the exact
+   * linear-interpolated percentiles (numpy `np.percentile` default) of all
+   * pixels in the T=0 volume of channel `c`. Computed per record on the
+   * sorted concatenated pixel array — no explode, no shuffle; matches
+   * DuckDB's `quantile_cont` for oracle parity.
+   */
+  def percentileContrast(df: DataFrame, c: Int,
+      pLow: Double = 1.0, pHigh: Double = 99.9,
+      column: String = OmeSchema.DefaultColumn): DataFrame = {
+    val rec = col(column)
+    val vol = array_sort(flatten(transform(
+      filter(rec.getField("planes"), p =>
+        p.getField("t") === 0 && p.getField("c").cast("int") === c),
+      p => p.getField("pixels"))))
+    val n = size(vol)
+    def pct(q: Double): Column = {
+      val rank = (n - 1).cast("double") * (q / 100.0)
+      val lo = floor(rank).cast("int")
+      val hi = ceil(rank).cast("int")
+      val loV = get(vol, lo).cast("double")
+      val hiV = get(vol, hi).cast("double")
+      loV + (rank - lo.cast("double")) * (hiV - loV)
+    }
+    df.select(
+      rec.getField("id").as("id"),
+      lit(c).as("c"),
+      n.as("n_px"),
+      when(n === 0, lit(null)).otherwise(pct(pLow)).as("clim_low"),
+      when(n === 0, lit(null)).otherwise(pct(pHigh)).as("clim_high"))
   }
 
   /**
@@ -369,13 +494,16 @@ object OmeOps {
     val sz = meta.getField("size_z")
     val planeLen = meta.getField("size_x") * meta.getField("size_y")
     val planesIn = rec.getField("planes")
+    // Keyed last-wins lookup (see sliceOmeArrow): probe a packed long array,
+    // not the full struct array, per (t,c,z) grid cell.
+    val planeKeysRev = reverse(transform(planesIn, p => tczKey(
+      p.getField("t"), p.getField("c"), p.getField("z"))))
+    val nPlanes = size(planesIn)
     def planeFor(t: Column, c: Column, z: Column): Column = {
-      val ms = filter(planesIn, p =>
-        p.getField("t") === t && p.getField("c").cast("int") === c &&
-          p.getField("z") === z)
-      val src = get(ms, size(ms) - 1)
-      when(src.isNull, array_repeat(lit(0), planeLen))
-        .otherwise(src.getField("pixels"))
+      val posR = array_position(planeKeysRev, tczKey(t, c, z))
+      when(posR === 0, array_repeat(lit(0), planeLen))
+        .otherwise(get(planesIn, (nPlanes - posR).cast("int"))
+          .getField("pixels"))
     }
     val dense = flatten(flatten(flatten(
       transform(sequence(lit(0), st - 1), t =>
