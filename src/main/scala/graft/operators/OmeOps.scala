@@ -281,6 +281,15 @@ object OmeOps {
     df.withColumn(column, validated)
   }
 
+  /** Rebuild the record keeping only planes satisfying `pred` — plumbing
+    * for hole-injection tests and plane-level filters. Pure expression. */
+  def filterPlanes(df: DataFrame, pred: Column => Column,
+      column: String = OmeSchema.DefaultColumn): DataFrame = {
+    val rec = col(column)
+    df.withColumn(column,
+      rec.withField("planes", filter(rec.getField("planes"), pred)))
+  }
+
   /**
    * Nested record -> flat plane table `(image_id, t, c, z, pixels, size_x,
    * size_y)` — the 100 TB-scale representation (SURVEY.md §1.4 form 2):

@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Text/LLM-data-pipeline operators over a `documents(doc_id, text, lang,
+ * source, n_chars)` table — the north-star extension surface (SURVEY.md
+ * §2.3). Everything is built from codegen'd built-in functions (no UDFs):
+ * tokenization/shingling ride `split`/`transform`, hashes ride `sha2`/`md5`.
+ *
+ * Scale notes (100 TB):
+ *  - exact dedup is a single hash-keyed aggregation — map-side partial
+ *    aggregation collapses duplicates before the shuffle;
+ *  - near-dup detection is banded MinHash LSH: candidates come from a
+ *    shuffle join on (band, band_key) — never an all-pairs cross join —
+ *    and only candidate pairs pay the exact-Jaccard verification;
+ *  - all per-doc features (tokens, shingles, signatures) are computed
+ *    in one pass inside whole-stage codegen.
+ */
+object TextOps {
+
+  /** Whitespace tokens with empties dropped — the shared tokenizer. */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
+
+  /** Distinct word k-shingles; a single whole-text shingle when the doc has
+    * fewer than k tokens. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      when(size(toks) < k, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
+  }
+
+  /** MinHash signature: element i = min over shingles of md5("i|shingle").
+    * String-min over hex digests is engine-portable (same md5, same
+    * collation) — deliberately chosen so external oracles can replicate
+    * the signature exactly. */
+  def minhashSignature(sh: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(sh, s =>
+        md5(concat(i.cast("string"), lit("|"), s)))))
+
+  /** LSH band keys: md5 of each `rows`-wide slice of the signature. */
+  def bandKeys(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => md5(concat_ws("|", slice(sig, b * rows + 1, lit(rows)))))
+
+  /** Exact dedup via content hash: one row per distinct text with the
+    * surviving (minimum) doc_id and the duplicate count. */
+  def dedupExact(docs: DataFrame): DataFrame =
+    docs.groupBy(sha2(col("text"), 256).as("text_sha256"))
+      .agg(min(col("doc_id")).cast("long").as("keeper_doc_id"),
+        count(lit(1)).cast("long").as("n_copies"))
+
+  /** Canonical-form fingerprint: md5 of the lower-cased, whitespace-
+    * collapsed text. Robust to reflow/case-only edits. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+      md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"))
+
+  /**
+   * Near-duplicate pairs via banded MinHash LSH + exact-Jaccard verify.
+   *
+   * Pipeline: shingle -> `numHashes` minhashes -> `bands` band keys ->
+   * self-join on (band index, band key) for candidates (doc_a < doc_b) ->
+   * distinct -> rejoin shingle sets -> exact Jaccard -> threshold.
+   * Returns (doc_a, doc_b, jaccard rounded to 6dp).
+   */
+  def nearDupPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 12,
+      bands: Int = 4, threshold: Double = 0.8): DataFrame = {
+    val rows = numHashes / bands
+    require(bands * rows == numHashes, "numHashes must divide into bands")
+    val sh = docs.select(col("doc_id").cast("long").as("doc_id"),
+      shingles(col("text"), k).as("sh"))
+    val banded = sh.select(col("doc_id"),
+        posexplode(bandKeys(minhashSignature(col("sh"), numHashes), bands, rows))
+          .as(Seq("band", "band_key")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Per-(lang, source) rollup of document/char/token statistics. */
+  def textStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), col("source"), col("n_chars"),
+        size(tokens(col("text"))).as("n_tokens"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_chars")).cast("long").as("chars_sum"),
+        sum(col("n_tokens")).cast("long").as("tokens_sum"),
+        min(col("n_chars")).cast("long").as("chars_min"),
+        max(col("n_chars")).cast("long").as("chars_max"),
+        round(avg(col("n_tokens")), 4).as("avg_tokens"))
+
+  /** Stopword-marker language-ID heuristic: count language-specific
+    * function words, predict the argmax (deterministic tie-break order
+    * en > de > es > fr), `unknown` when nothing matches. */
+  def langId(docs: DataFrame): DataFrame = {
+    val cEn = regexp_count(col("text"), lit("\\b(the|and|of|is)\\b"))
+    val cDe = regexp_count(col("text"), lit("\\b(und|der|die|das)\\b"))
+    val cEs = regexp_count(col("text"), lit("\\b(el|los|las|una)\\b"))
+    val cFr = regexp_count(col("text"), lit("\\b(le|les|des|une)\\b"))
+    val pred = when(cEn >= cDe && cEn >= cEs && cEn >= cFr && cEn > 0, "en")
+      .when(cDe >= cEs && cDe >= cFr && cDe > 0, "de")
+      .when(cEs >= cFr && cEs > 0, "es")
+      .when(cFr > 0, "fr")
+      .otherwise("unknown")
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+      pred.as("lang_pred"),
+      cEn.cast("long").as("c_en"), cDe.cast("long").as("c_de"),
+      cEs.cast("long").as("c_es"), cFr.cast("long").as("c_fr"))
+  }
+
+  /** Corpus-wide top-k tokens by frequency (ties broken by token text). */
+  def tokenTopK(docs: DataFrame, kTop: Int): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(kTop)
+
+  /** Per-document quality score: length/token/punctuation heuristics in
+    * [0,1] (larger = more prose-like). All components deterministic
+    * closed-form so external oracles can replicate. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val meanTokLen = when(nTok === 0, lit(0.0))
+      .otherwise(col("n_chars").cast("double") / nTok)
+    // words of 3..12 chars are "normal"; score = share of normal tokens
+    val normalShare = when(nTok === 0, lit(0.0))
+      .otherwise(size(filter(toks, t => length(t) >= 3 && length(t) <= 12))
+        .cast("double") / nTok)
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+      nTok.cast("long").as("n_tokens"),
+      round(meanTokLen, 6).as("mean_token_len"),
+      round(normalShare, 6).as("normal_token_share"))
+  }
+
+  /** Rank of each document inside its (lang) group by n_chars — window
+    * function demo surface. */
+  def lengthRank(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+      col("n_chars").cast("long").as("n_chars"),
+      row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)).as("rnk"))
+      .filter(col("rnk") <= 5)
+}

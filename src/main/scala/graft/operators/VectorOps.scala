@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity-search operators over an `embeddings(vec_id, embedding:
+ * array<float>, label)` table (SURVEY.md §2.3).
+ *
+ * All arithmetic is cast to double and folded sequentially (index order)
+ * with `aggregate(zip_with(...))`, so results are bit-reproducible across
+ * engines that fold left-to-right in double — scores are additionally
+ * rounded to 6dp before ranking so orderings cannot hinge on last-ulp
+ * differences.
+ *
+ * Scale notes (100 TB): `cosineTopK` broadcasts the (small) probe set and
+ * scans the corpus once — no shuffle of the big side; per-probe top-k is a
+ * windowed rank over probe partitions. `annTopK` is the bucketed scale
+ * path: both sides hash into deterministic hyperplane-sign buckets and
+ * only same-bucket pairs are scored (an equi-join on bucket id that
+ * shuffles each vector once), trading recall for a corpus-size-times-
+ * bucket-count reduction in scored pairs.
+ */
+object VectorOps {
+
+  /** Sequential-fold double dot product. */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, v) => acc + v)
+
+  def normD(a: Column): Column = sqrt(dotD(a, a))
+
+  /** cosine(a,b) rounded to 6dp. */
+  def cosine6(a: Column, b: Column): Column =
+    round(dotD(a, b) / (normD(a) * normD(b)), 6)
+
+  /**
+   * Brute-force cosine top-k: for every probe (`vec_id < nProbes`), the k
+   * nearest other vectors by cosine, ranked by (score desc, vec_id asc).
+   */
+  def cosineTopK(emb: DataFrame, nProbes: Int, k: Int): DataFrame = {
+    val probes = broadcast(emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb")))
+    val scored = probes.join(emb.filter(col("vec_id") >= 0),
+        col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id").cast("long").as("probe_id"),
+        col("vec_id").cast("long").as("neighbor_id"),
+        cosine6(col("p_emb"), col("embedding")).as("score"))
+    scored
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("score").desc, col("neighbor_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk").cast("int").as("rnk"),
+        col("neighbor_id"), col("score"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component: plane `j`,
+    * dimension `d` -> ((j*31 + d*7) % 13) - 6, as double. */
+  private def planeComponent(j: Int, d: Column): Column =
+    ((lit(j * 31) + d * 7) % 13 - 6).cast("double")
+
+  /** Sign-bucket id from `numPlanes` hyperplanes: bit j set iff
+    * dot(v, plane_j) >= 0. */
+  def lshBucket(v: Column, numPlanes: Int): Column =
+    (0 until numPlanes).map { j =>
+      val dot = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, d) => x.cast("double") * planeComponent(j, d)),
+        lit(0.0d), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /**
+   * Bucketed approximate top-k: score only same-bucket pairs. Probes with
+   * no same-bucket neighbor produce no rows (approximate by design).
+   */
+  def annTopK(emb: DataFrame, nProbes: Int, k: Int,
+      numPlanes: Int = 6): DataFrame = {
+    val bucketed = emb.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding"), lshBucket(col("embedding"), numPlanes).as("bucket"))
+    val probes = bucketed.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("bucket"))
+    val scored = probes.join(bucketed, Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("bucket"),
+        col("vec_id").as("neighbor_id"),
+        cosine6(col("p_emb"), col("embedding")).as("score"))
+    scored
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("score").desc, col("neighbor_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("bucket"), col("rnk").cast("int").as("rnk"),
+        col("neighbor_id"), col("score"))
+  }
+}

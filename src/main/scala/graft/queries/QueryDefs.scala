@@ -1,0 +1,532 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{EventOps, OmeOps, TextOps, VectorOps}
+import graft.schema.Fixtures
+
+/**
+ * The correctness/bench query registry: every entry pairs a Spark
+ * DataFrame program with equivalent ANSI SQL the driver runs in DuckDB
+ * over the same inputs (CORRECTNESS gate, BASELINE.md).
+ *
+ * Two input families:
+ *  - relational/LLM queries read the driver's parquet tables from `sfDir`
+ *    (registered as plain table names on the oracle side);
+ *  - OME queries run over `Fixtures` synthetic corpora whose pixels follow
+ *    a closed form, so their oracles are SELF-CONTAINED SQL that
+ *    regenerates the expected values from the same formula — no parquet
+ *    dependency, byte-exact parity.
+ *
+ * Cross-engine determinism rules applied throughout: every computed
+ * column is explicitly cast/aliased identically on both sides; doubles
+ * are rounded before output and before any ordering; ties are broken by
+ * a unique key; timestamps never leave the engine (ns epoch longs only).
+ */
+object QueryDefs {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ---------------------------------------------------------------------
+  // Closed-form pixel grid CTE for a synthetic family (Fixtures formula:
+  // v = (img*31 + t*13 + c*7 + z*3 + p) % 65536, p = y*sx + x).
+  // ---------------------------------------------------------------------
+  private def pxCte(n: Int, st: Int, sc: Int, sz: Int, sy: Int, sx: Int): String =
+    s"""px AS (
+       |  SELECT i.i AS img, t.t AS t, c.c AS c, z.z AS z, p.p AS p,
+       |         (p.p // $sx) AS y, (p.p % $sx) AS x,
+       |         (i.i*31 + t.t*13 + c.c*7 + z.z*3 + p.p) % 65536 AS v
+       |  FROM generate_series(0,${n - 1}) i(i),
+       |       generate_series(0,${st - 1}) t(t),
+       |       generate_series(0,${sc - 1}) c(c),
+       |       generate_series(0,${sz - 1}) z(z),
+       |       generate_series(0,${sy * sx - 1}) p(p))""".stripMargin
+
+  /** px CTE for the i4d family (4 images, 2x2x2 of 8x8). */
+  private val px4d = pxCte(4, 2, 2, 2, 8, 8)
+
+  private val id4d = "printf('i4d-%04d', img)"
+
+  /** The i4d corpus with plane (t=1,c=1,z=1) removed from every image. */
+  private def holed4d(spark: SparkSession): DataFrame =
+    OmeOps.filterPlanes(Fixtures.corpus4d(spark), p =>
+      !(p.getField("t") === 1 && p.getField("c") === 1 && p.getField("z") === 1))
+
+  /** Per-plane stats rows from a nested corpus (post explodePlanes). */
+  private def planeStatsRows(df: DataFrame): DataFrame =
+    OmeOps.explodePlanes(df).select(
+      col("image_id"), col("t").cast("int").as("t"),
+      col("c").cast("int").as("c"), col("z").cast("int").as("z"),
+      size(col("pixels")).as("n_px"),
+      aggregate(col("pixels"), lit(0L), (a, v) => a + v).as("px_sum"),
+      array_min(col("pixels")).as("px_min"),
+      array_max(col("pixels")).as("px_max"))
+
+  private val planeStatsSelect =
+    s"""CAST(count(*) AS INT) AS n_px, CAST(sum(v) AS BIGINT) AS px_sum,
+       |CAST(min(v) AS INT) AS px_min, CAST(max(v) AS INT) AS px_max""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Registry
+  // ---------------------------------------------------------------------
+  /** name -> (spark program, Some(oracle sql)). */
+  val defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // ============ OME operator surface ============
+
+    ("ome_describe", (s: SparkSession, _: String) =>
+      OmeOps.describe(Fixtures.mixedCorpus(s)),
+      Some(
+        s"""WITH fams(prefix, st, sc, sz, sy, sx, typ) AS (VALUES
+           |  ('i2d',1,1,1,8,8,'2D image'),
+           |  ('i3d',1,2,3,8,8,'3D image (z-stack)'),
+           |  ('mov',3,1,1,8,8,'movie / timelapse'),
+           |  ('i4d',2,2,2,8,8,'4D timelapse-volume'))
+           |SELECT printf('%s-%04d', prefix, i.i) AS id,
+           |  CAST(st AS INT) AS size_t, CAST(sc AS INT) AS size_c,
+           |  CAST(sz AS INT) AS size_z, CAST(sy AS INT) AS size_y,
+           |  CAST(sx AS INT) AS size_x, typ AS type,
+           |  CAST(sc AS INT) AS channels, sc > 1 AS is_multichannel,
+           |  printf('%s, %s - shape (T=%d, C=%d, Z=%d, Y=%d, X=%d)', typ,
+           |    CASE WHEN sc > 1 THEN printf('multi-channel (%d channels)', sc)
+           |         ELSE 'single-channel' END,
+           |    st, sc, sz, sy, sx) AS summary
+           |FROM fams, generate_series(0,3) i(i)""".stripMargin)),
+
+    ("ome_describe_conftest", (s: SparkSession, _: String) =>
+      OmeOps.describe(Fixtures.conftestDf(s)),
+      Some(
+        """SELECT 'img-0001' AS id, CAST(1 AS INT) AS size_t,
+          |  CAST(2 AS INT) AS size_c, CAST(1 AS INT) AS size_z,
+          |  CAST(3 AS INT) AS size_y, CAST(4 AS INT) AS size_x,
+          |  '2D image' AS type, CAST(2 AS INT) AS channels,
+          |  TRUE AS is_multichannel,
+          |  '2D image, multi-channel (2 channels) - shape (T=1, C=2, Z=1, Y=3, X=4)' AS summary""".stripMargin)),
+
+    ("ome_plane_stats", (s: SparkSession, _: String) =>
+      OmeOps.planeStats(Fixtures.corpus4d(s), t = 1, c = 1, z = 1),
+      Some(
+        s"""WITH $px4d
+           |SELECT $id4d AS id, 1 AS t, 1 AS c, 1 AS z,
+           |  CAST(min(v) AS INT) AS px_min, CAST(max(v) AS INT) AS px_max,
+           |  CAST(count(*) AS INT) AS n_px, CAST(sum(v) AS BIGINT) AS px_sum
+           |FROM px WHERE t = 1 AND c = 1 AND z = 1 GROUP BY img""".stripMargin)),
+
+    ("ome_slice_crop", (s: SparkSession, _: String) =>
+      planeStatsRows(OmeOps.sliceOmeArrow(Fixtures.corpus4d(s),
+        xMin = 2, xMax = 6, yMin = 1, yMax = 7, tIndices = Some(Seq(1)))),
+      Some(
+        s"""WITH $px4d
+           |SELECT $id4d AS image_id, 0 AS t, CAST(c AS INT) AS c,
+           |  CAST(z AS INT) AS z, $planeStatsSelect
+           |FROM px
+           |WHERE t = 1 AND y BETWEEN 1 AND 6 AND x BETWEEN 2 AND 5
+           |GROUP BY img, c, z""".stripMargin)),
+
+    ("ome_slice_nofill", (s: SparkSession, _: String) =>
+      OmeOps.sliceOmeArrow(holed4d(s), 0, 8, 0, 8, fillMissing = false)
+        .select(col("ome_arrow.id").as("id"),
+          size(col("ome_arrow.planes")).as("n_planes")),
+      Some(
+        s"""SELECT printf('i4d-%04d', i.i) AS id, CAST(7 AS INT) AS n_planes
+           |FROM generate_series(0,3) i(i)""".stripMargin)),
+
+    ("ome_slice_fill", (s: SparkSession, _: String) =>
+      planeStatsRows(OmeOps.sliceOmeArrow(holed4d(s), 0, 8, 0, 8)),
+      Some(
+        s"""WITH $px4d, pxh AS (
+           |  SELECT img, t, c, z,
+           |    CASE WHEN t=1 AND c=1 AND z=1 THEN 0 ELSE v END AS v
+           |  FROM px)
+           |SELECT $id4d AS image_id, CAST(t AS INT) AS t, CAST(c AS INT) AS c,
+           |  CAST(z AS INT) AS z, $planeStatsSelect
+           |FROM pxh GROUP BY img, t, c, z""".stripMargin)),
+
+    ("ome_downscale2x", (s: SparkSession, _: String) =>
+      planeStatsRows(OmeOps.downscale2x(Fixtures.corpus4d(s))),
+      Some(
+        s"""WITH $px4d, l1 AS (
+           |  SELECT img, t, c, z, y//2 AS by, x//2 AS bx,
+           |         CAST(sum(v) AS BIGINT)//4 AS v
+           |  FROM px GROUP BY img, t, c, z, y//2, x//2)
+           |SELECT $id4d AS image_id, CAST(t AS INT) AS t, CAST(c AS INT) AS c,
+           |  CAST(z AS INT) AS z, $planeStatsSelect
+           |FROM l1 GROUP BY img, t, c, z""".stripMargin)),
+
+    ("ome_pyramid_l2", (s: SparkSession, _: String) =>
+      planeStatsRows(OmeOps.downscale2x(OmeOps.downscale2x(Fixtures.corpus4d(s)))),
+      Some(
+        s"""WITH $px4d, l1 AS (
+           |  SELECT img, t, c, z, y//2 AS by, x//2 AS bx,
+           |         CAST(sum(v) AS BIGINT)//4 AS v
+           |  FROM px GROUP BY img, t, c, z, y//2, x//2),
+           |l2 AS (
+           |  SELECT img, t, c, z, by//2 AS b2y, bx//2 AS b2x,
+           |         CAST(sum(v) AS BIGINT)//4 AS v
+           |  FROM l1 GROUP BY img, t, c, z, by//2, bx//2)
+           |SELECT $id4d AS image_id, CAST(t AS INT) AS t, CAST(c AS INT) AS c,
+           |  CAST(z AS INT) AS z, $planeStatsSelect
+           |FROM l2 GROUP BY img, t, c, z""".stripMargin)),
+
+    ("ome_stride", (s: SparkSession, _: String) =>
+      planeStatsRows(OmeOps.strideDownsample(Fixtures.corpus4d(s), 2)),
+      Some(
+        s"""WITH $px4d
+           |SELECT $id4d AS image_id, CAST(t AS INT) AS t, CAST(c AS INT) AS c,
+           |  CAST(z//2 AS INT) AS z, $planeStatsSelect
+           |FROM px WHERE z % 2 = 0 AND y % 2 = 0 AND x % 2 = 0
+           |GROUP BY img, t, c, z//2""".stripMargin)),
+
+    ("ome_percentile", (s: SparkSession, _: String) =>
+      OmeOps.percentileContrast(Fixtures.corpus4d(s), c = 1)
+        .select(col("id"), col("c"), col("n_px"),
+          round(col("clim_low"), 6).as("clim_low"),
+          round(col("clim_high"), 6).as("clim_high")),
+      Some(
+        s"""WITH $px4d
+           |SELECT $id4d AS id, 1 AS c, CAST(count(*) AS INT) AS n_px,
+           |  round(quantile_cont(v, 0.01), 6) AS clim_low,
+           |  round(quantile_cont(v, 0.999), 6) AS clim_high
+           |FROM px WHERE t = 0 AND c = 1 GROUP BY img""".stripMargin)),
+
+    ("ome_to_dense", (s: SparkSession, _: String) =>
+      OmeOps.toDense(holed4d(s)).select(col("id"),
+        size(col("dense")).as("n_values"),
+        aggregate(col("dense"), lit(0L), (a, v) => a + v).as("value_sum")),
+      Some(
+        s"""WITH $px4d
+           |SELECT $id4d AS id, CAST(count(*) AS INT) AS n_values,
+           |  CAST(sum(CASE WHEN t=1 AND c=1 AND z=1 THEN 0 ELSE v END) AS BIGINT)
+           |    AS value_sum
+           |FROM px GROUP BY img""".stripMargin)),
+
+    ("ome_nest_roundtrip", (s: SparkSession, _: String) =>
+      OmeOps.describe(OmeOps.nestPlanes(OmeOps.explodePlanes(Fixtures.mixedCorpus(s)))),
+      Some(
+        s"""WITH fams(prefix, st, sc, sz, sy, sx, typ) AS (VALUES
+           |  ('i2d',1,1,1,8,8,'2D image'),
+           |  ('i3d',1,2,3,8,8,'3D image (z-stack)'),
+           |  ('mov',3,1,1,8,8,'movie / timelapse'),
+           |  ('i4d',2,2,2,8,8,'4D timelapse-volume'))
+           |SELECT printf('%s-%04d', prefix, i.i) AS id,
+           |  CAST(st AS INT) AS size_t, CAST(sc AS INT) AS size_c,
+           |  CAST(sz AS INT) AS size_z, CAST(sy AS INT) AS size_y,
+           |  CAST(sx AS INT) AS size_x, typ AS type,
+           |  CAST(sc AS INT) AS channels, sc > 1 AS is_multichannel,
+           |  printf('%s, %s - shape (T=%d, C=%d, Z=%d, Y=%d, X=%d)', typ,
+           |    CASE WHEN sc > 1 THEN printf('multi-channel (%d channels)', sc)
+           |         ELSE 'single-channel' END,
+           |    st, sc, sz, sy, sx) AS summary
+           |FROM fams, generate_series(0,3) i(i)""".stripMargin)),
+
+    ("ome_meta_join", (s: SparkSession, _: String) => {
+      val imgs = Fixtures.mixedCorpus(s)
+      val features = OmeOps.explodePlanes(imgs)
+        .groupBy(col("image_id"))
+        .agg(count(lit(1)).cast("long").as("n_planes"),
+          sum(aggregate(col("pixels"), lit(0L), (a, v) => a + v)).as("px_total"))
+      OmeOps.describe(imgs).join(broadcast(features),
+          col("id") === col("image_id"))
+        .select(col("id"), col("type"), col("n_planes"), col("px_total"))
+    },
+      Some(
+        s"""WITH fams(prefix, st, sc, sz, typ) AS (VALUES
+           |  ('i2d',1,1,1,'2D image'),
+           |  ('i3d',1,2,3,'3D image (z-stack)'),
+           |  ('mov',3,1,1,'movie / timelapse'),
+           |  ('i4d',2,2,2,'4D timelapse-volume')),
+           |px AS (
+           |  SELECT prefix, typ, i.i AS img, st*sc*sz AS n_planes,
+           |         (i.i*31 + t.t*13 + c.c*7 + z.z*3 + p.p) % 65536 AS v
+           |  FROM fams,
+           |       generate_series(0,3) i(i), generate_series(0,2) t(t),
+           |       generate_series(0,2) c(c), generate_series(0,2) z(z),
+           |       generate_series(0,63) p(p)
+           |  WHERE t.t < st AND c.c < sc AND z.z < sz)
+           |SELECT printf('%s-%04d', prefix, img) AS id, typ AS type,
+           |  CAST(n_planes AS BIGINT) AS n_planes,
+           |  CAST(sum(v) AS BIGINT) AS px_total
+           |FROM px GROUP BY prefix, typ, img, n_planes""".stripMargin)),
+
+    // ============ LLM-pipeline: documents ============
+
+    ("dedup_exact", (s: SparkSession, dir: String) =>
+      TextOps.dedupExact(t(s, dir, "documents")),
+      Some(
+        """SELECT sha256(text) AS text_sha256,
+          |  CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+          |  CAST(count(*) AS BIGINT) AS n_copies
+          |FROM documents GROUP BY sha256(text)""".stripMargin)),
+
+    ("doc_fingerprint", (s: SparkSession, dir: String) =>
+      TextOps.fingerprint(t(s, dir, "documents")),
+      Some(
+        """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+          |FROM documents""".stripMargin)),
+
+    ("near_dup_minhash", (s: SparkSession, dir: String) =>
+      TextOps.nearDupPairs(t(s, dir, "documents")),
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+          |  FROM documents),
+          |sh AS (
+          |  SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3
+          |      THEN [array_to_string(tk, ' ')]
+          |      ELSE list_transform(range(1, len(tk) - 1),
+          |             i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
+          |  FROM toks),
+          |sig AS (
+          |  SELECT doc_id, sh,
+          |    list_transform(range(0, 12), i ->
+          |      list_aggregate(list_transform(sh, s -> md5(i || '|' || s)), 'min')) AS mh
+          |  FROM sh),
+          |banded AS (
+          |  SELECT doc_id, sh, b.b AS band,
+          |    md5(array_to_string(mh[b.b*3+1:b.b*3+3], '|')) AS band_key
+          |  FROM sig, generate_series(0, 3) b(b)),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |    a.sh AS sh_a, b.sh AS sh_b
+          |  FROM banded a JOIN banded b
+          |    ON a.band = b.band AND a.band_key = b.band_key
+          |   AND a.doc_id < b.doc_id)
+          |SELECT * FROM (
+          |  SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+          |    round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+          |          len(list_distinct(list_concat(sh_a, sh_b))), 6) AS jaccard
+          |  FROM cand)
+          |WHERE jaccard >= 0.8""".stripMargin)),
+
+    ("text_stats", (s: SparkSession, dir: String) =>
+      TextOps.textStats(t(s, dir, "documents")),
+      Some(
+        """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+          |  CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'),
+          |    x -> x <> ''))) AS BIGINT) AS tokens_sum,
+          |  CAST(min(n_chars) AS BIGINT) AS chars_min,
+          |  CAST(max(n_chars) AS BIGINT) AS chars_max,
+          |  round(avg(len(list_filter(string_split_regex(trim(text), '\s+'),
+          |    x -> x <> ''))), 4) AS avg_tokens
+          |FROM documents GROUP BY lang, source""".stripMargin)),
+
+    ("lang_id", (s: SparkSession, dir: String) =>
+      TextOps.langId(t(s, dir, "documents")),
+      Some(
+        """WITH c AS (
+          |  SELECT doc_id, lang,
+          |    len(regexp_extract_all(text, '\b(the|and|of|is)\b')) AS c_en,
+          |    len(regexp_extract_all(text, '\b(und|der|die|das)\b')) AS c_de,
+          |    len(regexp_extract_all(text, '\b(el|los|las|una)\b')) AS c_es,
+          |    len(regexp_extract_all(text, '\b(le|les|des|une)\b')) AS c_fr
+          |  FROM documents)
+          |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+          |  CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en > 0 THEN 'en'
+          |       WHEN c_de >= c_es AND c_de >= c_fr AND c_de > 0 THEN 'de'
+          |       WHEN c_es >= c_fr AND c_es > 0 THEN 'es'
+          |       WHEN c_fr > 0 THEN 'fr'
+          |       ELSE 'unknown' END AS lang_pred,
+          |  CAST(c_en AS BIGINT) AS c_en, CAST(c_de AS BIGINT) AS c_de,
+          |  CAST(c_es AS BIGINT) AS c_es, CAST(c_fr AS BIGINT) AS c_fr
+          |FROM c""".stripMargin)),
+
+    ("token_topk", (s: SparkSession, dir: String) =>
+      TextOps.tokenTopK(t(s, dir, "documents"), 20),
+      Some(
+        """SELECT token, CAST(count(*) AS BIGINT) AS n
+          |FROM (SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+          |        x -> x <> '')) AS token FROM documents)
+          |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin)),
+
+    ("quality_score", (s: SparkSession, dir: String) =>
+      TextOps.qualityScore(t(s, dir, "documents")),
+      Some(
+        """WITH tk AS (
+          |  SELECT doc_id, n_chars,
+          |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+          |  FROM documents)
+          |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |  CAST(len(toks) AS BIGINT) AS n_tokens,
+          |  round(CASE WHEN len(toks) = 0 THEN 0.0
+          |    ELSE CAST(n_chars AS DOUBLE) / len(toks) END, 6) AS mean_token_len,
+          |  round(CASE WHEN len(toks) = 0 THEN 0.0
+          |    ELSE CAST(len(list_filter(toks, x -> len(x) >= 3 AND len(x) <= 12))
+          |      AS DOUBLE) / len(toks) END, 6) AS normal_token_share
+          |FROM tk""".stripMargin)),
+
+    ("length_rank", (s: SparkSession, dir: String) =>
+      TextOps.lengthRank(t(s, dir, "documents")),
+      Some(
+        """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+          |  CAST(n_chars AS BIGINT) AS n_chars,
+          |  CAST(row_number() OVER (PARTITION BY lang
+          |    ORDER BY n_chars DESC, doc_id ASC) AS INT) AS rnk
+          |FROM documents
+          |QUALIFY rnk <= 5""".stripMargin)),
+
+    // ============ LLM-pipeline: embeddings ============
+
+    ("embed_topk", (s: SparkSession, dir: String) =>
+      VectorOps.cosineTopK(t(s, dir, "embeddings"), nProbes = 8, k = 10),
+      Some(
+        """WITH scored AS (
+          |  SELECT CAST(p.vec_id AS BIGINT) AS probe_id,
+          |    CAST(e.vec_id AS BIGINT) AS neighbor_id,
+          |    round(
+          |      list_sum(list_transform(list_zip(p.embedding, e.embedding),
+          |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+          |      (sqrt(list_sum(list_transform(p.embedding,
+          |         a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)))) *
+          |       sqrt(list_sum(list_transform(e.embedding,
+          |         a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE))))), 6) AS score
+          |  FROM embeddings p JOIN embeddings e ON e.vec_id <> p.vec_id
+          |  WHERE p.vec_id < 8)
+          |SELECT probe_id,
+          |  CAST(row_number() OVER (PARTITION BY probe_id
+          |    ORDER BY score DESC, neighbor_id ASC) AS INT) AS rnk,
+          |  neighbor_id, score
+          |FROM scored
+          |QUALIFY rnk <= 10""".stripMargin)),
+
+    ("embed_ann_lsh", (s: SparkSession, dir: String) =>
+      VectorOps.annTopK(t(s, dir, "embeddings"), nProbes = 32, k = 3),
+      Some(
+        """WITH bucketed AS (
+          |  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+          |    (SELECT CAST(sum(CASE WHEN
+          |        list_sum(list_transform(list_zip(embedding,
+          |          list_transform(range(0, len(embedding)), d ->
+          |            CAST((j.j*31 + d*7) % 13 - 6 AS DOUBLE))),
+          |          x -> CAST(x[1] AS DOUBLE) * x[2])) >= 0
+          |        THEN 1 << j.j ELSE 0 END) AS BIGINT)
+          |     FROM generate_series(0, 5) j(j)) AS bucket
+          |  FROM embeddings),
+          |scored AS (
+          |  SELECT p.vec_id AS probe_id, p.bucket AS bucket,
+          |    e.vec_id AS neighbor_id,
+          |    round(
+          |      list_sum(list_transform(list_zip(p.embedding, e.embedding),
+          |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+          |      (sqrt(list_sum(list_transform(p.embedding,
+          |         a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)))) *
+          |       sqrt(list_sum(list_transform(e.embedding,
+          |         a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE))))), 6) AS score
+          |  FROM bucketed p JOIN bucketed e
+          |    ON p.bucket = e.bucket AND e.vec_id <> p.vec_id
+          |  WHERE p.vec_id < 32)
+          |SELECT probe_id, bucket,
+          |  CAST(row_number() OVER (PARTITION BY probe_id
+          |    ORDER BY score DESC, neighbor_id ASC) AS INT) AS rnk,
+          |  neighbor_id, score
+          |FROM scored
+          |QUALIFY rnk <= 3""".stripMargin)),
+
+    // ============ events ============
+
+    ("events_rollup", (s: SparkSession, dir: String) =>
+      EventOps.dailyRollup(EventOps.readEvents(s, dir)),
+      Some(
+        """SELECT event_type, CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+          |  CAST(count(*) AS BIGINT) AS n_events,
+          |  round(sum(value), 2) AS value_sum,
+          |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+          |FROM events GROUP BY event_type, day""".stripMargin)),
+
+    ("events_sessions", (s: SparkSession, dir: String) =>
+      EventOps.sessionize(EventOps.readEvents(s, dir)),
+      Some(
+        """WITH e AS (
+          |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id FROM events),
+          |flagged AS (
+          |  SELECT user_id, ts_ns, event_id,
+          |    CASE WHEN lag(ts_ns) OVER w IS NULL THEN 1
+          |         WHEN ts_ns - lag(ts_ns) OVER w > 1800000000000 THEN 1
+          |         ELSE 0 END AS new_sess
+          |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
+          |sess AS (
+          |  SELECT user_id, event_id,
+          |    sum(new_sess) OVER (PARTITION BY user_id
+          |      ORDER BY ts_ns, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+          |  FROM flagged),
+          |per_sess AS (
+          |  SELECT user_id, session_id, count(*) AS sess_events
+          |  FROM sess GROUP BY user_id, session_id)
+          |SELECT CAST(user_id AS BIGINT) AS user_id,
+          |  CAST(sum(sess_events) AS BIGINT) AS n_events,
+          |  CAST(count(*) AS BIGINT) AS n_sessions,
+          |  CAST(max(sess_events) AS BIGINT) AS max_session_events
+          |FROM per_sess GROUP BY user_id""".stripMargin)),
+
+    // ============ relational (TPC-H-ish; bench headliners) ============
+
+    ("q1_agg", (s: SparkSession, dir: String) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).cast("long").as("n_rows")),
+      Some(
+        """SELECT l_returnflag, l_linestatus,
+          |  round(sum(l_quantity), 2) AS sum_qty,
+          |  round(sum(l_extendedprice), 2) AS sum_base,
+          |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+          |  round(avg(l_discount), 4) AS avg_disc,
+          |  CAST(count(*) AS BIGINT) AS n_rows
+          |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    ("q3_top_orders", (s: SparkSession, dir: String) => {
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "orders")), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"), col("revenue"))
+    },
+      Some(
+        """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+          |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |GROUP BY o_orderkey
+          |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin)),
+
+    ("q5_region_revenue", (s: SparkSession, dir: String) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).cast("long").as("n_rows")),
+      Some(
+        """SELECT r_name, n_name,
+          |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+          |  CAST(count(*) AS BIGINT) AS n_rows
+          |FROM lineitem
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY r_name, n_name""".stripMargin))
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map { case (n, f, _) => n -> f }.toMap
+
+  val oracleSql: Map[String, String] =
+    defs.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+}

@@ -80,7 +80,7 @@ object Fixtures {
    */
   def syntheticImages(spark: SparkSession, n: Int,
       t: Int = 2, c: Int = 2, z: Int = 2,
-      sy: Int = 32, sx: Int = 32): DataFrame = {
+      sy: Int = 32, sx: Int = 32, prefix: String = "img"): DataFrame = {
     val img = col("id")
     val pixelsFor = (tt: org.apache.spark.sql.Column,
                      cc: org.apache.spark.sql.Column,
@@ -124,10 +124,31 @@ object Fixtures {
       .select(struct(
         lit(OmeSchema.TagType).as("type"),
         lit(OmeSchema.Version).as("version"),
-        format_string("img-%04d", img).as("id"),
+        format_string("%s-%04d", lit(prefix), img).as("id"),
         format_string("Synthetic image %d", img).as("name"),
         lit(ts("2025-01-01T00:00:00Z")).as("acquisition_datetime"),
         pixelsMeta.as("pixels_meta"),
         planes.as("planes")).as(OmeSchema.DefaultColumn))
   }
+
+  /** Shape parameters of the four `mixedCorpus` families — one per
+    * reference classification branch (utils.py:59-69). */
+  val MixedFamilies: Seq[(String, Int, Int, Int)] = Seq(
+    // (prefix, t, c, z); all 8x8 planes, 4 images each
+    ("i2d", 1, 1, 1),
+    ("i3d", 1, 2, 3),
+    ("mov", 3, 1, 1),
+    ("i4d", 2, 2, 2))
+
+  /** 16-image corpus spanning all four (T,Z) classification branches and
+    * both channel classes — the describe/slice oracle substrate. */
+  def mixedCorpus(spark: SparkSession): DataFrame =
+    MixedFamilies.map { case (p, t, c, z) =>
+      syntheticImages(spark, 4, t = t, c = c, z = z, sy = 8, sx = 8, prefix = p)
+    }.reduce(_ unionAll _)
+
+  /** The `i4d` family alone (2x2x2 planes of 8x8) — substrate for the
+    * pixel-level operator oracles. */
+  def corpus4d(spark: SparkSession): DataFrame =
+    syntheticImages(spark, 4, t = 2, c = 2, z = 2, sy = 8, sx = 8, prefix = "i4d")
 }

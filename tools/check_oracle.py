@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local simulator of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check_oracle.py <verify_out_dir> [sf_dir]
+
+Reads each <name>/ parquet written by graft.Verify, runs the matching
+oracle SQL from oracle_sql.json in DuckDB (with the sf tables registered
+by name), sorts columns by name and rows by all columns, and compares
+values. Prints a per-query PASS/FAIL summary. Local-iteration tool only —
+not part of the library."""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # kill -0.0 and representation noise beyond round-trip precision
+        return repr(round(v, 9) + 0.0)
+    if isinstance(v, bool):
+        return str(v)
+    return str(v)
+
+
+def frame_rows(df):
+    cols = sorted(df.columns)
+    rows = [tuple(canon(r[c]) for c in cols) for _, r in df[cols].iterrows()]
+    return cols, sorted(rows)
+
+
+def main():
+    out_dir = sys.argv[1]
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            spark_df = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            oracle_df = con.sql(sql).df()
+            sc, sr = frame_rows(spark_df)
+            oc, orows = frame_rows(oracle_df)
+            if sc != oc:
+                print(f"FAIL {name}: columns differ spark={sc} oracle={oc}")
+                n_fail += 1
+            elif len(sr) != len(orows):
+                print(f"FAIL {name}: rows spark={len(sr)} oracle={len(orows)}")
+                n_fail += 1
+            elif sr != orows:
+                bad = [(a, b) for a, b in zip(sr, orows) if a != b][:3]
+                print(f"FAIL {name}: values differ; first diffs: {bad}")
+                n_fail += 1
+            else:
+                print(f"PASS {name} ({len(sr)} rows)")
+                n_pass += 1
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+    print(f"\n{n_pass} pass / {n_fail} fail of {len(oracles)}")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
