@@ -35,14 +35,32 @@ object TextOps {
           i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
   }
 
-  /** MinHash signature: element i = min over shingles of md5("i|shingle").
-    * String-min over hex digests is engine-portable (same md5, same
-    * collation) — deliberately chosen so external oracles can replicate
-    * the signature exactly. */
+  /** Per-shingle hash material: ceil(numHashes/4) md5 digests ("g|shingle")
+    * concatenated into one hex string. Each disjoint 8-hex-char chunk of an
+    * md5 is an independent 32-bit hash, so `numHashes` minhash functions
+    * need only numHashes/4 md5 evaluations per shingle — md5 is the
+    * dominant cost of the signature stage (measured 4x). */
+  def shingleHashes(sh: Column, numHashes: Int): Column = {
+    val nMd5 = (numHashes + 3) / 4
+    transform(sh, s => concat((0 until nMd5).map(g =>
+      md5(concat(lit(g.toString), lit("|"), s))): _*))
+  }
+
+  /** MinHash signature from `shingleHashes` material: element i = min over
+    * shingles of the i-th 8-char chunk. String-min over hex chunks is
+    * engine-portable (same md5, same collation) — deliberately chosen so
+    * external oracles can replicate the signature exactly. Implemented as
+    * a single fold carrying a numHashes-wide running-min array (one array
+    * allocation per shingle instead of numHashes full passes). */
+  def minhashFromHashes(hs: Column, numHashes: Int): Column =
+    aggregate(hs,
+      array_repeat(lit("￿"), numHashes), // sorts after any hex chunk
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
+        (m, i) => least(m, h.substr(i * 8 + 1, lit(8)))))
+
+  /** MinHash signature straight from shingles (hash material inline). */
   def minhashSignature(sh: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(sh, s =>
-        md5(concat(i.cast("string"), lit("|"), s)))))
+    minhashFromHashes(shingleHashes(sh, numHashes), numHashes)
 
   /** LSH band keys: md5 of each `rows`-wide slice of the signature. */
   def bandKeys(sig: Column, bands: Int, rows: Int): Column =
@@ -74,16 +92,29 @@ object TextOps {
       bands: Int = 4, threshold: Double = 0.8): DataFrame = {
     val rows = numHashes / bands
     require(bands * rows == numHashes, "numHashes must divide into bands")
+    // Shingle sets are reused three times (banding + both sides of the
+    // verify rejoin) and the md5 hash material is the dominant cost;
+    // persist both so they are computed exactly once.
     val sh = docs.select(col("doc_id").cast("long").as("doc_id"),
       shingles(col("text"), k).as("sh"))
+      .withColumn("hs", shingleHashes(col("sh"), numHashes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sh.select(col("doc_id"),
-        posexplode(bandKeys(minhashSignature(col("sh"), numHashes), bands, rows))
-          .as(Seq("band", "band_key")))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      posexplode(bandKeys(minhashFromHashes(col("hs"), numHashes), bands, rows))
+        .as(Seq("band", "band_key")))
+    // Candidate pairs per bucket via one aggregation (no self-join: a
+    // join would re-evaluate the whole signature subtree on both sides).
+    // Buckets are tiny (near-dup clusters), so in-bucket pair expansion
+    // is cheap; sorted ids give doc_a < doc_b directly.
+    val ids = array_sort(collect_list(col("doc_id")))
+    val pairs = flatten(transform(col("ids"), (a, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))),
+        b => struct(a.as("doc_a"), b.as("doc_b")))))
+    val cand = banded.groupBy(col("band"), col("band_key"))
+      .agg(ids.as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairs).as("pair"))
+      .select(col("pair.doc_a").as("doc_a"), col("pair.doc_b").as("doc_b"))
       .distinct()
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")

@@ -280,11 +280,17 @@ object QueryDefs {
           |      ELSE list_transform(range(1, len(tk) - 1),
           |             i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
           |  FROM toks),
+          |hm AS (
+          |  SELECT doc_id, sh,
+          |    list_transform(sh, s ->
+          |      md5('0|' || s) || md5('1|' || s) || md5('2|' || s)) AS hs
+          |  FROM sh),
           |sig AS (
           |  SELECT doc_id, sh,
           |    list_transform(range(0, 12), i ->
-          |      list_aggregate(list_transform(sh, s -> md5(i || '|' || s)), 'min')) AS mh
-          |  FROM sh),
+          |      list_aggregate(list_transform(hs,
+          |        h -> substr(h, CAST(i*8+1 AS INT), 8)), 'min')) AS mh
+          |  FROM hm),
           |banded AS (
           |  SELECT doc_id, sh, b.b AS band,
           |    md5(array_to_string(mh[b.b*3+1:b.b*3+3], '|')) AS band_key
