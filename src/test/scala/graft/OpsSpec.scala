@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.OmeOps
+import graft.schema.Fixtures
+
+/** Downscale / stride / percentile / dense-bridge / explode-nest specs. */
+class OpsSpec extends SparkSpec {
+
+  test("downscale2x computes exact floor block means (conftest 4x3 -> 2x1)") {
+    val out = OmeOps.downscale2x(Fixtures.conftestDf(spark))
+    val sizes = out.select(col("ome_arrow.pixels_meta.size_x"),
+      col("ome_arrow.pixels_meta.size_y"),
+      col("ome_arrow.pixels_meta.physical_size_x")).collect()(0)
+    assert(sizes.getInt(0) === 2 && sizes.getInt(1) === 1)
+    assert(math.abs(sizes.getFloat(2) - 1.3f) < 1e-6)
+    val px = out.select(element_at(col("ome_arrow.planes"), 1).getField("pixels"))
+      .collect()(0).getSeq[Int](0)
+    // blocks of [0,1,2,3;10,11,12,13]: (0+1+10+11)/4=5, (2+3+12+13)/4=7
+    assert(px === Seq(5, 7))
+  }
+
+  test("downscale2x keeps size-1 axes without nulls") {
+    val thin = Fixtures.syntheticImages(spark, 1, t = 1, c = 1, z = 1, sy = 4, sx = 1)
+    val px = OmeOps.downscale2x(thin)
+      .select(element_at(col("ome_arrow.planes"), 1).getField("pixels"))
+      .collect()(0).getSeq[Int](0)
+    assert(px === Seq(0, 2)) // means of (0,1) and (2,3)
+    assert(!px.contains(null))
+  }
+
+  test("strideDownsample keeps every k-th pixel/plane with ceil sizes") {
+    val s = Fixtures.syntheticImages(spark, 1, t = 1, c = 1, z = 3, sy = 5, sx = 5)
+    val out = OmeOps.strideDownsample(s, 2)
+    val m = out.select(col("ome_arrow.pixels_meta.size_x"),
+      col("ome_arrow.pixels_meta.size_y"), col("ome_arrow.pixels_meta.size_z"),
+      size(col("ome_arrow.planes"))).collect()(0)
+    assert((m.getInt(0), m.getInt(1), m.getInt(2)) === ((3, 3, 2)))
+    assert(m.getInt(3) === 2) // z=0 and z=2 survive
+  }
+
+  test("percentileContrast matches a hand-computed linear interpolation") {
+    val out = OmeOps.percentileContrast(Fixtures.conftestDf(spark), c = 1)
+      .collect()(0)
+    // sorted pixels 100..103,110..113,120..123; rank p1 = 11*0.01 = 0.11
+    assert(math.abs(out.getAs[Double]("clim_low") - 100.11) < 1e-9)
+    assert(math.abs(out.getAs[Double]("clim_high") - 122.989) < 1e-9)
+  }
+
+  test("toDense zero-fills holes and preserves totals") {
+    val syn = Fixtures.syntheticImages(spark, 1)
+    val holed = OmeOps.filterPlanes(syn,
+      p => !(p.getField("t") === 1 && p.getField("c") === 1 && p.getField("z") === 1))
+    def stats(df: org.apache.spark.sql.DataFrame) =
+      OmeOps.toDense(df).select(size(col("dense")),
+        aggregate(col("dense"), lit(0L), (a, b) => a + b)).collect()(0)
+    val full = stats(syn); val hole = stats(holed)
+    assert(full.getInt(0) === 8 * 1024 && hole.getInt(0) === 8 * 1024)
+    assert(hole.getLong(1) < full.getLong(1))
+  }
+
+  test("explode -> nest round-trips the full record") {
+    val orig = Fixtures.mixedCorpus(spark)
+    val rt = OmeOps.nestPlanes(OmeOps.explodePlanes(orig))
+    val a = orig.select(to_json(col("ome_arrow")).as("j"))
+    val b = rt.select(to_json(col("ome_arrow")).as("j"))
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+  }
+
+  test("planeLookup returns first match and errors on absent plane") {
+    val fx = Fixtures.conftestDf(spark)
+    val px = OmeOps.planeLookup(fx, 0, 1, 0)
+      .select(col("pixels")).collect()(0).getSeq[Int](0)
+    assert(px.head === 100)
+    val ex = intercept[Exception] {
+      OmeOps.planeLookup(fx, 3, 0, 0).collect()
+    }
+    assert(ex.getMessage.contains("No plane found"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{TextOps, VectorOps}
+
+/** LLM-pipeline operator specs over crafted micro-corpora. */
+class TextVectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "en", "s0", 43L),
+    (1L, "the quick brown fox jumps over the lazy cat", "en", "s0", 43L),
+    (2L, "completely different text about spark engines here", "en", "s1", 50L),
+    (3L, "the quick brown fox jumps over the lazy dog", "en", "s1", 43L), // exact dup of 0
+    (4L, "   ", "en", "s1", 3L) // whitespace-only
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("tokens drops empties; whitespace-only text has zero tokens") {
+    val n = docs.select(size(TextOps.tokens(col("text"))).as("n"))
+      .orderBy(col("n")).collect().map(_.getInt(0))
+    assert(n.head === 0)
+    assert(n.last === 9)
+  }
+
+  test("shingles fall back to whole text when fewer than k tokens") {
+    val sh = Seq(("ab cd")).toDF("text")
+      .select(TextOps.shingles(col("text"), 3)).collect()(0).getSeq[String](0)
+    assert(sh === Seq("ab cd"))
+  }
+
+  test("dedupExact groups identical texts") {
+    val out = TextOps.dedupExact(docs).orderBy(col("keeper_doc_id")).collect()
+    assert(out.length === 4) // 5 docs, one exact dup
+    val dupRow = out.find(_.getAs[Long]("n_copies") === 2L).get
+    assert(dupRow.getAs[Long]("keeper_doc_id") === 0L)
+  }
+
+  test("nearDupPairs finds the planted near-dup and the exact dup") {
+    val pairs = TextOps.nearDupPairs(docs, threshold = 0.5)
+      .orderBy(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((0L, 1L), (0L, 3L), (1L, 3L)))
+    assert(pairs.find(p => (p._1, p._2) == (0L, 3L)).get._3 === 1.0)
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    val fps = Seq((0L, "A  B\tC"), (1L, "a b c"), (2L, "a b d"))
+      .toDF("doc_id", "text")
+    val out = TextOps.fingerprint(fps).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) === out(1L))
+    assert(out(0L) !== out(2L))
+  }
+
+  test("cosineTopK ranks an identical vector first with score 1") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 1),
+      (3L, Array(0.70710677f, 0.70710677f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val rows = VectorOps.cosineTopK(emb, nProbes = 1, k = 3).collect()
+      .map(r => (r.getAs[Int]("rnk"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("score")))
+    assert(rows.length === 3)
+    assert(rows.find(_._1 == 1).get._2 === 1L)
+    assert(rows.find(_._1 == 1).get._3 === 1.0)
+    assert(rows.find(_._1 == 3).get._2 === 2L) // orthogonal last
+  }
+
+  test("lshBucket puts identical vectors in the same bucket") {
+    val emb = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f), 0),
+      (1L, Array(1.0f, 2.0f, 3.0f), 0),
+      (2L, Array(-1.0f, -2.0f, -3.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val b = emb.select(VectorOps.lshBucket(col("embedding"), 6).as("b"))
+      .collect().map(_.getLong(0))
+    assert(b(0) === b(1))
+    assert(b(0) !== b(2))
+  }
+}
