@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.OmeOps
+import graft.schema.OmeSchema
+import graft.sources.OmeParquet
+
+/**
+ * User-facing façade mirroring the reference's polymorphic `OMEArrow`
+ * class API (reference: core.py:46-135 read dispatch, core.py:137-267
+ * export dispatch, core.py:269-492 sugar) — DataFrame-first: every entry
+ * point returns/accepts a DataFrame with a canonical `ome_arrow` column,
+ * so all rows stay queryable instead of one record at a time.
+ */
+object OmeArrow {
+
+  /** Polymorphic read (core.py:46-135 sniffing order): bracket/star
+    * pattern -> stack assembly; .zarr -> (deferred); .parquet/.pq ->
+    * OME-Parquet; .tif/.tiff -> TIFF. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val lower = path.toLowerCase.stripSuffix("/")
+    if (path.exists(c => c == '<' || c == '>' || c == '*'))
+      sources.OmeStack.readPattern(spark, path)
+    else if (lower.endsWith(".zarr") || lower.endsWith(".ome.zarr"))
+      throw new UnsupportedOperationException(
+        "OME-Zarr containers are not supported yet; convert to OME-Parquet or TIFF.")
+    else if (lower.endsWith(".parquet") || lower.endsWith(".pq"))
+      OmeParquet.read(spark, path)
+    else if (lower.endsWith(".tif") || lower.endsWith(".tiff"))
+      sources.OmeTiff.read(spark, path)
+    else
+      throw new IllegalArgumentException(
+        s"Cannot infer format of '$path': expected a filename pattern " +
+          "(<range>/*), .parquet/.pq, .tif(f), or .zarr path.")
+  }
+
+  /** Export dispatch with the reference's `how` alias normalization
+    * (core.py:219: lowercase, '_' -> '-'). */
+  def export(df: DataFrame, how: String, out: String = null,
+      columnName: String = OmeSchema.DefaultColumn): DataFrame = {
+    def requireOut(): String = {
+      require(out != null, s"Export how='$how' requires an output path.")
+      out
+    }
+    how.toLowerCase.replace("_", "-") match {
+      case "numpy" | "dense" =>
+        OmeOps.toDense(df)
+      case "ome-parquet" | "omeparquet" | "parquet" =>
+        OmeParquet.write(df, requireOut(), columnName = columnName)
+        df
+      case "ome-tiff" | "ometiff" | "tiff" =>
+        sources.OmeTiff.write(df, requireOut())
+        df
+      case "ome-zarr" | "omezarr" | "zarr" =>
+        throw new UnsupportedOperationException(
+          "OME-Zarr export is not supported yet; use ome-parquet or ome-tiff.")
+      case other =>
+        throw new IllegalArgumentException(s"Unknown export how='$other'.")
+    }
+  }
+
+  /** Sugar delegates (core.py:269-492). */
+  def info(df: DataFrame): DataFrame = OmeOps.describe(df)
+
+  def slice(df: DataFrame, xMin: Int, xMax: Int, yMin: Int, yMax: Int,
+      tIndices: Option[Seq[Int]] = None, cIndices: Option[Seq[Int]] = None,
+      zIndices: Option[Seq[Int]] = None, fillMissing: Boolean = true): DataFrame =
+    OmeOps.sliceOmeArrow(df, xMin, xMax, yMin, yMax,
+      tIndices, cIndices, zIndices, fillMissing)
+}

@@ -250,6 +250,76 @@ object QueryDefs {
            |  CAST(sum(v) AS BIGINT) AS px_total
            |FROM px GROUP BY prefix, typ, img, n_planes""".stripMargin)),
 
+    // ============ sources: parquet / TIFF / pattern (O3/O4/O6/O10) ============
+
+    ("ome_parquet_roundtrip", (s: SparkSession, _: String) => {
+      graft.sources.OmeParquet.write(Fixtures.mixedCorpus(s),
+        "/tmp/graft_q_parquet_rt", columnName = "image")
+      OmeOps.describe(graft.sources.OmeParquet.read(s, "/tmp/graft_q_parquet_rt"))
+    },
+      Some(
+        s"""WITH fams(prefix, st, sc, sz, sy, sx, typ) AS (VALUES
+           |  ('i2d',1,1,1,8,8,'2D image'),
+           |  ('i3d',1,2,3,8,8,'3D image (z-stack)'),
+           |  ('mov',3,1,1,8,8,'movie / timelapse'),
+           |  ('i4d',2,2,2,8,8,'4D timelapse-volume'))
+           |SELECT printf('%s-%04d', prefix, i.i) AS id,
+           |  CAST(st AS INT) AS size_t, CAST(sc AS INT) AS size_c,
+           |  CAST(sz AS INT) AS size_z, CAST(sy AS INT) AS size_y,
+           |  CAST(sx AS INT) AS size_x, typ AS type,
+           |  CAST(sc AS INT) AS channels, sc > 1 AS is_multichannel,
+           |  printf('%s, %s - shape (T=%d, C=%d, Z=%d, Y=%d, X=%d)', typ,
+           |    CASE WHEN sc > 1 THEN printf('multi-channel (%d channels)', sc)
+           |         ELSE 'single-channel' END,
+           |    st, sc, sz, sy, sx) AS summary
+           |FROM fams, generate_series(0,3) i(i)""".stripMargin)),
+
+    ("ome_tiff_roundtrip", (s: SparkSession, _: String) => {
+      graft.sources.OmeTiff.write(Fixtures.corpus4d(s), "/tmp/graft_q_tiff_rt")
+      planeStatsRows(graft.sources.OmeTiff.read(s, "/tmp/graft_q_tiff_rt"))
+        .withColumnRenamed("image_id", "id")
+    },
+      Some(
+        s"""WITH $px4d
+           |SELECT $id4d AS id, CAST(t AS INT) AS t, CAST(c AS INT) AS c,
+           |  CAST(z AS INT) AS z, $planeStatsSelect
+           |FROM px GROUP BY img, t, c, z""".stripMargin)),
+
+    ("ome_tiff_golden", (s: SparkSession, _: String) =>
+      OmeOps.describe(graft.sources.OmeTiff.read(s,
+        "/root/reference/tests/data/ome-artificial-5d-datasets"))
+        .select(col("id"), col("size_t"), col("size_c"), col("size_z"),
+          col("type"), col("channels"), col("is_multichannel"), col("summary")),
+      Some(
+        """WITH g(id, st, sc, sz, typ) AS (VALUES
+          |  ('4D-series', 7, 1, 5, '4D timelapse-volume'),
+          |  ('multi-channel-time-series', 7, 3, 1, 'movie / timelapse'),
+          |  ('multi-channel-z-series', 1, 3, 5, '3D image (z-stack)'),
+          |  ('multi-channel', 1, 3, 1, '2D image'),
+          |  ('single-channel', 1, 1, 1, '2D image'),
+          |  ('time-series', 7, 1, 1, 'movie / timelapse'),
+          |  ('z-series', 1, 1, 5, '3D image (z-stack)'))
+          |SELECT id, CAST(st AS INT) AS size_t, CAST(sc AS INT) AS size_c,
+          |  CAST(sz AS INT) AS size_z, typ AS type, CAST(sc AS INT) AS channels,
+          |  sc > 1 AS is_multichannel,
+          |  printf('%s, %s - shape (T=%d, C=%d, Z=%d, Y=167, X=439)', typ,
+          |    CASE WHEN sc > 1 THEN printf('multi-channel (%d channels)', sc)
+          |         ELSE 'single-channel' END, st, sc, sz) AS summary
+          |FROM g""".stripMargin)),
+
+    ("ome_stack_nviz", (s: SparkSession, _: String) =>
+      OmeOps.describe(graft.sources.OmeStack.readPattern(s,
+        "/root/reference/tests/data/nviz-artificial-4d-dataset/E99_C<111,222>_ZS<000-021>.tif"))
+        .select(col("size_t"), col("size_c"), col("size_z"), col("size_y"),
+          col("size_x"), col("type"), col("channels"), col("is_multichannel"),
+          col("summary")),
+      Some(
+        """SELECT CAST(1 AS INT) AS size_t, CAST(2 AS INT) AS size_c,
+          |  CAST(22 AS INT) AS size_z, CAST(128 AS INT) AS size_y,
+          |  CAST(128 AS INT) AS size_x, '3D image (z-stack)' AS type,
+          |  CAST(2 AS INT) AS channels, TRUE AS is_multichannel,
+          |  '3D image (z-stack), multi-channel (2 channels) - shape (T=1, C=2, Z=22, Y=128, X=128)' AS summary""".stripMargin)),
+
     // ============ LLM-pipeline: documents ============
 
     ("dedup_exact", (s: SparkSession, dir: String) =>

@@ -1,0 +1,133 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.OmeOps
+import graft.schema.OmeSchema
+
+/**
+ * OME-Parquet source/sink (reference: ingest.py:814-932 `from_ome_parquet`,
+ * export.py:377-422 `to_ome_parquet`).
+ *
+ * Differences from the reference, by design (SURVEY.md §7.4):
+ *  - every row stays queryable — there is no `row_index` single-record
+ *    pick; use `.limit`/`.filter` on the returned DataFrame;
+ *  - the reserved always-null `masks` field is dropped on read and not
+ *    written (Spark cannot write Parquet NullType); the reference's
+ *    lenient field-set matcher ignores it, so interop holds both ways;
+ *  - file-level KV metadata (`ome.arrow.type`/`version` tags,
+ *    export.py:405-414) has no Spark writer hook, so tags travel in a
+ *    `_ome_arrow_meta.json` sidecar inside the output directory
+ *    (underscore-prefixed -> invisible to Parquet scans). The reference
+ *    treats missing tags as a soft warning (ingest.py:923-930).
+ */
+object OmeParquet {
+
+  val SidecarName = "_ome_arrow_meta.json"
+
+  /**
+   * Read an OME-Parquet file/directory and normalize to a single
+   * `ome_arrow` column of the canonical Spark schema.
+   *
+   * Column resolution mirrors ingest.py:872-912: an explicit `column` must
+   * exist and match; otherwise the first struct column whose field-name
+   * set equals the canonical record's (ignoring `masks`) is auto-detected.
+   * `strict` additionally requires exact canonical types.
+   */
+  def read(spark: SparkSession, path: String,
+      column: Option[String] = None, strict: Boolean = false): DataFrame = {
+    val raw = spark.read.parquet(path)
+    val colName = column match {
+      case Some(c) =>
+        require(raw.schema.fieldNames.contains(c),
+          s"Column '$c' not found in $path (have: ${raw.schema.fieldNames.mkString(", ")})")
+        require(OmeOps.verifySchema(raw, c, strict),
+          s"Column '$c' in $path is not an OME-Arrow struct (strict=$strict)")
+        c
+      case None =>
+        val found = OmeOps.detectOmeColumns(raw, strict)
+        require(found.nonEmpty,
+          s"No OME-Arrow struct column detected in $path " +
+            s"(columns: ${raw.schema.fieldNames.mkString(", ")})")
+        found.head
+    }
+    val rec = col(colName)
+    val hasMasks = raw.schema(colName).dataType match {
+      case s: org.apache.spark.sql.types.StructType => s.fieldNames.contains("masks")
+      case _ => false
+    }
+    val noMasks = if (hasMasks) rec.dropFields("masks") else rec
+    // Cast normalizes reader widenings (uint16 pixels already int32,
+    // timestamp_ntz -> session-UTC timestamp, etc.) to the canonical type.
+    raw.select(noMasks.cast(OmeSchema.omeArrowType).as(OmeSchema.DefaultColumn))
+  }
+
+  /**
+   * Write the `ome_arrow` column as OME-Parquet: zstd, chosen column name
+   * (reference raw-writer default is "image", class API uses "ome_arrow"),
+   * plus the metadata sidecar.
+   */
+  def write(df: DataFrame, path: String,
+      columnName: String = OmeSchema.DefaultColumn,
+      sourceColumn: String = OmeSchema.DefaultColumn,
+      fileMetadata: Map[String, String] = Map.empty,
+      compression: String = "zstd"): Unit = {
+    df.select(col(sourceColumn).as(columnName))
+      .write.mode("overwrite")
+      .option("compression", compression)
+      .parquet(path)
+    val tags = Map(
+      "ome.arrow.type" -> OmeSchema.TagType,
+      "ome.arrow.version" -> OmeSchema.Version) ++ fileMetadata
+    writeSidecar(df.sparkSession, path, tags)
+  }
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  private def writeSidecar(spark: SparkSession, dir: String,
+      tags: Map[String, String]): Unit = {
+    val json = tags.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${jsonEscape(k)}": "${jsonEscape(v)}"""" }
+      .mkString("{", ", ", "}")
+    val p = new Path(dir, SidecarName)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Read the sidecar tags back (empty when absent — soft, like the
+    * reference's warning-only tag check). */
+  def readMetadata(spark: SparkSession, dir: String): Map[String, String] = {
+    val p = new Path(dir, SidecarName)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val bytes = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](8192)
+        var n = in.read(tmp)
+        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        buf.toByteArray
+      } finally in.close()
+      // minimal flat {"k":"v"} parse — the sidecar is engine-written
+      val s = new String(bytes, "UTF-8")
+      """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+        .findAllMatchIn(s)
+        .map(m => unescape(m.group(1)) -> unescape(m.group(2))).toMap
+    }
+  }
+
+  private def unescape(s: String): String =
+    """\\u([0-9a-fA-F]{4})|\\(.)""".r.replaceAllIn(s, m =>
+      if (m.group(1) != null) Integer.parseInt(m.group(1), 16).toChar.toString
+      else java.util.regex.Matcher.quoteReplacement(m.group(2)))
+}

@@ -1,0 +1,155 @@
+package graft.sources
+
+import java.sql.Timestamp
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.schema._
+
+/**
+ * TIFF / OME-TIFF source and sink (reference: ingest.py:293-400 `from_tiff`,
+ * export.py:116-228 `to_ome_tiff`), built on `binaryFile` + the
+ * self-contained `TiffCodec` — the decode loop the reference runs on one
+ * process becomes a per-file executor task, so a directory of thousands of
+ * TIFFs ingests in parallel with no driver involvement beyond listing.
+ *
+ * Shape resolution: OME-XML (ImageDescription) sizes + DimensionOrder when
+ * present; otherwise a multi-page file is treated as a Z-stack (1,1,N) and
+ * a single page as 2-D. (The reference delegates this guess to BioIO's
+ * reader heuristics; Z-stack is the convention its pattern-ingest in-file
+ * expansion assumes, ingest.py:629-645.)
+ *
+ * acquisition_datetime: the file's modificationTime (deterministic),
+ * where the reference stamps `datetime.now(utc)` (ingest.py:385).
+ */
+object OmeTiff {
+
+  private[sources] def channelsFor(n: Int, names: Seq[String]): Seq[OmeChannel] =
+    (0 until n).map { i =>
+      // reference channel defaults for file ingest (ingest.py:359-369)
+      OmeChannel(s"ch-$i",
+        if (i < names.length) names(i) else s"C$i",
+        Some(0.0f), Some(0.0f), Some("Unknown"), Some(0xFFFFFFFFL))
+    }
+
+  /** Decode one TIFF file into a canonical record. */
+  private[sources] def decodeRecord(path: String, modTime: Timestamp,
+      bytes: Array[Byte], channelNames: Seq[String] = Nil): OmeArrowRecord = {
+    val pages = TiffCodec.decode(bytes)
+    val fileName = path.substring(path.lastIndexOf('/') + 1)
+    val stem = fileName.replaceAll("(?i)\\.ome\\.tiff?$|\\.tiff?$", "")
+    val xml = pages.head.description.filter(OmeXml.looksLikeOme).flatMap(OmeXml.parse)
+
+    val (st, sc, sz, order) = xml match {
+      case Some(m) => (m.sizeT max 1, m.sizeC max 1, m.sizeZ max 1, m.dimensionOrder)
+      case None => if (pages.length > 1) (1, 1, pages.length, "XYZCT")
+                   else (1, 1, 1, "XYCT")
+    }
+    require(st * sc * sz == pages.length,
+      s"$fileName: ${pages.length} pages != T*C*Z = ${st * sc * sz}")
+    val sy = pages.head.height
+    val sx = pages.head.width
+    require(pages.forall(p => p.height == sy && p.width == sx),
+      s"$fileName: pages have inconsistent shapes")
+
+    // t-major, c, z plane emission order (ingest.py:370-378)
+    val byCoord = pages.zipWithIndex.map { case (p, i) =>
+      OmeXml.pageCoords(order, sz, sc, st, i) -> p
+    }.toMap
+    val planes = for {
+      t <- 0 until st; c <- 0 until sc; z <- 0 until sz
+    } yield OmePlane(z, t, c.toShort,
+      byCoord((t, c, z)).pixels.toSeq.map(v => math.min(math.max(v, 0), 65535)))
+
+    val names = if (channelNames.nonEmpty) channelNames
+      else xml.map(_.channelNames).getOrElse(Nil)
+    OmeArrowRecord(
+      `type` = OmeSchema.TagType,
+      version = OmeSchema.Version,
+      id = stem,
+      name = fileName,
+      acquisition_datetime = modTime,
+      pixels_meta = OmePixelsMeta(
+        dimension_order = if (sz == 1) "XYCT" else "XYZCT",
+        `type` = "uint16",
+        size_x = sx, size_y = sy, size_z = sz,
+        size_c = sc.toShort, size_t = st,
+        physical_size_x = Some(xml.flatMap(_.physicalSizeX).getOrElse(1.0f)),
+        physical_size_y = Some(xml.flatMap(_.physicalSizeY).getOrElse(1.0f)),
+        physical_size_z = Some(xml.flatMap(_.physicalSizeZ).getOrElse(1.0f)),
+        physical_size_x_unit = Some("µm"),
+        physical_size_y_unit = Some("µm"),
+        physical_size_z_unit = Some("µm"),
+        channels = channelsFor(sc, names)),
+      planes = planes)
+  }
+
+  /** Read TIFF file(s) (path may be a glob) into one record per file. */
+  def read(spark: SparkSession, path: String,
+      channelNames: Seq[String] = Nil): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.{tif,tiff,TIF,TIFF}")
+      .load(path)
+      .select(col("path"), col("modificationTime"), col("content"))
+      .as[(String, Timestamp, Array[Byte])]
+    val names = channelNames
+    val records: Dataset[OmeArrowRecord] =
+      bin.map { case (p, ts, bytes) => decodeRecord(p, ts, bytes, names) }
+    records.toDF()
+      .select(struct(col("type"), col("version"), col("id"), col("name"),
+        col("acquisition_datetime"), col("pixels_meta"), col("planes"))
+        .as(OmeSchema.DefaultColumn))
+  }
+
+  /**
+   * Write each record as an OME-TIFF (16-bit gray, deflate strips, OME-XML
+   * on page 1). `out` ending in .tif/.tiff writes exactly that file (the
+   * reference's single-record contract); otherwise `out` is a directory
+   * receiving `<id>.ome.tiff` per row, written from executor tasks.
+   */
+  def write(df: DataFrame, out: String,
+      column: String = OmeSchema.DefaultColumn): Unit = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    val recs = df.select(col(s"$column.*")).as[OmeArrowRecord]
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      sp.sessionState.newHadoopConf())
+    val singleFile = out.toLowerCase.endsWith(".tif") || out.toLowerCase.endsWith(".tiff")
+    if (singleFile) {
+      val all = recs.collect()
+      require(all.length == 1,
+        s"Writing to a single file '$out' requires exactly 1 record, got ${all.length}")
+      writeOne(all(0), new Path(out), hadoopConf.value)
+    } else {
+      recs.foreachPartition { it: Iterator[OmeArrowRecord] =>
+        it.foreach { r =>
+          writeOne(r, new Path(out, s"${r.id}.ome.tiff"), hadoopConf.value)
+        }
+      }
+    }
+  }
+
+  private def writeOne(r: OmeArrowRecord, dest: Path,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val pm = r.pixels_meta
+    val byCoord = r.planes.map(p => (p.t, p.c.toInt, p.z) -> p.pixels).toMap
+    val zeros = Array.fill(pm.size_x * pm.size_y)(0)
+    val pages = for {
+      t <- 0 until pm.size_t; c <- 0 until pm.size_c.toInt; z <- 0 until pm.size_z
+    } yield (pm.size_x, pm.size_y,
+      byCoord.get((t, c, z)).map(_.toArray).getOrElse(zeros))
+    // pages emitted z-fastest, then c, then t == DimensionOrder "XYZCT"
+    val xml = OmeXml.generate(r.name, pm.size_x, pm.size_y, pm.size_z,
+      pm.size_c.toInt, pm.size_t, "XYZCT",
+      pm.physical_size_x, pm.physical_size_y, pm.physical_size_z,
+      r.pixels_meta.channels.map(_.name))
+    val bytes = TiffCodec.encode(pages, Some(xml))
+    val fs = dest.getFileSystem(conf)
+    val os = fs.create(dest, true)
+    try os.write(bytes) finally os.close()
+  }
+}

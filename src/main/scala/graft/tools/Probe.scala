@@ -1,49 +1,42 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
+import graft.sources.{OmeParquet, OmeStack, OmeTiff}
 
-/** Throwaway environment probe for cross-engine parity risks. */
+/** Error-path probes for the source layer. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
 
-    println("=== events ns timestamp read ===")
-    try {
-      val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
-      ev.printSchema()
-      ev.select(col("event_id"), col("ts")).orderBy("event_id").show(3, false)
-    } catch { case e: Throwable => println("EVENTS READ FAILED: " + e.getMessage.take(300)) }
+    println("--- probe: non-TIFF bytes ---")
+    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/fake.tiff"),
+      "not a tiff at all".getBytes)
+    try OmeTiff.read(spark, "/tmp/fake.tiff").collect()
+    catch { case e: Throwable => println("error: " + rootMsg(e)) }
 
-    println("=== regexp/token functions ===")
-    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
-    docs.select(
-      col("doc_id"),
-      size(filter(split(trim(col("text")), "\\s+"), x => x =!= "")).as("n_tokens"),
-      regexp_count(col("text"), lit("\\bthe\\b")).as("n_the"),
-      sha2(col("text"), 256).as("sha"),
-      md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"))
-      .orderBy("doc_id").show(3, false)
+    println("--- probe: pattern matching zero files ---")
+    try OmeStack.readPattern(spark, "/tmp/nope_<0-3>.tif")
+    catch { case e: Throwable => println("error: " + rootMsg(e)) }
 
-    println("=== double fold determinism sample (dot of first two embeddings) ===")
-    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
-    val two = emb.filter(col("vec_id") < 2).orderBy("vec_id")
-      .agg(collect_list(col("embedding")).as("es"))
-      .select(
-        aggregate(zip_with(element_at(col("es"), 1), element_at(col("es"), 2),
-          (a, b) => a.cast("double") * b.cast("double")), lit(0.0d), (acc, v) => acc + v).as("dot"),
-        aggregate(transform(element_at(col("es"), 1), a => a.cast("double") * a.cast("double")),
-          lit(0.0d), (acc, v) => acc + v).as("n1sq"))
-    two.show(false)
-    val r = two.collect()(0)
-    println(f"dot=${r.getDouble(0)}%.17g n1sq=${r.getDouble(1)}%.17g")
+    println("--- probe: strict read of non-OME parquet ---")
+    try OmeParquet.read(spark, "/root/testdata/sf0.001/documents.parquet")
+    catch { case e: Throwable => println("error: " + rootMsg(e)) }
+
+    println("--- probe: truncated TIFF (half the bytes) ---")
+    val good = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "/root/reference/tests/data/nviz-artificial-4d-dataset/E99_C111_ZS000.tif"))
+    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/trunc.tiff"),
+      java.util.Arrays.copyOf(good, good.length / 2))
+    try OmeTiff.read(spark, "/tmp/trunc.tiff").collect()
+    catch { case e: Throwable => println("error: " + rootMsg(e)) }
 
     spark.stop()
+  }
+  private def rootMsg(e: Throwable): String = {
+    var c = e; while (c.getCause != null && c.getCause != c) c = c.getCause
+    c.getMessage.replaceAll("\n.*", "").take(160)
   }
 }

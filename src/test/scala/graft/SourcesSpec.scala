@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.OmeOps
+import graft.schema.Fixtures
+import graft.sources.{OmeParquet, OmeStack, OmeTiff, OmeXml, TiffCodec}
+
+/** Source/sink layer: parquet interop, TIFF codec, pattern grammar. */
+class SourcesSpec extends SparkSpec {
+
+  private val fixturePath = "/root/repo/src/test/resources/reference_conftest.parquet"
+
+  test("O6: reference-written parquet loads, normalizes and matches strictly") {
+    val df = OmeParquet.read(spark, fixturePath)
+    assert(OmeOps.verifySchema(df, strict = true))
+    val row = OmeOps.describe(df).collect()(0)
+    assert(row.getAs[String]("summary") ===
+      "2D image, multi-channel (2 channels) - shape (T=1, C=2, Z=1, Y=3, X=4)")
+    val px = df.select(element_at(col("ome_arrow.planes"), 2).getField("pixels"))
+      .collect()(0).getSeq[Int](0)
+    assert(px === (100 to 103) ++ (110 to 113) ++ (120 to 123))
+  }
+
+  test("O6: explicit missing column errors clearly") {
+    val ex = intercept[IllegalArgumentException] {
+      OmeParquet.read(spark, fixturePath, column = Some("nope"))
+    }
+    assert(ex.getMessage.contains("not found"))
+  }
+
+  test("O10+O6: write/read round-trip under a foreign column name + sidecar") {
+    val dir = "/tmp/graft_test_rt"
+    OmeParquet.write(Fixtures.mixedCorpus(spark), dir, columnName = "image",
+      fileMetadata = Map("k" -> "v"))
+    val back = OmeParquet.read(spark, dir)
+    assert(OmeOps.describe(back).exceptAll(
+      OmeOps.describe(Fixtures.mixedCorpus(spark))).count() === 0)
+    val meta = OmeParquet.readMetadata(spark, dir)
+    assert(meta("ome.arrow.type") === "ome.arrow")
+    assert(meta("k") === "v")
+  }
+
+  test("TiffCodec: encode -> decode round-trips pixels exactly") {
+    val px = Array.tabulate(12)(i => i * 1000 % 65536)
+    val bytes = TiffCodec.encode(Seq((4, 3, px)), Some("hello"))
+    val pages = TiffCodec.decode(bytes)
+    assert(pages.length === 1)
+    assert(pages.head.width === 4 && pages.head.height === 3)
+    assert(pages.head.pixels.toSeq === px.toSeq)
+    assert(pages.head.description === Some("hello"))
+  }
+
+  test("TiffCodec: multi-page chain decodes in order") {
+    val pages = (0 until 5).map(i => (2, 2, Array(i, i, i, i)))
+    val decoded = TiffCodec.decode(TiffCodec.encode(pages))
+    assert(decoded.map(_.pixels(0)) === (0 until 5))
+  }
+
+  test("O3: reference OME-TIFF golden shapes") {
+    val df = OmeTiff.read(spark,
+      "/root/reference/tests/data/ome-artificial-5d-datasets/4D-series.ome.tiff")
+    assert(OmeOps.describe(df).collect()(0).getAs[String]("summary") ===
+      "4D timelapse-volume, single-channel - shape (T=7, C=1, Z=5, Y=167, X=439)")
+  }
+
+  test("O8: TIFF export -> ingest preserves pixels") {
+    val one = Fixtures.corpus4d(spark).filter(col("ome_arrow.id") === "i4d-0002")
+    OmeTiff.write(one, "/tmp/graft_test_one.ome.tiff")
+    val back = OmeTiff.read(spark, "/tmp/graft_test_one.ome.tiff")
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      OmeOps.explodePlanes(df).select(col("t"), col("c"), col("z"),
+        aggregate(col("pixels"), lit(0L), (a, v) => a + v))
+        .orderBy(col("t"), col("c"), col("z")).collect().toSeq
+    assert(sums(one) === sums(back))
+  }
+
+  test("O4: pattern grammar expansion") {
+    val (nums, isNum) = OmeStack.expandRawToken("000-021")
+    assert(nums.length === 22 && nums.head === "000" && nums.last === "021" && isNum)
+    val (stepped, _) = OmeStack.expandRawToken("0-10:5")
+    assert(stepped === Seq("00", "05", "10"))
+    val (alts, isNum2) = OmeStack.expandRawToken("red,green")
+    assert(alts === Seq("red", "green") && !isNum2)
+    assert(OmeStack.detectDim("E99_C") === Some('C'))
+    assert(OmeStack.detectDim("img_zs") === Some('Z'))
+    assert(OmeStack.detectDim("E99_") === None)
+  }
+
+  test("O4: nviz corpus assembles to the golden 2ch x 22z shape") {
+    val df = OmeStack.readPattern(spark,
+      "/root/reference/tests/data/nviz-artificial-4d-dataset/E99_C<111,222>_ZS<000-021>.tif")
+    val row = OmeOps.describe(df).collect()(0)
+    assert(row.getAs[String]("summary") ===
+      "3D image (z-stack), multi-channel (2 channels) - shape (T=1, C=2, Z=22, Y=128, X=128)")
+    assert(df.select(size(col("ome_arrow.planes"))).collect()(0).getInt(0) === 44)
+  }
+
+  test("OmeXml: page coordinate mapping follows DimensionOrder") {
+    // XYZCT: Z fastest. sizes Z=2,C=3,T=2; page 7 -> z=1, c=0, t=1
+    assert(OmeXml.pageCoords("XYZCT", 2, 3, 2, 7) === ((1, 0, 1)))
+    // XYCZT: C fastest. page 7 -> c=1, z=0, t=1
+    assert(OmeXml.pageCoords("XYCZT", 2, 3, 2, 7) === ((1, 1, 0)))
+  }
+}
