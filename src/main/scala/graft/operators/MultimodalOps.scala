@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.schema.{OmeArrowRecord, OmeSchema}
+import graft.sources.TiffCodec
+
+/**
+ * Multimodal-column operators: media (image/audio/video) as opaque
+ * `binary` columns beside typed metadata — the training-data-pipeline
+ * pattern where raw bytes, extracted features and text live in one table.
+ *
+ * The IMAGE path is fully real: binary cells hold actual TIFF bytes
+ * (encoded/decoded by `TiffCodec` inside executor tasks), so decode /
+ * feature-extract / downscale / frame-sample operate on genuine content.
+ * The AUDIO path's decoder is a clearly-marked deterministic STUB (this
+ * environment has no audio codec); the Spark-side plumbing — schema,
+ * batching, partition behavior — is identical to the real thing.
+ *
+ * Scale notes: one media item = one row; decode is a per-row narrow map
+ * (no shuffle), so a 100 TB media table processes embarrassingly
+ * parallel; feature tables join back by media_id (broadcast when small).
+ */
+object MultimodalOps {
+
+  final case class MediaRow(media_id: String, kind: String,
+      content: Array[Byte], width: Int, height: Int, n_frames: Int)
+
+  final case class MediaFeatures(media_id: String, n_frames: Int,
+      width: Int, height: Int, n_px: Long, px_sum: Long,
+      px_min: Int, px_max: Int)
+
+  /** Pack each OME-Arrow record into a binary media cell (real TIFF
+    * bytes): the canonical record becomes one opaque blob + metadata. */
+  def mediaFromOme(df: DataFrame,
+      column: String = OmeSchema.DefaultColumn): Dataset[MediaRow] = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    df.select(col(s"$column.*")).as[OmeArrowRecord].map { r =>
+      val pm = r.pixels_meta
+      val byCoord = r.planes.map(p => (p.t, p.c.toInt, p.z) -> p.pixels).toMap
+      val zeros = Array.fill(pm.size_x * pm.size_y)(0)
+      val pages = for {
+        t <- 0 until pm.size_t; c <- 0 until pm.size_c.toInt; z <- 0 until pm.size_z
+      } yield (pm.size_x, pm.size_y,
+        byCoord.get((t, c, z)).map(_.toArray).getOrElse(zeros))
+      MediaRow(r.id, "image/tiff", TiffCodec.encode(pages),
+        pm.size_x, pm.size_y, pages.length)
+    }
+  }
+
+  /** Decode binary image cells and extract per-item pixel features —
+    * the feature-extraction stage of a media pipeline, one narrow pass. */
+  def imageFeatures(media: Dataset[MediaRow]): DataFrame = {
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.map { m =>
+      require(m.kind == "image/tiff", s"not an image: ${m.kind}")
+      val pages = TiffCodec.decode(m.content)
+      val all = pages.iterator.flatMap(_.pixels.iterator)
+      var n = 0L; var s = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+      all.foreach { v => n += 1; s += v; if (v < mn) mn = v; if (v > mx) mx = v }
+      MediaFeatures(m.media_id, pages.length,
+        pages.head.width, pages.head.height, n, s, mn, mx)
+    }.toDF()
+  }
+
+  /** Keep every k-th frame (video/time-series sampling): decode, select
+    * pages, re-encode — content stays an opaque binary column. */
+  def frameSample(media: Dataset[MediaRow], everyK: Int): Dataset[MediaRow] = {
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.map { m =>
+      val pages = TiffCodec.decode(m.content)
+      val kept = pages.zipWithIndex.collect {
+        case (p, i) if i % everyK == 0 => (p.width, p.height, p.pixels)
+      }
+      m.copy(content = TiffCodec.encode(kept), n_frames = kept.length)
+    }
+  }
+
+  /** 2x box-downscale every frame (thumbnail path). */
+  def thumbnail2x(media: Dataset[MediaRow]): Dataset[MediaRow] = {
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.map { m =>
+      val pages = TiffCodec.decode(m.content).map { p =>
+        val nw = math.max(p.width / 2, 1); val nh = math.max(p.height / 2, 1)
+        val out = new Array[Int](nw * nh)
+        for (y <- 0 until nh; x <- 0 until nw) {
+          val b = (y * 2) * p.width + x * 2
+          val dx = if (p.width >= 2) 1 else 0
+          val dy = if (p.height >= 2) p.width else 0
+          out(y * nw + x) =
+            (p.pixels(b) + p.pixels(b + dx) + p.pixels(b + dy) + p.pixels(b + dy + dx)) / 4
+        }
+        (nw, nh, out)
+      }
+      m.copy(content = TiffCodec.encode(pages),
+        width = math.max(m.width / 2, 1), height = math.max(m.height / 2, 1))
+    }
+  }
+
+  final case class AudioFeatures(media_id: String, n_samples: Long,
+      rms_q: Long, zero_crossings: Long)
+
+  /**
+   * Audio feature extraction — DECODE IS A DETERMINISTIC STUB: this
+   * container has no audio codec, so "decoding" maps the byte stream to
+   * a fake PCM signal (byte i -> sample (b(i) - 128)). The pipeline
+   * shape (binary in, per-item features out, narrow map) is the real
+   * thing; swap `fakePcm` for a real decoder when one is on the
+   * classpath.
+   */
+  def audioFeatures(media: Dataset[MediaRow]): DataFrame = {
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.map { m =>
+      val pcm = fakePcm(m.content) // STUB decode (see scaladoc)
+      var zc = 0L; var sq = 0L
+      var i = 0
+      while (i < pcm.length) {
+        sq += pcm(i).toLong * pcm(i)
+        if (i > 0 && ((pcm(i - 1) < 0) != (pcm(i) < 0))) zc += 1
+        i += 1
+      }
+      AudioFeatures(m.media_id, pcm.length.toLong, sq, zc)
+    }.toDF()
+  }
+
+  private def fakePcm(bytes: Array[Byte]): Array[Int] =
+    bytes.map(b => (b & 0xff) - 128)
+}

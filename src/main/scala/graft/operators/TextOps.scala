@@ -165,6 +165,62 @@ object TextOps {
       .orderBy(col("n").desc, col("token").asc)
       .limit(kTop)
 
+  /**
+   * 64-bit SimHash over whitespace tokens: each token's md5 contributes
+   * +1/-1 votes per bit (first 16 hex chars = 64 bits); the signature bit
+   * is 1 where votes are positive. Near-dup docs differ in few bits.
+   * Bit extraction uses position-in-hex-alphabet arithmetic so external
+   * SQL oracles replicate it exactly.
+   */
+  def simhash64(text: Column): Column = {
+    val hashes = transform(tokens(text), t => md5(t))
+    // shift amounts must be static in the Column API -> table lookups
+    val nibbleMask = array(lit(8), lit(4), lit(2), lit(1))
+    val pow2 = array((0 until 64).map(k => lit(1L << k)): _*)
+    val votes = aggregate(hashes,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)), (v, j) => {
+        // md5 hex is lowercase: '0'..'9' -> 48..57, 'a'..'f' -> 97..102
+        val a = ascii(h.substr(j / 4 + 1, lit(1)))
+        val nibble = a - when(a >= 97, 87).otherwise(48)
+        val bit = floor(nibble / element_at(nibbleMask, (j % 4 + 1).cast("int")))
+          .cast("int") % 2
+        v + bit * 2 - 1
+      }))
+    aggregate(zip_with(votes, sequence(lit(0), lit(63)),
+      (v, j) => when(v > 0, element_at(pow2, (j + 1).cast("int"))).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /**
+   * SimHash near-dup pairs: candidates share at least one of four 16-bit
+   * signature chunks (standard simhash banding — never all-pairs), then
+   * exact Hamming distance filters to `maxHamming`.
+   */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val sigs = docs.select(col("doc_id").cast("long").as("doc_id"),
+      simhash64(col("text")).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(k =>
+        shiftright(col("sig"), k * 16).bitwiseAND(lit(65535L))): _*))
+        .as(Seq("band", "chunk")))
+    val ids = array_sort(collect_list(struct(col("doc_id"), col("sig"))))
+    val pairs = flatten(transform(col("members"), (a, i) =>
+      transform(slice(col("members"), i + 2, size(col("members"))),
+        b => struct(a.getField("doc_id").as("doc_a"),
+          b.getField("doc_id").as("doc_b"),
+          a.getField("sig").as("sig_a"), b.getField("sig").as("sig_b")))))
+    banded.groupBy(col("band"), col("chunk"))
+      .agg(ids.as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(pairs).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        bit_count(col("p.sig_a").bitwiseXOR(col("p.sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Per-document quality score: length/token/punctuation heuristics in
     * [0,1] (larger = more prose-like). All components deterministic
     * closed-form so external oracles can replicate. */

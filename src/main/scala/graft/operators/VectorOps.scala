@@ -72,6 +72,31 @@ object VectorOps {
     }.reduce(_ + _)
 
   /**
+   * Embedding-cosine near-duplicate pairs, bucketed: only same-bucket
+   * pairs are scored (hyperplane-sign LSH — approximate recall by
+   * design, never an all-pairs cross join). Pairs with
+   * cosine >= threshold, doc order a < b.
+   */
+  def embedNearDup(emb: DataFrame, threshold: Double,
+      numPlanes: Int = 6): DataFrame = {
+    val bucketed = emb.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding"), lshBucket(col("embedding"), numPlanes).as("bucket"))
+    val members = array_sort(collect_list(struct(col("vec_id"), col("embedding"))))
+    val pairs = flatten(transform(col("members"), (a, i) =>
+      transform(slice(col("members"), i + 2, size(col("members"))),
+        b => struct(a.getField("vec_id").as("vec_a"),
+          b.getField("vec_id").as("vec_b"),
+          cosine6(a.getField("embedding"), b.getField("embedding")).as("score")))))
+    bucketed.groupBy(col("bucket"))
+      .agg(members.as("members"))
+      .filter(size(col("members")) > 1)
+      .select(col("bucket"), explode(pairs).as("p"))
+      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
+        col("bucket"), col("p.score").as("score"))
+      .filter(col("score") >= threshold)
+  }
+
+  /**
    * Bucketed approximate top-k: score only same-bucket pairs. Probes with
    * no same-bucket neighbor produce no rows (approximate by design).
    */

@@ -445,6 +445,176 @@ object QueryDefs {
           |FROM documents
           |QUALIFY rnk <= 5""".stripMargin)),
 
+    // ============ constructors / dense bridge (O1/O2) ============
+
+    ("ome_constructor_default", (s: SparkSession, _: String) => {
+      val df = graft.operators.OmeConstructors.toOmeArrow(s)
+      OmeOps.describe(df).join(
+        df.select(col("ome_arrow.id").as("id"),
+          size(col("ome_arrow.planes")).as("n_planes"),
+          element_at(col("ome_arrow.pixels_meta.channels"), 1)
+            .getField("name").as("ch0_name")), "id")
+    },
+      Some(
+        """SELECT 'unnamed' AS id, CAST(1 AS INT) AS size_t,
+          |  CAST(1 AS INT) AS size_c, CAST(1 AS INT) AS size_z,
+          |  CAST(1 AS INT) AS size_y, CAST(1 AS INT) AS size_x,
+          |  '2D image' AS type, CAST(1 AS INT) AS channels,
+          |  FALSE AS is_multichannel,
+          |  '2D image, single-channel - shape (T=1, C=1, Z=1, Y=1, X=1)' AS summary,
+          |  CAST(1 AS INT) AS n_planes, 'default' AS ch0_name""".stripMargin)),
+
+    ("ome_from_dense_roundtrip", (s: SparkSession, _: String) =>
+      planeStatsRows(graft.operators.OmeConstructors.fromDense(
+        OmeOps.toDense(Fixtures.corpus4d(s)),
+        sizeT = 2, sizeC = 2, sizeZ = 2, sizeY = 8, sizeX = 8)),
+      Some(
+        s"""WITH $px4d
+           |SELECT $id4d AS image_id, CAST(t AS INT) AS t, CAST(c AS INT) AS c,
+           |  CAST(z AS INT) AS z, $planeStatsSelect
+           |FROM px GROUP BY img, t, c, z""".stripMargin)),
+
+    ("ome_from_dense_zyx", (s: SparkSession, _: String) => {
+      // ZYX input layout (z-major dense) -> canonical record
+      val dense = Fixtures.syntheticImages(s, 2, t = 1, c = 1, z = 3, sy = 4, sx = 4)
+      planeStatsRows(graft.operators.OmeConstructors.fromDense(
+        OmeOps.toDense(dense), dimOrder = "ZYX",
+        sizeZ = 3, sizeY = 4, sizeX = 4))
+    },
+      Some(
+        s"""WITH ${pxCte(2, 1, 1, 3, 4, 4)}
+           |SELECT printf('img-%04d', img) AS image_id, CAST(t AS INT) AS t,
+           |  CAST(c AS INT) AS c, CAST(z AS INT) AS z, $planeStatsSelect
+           |FROM px GROUP BY img, t, c, z""".stripMargin)),
+
+    // ============ multimodal binary columns ============
+
+    ("mm_image_features", (s: SparkSession, _: String) =>
+      graft.operators.MultimodalOps.imageFeatures(
+        graft.operators.MultimodalOps.mediaFromOme(Fixtures.corpus4d(s))),
+      Some(
+        s"""WITH $px4d
+           |SELECT $id4d AS media_id, CAST(8 AS INT) AS n_frames,
+           |  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+           |  CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS px_sum,
+           |  CAST(min(v) AS INT) AS px_min, CAST(max(v) AS INT) AS px_max
+           |FROM px GROUP BY img""".stripMargin)),
+
+    ("mm_frame_sample", (s: SparkSession, _: String) =>
+      graft.operators.MultimodalOps.imageFeatures(
+        graft.operators.MultimodalOps.frameSample(
+          graft.operators.MultimodalOps.mediaFromOme(Fixtures.corpus4d(s)), 2)),
+      Some(
+        // frames ordered t-major,c,z: index = t*4 + c*2 + z; every 2nd kept = z=0
+        s"""WITH $px4d
+           |SELECT $id4d AS media_id, CAST(4 AS INT) AS n_frames,
+           |  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+           |  CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS px_sum,
+           |  CAST(min(v) AS INT) AS px_min, CAST(max(v) AS INT) AS px_max
+           |FROM px WHERE z = 0 GROUP BY img""".stripMargin)),
+
+    ("mm_thumbnail", (s: SparkSession, _: String) =>
+      graft.operators.MultimodalOps.imageFeatures(
+        graft.operators.MultimodalOps.thumbnail2x(
+          graft.operators.MultimodalOps.mediaFromOme(Fixtures.corpus4d(s)))),
+      Some(
+        s"""WITH $px4d, l1 AS (
+           |  SELECT img, t, c, z, y//2 AS by, x//2 AS bx,
+           |         CAST(sum(v) AS BIGINT)//4 AS v
+           |  FROM px GROUP BY img, t, c, z, y//2, x//2)
+           |SELECT $id4d AS media_id, CAST(8 AS INT) AS n_frames,
+           |  CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+           |  CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS px_sum,
+           |  CAST(min(v) AS INT) AS px_min, CAST(max(v) AS INT) AS px_max
+           |FROM l1 GROUP BY img""".stripMargin)),
+
+    ("mm_audio_stub", (s: SparkSession, _: String) => {
+      import s.implicits._
+      val media = s.range(4).map { id =>
+        graft.operators.MultimodalOps.MediaRow(f"aud-$id%04d", "audio/fake",
+          Array.tabulate(1000 + id.toInt * 17)(i => ((i * 31 + id) % 256).toByte),
+          0, 0, 0)
+      }
+      graft.operators.MultimodalOps.audioFeatures(media)
+    },
+      Some(
+        """WITH sig AS (
+          |  SELECT i.i AS id, s.s AS i,
+          |    ((s.s*31 + i.i) % 256) - 128 AS v
+          |  FROM generate_series(0,3) i(i), generate_series(0,1066) s(s)
+          |  WHERE s.s < 1000 + i.i*17),
+          |flagged AS (
+          |  SELECT id, i, v,
+          |    CASE WHEN i > 0 AND ((lag(v) OVER (PARTITION BY id ORDER BY i) < 0)
+          |      <> (v < 0)) THEN 1 ELSE 0 END AS zc
+          |  FROM sig)
+          |SELECT printf('aud-%04d', id) AS media_id,
+          |  CAST(count(*) AS BIGINT) AS n_samples,
+          |  CAST(sum(CAST(v AS BIGINT)*v) AS BIGINT) AS rms_q,
+          |  CAST(sum(zc) AS BIGINT) AS zero_crossings
+          |FROM flagged GROUP BY id""".stripMargin)),
+
+    // ============ simhash / embedding near-dup ============
+
+    ("simhash_pairs", (s: SparkSession, dir: String) =>
+      TextOps.simhashPairs(t(s, dir, "documents"), maxHamming = 10),
+      Some(
+        """WITH sigs AS (
+          |  SELECT doc_id, (
+          |    SELECT CAST(sum(CASE WHEN vote <= 0 THEN 0
+          |      WHEN j = 63 THEN -9223372036854775808
+          |      ELSE 1::BIGINT << j END) AS BIGINT)
+          |    FROM (
+          |      SELECT j.j AS j, sum(CASE WHEN
+          |        ((ascii(substr(md5(tok), CAST(j.j//4 + 1 AS INT), 1)) -
+          |          CASE WHEN ascii(substr(md5(tok), CAST(j.j//4 + 1 AS INT), 1)) >= 97
+          |               THEN 87 ELSE 48 END) >> CAST(3 - j.j%4 AS INT)) % 2 = 1
+          |        THEN 1 ELSE -1 END) AS vote
+          |      FROM unnest(list_filter(string_split_regex(trim(text), '\s+'),
+          |             x -> x <> '')) AS u(tok),
+          |           generate_series(0, 63) j(j)
+          |      GROUP BY j.j)
+          |  ) AS sig
+          |  FROM documents),
+          |banded AS (
+          |  SELECT doc_id, sig, b.b AS band,
+          |    (sig >> (b.b*16)) & 65535 AS chunk
+          |  FROM sigs, generate_series(0,3) b(b)),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |    a.sig AS sig_a, b.sig AS sig_b
+          |  FROM banded a JOIN banded b
+          |    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+          |SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+          |  CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+          |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 10""".stripMargin)),
+
+    ("embed_near_dup", (s: SparkSession, dir: String) =>
+      VectorOps.embedNearDup(t(s, dir, "embeddings"), threshold = 0.35),
+      Some(
+        """WITH bucketed AS (
+          |  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+          |    (SELECT CAST(sum(CASE WHEN
+          |        list_sum(list_transform(list_zip(embedding,
+          |          list_transform(range(0, len(embedding)), d ->
+          |            CAST((j.j*31 + d*7) % 13 - 6 AS DOUBLE))),
+          |          x -> CAST(x[1] AS DOUBLE) * x[2])) >= 0
+          |        THEN 1 << j.j ELSE 0 END) AS BIGINT)
+          |     FROM generate_series(0, 5) j(j)) AS bucket
+          |  FROM embeddings)
+          |SELECT * FROM (
+          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+          |    round(
+          |      list_sum(list_transform(list_zip(a.embedding, b.embedding),
+          |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+          |      (sqrt(list_sum(list_transform(a.embedding,
+          |         v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+          |       sqrt(list_sum(list_transform(b.embedding,
+          |         v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS score
+          |  FROM bucketed a JOIN bucketed b
+          |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+          |WHERE score >= 0.35""".stripMargin)),
+
     // ============ LLM-pipeline: embeddings ============
 
     ("embed_topk", (s: SparkSession, dir: String) =>

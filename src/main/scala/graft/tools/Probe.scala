@@ -1,9 +1,11 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import graft.sources.{OmeParquet, OmeStack, OmeTiff}
+import org.apache.spark.sql.functions._
+import graft.operators.{OmeConstructors, OmeOps}
+import graft.schema.Fixtures
 
-/** Error-path probes for the source layer. */
+/** Error-path probes for constructors. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
@@ -11,32 +13,29 @@ object Probe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    println("--- probe: non-TIFF bytes ---")
-    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/fake.tiff"),
-      "not a tiff at all".getBytes)
-    try OmeTiff.read(spark, "/tmp/fake.tiff").collect()
-    catch { case e: Throwable => println("error: " + rootMsg(e)) }
+    println("--- probe: fromDense bad dimOrder ---")
+    try OmeConstructors.fromDense(OmeOps.toDense(Fixtures.corpus4d(spark)),
+      dimOrder = "QYX", sizeY = 8, sizeX = 8)
+    catch { case e: Throwable => println("error: " + e.getMessage.take(120)) }
 
-    println("--- probe: pattern matching zero files ---")
-    try OmeStack.readPattern(spark, "/tmp/nope_<0-3>.tif")
-    catch { case e: Throwable => println("error: " + rootMsg(e)) }
+    println("--- probe: fromDense missing Y ---")
+    try OmeConstructors.fromDense(OmeOps.toDense(Fixtures.corpus4d(spark)),
+      dimOrder = "TX", sizeY = 8, sizeX = 8)
+    catch { case e: Throwable => println("error: " + e.getMessage.take(120)) }
 
-    println("--- probe: strict read of non-OME parquet ---")
-    try OmeParquet.read(spark, "/root/testdata/sf0.001/documents.parquet")
-    catch { case e: Throwable => println("error: " + rootMsg(e)) }
+    println("--- probe: fromDense wrong length (runtime) ---")
+    try OmeConstructors.fromDense(OmeOps.toDense(Fixtures.corpus4d(spark)),
+      sizeT = 3, sizeC = 2, sizeZ = 2, sizeY = 8, sizeX = 8).collect()
+    catch { case e: Throwable =>
+      var c: Throwable = e; while (c.getCause != null && c.getCause != c) c = c.getCause
+      println("error: " + c.getMessage.replaceAll("\n.*", "").take(120)) }
 
-    println("--- probe: truncated TIFF (half the bytes) ---")
-    val good = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
-      "/root/reference/tests/data/nviz-artificial-4d-dataset/E99_C111_ZS000.tif"))
-    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/trunc.tiff"),
-      java.util.Arrays.copyOf(good, good.length / 2))
-    try OmeTiff.read(spark, "/tmp/trunc.tiff").collect()
-    catch { case e: Throwable => println("error: " + rootMsg(e)) }
-
+    println("--- O1 constructor with overrides round-trips parquet ---")
+    val custom = OmeConstructors.toOmeArrow(spark, imageId = "demo-1",
+      sizeX = 4, sizeY = 2, sizeC = 1)
+    graft.sources.OmeParquet.write(custom, "/tmp/graft_ctor")
+    val back = graft.sources.OmeParquet.read(spark, "/tmp/graft_ctor")
+    OmeOps.describe(back).select(col("id"), col("summary")).show(false)
     spark.stop()
-  }
-  private def rootMsg(e: Throwable): String = {
-    var c = e; while (c.getCause != null && c.getCause != c) c = c.getCause
-    c.getMessage.replaceAll("\n.*", "").take(160)
   }
 }
