@@ -23,8 +23,7 @@ object OmeArrow {
     if (path.exists(c => c == '<' || c == '>' || c == '*'))
       sources.OmeStack.readPattern(spark, path)
     else if (lower.endsWith(".zarr") || lower.endsWith(".ome.zarr"))
-      throw new UnsupportedOperationException(
-        "OME-Zarr containers are not supported yet; convert to OME-Parquet or TIFF.")
+      sources.OmeZarr.read(spark, path)
     else if (lower.endsWith(".parquet") || lower.endsWith(".pq"))
       OmeParquet.read(spark, path)
     else if (lower.endsWith(".tif") || lower.endsWith(".tiff"))
@@ -53,8 +52,8 @@ object OmeArrow {
         sources.OmeTiff.write(df, requireOut())
         df
       case "ome-zarr" | "omezarr" | "zarr" =>
-        throw new UnsupportedOperationException(
-          "OME-Zarr export is not supported yet; use ome-parquet or ome-tiff.")
+        sources.OmeZarr.write(df, requireOut())
+        df
       case other =>
         throw new IllegalArgumentException(s"Unknown export how='$other'.")
     }

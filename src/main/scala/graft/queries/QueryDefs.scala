@@ -445,6 +445,32 @@ object QueryDefs {
           |FROM documents
           |QUALIFY rnk <= 5""".stripMargin)),
 
+    ("ome_zarr_roundtrip", (s: SparkSession, _: String) => {
+      graft.sources.OmeZarr.write(Fixtures.corpus4d(s), "/tmp/graft_q_zarr")
+      planeStatsRows(graft.sources.OmeZarr.readAll(s, "/tmp/graft_q_zarr"))
+        .withColumnRenamed("image_id", "id")
+    },
+      Some(
+        s"""WITH $px4d
+           |SELECT $id4d AS id, CAST(t AS INT) AS t, CAST(c AS INT) AS c,
+           |  CAST(z AS INT) AS z, $planeStatsSelect
+           |FROM px GROUP BY img, t, c, z""".stripMargin)),
+
+    ("ome_zarr_multiscale", (s: SparkSession, _: String) => {
+      graft.sources.OmeZarr.write(Fixtures.corpus4d(s), "/tmp/graft_q_zarr2",
+        multiscaleLevels = 2)
+      planeStatsRows(graft.sources.OmeZarr.readAll(s, "/tmp/graft_q_zarr2",
+        levelPath = "1")).withColumnRenamed("image_id", "id")
+    },
+      Some(
+        s"""WITH $px4d, l1 AS (
+           |  SELECT img, t, c, z, y//2 AS by, x//2 AS bx,
+           |         CAST(sum(v) AS BIGINT)//4 AS v
+           |  FROM px GROUP BY img, t, c, z, y//2, x//2)
+           |SELECT $id4d AS id, CAST(t AS INT) AS t, CAST(c AS INT) AS c,
+           |  CAST(z AS INT) AS z, $planeStatsSelect
+           |FROM l1 GROUP BY img, t, c, z""".stripMargin)),
+
     // ============ constructors / dense bridge (O1/O2) ============
 
     ("ome_constructor_default", (s: SparkSession, _: String) => {

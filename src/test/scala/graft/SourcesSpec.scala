@@ -96,6 +96,32 @@ class SourcesSpec extends SparkSpec {
     assert(df.select(size(col("ome_arrow.planes"))).collect()(0).getInt(0) === 44)
   }
 
+  test("O9+O5: Zarr export -> ingest round-trips pixels and metadata") {
+    val one = Fixtures.corpus4d(spark).filter(col("ome_arrow.id") === "i4d-0003")
+    graft.sources.OmeZarr.write(one, "/tmp/graft_test_z/i4d-0003.zarr")
+    val back = graft.sources.OmeZarr.read(spark, "/tmp/graft_test_z/i4d-0003.zarr")
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      OmeOps.explodePlanes(df).select(col("t"), col("c"), col("z"),
+        aggregate(col("pixels"), lit(0L), (a, v) => a + v))
+        .orderBy(col("t"), col("c"), col("z")).collect().toSeq
+    assert(sums(one) === sums(back))
+    assert(OmeOps.describe(back).collect()(0).getAs[String]("summary") ===
+      "4D timelapse-volume, multi-channel (2 channels) - shape (T=2, C=2, Z=2, Y=8, X=8)")
+  }
+
+  test("O5: missing Zarr chunks zero-fill") {
+    val one = Fixtures.corpus4d(spark).filter(col("ome_arrow.id") === "i4d-0000")
+    graft.sources.OmeZarr.write(one, "/tmp/graft_test_zh/i4d-0000.zarr")
+    new java.io.File("/tmp/graft_test_zh/i4d-0000.zarr/0/1.1.1.0.0").delete()
+    val back = graft.sources.OmeZarr.read(spark, "/tmp/graft_test_zh/i4d-0000.zarr")
+    val holeSum = OmeOps.explodePlanes(back)
+      .filter(col("t") === 1 && col("c") === 1 && col("z") === 1)
+      .select(aggregate(col("pixels"), lit(0L), (a, v) => a + v))
+      .collect()(0).getLong(0)
+    assert(holeSum === 0L)
+    assert(back.select(size(col("ome_arrow.planes"))).collect()(0).getInt(0) === 8)
+  }
+
   test("OmeXml: page coordinate mapping follows DimensionOrder") {
     // XYZCT: Z fastest. sizes Z=2,C=3,T=2; page 7 -> z=1, c=0, t=1
     assert(OmeXml.pageCoords("XYZCT", 2, 3, 2, 7) === ((1, 0, 1)))
