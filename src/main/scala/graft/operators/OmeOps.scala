@@ -496,13 +496,28 @@ object OmeOps {
    * collected to the driver.
    */
   def toDense(df: DataFrame,
-      column: String = OmeSchema.DefaultColumn): DataFrame = {
+      column: String = OmeSchema.DefaultColumn,
+      strict: Boolean = true): DataFrame = {
     val rec = col(column)
     val meta = pm(rec)
     val st = meta.getField("size_t"); val sc = meta.getField("size_c").cast("int")
     val sz = meta.getField("size_z")
     val planeLen = meta.getField("size_x") * meta.getField("size_y")
-    val planesIn = rec.getField("planes")
+    val planesIn0 = rec.getField("planes")
+    // strict mode (reference default, export.py:87-108): any plane whose
+    // (t,c,z) exceeds the declared sizes, or whose pixel count mismatches
+    // size_x*size_y, raises instead of silently corrupting the volume.
+    // Missing planes still zero-fill (pre-allocated dense semantics).
+    val planesIn = if (!strict) planesIn0 else
+      when(exists(planesIn0, p =>
+        p.getField("t") < 0 || p.getField("t") >= st ||
+          p.getField("c").cast("int") < 0 || p.getField("c").cast("int") >= sc ||
+          p.getField("z") < 0 || p.getField("z") >= sz),
+        raise_error(lit("toDense strict: plane (t,c,z) out of declared range")))
+        .when(exists(planesIn0, p => size(p.getField("pixels")) =!= planeLen),
+          raise_error(format_string(
+            "toDense strict: plane pixel count != size_x*size_y = %d", planeLen)))
+        .otherwise(planesIn0)
     // Keyed last-wins lookup (see sliceOmeArrow): probe a packed long array,
     // not the full struct array, per (t,c,z) grid cell.
     val planeKeysRev = reverse(transform(planesIn, p => tczKey(

@@ -26,7 +26,7 @@ import graft.schema._
  */
 object OmeTiff {
 
-  private[sources] def channelsFor(n: Int, names: Seq[String]): Seq[OmeChannel] =
+  private[graft] def channelsFor(n: Int, names: Seq[String]): Seq[OmeChannel] =
     (0 until n).map { i =>
       // reference channel defaults for file ingest (ingest.py:359-369)
       OmeChannel(s"ch-$i",

@@ -60,6 +60,21 @@ class OpsSpec extends SparkSpec {
     assert(hole.getLong(1) < full.getLong(1))
   }
 
+  test("toDense strict raises on out-of-range planes, lenient ignores") {
+    val syn = Fixtures.syntheticImages(spark, 1)
+    val bad = syn.withColumn("ome_arrow",
+      col("ome_arrow").withField("planes",
+        transform(col("ome_arrow.planes"),
+          p => p.withField("z", p.getField("z") + 7))))
+    val ex = intercept[Exception] { OmeOps.toDense(bad).collect() }
+    assert(ex.getMessage.contains("out of declared range"))
+    // lenient: out-of-range planes are simply not found -> zero volume
+    val sum = OmeOps.toDense(bad, strict = false)
+      .select(aggregate(col("dense"), lit(0L), (a, b) => a + b))
+      .collect()(0).getLong(0)
+    assert(sum === 0L)
+  }
+
   test("explode -> nest round-trips the full record") {
     val orig = Fixtures.mixedCorpus(spark)
     val rt = OmeOps.nestPlanes(OmeOps.explodePlanes(orig))

@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.OmeOps
+import graft.streaming.OmeStreamIngest
+
+/** Streaming acquisition ingest: drop-directory of plane TIFFs ->
+  * assembled canonical records (SURVEY.md §7.6 extension). */
+class StreamingSpec extends SparkSpec {
+
+  private val nviz = "/root/reference/tests/data/nviz-artificial-4d-dataset"
+  private val pattern = "E99_C<111,222>_ZS<000-021>.tif"
+
+  test("file stream of 44 planes assembles into one 2ch x 22z record") {
+    val dropDir = Files.createTempDirectory("graft_stream").toString
+    // stage the corpus into the drop directory (as an acquisition would)
+    val src = new java.io.File(nviz).listFiles().filter(_.getName.endsWith(".tif"))
+    src.foreach { f =>
+      Files.copy(f.toPath, Paths.get(dropDir, f.getName),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val planes = OmeStreamIngest.planeStream(spark, dropDir, pattern, "E99")
+    val records = OmeStreamIngest.assemble(planes, expectedPlanes = 44,
+      sizeT = 1, sizeC = 2, sizeZ = 22)
+    val q = OmeStreamIngest.toOmeColumn(records).writeStream
+      .format("memory").queryName("assembled")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val out = spark.sql("SELECT * FROM assembled")
+    assert(out.count() === 1)
+    val row = OmeOps.describe(out).collect()(0)
+    assert(row.getAs[String]("summary") ===
+      "3D image (z-stack), multi-channel (2 channels) - shape (T=1, C=2, Z=22, Y=128, X=128)")
+    // pixel parity with the batch pattern-ingest path
+    val batch = graft.sources.OmeStack.readPattern(spark, s"$nviz/$pattern")
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      OmeOps.explodePlanes(df).select(col("t"), col("c"), col("z"),
+        aggregate(col("pixels"), lit(0L), (a, v) => a + v))
+        .orderBy(col("t"), col("c"), col("z")).collect().toSeq
+    assert(sums(out) === sums(batch))
+  }
+
+  test("partial image assembles zero-filled from buildRecord") {
+    // unit-level check of the timeout-flush path (processing-time timeouts
+    // don't fire under AvailableNow)
+    val planes = Seq(
+      OmeStreamIngest.PlaneEvent("img", 0, 0, 0, 2, 2, Seq(1, 2, 3, 4),
+        new java.sql.Timestamp(1000L)),
+      OmeStreamIngest.PlaneEvent("img", 0, 1, 0, 2, 2, Seq(5, 6, 7, 8),
+        new java.sql.Timestamp(2000L)))
+    val rec = OmeStreamIngest.buildRecord("img", planes,
+      sizeT = 1, sizeC = 2, sizeZ = 2)
+    assert(rec.planes.length === 4)
+    assert(rec.planes.map(_.pixels.sum) === Seq(10, 0, 26, 0))
+    assert(rec.acquisition_datetime.getTime === 2000L)
+  }
+}
