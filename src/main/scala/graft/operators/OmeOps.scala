@@ -320,6 +320,49 @@ object OmeOps {
         col("plane.z").as("z"), col("plane.pixels").as("pixels"))
   }
 
+  /**
+   * Plane-table crop: the slice operator's pixel crop as a column over the
+   * exploded form `(image_id, ..., size_x, size_y, pixels)` — the shape to
+   * use when composing heavy per-pixel stages at scale. Composing
+   * whole-record operators (slice ∘ downscale ∘ ...) inlines each stage's
+   * struct expression into the next and the interpreted HOF evaluator
+   * re-evaluates duplicated subtrees per pixel; on the flat form each
+   * stage is one narrow projection, so pipelines stay linear-cost.
+   */
+  def cropPlanes(planeDf: DataFrame,
+      xMin: Int, xMax: Int, yMin: Int, yMax: Int): DataFrame = {
+    require(0 <= xMin && xMin < xMax && 0 <= yMin && yMin < yMax,
+      s"Crop bounds out of range: x[$xMin,$xMax) y[$yMin,$yMax)")
+    val newSx = xMax - xMin
+    planeDf
+      .withColumn("pixels",
+        flatten(transform(sequence(lit(yMin), lit(yMax - 1)),
+          y => slice(col("pixels"), y * col("size_x") + lit(xMin + 1), lit(newSx)))))
+      .withColumn("size_x", lit(newSx))
+      .withColumn("size_y", lit(yMax - yMin))
+  }
+
+  /** Plane-table 2x block-mean downscale (pyramid level on the exploded
+    * form); floor halving with degenerate-axis clamp like `downscale2x`. */
+  def downscalePlanes(planeDf: DataFrame): DataFrame = {
+    val sx = col("size_x"); val sy = col("size_y")
+    val nx = greatest(floor(sx / 2).cast("int"), lit(1))
+    val ny = greatest(floor(sy / 2).cast("int"), lit(1))
+    val dx = when(sx >= 2, lit(1)).otherwise(lit(0))
+    val dyOff = when(sy >= 2, sx).otherwise(lit(0))
+    val px = col("pixels")
+    planeDf
+      .withColumn("pixels",
+        flatten(transform(sequence(lit(0), ny - 1), by =>
+          transform(sequence(lit(0), nx - 1), bx => {
+            val base = (by * 2) * sx + bx * 2
+            floor((get(px, base) + get(px, base + dx) +
+              get(px, base + dyOff) + get(px, base + dyOff + dx)) / 4).cast("int")
+          }))))
+      .withColumn("size_x", nx)
+      .withColumn("size_y", ny)
+  }
+
   /** Flat plane table -> canonical nested records, planes re-sorted to the
     * canonical t-major, c, z convention. One shuffle (the groupBy, keyed by
     * image_id — similar-sized images, so no skew). Inverse of explodePlanes:

@@ -174,19 +174,23 @@ object TextOps {
    */
   def simhash64(text: Column): Column = {
     val hashes = transform(tokens(text), t => md5(t))
-    // shift amounts must be static in the Column API -> table lookups
-    val nibbleMask = array(lit(8), lit(4), lit(2), lit(1))
+    // Interpreted-HOF hot loop: one lookup per nibble instead of per-bit
+    // arithmetic. nibbleVotes(n) = the 4 bit-votes (+1/-1, MSB first) of
+    // hex nibble value n.
+    val nibbleVotes = array((0 until 16).map(n =>
+      array(Seq(3, 2, 1, 0).map(b =>
+        lit(if (((n >> b) & 1) == 1) 1 else -1)): _*)): _*)
     val pow2 = array((0 until 64).map(k => lit(1L << k)): _*)
     val votes = aggregate(hashes,
       array_repeat(lit(0), 64),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)), (v, j) => {
-        // md5 hex is lowercase: '0'..'9' -> 48..57, 'a'..'f' -> 97..102
-        val a = ascii(h.substr(j / 4 + 1, lit(1)))
-        val nibble = a - when(a >= 97, 87).otherwise(48)
-        val bit = floor(nibble / element_at(nibbleMask, (j % 4 + 1).cast("int")))
-          .cast("int") % 2
-        v + bit * 2 - 1
-      }))
+      (acc, h) => zip_with(acc,
+        flatten(transform(sequence(lit(0), lit(15)), k => {
+          // md5 hex is lowercase: '0'..'9' -> 48..57, 'a'..'f' -> 97..102
+          val a = ascii(h.substr(k + 1, lit(1)))
+          element_at(nibbleVotes,
+            (a - when(a >= 97, 87).otherwise(48) + 1).cast("int"))
+        })),
+        (v, d) => v + d))
     aggregate(zip_with(votes, sequence(lit(0), lit(63)),
       (v, j) => when(v > 0, element_at(pow2, (j + 1).cast("int"))).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc + x)

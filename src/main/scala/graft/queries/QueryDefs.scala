@@ -445,6 +445,43 @@ object QueryDefs {
           |FROM documents
           |QUALIFY rnk <= 5""".stripMargin)),
 
+    // Scale-aware headline pipeline: corpus size tracks the bench SF
+    // (reference-corpus shape 7x3x5 of 64x64 = 105 planes/image). The
+    // whole pipeline — generate -> crop -> pyramid level -> per-plane
+    // stats -> per-image rollup — is shuffle-free until the final
+    // aggregation, so wall-clock scales with images/cores.
+    ("ome_scale_pipeline", (s: SparkSession, dir: String) => {
+      val n = if (dir.contains("sf0.01")) 32
+        else if (dir.contains("sf0.1")) 128 else 8
+      val corpus = Fixtures.syntheticImages(s, n, t = 7, c = 3, z = 5,
+        sy = 64, sx = 64, prefix = "big")
+      val planes = OmeOps.downscalePlanes(OmeOps.cropPlanes(
+        OmeOps.explodePlanes(corpus), 8, 56, 8, 56))
+      planes.select(col("image_id"),
+          aggregate(col("pixels"), lit(0L), (a, v) => a + v).as("px_sum"),
+          array_min(col("pixels")).as("px_min"),
+          array_max(col("pixels")).as("px_max"))
+        .groupBy(col("image_id"))
+        .agg(count(lit(1)).cast("long").as("n_planes"),
+          sum(col("px_sum")).as("px_total"),
+          min(col("px_min")).as("px_min"),
+          max(col("px_max")).as("px_max"))
+    },
+      // oracle pinned to the sf0.01 corpus size (the driver's t2 gate SF)
+      Some(
+        s"""WITH ${pxCte(32, 7, 3, 5, 64, 64)},
+           |cropped AS (
+           |  SELECT img, t, c, z, (y-8)//2 AS by, (x-8)//2 AS bx, v
+           |  FROM px WHERE y BETWEEN 8 AND 55 AND x BETWEEN 8 AND 55),
+           |l1 AS (
+           |  SELECT img, t, c, z, by, bx, CAST(sum(v) AS BIGINT)//4 AS v
+           |  FROM cropped GROUP BY img, t, c, z, by, bx)
+           |SELECT printf('big-%04d', img) AS image_id,
+           |  CAST(count(*)/576 AS BIGINT) AS n_planes,
+           |  CAST(sum(v) AS BIGINT) AS px_total,
+           |  CAST(min(v) AS INT) AS px_min, CAST(max(v) AS INT) AS px_max
+           |FROM l1 GROUP BY img""".stripMargin)),
+
     ("ome_zarr_roundtrip", (s: SparkSession, _: String) => {
       graft.sources.OmeZarr.write(Fixtures.corpus4d(s), "/tmp/graft_q_zarr")
       planeStatsRows(graft.sources.OmeZarr.readAll(s, "/tmp/graft_q_zarr"))

@@ -1,0 +1,60 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{OmeOps, TextOps}
+import graft.schema.Fixtures
+
+/** Physical-plan audit: pruning / pushdown / broadcast / shuffle counts. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+
+    def audit(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val plan = df.queryExecution.executedPlan.toString
+      val shuffles = "Exchange".r.findAllIn(plan).length -
+        "BroadcastExchange".r.findAllIn(plan).length
+      val bcasts = "BroadcastExchange".r.findAllIn(plan).length
+      val wsc = "WholeStageCodegen".r.findAllIn(plan).length
+      println(f"$name%-24s shuffles=$shuffles bcast=$bcasts codegenSpans=$wsc")
+    }
+
+    // describe over a parquet-backed corpus: must read only metadata
+    graft.sources.OmeParquet.write(Fixtures.mixedCorpus(spark), "/tmp/audit_pq")
+    val described = OmeOps.describe(graft.sources.OmeParquet.read(spark, "/tmp/audit_pq"))
+    audit("describe(parquet)", described)
+    val scan = described.queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: [^\n]+".r.findFirstIn(scan).getOrElse("?")
+    println("  describe ReadSchema: " + readSchema.take(200))
+    println("  reads planes? " + readSchema.contains("planes"))
+
+    // slice: pure per-record expression -> zero shuffles
+    audit("slice(nested)", OmeOps.sliceOmeArrow(Fixtures.corpus4d(spark), 1, 7, 1, 7))
+    audit("downscale2x", OmeOps.downscale2x(Fixtures.corpus4d(spark)))
+
+    // relational joins: dims must broadcast
+    val q5 = graft.SparkEntry.queries("q5_region_revenue")(spark, dir)
+    audit("q5_region_revenue", q5)
+    val q1 = graft.SparkEntry.queries("q1_agg")(spark, dir)
+    audit("q1_agg", q1)
+    val q1plan = q1.queryExecution.executedPlan.toString
+    println("  q1 partial agg before shuffle? " +
+      q1plan.contains("HashAggregate(keys=[l_returnflag"))
+
+    // filter pushdown check on a filtered scan
+    val filtered = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_quantity") > 45).select(col("l_orderkey"))
+    val fplan = filtered.queryExecution.executedPlan.toString
+    println("  pushdown: " + "PushedFilters: [^\n]+".r.findFirstIn(fplan).getOrElse("NONE").take(120))
+
+    audit("minhash_pairs", TextOps.nearDupPairs(
+      spark.read.parquet(s"$dir/documents.parquet")))
+    audit("cosine_topk", graft.operators.VectorOps.cosineTopK(
+      spark.read.parquet(s"$dir/embeddings.parquet"), 8, 10))
+    spark.stop()
+  }
+}
