@@ -1,0 +1,160 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/**
+ * Native Catalyst expressions for the per-pixel hot paths (SURVEY.md §4.2
+ * flagged `PixelCrop` as the codegen candidate "after measurement" — the
+ * measurement happened: interpreted higher-order-function evaluation
+ * dominates pixel pipelines, see SCALE.md). Both expressions implement
+ * `doGenCode`, so unlike HOF lambdas they compile into whole-stage
+ * codegen as tight int-array loops.
+ */
+
+/** crop a flat row-major plane: rows [y0,y1), cols [x0,x1) of a sx-wide
+  * image. Bounds are validated by the caller (query constants). */
+case class PixelCrop(pixels: Expression, sx: Expression,
+    x0: Expression, x1: Expression, y0: Expression, y1: Expression)
+  extends Expression {
+
+  override def children: Seq[Expression] = Seq(pixels, sx, x0, x1, y0, y1)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def eval(input: InternalRow): Any = {
+    val pxAny = pixels.eval(input)
+    if (pxAny == null) return null
+    val px = pxAny.asInstanceOf[ArrayData]
+    val w = sx.eval(input).asInstanceOf[Int]
+    val xa = x0.eval(input).asInstanceOf[Int]
+    val xb = x1.eval(input).asInstanceOf[Int]
+    val ya = y0.eval(input).asInstanceOf[Int]
+    val yb = y1.eval(input).asInstanceOf[Int]
+    val nw = xb - xa
+    val out = new Array[Int]((yb - ya) * nw)
+    var y = ya; var o = 0
+    while (y < yb) {
+      var x = xa
+      while (x < xb) { out(o) = px.getInt(y * w + x); o += 1; x += 1 }
+      y += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pxG = pixels.genCode(ctx)
+    val sxG = sx.genCode(ctx); val x0G = x0.genCode(ctx)
+    val x1G = x1.genCode(ctx); val y0G = y0.genCode(ctx)
+    val y1G = y1.genCode(ctx)
+    val arr = ctx.freshName("arr"); val o = ctx.freshName("o")
+    val y = ctx.freshName("y"); val x = ctx.freshName("x")
+    val code =
+      code"""
+        ${pxG.code}
+        ${sxG.code}
+        ${x0G.code}
+        ${x1G.code}
+        ${y0G.code}
+        ${y1G.code}
+        boolean ${ev.isNull} = ${pxG.isNull} || ${sxG.isNull} || ${x0G.isNull} ||
+          ${x1G.isNull} || ${y0G.isNull} || ${y1G.isNull};
+        ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          int[] $arr = new int[(${y1G.value} - ${y0G.value}) * (${x1G.value} - ${x0G.value})];
+          int $o = 0;
+          for (int $y = ${y0G.value}; $y < ${y1G.value}; $y++) {
+            for (int $x = ${x0G.value}; $x < ${x1G.value}; $x++) {
+              $arr[$o++] = ${pxG.value}.getInt($y * ${sxG.value} + $x);
+            }
+          }
+          ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(pixels = newChildren(0), sx = newChildren(1), x0 = newChildren(2),
+      x1 = newChildren(3), y0 = newChildren(4), y1 = newChildren(5))
+}
+
+/** 2x2 floor block mean of a flat sx*sy plane; floor-halved output sizes
+  * with degenerate-axis clamp (matches OmeOps.downscale2x semantics). */
+case class BlockMean2x(pixels: Expression, sx: Expression, sy: Expression)
+  extends Expression {
+
+  override def children: Seq[Expression] = Seq(pixels, sx, sy)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def eval(input: InternalRow): Any = {
+    val pxAny = pixels.eval(input)
+    if (pxAny == null) return null
+    val px = pxAny.asInstanceOf[ArrayData]
+    val w = sx.eval(input).asInstanceOf[Int]
+    val h = sy.eval(input).asInstanceOf[Int]
+    val nw = math.max(w / 2, 1); val nh = math.max(h / 2, 1)
+    val dx = if (w >= 2) 1 else 0
+    val dy = if (h >= 2) w else 0
+    val out = new Array[Int](nw * nh)
+    var by = 0
+    while (by < nh) {
+      var bx = 0
+      while (bx < nw) {
+        val base = (by * 2) * w + bx * 2
+        out(by * nw + bx) = (px.getInt(base) + px.getInt(base + dx) +
+          px.getInt(base + dy) + px.getInt(base + dy + dx)) / 4
+        bx += 1
+      }
+      by += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pxG = pixels.genCode(ctx)
+    val sxG = sx.genCode(ctx); val syG = sy.genCode(ctx)
+    val arr = ctx.freshName("arr")
+    val nw = ctx.freshName("nw"); val nh = ctx.freshName("nh")
+    val dx = ctx.freshName("dx"); val dy = ctx.freshName("dy")
+    val by = ctx.freshName("by"); val bx = ctx.freshName("bx")
+    val base = ctx.freshName("base")
+    val code =
+      code"""
+        ${pxG.code}
+        ${sxG.code}
+        ${syG.code}
+        boolean ${ev.isNull} = ${pxG.isNull} || ${sxG.isNull} || ${syG.isNull};
+        ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          int $nw = java.lang.Math.max(${sxG.value} / 2, 1);
+          int $nh = java.lang.Math.max(${syG.value} / 2, 1);
+          int $dx = ${sxG.value} >= 2 ? 1 : 0;
+          int $dy = ${syG.value} >= 2 ? ${sxG.value} : 0;
+          int[] $arr = new int[$nw * $nh];
+          for (int $by = 0; $by < $nh; $by++) {
+            for (int $bx = 0; $bx < $nw; $bx++) {
+              int $base = ($by * 2) * ${sxG.value} + $bx * 2;
+              $arr[$by * $nw + $bx] = (${pxG.value}.getInt($base) +
+                ${pxG.value}.getInt($base + $dx) +
+                ${pxG.value}.getInt($base + $dy) +
+                ${pxG.value}.getInt($base + $dy + $dx)) / 4;
+            }
+          }
+          ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(pixels = newChildren(0), sx = newChildren(1), sy = newChildren(2))
+}

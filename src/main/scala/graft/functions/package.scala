@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.{call_function, lit}
+
+/** Column-level entry points for the native pixel expressions, exposed
+  * through the session function registry (the Column(expr) constructor
+  * is private[sql] in Spark 4). Registration is idempotent. */
+package object functions {
+
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_pixel_crop",
+      exprs => PixelCrop(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4), exprs(5)),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_block_mean_2x",
+      exprs => BlockMean2x(exprs(0), exprs(1), exprs(2)),
+      "built-in")
+  }
+
+  /** Codegen'd crop of a flat row-major plane (rows [y0,y1), cols
+    * [x0,x1) of a `sx`-wide image). Call `ensureRegistered` first (the
+    * OmeOps plane operators do). */
+  def pixel_crop(pixels: Column, sx: Column,
+      x0: Int, x1: Int, y0: Int, y1: Int): Column =
+    call_function("graft_pixel_crop", pixels, sx,
+      lit(x0), lit(x1), lit(y0), lit(y1))
+
+  /** Codegen'd 2x2 floor block mean (pyramid level) of a flat plane. */
+  def block_mean_2x(pixels: Column, sx: Column, sy: Column): Column =
+    call_function("graft_block_mean_2x", pixels, sx, sy)
+}

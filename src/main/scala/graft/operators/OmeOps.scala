@@ -334,10 +334,10 @@ object OmeOps {
     require(0 <= xMin && xMin < xMax && 0 <= yMin && yMin < yMax,
       s"Crop bounds out of range: x[$xMin,$xMax) y[$yMin,$yMax)")
     val newSx = xMax - xMin
+    graft.functions.ensureRegistered(planeDf.sparkSession)
     planeDf
-      .withColumn("pixels",
-        flatten(transform(sequence(lit(yMin), lit(yMax - 1)),
-          y => slice(col("pixels"), y * col("size_x") + lit(xMin + 1), lit(newSx)))))
+      .withColumn("pixels", graft.functions.pixel_crop(
+        col("pixels"), col("size_x"), xMin, xMax, yMin, yMax))
       .withColumn("size_x", lit(newSx))
       .withColumn("size_y", lit(yMax - yMin))
   }
@@ -345,22 +345,12 @@ object OmeOps {
   /** Plane-table 2x block-mean downscale (pyramid level on the exploded
     * form); floor halving with degenerate-axis clamp like `downscale2x`. */
   def downscalePlanes(planeDf: DataFrame): DataFrame = {
-    val sx = col("size_x"); val sy = col("size_y")
-    val nx = greatest(floor(sx / 2).cast("int"), lit(1))
-    val ny = greatest(floor(sy / 2).cast("int"), lit(1))
-    val dx = when(sx >= 2, lit(1)).otherwise(lit(0))
-    val dyOff = when(sy >= 2, sx).otherwise(lit(0))
-    val px = col("pixels")
+    graft.functions.ensureRegistered(planeDf.sparkSession)
     planeDf
-      .withColumn("pixels",
-        flatten(transform(sequence(lit(0), ny - 1), by =>
-          transform(sequence(lit(0), nx - 1), bx => {
-            val base = (by * 2) * sx + bx * 2
-            floor((get(px, base) + get(px, base + dx) +
-              get(px, base + dyOff) + get(px, base + dyOff + dx)) / 4).cast("int")
-          }))))
-      .withColumn("size_x", nx)
-      .withColumn("size_y", ny)
+      .withColumn("pixels", graft.functions.block_mean_2x(
+        col("pixels"), col("size_x"), col("size_y")))
+      .withColumn("size_x", greatest(floor(col("size_x") / 2).cast("int"), lit(1)))
+      .withColumn("size_y", greatest(floor(col("size_y") / 2).cast("int"), lit(1)))
   }
 
   /** Flat plane table -> canonical nested records, planes re-sorted to the
