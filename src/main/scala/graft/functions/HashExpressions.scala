@@ -1,0 +1,148 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native expressions for the sketch hot paths. The column-level versions
+ * interpret one lambda call per array element (Spark HOFs don't codegen);
+ * these run one tight JVM loop per row. `CodegenFallback` is deliberate:
+ * the per-row virtual call is noise next to the md5 work, and fallback
+ * keeps the surrounding projection inside whole-stage codegen.
+ *
+ * Both produce BYTE-IDENTICAL results to the column formulations (same
+ * md5, same lowercase hex, same chunk semantics), so the DuckDB oracles
+ * are unchanged.
+ */
+private object HexMd5 {
+  private val digits = "0123456789abcdef".toCharArray
+  // MessageDigest is not thread-safe; one instance per thread
+  private val md = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  def hex(bytes: Array[Byte]): Array[Char] = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(i * 2) = digits((bytes(i) >> 4) & 0xf)
+      out(i * 2 + 1) = digits(bytes(i) & 0xf)
+      i += 1
+    }
+    out
+  }
+
+  def md5Hex(s: Array[Byte]): Array[Char] = hex(md.get().digest(s))
+}
+
+/**
+ * MinHash signature: element i = min over shingles of the i-th 8-hex-char
+ * chunk of concat(md5("0|s"), md5("1|s"), ...). Identical to
+ * `TextOps.minhashFromHashes(shingleHashes(sh, n), n)`.
+ */
+case class MinHashSignature(shingles: Expression, numHashes: Int)
+  extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(shingles)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = shingles.nullable
+
+  override def eval(input: InternalRow): Any = {
+    val shAny = shingles.eval(input)
+    if (shAny == null) return null
+    val sh = shAny.asInstanceOf[ArrayData]
+    val nMd5 = (numHashes + 3) / 4
+    val mins = new Array[Array[Char]](numHashes)
+    var s = 0
+    while (s < sh.numElements()) {
+      val shingle = sh.getUTF8String(s).getBytes
+      var g = 0
+      while (g < nMd5) {
+        // md5 of "<g>|<shingle>"
+        val prefix = (g.toString + "|").getBytes("UTF-8")
+        val buf = new Array[Byte](prefix.length + shingle.length)
+        System.arraycopy(prefix, 0, buf, 0, prefix.length)
+        System.arraycopy(shingle, 0, buf, prefix.length, shingle.length)
+        val hexChars = HexMd5.md5Hex(buf) // 32 chars
+        var q = 0
+        while (q < 4 && g * 4 + q < numHashes) {
+          val i = g * 4 + q
+          val off = q * 8
+          if (mins(i) == null || compareChunk(hexChars, off, mins(i)) < 0) {
+            val chunk = new Array[Char](8)
+            System.arraycopy(hexChars, off, chunk, 0, 8)
+            mins(i) = chunk
+          }
+          q += 1
+        }
+        g += 1
+      }
+      s += 1
+    }
+    if (sh.numElements() == 0) return new GenericArrayData(Array.empty[Any])
+    new GenericArrayData(mins.map(c => UTF8String.fromString(new String(c))))
+  }
+
+  private def compareChunk(hex: Array[Char], off: Int, cur: Array[Char]): Int = {
+    var k = 0
+    while (k < 8) {
+      val d = hex(off + k) - cur(k)
+      if (d != 0) return d
+      k += 1
+    }
+    0
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(shingles = newChildren(0))
+}
+
+/**
+ * 64-bit SimHash over an array of tokens: md5 per token, the first 16 hex
+ * chars vote per bit (+1 when set), signature bit j set where votes > 0.
+ * Identical to `TextOps.simhash64`'s column formulation.
+ */
+case class SimHash64(tokens: Expression)
+  extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(tokens)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = tokens.nullable
+
+  override def eval(input: InternalRow): Any = {
+    val tAny = tokens.eval(input)
+    if (tAny == null) return null
+    val toks = tAny.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.numElements()) {
+      val hexChars = HexMd5.md5Hex(toks.getUTF8String(i).getBytes)
+      var j = 0
+      while (j < 64) {
+        val c = hexChars(j / 4)
+        val nibble = if (c >= 'a') c - 87 else c - '0'
+        val bit = (nibble >> (3 - j % 4)) & 1
+        votes(j) += bit * 2 - 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(tokens = newChildren(0))
+}

@@ -16,7 +16,23 @@ package object functions {
     reg.createOrReplaceTempFunction("graft_block_mean_2x",
       exprs => BlockMean2x(exprs(0), exprs(1), exprs(2)),
       "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_sig",
+      exprs => MinHashSignature(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int]),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash64",
+      exprs => SimHash64(exprs(0)),
+      "built-in")
   }
+
+  /** Native MinHash signature (one md5 loop per row; byte-identical to
+    * the column formulation). */
+  def minhash_signature(shingles: Column, numHashes: Int): Column =
+    call_function("graft_minhash_sig", shingles, lit(numHashes))
+
+  /** Native 64-bit SimHash over a token array. */
+  def simhash64(tokens: Column): Column =
+    call_function("graft_simhash64", tokens)
 
   /** Codegen'd crop of a flat row-major plane (rows [y0,y1), cols
     * [x0,x1) of a `sx`-wide image). Call `ensureRegistered` first (the

@@ -92,15 +92,16 @@ object TextOps {
       bands: Int = 4, threshold: Double = 0.8): DataFrame = {
     val rows = numHashes / bands
     require(bands * rows == numHashes, "numHashes must divide into bands")
-    // Shingle sets are reused three times (banding + both sides of the
-    // verify rejoin) and the md5 hash material is the dominant cost;
-    // persist both so they are computed exactly once.
+    graft.functions.ensureRegistered(docs.sparkSession)
+    // Shingle sets are reused by banding and both sides of the verify
+    // rejoin; persist so they are computed exactly once. The signature is
+    // a native expression (one md5 loop per row, see HashExpressions).
     val sh = docs.select(col("doc_id").cast("long").as("doc_id"),
       shingles(col("text"), k).as("sh"))
-      .withColumn("hs", shingleHashes(col("sh"), numHashes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sh.select(col("doc_id"),
-      posexplode(bandKeys(minhashFromHashes(col("hs"), numHashes), bands, rows))
+      posexplode(bandKeys(
+        graft.functions.minhash_signature(col("sh"), numHashes), bands, rows))
         .as(Seq("band", "band_key")))
     // Candidate pairs per bucket via one aggregation (no self-join: a
     // join would re-evaluate the whole signature subtree on both sides).
@@ -202,8 +203,9 @@ object TextOps {
    * exact Hamming distance filters to `maxHamming`.
    */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
+    graft.functions.ensureRegistered(docs.sparkSession)
     val sigs = docs.select(col("doc_id").cast("long").as("doc_id"),
-      simhash64(col("text")).as("sig"))
+      graft.functions.simhash64(tokens(col("text"))).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(k =>

@@ -44,6 +44,22 @@ class TextVectorSpec extends SparkSpec {
     assert(pairs.find(p => (p._1, p._2) == (0L, 3L)).get._3 === 1.0)
   }
 
+  test("native hash expressions match the column formulations exactly") {
+    graft.functions.ensureRegistered(spark)
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sh = real.select(col("doc_id"), TextOps.shingles(col("text"), 3).as("sh"))
+    val sigCmp = sh.select(
+      graft.functions.minhash_signature(col("sh"), 12).as("native"),
+      TextOps.minhashSignature(col("sh"), 12).as("columnar"))
+      .filter(to_json(col("native")) =!= to_json(col("columnar")))
+    assert(sigCmp.count() === 0)
+    val simCmp = real.select(
+      graft.functions.simhash64(TextOps.tokens(col("text"))).as("native"),
+      TextOps.simhash64(col("text")).as("columnar"))
+      .filter(col("native") =!= col("columnar"))
+    assert(simCmp.count() === 0)
+  }
+
   test("fingerprint is whitespace/case-insensitive") {
     val fps = Seq((0L, "A  B\tC"), (1L, "a b c"), (2L, "a b d"))
       .toDF("doc_id", "text")
