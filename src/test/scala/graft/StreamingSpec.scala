@@ -46,6 +46,35 @@ class StreamingSpec extends SparkSpec {
     assert(sums(out) === sums(batch))
   }
 
+  test("watermarked windowed event rollup matches the batch computation") {
+    val q = graft.streaming.EventStream
+      .windowedRollup(spark, "/root/testdata/sf0.001", "6 hours", "1 hour")
+      .writeStream.format("memory").queryName("ev_rollup")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql(
+      "SELECT window_start, event_type, n_events FROM ev_rollup")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed.nonEmpty)
+    // batch ground truth: same 6h windows over the same file. Append mode
+    // only emits windows the watermark has passed, so the final (unclosed)
+    // window is legitimately absent — every EMITTED window must match.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("event_ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .groupBy(window(col("event_ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    streamed.foreach { case (k, n) => assert(batch(k) === n, s"window $k") }
+    // everything except the final unclosed window must have been emitted
+    val lastStart = batch.keys.map(_._1.getTime).max
+    val closed = batch.filter(_._1._1.getTime < lastStart)
+    assert(streamed.keySet === closed.keySet)
+  }
+
   test("partial image assembles zero-filled from buildRecord") {
     // unit-level check of the timeout-flush path (processing-time timeouts
     // don't fire under AvailableNow)
