@@ -528,8 +528,11 @@ object QueryDefs {
           |  CAST(1 AS INT) AS n_planes, 'default' AS ch0_name""".stripMargin)),
 
     ("ome_from_dense_roundtrip", (s: SparkSession, _: String) =>
+      // localCheckpoint materializes the dense frame: without the barrier
+      // fromDense's per-pixel gathers would re-evaluate the inlined
+      // toDense expression per pixel (see SCALE.md lesson 1)
       planeStatsRows(graft.operators.OmeConstructors.fromDense(
-        OmeOps.toDense(Fixtures.corpus4d(s)),
+        OmeOps.toDense(Fixtures.corpus4d(s)).localCheckpoint(),
         sizeT = 2, sizeC = 2, sizeZ = 2, sizeY = 8, sizeX = 8)),
       Some(
         s"""WITH $px4d
@@ -541,7 +544,7 @@ object QueryDefs {
       // ZYX input layout (z-major dense) -> canonical record
       val dense = Fixtures.syntheticImages(s, 2, t = 1, c = 1, z = 3, sy = 4, sx = 4)
       planeStatsRows(graft.operators.OmeConstructors.fromDense(
-        OmeOps.toDense(dense), dimOrder = "ZYX",
+        OmeOps.toDense(dense).localCheckpoint(), dimOrder = "ZYX",
         sizeZ = 3, sizeY = 4, sizeX = 4))
     },
       Some(
