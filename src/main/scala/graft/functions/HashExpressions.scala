@@ -146,3 +146,42 @@ case class SimHash64(tokens: Expression)
       newChildren: IndexedSeq[Expression]): Expression =
     copy(tokens = newChildren(0))
 }
+
+/**
+ * Cosine similarity of two float-array embeddings, computed in one JVM
+ * pass with sequential double accumulation — bit-identical to the
+ * column formulation `dot/(sqrt(na)*sqrt(nb))` with sequential folds
+ * (and to DuckDB's list_sum over list_transform), so oracle parity
+ * holds exactly.
+ */
+case class CosineSim(a: Expression, b: Expression)
+  extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(a, b)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def eval(input: InternalRow): Any = {
+    val aAny = a.eval(input); val bAny = b.eval(input)
+    if (aAny == null || bAny == null) return null
+    val av = aAny.asInstanceOf[ArrayData]
+    val bv = bAny.asInstanceOf[ArrayData]
+    // match the columnar zip_with contract: mismatched lengths -> null
+    // (truncating silently would hide malformed embeddings)
+    if (av.numElements() != bv.numElements()) return null
+    val n = av.numElements()
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = av.getFloat(i).toDouble
+      val y = bv.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(a = newChildren(0), b = newChildren(1))
+}

@@ -23,7 +23,14 @@ package object functions {
     reg.createOrReplaceTempFunction("graft_simhash64",
       exprs => SimHash64(exprs(0)),
       "built-in")
+    reg.createOrReplaceTempFunction("graft_cosine",
+      exprs => CosineSim(exprs(0), exprs(1)),
+      "built-in")
   }
+
+  /** Native single-pass cosine similarity over float embeddings. */
+  def cosine(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
 
   /** Native MinHash signature (one md5 loop per row; byte-identical to
     * the column formulation). */

@@ -31,15 +31,23 @@ object VectorOps {
 
   def normD(a: Column): Column = sqrt(dotD(a, a))
 
-  /** cosine(a,b) rounded to 6dp. */
-  def cosine6(a: Column, b: Column): Column =
+  /** Column-level cosine — the reference formulation the native
+    * expression is tested against. */
+  def cosine6Columnar(a: Column, b: Column): Column =
     round(dotD(a, b) / (normD(a) * normD(b)), 6)
+
+  /** cosine(a,b) rounded to 6dp (native single-pass expression;
+    * bit-identical to the columnar fold). Callers must have invoked
+    * `graft.functions.ensureRegistered` — the operators here do. */
+  def cosine6(a: Column, b: Column): Column =
+    round(graft.functions.cosine(a, b), 6)
 
   /**
    * Brute-force cosine top-k: for every probe (`vec_id < nProbes`), the k
    * nearest other vectors by cosine, ranked by (score desc, vec_id asc).
    */
   def cosineTopK(emb: DataFrame, nProbes: Int, k: Int): DataFrame = {
+    graft.functions.ensureRegistered(emb.sparkSession)
     val probes = broadcast(emb.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb")))
     val scored = probes.join(emb.filter(col("vec_id") >= 0),
@@ -79,6 +87,7 @@ object VectorOps {
    */
   def embedNearDup(emb: DataFrame, threshold: Double,
       numPlanes: Int = 6): DataFrame = {
+    graft.functions.ensureRegistered(emb.sparkSession)
     val bucketed = emb.select(col("vec_id").cast("long").as("vec_id"),
       col("embedding"), lshBucket(col("embedding"), numPlanes).as("bucket"))
     val members = array_sort(collect_list(struct(col("vec_id"), col("embedding"))))
@@ -102,6 +111,7 @@ object VectorOps {
    */
   def annTopK(emb: DataFrame, nProbes: Int, k: Int,
       numPlanes: Int = 6): DataFrame = {
+    graft.functions.ensureRegistered(emb.sparkSession)
     val bucketed = emb.select(col("vec_id").cast("long").as("vec_id"),
       col("embedding"), lshBucket(col("embedding"), numPlanes).as("bucket"))
     val probes = bucketed.filter(col("vec_id") < nProbes)

@@ -1,23 +1,19 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import graft.operators.VectorOps
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
+    val spark = SparkSession.builder().master("local[2]")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val q = graft.streaming.EventStream
-      .windowedRollup(spark, "/root/testdata/sf0.001", "12 hours", "1 hour")
-      .writeStream.format("memory").queryName("ev")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
-    println("emitted window x type rows: " + spark.sql("SELECT count(*) FROM ev").collect()(0).getLong(0))
-    spark.sql("SELECT window_start, event_type, n_events, value_sum FROM ev ORDER BY window_start, event_type").show(8, false)
-    spark.sql("SELECT max(window_start) AS last_emitted FROM ev").show(false)
-    println("(data runs to 2024-01-30 23:57 -> the 2024-01-30 12:00 window is unclosed and correctly absent)")
+    import spark.implicits._
+    graft.functions.ensureRegistered(spark)
+    val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f, 9.0f))).toDF("a", "b")
+    println("--- mismatched-length vectors ---")
+    df.select(
+      VectorOps.cosine6(col("a"), col("b")).as("native"),
+      VectorOps.cosine6Columnar(col("a"), col("b")).as("columnar")).show()
     spark.stop()
   }
 }
