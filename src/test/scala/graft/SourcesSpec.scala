@@ -122,6 +122,26 @@ class SourcesSpec extends SparkSpec {
     assert(back.select(size(col("ome_arrow.planes"))).collect()(0).getInt(0) === 8)
   }
 
+  test("O5: foreign Zarr dtypes (|u1 raw, >u2 zlib) decode correctly") {
+    val u1 = graft.sources.OmeZarr.read(spark,
+      "/root/repo/src/test/resources/u1_store.zarr")
+    val r1 = u1.select(
+      element_at(col("ome_arrow.planes"), 1).getField("pixels"),
+      element_at(col("ome_arrow.planes"), 2).getField("pixels"),
+      col("ome_arrow.pixels_meta.physical_size_x"),
+      element_at(col("ome_arrow.pixels_meta.channels"), 1).getField("name"))
+      .collect()(0)
+    assert(r1.getSeq[Int](0) === (0 until 12))
+    assert(r1.getSeq[Int](1) === (100 until 112))
+    assert(r1.getFloat(2) === 0.5f) // from the scale transform
+    assert(r1.getString(3) === "DNA") // from omero channels
+    val big = graft.sources.OmeZarr.read(spark,
+      "/root/repo/src/test/resources/bigu2_store.zarr")
+    val r2 = big.select(element_at(col("ome_arrow.planes"), 2).getField("pixels"))
+      .collect()(0)
+    assert(r2.getSeq[Int](0) === (100 until 112))
+  }
+
   test("OmeXml: page coordinate mapping follows DimensionOrder") {
     // XYZCT: Z fastest. sizes Z=2,C=3,T=2; page 7 -> z=1, c=0, t=1
     assert(OmeXml.pageCoords("XYZCT", 2, 3, 2, 7) === ((1, 0, 1)))
