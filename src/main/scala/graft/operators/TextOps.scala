@@ -158,6 +158,37 @@ object TextOps {
       cEs.cast("long").as("c_es"), cFr.cast("long").as("c_fr"))
   }
 
+  /** BPE-style subword-ish tokenization: letter runs, digit runs, or
+    * single non-space symbols — the pre-tokenizer shape BPE vocabularies
+    * are trained over. */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  /** Per-document token counts under both tokenizers plus the
+    * whitespace/BPE ratio (a cheap fragmentation signal). */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val ws = size(tokens(col("text")))
+    val bpe = size(bpeTokens(col("text")))
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+      ws.cast("long").as("n_ws_tokens"),
+      bpe.cast("long").as("n_bpe_tokens"),
+      round(when(ws === 0, 0.0).otherwise(bpe.cast("double") / ws), 6)
+        .as("fragmentation"))
+  }
+
+  /** Polynomial rolling hash of the raw text: fold over character codes,
+    * h = (h * 31 + code) mod 2^31 — order-sensitive (anagram-safe) unlike
+    * a bag-of-tokens hash, and exactly replicable in any engine with a
+    * sequential list fold. */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), ch => ascii(ch)),
+      lit(0L), (h, c) => (h * 31 + c) % 2147483648L)
+
+  def fingerprintRolling(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+      rollingHash(col("text")).as("rolling_hash"))
+
   /** Corpus-wide top-k tokens by frequency (ties broken by token text). */
   def tokenTopK(docs: DataFrame, kTop: Int): DataFrame =
     docs.select(explode(tokens(col("text"))).as("token"))

@@ -411,6 +411,33 @@ object QueryDefs {
           |  CAST(c_es AS BIGINT) AS c_es, CAST(c_fr AS BIGINT) AS c_fr
           |FROM c""".stripMargin)),
 
+    ("token_count_bpe", (s: SparkSession, dir: String) =>
+      TextOps.tokenCounts(t(s, dir, "documents")),
+      Some(
+        """WITH c AS (
+          |  SELECT doc_id,
+          |    len(list_filter(string_split_regex(trim(text), '\s+'),
+          |      x -> x <> '')) AS ws,
+          |    len(regexp_extract_all(text,
+          |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe
+          |  FROM documents)
+          |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |  CAST(ws AS BIGINT) AS n_ws_tokens,
+          |  CAST(bpe AS BIGINT) AS n_bpe_tokens,
+          |  round(CASE WHEN ws = 0 THEN 0.0
+          |    ELSE CAST(bpe AS DOUBLE) / ws END, 6) AS fragmentation
+          |FROM c""".stripMargin)),
+
+    ("doc_rolling_hash", (s: SparkSession, dir: String) =>
+      TextOps.fingerprintRolling(t(s, dir, "documents")),
+      Some(
+        """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |  CAST(list_reduce(list_prepend(0::BIGINT,
+          |    list_transform(string_split(text, ''),
+          |      ch -> CAST(ascii(ch) AS BIGINT))),
+          |    (h, c) -> (h*31 + c) % 2147483648) AS BIGINT) AS rolling_hash
+          |FROM documents""".stripMargin)),
+
     ("token_topk", (s: SparkSession, dir: String) =>
       TextOps.tokenTopK(t(s, dir, "documents"), 20),
       Some(
