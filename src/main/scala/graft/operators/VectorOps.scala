@@ -106,6 +106,45 @@ object VectorOps {
   }
 
   /**
+   * IVF-style approximate top-k: assign every vector to its
+   * nearest-centroid cluster, then search only the probe's own cluster.
+   * Centroids here are the first `nCentroids` vectors (deterministic,
+   * training-free seeding so external oracles can replicate the
+   * partition exactly); a production IVF would k-means-train them —
+   * the assign/search structure is identical. Shuffle profile: one
+   * broadcast of the centroids, one shuffle keyed by cluster.
+   */
+  def ivfTopK(emb: DataFrame, nProbes: Int, k: Int,
+      nCentroids: Int = 16): DataFrame = {
+    graft.functions.ensureRegistered(emb.sparkSession)
+    val centroids = broadcast(emb.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").cast("long").as("centroid_id"),
+        col("embedding").as("c_emb")))
+    val assigned = emb.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding"))
+      .join(centroids)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        cosine6(col("embedding"), col("c_emb")).as("c_score"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("c_score").desc, col("centroid_id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id").as("cluster"))
+    val probes = assigned.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("cluster"))
+    probes.join(assigned, Seq("cluster"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("cluster"),
+        col("vec_id").as("neighbor_id"),
+        cosine6(col("p_emb"), col("embedding")).as("score"))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("score").desc, col("neighbor_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("cluster"), col("rnk").cast("int").as("rnk"),
+        col("neighbor_id"), col("score"))
+  }
+
+  /**
    * Bucketed approximate top-k: score only same-bucket pairs. Probes with
    * no same-bucket neighbor produce no rows (approximate by design).
    */

@@ -732,6 +732,47 @@ object QueryDefs {
           |FROM scored
           |QUALIFY rnk <= 10""".stripMargin)),
 
+    ("embed_ann_ivf", (s: SparkSession, dir: String) =>
+      VectorOps.ivfTopK(t(s, dir, "embeddings"), nProbes = 16, k = 5),
+      Some(
+        """WITH e AS (
+          |  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings),
+          |cents AS (SELECT vec_id AS centroid_id, embedding AS c_emb
+          |  FROM e WHERE vec_id < 16),
+          |assigned AS (
+          |  SELECT vec_id, embedding, centroid_id AS cluster FROM (
+          |    SELECT e.vec_id, e.embedding, c.centroid_id,
+          |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |        round(
+          |          list_sum(list_transform(list_zip(e.embedding, c.c_emb),
+          |            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+          |          (sqrt(list_sum(list_transform(e.embedding,
+          |             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+          |           sqrt(list_sum(list_transform(c.c_emb,
+          |             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) DESC,
+          |        c.centroid_id ASC) AS rn
+          |    FROM e, cents c) WHERE rn = 1),
+          |probes AS (
+          |  SELECT vec_id AS probe_id, embedding AS p_emb, cluster
+          |  FROM assigned WHERE vec_id < 16),
+          |scored AS (
+          |  SELECT p.probe_id, p.cluster, a.vec_id AS neighbor_id,
+          |    round(
+          |      list_sum(list_transform(list_zip(p.p_emb, a.embedding),
+          |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+          |      (sqrt(list_sum(list_transform(p.p_emb,
+          |         v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+          |       sqrt(list_sum(list_transform(a.embedding,
+          |         v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS score
+          |  FROM probes p JOIN assigned a
+          |    ON p.cluster = a.cluster AND a.vec_id <> p.probe_id)
+          |SELECT probe_id, cluster,
+          |  CAST(row_number() OVER (PARTITION BY probe_id
+          |    ORDER BY score DESC, neighbor_id ASC) AS INT) AS rnk,
+          |  neighbor_id, score
+          |FROM scored
+          |QUALIFY rnk <= 5""".stripMargin)),
+
     ("embed_ann_lsh", (s: SparkSession, dir: String) =>
       VectorOps.annTopK(t(s, dir, "embeddings"), nProbes = 32, k = 3),
       Some(
