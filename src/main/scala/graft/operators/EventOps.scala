@@ -40,6 +40,42 @@ object EventOps {
         count_distinct(col("user_id")).cast("long").as("n_users"))
 
   /**
+   * As-of join composed from built-ins (the preference-order-(a) answer
+   * to an operator Spark lacks): for every event of `rightType`, the most
+   * recent prior event of `leftType` by the same user, via a union +
+   * last-non-null window instead of an O(n^2) range join. One shuffle
+   * keyed by user_id; linear per partition.
+   */
+  def asofJoin(events: DataFrame, leftType: String, rightType: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    events
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .filter(col("event_type").isin(leftType, rightType))
+      .withColumn("left_ts_marker",
+        when(col("event_type") === leftType, col("ts")))
+      .withColumn("asof_ts",
+        last(col("left_ts_marker"), ignoreNulls = true).over(byUser))
+      .filter(col("event_type") === rightType)
+      .select(col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"),
+        col("ts").cast("long").as("ts_ns"),
+        col("asof_ts").cast("long").as("asof_ts_ns"),
+        (col("ts") - col("asof_ts")).cast("long").as("gap_ns"))
+  }
+
+  /** CUBE rollup over (event_type, epoch-day): every grouping-set
+    * combination including grand totals. */
+  def cubeRollup(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        (col("ts") / NanosPerDay).cast("long").as("day"), col("value"))
+      .cube(col("event_type"), col("day"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        round(sum(col("value")), 2).as("value_sum"))
+
+  /**
    * Sessionization: a new session starts after `gapMinutes` of user
    * inactivity. Returns one row per user with event/session counts and the
    * largest session size.

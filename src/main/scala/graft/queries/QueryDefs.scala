@@ -842,6 +842,43 @@ object QueryDefs {
           |  CAST(max(sess_events) AS BIGINT) AS max_session_events
           |FROM per_sess GROUP BY user_id""".stripMargin)),
 
+    ("events_asof", (s: SparkSession, dir: String) =>
+      // DuckDB timestamps are µs-precision, so compare in µs: truncate
+      // the raw-ns column before the as-of join
+      EventOps.asofJoin(EventOps.readEvents(s, dir)
+        .withColumn("ts", expr("ts div 1000")),
+        "click", "purchase")
+        .withColumnRenamed("ts_ns", "ts_us")
+        .withColumnRenamed("asof_ts_ns", "asof_ts_us")
+        .withColumnRenamed("gap_ns", "gap_us"),
+      Some(
+        """WITH e AS (
+          |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+          |  FROM events WHERE event_type IN ('click', 'purchase')),
+          |marked AS (
+          |  SELECT event_id, user_id, ts_us, event_type,
+          |    last_value(CASE WHEN event_type = 'click' THEN ts_us END
+          |      IGNORE NULLS) OVER (PARTITION BY user_id
+          |        ORDER BY ts_us, event_id
+          |        ROWS UNBOUNDED PRECEDING) AS asof_ts
+          |  FROM e)
+          |SELECT CAST(event_id AS BIGINT) AS event_id,
+          |  CAST(user_id AS BIGINT) AS user_id,
+          |  CAST(ts_us AS BIGINT) AS ts_us,
+          |  CAST(asof_ts AS BIGINT) AS asof_ts_us,
+          |  CAST(ts_us - asof_ts AS BIGINT) AS gap_us
+          |FROM marked WHERE event_type = 'purchase'""".stripMargin)),
+
+    ("events_cube", (s: SparkSession, dir: String) =>
+      EventOps.cubeRollup(EventOps.readEvents(s, dir)),
+      Some(
+        """SELECT event_type,
+          |  CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+          |  CAST(count(*) AS BIGINT) AS n_events,
+          |  round(sum(value), 2) AS value_sum
+          |FROM events
+          |GROUP BY CUBE(event_type, day)""".stripMargin)),
+
     // ============ relational (TPC-H-ish; bench headliners) ============
 
     ("q1_agg", (s: SparkSession, dir: String) =>
