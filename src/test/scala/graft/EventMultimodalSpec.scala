@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{EventOps, MultimodalOps, OmeConstructors, OmeOps}
+import graft.schema.Fixtures
+
+/** Unit specs for event analytics and multimodal media operators over
+  * crafted micro-inputs (the queries cover them at corpus scale). */
+class EventMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val m = 60L * 1000 * 1000 * 1000 // one minute in ns
+
+  private val events = Seq(
+    // user 1: two sessions (45-min gap), click then purchase
+    (1L, 0 * m, 1L, "click", 1.0, "{}"),
+    (2L, 10 * m, 1L, "purchase", 2.0, "{}"),
+    (3L, 55 * m, 1L, "view", 3.0, "{}"),
+    // user 2: purchase with no prior click
+    (4L, 5 * m, 2L, "purchase", 4.0, "{}"),
+    // user 2: later click then purchase
+    (5L, 20 * m, 2L, "click", 5.0, "{}"),
+    (6L, 30 * m, 2L, "purchase", 6.0, "{}")
+  ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("sessionize splits on the inactivity gap") {
+    val out = EventOps.sessionize(events, gapMinutes = 30)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) === ((3L, 2L))) // 3 events, 2 sessions (45-min gap)
+    assert(out(2L) === ((3L, 1L))) // all within 30 min of each other
+  }
+
+  test("asofJoin picks the latest prior left event, null when none") {
+    val out = EventOps.asofJoin(events, "click", "purchase")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out(2L) === Some(0 * m)) // purchase 2 <- click at t=0
+    assert(out(4L) === None)        // no prior click for user 2
+    assert(out(6L) === Some(20 * m))
+  }
+
+  test("cubeRollup includes slices and the grand total") {
+    val out = EventOps.cubeRollup(events).collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1))) -> r.getLong(2)).toMap
+    assert(out((None, None)) === 6L) // grand total
+    assert(out((Some("purchase"), Some(0L))) === 3L)
+    assert(out((Some("click"), None)) === 2L)
+  }
+
+  test("media round-trip: frameSample then features") {
+    val media = MultimodalOps.mediaFromOme(Fixtures.corpus4d(spark))
+    val sampled = MultimodalOps.frameSample(media, 4) // keep pages 0 and 4
+    val feats = MultimodalOps.imageFeatures(sampled).collect()
+    assert(feats.forall(_.getAs[Int]("n_frames") === 2))
+    assert(feats.forall(_.getAs[Long]("n_px") === 128L))
+  }
+
+  test("audio stub features are deterministic") {
+    val media = spark.range(2).map { id =>
+      MultimodalOps.MediaRow(s"a$id", "audio/fake",
+        Array.tabulate(100)(i => (i % 256).toByte), 0, 0, 0)
+    }
+    val a = MultimodalOps.audioFeatures(media).collect().map(_.toString).sorted
+    val b = MultimodalOps.audioFeatures(media).collect().map(_.toString).sorted
+    assert(a === b)
+    assert(a.length === 2)
+  }
+
+  test("constructor defaults produce a valid, parquet-writable record") {
+    val df = OmeConstructors.toOmeArrow(spark, imageId = "unit-test")
+    assert(OmeOps.verifySchema(df, strict = true))
+    assert(df.select(size(col("ome_arrow.planes"))).collect()(0).getInt(0) === 1)
+    assert(df.select(aggregate(
+      element_at(col("ome_arrow.planes"), 1).getField("pixels"),
+      lit(0L), (a, v) => a + v)).collect()(0).getLong(0) === 0L)
+  }
+}
