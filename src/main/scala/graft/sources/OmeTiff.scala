@@ -149,6 +149,7 @@ object OmeTiff {
       r.pixels_meta.channels.map(_.name))
     val bytes = TiffCodec.encode(pages, Some(xml))
     val fs = dest.getFileSystem(conf)
+    fs.setWriteChecksum(false)
     val os = fs.create(dest, true)
     try os.write(bytes) finally os.close()
   }

@@ -99,6 +99,7 @@ object OmeZarr {
             }
             val payload = if (zlib) zlibCompress(bytes) else bytes
             val fs = dir.getFileSystem(serConf.value)
+            fs.setWriteChecksum(false)
             val os = fs.create(new Path(dir, chunkName), true)
             try os.write(payload) finally os.close()
           }
@@ -120,6 +121,7 @@ object OmeZarr {
         val root = if (single) new Path(out) else new Path(out, s"$id.zarr")
         val levelDir = new Path(root, l.toString)
         val fs = root.getFileSystem(fsConf)
+        fs.setWriteChecksum(false)
         val shape = Seq(m.getInt(1), m.getInt(2), m.getInt(3), m.getInt(4), m.getInt(5))
         val comp = if (compressor == "zlib")
           """{"id": "zlib", "level": 6}""" else "null"

@@ -1,28 +1,28 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-import graft.operators.OmeOps
-import graft.schema.Fixtures
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val spark = SparkSession.builder().master("local[4]")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def pipeline(n: Int): Long = {
-      val corpus = Fixtures.syntheticImages(spark, n, t = 7, c = 3, z = 5,
-        sy = 64, sx = 64, prefix = "big")
-      OmeOps.downscalePlanes(OmeOps.cropPlanes(
-        OmeOps.explodePlanes(corpus), 8, 56, 8, 56))
-        .select(aggregate(col("pixels"), lit(0L), (a, v) => a + v))
-        .count()
-    }
-    pipeline(8) // warmup (codegen + JIT)
-    for (n <- Seq(32, 128, 512, 1024)) {
-      val t0 = System.nanoTime()
-      val rows = pipeline(n)
-      println(f"n=$n%5d images (${n * 105}%6d planes): ${(System.nanoTime() - t0) / 1e9}%6.2f s ($rows rows)")
-    }
+    println("--- corrupted zarr chunk without CRC net ---")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("/tmp/crctest/zarr/i4d-0000.zarr/0/0.0.0.0.0"),
+      "garbage".getBytes)
+    try graft.sources.OmeZarr.read(spark, "/tmp/crctest/zarr/i4d-0000.zarr").collect()
+    catch { case e: Throwable =>
+      var c: Throwable = e; while (c.getCause != null && c.getCause != c) c = c.getCause
+      println("error: " + c.getClass.getSimpleName + ": " + c.getMessage.replaceAll("\n.*", "").take(120)) }
+    println("--- truncated (valid zlib prefix? no: short raw) chunk ---")
+    val good = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "/tmp/crctest/zarr/i4d-0000.zarr/0/0.0.1.0.0"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("/tmp/crctest/zarr/i4d-0000.zarr/0/0.0.1.0.0"),
+      java.util.Arrays.copyOf(good, good.length / 2))
+    try graft.sources.OmeZarr.read(spark, "/tmp/crctest/zarr/i4d-0000.zarr").collect()
+    catch { case e: Throwable =>
+      var c: Throwable = e; while (c.getCause != null && c.getCause != c) c = c.getCause
+      println("error: " + c.getClass.getSimpleName + ": " + c.getMessage.replaceAll("\n.*", "").take(120)) }
     spark.stop()
   }
 }
