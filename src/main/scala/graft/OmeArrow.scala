@@ -20,7 +20,13 @@ object OmeArrow {
     * OME-Parquet; .tif/.tiff -> TIFF. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val lower = path.toLowerCase.stripSuffix("/")
-    if (path.exists(c => c == '<' || c == '>' || c == '*'))
+    // A bare glob over TIFFs (no bracket tokens) is a corpus read — one
+    // record per file via Hadoop globbing — not a stack pattern. (The
+    // reference's regex fallback would reject a bare "*" too.)
+    if (!path.contains('<') && path.contains('*') &&
+        (lower.endsWith(".tif") || lower.endsWith(".tiff")))
+      sources.OmeTiff.read(spark, path)
+    else if (path.exists(c => c == '<' || c == '>' || c == '*'))
       sources.OmeStack.readPattern(spark, path)
     else if (lower.endsWith(".zarr") || lower.endsWith(".ome.zarr"))
       sources.OmeZarr.read(spark, path)

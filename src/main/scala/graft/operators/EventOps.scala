@@ -32,7 +32,7 @@ object EventOps {
   def dailyRollup(events: DataFrame): DataFrame =
     events
       .select(col("event_type"),
-        (col("ts") / NanosPerDay).cast("long").as("day"),
+        expr(s"ts div $NanosPerDay").as("day"),
         col("value"), col("user_id"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).cast("long").as("n_events"),
@@ -70,7 +70,7 @@ object EventOps {
   def cubeRollup(events: DataFrame): DataFrame =
     events
       .select(col("event_type"),
-        (col("ts") / NanosPerDay).cast("long").as("day"), col("value"))
+        expr(s"ts div $NanosPerDay").as("day"), col("value"))
       .cube(col("event_type"), col("day"))
       .agg(count(lit(1)).cast("long").as("n_events"),
         round(sum(col("value")), 2).as("value_sum"))

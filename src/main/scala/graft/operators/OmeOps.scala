@@ -336,8 +336,15 @@ object OmeOps {
     val newSx = xMax - xMin
     graft.functions.ensureRegistered(planeDf.sparkSession)
     planeDf
-      .withColumn("pixels", graft.functions.pixel_crop(
-        col("pixels"), col("size_x"), xMin, xMax, yMin, yMax))
+      .withColumn("pixels",
+        // per-row bound check mirrors sliceOmeArrow's boundsOk: an
+        // oversized crop must raise, not wrap around row boundaries
+        when(lit(xMax) > col("size_x") || lit(yMax) > col("size_y"),
+          raise_error(format_string(
+            s"Crop bounds out of range: x[$xMin,$xMax) within [0,%d), " +
+              s"y[$yMin,$yMax) within [0,%d).", col("size_x"), col("size_y"))))
+          .otherwise(graft.functions.pixel_crop(
+            col("pixels"), col("size_x"), xMin, xMax, yMin, yMax)))
       .withColumn("size_x", lit(newSx))
       .withColumn("size_y", lit(yMax - yMin))
   }

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.OmeOps
@@ -54,14 +54,35 @@ object OmeParquet {
         found.head
     }
     val rec = col(colName)
-    val hasMasks = raw.schema(colName).dataType match {
-      case s: org.apache.spark.sql.types.StructType => s.fieldNames.contains("masks")
-      case _ => false
+    // Rebuild the struct BY FIELD NAME into canonical order before the
+    // cast: the lenient matcher is order-insensitive but Spark's struct
+    // cast is positional — a foreign producer writing the same fields in
+    // a different order would otherwise scramble values silently. The
+    // cast then normalizes reader widenings (uint16 pixels already
+    // int32, timestamp_ntz -> session-UTC timestamp, etc.).
+    val conformed = conformByName(rec, raw.schema(colName).dataType,
+      OmeSchema.omeArrowType)
+    raw.select(conformed.cast(OmeSchema.omeArrowType).as(OmeSchema.DefaultColumn))
+  }
+
+  /** Recursively reorder struct fields (at any nesting depth, through
+    * arrays) to match `target`'s field order, dropping extras such as the
+    * reserved `masks` field. Types are left to the final cast. */
+  private def conformByName(c: Column,
+      source: org.apache.spark.sql.types.DataType,
+      target: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    (source, target) match {
+      case (s: StructType, t: StructType) =>
+        struct(t.fields.map { tf =>
+          val sf = s.fields.find(_.name == tf.name).getOrElse(
+            throw new IllegalArgumentException(s"missing field ${tf.name}"))
+          conformByName(c.getField(tf.name), sf.dataType, tf.dataType).as(tf.name)
+        }.toIndexedSeq: _*)
+      case (ArrayType(se, _), ArrayType(te, _)) =>
+        transform(c, e => conformByName(e, se, te))
+      case _ => c
     }
-    val noMasks = if (hasMasks) rec.dropFields("masks") else rec
-    // Cast normalizes reader widenings (uint16 pixels already int32,
-    // timestamp_ntz -> session-UTC timestamp, etc.) to the canonical type.
-    raw.select(noMasks.cast(OmeSchema.omeArrowType).as(OmeSchema.DefaultColumn))
   }
 
   /**

@@ -194,6 +194,9 @@ object OmeStack {
           page.pixels.toSeq.map(v => math.min(math.max(v, 0), 65535)))
       }
     }.toDF("t", "c", "z", "sx", "sy", "pixels")
+      // the shape probe below and the final nest are separate actions;
+      // persist so files are downloaded and decoded exactly once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val shapes = planeRows.select(col("sx"), col("sy"), col("z")).distinct().collect()
     val sx = shapes.map(_.getInt(0)).distinct

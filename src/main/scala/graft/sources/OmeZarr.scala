@@ -73,6 +73,13 @@ object OmeZarr {
       s"compressor '$compressor' unsupported (zlib/null)")
     val single = out.toLowerCase.endsWith(".zarr")
     val spark = df.sparkSession
+    if (single) {
+      // chunk names carry no image id, so one store holds exactly one
+      // record — multiple records would silently clobber each other
+      val n = df.count()
+      require(n == 1,
+        s"Writing to a single store '$out' requires exactly 1 record, got $n")
+    }
     val serConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
 
@@ -221,8 +228,12 @@ object OmeZarr {
     val dtype = jsonString(zarray, "dtype").getOrElse("<u2")
     require(Set("<u2", "|u1", ">u2").contains(dtype),
       s"Zarr: dtype '$dtype' unsupported (u1/u2 only)")
-    val compId = jsonString(zarray, "id").getOrElse("null") // inside compressor obj
-    require(compId == "zlib" || compId == "null" || !zarray.contains("compressor\": {"),
+    // compressor is either JSON null or an object whose "id" names the
+    // codec (whitespace-insensitive — compact JSON from other writers)
+    val nullComp = """"compressor"\s*:\s*null""".r.findFirstIn(zarray).isDefined
+    val compId = if (nullComp) "null"
+      else jsonString(zarray, "id").getOrElse("null")
+    require(compId == "zlib" || compId == "null",
       s"Zarr: compressor '$compId' unsupported (zlib/null; blosc needs external codecs)")
 
     // physical sizes from the level-0 scale transform; channels from omero

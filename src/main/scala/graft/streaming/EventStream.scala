@@ -36,7 +36,7 @@ object EventStream {
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("event_ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_ts", lateness)
       .groupBy(window(col("event_ts"), windowLength), col("event_type"))
       .agg(count(lit(1)).cast("long").as("n_events"),

@@ -36,11 +36,15 @@ object OmeStreamIngest {
    * O4 pattern whose choices enumerate the expected coordinates.
    */
   def planeStream(spark: SparkSession, dir: String, pattern: String,
-      imageId: String): Dataset[PlaneEvent] = {
+      imageId: String, mapSeriesTo: String = "T"): Dataset[PlaneEvent] = {
     val sp = spark
     import sp.implicits._
     val (template, phs0) = OmeStack.parseBracketPattern(pattern)
-    val phs = phs0.map(p => if (p.dim == '?') p.copy(dim = 'C') else p)
+    val phs = phs0.map { p =>
+      val d = if (p.dim == '?') 'C' else p.dim
+      // series remaps like batch ingest (ingest.py:508-511)
+      p.copy(dim = if (d == 'S') mapSeriesTo.toUpperCase.head else d)
+    }
     // filename -> (t,c,z): expand all combos once (driver, metadata-scale)
     val combos = phs.map(_.choices.zipWithIndex)
       .foldLeft(Seq(Seq.empty[(String, Int)])) { (acc, cs) =>

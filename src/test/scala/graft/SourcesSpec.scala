@@ -122,6 +122,27 @@ class SourcesSpec extends SparkSpec {
     assert(back.select(size(col("ome_arrow.planes"))).collect()(0).getInt(0) === 8)
   }
 
+  test("O6: foreign field ORDER conforms by name, not position") {
+    // pyarrow fixture with every struct level's fields shuffled
+    val df = OmeParquet.read(spark,
+      "/root/repo/src/test/resources/scrambled_order.parquet")
+    val row = OmeOps.describe(df).collect()(0)
+    assert(row.getAs[String]("id") === "scr-1")
+    assert(row.getAs[String]("type") === "2D image")
+    val px = df.select(element_at(col("ome_arrow.planes"), 1).getField("pixels"))
+      .collect()(0).getSeq[Int](0)
+    assert(px === (0 until 6))
+    val ch = df.select(element_at(col("ome_arrow.pixels_meta.channels"), 1))
+      .collect()(0).getStruct(0)
+    assert(ch.getAs[String]("id") === "ch-0" && ch.getAs[String]("name") === "DNA")
+  }
+
+  test("O16: bare TIFF glob reads one record per file") {
+    val df = graft.OmeArrow.read(spark,
+      "/root/reference/tests/data/ome-artificial-5d-datasets/*.ome.tiff")
+    assert(df.count() === 6) // 6 .ome.tiff files (time-series is .ome.tif)
+  }
+
   test("O5: foreign Zarr dtypes (|u1 raw, >u2 zlib) decode correctly") {
     val u1 = graft.sources.OmeZarr.read(spark,
       "/root/repo/src/test/resources/u1_store.zarr")
