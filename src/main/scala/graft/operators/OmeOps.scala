@@ -529,6 +529,27 @@ object OmeOps {
   }
 
   /**
+   * Scale-path contrast percentiles: `percentile_approx` over the exploded
+   * plane rows instead of sorting each record's whole volume in one
+   * expression (SURVEY §4.2: exact `percentileContrast` for oracle parity,
+   * approx at scale). One aggregation keyed by image — works when a single
+   * image's volume is too large to sort inside one row.
+   */
+  def percentileContrastApprox(df: DataFrame, c: Int,
+      pLow: Double = 1.0, pHigh: Double = 99.9, accuracy: Int = 10000,
+      column: String = OmeSchema.DefaultColumn): DataFrame =
+    explodePlanes(df, column)
+      .filter(col("t") === 0 && col("c") === c)
+      .select(col("image_id"), explode(col("pixels")).as("v"))
+      .groupBy(col("image_id"))
+      .agg(count(lit(1)).cast("int").as("n_px"),
+        percentile_approx(col("v"), lit(pLow / 100.0), lit(accuracy)).as("clim_low"),
+        percentile_approx(col("v"), lit(pHigh / 100.0), lit(accuracy)).as("clim_high"))
+      .select(col("image_id").as("id"), lit(c).as("c"), col("n_px"),
+        col("clim_low").cast("double").as("clim_low"),
+        col("clim_high").cast("double").as("clim_high"))
+
+  /**
    * Dense export bridge (export.py:14-113 `to_numpy` semantics): per image,
    * the full T*C*Z*Y*X volume as one flat row-major array, zero-filled for
    * missing planes. Plane scatter happens inside one expression per record;

@@ -4,28 +4,28 @@ import graft.operators.OmeOps
 import graft.schema.Fixtures
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    println("--- cropPlanes beyond size_x ---")
-    try OmeOps.cropPlanes(OmeOps.explodePlanes(Fixtures.corpus4d(spark)),
-      0, 10, 0, 2).collect()
-    catch { case e: Throwable =>
-      var c: Throwable = e; while (c.getCause != null && c.getCause != c) c = c.getCause
-      println("error: " + c.getMessage.replaceAll("\n.*", "").take(120)) }
-    println("--- compact-JSON blosc store rejected ---")
-    graft.sources.OmeZarr.write(
-      Fixtures.corpus4d(spark).filter(org.apache.spark.sql.functions
-        .col("ome_arrow.id") === "i4d-0000"), "/tmp/bloscz/i4d-0000.zarr")
-    val za = java.nio.file.Paths.get("/tmp/bloscz/i4d-0000.zarr/0/.zarray")
-    val orig = new String(java.nio.file.Files.readAllBytes(za), "UTF-8")
-    java.nio.file.Files.write(za, orig.replace(
-      """"compressor": {"id": "zlib", "level": 6}""",
-      """"compressor":{"id":"blosc","cname":"zstd"}""").getBytes)
-    try graft.sources.OmeZarr.read(spark, "/tmp/bloscz/i4d-0000.zarr").collect()
-    catch { case e: Throwable =>
-      var c: Throwable = e; while (c.getCause != null && c.getCause != c) c = c.getCause
-      println("error: " + c.getMessage.replaceAll("\n.*", "").take(130)) }
+    // bigger corpus than the unit test: 8 images x 105 planes of 64x64
+    val corpus = Fixtures.syntheticImages(spark, 8, t = 7, c = 3, z = 5,
+      sy = 64, sx = 64)
+    println("--- exact vs approx on 8 x (7,3,5,64,64) images, c=1 ---")
+    val exact = OmeOps.percentileContrast(corpus, c = 1).collect()
+      .map(r => r.getString(0) -> (r.getAs[Double]("clim_low"), r.getAs[Double]("clim_high"))).toMap
+    val approx = OmeOps.percentileContrastApprox(corpus, c = 1).collect()
+      .map(r => r.getString(0) -> (r.getAs[Double]("clim_low"), r.getAs[Double]("clim_high"))).toMap
+    val maxDiff = exact.keys.map(k => math.max(
+      math.abs(exact(k)._1 - approx(k)._1), math.abs(exact(k)._2 - approx(k)._2))).max
+    println(f"images=${exact.size} maxAbsDiff=$maxDiff%.3f (volume 20480 px/image)")
+    val plan = OmeOps.percentileContrastApprox(corpus, c = 1)
+      .queryExecution.executedPlan.toString
+    println("shuffles: " + ("Exchange".r.findAllIn(plan).length -
+      "BroadcastExchange".r.findAllIn(plan).length))
+    println("partial agg before shuffle: " + plan.contains("partial_percentile_approx"))
+    println("--- absent channel c=9 ---")
+    println("rows: " + OmeOps.percentileContrastApprox(corpus, c = 9).count() + " (want 0)")
     spark.stop()
   }
 }

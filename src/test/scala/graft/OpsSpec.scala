@@ -48,6 +48,23 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(out.getAs[Double]("clim_high") - 122.989) < 1e-9)
   }
 
+  test("approx percentiles track the exact operator within tolerance") {
+    val corpus = Fixtures.corpus4d(spark)
+    val exact = OmeOps.percentileContrast(corpus, c = 1).collect()
+      .map(r => r.getString(0) -> (r.getAs[Double]("clim_low"),
+        r.getAs[Double]("clim_high"))).toMap
+    val approx = OmeOps.percentileContrastApprox(corpus, c = 1).collect()
+      .map(r => r.getString(0) -> (r.getAs[Double]("clim_low"),
+        r.getAs[Double]("clim_high"))).toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (id, (lo, hi)) =>
+      // approx returns an actual data value; exact interpolates — allow
+      // one value-step of slack (synthetic pixels step by 1)
+      assert(math.abs(lo - exact(id)._1) <= 1.5, s"$id low")
+      assert(math.abs(hi - exact(id)._2) <= 1.5, s"$id high")
+    }
+  }
+
   test("toDense zero-fills holes and preserves totals") {
     val syn = Fixtures.syntheticImages(spark, 1)
     val holed = OmeOps.filterPlanes(syn,
