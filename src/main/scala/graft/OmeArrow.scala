@@ -21,9 +21,12 @@ object OmeArrow {
   def read(spark: SparkSession, path: String): DataFrame = {
     val lower = path.toLowerCase.stripSuffix("/")
     // A bare glob over TIFFs (no bracket tokens) is a corpus read — one
-    // record per file via Hadoop globbing — not a stack pattern. (The
-    // reference's regex fallback would reject a bare "*" too.)
+    // record per file via Hadoop globbing — not a stack pattern. Paths
+    // carrying regex-only metacharacters (\ ( ) + ^ $ |) still route to
+    // the pattern reader's regex fallback; to force regex semantics for
+    // an ambiguous ".*"-style pattern, call OmeStack.readPattern directly.
     if (!path.contains('<') && path.contains('*') &&
+        !path.exists("\\()+^$|".contains(_)) &&
         (lower.endsWith(".tif") || lower.endsWith(".tiff")))
       sources.OmeTiff.read(spark, path)
     else if (path.exists(c => c == '<' || c == '>' || c == '*'))

@@ -533,7 +533,9 @@ object OmeOps {
    * plane rows instead of sorting each record's whole volume in one
    * expression (SURVEY §4.2: exact `percentileContrast` for oracle parity,
    * approx at scale). One aggregation keyed by image — works when a single
-   * image's volume is too large to sort inside one row.
+   * image's volume is too large to sort inside one row. Contract note:
+   * images with no (t=0, c) planes produce NO row (the group never
+   * forms), where the exact operator emits a null-clim row per record.
    */
   def percentileContrastApprox(df: DataFrame, c: Int,
       pLow: Double = 1.0, pHigh: Double = 99.9, accuracy: Int = 10000,
@@ -542,7 +544,7 @@ object OmeOps {
       .filter(col("t") === 0 && col("c") === c)
       .select(col("image_id"), explode(col("pixels")).as("v"))
       .groupBy(col("image_id"))
-      .agg(count(lit(1)).cast("int").as("n_px"),
+      .agg(count(lit(1)).as("n_px"), // long: volumes can exceed 2^31 px
         percentile_approx(col("v"), lit(pLow / 100.0), lit(accuracy)).as("clim_low"),
         percentile_approx(col("v"), lit(pHigh / 100.0), lit(accuracy)).as("clim_high"))
       .select(col("image_id").as("id"), lit(c).as("c"), col("n_px"),

@@ -67,18 +67,31 @@ object OmeParquet {
 
   /** Recursively reorder struct fields (at any nesting depth, through
     * arrays) to match `target`'s field order, dropping extras such as the
-    * reserved `masks` field. Types are left to the final cast. */
+    * reserved `masks` field. Types are left to the final cast. Returns the
+    * column UNCHANGED when names already align (the common engine-written
+    * case — avoids wrapping every pixel array in an interpreted identity
+    * transform), and preserves NULL records (a rebuilt struct over a null
+    * input would otherwise become a non-null struct of nulls). */
   private def conformByName(c: Column,
       source: org.apache.spark.sql.types.DataType,
       target: org.apache.spark.sql.types.DataType): Column = {
-    import org.apache.spark.sql.types.{ArrayType, StructType}
+    import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
+    def aligned(s: DataType, t: DataType): Boolean = (s, t) match {
+      case (ss: StructType, ts: StructType) =>
+        ss.fields.map(_.name).sameElements(ts.fields.map(_.name)) &&
+          ss.fields.zip(ts.fields).forall { case (a, b) => aligned(a.dataType, b.dataType) }
+      case (ArrayType(se, _), ArrayType(te, _)) => aligned(se, te)
+      case _ => true
+    }
     (source, target) match {
+      case (s, t) if aligned(s, t) => c
       case (s: StructType, t: StructType) =>
-        struct(t.fields.map { tf =>
+        val rebuilt = struct(t.fields.map { tf =>
           val sf = s.fields.find(_.name == tf.name).getOrElse(
             throw new IllegalArgumentException(s"missing field ${tf.name}"))
           conformByName(c.getField(tf.name), sf.dataType, tf.dataType).as(tf.name)
         }.toIndexedSeq: _*)
+        when(c.isNull, lit(null)).otherwise(rebuilt)
       case (ArrayType(se, _), ArrayType(te, _)) =>
         transform(c, e => conformByName(e, se, te))
       case _ => c

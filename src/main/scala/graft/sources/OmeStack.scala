@@ -258,11 +258,17 @@ object OmeStack {
       lit(name.getOrElse(patternPath)).as("name"),
       lit(new Timestamp(0L)).cast("timestamp").as("acquisition_datetime"),
       pixelsMeta.as("pixels_meta"))
-    OmeOps.nestPlanes(filled
+    // materialize the single assembled record eagerly so the cached
+    // decoded planes can be released before returning (persist would
+    // otherwise leak across calls in a long-lived session)
+    val assembled = OmeOps.nestPlanes(filled
       .withColumn("image_id", lit(imageId.getOrElse(stem)))
       .withColumn("record_meta", recordMeta)
       .select(col("image_id"), col("record_meta"),
         col("t"), col("c"), col("z"), col("pixels")))
+      .localCheckpoint()
+    planeRows.unpersist()
+    assembled
   }
 
   private def normalize(fs: org.apache.hadoop.fs.FileSystem,

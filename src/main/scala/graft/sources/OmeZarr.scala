@@ -73,45 +73,15 @@ object OmeZarr {
       s"compressor '$compressor' unsupported (zlib/null)")
     val single = out.toLowerCase.endsWith(".zarr")
     val spark = df.sparkSession
-    if (single) {
-      // chunk names carry no image id, so one store holds exactly one
-      // record — multiple records would silently clobber each other
-      val n = df.count()
-      require(n == 1,
-        s"Writing to a single store '$out' requires exactly 1 record, got $n")
-    }
     val serConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
 
     // iterate pyramid levels; each level writes its chunks from executors
     var level = df
     for (l <- 0 until multiscaleLevels) {
-      val planes = OmeOps.explodePlanes(level, column)
-      val zlib = compressor == "zlib"
-      planes.select(col("image_id"), col("t"), col("c"), col("z"),
-          col("size_x"), col("size_y"), col("pixels"))
-        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-          it.foreach { r =>
-            val id = r.getString(0)
-            val dir = if (single) new Path(out, l.toString)
-              else new Path(new Path(out, s"$id.zarr"), l.toString)
-            val chunkName = s"${r.getInt(1)}.${r.getInt(2)}.${r.getInt(3)}.0.0"
-            val px = r.getSeq[Int](6)
-            val bytes = new Array[Byte](px.length * 2)
-            var i = 0
-            while (i < px.length) {
-              bytes(i * 2) = (px(i) & 0xff).toByte
-              bytes(i * 2 + 1) = ((px(i) >> 8) & 0xff).toByte
-              i += 1
-            }
-            val payload = if (zlib) zlibCompress(bytes) else bytes
-            val fs = dir.getFileSystem(serConf.value)
-            fs.setWriteChecksum(false)
-            val os = fs.create(new Path(dir, chunkName), true)
-            try os.write(payload) finally os.close()
-          }
-        }
-      // per-level .zarray + per-image group metadata (driver, metadata-only)
+      // per-image metadata first (cheap metadata-only scan via nested
+      // pruning) — it also guards the single-store contract without an
+      // extra count() pass over the pixel pipeline
       val metas = level.select(
         col(s"$column.id"),
         col(s"$column.pixels_meta.size_t"), col(s"$column.pixels_meta.size_c").cast("int"),
@@ -122,6 +92,10 @@ object OmeZarr {
         col(s"$column.pixels_meta.physical_size_z"),
         transform(col(s"$column.pixels_meta.channels"), c => c.getField("name")),
         col(s"$column.name")).collect()
+      // chunk names carry no image id, so one store holds exactly one
+      // record — multiple records would silently clobber each other
+      require(!single || metas.length == 1,
+        s"Writing to a single store '$out' requires exactly 1 record, got ${metas.length}")
       val fsConf = spark.sessionState.newHadoopConf()
       metas.foreach { m =>
         val id = m.getString(0)
@@ -162,6 +136,32 @@ object OmeZarr {
               .stripMargin.replace("\n", ""))
         }
       }
+      // chunk payloads from executor tasks (one file per plane)
+      val planes = OmeOps.explodePlanes(level, column)
+      val zlib = compressor == "zlib"
+      planes.select(col("image_id"), col("t"), col("c"), col("z"),
+          col("size_x"), col("size_y"), col("pixels"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            val id = r.getString(0)
+            val dir = if (single) new Path(out, l.toString)
+              else new Path(new Path(out, s"$id.zarr"), l.toString)
+            val chunkName = s"${r.getInt(1)}.${r.getInt(2)}.${r.getInt(3)}.0.0"
+            val px = r.getSeq[Int](6)
+            val bytes = new Array[Byte](px.length * 2)
+            var i = 0
+            while (i < px.length) {
+              bytes(i * 2) = (px(i) & 0xff).toByte
+              bytes(i * 2 + 1) = ((px(i) >> 8) & 0xff).toByte
+              i += 1
+            }
+            val payload = if (zlib) zlibCompress(bytes) else bytes
+            val fs = dir.getFileSystem(serConf.value)
+            fs.setWriteChecksum(false)
+            val os = fs.create(new Path(dir, chunkName), true)
+            try os.write(payload) finally os.close()
+          }
+        }
       if (l + 1 < multiscaleLevels) level = OmeOps.downscale2x(level, column)
     }
   }
@@ -229,12 +229,24 @@ object OmeZarr {
     require(Set("<u2", "|u1", ">u2").contains(dtype),
       s"Zarr: dtype '$dtype' unsupported (u1/u2 only)")
     // compressor is either JSON null or an object whose "id" names the
-    // codec (whitespace-insensitive — compact JSON from other writers)
+    // codec; scope the id lookup to the compressor OBJECT so an "id" key
+    // elsewhere in the document cannot satisfy the check
     val nullComp = """"compressor"\s*:\s*null""".r.findFirstIn(zarray).isDefined
-    val compId = if (nullComp) "null"
-      else jsonString(zarray, "id").getOrElse("null")
+    val compObj = """"compressor"\s*:\s*(\{[^}]*\})""".r
+      .findFirstMatchIn(zarray).map(_.group(1))
+    val compId =
+      if (nullComp) "null"
+      else compObj.flatMap(jsonString(_, "id")).getOrElse(
+        throw new IllegalArgumentException(
+          "Zarr: .zarray has neither a null compressor nor a compressor id"))
     require(compId == "zlib" || compId == "null",
       s"Zarr: compressor '$compId' unsupported (zlib/null; blosc needs external codecs)")
+    // filters would transform bytes before/after the compressor — we
+    // implement none, so anything but null/absent must be rejected
+    val filtersSpecified = """"filters"\s*:\s*(?!null)[\[{"]""".r
+      .findFirstIn(zarray).isDefined
+    require(!filtersSpecified,
+      "Zarr: filters are unsupported (store must have \"filters\": null)")
 
     // physical sizes from the level-0 scale transform; channels from omero
     val scale = jsonNumArray(attrs, "scale").getOrElse(Seq(1.0, 1.0, 1.0, 1.0, 1.0))

@@ -43,7 +43,11 @@ object OmeStreamIngest {
     val phs = phs0.map { p =>
       val d = if (p.dim == '?') 'C' else p.dim
       // series remaps like batch ingest (ingest.py:508-511)
-      p.copy(dim = if (d == 'S') mapSeriesTo.toUpperCase.head else d)
+      if (d == 'S') {
+        require(mapSeriesTo.nonEmpty,
+          "Encountered 'series' but mapSeriesTo is empty")
+        p.copy(dim = mapSeriesTo.toUpperCase.head)
+      } else p.copy(dim = d)
     }
     // filename -> (t,c,z): expand all combos once (driver, metadata-scale)
     val combos = phs.map(_.choices.zipWithIndex)

@@ -1,31 +1,44 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.OmeArrow
 import graft.operators.OmeOps
 import graft.schema.Fixtures
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val spark = SparkSession.builder().master("local[4]")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // bigger corpus than the unit test: 8 images x 105 planes of 64x64
-    val corpus = Fixtures.syntheticImages(spark, 8, t = 7, c = 3, z = 5,
-      sy = 64, sx = 64)
-    println("--- exact vs approx on 8 x (7,3,5,64,64) images, c=1 ---")
-    val exact = OmeOps.percentileContrast(corpus, c = 1).collect()
-      .map(r => r.getString(0) -> (r.getAs[Double]("clim_low"), r.getAs[Double]("clim_high"))).toMap
-    val approx = OmeOps.percentileContrastApprox(corpus, c = 1).collect()
-      .map(r => r.getString(0) -> (r.getAs[Double]("clim_low"), r.getAs[Double]("clim_high"))).toMap
-    val maxDiff = exact.keys.map(k => math.max(
-      math.abs(exact(k)._1 - approx(k)._1), math.abs(exact(k)._2 - approx(k)._2))).max
-    println(f"images=${exact.size} maxAbsDiff=$maxDiff%.3f (volume 20480 px/image)")
-    val plan = OmeOps.percentileContrastApprox(corpus, c = 1)
-      .queryExecution.executedPlan.toString
-    println("shuffles: " + ("Exchange".r.findAllIn(plan).length -
-      "BroadcastExchange".r.findAllIn(plan).length))
-    println("partial agg before shuffle: " + plan.contains("partial_percentile_approx"))
-    println("--- absent channel c=9 ---")
-    println("rows: " + OmeOps.percentileContrastApprox(corpus, c = 9).count() + " (want 0)")
+    def rootMsg(e: Throwable): String = {
+      var c = e; while (c.getCause != null && c.getCause != c) c = c.getCause
+      c.getMessage.replaceAll("\n.*", "").take(130)
+    }
+    println("--- regex pattern with backslash routes to pattern reader ---")
+    val d = "/root/reference/tests/data/nviz-artificial-4d-dataset"
+    val rx = OmeArrow.read(spark, s"$d/E99_C111_ZS0.*\\.tif")
+    println("regex fallback rows: " + rx.count() + " (1 stacked record)")
+    println("z-planes assembled: " + rx.select(size(col("ome_arrow.planes"))).collect()(0).getInt(0))
+    println("--- bare glob still reads per-file ---")
+    println("glob rows: " + OmeArrow.read(spark, s"$d/E99_C111_ZS00*.tif").count())
+    println("--- zarr with filters rejected ---")
+    graft.sources.OmeZarr.write(Fixtures.corpus4d(spark)
+      .filter(col("ome_arrow.id") === "i4d-0000"), "/tmp/filt/i4d-0000.zarr")
+    val za = java.nio.file.Paths.get("/tmp/filt/i4d-0000.zarr/0/.zarray")
+    val orig = new String(java.nio.file.Files.readAllBytes(za), "UTF-8")
+    java.nio.file.Files.write(za, orig.replace(
+      """"filters": null""", """"filters": [{"id": "delta"}]""").getBytes)
+    try graft.sources.OmeZarr.read(spark, "/tmp/filt/i4d-0000.zarr").collect()
+    catch { case e: Throwable => println("error: " + rootMsg(e)) }
+    java.nio.file.Files.write(za, orig.getBytes)
+    println("--- conform short-circuit: canonical read plan has no ArrayTransform ---")
+    graft.sources.OmeParquet.write(Fixtures.corpus4d(spark), "/tmp/conform_pq")
+    val plan = graft.sources.OmeParquet.read(spark, "/tmp/conform_pq")
+      .queryExecution.optimizedPlan.toString
+    println("transform() in plan: " + plan.contains("transform("))
+    println("--- scrambled order still conforms ---")
+    val scr = graft.sources.OmeParquet.read(spark,
+      "/root/repo/src/test/resources/scrambled_order.parquet")
+    println("id: " + scr.select(col("ome_arrow.id")).collect()(0).getString(0))
     spark.stop()
   }
 }
