@@ -478,8 +478,9 @@ object QueryDefs {
     // stats -> per-image rollup — is shuffle-free until the final
     // aggregation, so wall-clock scales with images/cores.
     ("ome_scale_pipeline", (s: SparkSession, dir: String) => {
-      val n = if (dir.contains("sf0.01")) 32
-        else if (dir.contains("sf0.1")) 128 else 8
+      // corpus scales only for the bench SF; every correctness SF uses
+      // the oracle-pinned 32 images
+      val n = if (!dir.contains("sf0.01") && dir.contains("sf0.1")) 128 else 32
       val corpus = Fixtures.syntheticImages(s, n, t = 7, c = 3, z = 5,
         sy = 64, sx = 64, prefix = "big")
       val planes = OmeOps.downscalePlanes(OmeOps.cropPlanes(
