@@ -320,15 +320,146 @@ object OmeZarr {
         col("t"), col("c"), col("z"), col("pixels")))
   }
 
-  /** Read every `*.zarr` child of a directory (one record each). */
+  private[sources] final case class StoreConfig(store: String, stem: String,
+      name: String, st: Int, sc: Int, sz: Int, sy: Int, sx: Int,
+      psx: Float, psy: Float, psz: Float, chans: Seq[String],
+      zlib: Boolean, big: Boolean, u1: Boolean)
+
+  /** Parse one store's metadata (driver-side, metadata-scale). */
+  private def parseConfig(fs: org.apache.hadoop.fs.FileSystem,
+      storePath: String, levelPath: String): StoreConfig = {
+    val root = new Path(storePath)
+    val attrs = readText(fs, new Path(root, ".zattrs"))
+    val levelDir = new Path(root, levelPath)
+    val zarray = readText(fs, new Path(levelDir, ".zarray"))
+    val shape = jsonIntArray(zarray, "shape").getOrElse(
+      throw new IllegalArgumentException(s"Zarr: $storePath has no shape"))
+    require(shape.length == 5, s"Zarr: expected 5-D TCZYX shape, got $shape")
+    val chunks = jsonIntArray(zarray, "chunks").get.map(_.toInt)
+    require(chunks.take(3).forall(_ == 1) &&
+      chunks(3) == shape(3) && chunks(4) == shape(4),
+      s"Zarr: only one-chunk-per-plane layout supported (chunks=$chunks)")
+    val dtype = jsonString(zarray, "dtype").getOrElse("<u2")
+    require(Set("<u2", "|u1", ">u2").contains(dtype),
+      s"Zarr: dtype '$dtype' unsupported (u1/u2 only)")
+    val nullComp = """"compressor"\s*:\s*null""".r.findFirstIn(zarray).isDefined
+    val compObj = """"compressor"\s*:\s*(\{[^}]*\})""".r
+      .findFirstMatchIn(zarray).map(_.group(1))
+    val compId =
+      if (nullComp) "null"
+      else compObj.flatMap(jsonString(_, "id")).getOrElse(
+        throw new IllegalArgumentException(
+          "Zarr: .zarray has neither a null compressor nor a compressor id"))
+    require(compId == "zlib" || compId == "null",
+      s"Zarr: compressor '$compId' unsupported (zlib/null; blosc needs external codecs)")
+    val filtersSpecified = """"filters"\s*:\s*(?!null)[\[{"]""".r
+      .findFirstIn(zarray).isDefined
+    require(!filtersSpecified,
+      "Zarr: filters are unsupported (store must have \"filters\": null)")
+    val scale = jsonNumArray(attrs, "scale").getOrElse(Seq(1.0, 1.0, 1.0, 1.0, 1.0))
+    val chanNames = """\{\s*"label"\s*:\s*"((?:[^"\\]|\\.)*)"\s*\}""".r
+      .findAllMatchIn(attrs).map(_.group(1)).toSeq
+    StoreConfig(storePath, root.getName.stripSuffix(".zarr"),
+      jsonString(attrs, "name").getOrElse(root.getName),
+      shape(0).toInt, shape(1).toInt, shape(2).toInt, shape(3).toInt,
+      shape(4).toInt, scale(4).toFloat, scale(3).toFloat, scale(2).toFloat,
+      chanNames, compId == "zlib", dtype == ">u2", dtype == "|u1")
+  }
+
+  /**
+   * Read every `*.zarr` child of a directory, one record each, as a SINGLE
+   * job: metadata parses driver-side per store, but all chunk files across
+   * all stores flow through one `binaryFile` load and one nest shuffle —
+   * a 10,000-store corpus is one plan, not 10,000 unioned plans.
+   */
   def readAll(spark: SparkSession, dir: String, levelPath: String = "0"): DataFrame = {
+    val sp = spark
+    import sp.implicits._
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
     val stores = fs.listStatus(root).filter(_.isDirectory)
       .map(_.getPath.toString).filter(_.endsWith(".zarr"))
     require(stores.nonEmpty, s"No .zarr stores under $dir")
-    stores.map(read(spark, _, levelPath)).reduce(_ unionAll _)
+
+    val configs = stores.map(parseConfig(fs, _, levelPath)).toSeq
+    val byStem = configs.map(c => c.stem -> c).toMap
+    require(byStem.size == configs.size, "Zarr: duplicate store stems")
+    val confB = spark.sparkContext.broadcast(byStem)
+
+    val chunkPaths = configs.flatMap { c =>
+      val levelDir = new Path(new Path(c.store), levelPath)
+      fs.listStatus(levelDir).filter(_.isFile)
+        .map(_.getPath).filter(_.getName.matches("""\d+\.\d+\.\d+\.0\.0"""))
+        .map(_.toString)
+    }
+    require(chunkPaths.nonEmpty, s"Zarr: no chunk files under $dir")
+
+    // one load for every chunk of every store
+    val planeRows = spark.read.format("binaryFile")
+      .load(chunkPaths: _*)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (p, raw) =>
+        // .../<stem>.zarr/<level>/<t.c.z.0.0>
+        val parts = p.split('/')
+        val stem = parts(parts.length - 3).stripSuffix(".zarr")
+        val c = confB.value(stem)
+        val nameParts = parts.last.split("\\.")
+        val (t, ch, z) = (nameParts(0).toInt, nameParts(1).toInt, nameParts(2).toInt)
+        val expect = c.sy * c.sx * (if (c.u1) 1 else 2)
+        val bytes = if (c.zlib) zlibDecompress(raw, expect) else raw
+        require(bytes.length >= expect,
+          s"Zarr chunk $p: ${bytes.length} bytes < expected $expect")
+        val px = new Array[Int](c.sy * c.sx)
+        if (c.u1) {
+          var i = 0; while (i < px.length) { px(i) = bytes(i) & 0xff; i += 1 }
+        } else {
+          val bb = ByteBuffer.wrap(bytes)
+            .order(if (c.big) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+          var i = 0; while (i < px.length) { px(i) = bb.getShort(i * 2) & 0xffff; i += 1 }
+        }
+        (stem, t, ch, z, px.toSeq)
+      }.toDF("image_id", "t", "c", "z", "pixels")
+
+    // zero-fill grid for every store, generated on executors
+    val grid = spark.createDataset(configs.map(c =>
+        (c.stem, c.st, c.sc, c.sz, c.sy * c.sx)))
+      .flatMap { case (stem, st, sc, sz, planeLen) =>
+        for (t <- 0 until st; ch <- 0 until sc; z <- 0 until sz)
+          yield (stem, t, ch, z, planeLen)
+      }.toDF("image_id", "t", "c", "z", "plane_len")
+    val filled = grid.join(planeRows, Seq("image_id", "t", "c", "z"), "left")
+      .select(col("image_id"), col("t"), col("c"), col("z"),
+        coalesce(col("pixels"),
+          array_repeat(lit(0), col("plane_len"))).as("pixels"))
+
+    // per-store record metadata, built as expressions over the config rows
+    val metaDf = spark.createDataset(configs).toDF()
+      .select(col("stem").as("image_id"), struct(
+        lit(OmeSchema.TagType).as("type"), lit(OmeSchema.Version).as("version"),
+        col("stem").as("id"), col("name").as("name"),
+        lit(new Timestamp(0L)).cast("timestamp").as("acquisition_datetime"),
+        struct(
+          when(col("sz") > 1, "XYZCT").otherwise("XYCT").as("dimension_order"),
+          lit("uint16").as("type"),
+          col("sx").as("size_x"), col("sy").as("size_y"), col("sz").as("size_z"),
+          col("sc").cast("short").as("size_c"), col("st").as("size_t"),
+          col("psx").as("physical_size_x"), col("psy").as("physical_size_y"),
+          col("psz").as("physical_size_z"),
+          lit("µm").as("physical_size_x_unit"), lit("µm").as("physical_size_y_unit"),
+          lit("µm").as("physical_size_z_unit"),
+          transform(
+            when(size(col("chans")) === col("sc").cast("int"), col("chans"))
+              .otherwise(transform(sequence(lit(0), col("sc").cast("int") - 1),
+                i => concat(lit("C"), i))),
+            (n, i) => struct(
+              concat(lit("ch-"), i).as("id"), n.as("name"),
+              lit(0.0f).as("emission_um"), lit(0.0f).as("excitation_um"),
+              lit("Unknown").as("illumination"),
+              lit(0xFFFFFFFFL).as("color_rgba"))).as("channels")).as("pixels_meta"))
+        .as("record_meta"))
+    OmeOps.nestPlanes(filled.join(broadcast(metaDf), Seq("image_id")))
   }
 
   private def readText(fs: org.apache.hadoop.fs.FileSystem, p: Path): String = {

@@ -1,7 +1,6 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.OmeArrow
 import graft.operators.OmeOps
 import graft.schema.Fixtures
 object Probe {
@@ -9,36 +8,22 @@ object Probe {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def rootMsg(e: Throwable): String = {
-      var c = e; while (c.getCause != null && c.getCause != c) c = c.getCause
-      c.getMessage.replaceAll("\n.*", "").take(130)
-    }
-    println("--- regex pattern with backslash routes to pattern reader ---")
-    val d = "/root/reference/tests/data/nviz-artificial-4d-dataset"
-    val rx = OmeArrow.read(spark, s"$d/E99_C111_ZS0.*\\.tif")
-    println("regex fallback rows: " + rx.count() + " (1 stacked record)")
-    println("z-planes assembled: " + rx.select(size(col("ome_arrow.planes"))).collect()(0).getInt(0))
-    println("--- bare glob still reads per-file ---")
-    println("glob rows: " + OmeArrow.read(spark, s"$d/E99_C111_ZS00*.tif").count())
-    println("--- zarr with filters rejected ---")
-    graft.sources.OmeZarr.write(Fixtures.corpus4d(spark)
-      .filter(col("ome_arrow.id") === "i4d-0000"), "/tmp/filt/i4d-0000.zarr")
-    val za = java.nio.file.Paths.get("/tmp/filt/i4d-0000.zarr/0/.zarray")
-    val orig = new String(java.nio.file.Files.readAllBytes(za), "UTF-8")
-    java.nio.file.Files.write(za, orig.replace(
-      """"filters": null""", """"filters": [{"id": "delta"}]""").getBytes)
-    try graft.sources.OmeZarr.read(spark, "/tmp/filt/i4d-0000.zarr").collect()
-    catch { case e: Throwable => println("error: " + rootMsg(e)) }
-    java.nio.file.Files.write(za, orig.getBytes)
-    println("--- conform short-circuit: canonical read plan has no ArrayTransform ---")
-    graft.sources.OmeParquet.write(Fixtures.corpus4d(spark), "/tmp/conform_pq")
-    val plan = graft.sources.OmeParquet.read(spark, "/tmp/conform_pq")
-      .queryExecution.optimizedPlan.toString
-    println("transform() in plan: " + plan.contains("transform("))
-    println("--- scrambled order still conforms ---")
-    val scr = graft.sources.OmeParquet.read(spark,
-      "/root/repo/src/test/resources/scrambled_order.parquet")
-    println("id: " + scr.select(col("ome_arrow.id")).collect()(0).getString(0))
+    // heterogeneous stores: different shapes in one directory
+    graft.sources.OmeZarr.write(
+      Fixtures.syntheticImages(spark, 2, t = 1, c = 1, z = 3, sy = 8, sx = 8, prefix = "small"),
+      "/tmp/het_zarr")
+    graft.sources.OmeZarr.write(
+      Fixtures.syntheticImages(spark, 2, t = 2, c = 2, z = 1, sy = 16, sx = 16, prefix = "widef"),
+      "/tmp/het_zarr")
+    // delete one chunk from one store -> must zero-fill
+    new java.io.File("/tmp/het_zarr/small-0001.zarr/0/0.0.2.0.0").delete()
+    val all = graft.sources.OmeZarr.readAll(spark, "/tmp/het_zarr")
+    OmeOps.describe(all).orderBy("id").select(col("id"), col("summary")).show(false)
+    val holeSum = OmeOps.explodePlanes(all.filter(col("ome_arrow.id") === "small-0001"))
+      .filter(col("z") === 2)
+      .select(aggregate(col("pixels"), lit(0L), (a, v) => a + v))
+      .collect()(0).getLong(0)
+    println("deleted chunk zero-filled: " + (holeSum == 0L))
     spark.stop()
   }
 }
