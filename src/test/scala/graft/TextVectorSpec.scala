@@ -85,6 +85,35 @@ class TextVectorSpec extends SparkSpec {
     assert(rows.find(_._1 == 3).get._2 === 2L) // orthogonal last
   }
 
+  test("ivfTopK assigns centroids to themselves and finds cluster members") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),   // centroid A
+      (1L, Array(0.0f, 1.0f), 0),   // centroid B
+      (2L, Array(0.9f, 0.1f), 1),   // near A
+      (3L, Array(0.1f, 0.9f), 1)    // near B
+    ).toDF("vec_id", "embedding", "label")
+    val out = VectorOps.ivfTopK(emb, nProbes = 2, k = 2, nCentroids = 2)
+      .collect().map(r => r.getAs[Long]("probe_id") ->
+        (r.getAs[Long]("cluster"), r.getAs[Long]("neighbor_id"))).groupBy(_._1)
+    // probe 0 (cluster 0) finds vec 2; probe 1 (cluster 1) finds vec 3
+    assert(out(0L).map(_._2._2).toSet === Set(2L))
+    assert(out(1L).map(_._2._2).toSet === Set(3L))
+    assert(out(0L).forall(_._2._1 == 0L) && out(1L).forall(_._2._1 == 1L))
+  }
+
+  test("langId predicts from markers with deterministic tie-break") {
+    val d = Seq(
+      (0L, "the cat and the dog", "en", "s", 1L),
+      (1L, "der hund und die katze", "de", "s", 1L),
+      (2L, "xyz qqq www", "zz", "s", 1L) // no markers
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.langId(d).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("lang_pred")).toMap
+    assert(out(0L) === "en")
+    assert(out(1L) === "de")
+    assert(out(2L) === "unknown")
+  }
+
   test("lshBucket puts identical vectors in the same bucket") {
     val emb = Seq(
       (0L, Array(1.0f, 2.0f, 3.0f), 0),
