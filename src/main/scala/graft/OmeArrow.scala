@@ -27,7 +27,7 @@ object OmeArrow {
     // an ambiguous ".*"-style pattern, call OmeStack.readPattern directly.
     if (!path.contains('<') && path.contains('*') &&
         !path.exists("\\()+^$|".contains(_)) &&
-        (lower.endsWith(".tif") || lower.endsWith(".tiff")))
+        lower.matches(""".*\.tiff?\*?"""))
       sources.OmeTiff.read(spark, path)
     else if (path.exists(c => c == '<' || c == '>' || c == '*'))
       sources.OmeStack.readPattern(spark, path)

@@ -3,11 +3,34 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
+
+/** Input-type validation shared by the registered native expressions:
+  * these are reachable from SQL via their registry names, so a bad
+  * argument type must fail ANALYSIS, not silently read garbage through
+  * `getFloat`/`getUTF8String` at runtime (VERDICT r3 #4). */
+private[functions] object InputCheck {
+  def check(exprs: Seq[(Expression, DataType, String)],
+      fn: String): TypeCheckResult = {
+    exprs.collectFirst {
+      case (e, want, arg) if !matches(e.dataType, want) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$fn: argument '$arg' must be ${want.simpleString}, " +
+            s"got ${e.dataType.simpleString}")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
+
+  private def matches(actual: DataType, want: DataType): Boolean =
+    (actual, want) match {
+      case (ArrayType(a, _), ArrayType(w, _)) => matches(a, w)
+      case (a, w) => a == w
+    }
+}
 
 /**
  * Native expressions for the sketch hot paths. The column-level versions
@@ -52,6 +75,9 @@ case class MinHashSignature(shingles: Expression, numHashes: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = shingles.nullable
 
+  override def checkInputDataTypes(): TypeCheckResult = InputCheck.check(
+    Seq((shingles, ArrayType(StringType), "shingles")), "graft_minhash_sig")
+
   override def eval(input: InternalRow): Any = {
     val shAny = shingles.eval(input)
     if (shAny == null) return null
@@ -84,8 +110,11 @@ case class MinHashSignature(shingles: Expression, numHashes: Int)
       }
       s += 1
     }
-    if (sh.numElements() == 0) return new GenericArrayData(Array.empty[Any])
-    new GenericArrayData(mins.map(c => UTF8String.fromString(new String(c))))
+    // empty shingle set: the columnar formulation's fold never runs, so the
+    // "￿" init sentinels survive — return the same numHashes sentinels
+    // here (r3 parity fix; an empty result array diverged).
+    new GenericArrayData(mins.map(c => UTF8String.fromString(
+      if (c == null) "￿" else new String(c))))
   }
 
   private def compareChunk(hex: Array[Char], off: Int, cur: Array[Char]): Int = {
@@ -114,6 +143,9 @@ case class SimHash64(tokens: Expression)
   override def children: Seq[Expression] = Seq(tokens)
   override def dataType: DataType = LongType
   override def nullable: Boolean = tokens.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = InputCheck.check(
+    Seq((tokens, ArrayType(StringType), "tokens")), "graft_simhash64")
 
   override def eval(input: InternalRow): Any = {
     val tAny = tokens.eval(input)
@@ -160,6 +192,10 @@ case class CosineSim(a: Expression, b: Expression)
   override def children: Seq[Expression] = Seq(a, b)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = InputCheck.check(
+    Seq((a, ArrayType(FloatType), "a"), (b, ArrayType(FloatType), "b")),
+    "graft_cosine")
 
   override def eval(input: InternalRow): Any = {
     val aAny = a.eval(input); val bAny = b.eval(input)

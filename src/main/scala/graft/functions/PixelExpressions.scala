@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
@@ -26,6 +27,11 @@ case class PixelCrop(pixels: Expression, sx: Expression,
   override def children: Seq[Expression] = Seq(pixels, sx, x0, x1, y0, y1)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = children.exists(_.nullable)
+
+  override def checkInputDataTypes(): TypeCheckResult = InputCheck.check(
+    Seq((pixels, ArrayType(IntegerType), "pixels"), (sx, IntegerType, "sx"),
+      (x0, IntegerType, "x0"), (x1, IntegerType, "x1"),
+      (y0, IntegerType, "y0"), (y1, IntegerType, "y1")), "graft_pixel_crop")
 
   override def eval(input: InternalRow): Any = {
     val pxAny = pixels.eval(input)
@@ -93,6 +99,10 @@ case class BlockMean2x(pixels: Expression, sx: Expression, sy: Expression)
   override def children: Seq[Expression] = Seq(pixels, sx, sy)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = children.exists(_.nullable)
+
+  override def checkInputDataTypes(): TypeCheckResult = InputCheck.check(
+    Seq((pixels, ArrayType(IntegerType), "pixels"),
+      (sx, IntegerType, "sx"), (sy, IntegerType, "sy")), "graft_block_mean_2x")
 
   override def eval(input: InternalRow): Any = {
     val pxAny = pixels.eval(input)

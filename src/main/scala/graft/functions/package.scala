@@ -17,8 +17,12 @@ package object functions {
       exprs => BlockMean2x(exprs(0), exprs(1), exprs(2)),
       "built-in")
     reg.createOrReplaceTempFunction("graft_minhash_sig",
-      exprs => MinHashSignature(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Int]),
+      exprs => {
+        require(exprs.length == 2 && exprs(1).foldable &&
+          exprs(1).dataType == org.apache.spark.sql.types.IntegerType,
+          "graft_minhash_sig(shingles, numHashes): numHashes must be an INT literal")
+        MinHashSignature(exprs(0), exprs(1).eval(null).asInstanceOf[Int])
+      },
       "built-in")
     reg.createOrReplaceTempFunction("graft_simhash64",
       exprs => SimHash64(exprs(0)),

@@ -191,6 +191,22 @@ object QueryDefs {
            |  round(quantile_cont(v, 0.999), 6) AS clim_high
            |FROM px WHERE t = 0 AND c = 1 GROUP BY img""".stripMargin)),
 
+    // scale-path contrast percentiles (percentile_approx over exploded
+    // planes): with accuracy 10000 >> n=128 the sketch is exact, and the
+    // returned element is the one at 1-based rank ceil(q*n) — pinned by
+    // the oracle's row_number selection.
+    ("ome_percentile_approx", (s: SparkSession, _: String) =>
+      OmeOps.percentileContrastApprox(Fixtures.corpus4d(s), c = 1),
+      Some(
+        s"""WITH $px4d, vals AS (
+           |  SELECT img, v,
+           |    row_number() OVER (PARTITION BY img ORDER BY v, p) AS rn
+           |  FROM px WHERE t = 0 AND c = 1)
+           |SELECT $id4d AS id, 1 AS c, CAST(128 AS BIGINT) AS n_px,
+           |  CAST(min(CASE WHEN rn = 2 THEN v END) AS DOUBLE) AS clim_low,
+           |  CAST(min(CASE WHEN rn = 128 THEN v END) AS DOUBLE) AS clim_high
+           |FROM vals GROUP BY img""".stripMargin)),
+
     ("ome_to_dense", (s: SparkSession, _: String) =>
       OmeOps.toDense(holed4d(s)).select(col("id"),
         size(col("dense")).as("n_values"),
@@ -220,6 +236,33 @@ object QueryDefs {
            |         ELSE 'single-channel' END,
            |    st, sc, sz, sy, sx) AS summary
            |FROM fams, generate_series(0,3) i(i)""".stripMargin)),
+
+    // explode -> crop -> downscale -> nest -> describe + strict toDense:
+    // pins the r3 #1 fix (nestPlanes used to restore the PRE-transform
+    // pixels_meta, so describe reported the wrong shape and strict
+    // toDense raised on the very composition README advertises).
+    ("ome_crop_nest_describe", (s: SparkSession, _: String) => {
+      val nested = OmeOps.nestPlanes(OmeOps.downscalePlanes(OmeOps.cropPlanes(
+        OmeOps.explodePlanes(Fixtures.corpus4d(s)), 2, 6, 1, 7)))
+      OmeOps.describe(nested)
+        .join(nested.select(col("ome_arrow.id").as("id"),
+          round(col("ome_arrow.pixels_meta.physical_size_x").cast("double"), 4)
+            .as("phys_x"),
+          round(col("ome_arrow.pixels_meta.physical_size_y").cast("double"), 4)
+            .as("phys_y")), "id")
+        .join(OmeOps.toDense(nested)
+          .select(col("id"), size(col("dense")).as("n_values")), "id")
+    },
+      Some(
+        s"""SELECT printf('i4d-%04d', i.i) AS id, CAST(2 AS INT) AS size_t,
+           |  CAST(2 AS INT) AS size_c, CAST(2 AS INT) AS size_z,
+           |  CAST(3 AS INT) AS size_y, CAST(2 AS INT) AS size_x,
+           |  '4D timelapse-volume' AS type, CAST(2 AS INT) AS channels,
+           |  TRUE AS is_multichannel,
+           |  '4D timelapse-volume, multi-channel (2 channels) - shape (T=2, C=2, Z=2, Y=3, X=2)' AS summary,
+           |  CAST(2.0 AS DOUBLE) AS phys_x, CAST(2.0 AS DOUBLE) AS phys_y,
+           |  CAST(48 AS INT) AS n_values
+           |FROM generate_series(0,3) i(i)""".stripMargin)),
 
     ("ome_meta_join", (s: SparkSession, _: String) => {
       val imgs = Fixtures.mixedCorpus(s)
@@ -252,10 +295,12 @@ object QueryDefs {
 
     // ============ sources: parquet / TIFF / pattern (O3/O4/O6/O10) ============
 
+    // routed through the OmeArrow façade (export/read dispatch) so the
+    // polymorphic O16/O17 surface is covered by a hard CORRECTNESS row
     ("ome_parquet_roundtrip", (s: SparkSession, _: String) => {
-      graft.sources.OmeParquet.write(Fixtures.mixedCorpus(s),
-        "/tmp/graft_q_parquet_rt", columnName = "image")
-      OmeOps.describe(graft.sources.OmeParquet.read(s, "/tmp/graft_q_parquet_rt"))
+      graft.OmeArrow.export(Fixtures.mixedCorpus(s), how = "ome-parquet",
+        out = "/tmp/graft_q_parquet_rt.parquet", columnName = "image")
+      OmeOps.describe(graft.OmeArrow.read(s, "/tmp/graft_q_parquet_rt.parquet"))
     },
       Some(
         s"""WITH fams(prefix, st, sc, sz, sy, sx, typ) AS (VALUES
@@ -285,9 +330,10 @@ object QueryDefs {
            |  CAST(z AS INT) AS z, $planeStatsSelect
            |FROM px GROUP BY img, t, c, z""".stripMargin)),
 
+    // façade glob dispatch (O16): sniffs the bare "*.tif*" glob to TIFF
     ("ome_tiff_golden", (s: SparkSession, _: String) =>
-      OmeOps.describe(graft.sources.OmeTiff.read(s,
-        "/root/reference/tests/data/ome-artificial-5d-datasets"))
+      OmeOps.describe(graft.OmeArrow.read(s,
+        "/root/reference/tests/data/ome-artificial-5d-datasets/*.tif*"))
         .select(col("id"), col("size_t"), col("size_c"), col("size_z"),
           col("type"), col("channels"), col("is_multichannel"), col("summary")),
       Some(
@@ -524,8 +570,15 @@ object QueryDefs {
     ("ome_zarr_multiscale", (s: SparkSession, _: String) => {
       graft.sources.OmeZarr.write(Fixtures.corpus4d(s), "/tmp/graft_q_zarr2",
         multiscaleLevels = 2)
-      planeStatsRows(graft.sources.OmeZarr.readAll(s, "/tmp/graft_q_zarr2",
-        levelPath = "1")).withColumnRenamed("image_id", "id")
+      val lvl1 = graft.sources.OmeZarr.readAll(s, "/tmp/graft_q_zarr2",
+        levelPath = "1")
+      // phys_x pins the LEVEL-1 coordinate transform (2x the base pixel
+      // size) — the r3 defect read level 0's scale for every level
+      planeStatsRows(lvl1)
+        .join(lvl1.select(col("ome_arrow.id").as("image_id"),
+          round(col("ome_arrow.pixels_meta.physical_size_x").cast("double"), 4)
+            .as("phys_x")), "image_id")
+        .withColumnRenamed("image_id", "id")
     },
       Some(
         s"""WITH $px4d, l1 AS (
@@ -533,8 +586,36 @@ object QueryDefs {
            |         CAST(sum(v) AS BIGINT)//4 AS v
            |  FROM px GROUP BY img, t, c, z, y//2, x//2)
            |SELECT $id4d AS id, CAST(t AS INT) AS t, CAST(c AS INT) AS c,
-           |  CAST(z AS INT) AS z, $planeStatsSelect
+           |  CAST(z AS INT) AS z, $planeStatsSelect,
+           |  CAST(2.0 AS DOUBLE) AS phys_x
            |FROM l1 GROUP BY img, t, c, z""".stripMargin)),
+
+    // depth-3 pyramid write + level-2 read: pins the depth-safe exploded
+    // downscale path (r3 #3 — the nested-form composition hung at depth 3)
+    ("ome_zarr_multiscale3", (s: SparkSession, _: String) => {
+      graft.sources.OmeZarr.write(Fixtures.corpus4d(s), "/tmp/graft_q_zarr3",
+        multiscaleLevels = 3)
+      val lvl2 = graft.sources.OmeZarr.readAll(s, "/tmp/graft_q_zarr3",
+        levelPath = "2")
+      planeStatsRows(lvl2)
+        .join(lvl2.select(col("ome_arrow.id").as("image_id"),
+          round(col("ome_arrow.pixels_meta.physical_size_x").cast("double"), 4)
+            .as("phys_x")), "image_id")
+        .withColumnRenamed("image_id", "id")
+    },
+      Some(
+        s"""WITH $px4d, l1 AS (
+           |  SELECT img, t, c, z, y//2 AS by, x//2 AS bx,
+           |         CAST(sum(v) AS BIGINT)//4 AS v
+           |  FROM px GROUP BY img, t, c, z, y//2, x//2),
+           |l2 AS (
+           |  SELECT img, t, c, z, by//2 AS b2y, bx//2 AS b2x,
+           |         CAST(sum(v) AS BIGINT)//4 AS v
+           |  FROM l1 GROUP BY img, t, c, z, by//2, bx//2)
+           |SELECT $id4d AS id, CAST(t AS INT) AS t, CAST(c AS INT) AS c,
+           |  CAST(z AS INT) AS z, $planeStatsSelect,
+           |  CAST(4.0 AS DOUBLE) AS phys_x
+           |FROM l2 GROUP BY img, t, c, z""".stripMargin)),
 
     // ============ constructors / dense bridge (O1/O2) ============
 

@@ -57,6 +57,22 @@ object OmeZarr {
       .findFirstMatchIn(json)
       .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).map(_.toDouble).toSeq)
 
+  /** The "scale" coordinate transform of the multiscales dataset whose
+    * `path` equals `levelPath` — NOT the first scale array in the document,
+    * which is level 0's transform and halves every physical size read from
+    * a pyramid level (VERDICT r3 #2). Falls back to the first scale array
+    * for foreign stores that order keys differently. */
+  private def scaleForLevel(attrs: String, levelPath: String): Seq[Double] = {
+    val re = ("""\{\s*"path"\s*:\s*""" +
+      java.util.regex.Pattern.quote(jsonStr(levelPath)) +
+      """\s*,[\s\S]*?"scale"\s*:\s*\[([^\]]*)\]""").r
+    re.findFirstMatchIn(attrs)
+      .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty)
+        .map(_.toDouble).toSeq)
+      .orElse(jsonNumArray(attrs, "scale"))
+      .getOrElse(Seq(1.0, 1.0, 1.0, 1.0, 1.0))
+  }
+
   // --- write ----------------------------------------------------------
 
   /**
@@ -76,69 +92,75 @@ object OmeZarr {
     val serConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
 
-    // iterate pyramid levels; each level writes its chunks from executors
-    var level = df
-    for (l <- 0 until multiscaleLevels) {
-      // per-image metadata first (cheap metadata-only scan via nested
-      // pruning) — it also guards the single-store contract without an
-      // extra count() pass over the pixel pipeline
-      val metas = level.select(
-        col(s"$column.id"),
-        col(s"$column.pixels_meta.size_t"), col(s"$column.pixels_meta.size_c").cast("int"),
-        col(s"$column.pixels_meta.size_z"), col(s"$column.pixels_meta.size_y"),
-        col(s"$column.pixels_meta.size_x"),
-        col(s"$column.pixels_meta.physical_size_x"),
-        col(s"$column.pixels_meta.physical_size_y"),
-        col(s"$column.pixels_meta.physical_size_z"),
-        transform(col(s"$column.pixels_meta.channels"), c => c.getField("name")),
-        col(s"$column.name")).collect()
-      // chunk names carry no image id, so one store holds exactly one
-      // record — multiple records would silently clobber each other
-      require(!single || metas.length == 1,
-        s"Writing to a single store '$out' requires exactly 1 record, got ${metas.length}")
-      val fsConf = spark.sessionState.newHadoopConf()
-      metas.foreach { m =>
-        val id = m.getString(0)
-        val root = if (single) new Path(out) else new Path(out, s"$id.zarr")
-        val levelDir = new Path(root, l.toString)
-        val fs = root.getFileSystem(fsConf)
-        fs.setWriteChecksum(false)
-        val shape = Seq(m.getInt(1), m.getInt(2), m.getInt(3), m.getInt(4), m.getInt(5))
-        val comp = if (compressor == "zlib")
-          """{"id": "zlib", "level": 6}""" else "null"
-        writeText(fs, new Path(levelDir, ".zarray"),
+    // per-image metadata ONCE from level 0 (cheap metadata-only scan via
+    // nested pruning); level shapes derive driver-side from the level-0
+    // shape (`max(1, n >> l)` == iterated floor halving). It also guards
+    // the single-store contract without an extra count() pass.
+    val metas = df.select(
+      col(s"$column.id"),
+      col(s"$column.pixels_meta.size_t"), col(s"$column.pixels_meta.size_c").cast("int"),
+      col(s"$column.pixels_meta.size_z"), col(s"$column.pixels_meta.size_y"),
+      col(s"$column.pixels_meta.size_x"),
+      col(s"$column.pixels_meta.physical_size_x"),
+      col(s"$column.pixels_meta.physical_size_y"),
+      col(s"$column.pixels_meta.physical_size_z"),
+      transform(col(s"$column.pixels_meta.channels"), c => c.getField("name")),
+      col(s"$column.name")).collect()
+    // chunk names carry no image id, so one store holds exactly one
+    // record — multiple records would silently clobber each other
+    require(!single || metas.length == 1,
+      s"Writing to a single store '$out' requires exactly 1 record, got ${metas.length}")
+    val fsConf = spark.sessionState.newHadoopConf()
+    metas.foreach { m =>
+      val id = m.getString(0)
+      val root = if (single) new Path(out) else new Path(out, s"$id.zarr")
+      val fs = root.getFileSystem(fsConf)
+      fs.setWriteChecksum(false)
+      val comp = if (compressor == "zlib")
+        """{"id": "zlib", "level": 6}""" else "null"
+      for (l <- 0 until multiscaleLevels) {
+        val ly = math.max(m.getInt(4) >> l, 1)
+        val lx = math.max(m.getInt(5) >> l, 1)
+        val shape = Seq(m.getInt(1), m.getInt(2), m.getInt(3), ly, lx)
+        writeText(fs, new Path(new Path(root, l.toString), ".zarray"),
           s"""{"zarr_format": 2, "shape": [${shape.mkString(", ")}],
-             | "chunks": [1, 1, 1, ${m.getInt(4)}, ${m.getInt(5)}],
+             | "chunks": [1, 1, 1, $ly, $lx],
              | "dtype": "<u2", "compressor": $comp, "fill_value": 0,
              | "order": "C", "filters": null, "dimension_separator": "."}"""
             .stripMargin.replace("\n", ""))
-        if (l == 0) {
-          val psx = if (m.isNullAt(6)) 1.0f else m.getFloat(6)
-          val psy = if (m.isNullAt(7)) 1.0f else m.getFloat(7)
-          val psz = if (m.isNullAt(8)) 1.0f else m.getFloat(8)
-          val datasets = (0 until multiscaleLevels).map { lv =>
-            val f = 1 << lv
-            s"""{"path": ${jsonStr(lv.toString)}, "coordinateTransformations":
-               | [{"type": "scale", "scale": [1.0, 1.0, $psz, ${psy * f}, ${psx * f}]}]}"""
-              .stripMargin.replace("\n", "")
-          }.mkString("[", ", ", "]")
-          val channels = m.getSeq[String](9)
-            .map(n => s"""{"label": ${jsonStr(n)}}""").mkString("[", ", ", "]")
-          writeText(fs, new Path(root, ".zgroup"), """{"zarr_format": 2}""")
-          writeText(fs, new Path(root, ".zattrs"),
-            s"""{"multiscales": [{"version": "0.4", "name": ${jsonStr(m.getString(10))},
-               | "axes": [{"name": "t", "type": "time"}, {"name": "c", "type": "channel"},
-               | {"name": "z", "type": "space", "unit": "micrometer"},
-               | {"name": "y", "type": "space", "unit": "micrometer"},
-               | {"name": "x", "type": "space", "unit": "micrometer"}],
-               | "datasets": $datasets}],
-               | "omero": {"channels": $channels}}"""
-              .stripMargin.replace("\n", ""))
-        }
       }
-      // chunk payloads from executor tasks (one file per plane)
-      val planes = OmeOps.explodePlanes(level, column)
-      val zlib = compressor == "zlib"
+      val psx = if (m.isNullAt(6)) 1.0f else m.getFloat(6)
+      val psy = if (m.isNullAt(7)) 1.0f else m.getFloat(7)
+      val psz = if (m.isNullAt(8)) 1.0f else m.getFloat(8)
+      val datasets = (0 until multiscaleLevels).map { lv =>
+        val f = 1 << lv
+        s"""{"path": ${jsonStr(lv.toString)}, "coordinateTransformations":
+           | [{"type": "scale", "scale": [1.0, 1.0, $psz, ${psy * f}, ${psx * f}]}]}"""
+          .stripMargin.replace("\n", "")
+      }.mkString("[", ", ", "]")
+      val channels = m.getSeq[String](9)
+        .map(n => s"""{"label": ${jsonStr(n)}}""").mkString("[", ", ", "]")
+      writeText(fs, new Path(root, ".zgroup"), """{"zarr_format": 2}""")
+      writeText(fs, new Path(root, ".zattrs"),
+        s"""{"multiscales": [{"version": "0.4", "name": ${jsonStr(m.getString(10))},
+           | "axes": [{"name": "t", "type": "time"}, {"name": "c", "type": "channel"},
+           | {"name": "z", "type": "space", "unit": "micrometer"},
+           | {"name": "y", "type": "space", "unit": "micrometer"},
+           | {"name": "x", "type": "space", "unit": "micrometer"}],
+           | "datasets": $datasets}],
+           | "omero": {"channels": $channels}}"""
+          .stripMargin.replace("\n", ""))
+    }
+
+    // chunk payloads from executor tasks (one file per plane). Pyramid
+    // levels chain `downscalePlanes` on the EXPLODED form: each level is
+    // one more codegen'd BlockMean2x stage over a narrow projection —
+    // linear cost in depth, unlike composing the nested-form downscale2x,
+    // whose interpreted HOF tree duplicates subtrees per level and
+    // effectively hangs at depth >= 3 (VERDICT r3 #3, SCALE.md lesson 1).
+    var planes = OmeOps.explodePlanes(df, column)
+    val zlib = compressor == "zlib"
+    for (l <- 0 until multiscaleLevels) {
       planes.select(col("image_id"), col("t"), col("c"), col("z"),
           col("size_x"), col("size_y"), col("pixels"))
         .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
@@ -162,7 +184,7 @@ object OmeZarr {
             try os.write(payload) finally os.close()
           }
         }
-      if (l + 1 < multiscaleLevels) level = OmeOps.downscale2x(level, column)
+      if (l + 1 < multiscaleLevels) planes = OmeOps.downscalePlanes(planes)
     }
   }
 
@@ -248,8 +270,8 @@ object OmeZarr {
     require(!filtersSpecified,
       "Zarr: filters are unsupported (store must have \"filters\": null)")
 
-    // physical sizes from the level-0 scale transform; channels from omero
-    val scale = jsonNumArray(attrs, "scale").getOrElse(Seq(1.0, 1.0, 1.0, 1.0, 1.0))
+    // physical sizes from the scale transform of THIS level; channels from omero
+    val scale = scaleForLevel(attrs, levelPath)
     val chanNames = """\{\s*"label"\s*:\s*"((?:[^"\\]|\\.)*)"\s*\}""".r
       .findAllMatchIn(attrs).map(_.group(1)).toSeq
     val imgName = jsonString(attrs, "name").getOrElse(root.getName)
@@ -356,7 +378,7 @@ object OmeZarr {
       .findFirstIn(zarray).isDefined
     require(!filtersSpecified,
       "Zarr: filters are unsupported (store must have \"filters\": null)")
-    val scale = jsonNumArray(attrs, "scale").getOrElse(Seq(1.0, 1.0, 1.0, 1.0, 1.0))
+    val scale = scaleForLevel(attrs, levelPath)
     val chanNames = """\{\s*"label"\s*:\s*"((?:[^"\\]|\\.)*)"\s*\}""".r
       .findAllMatchIn(attrs).map(_.group(1)).toSeq
     StoreConfig(storePath, root.getName.stripSuffix(".zarr"),

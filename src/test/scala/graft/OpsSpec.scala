@@ -101,6 +101,32 @@ class OpsSpec extends SparkSpec {
     assert(b.exceptAll(a).count() === 0)
   }
 
+  test("toDense raises past the maxCells budget") {
+    val syn = Fixtures.syntheticImages(spark, 1) // 2*2*2*32*32 = 8192 cells
+    val ex = intercept[Exception] {
+      OmeOps.toDense(syn, maxCells = 100L).collect()
+    }
+    assert(ex.getMessage.contains("maxCells"))
+    // at the budget boundary the volume densifies fine
+    assert(OmeOps.toDense(syn, maxCells = 8192L).count() === 1)
+  }
+
+  test("crop/downscale on the exploded form re-nests self-consistent records") {
+    val nested = OmeOps.nestPlanes(OmeOps.downscalePlanes(OmeOps.cropPlanes(
+      OmeOps.explodePlanes(Fixtures.corpus4d(spark)), 2, 6, 1, 7)))
+    val m = nested.select(
+      col("ome_arrow.pixels_meta.size_x"), col("ome_arrow.pixels_meta.size_y"),
+      col("ome_arrow.pixels_meta.physical_size_x"),
+      size(element_at(col("ome_arrow.planes"), 1).getField("pixels")))
+      .collect()(0)
+    assert(m.getInt(0) === 2 && m.getInt(1) === 3) // x[2,6)/2, y[1,7)/2
+    assert(m.getFloat(2) === 2.0f) // downscale doubles µm/px
+    assert(m.getInt(3) === 6) // pixel arrays match the declared shape
+    // strict toDense validates plane length against pixels_meta — the r3
+    // defect made exactly this composition raise
+    assert(OmeOps.toDense(nested).count() === 4)
+  }
+
   test("planeLookup returns first match and errors on absent plane") {
     val fx = Fixtures.conftestDf(spark)
     val px = OmeOps.planeLookup(fx, 0, 1, 0)

@@ -114,6 +114,36 @@ class TextVectorSpec extends SparkSpec {
     assert(out(2L) === "unknown")
   }
 
+  test("native minhash matches columnar sentinel behavior on empty shingles") {
+    graft.functions.ensureRegistered(spark)
+    val empty = Seq(Seq.empty[String]).toDF("sh")
+    val rows = empty.select(
+      graft.functions.minhash_signature(col("sh"), 12).as("native"),
+      TextOps.minhashFromHashes(
+        TextOps.shingleHashes(col("sh"), 12), 12).as("columnar"))
+      .collect()(0)
+    assert(rows.getSeq[String](0) === rows.getSeq[String](1))
+    assert(rows.getSeq[String](0) === Seq.fill(12)("￿"))
+  }
+
+  test("registered native expressions reject wrong input types at analysis") {
+    graft.functions.ensureRegistered(spark)
+    val wrong = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    val ex = intercept[Exception] {
+      wrong.selectExpr("graft_cosine(a, b)").collect()
+    }
+    assert(ex.getMessage.contains("array<float>"))
+    val wrongPx = Seq((Seq("x"), 1)).toDF("px", "sx")
+    val ex2 = intercept[Exception] {
+      wrongPx.selectExpr("graft_block_mean_2x(px, sx, sx)").collect()
+    }
+    assert(ex2.getMessage.contains("array<int>"))
+    val ex3 = intercept[Exception] {
+      wrongPx.selectExpr("graft_minhash_sig(sx, 12)").collect()
+    }
+    assert(ex3.getMessage.contains("array<string>"))
+  }
+
   test("lshBucket puts identical vectors in the same bucket") {
     val emb = Seq(
       (0L, Array(1.0f, 2.0f, 3.0f), 0),
