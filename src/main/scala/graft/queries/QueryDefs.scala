@@ -590,6 +590,34 @@ object QueryDefs {
            |  CAST(2.0 AS DOUBLE) AS phys_x
            |FROM l1 GROUP BY img, t, c, z""".stripMargin)),
 
+    // Blosc-compressed v2 store (numcodecs' default envelope): pins the
+    // self-contained Blosc frame decode path (r3 "What's missing" #1)
+    ("ome_zarr_blosc", (s: SparkSession, _: String) => {
+      graft.sources.OmeZarr.write(Fixtures.corpus4d(s), "/tmp/graft_q_zarrb",
+        compressor = "blosc")
+      planeStatsRows(graft.sources.OmeZarr.readAll(s, "/tmp/graft_q_zarrb"))
+        .withColumnRenamed("image_id", "id")
+    },
+      Some(
+        s"""WITH $px4d
+           |SELECT $id4d AS id, CAST(t AS INT) AS t, CAST(c AS INT) AS c,
+           |  CAST(z AS INT) AS z, $planeStatsSelect
+           |FROM px GROUP BY img, t, c, z""".stripMargin)),
+
+    // Zarr v3 container (the reference's default, export.py:242): zarr.json
+    // metadata, c/t/c/z/y/x chunk keys, gzip codec (r3 "What's missing" #2)
+    ("ome_zarr_v3", (s: SparkSession, _: String) => {
+      graft.sources.OmeZarr.write(Fixtures.corpus4d(s), "/tmp/graft_q_zarr_v3",
+        zarrFormat = 3)
+      planeStatsRows(graft.sources.OmeZarr.readAll(s, "/tmp/graft_q_zarr_v3"))
+        .withColumnRenamed("image_id", "id")
+    },
+      Some(
+        s"""WITH $px4d
+           |SELECT $id4d AS id, CAST(t AS INT) AS t, CAST(c AS INT) AS c,
+           |  CAST(z AS INT) AS z, $planeStatsSelect
+           |FROM px GROUP BY img, t, c, z""".stripMargin)),
+
     // depth-3 pyramid write + level-2 read: pins the depth-safe exploded
     // downscale path (r3 #3 — the nested-form composition hung at depth 3)
     ("ome_zarr_multiscale3", (s: SparkSession, _: String) => {

@@ -1,0 +1,381 @@
+package graft.sources
+
+import java.util.zip.{Deflater, Inflater}
+
+/**
+ * Self-contained Blosc-1 chunk codec (decode + encode), JDK-only.
+ *
+ * Real-world OME-Zarr overwhelmingly uses Blosc (the reference writes it
+ * by default through numcodecs / zarr v3, export.py:265–289), so reads
+ * must understand the frame format. Implemented from the public c-blosc
+ * format documentation (BLOSC format spec v1):
+ *
+ *   header (16 bytes):
+ *     0 version | 1 versionlz | 2 flags | 3 typesize
+ *     4..7  nbytes   (LE, uncompressed size)
+ *     8..11 blocksize(LE)
+ *     12..15 cbytes  (LE, total frame size incl. header)
+ *   flags: bit0 byte-shuffle, bit1 memcpyed, bit2 bit-shuffle,
+ *          bits5..7 codec (0 blosclz, 1 lz4/lz4hc, 2 snappy, 3 zlib, 4 zstd)
+ *   body (when not memcpyed): int32 LE offset per block ("bstarts",
+ *     relative to frame start), then per block 1..nsplits streams of
+ *     [int32 LE csize][payload]; csize == neblock marks a stored-raw
+ *     stream. c-blosc derives the split count from (codec, typesize,
+ *     blocksize) at decode time; we instead try `typesize` streams and
+ *     fall back to 1, which accepts every split policy c-blosc ever
+ *     shipped (split sizes that don't line up fail fast and flip the
+ *     candidate).
+ *
+ * Codecs: lz4 (hand-rolled block decode per the public LZ4 block spec)
+ * and zlib (JDK Inflater). blosclz/snappy/zstd have no JDK
+ * implementation and raise a clear error naming the codec.
+ *
+ * Shuffles: byte-shuffle and bit-shuffle, both per c-blosc semantics
+ * (applied per block; trailing bytes that don't fill a full element
+ * group are copied unshuffled).
+ */
+object BloscCodec {
+
+  private val FlagByteShuffle = 0x1
+  private val FlagMemcpy = 0x2
+  private val FlagBitShuffle = 0x4
+
+  private def leInt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def putLeInt(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte
+    b(off + 1) = ((v >> 8) & 0xff).toByte
+    b(off + 2) = ((v >> 16) & 0xff).toByte
+    b(off + 3) = ((v >> 24) & 0xff).toByte
+  }
+
+  // --- decode ----------------------------------------------------------
+
+  /** Decompress one Blosc frame to its `nbytes` payload. */
+  def decompress(frame: Array[Byte]): Array[Byte] = {
+    require(frame.length >= 16, s"Blosc: frame of ${frame.length} bytes has no header")
+    val flags = frame(2) & 0xff
+    val typesize = math.max(frame(3) & 0xff, 1)
+    val nbytes = leInt(frame, 4)
+    val blocksize = leInt(frame, 8)
+    val cbytes = leInt(frame, 12)
+    require(nbytes >= 0 && cbytes >= 16 && cbytes <= frame.length,
+      s"Blosc: header sizes inconsistent (nbytes=$nbytes cbytes=$cbytes len=${frame.length})")
+    if (nbytes == 0) return Array.emptyByteArray
+    if ((flags & FlagMemcpy) != 0) {
+      require(cbytes == nbytes + 16, s"Blosc: memcpy frame size mismatch")
+      return java.util.Arrays.copyOfRange(frame, 16, 16 + nbytes)
+    }
+    require(blocksize > 0, "Blosc: zero blocksize in compressed frame")
+    val codec = (flags >> 5) & 0x7
+    val nblocks = (nbytes + blocksize - 1) / blocksize
+    require(16 + 4 * nblocks <= cbytes, "Blosc: truncated bstarts table")
+    val out = new Array[Byte](nbytes)
+    var b = 0
+    while (b < nblocks) {
+      val bstart = leInt(frame, 16 + 4 * b)
+      require(bstart >= 16 && bstart < cbytes, s"Blosc: bad block offset $bstart")
+      val bsize = math.min(blocksize, nbytes - b * blocksize)
+      val block = decodeBlock(frame, bstart, bsize, typesize, codec)
+      val plain =
+        if ((flags & FlagBitShuffle) != 0) bitUnshuffle(block, typesize)
+        else if ((flags & FlagByteShuffle) != 0) byteUnshuffle(block, typesize)
+        else block
+      System.arraycopy(plain, 0, out, b * blocksize, bsize)
+      b += 1
+    }
+    out
+  }
+
+  /** Decode one block's split streams; split count is discovered by
+    * trying `typesize` equal streams first, then a single stream. */
+  private def decodeBlock(frame: Array[Byte], off: Int, bsize: Int,
+      typesize: Int, codec: Int): Array[Byte] = {
+    val candidates =
+      if (typesize > 1 && bsize % typesize == 0) Seq(typesize, 1) else Seq(1)
+    var lastErr: Throwable = null
+    candidates.foreach { ns =>
+      try return decodeStreams(frame, off, bsize, ns, codec)
+      catch { case e: Exception => lastErr = e }
+    }
+    throw new IllegalArgumentException(
+      s"Blosc: block at $off undecodable with any split policy", lastErr)
+  }
+
+  private def decodeStreams(frame: Array[Byte], off0: Int, bsize: Int,
+      nsplits: Int, codec: Int): Array[Byte] = {
+    val neblock = bsize / nsplits
+    val out = new Array[Byte](bsize)
+    var off = off0
+    var s = 0
+    while (s < nsplits) {
+      require(off + 4 <= frame.length, "Blosc: truncated stream header")
+      val cb = leInt(frame, off); off += 4
+      require(cb > 0 && off + cb <= frame.length,
+        s"Blosc: stream of $cb bytes overruns frame")
+      if (cb == neblock) {
+        System.arraycopy(frame, off, out, s * neblock, neblock)
+      } else codec match {
+        case 1 => lz4Decompress(frame, off, cb, out, s * neblock, neblock)
+        case 3 => zlibInflate(frame, off, cb, out, s * neblock, neblock)
+        case 0 => throw new IllegalArgumentException(
+          "Blosc: codec 'blosclz' unsupported (lz4/zlib only)")
+        case 2 => throw new IllegalArgumentException(
+          "Blosc: codec 'snappy' unsupported (lz4/zlib only)")
+        case 4 => throw new IllegalArgumentException(
+          "Blosc: codec 'zstd' unsupported (lz4/zlib only)")
+        case other => throw new IllegalArgumentException(
+          s"Blosc: unknown codec id $other")
+      }
+      off += cb
+      s += 1
+    }
+    out
+  }
+
+  /** LZ4 block format decode (public spec): sequences of
+    * [token][literals][2-byte LE match offset][match], 255-continued
+    * lengths, min-match 4; the last sequence is literals-only. */
+  private[graft] def lz4Decompress(src: Array[Byte], srcOff: Int, srcLen: Int,
+      dst: Array[Byte], dstOff: Int, dstLen: Int): Unit = {
+    var s = srcOff
+    val end = srcOff + srcLen
+    var d = dstOff
+    val dEnd = dstOff + dstLen
+    while (s < end) {
+      val token = src(s) & 0xff; s += 1
+      // literals
+      var litLen = token >>> 4
+      if (litLen == 15) {
+        var b = 0xff
+        while (b == 0xff) { b = src(s) & 0xff; s += 1; litLen += b }
+      }
+      require(s + litLen <= end && d + litLen <= dEnd, "LZ4: literal overrun")
+      System.arraycopy(src, s, dst, d, litLen)
+      s += litLen; d += litLen
+      if (s < end) { // last sequence carries no match
+        val offset = (src(s) & 0xff) | ((src(s + 1) & 0xff) << 8)
+        s += 2
+        require(offset > 0 && d - offset >= dstOff, "LZ4: bad match offset")
+        var matchLen = token & 0xf
+        if (matchLen == 15) {
+          var b = 0xff
+          while (b == 0xff) { b = src(s) & 0xff; s += 1; matchLen += b }
+        }
+        matchLen += 4
+        require(d + matchLen <= dEnd, "LZ4: match overrun")
+        var i = 0 // byte-at-a-time: offsets < matchLen overlap by design
+        while (i < matchLen) { dst(d + i) = dst(d + i - offset); i += 1 }
+        d += matchLen
+      }
+    }
+    require(d == dEnd, s"LZ4: decoded ${d - dstOff} bytes, expected $dstLen")
+  }
+
+  private def zlibInflate(src: Array[Byte], off: Int, len: Int,
+      dst: Array[Byte], dstOff: Int, dstLen: Int): Unit = {
+    val inf = new Inflater(false)
+    inf.setInput(src, off, len)
+    var done = 0
+    while (done < dstLen && !inf.finished()) {
+      val n = inf.inflate(dst, dstOff + done, dstLen - done)
+      if (n == 0 && inf.needsInput())
+        throw new IllegalArgumentException("Blosc: truncated zlib stream")
+      done += n
+    }
+    inf.end()
+    require(done == dstLen, s"Blosc: zlib stream yielded $done of $dstLen bytes")
+  }
+
+  // --- shuffles --------------------------------------------------------
+
+  /** Inverse byte shuffle: input is lane-major (all first bytes of each
+    * element, then all second bytes, ...); trailing bytes that don't
+    * fill a whole element are stored unshuffled. */
+  private[graft] def byteUnshuffle(in: Array[Byte], typesize: Int): Array[Byte] = {
+    if (typesize <= 1) return in
+    val nelem = in.length / typesize
+    val out = new Array[Byte](in.length)
+    var j = 0
+    while (j < typesize) {
+      var i = 0
+      while (i < nelem) {
+        out(i * typesize + j) = in(j * nelem + i)
+        i += 1
+      }
+      j += 1
+    }
+    val tail = nelem * typesize
+    System.arraycopy(in, tail, out, tail, in.length - tail)
+    out
+  }
+
+  private[graft] def byteShuffle(in: Array[Byte], typesize: Int): Array[Byte] = {
+    if (typesize <= 1) return in
+    val nelem = in.length / typesize
+    val out = new Array[Byte](in.length)
+    var j = 0
+    while (j < typesize) {
+      var i = 0
+      while (i < nelem) {
+        out(j * nelem + i) = in(i * typesize + j)
+        i += 1
+      }
+      j += 1
+    }
+    val tail = nelem * typesize
+    System.arraycopy(in, tail, out, tail, in.length - tail)
+    out
+  }
+
+  /** Bit shuffle (c-blosc / bitshuffle-library layout): elements are
+    * processed in groups of 8; output bit lane `j*8+k` (byte j of the
+    * element, bit k LSB-first) holds one bit per element, elements
+    * packed LSB-first. Elements past the last full group of 8, and any
+    * trailing partial element, are copied unshuffled. */
+  private[graft] def bitShuffle(in: Array[Byte], typesize: Int): Array[Byte] = {
+    val ts = math.max(typesize, 1)
+    val nelem = in.length / ts
+    val n8 = nelem - (nelem % 8)
+    val out = new Array[Byte](in.length)
+    val laneBytes = n8 / 8
+    if (laneBytes > 0) {
+      var j = 0
+      while (j < ts) {
+        var k = 0
+        while (k < 8) {
+          val lane = (j * 8 + k) * laneBytes
+          var g = 0
+          while (g < laneBytes) {
+            var bt = 0
+            var e = 0
+            while (e < 8) {
+              val bit = (in((g * 8 + e) * ts + j) >> k) & 1
+              bt |= bit << e
+              e += 1
+            }
+            out(lane + g) = bt.toByte
+            g += 1
+          }
+          k += 1
+        }
+        j += 1
+      }
+    }
+    val tail = n8 * ts
+    System.arraycopy(in, tail, out, tail, in.length - tail)
+    out
+  }
+
+  private[graft] def bitUnshuffle(in: Array[Byte], typesize: Int): Array[Byte] = {
+    val ts = math.max(typesize, 1)
+    val nelem = in.length / ts
+    val n8 = nelem - (nelem % 8)
+    val out = new Array[Byte](in.length)
+    val laneBytes = n8 / 8
+    if (laneBytes > 0) {
+      var j = 0
+      while (j < ts) {
+        var k = 0
+        while (k < 8) {
+          val lane = (j * 8 + k) * laneBytes
+          var g = 0
+          while (g < laneBytes) {
+            val bt = in(lane + g) & 0xff
+            var e = 0
+            while (e < 8) {
+              if (((bt >> e) & 1) != 0)
+                out((g * 8 + e) * ts + j) = (out((g * 8 + e) * ts + j) | (1 << k)).toByte
+              e += 1
+            }
+            g += 1
+          }
+          k += 1
+        }
+        j += 1
+      }
+    }
+    val tail = n8 * ts
+    System.arraycopy(in, tail, out, tail, in.length - tail)
+    out
+  }
+
+  // --- encode ----------------------------------------------------------
+
+  /**
+   * Produce a Blosc frame. `cname`: "zlib" (real deflate compression) or
+   * "lz4" (valid literal-only LZ4 streams — used for decode-path tests;
+   * incompressible streams a real writer would store raw, but every
+   * conformant LZ4 decoder accepts them). `shuffle`: 0 none, 1 byte,
+   * 2 bit. One block per frame (blocksize = nbytes), single stream per
+   * block — a split policy no c-blosc decoder rejects for zlib, the
+   * interop write default.
+   */
+  def compress(data: Array[Byte], typesize: Int,
+      cname: String = "zlib", shuffle: Int = 1): Array[Byte] = {
+    val codec = cname match {
+      case "zlib" => 3
+      case "lz4" => 1
+      case other => throw new IllegalArgumentException(
+        s"BloscCodec.compress: cname '$other' unsupported (zlib/lz4)")
+    }
+    val shuffled = shuffle match {
+      case 0 => data
+      case 1 => byteShuffle(data, typesize)
+      case 2 => bitShuffle(data, typesize)
+      case other => throw new IllegalArgumentException(
+        s"BloscCodec.compress: shuffle $other unsupported (0/1/2)")
+    }
+    val payload = codec match {
+      case 3 => zlibDeflate(shuffled)
+      case 1 => lz4LiteralEncode(shuffled)
+    }
+    // stored-raw marker is csize == neblock; a payload that happens to
+    // land exactly there must fall back to the raw form
+    val (body, bodyLen) =
+      if (payload.length == data.length) (shuffled, data.length)
+      else (payload, payload.length)
+    val frame = new Array[Byte](16 + 4 + 4 + bodyLen)
+    frame(0) = 2 // format version
+    frame(1) = 1
+    val shuffleFlag = shuffle match {
+      case 1 => FlagByteShuffle; case 2 => FlagBitShuffle; case _ => 0
+    }
+    frame(2) = (shuffleFlag | (codec << 5)).toByte
+    frame(3) = (typesize & 0xff).toByte
+    putLeInt(frame, 4, data.length)
+    putLeInt(frame, 8, data.length) // one block
+    putLeInt(frame, 12, frame.length)
+    putLeInt(frame, 16, 20) // bstarts[0]
+    putLeInt(frame, 20, bodyLen)
+    System.arraycopy(body, 0, frame, 24, bodyLen)
+    frame
+  }
+
+  private def zlibDeflate(data: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(6, false)
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    val tmp = new Array[Byte](16384)
+    while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+    d.end()
+    out.toByteArray
+  }
+
+  /** Valid LZ4 block stream that encodes everything as one literal run. */
+  private[graft] def lz4LiteralEncode(data: Array[Byte]): Array[Byte] = {
+    val n = data.length
+    val out = new java.io.ByteArrayOutputStream(n + n / 255 + 16)
+    if (n < 15) out.write(n << 4)
+    else {
+      out.write(0xf0)
+      var rest = n - 15
+      while (rest >= 255) { out.write(255); rest -= 255 }
+      out.write(rest)
+    }
+    out.write(data)
+    out.toByteArray
+  }
+}

@@ -2,7 +2,7 @@ package graft.sources
 
 import java.nio.{ByteBuffer, ByteOrder}
 import java.sql.Timestamp
-import java.util.zip.{Deflater, Inflater}
+import java.util.zip.{Deflater, GZIPInputStream, GZIPOutputStream, Inflater}
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -13,9 +13,14 @@ import graft.schema._
 
 /**
  * OME-Zarr (NGFF) source/sink (reference: ingest.py:695-811 `from_ome_zarr`
- * via BioIO, export.py:231-374 `to_ome_zarr`), self-contained on the Zarr
- * v2 container format (public spec): a directory tree of JSON metadata
- * (`.zgroup`, `.zattrs`, `.zarray`) plus one binary file per chunk.
+ * via BioIO, export.py:231-374 `to_ome_zarr`), self-contained on the public
+ * Zarr container formats:
+ *
+ *  - **v2** (NGFF 0.4): `.zgroup`/`.zattrs`/`.zarray` JSON + one binary
+ *    file per chunk named `t.c.z.0.0`;
+ *  - **v3** (NGFF 0.5 — the REFERENCE'S DEFAULT, export.py:242): per-node
+ *    `zarr.json` metadata, chunk keys `c/t/c/z/y/x` (default encoding,
+ *    "/" or "." separator), `bytes` + optional compression codecs.
  *
  * Chunking is one chunk per (t,c,z) plane (`chunks = [1,1,1,Y,X]`), which
  * makes the chunk file the unit of distribution both ways: export is a
@@ -24,12 +29,14 @@ import graft.schema._
  * cliff, export.py:292, does not exist here), and ingest fans chunk
  * decode out over `binaryFile`.
  *
- * Codecs: `null` (raw) and `zlib` (JDK Deflater/Inflater) — both standard
- * numcodecs ids, so files interoperate with any Zarr reader. Blosc is out
- * of scope (no JVM implementation without third-party jars); readers that
- * encounter it get a clear error. Multiscale pyramids write each level
- * through `OmeOps.downscale2x` (the reference's level-shape contract
- * `max(1, n // 2)`, export.py:317-318).
+ * Codecs: `null` (raw), `zlib` (JDK Inflater; v3 writes its `gzip`
+ * codec), and **Blosc** decode/encode via [[BloscCodec]] (lz4/zlib
+ * payloads, byte- and bit-shuffle) — numcodecs' default envelope, so
+ * reference-written stores open without external jars. Blosc-zstd has no
+ * JDK decoder and raises a clear error. Multiscale pyramids build levels
+ * with `OmeOps.downscalePlanes` on the exploded form (level-shape
+ * contract `max(1, n >> l)`, export.py:317-318) — depth-safe, unlike
+ * composing the nested-form downscale.
  */
 object OmeZarr {
 
@@ -42,9 +49,6 @@ object OmeZarr {
     } + "\""
 
   // --- tiny JSON field extractors (engine-written metadata only) ------
-  private def jsonInt(json: String, key: String): Option[Long] =
-    (jsonStr(key) + """\s*:\s*(-?\d+)""").r
-      .findFirstMatchIn(json).map(_.group(1).toLong)
   private def jsonString(json: String, key: String): Option[String] =
     (jsonStr(key) + """\s*:\s*"((?:[^"\\]|\\.)*)"""").r
       .findFirstMatchIn(json).map(_.group(1))
@@ -73,20 +77,95 @@ object OmeZarr {
       .getOrElse(Seq(1.0, 1.0, 1.0, 1.0, 1.0))
   }
 
+  // --- chunk payload codecs -------------------------------------------
+
+  private[sources] def encodeChunk(bytes: Array[Byte], comp: String): Array[Byte] =
+    comp match {
+      case "null" => bytes
+      case "zlib" => zlibCompress(bytes)
+      case "gzip" => gzipCompress(bytes)
+      case "blosc" => BloscCodec.compress(bytes, typesize = 2,
+        cname = "zlib", shuffle = 1)
+      case other => throw new IllegalArgumentException(
+        s"Zarr: compressor '$other' unsupported")
+    }
+
+  private[sources] def decodeChunk(raw: Array[Byte], comp: String,
+      hint: Int): Array[Byte] = comp match {
+    case "null" => raw
+    case "zlib" => zlibDecompress(raw, hint)
+    case "gzip" => gzipDecompress(raw, hint)
+    case "blosc" => BloscCodec.decompress(raw)
+    case other => throw new IllegalArgumentException(
+      s"Zarr: compressor '$other' unsupported")
+  }
+
+  private def zlibCompress(data: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(6, false) // zlib-wrapped, numcodecs zlib compatible
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    val tmp = new Array[Byte](16384)
+    while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+    d.end()
+    out.toByteArray
+  }
+
+  private def zlibDecompress(data: Array[Byte], hint: Int): Array[Byte] = {
+    val inf = new Inflater(false)
+    inf.setInput(data)
+    val out = new java.io.ByteArrayOutputStream(math.max(hint, 64))
+    val tmp = new Array[Byte](16384)
+    while (!inf.finished()) {
+      val n = inf.inflate(tmp)
+      if (n == 0 && inf.needsInput())
+        throw new IllegalArgumentException("Zarr: truncated zlib chunk")
+      out.write(tmp, 0, n)
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  private def gzipCompress(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    val gz = new GZIPOutputStream(bos)
+    gz.write(data); gz.close()
+    bos.toByteArray
+  }
+
+  private def gzipDecompress(data: Array[Byte], hint: Int): Array[Byte] = {
+    val gz = new GZIPInputStream(new java.io.ByteArrayInputStream(data))
+    val out = new java.io.ByteArrayOutputStream(math.max(hint, 64))
+    val tmp = new Array[Byte](16384)
+    var n = gz.read(tmp)
+    while (n >= 0) { out.write(tmp, 0, n); n = gz.read(tmp) }
+    gz.close()
+    out.toByteArray
+  }
+
   // --- write ----------------------------------------------------------
 
   /**
    * Write each record as an OME-Zarr image directory `<out>/<id>.zarr`
    * (or exactly `out` when it ends in ".zarr" — single-record contract).
    * `multiscaleLevels` >= 1 adds 2x-downscaled levels "1", "2", ...
+   * `zarrFormat` 2 writes NGFF 0.4 (`.zattrs`), 3 writes NGFF 0.5
+   * (`zarr.json`, the reference's default container). `compressor`:
+   * "zlib" (v3 writes its gzip codec), "blosc" (zlib payload,
+   * byte-shuffle) or "null".
    */
   def write(df: DataFrame, out: String,
       multiscaleLevels: Int = 1,
       compressor: String = "zlib",
+      zarrFormat: Int = 2,
       column: String = OmeSchema.DefaultColumn): Unit = {
     require(multiscaleLevels >= 1, "multiscaleLevels must be >= 1")
-    require(compressor == "zlib" || compressor == "null",
-      s"compressor '$compressor' unsupported (zlib/null)")
+    require(Set("zlib", "null", "blosc").contains(compressor),
+      s"compressor '$compressor' unsupported (zlib/blosc/null)")
+    require(zarrFormat == 2 || zarrFormat == 3,
+      s"zarrFormat must be 2 or 3, got $zarrFormat")
+    val v3 = zarrFormat == 3
+    // the v3 container has no zlib codec; deflate rides its gzip codec
+    val chunkComp = if (v3 && compressor == "zlib") "gzip" else compressor
     val single = out.toLowerCase.endsWith(".zarr")
     val spark = df.sparkSession
     val serConf = new org.apache.spark.util.SerializableConfiguration(
@@ -116,18 +195,41 @@ object OmeZarr {
       val root = if (single) new Path(out) else new Path(out, s"$id.zarr")
       val fs = root.getFileSystem(fsConf)
       fs.setWriteChecksum(false)
-      val comp = if (compressor == "zlib")
-        """{"id": "zlib", "level": 6}""" else "null"
       for (l <- 0 until multiscaleLevels) {
         val ly = math.max(m.getInt(4) >> l, 1)
         val lx = math.max(m.getInt(5) >> l, 1)
         val shape = Seq(m.getInt(1), m.getInt(2), m.getInt(3), ly, lx)
-        writeText(fs, new Path(new Path(root, l.toString), ".zarray"),
-          s"""{"zarr_format": 2, "shape": [${shape.mkString(", ")}],
-             | "chunks": [1, 1, 1, $ly, $lx],
-             | "dtype": "<u2", "compressor": $comp, "fill_value": 0,
-             | "order": "C", "filters": null, "dimension_separator": "."}"""
-            .stripMargin.replace("\n", ""))
+        if (v3) {
+          val codecs = chunkComp match {
+            case "gzip" =>
+              """[{"name": "bytes", "configuration": {"endian": "little"}}, {"name": "gzip", "configuration": {"level": 6}}]"""
+            case "blosc" =>
+              """[{"name": "bytes", "configuration": {"endian": "little"}}, {"name": "blosc", "configuration": {"cname": "zlib", "clevel": 6, "shuffle": "shuffle", "typesize": 2, "blocksize": 0}}]"""
+            case _ =>
+              """[{"name": "bytes", "configuration": {"endian": "little"}}]"""
+          }
+          writeText(fs, new Path(new Path(root, l.toString), "zarr.json"),
+            s"""{"zarr_format": 3, "node_type": "array",
+               | "shape": [${shape.mkString(", ")}], "data_type": "uint16",
+               | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [1, 1, 1, $ly, $lx]}},
+               | "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+               | "fill_value": 0, "codecs": $codecs,
+               | "dimension_names": ["t", "c", "z", "y", "x"]}"""
+              .stripMargin.replace("\n", ""))
+        } else {
+          val comp = chunkComp match {
+            case "zlib" => """{"id": "zlib", "level": 6}"""
+            case "blosc" =>
+              """{"id": "blosc", "cname": "zlib", "clevel": 6, "shuffle": 1, "blocksize": 0}"""
+            case _ => "null"
+          }
+          writeText(fs, new Path(new Path(root, l.toString), ".zarray"),
+            s"""{"zarr_format": 2, "shape": [${shape.mkString(", ")}],
+               | "chunks": [1, 1, 1, $ly, $lx],
+               | "dtype": "<u2", "compressor": $comp, "fill_value": 0,
+               | "order": "C", "filters": null, "dimension_separator": "."}"""
+              .stripMargin.replace("\n", ""))
+        }
       }
       val psx = if (m.isNullAt(6)) 1.0f else m.getFloat(6)
       val psy = if (m.isNullAt(7)) 1.0f else m.getFloat(7)
@@ -140,16 +242,29 @@ object OmeZarr {
       }.mkString("[", ", ", "]")
       val channels = m.getSeq[String](9)
         .map(n => s"""{"label": ${jsonStr(n)}}""").mkString("[", ", ", "]")
-      writeText(fs, new Path(root, ".zgroup"), """{"zarr_format": 2}""")
-      writeText(fs, new Path(root, ".zattrs"),
-        s"""{"multiscales": [{"version": "0.4", "name": ${jsonStr(m.getString(10))},
-           | "axes": [{"name": "t", "type": "time"}, {"name": "c", "type": "channel"},
-           | {"name": "z", "type": "space", "unit": "micrometer"},
-           | {"name": "y", "type": "space", "unit": "micrometer"},
-           | {"name": "x", "type": "space", "unit": "micrometer"}],
-           | "datasets": $datasets}],
-           | "omero": {"channels": $channels}}"""
-          .stripMargin.replace("\n", ""))
+      val axes =
+        """[{"name": "t", "type": "time"}, {"name": "c", "type": "channel"},
+          | {"name": "z", "type": "space", "unit": "micrometer"},
+          | {"name": "y", "type": "space", "unit": "micrometer"},
+          | {"name": "x", "type": "space", "unit": "micrometer"}]"""
+          .stripMargin.replace("\n", "")
+      if (v3) {
+        writeText(fs, new Path(root, "zarr.json"),
+          s"""{"zarr_format": 3, "node_type": "group", "attributes":
+             | {"ome": {"version": "0.5",
+             | "multiscales": [{"name": ${jsonStr(m.getString(10))},
+             | "axes": $axes, "datasets": $datasets}],
+             | "omero": {"channels": $channels}}}}"""
+            .stripMargin.replace("\n", ""))
+      } else {
+        writeText(fs, new Path(root, ".zgroup"), """{"zarr_format": 2}""")
+        writeText(fs, new Path(root, ".zattrs"),
+          s"""{"multiscales": [{"version": "0.4", "name": ${jsonStr(m.getString(10))},
+             | "axes": $axes,
+             | "datasets": $datasets}],
+             | "omero": {"channels": $channels}}"""
+            .stripMargin.replace("\n", ""))
+      }
     }
 
     // chunk payloads from executor tasks (one file per plane). Pyramid
@@ -159,7 +274,6 @@ object OmeZarr {
     // whose interpreted HOF tree duplicates subtrees per level and
     // effectively hangs at depth >= 3 (VERDICT r3 #3, SCALE.md lesson 1).
     var planes = OmeOps.explodePlanes(df, column)
-    val zlib = compressor == "zlib"
     for (l <- 0 until multiscaleLevels) {
       planes.select(col("image_id"), col("t"), col("c"), col("z"),
           col("size_x"), col("size_y"), col("pixels"))
@@ -168,7 +282,9 @@ object OmeZarr {
             val id = r.getString(0)
             val dir = if (single) new Path(out, l.toString)
               else new Path(new Path(out, s"$id.zarr"), l.toString)
-            val chunkName = s"${r.getInt(1)}.${r.getInt(2)}.${r.getInt(3)}.0.0"
+            val chunkPath =
+              if (v3) new Path(dir, s"c/${r.getInt(1)}/${r.getInt(2)}/${r.getInt(3)}/0/0")
+              else new Path(dir, s"${r.getInt(1)}.${r.getInt(2)}.${r.getInt(3)}.0.0")
             val px = r.getSeq[Int](6)
             val bytes = new Array[Byte](px.length * 2)
             var i = 0
@@ -177,10 +293,10 @@ object OmeZarr {
               bytes(i * 2 + 1) = ((px(i) >> 8) & 0xff).toByte
               i += 1
             }
-            val payload = if (zlib) zlibCompress(bytes) else bytes
-            val fs = dir.getFileSystem(serConf.value)
+            val payload = encodeChunk(bytes, chunkComp)
+            val fs = chunkPath.getFileSystem(serConf.value)
             fs.setWriteChecksum(false)
-            val os = fs.create(new Path(dir, chunkName), true)
+            val os = fs.create(chunkPath, true)
             try os.write(payload) finally os.close()
           }
         }
@@ -194,58 +310,34 @@ object OmeZarr {
     try os.write(text.getBytes("UTF-8")) finally os.close()
   }
 
-  private def zlibCompress(data: Array[Byte]): Array[Byte] = {
-    val d = new Deflater(6, false) // zlib-wrapped, numcodecs zlib compatible
-    d.setInput(data); d.finish()
-    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
-    val tmp = new Array[Byte](16384)
-    while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
-    d.end()
-    out.toByteArray
-  }
-
-  private def zlibDecompress(data: Array[Byte], hint: Int): Array[Byte] = {
-    val inf = new Inflater(false)
-    inf.setInput(data)
-    val out = new java.io.ByteArrayOutputStream(math.max(hint, 64))
-    val tmp = new Array[Byte](16384)
-    while (!inf.finished()) {
-      val n = inf.inflate(tmp)
-      if (n == 0 && inf.needsInput())
-        throw new IllegalArgumentException("Zarr: truncated zlib chunk")
-      out.write(tmp, 0, n)
-    }
-    inf.end()
-    out.toByteArray
-  }
-
   // --- read -----------------------------------------------------------
 
-  /**
-   * Read one OME-Zarr image directory (level `levelPath`, default "0")
-   * into a single canonical record. Missing chunks zero-fill (Zarr
-   * fill_value semantics) via the generated-grid left join.
-   */
-  def read(spark: SparkSession, path: String, levelPath: String = "0"): DataFrame = {
-    val sp = spark
-    import sp.implicits._
-    val conf = spark.sessionState.newHadoopConf()
-    val root = new Path(path)
-    val fs = root.getFileSystem(conf)
-    require(fs.exists(root), s"No such Zarr store: $path")
+  private[sources] final case class StoreConfig(store: String, stem: String,
+      name: String, st: Int, sc: Int, sz: Int, sy: Int, sx: Int,
+      psx: Float, psy: Float, psz: Float, chans: Seq[String],
+      comp: String, big: Boolean, u1: Boolean, v3: Boolean, sep: String)
 
+  /** Parse one store's metadata (driver-side, metadata-scale); detects
+    * v3 (`zarr.json` present) vs v2 (`.zarray`/`.zattrs`). */
+  private def parseConfig(fs: org.apache.hadoop.fs.FileSystem,
+      storePath: String, levelPath: String): StoreConfig = {
+    val root = new Path(storePath)
+    val v3 = fs.exists(new Path(root, "zarr.json"))
+    if (v3) parseConfigV3(fs, root, storePath, levelPath)
+    else parseConfigV2(fs, root, storePath, levelPath)
+  }
+
+  private def parseConfigV2(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      storePath: String, levelPath: String): StoreConfig = {
     val attrs = readText(fs, new Path(root, ".zattrs"))
     val levelDir = new Path(root, levelPath)
-    require(fs.exists(new Path(levelDir, ".zarray")),
-      s"Zarr level '$levelPath' missing .zarray under $path")
     val zarray = readText(fs, new Path(levelDir, ".zarray"))
-
     val shape = jsonIntArray(zarray, "shape").getOrElse(
-      throw new IllegalArgumentException("Zarr: .zarray has no shape"))
+      throw new IllegalArgumentException(s"Zarr: $storePath has no shape"))
     require(shape.length == 5, s"Zarr: expected 5-D TCZYX shape, got $shape")
-    val Seq(st, sc, sz, sy, sx) = shape.map(_.toInt)
     val chunks = jsonIntArray(zarray, "chunks").get.map(_.toInt)
-    require(chunks.take(3).forall(_ == 1) && chunks(3) == sy && chunks(4) == sx,
+    require(chunks.take(3).forall(_ == 1) &&
+      chunks(3) == shape(3) && chunks(4) == shape(4),
       s"Zarr: only one-chunk-per-plane layout supported (chunks=$chunks)")
     val dtype = jsonString(zarray, "dtype").getOrElse("<u2")
     require(Set("<u2", "|u1", ">u2").contains(dtype),
@@ -261,119 +353,10 @@ object OmeZarr {
       else compObj.flatMap(jsonString(_, "id")).getOrElse(
         throw new IllegalArgumentException(
           "Zarr: .zarray has neither a null compressor nor a compressor id"))
-    require(compId == "zlib" || compId == "null",
-      s"Zarr: compressor '$compId' unsupported (zlib/null; blosc needs external codecs)")
+    require(Set("zlib", "null", "blosc").contains(compId),
+      s"Zarr: compressor '$compId' unsupported (zlib/blosc/null)")
     // filters would transform bytes before/after the compressor — we
     // implement none, so anything but null/absent must be rejected
-    val filtersSpecified = """"filters"\s*:\s*(?!null)[\[{"]""".r
-      .findFirstIn(zarray).isDefined
-    require(!filtersSpecified,
-      "Zarr: filters are unsupported (store must have \"filters\": null)")
-
-    // physical sizes from the scale transform of THIS level; channels from omero
-    val scale = scaleForLevel(attrs, levelPath)
-    val chanNames = """\{\s*"label"\s*:\s*"((?:[^"\\]|\\.)*)"\s*\}""".r
-      .findAllMatchIn(attrs).map(_.group(1)).toSeq
-    val imgName = jsonString(attrs, "name").getOrElse(root.getName)
-    val stem = root.getName.stripSuffix(".zarr")
-
-    val chunkFiles = fs.listStatus(levelDir).filter(_.isFile)
-      .map(_.getPath.getName).filter(n => n.matches("""\d+\.\d+\.\d+\.0\.0"""))
-    require(chunkFiles.nonEmpty, s"Zarr: no chunk files under $levelDir")
-    val bin = spark.read.format("binaryFile")
-      .load(chunkFiles.map(n => new Path(levelDir, n).toString): _*)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-    val expectBytes = sy * sx * (if (dtype == "|u1") 1 else 2)
-    val big = dtype == ">u2"; val u1 = dtype == "|u1"
-    val zlib = compId == "zlib"
-    val planeRows = bin.map { case (p, raw) =>
-      val nameParts = p.substring(p.lastIndexOf('/') + 1).split("\\.")
-      val (t, c, z) = (nameParts(0).toInt, nameParts(1).toInt, nameParts(2).toInt)
-      val bytes = if (zlib) zlibDecompress(raw, expectBytes) else raw
-      require(bytes.length >= expectBytes,
-        s"Zarr chunk $p: ${bytes.length} bytes < expected $expectBytes")
-      val px = new Array[Int](sy * sx)
-      if (u1) {
-        var i = 0; while (i < px.length) { px(i) = bytes(i) & 0xff; i += 1 }
-      } else {
-        val bb = ByteBuffer.wrap(bytes)
-          .order(if (big) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
-        var i = 0; while (i < px.length) { px(i) = bb.getShort(i * 2) & 0xffff; i += 1 }
-      }
-      (t, c, z, px.toSeq)
-    }.toDF("t", "c", "z", "pixels")
-
-    val grid = spark.range(st.toLong * sc * sz).select(
-      (col("id") / (sc * sz)).cast("int").as("t"),
-      ((col("id") / sz) % sc).cast("int").as("c"),
-      (col("id") % sz).cast("int").as("z"))
-    val filled = grid.join(planeRows, Seq("t", "c", "z"), "left")
-      .select(col("t"), col("c"), col("z"),
-        coalesce(col("pixels"), array_repeat(lit(0), sy * sx)).as("pixels"))
-
-    val names = if (chanNames.length == sc) chanNames
-      else (0 until sc).map(i => s"C$i")
-    val channelsExpr = array(names.zipWithIndex.map { case (n, i) =>
-      struct(lit(s"ch-$i").as("id"), lit(n).as("name"),
-        lit(0.0f).as("emission_um"), lit(0.0f).as("excitation_um"),
-        lit("Unknown").as("illumination"), lit(0xFFFFFFFFL).as("color_rgba"))
-    }: _*)
-    val pixelsMeta = struct(
-      lit(if (sz > 1) "XYZCT" else "XYCT").as("dimension_order"),
-      lit("uint16").as("type"),
-      lit(sx).as("size_x"), lit(sy).as("size_y"), lit(sz).as("size_z"),
-      lit(sc).cast("short").as("size_c"), lit(st).as("size_t"),
-      lit(scale(4).toFloat).as("physical_size_x"),
-      lit(scale(3).toFloat).as("physical_size_y"),
-      lit(scale(2).toFloat).as("physical_size_z"),
-      lit("µm").as("physical_size_x_unit"), lit("µm").as("physical_size_y_unit"),
-      lit("µm").as("physical_size_z_unit"),
-      channelsExpr.as("channels"))
-    val recordMeta = struct(
-      lit(OmeSchema.TagType).as("type"), lit(OmeSchema.Version).as("version"),
-      lit(stem).as("id"), lit(imgName).as("name"),
-      lit(new Timestamp(0L)).cast("timestamp").as("acquisition_datetime"),
-      pixelsMeta.as("pixels_meta"))
-    OmeOps.nestPlanes(filled
-      .withColumn("image_id", lit(stem))
-      .withColumn("record_meta", recordMeta)
-      .select(col("image_id"), col("record_meta"),
-        col("t"), col("c"), col("z"), col("pixels")))
-  }
-
-  private[sources] final case class StoreConfig(store: String, stem: String,
-      name: String, st: Int, sc: Int, sz: Int, sy: Int, sx: Int,
-      psx: Float, psy: Float, psz: Float, chans: Seq[String],
-      zlib: Boolean, big: Boolean, u1: Boolean)
-
-  /** Parse one store's metadata (driver-side, metadata-scale). */
-  private def parseConfig(fs: org.apache.hadoop.fs.FileSystem,
-      storePath: String, levelPath: String): StoreConfig = {
-    val root = new Path(storePath)
-    val attrs = readText(fs, new Path(root, ".zattrs"))
-    val levelDir = new Path(root, levelPath)
-    val zarray = readText(fs, new Path(levelDir, ".zarray"))
-    val shape = jsonIntArray(zarray, "shape").getOrElse(
-      throw new IllegalArgumentException(s"Zarr: $storePath has no shape"))
-    require(shape.length == 5, s"Zarr: expected 5-D TCZYX shape, got $shape")
-    val chunks = jsonIntArray(zarray, "chunks").get.map(_.toInt)
-    require(chunks.take(3).forall(_ == 1) &&
-      chunks(3) == shape(3) && chunks(4) == shape(4),
-      s"Zarr: only one-chunk-per-plane layout supported (chunks=$chunks)")
-    val dtype = jsonString(zarray, "dtype").getOrElse("<u2")
-    require(Set("<u2", "|u1", ">u2").contains(dtype),
-      s"Zarr: dtype '$dtype' unsupported (u1/u2 only)")
-    val nullComp = """"compressor"\s*:\s*null""".r.findFirstIn(zarray).isDefined
-    val compObj = """"compressor"\s*:\s*(\{[^}]*\})""".r
-      .findFirstMatchIn(zarray).map(_.group(1))
-    val compId =
-      if (nullComp) "null"
-      else compObj.flatMap(jsonString(_, "id")).getOrElse(
-        throw new IllegalArgumentException(
-          "Zarr: .zarray has neither a null compressor nor a compressor id"))
-    require(compId == "zlib" || compId == "null",
-      s"Zarr: compressor '$compId' unsupported (zlib/null; blosc needs external codecs)")
     val filtersSpecified = """"filters"\s*:\s*(?!null)[\[{"]""".r
       .findFirstIn(zarray).isDefined
     require(!filtersSpecified,
@@ -385,52 +368,131 @@ object OmeZarr {
       jsonString(attrs, "name").getOrElse(root.getName),
       shape(0).toInt, shape(1).toInt, shape(2).toInt, shape(3).toInt,
       shape(4).toInt, scale(4).toFloat, scale(3).toFloat, scale(2).toFloat,
-      chanNames, compId == "zlib", dtype == ">u2", dtype == "|u1")
+      chanNames, compId, dtype == ">u2", dtype == "|u1", v3 = false, sep = ".")
+  }
+
+  private def parseConfigV3(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      storePath: String, levelPath: String): StoreConfig = {
+    val attrs = readText(fs, new Path(root, "zarr.json"))
+    val arrDoc = readText(fs, new Path(new Path(root, levelPath), "zarr.json"))
+    val shape = jsonIntArray(arrDoc, "shape").getOrElse(
+      throw new IllegalArgumentException(s"Zarr v3: $storePath has no shape"))
+    require(shape.length == 5, s"Zarr: expected 5-D TCZYX shape, got $shape")
+    val chunks = jsonIntArray(arrDoc, "chunk_shape").getOrElse(
+      throw new IllegalArgumentException(
+        s"Zarr v3: $storePath has no regular chunk_grid")).map(_.toInt)
+    require(chunks.take(3).forall(_ == 1) &&
+      chunks(3) == shape(3) && chunks(4) == shape(4),
+      s"Zarr: only one-chunk-per-plane layout supported (chunks=$chunks)")
+    val dtype = jsonString(arrDoc, "data_type").getOrElse("uint16")
+    require(dtype == "uint16" || dtype == "uint8",
+      s"Zarr v3: data_type '$dtype' unsupported (uint8/uint16 only)")
+    val codecsStr = """"codecs"\s*:\s*\[([\s\S]*?)\]""".r
+      .findFirstMatchIn(arrDoc).map(_.group(1)).getOrElse(
+        throw new IllegalArgumentException(s"Zarr v3: $storePath has no codecs"))
+    val codecNames = """"name"\s*:\s*"([a-z0-9_]+)"""".r
+      .findAllMatchIn(codecsStr).map(_.group(1)).toSeq
+    require(codecNames.contains("bytes"),
+      s"Zarr v3: codecs $codecNames lack the required 'bytes' codec")
+    val unknown = codecNames.filterNot(Set("bytes", "gzip", "blosc"))
+    require(unknown.isEmpty,
+      s"Zarr v3: codecs ${unknown.mkString(",")} unsupported (bytes/gzip/blosc)")
+    val comp =
+      if (codecNames.contains("gzip")) "gzip"
+      else if (codecNames.contains("blosc")) "blosc"
+      else "null"
+    val big = jsonString(codecsStr, "endian").contains("big")
+    val sep = jsonString(arrDoc, "separator").getOrElse("/")
+    require(sep == "/" || sep == ".", s"Zarr v3: separator '$sep' unsupported")
+    val scale = scaleForLevel(attrs, levelPath)
+    val chanNames = """\{\s*"label"\s*:\s*"((?:[^"\\]|\\.)*)"\s*\}""".r
+      .findAllMatchIn(attrs).map(_.group(1)).toSeq
+    StoreConfig(storePath, root.getName.stripSuffix(".zarr"),
+      jsonString(attrs, "name").getOrElse(root.getName),
+      shape(0).toInt, shape(1).toInt, shape(2).toInt, shape(3).toInt,
+      shape(4).toInt, scale(4).toFloat, scale(3).toFloat, scale(2).toFloat,
+      chanNames, comp, big, dtype == "uint8", v3 = true, sep = sep)
+  }
+
+  /** All chunk file paths of one store's level (driver-side listing). */
+  private def listChunks(fs: org.apache.hadoop.fs.FileSystem,
+      c: StoreConfig, levelPath: String): Seq[String] = {
+    val levelDir = new Path(new Path(c.store), levelPath)
+    if (c.v3 && c.sep == "/") {
+      val cDir = new Path(levelDir, "c")
+      if (!fs.exists(cDir)) Seq.empty
+      else {
+        val it = fs.listFiles(cDir, true)
+        val buf = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.isFile) buf += f.getPath.toString
+        }
+        buf.result()
+      }
+    } else if (c.v3) { // "." separator: flat "c.t.c.z.y.x" files
+      fs.listStatus(levelDir).filter(_.isFile)
+        .map(_.getPath).filter(_.getName.matches("""c(\.\d+){5}"""))
+        .map(_.toString).toSeq
+    } else {
+      fs.listStatus(levelDir).filter(_.isFile)
+        .map(_.getPath).filter(_.getName.matches("""\d+\.\d+\.\d+\.0\.0"""))
+        .map(_.toString).toSeq
+    }
+  }
+
+  /** (t, c, z) from a chunk path, across both container layouts. */
+  private[sources] def chunkCoords(path: String): (Int, Int, Int) = {
+    val parts = path.split('/')
+    val last = parts.last
+    if (last.startsWith("c.")) { // v3 "." separator
+      val n = last.split("\\.")
+      (n(1).toInt, n(2).toInt, n(3).toInt)
+    } else if (last.contains('.')) { // v2 "t.c.z.0.0"
+      val n = last.split("\\.")
+      (n(0).toInt, n(1).toInt, n(2).toInt)
+    } else { // v3 "/" separator: .../c/<t>/<c>/<z>/<y>/<x>
+      val L = parts.length
+      (parts(L - 5).toInt, parts(L - 4).toInt, parts(L - 3).toInt)
+    }
   }
 
   /**
-   * Read every `*.zarr` child of a directory, one record each, as a SINGLE
-   * job: metadata parses driver-side per store, but all chunk files across
+   * Shared read core: N stores -> N canonical records in a SINGLE job.
+   * Metadata parses driver-side per store, but all chunk files across
    * all stores flow through one `binaryFile` load and one nest shuffle —
-   * a 10,000-store corpus is one plan, not 10,000 unioned plans.
+   * a 10,000-store corpus is one plan, not 10,000 unioned plans. Missing
+   * chunks zero-fill (Zarr fill_value semantics) via the generated-grid
+   * left join.
    */
-  def readAll(spark: SparkSession, dir: String, levelPath: String = "0"): DataFrame = {
+  private def readStores(spark: SparkSession, configs: Seq[StoreConfig],
+      chunkPaths: Seq[String]): DataFrame = {
     val sp = spark
     import sp.implicits._
-    val conf = spark.sessionState.newHadoopConf()
-    val root = new Path(dir)
-    val fs = root.getFileSystem(conf)
-    val stores = fs.listStatus(root).filter(_.isDirectory)
-      .map(_.getPath.toString).filter(_.endsWith(".zarr"))
-    require(stores.nonEmpty, s"No .zarr stores under $dir")
-
-    val configs = stores.map(parseConfig(fs, _, levelPath)).toSeq
+    require(chunkPaths.nonEmpty,
+      s"Zarr: no chunk files under ${configs.map(_.store).mkString(", ")}")
     val byStem = configs.map(c => c.stem -> c).toMap
     require(byStem.size == configs.size, "Zarr: duplicate store stems")
     val confB = spark.sparkContext.broadcast(byStem)
+    // single-store reads may target a root that doesn't end in ".zarr",
+    // where stem extraction from the chunk path can't work — resolve the
+    // lone config directly instead
+    val loneStem = if (configs.size == 1) configs.head.stem else null
 
-    val chunkPaths = configs.flatMap { c =>
-      val levelDir = new Path(new Path(c.store), levelPath)
-      fs.listStatus(levelDir).filter(_.isFile)
-        .map(_.getPath).filter(_.getName.matches("""\d+\.\d+\.\d+\.0\.0"""))
-        .map(_.toString)
-    }
-    require(chunkPaths.nonEmpty, s"Zarr: no chunk files under $dir")
-
-    // one load for every chunk of every store
     val planeRows = spark.read.format("binaryFile")
       .load(chunkPaths: _*)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .map { case (p, raw) =>
-        // .../<stem>.zarr/<level>/<t.c.z.0.0>
         val parts = p.split('/')
-        val stem = parts(parts.length - 3).stripSuffix(".zarr")
+        val stem =
+          if (loneStem != null) loneStem
+          else parts(parts.lastIndexWhere(_.endsWith(".zarr")))
+            .stripSuffix(".zarr")
         val c = confB.value(stem)
-        val nameParts = parts.last.split("\\.")
-        val (t, ch, z) = (nameParts(0).toInt, nameParts(1).toInt, nameParts(2).toInt)
+        val (t, ch, z) = chunkCoords(p)
         val expect = c.sy * c.sx * (if (c.u1) 1 else 2)
-        val bytes = if (c.zlib) zlibDecompress(raw, expect) else raw
+        val bytes = decodeChunk(raw, c.comp, expect)
         require(bytes.length >= expect,
           s"Zarr chunk $p: ${bytes.length} bytes < expected $expect")
         val px = new Array[Int](c.sy * c.sx)
@@ -482,6 +544,32 @@ object OmeZarr {
               lit(0xFFFFFFFFL).as("color_rgba"))).as("channels")).as("pixels_meta"))
         .as("record_meta"))
     OmeOps.nestPlanes(filled.join(broadcast(metaDf), Seq("image_id")))
+  }
+
+  /**
+   * Read one OME-Zarr image directory (level `levelPath`, default "0")
+   * into a single canonical record — v2 or v3, auto-detected.
+   */
+  def read(spark: SparkSession, path: String, levelPath: String = "0"): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    require(fs.exists(root), s"No such Zarr store: $path")
+    val config = parseConfig(fs, path, levelPath)
+    readStores(spark, Seq(config), listChunks(fs, config, levelPath))
+  }
+
+  /** Read every `*.zarr` child of a directory, one record each (see
+    * [[readStores]] for the single-job layout). */
+  def readAll(spark: SparkSession, dir: String, levelPath: String = "0"): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val stores = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.toString).filter(_.endsWith(".zarr"))
+    require(stores.nonEmpty, s"No .zarr stores under $dir")
+    val configs = stores.map(parseConfig(fs, _, levelPath)).toSeq
+    readStores(spark, configs, configs.flatMap(listChunks(fs, _, levelPath)))
   }
 
   private def readText(fs: org.apache.hadoop.fs.FileSystem, p: Path): String = {
