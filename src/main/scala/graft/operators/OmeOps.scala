@@ -182,13 +182,15 @@ object OmeOps {
     val boundsOk = lit(xMax) <= sx && lit(yMax) <= sy
     val expectedLen = sx * sy
 
-    // crop one flat row-major plane: y in [yMin,yMax) rows, slice is 1-based
+    // crop one flat row-major plane via the codegen'd PixelCrop kernel —
+    // one JVM loop per plane instead of an interpreted slice-per-row HOF
+    // tree (the r3 bench flagged the HOF form as the slice cost center)
+    graft.functions.ensureRegistered(df.sparkSession)
     def cropPixels(px: Column): Column = {
       val checked = when(size(px) =!= expectedLen, raise_error(
         format_string("Plane has %d pixels; expected %d.", size(px), expectedLen)))
         .otherwise(px)
-      flatten(transform(sequence(lit(yMin), lit(yMax - 1)),
-        y => slice(checked, y * sx + lit(xMin + 1), lit(newSx))))
+      graft.functions.pixel_crop(checked, sx.cast("int"), xMin, xMax, yMin, yMax)
     }
 
     val planesIn = rec.getField("planes")
@@ -440,22 +442,16 @@ object OmeOps {
     // level shape contract is max(1, n // 2) (export.py:317-318).
     val nx = greatest(floor(sx / 2).cast("int"), lit(1))
     val ny = greatest(floor(sy / 2).cast("int"), lit(1))
-    // Degenerate axes (size 1): no neighbor in that direction — re-read the
-    // base pixel instead (offset 0), which keeps the block mean exact:
-    // floor((2a+2b)/4) == floor((a+b)/2).
-    val dx = when(sx >= 2, lit(1)).otherwise(lit(0))
-    val dyOff = when(sy >= 2, sx).otherwise(lit(0))
-    def down(px: Column): Column =
-      flatten(transform(sequence(lit(0), ny - 1), by =>
-        transform(sequence(lit(0), nx - 1), bx => {
-          val base = (by * 2) * sx + bx * 2
-          val s = get(px, base) + get(px, base + dx) +
-            get(px, base + dyOff) + get(px, base + dyOff + dx)
-          floor(s / 4).cast("int")
-        })))
+    // Per-plane 2x2 block mean via the native BlockMean2x kernel (same
+    // degenerate-axis clamp semantics) — one JVM loop per plane; the
+    // previous interpreted per-pixel HOF tree was the r3 pyramid cost
+    // center and the depth>=3 composition trap.
+    graft.functions.ensureRegistered(df.sparkSession)
     val planesOut = transform(rec.getField("planes"), p => struct(
       p.getField("z").as("z"), p.getField("t").as("t"),
-      p.getField("c").as("c"), down(p.getField("pixels")).as("pixels")))
+      p.getField("c").as("c"),
+      graft.functions.block_mean_2x(p.getField("pixels"),
+        sx.cast("int"), sy.cast("int")).as("pixels")))
     val pmOut = struct(
       meta.getField("dimension_order").as("dimension_order"),
       meta.getField("type").as("type"),

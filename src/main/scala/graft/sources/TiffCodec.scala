@@ -58,6 +58,10 @@ object TiffCodec {
       case t => throw new IllegalArgumentException(s"TIFF type $t unsupported")
     }
     val total = elemSize * e.count
+    // a corrupt/hostile count field must not drive the allocation below:
+    // out-of-line values have to fit inside the file (fuzz finding r4)
+    require(total <= 4 || e.valueOffset + total <= buf.capacity(),
+      s"TIFF: entry tag ${e.tag} claims $total value bytes past end of file")
     // values <= 4 bytes are stored inline in the value/offset field
     val base = if (total <= 4) -1L else e.valueOffset
     def at(i: Int): Long = {
@@ -97,6 +101,8 @@ object TiffCodec {
       val e = IfdEntry(tag, typ, count, valueOffset)
       entries += tag -> e
       if (tag == 270) { // ImageDescription
+        require(valueOffset + count <= buf.capacity(),
+          s"TIFF: ImageDescription of $count bytes past end of file")
         val bytes = Array.tabulate(count.toInt)(j =>
           buf.get((valueOffset + j).toInt))
         rawDesc = Some(new String(bytes, "UTF-8").takeWhile(_ != '\u0000'))
@@ -109,6 +115,8 @@ object TiffCodec {
 
     val width = one(256, throw new IllegalArgumentException("TIFF: no ImageWidth")).toInt
     val height = one(257, throw new IllegalArgumentException("TIFF: no ImageLength")).toInt
+    require(width > 0 && height > 0 && width.toLong * height <= (1L << 28),
+      s"TIFF: implausible plane shape ${width}x$height")
     val bits = one(258, 1L).toInt
     val compression = one(259, 1L).toInt
     val samplesPerPx = one(277, 1L).toInt
