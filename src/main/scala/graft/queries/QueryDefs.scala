@@ -331,6 +331,20 @@ object QueryDefs {
            |FROM px GROUP BY img, t, c, z""".stripMargin)),
 
     // façade glob dispatch (O16): sniffs the bare "*.tif*" glob to TIFF
+    // tiled + packbits writer options (export.py:122-125 parity): same
+    // oracle as the strip round-trip — layout must not change pixels
+    ("ome_tiff_tiled", (s: SparkSession, _: String) => {
+      graft.sources.OmeTiff.write(Fixtures.corpus4d(s), "/tmp/graft_q_tiff_tile",
+        compression = "packbits", tile = Some((16, 16)))
+      planeStatsRows(graft.sources.OmeTiff.read(s, "/tmp/graft_q_tiff_tile"))
+        .withColumnRenamed("image_id", "id")
+    },
+      Some(
+        s"""WITH $px4d
+           |SELECT $id4d AS id, CAST(t AS INT) AS t, CAST(c AS INT) AS c,
+           |  CAST(z AS INT) AS z, $planeStatsSelect
+           |FROM px GROUP BY img, t, c, z""".stripMargin)),
+
     ("ome_tiff_golden", (s: SparkSession, _: String) =>
       OmeOps.describe(graft.OmeArrow.read(s,
         "/root/reference/tests/data/ome-artificial-5d-datasets/*.tif*"))

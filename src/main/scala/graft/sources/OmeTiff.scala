@@ -26,12 +26,14 @@ import graft.schema._
  */
 object OmeTiff {
 
-  private[graft] def channelsFor(n: Int, names: Seq[String]): Seq[OmeChannel] =
+  private[graft] def channelsFor(n: Int, names: Seq[String],
+      colors: Seq[Option[Long]] = Nil): Seq[OmeChannel] =
     (0 until n).map { i =>
       // reference channel defaults for file ingest (ingest.py:359-369)
       OmeChannel(s"ch-$i",
         if (i < names.length) names(i) else s"C$i",
-        Some(0.0f), Some(0.0f), Some("Unknown"), Some(0xFFFFFFFFL))
+        Some(0.0f), Some(0.0f), Some("Unknown"),
+        Some(colors.lift(i).flatten.getOrElse(0xFFFFFFFFL)))
     }
 
   /** Decode one TIFF file into a canonical record. */
@@ -82,7 +84,8 @@ object OmeTiff {
         physical_size_x_unit = Some("µm"),
         physical_size_y_unit = Some("µm"),
         physical_size_z_unit = Some("µm"),
-        channels = channelsFor(sc, names)),
+        channels = channelsFor(sc, names,
+          xml.map(_.channelColors).getOrElse(Nil))),
       planes = planes)
   }
 
@@ -112,7 +115,10 @@ object OmeTiff {
    * receiving `<id>.ome.tiff` per row, written from executor tasks.
    */
   def write(df: DataFrame, out: String,
-      column: String = OmeSchema.DefaultColumn): Unit = {
+      column: String = OmeSchema.DefaultColumn,
+      compression: String = "zlib",
+      tile: Option[(Int, Int)] = None,
+      useChannelColors: Boolean = false): Unit = {
     val sp = df.sparkSession
     import sp.implicits._
     val recs = df.select(col(s"$column.*")).as[OmeArrowRecord]
@@ -123,18 +129,22 @@ object OmeTiff {
       val all = recs.collect()
       require(all.length == 1,
         s"Writing to a single file '$out' requires exactly 1 record, got ${all.length}")
-      writeOne(all(0), new Path(out), hadoopConf.value)
+      writeOne(all(0), new Path(out), hadoopConf.value, compression, tile,
+        useChannelColors)
     } else {
       recs.foreachPartition { it: Iterator[OmeArrowRecord] =>
         it.foreach { r =>
-          writeOne(r, new Path(out, s"${r.id}.ome.tiff"), hadoopConf.value)
+          writeOne(r, new Path(out, s"${r.id}.ome.tiff"), hadoopConf.value,
+            compression, tile, useChannelColors)
         }
       }
     }
   }
 
   private def writeOne(r: OmeArrowRecord, dest: Path,
-      conf: org.apache.hadoop.conf.Configuration): Unit = {
+      conf: org.apache.hadoop.conf.Configuration,
+      compression: String = "zlib", tile: Option[(Int, Int)] = None,
+      useChannelColors: Boolean = false): Unit = {
     val pm = r.pixels_meta
     val byCoord = r.planes.map(p => (p.t, p.c.toInt, p.z) -> p.pixels).toMap
     val zeros = Array.fill(pm.size_x * pm.size_y)(0)
@@ -146,8 +156,9 @@ object OmeTiff {
     val xml = OmeXml.generate(r.name, pm.size_x, pm.size_y, pm.size_z,
       pm.size_c.toInt, pm.size_t, "XYZCT",
       pm.physical_size_x, pm.physical_size_y, pm.physical_size_z,
-      r.pixels_meta.channels.map(_.name))
-    val bytes = TiffCodec.encode(pages, Some(xml))
+      r.pixels_meta.channels.map(_.name),
+      if (useChannelColors) r.pixels_meta.channels.map(_.color_rgba) else Nil)
+    val bytes = TiffCodec.encode(pages, Some(xml), compression, tile)
     val fs = dest.getFileSystem(conf)
     fs.setWriteChecksum(false)
     val os = fs.create(dest, true)

@@ -13,7 +13,8 @@ object OmeXml {
       dimensionOrder: String,
       physicalSizeX: Option[Float], physicalSizeY: Option[Float],
       physicalSizeZ: Option[Float],
-      channelNames: Seq[String])
+      channelNames: Seq[String],
+      channelColors: Seq[Option[Long]] = Nil)
 
   def looksLikeOme(s: String): Boolean = s.contains("<OME") || s.contains(":OME")
 
@@ -35,6 +36,11 @@ object OmeXml {
       Option(chans.item(i).asInstanceOf[org.w3c.dom.Element].getAttribute("Name"))
         .filter(_.nonEmpty)
     }
+    // Channel Color: signed 32-bit RGBA per the OME schema -> unsigned long
+    val colors = (0 until chans.getLength).map { i =>
+      Option(chans.item(i).asInstanceOf[org.w3c.dom.Element].getAttribute("Color"))
+        .filter(_.nonEmpty).flatMap(s => Try(s.toInt.toLong & 0xffffffffL).toOption)
+    }
     PixelsMeta(
       sizeX = intAttr("SizeX", 0), sizeY = intAttr("SizeY", 0),
       sizeZ = intAttr("SizeZ", 1), sizeC = intAttr("SizeC", 1),
@@ -43,7 +49,8 @@ object OmeXml {
       physicalSizeX = attr("PhysicalSizeX").map(_.toFloat),
       physicalSizeY = attr("PhysicalSizeY").map(_.toFloat),
       physicalSizeZ = attr("PhysicalSizeZ").map(_.toFloat),
-      channelNames = names)
+      channelNames = names,
+      channelColors = colors)
   }.toOption
 
   private def esc(s: String): String =
@@ -55,13 +62,18 @@ object OmeXml {
   def generate(name: String, sizeX: Int, sizeY: Int, sizeZ: Int, sizeC: Int,
       sizeT: Int, dimensionOrder: String,
       physicalSizeX: Option[Float], physicalSizeY: Option[Float],
-      physicalSizeZ: Option[Float], channelNames: Seq[String]): String = {
+      physicalSizeZ: Option[Float], channelNames: Seq[String],
+      channelColors: Seq[Option[Long]] = Nil): String = {
     val phys = Seq(
       physicalSizeX.map(v => s"""PhysicalSizeX="$v""""),
       physicalSizeY.map(v => s"""PhysicalSizeY="$v""""),
       physicalSizeZ.map(v => s"""PhysicalSizeZ="$v"""")).flatten.mkString(" ")
     val chans = channelNames.zipWithIndex.map { case (n, i) =>
-      s"""<Channel ID="Channel:0:$i" Name="${esc(n)}" SamplesPerPixel="1"/>"""
+      // Color: signed 32-bit RGBA (OME schema; export.py:182-195 carries
+      // channel display colors through when enabled)
+      val color = channelColors.lift(i).flatten
+        .map(c => s""" Color="${c.toInt}"""").getOrElse("")
+      s"""<Channel ID="Channel:0:$i" Name="${esc(n)}"$color SamplesPerPixel="1"/>"""
     }.mkString
     s"""<?xml version="1.0" encoding="UTF-8"?>""" +
       """<OME xmlns="http://www.openmicroscopy.org/Schemas/OME/2016-06">""" +

@@ -8,14 +8,15 @@ import java.util.zip.{Deflater, Inflater}
  * reference corpus needs (reference: ingest.py:293-400 reads via BioIO;
  * export.py:116-228 writes via tifffile with zlib default):
  *
- *  - classic TIFF (II/MM), strip-organized, grayscale 8/16-bit,
- *    1 sample/pixel, uncompressed or Deflate/zlib (codes 8 and 32946);
+ *  - classic TIFF (II/MM), strip- OR tile-organized (tags 322-325),
+ *    grayscale 8/16-bit, 1 sample/pixel, uncompressed, Deflate/zlib
+ *    (codes 8 and 32946) or PackBits (32773) — decode and encode;
  *  - multi-page (IFD chain) -> multiple planes;
  *  - `ImageDescription` carried verbatim so OME-XML sizes can be parsed.
  *
- * Tiles, palettes, RGB, predictors and exotic codecs are out of scope.
- * Pure JVM (java.util.zip), no external libraries — usable inside
- * executor tasks.
+ * Palettes, RGB, predictors and exotic codecs (lzma/jpegxl) are out of
+ * scope and raise clear errors. Pure JVM (java.util.zip), no external
+ * libraries — usable inside executor tasks.
  */
 object TiffCodec {
 
@@ -127,25 +128,62 @@ object TiffCodec {
       compression == 32773,
       s"TIFF: compression $compression unsupported (none/deflate/packbits only)")
 
+    def segment(off: Long, len: Long, what: String): Array[Byte] = {
+      val so = off.toInt; val sc = len.toInt
+      // copyOfRange would silently zero-pad past EOF -> corrupt pixels
+      require(so >= 0 && sc >= 0 && so + sc <= buf.array().length,
+        s"TIFF: $what [$so, ${so + sc}) exceeds file size ${buf.array().length} (truncated file?)")
+      val seg = java.util.Arrays.copyOfRange(buf.array(), so, so + sc)
+      compression match {
+        case 1 => seg
+        case 32773 => unpackBits(seg)
+        case _ => inflate(seg)
+      }
+    }
+
+    val bpp = bits / 8
+    val expected = width * height * bpp
     val stripOffsets = all(273)
     val stripCounts = all(279)
-    require(stripOffsets.nonEmpty, "TIFF: no StripOffsets (tiled files unsupported)")
-    val raw = new java.io.ByteArrayOutputStream()
-    for (i <- stripOffsets.indices) {
-      val so = stripOffsets(i).toInt
-      val sc = stripCounts(i).toInt
-      // copyOfRange would silently zero-pad past EOF -> corrupt pixels
-      require(so >= 0 && so + sc <= buf.array().length,
-        s"TIFF: strip $i [$so, ${so + sc}) exceeds file size ${buf.array().length} (truncated file?)")
-      val strip = java.util.Arrays.copyOfRange(buf.array(), so, so + sc)
-      raw.write(compression match {
-        case 1 => strip
-        case 32773 => unpackBits(strip)
-        case _ => inflate(strip)
-      })
-    }
-    val data = raw.toByteArray
-    val expected = width * height * (bits / 8)
+    val data: Array[Byte] =
+      if (stripOffsets.nonEmpty) {
+        val raw = new java.io.ByteArrayOutputStream()
+        for (i <- stripOffsets.indices)
+          raw.write(segment(stripOffsets(i), stripCounts(i), s"strip $i"))
+        raw.toByteArray
+      } else {
+        // tiled organization (tags 322-325): fixed-size tiles in row-major
+        // order, edge tiles padded to full size — reassemble with clipping
+        val tileOffsets = all(324)
+        val tileCounts = all(325)
+        require(tileOffsets.nonEmpty,
+          "TIFF: neither StripOffsets nor TileOffsets present")
+        val tw = one(322, throw new IllegalArgumentException("TIFF: no TileWidth")).toInt
+        val th = one(323, throw new IllegalArgumentException("TIFF: no TileLength")).toInt
+        require(tw > 0 && th > 0 && tw.toLong * th <= (1L << 26),
+          s"TIFF: implausible tile shape ${tw}x$th")
+        val across = (width + tw - 1) / tw
+        val down = (height + th - 1) / th
+        require(tileOffsets.length >= across * down,
+          s"TIFF: ${tileOffsets.length} tiles < ${across * down} needed for ${width}x$height")
+        val plane = new Array[Byte](expected)
+        val tileBytes = tw * th * bpp
+        for (ty <- 0 until down; tx <- 0 until across) {
+          val i = ty * across + tx
+          val t = segment(tileOffsets(i), tileCounts(i), s"tile $i")
+          require(t.length >= tileBytes,
+            s"TIFF: tile $i decoded ${t.length} bytes, expected >= $tileBytes")
+          val copyW = math.min(tw, width - tx * tw) * bpp
+          val rows = math.min(th, height - ty * th)
+          var r = 0
+          while (r < rows) {
+            System.arraycopy(t, r * tw * bpp, plane,
+              ((ty * th + r) * width + tx * tw) * bpp, copyW)
+            r += 1
+          }
+        }
+        plane
+      }
     require(data.length >= expected,
       s"TIFF: decoded ${data.length} bytes, expected >= $expected")
     val signed = sampleFormat == 2
@@ -207,33 +245,77 @@ object TiffCodec {
 
   /**
    * Encode grayscale 16-bit pages as a little-endian multi-page TIFF,
-   * one Deflate-compressed strip per page, with `description` on the
-   * first page (where OME-XML lives in OME-TIFF).
+   * with `description` on the first page (where OME-XML lives in
+   * OME-TIFF). `compression`: "zlib" (deflate, tifffile's default --
+   * export.py:122), "packbits" or "none"; "lzma"/"jpegxl" have no JDK
+   * codec and raise. `tile`: optional (tileLength, tileWidth) -- the
+   * reference's (Y, X) order (export.py:125) -- writes a tiled layout
+   * (tags 322-325, edge tiles zero-padded) instead of one strip per
+   * page; dimensions must be multiples of 16 per the TIFF spec.
    */
   def encode(pages: Seq[(Int, Int, Array[Int])], description: Option[String] = None,
-      deflate: Boolean = true): Array[Byte] = {
+      compression: String = "zlib", tile: Option[(Int, Int)] = None): Array[Byte] = {
     require(pages.nonEmpty, "TIFF encode: no pages")
+    val compCode = compression match {
+      case "zlib" | "deflate" => 8
+      case "none" => 1
+      case "packbits" => 32773
+      case other => throw new IllegalArgumentException(
+        s"TIFF encode: compression '$other' unsupported (zlib/packbits/none)")
+    }
+    def press(bytes: Array[Byte]): Array[Byte] = compCode match {
+      case 8 => deflateBytes(bytes)
+      case 32773 => packBits(bytes)
+      case _ => bytes
+    }
+    tile.foreach { case (th, tw) =>
+      require(th > 0 && tw > 0 && th % 16 == 0 && tw % 16 == 0,
+        s"TIFF encode: tile dims must be positive multiples of 16, got ${th}x$tw")
+    }
     val out = new java.io.ByteArrayOutputStream()
     def pad(): Unit = if (out.size() % 2 == 1) out.write(0)
 
     // header placeholder; patch IFD0 offset later
     out.write(Array[Byte](0x49, 0x49, 42, 0, 0, 0, 0, 0))
 
-    final case class Prepared(width: Int, height: Int, dataOffset: Int,
-      dataLen: Int, descOffset: Int, descLen: Int)
+    final case class Prepared(width: Int, height: Int,
+      dataOffsets: Seq[Int], dataLens: Seq[Int], descOffset: Int, descLen: Int)
     val prepared = pages.zipWithIndex.map { case ((w, h, px), idx) =>
       require(px.length == w * h, s"page $idx: ${px.length} pixels != $w*$h")
-      val bytes = new Array[Byte](px.length * 2)
-      var i = 0
-      while (i < px.length) {
-        bytes(i * 2) = (px(i) & 0xff).toByte
-        bytes(i * 2 + 1) = ((px(i) >> 8) & 0xff).toByte
-        i += 1
+      val segments: Seq[Array[Byte]] = tile match {
+        case None =>
+          val bytes = new Array[Byte](px.length * 2)
+          var i = 0
+          while (i < px.length) {
+            bytes(i * 2) = (px(i) & 0xff).toByte
+            bytes(i * 2 + 1) = ((px(i) >> 8) & 0xff).toByte
+            i += 1
+          }
+          Seq(press(bytes))
+        case Some((th, tw)) =>
+          val across = (w + tw - 1) / tw
+          val down = (h + th - 1) / th
+          for (ty <- 0 until down; tx <- 0 until across) yield {
+            val t = new Array[Byte](tw * th * 2) // zero-padded edges
+            val rows = math.min(th, h - ty * th)
+            val cols = math.min(tw, w - tx * tw)
+            var r = 0
+            while (r < rows) {
+              var c = 0
+              while (c < cols) {
+                val v = px((ty * th + r) * w + tx * tw + c)
+                t((r * tw + c) * 2) = (v & 0xff).toByte
+                t((r * tw + c) * 2 + 1) = ((v >> 8) & 0xff).toByte
+                c += 1
+              }
+              r += 1
+            }
+            press(t)
+          }
       }
-      val strip = if (deflate) deflateBytes(bytes) else bytes
-      pad()
-      val dataOffset = out.size()
-      out.write(strip)
+      val offsets = segments.map { seg =>
+        pad(); val o = out.size(); out.write(seg); o
+      }
       val (descOffset, descLen) = if (idx == 0 && description.isDefined) {
         pad()
         val d = (description.get + "\u0000").getBytes("UTF-8")
@@ -241,15 +323,28 @@ object TiffCodec {
         out.write(d)
         (o, d.length)
       } else (0, 0)
-      Prepared(w, h, dataOffset, strip.length, descOffset, descLen)
+      Prepared(w, h, offsets, segments.map(_.length), descOffset, descLen)
     }
 
-    // IFD chain
+    // IFD chain; multi-valued LONG entries (tile offset/count arrays)
+    // need their value arrays written out-of-line before each IFD
     var ifdOffsets = Vector.empty[Int]
     prepared.foreach { p =>
+      val multi = p.dataOffsets.length > 1
+      def writeLongArray(vals: Seq[Int]): Int = {
+        pad()
+        val o = out.size()
+        val ab = ByteBuffer.allocate(vals.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+        vals.foreach(ab.putInt)
+        out.write(ab.array())
+        o
+      }
+      val (offArr, cntArr) =
+        if (multi) (writeLongArray(p.dataOffsets), writeLongArray(p.dataLens))
+        else (0, 0)
       pad()
       ifdOffsets :+= out.size()
-      val nEntries = if (p.descLen > 0) 9 else 8
+      val nEntries = 8 + (if (p.descLen > 0) 1 else 0) + (if (tile.isDefined) 1 else 0)
       val ifd = ByteBuffer.allocate(2 + nEntries * 12 + 4).order(ByteOrder.LITTLE_ENDIAN)
       ifd.putShort(nEntries.toShort)
       def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
@@ -258,15 +353,24 @@ object TiffCodec {
         if (typ == 3 && count == 1) { ifd.putShort(value.toShort); ifd.putShort(0) }
         else ifd.putInt(value)
       }
+      val nSeg = p.dataOffsets.length
       entry(256, 4, 1, p.width)                       // ImageWidth
       entry(257, 4, 1, p.height)                      // ImageLength
       entry(258, 3, 1, 16)                            // BitsPerSample
-      entry(259, 3, 1, if (deflate) 8 else 1)         // Compression
+      entry(259, 3, 1, compCode)                      // Compression
       entry(262, 3, 1, 1)                             // Photometric: BlackIsZero
       if (p.descLen > 0) entry(270, 2, p.descLen, p.descOffset) // ImageDescription
-      entry(273, 4, 1, p.dataOffset)                  // StripOffsets
-      entry(278, 4, 1, p.height)                      // RowsPerStrip
-      entry(279, 4, 1, p.dataLen)                     // StripByteCounts
+      tile match {
+        case None =>
+          entry(273, 4, 1, p.dataOffsets.head)        // StripOffsets
+          entry(278, 4, 1, p.height)                  // RowsPerStrip
+          entry(279, 4, 1, p.dataLens.head)           // StripByteCounts
+        case Some((th, tw)) =>
+          entry(322, 4, 1, tw)                        // TileWidth
+          entry(323, 4, 1, th)                        // TileLength
+          entry(324, 4, nSeg, if (multi) offArr else p.dataOffsets.head) // TileOffsets
+          entry(325, 4, nSeg, if (multi) cntArr else p.dataLens.head)    // TileByteCounts
+      }
       ifd.putInt(0) // next-IFD placeholder, patched below
       out.write(ifd.array())
     }
@@ -281,6 +385,27 @@ object TiffCodec {
       bb.putInt(off + 2 + n * 12, ifdOffsets(i + 1))
     }
     bytes
+  }
+
+  /** PackBits encode: repeat runs >= 2 become (1-n, byte); literal runs
+    * continue until the next 3-byte repeat, 128 max per control byte. */
+  private[graft] def packBits(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length + data.length / 128 + 8)
+    var i = 0
+    while (i < data.length) {
+      var run = 1
+      while (i + run < data.length && data(i + run) == data(i) && run < 128) run += 1
+      if (run >= 2) {
+        out.write(1 - run); out.write(data(i)); i += run
+      } else {
+        var j = i + 1
+        while (j < data.length && j - i < 128 &&
+            !(j + 2 < data.length && data(j) == data(j + 1) && data(j + 1) == data(j + 2)))
+          j += 1
+        out.write(j - i - 1); out.write(data, i, j - i); i = j
+      }
+    }
+    out.toByteArray
   }
 
   private def deflateBytes(data: Array[Byte]): Array[Byte] = {

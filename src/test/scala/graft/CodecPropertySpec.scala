@@ -15,13 +15,16 @@ object CodecPropertySpec extends Properties("codecs") {
 
   property("tiff encode/decode round-trips any page stack") =
     Prop.forAll(Gen.nonEmptyListOf(pageGen).map(_.take(6)),
-        Gen.oneOf(true, false)) { (pages0, deflate) =>
+        Gen.oneOf("zlib", "none", "packbits"),
+        Gen.oneOf(Option.empty[(Int, Int)], Some((16, 16)), Some((32, 16)))) {
+      (pages0, compression, tile) =>
       // all pages of one file share a shape (codec requirement)
       val (w, h, _) = pages0.head
       val pages = pages0.map { case (_, _, px) =>
         (w, h, java.util.Arrays.copyOf(px, w * h))
       }
-      val decoded = TiffCodec.decode(TiffCodec.encode(pages, deflate = deflate))
+      val decoded = TiffCodec.decode(
+        TiffCodec.encode(pages, compression = compression, tile = tile))
       decoded.length == pages.length &&
         decoded.zip(pages).forall { case (d, (pw, ph, px)) =>
           d.width == pw && d.height == ph && d.pixels.sameElements(px)

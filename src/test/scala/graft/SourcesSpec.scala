@@ -143,6 +143,29 @@ class SourcesSpec extends SparkSpec {
     assert(df.count() === 6) // 6 .ome.tiff files (time-series is .ome.tif)
   }
 
+  test("O8: TIFF writer options (packbits, tiles, channel colors) round-trip") {
+    // conftest fixture: 4x3 px (exercises tile edge padding), channels
+    // with distinct display colors (blue 0x0000FFFF, red 0xFF0000FF)
+    val one = Fixtures.conftestDf(spark)
+    graft.sources.OmeTiff.write(one, "/tmp/graft_test_topt",
+      compression = "packbits", tile = Some((16, 16)), useChannelColors = true)
+    val back = graft.sources.OmeTiff.read(spark, "/tmp/graft_test_topt")
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      OmeOps.explodePlanes(df).select(col("t"), col("c"), col("z"),
+        aggregate(col("pixels"), lit(0L), (a, v) => a + v))
+        .orderBy(col("t"), col("c"), col("z")).collect().toSeq
+    assert(sums(one) === sums(back))
+    // colors survive the OME-XML Color attribute (signed RGBA int32)
+    val colors = back.select(transform(col("ome_arrow.pixels_meta.channels"),
+      c => c.getField("color_rgba"))).collect()(0).getSeq[Long](0)
+    assert(colors === Seq(0x0000FFFFL, 0xFF0000FFL))
+    val ex = intercept[Exception] {
+      graft.sources.OmeTiff.write(one, "/tmp/graft_test_topt2",
+        compression = "lzma")
+    }
+    assert(ex.getMessage.contains("lzma"))
+  }
+
   test("O5: foreign Zarr dtypes (|u1 raw, >u2 zlib) decode correctly") {
     val u1 = graft.sources.OmeZarr.read(spark,
       "/root/repo/src/test/resources/u1_store.zarr")
