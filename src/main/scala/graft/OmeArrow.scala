@@ -44,9 +44,19 @@ object OmeArrow {
   }
 
   /** Export dispatch with the reference's `how` alias normalization
-    * (core.py:219: lowercase, '_' -> '-'). */
+    * (core.py:219: lowercase, '_' -> '-') and its writer kwargs
+    * (export.py:115-127, 231-247): `compression` (tiff: zlib/packbits/
+    * none; zarr: zlib/blosc/null), `tile` (tiff, (Y, X)),
+    * `multiscaleLevels` and `zarrFormat` (zarr), `useChannelColors`
+    * (tiff). Options irrelevant to the chosen sink are ignored, like
+    * the reference's kwargs. */
   def export(df: DataFrame, how: String, out: String = null,
-      columnName: String = OmeSchema.DefaultColumn): DataFrame = {
+      columnName: String = OmeSchema.DefaultColumn,
+      compression: String = null,
+      tile: Option[(Int, Int)] = None,
+      multiscaleLevels: Int = 1,
+      zarrFormat: Int = 2,
+      useChannelColors: Boolean = false): DataFrame = {
     def requireOut(): String = {
       require(out != null, s"Export how='$how' requires an output path.")
       out
@@ -58,10 +68,15 @@ object OmeArrow {
         OmeParquet.write(df, requireOut(), columnName = columnName)
         df
       case "ome-tiff" | "ometiff" | "tiff" =>
-        sources.OmeTiff.write(df, requireOut())
+        sources.OmeTiff.write(df, requireOut(),
+          compression = Option(compression).getOrElse("zlib"),
+          tile = tile, useChannelColors = useChannelColors)
         df
       case "ome-zarr" | "omezarr" | "zarr" =>
-        sources.OmeZarr.write(df, requireOut())
+        sources.OmeZarr.write(df, requireOut(),
+          multiscaleLevels = multiscaleLevels,
+          compressor = Option(compression).getOrElse("zlib"),
+          zarrFormat = zarrFormat)
         df
       case other =>
         throw new IllegalArgumentException(s"Unknown export how='$other'.")
