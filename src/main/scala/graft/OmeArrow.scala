@@ -52,23 +52,28 @@ object OmeArrow {
     * the reference's kwargs. */
   def export(df: DataFrame, how: String, out: String = null,
       columnName: String = OmeSchema.DefaultColumn,
+      column: String = OmeSchema.DefaultColumn,
       compression: String = null,
       tile: Option[(Int, Int)] = None,
       multiscaleLevels: Int = 1,
       zarrFormat: Int = 2,
       useChannelColors: Boolean = false): DataFrame = {
+    // `column` names the INPUT record column on `df` (every sink);
+    // `columnName` is the parquet OUTPUT column (reference raw-writer
+    // default "image" vs class default "ome_arrow", export.py:380)
     def requireOut(): String = {
       require(out != null, s"Export how='$how' requires an output path.")
       out
     }
     how.toLowerCase.replace("_", "-") match {
       case "numpy" | "dense" =>
-        OmeOps.toDense(df)
+        OmeOps.toDense(df, column)
       case "ome-parquet" | "omeparquet" | "parquet" =>
-        OmeParquet.write(df, requireOut(), columnName = columnName)
+        OmeParquet.write(df, requireOut(), columnName = columnName,
+          sourceColumn = column)
         df
       case "ome-tiff" | "ometiff" | "tiff" =>
-        sources.OmeTiff.write(df, requireOut(),
+        sources.OmeTiff.write(df, requireOut(), column = column,
           compression = Option(compression).getOrElse("zlib"),
           tile = tile, useChannelColors = useChannelColors)
         df
@@ -76,7 +81,7 @@ object OmeArrow {
         sources.OmeZarr.write(df, requireOut(),
           multiscaleLevels = multiscaleLevels,
           compressor = Option(compression).getOrElse("zlib"),
-          zarrFormat = zarrFormat)
+          zarrFormat = zarrFormat, column = column)
         df
       case other =>
         throw new IllegalArgumentException(s"Unknown export how='$other'.")

@@ -629,8 +629,11 @@ object OmeOps {
     // declared volume cannot fit a JVM array / executor memory. Images
     // past the budget must route through the per-plane (exploded) sink
     // path instead of densifying (VERDICT r3 "toDense weak" item).
+    // Every factor is widened BEFORE multiplying: planeLen itself is
+    // 32-bit (its int arithmetic is what the array ops need) and a
+    // hostile size_x*size_y would overflow it before a later cast.
     val totalCells = st.cast("long") * sc.cast("long") * sz.cast("long") *
-      planeLen.cast("long")
+      meta.getField("size_x").cast("long") * meta.getField("size_y").cast("long")
     val dense0 = flatten(flatten(flatten(
       transform(sequence(lit(0), st - 1), t =>
         transform(sequence(lit(0), sc - 1), c =>

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.util.zip.{Deflater, Inflater}
+import java.util.zip.Inflater
 
 /**
  * Self-contained Blosc-1 chunk codec (decode + encode), JDK-only.
@@ -21,10 +21,10 @@ import java.util.zip.{Deflater, Inflater}
  *     relative to frame start), then per block 1..nsplits streams of
  *     [int32 LE csize][payload]; csize == neblock marks a stored-raw
  *     stream. c-blosc derives the split count from (codec, typesize,
- *     blocksize) at decode time; we instead try `typesize` streams and
- *     fall back to 1, which accepts every split policy c-blosc ever
- *     shipped (split sizes that don't line up fail fast and flip the
- *     candidate).
+ *     blocksize) at decode time; we discover it by trial, trying the
+ *     real writers' policy first (blosclz/lz4 split into typesize
+ *     streams, zlib/zstd/snappy never split) so the ambiguous
+ *     wrong-policy-parses case cannot arise for conformant frames.
  *
  * Codecs: lz4 (hand-rolled block decode per the public LZ4 block spec)
  * and zlib (JDK Inflater). blosclz/snappy/zstd have no JDK
@@ -89,12 +89,19 @@ object BloscCodec {
     out
   }
 
-  /** Decode one block's split streams; split count is discovered by
-    * trying `typesize` equal streams first, then a single stream. */
+  /** Decode one block's split streams. c-blosc's split policy varied
+    * across versions, so the count is discovered by trial — but ordered
+    * by what real writers do: blosclz/lz4 frames are split into
+    * `typesize` streams (forward-compat policy), zlib/zstd/snappy are
+    * never split. Trying the likely policy first avoids the ambiguous
+    * case where the wrong policy happens to parse. */
   private def decodeBlock(frame: Array[Byte], off: Int, bsize: Int,
       typesize: Int, codec: Int): Array[Byte] = {
+    val splitFirst = codec == 0 || codec == 1 // blosclz, lz4
     val candidates =
-      if (typesize > 1 && bsize % typesize == 0) Seq(typesize, 1) else Seq(1)
+      if (typesize > 1 && bsize % typesize == 0)
+        (if (splitFirst) Seq(typesize, 1) else Seq(1, typesize))
+      else Seq(1)
     var lastErr: Throwable = null
     candidates.foreach { ns =>
       try return decodeStreams(frame, off, bsize, ns, codec)
@@ -185,8 +192,15 @@ object BloscCodec {
         throw new IllegalArgumentException("Blosc: truncated zlib stream")
       done += n
     }
+    // a stream holding MORE than dstLen means the split guess cut a
+    // larger stream in half — reject so the caller flips the candidate
+    val over = !inf.finished() && {
+      val probe = new Array[Byte](1)
+      inf.inflate(probe) > 0
+    }
     inf.end()
-    require(done == dstLen, s"Blosc: zlib stream yielded $done of $dstLen bytes")
+    require(done == dstLen && !over,
+      s"Blosc: zlib stream size mismatch (got $done of $dstLen, over=$over)")
   }
 
   // --- shuffles --------------------------------------------------------
@@ -354,15 +368,7 @@ object BloscCodec {
     frame
   }
 
-  private def zlibDeflate(data: Array[Byte]): Array[Byte] = {
-    val d = new Deflater(6, false)
-    d.setInput(data); d.finish()
-    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
-    val tmp = new Array[Byte](16384)
-    while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
-    d.end()
-    out.toByteArray
-  }
+  private def zlibDeflate(data: Array[Byte]): Array[Byte] = ZlibUtil.deflate(data)
 
   /** Valid LZ4 block stream that encodes everything as one literal run. */
   private[graft] def lz4LiteralEncode(data: Array[Byte]): Array[Byte] = {

@@ -2,7 +2,7 @@ package graft.sources
 
 import java.nio.{ByteBuffer, ByteOrder}
 import java.sql.Timestamp
-import java.util.zip.{Deflater, GZIPInputStream, GZIPOutputStream, Inflater}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream, Inflater}
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -61,6 +61,16 @@ object OmeZarr {
       .findFirstMatchIn(json)
       .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).map(_.toDouble).toSeq)
 
+  /** The image name from a multiscales attrs document. The naive first
+    * `"name"` match breaks on foreign stores that serialize `axes` before
+    * the multiscale `name` (key order is free in JSON): axis objects are
+    * `{"name": "t", "type": ...}`, so skip any name immediately followed
+    * by a "type" key (and the v3 codec/grid `{"name": ..,
+    * "configuration": ..}` shape likewise). */
+  private def imageName(attrs: String): Option[String] =
+    (""""name"\s*:\s*"((?:[^"\\]|\\.)*)"\s*(,\s*"(?:type|configuration)")?""").r
+      .findAllMatchIn(attrs).find(_.group(2) == null).map(_.group(1))
+
   /** The "scale" coordinate transform of the multiscales dataset whose
     * `path` equals `levelPath` — NOT the first scale array in the document,
     * which is level 0's transform and halves every physical size read from
@@ -100,15 +110,8 @@ object OmeZarr {
       s"Zarr: compressor '$other' unsupported")
   }
 
-  private def zlibCompress(data: Array[Byte]): Array[Byte] = {
-    val d = new Deflater(6, false) // zlib-wrapped, numcodecs zlib compatible
-    d.setInput(data); d.finish()
-    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
-    val tmp = new Array[Byte](16384)
-    while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
-    d.end()
-    out.toByteArray
-  }
+  // zlib-wrapped, numcodecs zlib compatible
+  private def zlibCompress(data: Array[Byte]): Array[Byte] = ZlibUtil.deflate(data)
 
   private def zlibDecompress(data: Array[Byte], hint: Int): Array[Byte] = {
     val inf = new Inflater(false)
@@ -365,7 +368,7 @@ object OmeZarr {
     val chanNames = """\{\s*"label"\s*:\s*"((?:[^"\\]|\\.)*)"\s*\}""".r
       .findAllMatchIn(attrs).map(_.group(1)).toSeq
     StoreConfig(storePath, root.getName.stripSuffix(".zarr"),
-      jsonString(attrs, "name").getOrElse(root.getName),
+      imageName(attrs).getOrElse(root.getName),
       shape(0).toInt, shape(1).toInt, shape(2).toInt, shape(3).toInt,
       shape(4).toInt, scale(4).toFloat, scale(3).toFloat, scale(2).toFloat,
       chanNames, compId, dtype == ">u2", dtype == "|u1", v3 = false, sep = ".")
@@ -408,7 +411,7 @@ object OmeZarr {
     val chanNames = """\{\s*"label"\s*:\s*"((?:[^"\\]|\\.)*)"\s*\}""".r
       .findAllMatchIn(attrs).map(_.group(1)).toSeq
     StoreConfig(storePath, root.getName.stripSuffix(".zarr"),
-      jsonString(attrs, "name").getOrElse(root.getName),
+      imageName(attrs).getOrElse(root.getName),
       shape(0).toInt, shape(1).toInt, shape(2).toInt, shape(3).toInt,
       shape(4).toInt, scale(4).toFloat, scale(3).toFloat, scale(2).toFloat,
       chanNames, comp, big, dtype == "uint8", v3 = true, sep = sep)

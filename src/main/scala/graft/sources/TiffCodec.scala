@@ -1,7 +1,7 @@
 package graft.sources
 
 import java.nio.{ByteBuffer, ByteOrder}
-import java.util.zip.{Deflater, Inflater}
+import java.util.zip.Inflater
 
 /**
  * Minimal self-contained TIFF codec (SURVEY.md §7.5) for the subset the
@@ -408,13 +408,5 @@ object TiffCodec {
     out.toByteArray
   }
 
-  private def deflateBytes(data: Array[Byte]): Array[Byte] = {
-    val d = new Deflater(6)
-    d.setInput(data); d.finish()
-    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
-    val tmp = new Array[Byte](16384)
-    while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
-    d.end()
-    out.toByteArray
-  }
+  private def deflateBytes(data: Array[Byte]): Array[Byte] = ZlibUtil.deflate(data)
 }
