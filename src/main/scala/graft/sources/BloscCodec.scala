@@ -53,8 +53,11 @@ object BloscCodec {
 
   // --- decode ----------------------------------------------------------
 
-  /** Decompress one Blosc frame to its `nbytes` payload. */
-  def decompress(frame: Array[Byte]): Array[Byte] = {
+  /** Decompress one Blosc frame to its `nbytes` payload. `maxOut` caps
+    * the output allocation — callers that know the expected payload size
+    * (e.g. a Zarr chunk's plane byte count) should pass it, so a hostile
+    * header can't demand gigabytes before any payload is parsed. */
+  def decompress(frame: Array[Byte], maxOut: Int = Int.MaxValue): Array[Byte] = {
     require(frame.length >= 16, s"Blosc: frame of ${frame.length} bytes has no header")
     val flags = frame(2) & 0xff
     val typesize = math.max(frame(3) & 0xff, 1)
@@ -63,6 +66,8 @@ object BloscCodec {
     val cbytes = leInt(frame, 12)
     require(nbytes >= 0 && cbytes >= 16 && cbytes <= frame.length,
       s"Blosc: header sizes inconsistent (nbytes=$nbytes cbytes=$cbytes len=${frame.length})")
+    require(nbytes <= maxOut,
+      s"Blosc: frame declares $nbytes bytes, caller expects at most $maxOut")
     if (nbytes == 0) return Array.emptyByteArray
     if ((flags & FlagMemcpy) != 0) {
       require(cbytes == nbytes + 16, s"Blosc: memcpy frame size mismatch")

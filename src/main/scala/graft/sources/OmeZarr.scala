@@ -100,12 +100,15 @@ object OmeZarr {
         s"Zarr: compressor '$other' unsupported")
     }
 
+  /** `expect` is the exact chunk payload size (chunk shape × dtype) — it
+    * both sizes buffers and CAPS decompression, so a hostile chunk can't
+    * zip-bomb an executor (the expansion stops at the cap and errors). */
   private[sources] def decodeChunk(raw: Array[Byte], comp: String,
-      hint: Int): Array[Byte] = comp match {
+      expect: Int): Array[Byte] = comp match {
     case "null" => raw
-    case "zlib" => zlibDecompress(raw, hint)
-    case "gzip" => gzipDecompress(raw, hint)
-    case "blosc" => BloscCodec.decompress(raw)
+    case "zlib" => zlibDecompress(raw, expect)
+    case "gzip" => gzipDecompress(raw, expect)
+    case "blosc" => BloscCodec.decompress(raw, maxOut = expect)
     case other => throw new IllegalArgumentException(
       s"Zarr: compressor '$other' unsupported")
   }
@@ -113,20 +116,28 @@ object OmeZarr {
   // zlib-wrapped, numcodecs zlib compatible
   private def zlibCompress(data: Array[Byte]): Array[Byte] = ZlibUtil.deflate(data)
 
-  private def zlibDecompress(data: Array[Byte], hint: Int): Array[Byte] = {
+  private def zlibDecompress(data: Array[Byte], expect: Int): Array[Byte] = {
+    val cap = boundedCap(expect)
     val inf = new Inflater(false)
     inf.setInput(data)
-    val out = new java.io.ByteArrayOutputStream(math.max(hint, 64))
+    val out = new java.io.ByteArrayOutputStream(math.max(math.min(expect, cap), 64))
     val tmp = new Array[Byte](16384)
     while (!inf.finished()) {
       val n = inf.inflate(tmp)
       if (n == 0 && inf.needsInput())
         throw new IllegalArgumentException("Zarr: truncated zlib chunk")
       out.write(tmp, 0, n)
+      require(out.size() <= cap,
+        s"Zarr: zlib chunk inflates past $cap bytes (expected $expect)")
     }
     inf.end()
     out.toByteArray
   }
+
+  /** Decompression cap: the exact expected size when known, else a sane
+    * ceiling so unknown-size paths still can't expand unboundedly. */
+  private def boundedCap(expect: Int): Int =
+    if (expect > 0) expect else 1 << 28
 
   private def gzipCompress(data: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
@@ -135,12 +146,18 @@ object OmeZarr {
     bos.toByteArray
   }
 
-  private def gzipDecompress(data: Array[Byte], hint: Int): Array[Byte] = {
+  private def gzipDecompress(data: Array[Byte], expect: Int): Array[Byte] = {
+    val cap = boundedCap(expect)
     val gz = new GZIPInputStream(new java.io.ByteArrayInputStream(data))
-    val out = new java.io.ByteArrayOutputStream(math.max(hint, 64))
+    val out = new java.io.ByteArrayOutputStream(math.max(math.min(expect, cap), 64))
     val tmp = new Array[Byte](16384)
     var n = gz.read(tmp)
-    while (n >= 0) { out.write(tmp, 0, n); n = gz.read(tmp) }
+    while (n >= 0) {
+      out.write(tmp, 0, n)
+      require(out.size() <= cap,
+        s"Zarr: gzip chunk inflates past $cap bytes (expected $expect)")
+      n = gz.read(tmp)
+    }
     gz.close()
     out.toByteArray
   }

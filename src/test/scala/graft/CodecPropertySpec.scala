@@ -2,7 +2,7 @@ package graft
 
 import org.scalacheck.{Gen, Prop, Properties}
 
-import graft.sources.{OmeXml, TiffCodec}
+import graft.sources.{BloscCodec, OmeXml, TiffCodec}
 
 /** ScalaCheck properties for the pure-JVM codec layer (no Spark). */
 object CodecPropertySpec extends Properties("codecs") {
@@ -72,4 +72,28 @@ object CodecPropertySpec extends Properties("codecs") {
           coords.forall { case (t, c, z) => t < st && c < sc && z < sz }
     }
   }
+
+  property("blosc compress/decompress round-trips any payload") =
+    Prop.forAll(
+      Gen.choose(0, 5000).flatMap(n =>
+        Gen.containerOfN[Array, Byte](n, Gen.choose(Byte.MinValue, Byte.MaxValue))),
+      Gen.choose(1, 8),
+      Gen.oneOf("zlib", "lz4"),
+      Gen.oneOf(0, 1, 2)) { (data, typesize, cname, shuffle) =>
+      val back = BloscCodec.decompress(
+        BloscCodec.compress(data, typesize, cname, shuffle))
+      back.sameElements(data)
+    }
+
+  property("blosc decode of arbitrary bytes terminates with a clean error") =
+    Prop.forAll(Gen.choose(0, 200).flatMap(n =>
+      Gen.containerOfN[Array, Byte](n, Gen.choose(Byte.MinValue, Byte.MaxValue)))) {
+      bytes =>
+        try { BloscCodec.decompress(bytes, maxOut = 1 << 20); true }
+        catch {
+          case _: IllegalArgumentException => true
+          case _: ArrayIndexOutOfBoundsException => true
+          case _: java.util.zip.DataFormatException => true
+        }
+    }
 }
