@@ -70,4 +70,17 @@ class ClosureSpec extends SparkSpec {
     assert(describeKey(z) === expectedInfo)
     assert(pixelKey(z) === expectedPixels)
   }
+
+  test("cross-container chain: tiled tiff -> zarr v3 blosc -> zarr v2 -> back") {
+    graft.sources.OmeTiff.write(corpus, "/tmp/closure_chain2_t",
+      compression = "packbits", tile = Some((16, 16)))
+    val t = graft.sources.OmeTiff.read(spark, "/tmp/closure_chain2_t")
+    graft.sources.OmeZarr.write(t, "/tmp/closure_chain2_v3",
+      zarrFormat = 3, compressor = "blosc")
+    val v3 = graft.sources.OmeZarr.readAll(spark, "/tmp/closure_chain2_v3")
+    graft.sources.OmeZarr.write(v3, "/tmp/closure_chain2_v2")
+    val v2 = graft.sources.OmeZarr.readAll(spark, "/tmp/closure_chain2_v2")
+    assert(describeKey(v2) === expectedInfo)
+    assert(pixelKey(v2) === expectedPixels)
+  }
 }
