@@ -89,7 +89,8 @@ object TextOps {
    * Returns (doc_a, doc_b, jaccard rounded to 6dp).
    */
   def nearDupPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 12,
-      bands: Int = 4, threshold: Double = 0.8): DataFrame = {
+      bands: Int = 4, threshold: Double = 0.8,
+      maxBucketSize: Int = 0): DataFrame = {
     val rows = numHashes / bands
     require(bands * rows == numHashes, "numHashes must divide into bands")
     graft.functions.ensureRegistered(docs.sparkSession)
@@ -111,9 +112,16 @@ object TextOps {
     val pairs = flatten(transform(col("ids"), (a, i) =>
       transform(slice(col("ids"), i + 2, size(col("ids"))),
         b => struct(a.as("doc_a"), b.as("doc_b")))))
+    // In-bucket pair expansion is O(m²) per bucket. `maxBucketSize` > 0
+    // drops larger buckets outright — the 100 TB guard against
+    // mass-duplicated boilerplate, whose pairs exact dedup should have
+    // collapsed BEFORE near-dup detection (run dedupExact first). The
+    // default keeps every bucket (exact recall, the oracle-pinned mode).
+    val bucketOk =
+      if (maxBucketSize > 0) size(col("ids")) <= maxBucketSize else lit(true)
     val cand = banded.groupBy(col("band"), col("band_key"))
       .agg(ids.as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && bucketOk)
       .select(explode(pairs).as("pair"))
       .select(col("pair.doc_a").as("doc_a"), col("pair.doc_b").as("doc_b"))
       .distinct()
@@ -233,7 +241,8 @@ object TextOps {
    * signature chunks (standard simhash banding — never all-pairs), then
    * exact Hamming distance filters to `maxHamming`.
    */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 8,
+      maxBucketSize: Int = 0): DataFrame = {
     graft.functions.ensureRegistered(docs.sparkSession)
     val sigs = docs.select(col("doc_id").cast("long").as("doc_id"),
       graft.functions.simhash64(tokens(col("text"))).as("sig"))
@@ -248,9 +257,13 @@ object TextOps {
         b => struct(a.getField("doc_id").as("doc_a"),
           b.getField("doc_id").as("doc_b"),
           a.getField("sig").as("sig_a"), b.getField("sig").as("sig_b")))))
+    // see nearDupPairs: optional bucket-size cap for pathological
+    // mass-duplicate buckets at scale (opt-in, default = exact recall)
+    val bucketOk =
+      if (maxBucketSize > 0) size(col("members")) <= maxBucketSize else lit(true)
     banded.groupBy(col("band"), col("chunk"))
       .agg(ids.as("members"))
-      .filter(size(col("members")) > 1)
+      .filter(size(col("members")) > 1 && bucketOk)
       .select(explode(pairs).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         bit_count(col("p.sig_a").bitwiseXOR(col("p.sig_b"))).as("hamming"))

@@ -114,6 +114,17 @@ class TextVectorSpec extends SparkSpec {
     assert(out(2L) === "unknown")
   }
 
+  test("maxBucketSize drops oversized near-dup buckets, default keeps them") {
+    // 4 identical docs -> one 4-member bucket per band -> 6 pairs
+    val clones = (0L until 4L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog", "en", "s0", 43L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(TextOps.nearDupPairs(clones).count() === 6)
+    assert(TextOps.nearDupPairs(clones, maxBucketSize = 3).count() === 0)
+    assert(TextOps.simhashPairs(clones).count() === 6)
+    assert(TextOps.simhashPairs(clones, maxBucketSize = 3).count() === 0)
+  }
+
   test("native minhash matches columnar sentinel behavior on empty shingles") {
     graft.functions.ensureRegistered(spark)
     val empty = Seq(Seq.empty[String]).toDF("sh")
