@@ -110,16 +110,51 @@ object VectorOps {
    * nearest-centroid cluster, then search only the probe's own cluster.
    * Centroids here are the first `nCentroids` vectors (deterministic,
    * training-free seeding so external oracles can replicate the
-   * partition exactly); a production IVF would k-means-train them —
-   * the assign/search structure is identical. Shuffle profile: one
-   * broadcast of the centroids, one shuffle keyed by cluster.
+   * partition exactly); `ivfTopKTrained` is the k-means-trained
+   * production variant with the identical assign/search structure.
+   * Shuffle profile: one broadcast of the centroids, one shuffle keyed
+   * by cluster.
    */
   def ivfTopK(emb: DataFrame, nProbes: Int, k: Int,
-      nCentroids: Int = 16): DataFrame = {
+      nCentroids: Int = 16): DataFrame =
+    ivfTopKWith(emb,
+      emb.filter(col("vec_id") < nCentroids)
+        .select(col("vec_id").cast("long").as("centroid_id"),
+          col("embedding").as("c_emb")),
+      nProbes, k)
+
+  /** IVF with k-means-trained centroids (the production coarse
+    * quantizer): Lloyd's iterations run distributed through Spark ML's
+    * `KMeans`, deterministic for a fixed seed. No SQL oracle can
+    * replicate the training, so correctness coverage is structural
+    * (assignment totality, in-cluster search) rather than hash parity. */
+  def ivfTopKTrained(emb: DataFrame, nProbes: Int, k: Int,
+      nCentroids: Int = 16, maxIter: Int = 10, seed: Long = 7L): DataFrame =
+    ivfTopKWith(emb, kmeansCentroids(emb, nCentroids, maxIter, seed), nProbes, k)
+
+  /** K-means centroids over the embedding column as a `(centroid_id,
+    * c_emb array<float>)` frame — broadcastable coarse-quantizer
+    * codebook. */
+  def kmeansCentroids(emb: DataFrame, k: Int = 16, maxIter: Int = 10,
+      seed: Long = 7L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = emb.select(
+      array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val model = new KMeans().setK(k).setMaxIter(maxIter).setSeed(seed)
+      .fit(feats)
+    val sp = emb.sparkSession
+    import sp.implicits._
+    sp.createDataset(model.clusterCenters.toSeq.zipWithIndex.map {
+      case (c, i) => (i.toLong, c.toArray.map(_.toFloat).toSeq)
+    }).toDF("centroid_id", "c_emb")
+  }
+
+  /** Shared IVF assign/search body over an arbitrary centroid codebook. */
+  private def ivfTopKWith(emb: DataFrame, centroidsDf: DataFrame,
+      nProbes: Int, k: Int): DataFrame = {
     graft.functions.ensureRegistered(emb.sparkSession)
-    val centroids = broadcast(emb.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").cast("long").as("centroid_id"),
-        col("embedding").as("c_emb")))
+    val centroids = broadcast(centroidsDf)
     val assigned = emb.select(col("vec_id").cast("long").as("vec_id"),
         col("embedding"))
       .join(centroids)

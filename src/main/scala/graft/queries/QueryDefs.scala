@@ -897,6 +897,14 @@ object QueryDefs {
           |FROM scored
           |QUALIFY rnk <= 5""".stripMargin)),
 
+    // k-means-trained IVF (the production coarse quantizer): Spark ML
+    // training is not SQL-replicable, so this row is registered WITHOUT
+    // an oracle — the driver records the weaker rows-only check, and
+    // TextVectorSpec pins the structural invariants.
+    ("embed_ann_ivf_trained", (s: SparkSession, dir: String) =>
+      VectorOps.ivfTopKTrained(t(s, dir, "embeddings"), nProbes = 16, k = 5),
+      None),
+
     ("embed_ann_lsh", (s: SparkSession, dir: String) =>
       VectorOps.annTopK(t(s, dir, "embeddings"), nProbes = 32, k = 3),
       Some(

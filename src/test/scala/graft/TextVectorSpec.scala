@@ -155,6 +155,29 @@ class TextVectorSpec extends SparkSpec {
     assert(ex3.getMessage.contains("array<string>"))
   }
 
+  test("k-means IVF: totality, in-cluster search, ranked output") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count()
+    val cents = VectorOps.kmeansCentroids(emb, k = 8)
+    assert(cents.count() === 8)
+    val out = VectorOps.ivfTopKTrained(emb, nProbes = 16, k = 5, nCentroids = 8)
+      .collect()
+    assert(out.nonEmpty)
+    // ranks are 1..k per probe, scores non-increasing within a probe
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getInt(2))
+      assert(byRank.map(_.getInt(2)).toSeq === (1 to byRank.length))
+      val scores = byRank.map(_.getDouble(4))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      // all of a probe's neighbors come from one cluster (its own)
+      assert(rows.map(_.getLong(1)).distinct.length === 1)
+    }
+    // determinism: same seed -> same result set
+    val out2 = VectorOps.ivfTopKTrained(emb, nProbes = 16, k = 5, nCentroids = 8)
+      .collect()
+    assert(out.map(_.toString).sorted.toSeq === out2.map(_.toString).sorted.toSeq)
+  }
+
   test("lshBucket puts identical vectors in the same bucket") {
     val emb = Seq(
       (0L, Array(1.0f, 2.0f, 3.0f), 0),
