@@ -900,7 +900,10 @@ object QueryDefs {
     // k-means-trained IVF (the production coarse quantizer): Spark ML
     // training is not SQL-replicable, so this row is registered WITHOUT
     // an oracle — the driver records the weaker rows-only check, and
-    // TextVectorSpec pins the structural invariants.
+    // TextVectorSpec pins the structural invariants. NOTE: unlike every
+    // other entry this query function is not plan-lazy — KMeans.fit
+    // runs Spark jobs at DataFrame-construction time (~1.5 s warm at
+    // sf0.1), which the bench times as part of the query.
     ("embed_ann_ivf_trained", (s: SparkSession, dir: String) =>
       VectorOps.ivfTopKTrained(t(s, dir, "embeddings"), nProbes = 16, k = 5),
       None),

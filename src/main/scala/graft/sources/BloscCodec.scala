@@ -75,7 +75,11 @@ object BloscCodec {
     }
     require(blocksize > 0, "Blosc: zero blocksize in compressed frame")
     val codec = (flags >> 5) & 0x7
-    val nblocks = (nbytes + blocksize - 1) / blocksize
+    // Long arithmetic: a hostile blocksize near Int.MaxValue would
+    // overflow the Int sum to nblocks=0 and "decode" silent zeros
+    val nblocks = ((nbytes.toLong + blocksize - 1) / blocksize).toInt
+    require(nblocks >= 1 && nblocks.toLong * blocksize >= nbytes,
+      s"Blosc: blocksize $blocksize inconsistent with nbytes $nbytes")
     require(16 + 4 * nblocks <= cbytes, "Blosc: truncated bstarts table")
     val out = new Array[Byte](nbytes)
     var b = 0

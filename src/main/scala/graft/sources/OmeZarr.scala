@@ -108,7 +108,7 @@ object OmeZarr {
     case "null" => raw
     case "zlib" => zlibDecompress(raw, expect)
     case "gzip" => gzipDecompress(raw, expect)
-    case "blosc" => BloscCodec.decompress(raw, maxOut = expect)
+    case "blosc" => BloscCodec.decompress(raw, maxOut = boundedCap(expect))
     case other => throw new IllegalArgumentException(
       s"Zarr: compressor '$other' unsupported")
   }
