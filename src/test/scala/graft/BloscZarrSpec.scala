@@ -115,6 +115,48 @@ class BloscZarrSpec extends SparkSpec {
     assert(m.getInt(0) === 4 && m.getFloat(1) === 2.0f)
   }
 
+  test("O5: foreign v3 store ('.' separator, big-endian bytes codec) decodes") {
+    // hand-crafted store exercising the non-default v3 knobs our writer
+    // never produces: dotted chunk keys and a big-endian bytes codec
+    val root = java.nio.file.Paths.get("/tmp/graft_test_v3dot/dotimg.zarr")
+    java.nio.file.Files.createDirectories(root.resolve("0"))
+    java.nio.file.Files.writeString(root.resolve("zarr.json"),
+      """{"zarr_format": 3, "node_type": "group", "attributes": {"ome": {
+        |"version": "0.5", "multiscales": [{"axes": [
+        |{"name": "t", "type": "time"}, {"name": "c", "type": "channel"},
+        |{"name": "z", "type": "space"}, {"name": "y", "type": "space"},
+        |{"name": "x", "type": "space"}], "name": "dot image",
+        |"datasets": [{"path": "0", "coordinateTransformations":
+        |[{"type": "scale", "scale": [1.0, 1.0, 1.0, 0.25, 0.25]}]}]}]}}}"""
+        .stripMargin.replace("\n", ""))
+    java.nio.file.Files.writeString(root.resolve("0/zarr.json"),
+      """{"zarr_format": 3, "node_type": "array", "shape": [1, 1, 1, 2, 3],
+        |"data_type": "uint16", "chunk_grid": {"name": "regular",
+        |"configuration": {"chunk_shape": [1, 1, 1, 2, 3]}},
+        |"chunk_key_encoding": {"name": "default",
+        |"configuration": {"separator": "."}}, "fill_value": 0,
+        |"codecs": [{"name": "bytes", "configuration": {"endian": "big"}}],
+        |"dimension_names": ["t", "c", "z", "y", "x"]}"""
+        .stripMargin.replace("\n", ""))
+    val px = Array(100, 200, 300, 400, 500, 600)
+    val bytes = new Array[Byte](12)
+    px.zipWithIndex.foreach { case (v, i) => // big-endian uint16
+      bytes(i * 2) = ((v >> 8) & 0xff).toByte; bytes(i * 2 + 1) = (v & 0xff).toByte
+    }
+    java.nio.file.Files.write(root.resolve("0/c.0.0.0.0.0"), bytes)
+    val back = graft.sources.OmeZarr.read(spark, root.toString)
+    val r = back.select(
+      element_at(col("ome_arrow.planes"), 1).getField("pixels"),
+      col("ome_arrow.name"), col("ome_arrow.pixels_meta.physical_size_x"),
+      col("ome_arrow.pixels_meta.size_y")).collect()(0)
+    assert(r.getSeq[Int](0) === px.toSeq)
+    // name must come from the multiscale entry, not the first axis
+    // (axes serialize BEFORE name here, the foreign key order)
+    assert(r.getString(1) === "dot image")
+    assert(r.getFloat(2) === 0.25f)
+    assert(r.getInt(3) === 2)
+  }
+
   test("O5: v3 blosc store and missing-chunk zero-fill") {
     val one = Fixtures.corpus4d(spark).filter(col("ome_arrow.id") === "i4d-0000")
     graft.sources.OmeZarr.write(one, "/tmp/graft_test_v3b/i4d-0000.zarr",
