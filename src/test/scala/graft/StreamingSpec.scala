@@ -75,6 +75,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.keySet === closed.keySet)
   }
 
+  test("streaming exact dedup keeps one document per content hash") {
+    import spark.implicits._
+    val dir = "/tmp/graft_test_docstream"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    Seq(
+      (1L, "alpha text", "en", "s0", 10L, t0),
+      (2L, "beta text", "en", "s0", 9L, t0),
+      (3L, "alpha text", "en", "s1", 10L, t0), // exact dup of 1
+      (4L, "gamma text", "en", "s0", 10L, t0),
+      (5L, "beta text", "en", "s1", 9L, t0)    // exact dup of 2
+    ).toDF("doc_id", "text", "lang", "source", "n_chars", "ingest_ts")
+      .coalesce(1).write.parquet(dir)
+    val q = graft.streaming.DocStream.dedupStream(spark, dir)
+      .writeStream.format("memory").queryName("doc_dedup")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val out = spark.sql("SELECT text FROM doc_dedup").collect().map(_.getString(0))
+    assert(out.length === 3)
+    assert(out.toSet === Set("alpha text", "beta text", "gamma text"))
+  }
+
   test("partial image assembles zero-filled from buildRecord") {
     // unit-level check of the timeout-flush path (processing-time timeouts
     // don't fire under AvailableNow)
