@@ -55,6 +55,19 @@ object PlanAudit {
       spark.read.parquet(s"$dir/documents.parquet")))
     audit("cosine_topk", graft.operators.VectorOps.cosineTopK(
       spark.read.parquet(s"$dir/embeddings.parquet"), 8, 10))
+
+    // corpus zarr read: all stores through ONE binaryFile scan + the
+    // nest shuffle + the broadcast zero-fill grid/metadata joins
+    graft.sources.OmeZarr.write(Fixtures.corpus4d(spark), "/tmp/audit_zarr")
+    audit("zarr readAll", graft.sources.OmeZarr.readAll(spark, "/tmp/audit_zarr"))
+
+    // exploded-form scale pipeline: crop+downscale stages must stay
+    // narrow — the only exchange is the final per-image rollup
+    val pipeline = OmeOps.downscalePlanes(OmeOps.cropPlanes(
+        OmeOps.explodePlanes(Fixtures.corpus4d(spark)), 2, 6, 1, 7))
+      .groupBy(col("image_id"))
+      .agg(count(lit(1)).as("n"))
+    audit("scale pipeline", pipeline)
     spark.stop()
   }
 }
