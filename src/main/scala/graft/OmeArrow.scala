@@ -37,10 +37,20 @@ object OmeArrow {
       OmeParquet.read(spark, path)
     else if (lower.endsWith(".tif") || lower.endsWith(".tiff"))
       sources.OmeTiff.read(spark, path)
-    else
-      throw new IllegalArgumentException(
+    else {
+      // a directory of `*.zarr` stores is a corpus read (one record per
+      // store, single job — see OmeZarr.readAll); cheap driver-side probe
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val zarrCorpus = fs.exists(p) && fs.getFileStatus(p).isDirectory &&
+        fs.listStatus(p).exists(st =>
+          st.isDirectory && st.getPath.getName.endsWith(".zarr"))
+      if (zarrCorpus) sources.OmeZarr.readAll(spark, path)
+      else throw new IllegalArgumentException(
         s"Cannot infer format of '$path': expected a filename pattern " +
-          "(<range>/*), .parquet/.pq, .tif(f), or .zarr path.")
+          "(<range>/*), .parquet/.pq, .tif(f), a .zarr store, or a " +
+          "directory of .zarr stores.")
+    }
   }
 
   /** Export dispatch with the reference's `how` alias normalization

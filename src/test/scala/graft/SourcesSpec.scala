@@ -137,6 +137,17 @@ class SourcesSpec extends SparkSpec {
     assert(ch.getAs[String]("id") === "ch-0" && ch.getAs[String]("name") === "DNA")
   }
 
+  test("O16: a directory of .zarr stores dispatches to the corpus read") {
+    graft.sources.OmeZarr.write(Fixtures.corpus4d(spark), "/tmp/graft_test_zcorp")
+    val df = graft.OmeArrow.read(spark, "/tmp/graft_test_zcorp")
+    assert(df.count() === 4)
+    new java.io.File("/tmp/graft_test_empty").mkdirs()
+    val ex = intercept[IllegalArgumentException] {
+      graft.OmeArrow.read(spark, "/tmp/graft_test_empty") // no .zarr children
+    }
+    assert(ex.getMessage.contains("Cannot infer format"))
+  }
+
   test("O16: bare TIFF glob reads one record per file") {
     val df = graft.OmeArrow.read(spark,
       "/root/reference/tests/data/ome-artificial-5d-datasets/*.ome.tiff")
