@@ -632,6 +632,21 @@ object QueryDefs {
            |  CAST(z AS INT) AS z, $planeStatsSelect
            |FROM px GROUP BY img, t, c, z""".stripMargin)),
 
+    // The reference's DEFAULT container+codec combination (export.py:242,
+    // 265–289): zarr v3 + raw zstd frames. zstd-jni rides Spark's own
+    // jars, so stores written by the reference's default path round-trip
+    ("ome_zarr_zstd", (s: SparkSession, _: String) => {
+      graft.sources.OmeZarr.write(Fixtures.corpus4d(s), "/tmp/graft_q_zarr_zstd",
+        zarrFormat = 3, compressor = "zstd")
+      planeStatsRows(graft.sources.OmeZarr.readAll(s, "/tmp/graft_q_zarr_zstd"))
+        .withColumnRenamed("image_id", "id")
+    },
+      Some(
+        s"""WITH $px4d
+           |SELECT $id4d AS id, CAST(t AS INT) AS t, CAST(c AS INT) AS c,
+           |  CAST(z AS INT) AS z, $planeStatsSelect
+           |FROM px GROUP BY img, t, c, z""".stripMargin)),
+
     // depth-3 pyramid write + level-2 read: pins the depth-safe exploded
     // downscale path (r3 #3 — the nested-form composition hung at depth 3)
     ("ome_zarr_multiscale3", (s: SparkSession, _: String) => {

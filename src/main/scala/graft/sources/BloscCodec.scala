@@ -26,9 +26,12 @@ import java.util.zip.Inflater
  *     streams, zlib/zstd/snappy never split) so the ambiguous
  *     wrong-policy-parses case cannot arise for conformant frames.
  *
- * Codecs: lz4 (hand-rolled block decode per the public LZ4 block spec)
- * and zlib (JDK Inflater). blosclz/snappy/zstd have no JDK
- * implementation and raise a clear error naming the codec.
+ * Codecs: lz4 (hand-rolled block decode per the public LZ4 block spec),
+ * zlib (JDK Inflater), zstd (zstd-jni, bundled with Spark) and snappy
+ * (snappy-java, likewise bundled) — together covering every codec the
+ * reference's numcodecs path emits (export.py:265–289; its default is
+ * zstd). Only blosclz, c-blosc's private format with no JVM
+ * implementation, raises an error naming the codec.
  *
  * Shuffles: byte-shuffle and bit-shuffle, both per c-blosc semantics
  * (applied per block; trailing bytes that don't fill a full element
@@ -136,12 +139,10 @@ object BloscCodec {
       } else codec match {
         case 1 => lz4Decompress(frame, off, cb, out, s * neblock, neblock)
         case 3 => zlibInflate(frame, off, cb, out, s * neblock, neblock)
+        case 2 => snappyUncompress(frame, off, cb, out, s * neblock, neblock)
+        case 4 => zstdDecompress(frame, off, cb, out, s * neblock, neblock)
         case 0 => throw new IllegalArgumentException(
-          "Blosc: codec 'blosclz' unsupported (lz4/zlib only)")
-        case 2 => throw new IllegalArgumentException(
-          "Blosc: codec 'snappy' unsupported (lz4/zlib only)")
-        case 4 => throw new IllegalArgumentException(
-          "Blosc: codec 'zstd' unsupported (lz4/zlib only)")
+          "Blosc: codec 'blosclz' unsupported (lz4/zlib/zstd/snappy)")
         case other => throw new IllegalArgumentException(
           s"Blosc: unknown codec id $other")
       }
@@ -188,6 +189,31 @@ object BloscCodec {
       }
     }
     require(d == dEnd, s"LZ4: decoded ${d - dstOff} bytes, expected $dstLen")
+  }
+
+  /** Raw-zstd-frame stream decode (zstd-jni ships in Spark's jars). The
+    * destination length is fixed by the split geometry, so the native
+    * call is inherently bounded — a hostile frame cannot over-expand. */
+  private def zstdDecompress(src: Array[Byte], off: Int, len: Int,
+      dst: Array[Byte], dstOff: Int, dstLen: Int): Unit = {
+    import com.github.luben.zstd.Zstd
+    val rc = Zstd.decompressByteArray(dst, dstOff, dstLen, src, off, len)
+    if (Zstd.isError(rc))
+      throw new IllegalArgumentException(s"Blosc: zstd: ${Zstd.getErrorName(rc)}")
+    require(rc == dstLen,
+      s"Blosc: zstd stream decoded $rc bytes, expected $dstLen")
+  }
+
+  /** Raw-snappy-block stream decode (snappy-java ships in Spark's jars). */
+  private def snappyUncompress(src: Array[Byte], off: Int, len: Int,
+      dst: Array[Byte], dstOff: Int, dstLen: Int): Unit = {
+    val n =
+      try org.xerial.snappy.Snappy.uncompress(src, off, len, dst, dstOff)
+      catch { case e: java.io.IOException =>
+        throw new IllegalArgumentException(s"Blosc: snappy: ${e.getMessage}", e)
+      }
+    require(n == dstLen,
+      s"Blosc: snappy stream decoded $n bytes, expected $dstLen")
   }
 
   private def zlibInflate(src: Array[Byte], off: Int, len: Int,
@@ -328,21 +354,21 @@ object BloscCodec {
   // --- encode ----------------------------------------------------------
 
   /**
-   * Produce a Blosc frame. `cname`: "zlib" (real deflate compression) or
-   * "lz4" (valid literal-only LZ4 streams — used for decode-path tests;
-   * incompressible streams a real writer would store raw, but every
-   * conformant LZ4 decoder accepts them). `shuffle`: 0 none, 1 byte,
-   * 2 bit. One block per frame (blocksize = nbytes), single stream per
-   * block — a split policy no c-blosc decoder rejects for zlib, the
-   * interop write default.
+   * Produce a Blosc frame. `cname`: "zlib" (JDK deflate), "zstd"
+   * (zstd-jni, level 3 — numcodecs' default codec+level,
+   * export.py:265–289), or "lz4" (real block compression via lz4-java).
+   * `shuffle`: 0 none, 1 byte, 2 bit. One block per frame (blocksize =
+   * nbytes), single stream per block — a split policy no c-blosc decoder
+   * rejects for the non-split codecs, the interop write default.
    */
   def compress(data: Array[Byte], typesize: Int,
       cname: String = "zlib", shuffle: Int = 1): Array[Byte] = {
     val codec = cname match {
       case "zlib" => 3
       case "lz4" => 1
+      case "zstd" => 4
       case other => throw new IllegalArgumentException(
-        s"BloscCodec.compress: cname '$other' unsupported (zlib/lz4)")
+        s"BloscCodec.compress: cname '$other' unsupported (zlib/lz4/zstd)")
     }
     val shuffled = shuffle match {
       case 0 => data
@@ -353,7 +379,8 @@ object BloscCodec {
     }
     val payload = codec match {
       case 3 => zlibDeflate(shuffled)
-      case 1 => lz4LiteralEncode(shuffled)
+      case 1 => lz4Compress(shuffled)
+      case 4 => com.github.luben.zstd.Zstd.compress(shuffled, 3)
     }
     // stored-raw marker is csize == neblock; a payload that happens to
     // land exactly there must fall back to the raw form
@@ -378,6 +405,13 @@ object BloscCodec {
   }
 
   private def zlibDeflate(data: Array[Byte]): Array[Byte] = ZlibUtil.deflate(data)
+
+  /** Real LZ4 block compression (lz4-java ships in Spark's jars; its
+    * block output is exactly the public LZ4 block format our decoder
+    * reads). The pure-Java instance avoids native-lib loading in tests. */
+  private def lz4Compress(data: Array[Byte]): Array[Byte] =
+    net.jpountz.lz4.LZ4Factory.fastestJavaInstance()
+      .fastCompressor().compress(data, 0, data.length)
 
   /** Valid LZ4 block stream that encodes everything as one literal run. */
   private[graft] def lz4LiteralEncode(data: Array[Byte]): Array[Byte] = {

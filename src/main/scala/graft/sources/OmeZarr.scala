@@ -30,10 +30,12 @@ import graft.schema._
  * decode out over `binaryFile`.
  *
  * Codecs: `null` (raw), `zlib` (JDK Inflater; v3 writes its `gzip`
- * codec), and **Blosc** decode/encode via [[BloscCodec]] (lz4/zlib
- * payloads, byte- and bit-shuffle) — numcodecs' default envelope, so
- * reference-written stores open without external jars. Blosc-zstd has no
- * JDK decoder and raises a clear error. Multiscale pyramids build levels
+ * codec), `zstd` (zstd-jni from Spark's own jars; raw frames, matching
+ * numcodecs' v2 `{"id": "zstd"}` and the v3 `zstd` codec — the
+ * REFERENCE'S DEFAULT compressor, export.py:265–289), and **Blosc**
+ * decode/encode via [[BloscCodec]] (lz4/zlib/zstd/snappy payloads, byte-
+ * and bit-shuffle) — numcodecs' default envelope, so reference-written
+ * stores open without external jars. Multiscale pyramids build levels
  * with `OmeOps.downscalePlanes` on the exploded form (level-shape
  * contract `max(1, n >> l)`, export.py:317-318) — depth-safe, unlike
  * composing the nested-form downscale.
@@ -94,6 +96,7 @@ object OmeZarr {
       case "null" => bytes
       case "zlib" => zlibCompress(bytes)
       case "gzip" => gzipCompress(bytes)
+      case "zstd" => com.github.luben.zstd.Zstd.compress(bytes, 3)
       case "blosc" => BloscCodec.compress(bytes, typesize = 2,
         cname = "zlib", shuffle = 1)
       case other => throw new IllegalArgumentException(
@@ -108,9 +111,29 @@ object OmeZarr {
     case "null" => raw
     case "zlib" => zlibDecompress(raw, expect)
     case "gzip" => gzipDecompress(raw, expect)
+    case "zstd" => zstdDecompress(raw, expect)
     case "blosc" => BloscCodec.decompress(raw, maxOut = boundedCap(expect))
     case other => throw new IllegalArgumentException(
       s"Zarr: compressor '$other' unsupported")
+  }
+
+  /** Raw zstd frame (numcodecs v2 / zarr v3 codec). The destination
+    * allocation is bounded by `expect` (or the unknown-size ceiling), so
+    * a hostile chunk can't demand more — zstd-jni errors past the cap. */
+  private def zstdDecompress(data: Array[Byte], expect: Int): Array[Byte] = {
+    import com.github.luben.zstd.Zstd
+    val cap = boundedCap(expect)
+    val size =
+      if (expect > 0) expect
+      else {
+        val hint = Zstd.decompressedSize(data)
+        if (hint > 0 && hint <= cap) hint.toInt else cap
+      }
+    val dst = new Array[Byte](size)
+    val rc = Zstd.decompressByteArray(dst, 0, size, data, 0, data.length)
+    if (Zstd.isError(rc))
+      throw new IllegalArgumentException(s"Zarr: zstd: ${Zstd.getErrorName(rc)}")
+    if (rc == size) dst else java.util.Arrays.copyOf(dst, rc.toInt)
   }
 
   // zlib-wrapped, numcodecs zlib compatible
@@ -170,8 +193,8 @@ object OmeZarr {
    * `multiscaleLevels` >= 1 adds 2x-downscaled levels "1", "2", ...
    * `zarrFormat` 2 writes NGFF 0.4 (`.zattrs`), 3 writes NGFF 0.5
    * (`zarr.json`, the reference's default container). `compressor`:
-   * "zlib" (v3 writes its gzip codec), "blosc" (zlib payload,
-   * byte-shuffle) or "null".
+   * "zlib" (v3 writes its gzip codec), "zstd" (the reference's default
+   * codec, raw frames), "blosc" (zlib payload, byte-shuffle) or "null".
    */
   def write(df: DataFrame, out: String,
       multiscaleLevels: Int = 1,
@@ -179,8 +202,8 @@ object OmeZarr {
       zarrFormat: Int = 2,
       column: String = OmeSchema.DefaultColumn): Unit = {
     require(multiscaleLevels >= 1, "multiscaleLevels must be >= 1")
-    require(Set("zlib", "null", "blosc").contains(compressor),
-      s"compressor '$compressor' unsupported (zlib/blosc/null)")
+    require(Set("zlib", "null", "blosc", "zstd").contains(compressor),
+      s"compressor '$compressor' unsupported (zlib/zstd/blosc/null)")
     require(zarrFormat == 2 || zarrFormat == 3,
       s"zarrFormat must be 2 or 3, got $zarrFormat")
     val v3 = zarrFormat == 3
@@ -225,6 +248,8 @@ object OmeZarr {
               """[{"name": "bytes", "configuration": {"endian": "little"}}, {"name": "gzip", "configuration": {"level": 6}}]"""
             case "blosc" =>
               """[{"name": "bytes", "configuration": {"endian": "little"}}, {"name": "blosc", "configuration": {"cname": "zlib", "clevel": 6, "shuffle": "shuffle", "typesize": 2, "blocksize": 0}}]"""
+            case "zstd" =>
+              """[{"name": "bytes", "configuration": {"endian": "little"}}, {"name": "zstd", "configuration": {"level": 3, "checksum": false}}]"""
             case _ =>
               """[{"name": "bytes", "configuration": {"endian": "little"}}]"""
           }
@@ -241,6 +266,7 @@ object OmeZarr {
             case "zlib" => """{"id": "zlib", "level": 6}"""
             case "blosc" =>
               """{"id": "blosc", "cname": "zlib", "clevel": 6, "shuffle": 1, "blocksize": 0}"""
+            case "zstd" => """{"id": "zstd", "level": 3}"""
             case _ => "null"
           }
           writeText(fs, new Path(new Path(root, l.toString), ".zarray"),
@@ -373,8 +399,8 @@ object OmeZarr {
       else compObj.flatMap(jsonString(_, "id")).getOrElse(
         throw new IllegalArgumentException(
           "Zarr: .zarray has neither a null compressor nor a compressor id"))
-    require(Set("zlib", "null", "blosc").contains(compId),
-      s"Zarr: compressor '$compId' unsupported (zlib/blosc/null)")
+    require(Set("zlib", "null", "blosc", "zstd").contains(compId),
+      s"Zarr: compressor '$compId' unsupported (zlib/zstd/blosc/null)")
     // filters would transform bytes before/after the compressor — we
     // implement none, so anything but null/absent must be rejected
     val filtersSpecified = """"filters"\s*:\s*(?!null)[\[{"]""".r
@@ -414,12 +440,13 @@ object OmeZarr {
       .findAllMatchIn(codecsStr).map(_.group(1)).toSeq
     require(codecNames.contains("bytes"),
       s"Zarr v3: codecs $codecNames lack the required 'bytes' codec")
-    val unknown = codecNames.filterNot(Set("bytes", "gzip", "blosc"))
+    val unknown = codecNames.filterNot(Set("bytes", "gzip", "blosc", "zstd"))
     require(unknown.isEmpty,
-      s"Zarr v3: codecs ${unknown.mkString(",")} unsupported (bytes/gzip/blosc)")
+      s"Zarr v3: codecs ${unknown.mkString(",")} unsupported (bytes/gzip/zstd/blosc)")
     val comp =
       if (codecNames.contains("gzip")) "gzip"
       else if (codecNames.contains("blosc")) "blosc"
+      else if (codecNames.contains("zstd")) "zstd"
       else "null"
     val big = jsonString(codecsStr, "endian").contains("big")
     val sep = jsonString(arrDoc, "separator").getOrElse("/")

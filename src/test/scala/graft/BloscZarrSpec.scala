@@ -17,7 +17,7 @@ class BloscZarrSpec extends SparkSpec {
   test("Blosc: compress/decompress round-trips across codecs and shuffles") {
     for {
       n <- Seq(0, 1, 7, 128, 1001, 4096) // odd sizes exercise tail handling
-      cname <- Seq("zlib", "lz4")
+      cname <- Seq("zlib", "lz4", "zstd")
       shuffle <- Seq(0, 1, 2)
     } {
       val data = randBytes(n, seed = n * 31 + shuffle)
@@ -69,9 +69,27 @@ class BloscZarrSpec extends SparkSpec {
     // codec-independently)
     val data = Array.fill(64)(7.toByte)
     val frame = BloscCodec.compress(data, 2, "zlib", 1)
-    frame(2) = ((frame(2) & 0x1f) | (4 << 5)).toByte // relabel as zstd
+    frame(2) = (frame(2) & 0x1f).toByte // relabel as blosclz (codec 0)
     val ex = intercept[Exception] { BloscCodec.decompress(frame) }
-    assert(ex.getMessage.contains("zstd") || ex.getCause.getMessage.contains("zstd"))
+    assert(ex.getMessage.contains("blosclz") ||
+      ex.getCause.getMessage.contains("blosclz"))
+  }
+
+  test("Blosc: snappy-codec frames decode (hand-assembled, numcodecs shape)") {
+    // one block, one stream, no shuffle — snappy frames are never split
+    val data = Array.tabulate(64)(i => (i % 7).toByte)
+    val payload = org.xerial.snappy.Snappy.compress(data)
+    assert(payload.length != data.length) // else stored-raw path, not snappy
+    val frame = new Array[Byte](16 + 4 + 4 + payload.length)
+    frame(0) = 2; frame(1) = 1
+    frame(2) = (2 << 5).toByte // codec 2 = snappy, no shuffle
+    frame(3) = 1
+    def putLe(off: Int, v: Int): Unit = for (i <- 0 until 4)
+      frame(off + i) = ((v >> (8 * i)) & 0xff).toByte
+    putLe(4, data.length); putLe(8, data.length); putLe(12, frame.length)
+    putLe(16, 20); putLe(20, payload.length)
+    System.arraycopy(payload, 0, frame, 24, payload.length)
+    assert(BloscCodec.decompress(frame).toSeq === data.toSeq)
   }
 
   test("O9+O5: Blosc-compressed Zarr v2 store round-trips") {
@@ -155,6 +173,39 @@ class BloscZarrSpec extends SparkSpec {
     assert(r.getString(1) === "dot image")
     assert(r.getFloat(2) === 0.25f)
     assert(r.getInt(3) === 2)
+  }
+
+  test("O9+O5: Zarr v3 zstd store (the reference-default combination) round-trips") {
+    val one = Fixtures.corpus4d(spark).filter(col("ome_arrow.id") === "i4d-0003")
+    graft.sources.OmeZarr.write(one, "/tmp/graft_test_v3z/i4d-0003.zarr",
+      zarrFormat = 3, compressor = "zstd")
+    val doc = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths
+      .get("/tmp/graft_test_v3z/i4d-0003.zarr/0/zarr.json")), "UTF-8")
+    assert(doc.contains("\"name\": \"zstd\""))
+    // chunk bytes must be a real zstd frame (magic 28 B5 2F FD)
+    val chunk = java.nio.file.Files.readAllBytes(java.nio.file.Paths
+      .get("/tmp/graft_test_v3z/i4d-0003.zarr/0/c/0/0/0/0/0"))
+    assert((chunk(0) & 0xff) === 0x28 && (chunk(1) & 0xff) === 0xb5)
+    val back = graft.sources.OmeZarr.read(spark,
+      "/tmp/graft_test_v3z/i4d-0003.zarr")
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      OmeOps.explodePlanes(df).select(col("t"), col("c"), col("z"),
+        aggregate(col("pixels"), lit(0L), (a, v) => a + v))
+        .orderBy(col("t"), col("c"), col("z")).collect().toSeq
+    assert(sums(one) === sums(back))
+  }
+
+  test("O5: v2 zstd-compressor store round-trips") {
+    val one = Fixtures.corpus4d(spark).filter(col("ome_arrow.id") === "i4d-0002")
+    graft.sources.OmeZarr.write(one, "/tmp/graft_test_v2z/i4d-0002.zarr",
+      compressor = "zstd")
+    val zarray = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths
+      .get("/tmp/graft_test_v2z/i4d-0002.zarr/0/.zarray")), "UTF-8")
+    assert(zarray.contains("\"id\": \"zstd\""))
+    val back = graft.sources.OmeZarr.read(spark,
+      "/tmp/graft_test_v2z/i4d-0002.zarr")
+    val n = back.select(size(col("ome_arrow.planes"))).collect()(0).getInt(0)
+    assert(n === 8)
   }
 
   test("O5: v3 blosc store and missing-chunk zero-fill") {
