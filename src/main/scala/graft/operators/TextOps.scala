@@ -134,6 +134,55 @@ object TextOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /**
+   * EXACT n-gram-Jaccard near-dup pairs via an inverted index on word
+   * k-shingles — the classic distributed set-similarity join. Unlike
+   * MinHash/SimHash banding there are no probabilistic candidate misses:
+   * every pair sharing at least one shingle is scored, and the Jaccard
+   * comes from posting-list counts alone (|A∩B| = shared postings,
+   * |A∪B| = |A| + |B| - |A∩B|) — no second join back to the shingle sets.
+   *
+   * Plan shape: one explode + shuffle on shingle (posting lists), one
+   * in-list pair expansion, one aggregation keyed by the pair. Cost is
+   * proportional to Σ|postings|² over shingles, so `maxPostings` > 0
+   * drops shingles appearing in more than that many documents — the
+   * standard frequency filter: stopword-like shingles generate candidate
+   * pairs quadratically but almost never decide a high-threshold match.
+   * The default keeps every shingle (exact, oracle-pinned mode); at
+   * 100 TB run `dedupExact` first and set a cap.
+   */
+  def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
+      maxPostings: Int = 0): DataFrame = {
+    // persist the shingle frame: without the barrier, projection collapse
+    // inlines the interpreted shingle HOF tree into BOTH the size() and
+    // the explode() branches (the SCALE.md subtree-duplication trap)
+    val sh = docs.select(col("doc_id").cast("long").as("doc_id"),
+      shingles(col("text"), k).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val postings = sh.select(col("doc_id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("shingle"))
+    val lists = postings.groupBy(col("shingle"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("n_sh"))))
+        .as("ids"))
+      .filter(size(col("ids")) > 1 &&
+        (if (maxPostings > 0) size(col("ids")) <= maxPostings else lit(true)))
+    // sorted ids give doc_a < doc_b directly (struct sort is doc_id-first)
+    val pairs = flatten(transform(col("ids"), (a, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))),
+        b => struct(a.getField("doc_id").as("doc_a"),
+          b.getField("doc_id").as("doc_b"),
+          a.getField("n_sh").as("na"), b.getField("n_sh").as("nb")))))
+    lists.select(explode(pairs).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.na").as("na"), col("p.nb").as("nb"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("shared"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Per-(lang, source) rollup of document/char/token statistics. */
   def textStats(docs: DataFrame): DataFrame =
     docs

@@ -438,6 +438,34 @@ object QueryDefs {
           |  FROM cand)
           |WHERE jaccard >= 0.8""".stripMargin)),
 
+    // EXACT n-gram Jaccard via the inverted-index set-similarity join —
+    // no probabilistic candidate misses, Jaccard from posting counts alone
+    ("near_dup_ngram", (s: SparkSession, dir: String) =>
+      TextOps.ngramJaccardPairs(t(s, dir, "documents")),
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+          |  FROM documents),
+          |sh AS (
+          |  SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3
+          |      THEN [array_to_string(tk, ' ')]
+          |      ELSE list_transform(range(1, len(tk) - 1),
+          |             i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
+          |  FROM toks),
+          |p AS (
+          |  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh),
+          |pairs AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |    a.n_sh AS na, b.n_sh AS nb, count(*) AS shared
+          |  FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2, 3, 4)
+          |SELECT * FROM (
+          |  SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+          |    round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
+          |  FROM pairs)
+          |WHERE jaccard >= 0.8""".stripMargin)),
+
     ("text_stats", (s: SparkSession, dir: String) =>
       TextOps.textStats(t(s, dir, "documents")),
       Some(

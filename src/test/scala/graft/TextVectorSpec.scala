@@ -44,6 +44,19 @@ class TextVectorSpec extends SparkSpec {
     assert(pairs.find(p => (p._1, p._2) == (0L, 3L)).get._3 === 1.0)
   }
 
+  test("ngramJaccardPairs is exact and agrees with the minhash verify stage") {
+    // exact set-similarity join: same pairs as nearDupPairs at the same
+    // threshold on this fixture, with identical Jaccard values
+    val exact = TextOps.ngramJaccardPairs(docs, threshold = 0.5)
+      .orderBy(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(exact.map(p => (p._1, p._2)).toSet === Set((0L, 1L), (0L, 3L), (1L, 3L)))
+    assert(exact.find(p => (p._1, p._2) == (0L, 3L)).get._3 === 1.0)
+    // frequency cap drops shingles shared by every clone -> no pairs
+    val capped = TextOps.ngramJaccardPairs(docs, threshold = 0.5, maxPostings = 1)
+    assert(capped.count() === 0)
+  }
+
   test("native hash expressions match the column formulations exactly") {
     graft.functions.ensureRegistered(spark)
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
