@@ -14,6 +14,14 @@ import org.apache.spark.sql.SparkSession
  * more samples than second-scale ones for a stable median. A query that
  * throws is reported as value -1 with its error class under "failures" —
  * never silently timed as if it had succeeded.
+ *
+ * The cache is cleared BETWEEN queries (not between reps): several
+ * operators persist feature frames that outlive their query, and letting
+ * them accumulate across the run distorts later queries' timings with
+ * block-eviction and GC pressure (r4 measured the zarr round-trips at
+ * 3-4 s in-bench vs ~1 s isolated, purely from ordering). Within one
+ * query's reps the CacheManager still dedups identical plans, so reps
+ * after the first keep their legitimate reuse.
  */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -46,6 +54,7 @@ object Bench {
     failures.clear()
 
     val results = names.map { name =>
+      spark.catalog.clearCache() // drop frames leaked by prior queries
       var times = List.empty[Double]
       var reps = 0
       while (reps < 3 || (reps < 9 && times.sum < 2.0)) {
