@@ -675,6 +675,21 @@ object QueryDefs {
            |  CAST(z AS INT) AS z, $planeStatsSelect
            |FROM px GROUP BY img, t, c, z""".stripMargin)),
 
+    // sharded v3 store (export.py:342-348 `shards` semantics): one file
+    // per (t,c) holding all z planes behind a crc32c'd inner-chunk index —
+    // the 100 TB small-files answer, still per-plane addressable
+    ("ome_zarr_sharded", (s: SparkSession, _: String) => {
+      graft.sources.OmeZarr.write(Fixtures.corpus4d(s), "/tmp/graft_q_zarr_sh",
+        zarrFormat = 3, compressor = "zstd", shardZ = true)
+      planeStatsRows(graft.sources.OmeZarr.readAll(s, "/tmp/graft_q_zarr_sh"))
+        .withColumnRenamed("image_id", "id")
+    },
+      Some(
+        s"""WITH $px4d
+           |SELECT $id4d AS id, CAST(t AS INT) AS t, CAST(c AS INT) AS c,
+           |  CAST(z AS INT) AS z, $planeStatsSelect
+           |FROM px GROUP BY img, t, c, z""".stripMargin)),
+
     // depth-3 pyramid write + level-2 read: pins the depth-safe exploded
     // downscale path (r3 #3 — the nested-form composition hung at depth 3)
     ("ome_zarr_multiscale3", (s: SparkSession, _: String) => {

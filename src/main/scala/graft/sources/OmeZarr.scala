@@ -63,6 +63,61 @@ object OmeZarr {
       .findFirstMatchIn(json)
       .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).map(_.toDouble).toSeq)
 
+  /** The JSON value (object or array) of `key`'s first occurrence, found
+    * by balanced-bracket scan with string awareness — the flat regex
+    * extractors above cannot cross nested arrays (the sharding codec's
+    * configuration holds arrays inside the codecs array). Returns the
+    * exact value substring including its outer brackets. */
+  private[sources] def jsonValue(json: String, key: String): Option[String] = {
+    val m = (jsonStr(key) + """\s*:\s*""").r.findFirstMatchIn(json)
+      .getOrElse(return None)
+    val start = m.end
+    if (start >= json.length || (json(start) != '[' && json(start) != '{'))
+      return None
+    var depth = 0; var i = start; var inStr = false; var esc = false
+    while (i < json.length) {
+      val ch = json(i)
+      if (inStr) {
+        if (esc) esc = false
+        else if (ch == '\\') esc = true
+        else if (ch == '"') inStr = false
+      } else ch match {
+        case '"' => inStr = true
+        case '[' | '{' => depth += 1
+        case ']' | '}' =>
+          depth -= 1
+          if (depth == 0) return Some(json.substring(start, i + 1))
+        case _ =>
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** Split a JSON array's body into its top-level element substrings. */
+  private[sources] def jsonElements(arr: String): Seq[String] = {
+    val body = arr.trim.stripPrefix("[").stripSuffix("]")
+    val out = Seq.newBuilder[String]
+    var depth = 0; var inStr = false; var esc = false; var start = 0
+    for (i <- body.indices) {
+      val ch = body(i)
+      if (inStr) {
+        if (esc) esc = false
+        else if (ch == '\\') esc = true
+        else if (ch == '"') inStr = false
+      } else ch match {
+        case '"' => inStr = true
+        case '[' | '{' => depth += 1
+        case ']' | '}' => depth -= 1
+        case ',' if depth == 0 =>
+          out += body.substring(start, i); start = i + 1
+        case _ =>
+      }
+    }
+    if (body.trim.nonEmpty) out += body.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
   /** The image name from a multiscales attrs document. The naive first
     * `"name"` match breaks on foreign stores that serialize `axes` before
     * the multiscale `name` (key order is free in JSON): axis objects are
@@ -195,17 +250,25 @@ object OmeZarr {
    * (`zarr.json`, the reference's default container). `compressor`:
    * "zlib" (v3 writes its gzip codec), "zstd" (the reference's default
    * codec, raw frames), "blosc" (zlib payload, byte-shuffle) or "null".
+   *
+   * `shardZ` (v3 only; export.py:342-348 `shards` semantics) packs all z
+   * planes of one (t, c) into a single `sharding_indexed` shard file with
+   * one-plane inner chunks and a crc32c'd end index — at 100 TB this
+   * collapses the file count by size_z without giving up per-plane
+   * addressability (readers fetch one inner chunk via the index).
    */
   def write(df: DataFrame, out: String,
       multiscaleLevels: Int = 1,
       compressor: String = "zlib",
       zarrFormat: Int = 2,
+      shardZ: Boolean = false,
       column: String = OmeSchema.DefaultColumn): Unit = {
     require(multiscaleLevels >= 1, "multiscaleLevels must be >= 1")
     require(Set("zlib", "null", "blosc", "zstd").contains(compressor),
       s"compressor '$compressor' unsupported (zlib/zstd/blosc/null)")
     require(zarrFormat == 2 || zarrFormat == 3,
       s"zarrFormat must be 2 or 3, got $zarrFormat")
+    require(!shardZ || zarrFormat == 3, "shardZ requires zarrFormat = 3")
     val v3 = zarrFormat == 3
     // the v3 container has no zlib codec; deflate rides its gzip codec
     val chunkComp = if (v3 && compressor == "zlib") "gzip" else compressor
@@ -243,7 +306,7 @@ object OmeZarr {
         val lx = math.max(m.getInt(5) >> l, 1)
         val shape = Seq(m.getInt(1), m.getInt(2), m.getInt(3), ly, lx)
         if (v3) {
-          val codecs = chunkComp match {
+          val inner = chunkComp match {
             case "gzip" =>
               """[{"name": "bytes", "configuration": {"endian": "little"}}, {"name": "gzip", "configuration": {"level": 6}}]"""
             case "blosc" =>
@@ -253,10 +316,15 @@ object OmeZarr {
             case _ =>
               """[{"name": "bytes", "configuration": {"endian": "little"}}]"""
           }
+          val codecs =
+            if (shardZ)
+              s"""[{"name": "sharding_indexed", "configuration": {"chunk_shape": [1, 1, 1, $ly, $lx], "codecs": $inner, "index_codecs": [{"name": "bytes", "configuration": {"endian": "little"}}, {"name": "crc32c"}], "index_location": "end"}}]"""
+            else inner
+          val gridZ = if (shardZ) m.getInt(3) else 1
           writeText(fs, new Path(new Path(root, l.toString), "zarr.json"),
             s"""{"zarr_format": 3, "node_type": "array",
                | "shape": [${shape.mkString(", ")}], "data_type": "uint16",
-               | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [1, 1, 1, $ly, $lx]}},
+               | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [1, 1, $gridZ, $ly, $lx]}},
                | "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
                | "fill_value": 0, "codecs": $codecs,
                | "dimension_names": ["t", "c", "z", "y", "x"]}"""
@@ -319,33 +387,86 @@ object OmeZarr {
     // linear cost in depth, unlike composing the nested-form downscale2x,
     // whose interpreted HOF tree duplicates subtrees per level and
     // effectively hangs at depth >= 3 (VERDICT r3 #3, SCALE.md lesson 1).
+    val szById = spark.sparkContext.broadcast(
+      metas.map(m => m.getString(0) -> m.getInt(3)).toMap)
     var planes = OmeOps.explodePlanes(df, column)
     for (l <- 0 until multiscaleLevels) {
-      planes.select(col("image_id"), col("t"), col("c"), col("z"),
-          col("size_x"), col("size_y"), col("pixels"))
-        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-          it.foreach { r =>
-            val id = r.getString(0)
-            val dir = if (single) new Path(out, l.toString)
-              else new Path(new Path(out, s"$id.zarr"), l.toString)
-            val chunkPath =
-              if (v3) new Path(dir, s"c/${r.getInt(1)}/${r.getInt(2)}/${r.getInt(3)}/0/0")
-              else new Path(dir, s"${r.getInt(1)}.${r.getInt(2)}.${r.getInt(3)}.0.0")
-            val px = r.getSeq[Int](6)
-            val bytes = new Array[Byte](px.length * 2)
-            var i = 0
-            while (i < px.length) {
-              bytes(i * 2) = (px(i) & 0xff).toByte
-              bytes(i * 2 + 1) = ((px(i) >> 8) & 0xff).toByte
-              i += 1
+      if (shardZ) {
+        // one shard per (image, t, c): payload = concatenated encoded
+        // planes, then the sz-entry u64-LE index + crc32c (end location).
+        // The groupBy keeps the write distributed — shard assembly is one
+        // z-run, never a whole image
+        planes.select(col("image_id"), col("t"), col("c"), col("z"),
+            col("pixels"))
+          .groupBy(col("image_id"), col("t"), col("c"))
+          .agg(sort_array(collect_list(struct(col("z"), col("pixels"))))
+            .as("zs"))
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            it.foreach { r =>
+              val id = r.getString(0)
+              val dir = if (single) new Path(out, l.toString)
+                else new Path(new Path(out, s"$id.zarr"), l.toString)
+              val shardPath =
+                new Path(dir, s"c/${r.getInt(1)}/${r.getInt(2)}/0/0/0")
+              val sz = szById.value(id)
+              val offs = Array.fill(sz)(-1L)
+              val lens = Array.fill(sz)(-1L)
+              val body = new java.io.ByteArrayOutputStream()
+              r.getSeq[org.apache.spark.sql.Row](3).foreach { zp =>
+                val z = zp.getInt(0)
+                val px = zp.getSeq[Int](1)
+                val bytes = new Array[Byte](px.length * 2)
+                var i = 0
+                while (i < px.length) {
+                  bytes(i * 2) = (px(i) & 0xff).toByte
+                  bytes(i * 2 + 1) = ((px(i) >> 8) & 0xff).toByte
+                  i += 1
+                }
+                val payload = encodeChunk(bytes, chunkComp)
+                offs(z) = body.size().toLong
+                lens(z) = payload.length.toLong
+                body.write(payload)
+              }
+              val idx = ByteBuffer.allocate(sz * 16 + 4)
+                .order(ByteOrder.LITTLE_ENDIAN)
+              for (z <- 0 until sz) { idx.putLong(offs(z)); idx.putLong(lens(z)) }
+              val crc = new java.util.zip.CRC32C
+              crc.update(idx.array(), 0, sz * 16)
+              idx.putInt(crc.getValue.toInt)
+              val fs = shardPath.getFileSystem(serConf.value)
+              fs.setWriteChecksum(false)
+              val os = fs.create(shardPath, true)
+              try { os.write(body.toByteArray); os.write(idx.array()) }
+              finally os.close()
             }
-            val payload = encodeChunk(bytes, chunkComp)
-            val fs = chunkPath.getFileSystem(serConf.value)
-            fs.setWriteChecksum(false)
-            val os = fs.create(chunkPath, true)
-            try os.write(payload) finally os.close()
           }
-        }
+      } else {
+        planes.select(col("image_id"), col("t"), col("c"), col("z"),
+            col("size_x"), col("size_y"), col("pixels"))
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            it.foreach { r =>
+              val id = r.getString(0)
+              val dir = if (single) new Path(out, l.toString)
+                else new Path(new Path(out, s"$id.zarr"), l.toString)
+              val chunkPath =
+                if (v3) new Path(dir, s"c/${r.getInt(1)}/${r.getInt(2)}/${r.getInt(3)}/0/0")
+                else new Path(dir, s"${r.getInt(1)}.${r.getInt(2)}.${r.getInt(3)}.0.0")
+              val px = r.getSeq[Int](6)
+              val bytes = new Array[Byte](px.length * 2)
+              var i = 0
+              while (i < px.length) {
+                bytes(i * 2) = (px(i) & 0xff).toByte
+                bytes(i * 2 + 1) = ((px(i) >> 8) & 0xff).toByte
+                i += 1
+              }
+              val payload = encodeChunk(bytes, chunkComp)
+              val fs = chunkPath.getFileSystem(serConf.value)
+              fs.setWriteChecksum(false)
+              val os = fs.create(chunkPath, true)
+              try os.write(payload) finally os.close()
+            }
+          }
+      }
       if (l + 1 < multiscaleLevels) planes = OmeOps.downscalePlanes(planes)
     }
   }
@@ -358,10 +479,16 @@ object OmeZarr {
 
   // --- read -----------------------------------------------------------
 
+  /** `shardT/C/Z` > 0 marks a v3 `sharding_indexed` array: each chunk
+    * file is a shard of shardT×shardC×shardZ one-plane inner chunks,
+    * with a u64-LE (offset, nbytes) index per inner chunk (missing =
+    * all-ones), optionally crc32c-suffixed, at the shard's end/start. */
   private[sources] final case class StoreConfig(store: String, stem: String,
       name: String, st: Int, sc: Int, sz: Int, sy: Int, sx: Int,
       psx: Float, psy: Float, psz: Float, chans: Seq[String],
-      comp: String, big: Boolean, u1: Boolean, v3: Boolean, sep: String)
+      comp: String, big: Boolean, u1: Boolean, v3: Boolean, sep: String,
+      shardT: Int = 0, shardC: Int = 0, shardZ: Int = 0,
+      shardCrc: Boolean = false, shardIdxEnd: Boolean = true)
 
   /** Parse one store's metadata (driver-side, metadata-scale); detects
     * v3 (`zarr.json` present) vs v2 (`.zarray`/`.zattrs`). */
@@ -424,31 +551,67 @@ object OmeZarr {
     val shape = jsonIntArray(arrDoc, "shape").getOrElse(
       throw new IllegalArgumentException(s"Zarr v3: $storePath has no shape"))
     require(shape.length == 5, s"Zarr: expected 5-D TCZYX shape, got $shape")
-    val chunks = jsonIntArray(arrDoc, "chunk_shape").getOrElse(
+    // chunk_shape appears in BOTH the chunk_grid and a sharding codec's
+    // configuration — scope the lookup to the chunk_grid object
+    val gridObj = jsonValue(arrDoc, "chunk_grid").getOrElse(
       throw new IllegalArgumentException(
-        s"Zarr v3: $storePath has no regular chunk_grid")).map(_.toInt)
-    require(chunks.take(3).forall(_ == 1) &&
-      chunks(3) == shape(3) && chunks(4) == shape(4),
-      s"Zarr: only one-chunk-per-plane layout supported (chunks=$chunks)")
+        s"Zarr v3: $storePath has no regular chunk_grid"))
+    val chunks = jsonIntArray(gridObj, "chunk_shape").getOrElse(
+      throw new IllegalArgumentException(
+        s"Zarr v3: $storePath chunk_grid has no chunk_shape")).map(_.toInt)
     val dtype = jsonString(arrDoc, "data_type").getOrElse("uint16")
     require(dtype == "uint16" || dtype == "uint8",
       s"Zarr v3: data_type '$dtype' unsupported (uint8/uint16 only)")
-    val codecsStr = """"codecs"\s*:\s*\[([\s\S]*?)\]""".r
-      .findFirstMatchIn(arrDoc).map(_.group(1)).getOrElse(
-        throw new IllegalArgumentException(s"Zarr v3: $storePath has no codecs"))
-    val codecNames = """"name"\s*:\s*"([a-z0-9_]+)"""".r
-      .findAllMatchIn(codecsStr).map(_.group(1)).toSeq
-    require(codecNames.contains("bytes"),
-      s"Zarr v3: codecs $codecNames lack the required 'bytes' codec")
-    val unknown = codecNames.filterNot(Set("bytes", "gzip", "blosc", "zstd"))
-    require(unknown.isEmpty,
-      s"Zarr v3: codecs ${unknown.mkString(",")} unsupported (bytes/gzip/zstd/blosc)")
-    val comp =
-      if (codecNames.contains("gzip")) "gzip"
-      else if (codecNames.contains("blosc")) "blosc"
-      else if (codecNames.contains("zstd")) "zstd"
-      else "null"
-    val big = jsonString(codecsStr, "endian").contains("big")
+    val codecsStr = jsonValue(arrDoc, "codecs").getOrElse(
+      throw new IllegalArgumentException(s"Zarr v3: $storePath has no codecs"))
+    val shardObj = jsonElements(codecsStr)
+      .find(jsonString(_, "name").contains("sharding_indexed"))
+
+    // the per-plane codec chain: the array's own codecs, or — sharded —
+    // the sharding configuration's inner codecs
+    def chainInfo(chain: String): (String, Boolean) = {
+      val names = jsonElements(chain).flatMap(jsonString(_, "name"))
+      require(names.contains("bytes"),
+        s"Zarr v3: codecs $names lack the required 'bytes' codec")
+      val unknown = names.filterNot(Set("bytes", "gzip", "blosc", "zstd"))
+      require(unknown.isEmpty,
+        s"Zarr v3: codecs ${unknown.mkString(",")} unsupported (bytes/gzip/zstd/blosc)")
+      val comp =
+        if (names.contains("gzip")) "gzip"
+        else if (names.contains("blosc")) "blosc"
+        else if (names.contains("zstd")) "zstd"
+        else "null"
+      (comp, jsonString(chain, "endian").contains("big"))
+    }
+
+    val (comp, big, shardDims, shardCrc, shardIdxEnd) = shardObj match {
+      case None =>
+        require(chunks.take(3).forall(_ == 1) &&
+          chunks(3) == shape(3) && chunks(4) == shape(4),
+          s"Zarr: only one-chunk-per-plane layout supported (chunks=$chunks)")
+        val (c, b) = chainInfo(codecsStr)
+        (c, b, (0, 0, 0), false, true)
+      case Some(obj) =>
+        val conf = jsonValue(obj, "configuration").getOrElse(
+          throw new IllegalArgumentException(
+            s"Zarr v3: sharding codec in $storePath has no configuration"))
+        val inner = jsonIntArray(conf, "chunk_shape").getOrElse(
+          throw new IllegalArgumentException(
+            s"Zarr v3: sharding codec in $storePath has no chunk_shape"))
+          .map(_.toInt)
+        require(inner == Seq(1, 1, 1, shape(3).toInt, shape(4).toInt),
+          s"Zarr: only one-plane inner chunks supported (inner=$inner)")
+        require(chunks(3) == shape(3) && chunks(4) == shape(4) &&
+          chunks.take(3).forall(_ >= 1),
+          s"Zarr: shard shape must cover whole planes (chunks=$chunks)")
+        val (c, b) = chainInfo(jsonValue(conf, "codecs").getOrElse(
+          throw new IllegalArgumentException(
+            s"Zarr v3: sharding codec in $storePath has no inner codecs")))
+        val crc = jsonValue(conf, "index_codecs").exists(_.contains("crc32c"))
+        val idxEnd =
+          jsonString(conf, "index_location").forall(_ == "end")
+        (c, b, (chunks(0), chunks(1), chunks(2)), crc, idxEnd)
+    }
     val sep = jsonString(arrDoc, "separator").getOrElse("/")
     require(sep == "/" || sep == ".", s"Zarr v3: separator '$sep' unsupported")
     val scale = scaleForLevel(attrs, levelPath)
@@ -458,7 +621,9 @@ object OmeZarr {
       imageName(attrs).getOrElse(root.getName),
       shape(0).toInt, shape(1).toInt, shape(2).toInt, shape(3).toInt,
       shape(4).toInt, scale(4).toFloat, scale(3).toFloat, scale(2).toFloat,
-      chanNames, comp, big, dtype == "uint8", v3 = true, sep = sep)
+      chanNames, comp, big, dtype == "uint8", v3 = true, sep = sep,
+      shardT = shardDims._1, shardC = shardDims._2, shardZ = shardDims._3,
+      shardCrc = shardCrc, shardIdxEnd = shardIdxEnd)
   }
 
   /** All chunk file paths of one store's level (driver-side listing). */
@@ -530,27 +695,68 @@ object OmeZarr {
       .load(chunkPaths: _*)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .map { case (p, raw) =>
+      .flatMap { case (p, raw) =>
         val parts = p.split('/')
         val stem =
           if (loneStem != null) loneStem
           else parts(parts.lastIndexWhere(_.endsWith(".zarr")))
             .stripSuffix(".zarr")
         val c = confB.value(stem)
-        val (t, ch, z) = chunkCoords(p)
         val expect = c.sy * c.sx * (if (c.u1) 1 else 2)
-        val bytes = decodeChunk(raw, c.comp, expect)
-        require(bytes.length >= expect,
-          s"Zarr chunk $p: ${bytes.length} bytes < expected $expect")
-        val px = new Array[Int](c.sy * c.sx)
-        if (c.u1) {
-          var i = 0; while (i < px.length) { px(i) = bytes(i) & 0xff; i += 1 }
-        } else {
-          val bb = ByteBuffer.wrap(bytes)
-            .order(if (c.big) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
-          var i = 0; while (i < px.length) { px(i) = bb.getShort(i * 2) & 0xffff; i += 1 }
+
+        def toPixels(bytes: Array[Byte]): Seq[Int] = {
+          require(bytes.length >= expect,
+            s"Zarr chunk $p: ${bytes.length} bytes < expected $expect")
+          val px = new Array[Int](c.sy * c.sx)
+          if (c.u1) {
+            var i = 0; while (i < px.length) { px(i) = bytes(i) & 0xff; i += 1 }
+          } else {
+            val bb = ByteBuffer.wrap(bytes)
+              .order(if (c.big) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+            var i = 0
+            while (i < px.length) { px(i) = bb.getShort(i * 2) & 0xffff; i += 1 }
+          }
+          px.toSeq
         }
-        (stem, t, ch, z, px.toSeq)
+
+        val (t0, c0, z0) = chunkCoords(p)
+        if (c.shardT == 0) {
+          Seq((stem, t0, c0, z0, toPixels(decodeChunk(raw, c.comp, expect))))
+        } else {
+          // shard file: (t0,c0,z0) are SHARD-grid coords; the index is n
+          // u64-LE (offset, nbytes) pairs in t-major inner-grid order,
+          // missing chunks all-ones, optionally crc32c'd, at end/start
+          val n = c.shardT * c.shardC * c.shardZ
+          val idxLen = n * 16 + (if (c.shardCrc) 4 else 0)
+          require(raw.length >= idxLen, s"Zarr shard $p: no room for index")
+          val idxOff = if (c.shardIdxEnd) raw.length - idxLen else 0
+          val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+          if (c.shardCrc) {
+            val crc = new java.util.zip.CRC32C
+            crc.update(raw, idxOff, n * 16)
+            val stored = bb.getInt(idxOff + n * 16) & 0xffffffffL
+            require(crc.getValue == stored,
+              s"Zarr shard $p: index crc32c mismatch")
+          }
+          (0 until n).flatMap { i =>
+            val off = bb.getLong(idxOff + i * 16)
+            val len = bb.getLong(idxOff + i * 16 + 8)
+            if (off == -1L && len == -1L) Seq.empty // missing -> fill
+            else {
+              require(off >= 0 && len > 0 && off + len <= raw.length,
+                s"Zarr shard $p: inner chunk $i out of bounds ($off+$len)")
+              val t = t0 * c.shardT + i / (c.shardC * c.shardZ)
+              val ch = c0 * c.shardC + (i / c.shardZ) % c.shardC
+              val z = z0 * c.shardZ + i % c.shardZ
+              if (t >= c.st || ch >= c.sc || z >= c.sz) Seq.empty // edge pad
+              else {
+                val chunk = java.util.Arrays.copyOfRange(
+                  raw, off.toInt, (off + len).toInt)
+                Seq((stem, t, ch, z, toPixels(decodeChunk(chunk, c.comp, expect))))
+              }
+            }
+          }
+        }
       }.toDF("image_id", "t", "c", "z", "pixels")
 
     // zero-fill grid for every store, generated on executors

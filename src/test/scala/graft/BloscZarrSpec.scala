@@ -208,6 +208,73 @@ class BloscZarrSpec extends SparkSpec {
     assert(n === 8)
   }
 
+  test("O9+O5: sharded v3 store (shardZ) round-trips with one file per (t,c)") {
+    val one = Fixtures.corpus4d(spark).filter(col("ome_arrow.id") === "i4d-0001")
+    graft.sources.OmeZarr.write(one, "/tmp/graft_test_shard/i4d-0001.zarr",
+      zarrFormat = 3, compressor = "zstd", shardZ = true)
+    val doc = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths
+      .get("/tmp/graft_test_shard/i4d-0001.zarr/0/zarr.json")), "UTF-8")
+    assert(doc.contains("sharding_indexed") && doc.contains("crc32c"))
+    // 2x2x2 image -> 4 shard files (t,c), each holding both z planes
+    val root = new java.io.File("/tmp/graft_test_shard/i4d-0001.zarr/0/c")
+    def files(d: java.io.File): Seq[java.io.File] =
+      if (d.isFile) Seq(d) else Option(d.listFiles).toSeq.flatten.flatMap(files)
+    assert(files(root).size === 4)
+    val back = graft.sources.OmeZarr.read(spark,
+      "/tmp/graft_test_shard/i4d-0001.zarr")
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      OmeOps.explodePlanes(df).select(col("t"), col("c"), col("z"),
+        aggregate(col("pixels"), lit(0L), (a, v) => a + v))
+        .orderBy(col("t"), col("c"), col("z")).collect().toSeq
+    assert(sums(one) === sums(back))
+  }
+
+  test("O5: foreign sharded store with a missing inner chunk zero-fills") {
+    // hand-crafted 1x1x2-plane store, one shard holding z=1 only (z=0
+    // entry all-ones = missing), raw inner codec, crc32c'd end index
+    val root = java.nio.file.Paths.get("/tmp/graft_test_shardf/fimg.zarr")
+    java.nio.file.Files.createDirectories(root.resolve("0/c/0/0/0/0"))
+    java.nio.file.Files.writeString(root.resolve("zarr.json"),
+      """{"zarr_format": 3, "node_type": "group", "attributes": {"ome": {
+        |"version": "0.5", "multiscales": [{"name": "f img", "axes": [
+        |{"name": "t", "type": "time"}, {"name": "c", "type": "channel"},
+        |{"name": "z", "type": "space"}, {"name": "y", "type": "space"},
+        |{"name": "x", "type": "space"}],
+        |"datasets": [{"path": "0", "coordinateTransformations":
+        |[{"type": "scale", "scale": [1.0, 1.0, 1.0, 1.0, 1.0]}]}]}]}}}"""
+        .stripMargin.replace("\n", ""))
+    java.nio.file.Files.writeString(root.resolve("0/zarr.json"),
+      """{"zarr_format": 3, "node_type": "array", "shape": [1, 1, 2, 2, 2],
+        |"data_type": "uint16", "chunk_grid": {"name": "regular",
+        |"configuration": {"chunk_shape": [1, 1, 2, 2, 2]}},
+        |"chunk_key_encoding": {"name": "default",
+        |"configuration": {"separator": "/"}}, "fill_value": 0,
+        |"codecs": [{"name": "sharding_indexed", "configuration":
+        |{"chunk_shape": [1, 1, 1, 2, 2],
+        |"codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+        |"index_codecs": [{"name": "bytes", "configuration":
+        |{"endian": "little"}}, {"name": "crc32c"}],
+        |"index_location": "end"}}],
+        |"dimension_names": ["t", "c", "z", "y", "x"]}"""
+        .stripMargin.replace("\n", ""))
+    val plane = Array[Byte](1, 0, 2, 0, 3, 0, 4, 0) // u16 LE 1,2,3,4
+    val idx = java.nio.ByteBuffer.allocate(36)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    idx.putLong(-1L).putLong(-1L) // z=0 missing
+    idx.putLong(0L).putLong(8L)   // z=1 at offset 0
+    val crc = new java.util.zip.CRC32C
+    crc.update(idx.array(), 0, 32)
+    idx.putInt(crc.getValue.toInt)
+    val shard = plane ++ idx.array()
+    java.nio.file.Files.write(root.resolve("0/c/0/0/0/0/0"), shard)
+    val back = graft.sources.OmeZarr.read(spark, root.toString)
+    val planes = OmeOps.explodePlanes(back)
+      .select(col("z"), col("pixels")).orderBy(col("z")).collect()
+    assert(planes.length === 2)
+    assert(planes(0).getSeq[Int](1) === Seq(0, 0, 0, 0)) // missing -> fill
+    assert(planes(1).getSeq[Int](1) === Seq(1, 2, 3, 4))
+  }
+
   test("O5: v3 blosc store and missing-chunk zero-fill") {
     val one = Fixtures.corpus4d(spark).filter(col("ome_arrow.id") === "i4d-0000")
     graft.sources.OmeZarr.write(one, "/tmp/graft_test_v3b/i4d-0000.zarr",
