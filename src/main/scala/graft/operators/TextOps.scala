@@ -67,6 +67,13 @@ object TextOps {
     transform(sequence(lit(0), lit(bands - 1)),
       b => md5(concat_ws("|", slice(sig, b * rows + 1, lit(rows)))))
 
+  /** In-bucket candidate expansion shared by the near-dup operators:
+    * `ids` is a SORTED array; emits `mk(a, b)` for every i < j element
+    * pair, so ordered keys give doc_a < doc_b directly. */
+  private def sortedPairs(ids: Column, mk: (Column, Column) => Column): Column =
+    flatten(transform(ids, (a, i) =>
+      transform(slice(ids, i + 2, size(ids)), b => mk(a, b))))
+
   /** Exact dedup via content hash: one row per distinct text with the
     * surviving (minimum) doc_id and the duplicate count. */
   def dedupExact(docs: DataFrame): DataFrame =
@@ -109,9 +116,8 @@ object TextOps {
     // Buckets are tiny (near-dup clusters), so in-bucket pair expansion
     // is cheap; sorted ids give doc_a < doc_b directly.
     val ids = array_sort(collect_list(col("doc_id")))
-    val pairs = flatten(transform(col("ids"), (a, i) =>
-      transform(slice(col("ids"), i + 2, size(col("ids"))),
-        b => struct(a.as("doc_a"), b.as("doc_b")))))
+    val pairs = sortedPairs(col("ids"),
+      (a, b) => struct(a.as("doc_a"), b.as("doc_b")))
     // In-bucket pair expansion is O(m²) per bucket. `maxBucketSize` > 0
     // drops larger buckets outright — the 100 TB guard against
     // mass-duplicated boilerplate, whose pairs exact dedup should have
@@ -150,6 +156,10 @@ object TextOps {
    * pairs quadratically but almost never decide a high-threshold match.
    * The default keeps every shingle (exact, oracle-pinned mode); at
    * 100 TB run `dedupExact` first and set a cap.
+   *
+   * Like the sibling near-dup operators, the shingle frame stays
+   * persisted for the lifetime of the returned (lazy) plan — long-lived
+   * sessions should `spark.catalog.clearCache()` when done with it.
    */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
       maxPostings: Int = 0): DataFrame = {
@@ -166,12 +176,11 @@ object TextOps {
         .as("ids"))
       .filter(size(col("ids")) > 1 &&
         (if (maxPostings > 0) size(col("ids")) <= maxPostings else lit(true)))
-    // sorted ids give doc_a < doc_b directly (struct sort is doc_id-first)
-    val pairs = flatten(transform(col("ids"), (a, i) =>
-      transform(slice(col("ids"), i + 2, size(col("ids"))),
-        b => struct(a.getField("doc_id").as("doc_a"),
-          b.getField("doc_id").as("doc_b"),
-          a.getField("n_sh").as("na"), b.getField("n_sh").as("nb")))))
+    // struct sort is doc_id-first, so sorted lists pair doc_a < doc_b
+    val pairs = sortedPairs(col("ids"),
+      (a, b) => struct(a.getField("doc_id").as("doc_a"),
+        b.getField("doc_id").as("doc_b"),
+        a.getField("n_sh").as("na"), b.getField("n_sh").as("nb")))
     lists.select(explode(pairs).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         col("p.na").as("na"), col("p.nb").as("nb"))
@@ -301,11 +310,10 @@ object TextOps {
         shiftright(col("sig"), k * 16).bitwiseAND(lit(65535L))): _*))
         .as(Seq("band", "chunk")))
     val ids = array_sort(collect_list(struct(col("doc_id"), col("sig"))))
-    val pairs = flatten(transform(col("members"), (a, i) =>
-      transform(slice(col("members"), i + 2, size(col("members"))),
-        b => struct(a.getField("doc_id").as("doc_a"),
-          b.getField("doc_id").as("doc_b"),
-          a.getField("sig").as("sig_a"), b.getField("sig").as("sig_b")))))
+    val pairs = sortedPairs(col("members"),
+      (a, b) => struct(a.getField("doc_id").as("doc_a"),
+        b.getField("doc_id").as("doc_b"),
+        a.getField("sig").as("sig_a"), b.getField("sig").as("sig_b")))
     // see nearDupPairs: optional bucket-size cap for pathological
     // mass-duplicate buckets at scale (opt-in, default = exact recall)
     val bucketOk =

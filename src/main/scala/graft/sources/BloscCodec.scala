@@ -413,18 +413,4 @@ object BloscCodec {
     net.jpountz.lz4.LZ4Factory.fastestJavaInstance()
       .fastCompressor().compress(data, 0, data.length)
 
-  /** Valid LZ4 block stream that encodes everything as one literal run. */
-  private[graft] def lz4LiteralEncode(data: Array[Byte]): Array[Byte] = {
-    val n = data.length
-    val out = new java.io.ByteArrayOutputStream(n + n / 255 + 16)
-    if (n < 15) out.write(n << 4)
-    else {
-      out.write(0xf0)
-      var rest = n - 15
-      while (rest >= 255) { out.write(255); rest -= 255 }
-      out.write(rest)
-    }
-    out.write(data)
-    out.toByteArray
-  }
 }

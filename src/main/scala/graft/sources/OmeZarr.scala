@@ -242,6 +242,18 @@ object OmeZarr {
 
   // --- write ----------------------------------------------------------
 
+  /** One plane's pixel values as the store's uint16-LE chunk payload. */
+  private def packU16LE(px: Seq[Int]): Array[Byte] = {
+    val bytes = new Array[Byte](px.length * 2)
+    var i = 0
+    while (i < px.length) {
+      bytes(i * 2) = (px(i) & 0xff).toByte
+      bytes(i * 2 + 1) = ((px(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    bytes
+  }
+
   /**
    * Write each record as an OME-Zarr image directory `<out>/<id>.zarr`
    * (or exactly `out` when it ends in ".zarr" — single-record contract).
@@ -414,15 +426,7 @@ object OmeZarr {
               val body = new java.io.ByteArrayOutputStream()
               r.getSeq[org.apache.spark.sql.Row](3).foreach { zp =>
                 val z = zp.getInt(0)
-                val px = zp.getSeq[Int](1)
-                val bytes = new Array[Byte](px.length * 2)
-                var i = 0
-                while (i < px.length) {
-                  bytes(i * 2) = (px(i) & 0xff).toByte
-                  bytes(i * 2 + 1) = ((px(i) >> 8) & 0xff).toByte
-                  i += 1
-                }
-                val payload = encodeChunk(bytes, chunkComp)
+                val payload = encodeChunk(packU16LE(zp.getSeq[Int](1)), chunkComp)
                 offs(z) = body.size().toLong
                 lens(z) = payload.length.toLong
                 body.write(payload)
@@ -451,15 +455,7 @@ object OmeZarr {
               val chunkPath =
                 if (v3) new Path(dir, s"c/${r.getInt(1)}/${r.getInt(2)}/${r.getInt(3)}/0/0")
                 else new Path(dir, s"${r.getInt(1)}.${r.getInt(2)}.${r.getInt(3)}.0.0")
-              val px = r.getSeq[Int](6)
-              val bytes = new Array[Byte](px.length * 2)
-              var i = 0
-              while (i < px.length) {
-                bytes(i * 2) = (px(i) & 0xff).toByte
-                bytes(i * 2 + 1) = ((px(i) >> 8) & 0xff).toByte
-                i += 1
-              }
-              val payload = encodeChunk(bytes, chunkComp)
+              val payload = encodeChunk(packU16LE(r.getSeq[Int](6)), chunkComp)
               val fs = chunkPath.getFileSystem(serConf.value)
               fs.setWriteChecksum(false)
               val os = fs.create(chunkPath, true)
@@ -488,7 +484,8 @@ object OmeZarr {
       psx: Float, psy: Float, psz: Float, chans: Seq[String],
       comp: String, big: Boolean, u1: Boolean, v3: Boolean, sep: String,
       shardT: Int = 0, shardC: Int = 0, shardZ: Int = 0,
-      shardCrc: Boolean = false, shardIdxEnd: Boolean = true)
+      shardCrc: Boolean = false, shardIdxEnd: Boolean = true,
+      shardIdxBig: Boolean = false)
 
   /** Parse one store's metadata (driver-side, metadata-scale); detects
     * v3 (`zarr.json` present) vs v2 (`.zarray`/`.zattrs`). */
@@ -564,8 +561,10 @@ object OmeZarr {
       s"Zarr v3: data_type '$dtype' unsupported (uint8/uint16 only)")
     val codecsStr = jsonValue(arrDoc, "codecs").getOrElse(
       throw new IllegalArgumentException(s"Zarr v3: $storePath has no codecs"))
-    val shardObj = jsonElements(codecsStr)
-      .find(jsonString(_, "name").contains("sharding_indexed"))
+    // detect by the name VALUE, not the first "name" key: a foreign writer
+    // may serialize "configuration" (whose inner codecs carry their own
+    // "name" keys) before the codec's own "name" — key order is free
+    val shardObj = jsonElements(codecsStr).find(_.contains("\"sharding_indexed\""))
 
     // the per-plane codec chain: the array's own codecs, or — sharded —
     // the sharding configuration's inner codecs
@@ -584,13 +583,13 @@ object OmeZarr {
       (comp, jsonString(chain, "endian").contains("big"))
     }
 
-    val (comp, big, shardDims, shardCrc, shardIdxEnd) = shardObj match {
+    val (comp, big, shardDims, shardIdx) = shardObj match {
       case None =>
         require(chunks.take(3).forall(_ == 1) &&
           chunks(3) == shape(3) && chunks(4) == shape(4),
           s"Zarr: only one-chunk-per-plane layout supported (chunks=$chunks)")
         val (c, b) = chainInfo(codecsStr)
-        (c, b, (0, 0, 0), false, true)
+        (c, b, (0, 0, 0), (false, true, false))
       case Some(obj) =>
         val conf = jsonValue(obj, "configuration").getOrElse(
           throw new IllegalArgumentException(
@@ -607,10 +606,12 @@ object OmeZarr {
         val (c, b) = chainInfo(jsonValue(conf, "codecs").getOrElse(
           throw new IllegalArgumentException(
             s"Zarr v3: sharding codec in $storePath has no inner codecs")))
-        val crc = jsonValue(conf, "index_codecs").exists(_.contains("crc32c"))
+        val idxCodecs = jsonValue(conf, "index_codecs")
+        val crc = idxCodecs.exists(_.contains("crc32c"))
+        val idxBig = idxCodecs.exists(jsonString(_, "endian").contains("big"))
         val idxEnd =
           jsonString(conf, "index_location").forall(_ == "end")
-        (c, b, (chunks(0), chunks(1), chunks(2)), crc, idxEnd)
+        (c, b, (chunks(0), chunks(1), chunks(2)), (crc, idxEnd, idxBig))
     }
     val sep = jsonString(arrDoc, "separator").getOrElse("/")
     require(sep == "/" || sep == ".", s"Zarr v3: separator '$sep' unsupported")
@@ -623,7 +624,8 @@ object OmeZarr {
       shape(4).toInt, scale(4).toFloat, scale(3).toFloat, scale(2).toFloat,
       chanNames, comp, big, dtype == "uint8", v3 = true, sep = sep,
       shardT = shardDims._1, shardC = shardDims._2, shardZ = shardDims._3,
-      shardCrc = shardCrc, shardIdxEnd = shardIdxEnd)
+      shardCrc = shardIdx._1, shardIdxEnd = shardIdx._2,
+      shardIdxBig = shardIdx._3)
   }
 
   /** All chunk file paths of one store's level (driver-side listing). */
@@ -730,7 +732,8 @@ object OmeZarr {
           val idxLen = n * 16 + (if (c.shardCrc) 4 else 0)
           require(raw.length >= idxLen, s"Zarr shard $p: no room for index")
           val idxOff = if (c.shardIdxEnd) raw.length - idxLen else 0
-          val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+          val bb = ByteBuffer.wrap(raw).order(
+            if (c.shardIdxBig) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
           if (c.shardCrc) {
             val crc = new java.util.zip.CRC32C
             crc.update(raw, idxOff, n * 16)

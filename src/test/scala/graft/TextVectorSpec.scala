@@ -52,9 +52,14 @@ class TextVectorSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(exact.map(p => (p._1, p._2)).toSet === Set((0L, 1L), (0L, 3L), (1L, 3L)))
     assert(exact.find(p => (p._1, p._2) == (0L, 3L)).get._3 === 1.0)
-    // frequency cap drops shingles shared by every clone -> no pairs
-    val capped = TextOps.ngramJaccardPairs(docs, threshold = 0.5, maxPostings = 1)
-    assert(capped.count() === 0)
+    // frequency cap: 4 clones share every shingle -> posting lists of
+    // size 4; cap 4 keeps them (pins the <= semantics), cap 3 drops all
+    val clones = (0L until 4L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog", "en", "s0", 43L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(TextOps.ngramJaccardPairs(clones).count() === 6)
+    assert(TextOps.ngramJaccardPairs(clones, maxPostings = 4).count() === 6)
+    assert(TextOps.ngramJaccardPairs(clones, maxPostings = 3).count() === 0)
   }
 
   test("native hash expressions match the column formulations exactly") {
