@@ -25,15 +25,19 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => t =!= "")
 
+  /** Word n-grams WITH duplicates kept — the repetition-analysis unit.
+    * A single whole-text gram when the doc has fewer than n tokens. */
+  def ngrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
   /** Distinct word k-shingles; a single whole-text shingle when the doc has
     * fewer than k tokens. */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = tokens(text)
-    array_distinct(
-      when(size(toks) < k, array(concat_ws(" ", toks)))
-        .otherwise(transform(sequence(lit(0), size(toks) - k),
-          i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
-  }
+  def shingles(text: Column, k: Int): Column =
+    array_distinct(ngrams(text, k))
 
   /** Per-shingle hash material: ceil(numHashes/4) md5 digests ("g|shingle")
     * concatenated into one hex string. Each disjoint 8-hex-char chunk of an
@@ -190,6 +194,151 @@ object TextOps {
         round(col("shared").cast("double") /
           (col("na") + col("nb") - col("shared")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /**
+   * Gopher-style repetition quality signals per document (Rae et al. 2021,
+   * "Scaling Language Models" §A1.1 repetition filters, re-expressed with
+   * deterministic closed forms): over word n-grams,
+   *  - `dup_gram_frac`  = fraction of n-gram OCCURRENCES that are repeats
+   *    (1 - distinct/total);
+   *  - `dup_char_frac`  = fraction of n-gram characters inside n-grams that
+   *    occur more than once;
+   *  - `top_char_frac`  = largest character mass any single n-gram covers.
+   * All three are scalar aggregates of the per-(doc, gram) count table, so
+   * no argmax tie-break is needed anywhere — every output is replicable
+   * bit-for-bit by an external SQL engine.
+   *
+   * Plan shape (100 TB): one explode + one hash aggregation keyed
+   * (doc_id, gram) with map-side partial aggregation, then a per-doc
+   * reaggregation — two shuffles, both on high-cardinality keys, no joins.
+   */
+  def repetitionStats(docs: DataFrame, n: Int = 2): DataFrame = {
+    val counts = docs.select(col("doc_id").cast("long").as("doc_id"),
+        explode(ngrams(col("text"), n)).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val charsAll = col("chars_all").cast("double")
+    counts.groupBy(col("doc_id")).agg(
+        sum(col("cnt")).cast("long").as("n_grams"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        sum(col("cnt") * length(col("gram"))).as("chars_all"),
+        sum(when(col("cnt") > 1, col("cnt") * length(col("gram")))
+          .otherwise(lit(0L))).as("chars_dup"),
+        max(col("cnt") * length(col("gram"))).as("top_cover"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        round((col("n_grams") - col("n_distinct")).cast("double") /
+          col("n_grams"), 6).as("dup_gram_frac"),
+        when(col("chars_all") === 0, lit(0.0))
+          .otherwise(round(col("chars_dup") / charsAll, 6)).as("dup_char_frac"),
+        when(col("chars_all") === 0, lit(0.0))
+          .otherwise(round(col("top_cover") / charsAll, 6)).as("top_char_frac"))
+  }
+
+  /**
+   * Benchmark decontamination: for every (train doc, eval doc) pair
+   * sharing at least `minShared` distinct word n-grams, the overlap count
+   * and the fraction of the eval doc's grams covered — the standard
+   * n-gram-overlap contamination check run before training on scraped
+   * corpora (eval-set grams found verbatim in training docs).
+   *
+   * Plan shape (100 TB): distinct grams per side, one equi-join on the
+   * gram (posting-list join — never doc x doc), one pair aggregation.
+   * The eval/benchmark side is usually tiny; Catalyst/AQE broadcasts it
+   * automatically under the threshold, and callers can force
+   * `broadcast(eval)` for planner certainty.
+   */
+  def contamination(train: DataFrame, eval: DataFrame, n: Int = 3,
+      minShared: Int = 2): DataFrame = {
+    val tGrams = train.select(col("doc_id").cast("long").as("train_doc"),
+      explode(shingles(col("text"), n)).as("gram"))
+    val eGrams = eval.select(col("doc_id").cast("long").as("eval_doc"),
+        shingles(col("text"), n).as("sh"))
+      .select(col("eval_doc"), size(col("sh")).as("n_eval_grams"),
+        explode(col("sh")).as("gram"))
+    tGrams.join(eGrams, "gram")
+      .groupBy(col("train_doc"), col("eval_doc"), col("n_eval_grams"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("train_doc"), col("eval_doc"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_eval_grams"), 6)
+          .as("eval_frac"))
+  }
+
+  /**
+   * Near-duplicate CLUSTERS: connected components over the exact
+   * n-gram-Jaccard pair graph ([[ngramJaccardPairs]]), via iterative
+   * min-label propagation — every doc in a component converges to the
+   * component's minimum doc_id, the canonical "keeper".
+   *
+   * EAGER operator: the fixpoint loop runs Spark actions at call time
+   * (like ML training); each iteration is one join + one aggregation, and
+   * `localCheckpoint` truncates the lineage between iterations.
+   * Convergence needs O(component diameter) iterations — near-dup
+   * components are overwhelmingly tiny (pairs/triangles), so 2-3 in
+   * practice. At extreme scale swap the propagation loop for the
+   * large-star/small-star formulation (O(log n) rounds); the output
+   * contract is identical.
+   */
+  def nearDupClusters(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
+      maxIters: Int = 25): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pairs = ngramJaccardPairs(docs, k, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    // undirected: propagate labels along both edge directions
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst").persist(lvl)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl")).localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("dst"), col("lbl").as("dst_lbl")),
+          "dst")
+        .groupBy(col("src")).agg(min(col("dst_lbl")).as("nbr_lbl"))
+      val next = labels
+        .join(nbrMin.withColumnRenamed("src", "node"), Seq("node"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.select(col("node"), col("lbl").as("old")), "node")
+        .filter(col("lbl") =!= col("old")).isEmpty
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
+    labels.join(sizes, "lbl")
+      .select(col("node").cast("long").as("doc_id"),
+        col("lbl").cast("long").as("cluster_id"),
+        col("sz").cast("long").as("cluster_size"),
+        (col("node") === col("lbl")).cast("int").as("is_keeper"))
+  }
+
+  /** Email/phone regexes shared by the scrub and its external oracles —
+    * deliberately restricted to syntax with identical semantics in Java
+    * regex and RE2 (no backrefs, no lookaround). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /**
+   * PII scrub: per-document email/phone match counts plus the md5 of the
+   * redacted text (emails -> `<EMAIL>`, phones -> `<PHONE>`) — the hash
+   * pins the exact replacement semantics without shipping full text
+   * through the result. Pure codegen'd regexp work, one narrow pass.
+   */
+  def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val txt = col(textCol)
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+      size(regexp_extract_all(txt, lit(EmailRe), lit(0))).cast("long")
+        .as("n_emails"),
+      size(regexp_extract_all(txt, lit(PhoneRe), lit(0))).cast("long")
+        .as("n_phones"),
+      md5(regexp_replace(regexp_replace(txt, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>")).as("scrubbed_md5"))
   }
 
   /** Per-(lang, source) rollup of document/char/token statistics. */

@@ -466,6 +466,138 @@ object QueryDefs {
           |  FROM pairs)
           |WHERE jaccard >= 0.8""".stripMargin)),
 
+    // Gopher-style repetition filters (dup/top n-gram fractions) — all
+    // scalar aggregates of the (doc, gram) count table, tie-break-free
+    ("repetition_stats", (s: SparkSession, dir: String) =>
+      TextOps.repetitionStats(t(s, dir, "documents")),
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+          |  FROM documents),
+          |g AS (
+          |  SELECT doc_id, unnest(CASE WHEN len(tk) < 2
+          |      THEN [array_to_string(tk, ' ')]
+          |      ELSE list_transform(range(1, len(tk)),
+          |             i -> array_to_string(tk[i:i+1], ' ')) END) AS gram
+          |  FROM toks),
+          |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
+          |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |  CAST(sum(cnt) AS BIGINT) AS n_grams,
+          |  CAST(count(*) AS BIGINT) AS n_distinct,
+          |  round((sum(cnt) - count(*)) / CAST(sum(cnt) AS DOUBLE), 6)
+          |    AS dup_gram_frac,
+          |  CASE WHEN sum(cnt * length(gram)) = 0 THEN 0.0
+          |    ELSE round(sum(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END)
+          |      / CAST(sum(cnt * length(gram)) AS DOUBLE), 6) END AS dup_char_frac,
+          |  CASE WHEN sum(cnt * length(gram)) = 0 THEN 0.0
+          |    ELSE round(max(cnt * length(gram))
+          |      / CAST(sum(cnt * length(gram)) AS DOUBLE), 6) END AS top_char_frac
+          |FROM c GROUP BY doc_id""".stripMargin)),
+
+    // benchmark decontamination: distinct 3-gram overlap between the
+    // train split (doc_id % 25 != 0) and the eval split (doc_id % 25 = 0)
+    ("contamination", (s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      TextOps.contamination(
+        docs.filter(col("doc_id") % 25 =!= 0),
+        docs.filter(col("doc_id") % 25 === 0))
+    },
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+          |  FROM documents),
+          |sh AS (
+          |  SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3
+          |      THEN [array_to_string(tk, ' ')]
+          |      ELSE list_transform(range(1, len(tk) - 1),
+          |             i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
+          |  FROM toks),
+          |tr AS (SELECT doc_id AS train_doc, unnest(sh) AS gram
+          |       FROM sh WHERE doc_id % 25 <> 0),
+          |ev AS (SELECT doc_id AS eval_doc, len(sh) AS n_eval_grams,
+          |         unnest(sh) AS gram
+          |       FROM sh WHERE doc_id % 25 = 0)
+          |SELECT * FROM (
+          |  SELECT CAST(train_doc AS BIGINT) AS train_doc,
+          |    CAST(eval_doc AS BIGINT) AS eval_doc,
+          |    CAST(count(*) AS BIGINT) AS n_shared,
+          |    round(count(*) / CAST(n_eval_grams AS DOUBLE), 6) AS eval_frac
+          |  FROM tr JOIN ev USING (gram)
+          |  GROUP BY train_doc, eval_doc, n_eval_grams)
+          |WHERE n_shared >= 2""".stripMargin)),
+
+    // connected components over the exact-Jaccard pair graph (min-label
+    // propagation on the Spark side, recursive CTE on the oracle side)
+    ("near_dup_clusters", (s: SparkSession, dir: String) =>
+      TextOps.nearDupClusters(t(s, dir, "documents")),
+      Some(
+        """WITH RECURSIVE toks AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+          |  FROM documents),
+          |sh AS (
+          |  SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3
+          |      THEN [array_to_string(tk, ' ')]
+          |      ELSE list_transform(range(1, len(tk) - 1),
+          |             i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
+          |  FROM toks),
+          |p AS (
+          |  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh),
+          |pairs AS (
+          |  SELECT doc_a, doc_b FROM (
+          |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |      round(count(*) / CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE), 6)
+          |        AS jaccard
+          |    FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          |    GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh)
+          |  WHERE jaccard >= 0.8),
+          |edges AS (
+          |  SELECT doc_a AS a, doc_b AS b FROM pairs
+          |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+          |reach AS (
+          |  SELECT a AS node, a AS lbl FROM edges
+          |  UNION
+          |  SELECT e.b AS node, r.lbl AS lbl
+          |  FROM reach r JOIN edges e ON e.a = r.node),
+          |labels AS (
+          |  SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+          |sizes AS (
+          |  SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1)
+          |SELECT CAST(l.node AS BIGINT) AS doc_id,
+          |  CAST(l.cluster_id AS BIGINT) AS cluster_id,
+          |  CAST(s.cluster_size AS BIGINT) AS cluster_size,
+          |  CAST(l.node = l.cluster_id AS INT) AS is_keeper
+          |FROM labels l JOIN sizes s USING (cluster_id)""".stripMargin)),
+
+    // PII scrub over deterministically augmented text (planted email +
+    // phone per doc, so counts and the redaction hash are non-trivial)
+    ("pii_scrub", (s: SparkSession, dir: String) =>
+      TextOps.piiScrub(t(s, dir, "documents").withColumn("text",
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))),
+      Some(
+        """WITH aug AS (
+          |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+          |    || '@example.com or 555-'
+          |    || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+          |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+          |  FROM documents)
+          |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |  CAST(len(regexp_extract_all(t,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+          |    AS n_emails,
+          |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT)
+          |    AS n_phones,
+          |  md5(regexp_replace(regexp_replace(t,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS scrubbed_md5
+          |FROM aug""".stripMargin)),
+
     ("text_stats", (s: SparkSession, dir: String) =>
       TextOps.textStats(t(s, dir, "documents")),
       Some(

@@ -196,6 +196,79 @@ class TextVectorSpec extends SparkSpec {
     assert(out.map(_.toString).sorted.toSeq === out2.map(_.toString).sorted.toSeq)
   }
 
+  test("repetitionStats measures duplicate 2-grams deterministically") {
+    val rep = Seq(
+      (0L, "a b a b a b"), // grams: "a b","b a","a b","b a","a b" -> 5 total, 2 distinct
+      (1L, "x y z w")      // 3 grams, all distinct
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(rep).orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_grams") === 5L)
+    assert(out(0).getAs[Long]("n_distinct") === 2L)
+    assert(out(0).getAs[Double]("dup_gram_frac") === 0.6)
+    // every gram is a repeat -> dup_char_frac 1.0; "a b" covers 9 of 15 chars
+    assert(out(0).getAs[Double]("dup_char_frac") === 1.0)
+    assert(out(0).getAs[Double]("top_char_frac") === 0.6)
+    assert(out(1).getAs[Double]("dup_gram_frac") === 0.0)
+    assert(out(1).getAs[Double]("dup_char_frac") === 0.0)
+  }
+
+  test("contamination finds cross-split n-gram overlap") {
+    val train = Seq((10L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (0L, "the quick brown fox runs"), // shares "the quick brown", "quick brown fox"
+      (1L, "totally unrelated words here")
+    ).toDF("doc_id", "text")
+    val out = TextOps.contamination(train, eval_, n = 3, minShared = 2).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("train_doc") === 10L)
+    assert(out(0).getAs[Long]("eval_doc") === 0L)
+    assert(out(0).getAs[Long]("n_shared") === 2L)
+    // eval doc 0 has 3 distinct 3-grams -> frac 2/3
+    assert(out(0).getAs[Double]("eval_frac") === 0.666667)
+  }
+
+  test("nearDupClusters groups transitively connected near-dups") {
+    // docs 0,1,3 pairwise similar (one component), 2 isolated (no rows)
+    val out = TextOps.nearDupClusters(docs, threshold = 0.5)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(0L, 1L, 3L))
+    assert(out.forall(_.getAs[Long]("cluster_id") === 0L))
+    assert(out.forall(_.getAs[Long]("cluster_size") === 3L))
+    assert(out.map(r => r.getLong(0) -> r.getAs[Int]("is_keeper")).toMap ===
+      Map(0L -> 1, 1L -> 0, 3L -> 0))
+  }
+
+  test("nearDupClusters converges past a single hop (chain graph)") {
+    // a -> b -> c chain where a and c share nothing: label must propagate
+    // two hops so all three land in cluster 0
+    val chain = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon eta"),
+      (2L, "beta gamma delta epsilon eta theta")
+    ).toDF("doc_id", "text")
+    val out = TextOps.nearDupClusters(chain, threshold = 0.3)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
+    assert(out.forall(_.getAs[Long]("cluster_id") === 0L))
+  }
+
+  test("piiScrub counts and redacts emails and phones") {
+    val pii = Seq(
+      (0L, "reach me at jane.doe@corp.example.org or 555-123-4567 thanks"),
+      (1L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val out = TextOps.piiScrub(pii).orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_emails") === 1L)
+    assert(out(0).getAs[Long]("n_phones") === 1L)
+    assert(out(1).getAs[Long]("n_emails") === 0L)
+    assert(out(1).getAs[Long]("n_phones") === 0L)
+    // the hash pins the replacement text exactly
+    val expect = pii.sparkSession.sql(
+      "SELECT md5('reach me at <EMAIL> or <PHONE> thanks')")
+      .collect()(0).getString(0)
+    assert(out(0).getAs[String]("scrubbed_md5") === expect)
+  }
+
   test("lshBucket puts identical vectors in the same bucket") {
     val emb = Seq(
       (0L, Array(1.0f, 2.0f, 3.0f), 0),
