@@ -8,28 +8,30 @@ import org.apache.spark.sql.functions.{call_function, lit}
   * is private[sql] in Spark 4). Registration is idempotent. */
 package object functions {
 
+  /** Name -> Catalyst builder for every native expression — the single
+    * table behind both `ensureRegistered` (programmatic) and
+    * [[graft.GraftExtensions]] (`spark.sql.extensions` conf). */
+  private[graft] val nativeBuilders: Seq[(String,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    "graft_pixel_crop" -> (exprs =>
+      PixelCrop(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4), exprs(5))),
+    "graft_block_mean_2x" -> (exprs =>
+      BlockMean2x(exprs(0), exprs(1), exprs(2))),
+    "graft_minhash_sig" -> (exprs => {
+      require(exprs.length == 2 && exprs(1).foldable &&
+        exprs(1).dataType == org.apache.spark.sql.types.IntegerType,
+        "graft_minhash_sig(shingles, numHashes): numHashes must be an INT literal")
+      MinHashSignature(exprs(0), exprs(1).eval(null).asInstanceOf[Int])
+    }),
+    "graft_simhash64" -> (exprs => SimHash64(exprs(0))),
+    "graft_cosine" -> (exprs => CosineSim(exprs(0), exprs(1))))
+
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_pixel_crop",
-      exprs => PixelCrop(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4), exprs(5)),
-      "built-in")
-    reg.createOrReplaceTempFunction("graft_block_mean_2x",
-      exprs => BlockMean2x(exprs(0), exprs(1), exprs(2)),
-      "built-in")
-    reg.createOrReplaceTempFunction("graft_minhash_sig",
-      exprs => {
-        require(exprs.length == 2 && exprs(1).foldable &&
-          exprs(1).dataType == org.apache.spark.sql.types.IntegerType,
-          "graft_minhash_sig(shingles, numHashes): numHashes must be an INT literal")
-        MinHashSignature(exprs(0), exprs(1).eval(null).asInstanceOf[Int])
-      },
-      "built-in")
-    reg.createOrReplaceTempFunction("graft_simhash64",
-      exprs => SimHash64(exprs(0)),
-      "built-in")
-    reg.createOrReplaceTempFunction("graft_cosine",
-      exprs => CosineSim(exprs(0), exprs(1)),
-      "built-in")
+    nativeBuilders.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 
   /** Native single-pass cosine similarity over float embeddings. */
