@@ -26,12 +26,23 @@ object TextOps {
     filter(split(trim(text), "\\s+"), t => t =!= "")
 
   /** Word n-grams WITH duplicates kept — the repetition-analysis unit.
-    * A single whole-text gram when the doc has fewer than n tokens. */
+    * A single whole-text gram when the doc has fewer than n tokens.
+    *
+    * Formulated as a zip of n shifted slices rather than
+    * `transform(sequence(...), i => slice(toks, ...))`: HOF lambdas are
+    * interpreted, and a lambda body referencing `toks` re-evaluates the
+    * whole tokenizing `split` PER ELEMENT — O(m²·len) per doc (the
+    * SCALE.md subtree-duplication trap). Zip arguments are evaluated
+    * once per row, so this is O(n) splits per doc. */
   def ngrams(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    when(size(toks) < n, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    val shifted =
+      (0 until n).map(j => slice(toks, lit(j + 1), size(toks) - n + 1))
+    val joined =
+      if (n == 1) toks
+      else transform(arrays_zip(shifted: _*),
+        s => concat_ws(" ", (0 until n).map(j => s.getField(j.toString)): _*))
+    when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(joined)
   }
 
   /** Distinct word k-shingles; a single whole-text shingle when the doc has
@@ -283,8 +294,10 @@ object TextOps {
   def nearDupClusters(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
       maxIters: Int = 25): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // persist: the union below references the pair plan twice, and the
+    // fixpoint loop references the edges every iteration
     val pairs = ngramJaccardPairs(docs, k, threshold)
-      .select(col("doc_a"), col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).persist(lvl)
     // undirected: propagate labels along both edge directions
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -310,6 +323,7 @@ object TextOps {
       it += 1
     }
     edges.unpersist()
+    pairs.unpersist()
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
     labels.join(sizes, "lbl")
       .select(col("node").cast("long").as("doc_id"),
