@@ -330,6 +330,40 @@ object QueryDefs {
            |  CAST(z AS INT) AS z, $planeStatsSelect
            |FROM px GROUP BY img, t, c, z""".stripMargin)),
 
+    // DataSourceV2 scan path: same pixels as the binaryFile reader, via
+    // spark.read.format("ometiff") and Catalyst column pushdown
+    ("ome_tiff_dsv2", (s: SparkSession, _: String) => {
+      graft.sources.OmeTiff.write(Fixtures.corpus4d(s), "/tmp/graft_q_tiff_v2")
+      planeStatsRows(s.read.format("ometiff").load("/tmp/graft_q_tiff_v2"))
+        .withColumnRenamed("image_id", "id")
+    },
+      Some(
+        s"""WITH $px4d
+           |SELECT $id4d AS id, CAST(t AS INT) AS t, CAST(c AS INT) AS c,
+           |  CAST(z AS INT) AS z, $planeStatsSelect
+           |FROM px GROUP BY img, t, c, z""".stripMargin)),
+
+    // DataSourceV2 PRUNED scan: metadata projection through the v2 source
+    // never decodes a pixel strip (TiffCodec.decodeMeta) — the 100 TB
+    // "describe an image lake" path
+    ("ome_tiff_dsv2_meta", (s: SparkSession, _: String) => {
+      graft.sources.OmeTiff.write(Fixtures.corpus4d(s), "/tmp/graft_q_tiff_v2m")
+      s.read.format("ometiff").load("/tmp/graft_q_tiff_v2m")
+        .select(col("ome_arrow.id").as("id"),
+          col("ome_arrow.pixels_meta.size_t").as("size_t"),
+          col("ome_arrow.pixels_meta.size_c").cast("int").as("size_c"),
+          col("ome_arrow.pixels_meta.size_z").as("size_z"),
+          col("ome_arrow.pixels_meta.size_y").as("size_y"),
+          col("ome_arrow.pixels_meta.size_x").as("size_x"),
+          size(col("ome_arrow.planes.t")).as("n_planes"))
+    },
+      Some(
+        """SELECT printf('i4d-%04d', i.i) AS id, CAST(2 AS INT) AS size_t,
+          |  CAST(2 AS INT) AS size_c, CAST(2 AS INT) AS size_z,
+          |  CAST(8 AS INT) AS size_y, CAST(8 AS INT) AS size_x,
+          |  CAST(8 AS INT) AS n_planes
+          |FROM generate_series(0,3) i(i)""".stripMargin)),
+
     // façade glob dispatch (O16): sniffs the bare "*.tif*" glob to TIFF
     // tiled + packbits writer options (export.py:122-125 parity): same
     // oracle as the strip round-trip — layout must not change pixels
@@ -821,6 +855,27 @@ object QueryDefs {
            |SELECT $id4d AS id, CAST(t AS INT) AS t, CAST(c AS INT) AS c,
            |  CAST(z AS INT) AS z, $planeStatsSelect
            |FROM px GROUP BY img, t, c, z""".stripMargin)),
+
+    // metadata-only corpus read: record shapes from the stores' JSON
+    // documents alone, zero chunk files opened (OmeZarr.readMeta)
+    ("ome_zarr_meta", (s: SparkSession, _: String) => {
+      graft.sources.OmeZarr.write(Fixtures.corpus4d(s), "/tmp/graft_q_zarr_md")
+      graft.sources.OmeZarr.readMeta(s, "/tmp/graft_q_zarr_md")
+        .select(col("ome_arrow.id").as("id"),
+          col("ome_arrow.pixels_meta.dimension_order").as("dim_order"),
+          col("ome_arrow.pixels_meta.size_t").as("size_t"),
+          col("ome_arrow.pixels_meta.size_c").cast("int").as("size_c"),
+          col("ome_arrow.pixels_meta.size_z").as("size_z"),
+          col("ome_arrow.pixels_meta.size_y").as("size_y"),
+          col("ome_arrow.pixels_meta.size_x").as("size_x"),
+          size(col("ome_arrow.planes")).as("n_planes"))
+    },
+      Some(
+        """SELECT printf('i4d-%04d', i.i) AS id, 'XYZCT' AS dim_order,
+          |  CAST(2 AS INT) AS size_t, CAST(2 AS INT) AS size_c,
+          |  CAST(2 AS INT) AS size_z, CAST(8 AS INT) AS size_y,
+          |  CAST(8 AS INT) AS size_x, CAST(0 AS INT) AS n_planes
+          |FROM generate_series(0,3) i(i)""".stripMargin)),
 
     // depth-3 pyramid write + level-2 read: pins the depth-safe exploded
     // downscale path (r3 #3 — the nested-form composition hung at depth 3)

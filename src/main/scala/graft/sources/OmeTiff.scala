@@ -36,10 +36,14 @@ object OmeTiff {
         Some(colors.lift(i).flatten.getOrElse(0xFFFFFFFFL)))
     }
 
-  /** Decode one TIFF file into a canonical record. */
+  /** Decode one TIFF file into a canonical record. `withPixels = false`
+    * decodes headers/XML only (plane pixel arrays come back empty) — the
+    * pruned-scan path used when a query never touches `planes.pixels`. */
   private[sources] def decodeRecord(path: String, modTime: Timestamp,
-      bytes: Array[Byte], channelNames: Seq[String] = Nil): OmeArrowRecord = {
-    val pages = TiffCodec.decode(bytes)
+      bytes: Array[Byte], channelNames: Seq[String] = Nil,
+      withPixels: Boolean = true): OmeArrowRecord = {
+    val pages =
+      if (withPixels) TiffCodec.decode(bytes) else TiffCodec.decodeMeta(bytes)
     val fileName = path.substring(path.lastIndexOf('/') + 1)
     val stem = fileName.replaceAll("(?i)\\.ome\\.tiff?$|\\.tiff?$", "")
     val xml = pages.head.description.filter(OmeXml.looksLikeOme).flatMap(OmeXml.parse)
@@ -63,7 +67,9 @@ object OmeTiff {
     val planes = for {
       t <- 0 until st; c <- 0 until sc; z <- 0 until sz
     } yield OmePlane(z, t, c.toShort,
-      byCoord((t, c, z)).pixels.toSeq.map(v => math.min(math.max(v, 0), 65535)))
+      if (withPixels)
+        byCoord((t, c, z)).pixels.toSeq.map(v => math.min(math.max(v, 0), 65535))
+      else Seq.empty)
 
     val names = if (channelNames.nonEmpty) channelNames
       else xml.map(_.channelNames).getOrElse(Nil)

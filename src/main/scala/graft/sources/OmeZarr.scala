@@ -774,8 +774,16 @@ object OmeZarr {
         coalesce(col("pixels"),
           array_repeat(lit(0), col("plane_len"))).as("pixels"))
 
-    // per-store record metadata, built as expressions over the config rows
-    val metaDf = spark.createDataset(configs).toDF()
+    OmeOps.nestPlanes(filled.join(broadcast(metaFrame(spark, configs)),
+      Seq("image_id")))
+  }
+
+  /** Per-store (image_id, record_meta) rows, built as expressions over
+    * the driver-parsed store configs — no chunk I/O of any kind. */
+  private def metaFrame(spark: SparkSession,
+      configs: Seq[StoreConfig]): DataFrame = {
+    spark.createDataset(configs)(
+      org.apache.spark.sql.Encoders.product[StoreConfig]).toDF()
       .select(col("stem").as("image_id"), struct(
         lit(OmeSchema.TagType).as("type"), lit(OmeSchema.Version).as("version"),
         col("stem").as("id"), col("name").as("name"),
@@ -799,7 +807,6 @@ object OmeZarr {
               lit("Unknown").as("illumination"),
               lit(0xFFFFFFFFL).as("color_rgba"))).as("channels")).as("pixels_meta"))
         .as("record_meta"))
-    OmeOps.nestPlanes(filled.join(broadcast(metaDf), Seq("image_id")))
   }
 
   /**
@@ -818,14 +825,37 @@ object OmeZarr {
   /** Read every `*.zarr` child of a directory, one record each (see
     * [[readStores]] for the single-job layout). */
   def readAll(spark: SparkSession, dir: String, levelPath: String = "0"): DataFrame = {
+    val configs = corpusConfigs(spark, dir, levelPath)
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    readStores(spark, configs, configs.flatMap(listChunks(fs, _, levelPath)))
+  }
+
+  /**
+   * METADATA-ONLY corpus read: canonical records with correct id/name/
+   * pixels_meta and EMPTY `planes`, from the stores' JSON documents alone
+   * — zero chunk files opened (Zarr keeps metadata in sidecar JSON, so
+   * "describe an image lake" needs no pixel I/O at all). The 100 TB
+   * analog of the ometiff v2 source's pruned scan, for the container
+   * where pruning is free by layout.
+   */
+  def readMeta(spark: SparkSession, dir: String,
+      levelPath: String = "0"): DataFrame = {
+    val configs = corpusConfigs(spark, dir, levelPath)
+    metaFrame(spark, configs)
+      .select(col("record_meta").withField("planes",
+        array().cast(org.apache.spark.sql.types.ArrayType(OmeSchema.planeType)))
+        .as(OmeSchema.DefaultColumn))
+  }
+
+  private def corpusConfigs(spark: SparkSession, dir: String,
+      levelPath: String): Seq[StoreConfig] = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
     val stores = fs.listStatus(root).filter(_.isDirectory)
       .map(_.getPath.toString).filter(_.endsWith(".zarr"))
     require(stores.nonEmpty, s"No .zarr stores under $dir")
-    val configs = stores.map(parseConfig(fs, _, levelPath)).toSeq
-    readStores(spark, configs, configs.flatMap(listChunks(fs, _, levelPath)))
+    stores.map(parseConfig(fs, _, levelPath)).toSeq
   }
 
   private def readText(fs: org.apache.hadoop.fs.FileSystem, p: Path): String = {

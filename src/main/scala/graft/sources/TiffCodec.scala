@@ -29,7 +29,16 @@ object TiffCodec {
 
   // --- decoding -------------------------------------------------------
 
-  def decode(bytes: Array[Byte]): Seq[Page] = {
+  def decode(bytes: Array[Byte]): Seq[Page] = decodeImpl(bytes, withPixels = true)
+
+  /** Headers/shape/description only — pages come back with EMPTY pixel
+    * arrays and no strip/tile payload is touched or validated. This is
+    * the pruned-scan path: metadata-only queries over a TIFF corpus
+    * (describe, counts, joins on shape) skip all decompression. */
+  def decodeMeta(bytes: Array[Byte]): Seq[Page] =
+    decodeImpl(bytes, withPixels = false)
+
+  private def decodeImpl(bytes: Array[Byte], withPixels: Boolean): Seq[Page] = {
     require(bytes.length >= 8, "Not a TIFF: too short")
     val order = (bytes(0), bytes(1)) match {
       case (0x49, 0x49) => ByteOrder.LITTLE_ENDIAN
@@ -42,7 +51,7 @@ object TiffCodec {
     val pages = Seq.newBuilder[Page]
     var guard = 0
     while (ifdOffset != 0 && guard < 65536) {
-      val (page, next) = decodeIfd(buf, ifdOffset)
+      val (page, next) = decodeIfd(buf, ifdOffset, withPixels)
       pages += page
       ifdOffset = next
       guard += 1
@@ -80,7 +89,8 @@ object TiffCodec {
   /** Offset of the inline value area of entry `e` (we stash it when parsing). */
   private def inlineOffset(e: IfdEntry): Long = e.valueOffset
 
-  private def decodeIfd(buf: ByteBuffer, off: Long): (Page, Long) = {
+  private def decodeIfd(buf: ByteBuffer, off: Long,
+      withPixels: Boolean): (Page, Long) = {
     val n = buf.getShort(off.toInt).toInt & 0xffff
     var entries = Map.empty[Int, IfdEntry]
     var rawDesc: Option[String] = None
@@ -145,6 +155,12 @@ object TiffCodec {
     val expected = width * height * bpp
     val stripOffsets = all(273)
     val stripCounts = all(279)
+    if (!withPixels) {
+      require(stripOffsets.nonEmpty || all(324).nonEmpty,
+        "TIFF: neither StripOffsets nor TileOffsets present")
+      val next = buf.getInt(off.toInt + 2 + n * 12).toLong & 0xffffffffL
+      return (Page(width, height, bits, Array.empty[Int], rawDesc), next)
+    }
     val data: Array[Byte] =
       if (stripOffsets.nonEmpty) {
         val raw = new java.io.ByteArrayOutputStream()

@@ -289,4 +289,28 @@ class BloscZarrSpec extends SparkSpec {
     assert(sums((0, 0, 0)) === 0L) // deleted chunk zero-fills
     assert(sums.size === 8 && sums.values.count(_ > 0) === 7)
   }
+
+  test("readMeta describes a corpus without opening any chunk file") {
+    val dir = "/tmp/graft_test_zmeta"
+    graft.sources.OmeZarr.write(Fixtures.corpus4d(spark), dir)
+    // delete EVERY chunk file; only the JSON metadata remains, so any
+    // chunk access would throw — metadata reads must survive this
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        p.getFileName.toString.matches("""\d+(\.\d+)*"""))
+      .foreach(java.nio.file.Files.delete)
+    val meta = graft.sources.OmeZarr.readMeta(spark, dir)
+    val rows = meta.select(col("ome_arrow.id"),
+        col("ome_arrow.pixels_meta.size_x"),
+        size(col("ome_arrow.planes"))).orderBy(col("id")).collect()
+    assert(rows.length === 4)
+    assert(rows.map(_.getString(0)).toSeq ===
+      (0 until 4).map(i => f"i4d-$i%04d"))
+    assert(rows.forall(_.getInt(1) === 8))
+    assert(rows.forall(_.getInt(2) === 0)) // planes intentionally empty
+    // the canonical schema is preserved (conform/describe still work)
+    assert(graft.schema.OmeSchema.strictMatches(
+      meta.schema("ome_arrow").dataType))
+  }
 }
