@@ -1,8 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
+
+import graft.operators.TextOps
 
 /**
  * Streaming LLM-pipeline operators over a documents feed — the
@@ -42,4 +45,108 @@ object DocStream {
       .withColumn("text_sha256", sha2(col("text"), 256))
       .withWatermark("ingest_ts", lateness)
       .dropDuplicatesWithinWatermark("text_sha256")
+
+  /** One (band, band_key) occurrence of a document on the stream. */
+  case class BandEvent(bucket: String, doc_id: Long, sig: Seq[String],
+      ingest_ts: java.sql.Timestamp)
+
+  /** A detected near-duplicate: `est_jaccard` is the MinHash estimate
+    * (fraction of agreeing signature components), not the exact value. */
+  case class NearDupHit(doc_a: Long, doc_b: Long, band: Int,
+      est_jaccard: Double)
+
+  /** Per-bucket state: (doc_id, signature) of the members seen so far. */
+  case class BucketState(members: List[(Long, Seq[String])])
+
+  /**
+   * Streaming NEAR-dup detection — the stateful counterpart of
+   * `TextOps.nearDupPairs`: documents arriving on a stream are banded by
+   * MinHash LSH, and each (band, band_key) bucket keeps its members'
+   * SIGNATURES in `flatMapGroupsWithState` state. A new arrival is
+   * compared against its bucket's members sketch-to-sketch (fraction of
+   * agreeing minhash components estimates Jaccard), so state stays
+   * O(members x numHashes) — shingle sets never enter state.
+   *
+   * Bounded-state guarantees: buckets idle past `stateTtlMs` are evicted
+   * via event-time timeout (pair `stateTtlMs` with the `lateness`
+   * watermark), and `maxPerBucket` caps membership — the mass-duplicate
+   * guard; once a bucket is full, new arrivals still MATCH against the
+   * stored members but are not added.
+   *
+   * The same pair can surface from several bands (standard LSH); emitted
+   * hits carry the band so consumers can `dropDuplicates("doc_a",
+   * "doc_b")` in a downstream stage or sink.
+   *
+   * `docs` must be a STREAMING DataFrame with the [[documentsSchema]]
+   * columns (tests inject a MemoryStream; production uses
+   * [[nearDupStream]] below).
+   */
+  def nearDupPairsStream(docs: DataFrame, k: Int = 3, numHashes: Int = 12,
+      bands: Int = 4, threshold: Double = 0.8,
+      lateness: String = "10 minutes",
+      stateTtlMs: Long = 10L * 60 * 1000,
+      maxPerBucket: Int = 64): Dataset[NearDupHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = numHashes / bands
+    require(bands * rows == numHashes, "numHashes must divide into bands")
+    graft.functions.ensureRegistered(spark)
+    val events = docs
+      .withColumn("sig", graft.functions.minhash_signature(
+        TextOps.shingles(col("text"), k), numHashes))
+      .withWatermark("ingest_ts", lateness)
+      .select(col("doc_id"), col("sig"), col("ingest_ts"),
+        posexplode(TextOps.bandKeys(col("sig"), bands, rows))
+          .as(Seq("band", "band_key")))
+      .select(concat(col("band"), lit("|"), col("band_key")).as("bucket"),
+        col("doc_id"), col("sig"), col("ingest_ts"))
+      .as[BandEvent]
+    events.groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(
+        processBucket(threshold, numHashes, maxPerBucket, stateTtlMs))
+  }
+
+  /** File-source convenience wrapper over [[nearDupPairsStream]]. */
+  def nearDupStream(spark: SparkSession, dir: String, k: Int = 3,
+      numHashes: Int = 12, bands: Int = 4, threshold: Double = 0.8,
+      lateness: String = "10 minutes",
+      stateTtlMs: Long = 10L * 60 * 1000,
+      maxPerBucket: Int = 64): Dataset[NearDupHit] =
+    nearDupPairsStream(
+      spark.readStream.schema(documentsSchema).parquet(dir),
+      k, numHashes, bands, threshold, lateness, stateTtlMs, maxPerBucket)
+
+  private def processBucket(threshold: Double, numHashes: Int,
+      maxPerBucket: Int, ttlMs: Long)(bucket: String,
+      events: Iterator[BandEvent],
+      state: GroupState[BucketState]): Iterator[NearDupHit] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      // deterministic intra-batch order: event time, then doc_id
+      val evs = events.toSeq.sortBy(e => (e.ingest_ts.getTime, e.doc_id))
+      var members = state.getOption.map(_.members).getOrElse(List.empty)
+      val band = bucket.takeWhile(_ != '|').toInt
+      val out = Seq.newBuilder[NearDupHit]
+      evs.foreach { e =>
+        if (!members.exists(_._1 == e.doc_id)) {
+          members.foreach { case (id, sig) =>
+            val eq = sig.iterator.zip(e.sig.iterator).count(p => p._1 == p._2)
+            val est = eq.toDouble / numHashes
+            if (est >= threshold) {
+              val (a, b) = if (id < e.doc_id) (id, e.doc_id) else (e.doc_id, id)
+              out += NearDupHit(a, b, band,
+                math.rint(est * 1e6) / 1e6)
+            }
+          }
+          if (members.size < maxPerBucket) members :+= e.doc_id -> e.sig
+        }
+      }
+      state.update(BucketState(members))
+      state.setTimeoutTimestamp(evs.map(_.ingest_ts.getTime).max + ttlMs)
+      out.result().iterator
+    }
+  }
 }

@@ -99,6 +99,33 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSet === Set("alpha text", "beta text", "gamma text"))
   }
 
+  test("streaming near-dup flags banded minhash matches, not distinct docs") {
+    import spark.implicits._
+    val dir = "/tmp/graft_test_neardupstream"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val base = ('a' to 'z').map(c => s"w$c").mkString(" ") // 26 distinct tokens
+    Seq(
+      (0L, base, "en", "s0", 60L, t0),
+      (1L, base.replace("wz", "xx"), "en", "s0", 60L, t0), // near-dup of 0
+      (2L, "completely different content about query engines", "en", "s0", 48L, t0),
+      (3L, base, "en", "s1", 60L, t0) // exact dup of 0
+    ).toDF("doc_id", "text", "lang", "source", "n_chars", "ingest_ts")
+      .coalesce(1).write.parquet(dir)
+    val q = graft.streaming.DocStream.nearDupStream(spark, dir, threshold = 0.5)
+      .writeStream.format("memory").queryName("near_dup_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val hits = spark.sql(
+      "SELECT DISTINCT doc_a, doc_b, est_jaccard FROM near_dup_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(hits.keySet === Set((0L, 1L), (0L, 3L), (1L, 3L)))
+    assert(hits((0L, 3L)) === 1.0) // exact dup -> all components agree
+    assert(hits((0L, 1L)) >= 0.5 && hits((0L, 1L)) < 1.0)
+  }
+
   test("partial image assembles zero-filled from buildRecord") {
     // unit-level check of the timeout-flush path (processing-time timeouts
     // don't fire under AvailableNow)
