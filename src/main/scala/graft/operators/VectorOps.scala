@@ -117,11 +117,7 @@ object VectorOps {
    */
   def ivfTopK(emb: DataFrame, nProbes: Int, k: Int,
       nCentroids: Int = 16): DataFrame =
-    ivfTopKWith(emb,
-      emb.filter(col("vec_id") < nCentroids)
-        .select(col("vec_id").cast("long").as("centroid_id"),
-          col("embedding").as("c_emb")),
-      nProbes, k)
+    ivfTopKWith(emb, firstNCentroids(emb, nCentroids), nProbes, k)
 
   /** IVF with k-means-trained centroids (the production coarse
     * quantizer): Lloyd's iterations run distributed through Spark ML's
@@ -150,20 +146,68 @@ object VectorOps {
     }).toDF("centroid_id", "c_emb")
   }
 
-  /** Shared IVF assign/search body over an arbitrary centroid codebook. */
-  private def ivfTopKWith(emb: DataFrame, centroidsDf: DataFrame,
-      nProbes: Int, k: Int): DataFrame = {
+  /** Deterministic training-free codebook: the first `n` vectors. */
+  private def firstNCentroids(emb: DataFrame, n: Int): DataFrame =
+    emb.filter(col("vec_id") < n)
+      .select(col("vec_id").cast("long").as("centroid_id"),
+        col("embedding").as("c_emb"))
+
+  /** Nearest-centroid assignment: `(vec_id, embedding, cluster)` rows,
+    * one per input vector, ties broken by centroid id. One broadcast of
+    * the codebook, no shuffle of the corpus. */
+  def assignClusters(emb: DataFrame, centroidsDf: DataFrame): DataFrame = {
     graft.functions.ensureRegistered(emb.sparkSession)
-    val centroids = broadcast(centroidsDf)
-    val assigned = emb.select(col("vec_id").cast("long").as("vec_id"),
-        col("embedding"))
-      .join(centroids)
+    emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .join(broadcast(centroidsDf))
       .select(col("vec_id"), col("embedding"), col("centroid_id"),
         cosine6(col("embedding"), col("c_emb")).as("c_score"))
       .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
         .orderBy(col("c_score").desc, col("centroid_id").asc)))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("centroid_id").as("cluster"))
+  }
+
+  /**
+   * SemDeDup-style semantic deduplication (Abbas et al. 2023,
+   * "SemDeDup: Data-efficient learning at web-scale through semantic
+   * deduplication"): assign every vector to a coarse cluster, score
+   * pairs ONLY inside a cluster, and drop any vector whose cosine to a
+   * lower-id cluster-mate reaches `threshold` — one survivor per tight
+   * semantic group with zero cross-cluster work. Returns
+   * `(vec_id, cluster, is_kept)` for every input vector.
+   *
+   * Centroids are the deterministic first-`nCentroids` vectors so
+   * external oracles replicate the partition exactly; production swaps
+   * in [[kmeansCentroids]] via [[assignClusters]] with identical
+   * downstream semantics. Scale shape: one codebook broadcast, one
+   * shuffle keyed by cluster, in-cluster pair expansion (cluster sizes
+   * are corpus/nCentroids on average — size the codebook accordingly).
+   */
+  def semanticDedup(emb: DataFrame, threshold: Double,
+      nCentroids: Int = 16): DataFrame = {
+    val assigned = assignClusters(emb, firstNCentroids(emb, nCentroids))
+    val members = array_sort(collect_list(struct(col("vec_id"), col("embedding"))))
+    val pairs = flatten(transform(col("members"), (a, i) =>
+      transform(slice(col("members"), i + 2, size(col("members"))),
+        b => struct(b.getField("vec_id").as("vec_b"),
+          cosine6(a.getField("embedding"), b.getField("embedding"))
+            .as("score")))))
+    val removed = assigned.groupBy(col("cluster"))
+      .agg(members.as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(pairs).as("p"))
+      .filter(col("p.score") >= threshold)
+      .select(col("p.vec_b").as("vec_id")).distinct()
+      .withColumn("removed", lit(1))
+    assigned.join(removed, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        when(col("removed").isNull, 1).otherwise(0).cast("int").as("is_kept"))
+  }
+
+  /** Shared IVF assign/search body over an arbitrary centroid codebook. */
+  private def ivfTopKWith(emb: DataFrame, centroidsDf: DataFrame,
+      nProbes: Int, k: Int): DataFrame = {
+    val assigned = assignClusters(emb, centroidsDf)
     val probes = assigned.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
         col("cluster"))

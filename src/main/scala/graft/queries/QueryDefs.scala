@@ -1101,6 +1101,43 @@ object QueryDefs {
           |FROM scored
           |QUALIFY rnk <= 10""".stripMargin)),
 
+    // SemDeDup: coarse clusters (deterministic codebook), in-cluster
+    // cosine pairs, drop the higher id of every pair above threshold
+    ("semantic_dedup", (s: SparkSession, dir: String) =>
+      VectorOps.semanticDedup(t(s, dir, "embeddings"), threshold = 0.3),
+      Some(
+        """WITH e AS (
+          |  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings),
+          |cents AS (SELECT vec_id AS centroid_id, embedding AS c_emb
+          |  FROM e WHERE vec_id < 16),
+          |assigned AS (
+          |  SELECT vec_id, embedding, centroid_id AS cluster FROM (
+          |    SELECT e.vec_id, e.embedding, c.centroid_id,
+          |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |        round(
+          |          list_sum(list_transform(list_zip(e.embedding, c.c_emb),
+          |            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+          |          (sqrt(list_sum(list_transform(e.embedding,
+          |             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+          |           sqrt(list_sum(list_transform(c.c_emb,
+          |             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) DESC,
+          |        c.centroid_id ASC) AS rn
+          |    FROM e, cents c) WHERE rn = 1),
+          |removed AS (
+          |  SELECT DISTINCT b.vec_id FROM assigned a
+          |  JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          |  WHERE round(
+          |      list_sum(list_transform(list_zip(a.embedding, b.embedding),
+          |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+          |      (sqrt(list_sum(list_transform(a.embedding,
+          |         v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+          |       sqrt(list_sum(list_transform(b.embedding,
+          |         v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) >= 0.3)
+          |SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+          |  CAST(a.cluster AS BIGINT) AS cluster,
+          |  CAST(CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS is_kept
+          |FROM assigned a LEFT JOIN removed r ON a.vec_id = r.vec_id""".stripMargin)),
+
     ("embed_ann_ivf", (s: SparkSession, dir: String) =>
       VectorOps.ivfTopK(t(s, dir, "embeddings"), nProbes = 16, k = 5),
       Some(

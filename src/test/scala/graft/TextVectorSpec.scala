@@ -269,6 +269,19 @@ class TextVectorSpec extends SparkSpec {
     assert(out(0).getAs[String]("scrubbed_md5") === expect)
   }
 
+  test("semanticDedup keeps the lowest id of a tight semantic group") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.0f, 1.0f, 0.0f), 1),
+      (2L, Array(0.99f, 0.14f, 0.0f), 0), // near-dup of 0
+      (3L, Array(0.0f, 0.0f, 1.0f), 2)    // orthogonal to everything
+    ).toDF("vec_id", "embedding", "label")
+    val out = VectorOps.semanticDedup(emb, threshold = 0.9, nCentroids = 2)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("is_kept")).toMap
+    assert(out === Map(0L -> 1, 1L -> 1, 2L -> 0, 3L -> 1))
+  }
+
   test("lshBucket puts identical vectors in the same bucket") {
     val emb = Seq(
       (0L, Array(1.0f, 2.0f, 3.0f), 0),
