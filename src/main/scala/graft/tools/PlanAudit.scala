@@ -68,6 +68,31 @@ object PlanAudit {
       .groupBy(col("image_id"))
       .agg(count(lit(1)).as("n"))
     audit("scale pipeline", pipeline)
+
+    // new r5 operators: aggregation-only (repetition), posting joins
+    // (contamination — eval side broadcast by AQE at this size), and the
+    // coarse-cluster semantic dedup (one codebook broadcast)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    audit("repetition_stats", TextOps.repetitionStats(docs))
+    audit("contamination", TextOps.contamination(
+      docs.filter(col("doc_id") % 25 =!= 0), docs.filter(col("doc_id") % 25 === 0)))
+    audit("semantic_dedup", graft.operators.VectorOps.semanticDedup(
+      spark.read.parquet(s"$dir/embeddings.parquet"), 0.3))
+    audit("pii_scrub", TextOps.piiScrub(docs))
+
+    // ometiff v2: pruned read schema must not reach pixels for a
+    // metadata projection
+    graft.sources.OmeTiff.write(Fixtures.corpus4d(spark), "/tmp/audit_tiffs")
+    val metaProj = spark.read.format("ometiff").load("/tmp/audit_tiffs")
+      .select(col("ome_arrow.id"), col("ome_arrow.pixels_meta.size_x"))
+    audit("ometiff v2 meta", metaProj)
+    val v2scan = metaProj.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.readSchema().catalogString
+      }.getOrElse("?")
+    println("  v2 readSchema: " + v2scan.take(160))
+    println("  v2 scan decodes pixels? " + v2scan.contains("planes"))
     spark.stop()
   }
 }
