@@ -153,18 +153,38 @@ object VectorOps {
         col("embedding").as("c_emb"))
 
   /** Nearest-centroid assignment: `(vec_id, embedding, cluster)` rows,
-    * one per input vector, ties broken by centroid id. One broadcast of
-    * the codebook, no shuffle of the corpus. */
+    * one per input vector, ties broken by lowest centroid id.
+    *
+    * The codebook is SMALL by contract (it is the coarse quantizer), so
+    * it is materialized driver-side (one tiny eager job) and inlined as
+    * a literal array; the argmax is then a pure map-side fold — no
+    * codebook join (which would blow every row up x nCentroids) and no
+    * per-vector window shuffle. At 100 TB this keeps assignment
+    * embarrassingly parallel: the corpus is scanned once, nothing moves. */
   def assignClusters(emb: DataFrame, centroidsDf: DataFrame): DataFrame = {
     graft.functions.ensureRegistered(emb.sparkSession)
-    emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
-      .join(broadcast(centroidsDf))
-      .select(col("vec_id"), col("embedding"), col("centroid_id"),
-        cosine6(col("embedding"), col("c_emb")).as("c_score"))
-      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
-        .orderBy(col("c_score").desc, col("centroid_id").asc)))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("centroid_id").as("cluster"))
+    val cents = centroidsDf
+      .select(col("centroid_id").cast("long"), col("c_emb"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "assignClusters: empty codebook")
+    val centArr = array(cents.map { case (id, e) =>
+      struct(lit(id).as("id"), array(e.map(lit): _*).as("emb")) }: _*)
+    // ids iterate ascending and only a strictly better score replaces,
+    // so ties keep the lowest centroid_id — identical to the previous
+    // row_number(score desc, centroid_id asc) formulation. The lambda
+    // body touches only bound vars, attributes, and the native cosine
+    // kernel (SCALE.md lessons 4 and 6).
+    val best = aggregate(centArr,
+      struct(lit(-2.0).as("s"), lit(-1L).as("id")),
+      (acc, c) => {
+        val sc = cosine6(col("embedding"), c.getField("emb"))
+        when(sc > acc.getField("s"),
+          struct(sc.as("s"), c.getField("id").as("id"))).otherwise(acc)
+      })
+    emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
+      best.getField("id").as("cluster"))
   }
 
   /**
