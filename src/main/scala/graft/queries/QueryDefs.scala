@@ -856,6 +856,19 @@ object QueryDefs {
            |  CAST(z AS INT) AS z, $planeStatsSelect
            |FROM px GROUP BY img, t, c, z""".stripMargin)),
 
+    // DataSourceV2 zarr scan: same pixels as readAll via
+    // spark.read.format("omezarr"), store-per-partition
+    ("ome_zarr_dsv2", (s: SparkSession, _: String) => {
+      graft.sources.OmeZarr.write(Fixtures.corpus4d(s), "/tmp/graft_q_zarr_v2d")
+      planeStatsRows(s.read.format("omezarr").load("/tmp/graft_q_zarr_v2d"))
+        .withColumnRenamed("image_id", "id")
+    },
+      Some(
+        s"""WITH $px4d
+           |SELECT $id4d AS id, CAST(t AS INT) AS t, CAST(c AS INT) AS c,
+           |  CAST(z AS INT) AS z, $planeStatsSelect
+           |FROM px GROUP BY img, t, c, z""".stripMargin)),
+
     // metadata-only corpus read: record shapes from the stores' JSON
     // documents alone, zero chunk files opened (OmeZarr.readMeta)
     ("ome_zarr_meta", (s: SparkSession, _: String) => {

@@ -655,6 +655,69 @@ object OmeZarr {
     }
   }
 
+  /** Decode one chunk (or shard) FILE of store `c` into its
+    * `(t, c, z, pixels)` planes — the executor-side kernel shared by the
+    * DataFrame read path and the `omezarr` DataSourceV2 reader. */
+  private[sources] def decodeChunkFile(c: StoreConfig, p: String,
+      raw: Array[Byte]): Seq[(Int, Int, Int, Seq[Int])] = {
+    val expect = c.sy * c.sx * (if (c.u1) 1 else 2)
+
+    def toPixels(bytes: Array[Byte]): Seq[Int] = {
+      require(bytes.length >= expect,
+        s"Zarr chunk $p: ${bytes.length} bytes < expected $expect")
+      val px = new Array[Int](c.sy * c.sx)
+      if (c.u1) {
+        var i = 0; while (i < px.length) { px(i) = bytes(i) & 0xff; i += 1 }
+      } else {
+        val bb = ByteBuffer.wrap(bytes)
+          .order(if (c.big) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < px.length) { px(i) = bb.getShort(i * 2) & 0xffff; i += 1 }
+      }
+      px.toSeq
+    }
+
+    val (t0, c0, z0) = chunkCoords(p)
+    if (c.shardT == 0) {
+      Seq((t0, c0, z0, toPixels(decodeChunk(raw, c.comp, expect))))
+    } else {
+      // shard file: (t0,c0,z0) are SHARD-grid coords; the index is n
+      // u64-LE (offset, nbytes) pairs in t-major inner-grid order,
+      // missing chunks all-ones, optionally crc32c'd, at end/start
+      val n = c.shardT * c.shardC * c.shardZ
+      val idxLen = n * 16 + (if (c.shardCrc) 4 else 0)
+      require(raw.length >= idxLen, s"Zarr shard $p: no room for index")
+      val idxOff = if (c.shardIdxEnd) raw.length - idxLen else 0
+      val bb = ByteBuffer.wrap(raw).order(
+        if (c.shardIdxBig) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+      if (c.shardCrc) {
+        val crc = new java.util.zip.CRC32C
+        crc.update(raw, idxOff, n * 16)
+        val stored = bb.getInt(idxOff + n * 16) & 0xffffffffL
+        require(crc.getValue == stored,
+          s"Zarr shard $p: index crc32c mismatch")
+      }
+      (0 until n).flatMap { i =>
+        val off = bb.getLong(idxOff + i * 16)
+        val len = bb.getLong(idxOff + i * 16 + 8)
+        if (off == -1L && len == -1L) Seq.empty // missing -> fill
+        else {
+          require(off >= 0 && len > 0 && off + len <= raw.length,
+            s"Zarr shard $p: inner chunk $i out of bounds ($off+$len)")
+          val t = t0 * c.shardT + i / (c.shardC * c.shardZ)
+          val ch = c0 * c.shardC + (i / c.shardZ) % c.shardC
+          val z = z0 * c.shardZ + i % c.shardZ
+          if (t >= c.st || ch >= c.sc || z >= c.sz) Seq.empty // edge pad
+          else {
+            val chunk = java.util.Arrays.copyOfRange(
+              raw, off.toInt, (off + len).toInt)
+            Seq((t, ch, z, toPixels(decodeChunk(chunk, c.comp, expect))))
+          }
+        }
+      }
+    }
+  }
+
   /** (t, c, z) from a chunk path, across both container layouts. */
   private[sources] def chunkCoords(path: String): (Int, Int, Int) = {
     val parts = path.split('/')
@@ -704,61 +767,8 @@ object OmeZarr {
           else parts(parts.lastIndexWhere(_.endsWith(".zarr")))
             .stripSuffix(".zarr")
         val c = confB.value(stem)
-        val expect = c.sy * c.sx * (if (c.u1) 1 else 2)
-
-        def toPixels(bytes: Array[Byte]): Seq[Int] = {
-          require(bytes.length >= expect,
-            s"Zarr chunk $p: ${bytes.length} bytes < expected $expect")
-          val px = new Array[Int](c.sy * c.sx)
-          if (c.u1) {
-            var i = 0; while (i < px.length) { px(i) = bytes(i) & 0xff; i += 1 }
-          } else {
-            val bb = ByteBuffer.wrap(bytes)
-              .order(if (c.big) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
-            var i = 0
-            while (i < px.length) { px(i) = bb.getShort(i * 2) & 0xffff; i += 1 }
-          }
-          px.toSeq
-        }
-
-        val (t0, c0, z0) = chunkCoords(p)
-        if (c.shardT == 0) {
-          Seq((stem, t0, c0, z0, toPixels(decodeChunk(raw, c.comp, expect))))
-        } else {
-          // shard file: (t0,c0,z0) are SHARD-grid coords; the index is n
-          // u64-LE (offset, nbytes) pairs in t-major inner-grid order,
-          // missing chunks all-ones, optionally crc32c'd, at end/start
-          val n = c.shardT * c.shardC * c.shardZ
-          val idxLen = n * 16 + (if (c.shardCrc) 4 else 0)
-          require(raw.length >= idxLen, s"Zarr shard $p: no room for index")
-          val idxOff = if (c.shardIdxEnd) raw.length - idxLen else 0
-          val bb = ByteBuffer.wrap(raw).order(
-            if (c.shardIdxBig) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
-          if (c.shardCrc) {
-            val crc = new java.util.zip.CRC32C
-            crc.update(raw, idxOff, n * 16)
-            val stored = bb.getInt(idxOff + n * 16) & 0xffffffffL
-            require(crc.getValue == stored,
-              s"Zarr shard $p: index crc32c mismatch")
-          }
-          (0 until n).flatMap { i =>
-            val off = bb.getLong(idxOff + i * 16)
-            val len = bb.getLong(idxOff + i * 16 + 8)
-            if (off == -1L && len == -1L) Seq.empty // missing -> fill
-            else {
-              require(off >= 0 && len > 0 && off + len <= raw.length,
-                s"Zarr shard $p: inner chunk $i out of bounds ($off+$len)")
-              val t = t0 * c.shardT + i / (c.shardC * c.shardZ)
-              val ch = c0 * c.shardC + (i / c.shardZ) % c.shardC
-              val z = z0 * c.shardZ + i % c.shardZ
-              if (t >= c.st || ch >= c.sc || z >= c.sz) Seq.empty // edge pad
-              else {
-                val chunk = java.util.Arrays.copyOfRange(
-                  raw, off.toInt, (off + len).toInt)
-                Seq((stem, t, ch, z, toPixels(decodeChunk(chunk, c.comp, expect))))
-              }
-            }
-          }
+        decodeChunkFile(c, p, raw).map { case (t, ch, z, px) =>
+          (stem, t, ch, z, px)
         }
       }.toDF("image_id", "t", "c", "z", "pixels")
 
@@ -845,6 +855,55 @@ object OmeZarr {
       .select(col("record_meta").withField("planes",
         array().cast(org.apache.spark.sql.types.ArrayType(OmeSchema.planeType)))
         .as(OmeSchema.DefaultColumn))
+  }
+
+  /** Configs for a path that is either one `.zarr` store or a corpus
+    * directory of stores — the DataSourceV2 planning entry. */
+  private[sources] def storeConfigs(spark: SparkSession, path: String,
+      levelPath: String): Seq[StoreConfig] =
+    if (path.toLowerCase.stripSuffix("/").endsWith(".zarr")) {
+      val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+      require(fs.exists(new Path(path)), s"No such Zarr store: $path")
+      Seq(parseConfig(fs, path, levelPath))
+    } else corpusConfigs(spark, path, levelPath)
+
+  /** Chunk/shard files of one store (driver-side listing). */
+  private[sources] def chunkFiles(spark: SparkSession, c: StoreConfig,
+      levelPath: String): Seq[String] = {
+    val fs = new Path(c.store).getFileSystem(spark.sessionState.newHadoopConf())
+    listChunks(fs, c, levelPath)
+  }
+
+  /**
+   * Canonical record from a store config plus decoded planes, zero-
+   * filling the full (t,c,z) grid, t-major — the `omezarr` DataSourceV2
+   * row path. Metadata semantics MUST match [[metaFrame]] exactly
+   * (pinned by the v2-vs-readAll parity test).
+   */
+  private[sources] def configToRecord(c: StoreConfig,
+      decoded: Map[(Int, Int, Int), Seq[Int]],
+      withPixels: Boolean): OmeArrowRecord = {
+    val names =
+      if (c.chans.length == c.sc) c.chans
+      else (0 until c.sc).map(i => s"C$i")
+    val channels = names.zipWithIndex.map { case (n, i) =>
+      OmeChannel(s"ch-$i", n, Some(0.0f), Some(0.0f), Some("Unknown"),
+        Some(0xFFFFFFFFL))
+    }
+    val zeros = Seq.fill(c.sy * c.sx)(0)
+    val planes = for {
+      t <- 0 until c.st; ch <- 0 until c.sc; z <- 0 until c.sz
+    } yield OmePlane(z, t, ch.toShort,
+      if (!withPixels) Seq.empty
+      else decoded.getOrElse((t, ch, z), zeros))
+    OmeArrowRecord(OmeSchema.TagType, OmeSchema.Version, c.stem, c.name,
+      new Timestamp(0L),
+      OmePixelsMeta(
+        if (c.sz > 1) "XYZCT" else "XYCT", "uint16",
+        c.sx, c.sy, c.sz, c.sc.toShort, c.st,
+        Some(c.psx), Some(c.psy), Some(c.psz),
+        Some("µm"), Some("µm"), Some("µm"), channels),
+      planes)
   }
 
   private def corpusConfigs(spark: SparkSession, dir: String,

@@ -77,4 +77,54 @@ class DataSourceV2Spec extends SparkSpec {
     val df = spark.read.format("ometiff").load(dir)
     assert(df.count() === 4L)
   }
+
+  // --- omezarr ---------------------------------------------------------
+
+  private lazy val zdir: String = {
+    val d = Files.createTempDirectory("dsv2_zarr").toString
+    graft.sources.OmeZarr.write(Fixtures.corpus4d(spark), d)
+    d
+  }
+
+  test("omezarr v2 source matches readAll exactly (incl. pixels)") {
+    val v2 = spark.read.format("omezarr").load(zdir)
+    val v1 = graft.sources.OmeZarr.readAll(spark, zdir)
+    assert(v2.schema.catalogString === v1.schema.catalogString)
+    val key = col("ome_arrow.id")
+    assert(v2.orderBy(key).collect().map(_.toString).toSeq ===
+      v1.orderBy(key).collect().map(_.toString).toSeq)
+  }
+
+  test("omezarr metadata + coordinate queries open zero chunk files") {
+    // delete every chunk file; JSON metadata remains — both the metadata
+    // projection AND the coordinate grid must still answer
+    import scala.jdk.CollectionConverters._
+    val d = Files.createTempDirectory("dsv2_zarr_meta").toString
+    graft.sources.OmeZarr.write(Fixtures.corpus4d(spark), d)
+    java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        p.getFileName.toString.matches("""\d+(\.\d+)*"""))
+      .foreach(java.nio.file.Files.delete)
+    val meta = spark.read.format("omezarr").load(d)
+      .select(col("ome_arrow.id").as("id"),
+        col("ome_arrow.pixels_meta.size_z").as("sz"))
+    assert(meta.collect().map(_.getInt(1)).forall(_ === 2))
+    val coords = spark.read.format("omezarr").load(d)
+      .select(col("ome_arrow.id").as("id"),
+        col("ome_arrow.planes.t").as("ts"))
+    assert(coords.select(explode(col("ts"))).count() === 4 * 8)
+  }
+
+  test("omezarr single store with level option reads the pyramid level") {
+    val d = Files.createTempDirectory("dsv2_zarr_lvl").toString
+    graft.sources.OmeZarr.write(
+      Fixtures.corpus4d(spark).filter(col("ome_arrow.id") === "i4d-0001"),
+      s"$d/img.zarr", multiscaleLevels = 2)
+    val lvl1 = spark.read.format("omezarr").option("level", "1")
+      .load(s"$d/img.zarr")
+    val r = lvl1.select(col("ome_arrow.pixels_meta.size_x"),
+      col("ome_arrow.pixels_meta.physical_size_x")).collect()(0)
+    assert(r.getInt(0) === 4)       // 8 >> 1
+    assert(r.getFloat(1) === 2.0f)  // level-1 transform: 2x base size
+  }
 }
