@@ -25,27 +25,30 @@ object OmeArrow {
     // carrying regex-only metacharacters (\ ( ) + ^ $ |) still route to
     // the pattern reader's regex fallback; to force regex semantics for
     // an ambiguous ".*"-style pattern, call OmeStack.readPattern directly.
+    // TIFF and Zarr route through the DataSourceV2 sources so façade
+    // reads get Catalyst nested-column pushdown for free: metadata
+    // queries decode TIFF headers / Zarr JSON only (see sources/v2)
     if (!path.contains('<') && path.contains('*') &&
         !path.exists("\\()+^$|".contains(_)) &&
         lower.matches(""".*\.tiff?\*?"""))
-      sources.OmeTiff.read(spark, path)
+      spark.read.format("ometiff").load(path)
     else if (path.exists(c => c == '<' || c == '>' || c == '*'))
       sources.OmeStack.readPattern(spark, path)
     else if (lower.endsWith(".zarr") || lower.endsWith(".ome.zarr"))
-      sources.OmeZarr.read(spark, path)
+      spark.read.format("omezarr").load(path)
     else if (lower.endsWith(".parquet") || lower.endsWith(".pq"))
       OmeParquet.read(spark, path)
     else if (lower.endsWith(".tif") || lower.endsWith(".tiff"))
-      sources.OmeTiff.read(spark, path)
+      spark.read.format("ometiff").load(path)
     else {
       // a directory of `*.zarr` stores is a corpus read (one record per
-      // store, single job — see OmeZarr.readAll); cheap driver-side probe
+      // store); cheap driver-side probe
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
       val zarrCorpus = fs.exists(p) && fs.getFileStatus(p).isDirectory &&
         fs.listStatus(p).exists(st =>
           st.isDirectory && st.getPath.getName.endsWith(".zarr"))
-      if (zarrCorpus) sources.OmeZarr.readAll(spark, path)
+      if (zarrCorpus) spark.read.format("omezarr").load(path)
       else throw new IllegalArgumentException(
         s"Cannot infer format of '$path': expected a filename pattern " +
           "(<range>/*), .parquet/.pq, .tif(f), a .zarr store, or a " +
