@@ -96,6 +96,18 @@ object TextOps {
       .agg(min(col("doc_id")).cast("long").as("keeper_doc_id"),
         count(lit(1)).cast("long").as("n_copies"))
 
+  /** Cross-corpus exact dedup: documents whose content hash does NOT
+    * appear in `reference` — the "drop what the corpus already contains"
+    * anti-join (incremental crawl dedup, eval-set removal). One shuffle
+    * on the hash; the reference side pre-collapses to distinct hashes so
+    * mass-duplicated reference content costs nothing extra. */
+  def dedupAgainst(docs: DataFrame, reference: DataFrame): DataFrame =
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        sha2(col("text"), 256).as("text_sha256"))
+      .join(reference.select(sha2(col("text"), 256).as("text_sha256"))
+        .distinct(), Seq("text_sha256"), "left_anti")
+      .select(col("doc_id"))
+
   /** Canonical-form fingerprint: md5 of the lower-cased, whitespace-
     * collapsed text. Robust to reflow/case-only edits. */
   def fingerprint(docs: DataFrame): DataFrame =

@@ -500,6 +500,18 @@ object QueryDefs {
           |  FROM pairs)
           |WHERE jaccard >= 0.8""".stripMargin)),
 
+    // cross-corpus anti-join dedup: survivors of "drop anything whose
+    // text already exists in the doc_id % 5 == 0 reference slice"
+    ("dedup_against", (s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      TextOps.dedupAgainst(docs, docs.filter(col("doc_id") % 5 === 0))
+    },
+      Some(
+        """SELECT CAST(d.doc_id AS BIGINT) AS doc_id
+          |FROM documents d
+          |WHERE sha256(d.text) NOT IN (
+          |  SELECT sha256(text) FROM documents WHERE doc_id % 5 = 0)""".stripMargin)),
+
     // Gopher-style repetition filters (dup/top n-gram fractions) — all
     // scalar aggregates of the (doc, gram) count table, tie-break-free
     ("repetition_stats", (s: SparkSession, dir: String) =>
