@@ -82,10 +82,12 @@ object TextOps {
     transform(sequence(lit(0), lit(bands - 1)),
       b => md5(concat_ws("|", slice(sig, b * rows + 1, lit(rows)))))
 
-  /** In-bucket candidate expansion shared by the near-dup operators:
-    * `ids` is a SORTED array; emits `mk(a, b)` for every i < j element
-    * pair, so ordered keys give doc_a < doc_b directly. */
-  private def sortedPairs(ids: Column, mk: (Column, Column) => Column): Column =
+  /** In-bucket candidate expansion shared by the near-dup operators
+    * (text AND vector): `ids` is a SORTED array; emits `mk(a, b)` for
+    * every i < j element pair, so ordered keys give doc_a < doc_b
+    * directly. */
+  private[operators] def sortedPairs(ids: Column,
+      mk: (Column, Column) => Column): Column =
     flatten(transform(ids, (a, i) =>
       transform(slice(ids, i + 2, size(ids)), b => mk(a, b))))
 
@@ -104,6 +106,10 @@ object TextOps {
   def dedupAgainst(docs: DataFrame, reference: DataFrame): DataFrame =
     docs.select(col("doc_id").cast("long").as("doc_id"),
         sha2(col("text"), 256).as("text_sha256"))
+      // null text hashes to null, which a left_anti join would KEEP
+      // (null keys never match) while SQL NOT IN drops it — filter
+      // explicitly so both engines agree: null-text docs do not survive
+      .filter(col("text_sha256").isNotNull)
       .join(reference.select(sha2(col("text"), 256).as("text_sha256"))
         .distinct(), Seq("text_sha256"), "left_anti")
       .select(col("doc_id"))
@@ -189,7 +195,14 @@ object TextOps {
    * sessions should `spark.catalog.clearCache()` when done with it.
    */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
-      maxPostings: Int = 0): DataFrame = {
+      maxPostings: Int = 0): DataFrame =
+    ngramJaccardPairsImpl(docs, k, threshold, maxPostings)._1
+
+  /** [[ngramJaccardPairs]] plus its internally persisted shingle frame,
+    * for EAGER callers (nearDupClusters) that can unpersist it once the
+    * pair graph is materialized. */
+  private def ngramJaccardPairsImpl(docs: DataFrame, k: Int,
+      threshold: Double, maxPostings: Int): (DataFrame, DataFrame) = {
     // persist the shingle frame: without the barrier, projection collapse
     // inlines the interpreted shingle HOF tree into BOTH the size() and
     // the explode() branches (the SCALE.md subtree-duplication trap)
@@ -208,7 +221,7 @@ object TextOps {
       (a, b) => struct(a.getField("doc_id").as("doc_a"),
         b.getField("doc_id").as("doc_b"),
         a.getField("n_sh").as("na"), b.getField("n_sh").as("nb")))
-    lists.select(explode(pairs).as("p"))
+    val out = lists.select(explode(pairs).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         col("p.na").as("na"), col("p.nb").as("nb"))
       .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
@@ -217,6 +230,7 @@ object TextOps {
         round(col("shared").cast("double") /
           (col("na") + col("nb") - col("shared")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    (out, sh)
   }
 
   /**
@@ -308,14 +322,20 @@ object TextOps {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // persist: the union below references the pair plan twice, and the
     // fixpoint loop references the edges every iteration
-    val pairs = ngramJaccardPairs(docs, k, threshold)
-      .select(col("doc_a"), col("doc_b")).persist(lvl)
+    val (rawPairs, shCache) = ngramJaccardPairsImpl(docs, k, threshold, 0)
+    val pairs = rawPairs.select(col("doc_a"), col("doc_b")).persist(lvl)
     // undirected: propagate labels along both edge directions
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst").persist(lvl)
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl")).localCheckpoint()
+    // labels init materialized the edge cache; the pair plan and the
+    // shingle frame behind it are dead weight from here on (this
+    // operator is eager, so — unlike the lazy pair operators — it can
+    // clean up its own caches)
+    pairs.unpersist()
+    shCache.unpersist()
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -335,7 +355,14 @@ object TextOps {
       it += 1
     }
     edges.unpersist()
-    pairs.unpersist()
+    // an unconverged result is silently WRONG (labels are not component
+    // minima and would diverge from the transitive-closure oracle), so
+    // fail loudly: real near-dup components have tiny diameters, and a
+    // cap hit means maxIters was set far too low for this graph
+    require(converged,
+      s"nearDupClusters: label propagation did not converge within " +
+        s"$maxIters iterations — raise maxIters (component diameter " +
+        "exceeds the cap)")
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
     labels.join(sizes, "lbl")
       .select(col("node").cast("long").as("doc_id"),

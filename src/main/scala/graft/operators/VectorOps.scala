@@ -91,11 +91,10 @@ object VectorOps {
     val bucketed = emb.select(col("vec_id").cast("long").as("vec_id"),
       col("embedding"), lshBucket(col("embedding"), numPlanes).as("bucket"))
     val members = array_sort(collect_list(struct(col("vec_id"), col("embedding"))))
-    val pairs = flatten(transform(col("members"), (a, i) =>
-      transform(slice(col("members"), i + 2, size(col("members"))),
-        b => struct(a.getField("vec_id").as("vec_a"),
-          b.getField("vec_id").as("vec_b"),
-          cosine6(a.getField("embedding"), b.getField("embedding")).as("score")))))
+    val pairs = TextOps.sortedPairs(col("members"),
+      (a, b) => struct(a.getField("vec_id").as("vec_a"),
+        b.getField("vec_id").as("vec_b"),
+        cosine6(a.getField("embedding"), b.getField("embedding")).as("score")))
     bucketed.groupBy(col("bucket"))
       .agg(members.as("members"))
       .filter(size(col("members")) > 1)
@@ -169,16 +168,22 @@ object VectorOps {
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
       .sortBy(_._1)
     require(cents.nonEmpty, "assignClusters: empty codebook")
-    val centArr = array(cents.map { case (id, e) =>
+    // The fold is SEEDED with the first (lowest-id) centroid and only a
+    // strictly better score replaces, so ties keep the lowest
+    // centroid_id — identical to the previous row_number(score desc,
+    // centroid_id asc) formulation — and a degenerate vector whose
+    // cosines are all NaN (zero norm) deterministically lands in the
+    // first centroid's cluster instead of a sentinel. The lambda body
+    // touches only bound vars, attributes, and the native cosine kernel
+    // (SCALE.md lessons 4 and 6).
+    val centArr = array(cents.tail.map { case (id, e) =>
       struct(lit(id).as("id"), array(e.map(lit): _*).as("emb")) }: _*)
-    // ids iterate ascending and only a strictly better score replaces,
-    // so ties keep the lowest centroid_id — identical to the previous
-    // row_number(score desc, centroid_id asc) formulation. The lambda
-    // body touches only bound vars, attributes, and the native cosine
-    // kernel (SCALE.md lessons 4 and 6).
-    val best = aggregate(centArr,
-      struct(lit(-2.0).as("s"), lit(-1L).as("id")),
-      (acc, c) => {
+    val seed = struct(
+      cosine6(col("embedding"), array(cents.head._2.map(lit): _*)).as("s"),
+      lit(cents.head._1).as("id"))
+    val best =
+      if (cents.length == 1) seed
+      else aggregate(centArr, seed, (acc, c) => {
         val sc = cosine6(col("embedding"), c.getField("emb"))
         when(sc > acc.getField("s"),
           struct(sc.as("s"), c.getField("id").as("id"))).otherwise(acc)
@@ -205,13 +210,18 @@ object VectorOps {
    */
   def semanticDedup(emb: DataFrame, threshold: Double,
       nCentroids: Int = 16): DataFrame = {
+    // persisted: both the removal aggregation and the final join consume
+    // the assignment, and the per-row codebook fold is the expensive
+    // stage — without the barrier it would run twice per action. Like
+    // the near-dup pair operators, the cache lives as long as the
+    // returned (lazy) plan; long-lived sessions clearCache() when done.
     val assigned = assignClusters(emb, firstNCentroids(emb, nCentroids))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val members = array_sort(collect_list(struct(col("vec_id"), col("embedding"))))
-    val pairs = flatten(transform(col("members"), (a, i) =>
-      transform(slice(col("members"), i + 2, size(col("members"))),
-        b => struct(b.getField("vec_id").as("vec_b"),
-          cosine6(a.getField("embedding"), b.getField("embedding"))
-            .as("score")))))
+    val pairs = TextOps.sortedPairs(col("members"),
+      (a, b) => struct(b.getField("vec_id").as("vec_b"),
+        cosine6(a.getField("embedding"), b.getField("embedding"))
+          .as("score")))
     val removed = assigned.groupBy(col("cluster"))
       .agg(members.as("members"))
       .filter(size(col("members")) > 1)

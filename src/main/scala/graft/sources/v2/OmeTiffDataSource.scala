@@ -159,25 +159,15 @@ class OmeTiffPartitionReader(part: OmeTiffInputPartition,
   private var done = false
   private var row: InternalRow = _
 
-  private def needPixels: Boolean =
-    required.find(_.name == OmeSchema.DefaultColumn).exists { f =>
-      f.dataType.asInstanceOf[StructType].find(_.name == "planes").exists {
-        _.dataType.asInstanceOf[ArrayType].elementType
-          .asInstanceOf[StructType].fieldNames.contains("pixels")
-      }
-    }
-
   override def next(): Boolean = {
     if (done) return false
     done = true
     val p = new Path(part.path)
     val fs = p.getFileSystem(conf.value)
-    val bytes = new Array[Byte](part.len.toInt)
-    val in = fs.open(p)
-    try in.readFully(0L, bytes) finally in.close()
+    val bytes = RecordRows.readFileFully(fs, p, part.len)
     val rec = OmeTiff.decodeRecord(part.path,
       new java.sql.Timestamp(part.modTimeMs), bytes, channelNames,
-      withPixels = needPixels)
+      withPixels = RecordRows.pixelsRequired(required))
     val vals: Array[Any] = required.fields.map {
       case StructField(n, dt: StructType, _, _) if n == OmeSchema.DefaultColumn =>
         RecordRows.record(rec, dt): Any
@@ -193,8 +183,33 @@ class OmeTiffPartitionReader(part: OmeTiffInputPartition,
 }
 
 /** Builders from the decoded record to InternalRows of an arbitrary
-  * PRUNED sub-schema of the canonical struct (field subset, any order). */
+  * PRUNED sub-schema of the canonical struct (field subset, any order),
+  * plus the helpers both v2 sources share. */
 private[v2] object RecordRows {
+
+  /** Does the pruned schema still reach `planes.pixels`? Decides whether
+    * a partition reader decodes pixel payloads at all — ONE definition
+    * so the two sources can never diverge on the question. */
+  def pixelsRequired(required: StructType): Boolean =
+    required.find(_.name == OmeSchema.DefaultColumn).exists { f =>
+      f.dataType.asInstanceOf[StructType].find(_.name == "planes").exists {
+        _.dataType.asInstanceOf[ArrayType].elementType
+          .asInstanceOf[StructType].fieldNames.contains("pixels")
+      }
+    }
+
+  /** Whole-file read with an explicit 2 GiB guard — `.toInt` on a larger
+    * length would wrap (negative-size allocation or silent truncation). */
+  def readFileFully(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+      len: Long): Array[Byte] = {
+    require(len <= Int.MaxValue,
+      s"$p is $len bytes — single files above 2 GiB are not supported " +
+        "by the in-memory decoder")
+    val bytes = new Array[Byte](len.toInt)
+    val in = fs.open(p)
+    try in.readFully(0L, bytes) finally in.close()
+    bytes
+  }
 
   def record(r: OmeArrowRecord, req: StructType): InternalRow =
     new GenericInternalRow(req.fields.map { f =>

@@ -83,13 +83,7 @@ private[v2] class OmeZarrScanBuilder(path: String, level: String)
   override def build(): Scan = {
     val spark = SparkSession.active
     val configs = OmeZarr.storeConfigs(spark, path, level)
-    val needPixels = required.find(_.name == OmeSchema.DefaultColumn)
-      .exists { f =>
-        f.dataType.asInstanceOf[StructType].find(_.name == "planes").exists {
-          _.dataType.asInstanceOf[ArrayType].elementType
-            .asInstanceOf[StructType].fieldNames.contains("pixels")
-        }
-      }
+    val needPixels = RecordRows.pixelsRequired(required)
     // chunk listing happens at PLAN time only when pixels are needed —
     // a pruned metadata scan never touches the chunk tree at all
     val parts = configs.map { c =>
@@ -146,10 +140,8 @@ private[v2] class OmeZarrPartitionReader(part: OmeZarrInputPartition,
       else part.chunkPaths.flatMap { cp =>
         val p = new Path(cp)
         val fs = p.getFileSystem(conf.value)
-        val len = fs.getFileStatus(p).getLen.toInt
-        val bytes = new Array[Byte](len)
-        val in = fs.open(p)
-        try in.readFully(0L, bytes) finally in.close()
+        val bytes = RecordRows.readFileFully(fs, p,
+          fs.getFileStatus(p).getLen)
         OmeZarr.decodeChunkFile(part.config, cp, bytes)
           .map { case (t, c, z, px) => (t, c, z) -> px }
       }.toMap

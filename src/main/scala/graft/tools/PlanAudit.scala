@@ -92,7 +92,7 @@ object PlanAudit {
           b.scan.readSchema().catalogString
       }.getOrElse("?")
     println("  v2 readSchema: " + v2scan.take(160))
-    println("  v2 scan decodes pixels? " + v2scan.contains("planes"))
+    println("  v2 scan decodes pixels? " + v2scan.contains("pixels:array"))
     spark.stop()
   }
 }
