@@ -282,6 +282,29 @@ class TextVectorSpec extends SparkSpec {
     assert(out === Map(0L -> 1, 1L -> 1, 2L -> 0, 3L -> 1))
   }
 
+  test("semanticDedup assigns zero-norm vectors to the first centroid") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.0f, 1.0f), 1),
+      (2L, Array(0.0f, 0.0f), 0) // zero norm: cosine NaN everywhere
+    ).toDF("vec_id", "embedding", "label")
+    val out = VectorOps.semanticDedup(emb, threshold = 0.9, nCentroids = 2)
+      .orderBy("vec_id").collect()
+    assert(out.length === 3)
+    assert(out(2).getAs[Long]("cluster") === 0L) // deterministic, not -1
+    // NaN compares greater than any threshold in BOTH Spark and DuckDB,
+    // so the zero vector counts as a duplicate of its cluster keeper —
+    // consistent cross-engine, pinned here
+    assert(out(2).getAs[Int]("is_kept") === 0)
+  }
+
+  test("nearDupClusters refuses to return unconverged labels") {
+    val ex = intercept[IllegalArgumentException] {
+      TextOps.nearDupClusters(docs, threshold = 0.5, maxIters = 0)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("lshBucket puts identical vectors in the same bucket") {
     val emb = Seq(
       (0L, Array(1.0f, 2.0f, 3.0f), 0),
