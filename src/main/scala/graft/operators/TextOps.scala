@@ -548,6 +548,37 @@ object TextOps {
       round(normalShare, 6).as("normal_token_share"))
   }
 
+  /**
+   * Composite quality-filter pipeline (the C4/Gopher filter-stack shape):
+   * language, token-count, token-shape, and repetition rules evaluated
+   * together; each document gets a keep flag and the FIRST failing rule
+   * name — the auditability contract real pipelines need (why was this
+   * doc dropped?).
+   *
+   * Composed entirely from the other operators ([[qualityScore]],
+   * [[langId]], [[repetitionStats]]) joined on doc_id: two narrow
+   * single-pass projections plus one aggregation, then hash joins on the
+   * (unique, high-cardinality) doc key — the standard co-partitioned
+   * join shape at 100 TB.
+   */
+  def filterPipeline(docs: DataFrame, minTokens: Int = 10,
+      maxTokens: Int = 100000, minNormalShare: Double = 0.6,
+      maxDupGramFrac: Double = 0.15): DataFrame = {
+    val q = qualityScore(docs)
+      .select(col("doc_id"), col("n_tokens"), col("normal_token_share"))
+    val l = langId(docs).select(col("doc_id"), col("lang_pred"))
+    val r = repetitionStats(docs).select(col("doc_id"), col("dup_gram_frac"))
+    val reason = when(col("n_tokens") < minTokens, "too_few_tokens")
+      .when(col("n_tokens") > maxTokens, "too_many_tokens")
+      .when(col("lang_pred") =!= "en", "non_english")
+      .when(col("normal_token_share") < minNormalShare, "low_normal_share")
+      .when(col("dup_gram_frac") > maxDupGramFrac, "repetitive")
+      .otherwise("ok")
+    q.join(l, "doc_id").join(r, "doc_id")
+      .select(col("doc_id"), reason.as("reason"),
+        (reason === "ok").cast("int").as("keep"))
+  }
+
   /** Rank of each document inside its (lang) group by n_chars — window
     * function demo surface. */
   def lengthRank(docs: DataFrame): DataFrame =

@@ -500,6 +500,62 @@ object QueryDefs {
           |  FROM pairs)
           |WHERE jaccard >= 0.8""".stripMargin)),
 
+    // C4/Gopher-style composite quality filter: keep flag + first
+    // failing rule per doc, composed from quality/langid/repetition
+    ("doc_filter_pipeline", (s: SparkSession, dir: String) =>
+      TextOps.filterPipeline(t(s, dir, "documents")),
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+          |  FROM documents),
+          |q AS (
+          |  SELECT doc_id, len(tk) AS n_tokens,
+          |    CASE WHEN len(tk) = 0 THEN 0.0
+          |      ELSE round(len(list_filter(tk,
+          |        t -> length(t) >= 3 AND length(t) <= 12))
+          |        / CAST(len(tk) AS DOUBLE), 6) END AS normal_share
+          |  FROM toks),
+          |l AS (
+          |  SELECT doc_id,
+          |    len(regexp_extract_all(text, '\b(the|and|of|is)\b')) AS c_en,
+          |    len(regexp_extract_all(text, '\b(und|der|die|das)\b')) AS c_de,
+          |    len(regexp_extract_all(text, '\b(el|los|las|una)\b')) AS c_es,
+          |    len(regexp_extract_all(text, '\b(le|les|des|une)\b')) AS c_fr
+          |  FROM documents),
+          |lp AS (
+          |  SELECT doc_id,
+          |    CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en > 0 THEN 'en'
+          |         WHEN c_de >= c_es AND c_de >= c_fr AND c_de > 0 THEN 'de'
+          |         WHEN c_es >= c_fr AND c_es > 0 THEN 'es'
+          |         WHEN c_fr > 0 THEN 'fr'
+          |         ELSE 'unknown' END AS lang_pred
+          |  FROM l),
+          |g AS (
+          |  SELECT doc_id, unnest(CASE WHEN len(tk) < 2
+          |      THEN [array_to_string(tk, ' ')]
+          |      ELSE list_transform(range(1, len(tk)),
+          |             i -> array_to_string(tk[i:i+1], ' ')) END) AS gram
+          |  FROM toks),
+          |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+          |r AS (
+          |  SELECT doc_id,
+          |    round((sum(cnt) - count(*)) / CAST(sum(cnt) AS DOUBLE), 6)
+          |      AS dup_gram_frac
+          |  FROM c GROUP BY doc_id),
+          |j AS (
+          |  SELECT q.doc_id,
+          |    CASE WHEN q.n_tokens < 10 THEN 'too_few_tokens'
+          |         WHEN q.n_tokens > 100000 THEN 'too_many_tokens'
+          |         WHEN lp.lang_pred <> 'en' THEN 'non_english'
+          |         WHEN q.normal_share < 0.6 THEN 'low_normal_share'
+          |         WHEN r.dup_gram_frac > 0.15 THEN 'repetitive'
+          |         ELSE 'ok' END AS reason
+          |  FROM q JOIN lp USING (doc_id) JOIN r USING (doc_id))
+          |SELECT CAST(doc_id AS BIGINT) AS doc_id, reason,
+          |  CAST(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS INT) AS keep
+          |FROM j""".stripMargin)),
+
     // cross-corpus anti-join dedup: survivors of "drop anything whose
     // text already exists in the doc_id % 5 == 0 reference slice"
     ("dedup_against", (s: SparkSession, dir: String) => {

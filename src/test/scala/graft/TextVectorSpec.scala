@@ -252,6 +252,22 @@ class TextVectorSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("cluster_id") === 0L))
   }
 
+  test("filterPipeline fires each rule in order, first match wins") {
+    val fixture = Seq(
+      (0L, "the quick brown fox is great and fine and jumps high over fences daily"), // ok
+      (1L, "too short"),                                          // too_few_tokens
+      (2L, "der und die das der und die das der und die das"),    // non_english
+      (3L, ("a b c d e f g h i j k l " * 3) + "the and of is"),   // low_normal_share
+      (4L, "the fox is gone " * 10 + "and of the fox it is said") // repetitive
+    ).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("lang", lit("en"))
+    val out = TextOps.filterPipeline(fixture).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(0L -> "ok", 1L -> "too_few_tokens",
+      2L -> "non_english", 3L -> "low_normal_share", 4L -> "repetitive"))
+  }
+
   test("piiScrub counts and redacts emails and phones") {
     val pii = Seq(
       (0L, "reach me at jane.doe@corp.example.org or 555-123-4567 thanks"),
