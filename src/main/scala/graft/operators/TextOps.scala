@@ -273,6 +273,36 @@ object TextOps {
   }
 
   /**
+   * Cross-document boilerplate detection: distinct word n-grams occurring
+   * in at least `minDocs` documents are "boilerplate" (headers, footers,
+   * licence blurbs, templated spans — the C4-style repeated-span removal
+   * signal); each document reports the fraction of its distinct grams
+   * that are boilerplate.
+   *
+   * Plan shape (100 TB): distinct grams per doc, one document-frequency
+   * aggregation keyed by gram (map-side combine collapses the heavy
+   * hitters early), one rejoin + per-doc aggregation — the inverted-index
+   * shuffle pattern shared with [[ngramJaccardPairs]], never all-pairs.
+   * The gram frame persists for the lifetime of the (lazy) returned plan
+   * because both the DF count and the rejoin consume it.
+   */
+  def boilerplate(docs: DataFrame, n: Int = 3, minDocs: Int = 3): DataFrame = {
+    val grams = docs.select(col("doc_id").cast("long").as("doc_id"),
+        explode(shingles(col("text"), n)).as("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docFreq = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+    grams.join(docFreq, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        sum(when(col("df") >= minDocs, 1L).otherwise(0L)).cast("long")
+          .as("n_boiler"))
+      .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+        round(col("n_boiler").cast("double") / col("n_grams"), 6)
+          .as("boiler_frac"))
+  }
+
+  /**
    * Benchmark decontamination: for every (train doc, eval doc) pair
    * sharing at least `minShared` distinct word n-grams, the overlap count
    * and the fraction of the eval doc's grams covered — the standard

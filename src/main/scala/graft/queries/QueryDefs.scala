@@ -630,6 +630,30 @@ object QueryDefs {
           |  GROUP BY train_doc, eval_doc, n_eval_grams)
           |WHERE n_shared >= 2""".stripMargin)),
 
+    // cross-doc boilerplate: distinct 3-grams in >= 3 docs, per-doc mass
+    ("boilerplate", (s: SparkSession, dir: String) =>
+      TextOps.boilerplate(t(s, dir, "documents")),
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+          |  FROM documents),
+          |sh AS (
+          |  SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3
+          |      THEN [array_to_string(tk, ' ')]
+          |      ELSE list_transform(range(1, len(tk) - 1),
+          |             i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
+          |  FROM toks),
+          |g AS (SELECT doc_id, unnest(sh) AS gram FROM sh),
+          |d AS (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+          |SELECT CAST(g.doc_id AS BIGINT) AS doc_id,
+          |  CAST(count(*) AS BIGINT) AS n_grams,
+          |  CAST(sum(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_boiler,
+          |  round(sum(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END)
+          |    / CAST(count(*) AS DOUBLE), 6) AS boiler_frac
+          |FROM g JOIN d USING (gram) GROUP BY g.doc_id""".stripMargin)),
+
     // connected components over the exact-Jaccard pair graph (min-label
     // propagation on the Spark side, recursive CTE on the oracle side)
     ("near_dup_clusters", (s: SparkSession, dir: String) =>

@@ -268,6 +268,21 @@ class TextVectorSpec extends SparkSpec {
       2L -> "non_english", 3L -> "low_normal_share", 4L -> "repetitive"))
   }
 
+  test("boilerplate flags grams shared across enough documents") {
+    val b = Seq(
+      (0L, "shared footer text plus alpha beta gamma"),
+      (1L, "shared footer text plus delta epsilon zeta"),
+      (2L, "shared footer text plus eta theta iota"),
+      (3L, "entirely unique content here nothing shared with others")
+    ).toDF("doc_id", "text")
+    val out = TextOps.boilerplate(b, n = 3, minDocs = 3)
+      .orderBy("doc_id").collect()
+    // "shared footer text" and "footer text plus" appear in docs 0-2
+    assert(out.take(3).forall(_.getAs[Long]("n_boiler") === 2L))
+    assert(out(3).getAs[Long]("n_boiler") === 0L)
+    assert(out(3).getAs[Double]("boiler_frac") === 0.0)
+  }
+
   test("piiScrub counts and redacts emails and phones") {
     val pii = Seq(
       (0L, "reach me at jane.doe@corp.example.org or 555-123-4567 thanks"),
