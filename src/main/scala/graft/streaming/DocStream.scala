@@ -107,6 +107,36 @@ object DocStream {
         processBucket(threshold, numHashes, maxPerBucket, stateTtlMs))
   }
 
+  /**
+   * Streaming decontamination — the STREAM-STATIC join pattern:
+   * documents arriving on a stream are shingled and joined against a
+   * static benchmark gram index (broadcast; completely stateless join),
+   * then a watermark-windowed aggregation counts shared grams per
+   * (arriving doc, benchmark doc). Append mode emits flagged pairs once
+   * their window closes — "alert when a crawl batch contains eval data"
+   * as a standing query. The batch counterpart is
+   * `TextOps.contamination`.
+   */
+  def contaminationStream(docs: DataFrame, benchmark: DataFrame,
+      n: Int = 3, minShared: Int = 2,
+      windowLength: String = "10 minutes",
+      lateness: String = "1 minute"): DataFrame = {
+    val evalGrams = broadcast(benchmark.select(
+      col("doc_id").cast("long").as("eval_doc"),
+      explode(TextOps.shingles(col("text"), n)).as("gram")))
+    docs
+      .withWatermark("ingest_ts", lateness)
+      .select(col("doc_id").cast("long").as("doc_id"), col("ingest_ts"),
+        explode(TextOps.shingles(col("text"), n)).as("gram"))
+      .join(evalGrams, "gram")
+      .groupBy(window(col("ingest_ts"), windowLength), col("doc_id"),
+        col("eval_doc"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("window.start").as("window_start"), col("doc_id"),
+        col("eval_doc"), col("n_shared"))
+  }
+
   /** File-source convenience wrapper over [[nearDupPairsStream]]. */
   def nearDupStream(spark: SparkSession, dir: String, k: Int = 3,
       numHashes: Int = 12, bands: Int = 4, threshold: Double = 0.8,

@@ -126,6 +126,40 @@ class StreamingSpec extends SparkSpec {
     assert(hits((0L, 1L)) >= 0.5 && hits((0L, 1L)) < 1.0)
   }
 
+  test("streaming decontamination flags benchmark overlap via stream-static join") {
+    import spark.implicits._
+    val dir = "/tmp/graft_test_contamstream"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val late = java.sql.Timestamp.valueOf("2026-01-01 03:00:00")
+    val benchmark = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    Seq(
+      // shares "the quick brown", "quick brown fox", ... -> flagged
+      (0L, "prefix words then the quick brown fox runs away", "en", "s0", 47L, t0),
+      (1L, "nothing in common with the benchmark corpus", "en", "s0", 44L, t0),
+      // late arrival pushes the watermark past the first window
+      (2L, "filler content entirely unrelated", "en", "s0", 33L, late)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars", "ingest_ts")
+      .coalesce(1).write.parquet(dir)
+    val stream = spark.readStream
+      .schema(graft.streaming.DocStream.documentsSchema).parquet(dir)
+    val q = graft.streaming.DocStream
+      .contaminationStream(stream, benchmark, minShared = 2)
+      .writeStream.format("memory").queryName("contam_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val hits = spark.sql(
+      "SELECT doc_id, eval_doc, n_shared FROM contam_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hits.length === 1)
+    assert(hits(0)._1 === 0L && hits(0)._2 === 100L)
+    assert(hits(0)._3 >= 2L)
+  }
+
   test("partial image assembles zero-filled from buildRecord") {
     // unit-level check of the timeout-flush path (processing-time timeouts
     // don't fire under AvailableNow)
