@@ -338,22 +338,55 @@ object TextOps {
    * min-label propagation — every doc in a component converges to the
    * component's minimum doc_id, the canonical "keeper".
    *
-   * EAGER operator: the fixpoint loop runs Spark actions at call time
-   * (like ML training); each iteration is one join + one aggregation, and
-   * `localCheckpoint` truncates the lineage between iterations.
-   * Convergence needs O(component diameter) iterations — near-dup
-   * components are overwhelmingly tiny (pairs/triangles), so 2-3 in
-   * practice. At extreme scale swap the propagation loop for the
-   * large-star/small-star formulation (O(log n) rounds); the output
-   * contract is identical.
+   * EAGER operator: the fixpoint runs Spark actions at call time (like
+   * ML training). Two physical strategies behind one contract:
+   *
+   *  - **pair graph <= `driverEdgeLimit` edges** (the usual case — the
+   *    PAIR GRAPH is tiny even when the corpus is 100 TB, because
+   *    near-dups are rare and exact dedup runs first): exact union-find
+   *    with path compression on the driver, one collect of the edge
+   *    list, O(E α(E));
+   *  - **larger graphs**: distributed min-label propagation, one join +
+   *    one aggregation per iteration with `localCheckpoint` truncating
+   *    lineage; needs O(component diameter) iterations and REFUSES to
+   *    return unconverged labels at the `maxIters` cap. At extreme
+   *    diameters swap in large-star/small-star (O(log n) rounds); the
+   *    output contract is identical.
    */
   def nearDupClusters(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
-      maxIters: Int = 25): DataFrame = {
+      maxIters: Int = 25, driverEdgeLimit: Long = 1000000L): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // persist: the union below references the pair plan twice, and the
     // fixpoint loop references the edges every iteration
     val (rawPairs, shCache) = ngramJaccardPairsImpl(docs, k, threshold, 0)
     val pairs = rawPairs.select(col("doc_a"), col("doc_b")).persist(lvl)
+    val nPairs = pairs.count()
+    if (nPairs <= driverEdgeLimit) {
+      val sp = docs.sparkSession
+      import sp.implicits._
+      val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      pairs.unpersist()
+      shCache.unpersist()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union by MIN root so cluster_id = component minimum directly
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val rows = parent.keys.toSeq.map(n => (n, find(n)))
+      val sizes = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      return sp.createDataset(rows.map { case (n, r) =>
+        (n, r, sizes(r), if (n == r) 1 else 0)
+      }).toDF("doc_id", "cluster_id", "cluster_size", "is_keeper")
+    }
     // undirected: propagate labels along both edge directions
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))

@@ -240,16 +240,28 @@ class TextVectorSpec extends SparkSpec {
 
   test("nearDupClusters converges past a single hop (chain graph)") {
     // a -> b -> c chain where a and c share nothing: label must propagate
-    // two hops so all three land in cluster 0
+    // two hops so all three land in cluster 0. driverEdgeLimit = 0 forces
+    // the DISTRIBUTED propagation path (the driver union-find is covered
+    // by the grouping test above)
     val chain = Seq(
       (0L, "alpha beta gamma delta epsilon zeta"),
       (1L, "alpha beta gamma delta epsilon eta"),
       (2L, "beta gamma delta epsilon eta theta")
     ).toDF("doc_id", "text")
-    val out = TextOps.nearDupClusters(chain, threshold = 0.3)
+    val out = TextOps.nearDupClusters(chain, threshold = 0.3,
+        driverEdgeLimit = 0)
       .orderBy("doc_id").collect()
     assert(out.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
     assert(out.forall(_.getAs[Long]("cluster_id") === 0L))
+  }
+
+  test("driver union-find and distributed propagation agree") {
+    val out1 = TextOps.nearDupClusters(docs, threshold = 0.5)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val out2 = TextOps.nearDupClusters(docs, threshold = 0.5,
+        driverEdgeLimit = 0)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(out1 === out2)
   }
 
   test("filterPipeline fires each rule in order, first match wins") {
@@ -331,7 +343,8 @@ class TextVectorSpec extends SparkSpec {
 
   test("nearDupClusters refuses to return unconverged labels") {
     val ex = intercept[IllegalArgumentException] {
-      TextOps.nearDupClusters(docs, threshold = 0.5, maxIters = 0)
+      TextOps.nearDupClusters(docs, threshold = 0.5, maxIters = 0,
+        driverEdgeLimit = 0)
     }
     assert(ex.getMessage.contains("did not converge"))
   }
