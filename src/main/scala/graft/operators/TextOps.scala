@@ -364,10 +364,16 @@ object TextOps {
     if (nPairs <= driverEdgeLimit) {
       val sp = docs.sparkSession
       import sp.implicits._
-      val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      // primitive collection end-to-end: no boxed Rows/maps on the
+      // driver (a graph at the 1M-edge cap stays in the tens of MB)
+      val it = pairs.toLocalIterator()
+      val ea = new Array[Long](nPairs.toInt)
+      val eb = new Array[Long](nPairs.toInt)
+      var i = 0
+      while (it.hasNext) { val r = it.next(); ea(i) = r.getLong(0); eb(i) = r.getLong(1); i += 1 }
       pairs.unpersist()
       shCache.unpersist()
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
         var r = x
         while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
@@ -375,17 +381,26 @@ object TextOps {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      es.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
+      var j = 0
+      while (j < i) {
+        val a = ea(j); val b = eb(j)
+        if (!parent.contains(a)) parent(a) = a
+        if (!parent.contains(b)) parent(b) = b
+        val ra = find(a); val rb = find(b)
         // union by MIN root so cluster_id = component minimum directly
         if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        j += 1
       }
-      val rows = parent.keys.toSeq.map(n => (n, find(n)))
-      val sizes = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
-      return sp.createDataset(rows.map { case (n, r) =>
+      val sizes = scala.collection.mutable.LongMap.empty[Long]
+      parent.keys.foreach { n => val r = find(n); sizes(r) = sizes.getOrElse(r, 0L) + 1L }
+      val out = parent.keys.toArray.map { n =>
+        val r = find(n)
         (n, r, sizes(r), if (n == r) 1 else 0)
-      }).toDF("doc_id", "cluster_id", "cluster_size", "is_keeper")
+      }
+      // parallelize keeps the result out of the query plan (createDataset
+      // of a local Seq would embed every row in a LocalRelation)
+      return sp.createDataset(sp.sparkContext.parallelize(out.toSeq))
+        .toDF("doc_id", "cluster_id", "cluster_size", "is_keeper")
     }
     // undirected: propagate labels along both edge directions
     val edges = pairs
@@ -470,21 +485,37 @@ object TextOps {
         max(col("n_chars")).cast("long").as("chars_max"),
         round(avg(col("n_tokens")), 4).as("avg_tokens"))
 
-  /** Stopword-marker language-ID heuristic: count language-specific
-    * function words, predict the argmax (deterministic tie-break order
-    * en > de > es > fr), `unknown` when nothing matches. */
-  def langId(docs: DataFrame): DataFrame = {
-    val cEn = regexp_count(col("text"), lit("\\b(the|and|of|is)\\b"))
-    val cDe = regexp_count(col("text"), lit("\\b(und|der|die|das)\\b"))
-    val cEs = regexp_count(col("text"), lit("\\b(el|los|las|una)\\b"))
-    val cFr = regexp_count(col("text"), lit("\\b(le|les|des|une)\\b"))
-    val pred = when(cEn >= cDe && cEn >= cEs && cEn >= cFr && cEn > 0, "en")
+  private def langMarkerCounts(text: Column): Seq[Column] = Seq(
+    regexp_count(text, lit("\\b(the|and|of|is)\\b")),
+    regexp_count(text, lit("\\b(und|der|die|das)\\b")),
+    regexp_count(text, lit("\\b(el|los|las|una)\\b")),
+    regexp_count(text, lit("\\b(le|les|des|une)\\b")))
+
+  /** Predicted language from the marker counts (deterministic tie-break
+    * order en > de > es > fr), `unknown` when nothing matches. */
+  private def langPredCol(text: Column): Column = {
+    val Seq(cEn, cDe, cEs, cFr) = langMarkerCounts(text)
+    when(cEn >= cDe && cEn >= cEs && cEn >= cFr && cEn > 0, "en")
       .when(cDe >= cEs && cDe >= cFr && cDe > 0, "de")
       .when(cEs >= cFr && cEs > 0, "es")
       .when(cFr > 0, "fr")
       .otherwise("unknown")
+  }
+
+  /** Share of tokens with "normal" prose length (3..12 chars), 6dp. */
+  private def normalShareCol(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(round(
+        size(filter(toks, t => length(t) >= 3 && length(t) <= 12))
+          .cast("double") / size(toks), 6))
+  }
+
+  /** Stopword-marker language-ID heuristic. */
+  def langId(docs: DataFrame): DataFrame = {
+    val Seq(cEn, cDe, cEs, cFr) = langMarkerCounts(col("text"))
     docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"),
-      pred.as("lang_pred"),
+      langPredCol(col("text")).as("lang_pred"),
       cEn.cast("long").as("c_en"), cDe.cast("long").as("c_de"),
       cEs.cast("long").as("c_es"), cFr.cast("long").as("c_fr"))
   }
@@ -601,14 +632,10 @@ object TextOps {
     val nTok = size(toks)
     val meanTokLen = when(nTok === 0, lit(0.0))
       .otherwise(col("n_chars").cast("double") / nTok)
-    // words of 3..12 chars are "normal"; score = share of normal tokens
-    val normalShare = when(nTok === 0, lit(0.0))
-      .otherwise(size(filter(toks, t => length(t) >= 3 && length(t) <= 12))
-        .cast("double") / nTok)
     docs.select(col("doc_id").cast("long").as("doc_id"),
       nTok.cast("long").as("n_tokens"),
       round(meanTokLen, 6).as("mean_token_len"),
-      round(normalShare, 6).as("normal_token_share"))
+      normalShareCol(col("text")).as("normal_token_share"))
   }
 
   /**
@@ -618,18 +645,19 @@ object TextOps {
    * name — the auditability contract real pipelines need (why was this
    * doc dropped?).
    *
-   * Composed entirely from the other operators ([[qualityScore]],
-   * [[langId]], [[repetitionStats]]) joined on doc_id: two narrow
-   * single-pass projections plus one aggregation, then hash joins on the
-   * (unique, high-cardinality) doc key — the standard co-partitioned
-   * join shape at 100 TB.
+   * The token-count, token-shape, and language rules are all narrow
+   * per-row expressions, so they compute in ONE projection over one
+   * corpus scan; the only join is with [[repetitionStats]]'s genuinely
+   * aggregated output, on the unique high-cardinality doc key — one
+   * shuffle join total at 100 TB, not one per signal.
    */
   def filterPipeline(docs: DataFrame, minTokens: Int = 10,
       maxTokens: Int = 100000, minNormalShare: Double = 0.6,
       maxDupGramFrac: Double = 0.15): DataFrame = {
-    val q = qualityScore(docs)
-      .select(col("doc_id"), col("n_tokens"), col("normal_token_share"))
-    val l = langId(docs).select(col("doc_id"), col("lang_pred"))
+    val rowSignals = docs.select(col("doc_id").cast("long").as("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      normalShareCol(col("text")).as("normal_token_share"),
+      langPredCol(col("text")).as("lang_pred"))
     val r = repetitionStats(docs).select(col("doc_id"), col("dup_gram_frac"))
     val reason = when(col("n_tokens") < minTokens, "too_few_tokens")
       .when(col("n_tokens") > maxTokens, "too_many_tokens")
@@ -637,7 +665,7 @@ object TextOps {
       .when(col("normal_token_share") < minNormalShare, "low_normal_share")
       .when(col("dup_gram_frac") > maxDupGramFrac, "repetitive")
       .otherwise("ok")
-    q.join(l, "doc_id").join(r, "doc_id")
+    rowSignals.join(r, "doc_id")
       .select(col("doc_id"), reason.as("reason"),
         (reason === "ok").cast("int").as("keep"))
   }

@@ -128,6 +128,10 @@ object DocStream {
       .withWatermark("ingest_ts", lateness)
       .select(col("doc_id").cast("long").as("doc_id"), col("ingest_ts"),
         explode(TextOps.shingles(col("text"), n)).as("gram"))
+      // redelivered batches (at-least-once delivery) must not double-count
+      // a shared gram past minShared: state-bounded dedup keeps the
+      // "DISTINCT shared grams" contract of the batch operator
+      .dropDuplicatesWithinWatermark("doc_id", "gram")
       .join(evalGrams, "gram")
       .groupBy(window(col("ingest_ts"), windowLength), col("doc_id"),
         col("eval_doc"))
