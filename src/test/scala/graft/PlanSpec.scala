@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.OmeOps
+import graft.schema.Fixtures
+
+/** CI-enforced physical-plan properties — the scale guarantees PlanAudit
+  * reports interactively, pinned so a regression fails the suite:
+  * metadata reads must stay pixel-free, dimension joins must broadcast,
+  * aggregations must partial-aggregate before their exchange. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("describe over parquet prunes planes out of the read schema") {
+    val d = Files.createTempDirectory("planspec_pq").toString
+    graft.sources.OmeParquet.write(Fixtures.corpus4d(spark), d)
+    val described = OmeOps.describe(graft.sources.OmeParquet.read(spark, d))
+    val readSchema = "ReadSchema: [^\n]+".r.findFirstIn(plan(described))
+      .getOrElse(fail("no ReadSchema in plan"))
+    assert(!readSchema.contains("planes"),
+      s"metadata query reads pixels: $readSchema")
+  }
+
+  test("dimension joins broadcast; fact side never shuffles for them") {
+    val q5 = SparkEntry.queries("q5_region_revenue")(
+      spark, "/root/testdata/sf0.001")
+    val p = plan(q5)
+    val bcasts = "BroadcastExchange".r.findAllIn(p).length
+    val shuffles = "Exchange".r.findAllIn(p).length - bcasts
+    assert(bcasts === 3, s"expected 3 broadcast dims, got $bcasts")
+    assert(shuffles <= 2, s"too many shuffles for q5: $shuffles")
+  }
+
+  test("filter and projection push down to the parquet scan") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .filter(col("l_quantity") > 45.0)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val p = plan(li)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
+      s"filter did not push down")
+    val readSchema = "ReadSchema: [^\n]+".r.findFirstIn(p).get
+    assert(!readSchema.contains("l_comment"),
+      s"projection not pruned: $readSchema")
+  }
+
+  test("exploded pixel pipeline shuffles exactly once (the final rollup)") {
+    val pipeline = OmeOps.downscalePlanes(OmeOps.cropPlanes(
+        OmeOps.explodePlanes(Fixtures.corpus4d(spark)), 2, 6, 1, 7))
+      .groupBy(col("image_id")).agg(count(lit(1)).as("n"))
+    val p = plan(pipeline)
+    val shuffles = "Exchange".r.findAllIn(p).length -
+      "BroadcastExchange".r.findAllIn(p).length
+    assert(shuffles === 1, s"pixel pipeline gained a shuffle: $shuffles")
+  }
+
+  test("slice and downscale stay shuffle-free whole-record expressions") {
+    for (df <- Seq(
+        OmeOps.sliceOmeArrow(Fixtures.corpus4d(spark), 1, 7, 1, 7),
+        OmeOps.downscale2x(Fixtures.corpus4d(spark)))) {
+      assert(!plan(df).contains("Exchange"), "record operator shuffled")
+    }
+  }
+}
