@@ -115,6 +115,22 @@ class DataSourceV2Spec extends SparkSpec {
     assert(coords.select(explode(col("ts"))).count() === 4 * 8)
   }
 
+  test("v2 sources fail with clear errors on empty or missing inputs") {
+    val empty = Files.createTempDirectory("dsv2_empty").toString
+    val e1 = intercept[Exception] {
+      spark.read.format("ometiff").load(empty).count()
+    }
+    assert(e1.getMessage.contains("no .tif"))
+    val e2 = intercept[Exception] {
+      spark.read.format("omezarr").load(empty).count()
+    }
+    assert(e2.getMessage.contains("No .zarr stores"))
+    val e3 = intercept[Exception] {
+      spark.read.format("ometiff").load("/nonexistent/path/xyz").count()
+    }
+    assert(e3.getMessage.contains("no files match"))
+  }
+
   test("omezarr single store with level option reads the pyramid level") {
     val d = Files.createTempDirectory("dsv2_zarr_lvl").toString
     graft.sources.OmeZarr.write(

@@ -58,6 +58,36 @@ class PlanSpec extends SparkSpec {
     assert(shuffles === 1, s"pixel pipeline gained a shuffle: $shuffles")
   }
 
+  test("bucketed tables co-locate their join: zero exchanges") {
+    // the 100 TB technique for repeated joins on one key (images x
+    // features, docs x scores): bucket BOTH sides on the key at write
+    // time and the join needs no shuffle at all
+    val d1 = Files.createTempDirectory("planspec_b1").toString
+    val d2 = Files.createTempDirectory("planspec_b2").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // the test table is tiny, so the planner would broadcast (hiding the
+    // bucketing); disable it to surface the big-table plan shape
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      docs.select(col("doc_id"), col("n_chars")).write
+        .bucketBy(8, "doc_id").sortBy("doc_id")
+        .option("path", d1).saveAsTable("planspec_bt1")
+      docs.select(col("doc_id"), col("lang")).write
+        .bucketBy(8, "doc_id").sortBy("doc_id")
+        .option("path", d2).saveAsTable("planspec_bt2")
+      val joined = spark.table("planspec_bt1")
+        .join(spark.table("planspec_bt2"), "doc_id")
+      assert(!plan(joined).contains("Exchange"),
+        "bucketed join still shuffled")
+      assert(joined.count() === docs.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS planspec_bt1")
+      spark.sql("DROP TABLE IF EXISTS planspec_bt2")
+    }
+  }
+
   test("slice and downscale stay shuffle-free whole-record expressions") {
     for (df <- Seq(
         OmeOps.sliceOmeArrow(Fixtures.corpus4d(spark), 1, 7, 1, 7),
