@@ -352,13 +352,29 @@ object TextOps {
    *    return unconverged labels at the `maxIters` cap. At extreme
    *    diameters swap in large-star/small-star (O(log n) rounds); the
    *    output contract is identical.
+   *
+   * `maxPostings` is [[ngramJaccardPairs]]'s frequency filter, threaded
+   * through to the pair-generation stage: shingles appearing in more than
+   * that many documents are dropped before pair expansion. Pair cost is
+   * Σ|postings|² per shingle, so ONE boilerplate 3-gram shared by 10⁶ docs
+   * is ~10¹² candidate pairs — at 100 TB a cap (e.g. 1000) is mandatory;
+   * the default 0 keeps every shingle (exact transitive closure, the
+   * oracle-pinned mode). Dropped-shingle pairs can only LOWER recall for
+   * components held together solely by stopword-like grams, which a
+   * high-threshold match never is in practice.
    */
   def nearDupClusters(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
-      maxIters: Int = 25, driverEdgeLimit: Long = 1000000L): DataFrame = {
+      maxIters: Int = 25, driverEdgeLimit: Long = 1000000L,
+      maxPostings: Int = 0): DataFrame = {
+    // the driver fast path materializes edges into Int-indexed arrays
+    require(driverEdgeLimit <= Int.MaxValue,
+      s"nearDupClusters: driverEdgeLimit must be <= Int.MaxValue " +
+        s"(got $driverEdgeLimit); larger graphs take the distributed path")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // persist: the union below references the pair plan twice, and the
     // fixpoint loop references the edges every iteration
-    val (rawPairs, shCache) = ngramJaccardPairsImpl(docs, k, threshold, 0)
+    val (rawPairs, shCache) =
+      ngramJaccardPairsImpl(docs, k, threshold, maxPostings)
     val pairs = rawPairs.select(col("doc_a"), col("doc_b")).persist(lvl)
     val nPairs = pairs.count()
     if (nPairs <= driverEdgeLimit) {

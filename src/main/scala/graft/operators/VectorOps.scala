@@ -168,13 +168,25 @@ object VectorOps {
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
       .sortBy(_._1)
     require(cents.nonEmpty, "assignClusters: empty codebook")
+    // A zero-norm centroid makes every cosine against it NaN, and Spark
+    // SQL's ordering comparisons treat NaN as greater than any number —
+    // one degenerate codebook entry would silently capture EVERY vector.
+    // The codebook is already on the driver, so reject it here (cheap,
+    // loud) rather than guarding every fold step.
+    cents.foreach { case (id, e) =>
+      require(e.exists(_ != 0.0f),
+        s"assignClusters: centroid $id has zero norm — cosine against it " +
+          "is undefined (NaN) and would absorb all assignments")
+    }
     // The fold is SEEDED with the first (lowest-id) centroid and only a
     // strictly better score replaces, so ties keep the lowest
     // centroid_id — identical to the previous row_number(score desc,
     // centroid_id asc) formulation — and a degenerate vector whose
     // cosines are all NaN (zero norm) deterministically lands in the
-    // first centroid's cluster instead of a sentinel. The lambda body
-    // touches only bound vars, attributes, and the native cosine kernel
+    // first centroid's cluster instead of a sentinel (the isnan guard
+    // keeps NaN scores from ever replacing the seed under Spark's
+    // NaN-is-greatest comparison semantics). The lambda body touches
+    // only bound vars, attributes, and the native cosine kernel
     // (SCALE.md lessons 4 and 6).
     val centArr = array(cents.tail.map { case (id, e) =>
       struct(lit(id).as("id"), array(e.map(lit): _*).as("emb")) }: _*)
@@ -185,7 +197,7 @@ object VectorOps {
       if (cents.length == 1) seed
       else aggregate(centArr, seed, (acc, c) => {
         val sc = cosine6(col("embedding"), c.getField("emb"))
-        when(sc > acc.getField("s"),
+        when(!isnan(sc) && sc > acc.getField("s"),
           struct(sc.as("s"), c.getField("id").as("id"))).otherwise(acc)
       })
     emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
@@ -205,29 +217,33 @@ object VectorOps {
    * external oracles replicate the partition exactly; production swaps
    * in [[kmeansCentroids]] via [[assignClusters]] with identical
    * downstream semantics. Scale shape: one codebook broadcast, one
-   * shuffle keyed by cluster, in-cluster pair expansion (cluster sizes
-   * are corpus/nCentroids on average — size the codebook accordingly).
+   * cluster-keyed SELF-JOIN for in-cluster pairing — each side shuffles
+   * the assignment once and pairs stream out of the join, so no task
+   * ever buffers a whole cluster (the previous collect_list formulation
+   * put every member embedding of a cluster into ONE aggregation row —
+   * a single skewed 10⁵-member × 768-dim cluster is a ~300 MB row).
+   * Pair WORK is still m² per cluster; a skewed cluster costs time in
+   * its join partition (AQE skew-join can split it) but never memory.
+   * Size the codebook so clusters average corpus/nCentroids.
    */
   def semanticDedup(emb: DataFrame, threshold: Double,
       nCentroids: Int = 16): DataFrame = {
-    // persisted: both the removal aggregation and the final join consume
-    // the assignment, and the per-row codebook fold is the expensive
-    // stage — without the barrier it would run twice per action. Like
-    // the near-dup pair operators, the cache lives as long as the
-    // returned (lazy) plan; long-lived sessions clearCache() when done.
+    // persisted: the self-join consumes the assignment twice and the
+    // final join a third time, and the per-row codebook fold is the
+    // expensive stage — without the barrier it would run three times per
+    // action. Like the near-dup pair operators, the cache lives as long
+    // as the returned (lazy) plan; long-lived sessions clearCache()
+    // when done.
     val assigned = assignClusters(emb, firstNCentroids(emb, nCentroids))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val members = array_sort(collect_list(struct(col("vec_id"), col("embedding"))))
-    val pairs = TextOps.sortedPairs(col("members"),
-      (a, b) => struct(b.getField("vec_id").as("vec_b"),
-        cosine6(a.getField("embedding"), b.getField("embedding"))
-          .as("score")))
-    val removed = assigned.groupBy(col("cluster"))
-      .agg(members.as("members"))
-      .filter(size(col("members")) > 1)
-      .select(explode(pairs).as("p"))
-      .filter(col("p.score") >= threshold)
-      .select(col("p.vec_b").as("vec_id")).distinct()
+    val removed = assigned
+      .select(col("cluster"), col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a"))
+      .join(assigned.select(col("cluster"), col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b")), Seq("cluster"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(cosine6(col("emb_a"), col("emb_b")) >= threshold)
+      .select(col("vec_b").as("vec_id")).distinct()
       .withColumn("removed", lit(1))
     assigned.join(removed, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"),
@@ -236,8 +252,70 @@ object VectorOps {
 
   /** Shared IVF assign/search body over an arbitrary centroid codebook. */
   private def ivfTopKWith(emb: DataFrame, centroidsDf: DataFrame,
-      nProbes: Int, k: Int): DataFrame = {
-    val assigned = assignClusters(emb, centroidsDf)
+      nProbes: Int, k: Int): DataFrame =
+    ivfSearch(assignClusters(emb, centroidsDf), nProbes, k)
+
+  /**
+   * Structural self-check of the k-means-trained IVF path, designed to be
+   * oracle-checkable WITHOUT replicating the training: every column is a
+   * violation count that must be zero for ANY correct (assignment,
+   * search) pair, regardless of what centroids training produced. The
+   * external oracle is therefore the constant all-zeros row — a real
+   * hash-match on the trained path's output invariants, upgrading it
+   * from the registry's only rows-only entry.
+   *
+   * Violations counted (one row out):
+   *  - `bad_rnk`        rows whose rnk differs from a recomputed
+   *                     row_number over (score desc, neighbor_id asc) —
+   *                     also pins rnk density 1..n and score monotonicity;
+   *  - `over_k`         rows ranked past k;
+   *  - `self_match`     probe returned as its own neighbor;
+   *  - `bad_probe`      result rows for vec_id >= nProbes;
+   *  - `dup_pairs`      duplicated (probe, neighbor) rows;
+   *  - `dup_assign`     vectors assigned to more than one cluster;
+   *  - `missing_assign` vectors the assignment dropped (totality).
+   *
+   * Trains ONCE: the codebook is fit here and shared by the searched
+   * output and the totality checks.
+   */
+  def ivfTrainedCheck(emb: DataFrame, nProbes: Int, k: Int,
+      nCentroids: Int = 16, maxIter: Int = 10, seed: Long = 7L): DataFrame = {
+    val assigned =
+      assignClusters(emb, kmeansCentroids(emb, nCentroids, maxIter, seed))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = ivfSearch(assigned, nProbes, k)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    val searchViol = out
+      .withColumn("expected_rnk", row_number().over(w))
+      .agg(
+        // coalesce: sum over an empty result is null, the oracle says 0
+        coalesce(sum(when(col("rnk") =!= col("expected_rnk"), 1L)
+          .otherwise(0L)), lit(0L)).cast("long").as("bad_rnk"),
+        coalesce(sum(when(col("rnk") > k, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("over_k"),
+        coalesce(sum(when(col("neighbor_id") === col("probe_id"), 1L)
+          .otherwise(0L)), lit(0L)).cast("long").as("self_match"),
+        coalesce(sum(when(col("probe_id") >= nProbes, 1L).otherwise(0L)),
+          lit(0L)).cast("long").as("bad_probe"),
+        (count(lit(1)) - countDistinct(col("probe_id"), col("neighbor_id")))
+          .cast("long").as("dup_pairs"))
+    val assignViol = assigned.agg(
+      (count(lit(1)) - countDistinct(col("vec_id"))).cast("long")
+        .as("dup_assign"),
+      count(lit(1)).as("n_assigned"))
+    searchViol
+      .crossJoin(assignViol)
+      .crossJoin(emb.agg(count(lit(1)).as("n_emb")))
+      .select(col("bad_rnk"), col("over_k"), col("self_match"),
+        col("bad_probe"), col("dup_pairs"), col("dup_assign"),
+        (col("n_emb") - col("n_assigned")).cast("long").as("missing_assign"))
+  }
+
+  /** Search stage shared by the IVF variants and the structural check:
+    * per-probe in-cluster top-k over an existing assignment. */
+  private def ivfSearch(assigned: DataFrame, nProbes: Int,
+      k: Int): DataFrame = {
     val probes = assigned.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
         col("cluster"))

@@ -1295,6 +1295,20 @@ object QueryDefs {
       VectorOps.ivfTopKTrained(t(s, dir, "embeddings"), nProbes = 16, k = 5),
       None),
 
+    // Structural oracle for the trained path (same params as above):
+    // every output column is a violation count that is zero for ANY
+    // correct assignment/search regardless of the trained centroids, so
+    // the oracle is the constant all-zeros row — a genuine hash-match
+    // over the trained path's invariants (rnk density, score
+    // monotonicity, k cap, no self/dup pairs, assignment totality).
+    ("embed_ann_ivf_trained_check", (s: SparkSession, dir: String) =>
+      VectorOps.ivfTrainedCheck(t(s, dir, "embeddings"), nProbes = 16, k = 5),
+      Some(
+        """SELECT CAST(0 AS BIGINT) AS bad_rnk, CAST(0 AS BIGINT) AS over_k,
+          |  CAST(0 AS BIGINT) AS self_match, CAST(0 AS BIGINT) AS bad_probe,
+          |  CAST(0 AS BIGINT) AS dup_pairs, CAST(0 AS BIGINT) AS dup_assign,
+          |  CAST(0 AS BIGINT) AS missing_assign""".stripMargin)),
+
     ("embed_ann_lsh", (s: SparkSession, dir: String) =>
       VectorOps.annTopK(t(s, dir, "embeddings"), nProbes = 32, k = 3),
       Some(

@@ -349,6 +349,59 @@ class TextVectorSpec extends SparkSpec {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("nearDupClusters with a non-binding maxPostings matches exact mode") {
+    // every shingle in `docs` appears in at most 3 documents, so a cap of
+    // 10 never fires and the capped pair graph equals the exact one
+    val exact = TextOps.nearDupClusters(docs, threshold = 0.5)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val capped = TextOps.nearDupClusters(docs, threshold = 0.5,
+        maxPostings = 10)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(capped === exact)
+    // a cap of 1 drops every shared shingle -> no pairs, no clusters
+    val choked = TextOps.nearDupClusters(docs, threshold = 0.5,
+      maxPostings = 1)
+    assert(choked.isEmpty)
+  }
+
+  test("nearDupClusters rejects a driverEdgeLimit beyond Int indexing") {
+    val ex = intercept[IllegalArgumentException] {
+      TextOps.nearDupClusters(docs, threshold = 0.5,
+        driverEdgeLimit = Int.MaxValue.toLong + 1)
+    }
+    assert(ex.getMessage.contains("driverEdgeLimit"))
+  }
+
+  test("assignClusters rejects a zero-norm centroid") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val badBook = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 0.0f)))
+      .toDF("centroid_id", "c_emb")
+    val ex = intercept[IllegalArgumentException] {
+      VectorOps.assignClusters(emb, badBook)
+    }
+    assert(ex.getMessage.contains("zero norm"))
+  }
+
+  test("ivfTrainedCheck reports zero violations on a healthy corpus") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f, 0.0f), 0),
+      (2L, Array(0.8f, 0.2f, 0.1f), 0),
+      (3L, Array(0.0f, 1.0f, 0.0f), 1),
+      (4L, Array(0.1f, 0.9f, 0.0f), 1),
+      (5L, Array(0.0f, 0.8f, 0.2f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = VectorOps.ivfTrainedCheck(emb, nProbes = 2, k = 2,
+      nCentroids = 2).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert((0 until 7).forall(i => r.getLong(i) === 0L),
+      s"violation counts must all be zero, got $r")
+  }
+
   test("lshBucket puts identical vectors in the same bucket") {
     val emb = Seq(
       (0L, Array(1.0f, 2.0f, 3.0f), 0),
