@@ -67,12 +67,21 @@ object Bench {
       name -> median
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Timings rounded to 0.1 ms: full double precision tripled the line
+    // length and r5's driver-side tail capture truncated it mid-JSON,
+    // losing the total metric. Belt and braces: the line is also written
+    // to bench_out.json so a truncated capture can be reconstructed.
+    def r4(v: Double): Double = math.rint(v * 10000) / 10000
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val fs = failures.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fs,"runs_per_query":3,"sf":"$sfDir"}""")
+    val total = r4(results.collect { case (_, v) if v >= 0 => v }.sum)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fs,"runs_per_query":3,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_out.json"), line + "\n")
+    catch { case _: Throwable => () } // stdout line is the contract
+    println(line)
     spark.stop()
   }
 }
