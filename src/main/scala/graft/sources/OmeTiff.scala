@@ -41,9 +41,22 @@ object OmeTiff {
     * pruned-scan path used when a query never touches `planes.pixels`. */
   private[sources] def decodeRecord(path: String, modTime: Timestamp,
       bytes: Array[Byte], channelNames: Seq[String] = Nil,
-      withPixels: Boolean = true): OmeArrowRecord = {
-    val pages =
-      if (withPixels) TiffCodec.decode(bytes) else TiffCodec.decodeMeta(bytes)
+      withPixels: Boolean = true): OmeArrowRecord =
+    recordFromPages(path, modTime,
+      if (withPixels) TiffCodec.decode(bytes) else TiffCodec.decodeMeta(bytes),
+      channelNames)
+
+  /** Metadata-only decode over a random-access source: with
+    * [[TiffCodec.PagedTiffData]] only the header/IFD/tag ranges are read
+    * from storage — the v2 pruned-scan path never pulls pixel bytes. */
+  private[sources] def decodeRecordMeta(path: String, modTime: Timestamp,
+      data: TiffCodec.TiffData,
+      channelNames: Seq[String] = Nil): OmeArrowRecord =
+    recordFromPages(path, modTime, TiffCodec.decodeMeta(data), channelNames)
+
+  private def recordFromPages(path: String, modTime: Timestamp,
+      pages: Seq[TiffCodec.Page],
+      channelNames: Seq[String]): OmeArrowRecord = {
     val fileName = path.substring(path.lastIndexOf('/') + 1)
     val stem = fileName.replaceAll("(?i)\\.ome\\.tiff?$|\\.tiff?$", "")
     val xml = pages.head.description.filter(OmeXml.looksLikeOme).flatMap(OmeXml.parse)
@@ -66,10 +79,14 @@ object OmeTiff {
     }.toMap
     val planes = for {
       t <- 0 until st; c <- 0 until sc; z <- 0 until sz
-    } yield OmePlane(z, t, c.toShort,
-      if (withPixels)
-        byCoord((t, c, z)).pixels.toSeq.map(v => math.min(math.max(v, 0), 65535))
-      else Seq.empty)
+    } yield {
+      // a meta-only decode hands back empty pixel arrays (width/height
+      // are always > 0, so emptiness is unambiguous)
+      val px = byCoord((t, c, z)).pixels
+      OmePlane(z, t, c.toShort,
+        if (px.isEmpty) Seq.empty
+        else px.toSeq.map(v => math.min(math.max(v, 0), 65535)))
+    }
 
     val names = if (channelNames.nonEmpty) channelNames
       else xml.map(_.channelNames).getOrElse(Nil)

@@ -19,7 +19,7 @@ import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
 
 import graft.schema.{OmeArrowRecord, OmeChannel, OmePixelsMeta, OmePlane, OmeSchema}
-import graft.sources.OmeTiff
+import graft.sources.{OmeTiff, TiffCodec}
 
 /**
  * DataSourceV2 batch source for TIFF / OME-TIFF corpora:
@@ -33,9 +33,12 @@ import graft.sources.OmeTiff
  * `SupportsPushDownRequiredColumns`, so a query that never touches
  * `planes.pixels` — `describe`, shape joins, plane-coordinate queries,
  * `count(*)` — decodes TIFF headers/OME-XML only and skips every strip
- * decompression (see `TiffCodec.decodeMeta`). At 100 TB that turns
- * metadata analytics over an image lake from a full decode pass into a
- * header scan. Pixel-touching queries behave exactly like [[OmeTiff.read]].
+ * decompression, reading ONLY the header/IFD/tag-value byte ranges via
+ * demand-paged positioned reads (`TiffCodec.PagedTiffData`) — pixel
+ * payload bytes never leave storage. At 100 TB that turns metadata
+ * analytics over an image lake from a full decode pass into a true
+ * header scan, for I/O as well as CPU. Pixel-touching queries behave
+ * exactly like [[OmeTiff.read]].
  *
  * One file = one `InputPartition` — the same per-image parallelism as the
  * reference's per-file ingest loop (ingest.py:293-400), minus the driver
@@ -164,10 +167,23 @@ class OmeTiffPartitionReader(part: OmeTiffInputPartition,
     done = true
     val p = new Path(part.path)
     val fs = p.getFileSystem(conf.value)
-    val bytes = RecordRows.readFileFully(fs, p, part.len)
-    val rec = OmeTiff.decodeRecord(part.path,
-      new java.sql.Timestamp(part.modTimeMs), bytes, channelNames,
-      withPixels = RecordRows.pixelsRequired(required))
+    val ts = new java.sql.Timestamp(part.modTimeMs)
+    val rec =
+      if (RecordRows.pixelsRequired(required)) {
+        val bytes = RecordRows.readFileFully(fs, p, part.len)
+        OmeTiff.decodeRecord(part.path, ts, bytes, channelNames)
+      } else {
+        // metadata-only scan: demand-paged positioned reads fetch just
+        // the header/IFD/tag-value pages — the strip/tile payload bytes
+        // never leave storage (the 100 TB header-scan property holds
+        // for I/O as well as CPU)
+        val in = fs.open(p)
+        try OmeTiff.decodeRecordMeta(part.path, ts,
+          new TiffCodec.PagedTiffData(
+            (pos, b, o, n) => in.readFully(pos, b, o, n), part.len),
+          channelNames)
+        finally in.close()
+      }
     val vals: Array[Any] = required.fields.map {
       case StructField(n, dt: StructType, _, _) if n == OmeSchema.DefaultColumn =>
         RecordRows.record(rec, dt): Any

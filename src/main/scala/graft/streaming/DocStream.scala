@@ -116,6 +116,16 @@ object DocStream {
    * their window closes — "alert when a crawl batch contains eval data"
    * as a standing query. The batch counterpart is
    * `TextOps.contamination`.
+   *
+   * Redelivery-dedup guarantee is BOUNDED BY `lateness`: the
+   * `dropDuplicatesWithinWatermark` state only retains (doc_id, gram)
+   * keys until the watermark passes them, so a (doc_id, gram)
+   * redelivered more than `lateness` after first arrival is counted
+   * again and inflates `n_shared` relative to the batch operator's
+   * distinct-shared-gram contract. Size `lateness` to the SOURCE'S
+   * redelivery horizon (e.g. the Kafka max replay window on restart),
+   * not just to event-time disorder — it is both the lateness bound
+   * and the dedup retention.
    */
   def contaminationStream(docs: DataFrame, benchmark: DataFrame,
       n: Int = 3, minShared: Int = 2,

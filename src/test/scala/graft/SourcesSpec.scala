@@ -75,6 +75,33 @@ class SourcesSpec extends SparkSpec {
     assert(sums(one) === sums(back))
   }
 
+  test("paged metadata decode reads only header/IFD pages") {
+    // 64x64 16-bit page, uncompressed -> 8 KiB of pixel payload the
+    // metadata path must never fetch
+    val pages = Seq((64, 64, Array.tabulate(64 * 64)(_ % 65536)))
+    val bytes = TiffCodec.encode(pages, compression = "none")
+    val f = java.io.File.createTempFile("graft_paged", ".tiff")
+    java.nio.file.Files.write(f.toPath, bytes)
+    val raf = new java.io.RandomAccessFile(f, "r")
+    try {
+      val paged = new TiffCodec.PagedTiffData(
+        (pos, b, o, n) => { raf.seek(pos); raf.readFully(b, o, n) },
+        f.length, pageSize = 512)
+      val meta = TiffCodec.decodeMeta(paged)
+      // parity with the in-memory meta decode
+      val expect = TiffCodec.decodeMeta(bytes)
+      assert(meta.map(p => (p.width, p.height, p.bitsPerSample)) ===
+        expect.map(p => (p.width, p.height, p.bitsPerSample)))
+      assert(meta.head.pixels.isEmpty)
+      // the pixel strips span >= 16 of the ~17 512-byte pages; the
+      // header/IFD walk must touch only a handful
+      val totalPages = (f.length + 511) / 512
+      assert(totalPages >= 16, s"fixture too small: $totalPages pages")
+      assert(paged.pagesRead <= 4,
+        s"metadata decode read ${paged.pagesRead} of $totalPages pages")
+    } finally { raf.close(); f.delete() }
+  }
+
   test("O4: pattern grammar expansion") {
     val (nums, isNum) = OmeStack.expandRawToken("000-021")
     assert(nums.length === 22 && nums.head === "000" && nums.last === "021" && isNum)
