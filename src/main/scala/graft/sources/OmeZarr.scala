@@ -154,6 +154,8 @@ object OmeZarr {
       case "zstd" => com.github.luben.zstd.Zstd.compress(bytes, 3)
       case "blosc" => BloscCodec.compress(bytes, typesize = 2,
         cname = "zlib", shuffle = 1)
+      case "blosclz" => BloscCodec.compress(bytes, typesize = 2,
+        cname = "blosclz", shuffle = 1)
       case other => throw new IllegalArgumentException(
         s"Zarr: compressor '$other' unsupported")
     }
@@ -276,8 +278,8 @@ object OmeZarr {
       shardZ: Boolean = false,
       column: String = OmeSchema.DefaultColumn): Unit = {
     require(multiscaleLevels >= 1, "multiscaleLevels must be >= 1")
-    require(Set("zlib", "null", "blosc", "zstd").contains(compressor),
-      s"compressor '$compressor' unsupported (zlib/zstd/blosc/null)")
+    require(Set("zlib", "null", "blosc", "blosclz", "zstd").contains(compressor),
+      s"compressor '$compressor' unsupported (zlib/zstd/blosc/blosclz/null)")
     require(zarrFormat == 2 || zarrFormat == 3,
       s"zarrFormat must be 2 or 3, got $zarrFormat")
     require(!shardZ || zarrFormat == 3, "shardZ requires zarrFormat = 3")
@@ -323,6 +325,8 @@ object OmeZarr {
               """[{"name": "bytes", "configuration": {"endian": "little"}}, {"name": "gzip", "configuration": {"level": 6}}]"""
             case "blosc" =>
               """[{"name": "bytes", "configuration": {"endian": "little"}}, {"name": "blosc", "configuration": {"cname": "zlib", "clevel": 6, "shuffle": "shuffle", "typesize": 2, "blocksize": 0}}]"""
+            case "blosclz" =>
+              """[{"name": "bytes", "configuration": {"endian": "little"}}, {"name": "blosc", "configuration": {"cname": "blosclz", "clevel": 5, "shuffle": "shuffle", "typesize": 2, "blocksize": 0}}]"""
             case "zstd" =>
               """[{"name": "bytes", "configuration": {"endian": "little"}}, {"name": "zstd", "configuration": {"level": 3, "checksum": false}}]"""
             case _ =>
@@ -346,6 +350,8 @@ object OmeZarr {
             case "zlib" => """{"id": "zlib", "level": 6}"""
             case "blosc" =>
               """{"id": "blosc", "cname": "zlib", "clevel": 6, "shuffle": 1, "blocksize": 0}"""
+            case "blosclz" =>
+              """{"id": "blosc", "cname": "blosclz", "clevel": 5, "shuffle": 1, "blocksize": 0}"""
             case "zstd" => """{"id": "zstd", "level": 3}"""
             case _ => "null"
           }

@@ -69,10 +69,75 @@ class BloscZarrSpec extends SparkSpec {
     // codec-independently)
     val data = Array.fill(64)(7.toByte)
     val frame = BloscCodec.compress(data, 2, "zlib", 1)
-    frame(2) = (frame(2) & 0x1f).toByte // relabel as blosclz (codec 0)
+    frame(2) = ((frame(2) & 0x1f) | (5 << 5)).toByte // relabel to codec 5
     val ex = intercept[Exception] { BloscCodec.decompress(frame) }
-    assert(ex.getMessage.contains("blosclz") ||
-      ex.getCause.getMessage.contains("blosclz"))
+    assert(ex.getMessage.contains("codec id 5") ||
+      ex.getCause.getMessage.contains("codec id 5"))
+  }
+
+  test("blosclz: hand-crafted format streams decode (short/RLE/long forms)") {
+    // short match: literal "abc" then 6 bytes at distance 3
+    // (ctrl = 4<<5 -> len 4-1+3 = 6; code 2 -> distance 2+1 = 3)
+    val m = Array[Byte](2, 'a', 'b', 'c', (4 << 5).toByte, 2)
+    val out1 = new Array[Byte](9)
+    BloscCodec.blosclzDecompress(m, 0, m.length, out1, 0, 9)
+    assert(new String(out1, "UTF-8") === "abcabcabc")
+    // RLE long form: 1 literal 'x' then a 300-byte distance-1 match
+    // (top field 7 -> len 6, +255 +36 continuation, +3 = 300)
+    val r = Array[Byte](0, 'x', (7 << 5).toByte, 255.toByte, 36, 0)
+    val out2 = new Array[Byte](301)
+    BloscCodec.blosclzDecompress(r, 0, r.length, out2, 0, 301)
+    assert(out2.forall(_ === 'x'.toByte))
+    // long-distance escape: 8224 literals then 6 bytes from position 0
+    // (code 255 + ofs 31<<8 -> d16 = 32, distance = 32 + 8192 = 8224)
+    val lits = Array.tabulate(8224)(i => (i % 251).toByte)
+    val s = new java.io.ByteArrayOutputStream()
+    var off = 0
+    while (off < lits.length) { s.write(31); s.write(lits, off, 32); off += 32 }
+    s.write((4 << 5) | 31); s.write(255); s.write(0); s.write(32)
+    val stream = s.toByteArray
+    val out3 = new Array[Byte](8230)
+    BloscCodec.blosclzDecompress(stream, 0, stream.length, out3, 0, 8230)
+    assert(out3.take(8224).toSeq === lits.toSeq)
+    assert(out3.drop(8224).toSeq === lits.take(6).toSeq)
+  }
+
+  test("blosclz: encoder output round-trips through the decoder") {
+    val cases = Seq(
+      Array.fill(512)(9.toByte),                          // pure run
+      Array.tabulate(999)(i => (i % 13).toByte),          // no runs
+      Array.tabulate(1000)(i =>                           // mixed
+        if ((i / 37) % 2 == 0) 7.toByte else (i % 251).toByte),
+      Array[Byte](1, 2, 3),                               // tiny
+      Array.tabulate(300)(_ => 'z'.toByte)                // long RLE
+    )
+    cases.foreach { data =>
+      val enc = BloscCodec.blosclzCompress(data)
+      val out = new Array[Byte](data.length)
+      BloscCodec.blosclzDecompress(enc, 0, enc.length, out, 0, data.length)
+      assert(out.toSeq === data.toSeq, s"case of ${data.length} bytes")
+    }
+    // full frame (header + shuffle + split policy) through the public API
+    val data = Array.tabulate(4096)(i => ((i / 64) % 7).toByte)
+    val frame = BloscCodec.compress(data, 2, "blosclz", 1)
+    assert((frame(2) >> 5 & 0x7) === 0) // codec id 0 = blosclz
+    assert(BloscCodec.decompress(frame).toSeq === data.toSeq)
+  }
+
+  test("O9+O5: blosclz-compressed Zarr v2 store round-trips") {
+    val one = Fixtures.corpus4d(spark).filter(col("ome_arrow.id") === "i4d-0001")
+    graft.sources.OmeZarr.write(one, "/tmp/graft_test_blosclz/i4d-0001.zarr",
+      compressor = "blosclz")
+    val zarray = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/tmp/graft_test_blosclz/i4d-0001.zarr/0/.zarray")), "UTF-8")
+    assert(zarray.contains("\"cname\": \"blosclz\""))
+    val back = graft.sources.OmeZarr.read(spark,
+      "/tmp/graft_test_blosclz/i4d-0001.zarr")
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      OmeOps.explodePlanes(df).select(col("t"), col("c"), col("z"),
+        aggregate(col("pixels"), lit(0L), (a, v) => a + v))
+        .orderBy(col("t"), col("c"), col("z")).collect().toSeq
+    assert(sums(one) === sums(back))
   }
 
   test("Blosc: snappy-codec frames decode (hand-assembled, numcodecs shape)") {
