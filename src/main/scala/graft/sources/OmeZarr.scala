@@ -276,6 +276,7 @@ object OmeZarr {
       compressor: String = "zlib",
       zarrFormat: Int = 2,
       shardZ: Boolean = false,
+      chunks: Option[Seq[Int]] = None,
       column: String = OmeSchema.DefaultColumn): Unit = {
     require(multiscaleLevels >= 1, "multiscaleLevels must be >= 1")
     require(Set("zlib", "null", "blosc", "blosclz", "zstd").contains(compressor),
@@ -283,6 +284,13 @@ object OmeZarr {
     require(zarrFormat == 2 || zarrFormat == 3,
       s"zarrFormat must be 2 or 3, got $zarrFormat")
     require(!shardZ || zarrFormat == 3, "shardZ requires zarrFormat = 3")
+    // arbitrary TCZYX chunk shapes (export.py:342-348 semantics): multi-
+    // plane chunks batch t/c/z, sub-plane chunks split big Y×X planes
+    chunks.foreach { ch =>
+      require(ch.length == 5 && ch.forall(_ >= 1),
+        s"chunks must be 5 positive extents (got $ch)")
+      require(!shardZ, "chunks and shardZ are mutually exclusive")
+    }
     val v3 = zarrFormat == 3
     // the v3 container has no zlib codec; deflate rides its gzip codec
     val chunkComp = if (v3 && compressor == "zlib") "gzip" else compressor
@@ -337,10 +345,12 @@ object OmeZarr {
               s"""[{"name": "sharding_indexed", "configuration": {"chunk_shape": [1, 1, 1, $ly, $lx], "codecs": $inner, "index_codecs": [{"name": "bytes", "configuration": {"endian": "little"}}, {"name": "crc32c"}], "index_location": "end"}}]"""
             else inner
           val gridZ = if (shardZ) m.getInt(3) else 1
+          val gridShape = chunks.map(_.mkString(", "))
+            .getOrElse(s"1, 1, $gridZ, $ly, $lx")
           writeText(fs, new Path(new Path(root, l.toString), "zarr.json"),
             s"""{"zarr_format": 3, "node_type": "array",
                | "shape": [${shape.mkString(", ")}], "data_type": "uint16",
-               | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [1, 1, $gridZ, $ly, $lx]}},
+               | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [$gridShape]}},
                | "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
                | "fill_value": 0, "codecs": $codecs,
                | "dimension_names": ["t", "c", "z", "y", "x"]}"""
@@ -357,7 +367,8 @@ object OmeZarr {
           }
           writeText(fs, new Path(new Path(root, l.toString), ".zarray"),
             s"""{"zarr_format": 2, "shape": [${shape.mkString(", ")}],
-               | "chunks": [1, 1, 1, $ly, $lx],
+               | "chunks": [${chunks.map(_.mkString(", "))
+                 .getOrElse(s"1, 1, 1, $ly, $lx")}],
                | "dtype": "<u2", "compressor": $comp, "fill_value": 0,
                | "order": "C", "filters": null, "dimension_separator": "."}"""
               .stripMargin.replace("\n", ""))
@@ -450,7 +461,7 @@ object OmeZarr {
               finally os.close()
             }
           }
-      } else {
+      } else if (chunks.isEmpty) {
         planes.select(col("image_id"), col("t"), col("c"), col("z"),
             col("size_x"), col("size_y"), col("pixels"))
           .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
@@ -462,6 +473,76 @@ object OmeZarr {
                 if (v3) new Path(dir, s"c/${r.getInt(1)}/${r.getInt(2)}/${r.getInt(3)}/0/0")
                 else new Path(dir, s"${r.getInt(1)}.${r.getInt(2)}.${r.getInt(3)}.0.0")
               val payload = encodeChunk(packU16LE(r.getSeq[Int](6)), chunkComp)
+              val fs = chunkPath.getFileSystem(serConf.value)
+              fs.setWriteChecksum(false)
+              val os = fs.create(chunkPath, true)
+              try os.write(payload) finally os.close()
+            }
+          }
+      } else {
+        // General chunk grid: each plane contributes one piece per
+        // intersected (yg, xg) cell; pieces shuffle ONCE keyed by chunk
+        // cell and each chunk file is assembled zero-padded in its
+        // writing task. Distributed in the number of chunks — no task
+        // ever holds more than one chunk's buffer, so huge-plane stores
+        // (the 100 TB case sub-plane chunking exists for) write without
+        // any whole-plane-sized allocation beyond the input row itself.
+        val Seq(ct, cc2, cz, cy, cx) = chunks.get
+        val sp2 = spark
+        import sp2.implicits._
+        planes.select(col("image_id"), col("t"), col("c"), col("z"),
+            col("size_y"), col("size_x"), col("pixels"))
+          .as[(String, Int, Int, Int, Int, Int, Seq[Int])]
+          .flatMap { case (id, t, ch, z, sy, sx, px) =>
+            val nyg = (sy + cy - 1) / cy
+            val nxg = (sx + cx - 1) / cx
+            val slot = ((t % ct) * cc2 + (ch % cc2)) * cz + (z % cz)
+            for (yg <- 0 until nyg; xg <- 0 until nxg) yield {
+              val gy = yg * cy; val gx = xg * cx
+              val h = math.min(cy, sy - gy); val w = math.min(cx, sx - gx)
+              val piece = new Array[Int](h * w)
+              var r = 0
+              while (r < h) {
+                var q = 0
+                while (q < w) { piece(r * w + q) = px((gy + r) * sx + gx + q); q += 1 }
+                r += 1
+              }
+              (id, t / ct, ch / cc2, z / cz, yg, xg, slot, h, w, piece.toSeq)
+            }
+          }
+          .toDF("image_id", "tg", "cg", "zg", "yg", "xg", "slot", "h", "w", "px")
+          .groupBy(col("image_id"), col("tg"), col("cg"), col("zg"),
+            col("yg"), col("xg"))
+          .agg(collect_list(struct(col("slot"), col("h"), col("w"),
+            col("px"))).as("pieces"))
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            it.foreach { r =>
+              val id = r.getString(0)
+              val dir = if (single) new Path(out, l.toString)
+                else new Path(new Path(out, s"$id.zarr"), l.toString)
+              val key = (1 to 5).map(r.getInt)
+              val chunkPath =
+                if (v3) new Path(dir, "c/" + key.mkString("/"))
+                else new Path(dir, key.mkString("."))
+              val buf = new Array[Byte](ct * cc2 * cz * cy * cx * 2)
+              r.getSeq[org.apache.spark.sql.Row](6).foreach { pc =>
+                val base = pc.getInt(0) * cy * cx
+                val h = pc.getInt(1); val w = pc.getInt(2)
+                val ppx = pc.getSeq[Int](3)
+                var rr = 0
+                while (rr < h) {
+                  var q = 0
+                  while (q < w) {
+                    val v = ppx(rr * w + q)
+                    val o = (base + rr * cx + q) * 2
+                    buf(o) = (v & 0xff).toByte
+                    buf(o + 1) = ((v >> 8) & 0xff).toByte
+                    q += 1
+                  }
+                  rr += 1
+                }
+              }
+              val payload = encodeChunk(buf, chunkComp)
               val fs = chunkPath.getFileSystem(serConf.value)
               fs.setWriteChecksum(false)
               val os = fs.create(chunkPath, true)
@@ -491,7 +572,22 @@ object OmeZarr {
       comp: String, big: Boolean, u1: Boolean, v3: Boolean, sep: String,
       shardT: Int = 0, shardC: Int = 0, shardZ: Int = 0,
       shardCrc: Boolean = false, shardIdxEnd: Boolean = true,
-      shardIdxBig: Boolean = false)
+      shardIdxBig: Boolean = false,
+      // chunk grid (arbitrary shapes supported on the non-sharded path);
+      // chY/chX of 0 mean "whole plane" (the write default)
+      chT: Int = 1, chC: Int = 1, chZ: Int = 1, chY: Int = 0, chX: Int = 0) {
+    /** Effective per-axis chunk extents (0 -> whole plane). */
+    def cT: Int = math.max(chT, 1)
+    def cC: Int = math.max(chC, 1)
+    def cZ: Int = math.max(chZ, 1)
+    def cY: Int = if (chY <= 0) sy else chY
+    def cX: Int = if (chX <= 0) sx else chX
+    /** One chunk file = one whole plane (the fast path, no assembly). */
+    def planeChunked: Boolean =
+      cT == 1 && cC == 1 && cZ == 1 && cY >= sy && cX >= sx
+    /** Chunks split planes in y/x — planes need cross-chunk assembly. */
+    def subPlane: Boolean = cY < sy || cX < sx
+  }
 
   /** Parse one store's metadata (driver-side, metadata-scale); detects
     * v3 (`zarr.json` present) vs v2 (`.zarray`/`.zattrs`). */
@@ -512,9 +608,8 @@ object OmeZarr {
       throw new IllegalArgumentException(s"Zarr: $storePath has no shape"))
     require(shape.length == 5, s"Zarr: expected 5-D TCZYX shape, got $shape")
     val chunks = jsonIntArray(zarray, "chunks").get.map(_.toInt)
-    require(chunks.take(3).forall(_ == 1) &&
-      chunks(3) == shape(3) && chunks(4) == shape(4),
-      s"Zarr: only one-chunk-per-plane layout supported (chunks=$chunks)")
+    require(chunks.length == 5 && chunks.forall(_ >= 1),
+      s"Zarr: chunks must be 5 positive extents (chunks=$chunks)")
     val dtype = jsonString(zarray, "dtype").getOrElse("<u2")
     require(Set("<u2", "|u1", ">u2").contains(dtype),
       s"Zarr: dtype '$dtype' unsupported (u1/u2 only)")
@@ -544,7 +639,9 @@ object OmeZarr {
       imageName(attrs).getOrElse(root.getName),
       shape(0).toInt, shape(1).toInt, shape(2).toInt, shape(3).toInt,
       shape(4).toInt, scale(4).toFloat, scale(3).toFloat, scale(2).toFloat,
-      chanNames, compId, dtype == ">u2", dtype == "|u1", v3 = false, sep = ".")
+      chanNames, compId, dtype == ">u2", dtype == "|u1", v3 = false, sep = ".",
+      chT = chunks(0), chC = chunks(1), chZ = chunks(2),
+      chY = chunks(3), chX = chunks(4))
   }
 
   private def parseConfigV3(fs: org.apache.hadoop.fs.FileSystem, root: Path,
@@ -591,9 +688,8 @@ object OmeZarr {
 
     val (comp, big, shardDims, shardIdx) = shardObj match {
       case None =>
-        require(chunks.take(3).forall(_ == 1) &&
-          chunks(3) == shape(3) && chunks(4) == shape(4),
-          s"Zarr: only one-chunk-per-plane layout supported (chunks=$chunks)")
+        require(chunks.length == 5 && chunks.forall(_ >= 1),
+          s"Zarr: chunk_shape must be 5 positive extents (chunks=$chunks)")
         val (c, b) = chainInfo(codecsStr)
         (c, b, (0, 0, 0), (false, true, false))
       case Some(obj) =>
@@ -631,7 +727,12 @@ object OmeZarr {
       chanNames, comp, big, dtype == "uint8", v3 = true, sep = sep,
       shardT = shardDims._1, shardC = shardDims._2, shardZ = shardDims._3,
       shardCrc = shardIdx._1, shardIdxEnd = shardIdx._2,
-      shardIdxBig = shardIdx._3)
+      shardIdxBig = shardIdx._3,
+      chT = if (shardObj.isEmpty) chunks(0) else 1,
+      chC = if (shardObj.isEmpty) chunks(1) else 1,
+      chZ = if (shardObj.isEmpty) chunks(2) else 1,
+      chY = if (shardObj.isEmpty) chunks(3) else 0,
+      chX = if (shardObj.isEmpty) chunks(4) else 0)
   }
 
   /** All chunk file paths of one store's level (driver-side listing). */
@@ -656,7 +757,7 @@ object OmeZarr {
         .map(_.toString).toSeq
     } else {
       fs.listStatus(levelDir).filter(_.isFile)
-        .map(_.getPath).filter(_.getName.matches("""\d+\.\d+\.\d+\.0\.0"""))
+        .map(_.getPath).filter(_.getName.matches("""\d+(\.\d+){4}"""))
         .map(_.toString).toSeq
     }
   }
@@ -685,7 +786,34 @@ object OmeZarr {
 
     val (t0, c0, z0) = chunkCoords(p)
     if (c.shardT == 0) {
-      Seq((t0, c0, z0, toPixels(decodeChunk(raw, c.comp, expect))))
+      if (c.planeChunked)
+        Seq((t0, c0, z0, toPixels(decodeChunk(raw, c.comp, expect))))
+      else {
+        // multi-plane chunks with whole-plane y/x extents: slice each
+        // contained full plane out of the C-order [t,c,z,y,x] buffer.
+        // Sub-plane chunks route through decodeChunkPieces instead.
+        require(!c.subPlane,
+          s"Zarr chunk $p: sub-plane chunks require the piece path")
+        val bpp = if (c.u1) 1 else 2
+        val planeBytes = c.sy * c.sx * bpp
+        val nSlabs = c.cT * c.cC * c.cZ
+        val bytes = decodeChunk(raw, c.comp, nSlabs * planeBytes)
+        require(bytes.length >= nSlabs * planeBytes,
+          s"Zarr chunk $p: ${bytes.length} bytes < ${nSlabs * planeBytes}")
+        for {
+          dt <- 0 until c.cT
+          dc <- 0 until c.cC
+          dz <- 0 until c.cZ
+          t = t0 * c.cT + dt
+          ch = c0 * c.cC + dc
+          z = z0 * c.cZ + dz
+          if t < c.st && ch < c.sc && z < c.sz // edge-chunk padding
+        } yield {
+          val slab = (dt * c.cC + dc) * c.cZ + dz
+          (t, ch, z, toPixels(java.util.Arrays.copyOfRange(bytes,
+            slab * planeBytes, (slab + 1) * planeBytes)))
+        }
+      }
     } else {
       // shard file: (t0,c0,z0) are SHARD-grid coords; the index is n
       // u64-LE (offset, nbytes) pairs in t-major inner-grid order,
@@ -726,18 +854,90 @@ object OmeZarr {
 
   /** (t, c, z) from a chunk path, across both container layouts. */
   private[sources] def chunkCoords(path: String): (Int, Int, Int) = {
+    val (t, c, z, _, _) = chunkCoords5(path)
+    (t, c, z)
+  }
+
+  /** All five chunk-GRID indices from a chunk path. */
+  private[sources] def chunkCoords5(path: String): (Int, Int, Int, Int, Int) = {
     val parts = path.split('/')
     val last = parts.last
     if (last.startsWith("c.")) { // v3 "." separator
       val n = last.split("\\.")
-      (n(1).toInt, n(2).toInt, n(3).toInt)
-    } else if (last.contains('.')) { // v2 "t.c.z.0.0"
+      (n(1).toInt, n(2).toInt, n(3).toInt, n(4).toInt, n(5).toInt)
+    } else if (last.contains('.')) { // v2 "t.c.z.y.x"
       val n = last.split("\\.")
-      (n(0).toInt, n(1).toInt, n(2).toInt)
+      (n(0).toInt, n(1).toInt, n(2).toInt, n(3).toInt, n(4).toInt)
     } else { // v3 "/" separator: .../c/<t>/<c>/<z>/<y>/<x>
       val L = parts.length
-      (parts(L - 5).toInt, parts(L - 4).toInt, parts(L - 3).toInt)
+      (parts(L - 5).toInt, parts(L - 4).toInt, parts(L - 3).toInt,
+        parts(L - 2).toInt, parts(L - 1).toInt)
     }
+  }
+
+  /**
+   * Decode one SUB-PLANE-chunked file into plane pieces
+   * `(t, c, z, gy, gx, h, w, pixels)` — `gy/gx` the piece's top-left in
+   * the full plane, `pixels` row-major h×w. Planes are then assembled
+   * across files by [[assemblePlane]] (distributed: a plane-keyed
+   * aggregation in the DataFrame reader; local: per-store in the v2
+   * partition reader).
+   */
+  private[sources] def decodeChunkPieces(c: StoreConfig, p: String,
+      raw: Array[Byte]): Seq[(Int, Int, Int, Int, Int, Int, Int, Seq[Int])] = {
+    require(c.shardT == 0, s"Zarr chunk $p: pieces only on the non-sharded path")
+    val (t0, c0, z0, y0, x0) = chunkCoords5(p)
+    val bpp = if (c.u1) 1 else 2
+    val gy = y0 * c.cY; val gx = x0 * c.cX
+    val h = math.min(c.cY, c.sy - gy)
+    val w = math.min(c.cX, c.sx - gx)
+    require(h > 0 && w > 0, s"Zarr chunk $p: grid cell outside array shape")
+    val chunkPixels = c.cT * c.cC * c.cZ * c.cY * c.cX
+    val bytes = decodeChunk(raw, c.comp, chunkPixels * bpp)
+    require(bytes.length >= chunkPixels * bpp,
+      s"Zarr chunk $p: ${bytes.length} bytes < ${chunkPixels * bpp}")
+    val bb = ByteBuffer.wrap(bytes)
+      .order(if (c.big) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    for {
+      dt <- 0 until c.cT
+      dc <- 0 until c.cC
+      dz <- 0 until c.cZ
+      t = t0 * c.cT + dt
+      ch = c0 * c.cC + dc
+      z = z0 * c.cZ + dz
+      if t < c.st && ch < c.sc && z < c.sz // edge-chunk padding
+    } yield {
+      val slabBase = ((dt * c.cC + dc) * c.cZ + dz) * c.cY * c.cX
+      val px = new Array[Int](h * w)
+      var r = 0
+      while (r < h) {
+        var q = 0
+        while (q < w) {
+          val idx = slabBase + r * c.cX + q
+          px(r * w + q) =
+            if (c.u1) bytes(idx) & 0xff else bb.getShort(idx * 2) & 0xffff
+          q += 1
+        }
+        r += 1
+      }
+      (t, ch, z, gy, gx, h, w, px.toSeq)
+    }
+  }
+
+  /** Scatter one plane's pieces `(gy, gx, h, w, px)` into a
+    * zero-initialized sy×sx plane (missing chunks stay fill_value 0). */
+  private[sources] def assemblePlane(c: StoreConfig,
+      pieces: Iterator[(Int, Int, Int, Int, Seq[Int])]): Seq[Int] = {
+    val out = new Array[Int](c.sy * c.sx)
+    pieces.foreach { case (gy, gx, h, w, px) =>
+      var r = 0
+      while (r < h) {
+        var q = 0
+        while (q < w) { out((gy + r) * c.sx + gx + q) = px(r * w + q); q += 1 }
+        r += 1
+      }
+    }
+    out.toSeq
   }
 
   /**
@@ -762,21 +962,45 @@ object OmeZarr {
     // lone config directly instead
     val loneStem = if (configs.size == 1) configs.head.stem else null
 
-    val planeRows = spark.read.format("binaryFile")
+    def stemOf(p: String): String =
+      if (loneStem != null) loneStem
+      else {
+        val parts = p.split('/')
+        parts(parts.lastIndexWhere(_.endsWith(".zarr"))).stripSuffix(".zarr")
+      }
+    val binRows = spark.read.format("binaryFile")
       .load(chunkPaths: _*)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .flatMap { case (p, raw) =>
-        val parts = p.split('/')
-        val stem =
-          if (loneStem != null) loneStem
-          else parts(parts.lastIndexWhere(_.endsWith(".zarr")))
-            .stripSuffix(".zarr")
-        val c = confB.value(stem)
-        decodeChunkFile(c, p, raw).map { case (t, ch, z, px) =>
-          (stem, t, ch, z, px)
-        }
-      }.toDF("image_id", "t", "c", "z", "pixels")
+    // Sub-plane-chunked stores need their planes assembled across chunk
+    // files: one extra plane-keyed aggregation, taken ONLY when such a
+    // store is present (known at plan time) so the common layouts keep
+    // the single-shuffle plan.
+    val anySub = configs.exists(c => c.shardT == 0 && c.subPlane)
+    val planeRows =
+      if (!anySub)
+        binRows.flatMap { case (p, raw) =>
+          val stem = stemOf(p)
+          decodeChunkFile(confB.value(stem), p, raw)
+            .map { case (t, ch, z, px) => (stem, t, ch, z, px) }
+        }.toDF("image_id", "t", "c", "z", "pixels")
+      else
+        binRows.flatMap { case (p, raw) =>
+          val stem = stemOf(p)
+          val c = confB.value(stem)
+          if (c.shardT > 0 || !c.subPlane)
+            decodeChunkFile(c, p, raw).map { case (t, ch, z, px) =>
+              (stem, t, ch, z, 0, 0, c.sy, c.sx, px)
+            }
+          else decodeChunkPieces(c, p, raw)
+            .map { case (t, ch, z, gy, gx, h, w, px) =>
+              (stem, t, ch, z, gy, gx, h, w, px)
+            }
+        }.groupByKey(r => (r._1, r._2, r._3, r._4))
+          .mapGroups { (key, it) =>
+            (key._1, key._2, key._3, key._4, assemblePlane(confB.value(key._1),
+              it.map(r => (r._5, r._6, r._7, r._8, r._9))))
+          }.toDF("image_id", "t", "c", "z", "pixels")
 
     // zero-fill grid for every store, generated on executors
     val grid = spark.createDataset(configs.map(c =>

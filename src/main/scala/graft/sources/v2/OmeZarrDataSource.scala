@@ -135,14 +135,26 @@ private[v2] class OmeZarrPartitionReader(part: OmeZarrInputPartition,
   override def next(): Boolean = {
     if (done) return false
     done = true
+    def readBytes(cp: String): Array[Byte] = {
+      val p = new Path(cp)
+      val fs = p.getFileSystem(conf.value)
+      RecordRows.readFileFully(fs, p, fs.getFileStatus(p).getLen)
+    }
+    val cfg = part.config
     val decoded: Map[(Int, Int, Int), Seq[Int]] =
       if (!part.needPixels) Map.empty
+      else if (cfg.shardT == 0 && cfg.subPlane)
+        // sub-plane chunks: assemble planes locally (one store = one
+        // partition, so every piece of a plane is in hand)
+        part.chunkPaths
+          .flatMap(cp => OmeZarr.decodeChunkPieces(cfg, cp, readBytes(cp)))
+          .groupBy(pc => (pc._1, pc._2, pc._3))
+          .map { case (k, ps) =>
+            k -> OmeZarr.assemblePlane(cfg,
+              ps.iterator.map(p => (p._4, p._5, p._6, p._7, p._8)))
+          }
       else part.chunkPaths.flatMap { cp =>
-        val p = new Path(cp)
-        val fs = p.getFileSystem(conf.value)
-        val bytes = RecordRows.readFileFully(fs, p,
-          fs.getFileStatus(p).getLen)
-        OmeZarr.decodeChunkFile(part.config, cp, bytes)
+        OmeZarr.decodeChunkFile(cfg, cp, readBytes(cp))
           .map { case (t, c, z, px) => (t, c, z) -> px }
       }.toMap
     val rec = OmeZarr.configToRecord(part.config, decoded, part.needPixels)

@@ -124,6 +124,54 @@ class BloscZarrSpec extends SparkSpec {
     assert(BloscCodec.decompress(frame).toSeq === data.toSeq)
   }
 
+  private def planeSums(df: org.apache.spark.sql.DataFrame) =
+    OmeOps.explodePlanes(df).select(col("t"), col("c"), col("z"),
+      aggregate(col("pixels"), lit(0L), (a, v) => a + v))
+      .orderBy(col("t"), col("c"), col("z")).collect().toSeq
+
+  test("O9+O5: arbitrary chunk shapes round-trip (multi-z + sub-plane)") {
+    // i4d is T2 C2 Z2 Y8 X8; chunks [1,1,2,4,8] batch both z planes and
+    // split each plane into two 4-row slabs -> multi-plane AND sub-plane
+    val one = Fixtures.corpus4d(spark).filter(col("ome_arrow.id") === "i4d-0003")
+    graft.sources.OmeZarr.write(one, "/tmp/graft_test_chunks/i4d-0003.zarr",
+      chunks = Some(Seq(1, 1, 2, 4, 8)))
+    val zarray = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/tmp/graft_test_chunks/i4d-0003.zarr/0/.zarray")), "UTF-8")
+    assert(zarray.contains("\"chunks\": [1, 1, 2, 4, 8]"))
+    // chunk files carry real y-grid indices now
+    assert(new java.io.File("/tmp/graft_test_chunks/i4d-0003.zarr/0/0.0.0.1.0").exists)
+    val back = graft.sources.OmeZarr.read(spark,
+      "/tmp/graft_test_chunks/i4d-0003.zarr")
+    assert(planeSums(one) === planeSums(back))
+    // pixel-exact, not just sums: first plane byte-for-byte
+    val p0 = OmeOps.explodePlanes(back)
+      .filter(col("t") === 0 && col("c") === 0 && col("z") === 0)
+      .select(col("pixels")).collect()(0).getSeq[Int](0)
+    val e0 = OmeOps.explodePlanes(one)
+      .filter(col("t") === 0 && col("c") === 0 && col("z") === 0)
+      .select(col("pixels")).collect()(0).getSeq[Int](0)
+    assert(p0 === e0)
+  }
+
+  test("O9+O5: odd sub-plane chunk shapes pad edges correctly (v3)") {
+    // 5x3 chunks over 8x8 planes: ragged edges in both y and x
+    val one = Fixtures.corpus4d(spark).filter(col("ome_arrow.id") === "i4d-0000")
+    graft.sources.OmeZarr.write(one, "/tmp/graft_test_chunks3/i4d-0000.zarr",
+      zarrFormat = 3, chunks = Some(Seq(2, 1, 1, 5, 3)))
+    val back = graft.sources.OmeZarr.read(spark,
+      "/tmp/graft_test_chunks3/i4d-0000.zarr")
+    assert(planeSums(one) === planeSums(back))
+  }
+
+  test("omezarr v2 source reads a sub-plane-chunked store") {
+    val one = Fixtures.corpus4d(spark).filter(col("ome_arrow.id") === "i4d-0002")
+    graft.sources.OmeZarr.write(one, "/tmp/graft_test_chunks_dsv2/i4d-0002.zarr",
+      chunks = Some(Seq(1, 1, 1, 4, 4)))
+    val back = spark.read.format("omezarr")
+      .load("/tmp/graft_test_chunks_dsv2/i4d-0002.zarr")
+    assert(planeSums(one) === planeSums(back))
+  }
+
   test("O9+O5: blosclz-compressed Zarr v2 store round-trips") {
     val one = Fixtures.corpus4d(spark).filter(col("ome_arrow.id") === "i4d-0001")
     graft.sources.OmeZarr.write(one, "/tmp/graft_test_blosclz/i4d-0001.zarr",
