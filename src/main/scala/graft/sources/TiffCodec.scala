@@ -11,6 +11,9 @@ import java.util.zip.Inflater
  *  - classic TIFF (II/MM), strip- OR tile-organized (tags 322-325),
  *    grayscale 8/16-bit, 1 sample/pixel, uncompressed, Deflate/zlib
  *    (codes 8 and 32946) or PackBits (32773) — decode and encode;
+ *  - BigTIFF (magic 43: 8-byte offsets, 20-byte IFD entries, LONG8
+ *    types — the public spec, what large microscopy writers emit past
+ *    4 GiB) — decode;
  *  - multi-page (IFD chain) -> multiple planes;
  *  - `ImageDescription` carried verbatim so OME-XML sizes can be parsed.
  *
@@ -47,6 +50,11 @@ object TiffCodec {
       val c = getU8(off + 2); val d = getU8(off + 3)
       if (ord == ByteOrder.LITTLE_ENDIAN) (d << 24) | (c << 16) | (b << 8) | a
       else (a << 24) | (b << 16) | (c << 8) | d
+    }
+    final def getLong(off: Long): Long = {
+      val lo = getInt(off).toLong & 0xffffffffL
+      val hi = getInt(off + 4).toLong & 0xffffffffL
+      if (ord == ByteOrder.LITTLE_ENDIAN) (hi << 32) | lo else (lo << 32) | hi
     }
   }
 
@@ -134,12 +142,22 @@ object TiffCodec {
       case _ => throw new IllegalArgumentException("Not a TIFF: bad byte-order mark")
     }
     data.setOrder(order)
-    require(data.getShort(2) == 42, "Not a classic TIFF (magic != 42)")
-    var ifdOffset = data.getInt(4).toLong & 0xffffffffL
+    // magic 42 = classic TIFF (4-byte offsets, 12-byte IFD entries);
+    // magic 43 = BigTIFF (8-byte offsets, 20-byte entries, LONG8 types)
+    // — the public BigTIFF spec, used by large microscopy writers
+    val magic = data.getShort(2).toInt
+    val big = magic == 43
+    require(magic == 42 || big, s"Not a TIFF (magic $magic != 42/43)")
+    var ifdOffset =
+      if (big) {
+        require(data.getShort(4) == 8 && data.getShort(6) == 0,
+          "BigTIFF: offset bytesize must be 8 with reserved 0")
+        data.getLong(8)
+      } else data.getInt(4).toLong & 0xffffffffL
     val pages = Seq.newBuilder[Page]
     var guard = 0
     while (ifdOffset != 0 && guard < 65536) {
-      val (page, next) = decodeIfd(data, ifdOffset, withPixels)
+      val (page, next) = decodeIfd(data, ifdOffset, withPixels, big)
       pages += page
       ifdOffset = next
       guard += 1
@@ -147,28 +165,33 @@ object TiffCodec {
     pages.result()
   }
 
-  private def entryValues(buf: TiffData, e: IfdEntry): Array[Long] = {
+  private def entryValues(buf: TiffData, e: IfdEntry,
+      big: Boolean): Array[Long] = {
     val elemSize = e.typ match {
-      case 1 | 2 | 6 | 7 => 1 // BYTE/ASCII/SBYTE/UNDEFINED
-      case 3 | 8 => 2         // SHORT/SSHORT
-      case 4 | 9 | 11 => 4    // LONG/SLONG/FLOAT
-      case 5 | 10 | 12 => 8   // RATIONAL/SRATIONAL/DOUBLE
+      case 1 | 2 | 6 | 7 => 1   // BYTE/ASCII/SBYTE/UNDEFINED
+      case 3 | 8 => 2           // SHORT/SSHORT
+      case 4 | 9 | 11 => 4      // LONG/SLONG/FLOAT
+      case 5 | 10 | 12 => 8     // RATIONAL/SRATIONAL/DOUBLE
+      case 16 | 17 | 18 => 8    // LONG8/SLONG8/IFD8 (BigTIFF)
       case t => throw new IllegalArgumentException(s"TIFF type $t unsupported")
     }
+    val inlineCap = if (big) 8 else 4
     val total = elemSize * e.count
     // a corrupt/hostile count field must not drive the allocation below:
     // out-of-line values have to fit inside the file (fuzz finding r4)
-    require(total <= 4 || e.valueOffset + total <= buf.length,
+    require(total <= inlineCap || e.valueOffset + total <= buf.length,
       s"TIFF: entry tag ${e.tag} claims $total value bytes past end of file")
-    // values <= 4 bytes are stored inline in the value/offset field
-    val base = if (total <= 4) -1L else e.valueOffset
+    // values <= inlineCap bytes are stored inline in the value/offset field
+    val base = if (total <= inlineCap) -1L else e.valueOffset
     def at(i: Int): Long = {
       val off = if (base < 0) inlineOffset(e) + i * elemSize else base + i * elemSize
       elemSize match {
         case 1 => buf.get(off).toLong & 0xffL
         case 2 => buf.getShort(off).toLong & 0xffffL
         case 4 => buf.getInt(off).toLong & 0xffffffffL
-        case 8 => buf.getInt(off).toLong & 0xffffffffL // rational numerator
+        case 8 =>
+          if (e.typ >= 16) buf.getLong(off) // LONG8 family: true 64-bit
+          else buf.getInt(off).toLong & 0xffffffffL // rational numerator
       }
     }
     Array.tabulate(e.count.toInt)(at)
@@ -178,25 +201,40 @@ object TiffCodec {
   private def inlineOffset(e: IfdEntry): Long = e.valueOffset
 
   private def decodeIfd(buf: TiffData, off: Long,
-      withPixels: Boolean): (Page, Long) = {
-    val n = buf.getShort(off).toInt & 0xffff
+      withPixels: Boolean, big: Boolean): (Page, Long) = {
+    // BigTIFF IFDs: 8-byte entry count, 20-byte entries (8-byte count
+    // and value/offset fields), 8-byte next-IFD pointer
+    val n =
+      if (big) {
+        val n8 = buf.getLong(off)
+        require(n8 >= 0 && n8 <= 65535,
+          s"BigTIFF: implausible IFD entry count $n8")
+        n8.toInt
+      } else buf.getShort(off).toInt & 0xffff
+    val headLen = if (big) 8 else 2
+    val entryLen = if (big) 20 else 12
     var entries = Map.empty[Int, IfdEntry]
     var rawDesc: Option[String] = None
     for (i <- 0 until n) {
-      val eo = off + 2 + i * 12
+      val eo = off + headLen + i * entryLen
       val tag = buf.getShort(eo).toInt & 0xffff
       val typ = buf.getShort(eo + 2).toInt & 0xffff
-      val count = buf.getInt(eo + 4).toLong & 0xffffffffL
+      val count =
+        if (big) buf.getLong(eo + 4)
+        else buf.getInt(eo + 4).toLong & 0xffffffffL
+      require(count >= 0, s"TIFF: negative count on tag $tag")
       val elemSize = typ match {
         case 1 | 2 | 6 | 7 => 1
         case 3 | 8 => 2
         case 4 | 9 | 11 => 4
         case _ => 8
       }
-      val inline = elemSize * count <= 4
+      val valueField = eo + (if (big) 12 else 8)
+      val inline = elemSize * count <= (if (big) 8 else 4)
       val valueOffset =
-        if (inline) eo + 8
-        else buf.getInt(eo + 8).toLong & 0xffffffffL
+        if (inline) valueField
+        else if (big) buf.getLong(valueField)
+        else buf.getInt(valueField).toLong & 0xffffffffL
       val e = IfdEntry(tag, typ, count, valueOffset)
       entries += tag -> e
       if (tag == 270) { // ImageDescription
@@ -207,9 +245,9 @@ object TiffCodec {
       }
     }
     def one(tag: Int, default: => Long): Long =
-      entries.get(tag).map(e => entryValues(buf, e)(0)).getOrElse(default)
+      entries.get(tag).map(e => entryValues(buf, e, big)(0)).getOrElse(default)
     def all(tag: Int): Array[Long] =
-      entries.get(tag).map(e => entryValues(buf, e)).getOrElse(Array.empty)
+      entries.get(tag).map(e => entryValues(buf, e, big)).getOrElse(Array.empty)
 
     val width = one(256, throw new IllegalArgumentException("TIFF: no ImageWidth")).toInt
     val height = one(257, throw new IllegalArgumentException("TIFF: no ImageLength")).toInt
@@ -244,7 +282,9 @@ object TiffCodec {
     if (!withPixels) {
       require(stripOffsets.nonEmpty || all(324).nonEmpty,
         "TIFF: neither StripOffsets nor TileOffsets present")
-      val next = buf.getInt(off + 2 + n * 12).toLong & 0xffffffffL
+      val next =
+      if (big) buf.getLong(off + 8 + n * 20)
+      else buf.getInt(off + 2 + n * 12).toLong & 0xffffffffL
       return (Page(width, height, bits, Array.empty[Int], rawDesc), next)
     }
     val data: Array[Byte] =
@@ -306,7 +346,9 @@ object TiffCodec {
         i += 1
       }
     }
-    val next = buf.getInt(off + 2 + n * 12).toLong & 0xffffffffL
+    val next =
+      if (big) buf.getLong(off + 8 + n * 20)
+      else buf.getInt(off + 2 + n * 12).toLong & 0xffffffffL
     (Page(width, height, bits, px, rawDesc), next)
   }
 

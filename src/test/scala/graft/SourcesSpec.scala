@@ -75,6 +75,42 @@ class SourcesSpec extends SparkSpec {
     assert(sums(one) === sums(back))
   }
 
+  test("BigTIFF (magic 43) decodes, including LONG8 strip tags") {
+    // hand-built minimal LE BigTIFF: 4x4 uint16 page, pixel data at 16,
+    // one IFD at 48 with LONG8-typed strip offset/count entries
+    val out = java.nio.ByteBuffer.allocate(256)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('I'.toByte).put('I'.toByte).putShort(43)
+    out.putShort(8).putShort(0).putLong(48) // offset size, reserved, IFD@48
+    for (v <- 0 until 16) out.putShort(v.toShort) // pixels at offset 16
+    out.putLong(7) // entry count
+    def entry(tag: Int, typ: Int, count: Long, value: Long): Unit = {
+      out.putShort(tag.toShort).putShort(typ.toShort)
+      out.putLong(count).putLong(value)
+    }
+    entry(256, 3, 1, 4)   // ImageWidth (SHORT, inline in 8-byte field)
+    entry(257, 3, 1, 4)   // ImageLength
+    entry(258, 3, 1, 16)  // BitsPerSample
+    entry(259, 3, 1, 1)   // Compression: none
+    entry(273, 16, 1, 16) // StripOffsets as LONG8
+    entry(277, 3, 1, 1)   // SamplesPerPixel
+    entry(279, 16, 1, 32) // StripByteCounts as LONG8
+    out.putLong(0) // next IFD
+    val bytes = java.util.Arrays.copyOf(out.array(), out.position())
+    val pages = TiffCodec.decode(bytes)
+    assert(pages.length === 1)
+    assert((pages.head.width, pages.head.height, pages.head.bitsPerSample)
+      === (4, 4, 16))
+    assert(pages.head.pixels.toSeq === (0 until 16))
+    // metadata-only decode agrees and stays pixel-free
+    val meta = TiffCodec.decodeMeta(bytes)
+    assert(meta.head.width === 4 && meta.head.pixels.isEmpty)
+    // a BigTIFF header with the wrong offset bytesize is rejected
+    val bad = bytes.clone; bad(4) = 4
+    val ex = intercept[IllegalArgumentException] { TiffCodec.decode(bad) }
+    assert(ex.getMessage.contains("bytesize"))
+  }
+
   test("paged metadata decode reads only header/IFD pages") {
     // 64x64 16-bit page, uncompressed -> 8 KiB of pixel payload the
     // metadata path must never fetch
