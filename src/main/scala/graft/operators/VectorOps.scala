@@ -256,6 +256,46 @@ object VectorOps {
     ivfSearch(assignClusters(emb, centroidsDf), nProbes, k)
 
   /**
+   * MULTI-PROBE IVF top-k: each probe searches its `nProbe` nearest
+   * centroids' clusters instead of only its own — the standard IVF
+   * recall lever (a vector near a Voronoi boundary has true neighbors
+   * in adjacent cells; single-probe search misses them). `nProbe` =
+   * `nCentroids` degenerates to exact brute force; 2–8 is the usual
+   * recall/cost trade.
+   *
+   * Deterministic first-`nCentroids` codebook (oracle-replicable, like
+   * [[ivfTopK]]). Shuffle profile at 100 TB: the centroid ranking is a
+   * broadcast cross of the (small) probe set with the (small) codebook;
+   * the corpus shuffles ONCE keyed by its assigned cluster; probes are
+   * replicated `nProbe`× into the cluster join — corpus work is
+   * unchanged from single-probe, only the probe side fans out.
+   */
+  def ivfTopKProbed(emb: DataFrame, nProbes: Int, k: Int, nProbe: Int = 3,
+      nCentroids: Int = 16): DataFrame = {
+    graft.functions.ensureRegistered(emb.sparkSession)
+    val cents = firstNCentroids(emb, nCentroids)
+    val probeClusters = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").cast("long").as("probe_id"),
+        col("embedding").as("p_emb"))
+      .crossJoin(broadcast(cents))
+      .select(col("probe_id"), col("p_emb"), col("centroid_id"),
+        cosine6(col("p_emb"), col("c_emb")).as("c_score"))
+      .withColumn("crnk", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("c_score").desc, col("centroid_id").asc)))
+      .filter(col("crnk") <= nProbe)
+      .select(col("probe_id"), col("p_emb"), col("centroid_id").as("cluster"))
+    probeClusters.join(assignClusters(emb, cents), Seq("cluster"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        cosine6(col("p_emb"), col("embedding")).as("score"))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("score").desc, col("neighbor_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk").cast("int").as("rnk"),
+        col("neighbor_id"), col("score"))
+  }
+
+  /**
    * Structural self-check of the k-means-trained IVF path, designed to be
    * oracle-checkable WITHOUT replicating the training: every column is a
    * violation count that must be zero for ANY correct (assignment,

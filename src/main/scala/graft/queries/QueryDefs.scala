@@ -1315,6 +1315,60 @@ object QueryDefs {
           |FROM scored
           |QUALIFY rnk <= 5""".stripMargin)),
 
+    // Multi-probe IVF: each probe searches its 3 nearest centroids'
+    // clusters — the standard recall lever over single-probe IVF
+    ("embed_ann_ivf_probed", (s: SparkSession, dir: String) =>
+      VectorOps.ivfTopKProbed(t(s, dir, "embeddings"), nProbes = 16, k = 5,
+        nProbe = 3),
+      Some(
+        """WITH e AS (
+          |  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings),
+          |cents AS (SELECT vec_id AS centroid_id, embedding AS c_emb
+          |  FROM e WHERE vec_id < 16),
+          |assigned AS (
+          |  SELECT vec_id, embedding, centroid_id AS cluster FROM (
+          |    SELECT e.vec_id, e.embedding, c.centroid_id,
+          |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |        round(
+          |          list_sum(list_transform(list_zip(e.embedding, c.c_emb),
+          |            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+          |          (sqrt(list_sum(list_transform(e.embedding,
+          |             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+          |           sqrt(list_sum(list_transform(c.c_emb,
+          |             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) DESC,
+          |        c.centroid_id ASC) AS rn
+          |    FROM e, cents c) WHERE rn = 1),
+          |probe_clusters AS (
+          |  SELECT probe_id, p_emb, centroid_id AS cluster FROM (
+          |    SELECT p.vec_id AS probe_id, p.embedding AS p_emb, c.centroid_id,
+          |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+          |        round(
+          |          list_sum(list_transform(list_zip(p.embedding, c.c_emb),
+          |            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+          |          (sqrt(list_sum(list_transform(p.embedding,
+          |             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+          |           sqrt(list_sum(list_transform(c.c_emb,
+          |             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) DESC,
+          |        c.centroid_id ASC) AS crnk
+          |    FROM e p, cents c WHERE p.vec_id < 16) WHERE crnk <= 3),
+          |scored AS (
+          |  SELECT p.probe_id, a.vec_id AS neighbor_id,
+          |    round(
+          |      list_sum(list_transform(list_zip(p.p_emb, a.embedding),
+          |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+          |      (sqrt(list_sum(list_transform(p.p_emb,
+          |         v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+          |       sqrt(list_sum(list_transform(a.embedding,
+          |         v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS score
+          |  FROM probe_clusters p JOIN assigned a
+          |    ON p.cluster = a.cluster AND a.vec_id <> p.probe_id)
+          |SELECT probe_id,
+          |  CAST(row_number() OVER (PARTITION BY probe_id
+          |    ORDER BY score DESC, neighbor_id ASC) AS INT) AS rnk,
+          |  neighbor_id, score
+          |FROM scored
+          |QUALIFY rnk <= 5""".stripMargin)),
+
     // k-means-trained IVF (the production coarse quantizer): Spark ML
     // training is not SQL-replicable, so this row is registered WITHOUT
     // an oracle — the driver records the weaker rows-only check, and

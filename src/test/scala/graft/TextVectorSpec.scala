@@ -385,6 +385,32 @@ class TextVectorSpec extends SparkSpec {
     assert(ex.getMessage.contains("zero norm"))
   }
 
+  test("ivfTopKProbed with nProbe = nCentroids degenerates to brute force") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.4f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 1),
+      (3L, Array(0.1f, 0.9f, 0.2f), 1),
+      (4L, Array(0.0f, 0.0f, 1.0f), 2),
+      (5L, Array(0.2f, 0.1f, 0.9f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val multi = VectorOps.ivfTopKProbed(emb, nProbes = 2, k = 3,
+        nProbe = 3, nCentroids = 3)
+      .orderBy("probe_id", "rnk").collect().map(_.toString).toSeq
+    val brute = VectorOps.cosineTopK(emb, nProbes = 2, k = 3)
+      .select(col("probe_id"), col("rnk"), col("neighbor_id"), col("score"))
+      .orderBy("probe_id", "rnk").collect().map(_.toString).toSeq
+    assert(multi === brute)
+    // widening the probe count can only improve or keep each rank's
+    // score (candidate sets grow monotonically)
+    def scores(p: Int) = VectorOps.ivfTopKProbed(emb, 2, 3, nProbe = p,
+        nCentroids = 3)
+      .orderBy("probe_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    val s1 = scores(1); val s2 = scores(2)
+    s1.foreach { case (key, sc) => s2.get(key).foreach(sc2 => assert(sc2 >= sc)) }
+  }
+
   test("ivfTrainedCheck reports zero violations on a healthy corpus") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),
