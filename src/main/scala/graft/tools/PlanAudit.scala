@@ -80,6 +80,17 @@ object PlanAudit {
       spark.read.parquet(s"$dir/embeddings.parquet"), 0.3))
     audit("pii_scrub", TextOps.piiScrub(docs))
 
+    // r6 operators: multi-probe IVF (probe fan-out must stay broadcast-
+    // side; the corpus shuffles once on cluster) and the sub-plane
+    // chunk-grid read (one extra plane-assembly exchange, only when a
+    // sub-plane store is present)
+    audit("ivf_multiprobe", graft.operators.VectorOps.ivfTopKProbed(
+      spark.read.parquet(s"$dir/embeddings.parquet"), 16, 5, nProbe = 3))
+    graft.sources.OmeZarr.write(Fixtures.corpus4d(spark),
+      "/tmp/audit_zarr_chunked", chunks = Some(Seq(1, 1, 2, 4, 8)))
+    audit("zarr chunked read",
+      graft.sources.OmeZarr.readAll(spark, "/tmp/audit_zarr_chunked"))
+
     // ometiff v2: pruned read schema must not reach pixels for a
     // metadata projection
     graft.sources.OmeTiff.write(Fixtures.corpus4d(spark), "/tmp/audit_tiffs")
