@@ -635,11 +635,16 @@ object OmeZarr {
     val scale = scaleForLevel(attrs, levelPath)
     val chanNames = """\{\s*"label"\s*:\s*"((?:[^"\\]|\\.)*)"\s*\}""".r
       .findAllMatchIn(attrs).map(_.group(1)).toSeq
+    // zarr 2.11+ writers may nest chunks with "/" (dimension_separator);
+    // absent means the spec default "."
+    val sep = jsonString(zarray, "dimension_separator").getOrElse(".")
+    require(sep == "." || sep == "/",
+      s"Zarr: dimension_separator '$sep' unsupported")
     StoreConfig(storePath, root.getName.stripSuffix(".zarr"),
       imageName(attrs).getOrElse(root.getName),
       shape(0).toInt, shape(1).toInt, shape(2).toInt, shape(3).toInt,
       shape(4).toInt, scale(4).toFloat, scale(3).toFloat, scale(2).toFloat,
-      chanNames, compId, dtype == ">u2", dtype == "|u1", v3 = false, sep = ".",
+      chanNames, compId, dtype == ">u2", dtype == "|u1", v3 = false, sep = sep,
       chT = chunks(0), chC = chunks(1), chZ = chunks(2),
       chY = chunks(3), chX = chunks(4))
   }
@@ -755,6 +760,21 @@ object OmeZarr {
       fs.listStatus(levelDir).filter(_.isFile)
         .map(_.getPath).filter(_.getName.matches("""c(\.\d+){5}"""))
         .map(_.toString).toSeq
+    } else if (c.sep == "/") { // v2 nested "t/c/z/y/x" files (zarr 2.11+)
+      if (!fs.exists(levelDir)) Seq.empty
+      else {
+        val it = fs.listFiles(levelDir, true)
+        val buf = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val f = it.next()
+          // tail match avoids URI-qualification mismatches; recursion is
+          // scoped to levelDir so 5 trailing numeric components can only
+          // be a chunk key
+          if (f.isFile && f.getPath.toString.matches(""".*/\d+(/\d+){4}"""))
+            buf += f.getPath.toString
+        }
+        buf.result()
+      }
     } else {
       fs.listStatus(levelDir).filter(_.isFile)
         .map(_.getPath).filter(_.getName.matches("""\d+(\.\d+){4}"""))

@@ -262,6 +262,14 @@ object TiffCodec {
     require(compression == 1 || compression == 8 || compression == 32946 ||
       compression == 32773,
       s"TIFF: compression $compression unsupported (none/deflate/packbits only)")
+    // Predictor (tag 317): 1 = none, 2 = horizontal differencing. A file
+    // with a predictor we don't undo MUST be rejected, not silently
+    // decoded to garbage. Predictor 2 is implemented for the strip
+    // organization on unsigned samples (row-wise cumulative sum);
+    // tiled/signed combinations are rejected with clear errors.
+    val predictor = one(317, 1L).toInt
+    require(predictor == 1 || predictor == 2,
+      s"TIFF: predictor $predictor unsupported (none/horizontal only)")
 
     def segment(off: Long, len: Long, what: String): Array[Byte] = {
       // a plain copy would silently zero-pad past EOF -> corrupt pixels
@@ -344,6 +352,25 @@ object TiffCodec {
         val s = db.getShort(i * 2)
         px(i) = if (signed) s.toInt else s & 0xffff
         i += 1
+      }
+    }
+    if (predictor == 2) {
+      require(stripOffsets.nonEmpty,
+        "TIFF: predictor 2 with tiled organization unsupported")
+      require(!signed,
+        "TIFF: predictor 2 with signed samples unsupported")
+      // undo horizontal differencing: strips hold whole rows, so the
+      // row-wise cumulative sum is organization-independent here
+      val mask = if (bits == 8) 0xff else 0xffff
+      var y = 0
+      while (y < height) {
+        var x = 1
+        val base = y * width
+        while (x < width) {
+          px(base + x) = (px(base + x) + px(base + x - 1)) & mask
+          x += 1
+        }
+        y += 1
       }
     }
     val next =

@@ -111,6 +111,62 @@ class SourcesSpec extends SparkSpec {
     assert(ex.getMessage.contains("bytesize"))
   }
 
+  test("predictor-2 (horizontal differencing) strips decode; tiles reject") {
+    // hand-built LE classic TIFF: 4x2 uint16, uncompressed, predictor 2;
+    // stored samples are row deltas of 100,110,130,160 / 5,6,8,11
+    val deltas = Seq(100, 10, 20, 30, 5, 1, 2, 3)
+    val out = java.nio.ByteBuffer.allocate(256)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('I'.toByte).put('I'.toByte).putShort(42).putInt(24)
+    deltas.foreach(v => out.putShort(v.toShort)) // pixel data at offset 8
+    out.putShort(8) // entry count, IFD at 24
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+      out.putShort(tag.toShort).putShort(typ.toShort)
+      out.putInt(count).putInt(value)
+    }
+    entry(256, 3, 1, 4); entry(257, 3, 1, 2)  // 4x2
+    entry(258, 3, 1, 16); entry(259, 3, 1, 1) // 16-bit, none
+    entry(273, 4, 1, 8); entry(277, 3, 1, 1)  // strip@8, 1 sample
+    entry(279, 4, 1, 16); entry(317, 3, 1, 2) // 16 bytes, predictor 2
+    out.putInt(0)
+    val bytes = java.util.Arrays.copyOf(out.array(), out.position())
+    val pages = TiffCodec.decode(bytes)
+    assert(pages.head.pixels.toSeq === Seq(100, 110, 130, 160, 5, 6, 8, 11))
+    // an unknown predictor id must reject, not silently mis-decode
+    val bad = bytes.clone
+    // predictor entry value lives 8 bytes into the 8th entry
+    val predOff = 24 + 2 + 7 * 12 + 8
+    bad(predOff) = 3
+    val ex = intercept[IllegalArgumentException] { TiffCodec.decode(bad) }
+    assert(ex.getMessage.contains("predictor"))
+  }
+
+  test("foreign v2 store with '/' dimension_separator reads") {
+    val one = Fixtures.corpus4d(spark).filter(col("ome_arrow.id") === "i4d-0001")
+    val root = "/tmp/graft_test_v2slash/i4d-0001.zarr"
+    graft.sources.OmeZarr.write(one, root)
+    // transform into the zarr-2.11 nested layout a foreign writer emits:
+    // move t.c.z.y.x chunk files to t/c/z/y/x and patch the separator
+    val lvl = new java.io.File(s"$root/0")
+    lvl.listFiles.filter(_.getName.matches("""\d+(\.\d+){4}""")).foreach { f =>
+      val parts = f.getName.split("\\.")
+      val dir = new java.io.File(lvl, parts.init.mkString("/"))
+      dir.mkdirs()
+      assert(f.renameTo(new java.io.File(dir, parts.last)))
+    }
+    val za = new java.io.File(lvl, ".zarray")
+    val doc = new String(java.nio.file.Files.readAllBytes(za.toPath), "UTF-8")
+    java.nio.file.Files.write(za.toPath, doc.replace(
+      "\"dimension_separator\": \".\"",
+      "\"dimension_separator\": \"/\"").getBytes("UTF-8"))
+    val back = graft.sources.OmeZarr.read(spark, root)
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      OmeOps.explodePlanes(df).select(col("t"), col("c"), col("z"),
+        aggregate(col("pixels"), lit(0L), (a, v) => a + v))
+        .orderBy(col("t"), col("c"), col("z")).collect().toSeq
+    assert(sums(one) === sums(back))
+  }
+
   test("paged metadata decode reads only header/IFD pages") {
     // 64x64 16-bit page, uncompressed -> 8 KiB of pixel payload the
     // metadata path must never fetch
