@@ -366,19 +366,41 @@ object TextOps {
   def nearDupClusters(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
       maxIters: Int = 25, driverEdgeLimit: Long = 1000000L,
       maxPostings: Int = 0): DataFrame = {
-    // the driver fast path materializes edges into Int-indexed arrays
-    require(driverEdgeLimit <= Int.MaxValue,
-      s"nearDupClusters: driverEdgeLimit must be <= Int.MaxValue " +
-        s"(got $driverEdgeLimit); larger graphs take the distributed path")
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // persist: the union below references the pair plan twice, and the
-    // fixpoint loop references the edges every iteration
     val (rawPairs, shCache) =
       ngramJaccardPairsImpl(docs, k, threshold, maxPostings)
-    val pairs = rawPairs.select(col("doc_a"), col("doc_b")).persist(lvl)
+    // connectedComponents is eager: by return, the pair plan (and the
+    // shingle frame under it) has been fully consumed — safe to drop
+    val out = connectedComponents(rawPairs, maxIters, driverEdgeLimit)
+    shCache.unpersist()
+    out
+  }
+
+  /**
+   * Connected components over an ARBITRARY undirected edge list — the
+   * clustering engine behind [[nearDupClusters]], exposed for any pair
+   * source (MinHash, SimHash, embedding-cosine, custom joins). The
+   * first two columns of `pairsIn` are the edge's endpoint ids (cast to
+   * long). Returns `(idCol, cluster_id, cluster_size, is_keeper)` with
+   * `cluster_id` = component minimum. EAGER (runs jobs at call time);
+   * strategy selection and convergence contract as documented on
+   * [[nearDupClusters]].
+   */
+  def connectedComponents(pairsIn: DataFrame, maxIters: Int = 25,
+      driverEdgeLimit: Long = 1000000L,
+      idCol: String = "doc_id"): DataFrame = {
+    // the driver fast path materializes edges into Int-indexed arrays
+    require(driverEdgeLimit <= Int.MaxValue,
+      s"connectedComponents: driverEdgeLimit must be <= Int.MaxValue " +
+        s"(got $driverEdgeLimit); larger graphs take the distributed path")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val inCols = pairsIn.columns
+    // persist: the union below references the pair plan twice, and the
+    // fixpoint loop references the edges every iteration
+    val pairs = pairsIn.select(col(inCols(0)).cast("long").as("doc_a"),
+      col(inCols(1)).cast("long").as("doc_b")).persist(lvl)
     val nPairs = pairs.count()
     if (nPairs <= driverEdgeLimit) {
-      val sp = docs.sparkSession
+      val sp = pairsIn.sparkSession
       import sp.implicits._
       // primitive collection end-to-end: no boxed Rows/maps on the
       // driver (a graph at the 1M-edge cap stays in the tens of MB)
@@ -388,7 +410,6 @@ object TextOps {
       var i = 0
       while (it.hasNext) { val r = it.next(); ea(i) = r.getLong(0); eb(i) = r.getLong(1); i += 1 }
       pairs.unpersist()
-      shCache.unpersist()
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
         var r = x
@@ -416,7 +437,7 @@ object TextOps {
       // parallelize keeps the result out of the query plan (createDataset
       // of a local Seq would embed every row in a LocalRelation)
       return sp.createDataset(sp.sparkContext.parallelize(out.toSeq))
-        .toDF("doc_id", "cluster_id", "cluster_size", "is_keeper")
+        .toDF(idCol, "cluster_id", "cluster_size", "is_keeper")
     }
     // undirected: propagate labels along both edge directions
     val edges = pairs
@@ -424,12 +445,10 @@ object TextOps {
       .toDF("src", "dst").persist(lvl)
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl")).localCheckpoint()
-    // labels init materialized the edge cache; the pair plan and the
-    // shingle frame behind it are dead weight from here on (this
-    // operator is eager, so — unlike the lazy pair operators — it can
-    // clean up its own caches)
+    // labels init materialized the edge cache; the pair plan behind it
+    // is dead weight from here on (this operator is eager, so — unlike
+    // the lazy pair operators — it can clean up its own caches)
     pairs.unpersist()
-    shCache.unpersist()
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -454,12 +473,12 @@ object TextOps {
     // fail loudly: real near-dup components have tiny diameters, and a
     // cap hit means maxIters was set far too low for this graph
     require(converged,
-      s"nearDupClusters: label propagation did not converge within " +
+      s"connectedComponents: label propagation did not converge within " +
         s"$maxIters iterations — raise maxIters (component diameter " +
         "exceeds the cap)")
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
     labels.join(sizes, "lbl")
-      .select(col("node").cast("long").as("doc_id"),
+      .select(col("node").cast("long").as(idCol),
         col("lbl").cast("long").as("cluster_id"),
         col("sz").cast("long").as("cluster_size"),
         (col("node") === col("lbl")).cast("int").as("is_keeper"))

@@ -105,6 +105,22 @@ object VectorOps {
   }
 
   /**
+   * Semantic near-duplicate GROUPS: connected components over the
+   * bucketed embedding-cosine pair graph ([[embedNearDup]]) — every
+   * transitively-linked paraphrase set collapses to one cluster with
+   * the minimum vec_id as keeper. The clustering engine is
+   * [[TextOps.connectedComponents]] (same strategies and convergence
+   * contract as the text-side `nearDupClusters`). EAGER.
+   */
+  def embedNearDupClusters(emb: DataFrame, threshold: Double,
+      numPlanes: Int = 6, maxIters: Int = 25,
+      driverEdgeLimit: Long = 1000000L): DataFrame =
+    TextOps.connectedComponents(
+      embedNearDup(emb, threshold, numPlanes)
+        .select(col("vec_a"), col("vec_b")),
+      maxIters, driverEdgeLimit, idCol = "vec_id")
+
+  /**
    * IVF-style approximate top-k: assign every vector to its
    * nearest-centroid cluster, then search only the probe's own cluster.
    * Centroids here are the first `nCentroids` vectors (deterministic,

@@ -1213,6 +1213,54 @@ object QueryDefs {
           |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
           |WHERE score >= 0.35""".stripMargin)),
 
+    // Semantic near-dup clusters: transitive closure over the bucketed
+    // embedding pair graph — the generic connectedComponents engine on
+    // a vector-side edge list (oracle: recursive-CTE min-label closure)
+    ("embed_near_dup_clusters", (s: SparkSession, dir: String) =>
+      VectorOps.embedNearDupClusters(t(s, dir, "embeddings"),
+        threshold = 0.35),
+      Some(
+        """WITH RECURSIVE bucketed AS (
+          |  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+          |    (SELECT CAST(sum(CASE WHEN
+          |        list_sum(list_transform(list_zip(embedding,
+          |          list_transform(range(0, len(embedding)), d ->
+          |            CAST((j.j*31 + d*7) % 13 - 6 AS DOUBLE))),
+          |          x -> CAST(x[1] AS DOUBLE) * x[2])) >= 0
+          |        THEN 1 << j.j ELSE 0 END) AS BIGINT)
+          |     FROM generate_series(0, 5) j(j)) AS bucket
+          |  FROM embeddings),
+          |pairs AS (
+          |  SELECT vec_a, vec_b FROM (
+          |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          |      round(
+          |        list_sum(list_transform(list_zip(a.embedding, b.embedding),
+          |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+          |        (sqrt(list_sum(list_transform(a.embedding,
+          |           v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+          |         sqrt(list_sum(list_transform(b.embedding,
+          |           v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS score
+          |    FROM bucketed a JOIN bucketed b
+          |      ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+          |  WHERE score >= 0.35),
+          |edges AS (
+          |  SELECT vec_a AS a, vec_b AS b FROM pairs
+          |  UNION ALL SELECT vec_b, vec_a FROM pairs),
+          |reach AS (
+          |  SELECT a AS node, a AS lbl FROM edges
+          |  UNION
+          |  SELECT e.b AS node, r.lbl AS lbl
+          |  FROM reach r JOIN edges e ON e.a = r.node),
+          |labels AS (
+          |  SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+          |sizes AS (
+          |  SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1)
+          |SELECT CAST(l.node AS BIGINT) AS vec_id,
+          |  CAST(l.cluster_id AS BIGINT) AS cluster_id,
+          |  CAST(s.cluster_size AS BIGINT) AS cluster_size,
+          |  CAST(l.node = l.cluster_id AS INT) AS is_keeper
+          |FROM labels l JOIN sizes s USING (cluster_id)""".stripMargin)),
+
     // ============ LLM-pipeline: embeddings ============
 
     ("embed_topk", (s: SparkSession, dir: String) =>
