@@ -705,6 +705,78 @@ object TextOps {
         (reason === "ok").cast("int").as("keep"))
   }
 
+  /**
+   * Deterministic training-mix sampling: keep a document iff the
+   * uniform-in-[0,1) value derived from its content-independent id hash
+   * falls below its stratum's rate — the data-mixing step of corpus
+   * construction (e.g. "20% of web, 100% of books, 5% of logs").
+   *
+   * No RNG state: u = first 8 hex chars of md5("<salt>|<doc_id>"),
+   * compared AS A HEX STRING against the rate's precomputed threshold
+   * (lowercase-hex order == numeric order), so any engine reproduces
+   * the exact same sample. Map-side only — one narrow projection, the
+   * rate table inlined as literals; at 100 TB nothing shuffles and the
+   * sample is stable under re-runs, repartitions, and engine swaps.
+   *
+   * Returns every input doc with its stratum, hash and keep flag
+   * (filter `keep = 1` for the sampled corpus).
+   */
+  def sampleMix(docs: DataFrame, rates: Map[String, Double],
+      defaultRate: Double = 1.0, keyCol: String = "lang",
+      salt: String = "mix"): DataFrame = {
+    def thresholdHex(rate: Double): String = {
+      require(rate >= 0.0 && rate <= 1.0, s"sampleMix: rate $rate not in [0,1]")
+      // u < rate  <=>  hex8(u * 2^32) < hex8(ceil(rate * 2^32))
+      f"${math.min(math.ceil(rate * 4294967296.0).toLong, 4294967296L - 1)}%08x"
+    }
+    val u8 = md5(concat(lit(salt), lit("|"),
+      col("doc_id").cast("long").cast("string"))).substr(1, 8)
+    // rate >= 1 keeps unconditionally (avoids the 2^-32 ffffffff edge)
+    def keepFor(r: Double): Column =
+      if (r >= 1.0) lit(1) else (u8 < thresholdHex(r)).cast("int")
+    val keep = rates.foldLeft(
+        when(lit(false), lit(0))) { case (acc, (k, r)) =>
+        acc.when(col(keyCol) === k, keepFor(r))
+      }.otherwise(keepFor(defaultRate))
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+      col(keyCol).as("stratum"), u8.as("u8"), keep.as("keep"))
+  }
+
+  /**
+   * Pretraining sequence packing (concatenate-and-chunk): documents are
+   * laid end-to-end in doc_id order within `nShards` deterministic
+   * shards, and each doc reports its token span and the fixed-size
+   * `seqLen` chunks it lands in — the bookkeeping a "pack corpus into
+   * training sequences" job needs (which chunk files to emit, which
+   * docs straddle chunk boundaries).
+   *
+   * A single global concatenation order would serialize the cumsum; the
+   * scale shape is per-shard packing: shard = doc_id mod nShards, and
+   * the running total is a window partitioned BY SHARD (parallel across
+   * shards, each shard's window a single sorted run). At 100 TB pick
+   * nShards ≈ cores so shards stream independently; chunk ids are
+   * (shard, chunk) pairs, globally unique without coordination.
+   */
+  def packSequences(docs: DataFrame, seqLen: Int,
+      nShards: Int = 8): DataFrame = {
+    require(seqLen > 0 && nShards > 0, "packSequences: positive seqLen/nShards")
+    val nTok = size(tokens(col("text"))).cast("long")
+    val shard = pmod(col("doc_id").cast("long"), lit(nShards.toLong))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        shard.as("shard"), nTok.as("n_tokens"))
+      .withColumn("end_token", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        (col("end_token") - col("n_tokens")).as("start_token"),
+        floor((col("end_token") - col("n_tokens")) / seqLen).cast("long")
+          .as("first_chunk"),
+        // empty docs occupy no chunk span: pin their last_chunk to
+        // first_chunk so the span stays well-defined
+        greatest(floor((col("end_token") - 1) / seqLen),
+          floor((col("end_token") - col("n_tokens")) / seqLen))
+          .cast("long").as("last_chunk"))
+  }
+
   /** Rank of each document inside its (lang) group by n_chars — window
     * function demo surface. */
   def lengthRank(docs: DataFrame): DataFrame =

@@ -808,6 +808,49 @@ object QueryDefs {
           |      AS DOUBLE) / len(toks) END, 6) AS normal_token_share
           |FROM tk""".stripMargin)),
 
+    // Deterministic training-mix sampling: md5-derived uniform vs
+    // per-stratum hex thresholds (ceil(rate*2^32) as 8 lowercase hex
+    // chars) — byte-identical sample in any engine, zero shuffles
+    ("sample_mix", (s: SparkSession, dir: String) =>
+      TextOps.sampleMix(t(s, dir, "documents"),
+        rates = Map("en" -> 0.5, "de" -> 0.25, "es" -> 1.0),
+        defaultRate = 0.1),
+      Some(
+        """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang AS stratum,
+          |  substring(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8) AS u8,
+          |  CAST(CASE lang
+          |    WHEN 'en' THEN substring(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+          |    WHEN 'de' THEN substring(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+          |    WHEN 'es' THEN true
+          |    ELSE substring(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8) < '1999999a'
+          |  END AS INT) AS keep
+          |FROM documents""".stripMargin)),
+
+    // Pretraining sequence packing bookkeeping: per-shard concatenation
+    // order, cumulative token spans, and the fixed-size chunk range
+    // each document lands in
+    ("pack_sequences", (s: SparkSession, dir: String) =>
+      TextOps.packSequences(t(s, dir, "documents"), seqLen = 512,
+        nShards = 4),
+      Some(
+        """WITH toks AS (
+          |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |    CAST(doc_id % 4 AS BIGINT) AS shard,
+          |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+          |      x -> x <> '')) AS BIGINT) AS n_tokens
+          |  FROM documents),
+          |spans AS (
+          |  SELECT doc_id, shard, n_tokens,
+          |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+          |      ROWS UNBOUNDED PRECEDING) AS end_token
+          |  FROM toks)
+          |SELECT doc_id, shard, n_tokens,
+          |  CAST(end_token - n_tokens AS BIGINT) AS start_token,
+          |  CAST((end_token - n_tokens) // 512 AS BIGINT) AS first_chunk,
+          |  CAST(greatest((end_token - 1) // 512,
+          |    (end_token - n_tokens) // 512) AS BIGINT) AS last_chunk
+          |FROM spans""".stripMargin)),
+
     ("length_rank", (s: SparkSession, dir: String) =>
       TextOps.lengthRank(t(s, dir, "documents")),
       Some(

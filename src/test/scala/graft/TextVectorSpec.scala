@@ -428,6 +428,41 @@ class TextVectorSpec extends SparkSpec {
       s"violation counts must all be zero, got $r")
   }
 
+  test("sampleMix: rate bounds and stratification behave deterministically") {
+    val all = TextOps.sampleMix(docs, rates = Map("en" -> 1.0))
+      .collect()
+    assert(all.forall(_.getAs[Int]("keep") === 1)) // every doc is en
+    val none = TextOps.sampleMix(docs, rates = Map("en" -> 0.0)).collect()
+    assert(none.forall(_.getAs[Int]("keep") === 0))
+    // deterministic: same inputs -> identical sample
+    val a = TextOps.sampleMix(docs, Map("en" -> 0.5)).collect().map(_.toString)
+    val b = TextOps.sampleMix(docs, Map("en" -> 0.5)).collect().map(_.toString)
+    assert(a.toSeq === b.toSeq)
+    // source-keyed stratification applies per stratum (s0 dropped, s1 kept)
+    val bySrc = TextOps.sampleMix(docs, Map("s0" -> 0.0, "s1" -> 1.0),
+        keyCol = "source")
+      .collect().map(r => r.getAs[String]("stratum") -> r.getAs[Int]("keep"))
+    assert(bySrc.filter(_._1 == "s0").forall(_._2 === 0))
+    assert(bySrc.filter(_._1 == "s1").forall(_._2 === 1))
+  }
+
+  test("packSequences: spans and chunk ranges follow the shard cumsum") {
+    val fixture = Seq(
+      (0L, "a " * 300),  // 300 tokens, shard 0
+      (2L, "b " * 300),  // 300 tokens, shard 0 -> starts at 300, crosses 512
+      (4L, "c " * 100),  // shard 0 -> starts at 600
+      (1L, "d " * 10)    // shard 1
+    ).toDF("doc_id", "text")
+    val out = TextOps.packSequences(fixture, seqLen = 512, nShards = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out(0) === ((0L, 0L, 300L, 0L, 0L, 0L)))
+    assert(out(1) === ((1L, 1L, 10L, 0L, 0L, 0L)))
+    assert(out(2) === ((2L, 0L, 300L, 300L, 0L, 1L))) // straddles chunk 0/1
+    assert(out(3) === ((4L, 0L, 100L, 600L, 1L, 1L)))
+  }
+
   test("lshBucket puts identical vectors in the same bucket") {
     val emb = Seq(
       (0L, Array(1.0f, 2.0f, 3.0f), 0),
