@@ -95,4 +95,36 @@ class PlanSpec extends SparkSpec {
       assert(!plan(df).contains("Exchange"), "record operator shuffled")
     }
   }
+
+  test("multi-probe IVF: corpus shuffles once; probe fan-out broadcasts") {
+    val q = graft.operators.VectorOps.ivfTopKProbed(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+      16, 5, nProbe = 3)
+    val p = plan(q)
+    val bcasts = "BroadcastExchange".r.findAllIn(p).length
+    val shuffles = "Exchange".r.findAllIn(p).length - bcasts
+    // 1 corpus shuffle on the assigned cluster + the per-probe windows;
+    // widening nProbe must never add a corpus-side exchange
+    assert(shuffles <= 3, s"multi-probe IVF gained shuffles: $shuffles")
+    assert(bcasts >= 1, "probe/codebook side stopped broadcasting")
+  }
+
+  test("plane- and shard-chunked zarr reads keep the single-shuffle plan") {
+    val d = Files.createTempDirectory("planspec_zarr").toString
+    graft.sources.OmeZarr.write(Fixtures.corpus4d(spark), d)
+    val read = graft.sources.OmeZarr.readAll(spark, d)
+    val p = plan(read)
+    val shuffles = "Exchange".r.findAllIn(p).length -
+      "BroadcastExchange".r.findAllIn(p).length
+    assert(shuffles === 1,
+      s"plane-chunked zarr read gained a shuffle: $shuffles (the plane-" +
+        "assembly exchange must only appear for sub-plane chunk grids)")
+  }
+
+  test("sampleMix is one shuffle-free narrow projection") {
+    val q = graft.operators.TextOps.sampleMix(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      Map("en" -> 0.5))
+    assert(!plan(q).contains("Exchange"), "sampleMix shuffled")
+  }
 }

@@ -99,6 +99,37 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSet === Set("alpha text", "beta text", "gamma text"))
   }
 
+  test("stateless pipeline operators run unchanged over a stream") {
+    // sampleMix and piiScrub are pure narrow projections, so the SAME
+    // operator code must compose with readStream (no batch-only APIs) —
+    // the "standing corpus-construction query" claim, pinned
+    import spark.implicits._
+    val dir = "/tmp/graft_test_statelessstream"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    Seq(
+      (1L, "write to a@b.example please", "en", "s0", 26L),
+      (2L, "nothing sensitive here", "en", "s0", 22L),
+      (3L, "und der die das", "de", "s1", 15L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(dir)
+    val stream = spark.readStream.schema(
+        spark.read.parquet(dir).schema).parquet(dir)
+    val q = graft.operators.TextOps.piiScrub(
+        graft.operators.TextOps.sampleMix(stream, Map("en" -> 1.0, "de" -> 1.0))
+          .filter(col("keep") === 1)
+          .join(spark.read.parquet(dir), "doc_id")) // stream-static rejoin
+      .writeStream.format("memory").queryName("stateless_ops")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val out = spark.sql(
+      "SELECT doc_id, n_emails FROM stateless_ops ORDER BY doc_id").collect()
+    assert(out.length === 3)
+    assert(out(0).getLong(1) === 1L) // the planted email got counted
+    assert(out(1).getLong(1) === 0L)
+  }
+
   test("streaming near-dup flags banded minhash matches, not distinct docs") {
     import spark.implicits._
     val dir = "/tmp/graft_test_neardupstream"
