@@ -376,6 +376,23 @@ object TextOps {
   }
 
   /**
+   * [[nearDupClusters]] with the BANDED MinHash pair graph
+   * ([[nearDupPairs]]) as the edge source instead of the exact posting
+   * join — the 100 TB default: candidate cost is bucket-bounded
+   * (opt-in `maxBucketSize`) instead of Σ|postings|², at the price of
+   * LSH's probabilistic recall (a pair missed by every band is absent
+   * from the graph, which can split a component the exact operator
+   * would join). Same output contract as [[nearDupClusters]].
+   */
+  def nearDupClustersMinhash(docs: DataFrame, k: Int = 3,
+      numHashes: Int = 12, bands: Int = 4, threshold: Double = 0.8,
+      maxBucketSize: Int = 0, maxIters: Int = 25,
+      driverEdgeLimit: Long = 1000000L): DataFrame =
+    connectedComponents(
+      nearDupPairs(docs, k, numHashes, bands, threshold, maxBucketSize),
+      maxIters, driverEdgeLimit)
+
+  /**
    * Connected components over an ARBITRARY undirected edge list — the
    * clustering engine behind [[nearDupClusters]], exposed for any pair
    * source (MinHash, SimHash, embedding-cosine, custom joins). The
