@@ -264,6 +264,32 @@ class TextVectorSpec extends SparkSpec {
     assert(out1 === out2)
   }
 
+  test("nearDupClustersMinhash matches the exact clusters when every " +
+      "edge survives banding") {
+    // Docs 0 and 3 are byte-identical (identical signatures -> every band
+    // collides); doc 1's Jaccard vs 0 is 5/9, caught here by the
+    // deterministic band hashes. Exact and banded clustering agree on
+    // this corpus; at lower similarity LSH may drop edges (documented
+    // recall trade).
+    val exact = TextOps.nearDupClusters(docs, threshold = 0.5)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val banded = TextOps.nearDupClustersMinhash(docs, threshold = 0.5)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(banded === exact)
+  }
+
+  test("nearDupClustersMinhash always clusters exact duplicates") {
+    // Identical texts have identical MinHash signatures, so every band
+    // collides regardless of banding parameters -- recall 1.0 for true
+    // duplicates is a hard guarantee, not probabilistic.
+    val out = TextOps.nearDupClustersMinhash(docs, threshold = 0.9,
+        bands = 2, numHashes = 4)
+      .orderBy("doc_id").collect()
+    val dupRows = out.filter(r => r.getLong(0) == 0L || r.getLong(0) == 3L)
+    assert(dupRows.length === 2)
+    assert(dupRows.map(_.getAs[Long]("cluster_id")).distinct.length === 1)
+  }
+
   test("filterPipeline fires each rule in order, first match wins") {
     val fixture = Seq(
       (0L, "the quick brown fox is great and fine and jumps high over fences daily"), // ok
