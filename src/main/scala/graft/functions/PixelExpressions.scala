@@ -91,6 +91,61 @@ case class PixelCrop(pixels: Expression, sx: Expression,
       x1 = newChildren(3), y0 = newChildren(4), y1 = newChildren(5))
 }
 
+/** Closed-form synthetic plane: out[p] = (base + p) % 65536 for p in
+  * [0, n) — the pixel formula behind `Fixtures.syntheticImages`. As a
+  * column formulation (`transform(sequence(...))`) the corpus generator
+  * paid one interpreted lambda eval + one boxed Integer PER PIXEL
+  * (~55 M per bench rep of `ome_scale_pipeline`); as a native
+  * expression it is one int-array loop per plane, in both the codegen
+  * and the interpreted (inside an outer HOF lambda) paths. */
+case class SynthRampPixels(base: Expression, n: Expression)
+  extends Expression {
+
+  override def children: Seq[Expression] = Seq(base, n)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def checkInputDataTypes(): TypeCheckResult = InputCheck.check(
+    Seq((base, LongType, "base"), (n, IntegerType, "n")), "graft_synth_ramp")
+
+  override def eval(input: InternalRow): Any = {
+    val bAny = base.eval(input)
+    if (bAny == null) return null
+    val nAny = n.eval(input)
+    if (nAny == null) return null
+    val b = bAny.asInstanceOf[Long]
+    val len = nAny.asInstanceOf[Int]
+    val out = new Array[Int](len)
+    var p = 0
+    while (p < len) { out(p) = ((b + p) % 65536L).toInt; p += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bG = base.genCode(ctx); val nG = n.genCode(ctx)
+    val arr = ctx.freshName("arr"); val p = ctx.freshName("p")
+    val code =
+      code"""
+        ${bG.code}
+        ${nG.code}
+        boolean ${ev.isNull} = ${bG.isNull} || ${nG.isNull};
+        ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          int[] $arr = new int[${nG.value}];
+          for (int $p = 0; $p < ${nG.value}; $p++) {
+            $arr[$p] = (int) ((${bG.value} + $p) % 65536L);
+          }
+          ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(base = newChildren(0), n = newChildren(1))
+}
+
 /** 2x2 floor block mean of a flat sx*sy plane; floor-halved output sizes
   * with degenerate-axis clamp (matches OmeOps.downscale2x semantics). */
 case class BlockMean2x(pixels: Expression, sx: Expression, sy: Expression)

@@ -25,7 +25,8 @@ package object functions {
       MinHashSignature(exprs(0), exprs(1).eval(null).asInstanceOf[Int])
     }),
     "graft_simhash64" -> (exprs => SimHash64(exprs(0))),
-    "graft_cosine" -> (exprs => CosineSim(exprs(0), exprs(1))))
+    "graft_cosine" -> (exprs => CosineSim(exprs(0), exprs(1))),
+    "graft_synth_ramp" -> (exprs => SynthRampPixels(exprs(0), exprs(1))))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -58,4 +59,9 @@ package object functions {
   /** Codegen'd 2x2 floor block mean (pyramid level) of a flat plane. */
   def block_mean_2x(pixels: Column, sx: Column, sy: Column): Column =
     call_function("graft_block_mean_2x", pixels, sx, sy)
+
+  /** Closed-form synthetic plane `[(base + p) % 65536 | p <- 0..n-1]`
+    * — one native loop per plane for the synthetic corpus generator. */
+  def synth_ramp(base: Column, n: Column): Column =
+    call_function("graft_synth_ramp", base, n)
 }

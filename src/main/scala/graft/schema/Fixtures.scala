@@ -81,12 +81,18 @@ object Fixtures {
   def syntheticImages(spark: SparkSession, n: Int,
       t: Int = 2, c: Int = 2, z: Int = 2,
       sy: Int = 32, sx: Int = 32, prefix: String = "img"): DataFrame = {
+    graft.functions.ensureRegistered(spark)
     val img = col("id")
+    // Native one-loop-per-plane ramp: same values as the column
+    // formulation `transform(sequence(0, sy*sx-1), p => (base + p) %
+    // 65536)` but without a boxed lambda eval per pixel — the generator
+    // was the dominant (and GC-noisy) cost of the scale-pipeline bench.
     val pixelsFor = (tt: org.apache.spark.sql.Column,
                      cc: org.apache.spark.sql.Column,
                      zz: org.apache.spark.sql.Column) =>
-      transform(sequence(lit(0), lit(sy * sx - 1)),
-        p => ((img * 31 + tt * 13 + cc * 7 + zz * 3 + p) % 65536).cast("int"))
+      graft.functions.synth_ramp(
+        (img * 31 + tt * 13 + cc * 7 + zz * 3).cast("long"),
+        lit(sy * sx))
     // t-major, then c, then z plane order (reference ingest convention,
     // ingest.py:258-264).
     val planes = flatten(transform(sequence(lit(0), lit(t - 1)), tt =>

@@ -21,6 +21,18 @@ class OpsSpec extends SparkSpec {
     assert(px === Seq(5, 7))
   }
 
+  test("graft_synth_ramp matches the column ramp formulation") {
+    graft.functions.ensureRegistered(spark)
+    // includes a base past the 65536 wrap so the modulus is exercised
+    val df = spark.range(5)
+      .select((col("id") * 31 + 65530L).as("base"))
+      .select(
+        graft.functions.synth_ramp(col("base"), lit(10)).as("a"),
+        transform(sequence(lit(0), lit(9)),
+          p => ((col("base") + p) % 65536).cast("int")).as("b"))
+    assert(df.filter(not(col("a") <=> col("b"))).count() === 0)
+  }
+
   test("downscale2x keeps size-1 axes without nulls") {
     val thin = Fixtures.syntheticImages(spark, 1, t = 1, c = 1, z = 1, sy = 4, sx = 1)
     val px = OmeOps.downscale2x(thin)
