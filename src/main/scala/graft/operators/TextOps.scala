@@ -802,4 +802,125 @@ object TextOps {
       row_number().over(Window.partitionBy(col("lang"))
         .orderBy(col("n_chars").desc, col("doc_id").asc)).as("rnk"))
       .filter(col("rnk") <= 5)
+
+  /** Word-bigram EVENTS: duplicates kept (repetition matters to a
+    * language model), EMPTY for docs with fewer than 2 tokens — unlike
+    * [[ngrams]], which falls back to a whole-text gram for short docs. */
+  def bigramEvents(text: Column): Column =
+    when(size(tokens(text)) < 2, array().cast("array<string>"))
+      .otherwise(ngrams(text, 2))
+
+  /**
+   * Bigram-LM perplexity scoring — the CCNet-style quality filter: train
+   * add-k-smoothed bigram counts on `train` (default: the corpus itself),
+   * score every document by its mean negative log-likelihood
+   * p(w2|w1) = (c(w1 w2) + k) / (c(w1 ·) + k·V), V = train's distinct
+   * unigram vocabulary. Returns (doc_id, n_bigrams, avg_nll, ppl);
+   * docs with fewer than 2 tokens produce no bigram events and are
+   * absent. `ppl` is exp(avg_nll) after 6dp rounding so external oracles
+   * reproduce it bit-stably.
+   *
+   * Scale: two keyed aggregations over train's bigram events (map-side
+   * partials), then one equi-join per count table on the scoring side.
+   * The count tables are vocabulary-sized, not corpus-sized; with a
+   * curated train corpus (the usual CCNet setup — train on Wikipedia,
+   * score the crawl) both sides of the join broadcast. V and the event
+   * totals ride 1-row broadcast cross-joins, never a driver collect.
+   */
+  def lmPerplexity(docs: DataFrame, train: DataFrame = null,
+      k: Double = 0.5): DataFrame = {
+    val trainDf = Option(train).getOrElse(docs)
+    def events(d: DataFrame): DataFrame =
+      d.select(col("doc_id").cast("long").as("doc_id"),
+        explode(bigramEvents(col("text"))).as("bg"))
+    val trainEv = events(trainDf)
+    val c2 = trainEv.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val c1 = trainEv.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(count(lit(1)).as("c1"))
+    val vocab = trainDf.select(explode(tokens(col("text"))).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    val nll = -log((coalesce(col("c2"), lit(0L)) + k) /
+      (coalesce(col("c1"), lit(0L)) + col("v") * k))
+    events(docs)
+      .join(c2, Seq("bg"), "left")
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), nll.as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(avg(col("nll")), 6).as("avg_nll"))
+      .withColumn("ppl", round(exp(col("avg_nll")), 2))
+  }
+
+  /**
+   * TF-IDF top-`kTop` terms per document: tf = in-doc term count,
+   * df = corpus document frequency, idf = ln((N+1)/(df+1)) + 1 (smoothed,
+   * never negative), ranked per doc by the 6dp-ROUNDED score with a term
+   * tie-break — ranking on the rounded value keeps the order identical
+   * across engines whose ln differs in the last ulp.
+   *
+   * Scale: explode -> two keyed aggregations (per-doc tf, corpus df) ->
+   * term equi-join -> per-doc window. The window partitions by doc_id
+   * (millions of small partitions, no skew); df is vocabulary-sized.
+   */
+  def tfidfTopK(docs: DataFrame, kTop: Int = 3): DataFrame = {
+    require(kTop > 0, "tfidfTopK: kTop must be positive")
+    val terms = docs.select(col("doc_id").cast("long").as("doc_id"),
+      explode(tokens(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy(col("term"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val score = round(col("tf") *
+      (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0), 6)
+    tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("score", score)
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term").asc)))
+      .filter(col("rnk") <= kTop)
+      .select(col("doc_id"), col("rnk").cast("long").as("rnk"), col("term"),
+        col("tf").cast("long").as("tf"), col("df").cast("long").as("df"),
+        col("score"))
+  }
+
+  /**
+   * DSIR-style importance weights: hash every bigram event into one of
+   * 256 buckets (first two md5 hex chars — engine-portable), estimate
+   * add-1-smoothed bucket distributions over a `target` corpus (the data
+   * you WANT more of) and over `docs` (the raw pool), and score each raw
+   * document by the mean log-likelihood ratio of its events,
+   * avg ln(p_target(b) / p_raw(b)) — documents resembling the target
+   * rank high. Returns (doc_id, n_feats, avg_log_ratio); short docs
+   * (< 2 tokens) have no events and are absent.
+   *
+   * Scale: the bucket tables are 256 rows — both distribution joins and
+   * the two 1-row totals are broadcasts; everything else is a narrow
+   * projection plus one per-doc aggregation. This is the whole point of
+   * hashed features: the "model" stays O(buckets) however big the corpus.
+   */
+  def importanceWeights(docs: DataFrame, target: DataFrame): DataFrame = {
+    def events(d: DataFrame): DataFrame =
+      d.select(col("doc_id").cast("long").as("doc_id"),
+          explode(bigramEvents(col("text"))).as("bg"))
+        .select(col("doc_id"), substring(md5(col("bg")), 1, 2).as("b"))
+    val rawEv = events(docs)
+    val tgtEv = events(target)
+    val ct = tgtEv.groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val cr = rawEv.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tt = tgtEv.agg(count(lit(1)).as("tt"))
+    val tr = rawEv.agg(count(lit(1)).as("tr"))
+    val logRatio = log(coalesce(col("ct"), lit(0L)) + 1.0) -
+      log(col("tt") + 256.0) -
+      log(coalesce(col("cr"), lit(0L)) + 1.0) + log(col("tr") + 256.0)
+    rawEv
+      .join(broadcast(ct), Seq("b"), "left")
+      .join(broadcast(cr), Seq("b"), "left")
+      .crossJoin(broadcast(tt)).crossJoin(broadcast(tr))
+      .select(col("doc_id"), logRatio.as("lr"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_feats"),
+        round(avg(col("lr")), 6).as("avg_log_ratio"))
+  }
 }

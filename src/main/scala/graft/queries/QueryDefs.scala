@@ -913,6 +913,97 @@ object QueryDefs {
           |    (end_token - n_tokens) // 512) AS BIGINT) AS last_chunk
           |FROM spans""".stripMargin)),
 
+    // Bigram-LM perplexity quality scoring (the CCNet filter shape),
+    // self-trained on the corpus: add-k-smoothed p(w2|w1) with the
+    // distinct-unigram vocabulary as the smoothing denominator. ppl is
+    // exp of the 6dp-rounded mean NLL so both engines exponentiate the
+    // same double.
+    ("lm_perplexity", (s: SparkSession, dir: String) =>
+      TextOps.lmPerplexity(t(s, dir, "documents")),
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+          |  FROM documents),
+          |ev AS (
+          |  SELECT doc_id,
+          |    unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg
+          |  FROM toks WHERE len(tk) >= 2),
+          |c2 AS (SELECT bg, count(*) AS c2 FROM ev GROUP BY bg),
+          |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1
+          |  FROM ev GROUP BY 1),
+          |v AS (SELECT count(DISTINCT w) AS v
+          |  FROM (SELECT unnest(tk) AS w FROM toks)),
+          |sc AS (
+          |  SELECT e.doc_id, -ln((c2.c2 + 0.5) / (c1.c1 + v.v * 0.5)) AS nll
+          |  FROM ev e JOIN c2 USING (bg)
+          |  JOIN c1 ON split_part(e.bg, ' ', 1) = c1.w1
+          |  CROSS JOIN v)
+          |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |  CAST(count(*) AS BIGINT) AS n_bigrams,
+          |  round(avg(nll), 6) AS avg_nll,
+          |  round(exp(round(avg(nll), 6)), 2) AS ppl
+          |FROM sc GROUP BY doc_id""".stripMargin)),
+
+    // TF-IDF top-3 terms per document; ranking on the ROUNDED score
+    // (term tie-break) keeps the order engine-portable
+    ("tfidf_topk", (s: SparkSession, dir: String) =>
+      TextOps.tfidfTopK(t(s, dir, "documents"), kTop = 3),
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+          |  FROM documents),
+          |term AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+          |tf AS (SELECT doc_id, term, count(*) AS tf
+          |  FROM term GROUP BY doc_id, term),
+          |df AS (SELECT term, count(DISTINCT doc_id) AS df
+          |  FROM term GROUP BY term),
+          |n AS (SELECT count(*) AS n_docs FROM documents),
+          |scored AS (
+          |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+          |    round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6)
+          |      AS score
+          |  FROM tf JOIN df USING (term) CROSS JOIN n)
+          |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |  CAST(row_number() OVER (PARTITION BY doc_id
+          |    ORDER BY score DESC, term ASC) AS BIGINT) AS rnk,
+          |  term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+          |FROM scored
+          |QUALIFY rnk <= 3""".stripMargin)),
+
+    // DSIR-style importance weights: 256 md5 buckets of bigram events,
+    // add-1-smoothed target (lang='en') vs raw bucket distributions,
+    // per-doc mean log-likelihood ratio
+    ("importance_weights", (s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      TextOps.importanceWeights(docs, docs.filter(col("lang") === "en"))
+    },
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id, lang,
+          |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+          |  FROM documents),
+          |evb AS (
+          |  SELECT doc_id, lang,
+          |    unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg
+          |  FROM toks WHERE len(tk) >= 2),
+          |ev AS (SELECT doc_id, lang, substring(md5(bg), 1, 2) AS b FROM evb),
+          |ct AS (SELECT b, count(*) AS ct FROM ev WHERE lang = 'en' GROUP BY b),
+          |cr AS (SELECT b, count(*) AS cr FROM ev GROUP BY b),
+          |tt AS (SELECT count(*) AS tt FROM ev WHERE lang = 'en'),
+          |tr AS (SELECT count(*) AS tr FROM ev),
+          |sc AS (
+          |  SELECT e.doc_id,
+          |    ln(coalesce(ct.ct, 0) + 1.0) - ln(tt.tt + 256.0)
+          |      - ln(coalesce(cr.cr, 0) + 1.0) + ln(tr.tr + 256.0) AS lr
+          |  FROM ev e LEFT JOIN ct USING (b) LEFT JOIN cr USING (b)
+          |  CROSS JOIN tt CROSS JOIN tr)
+          |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |  CAST(count(*) AS BIGINT) AS n_feats,
+          |  round(avg(lr), 6) AS avg_log_ratio
+          |FROM sc GROUP BY doc_id""".stripMargin)),
+
     ("length_rank", (s: SparkSession, dir: String) =>
       TextOps.lengthRank(t(s, dir, "documents")),
       Some(

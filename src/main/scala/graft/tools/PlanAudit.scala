@@ -104,6 +104,12 @@ object PlanAudit {
       }.getOrElse("?")
     println("  v2 readSchema: " + v2scan.take(160))
     println("  v2 scan decodes pixels? " + v2scan.contains("pixels:array"))
+
+    // LM-pipeline scoring operators (all equi-join + keyed-agg shapes)
+    audit("lm_perplexity", graft.SparkEntry.queries("lm_perplexity")(spark, dir))
+    audit("tfidf_topk", graft.SparkEntry.queries("tfidf_topk")(spark, dir))
+    audit("importance_weights",
+      graft.SparkEntry.queries("importance_weights")(spark, dir))
     spark.stop()
   }
 }

@@ -489,6 +489,65 @@ class TextVectorSpec extends SparkSpec {
     assert(out(3) === ((4L, 0L, 100L, 600L, 1L, 1L)))
   }
 
+  test("lmPerplexity: hand-computed add-k bigram NLL on a toy corpus") {
+    val fixture = Seq(
+      (0L, "a b a b"), // bigram events: "a b", "b a", "a b"
+      (1L, "a b"),
+      (2L, "c")        // < 2 tokens -> no events -> absent
+    ).toDF("doc_id", "text")
+    // c2: "a b"->3, "b a"->1; c1: a->3, b->1; V=3; k=0.5
+    val out = TextOps.lmPerplexity(fixture).orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(0L, 1L))
+    assert(out.map(_.getAs[Long]("n_bigrams")).toSeq === Seq(3L, 1L))
+    // doc1: -ln((3+0.5)/(3+1.5)) = ln(4.5/3.5) = 0.251314
+    assert(out(1).getAs[Double]("avg_nll") === 0.251314)
+    // doc0: (0.2513144 + ln(2.5/1.5)=0.5108256 + 0.2513144)/3 = 0.337818
+    assert(out(0).getAs[Double]("avg_nll") === 0.337818)
+    assert(out(1).getAs[Double]("ppl") === 1.29) // exp(0.251314)=1.2857
+  }
+
+  test("tfidfTopK ranks by rounded score with a term tie-break") {
+    val fixture = Seq(
+      (0L, "x x y"),
+      (1L, "y z")
+    ).toDF("doc_id", "text")
+    // df: x->1, y->2, z->1; N=2; idf(x)=idf(z)=ln(1.5)+1, idf(y)=1
+    val out = TextOps.tfidfTopK(fixture, kTop = 2)
+      .orderBy("doc_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq === Seq(
+      (0L, 1L, "x", 2L, 1L, 2.81093),   // 2 * (ln(1.5)+1)
+      (0L, 2L, "y", 1L, 2L, 1.0),
+      (1L, 1L, "z", 1L, 1L, 1.405465),
+      (1L, 2L, "y", 1L, 2L, 1.0)))
+  }
+
+  test("importanceWeights is exactly zero when target equals raw") {
+    val fixture = Seq(
+      (0L, "a b c d"),
+      (1L, "e f"),
+      (2L, "g") // no bigram events -> absent
+    ).toDF("doc_id", "text")
+    val out = TextOps.importanceWeights(fixture, fixture)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(0L, 1L))
+    assert(out.map(_.getAs[Long]("n_feats")).toSeq === Seq(3L, 1L))
+    assert(out.forall(_.getAs[Double]("avg_log_ratio") === 0.0))
+  }
+
+  test("importanceWeights favors docs resembling the target corpus") {
+    val raw = Seq(
+      (0L, "alpha beta alpha beta alpha beta"),
+      (1L, "omega psi omega psi omega psi")
+    ).toDF("doc_id", "text")
+    val target = Seq((9L, "alpha beta alpha beta")).toDF("doc_id", "text")
+    val out = TextOps.importanceWeights(raw, target)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Double]("avg_log_ratio") >
+      out(1).getAs[Double]("avg_log_ratio"))
+  }
+
   test("lshBucket puts identical vectors in the same bucket") {
     val emb = Seq(
       (0L, Array(1.0f, 2.0f, 3.0f), 0),
