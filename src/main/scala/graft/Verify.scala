@@ -6,6 +6,12 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
+    // arg-swap guard: outDir must not be an sf table directory — with
+    // (outDir, sfDir) transposed the dump would litter result dirs into
+    // the shared testdata tree (queries using only synthetic fixtures
+    // never touch sfDir, so the run "succeeds")
+    require(!new java.io.File(s"$outDir/lineitem.parquet").isFile,
+      s"Verify: outDir '$outDir' looks like an sf data dir — args are (sfDir, outDir)")
     // optional third arg (local iteration only; the driver passes two):
     // comma-separated query names to restrict the dump to
     val only: Option[Set[String]] =

@@ -945,6 +945,40 @@ object QueryDefs {
           |  round(exp(round(avg(nll), 6)), 2) AS ppl
           |FROM sc GROUP BY doc_id""".stripMargin)),
 
+    // The real CCNet configuration: train the LM on a curated reference
+    // (here the en split), score EVERY document — exercises the
+    // unseen-bigram smoothing path (left joins, counts coalesced to 0)
+    // that self-training never reaches
+    ("lm_perplexity_xtrain", (s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      TextOps.lmPerplexity(docs, train = docs.filter(col("lang") === "en"))
+    },
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id, lang,
+          |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+          |  FROM documents),
+          |ev AS (
+          |  SELECT doc_id, lang,
+          |    unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg
+          |  FROM toks WHERE len(tk) >= 2),
+          |c2 AS (SELECT bg, count(*) AS c2 FROM ev WHERE lang = 'en' GROUP BY bg),
+          |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1
+          |  FROM ev WHERE lang = 'en' GROUP BY 1),
+          |v AS (SELECT count(DISTINCT w) AS v
+          |  FROM (SELECT unnest(tk) AS w FROM toks WHERE lang = 'en')),
+          |sc AS (
+          |  SELECT e.doc_id,
+          |    -ln((coalesce(c2.c2, 0) + 0.5) / (coalesce(c1.c1, 0) + v.v * 0.5)) AS nll
+          |  FROM ev e LEFT JOIN c2 USING (bg)
+          |  LEFT JOIN c1 ON split_part(e.bg, ' ', 1) = c1.w1
+          |  CROSS JOIN v)
+          |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |  CAST(count(*) AS BIGINT) AS n_bigrams,
+          |  round(avg(nll), 6) AS avg_nll,
+          |  round(exp(round(avg(nll), 6)), 2) AS ppl
+          |FROM sc GROUP BY doc_id""".stripMargin)),
+
     // TF-IDF top-3 terms per document; ranking on the ROUNDED score
     // (term tie-break) keeps the order engine-portable
     ("tfidf_topk", (s: SparkSession, dir: String) =>

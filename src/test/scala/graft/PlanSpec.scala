@@ -127,4 +127,27 @@ class PlanSpec extends SparkSpec {
       Map("en" -> 0.5))
     assert(!plan(q).contains("Exchange"), "sampleMix shuffled")
   }
+
+  test("importanceWeights: distribution tables and totals all broadcast") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val q = graft.operators.TextOps.importanceWeights(
+      docs, docs.filter(col("lang") === "en"))
+    val p = plan(q)
+    // 2 bucket-count joins + 2 totals cross-joins — O(256)-row sides
+    // must never sort-merge against the corpus
+    assert("BroadcastExchange".r.findAllIn(p).length === 4,
+      "bucket distributions stopped broadcasting")
+    assert(!p.contains("SortMergeJoin"),
+      "an O(256)-row side sort-merge-joined the corpus")
+  }
+
+  test("lmPerplexity partial-aggregates train counts before the exchange") {
+    val q = graft.operators.TextOps.lmPerplexity(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    val p = plan(q)
+    // bigram/context count tables must map-side combine (partial_count
+    // below the exchange), or every train bigram event crosses the wire
+    assert(p.contains("partial_count"),
+      "train count aggregation lost its map-side partial")
+  }
 }

@@ -506,6 +506,19 @@ class TextVectorSpec extends SparkSpec {
     assert(out(1).getAs[Double]("ppl") === 1.29) // exp(0.251314)=1.2857
   }
 
+  test("lmPerplexity cross-train: unseen bigrams get pure smoothing mass") {
+    val train = Seq((9L, "a b")).toDF("doc_id", "text") // c2: "a b"->1; c1: a->1; V=2
+    val score = Seq(
+      (0L, "a b"), // seen:   -ln((1+0.5)/(1+1)) = -ln(0.75) = 0.287682
+      (1L, "c d")  // unseen: -ln((0+0.5)/(0+1)) = ln(2)     = 0.693147
+    ).toDF("doc_id", "text")
+    val out = TextOps.lmPerplexity(score, train = train)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Double]("avg_nll") === 0.287682)
+    assert(out(1).getAs[Double]("avg_nll") === 0.693147)
+    assert(out(1).getAs[Double]("avg_nll") > out(0).getAs[Double]("avg_nll"))
+  }
+
   test("tfidfTopK ranks by rounded score with a term tie-break") {
     val fixture = Seq(
       (0L, "x x y"),
