@@ -907,10 +907,17 @@ object TextOps {
         .select(col("doc_id"), substring(md5(col("bg")), 1, 2).as("b"))
     val rawEv = events(docs)
     val tgtEv = events(target)
+    // The bucket tables are <= 256 rows — persist them and DERIVE the
+    // event totals by summing, so each corpus is bigram-exploded once
+    // for its distribution (plus once more for raw scoring) instead of
+    // re-running the explode lineage for every total. The cache cost is
+    // bytes; the saved passes are corpus-sized.
     val ct = tgtEv.groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cr = rawEv.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-    val tt = tgtEv.agg(count(lit(1)).as("tt"))
-    val tr = rawEv.agg(count(lit(1)).as("tr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tt = ct.agg(sum(col("ct")).as("tt"))
+    val tr = cr.agg(sum(col("cr")).as("tr"))
     val logRatio = log(coalesce(col("ct"), lit(0L)) + 1.0) -
       log(col("tt") + 256.0) -
       log(coalesce(col("cr"), lit(0L)) + 1.0) + log(col("tr") + 256.0)
