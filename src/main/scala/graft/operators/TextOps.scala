@@ -834,9 +834,13 @@ object TextOps {
       d.select(col("doc_id").cast("long").as("doc_id"),
         explode(bigramEvents(col("text"))).as("bg"))
     val trainEv = events(trainDf)
+    // c1(w1) = Σ over bigrams starting with w1 of c2 — derive it from
+    // the persisted bigram table (vocabulary-sized aggregation) instead
+    // of re-running the corpus-sized explode lineage a second time
     val c2 = trainEv.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
-    val c1 = trainEv.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
-      .agg(count(lit(1)).as("c1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c1 = c2.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c2")).as("c1"))
     val vocab = trainDf.select(explode(tokens(col("text"))).as("w"))
       .agg(count_distinct(col("w")).as("v"))
     val nll = -log((coalesce(col("c2"), lit(0L)) + k) /
