@@ -827,30 +827,58 @@ object TextOps {
    * score the crawl) both sides of the join broadcast. V and the event
    * totals ride 1-row broadcast cross-joins, never a driver collect.
    */
-  def lmPerplexity(docs: DataFrame, train: DataFrame = null,
-      k: Double = 0.5): DataFrame = {
-    val trainDf = Option(train).getOrElse(docs)
-    def events(d: DataFrame): DataFrame =
-      d.select(col("doc_id").cast("long").as("doc_id"),
-        explode(bigramEvents(col("text"))).as("bg"))
-    val trainEv = events(trainDf)
-    // c1(w1) = Σ over bigrams starting with w1 of c2 — derive it from
-    // the persisted bigram table (vocabulary-sized aggregation) instead
-    // of re-running the corpus-sized explode lineage a second time
-    val c2 = trainEv.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+  /** Per-doc bigram events projection shared by the batch and
+    * streaming LM scorers. */
+  private[graft] def bigramEventRows(d: DataFrame): DataFrame =
+    d.select(col("doc_id").cast("long").as("doc_id"),
+      explode(bigramEvents(col("text"))).as("bg"))
+
+  /** The trained bigram-LM tables: (bigram counts c2, context counts
+    * c1, 1-row vocabulary size). c2 is persisted (it is consumed by c1's
+    * derivation and by every scoring join); c1(w1) = Σ c2 over bigrams
+    * starting with w1 — a vocabulary-sized re-aggregation, not a second
+    * corpus-wide explode+shuffle. */
+  private[graft] def bigramLmTables(
+      train: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val c2 = bigramEventRows(train).groupBy(col("bg"))
+      .agg(count(lit(1)).as("c2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c1 = c2.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum(col("c2")).as("c1"))
-    val vocab = trainDf.select(explode(tokens(col("text"))).as("w"))
+    val vocab = train.select(explode(tokens(col("text"))).as("w"))
       .agg(count_distinct(col("w")).as("v"))
-    val nll = -log((coalesce(col("c2"), lit(0L)) + k) /
+    (c2, c1, vocab)
+  }
+
+  /** Per-event add-k NLL column over the joined (c2, c1, v) columns —
+    * shared by the batch and streaming scorers so their math is
+    * definitionally identical. */
+  private[graft] def lmNll(k: Double): Column =
+    -log((coalesce(col("c2"), lit(0L)) + k) /
       (coalesce(col("c1"), lit(0L)) + col("v") * k))
-    events(docs)
-      .join(c2, Seq("bg"), "left")
+
+  /** Joins a doc-event frame against the LM tables, yielding
+    * (doc_id [, passthrough cols], nll). `hintBroadcast` forces the
+    * count tables to broadcast — required for stream-static scoring;
+    * batch callers leave the choice to Catalyst/AQE (a huge train
+    * corpus can exceed broadcast limits). */
+  private[graft] def lmScoreEvents(events: DataFrame, c2: DataFrame,
+      c1: DataFrame, vocab: DataFrame, k: Double,
+      hintBroadcast: Boolean = false): DataFrame = {
+    def side(d: DataFrame) = if (hintBroadcast) broadcast(d) else d
+    events
+      .join(side(c2), Seq("bg"), "left")
       .withColumn("w1", substring_index(col("bg"), " ", 1))
-      .join(c1, Seq("w1"), "left")
+      .join(side(c1), Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
-      .select(col("doc_id"), nll.as("nll"))
+      .withColumn("nll", lmNll(k))
+  }
+
+  def lmPerplexity(docs: DataFrame, train: DataFrame = null,
+      k: Double = 0.5): DataFrame = {
+    val (c2, c1, vocab) = bigramLmTables(Option(train).getOrElse(docs))
+    lmScoreEvents(bigramEventRows(docs), c2, c1, vocab, k)
+      .select(col("doc_id"), col("nll"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
         round(avg(col("nll")), 6).as("avg_nll"))

@@ -151,6 +151,38 @@ object DocStream {
         col("eval_doc"), col("n_shared"))
   }
 
+  /**
+   * Score-at-ingest perplexity — the quality filter as a standing query:
+   * documents arriving on a stream are scored against a STATIC bigram LM
+   * (trained once from `train`, tables broadcast — the stream side holds
+   * no LM state), with the same add-k math as `TextOps.lmPerplexity`.
+   * Append mode emits one row per (window, doc) when the window closes.
+   *
+   * Redelivered docs are suppressed by `dropDuplicatesWithinWatermark`
+   * on doc_id BEFORE the bigram explode, so at-least-once delivery does
+   * not double-count a document's events; as with `contaminationStream`,
+   * the guarantee is bounded by `lateness` — size it to the source's
+   * redelivery horizon.
+   */
+  def perplexityStream(docs: DataFrame, train: DataFrame,
+      k: Double = 0.5,
+      windowLength: String = "10 minutes",
+      lateness: String = "1 minute"): DataFrame = {
+    val (c2, c1, vocab) = TextOps.bigramLmTables(train)
+    val events = docs
+      .withWatermark("ingest_ts", lateness)
+      .dropDuplicatesWithinWatermark("doc_id")
+      .select(col("doc_id").cast("long").as("doc_id"), col("ingest_ts"),
+        explode(TextOps.bigramEvents(col("text"))).as("bg"))
+    TextOps.lmScoreEvents(events, c2, c1, vocab, k, hintBroadcast = true)
+      .groupBy(window(col("ingest_ts"), windowLength), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(avg(col("nll")), 6).as("avg_nll"))
+      .select(col("window.start").as("window_start"), col("doc_id"),
+        col("n_bigrams"), col("avg_nll"),
+        round(exp(col("avg_nll")), 2).as("ppl"))
+  }
+
   /** File-source convenience wrapper over [[nearDupPairsStream]]. */
   def nearDupStream(spark: SparkSession, dir: String, k: Int = 3,
       numHashes: Int = 12, bands: Int = 4, threshold: Double = 0.8,

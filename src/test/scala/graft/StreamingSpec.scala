@@ -191,6 +191,49 @@ class StreamingSpec extends SparkSpec {
     assert(hits(0)._3 >= 2L)
   }
 
+  test("streaming perplexity matches the batch LM scorer per document") {
+    import spark.implicits._
+    val dir = "/tmp/graft_test_pplstream"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val late = java.sql.Timestamp.valueOf("2026-01-01 03:00:00")
+    val train = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val scoreRows = Seq(
+      (0L, "the quick brown fox", "en", "s0", 19L, t0),
+      (1L, "words the model never saw", "en", "s0", 25L, t0),
+      // late arrival pushes the watermark past the first window
+      (2L, "filler content entirely unrelated", "en", "s0", 33L, late)
+    )
+    scoreRows.toDF("doc_id", "text", "lang", "source", "n_chars", "ingest_ts")
+      .coalesce(1).write.parquet(dir)
+    val stream = spark.readStream
+      .schema(graft.streaming.DocStream.documentsSchema).parquet(dir)
+    val q = graft.streaming.DocStream.perplexityStream(stream, train)
+      .writeStream.format("memory").queryName("ppl_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql(
+      "SELECT doc_id, n_bigrams, avg_nll, ppl FROM ppl_stream")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // docs 0 and 1 emitted (their window closed); same numbers as batch
+    val batch = graft.operators.TextOps.lmPerplexity(
+      scoreRows.take(2).map(r => (r._1, r._2)).toDF("doc_id", "text"),
+      train = train)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_nll"),
+          r.getAs[Double]("ppl"))).toMap
+    assert(streamed.keySet === Set(0L, 1L))
+    assert(streamed(0L) === batch(0L))
+    assert(streamed(1L) === batch(1L))
+    // the unseen-bigram doc must score strictly worse
+    assert(streamed(1L)._2 > streamed(0L)._2)
+  }
+
   test("partial image assembles zero-filled from buildRecord") {
     // unit-level check of the timeout-flush path (processing-time timeouts
     // don't fire under AvailableNow)
