@@ -367,6 +367,21 @@ object QueryDefs {
     // façade glob dispatch (O16): sniffs the bare "*.tif*" glob to TIFF
     // tiled + packbits writer options (export.py:122-125 parity): same
     // oracle as the strip round-trip — layout must not change pixels
+    // LZW (compression 5, the classic microscopy TIFF codec): write and
+    // read back through the early-change TIFF 6.0 §13 implementation —
+    // pixel-exact against the closed form
+    ("ome_tiff_lzw", (s: SparkSession, _: String) => {
+      graft.sources.OmeTiff.write(Fixtures.corpus4d(s), "/tmp/graft_q_tiff_lzw",
+        compression = "lzw")
+      planeStatsRows(graft.sources.OmeTiff.read(s, "/tmp/graft_q_tiff_lzw"))
+        .withColumnRenamed("image_id", "id")
+    },
+      Some(
+        s"""WITH $px4d
+           |SELECT $id4d AS id, CAST(t AS INT) AS t, CAST(c AS INT) AS c,
+           |  CAST(z AS INT) AS z, $planeStatsSelect
+           |FROM px GROUP BY img, t, c, z""".stripMargin)),
+
     ("ome_tiff_tiled", (s: SparkSession, _: String) => {
       graft.sources.OmeTiff.write(Fixtures.corpus4d(s), "/tmp/graft_q_tiff_tile",
         compression = "packbits", tile = Some((16, 16)))

@@ -10,16 +10,19 @@ import java.util.zip.Inflater
  *
  *  - classic TIFF (II/MM), strip- OR tile-organized (tags 322-325),
  *    grayscale 8/16-bit, 1 sample/pixel, uncompressed, Deflate/zlib
- *    (codes 8 and 32946) or PackBits (32773) — decode and encode;
+ *    (codes 8 and 32946), PackBits (32773) or LZW (5, TIFF 6.0 §13
+ *    early-change variant — the classic microscopy codec) — decode
+ *    and encode;
  *  - BigTIFF (magic 43: 8-byte offsets, 20-byte IFD entries, LONG8
  *    types — the public spec, what large microscopy writers emit past
  *    4 GiB) — decode;
  *  - multi-page (IFD chain) -> multiple planes;
  *  - `ImageDescription` carried verbatim so OME-XML sizes can be parsed.
  *
- * Palettes, RGB, predictors and exotic codecs (lzma/jpegxl) are out of
- * scope and raise clear errors. Pure JVM (java.util.zip), no external
- * libraries — usable inside executor tasks.
+ * Palettes, RGB, floating-point predictor 3 and exotic codecs
+ * (lzma/jpegxl) are out of scope and raise clear errors (horizontal
+ * predictor 2 IS undone on strips). Pure JVM (java.util.zip), no
+ * external libraries — usable inside executor tasks.
  */
 object TiffCodec {
 
@@ -259,9 +262,9 @@ object TiffCodec {
     val sampleFormat = one(339, 1L).toInt // 1=unsigned, 2=signed two's complement
     require(samplesPerPx == 1, s"TIFF: only grayscale supported (got $samplesPerPx samples)")
     require(bits == 8 || bits == 16, s"TIFF: only 8/16-bit supported (got $bits)")
-    require(compression == 1 || compression == 8 || compression == 32946 ||
-      compression == 32773,
-      s"TIFF: compression $compression unsupported (none/deflate/packbits only)")
+    require(compression == 1 || compression == 5 || compression == 8 ||
+      compression == 32946 || compression == 32773,
+      s"TIFF: compression $compression unsupported (none/lzw/deflate/packbits only)")
     // Predictor (tag 317): 1 = none, 2 = horizontal differencing. A file
     // with a predictor we don't undo MUST be rejected, not silently
     // decoded to garbage. Predictor 2 is implemented for the strip
@@ -278,6 +281,7 @@ object TiffCodec {
       val seg = buf.slice(off, len.toInt)
       compression match {
         case 1 => seg
+        case 5 => lzwDecode(seg)
         case 32773 => unpackBits(seg)
         case _ => inflate(seg)
       }
@@ -398,6 +402,128 @@ object TiffCodec {
     out.toByteArray
   }
 
+  /**
+   * TIFF LZW decode (compression 5): TIFF 6.0 §13 — MSB-first bit
+   * packing, ClearCode 256, EOI 257, dynamic codes from 258, and the
+   * TIFF "early change": code width grows when the NEXT free entry
+   * reaches 511/1023/2047 (one entry before the power of two, unlike
+   * GIF). Table entries are (prefix code, suffix byte) pairs;
+   * strings materialize through an explicit stack, so decode is
+   * allocation-free per code.
+   */
+  private[graft] def lzwDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 3))
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4096)
+    var next = 258; var width = 9
+    var acc = 0; var nacc = 0; var pos = 0
+    def read(): Int = {
+      while (nacc < width) {
+        if (pos >= data.length) return 257 // truncated stream: treat as EOI
+        acc = (acc << 8) | (data(pos) & 0xff); nacc += 8; pos += 1
+      }
+      nacc -= width
+      (acc >>> nacc) & ((1 << width) - 1)
+    }
+    def firstOf(code: Int): Byte = {
+      var c = code
+      while (c >= 258) c = prefix(c)
+      c.toByte
+    }
+    def emit(code: Int): Byte = {
+      var sp = 0; var c = code
+      while (c >= 258) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+      out.write(c)
+      var i = sp - 1
+      while (i >= 0) { out.write(stack(i) & 0xff); i -= 1 }
+      c.toByte
+    }
+    def grow(): Unit =
+      if ((next == 511 || next == 1023 || next == 2047) && width < 12)
+        width += 1
+    var old = -1
+    var code = read()
+    while (code != 257) {
+      if (code == 256) { // clear: reset table and width
+        next = 258; width = 9
+        code = read()
+        if (code == 257) return out.toByteArray
+        require(code < 256,
+          s"TIFF LZW: code $code directly after clear (literal expected)")
+        emit(code); old = code
+      } else {
+        require(old >= 0, "TIFF LZW: stream must start with a clear or literal")
+        if (code < next) {
+          val first = emit(code)
+          // table full (no clear from a deferred-clear encoder): such an
+          // encoder also stopped adding, so skipping keeps us in sync
+          if (next < 4096) { prefix(next) = old; suffix(next) = first; next += 1; grow() }
+        } else { // KwKwK: code == next (requires the slot we are adding)
+          require(code == next && next < 4096,
+            s"TIFF LZW: code $code beyond table size $next")
+          val f = firstOf(old)
+          emit(old); out.write(f & 0xff)
+          prefix(next) = old; suffix(next) = f; next += 1; grow()
+        }
+        old = code
+      }
+      code = read()
+    }
+    out.toByteArray
+  }
+
+  /** TIFF LZW encode — the mirror of [[lzwDecode]] (early width change,
+    * clear at entry 4094 so codes never exceed 12 bits). The dictionary
+    * keys pack (prefix code, next byte) into one Int. */
+  private[graft] def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length / 2))
+    var acc = 0L; var nacc = 0
+    var width = 9
+    def write(code: Int): Unit = {
+      acc = (acc << width) | code; nacc += width
+      while (nacc >= 8) {
+        nacc -= 8; out.write(((acc >>> nacc) & 0xff).toInt)
+      }
+    }
+    val dict = new java.util.HashMap[Integer, Integer](8192)
+    var next = 258
+    // The decoder builds its table ONE ENTRY BEHIND the encoder (it adds
+    // an entry per received code, pairing the previous string with the
+    // current first byte), so the encoder must switch width one entry
+    // LATER than the decoder's 511/1023/2047 early-change points —
+    // libtiff encodes with maxcode 511 exclusive for exactly this reason.
+    def grow(): Unit =
+      if ((next == 512 || next == 1024 || next == 2048) && width < 12)
+        width += 1
+    write(256)
+    var omega = -1
+    var i = 0
+    while (i < data.length) {
+      val k = data(i) & 0xff
+      if (omega < 0) omega = k
+      else {
+        val key = Integer.valueOf((omega << 8) | k)
+        val hit = dict.get(key)
+        if (hit != null) omega = hit.intValue()
+        else {
+          write(omega)
+          if (next == 4094) { // table nearly full: reset both sides
+            write(256); dict.clear(); next = 258; width = 9
+          } else {
+            dict.put(key, Integer.valueOf(next)); next += 1; grow()
+          }
+          omega = k
+        }
+      }
+      i += 1
+    }
+    if (omega >= 0) write(omega)
+    write(257)
+    if (nacc > 0) out.write(((acc << (8 - nacc)) & 0xff).toInt) // flush
+    out.toByteArray
+  }
+
   private def inflate(data: Array[Byte]): Array[Byte] = {
     val inf = new Inflater()
     inf.setInput(data)
@@ -418,8 +544,8 @@ object TiffCodec {
    * Encode grayscale 16-bit pages as a little-endian multi-page TIFF,
    * with `description` on the first page (where OME-XML lives in
    * OME-TIFF). `compression`: "zlib" (deflate, tifffile's default --
-   * export.py:122), "packbits" or "none"; "lzma"/"jpegxl" have no JDK
-   * codec and raise. `tile`: optional (tileLength, tileWidth) -- the
+   * export.py:122), "lzw", "packbits" or "none"; "lzma"/"jpegxl" have
+   * no JDK codec and raise. `tile`: optional (tileLength, tileWidth) -- the
    * reference's (Y, X) order (export.py:125) -- writes a tiled layout
    * (tags 322-325, edge tiles zero-padded) instead of one strip per
    * page; dimensions must be multiples of 16 per the TIFF spec.
@@ -431,12 +557,14 @@ object TiffCodec {
       case "zlib" | "deflate" => 8
       case "none" => 1
       case "packbits" => 32773
+      case "lzw" => 5
       case other => throw new IllegalArgumentException(
-        s"TIFF encode: compression '$other' unsupported (zlib/packbits/none)")
+        s"TIFF encode: compression '$other' unsupported (zlib/lzw/packbits/none)")
     }
     def press(bytes: Array[Byte]): Array[Byte] = compCode match {
       case 8 => deflateBytes(bytes)
       case 32773 => packBits(bytes)
+      case 5 => lzwEncode(bytes)
       case _ => bytes
     }
     tile.foreach { case (th, tw) =>

@@ -29,6 +29,11 @@ class ExtensionsSpec extends SparkSpec {
       val sig = s2.sql("SELECT graft_minhash_sig(array('a', 'b'), 4) AS s")
         .collect()(0).getSeq[String](0)
       assert(sig.length === 4)
+      val ramp = s2.sql(
+        "SELECT graft_synth_ramp(CAST(65534 AS BIGINT), 4) AS r")
+        .collect()(0).getSeq[Int](0)
+      assert(ramp === Seq(65534, 65535, 0, 1)) // modulus wrap
+
       // do NOT stop s2 — it shares the test JVM's SparkContext
     } finally {
       SparkSession.setDefaultSession(base)
