@@ -367,12 +367,13 @@ object QueryDefs {
     // façade glob dispatch (O16): sniffs the bare "*.tif*" glob to TIFF
     // tiled + packbits writer options (export.py:122-125 parity): same
     // oracle as the strip round-trip — layout must not change pixels
-    // LZW (compression 5, the classic microscopy TIFF codec): write and
-    // read back through the early-change TIFF 6.0 §13 implementation —
-    // pixel-exact against the closed form
+    // LZW (compression 5, the classic microscopy TIFF codec) WITH the
+    // horizontal predictor (tag 317=2) — the pairing real writers emit:
+    // write and read back through the early-change TIFF 6.0 §13
+    // implementation, pixel-exact against the closed form
     ("ome_tiff_lzw", (s: SparkSession, _: String) => {
       graft.sources.OmeTiff.write(Fixtures.corpus4d(s), "/tmp/graft_q_tiff_lzw",
-        compression = "lzw")
+        compression = "lzw", predictor = true)
       planeStatsRows(graft.sources.OmeTiff.read(s, "/tmp/graft_q_tiff_lzw"))
         .withColumnRenamed("image_id", "id")
     },

@@ -141,7 +141,8 @@ object OmeTiff {
       column: String = OmeSchema.DefaultColumn,
       compression: String = "zlib",
       tile: Option[(Int, Int)] = None,
-      useChannelColors: Boolean = false): Unit = {
+      useChannelColors: Boolean = false,
+      predictor: Boolean = false): Unit = {
     val sp = df.sparkSession
     import sp.implicits._
     val recs = df.select(col(s"$column.*")).as[OmeArrowRecord]
@@ -153,12 +154,12 @@ object OmeTiff {
       require(all.length == 1,
         s"Writing to a single file '$out' requires exactly 1 record, got ${all.length}")
       writeOne(all(0), new Path(out), hadoopConf.value, compression, tile,
-        useChannelColors)
+        useChannelColors, predictor)
     } else {
       recs.foreachPartition { it: Iterator[OmeArrowRecord] =>
         it.foreach { r =>
           writeOne(r, new Path(out, s"${r.id}.ome.tiff"), hadoopConf.value,
-            compression, tile, useChannelColors)
+            compression, tile, useChannelColors, predictor)
         }
       }
     }
@@ -167,7 +168,7 @@ object OmeTiff {
   private def writeOne(r: OmeArrowRecord, dest: Path,
       conf: org.apache.hadoop.conf.Configuration,
       compression: String = "zlib", tile: Option[(Int, Int)] = None,
-      useChannelColors: Boolean = false): Unit = {
+      useChannelColors: Boolean = false, predictor: Boolean = false): Unit = {
     val pm = r.pixels_meta
     val byCoord = r.planes.map(p => (p.t, p.c.toInt, p.z) -> p.pixels).toMap
     val zeros = Array.fill(pm.size_x * pm.size_y)(0)
@@ -181,7 +182,7 @@ object OmeTiff {
       pm.physical_size_x, pm.physical_size_y, pm.physical_size_z,
       r.pixels_meta.channels.map(_.name),
       if (useChannelColors) r.pixels_meta.channels.map(_.color_rgba) else Nil)
-    val bytes = TiffCodec.encode(pages, Some(xml), compression, tile)
+    val bytes = TiffCodec.encode(pages, Some(xml), compression, tile, predictor)
     val fs = dest.getFileSystem(conf)
     fs.setWriteChecksum(false)
     val os = fs.create(dest, true)

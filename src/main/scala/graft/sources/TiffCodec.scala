@@ -551,8 +551,11 @@ object TiffCodec {
    * page; dimensions must be multiples of 16 per the TIFF spec.
    */
   def encode(pages: Seq[(Int, Int, Array[Int])], description: Option[String] = None,
-      compression: String = "zlib", tile: Option[(Int, Int)] = None): Array[Byte] = {
+      compression: String = "zlib", tile: Option[(Int, Int)] = None,
+      predictor: Boolean = false): Array[Byte] = {
     require(pages.nonEmpty, "TIFF encode: no pages")
+    require(!(predictor && tile.isDefined),
+      "TIFF encode: predictor 2 is strip-only (matches the decoder)")
     val compCode = compression match {
       case "zlib" | "deflate" => 8
       case "none" => 1
@@ -583,11 +586,29 @@ object TiffCodec {
       require(px.length == w * h, s"page $idx: ${px.length} pixels != $w*$h")
       val segments: Seq[Array[Byte]] = tile match {
         case None =>
-          val bytes = new Array[Byte](px.length * 2)
+          // horizontal differencing (tag 317=2) BEFORE byte conversion;
+          // row-wise, on a copy — the caller's array must not mutate
+          val vals =
+            if (!predictor) px
+            else {
+              val d = java.util.Arrays.copyOf(px, px.length)
+              var y = h - 1
+              while (y >= 0) {
+                var x = w - 1
+                val base = y * w
+                while (x >= 1) {
+                  d(base + x) = (d(base + x) - d(base + x - 1)) & 0xffff
+                  x -= 1
+                }
+                y -= 1
+              }
+              d
+            }
+          val bytes = new Array[Byte](vals.length * 2)
           var i = 0
-          while (i < px.length) {
-            bytes(i * 2) = (px(i) & 0xff).toByte
-            bytes(i * 2 + 1) = ((px(i) >> 8) & 0xff).toByte
+          while (i < vals.length) {
+            bytes(i * 2) = (vals(i) & 0xff).toByte
+            bytes(i * 2 + 1) = ((vals(i) >> 8) & 0xff).toByte
             i += 1
           }
           Seq(press(bytes))
@@ -643,7 +664,8 @@ object TiffCodec {
         else (0, 0)
       pad()
       ifdOffsets :+= out.size()
-      val nEntries = 8 + (if (p.descLen > 0) 1 else 0) + (if (tile.isDefined) 1 else 0)
+      val nEntries = 8 + (if (p.descLen > 0) 1 else 0) +
+        (if (tile.isDefined) 1 else 0) + (if (predictor) 1 else 0)
       val ifd = ByteBuffer.allocate(2 + nEntries * 12 + 4).order(ByteOrder.LITTLE_ENDIAN)
       ifd.putShort(nEntries.toShort)
       def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
@@ -664,6 +686,7 @@ object TiffCodec {
           entry(273, 4, 1, p.dataOffsets.head)        // StripOffsets
           entry(278, 4, 1, p.height)                  // RowsPerStrip
           entry(279, 4, 1, p.dataLens.head)           // StripByteCounts
+          if (predictor) entry(317, 3, 1, 2)          // Predictor: horizontal
         case Some((th, tw)) =>
           entry(322, 4, 1, tw)                        // TileWidth
           entry(323, 4, 1, th)                        // TileLength

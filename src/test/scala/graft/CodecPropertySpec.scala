@@ -16,15 +16,19 @@ object CodecPropertySpec extends Properties("codecs") {
   property("tiff encode/decode round-trips any page stack") =
     Prop.forAll(Gen.nonEmptyListOf(pageGen).map(_.take(6)),
         Gen.oneOf("zlib", "none", "packbits", "lzw"),
-        Gen.oneOf(Option.empty[(Int, Int)], Some((16, 16)), Some((32, 16)))) {
-      (pages0, compression, tile) =>
-      // all pages of one file share a shape (codec requirement)
+        Gen.oneOf(Option.empty[(Int, Int)], Some((16, 16)), Some((32, 16))),
+        Gen.oneOf(true, false)) {
+      (pages0, compression, tile, predictor0) =>
+      // all pages of one file share a shape (codec requirement);
+      // predictor 2 is strip-only by contract
+      val predictor = predictor0 && tile.isEmpty
       val (w, h, _) = pages0.head
       val pages = pages0.map { case (_, _, px) =>
         (w, h, java.util.Arrays.copyOf(px, w * h))
       }
       val decoded = TiffCodec.decode(
-        TiffCodec.encode(pages, compression = compression, tile = tile))
+        TiffCodec.encode(pages, compression = compression, tile = tile,
+          predictor = predictor))
       decoded.length == pages.length &&
         decoded.zip(pages).forall { case (d, (pw, ph, px)) =>
           d.width == pw && d.height == ph && d.pixels.sameElements(px)
