@@ -411,4 +411,80 @@ object VectorOps {
       .select(col("probe_id"), col("bucket"), col("rnk").cast("int").as("rnk"),
         col("neighbor_id"), col("score"))
   }
+
+  /** Per-dimension (min, max) over the corpus as two 1-row broadcast
+    * arrays — the codebook of asymmetric scalar quantization. One
+    * posexplode aggregation; dims are index-aligned via the sort. */
+  private def dimStats(emb: DataFrame): DataFrame =
+    emb.select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(min(col("v").cast("double")).as("dmin"),
+        max(col("v").cast("double")).as("dmax"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("pos"), col("dmin"),
+        col("dmax")))).as("s"))
+      .select(transform(col("s"), x => x.getField("dmin")).as("mins"),
+        transform(col("s"), x => x.getField("dmax")).as("maxs"))
+
+  /**
+   * Asymmetric per-dimension scalar quantization to `levels` integer
+   * steps (256 = int8) — the memory lever for corpus-scale vector
+   * search: a 64-dim float corpus stores 4x smaller quantized, and the
+   * dequantized reconstruction `min_d + q/(levels-1)*(max_d-min_d)`
+   * bounds the per-dim error by the step size. Degenerate dims
+   * (max == min) pin to step 0. Returns (vec_id, qvec, mins, maxs) with
+   * the stats carried as columns so scoring never re-aggregates.
+   *
+   * Scale: the stats are ONE posexplode aggregation (map-side partials)
+   * broadcast to the corpus; quantization itself is a narrow projection.
+   */
+  def quantizeEmbeddings(emb: DataFrame, levels: Int = 256): DataFrame = {
+    require(levels >= 2, "quantizeEmbeddings: need at least 2 levels")
+    val lv = (levels - 1).toDouble
+    // 1-row stats persist so consumers that branch the quantized frame
+    // (probes + corpus) aggregate the corpus once, not per branch
+    emb.crossJoin(broadcast(dimStats(emb)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+      .select(col("vec_id").cast("long").as("vec_id"),
+        transform(
+          arrays_zip(col("embedding").as("v"), col("mins").as("lo"),
+            col("maxs").as("hi")),
+          s => when(s.getField("hi") === s.getField("lo"), lit(0))
+            .otherwise(round((s.getField("v").cast("double") - s.getField("lo"))
+              / (s.getField("hi") - s.getField("lo")) * lv, 0).cast("int")))
+          .as("qvec"),
+        col("mins"), col("maxs"))
+  }
+
+  /** Dequantized double array from a qvec + carried stats columns. */
+  private def dequantize(q: Column, mins: Column, maxs: Column,
+      lv: Double): Column =
+    transform(arrays_zip(q.as("q"), mins.as("lo"), maxs.as("hi")),
+      s => s.getField("lo") + s.getField("q").cast("double") / lv *
+        (s.getField("hi") - s.getField("lo")))
+
+  /**
+   * Brute-force cosine top-k over the QUANTIZED corpus (symmetric:
+   * probes are quantized too) — same contract as [[cosineTopK]] but
+   * every score is computed from int8 reconstructions, pinning the
+   * quantization error end-to-end. Same plan shape: broadcast probes,
+   * one corpus scan, per-probe window.
+   */
+  def cosineTopKQuantized(emb: DataFrame, nProbes: Int, k: Int,
+      levels: Int = 256): DataFrame = {
+    val lv = (levels - 1).toDouble
+    val q = quantizeEmbeddings(emb, levels)
+      .withColumn("dv", dequantize(col("qvec"), col("mins"), col("maxs"), lv))
+      .select(col("vec_id"), col("dv"))
+    val probes = broadcast(q.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("dv").as("p_dv")))
+    probes.join(q, col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        cosine6Columnar(col("p_dv"), col("dv")).as("score"))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("score").desc, col("neighbor_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk").cast("int").as("rnk"),
+        col("neighbor_id"), col("score"))
+  }
 }

@@ -1531,6 +1531,45 @@ object QueryDefs {
           |FROM scored
           |QUALIFY rnk <= 10""".stripMargin)),
 
+    // Scalar-quantized (int8, per-dim asymmetric) top-k: probes AND
+    // corpus score from dequantized reconstructions — pins the whole
+    // quantization pipeline (stats, rounding, reconstruction) against
+    // the oracle. The sf embeddings are 64-dim (range literal below).
+    ("embed_topk_quantized", (s: SparkSession, dir: String) =>
+      VectorOps.cosineTopKQuantized(t(s, dir, "embeddings"), nProbes = 8,
+        k = 10),
+      Some(
+        """WITH e AS (
+          |  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings),
+          |d AS (
+          |  SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS lo,
+          |    max(CAST(embedding[i] AS DOUBLE)) AS hi
+          |  FROM e, range(1, 65) t(i) GROUP BY i),
+          |s AS (SELECT list(lo ORDER BY i) AS mins, list(hi ORDER BY i) AS maxs
+          |  FROM d),
+          |dq AS (
+          |  SELECT vec_id,
+          |    list_transform(range(1, 65), i -> CASE
+          |      WHEN s.maxs[i] = s.mins[i] THEN s.mins[i]
+          |      ELSE s.mins[i] + round((CAST(embedding[i] AS DOUBLE) - s.mins[i])
+          |        / (s.maxs[i] - s.mins[i]) * 255) / 255 * (s.maxs[i] - s.mins[i])
+          |      END) AS dv
+          |  FROM e CROSS JOIN s),
+          |scored AS (
+          |  SELECT p.vec_id AS probe_id, e2.vec_id AS neighbor_id,
+          |    round(list_sum(list_transform(list_zip(p.dv, e2.dv),
+          |        x -> x[1] * x[2])) /
+          |      (sqrt(list_sum(list_transform(p.dv, a -> a * a))) *
+          |       sqrt(list_sum(list_transform(e2.dv, a -> a * a)))), 6) AS score
+          |  FROM dq p JOIN dq e2 ON e2.vec_id <> p.vec_id
+          |  WHERE p.vec_id < 8)
+          |SELECT probe_id,
+          |  CAST(row_number() OVER (PARTITION BY probe_id
+          |    ORDER BY score DESC, neighbor_id ASC) AS INT) AS rnk,
+          |  neighbor_id, score
+          |FROM scored
+          |QUALIFY rnk <= 10""".stripMargin)),
+
     // SemDeDup: coarse clusters (deterministic codebook), in-cluster
     // cosine pairs, drop the higher id of every pair above threshold
     ("semantic_dedup", (s: SparkSession, dir: String) =>

@@ -561,6 +561,45 @@ class TextVectorSpec extends SparkSpec {
       out(1).getAs[Double]("avg_log_ratio"))
   }
 
+  test("quantizeEmbeddings bounds reconstruction error by half a step") {
+    val emb = Seq(
+      (0L, Array(0.0f, 5.0f, -3.0f), 0),
+      (1L, Array(10.0f, 5.0f, 3.0f), 0),
+      (2L, Array(4.2f, 5.0f, 0.7f), 1) // dim 1 is degenerate (constant 5)
+    ).toDF("vec_id", "embedding", "label")
+    val q = VectorOps.quantizeEmbeddings(emb, levels = 256)
+      .orderBy("vec_id").collect()
+    // degenerate dim pins to step 0 for every vector
+    assert(q.forall(_.getSeq[Int](1)(1) === 0))
+    // reconstruction error <= (max-min)/255/2 per dim
+    val mins = Seq(0.0, 5.0, -3.0); val maxs = Seq(10.0, 5.0, 3.0)
+    val orig = Seq(Seq(0.0, 5.0, -3.0), Seq(10.0, 5.0, 3.0), Seq(4.2, 5.0, 0.7))
+    q.zipWithIndex.foreach { case (r, vi) =>
+      val qv = r.getSeq[Int](1)
+      (0 until 3).foreach { d =>
+        val span = maxs(d) - mins(d)
+        val dq = if (span == 0) mins(d) else mins(d) + qv(d).toDouble / 255 * span
+        assert(math.abs(dq - orig(vi)(d)) <= span / 255 / 2 + 1e-9,
+          s"vec $vi dim $d: $dq vs ${orig(vi)(d)}")
+      }
+    }
+  }
+
+  test("quantized top-k ranks the exact nearest neighbor first on " +
+      "well-separated vectors") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),  // probe
+      (1L, Array(0.9f, 0.1f, 0.0f), 0),  // near probe
+      (2L, Array(0.0f, 1.0f, 0.0f), 1),
+      (3L, Array(0.0f, 0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = VectorOps.cosineTopKQuantized(emb, nProbes = 1, k = 3)
+      .orderBy("rnk").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).head === 1L)
+    assert(out.length === 3)
+    assert(out.map(_.getAs[Int]("rnk")).toSeq === Seq(1, 2, 3))
+  }
+
   test("lshBucket puts identical vectors in the same bucket") {
     val emb = Seq(
       (0L, Array(1.0f, 2.0f, 3.0f), 0),
