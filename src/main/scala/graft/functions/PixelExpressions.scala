@@ -91,6 +91,53 @@ case class PixelCrop(pixels: Expression, sx: Expression,
       x1 = newChildren(3), y0 = newChildren(4), y1 = newChildren(5))
 }
 
+/** Sum of an int-array plane as a long — the rollup reduction behind
+  * every plane-stats query. The `aggregate(pixels, 0L, _+_)` HOF
+  * formulation pays an interpreted lambda + boxed Long PER PIXEL
+  * (hundreds of millions of allocations in a corpus rollup and the
+  * dominant GC noise in scale probes); this is one tight long loop. */
+case class PixelSum(pixels: Expression) extends Expression {
+
+  override def children: Seq[Expression] = Seq(pixels)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = pixels.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = InputCheck.check(
+    Seq((pixels, ArrayType(IntegerType), "pixels")), "graft_pixel_sum")
+
+  override def eval(input: InternalRow): Any = {
+    val pxAny = pixels.eval(input)
+    if (pxAny == null) return null
+    val px = pxAny.asInstanceOf[ArrayData]
+    var s = 0L
+    var i = 0
+    val n = px.numElements()
+    while (i < n) { s += px.getInt(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pxG = pixels.genCode(ctx)
+    val i = ctx.freshName("i")
+    val code =
+      code"""
+        ${pxG.code}
+        boolean ${ev.isNull} = ${pxG.isNull};
+        long ${ev.value} = 0L;
+        if (!${ev.isNull}) {
+          for (int $i = 0; $i < ${pxG.value}.numElements(); $i++) {
+            ${ev.value} += ${pxG.value}.getInt($i);
+          }
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(pixels = newChildren(0))
+}
+
 /** Closed-form synthetic plane: out[p] = (base + p) % 65536 for p in
   * [0, n) — the pixel formula behind `Fixtures.syntheticImages`. As a
   * column formulation (`transform(sequence(...))`) the corpus generator

@@ -26,7 +26,8 @@ package object functions {
     }),
     "graft_simhash64" -> (exprs => SimHash64(exprs(0))),
     "graft_cosine" -> (exprs => CosineSim(exprs(0), exprs(1))),
-    "graft_synth_ramp" -> (exprs => SynthRampPixels(exprs(0), exprs(1))))
+    "graft_synth_ramp" -> (exprs => SynthRampPixels(exprs(0), exprs(1))),
+    "graft_pixel_sum" -> (exprs => PixelSum(exprs(0))))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -64,4 +65,9 @@ package object functions {
     * — one native loop per plane for the synthetic corpus generator. */
   def synth_ramp(base: Column, n: Column): Column =
     call_function("graft_synth_ramp", base, n)
+
+  /** Native long sum of an int-array plane (identical value to the
+    * `aggregate(pixels, 0L, _+_)` fold, without per-element boxing). */
+  def pixel_sum(pixels: Column): Column =
+    call_function("graft_pixel_sum", pixels)
 }

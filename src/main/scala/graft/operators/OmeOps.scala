@@ -111,11 +111,12 @@ object OmeOps {
   def planeStats(df: DataFrame, t: Int, c: Int, z: Int,
       column: String = OmeSchema.DefaultColumn): DataFrame = {
     val looked = planeLookup(df, t, c, z, column)
+    graft.functions.ensureRegistered(df.sparkSession)
     looked.select(col("id"), col("t"), col("c"), col("z"),
       array_min(col("pixels")).as("px_min"),
       array_max(col("pixels")).as("px_max"),
       size(col("pixels")).as("n_px"),
-      aggregate(col("pixels"), lit(0L), (acc, p) => acc + p).as("px_sum"))
+      graft.functions.pixel_sum(col("pixels")).as("px_sum"))
   }
 
   /**

@@ -55,14 +55,16 @@ object QueryDefs {
       !(p.getField("t") === 1 && p.getField("c") === 1 && p.getField("z") === 1))
 
   /** Per-plane stats rows from a nested corpus (post explodePlanes). */
-  private def planeStatsRows(df: DataFrame): DataFrame =
+  private def planeStatsRows(df: DataFrame): DataFrame = {
+    graft.functions.ensureRegistered(df.sparkSession)
     OmeOps.explodePlanes(df).select(
       col("image_id"), col("t").cast("int").as("t"),
       col("c").cast("int").as("c"), col("z").cast("int").as("z"),
       size(col("pixels")).as("n_px"),
-      aggregate(col("pixels"), lit(0L), (a, v) => a + v).as("px_sum"),
+      graft.functions.pixel_sum(col("pixels")).as("px_sum"),
       array_min(col("pixels")).as("px_min"),
       array_max(col("pixels")).as("px_max"))
+  }
 
   private val planeStatsSelect =
     s"""CAST(count(*) AS INT) AS n_px, CAST(sum(v) AS BIGINT) AS px_sum,
@@ -269,7 +271,7 @@ object QueryDefs {
       val features = OmeOps.explodePlanes(imgs)
         .groupBy(col("image_id"))
         .agg(count(lit(1)).cast("long").as("n_planes"),
-          sum(aggregate(col("pixels"), lit(0L), (a, v) => a + v)).as("px_total"))
+          sum(graft.functions.pixel_sum(col("pixels"))).as("px_total"))
       OmeOps.describe(imgs).join(broadcast(features),
           col("id") === col("image_id"))
         .select(col("id"), col("type"), col("n_planes"), col("px_total"))
@@ -1078,7 +1080,7 @@ object QueryDefs {
       val planes = OmeOps.downscalePlanes(OmeOps.cropPlanes(
         OmeOps.explodePlanes(corpus), 8, 56, 8, 56))
       planes.select(col("image_id"),
-          aggregate(col("pixels"), lit(0L), (a, v) => a + v).as("px_sum"),
+          graft.functions.pixel_sum(col("pixels")).as("px_sum"),
           array_min(col("pixels")).as("px_min"),
           array_max(col("pixels")).as("px_max"))
         .groupBy(col("image_id"))

@@ -33,6 +33,16 @@ class OpsSpec extends SparkSpec {
     assert(df.filter(not(col("a") <=> col("b"))).count() === 0)
   }
 
+  test("graft_pixel_sum matches the aggregate fold") {
+    graft.functions.ensureRegistered(spark)
+    val df = spark.range(20).select(
+      graft.functions.synth_ramp(col("id") * 65000L, lit(50)).as("px"))
+      .select(
+        graft.functions.pixel_sum(col("px")).as("a"),
+        aggregate(col("px"), lit(0L), (acc, v) => acc + v).as("b"))
+    assert(df.filter(not(col("a") <=> col("b"))).count() === 0)
+  }
+
   test("downscale2x keeps size-1 axes without nulls") {
     val thin = Fixtures.syntheticImages(spark, 1, t = 1, c = 1, z = 1, sy = 4, sx = 1)
     val px = OmeOps.downscale2x(thin)
