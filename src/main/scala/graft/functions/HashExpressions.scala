@@ -193,9 +193,19 @@ case class CosineSim(a: Expression, b: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
-  override def checkInputDataTypes(): TypeCheckResult = InputCheck.check(
-    Seq((a, ArrayType(FloatType), "a"), (b, ArrayType(FloatType), "b")),
-    "graft_cosine")
+  override def checkInputDataTypes(): TypeCheckResult =
+    (a.dataType, b.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ta, tb) => TypeCheckResult.TypeCheckFailure(
+        s"graft_cosine: both inputs must be array<float> or array<double> " +
+          s"(got ${ta.catalogString}, ${tb.catalogString})")
+    }
+
+  private lazy val isDouble =
+    a.dataType.asInstanceOf[ArrayType].elementType == DoubleType
 
   override def eval(input: InternalRow): Any = {
     val aAny = a.eval(input); val bAny = b.eval(input)
@@ -209,8 +219,8 @@ case class CosineSim(a: Expression, b: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = av.getFloat(i).toDouble
-      val y = bv.getFloat(i).toDouble
+      val x = if (isDouble) av.getDouble(i) else av.getFloat(i).toDouble
+      val y = if (isDouble) bv.getDouble(i) else bv.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }

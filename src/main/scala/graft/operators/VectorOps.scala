@@ -472,6 +472,7 @@ object VectorOps {
    */
   def cosineTopKQuantized(emb: DataFrame, nProbes: Int, k: Int,
       levels: Int = 256): DataFrame = {
+    graft.functions.ensureRegistered(emb.sparkSession)
     val lv = (levels - 1).toDouble
     val q = quantizeEmbeddings(emb, levels)
       .withColumn("dv", dequantize(col("qvec"), col("mins"), col("maxs"), lv))
@@ -480,7 +481,9 @@ object VectorOps {
       .select(col("vec_id").as("probe_id"), col("dv").as("p_dv")))
     probes.join(q, col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        cosine6Columnar(col("p_dv"), col("dv")).as("score"))
+        // native single-pass cosine (accepts double arrays; bit-identical
+        // to the columnar folds) — the hot pair loop stays unboxed
+        cosine6(col("p_dv"), col("dv")).as("score"))
       .withColumn("rnk", row_number().over(Window.partitionBy(col("probe_id"))
         .orderBy(col("score").desc, col("neighbor_id").asc)))
       .filter(col("rnk") <= k)

@@ -157,7 +157,12 @@ class TextVectorSpec extends SparkSpec {
 
   test("registered native expressions reject wrong input types at analysis") {
     graft.functions.ensureRegistered(spark)
-    val wrong = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    // double arrays are a VALID second input form (quantized search
+    // scores reconstructions) — must agree with the float-array path
+    val dbl = Seq((Array(1.0, 0.0), Array(1.0, 0.0))).toDF("a", "b")
+      .selectExpr("graft_cosine(a, b) AS c").collect()(0).getDouble(0)
+    assert(math.abs(dbl - 1.0) < 1e-12)
+    val wrong = Seq((Array(1, 2), Array(3, 4))).toDF("a", "b")
     val ex = intercept[Exception] {
       wrong.selectExpr("graft_cosine(a, b)").collect()
     }
