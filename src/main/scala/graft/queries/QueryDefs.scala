@@ -1533,6 +1533,52 @@ object QueryDefs {
           |FROM scored
           |QUALIFY rnk <= 10""".stripMargin)),
 
+    // Two-stage retrieval: coarse top-50 per probe in a deterministic
+    // 8-dim random projection, exact cosine rerank of the candidates.
+    // Both stages rank on rounded scores so the candidate SET is
+    // engine-deterministic. sf embeddings are 64-dim (range literal).
+    ("embed_topk_reranked", (s: SparkSession, dir: String) =>
+      VectorOps.cosineTopKReranked(t(s, dir, "embeddings"), nProbes = 8,
+        k = 10, outDims = 8, candidates = 50),
+      Some(
+        """WITH e AS (
+          |  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings),
+          |p AS (
+          |  SELECT vec_id, embedding,
+          |    list_transform(range(0, 8), j ->
+          |      list_sum(list_transform(range(1, 65), d ->
+          |        CAST(embedding[d] AS DOUBLE) * (((j * 37 + (d - 1) * 11) % 19) - 9)))) AS pv
+          |  FROM e),
+          |coarse AS (
+          |  SELECT pr.vec_id AS probe_id, ne.vec_id AS neighbor_id,
+          |    pr.embedding AS p_emb, ne.embedding AS n_emb,
+          |    round(list_sum(list_transform(list_zip(pr.pv, ne.pv),
+          |        x -> x[1] * x[2])) /
+          |      (sqrt(list_sum(list_transform(pr.pv, a -> a * a))) *
+          |       sqrt(list_sum(list_transform(ne.pv, a -> a * a)))), 6) AS cscore
+          |  FROM p pr JOIN p ne ON ne.vec_id <> pr.vec_id
+          |  WHERE pr.vec_id < 8),
+          |cand AS (
+          |  SELECT * FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY probe_id
+          |      ORDER BY cscore DESC, neighbor_id ASC) AS crnk
+          |    FROM coarse) WHERE crnk <= 50),
+          |rer AS (
+          |  SELECT probe_id, neighbor_id,
+          |    round(list_sum(list_transform(list_zip(p_emb, n_emb),
+          |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+          |      (sqrt(list_sum(list_transform(p_emb,
+          |         a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)))) *
+          |       sqrt(list_sum(list_transform(n_emb,
+          |         a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE))))), 6) AS score
+          |  FROM cand)
+          |SELECT probe_id,
+          |  CAST(row_number() OVER (PARTITION BY probe_id
+          |    ORDER BY score DESC, neighbor_id ASC) AS INT) AS rnk,
+          |  neighbor_id, score
+          |FROM rer
+          |QUALIFY rnk <= 10""".stripMargin)),
+
     // Scalar-quantized (int8, per-dim asymmetric) top-k: probes AND
     // corpus score from dequantized reconstructions — pins the whole
     // quantization pipeline (stats, rounding, reconstruction) against

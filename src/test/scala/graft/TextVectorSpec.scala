@@ -605,6 +605,25 @@ class TextVectorSpec extends SparkSpec {
     assert(out.map(_.getAs[Int]("rnk")).toSeq === Seq(1, 2, 3))
   }
 
+  test("cosineTopKReranked equals exact top-k when candidates cover " +
+      "the corpus") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.2f), 0),
+      (1L, Array(0.9f, 0.1f, 0.1f), 0),
+      (2L, Array(0.0f, 1.0f, 0.4f), 1),
+      (3L, Array(0.1f, 0.0f, 1.0f), 1),
+      (4L, Array(0.5f, 0.5f, 0.5f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    // with candidates >= corpus size the coarse stage cannot drop the
+    // true neighbors, so rerank must reproduce exact brute force
+    val exact = VectorOps.cosineTopK(emb, nProbes = 2, k = 3)
+      .orderBy("probe_id", "rnk").collect().map(_.toString).toSeq
+    val staged = VectorOps.cosineTopKReranked(emb, nProbes = 2, k = 3,
+        outDims = 4, candidates = 10)
+      .orderBy("probe_id", "rnk").collect().map(_.toString).toSeq
+    assert(staged === exact)
+  }
+
   test("lshBucket puts identical vectors in the same bucket") {
     val emb = Seq(
       (0L, Array(1.0f, 2.0f, 3.0f), 0),
