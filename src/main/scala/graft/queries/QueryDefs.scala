@@ -648,6 +648,135 @@ object QueryDefs {
           |  GROUP BY train_doc, eval_doc, n_eval_grams)
           |WHERE n_shared >= 2""".stripMargin)),
 
+    // FLAGSHIP composition: the full pretraining-data pipeline as ONE
+    // lazy plan — quality filter -> exact dedup -> decontamination vs
+    // the eval split -> deterministic training mix -> sequence packing.
+    // Every stage is an already-oracle-proven operator; this pins that
+    // they COMPOSE (column contracts, determinism, join semantics)
+    // end-to-end against a single chained-CTE oracle.
+    ("pipeline_end_to_end", (s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val candidates = docs.filter(col("doc_id") % 25 =!= 0)
+      val evalSplit = docs.filter(col("doc_id") % 25 === 0)
+      val kept = TextOps.filterPipeline(candidates)
+        .filter(col("keep") === 1).select(col("doc_id"))
+      val keptDocs = candidates.join(kept, "doc_id")
+      val keepers = TextOps.dedupExact(keptDocs)
+        .select(col("keeper_doc_id").as("doc_id"))
+      val deduped = keptDocs.join(keepers, "doc_id")
+      val contaminated = TextOps.contamination(deduped, evalSplit,
+          n = 3, minShared = 2)
+        .select(col("train_doc").as("doc_id")).distinct()
+      val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      val sampled = TextOps.sampleMix(clean,
+          rates = Map("en" -> 0.5, "de" -> 0.25, "es" -> 1.0),
+          defaultRate = 0.1)
+        .filter(col("keep") === 1).select(col("doc_id"))
+      TextOps.packSequences(clean.join(sampled, "doc_id"),
+        seqLen = 512, nShards = 4)
+    },
+      Some(
+        """WITH cand AS (
+          |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 25 <> 0),
+          |toks AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+          |  FROM cand),
+          |q AS (
+          |  SELECT doc_id, len(tk) AS n_tokens,
+          |    CASE WHEN len(tk) = 0 THEN 0.0
+          |      ELSE round(len(list_filter(tk,
+          |        t -> length(t) >= 3 AND length(t) <= 12))
+          |        / CAST(len(tk) AS DOUBLE), 6) END AS normal_share
+          |  FROM toks),
+          |l AS (
+          |  SELECT doc_id,
+          |    len(regexp_extract_all(text, '\b(the|and|of|is)\b')) AS c_en,
+          |    len(regexp_extract_all(text, '\b(und|der|die|das)\b')) AS c_de,
+          |    len(regexp_extract_all(text, '\b(el|los|las|una)\b')) AS c_es,
+          |    len(regexp_extract_all(text, '\b(le|les|des|une)\b')) AS c_fr
+          |  FROM cand),
+          |lp AS (
+          |  SELECT doc_id,
+          |    CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en > 0 THEN 'en'
+          |         WHEN c_de >= c_es AND c_de >= c_fr AND c_de > 0 THEN 'de'
+          |         WHEN c_es >= c_fr AND c_es > 0 THEN 'es'
+          |         WHEN c_fr > 0 THEN 'fr'
+          |         ELSE 'unknown' END AS lang_pred
+          |  FROM l),
+          |g1 AS (
+          |  SELECT doc_id, unnest(CASE WHEN len(tk) < 2
+          |      THEN [array_to_string(tk, ' ')]
+          |      ELSE list_transform(range(1, len(tk)),
+          |             i -> array_to_string(tk[i:i+1], ' ')) END) AS gram
+          |  FROM toks),
+          |c1 AS (SELECT doc_id, gram, count(*) AS cnt FROM g1 GROUP BY 1, 2),
+          |r AS (
+          |  SELECT doc_id,
+          |    round((sum(cnt) - count(*)) / CAST(sum(cnt) AS DOUBLE), 6)
+          |      AS dup_gram_frac
+          |  FROM c1 GROUP BY doc_id),
+          |kept AS (
+          |  SELECT q.doc_id
+          |  FROM q JOIN lp USING (doc_id) JOIN r USING (doc_id)
+          |  WHERE NOT (q.n_tokens < 10) AND NOT (q.n_tokens > 100000)
+          |    AND lp.lang_pred = 'en' AND NOT (q.normal_share < 0.6)
+          |    AND NOT (r.dup_gram_frac > 0.15)),
+          |kd AS (SELECT c.* FROM cand c JOIN kept USING (doc_id)),
+          |ded AS (SELECT min(doc_id) AS doc_id FROM kd GROUP BY sha256(text)),
+          |dd AS (SELECT kd.* FROM kd JOIN ded USING (doc_id)),
+          |ddsh AS (
+          |  SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3
+          |      THEN [array_to_string(tk, ' ')]
+          |      ELSE list_transform(range(1, len(tk) - 1),
+          |             i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
+          |  FROM (SELECT dd.doc_id,
+          |          list_filter(string_split_regex(trim(dd.text), '\s+'),
+          |            x -> x <> '') AS tk
+          |        FROM dd)),
+          |evsh AS (
+          |  SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3
+          |      THEN [array_to_string(tk, ' ')]
+          |      ELSE list_transform(range(1, len(tk) - 1),
+          |             i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
+          |  FROM (SELECT doc_id,
+          |          list_filter(string_split_regex(trim(text), '\s+'),
+          |            x -> x <> '') AS tk
+          |        FROM documents WHERE doc_id % 25 = 0)),
+          |con AS (
+          |  SELECT DISTINCT tr.doc_id
+          |  FROM (SELECT doc_id, unnest(sh) AS gram FROM ddsh) tr
+          |  JOIN (SELECT doc_id AS eval_doc, unnest(sh) AS gram FROM evsh) ev
+          |    USING (gram)
+          |  GROUP BY tr.doc_id, ev.eval_doc
+          |  HAVING count(*) >= 2),
+          |clean AS (
+          |  SELECT dd.* FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM con)),
+          |samp AS (
+          |  SELECT doc_id, lang, text FROM clean
+          |  WHERE CASE lang
+          |    WHEN 'en' THEN substring(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+          |    WHEN 'de' THEN substring(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+          |    WHEN 'es' THEN true
+          |    ELSE substring(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8) < '1999999a' END),
+          |spans AS (
+          |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |    CAST(doc_id % 4 AS BIGINT) AS shard,
+          |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+          |      x -> x <> '')) AS BIGINT) AS n_tokens
+          |  FROM samp),
+          |cum AS (
+          |  SELECT doc_id, shard, n_tokens,
+          |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+          |      ROWS UNBOUNDED PRECEDING) AS end_token
+          |  FROM spans)
+          |SELECT doc_id, shard, n_tokens,
+          |  CAST(end_token - n_tokens AS BIGINT) AS start_token,
+          |  CAST((end_token - n_tokens) // 512 AS BIGINT) AS first_chunk,
+          |  CAST(greatest((end_token - 1) // 512,
+          |    (end_token - n_tokens) // 512) AS BIGINT) AS last_chunk
+          |FROM cum""".stripMargin)),
+
     // cross-doc boilerplate: distinct 3-grams in >= 3 docs, per-doc mass
     ("boilerplate", (s: SparkSession, dir: String) =>
       TextOps.boilerplate(t(s, dir, "documents")),
