@@ -110,6 +110,8 @@ object PlanAudit {
     audit("tfidf_topk", graft.SparkEntry.queries("tfidf_topk")(spark, dir))
     audit("importance_weights",
       graft.SparkEntry.queries("importance_weights")(spark, dir))
+    audit("pipeline_end_to_end",
+      graft.SparkEntry.queries("pipeline_end_to_end")(spark, dir))
     spark.stop()
   }
 }
