@@ -114,6 +114,28 @@ object TextOps {
         .distinct(), Seq("text_sha256"), "left_anti")
       .select(col("doc_id"))
 
+  /**
+   * Exact dedup keeping the BEST copy per content group instead of the
+   * smallest id — the real-pipeline variant when duplicates differ in
+   * metadata (source reputation, recency): keeper = argmax of `score`,
+   * ties broken by smaller doc_id so the result is deterministic.
+   * Returns (text_sha256, keeper_doc_id, n_copies, best_score).
+   * Same single hash-keyed shuffle as [[dedupExact]] (the window and
+   * the count share one partitioning).
+   */
+  def dedupExactBest(docs: DataFrame, score: Column): DataFrame = {
+    val w = Window.partitionBy(col("text_sha256"))
+    docs.select(sha2(col("text"), 256).as("text_sha256"),
+        col("doc_id").cast("long").as("doc_id"),
+        score.cast("double").as("s"))
+      .withColumn("n_copies", count(lit(1)).over(w).cast("long"))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("s").desc, col("doc_id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("text_sha256"), col("doc_id").as("keeper_doc_id"),
+        col("n_copies"), round(col("s"), 6).as("best_score"))
+  }
+
   /** Canonical-form fingerprint: md5 of the lower-cased, whitespace-
     * collapsed text. Robust to reflow/case-only edits. */
   def fingerprint(docs: DataFrame): DataFrame =

@@ -442,6 +442,25 @@ object QueryDefs {
           |  CAST(count(*) AS BIGINT) AS n_copies
           |FROM documents GROUP BY sha256(text)""".stripMargin)),
 
+    // metadata-priority dedup: among exact copies keep the one from the
+    // preferred source (s1 = the "clean mirror"), ties -> smaller id
+    ("dedup_exact_best", (s: SparkSession, dir: String) =>
+      TextOps.dedupExactBest(t(s, dir, "documents"),
+        when(col("source") === "s1", 2.0).otherwise(1.0)),
+      Some(
+        """WITH scored AS (
+          |  SELECT sha256(text) AS text_sha256,
+          |    CAST(doc_id AS BIGINT) AS doc_id,
+          |    CASE WHEN source = 's1' THEN 2.0 ELSE 1.0 END AS s,
+          |    CAST(count(*) OVER (PARTITION BY sha256(text)) AS BIGINT)
+          |      AS n_copies,
+          |    row_number() OVER (PARTITION BY sha256(text)
+          |      ORDER BY s DESC, doc_id ASC) AS rn
+          |  FROM documents)
+          |SELECT text_sha256, doc_id AS keeper_doc_id, n_copies,
+          |  round(s, 6) AS best_score
+          |FROM scored WHERE rn = 1""".stripMargin)),
+
     ("doc_fingerprint", (s: SparkSession, dir: String) =>
       TextOps.fingerprint(t(s, dir, "documents")),
       Some(

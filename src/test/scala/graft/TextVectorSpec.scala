@@ -232,6 +232,23 @@ class TextVectorSpec extends SparkSpec {
     assert(out(0).getAs[Double]("eval_frac") === 0.666667)
   }
 
+  test("dedupExactBest keeps the highest-scored copy, id tie-break") {
+    val fixture = Seq(
+      (0L, "same text", "s0", 5L),
+      (1L, "same text", "s1", 5L), // preferred source wins over lower id
+      (2L, "same text", "s1", 5L), // equal score -> smaller id wins
+      (3L, "unique", "s0", 3L)
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val out = TextOps.dedupExactBest(fixture,
+        when(col("source") === "s1", 2.0).otherwise(1.0))
+      .orderBy("keeper_doc_id").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("keeper_doc_id") === 1L)
+    assert(out(0).getAs[Long]("n_copies") === 3L)
+    assert(out(0).getAs[Double]("best_score") === 2.0)
+    assert(out(1).getAs[Long]("keeper_doc_id") === 3L)
+  }
+
   test("nearDupClusters groups transitively connected near-dups") {
     // docs 0,1,3 pairwise similar (one component), 2 isolated (no rows)
     val out = TextOps.nearDupClusters(docs, threshold = 0.5)
