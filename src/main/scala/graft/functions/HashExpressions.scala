@@ -231,3 +231,57 @@ case class CosineSim(a: Expression, b: Expression)
       newChildren: IndexedSeq[Expression]): Expression =
     copy(a = newChildren(0), b = newChildren(1))
 }
+
+/**
+ * Deterministic pseudo-random projection of an embedding to `outDims`
+ * dimensions: out[j] = sum_d v[d] * (((j*37 + d*11) % 19) - 9), folded
+ * sequentially in double — bit-identical to the columnar
+ * `transform(sequence(...), j -> aggregate(zip_with(...)))` formulation
+ * in `VectorOps.projectEmbeddings` (and to the DuckDB oracle's
+ * list_transform/list_sum), which interprets outDims×dim boxed lambda
+ * calls per row; this is one tight loop.
+ */
+case class ProjectEmbedding(v: Expression, outDims: Int)
+  extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(v)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = v.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    v.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_project: input must be array<float> or array<double> " +
+          s"(got ${t.catalogString})")
+    }
+
+  private lazy val isDouble =
+    v.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  override def eval(input: InternalRow): Any = {
+    val vAny = v.eval(input)
+    if (vAny == null) return null
+    val av = vAny.asInstanceOf[ArrayData]
+    val n = av.numElements()
+    val out = new Array[Double](outDims)
+    var j = 0
+    while (j < outDims) {
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        val x = if (isDouble) av.getDouble(d) else av.getFloat(d).toDouble
+        acc += x * (((j * 37 + d * 11) % 19) - 9).toDouble
+        d += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(v = newChildren(0))
+}

@@ -26,6 +26,12 @@ package object functions {
     }),
     "graft_simhash64" -> (exprs => SimHash64(exprs(0))),
     "graft_cosine" -> (exprs => CosineSim(exprs(0), exprs(1))),
+    "graft_project" -> (exprs => {
+      require(exprs.length == 2 && exprs(1).foldable &&
+        exprs(1).dataType == org.apache.spark.sql.types.IntegerType,
+        "graft_project(embedding, outDims): outDims must be an INT literal")
+      ProjectEmbedding(exprs(0), exprs(1).eval(null).asInstanceOf[Int])
+    }),
     "graft_synth_ramp" -> (exprs => SynthRampPixels(exprs(0), exprs(1))),
     "graft_pixel_sum" -> (exprs => PixelSum(exprs(0))))
 
@@ -39,6 +45,11 @@ package object functions {
   /** Native single-pass cosine similarity over float embeddings. */
   def cosine(a: Column, b: Column): Column =
     call_function("graft_cosine", a, b)
+
+  /** Native deterministic random projection to `outDims` dims (one loop
+    * per row; bit-identical to the columnar HOF formulation). */
+  def project_embedding(v: Column, outDims: Int): Column =
+    call_function("graft_project", v, lit(outDims))
 
   /** Native MinHash signature (one md5 loop per row; byte-identical to
     * the column formulation). */

@@ -84,23 +84,48 @@ object VectorOps {
    * pairs are scored (hyperplane-sign LSH — approximate recall by
    * design, never an all-pairs cross join). Pairs with
    * cosine >= threshold, doc order a < b.
+   *
+   * Scale shape: a bucket-keyed SELF-JOIN — each side shuffles the
+   * bucketed corpus once and pairs STREAM out of the join, so no task
+   * ever buffers a bucket (the previous collect_list formulation put
+   * every member embedding of a bucket into ONE aggregation row; with
+   * only 2^numPlanes buckets globally that row is ~corpus/2^numPlanes
+   * embeddings — OOM long before pair expansion). Pair WORK is still
+   * m² per bucket: size `numPlanes ~ log2(corpus / targetBucketSize)`
+   * so buckets average the pair budget you can afford (6 planes = 64
+   * buckets fits the sf test corpora; a 10⁹-vector corpus wants ~20),
+   * and set `maxBucketSize > 0` to DROP oversize buckets outright —
+   * the same escape hatch as `nearDupPairs`/`simhashPairs`, for skewed
+   * sign-spaces where many vectors share a bucket (recall loss is
+   * explicit and bounded to the dropped buckets).
    */
   def embedNearDup(emb: DataFrame, threshold: Double,
-      numPlanes: Int = 6): DataFrame = {
+      numPlanes: Int = 6, maxBucketSize: Long = 0L): DataFrame = {
     graft.functions.ensureRegistered(emb.sparkSession)
+    // persisted: the self-join consumes the bucketed frame twice and the
+    // per-row hyperplane fold is the expensive stage — without the
+    // barrier it would run twice per action. Cache lives as long as the
+    // returned lazy plan (see SCALE.md persist-lifecycle note).
     val bucketed = emb.select(col("vec_id").cast("long").as("vec_id"),
       col("embedding"), lshBucket(col("embedding"), numPlanes).as("bucket"))
-    val members = array_sort(collect_list(struct(col("vec_id"), col("embedding"))))
-    val pairs = TextOps.sortedPairs(col("members"),
-      (a, b) => struct(a.getField("vec_id").as("vec_a"),
-        b.getField("vec_id").as("vec_b"),
-        cosine6(a.getField("embedding"), b.getField("embedding")).as("score")))
-    bucketed.groupBy(col("bucket"))
-      .agg(members.as("members"))
-      .filter(size(col("members")) > 1)
-      .select(col("bucket"), explode(pairs).as("p"))
-      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
-        col("bucket"), col("p.score").as("score"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pruned =
+      if (maxBucketSize <= 0L) bucketed
+      else {
+        // at most 2^numPlanes rows — always broadcastable
+        val keep = broadcast(bucketed.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("bucket_n"))
+          .filter(col("bucket_n") <= maxBucketSize)
+          .select(col("bucket")))
+        bucketed.join(keep, Seq("bucket"))
+      }
+    pruned.select(col("bucket"), col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a"))
+      .join(pruned.select(col("bucket"), col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b")), Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("bucket"),
+        cosine6(col("emb_a"), col("emb_b")).as("score"))
       .filter(col("score") >= threshold)
   }
 
@@ -114,9 +139,9 @@ object VectorOps {
    */
   def embedNearDupClusters(emb: DataFrame, threshold: Double,
       numPlanes: Int = 6, maxIters: Int = 25,
-      driverEdgeLimit: Long = 1000000L): DataFrame =
+      driverEdgeLimit: Long = 1000000L, maxBucketSize: Long = 0L): DataFrame =
     TextOps.connectedComponents(
-      embedNearDup(emb, threshold, numPlanes)
+      embedNearDup(emb, threshold, numPlanes, maxBucketSize)
         .select(col("vec_a"), col("vec_b")),
       maxIters, driverEdgeLimit, idCol = "vec_id")
 
@@ -420,8 +445,17 @@ object VectorOps {
 
   /** Project embeddings to `outDims` dimensions with the deterministic
     * pseudo-random matrix — the cheap coarse representation for
-    * two-stage retrieval. A narrow projection (no data movement). */
+    * two-stage retrieval. A narrow projection (no data movement);
+    * native single-pass kernel (callers must have `ensureRegistered`d —
+    * the operators here do). [[projectEmbeddingsColumnar]] is the
+    * reference formulation it is tested bit-identical against. */
   def projectEmbeddings(v: Column, outDims: Int): Column =
+    graft.functions.project_embedding(v, outDims)
+
+  /** Columnar (interpreted-HOF) projection — the oracle-shaped reference
+    * for [[projectEmbeddings]]; outDims×dim boxed lambda calls per row,
+    * so never on a hot path. */
+  def projectEmbeddingsColumnar(v: Column, outDims: Int): Column =
     transform(sequence(lit(0), lit(outDims - 1)), j =>
       aggregate(
         zip_with(v, sequence(lit(0), size(v) - 1),
@@ -438,28 +472,38 @@ object VectorOps {
    * tie-breaks so the candidate SET (and thus the result) is
    * engine-deterministic.
    *
-   * Scale: the projected corpus is a narrow derivation (cacheable at
-   * `outDims/dim` of the original footprint); stage 1 is cosineTopK's
-   * broadcast-probes/one-scan plan over the small vectors; stage 2
-   * touches `nProbes * candidates` rows only.
+   * Scale: the projected corpus is a narrow derivation (`outDims/dim` of
+   * the original footprint); stage 1 is cosineTopK's broadcast-probes/
+   * one-scan plan over the SMALL vectors only — full embeddings never
+   * enter the nProbes×N coarse pair stream or its window shuffle (the
+   * coarse window moves (probe_id, neighbor_id, cscore) triples, ~24
+   * bytes/pair instead of 2×dim doubles). The ≤ nProbes×candidates
+   * survivors are then broadcast back against the corpus for the exact
+   * full-width rerank, so full embeddings are touched by exactly one
+   * corpus scan and a candidate-sized join.
    */
   def cosineTopKReranked(emb: DataFrame, nProbes: Int, k: Int,
       outDims: Int = 8, candidates: Int = 50): DataFrame = {
     graft.functions.ensureRegistered(emb.sparkSession)
     require(candidates >= k, "cosineTopKReranked: candidates must cover k")
     val proj = emb.select(col("vec_id").cast("long").as("vec_id"),
-      col("embedding"), projectEmbeddings(col("embedding"), outDims).as("pv"))
-    val probes = broadcast(proj.filter(col("vec_id") < nProbes)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
-        col("pv").as("p_pv")))
-    val coarse = probes.join(proj, col("vec_id") =!= col("probe_id"))
+      projectEmbeddings(col("embedding"), outDims).as("pv"))
+    val probesPv = broadcast(proj.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("pv").as("p_pv")))
+    val survivors = probesPv.join(proj, col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        col("p_emb"), col("embedding"),
         cosine6(col("p_pv"), col("pv")).as("cscore"))
       .withColumn("crnk", row_number().over(Window.partitionBy(col("probe_id"))
         .orderBy(col("cscore").desc, col("neighbor_id").asc)))
       .filter(col("crnk") <= candidates)
-    coarse
+      .select(col("probe_id"), col("neighbor_id"))
+    val probesFull = broadcast(emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").cast("long").as("probe_id"),
+        col("embedding").as("p_emb")))
+    broadcast(survivors)
+      .join(emb.select(col("vec_id").cast("long").as("neighbor_id"),
+        col("embedding")), Seq("neighbor_id"))
+      .join(probesFull, Seq("probe_id"))
       .select(col("probe_id"), col("neighbor_id"),
         cosine6(col("p_emb"), col("embedding")).as("score"))
       .withColumn("rnk", row_number().over(Window.partitionBy(col("probe_id"))

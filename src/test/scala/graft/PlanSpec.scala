@@ -150,4 +150,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"),
       "train count aggregation lost its map-side partial")
   }
+
+  test("vector near-dup and rerank never buffer or window-shuffle " +
+      "embedding arrays") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val nearDup = graft.operators.VectorOps
+      .embedNearDup(emb, threshold = 0.35)
+    // pairs must STREAM from the bucket self-join — a collect_list
+    // aggregate puts ~corpus/2^numPlanes embeddings into one row
+    assert(!plan(nearDup).contains("collect_list"),
+      "embedNearDup buffers bucket members in an aggregation row")
+    val reranked = graft.operators.VectorOps
+      .cosineTopKReranked(emb, nProbes = 8, k = 10)
+    // the coarse window must move (probe_id, neighbor_id, cscore)
+    // triples only — full embeddings below a window shuffle means the
+    // two-stage design degenerated to full-space data movement
+    // post-pruning logical plan (AQE hides physical WindowExec nodes
+    // until execution): the window's child output is exactly what its
+    // partition shuffle will move
+    val windowInputs = reranked.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.child.output.map(_.name)
+    }
+    assert(windowInputs.nonEmpty, "rerank lost its ranking windows")
+    windowInputs.flatten.foreach { n =>
+      assert(!n.contains("emb") && !n.contains("pv"),
+        s"embedding-width column '$n' entered a window shuffle")
+    }
+  }
 }

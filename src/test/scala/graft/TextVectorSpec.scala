@@ -641,6 +641,54 @@ class TextVectorSpec extends SparkSpec {
     assert(staged === exact)
   }
 
+  test("projectEmbeddings native kernel is bit-identical to the " +
+      "columnar fold") {
+    graft.functions.ensureRegistered(spark)
+    val emb = Seq(
+      (0L, Array(0.25f, -1.5f, 3.75f, 0.125f, -0.875f)),
+      (1L, Array(1.0f, 0.0f, -2.25f, 4.5f, 0.333f)),
+      (2L, Array(-0.001f, 1234.5f, -6.7f, 0.0f, 9.9f))
+    ).toDF("vec_id", "embedding")
+    val rows = emb.select(
+        VectorOps.projectEmbeddings(col("embedding"), 8).as("native"),
+        VectorOps.projectEmbeddingsColumnar(col("embedding"), 8).as("col"))
+      .collect()
+    rows.foreach { r =>
+      val n = r.getSeq[Double](0); val c = r.getSeq[Double](1)
+      assert(n.length === 8)
+      // bit-identical, not approximately equal — same fold order
+      n.zip(c).foreach { case (x, y) =>
+        assert(java.lang.Double.doubleToLongBits(x) ===
+          java.lang.Double.doubleToLongBits(y))
+      }
+    }
+  }
+
+  test("embedNearDup streams pairs from a self-join and maxBucketSize " +
+      "drops oversize buckets") {
+    // one mass-duplicated embedding: 1000 copies share a bucket. The
+    // old collect_list formulation would buffer all 1000 embeddings in
+    // ONE aggregation row; the self-join streams the 499500 pairs.
+    val dup = Seq.tabulate(1000)(i => (i.toLong, Array(1.0f, 0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val pairs = VectorOps.embedNearDup(dup, threshold = 0.9, numPlanes = 4)
+    assert(pairs.count() === 1000L * 999 / 2)
+    // the cap drops the pathological bucket outright — explicit,
+    // bounded recall loss instead of an m² blowup
+    val capped = VectorOps.embedNearDup(dup, threshold = 0.9,
+      numPlanes = 4, maxBucketSize = 100)
+    assert(capped.count() === 0)
+    // clusters inherit the join-based path and the cap plumbing
+    val clusters = VectorOps.embedNearDupClusters(dup, threshold = 0.9,
+      numPlanes = 4)
+    val byCluster = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n")).collect()
+    assert(byCluster.length === 1)
+    assert(byCluster(0).getAs[Long]("n") === 1000L)
+    assert(VectorOps.embedNearDupClusters(dup, threshold = 0.9,
+      numPlanes = 4, maxBucketSize = 100).count() === 0)
+  }
+
   test("lshBucket puts identical vectors in the same bucket") {
     val emb = Seq(
       (0L, Array(1.0f, 2.0f, 3.0f), 0),
