@@ -57,7 +57,13 @@ object QueryDefs {
   /** Per-plane stats rows from a nested corpus (post explodePlanes). */
   private def planeStatsRows(df: DataFrame): DataFrame = {
     graft.functions.ensureRegistered(df.sparkSession)
-    OmeOps.explodePlanes(df).select(
+    planeStatsFromPlanes(OmeOps.explodePlanes(df))
+  }
+
+  /** Per-plane stats rows from an already-exploded plane table. */
+  private def planeStatsFromPlanes(planes: DataFrame): DataFrame = {
+    graft.functions.ensureRegistered(planes.sparkSession)
+    planes.select(
       col("image_id"), col("t").cast("int").as("t"),
       col("c").cast("int").as("c"), col("z").cast("int").as("z"),
       size(col("pixels")).as("n_px"),
@@ -157,8 +163,14 @@ object QueryDefs {
            |  CAST(z AS INT) AS z, $planeStatsSelect
            |FROM l1 GROUP BY img, t, c, z""".stripMargin)),
 
+    // Multi-level pyramids compose on the EXPLODED form: nesting
+    // `downscale2x` stacks `transform(planes, ...)` lambda trees that
+    // re-evaluate per level (SCALE.md measured lesson #1 — the r6
+    // 0.22->1.70 s regression), while plane-table levels stay one flat
+    // narrow projection per level, shuffle-free end to end.
     ("ome_pyramid_l2", (s: SparkSession, _: String) =>
-      planeStatsRows(OmeOps.downscale2x(OmeOps.downscale2x(Fixtures.corpus4d(s)))),
+      planeStatsFromPlanes(OmeOps.downscalePlanes(OmeOps.downscalePlanes(
+        OmeOps.explodePlanes(Fixtures.corpus4d(s))))),
       Some(
         s"""WITH $px4d, l1 AS (
            |  SELECT img, t, c, z, y//2 AS by, x//2 AS bx,
