@@ -584,9 +584,14 @@ object OmeZarr {
     def cX: Int = if (chX <= 0) sx else chX
     /** One chunk file = one whole plane (the fast path, no assembly). */
     def planeChunked: Boolean =
-      cT == 1 && cC == 1 && cZ == 1 && cY >= sy && cX >= sx
-    /** Chunks split planes in y/x — planes need cross-chunk assembly. */
-    def subPlane: Boolean = cY < sy || cX < sx
+      cT == 1 && cC == 1 && cZ == 1 && cY == sy && cX == sx
+    /** Chunk y/x extents differ from the plane's — both sub-plane splits
+      * AND oversized (padded) extents route through the piece path: a
+      * padded chunk's row stride is cX and its slab stride cY*cX, which
+      * the whole-plane decoders (strides sx / sy*sx) would silently
+      * mis-read. `decodeChunkPieces` handles both via h=min(cY,sy-gy),
+      * w=min(cX,sx-gx) over cX-strided rows. */
+    def subPlane: Boolean = cY != sy || cX != sx
   }
 
   /** Parse one store's metadata (driver-side, metadata-scale); detects

@@ -179,10 +179,21 @@ object TiffCodec {
       case t => throw new IllegalArgumentException(s"TIFF type $t unsupported")
     }
     val inlineCap = if (big) 8 else 4
+    // guard the COUNT before any multiplication: a hostile BigTIFF LONG8
+    // count can overflow `elemSize * count` to a small value that slips
+    // past the end-of-file require yet still drives Array.tabulate into a
+    // multi-GB allocation. No legitimate entry has more values than the
+    // file has bytes.
+    require(e.count >= 0 && e.count <= buf.length / elemSize,
+      s"TIFF: entry tag ${e.tag} claims ${e.count} values of $elemSize " +
+        s"bytes in a ${buf.length}-byte file")
     val total = elemSize * e.count
     // a corrupt/hostile count field must not drive the allocation below:
-    // out-of-line values have to fit inside the file (fuzz finding r4)
-    require(total <= inlineCap || e.valueOffset + total <= buf.length,
+    // out-of-line values have to fit inside the file (fuzz finding r4);
+    // valueOffset is additionally checked non-negative so offset+total
+    // cannot wrap past the bound
+    require(total <= inlineCap ||
+      (e.valueOffset >= 0 && e.valueOffset + total <= buf.length),
       s"TIFF: entry tag ${e.tag} claims $total value bytes past end of file")
     // values <= inlineCap bytes are stored inline in the value/offset field
     val base = if (total <= inlineCap) -1L else e.valueOffset

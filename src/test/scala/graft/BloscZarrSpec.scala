@@ -403,6 +403,60 @@ class BloscZarrSpec extends SparkSpec {
     assert(sums.size === 8 && sums.values.count(_ > 0) === 7)
   }
 
+  test("O5: chunk extents LARGER than the plane decode via the piece " +
+      "path (padded strides)") {
+    // legal in Zarr: chunk y/x extents may exceed the array shape, and
+    // the single chunk is then PADDED — row stride cX, slab stride
+    // cY*cX. The whole-plane decoders (strides sx / sy*sx) would
+    // silently misread this layout, so it must route through
+    // decodeChunkPieces.
+    def mkStore(dir: String, compressor: String,
+        chunkBytes: Array[Byte]): Unit = {
+      val root = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.createDirectories(root.resolve("0"))
+      java.nio.file.Files.writeString(root.resolve(".zattrs"),
+        """{"multiscales": [{"version": "0.4", "name": "padded", "axes": [
+          |{"name": "t", "type": "time"}, {"name": "c", "type": "channel"},
+          |{"name": "z", "type": "space"}, {"name": "y", "type": "space"},
+          |{"name": "x", "type": "space"}], "datasets": [{"path": "0",
+          |"coordinateTransformations": [{"type": "scale",
+          |"scale": [1.0, 1.0, 1.0, 1.0, 1.0]}]}]}]}"""
+          .stripMargin.replace("\n", ""))
+      java.nio.file.Files.writeString(root.resolve("0/.zarray"),
+        s"""{"zarr_format": 2, "shape": [1, 1, 1, 3, 2],
+           |"chunks": [1, 1, 1, 4, 4], "dtype": "<u2",
+           |"compressor": $compressor, "fill_value": 0, "order": "C"}"""
+          .stripMargin.replace("\n", ""))
+      java.nio.file.Files.write(root.resolve("0/0.0.0.0.0"), chunkBytes)
+    }
+    // 3x2 plane [[10,20],[30,40],[50,60]] in a 4x4 padded chunk
+    val px = Seq(10, 20, 30, 40, 50, 60)
+    val padded = new Array[Byte](4 * 4 * 2)
+    px.zipWithIndex.foreach { case (v, i) =>
+      val idx = (i / 2) * 4 + (i % 2) // row stride 4, not 2
+      padded(idx * 2) = (v & 0xff).toByte
+      padded(idx * 2 + 1) = ((v >> 8) & 0xff).toByte
+    }
+    mkStore("/tmp/graft_test_padchunk/pad.zarr", "null", padded)
+    val raw = graft.sources.OmeZarr.read(spark,
+      "/tmp/graft_test_padchunk/pad.zarr")
+      .select(element_at(col("ome_arrow.planes"), 1).getField("pixels"))
+      .collect()(0).getSeq[Int](0)
+    assert(raw === px)
+    // compressed variant: must decode, not die on an inflate-cap error
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(padded); deflater.finish()
+    val out = new Array[Byte](128)
+    val n = deflater.deflate(out); deflater.end()
+    mkStore("/tmp/graft_test_padchunk_z/padz.zarr",
+      """{"id": "zlib", "level": 1}""", out.take(n))
+    val z = graft.sources.OmeZarr.read(spark,
+      "/tmp/graft_test_padchunk_z/padz.zarr")
+      .select(element_at(col("ome_arrow.planes"), 1).getField("pixels"))
+      .collect()(0).getSeq[Int](0)
+    assert(z === px)
+  }
+
   test("readMeta describes a corpus without opening any chunk file") {
     val dir = "/tmp/graft_test_zmeta"
     graft.sources.OmeZarr.write(Fixtures.corpus4d(spark), dir)
