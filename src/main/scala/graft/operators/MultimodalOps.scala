@@ -74,7 +74,10 @@ object MultimodalOps {
     media.map { m =>
       val pages = TiffCodec.decode(m.content)
       val kept = pages.zipWithIndex.collect {
-        case (p, i) if i % everyK == 0 => (p.width, p.height, p.pixels)
+        case (p, i) if i % everyK == 0 =>
+          require(p.samples == 1,
+            "frameSample: RGB frames cannot round-trip the grayscale encoder")
+          (p.width, p.height, p.pixels)
       }
       m.copy(content = TiffCodec.encode(kept), n_frames = kept.length)
     }
@@ -86,6 +89,8 @@ object MultimodalOps {
     import sp.implicits._
     media.map { m =>
       val pages = TiffCodec.decode(m.content).map { p =>
+        require(p.samples == 1,
+          "thumbnail2x: RGB frames cannot round-trip the grayscale encoder")
         val nw = math.max(p.width / 2, 1); val nh = math.max(p.height / 2, 1)
         val out = new Array[Int](nw * nh)
         for (y <- 0 until nh; x <- 0 until nw) {

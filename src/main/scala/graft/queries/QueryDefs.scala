@@ -409,6 +409,58 @@ object QueryDefs {
            |  CAST(z AS INT) AS z, $planeStatsSelect
            |FROM px GROUP BY img, t, c, z""".stripMargin)),
 
+    // RGB + palette color TIFF decode (PhotometricInterpretation 2/3):
+    // samples map to R/G/B channels per the OME convention — chunky
+    // 8-bit deflate, planar 16-bit strips, and a ColorMap expansion,
+    // all assembled from raw TIFF 6.0 structures (our writer is
+    // grayscale-only by design; the reference reads color via BioIO,
+    // ingest.py:293-400)
+    ("ome_tiff_rgb", (s: SparkSession, _: String) => {
+      val dir = new java.io.File("/tmp/graft_q_tiff_rgb")
+      dir.mkdirs()
+      def wr(name: String, bytes: Array[Byte]): Unit = {
+        val f = new java.io.FileOutputStream(new java.io.File(dir, name))
+        try f.write(bytes) finally f.close()
+      }
+      wr("rgb8.tif", Fixtures.rgbTiffBytes(9, 7,
+        (smp, y, x) => (smp * 50 + y * 9 + x) % 256, deflate = true))
+      wr("rgb16.tif", Fixtures.rgbTiffBytes(8, 6,
+        (smp, y, x) => (smp * 5000 + (y * 8 + x) * 3) % 65536,
+        planar = 2, bits = 16))
+      wr("pal.tif", Fixtures.paletteTiffBytes(16, 16,
+        (y, x) => (y * 16 + x) % 256,
+        i => (i * 7 % 65536, i * 11 % 65536, i * 13 % 65536)))
+      graft.functions.ensureRegistered(s)
+      graft.sources.OmeTiff.read(s, dir.getPath)
+        .select(col("ome_arrow.id").as("id"),
+          col("ome_arrow.pixels_meta.channels").as("chs"),
+          explode(col("ome_arrow.planes")).as("plane"))
+        .select(col("id"), col("plane.c").cast("int").as("c"),
+          element_at(col("chs"), col("plane.c").cast("int") + 1)
+            .getField("name").as("channel"),
+          size(col("plane.pixels")).as("n_px"),
+          graft.functions.pixel_sum(col("plane.pixels")).as("px_sum"),
+          array_min(col("plane.pixels")).as("px_min"),
+          array_max(col("plane.pixels")).as("px_max"))
+    },
+      Some(
+        """WITH px AS (
+          |  SELECT 'rgb8' AS id, c.c AS c, (c.c*50 + p.p) % 256 AS v
+          |  FROM generate_series(0,2) c(c), generate_series(0,62) p(p)
+          |  UNION ALL
+          |  SELECT 'rgb16', c.c, (c.c*5000 + p.p*3) % 65536
+          |  FROM generate_series(0,2) c(c), generate_series(0,47) p(p)
+          |  UNION ALL
+          |  SELECT 'pal', c.c,
+          |    ((p.p % 256) * (CASE c.c WHEN 0 THEN 7 WHEN 1 THEN 11
+          |                    ELSE 13 END)) % 65536
+          |  FROM generate_series(0,2) c(c), generate_series(0,255) p(p))
+          |SELECT id, CAST(c AS INT) AS c,
+          |  CASE c WHEN 0 THEN 'R' WHEN 1 THEN 'G' ELSE 'B' END AS channel,
+          |  CAST(count(*) AS INT) AS n_px, CAST(sum(v) AS BIGINT) AS px_sum,
+          |  CAST(min(v) AS INT) AS px_min, CAST(max(v) AS INT) AS px_max
+          |FROM px GROUP BY id, c""".stripMargin)),
+
     ("ome_tiff_golden", (s: SparkSession, _: String) =>
       OmeOps.describe(graft.OmeArrow.read(s,
         "/root/reference/tests/data/ome-artificial-5d-datasets/*.tif*"))

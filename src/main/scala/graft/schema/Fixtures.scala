@@ -157,4 +157,147 @@ object Fixtures {
     * pixel-level operator oracles. */
   def corpus4d(spark: SparkSession): DataFrame =
     syntheticImages(spark, 4, t = 2, c = 2, z = 2, sy = 8, sx = 8, prefix = "i4d")
+
+  // --- color TIFF fixture assembly ------------------------------------
+  //
+  // The library's own TIFF writer is grayscale-only by design (the
+  // reference writes single-sample OME-TIFF, export.py:116-228), so
+  // RGB / palette DECODE fixtures are assembled directly from the TIFF
+  // 6.0 structures here: classic little-endian, single page, strip or
+  // tile organization, chunky or planar configuration, optional
+  // per-segment deflate. Used by the `ome_tiff_rgb` oracle query and
+  // the codec property specs.
+
+  /** RGB(A) TIFF bytes: `px(s, y, x)` is sample `s`'s value. */
+  def rgbTiffBytes(w: Int, h: Int, px: (Int, Int, Int) => Int,
+      samples: Int = 3, planar: Int = 1, bits: Int = 8,
+      tile: Option[(Int, Int)] = None,
+      deflate: Boolean = false): Array[Byte] =
+    colorTiff(w, h, samples, planar, bits, px, None, tile, deflate)
+
+  /** Palette TIFF bytes: 8-bit indices `idx(y, x)` plus a
+    * 16-bit-per-component ColorMap `cmap(i) = (r, g, b)`. */
+  def paletteTiffBytes(w: Int, h: Int, idx: (Int, Int) => Int,
+      cmap: Int => (Int, Int, Int), deflate: Boolean = false): Array[Byte] =
+    colorTiff(w, h, 1, 1, 8, (_, y, x) => idx(y, x), Some(cmap), None, deflate)
+
+  private def colorTiff(w: Int, h: Int, samples: Int, planar: Int,
+      bits: Int, px: (Int, Int, Int) => Int,
+      cmap: Option[Int => (Int, Int, Int)], tile: Option[(Int, Int)],
+      deflate: Boolean): Array[Byte] = {
+    val bpp = bits / 8
+    def put(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      b.write(v & 0xff)
+      if (bpp == 2) b.write((v >> 8) & 0xff)
+    }
+    // pixel segments: strips (1 chunky / `samples` planar) or tiles
+    // (row-major, component-0 set first for planar, edges zero-padded)
+    val raw: Seq[Array[Byte]] = tile match {
+      case None =>
+        if (planar == 2) (0 until samples).map { s =>
+          val b = new java.io.ByteArrayOutputStream()
+          for (y <- 0 until h; x <- 0 until w) put(b, px(s, y, x))
+          b.toByteArray
+        } else Seq {
+          val b = new java.io.ByteArrayOutputStream()
+          for (y <- 0 until h; x <- 0 until w; s <- 0 until samples)
+            put(b, px(s, y, x))
+          b.toByteArray
+        }
+      case Some((th, tw)) =>
+        val across = (w + tw - 1) / tw
+        val down = (h + th - 1) / th
+        val perTile = (s0: Option[Int], ty: Int, tx: Int) => {
+          val b = new java.io.ByteArrayOutputStream()
+          for (r <- 0 until th; c0 <- 0 until tw) {
+            val y = ty * th + r; val x = tx * tw + c0
+            val in = y < h && x < w
+            s0 match {
+              case Some(s) => put(b, if (in) px(s, y, x) else 0)
+              case None =>
+                for (s <- 0 until samples) put(b, if (in) px(s, y, x) else 0)
+            }
+          }
+          b.toByteArray
+        }
+        if (planar == 2)
+          for (s <- 0 until samples; ty <- 0 until down; tx <- 0 until across)
+            yield perTile(Some(s), ty, tx)
+        else
+          for (ty <- 0 until down; tx <- 0 until across)
+            yield perTile(None, ty, tx)
+    }
+    val segs = raw.map { r =>
+      if (!deflate) r
+      else {
+        val d = new java.util.zip.Deflater()
+        d.setInput(r); d.finish()
+        val buf = new Array[Byte](r.length * 2 + 64)
+        val n = d.deflate(buf); d.end()
+        java.util.Arrays.copyOf(buf, n)
+      }
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x49, 0x49, 42, 0, 0, 0, 0, 0))
+    def pad(): Unit = if (out.size() % 2 == 1) out.write(0)
+    val segOffsets = segs.map { s => pad(); val o = out.size(); out.write(s); o }
+    def shortArr(vals: Seq[Int]): Int = {
+      pad(); val o = out.size()
+      vals.foreach { v => out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      o
+    }
+    def longArr(vals: Seq[Int]): Int = {
+      pad(); val o = out.size()
+      vals.foreach { v =>
+        out.write(v & 0xff); out.write((v >> 8) & 0xff)
+        out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+      }
+      o
+    }
+    // out-of-line value areas (written before the IFD that points at them)
+    val bitsValue =
+      if (samples == 1) bits else shortArr(Seq.fill(samples)(bits))
+    val nSeg = segs.length
+    val (offValue, cntValue) =
+      if (nSeg == 1) (segOffsets.head, segs.head.length)
+      else (longArr(segOffsets), longArr(segs.map(_.length)))
+    val cmapValue = cmap.map { f =>
+      val rgb = (0 until 256).map(f)
+      shortArr(rgb.map(_._1) ++ rgb.map(_._2) ++ rgb.map(_._3))
+    }
+    // IFD entries, ascending tag order per the spec
+    final case class E(tag: Int, typ: Int, count: Int, value: Int)
+    val segTags =
+      if (tile.isEmpty) Seq(E(273, 4, nSeg, offValue), E(278, 4, 1, h),
+        E(279, 4, nSeg, cntValue))
+      else Seq(E(322, 4, 1, tile.get._2), E(323, 4, 1, tile.get._1),
+        E(324, 4, nSeg, offValue), E(325, 4, nSeg, cntValue))
+    val entries = (Seq(
+      E(256, 4, 1, w), E(257, 4, 1, h),
+      E(258, 3, samples, bitsValue),
+      E(259, 3, 1, if (deflate) 8 else 1),
+      E(262, 3, 1, if (cmap.isDefined) 3 else 2),
+      E(277, 3, 1, samples),
+      E(284, 3, 1, planar)) ++ segTags ++
+      cmapValue.map(o => E(320, 3, 3 * 256, o))).sortBy(_.tag)
+    pad()
+    val ifdOffset = out.size()
+    val ifd = java.nio.ByteBuffer
+      .allocate(2 + entries.length * 12 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    ifd.putShort(entries.length.toShort)
+    entries.foreach { e =>
+      ifd.putShort(e.tag.toShort); ifd.putShort(e.typ.toShort)
+      ifd.putInt(e.count)
+      if (e.typ == 3 && e.count == 1) {
+        ifd.putShort(e.value.toShort); ifd.putShort(0)
+      } else ifd.putInt(e.value)
+    }
+    ifd.putInt(0) // no next IFD
+    out.write(ifd.array())
+    val bytes = out.toByteArray
+    java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(4, ifdOffset)
+    bytes
+  }
 }

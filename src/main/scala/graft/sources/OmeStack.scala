@@ -190,6 +190,8 @@ object OmeStack {
         s"$p contains multiple pages across T/C=($pt,$pc); only Z>1 with " +
           "T=C=1 is supported inside one file. Express T/C via the pattern.")
       pages.zipWithIndex.map { case (page, zi) =>
+        require(page.samples == 1, s"$p: multi-sample (RGB) pages are not " +
+          "stackable by pattern — channels must come from the pattern's C axis")
         (t, c, z + zi, page.width, page.height,
           page.pixels.toSeq.map(v => math.min(math.max(v, 0), 65535)))
       }

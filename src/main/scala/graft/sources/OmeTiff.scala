@@ -54,6 +54,13 @@ object OmeTiff {
       channelNames: Seq[String] = Nil): OmeArrowRecord =
     recordFromPages(path, modTime, TiffCodec.decodeMeta(data), channelNames)
 
+  /** Channel names and RGBA colors for an RGB(A) / expanded-palette page
+    * (OME convention: samples map to channels). */
+  private val rgbChannelNames = Seq("R", "G", "B", "A")
+  private val rgbChannelColors = Seq(
+    Some(0xFF0000FFL), Some(0x00FF00FFL), Some(0x0000FFFFL),
+    Some(0xFFFFFFFFL))
+
   private def recordFromPages(path: String, modTime: Timestamp,
       pages: Seq[TiffCodec.Page],
       channelNames: Seq[String]): OmeArrowRecord = {
@@ -61,34 +68,55 @@ object OmeTiff {
     val stem = fileName.replaceAll("(?i)\\.ome\\.tiff?$|\\.tiff?$", "")
     val xml = pages.head.description.filter(OmeXml.looksLikeOme).flatMap(OmeXml.parse)
 
+    // RGB(A) / palette pages carry channels as SAMPLES: each page's
+    // sample planes become C, multi-page -> a Z-stack of color planes
+    // (the no-XML convention below, applied per sample). OME-XML channel
+    // layouts never pair with multi-sample pages in practice (OME-TIFF
+    // writes one channel per page), so the combination is rejected
+    // loudly rather than guessed at.
+    val sampleCount = pages.head.samples
+    require(pages.forall(_.samples == sampleCount),
+      s"$fileName: pages have inconsistent sample counts")
+    require(sampleCount == 1 || xml.isEmpty,
+      s"$fileName: OME-XML dimension layout with $sampleCount-sample " +
+        "(RGB) pages unsupported")
+
     val (st, sc, sz, order) = xml match {
       case Some(m) => (m.sizeT max 1, m.sizeC max 1, m.sizeZ max 1, m.dimensionOrder)
-      case None => if (pages.length > 1) (1, 1, pages.length, "XYZCT")
-                   else (1, 1, 1, "XYCT")
+      case None =>
+        if (pages.length > 1) (1, sampleCount, pages.length, "XYZCT")
+        else (1, sampleCount, 1, "XYCT")
     }
-    require(st * sc * sz == pages.length,
-      s"$fileName: ${pages.length} pages != T*C*Z = ${st * sc * sz}")
+    require(st * sc * sz == pages.length * sampleCount,
+      s"$fileName: ${pages.length} pages x $sampleCount samples != " +
+        s"T*C*Z = ${st * sc * sz}")
     val sy = pages.head.height
     val sx = pages.head.width
     require(pages.forall(p => p.height == sy && p.width == sx),
       s"$fileName: pages have inconsistent shapes")
 
     // t-major, c, z plane emission order (ingest.py:370-378)
-    val byCoord = pages.zipWithIndex.map { case (p, i) =>
-      OmeXml.pageCoords(order, sz, sc, st, i) -> p
-    }.toMap
+    val byCoord =
+      if (sampleCount > 1)
+        // page i = z plane; sample s = channel (pixels sample-planar)
+        (for (i <- pages.indices; s <- 0 until sampleCount) yield
+          (0, s, i) -> pages(i).samplePlane(s)).toMap
+      else pages.zipWithIndex.map { case (p, i) =>
+        OmeXml.pageCoords(order, sz, sc, st, i) -> p.pixels
+      }.toMap
     val planes = for {
       t <- 0 until st; c <- 0 until sc; z <- 0 until sz
     } yield {
       // a meta-only decode hands back empty pixel arrays (width/height
       // are always > 0, so emptiness is unambiguous)
-      val px = byCoord((t, c, z)).pixels
+      val px = byCoord((t, c, z))
       OmePlane(z, t, c.toShort,
         if (px.isEmpty) Seq.empty
         else px.toSeq.map(v => math.min(math.max(v, 0), 65535)))
     }
 
     val names = if (channelNames.nonEmpty) channelNames
+      else if (sampleCount > 1) rgbChannelNames.take(sampleCount)
       else xml.map(_.channelNames).getOrElse(Nil)
     OmeArrowRecord(
       `type` = OmeSchema.TagType,
@@ -108,7 +136,8 @@ object OmeTiff {
         physical_size_y_unit = Some("µm"),
         physical_size_z_unit = Some("µm"),
         channels = channelsFor(sc, names,
-          xml.map(_.channelColors).getOrElse(Nil))),
+          if (sampleCount > 1) rgbChannelColors.take(sampleCount)
+          else xml.map(_.channelColors).getOrElse(Nil))),
       planes = planes)
   }
 

@@ -17,11 +17,17 @@ import java.util.zip.Inflater
  *    types — the public spec, what large microscopy writers emit past
  *    4 GiB) — decode;
  *  - multi-page (IFD chain) -> multiple planes;
+ *  - RGB(A) (PhotometricInterpretation 2, 3/4 samples, chunky AND
+ *    planar configurations, strips or tiles) — each sample becomes a
+ *    channel plane, the OME convention for brightfield color data
+ *    (the reference accepts these via BioIO, ingest.py:293-400);
+ *  - palette color (PhotometricInterpretation 3): indices expand
+ *    through the 16-bit ColorMap (tag 320) into R/G/B channel planes;
  *  - `ImageDescription` carried verbatim so OME-XML sizes can be parsed.
  *
- * Palettes, RGB, floating-point predictor 3 and exotic codecs
- * (lzma/jpegxl) are out of scope and raise clear errors (horizontal
- * predictor 2 IS undone on strips). Pure JVM (java.util.zip), no
+ * Floating-point predictor 3 and exotic codecs (lzma/jpegxl) are out of
+ * scope and raise clear errors (horizontal predictor 2 IS undone on
+ * strips, per-sample for chunky RGB). Pure JVM (java.util.zip), no
  * external libraries — usable inside executor tasks.
  */
 object TiffCodec {
@@ -113,9 +119,21 @@ object TiffCodec {
   }
 
   /** One decoded page: row-major pixel values (already widened to Int)
-    * plus the page's ImageDescription if any. */
+    * plus the page's ImageDescription if any. `samples` > 1 (RGB/RGBA,
+    * or palette expanded to 3) stores `pixels` SAMPLE-PLANAR: sample s
+    * occupies `[s*w*h, (s+1)*w*h)` — each sample slice is one channel
+    * plane. Meta-only decodes report `samples` with empty pixels so
+    * shape resolution needs no payload. */
   final case class Page(width: Int, height: Int, bitsPerSample: Int,
-      pixels: Array[Int], description: Option[String])
+      pixels: Array[Int], description: Option[String], samples: Int = 1) {
+    /** Row-major plane of sample `s` (the whole array when samples == 1,
+      * sliced otherwise — callers never care about the packing). Empty
+      * for meta-only decodes, like `pixels`. */
+    def samplePlane(s: Int): Array[Int] =
+      if (samples == 1 || pixels.isEmpty) pixels
+      else java.util.Arrays.copyOfRange(pixels,
+        s * width * height, (s + 1) * width * height)
+  }
 
   private final case class IfdEntry(tag: Int, typ: Int, count: Long, valueOffset: Long)
 
@@ -267,11 +285,32 @@ object TiffCodec {
     val height = one(257, throw new IllegalArgumentException("TIFF: no ImageLength")).toInt
     require(width > 0 && height > 0 && width.toLong * height <= (1L << 28),
       s"TIFF: implausible plane shape ${width}x$height")
-    val bits = one(258, 1L).toInt
+    // BitsPerSample has one value PER SAMPLE for RGB; all must agree
+    val bitsAll = all(258)
+    val bits = if (bitsAll.isEmpty) 1 else bitsAll(0).toInt
+    require(bitsAll.forall(_ == bits),
+      s"TIFF: heterogeneous BitsPerSample ${bitsAll.mkString(",")} unsupported")
     val compression = one(259, 1L).toInt
+    val photometric = one(262, 1L).toInt
     val samplesPerPx = one(277, 1L).toInt
+    val planarConfig = one(284, 1L).toInt
     val sampleFormat = one(339, 1L).toInt // 1=unsigned, 2=signed two's complement
-    require(samplesPerPx == 1, s"TIFF: only grayscale supported (got $samplesPerPx samples)")
+    photometric match {
+      case 0 | 1 => // gray (WhiteIsZero treated as raw values, like tifffile)
+        require(samplesPerPx == 1,
+          s"TIFF: grayscale with $samplesPerPx samples unsupported")
+      case 2 => // RGB; a 4th sample is alpha/extra (ExtraSamples) -> a channel
+        require(samplesPerPx == 3 || samplesPerPx == 4,
+          s"TIFF: RGB with $samplesPerPx samples unsupported (3/4 only)")
+      case 3 => // palette color: ColorMap expansion below
+        require(samplesPerPx == 1,
+          s"TIFF: palette with $samplesPerPx samples unsupported")
+        require(entries.contains(320), "TIFF: palette image without ColorMap")
+      case p => throw new IllegalArgumentException(
+        s"TIFF: PhotometricInterpretation $p unsupported (gray/RGB/palette only)")
+    }
+    require(planarConfig == 1 || planarConfig == 2,
+      s"TIFF: PlanarConfiguration $planarConfig unsupported")
     require(bits == 8 || bits == 16, s"TIFF: only 8/16-bit supported (got $bits)")
     require(compression == 1 || compression == 5 || compression == 8 ||
       compression == 32946 || compression == 32773,
@@ -299,7 +338,9 @@ object TiffCodec {
     }
 
     val bpp = bits / 8
-    val expected = width * height * bpp
+    // palette pages expand to 3 channel planes; RGB(A) to samplesPerPx
+    val outSamples = if (photometric == 3) 3 else samplesPerPx
+    val expected = width * height * bpp * samplesPerPx
     val stripOffsets = all(273)
     val stripCounts = all(279)
     if (!withPixels) {
@@ -308,7 +349,8 @@ object TiffCodec {
       val next =
       if (big) buf.getLong(off + 8 + n * 20)
       else buf.getInt(off + 2 + n * 12).toLong & 0xffffffffL
-      return (Page(width, height, bits, Array.empty[Int], rawDesc), next)
+      return (Page(width, height, if (photometric == 3) 16 else bits,
+        Array.empty[Int], rawDesc, outSamples), next)
     }
     val data: Array[Byte] =
       if (stripOffsets.nonEmpty) {
@@ -318,7 +360,11 @@ object TiffCodec {
         raw.toByteArray
       } else {
         // tiled organization (tags 322-325): fixed-size tiles in row-major
-        // order, edge tiles padded to full size — reassemble with clipping
+        // order, edge tiles padded to full size — reassemble with clipping.
+        // Chunky tiles interleave samples within each tile (pixel stride
+        // samplesPerPx); planar config stores SamplesPerPixel separate
+        // tile sets, all of component 0 first (TIFF 6.0 §15) — each set
+        // reassembles into its own sample plane of the output.
         val tileOffsets = all(324)
         val tileCounts = all(325)
         require(tileOffsets.nonEmpty,
@@ -329,21 +375,26 @@ object TiffCodec {
           s"TIFF: implausible tile shape ${tw}x$th")
         val across = (width + tw - 1) / tw
         val down = (height + th - 1) / th
-        require(tileOffsets.length >= across * down,
-          s"TIFF: ${tileOffsets.length} tiles < ${across * down} needed for ${width}x$height")
+        val planes = if (planarConfig == 2) samplesPerPx else 1
+        val pxStride = if (planarConfig == 2) 1 else samplesPerPx
+        require(tileOffsets.length >= across * down * planes,
+          s"TIFF: ${tileOffsets.length} tiles < ${across * down * planes} " +
+            s"needed for ${width}x$height x$planes planes")
         val plane = new Array[Byte](expected)
-        val tileBytes = tw * th * bpp
-        for (ty <- 0 until down; tx <- 0 until across) {
-          val i = ty * across + tx
+        val tileBytes = tw * th * bpp * pxStride
+        for (s <- 0 until planes; ty <- 0 until down; tx <- 0 until across) {
+          val i = s * across * down + ty * across + tx
           val t = segment(tileOffsets(i), tileCounts(i), s"tile $i")
           require(t.length >= tileBytes,
             s"TIFF: tile $i decoded ${t.length} bytes, expected >= $tileBytes")
-          val copyW = math.min(tw, width - tx * tw) * bpp
+          val copyW = math.min(tw, width - tx * tw) * bpp * pxStride
           val rows = math.min(th, height - ty * th)
+          val planeBase = s * width * height * bpp
           var r = 0
           while (r < rows) {
-            System.arraycopy(t, r * tw * bpp, plane,
-              ((ty * th + r) * width + tx * tw) * bpp, copyW)
+            System.arraycopy(t, r * tw * bpp * pxStride, plane,
+              planeBase + (((ty * th + r) * width + tx * tw) * bpp * pxStride),
+              copyW)
             r += 1
           }
         }
@@ -352,7 +403,7 @@ object TiffCodec {
     require(data.length >= expected,
       s"TIFF: decoded ${data.length} bytes, expected >= $expected")
     val signed = sampleFormat == 2
-    val px = new Array[Int](width * height)
+    val px = new Array[Int](width * height * samplesPerPx)
     if (bits == 8) {
       var i = 0
       while (i < px.length) {
@@ -375,23 +426,70 @@ object TiffCodec {
       require(!signed,
         "TIFF: predictor 2 with signed samples unsupported")
       // undo horizontal differencing: strips hold whole rows, so the
-      // row-wise cumulative sum is organization-independent here
+      // row-wise cumulative sum is organization-independent here.
+      // Chunky RGB differences PER SAMPLE across the row (stride =
+      // samplesPerPx, the first pixel's samples are seeds); planar data
+      // is sample-planar already, so each of the height*samples rows
+      // cumulates at stride 1.
       val mask = if (bits == 8) 0xff else 0xffff
+      val stride = if (planarConfig == 1) samplesPerPx else 1
+      val rowLen = if (planarConfig == 1) width * samplesPerPx else width
+      val rows = px.length / rowLen
       var y = 0
-      while (y < height) {
-        var x = 1
-        val base = y * width
-        while (x < width) {
-          px(base + x) = (px(base + x) + px(base + x - 1)) & mask
+      while (y < rows) {
+        var x = stride
+        val base = y * rowLen
+        while (x < rowLen) {
+          px(base + x) = (px(base + x) + px(base + x - stride)) & mask
           x += 1
         }
         y += 1
       }
     }
+    // chunky multi-sample -> sample-planar (the Page packing contract)
+    val planarPx =
+      if (samplesPerPx == 1 || planarConfig == 2) px
+      else {
+        val out = new Array[Int](px.length)
+        val wh = width * height
+        var i = 0
+        while (i < wh) {
+          var s = 0
+          while (s < samplesPerPx) {
+            out(s * wh + i) = px(i * samplesPerPx + s)
+            s += 1
+          }
+          i += 1
+        }
+        out
+      }
+    // palette expansion: each index becomes (R, G, B) through the
+    // ColorMap — 3 * 2^bits 16-bit entries, all reds first (TIFF 6.0 §5)
+    val (finalPx, finalBits) =
+      if (photometric != 3) (planarPx, bits)
+      else {
+        val cmap = all(320)
+        val nEntries = 1 << bits
+        require(cmap.length >= 3 * nEntries,
+          s"TIFF: ColorMap has ${cmap.length} entries, need ${3 * nEntries}")
+        val wh = width * height
+        val out = new Array[Int](3 * wh)
+        var i = 0
+        while (i < wh) {
+          val idx = planarPx(i)
+          require(idx >= 0 && idx < nEntries,
+            s"TIFF: palette index $idx outside ColorMap of $nEntries")
+          out(i) = (cmap(idx) & 0xffffL).toInt
+          out(wh + i) = (cmap(nEntries + idx) & 0xffffL).toInt
+          out(2 * wh + i) = (cmap(2 * nEntries + idx) & 0xffffL).toInt
+          i += 1
+        }
+        (out, 16)
+      }
     val next =
       if (big) buf.getLong(off + 8 + n * 20)
       else buf.getInt(off + 2 + n * 12).toLong & 0xffffffffL
-    (Page(width, height, bits, px, rawDesc), next)
+    (Page(width, height, finalBits, finalPx, rawDesc, outSamples), next)
   }
 
   /** PackBits (compression 32773): runs of literal or repeated bytes. */

@@ -87,6 +87,8 @@ object OmeStreamIngest {
         val name = p.substring(p.lastIndexOf('/') + 1)
         coordB.value.get(name).map { case (t, c, z) =>
           val page = TiffCodec.decode(bytes).head
+          require(page.samples == 1, s"$p: multi-sample (RGB) pages are not " +
+            "stackable by pattern — channels must come from the pattern's C axis")
           PlaneEvent(id, t, c, z, page.width, page.height,
             page.pixels.toSeq.map(v => math.min(math.max(v, 0), 65535)), ts)
         }

@@ -113,6 +113,50 @@ object CodecPropertySpec extends Properties("codecs") {
     }
   }
 
+  property("rgb(a) tiff decodes to sample-planar channel planes") =
+    Prop.forAll(for {
+      w <- Gen.choose(1, 33)
+      h <- Gen.choose(1, 33)
+      samples <- Gen.oneOf(3, 4)
+      planar <- Gen.oneOf(1, 2)
+      bits <- Gen.oneOf(8, 16)
+      tiled <- Gen.oneOf(Option.empty[(Int, Int)], Some((16, 16)))
+      deflate <- Gen.oneOf(true, false)
+      seed <- Gen.choose(Long.MinValue, Long.MaxValue)
+    } yield (w, h, samples, planar, bits, tiled, deflate, seed)) {
+      case (w, h, samples, planar, bits, tiled, deflate, seed) =>
+        val rnd = new scala.util.Random(seed)
+        val vals = Array.fill(samples, h * w)(rnd.nextInt(1 << bits))
+        val bytes = graft.schema.Fixtures.rgbTiffBytes(w, h,
+          (s, y, x) => vals(s)(y * w + x), samples, planar, bits, tiled,
+          deflate)
+        val page = TiffCodec.decode(bytes).head
+        page.samples == samples && page.width == w && page.height == h &&
+          page.bitsPerSample == bits &&
+          (0 until samples).forall(s =>
+            page.samplePlane(s).sameElements(vals(s)))
+    }
+
+  property("palette tiff expands indices through the 16-bit colormap") =
+    Prop.forAll(for {
+      w <- Gen.choose(1, 25)
+      h <- Gen.choose(1, 25)
+      deflate <- Gen.oneOf(true, false)
+      seed <- Gen.choose(Long.MinValue, Long.MaxValue)
+    } yield (w, h, deflate, seed)) { case (w, h, deflate, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val idx = Array.fill(h * w)(rnd.nextInt(256))
+      val cmap = Array.fill(256, 3)(rnd.nextInt(65536))
+      val bytes = graft.schema.Fixtures.paletteTiffBytes(w, h,
+        (y, x) => idx(y * w + x), i => (cmap(i)(0), cmap(i)(1), cmap(i)(2)),
+        deflate)
+      val page = TiffCodec.decode(bytes).head
+      page.samples == 3 && page.bitsPerSample == 16 &&
+        (0 until 3).forall { s =>
+          page.samplePlane(s).sameElements(idx.map(i => cmap(i)(s)))
+        }
+    }
+
   property("blosc compress/decompress round-trips any payload") =
     Prop.forAll(
       Gen.choose(0, 5000).flatMap(n =>

@@ -64,6 +64,33 @@ class SourcesSpec extends SparkSpec {
       "4D timelapse-volume, single-channel - shape (T=7, C=1, Z=5, Y=167, X=439)")
   }
 
+  test("O3: RGB TIFF ingests with samples mapped to R/G/B channels") {
+    val dir = new java.io.File("/tmp/graft_test_rgb")
+    dir.mkdirs()
+    // chunky 8-bit deflate RGB, deterministic per-sample ramp
+    val f = new java.io.FileOutputStream(new java.io.File(dir, "rgb.tif"))
+    try f.write(Fixtures.rgbTiffBytes(5, 4,
+      (s, y, x) => (s * 50 + y * 5 + x) % 256, deflate = true))
+    finally f.close()
+    val df = OmeTiff.read(spark, dir.getPath)
+    val d = OmeOps.describe(df).collect()(0)
+    assert(d.getAs[String]("summary") ===
+      "2D image, multi-channel (3 channels) - shape (T=1, C=3, Z=1, Y=4, X=5)")
+    val chs = df.select(col("ome_arrow.pixels_meta.channels.name"))
+      .collect()(0).getSeq[String](0)
+    assert(chs === Seq("R", "G", "B"))
+    // channel planes carry each sample's values
+    val byC = OmeOps.explodePlanes(df)
+      .select(col("c").cast("int"), col("pixels")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Int](1)).toMap
+    for (s <- 0 until 3)
+      assert(byC(s) === (0 until 20).map(p => (s * 50 + p) % 256))
+    // metadata-only route (v2 pruned scan) reports the same shape
+    val meta = spark.read.format("ometiff").load(dir.getPath)
+      .select(col("ome_arrow.pixels_meta.size_c")).collect()(0).getShort(0)
+    assert(meta === 3)
+  }
+
   test("O8: TIFF export -> ingest preserves pixels") {
     val one = Fixtures.corpus4d(spark).filter(col("ome_arrow.id") === "i4d-0002")
     OmeTiff.write(one, "/tmp/graft_test_one.ome.tiff")
