@@ -161,7 +161,7 @@ object TextOps {
     // a native expression (one md5 loop per row, see HashExpressions).
     val sh = docs.select(col("doc_id").cast("long").as("doc_id"),
       shingles(col("text"), k).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caches.persist(_))
     val banded = sh.select(col("doc_id"),
       posexplode(bandKeys(
         graft.functions.minhash_signature(col("sh"), numHashes), bands, rows))
@@ -230,7 +230,7 @@ object TextOps {
     // the explode() branches (the SCALE.md subtree-duplication trap)
     val sh = docs.select(col("doc_id").cast("long").as("doc_id"),
       shingles(col("text"), k).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caches.persist(_))
     val postings = sh.select(col("doc_id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("shingle"))
     val lists = postings.groupBy(col("shingle"))
@@ -311,7 +311,7 @@ object TextOps {
   def boilerplate(docs: DataFrame, n: Int = 3, minDocs: Int = 3): DataFrame = {
     val grams = docs.select(col("doc_id").cast("long").as("doc_id"),
         explode(shingles(col("text"), n)).as("gram"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caches.persist(_))
     val docFreq = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("df"))
     grams.join(docFreq, "gram")
@@ -674,7 +674,7 @@ object TextOps {
     graft.functions.ensureRegistered(docs.sparkSession)
     val sigs = docs.select(col("doc_id").cast("long").as("doc_id"),
       graft.functions.simhash64(tokens(col("text"))).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caches.persist(_))
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(k =>
         shiftright(col("sig"), k * 16).bitwiseAND(lit(65535L))): _*))
@@ -864,7 +864,7 @@ object TextOps {
       train: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val c2 = bigramEventRows(train).groupBy(col("bg"))
       .agg(count(lit(1)).as("c2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caches.persist(_))
     val c1 = c2.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum(col("c2")).as("c1"))
     val vocab = train.select(explode(tokens(col("text"))).as("w"))
@@ -967,9 +967,9 @@ object TextOps {
     // re-running the explode lineage for every total. The cache cost is
     // bytes; the saved passes are corpus-sized.
     val ct = tgtEv.groupBy(col("b")).agg(count(lit(1)).as("ct"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caches.persist(_))
     val cr = rawEv.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caches.persist(_))
     val tt = ct.agg(sum(col("ct")).as("tt"))
     val tr = cr.agg(sum(col("cr")).as("tr"))
     val logRatio = log(coalesce(col("ct"), lit(0L)) + 1.0) -

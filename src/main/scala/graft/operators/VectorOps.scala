@@ -108,7 +108,7 @@ object VectorOps {
     // returned lazy plan (see SCALE.md persist-lifecycle note).
     val bucketed = emb.select(col("vec_id").cast("long").as("vec_id"),
       col("embedding"), lshBucket(col("embedding"), numPlanes).as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caches.persist(_))
     val pruned =
       if (maxBucketSize <= 0L) bucketed
       else {
@@ -276,7 +276,7 @@ object VectorOps {
     // as the returned (lazy) plan; long-lived sessions clearCache()
     // when done.
     val assigned = assignClusters(emb, firstNCentroids(emb, nCentroids))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caches.persist(_))
     val removed = assigned
       .select(col("cluster"), col("vec_id").as("vec_a"),
         col("embedding").as("emb_a"))
@@ -363,7 +363,7 @@ object VectorOps {
       nCentroids: Int = 16, maxIter: Int = 10, seed: Long = 7L): DataFrame = {
     val assigned =
       assignClusters(emb, kmeansCentroids(emb, nCentroids, maxIter, seed))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(Caches.persist(_))
     val out = ivfSearch(assigned, nProbes, k)
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
@@ -545,7 +545,7 @@ object VectorOps {
     // 1-row stats persist so consumers that branch the quantized frame
     // (probes + corpus) aggregate the corpus once, not per branch
     emb.crossJoin(broadcast(dimStats(emb)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+        .transform(Caches.persist(_))))
       .select(col("vec_id").cast("long").as("vec_id"),
         transform(
           arrays_zip(col("embedding").as("v"), col("mins").as("lo"),

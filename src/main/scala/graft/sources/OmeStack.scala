@@ -198,7 +198,7 @@ object OmeStack {
     }.toDF("t", "c", "z", "sx", "sy", "pixels")
       // the shape probe below and the final nest are separate actions;
       // persist so files are downloaded and decoded exactly once
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.operators.Caches.persist(_))
 
     val shapes = planeRows.select(col("sx"), col("sy"), col("z")).distinct().collect()
     val sx = shapes.map(_.getInt(0)).distinct

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{TextOps, VectorOps}
+import graft.operators.{Caches, TextOps, VectorOps}
 
 /** LLM-pipeline operator specs over crafted micro-corpora. */
 class TextVectorSpec extends SparkSpec {
@@ -687,6 +687,30 @@ class TextVectorSpec extends SparkSpec {
     assert(byCluster(0).getAs[Long]("n") === 1000L)
     assert(VectorOps.embedNearDupClusters(dup, threshold = 0.9,
       numPlanes = 4, maxBucketSize = 100).count() === 0)
+  }
+
+  test("Caches.scoped releases every operator cache once the action " +
+      "completes") {
+    val emb = Seq.tabulate(20)(i =>
+      (i.toLong, Array(i.toFloat, (i % 3).toFloat, 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    spark.catalog.clearCache()
+    def cachesEmpty: Boolean = spark.sharedState.cacheManager.isEmpty
+    assert(cachesEmpty)
+    Caches.scoped {
+      // three operators that persist internally; actions INSIDE the scope
+      TextOps.nearDupPairs(docs, threshold = 0.5).count()
+      VectorOps.embedNearDup(emb, threshold = 0.9, numPlanes = 4).count()
+      VectorOps.semanticDedup(emb, threshold = 0.99, nCentroids = 4).count()
+      assert(!cachesEmpty) // caches live while the scope is open
+    }
+    assert(cachesEmpty) // ...and released when it exits, action done
+    // without a scope the pre-existing contract holds: cache lives for
+    // the plan's lifetime, clearCache() is the release
+    TextOps.simhashPairs(docs).count()
+    assert(!cachesEmpty)
+    spark.catalog.clearCache()
+    assert(cachesEmpty)
   }
 
   test("lshBucket puts identical vectors in the same bucket") {
