@@ -18,10 +18,16 @@ import graft.schema.OmeSchema
  *    written (Spark cannot write Parquet NullType); the reference's
  *    lenient field-set matcher ignores it, so interop holds both ways;
  *  - file-level KV metadata (`ome.arrow.type`/`version` tags,
- *    export.py:405-414) has no Spark writer hook, so tags travel in a
- *    `_ome_arrow_meta.json` sidecar inside the output directory
- *    (underscore-prefixed -> invisible to Parquet scans). The reference
- *    treats missing tags as a soft warning (ingest.py:923-930).
+ *    export.py:405-414) is stamped into every part file's parquet
+ *    FOOTER after the Spark write (Spark exposes no write-time hook for
+ *    custom key-values): a distributed parquet-hadoop rewrite that
+ *    byte-copies row groups (`ParquetFileWriter.appendFile` — no
+ *    decode/re-encode, one sequential read+write per file, each file
+ *    independent) and ends with the merged key-value map, so pyarrow
+ *    and the reference's tag check (ingest.py:923-930) see real footer
+ *    metadata. A `_ome_arrow_meta.json` sidecar (underscore-prefixed ->
+ *    invisible to Parquet scans) is kept as a cheap directory-level
+ *    fallback and for writers that skip the stamp.
  */
 object OmeParquet {
 
@@ -116,6 +122,70 @@ object OmeParquet {
       "ome.arrow.type" -> OmeSchema.TagType,
       "ome.arrow.version" -> OmeSchema.Version) ++ fileMetadata
     writeSidecar(df.sparkSession, path, tags)
+    stampFooterMetadata(df.sparkSession, path, tags)
+  }
+
+  /**
+   * Stamp `tags` into the footer key-value metadata of every part file
+   * under `dir` — the real thing the reference writes (export.py:405-414,
+   * via pyarrow), readable back by any parquet implementation.
+   *
+   * Spark's parquet sink exposes no hook for custom file metadata, so
+   * this is a post-write rewrite through parquet-hadoop:
+   * `ParquetFileWriter.appendFile` byte-copies the row groups (no
+   * decode/re-encode — pure sequential I/O) and `end(...)` writes the
+   * merged key-value map. Files rewrite INDEPENDENTLY on executors (one
+   * task per file, temp-file + rename), so the pass distributes across
+   * the cluster and costs one extra read+write of the export — borne
+   * only by this sink, never by queries.
+   */
+  private[graft] def stampFooterMetadata(spark: SparkSession, dir: String,
+      tags: Map[String, String]): Unit = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf.value)
+    val parts = fs.listStatus(root)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).toSeq
+    if (parts.nonEmpty) {
+      val sp = spark
+      import sp.implicits._
+      spark.createDataset(parts).repartition(parts.length)
+        .foreachPartition { it: Iterator[String] =>
+          it.foreach(p => stampOne(new Path(p), conf.value, tags))
+        }
+    }
+  }
+
+  private def stampOne(path: Path,
+      conf: org.apache.hadoop.conf.Configuration,
+      tags: Map[String, String]): Unit = {
+    import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter}
+    import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
+    val in = HadoopInputFile.fromPath(path, conf)
+    val reader = ParquetFileReader.open(in)
+    val (schema, existing) = try {
+      val fmd = reader.getFooter.getFileMetaData
+      (fmd.getSchema, fmd.getKeyValueMetaData)
+    } finally reader.close()
+    val merged = new java.util.HashMap[String, String](existing)
+    tags.foreach { case (k, v) => merged.put(k, v) }
+    val tmp = new Path(path.getParent, s".${path.getName}.kvstamp")
+    val writer = new ParquetFileWriter(HadoopOutputFile.fromPath(tmp, conf),
+      schema, ParquetFileWriter.Mode.OVERWRITE,
+      128L * 1024 * 1024 /* row groups are copied verbatim */, 0)
+    writer.start()
+    writer.appendFile(in)
+    writer.end(merged)
+    val fs = path.getFileSystem(conf)
+    // delete-then-rename (NOT rename-over): ChecksumFileSystem keeps a
+    // sibling .crc per file — a POSIX rename over the original would
+    // leave the original's stale checksum behind and poison every
+    // subsequent read. Delete drops the crc; rename carries tmp's along.
+    fs.delete(path, false)
+    require(fs.rename(tmp, path),
+      s"OmeParquet: could not replace $path with its stamped rewrite")
   }
 
   private def jsonEscape(s: String): String =
@@ -137,9 +207,43 @@ object OmeParquet {
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
-  /** Read the sidecar tags back (empty when absent — soft, like the
-    * reference's warning-only tag check). */
+  /** Read the OME tags back: parquet FOOTER key-values first (what the
+    * reference writes and checks, ingest.py:923-930 — one positioned
+    * footer read of one part file, no row groups touched), then the
+    * sidecar; empty when neither carries tags — soft, like the
+    * reference's warning-only check. */
   def readMetadata(spark: SparkSession, dir: String): Map[String, String] = {
+    // any Spark-written file carries Spark's own row-metadata key, so
+    // fall back on the ABSENCE OF OUR TAGS, not on an empty footer
+    val footer = readFooterMetadata(spark, dir)
+    if (footer.contains("ome.arrow.type")) footer
+    else readSidecar(spark, dir)
+  }
+
+  /** Footer key-value metadata of the first part file under `dir` (or of
+    * `dir` itself when it is a single file); empty when absent. */
+  def readFooterMetadata(spark: SparkSession, dir: String): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return Map.empty
+    val st = fs.getFileStatus(root)
+    val partOpt =
+      if (st.isFile) Some(root)
+      else fs.listStatus(root)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName).headOption.map(_.getPath)
+    partOpt.fold(Map.empty[String, String]) { p =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try reader.getFooter.getFileMetaData.getKeyValueMetaData.asScala.toMap
+      finally reader.close()
+    }
+  }
+
+  private def readSidecar(spark: SparkSession, dir: String): Map[String, String] = {
     val p = new Path(dir, SidecarName)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) Map.empty

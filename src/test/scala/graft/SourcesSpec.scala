@@ -39,6 +39,18 @@ class SourcesSpec extends SparkSpec {
     val meta = OmeParquet.readMetadata(spark, dir)
     assert(meta("ome.arrow.type") === "ome.arrow")
     assert(meta("k") === "v")
+    // tags live in the real parquet FOOTER (export.py:405-414 parity),
+    // not only the sidecar: footer-only read sees them, and the stamped
+    // files stay readable after deleting the sidecar
+    val footer = OmeParquet.readFooterMetadata(spark, dir)
+    assert(footer("ome.arrow.type") === "ome.arrow")
+    assert(footer("ome.arrow.version") === graft.schema.OmeSchema.Version)
+    assert(footer("k") === "v")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(dir, OmeParquet.SidecarName), false)
+    assert(OmeParquet.readMetadata(spark, dir)("ome.arrow.type") === "ome.arrow")
+    assert(OmeParquet.read(spark, dir).count() === 16)
   }
 
   test("TiffCodec: encode -> decode round-trips pixels exactly") {
