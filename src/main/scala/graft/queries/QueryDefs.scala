@@ -1987,6 +1987,30 @@ object QueryDefs {
           |  CAST(0 AS BIGINT) AS dup_pairs, CAST(0 AS BIGINT) AS dup_assign,
           |  CAST(0 AS BIGINT) AS missing_assign""".stripMargin)),
 
+    // ============ streaming structural checks ============
+    // The all-zeros-invariants pattern applied to Structured Streaming:
+    // each check RUNS the stream to completion (AvailableNow trigger,
+    // memory sink), compares the emitted rows against the batch
+    // computation inside Spark, and returns one violation-count row the
+    // external oracle pins to constant zeros — streaming semantics get a
+    // real CORRECTNESS row, not only ScalaTest assertions.
+
+    ("stream_rollup_check", (s: SparkSession, dir: String) =>
+      graft.streaming.EventStream.rollupCheck(s, dir),
+      Some(
+        """SELECT CAST(0 AS BIGINT) AS missing_window,
+          |  CAST(0 AS BIGINT) AS extra_window,
+          |  CAST(0 AS BIGINT) AS bad_count, CAST(0 AS BIGINT) AS bad_sum,
+          |  CAST(0 AS BIGINT) AS empty_stream""".stripMargin)),
+
+    ("stream_dedup_check", (s: SparkSession, dir: String) =>
+      graft.streaming.DocStream.dedupCheck(s, dir),
+      Some(
+        """SELECT CAST(0 AS BIGINT) AS dup_sha,
+          |  CAST(0 AS BIGINT) AS missing_sha,
+          |  CAST(0 AS BIGINT) AS extra_sha,
+          |  CAST(0 AS BIGINT) AS empty_stream""".stripMargin)),
+
     ("embed_ann_lsh", (s: SparkSession, dir: String) =>
       VectorOps.annTopK(t(s, dir, "embeddings"), nProbes = 32, k = 3),
       Some(

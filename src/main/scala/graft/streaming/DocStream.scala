@@ -225,4 +225,56 @@ object DocStream {
       out.result().iterator
     }
   }
+
+  /**
+   * Structural self-check of [[dedupStream]] against the batch dedup
+   * contract, shaped for an external oracle that cannot run a Spark
+   * stream (the all-zeros-invariants pattern, like
+   * `EventStream.rollupCheck`): builds a deterministic feed from the
+   * batch documents table — every document stamped with ONE constant
+   * `ingest_ts`, so all arrivals land inside a single watermark horizon
+   * and the stream must keep EXACTLY one document per content hash —
+   * runs the stream to completion, and returns one row of violation
+   * counts that must all be zero:
+   *
+   *  - `dup_sha`      hashes emitted more than once (the dedup contract);
+   *  - `missing_sha`  distinct corpus hashes the stream never emitted;
+   *  - `extra_sha`    emitted hashes absent from the corpus;
+   *  - `empty_stream` 1 when nothing was emitted — vacuous-pass guard.
+   */
+  def dedupCheck(spark: SparkSession, dir: String,
+      lateness: String = "10 minutes",
+      feedDir: String = "/tmp/graft_stream_dedup_feed",
+      timeoutMs: Long = 300000L): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars").cast("long").as("n_chars"),
+        lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("ingest_ts"))
+      .write.mode("overwrite").parquet(feedDir)
+    val view = "graft_stream_dedup_check"
+    if (spark.catalog.tableExists(view)) spark.catalog.dropTempView(view)
+    val q = dedupStream(spark, feedDir, lateness)
+      .writeStream.format("memory").queryName(view)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      require(q.awaitTermination(timeoutMs),
+        s"dedupCheck: stream did not drain within ${timeoutMs} ms")
+    } finally q.stop()
+    val out = spark.table(view).select(col("text_sha256"))
+    val outDistinct = out.distinct()
+    val batchShas = docs.select(sha2(col("text"), 256).as("text_sha256"))
+      .distinct()
+    val dup = out.groupBy(col("text_sha256")).agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(when(col("n") > 1, 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("dup_sha"))
+    val missing = batchShas.join(outDistinct, Seq("text_sha256"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("missing_sha"))
+    val extra = outDistinct.join(batchShas, Seq("text_sha256"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("extra_sha"))
+    val empty = out.agg((count(lit(1)) === 0).cast("long").as("empty_stream"))
+    dup.crossJoin(missing).crossJoin(extra).crossJoin(empty)
+  }
 }
