@@ -102,6 +102,118 @@ class BloscZarrSpec extends SparkSpec {
     assert(out3.drop(8224).toSeq === lits.take(6).toSeq)
   }
 
+  /** Reference-shaped blosclz compressor (the public blosclz.c emitter
+    * forms: greedy 3-byte-hash match finder, short and 255-chained
+    * lengths, short and 16-bit far distances) — NOT the library's
+    * RLE-only encoder. Exists solely to drive the decoder with the match
+    * shapes real c-blosc output contains (non-RLE matches at arbitrary
+    * distances, long lengths, the +8191 far-distance escape), which the
+    * library encoder never emits. `stats(0)` counts matches with
+    * distance > 1 (non-RLE), `stats(1)` far-distance escapes. */
+  private def refBlosclzCompress(data: Array[Byte],
+      stats: Array[Int]): Array[Byte] = {
+    val MaxShortDist = 8190          // ofs 31 + code 255 is the escape
+    val MaxDist = 8191               // blosclz.c MAX_DISTANCE
+    val MaxFarDist = MaxDist + 65535 // 16-bit escape range
+    val out = new java.io.ByteArrayOutputStream(data.length + 16)
+    val n = data.length
+    val head = new java.util.HashMap[Integer, Integer]()
+    var i = 0
+    var lit = 0
+    def flushLits(until: Int): Unit = {
+      var st = lit
+      while (st < until) {
+        val run = math.min(until - st, 32)
+        out.write(run - 1)
+        out.write(data, st, run)
+        st += run
+      }
+      lit = until
+    }
+    def key(p: Int): Integer = Integer.valueOf(
+      ((data(p) & 0xff) << 16) | ((data(p + 1) & 0xff) << 8) |
+        (data(p + 2) & 0xff))
+    while (i + 3 <= n) {
+      val k = key(i)
+      val cand = head.get(k)
+      head.put(k, Integer.valueOf(i))
+      val dist = if (cand == null) Int.MaxValue else i - cand.intValue() - 1
+      if (dist <= MaxFarDist) {
+        val c = cand.intValue()
+        var len = 3
+        while (i + len < n && data(c + len) == data(i + len)) len += 1
+        flushLits(i)
+        val useFar = dist > MaxShortDist
+        if (dist > 0) stats(0) += 1
+        if (useFar) stats(1) += 1
+        val top = if (len <= 8) len - 2 else 7
+        out.write((top << 5) | (if (useFar) 31 else dist >> 8))
+        if (len > 8) {
+          var rem = len - 9
+          while (rem >= 255) { out.write(255); rem -= 255 }
+          out.write(rem)
+        }
+        out.write(if (useFar) 255 else dist & 255)
+        if (useFar) {
+          val d16 = dist - MaxDist
+          out.write((d16 >> 8) & 255); out.write(d16 & 255)
+        }
+        // index the matched region so later matches can reference it
+        var p = i + 1
+        val stop = math.min(i + len - 1, n - 3)
+        while (p <= stop) { head.put(key(p), Integer.valueOf(p)); p += 1 }
+        i += len
+        lit = i
+      } else i += 1
+    }
+    flushLits(n)
+    out.toByteArray
+  }
+
+  test("blosclz: far-distance and non-RLE match streams decode " +
+      "byte-exact (reference-emitter coverage)") {
+    // ADVICE r6: the library encoder only ever emits RLE (distance-1)
+    // matches, so the decoder's far-distance bias and general match
+    // copy were untested against streams shaped like real c-blosc
+    // output. No c-blosc exists in this environment to produce a true
+    // third-party golden; this is the closest attainable: an
+    // independent compressor implementing the PUBLIC blosclz.c emitter
+    // forms, driving the decoder through short-distance non-RLE
+    // matches, 255-chained lengths, and the 16-bit +8191 escape.
+    val rnd = new scala.util.Random(20260813L)
+    // directed: a 300-byte block recurring ~9 KiB later forces the far
+    // escape; moderate-distance repeats force plain non-RLE matches
+    val block = Array.fill(300)((rnd.nextInt(251)).toByte)
+    val filler = Array.fill(9000)((rnd.nextInt(5) + 100).toByte)
+    val directed = block ++ filler ++ block ++ block.take(40)
+    val stats = Array(0, 0)
+    val enc = refBlosclzCompress(directed, stats)
+    assert(stats(0) > 0, "no non-RLE match emitted — fixture broken")
+    assert(stats(1) > 0, "no far-distance escape emitted — fixture broken")
+    val out = new Array[Byte](directed.length)
+    BloscCodec.blosclzDecompress(enc, 0, enc.length, out, 0, directed.length)
+    assert(out.toSeq === directed.toSeq)
+    // fuzz: small alphabets at sizes past the far-distance threshold
+    for (trial <- 0 until 40) {
+      val size = 1 + rnd.nextInt(40000)
+      val alpha = 2 + rnd.nextInt(12)
+      val data = new Array[Byte](size)
+      var i = 0
+      while (i < size) { // runs + noise: realistic match structure
+        val runLen = 1 + rnd.nextInt(9)
+        val b = rnd.nextInt(alpha).toByte
+        val end = math.min(size, i + runLen)
+        java.util.Arrays.fill(data, i, end, b)
+        i = end
+      }
+      val st = Array(0, 0)
+      val e = refBlosclzCompress(data, st)
+      val o = new Array[Byte](size)
+      BloscCodec.blosclzDecompress(e, 0, e.length, o, 0, size)
+      assert(o.toSeq === data.toSeq, s"trial $trial (size $size)")
+    }
+  }
+
   test("blosclz: encoder output round-trips through the decoder") {
     val cases = Seq(
       Array.fill(512)(9.toByte),                          // pure run
