@@ -49,8 +49,13 @@ object Bench {
       }
     }
 
-    // warm-up pass: untimed, failures recorded but retried in timed runs
-    names.foreach(runOnce)
+    // warm-up pass: untimed, failures recorded but retried in timed runs.
+    // Scoped per query: 90 queries' operator-internal persists would
+    // otherwise all accumulate until the first timed clearCache — the
+    // block-eviction/GC pressure distortion the between-query clears
+    // exist to prevent. Timed runs keep the existing protocol
+    // (clearCache between queries, CacheManager reuse within reps).
+    names.foreach(n => graft.operators.Caches.scoped(runOnce(n)))
     failures.clear()
 
     val results = names.map { name =>
