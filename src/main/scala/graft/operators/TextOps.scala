@@ -295,6 +295,54 @@ object TextOps {
   }
 
   /**
+   * CCNet-style repeated-segment REMOVAL (Wenzek et al. 2020, "CCNet:
+   * Extracting high quality monolingual datasets from web crawl data"):
+   * documents split on `sep` into segments (paragraphs for "\n\n",
+   * lines for "\n" — the CCNet granularity — any separator works);
+   * every segment occurring in at least `minDocs` distinct documents
+   * corpus-wide (navigation menus, cookie banners, licence blurbs) is
+   * deleted from every document, and the cleaned text is reassembled in
+   * original segment order. Returns `(doc_id, text_clean, n_segments,
+   * n_dropped)` for every input document — text_clean is "" when
+   * everything was boilerplate. Unlike [[boilerplate]] (which only
+   * SCORES overlap), this rewrites the corpus.
+   *
+   * Plan shape (100 TB): segment explode (narrow), one distinct +
+   * document-frequency aggregation keyed by segment (map-side combine
+   * collapses heavy hitters early), an ANTI-join of the segment table
+   * against the banned set, and a per-doc ordered reassembly whose
+   * collect_list buffers ONE document's segments — bounded by document
+   * size, never corpus-scale. The segment frame persists for the plan's
+   * lifetime (frequency count + anti-join + totals consume it);
+   * release via `Caches.scoped`.
+   */
+  def segmentDedup(docs: DataFrame, sep: String = "\n",
+      minDocs: Long = 2L): DataFrame = {
+    val lines = docs.select(col("doc_id").cast("long").as("doc_id"),
+        posexplode(split(col("text"),
+          java.util.regex.Pattern.quote(sep), -1)).as(Seq("idx", "seg")))
+      .transform(Caches.persist(_))
+    val banned = lines.select(col("doc_id"), col("seg")).distinct()
+      .groupBy(col("seg")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("seg"))
+    val kept = lines.join(banned, Seq("seg"), "left_anti")
+    val agg = kept.groupBy(col("doc_id"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("seg")))),
+          s => s.getField("seg")), sep).as("text_clean"),
+        count(lit(1)).cast("long").as("n_kept"))
+    lines.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_segments"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_segments"),
+        (col("n_segments") - coalesce(col("n_kept"), lit(0L)))
+          .cast("long").as("n_dropped"))
+  }
+
+  /**
    * Cross-document boilerplate detection: distinct word n-grams occurring
    * in at least `minDocs` documents are "boilerplate" (headers, footers,
    * licence blurbs, templated spans — the C4-style repeated-span removal

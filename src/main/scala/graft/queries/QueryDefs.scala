@@ -861,6 +861,39 @@ object QueryDefs {
           |FROM cum""".stripMargin)),
 
     // cross-doc boilerplate: distinct 3-grams in >= 3 docs, per-doc mass
+    // CCNet-style repeated-segment REMOVAL (rewrites the corpus, unlike
+    // the scoring-only `boilerplate`). The synthetic texts are
+    // single-line, so the query runs the machinery at token granularity
+    // (sep = " ") with a corpus-FRACTION threshold — exercises real
+    // removal and order-preserving reassembly at any sf
+    ("segment_dedup", (s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val thr = math.ceil(0.78 * docs.count()).toLong
+      TextOps.segmentDedup(docs, sep = " ", minDocs = thr)
+    },
+      Some(
+        """WITH lines AS (
+          |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |    unnest(string_split(text, ' ')) AS seg,
+          |    generate_subscripts(string_split(text, ' '), 1) AS idx
+          |  FROM documents),
+          |banned AS (
+          |  SELECT seg FROM (SELECT DISTINCT doc_id, seg FROM lines)
+          |  GROUP BY seg
+          |  HAVING count(*) >= ceil(0.78 * (SELECT count(*) FROM documents))),
+          |kept AS (SELECT * FROM lines
+          |  WHERE seg NOT IN (SELECT seg FROM banned)),
+          |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments
+          |  FROM lines GROUP BY doc_id),
+          |agg AS (SELECT doc_id,
+          |    string_agg(seg, ' ' ORDER BY idx) AS text_clean,
+          |    count(*) AS n_kept
+          |  FROM kept GROUP BY doc_id)
+          |SELECT t.doc_id, coalesce(a.text_clean, '') AS text_clean,
+          |  t.n_segments,
+          |  CAST(t.n_segments - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped
+          |FROM tot t LEFT JOIN agg a USING (doc_id)""".stripMargin)),
+
     ("boilerplate", (s: SparkSession, dir: String) =>
       TextOps.boilerplate(t(s, dir, "documents")),
       Some(

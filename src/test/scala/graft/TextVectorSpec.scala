@@ -689,6 +689,39 @@ class TextVectorSpec extends SparkSpec {
       numPlanes = 4, maxBucketSize = 100).count() === 0)
   }
 
+  test("segmentDedup removes corpus-frequent lines and reassembles in " +
+      "order") {
+    val multi = Seq(
+      (0L, "COOKIE BANNER\nreal content zero\nFOOTER", "en", "s0", 0L),
+      (1L, "COOKIE BANNER\nreal content one\nFOOTER", "en", "s0", 0L),
+      (2L, "COOKIE BANNER\nunique text two\nmore two\nFOOTER", "en", "s1", 0L),
+      (3L, "COOKIE BANNER\nFOOTER", "en", "s1", 0L), // all boilerplate
+      (4L, "no boilerplate here at all", "en", "s1", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.segmentDedup(multi, sep = "\n", minDocs = 3)
+      .orderBy(col("doc_id")).collect()
+    assert(out.length === 5)
+    assert(out(0).getAs[String]("text_clean") === "real content zero")
+    assert(out(1).getAs[String]("text_clean") === "real content one")
+    // order preserved across a removed middle segment
+    assert(out(2).getAs[String]("text_clean") === "unique text two\nmore two")
+    assert(out(3).getAs[String]("text_clean") === "") // fully boilerplate
+    assert(out(3).getAs[Long]("n_dropped") === 2L)
+    assert(out(4).getAs[String]("text_clean") === "no boilerplate here at all")
+    assert(out(4).getAs[Long]("n_dropped") === 0L)
+    assert(out(2).getAs[Long]("n_segments") === 4L)
+    // a segment repeated WITHIN one doc counts that doc once: df of
+    // "dup" is 2 < 3, so it survives everywhere
+    val within = Seq(
+      (0L, "dup\ndup\nx", "en", "s0", 0L),
+      (1L, "dup\ny", "en", "s0", 0L),
+      (2L, "z", "en", "s0", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val w = TextOps.segmentDedup(within, sep = "\n", minDocs = 3)
+      .orderBy(col("doc_id")).collect()
+    assert(w(0).getAs[String]("text_clean") === "dup\ndup\nx")
+  }
+
   test("Caches.scoped releases every operator cache once the action " +
       "completes") {
     val emb = Seq.tabulate(20)(i =>
