@@ -2044,6 +2044,16 @@ object QueryDefs {
           |  CAST(0 AS BIGINT) AS extra_sha,
           |  CAST(0 AS BIGINT) AS empty_stream""".stripMargin)),
 
+    ("stream_neardup_check", (s: SparkSession, dir: String) =>
+      graft.streaming.DocStream.nearDupCheck(s, dir),
+      Some(
+        """SELECT CAST(0 AS BIGINT) AS bad_order,
+          |  CAST(0 AS BIGINT) AS low_estimate,
+          |  CAST(0 AS BIGINT) AS bad_estimate,
+          |  CAST(0 AS BIGINT) AS no_shared_band,
+          |  CAST(0 AS BIGINT) AS missed_exact,
+          |  CAST(0 AS BIGINT) AS empty_stream""".stripMargin)),
+
     ("embed_ann_lsh", (s: SparkSession, dir: String) =>
       VectorOps.annTopK(t(s, dir, "embeddings"), nProbes = 32, k = 3),
       Some(

@@ -277,4 +277,106 @@ object DocStream {
     val empty = out.agg((count(lit(1)) === 0).cast("long").as("empty_stream"))
     dup.crossJoin(missing).crossJoin(extra).crossJoin(empty)
   }
+
+  /**
+   * Structural self-check of [[nearDupPairsStream]] (the all-zeros
+   * pattern): streams the batch documents corpus (constant `ingest_ts`,
+   * one watermark horizon) through the stateful LSH detector, then
+   * verifies every emitted hit against BATCH recomputations of the same
+   * deterministic primitives — minhash signatures and band keys are
+   * pure functions of the text, so the stream's claims are exactly
+   * checkable even though the hit SET itself is approximate. Violation
+   * counts (one row, all zero for a correct execution):
+   *
+   *  - `bad_order`      hits without doc_a < doc_b;
+   *  - `low_estimate`   hits whose est_jaccard is below the threshold;
+   *  - `no_shared_band` hits whose two docs do NOT share the band key
+   *                     the hit names — the bucketing claim;
+   *  - `bad_estimate`   hits whose est_jaccard differs from the
+   *                     signature-agreement fraction recomputed in
+   *                     batch — the scoring claim;
+   *  - `missed_exact`   identical-text pairs (same sha256) the stream
+   *                     never reported: identical docs agree on every
+   *                     band, so missing one is a state-handling bug
+   *                     (maxPerBucket is sized above the largest
+   *                     duplicate group for exactly this reason);
+   *  - `empty_stream`   1 when no hit was emitted — vacuous-pass guard.
+   */
+  def nearDupCheck(spark: SparkSession, dir: String, k: Int = 3,
+      numHashes: Int = 12, bands: Int = 4, threshold: Double = 0.5,
+      feedDir: String = "/tmp/graft_stream_neardup_feed",
+      timeoutMs: Long = 300000L): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    graft.functions.ensureRegistered(spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars").cast("long").as("n_chars"),
+        lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("ingest_ts"))
+      .write.mode("overwrite").parquet(feedDir)
+    val view = "graft_stream_neardup_check"
+    if (spark.catalog.tableExists(view)) spark.catalog.dropTempView(view)
+    val feed = spark.readStream.schema(documentsSchema).parquet(feedDir)
+    val q = nearDupPairsStream(feed, k, numHashes, bands, threshold,
+        maxPerBucket = 4096)
+      .toDF()
+      .writeStream.format("memory").queryName(view)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      require(q.awaitTermination(timeoutMs),
+        s"nearDupCheck: stream did not drain within ${timeoutMs} ms")
+    } finally q.stop()
+    val hits = spark.table(view)
+    val rows = numHashes / bands
+    // batch recomputation of the stream's deterministic primitives
+    val sigs = docs.select(col("doc_id").cast("long").as("doc_id"),
+      graft.functions.minhash_signature(
+        TextOps.shingles(col("text"), k), numHashes).as("sig"),
+      sha2(col("text"), 256).as("sha"))
+    val bandTable = sigs.select(col("doc_id"),
+      posexplode(TextOps.bandKeys(col("sig"), bands, rows))
+        .as(Seq("band", "band_key")))
+    val withSigs = hits
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        Seq("doc_a"), "left")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        Seq("doc_b"), "left")
+      .withColumn("est_batch",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1.0d).otherwise(0.0d)),
+          lit(0.0d), (acc, v) => acc + v) / numHashes)
+    val sharedBand = hits
+      .join(bandTable.select(col("doc_id").as("doc_a"),
+        col("band").as("band"), col("band_key").as("key_a")),
+        Seq("doc_a", "band"), "left")
+      .join(bandTable.select(col("doc_id").as("doc_b"),
+        col("band").as("band"), col("band_key").as("key_b")),
+        Seq("doc_b", "band"), "left")
+      .groupBy(col("doc_a"), col("doc_b"), col("band"))
+      .agg(max(when(col("key_a") === col("key_b"), 1).otherwise(0))
+        .as("shares"))
+      .agg(coalesce(sum(when(col("shares") =!= 1, 1L).otherwise(0L)),
+        lit(0L)).cast("long").as("no_shared_band"))
+    val perHit = withSigs.agg(
+      coalesce(sum(when(col("doc_a") >= col("doc_b"), 1L).otherwise(0L)),
+        lit(0L)).cast("long").as("bad_order"),
+      coalesce(sum(when(col("est_jaccard") < threshold, 1L).otherwise(0L)),
+        lit(0L)).cast("long").as("low_estimate"),
+      coalesce(sum(when(
+        abs(col("est_jaccard") - round(col("est_batch"), 6)) > 1e-9, 1L)
+        .otherwise(0L)), lit(0L)).cast("long").as("bad_estimate"))
+    // identical texts agree on every band and score 1.0 — must be hit
+    val exactPairs = sigs.select(col("sha"), col("doc_id").as("doc_a"))
+      .join(sigs.select(col("sha"), col("doc_id").as("doc_b")), Seq("sha"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    val missedExact = exactPairs
+      .join(hits.select(col("doc_a"), col("doc_b")).distinct(),
+        Seq("doc_a", "doc_b"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("missed_exact"))
+    val empty = hits.agg(
+      (count(lit(1)) === 0).cast("long").as("empty_stream"))
+    perHit.crossJoin(sharedBand).crossJoin(missedExact).crossJoin(empty)
+  }
 }

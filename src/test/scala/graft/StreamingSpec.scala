@@ -75,6 +75,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.keySet === closed.keySet)
   }
 
+  test("nearDupCheck passes all-zeros on a corpus with planted exact " +
+      "dups (missed_exact has teeth)") {
+    import spark.implicits._
+    val dir = "/tmp/graft_test_ndcheck"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    // three exact copies + one near-dup + unrelated text: the check's
+    // missed_exact column counts identical-text pairs (3 of them here)
+    // the stream fails to report; bad_estimate/no_shared_band verify
+    // every reported hit against batch recomputation
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog", "en", "s0", 43L),
+      (1L, "the quick brown fox jumps over the lazy dog", "en", "s0", 43L),
+      (2L, "the quick brown fox jumps over the lazy dog", "en", "s1", 43L),
+      (3L, "the quick brown fox jumps over the lazy cat", "en", "s1", 43L),
+      (4L, "completely different text about spark engines", "en", "s1", 45L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val row = graft.streaming.DocStream.nearDupCheck(spark, dir,
+      feedDir = "/tmp/graft_test_ndcheck_feed").collect()(0)
+    for (c <- Seq("bad_order", "low_estimate", "bad_estimate",
+        "no_shared_band", "missed_exact", "empty_stream"))
+      assert(row.getAs[Long](c) === 0L, c)
+  }
+
   test("streaming exact dedup keeps one document per content hash") {
     import spark.implicits._
     val dir = "/tmp/graft_test_docstream"
