@@ -178,4 +178,34 @@ class PlanSpec extends SparkSpec {
         s"embedding-width column '$n' entered a window shuffle")
     }
   }
+
+  test("every ANN variant's ranking window moves score triples, never " +
+      "embedding arrays") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val V = graft.operators.VectorOps
+    // corpus-scale ranking windows: their partition shuffle moves their
+    // child's output, so embedding-width columns there = full-space
+    // data movement at 100 TB. (ivfTopKProbed's centroid-ranking window
+    // legitimately carries p_emb — it runs over the SMALL probe set,
+    // nProbes x nCentroids rows — so only corpus-side windows, those
+    // emitting a `rnk`, are pinned here.)
+    val plans = Seq(
+      "annTopK" -> V.annTopK(emb, nProbes = 8, k = 5),
+      "ivfTopK" -> V.ivfTopK(emb, nProbes = 8, k = 5),
+      "ivfTopKProbed" -> V.ivfTopKProbed(emb, nProbes = 8, k = 5),
+      "cosineTopK" -> V.cosineTopK(emb, nProbes = 8, k = 5),
+      "cosineTopKQuantized" -> V.cosineTopKQuantized(emb, nProbes = 8, k = 5))
+    plans.foreach { case (name, df) =>
+      val finalWindows = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.windowExpressions.exists(_.name == "rnk") =>
+          w.child.output.map(_.name)
+      }
+      assert(finalWindows.nonEmpty, s"$name lost its ranking window")
+      finalWindows.flatten.foreach { n =>
+        assert(!n.contains("emb") && !n.contains("pv") && !n.contains("dv"),
+          s"$name: embedding-width column '$n' entered the ranking window")
+      }
+    }
+  }
 }
