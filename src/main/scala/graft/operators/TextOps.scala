@@ -793,6 +793,84 @@ object TextOps {
   }
 
   /**
+   * Temperature-based training-mix sampling (the multilingual mixing
+   * rule of Raffel et al. 2020 / mT5: stratum `s` with `n_s` documents
+   * is drawn with probability ∝ `n_s^alpha`): per-stratum keep rates
+   * are DERIVED from the corpus composition — `rate_s = min(1,
+   * targetFrac * N * n_s^(alpha-1) / Σ_t n_t^alpha)` — so `alpha < 1`
+   * flattens the distribution (upsamples tail strata relative to their
+   * share) and `alpha = 1` degenerates to uniform `targetFrac`
+   * sampling. The keep decision reuses [[sampleMix]]'s deterministic
+   * id-hash threshold, with the rate rounded to 6dp so external
+   * engines reproduce the exact sample.
+   *
+   * Scale shape: one stratum-count aggregation (strata-sized), its
+   * 1-row weight total and the per-stratum rates ride broadcasts back
+   * onto the corpus; the keep flag itself is a narrow projection —
+   * nothing corpus-sized shuffles. Returns every input doc with
+   * `(doc_id, stratum, n_stratum, rate, keep)`.
+   */
+  def sampleTemperature(docs: DataFrame, alpha: Double = 0.5,
+      targetFrac: Double = 0.5, keyCol: String = "lang",
+      salt: String = "temp"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"sampleTemperature: alpha $alpha not in (0,1]")
+    require(targetFrac > 0.0 && targetFrac <= 1.0,
+      s"sampleTemperature: targetFrac $targetFrac not in (0,1]")
+    val counts = docs.groupBy(col(keyCol).as("stratum"))
+      .agg(count(lit(1)).as("n_stratum"))
+    val totals = counts.agg(
+      sum(pow(col("n_stratum"), alpha)).as("wsum"),
+      sum(col("n_stratum")).as("total"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .select(col("stratum"), col("n_stratum"),
+        round(least(lit(1.0),
+          lit(targetFrac) * col("total") *
+            pow(col("n_stratum"), alpha - 1.0) / col("wsum")), 6)
+          .as("rate"))
+    val u8 = md5(concat(lit(salt), lit("|"),
+      col("doc_id").cast("long").cast("string"))).substr(1, 8)
+    // same hex-threshold trick as sampleMix, but the rate is a COLUMN
+    // (derived from data), so the threshold is computed plan-side
+    val thr = lpad(lower(hex(
+      least(ceil(col("rate") * 4294967296.0), lit(4294967295L))
+        .cast("long"))), 8, "0")
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        col(keyCol).as("stratum"), u8.as("u8"))
+      .join(broadcast(rates), Seq("stratum"))
+      .select(col("doc_id"), col("stratum"), col("n_stratum"), col("rate"),
+        when(col("rate") >= 1.0, 1)
+          .otherwise((col("u8") < thr).cast("int")).as("keep"))
+  }
+
+  /**
+   * Deterministic stratified sampling: exactly `min(nPer, |stratum|)`
+   * documents per stratum, chosen by the content-independent id-hash
+   * order (md5 of salted doc_id, ties by doc_id) — the eval-set /
+   * holdout carving step, reproducible across engines and re-runs with
+   * no RNG state. Returns only the sampled rows `(doc_id, stratum,
+   * rn)`.
+   *
+   * Scale shape: ONE shuffle keyed by stratum for the ranking window.
+   * Strata are typically few and large — a heavily skewed stratum
+   * serializes its own partition's sort; for corpus-scale strata
+   * prefer [[sampleTemperature]]/[[sampleMix]] (rate-based, shuffle
+   * free) and reserve this for exact-count carving.
+   */
+  def sampleStratified(docs: DataFrame, nPer: Int,
+      keyCol: String = "source", salt: String = "strat"): DataFrame = {
+    require(nPer > 0, s"sampleStratified: nPer $nPer must be positive")
+    val u8 = md5(concat(lit(salt), lit("|"),
+      col("doc_id").cast("long").cast("string"))).substr(1, 8)
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        col(keyCol).as("stratum"), u8.as("u8"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("stratum"))
+        .orderBy(col("u8").asc, col("doc_id").asc)))
+      .filter(col("rn") <= nPer)
+      .select(col("doc_id"), col("stratum"), col("rn").cast("int").as("rn"))
+  }
+
+  /**
    * Deterministic training-mix sampling: keep a document iff the
    * uniform-in-[0,1) value derived from its content-independent id hash
    * falls below its stratum's rate — the data-mixing step of corpus

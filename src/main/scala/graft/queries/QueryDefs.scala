@@ -1151,6 +1151,39 @@ object QueryDefs {
           |  END AS INT) AS keep
           |FROM documents""".stripMargin)),
 
+    // Temperature mixing (alpha=0.5): per-stratum rates derived from the
+    // corpus composition; sqrt keeps pow() bit-agreement across engines
+    ("sample_temperature", (s: SparkSession, dir: String) =>
+      TextOps.sampleTemperature(t(s, dir, "documents"), alpha = 0.5,
+        targetFrac = 0.5),
+      Some(
+        """WITH n AS (
+          |  SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_stratum
+          |  FROM documents GROUP BY lang),
+          |w AS (SELECT sum(sqrt(n_stratum)) AS wsum,
+          |  sum(n_stratum) AS total FROM n),
+          |r AS (SELECT stratum, n_stratum,
+          |    round(least(1.0, 0.5 * total * sqrt(n_stratum) / n_stratum
+          |      / wsum), 6) AS rate
+          |  FROM n, w)
+          |SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang AS stratum,
+          |  r.n_stratum, r.rate,
+          |  CAST(CASE WHEN r.rate >= 1.0 THEN 1 WHEN
+          |    substring(md5('temp|' || CAST(d.doc_id AS VARCHAR)), 1, 8) <
+          |    printf('%08x', CAST(least(ceil(r.rate * 4294967296.0),
+          |      4294967295) AS BIGINT)) THEN 1 ELSE 0 END AS INT) AS keep
+          |FROM documents d JOIN r ON d.lang = r.stratum""".stripMargin)),
+
+    ("sample_stratified", (s: SparkSession, dir: String) =>
+      TextOps.sampleStratified(t(s, dir, "documents"), nPer = 10),
+      Some(
+        """SELECT doc_id, stratum, CAST(rn AS INT) AS rn FROM (
+          |  SELECT CAST(doc_id AS BIGINT) AS doc_id, source AS stratum,
+          |    row_number() OVER (PARTITION BY source ORDER BY
+          |      substring(md5('strat|' || CAST(doc_id AS VARCHAR)), 1, 8),
+          |      doc_id) AS rn
+          |  FROM documents) WHERE rn <= 10""".stripMargin)),
+
     // Pretraining sequence packing bookkeeping: per-shard concatenation
     // order, cumulative token spans, and the fixed-size chunk range
     // each document lands in

@@ -689,6 +689,44 @@ class TextVectorSpec extends SparkSpec {
       numPlanes = 4, maxBucketSize = 100).count() === 0)
   }
 
+  test("sampleTemperature derives flattening rates; alpha=1 is uniform") {
+    val corpus = (Seq.tabulate(80)(i => (i.toLong, s"t$i", "big", "s0", 1L)) ++
+      Seq.tabulate(20)(i => ((100 + i).toLong, s"u$i", "small", "s0", 1L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.sampleTemperature(corpus, alpha = 0.5,
+      targetFrac = 0.5)
+    val rates = out.select(col("stratum"), col("rate")).distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // alpha < 1 upsamples the tail RELATIVE to its share
+    assert(rates("small") > rates("big"))
+    // expected kept mass ~ targetFrac * N: sum of n_s * rate_s = 50
+    val expected = 80 * rates("big") + 20 * rates("small")
+    assert(math.abs(expected - 50.0) < 0.1)
+    // alpha = 1 degenerates to uniform targetFrac
+    val uni = TextOps.sampleTemperature(corpus, alpha = 1.0,
+      targetFrac = 0.5).select(col("rate")).distinct().collect()
+    assert(uni.length === 1 && math.abs(uni(0).getDouble(0) - 0.5) < 1e-9)
+    // deterministic: same input -> identical keep set
+    assert(out.filter(col("keep") === 1).count() ===
+      TextOps.sampleTemperature(corpus, alpha = 0.5, targetFrac = 0.5)
+        .filter(col("keep") === 1).count())
+  }
+
+  test("sampleStratified carves exactly min(nPer, |stratum|) per stratum") {
+    val corpus = (Seq.tabulate(30)(i => (i.toLong, s"t$i", "en", "sA", 1L)) ++
+      Seq.tabulate(4)(i => ((100 + i).toLong, s"u$i", "en", "sB", 1L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.sampleStratified(corpus, nPer = 10)
+    val byStratum = out.groupBy(col("stratum")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStratum === Map("sA" -> 10L, "sB" -> 4L))
+    // rn is dense 1..n within each stratum and the pick is deterministic
+    val again = TextOps.sampleStratified(corpus, nPer = 10)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(out.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      === again)
+  }
+
   test("segmentDedup removes corpus-frequent lines and reassembles in " +
       "order") {
     val multi = Seq(
