@@ -409,6 +409,21 @@ object QueryDefs {
            |  CAST(z AS INT) AS z, $planeStatsSelect
            |FROM px GROUP BY img, t, c, z""".stripMargin)),
 
+    // LZMA TIFF decode (compression 34925): the fixture's strip is a
+    // real liblzma XZ stream (generated by python stdlib lzma), decoded
+    // by the pure-JVM XzLzma implementation — closed-form pixel oracle
+    ("ome_tiff_lzma", (s: SparkSession, _: String) =>
+      planeStatsRows(graft.sources.OmeTiff.read(s,
+        "/root/repo/src/test/resources/lzma/gray16_lzma.tif"))
+        .withColumnRenamed("image_id", "id"),
+      Some(
+        """WITH px AS (
+          |  SELECT (p.p*13) % 65536 AS v FROM generate_series(0, 3071) p(p))
+          |SELECT 'gray16_lzma' AS id, 0 AS t, 0 AS c, 0 AS z,
+          |  CAST(count(*) AS INT) AS n_px, CAST(sum(v) AS BIGINT) AS px_sum,
+          |  CAST(min(v) AS INT) AS px_min, CAST(max(v) AS INT) AS px_max
+          |FROM px""".stripMargin)),
+
     // RGB + palette color TIFF decode (PhotometricInterpretation 2/3):
     // samples map to R/G/B channels per the OME convention — chunky
     // 8-bit deflate, planar 16-bit strips, and a ColorMap expansion,

@@ -313,8 +313,9 @@ object TiffCodec {
       s"TIFF: PlanarConfiguration $planarConfig unsupported")
     require(bits == 8 || bits == 16, s"TIFF: only 8/16-bit supported (got $bits)")
     require(compression == 1 || compression == 5 || compression == 8 ||
-      compression == 32946 || compression == 32773,
-      s"TIFF: compression $compression unsupported (none/lzw/deflate/packbits only)")
+      compression == 32946 || compression == 32773 || compression == 34925,
+      s"TIFF: compression $compression unsupported " +
+        "(none/lzw/deflate/packbits/lzma only)")
     // Predictor (tag 317): 1 = none, 2 = horizontal differencing. A file
     // with a predictor we don't undo MUST be rejected, not silently
     // decoded to garbage. Predictor 2 is implemented for the strip
@@ -333,6 +334,10 @@ object TiffCodec {
         case 1 => seg
         case 5 => lzwDecode(seg)
         case 32773 => unpackBits(seg)
+        // lzma (34925): liblzma XZ streams from tifffile/imagecodecs, or
+        // the legacy alone container — segment size bounds the decode
+        case 34925 => XzLzma.decode(seg,
+          width * height * (bits / 8) * samplesPerPx)
         case _ => inflate(seg)
       }
     }
