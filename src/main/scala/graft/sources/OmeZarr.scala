@@ -170,6 +170,9 @@ object OmeZarr {
     case "gzip" => gzipDecompress(raw, expect)
     case "zstd" => zstdDecompress(raw, expect)
     case "blosc" => BloscCodec.decompress(raw, maxOut = boundedCap(expect))
+    // numcodecs LZMA writes liblzma XZ streams (format 2 is the legacy
+    // alone container — both sniffed); decode bounded by the chunk size
+    case "lzma" => XzLzma.decode(raw, expect)
     case other => throw new IllegalArgumentException(
       s"Zarr: compressor '$other' unsupported")
   }
@@ -629,8 +632,8 @@ object OmeZarr {
       else compObj.flatMap(jsonString(_, "id")).getOrElse(
         throw new IllegalArgumentException(
           "Zarr: .zarray has neither a null compressor nor a compressor id"))
-    require(Set("zlib", "null", "blosc", "zstd").contains(compId),
-      s"Zarr: compressor '$compId' unsupported (zlib/zstd/blosc/null)")
+    require(Set("zlib", "null", "blosc", "zstd", "lzma").contains(compId),
+      s"Zarr: compressor '$compId' unsupported (zlib/zstd/blosc/lzma/null)")
     // filters would transform bytes before/after the compressor — we
     // implement none, so anything but null/absent must be rejected
     val filtersSpecified = """"filters"\s*:\s*(?!null)[\[{"]""".r

@@ -84,6 +84,19 @@ class LzmaSpec extends AnyFunSuite {
     }
   }
 
+  test("a numcodecs-style lzma Zarr v2 store decodes (liblzma chunk)") {
+    // fixture chunk is real liblzma XZ output; needs a Spark session
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    val df = graft.sources.OmeZarr.read(spark,
+      "/root/repo/src/test/resources/lzma_zarr/pad.zarr")
+    val px = df.select(org.apache.spark.sql.functions.element_at(
+        org.apache.spark.sql.functions.col("ome_arrow.planes"), 1)
+        .getField("pixels"))
+      .collect()(0).getSeq[Int](0)
+    assert(px === (0 until 24).map(_ * 31))
+  }
+
   test("a real LZMA-compressed TIFF (compression 34925) decodes") {
     val tif = bytes("gray16_lzma.tif")
     val raw = bytes("gray16_lzma.raw")
