@@ -168,23 +168,37 @@ object Fixtures {
   // per-segment deflate. Used by the `ome_tiff_rgb` oracle query and
   // the codec property specs.
 
-  /** RGB(A) TIFF bytes: `px(s, y, x)` is sample `s`'s value. */
+  /** RGB(A) TIFF bytes: `px(s, y, x)` is sample `s`'s value.
+    * `predictor` applies per-sample horizontal differencing (tag 317=2,
+    * strip layout only — matching the decoder's contract). */
   def rgbTiffBytes(w: Int, h: Int, px: (Int, Int, Int) => Int,
       samples: Int = 3, planar: Int = 1, bits: Int = 8,
       tile: Option[(Int, Int)] = None,
-      deflate: Boolean = false): Array[Byte] =
-    colorTiff(w, h, samples, planar, bits, px, None, tile, deflate)
+      deflate: Boolean = false, predictor: Boolean = false): Array[Byte] = {
+    require(!(predictor && tile.isDefined),
+      "fixture: predictor 2 is strip-only")
+    val eff: (Int, Int, Int) => Int =
+      if (!predictor) px
+      else {
+        val mask = (1 << bits) - 1
+        (s, y, x) => if (x == 0) px(s, y, x)
+          else (px(s, y, x) - px(s, y, x - 1)) & mask
+      }
+    colorTiff(w, h, samples, planar, bits, eff, None, tile, deflate,
+      predictor)
+  }
 
   /** Palette TIFF bytes: 8-bit indices `idx(y, x)` plus a
     * 16-bit-per-component ColorMap `cmap(i) = (r, g, b)`. */
   def paletteTiffBytes(w: Int, h: Int, idx: (Int, Int) => Int,
       cmap: Int => (Int, Int, Int), deflate: Boolean = false): Array[Byte] =
-    colorTiff(w, h, 1, 1, 8, (_, y, x) => idx(y, x), Some(cmap), None, deflate)
+    colorTiff(w, h, 1, 1, 8, (_, y, x) => idx(y, x), Some(cmap), None,
+      deflate, predictor = false)
 
   private def colorTiff(w: Int, h: Int, samples: Int, planar: Int,
       bits: Int, px: (Int, Int, Int) => Int,
       cmap: Option[Int => (Int, Int, Int)], tile: Option[(Int, Int)],
-      deflate: Boolean): Array[Byte] = {
+      deflate: Boolean, predictor: Boolean): Array[Byte] = {
     val bpp = bits / 8
     def put(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
       b.write(v & 0xff)
@@ -279,6 +293,7 @@ object Fixtures {
       E(262, 3, 1, if (cmap.isDefined) 3 else 2),
       E(277, 3, 1, samples),
       E(284, 3, 1, planar)) ++ segTags ++
+      (if (predictor) Seq(E(317, 3, 1, 2)) else Nil) ++
       cmapValue.map(o => E(320, 3, 3 * 256, o))).sortBy(_.tag)
     pad()
     val ifdOffset = out.size()

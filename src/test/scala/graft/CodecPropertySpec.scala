@@ -122,14 +122,17 @@ object CodecPropertySpec extends Properties("codecs") {
       bits <- Gen.oneOf(8, 16)
       tiled <- Gen.oneOf(Option.empty[(Int, Int)], Some((16, 16)))
       deflate <- Gen.oneOf(true, false)
+      predictor0 <- Gen.oneOf(true, false)
       seed <- Gen.choose(Long.MinValue, Long.MaxValue)
-    } yield (w, h, samples, planar, bits, tiled, deflate, seed)) {
-      case (w, h, samples, planar, bits, tiled, deflate, seed) =>
+    } yield (w, h, samples, planar, bits, tiled, deflate, predictor0,
+        seed)) {
+      case (w, h, samples, planar, bits, tiled, deflate, predictor0, seed) =>
+        val predictor = predictor0 && tiled.isEmpty // strip-only contract
         val rnd = new scala.util.Random(seed)
         val vals = Array.fill(samples, h * w)(rnd.nextInt(1 << bits))
         val bytes = graft.schema.Fixtures.rgbTiffBytes(w, h,
           (s, y, x) => vals(s)(y * w + x), samples, planar, bits, tiled,
-          deflate)
+          deflate, predictor)
         val page = TiffCodec.decode(bytes).head
         page.samples == samples && page.width == w && page.height == h &&
           page.bitsPerSample == bits &&
