@@ -793,6 +793,29 @@ object TextOps {
   }
 
   /**
+   * Per-source curation report — the pre-training sanity aggregation
+   * a pipeline owner runs before committing a corpus to a mix:
+   * document counts, exact-duplicate mass (sha256), token and
+   * character volume, language spread, per source. ONE corpus pass
+   * with map-side partial aggregation; at 100 TB this is the cheapest
+   * full-corpus query there is (countDistinct expands to a two-phase
+   * aggregate — still one scan).
+   */
+  def curationReport(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        sha2(col("text"), 256).as("sha"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("len_chars"),
+        col("lang"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        countDistinct(col("sha")).cast("long").as("n_unique"),
+        (count(lit(1)) - countDistinct(col("sha"))).cast("long").as("n_dup"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"),
+        round(avg(col("len_chars")), 6).as("avg_chars"),
+        countDistinct(col("lang")).cast("long").as("n_langs"))
+
+  /**
    * Temperature-based training-mix sampling (the multilingual mixing
    * rule of Raffel et al. 2020 / mT5: stratum `s` with `n_s` documents
    * is drawn with probability ∝ `n_s^alpha`): per-stratum keep rates

@@ -1166,6 +1166,19 @@ object QueryDefs {
           |  END AS INT) AS keep
           |FROM documents""".stripMargin)),
 
+    ("curation_report", (s: SparkSession, dir: String) =>
+      TextOps.curationReport(t(s, dir, "documents")),
+      Some(
+        """SELECT source,
+          |  CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_unique,
+          |  CAST(count(*) - count(DISTINCT sha256(text)) AS BIGINT) AS n_dup,
+          |  CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'),
+          |    x -> x <> ''))) AS BIGINT) AS total_tokens,
+          |  round(avg(length(text)), 6) AS avg_chars,
+          |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+          |FROM documents GROUP BY source""".stripMargin)),
+
     // Temperature mixing (alpha=0.5): per-stratum rates derived from the
     // corpus composition; sqrt keeps pow() bit-agreement across engines
     ("sample_temperature", (s: SparkSession, dir: String) =>

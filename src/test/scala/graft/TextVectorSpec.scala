@@ -689,6 +689,24 @@ class TextVectorSpec extends SparkSpec {
       numPlanes = 4, maxBucketSize = 100).count() === 0)
   }
 
+  test("curationReport counts duplicate mass and volumes per source") {
+    val r = TextOps.curationReport(docs).orderBy(col("source")).collect()
+    assert(r.length === 2)
+    val s0 = r(0); val s1 = r(1)
+    assert(s0.getAs[String]("source") === "s0")
+    assert(s0.getAs[Long]("n_docs") === 2L && s0.getAs[Long]("n_dup") === 0L)
+    // s1 holds doc 3 (exact copy of doc 0, which lives in s0) — within
+    // s1 itself there is no duplicate pair, so n_dup is 0 there too
+    assert(s1.getAs[Long]("n_docs") === 3L && s1.getAs[Long]("n_dup") === 0L)
+    // whitespace-only doc contributes zero tokens but counts as a doc
+    assert(s1.getAs[Long]("total_tokens") ===
+      9L + 7L) // doc3 (9 words) + doc2 (7 words) + doc4 (0)
+    val dupSrc = docs.withColumn("source", lit("x"))
+    val one = TextOps.curationReport(dupSrc).collect()(0)
+    assert(one.getAs[Long]("n_docs") === 5L)
+    assert(one.getAs[Long]("n_dup") === 1L) // docs 0 and 3 collapse
+  }
+
   test("sampleTemperature derives flattening rates; alpha=1 is uniform") {
     val corpus = (Seq.tabulate(80)(i => (i.toLong, s"t$i", "big", "s0", 1L)) ++
       Seq.tabulate(20)(i => ((100 + i).toLong, s"u$i", "small", "s0", 1L)))
