@@ -2115,6 +2115,25 @@ object QueryDefs {
           |  CAST(0 AS BIGINT) AS missed_exact,
           |  CAST(0 AS BIGINT) AS empty_stream""".stripMargin)),
 
+    ("stream_contam_check", (s: SparkSession, dir: String) =>
+      graft.streaming.DocStream.contaminationCheck(s, dir),
+      Some(
+        """SELECT CAST(0 AS BIGINT) AS missing_pair,
+          |  CAST(0 AS BIGINT) AS extra_pair,
+          |  CAST(0 AS BIGINT) AS bad_shared,
+          |  CAST(0 AS BIGINT) AS dup_pair,
+          |  CAST(0 AS BIGINT) AS empty_stream""".stripMargin)),
+
+    ("stream_ppl_check", (s: SparkSession, dir: String) =>
+      graft.streaming.DocStream.perplexityCheck(s, dir),
+      Some(
+        """SELECT CAST(0 AS BIGINT) AS missing_doc,
+          |  CAST(0 AS BIGINT) AS extra_doc,
+          |  CAST(0 AS BIGINT) AS bad_bigrams,
+          |  CAST(0 AS BIGINT) AS bad_score,
+          |  CAST(0 AS BIGINT) AS dup_doc,
+          |  CAST(0 AS BIGINT) AS empty_stream""".stripMargin)),
+
     ("embed_ann_lsh", (s: SparkSession, dir: String) =>
       VectorOps.annTopK(t(s, dir, "embeddings"), nProbes = 32, k = 3),
       Some(

@@ -379,4 +379,146 @@ object DocStream {
       (count(lit(1)) === 0).cast("long").as("empty_stream"))
     perHit.crossJoin(sharedBand).crossJoin(missedExact).crossJoin(empty)
   }
+
+  /** Constant event time shared by the check feeds (all docs land in one
+    * watermark horizon / one window). */
+  private val feedT0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+
+  /** Write `docs` as a streaming feed at [[feedT0]]; `withSentinel` adds
+    * one late unrelated row two hours on, which pushes the watermark
+    * past the first window so append-mode WINDOWED aggregations emit it
+    * (the sentinel's own window never closes, and its nonsense text
+    * shares no grams, so it affects nothing else). */
+  private def writeFeed(docs: DataFrame, feedDir: String,
+      withSentinel: Boolean): Unit = {
+    val sp = docs.sparkSession
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
+      col("text"), col("lang"), col("source"),
+      col("n_chars").cast("long").as("n_chars"),
+      lit(feedT0).as("ingest_ts"))
+    val feed =
+      if (!withSentinel) base
+      else base.unionByName(sp.range(1).select(
+        lit(-999L).as("doc_id"),
+        lit("watermarksentinel zzzz qqqq xxxx vvvv").as("text"),
+        lit("xx").as("lang"), lit("sentinel").as("source"),
+        lit(0L).as("n_chars"),
+        lit(java.sql.Timestamp.valueOf("2026-01-01 02:00:00"))
+          .as("ingest_ts")))
+    feed.write.mode("overwrite").parquet(feedDir)
+  }
+
+  /** Run a streaming DF to completion into a memory sink; returns the
+    * sink table. */
+  private def drain(df: DataFrame, view: String,
+      timeoutMs: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val spark = df.sparkSession
+    if (spark.catalog.tableExists(view)) spark.catalog.dropTempView(view)
+    val q = df.writeStream.format("memory").queryName(view)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      require(q.awaitTermination(timeoutMs),
+        s"$view: stream did not drain within ${timeoutMs} ms")
+    } finally q.stop()
+    spark.table(view)
+  }
+
+  /**
+   * Structural self-check of [[contaminationStream]] against the batch
+   * decontamination operator (all-zeros pattern): the train split
+   * streams through the stream-static gram join at one constant event
+   * time (sentinel closes the window), and every emitted (train doc,
+   * eval doc, n_shared) alert must agree with `TextOps.contamination`
+   * over the same splits. Violations: `missing_pair` (batch alerts the
+   * stream never raised), `extra_pair`, `bad_shared` (count mismatch),
+   * `dup_pair` (one pair emitted in two windows), `empty_stream`.
+   */
+  def contaminationCheck(spark: SparkSession, dir: String, n: Int = 3,
+      minShared: Int = 2,
+      feedDir: String = "/tmp/graft_stream_contam_feed",
+      timeoutMs: Long = 300000L): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val train = docs.filter(col("doc_id") % 25 =!= 0)
+    val eval = docs.filter(col("doc_id") % 25 === 0)
+    writeFeed(train, feedDir, withSentinel = true)
+    val hits = drain(
+      contaminationStream(
+        spark.readStream.schema(documentsSchema).parquet(feedDir),
+        eval, n, minShared),
+      "graft_stream_contam_check", timeoutMs)
+      .select(col("doc_id").as("train_doc"), col("eval_doc"),
+        col("n_shared").as("s_shared"))
+    val batch = TextOps.contamination(train, eval, n, minShared)
+      .select(col("train_doc"), col("eval_doc"),
+        col("n_shared").as("b_shared"))
+    val joined = batch.join(hits, Seq("train_doc", "eval_doc"), "full_outer")
+      .agg(
+        coalesce(sum(when(col("s_shared").isNull, 1L).otherwise(0L)),
+          lit(0L)).cast("long").as("missing_pair"),
+        coalesce(sum(when(col("b_shared").isNull, 1L).otherwise(0L)),
+          lit(0L)).cast("long").as("extra_pair"),
+        coalesce(sum(when(col("b_shared").isNotNull &&
+          col("s_shared").isNotNull &&
+          col("b_shared") =!= col("s_shared"), 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("bad_shared"))
+    val dup = hits.groupBy(col("train_doc"), col("eval_doc"))
+      .agg(count(lit(1)).as("nw"))
+      .agg(coalesce(sum(when(col("nw") > 1, 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("dup_pair"))
+    val empty = hits.agg(
+      (count(lit(1)) === 0).cast("long").as("empty_stream"))
+    joined.crossJoin(dup).crossJoin(empty)
+  }
+
+  /**
+   * Structural self-check of [[perplexityStream]] against the batch LM
+   * scorer (all-zeros pattern): documents stream through the
+   * score-at-ingest filter against a static bigram LM (trained on the
+   * eval split), and every emitted (doc, n_bigrams, avg_nll, ppl) must
+   * EXACTLY equal `TextOps.lmPerplexity` on the same docs — identical
+   * math, identical 6dp/2dp rounding, so equality is exact, not
+   * approximate. Violations: `missing_doc`, `extra_doc`, `bad_bigrams`,
+   * `bad_score` (avg_nll or ppl mismatch), `dup_doc`, `empty_stream`.
+   */
+  def perplexityCheck(spark: SparkSession, dir: String, k: Double = 0.5,
+      feedDir: String = "/tmp/graft_stream_ppl_feed",
+      timeoutMs: Long = 300000L): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val train = docs.filter(col("doc_id") % 25 === 0)
+    val score = docs.filter(col("doc_id") % 25 =!= 0)
+    writeFeed(score, feedDir, withSentinel = true)
+    val streamed = drain(
+      perplexityStream(
+        spark.readStream.schema(documentsSchema).parquet(feedDir),
+        train, k),
+      "graft_stream_ppl_check", timeoutMs)
+      .filter(col("doc_id") =!= -999L) // the sentinel's window never closes
+      .select(col("doc_id"), col("n_bigrams").as("s_bigrams"),
+        col("avg_nll").as("s_nll"), col("ppl").as("s_ppl"))
+    val batch = TextOps.lmPerplexity(score, train = train, k = k)
+      .select(col("doc_id"), col("n_bigrams").as("b_bigrams"),
+        col("avg_nll").as("b_nll"), col("ppl").as("b_ppl"))
+    val joined = batch.join(streamed, Seq("doc_id"), "full_outer")
+      .agg(
+        coalesce(sum(when(col("s_bigrams").isNull, 1L).otherwise(0L)),
+          lit(0L)).cast("long").as("missing_doc"),
+        coalesce(sum(when(col("b_bigrams").isNull, 1L).otherwise(0L)),
+          lit(0L)).cast("long").as("extra_doc"),
+        coalesce(sum(when(col("b_bigrams").isNotNull &&
+          col("s_bigrams").isNotNull &&
+          col("b_bigrams") =!= col("s_bigrams"), 1L).otherwise(0L)),
+          lit(0L)).cast("long").as("bad_bigrams"),
+        coalesce(sum(when(col("b_nll").isNotNull && col("s_nll").isNotNull &&
+          (col("b_nll") =!= col("s_nll") || col("b_ppl") =!= col("s_ppl")),
+          1L).otherwise(0L)), lit(0L)).cast("long").as("bad_score"))
+    val dup = streamed.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
+      .agg(coalesce(sum(when(col("nw") > 1, 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("dup_doc"))
+    val empty = streamed.agg(
+      (count(lit(1)) === 0).cast("long").as("empty_stream"))
+    joined.crossJoin(dup).crossJoin(empty)
+  }
 }
