@@ -403,6 +403,73 @@ object TextOps {
   }
 
   /**
+   * Broadcast Bloom-filter decontamination — the zero-corpus-shuffle
+   * scale path for benchmark decontamination (reference scope:
+   * training-corpus hygiene around ingest.py's acquisition surface).
+   * The eval split's word n-grams are hashed into a fixed
+   * m = 16^`hexDigits`-bit Bloom filter, `numHashes` positions per gram;
+   * position_i is the first `hexDigits` hex chars of md5("i|gram") — the
+   * engine-portable md5 trick [[sampleMix]] established, so the DuckDB
+   * oracle replays the EXACT same filter and the query is hash-checkable,
+   * not merely structural. Each train document then scores itself
+   * map-side: `n_hits` = how many of its distinct grams have all
+   * `numHashes` positions set, `flagged` = n_hits >= minHits.
+   *
+   * Plan shape (100 TB): the train corpus is NEVER shuffled — the
+   * returned plan is scan + narrow projection with the bitmap riding a
+   * 16^hexDigits/8-byte literal (128 KiB at the default 5), no Exchange
+   * at all (PlanSpec pins this). The build side is one aggregation whose
+   * key space is bounded by m/64 words (<= 16384 rows at default m)
+   * REGARDLESS of eval size, then a bounded driver collect — compare
+   * [[contamination]], whose posting-list join shuffles every
+   * (gram, doc) pair of both sides. One-sided error: a train doc
+   * sharing >= minHits distinct grams with the eval union is ALWAYS
+   * flagged (Bloom filters have no false negatives); false positives are
+   * bounded by the bits-per-gram ratio — run [[contamination]] as the
+   * exact precision pass over the flagged survivors only.
+   *
+   * EAGER on the eval side: the filter is built (one bounded job) at
+   * call time, like [[graft.operators.VectorOps]]'s codebook.
+   */
+  def bloomDecontaminate(train: DataFrame, eval: DataFrame, n: Int = 3,
+      numHashes: Int = 3, hexDigits: Int = 5,
+      minHits: Int = 2): DataFrame = {
+    require(hexDigits >= 1 && hexDigits <= 15,
+      s"bloomDecontaminate: hexDigits $hexDigits not in [1,15]")
+    require(numHashes >= 1, "bloomDecontaminate: numHashes must be >= 1")
+    val m = 1L << (4 * hexDigits)
+    val nWords = ((m + 63) / 64).toInt
+    def positions(g: Column): Seq[Column] = (0 until numHashes).map(i =>
+      conv(substring(md5(concat(lit(i.toString), lit("|"), g)),
+        1, hexDigits), 16, 10).cast("long"))
+    def wordOf(p: Column): Column = shiftright(p, 6).cast("int")
+    def maskOf(p: Column): Column =
+      call_function("shiftleft", lit(1L), pmod(p, lit(64L)).cast("int"))
+    // Filter build: every gram position -> (word, mask), bit_or per word.
+    // Bounded collect: <= m/64 rows (16384 at hexDigits=5) by key space,
+    // independent of eval row count.
+    val posDf = eval.select(explode(shingles(col("text"), n)).as("gram"))
+      .select(explode(array(positions(col("gram")): _*)).as("p"))
+    val bits = new Array[Long](nWords)
+    posDf.select(wordOf(col("p")).as("w"), maskOf(col("p")).as("m"))
+      .groupBy(col("w")).agg(call_function("bit_or", col("m")).as("mask"))
+      .collect()
+      .foreach(r => bits(r.getInt(0)) = r.getLong(1))
+    val bitsLit = typedLit(bits.toSeq)
+    def mightContain(g: Column): Column = positions(g).map(p =>
+      element_at(bitsLit, wordOf(p) + 1)
+        .bitwiseAND(maskOf(p)) =!= 0L).reduce(_ && _)
+    train
+      .select(col("doc_id").cast("long").as("doc_id"),
+        shingles(col("text"), n).as("sh"))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"),
+        size(filter(col("sh"), g => mightContain(g))).cast("long")
+          .as("n_hits"))
+      .select(col("doc_id"), col("n_grams"), col("n_hits"),
+        (col("n_hits") >= minHits).cast("int").as("flagged"))
+  }
+
+  /**
    * Near-duplicate CLUSTERS: connected components over the exact
    * n-gram-Jaccard pair graph ([[ngramJaccardPairs]]), via iterative
    * min-label propagation — every doc in a component converges to the

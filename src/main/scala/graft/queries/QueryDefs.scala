@@ -746,6 +746,48 @@ object QueryDefs {
           |  GROUP BY train_doc, eval_doc, n_eval_grams)
           |WHERE n_shared >= 2""".stripMargin)),
 
+    // Broadcast Bloom-filter decontamination: the oracle replays the exact
+    // md5-hex position math (engine-portable), so this is hash-checked
+    // despite the probabilistic data structure — the filter is
+    // deterministic given (numHashes=3, hexDigits=5).
+    ("bloom_decontam", (s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      TextOps.bloomDecontaminate(
+        docs.filter(col("doc_id") % 25 =!= 0),
+        docs.filter(col("doc_id") % 25 === 0))
+    },
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+          |  FROM documents),
+          |sh AS (
+          |  SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3
+          |      THEN [array_to_string(tk, ' ')]
+          |      ELSE list_transform(range(1, len(tk) - 1),
+          |             i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
+          |  FROM toks),
+          |ep AS (
+          |  SELECT DISTINCT substr(md5(CAST(t.i AS VARCHAR) || '|' || g.gram),
+          |      1, 5) AS pos
+          |  FROM (SELECT DISTINCT unnest(sh) AS gram
+          |        FROM sh WHERE doc_id % 25 = 0) g, range(3) t(i)),
+          |tp AS (
+          |  SELECT tg.doc_id, tg.gram,
+          |    substr(md5(CAST(t.i AS VARCHAR) || '|' || tg.gram), 1, 5) AS pos
+          |  FROM (SELECT doc_id, unnest(sh) AS gram
+          |        FROM sh WHERE doc_id % 25 <> 0) tg, range(3) t(i)),
+          |hitg AS (
+          |  SELECT doc_id, gram,
+          |    min(CASE WHEN ep.pos IS NULL THEN 0 ELSE 1 END) AS allhit
+          |  FROM tp LEFT JOIN ep ON tp.pos = ep.pos
+          |  GROUP BY doc_id, gram)
+          |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |  CAST(count(*) AS BIGINT) AS n_grams,
+          |  CAST(sum(allhit) AS BIGINT) AS n_hits,
+          |  CAST(CASE WHEN sum(allhit) >= 2 THEN 1 ELSE 0 END AS INT) AS flagged
+          |FROM hitg GROUP BY doc_id""".stripMargin)),
+
     // FLAGSHIP composition: the full pretraining-data pipeline as ONE
     // lazy plan — quality filter -> exact dedup -> decontamination vs
     // the eval split -> deterministic training mix -> sequence packing.

@@ -232,6 +232,31 @@ class TextVectorSpec extends SparkSpec {
     assert(out(0).getAs[Double]("eval_frac") === 0.666667)
   }
 
+  test("bloomDecontaminate: no false negatives; scoring plan never shuffles") {
+    val train = Seq(
+      (10L, "the quick brown fox jumps high"), // shares 2 grams with eval 0
+      (11L, "completely different training text entirely"),
+      (12L, "the quick brown fox runs") // identical to eval doc 0
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (0L, "the quick brown fox runs"),
+      (1L, "totally unrelated words here")).toDF("doc_id", "text")
+    val out = TextOps.bloomDecontaminate(train, eval_, n = 3, minHits = 2)
+    val rows = out.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // one-sided error: every exact-contaminated doc MUST be flagged
+    val exact = TextOps.contamination(train, eval_, n = 3, minShared = 2)
+      .select(col("train_doc")).distinct().collect().map(_.getLong(0)).toSet
+    assert(exact.nonEmpty)
+    exact.foreach(d => assert(rows(d).getAs[Int]("flagged") === 1,
+      s"exact-contaminated doc $d not flagged by the bloom pass"))
+    // hits are lower-bounded by the true overlap (bloom only overcounts)
+    assert(rows(10L).getAs[Long]("n_hits") >= 2L)
+    assert(rows(12L).getAs[Long]("n_hits") === rows(12L).getAs[Long]("n_grams"))
+    // the returned scoring plan is scan + projection: zero Exchange
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"bloom scoring shuffled:\n$p")
+  }
+
   test("dedupExactBest keeps the highest-scored copy, id tie-break") {
     val fixture = Seq(
       (0L, "same text", "s0", 5L),
