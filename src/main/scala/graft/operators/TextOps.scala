@@ -749,6 +749,53 @@ object TextOps {
       .limit(kTop)
 
   /**
+   * Count-min-sketch heavy-hitter estimation: the mergeable,
+   * fixed-footprint token counter for corpora whose vocabulary is too
+   * large to count exactly. `depth` hash rows x 16^`hexDigits` counters;
+   * row r's position for a token is the first `hexDigits` hex chars of
+   * md5("r|token") — the engine-portable md5 trick, so the DuckDB oracle
+   * replays the sketch EXACTLY and this probabilistic structure is
+   * hash-checked end-to-end like [[bloomDecontaminate]]. Returns the
+   * exact corpus top-`kTop` tokens ([[tokenTopK]] contract: ties broken
+   * by token text) with their sketch estimate
+   * est = min over rows of counter(r, pos(r, token)); CMS guarantees
+   * est >= n, and `overcount` = est - n is the collision inflation.
+   *
+   * Plan shape (100 TB): the sketch is ONE aggregation whose key space
+   * is bounded by depth * 16^hexDigits cells (12288 at the defaults) —
+   * map-side partials collapse every partition to <= the cell count, so
+   * the shuffle moves counter cells, never tokens. The kTop probe side
+   * is tiny and rides a broadcast join against the cell table.
+   */
+  def cmsTokenCounts(docs: DataFrame, kTop: Int = 20, depth: Int = 3,
+      hexDigits: Int = 3): DataFrame = {
+    require(depth >= 1, "cmsTokenCounts: depth must be >= 1")
+    require(hexDigits >= 1 && hexDigits <= 15,
+      s"cmsTokenCounts: hexDigits $hexDigits not in [1,15]")
+    def posOf(r: Int, tok: Column): Column =
+      substring(md5(concat(lit(r.toString), lit("|"), tok)), 1, hexDigits)
+    def positions(tok: Column): Column =
+      posexplode(array((0 until depth).map(r => posOf(r, tok)): _*))
+    val toks = docs.select(explode(tokens(col("text"))).as("token"))
+      .transform(Caches.persist(_)) // consumed twice: cells + exact top-k
+    val cells = toks
+      .select(positions(col("token")).as(Seq("r", "pos")))
+      .groupBy(col("r"), col("pos"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val top = toks.groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(kTop)
+    top
+      .select(col("token"), col("n"), positions(col("token")).as(Seq("r", "pos")))
+      .join(cells, Seq("r", "pos"))
+      .groupBy(col("token"), col("n"))
+      .agg(min(col("cnt")).cast("long").as("est"))
+      .select(col("token"), col("n"), col("est"),
+        (col("est") - col("n")).cast("long").as("overcount"))
+  }
+
+  /**
    * 64-bit SimHash over whitespace tokens: each token's md5 contributes
    * +1/-1 votes per bit (first 16 hex chars = 64 bits); the signature bit
    * is 1 where votes are positive. Near-dup docs differ in few bits.

@@ -1174,6 +1174,31 @@ object QueryDefs {
           |        x -> x <> '')) AS token FROM documents)
           |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin)),
 
+    // Count-min sketch: oracle replays the exact md5-hex sketch positions
+    // (portable), so the probabilistic counter is hash-checked end-to-end.
+    ("cms_heavy_hitters", (s: SparkSession, dir: String) =>
+      TextOps.cmsTokenCounts(t(s, dir, "documents"), 20),
+      Some(
+        """WITH tok AS (
+          |  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+          |      x -> x <> '')) AS token FROM documents),
+          |cells AS (
+          |  SELECT t.i AS r,
+          |    substr(md5(CAST(t.i AS VARCHAR) || '|' || token), 1, 3) AS pos,
+          |    count(*) AS cnt
+          |  FROM tok, range(3) t(i) GROUP BY 1, 2),
+          |top AS (
+          |  SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok
+          |  GROUP BY token ORDER BY n DESC, token ASC LIMIT 20),
+          |probe AS (
+          |  SELECT top.token, top.n, t.i AS r,
+          |    substr(md5(CAST(t.i AS VARCHAR) || '|' || top.token), 1, 3) AS pos
+          |  FROM top, range(3) t(i))
+          |SELECT token, n, CAST(min(cnt) AS BIGINT) AS est,
+          |  CAST(min(cnt) - n AS BIGINT) AS overcount
+          |FROM probe JOIN cells USING (r, pos)
+          |GROUP BY token, n""".stripMargin)),
+
     ("quality_score", (s: SparkSession, dir: String) =>
       TextOps.qualityScore(t(s, dir, "documents")),
       Some(

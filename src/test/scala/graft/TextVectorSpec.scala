@@ -257,6 +257,25 @@ class TextVectorSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"bloom scoring shuffled:\n$p")
   }
 
+  test("cmsTokenCounts: estimates dominate true counts; top-k is exact") {
+    val fixture = Seq(
+      (0L, "alpha alpha alpha beta"),
+      (1L, "alpha beta gamma"),
+      (2L, "beta gamma delta")).toDF("doc_id", "text")
+    val out = TextOps.cmsTokenCounts(fixture, kTop = 3).collect()
+      .map(r => r.getAs[String]("token") -> r).toMap
+    // tokenTopK contract: top 3 by count, ties by token text
+    assert(out.keySet === Set("alpha", "beta", "gamma"))
+    assert(out("alpha").getAs[Long]("n") === 4L)
+    assert(out("beta").getAs[Long]("n") === 3L)
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("n"),
+        s"CMS underestimated ${r.getAs[String]("token")}")
+      assert(r.getAs[Long]("overcount") ===
+        r.getAs[Long]("est") - r.getAs[Long]("n"))
+    }
+  }
+
   test("dedupExactBest keeps the highest-scored copy, id tie-break") {
     val fixture = Seq(
       (0L, "same text", "s0", 5L),
