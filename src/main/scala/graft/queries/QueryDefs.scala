@@ -1174,6 +1174,17 @@ object QueryDefs {
           |        x -> x <> '')) AS token FROM documents)
           |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin)),
 
+    // HLL++ cardinality certification: the oracle pins the exact columns;
+    // the deterministic sketch feeds the approx_ok flag (1 = within 15%).
+    ("cardinality_report", (s: SparkSession, dir: String) =>
+      TextOps.cardinalityReport(t(s, dir, "documents")),
+      Some(
+        """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(count(DISTINCT md5(lower(regexp_replace(trim(text),
+          |      '\s+', ' ', 'g')))) AS BIGINT) AS n_distinct,
+          |  CAST(1 AS INT) AS approx_ok
+          |FROM documents GROUP BY source""".stripMargin)),
+
     // Count-min sketch: oracle replays the exact md5-hex sketch positions
     // (portable), so the probabilistic counter is hash-checked end-to-end.
     ("cms_heavy_hitters", (s: SparkSession, dir: String) =>
