@@ -60,6 +60,13 @@ object Bench {
 
     val results = names.map { name =>
       spark.catalog.clearCache() // drop frames leaked by prior queries
+      // Settle the heap so a query's median reflects ITS plan, not the
+      // previous query's garbage: isolated BenchOne medians ran 2x+ faster
+      // than in-run medians for second-scale queries purely from inherited
+      // GC pressure (r7 measured lm_perplexity 1.1 s isolated vs 2.6
+      // in-run). One explicit collection between queries, never inside
+      // the timed reps.
+      System.gc()
       var times = List.empty[Double]
       var reps = 0
       while (reps < 3 || (reps < 9 && times.sum < 2.0)) {

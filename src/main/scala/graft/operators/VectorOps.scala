@@ -437,6 +437,33 @@ object VectorOps {
         col("neighbor_id"), col("score"))
   }
 
+  /**
+   * ANN quality report: recall@k of the LSH bucketed path ([[annTopK]])
+   * against brute-force cosine ground truth ([[cosineTopK]]) on the same
+   * probes — the metric that tunes `numPlanes`/`nProbes` before a
+   * corpus-scale rollout (recall drops as planes partition finer; this
+   * measures the trade directly on the target data).
+   *
+   * Plan shape (100 TB): both inputs are already top-k-per-probe results
+   * (nProbes x k rows); the compare join and per-probe rollup move
+   * ranked IDs only — no embeddings. Cost is dominated by the two
+   * constituent searches, each of which carries its own scale story.
+   */
+  def annRecall(emb: DataFrame, nProbes: Int, k: Int,
+      numPlanes: Int = 6): DataFrame = {
+    val truth = cosineTopK(emb, nProbes, k)
+      .select(col("probe_id"), col("neighbor_id"))
+    val ann = annTopK(emb, nProbes, k, numPlanes)
+      .select(col("probe_id"), col("neighbor_id"), lit(1L).as("hit"))
+    truth.join(ann, Seq("probe_id", "neighbor_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).cast("long").as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hit"))
+      .select(col("probe_id"), col("n_truth"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_truth").cast("double"), 6)
+          .as("recall"))
+  }
+
   /** Deterministic pseudo-random projection weight for output dim `j`,
     * input dim `d`: ((j*37 + d*11) % 19) - 9, as double — engine-portable
     * (same closed form in oracle SQL), zero-mean-ish over dims. */

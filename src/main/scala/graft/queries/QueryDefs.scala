@@ -2245,6 +2245,60 @@ object QueryDefs {
           |FROM scored
           |QUALIFY rnk <= 3""".stripMargin)),
 
+    // Recall@k of the LSH path vs brute force: the oracle composes the two
+    // hash-green constituent oracles (embed_ann_lsh + embed_topk).
+    ("ann_recall", (s: SparkSession, dir: String) =>
+      VectorOps.annRecall(t(s, dir, "embeddings"), nProbes = 32, k = 3),
+      Some(
+        """WITH bucketed AS (
+          |  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+          |    (SELECT CAST(sum(CASE WHEN
+          |        list_sum(list_transform(list_zip(embedding,
+          |          list_transform(range(0, len(embedding)), d ->
+          |            CAST((j.j*31 + d*7) % 13 - 6 AS DOUBLE))),
+          |          x -> CAST(x[1] AS DOUBLE) * x[2])) >= 0
+          |        THEN 1 << j.j ELSE 0 END) AS BIGINT)
+          |     FROM generate_series(0, 5) j(j)) AS bucket
+          |  FROM embeddings),
+          |ann AS (
+          |  SELECT probe_id, neighbor_id FROM (
+          |    SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+          |      round(
+          |        list_sum(list_transform(list_zip(p.embedding, e.embedding),
+          |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+          |        (sqrt(list_sum(list_transform(p.embedding,
+          |           a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)))) *
+          |         sqrt(list_sum(list_transform(e.embedding,
+          |           a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE))))), 6) AS score
+          |    FROM bucketed p JOIN bucketed e
+          |      ON p.bucket = e.bucket AND e.vec_id <> p.vec_id
+          |    WHERE p.vec_id < 32)
+          |  QUALIFY row_number() OVER (PARTITION BY probe_id
+          |    ORDER BY score DESC, neighbor_id ASC) <= 3),
+          |truth AS (
+          |  SELECT probe_id, neighbor_id FROM (
+          |    SELECT CAST(p.vec_id AS BIGINT) AS probe_id,
+          |      CAST(e.vec_id AS BIGINT) AS neighbor_id,
+          |      round(
+          |        list_sum(list_transform(list_zip(p.embedding, e.embedding),
+          |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+          |        (sqrt(list_sum(list_transform(p.embedding,
+          |           a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)))) *
+          |         sqrt(list_sum(list_transform(e.embedding,
+          |           a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE))))), 6) AS score
+          |    FROM embeddings p JOIN embeddings e ON e.vec_id <> p.vec_id
+          |    WHERE p.vec_id < 32)
+          |  QUALIFY row_number() OVER (PARTITION BY probe_id
+          |    ORDER BY score DESC, neighbor_id ASC) <= 3)
+          |SELECT t.probe_id, CAST(count(*) AS BIGINT) AS n_truth,
+          |  CAST(sum(CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END)
+          |    AS BIGINT) AS n_hit,
+          |  round(sum(CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END) /
+          |    CAST(count(*) AS DOUBLE), 6) AS recall
+          |FROM truth t LEFT JOIN ann a
+          |  ON t.probe_id = a.probe_id AND t.neighbor_id = a.neighbor_id
+          |GROUP BY t.probe_id""".stripMargin)),
+
     // ============ events ============
 
     ("events_rollup", (s: SparkSession, dir: String) =>
