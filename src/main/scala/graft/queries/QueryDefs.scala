@@ -2212,6 +2212,16 @@ object QueryDefs {
           |  CAST(0 AS BIGINT) AS dup_doc,
           |  CAST(0 AS BIGINT) AS empty_stream""".stripMargin)),
 
+    ("stream_bloom_check", (s: SparkSession, dir: String) =>
+      graft.streaming.DocStream.bloomCheck(s, dir),
+      Some(
+        """SELECT CAST(0 AS BIGINT) AS missing_doc,
+          |  CAST(0 AS BIGINT) AS extra_doc,
+          |  CAST(0 AS BIGINT) AS bad_counts,
+          |  CAST(0 AS BIGINT) AS bad_flag,
+          |  CAST(0 AS BIGINT) AS dup_doc,
+          |  CAST(0 AS BIGINT) AS empty_stream""".stripMargin)),
+
     ("embed_ann_lsh", (s: SparkSession, dir: String) =>
       VectorOps.annTopK(t(s, dir, "embeddings"), nProbes = 32, k = 3),
       Some(

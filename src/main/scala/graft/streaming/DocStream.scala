@@ -521,4 +521,71 @@ object DocStream {
       (count(lit(1)) === 0).cast("long").as("empty_stream"))
     joined.crossJoin(dup).crossJoin(empty)
   }
+
+  /**
+   * Score-at-ingest Bloom decontamination: the
+   * [[graft.operators.TextOps.bloomDecontaminate]] bitmap (built once,
+   * eagerly, from the static eval split) applied to a document stream as
+   * a STATELESS narrow projection — no watermark, no stream state, no
+   * shuffle; every arriving doc gets (n_grams, n_hits, flagged)
+   * immediately. The cheapest standing decontamination gate an ingest
+   * pipeline can run; the exact join ([[contaminationStream]]) is the
+   * precision pass downstream of this filter.
+   */
+  def bloomDecontamStream(docs: DataFrame, benchmark: DataFrame,
+      n: Int = 3, numHashes: Int = 3, hexDigits: Int = 5,
+      minHits: Int = 2): DataFrame =
+    graft.operators.TextOps.bloomDecontaminate(
+      docs, benchmark, n, numHashes, hexDigits, minHits)
+
+  /**
+   * Structural self-check of [[bloomDecontamStream]] (all-zeros
+   * pattern): the train split streams through the stateless Bloom
+   * projection and every emitted (doc, n_grams, n_hits, flagged) row
+   * must EXACTLY equal the batch operator on the same splits —
+   * identical bitmap, identical md5 position math, so equality is
+   * exact. Violations: `missing_doc`, `extra_doc`, `bad_counts`
+   * (n_grams or n_hits mismatch), `bad_flag`, `dup_doc`,
+   * `empty_stream`.
+   */
+  def bloomCheck(spark: SparkSession, dir: String, n: Int = 3,
+      minHits: Int = 2,
+      feedDir: String = "/tmp/graft_stream_bloom_feed",
+      timeoutMs: Long = 300000L): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val train = docs.filter(col("doc_id") % 25 =!= 0)
+    val eval = docs.filter(col("doc_id") % 25 === 0)
+    writeFeed(train, feedDir, withSentinel = false)
+    val streamed = drain(
+      bloomDecontamStream(
+        spark.readStream.schema(documentsSchema).parquet(feedDir),
+        eval, n, minHits = minHits),
+      "graft_stream_bloom_check", timeoutMs)
+      .select(col("doc_id"), col("n_grams").as("s_grams"),
+        col("n_hits").as("s_hits"), col("flagged").as("s_flag"))
+    val batch = graft.operators.TextOps
+      .bloomDecontaminate(train, eval, n, minHits = minHits)
+      .select(col("doc_id"), col("n_grams").as("b_grams"),
+        col("n_hits").as("b_hits"), col("flagged").as("b_flag"))
+    val joined = batch.join(streamed, Seq("doc_id"), "full_outer")
+      .agg(
+        coalesce(sum(when(col("s_grams").isNull, 1L).otherwise(0L)),
+          lit(0L)).cast("long").as("missing_doc"),
+        coalesce(sum(when(col("b_grams").isNull, 1L).otherwise(0L)),
+          lit(0L)).cast("long").as("extra_doc"),
+        coalesce(sum(when(col("b_grams").isNotNull &&
+          col("s_grams").isNotNull &&
+          (col("b_grams") =!= col("s_grams") ||
+           col("b_hits") =!= col("s_hits")), 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("bad_counts"),
+        coalesce(sum(when(col("b_flag").isNotNull && col("s_flag").isNotNull &&
+          col("b_flag") =!= col("s_flag"), 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("bad_flag"))
+    val dup = streamed.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
+      .agg(coalesce(sum(when(col("nw") > 1, 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("dup_doc"))
+    val empty = streamed.agg(
+      (count(lit(1)) === 0).cast("long").as("empty_stream"))
+    joined.crossJoin(dup).crossJoin(empty)
+  }
 }
