@@ -65,8 +65,13 @@ object Bench {
       // than in-run medians for second-scale queries purely from inherited
       // GC pressure (r7 measured lm_perplexity 1.1 s isolated vs 2.6
       // in-run). One explicit collection between queries, never inside
-      // the timed reps.
+      // the timed reps. The sleep lets the collection's asynchronous
+      // aftermath — ContextCleaner unpersists driven by the newly-cleared
+      // weak refs, concurrent G1 cleanup — drain BEFORE timing starts;
+      // without it the r7 bench measured the churn inside the next
+      // query's reps (second-scale medians up ~35%, total 63.8->77.3 s).
       System.gc()
+      Thread.sleep(500)
       var times = List.empty[Double]
       var reps = 0
       while (reps < 3 || (reps < 9 && times.sum < 2.0)) {

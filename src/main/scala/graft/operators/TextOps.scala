@@ -1105,6 +1105,98 @@ object TextOps {
           .cast("long").as("last_chunk"))
   }
 
+  /**
+   * RAG/context-window chunking: each document's whitespace token stream
+   * is cut into fixed-size windows of `chunkTokens` starting every
+   * `stride` tokens (stride < chunkTokens ⇒ overlapping windows, the
+   * standard retrieval-index unit; stride = chunkTokens ⇒ disjoint
+   * packing). Emits one row per window with `(doc_id, n_tokens,
+   * chunk_id, start_tok, n_tok, chunk_text)`; an empty document yields
+   * a single empty chunk so no doc silently disappears from the index.
+   *
+   * Scale shape: a pure narrow map — tokenize, generate the start
+   * offsets (`sequence`), `posexplode`, slice. No shuffle, no state; at
+   * 100 TB this is one codegen'd scan whose output is ~`chunkTokens /
+   * stride`× the input rows. The token array is materialized through a
+   * real projection before the explode, so the tokenizer runs once per
+   * DOC, not once per chunk.
+   */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int = 16,
+      stride: Int = 12): DataFrame = {
+    require(chunkTokens > 0 && stride > 0,
+      s"chunkDocs: chunkTokens $chunkTokens / stride $stride must be positive")
+    val toksed = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n_tokens"))
+    toksed
+      .select(col("doc_id"), col("n_tokens"), col("toks"),
+        posexplode(sequence(lit(0),
+          greatest(size(col("toks")) - 1, lit(0)), lit(stride))))
+      .select(col("doc_id"), col("n_tokens"),
+        col("pos").cast("int").as("chunk_id"),
+        col("col").cast("long").as("start_tok"),
+        greatest(lit(0L),
+          least(lit(chunkTokens.toLong), col("n_tokens") - col("col")))
+          .as("n_tok"),
+        array_join(slice(col("toks"), col("col").cast("int") + 1,
+          lit(chunkTokens)), " ").as("chunk_text"))
+  }
+
+  /**
+   * BM25 keyword retrieval (Robertson/Sparck-Jones, the Okapi
+   * formulation Lucene defaults to): score every document against a
+   * fixed bag of query `terms` and return the global top `kTop` by
+   * score. Per term: `idf = ln(1 + (N - df + 0.5)/(df + 0.5))`,
+   * `w = idf · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))`.
+   *
+   * Scale shape: per-term `tf` is `size(filter(toks, _ = term))` — a
+   * narrow projection, no explode of the token stream and no
+   * token-keyed shuffle (the classic inverted-index join is replaced
+   * by |terms| array scans per doc, the right trade for a bounded
+   * query bag). Corpus stats (N, avgdl, per-term df) are ONE
+   * aggregate-to-1-row, broadcast back. The global top-k is
+   * `orderBy(...).limit(k)` — Spark's TakeOrderedAndProject, a
+   * per-partition heap + driver merge, never a single-partition sort.
+   * The final `rnk` window runs over kTop rows only. Scores are
+   * rounded to 6dp before ranking; ties break by doc_id.
+   */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], kTop: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK: at least one query term")
+    require(kTop > 0, "bm25TopK: kTop must be positive")
+    val base = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        tokens(col("text")).as("toks"))
+      .select(Seq(col("doc_id"),
+        size(col("toks")).cast("double").as("dl")) ++
+        terms.indices.map(i =>
+          size(filter(col("toks"), x => x === terms(i))).cast("double")
+            .as(s"tf_$i")): _*)
+    val stats = base.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (avg(col("dl")).as("avgdl") +:
+        terms.indices.map(i =>
+          sum((col(s"tf_$i") > 0).cast("double")).as(s"df_$i"))): _*)
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf_$i")
+      val df = col(s"df_$i")
+      val idf = log(lit(1.0) + (col("n_docs") - df + 0.5) / (df + 0.5))
+      idf * (tf * (k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    val topped = base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 6).as("score"))
+      .filter(col("score") > 0.0)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(kTop)
+    // kTop rows by contract: the un-partitioned window is bounded
+    topped.withColumn("rnk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select(col("rnk").cast("int").as("rnk"), col("doc_id"), col("score"))
+  }
+
   /** Rank of each document inside its (lang) group by n_chars — window
     * function demo surface. */
   def lengthRank(docs: DataFrame): DataFrame =

@@ -618,4 +618,84 @@ object VectorOps {
       .select(col("probe_id"), col("rnk").cast("int").as("rnk"),
         col("neighbor_id"), col("score"))
   }
+
+  /**
+   * 1-bit (sign) binary signature: bit `i` of the packed little-endian
+   * word array is set iff `v[i] > 0` — 64 dimensions per BIGINT, a
+   * 32–64× footprint reduction and the representation behind
+   * Hamming-distance shortlisting (binary quantization, the cheapest
+   * of the three codebook-free compressions beside int8 and random
+   * projection). Built as a PLAIN expression tree (a sum of 64
+   * conditional bit terms per word, no higher-order functions), so the
+   * packing stays inside whole-stage codegen.
+   */
+  def binarySig(v: Column, dim: Int): Column = {
+    require(dim > 0, "binarySig: dim must be positive")
+    val nWords = (dim + 63) / 64
+    array((0 until nWords).map { w =>
+      (0 until 64).flatMap { bit =>
+        val i = w * 64 + bit
+        if (i >= dim) None
+        else Some(when(element_at(v, i + 1).cast("double") > 0.0d,
+          lit(1L << bit)).otherwise(lit(0L)))
+      }.reduce(_ + _)
+    }: _*)
+  }
+
+  /** Hamming distance between two packed [[binarySig]] word arrays:
+    * Σ_w bit_count(a[w] XOR b[w]) — plain codegen'd bit ops, the
+    * per-pair hot loop of the binary coarse stage. */
+  def hammingPacked(a: Column, b: Column, dim: Int): Column = {
+    val nWords = (dim + 63) / 64
+    (0 until nWords).map(w =>
+      bit_count(element_at(a, w + 1).bitwiseXOR(element_at(b, w + 1)))
+        .cast("long")).reduce(_ + _)
+  }
+
+  /**
+   * Two-stage retrieval over BINARY signatures: coarse top-`candidates`
+   * per probe by packed-word Hamming distance (bit_count(xor) — ~dim/64
+   * ALU ops per pair instead of dim multiply-adds), then an exact
+   * cosine rerank of only those candidates in the full space. The
+   * Hamming tie-break is neighbor_id, and Hamming is an integer, so the
+   * candidate SET is engine-deterministic with no rounding caveats at
+   * all — the property the projection-based [[cosineTopKReranked]] has
+   * to buy with 6dp rounding.
+   *
+   * Scale: same audited shape as [[cosineTopKReranked]] — signatures
+   * are a narrow ~dim/64-word derivation, the coarse window moves only
+   * `(probe_id, neighbor_id, ham)` triples (never embeddings), and full
+   * vectors are touched by exactly one corpus scan plus a
+   * candidate-sized broadcast join-back.
+   */
+  def cosineTopKBinary(emb: DataFrame, nProbes: Int, k: Int, dim: Int,
+      candidates: Int = 50): DataFrame = {
+    graft.functions.ensureRegistered(emb.sparkSession)
+    require(candidates >= k, "cosineTopKBinary: candidates must cover k")
+    val sig = emb.select(col("vec_id").cast("long").as("vec_id"),
+      binarySig(col("embedding"), dim).as("sig"))
+    val probesSig = broadcast(sig.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("sig").as("p_sig")))
+    val survivors = probesSig.join(sig, col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        hammingPacked(col("p_sig"), col("sig"), dim).as("ham"))
+      .withColumn("crnk", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("ham").asc, col("neighbor_id").asc)))
+      .filter(col("crnk") <= candidates)
+      .select(col("probe_id"), col("neighbor_id"))
+    val probesFull = broadcast(emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").cast("long").as("probe_id"),
+        col("embedding").as("p_emb")))
+    broadcast(survivors)
+      .join(emb.select(col("vec_id").cast("long").as("neighbor_id"),
+        col("embedding")), Seq("neighbor_id"))
+      .join(probesFull, Seq("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        cosine6(col("p_emb"), col("embedding")).as("score"))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("score").desc, col("neighbor_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk").cast("int").as("rnk"),
+        col("neighbor_id"), col("score"))
+  }
 }

@@ -1166,6 +1166,68 @@ object QueryDefs {
           |    (h, c) -> (h*31 + c) % 2147483648) AS BIGINT) AS rolling_hash
           |FROM documents""".stripMargin)),
 
+    // RAG/context-window chunking: overlapping 16-token windows every 12
+    // tokens, a pure narrow map (tokenize -> sequence -> posexplode).
+    ("doc_chunk", (s: SparkSession, dir: String) =>
+      TextOps.chunkDocs(t(s, dir, "documents"), chunkTokens = 16,
+        stride = 12),
+      Some(
+        """WITH d AS (
+          |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |    list_filter(string_split_regex(trim(text), '\s+'),
+          |      x -> x <> '') AS toks
+          |  FROM documents),
+          |starts AS (
+          |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+          |    unnest(range(0, greatest(len(toks), 1), 12)) AS s
+          |  FROM d)
+          |SELECT doc_id, n_tokens,
+          |  CAST(s // 12 AS INT) AS chunk_id,
+          |  CAST(s AS BIGINT) AS start_tok,
+          |  CAST(greatest(0, least(16, n_tokens - s)) AS BIGINT) AS n_tok,
+          |  array_to_string(list_slice(toks, s + 1, s + 16), ' ')
+          |    AS chunk_text
+          |FROM starts""".stripMargin)),
+
+    // BM25 keyword retrieval over a fixed 3-term query bag: per-doc tf
+    // via narrow array scans (no token explode/shuffle), corpus stats as
+    // one broadcast 1-row aggregate, global top-k via TakeOrdered.
+    ("bm25_topk", (s: SparkSession, dir: String) =>
+      TextOps.bm25TopK(t(s, dir, "documents"),
+        Seq("hash", "join", "vector"), kTop = 20),
+      Some(
+        """WITH tk AS (
+          |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |    list_filter(string_split_regex(trim(text), '\s+'),
+          |      x -> x <> '') AS toks
+          |  FROM documents),
+          |base AS (
+          |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+          |    CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE) AS tf_0,
+          |    CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf_1,
+          |    CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf_2
+          |  FROM tk),
+          |stats AS (
+          |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+          |    sum(CASE WHEN tf_0 > 0 THEN 1.0 ELSE 0.0 END) AS df_0,
+          |    sum(CASE WHEN tf_1 > 0 THEN 1.0 ELSE 0.0 END) AS df_1,
+          |    sum(CASE WHEN tf_2 > 0 THEN 1.0 ELSE 0.0 END) AS df_2
+          |  FROM base),
+          |scored AS (
+          |  SELECT doc_id, round(
+          |    ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5)) * (tf_0 * 2.2)
+          |      / (tf_0 + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
+          |    ln(1.0 + (n_docs - df_1 + 0.5) / (df_1 + 0.5)) * (tf_1 * 2.2)
+          |      / (tf_1 + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
+          |    ln(1.0 + (n_docs - df_2 + 0.5) / (df_2 + 0.5)) * (tf_2 * 2.2)
+          |      / (tf_2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS score
+          |  FROM base CROSS JOIN stats)
+          |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+          |    AS INT) AS rnk,
+          |  doc_id, score
+          |FROM scored WHERE score > 0.0
+          |QUALIFY rnk <= 20""".stripMargin)),
+
     ("token_topk", (s: SparkSession, dir: String) =>
       TextOps.tokenTopK(t(s, dir, "documents"), 20),
       Some(
@@ -1946,6 +2008,46 @@ object QueryDefs {
           |  SELECT * FROM (
           |    SELECT *, row_number() OVER (PARTITION BY probe_id
           |      ORDER BY cscore DESC, neighbor_id ASC) AS crnk
+          |    FROM coarse) WHERE crnk <= 50),
+          |rer AS (
+          |  SELECT probe_id, neighbor_id,
+          |    round(list_sum(list_transform(list_zip(p_emb, n_emb),
+          |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+          |      (sqrt(list_sum(list_transform(p_emb,
+          |         a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)))) *
+          |       sqrt(list_sum(list_transform(n_emb,
+          |         a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE))))), 6) AS score
+          |  FROM cand)
+          |SELECT probe_id,
+          |  CAST(row_number() OVER (PARTITION BY probe_id
+          |    ORDER BY score DESC, neighbor_id ASC) AS INT) AS rnk,
+          |  neighbor_id, score
+          |FROM rer
+          |QUALIFY rnk <= 10""".stripMargin)),
+
+    // Binary (1-bit sign) quantization: coarse top-50 per probe by
+    // packed-word Hamming distance (bit_count(xor), integer — the
+    // candidate set needs no rounding caveats), exact cosine rerank.
+    // The oracle counts sign mismatches directly on the float arrays,
+    // which equals popcount over the packed signatures by construction.
+    ("embed_topk_binary", (s: SparkSession, dir: String) =>
+      VectorOps.cosineTopKBinary(t(s, dir, "embeddings"), nProbes = 8,
+        k = 10, dim = 64, candidates = 50),
+      Some(
+        """WITH e AS (
+          |  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings),
+          |coarse AS (
+          |  SELECT pr.vec_id AS probe_id, ne.vec_id AS neighbor_id,
+          |    pr.embedding AS p_emb, ne.embedding AS n_emb,
+          |    list_sum(list_transform(list_zip(pr.embedding, ne.embedding),
+          |      x -> CASE WHEN (CAST(x[1] AS DOUBLE) > 0)
+          |        <> (CAST(x[2] AS DOUBLE) > 0) THEN 1 ELSE 0 END)) AS ham
+          |  FROM e pr JOIN e ne ON ne.vec_id <> pr.vec_id
+          |  WHERE pr.vec_id < 8),
+          |cand AS (
+          |  SELECT * FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY probe_id
+          |      ORDER BY ham ASC, neighbor_id ASC) AS crnk
           |    FROM coarse) WHERE crnk <= 50),
           |rer AS (
           |  SELECT probe_id, neighbor_id,

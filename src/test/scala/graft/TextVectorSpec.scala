@@ -857,4 +857,80 @@ class TextVectorSpec extends SparkSpec {
     assert(b(0) === b(1))
     assert(b(0) !== b(2))
   }
+
+  test("chunkDocs windows overlap by chunk-stride; empty doc keeps one row") {
+    val out = TextOps.chunkDocs(docs, chunkTokens = 4, stride = 3)
+      .orderBy(col("doc_id"), col("chunk_id")).collect()
+    // doc 0: 9 tokens -> starts 0,3,6
+    val d0 = out.filter(_.getAs[Long]("doc_id") == 0L)
+    assert(d0.map(_.getAs[Long]("start_tok")).toSeq === Seq(0L, 3L, 6L))
+    assert(d0.map(_.getAs[String]("chunk_text")).toSeq === Seq(
+      "the quick brown fox", "fox jumps over the", "the lazy dog"))
+    assert(d0.map(_.getAs[Long]("n_tok")).toSeq === Seq(4L, 4L, 3L))
+    // consecutive chunks share chunkTokens - stride = 1 token
+    assert(d0(0).getAs[String]("chunk_text").split(" ").last ===
+      d0(1).getAs[String]("chunk_text").split(" ").head)
+    // whitespace-only doc 4: exactly one empty chunk, nothing dropped
+    val d4 = out.filter(_.getAs[Long]("doc_id") == 4L)
+    assert(d4.length === 1)
+    assert(d4(0).getAs[Long]("n_tok") === 0L)
+    assert(d4(0).getAs[String]("chunk_text") === "")
+  }
+
+  test("bm25TopK ranks by tf, rewards rare terms, skips zero-score docs") {
+    val corpus = Seq(
+      (0L, "spark spark spark engine", "en", "s0", 0L),
+      (1L, "spark engine", "en", "s0", 0L),
+      (2L, "engine room", "en", "s0", 0L),
+      (3L, "nothing relevant here", "en", "s0", 0L),
+      (4L, "unique keyword appears once", "en", "s0", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.bm25TopK(corpus, Seq("spark", "unique"), kTop = 10)
+      .collect()
+    // doc 3 scores 0 (no query term) and is excluded
+    assert(!out.map(_.getAs[Long]("doc_id")).contains(3L))
+    // rnk is 1..n aligned with (score desc, doc_id asc)
+    assert(out.map(_.getAs[Int]("rnk")).toSeq === (1 to out.length))
+    val byDoc = out.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    // 'unique' (df=1) outweighs one 'spark' (df=2): doc 4 beats doc 1
+    assert(byDoc(4L) > byDoc(1L))
+    // higher tf of the same term on comparable length wins
+    assert(byDoc(0L) > byDoc(1L))
+  }
+
+  test("binarySig packs sign bits; hammingPacked counts sign mismatches") {
+    val dim = 70 // spans two words, exercises the partial tail word
+    val a = Array.tabulate(dim)(i => if (i % 3 == 0) 1.0f else -1.0f)
+    val b = Array.tabulate(dim)(i => if (i % 2 == 0) 1.0f else 0.0f)
+    val expected = (0 until dim).count(i => (a(i) > 0) != (b(i) > 0))
+    val df = Seq((a, b)).toDF("a", "b")
+    val got = df.select(VectorOps.hammingPacked(
+      VectorOps.binarySig(col("a"), dim),
+      VectorOps.binarySig(col("b"), dim), dim).as("h"))
+      .collect()(0).getLong(0)
+    assert(got === expected.toLong)
+    // zero is NOT positive: a zero and a negative pack the same bit
+    val z = df.select(VectorOps.hammingPacked(
+      VectorOps.binarySig(array_repeat(lit(0.0f), dim), dim),
+      VectorOps.binarySig(array_repeat(lit(-1.0f), dim), dim), dim))
+      .collect()(0).getLong(0)
+    assert(z === 0L)
+  }
+
+  test("cosineTopKBinary ranks an identical vector first with score 1") {
+    val emb = Seq(
+      (0L, Array(1.0f, -2.0f, 3.0f, -4.0f), 0),
+      (1L, Array(1.0f, -2.0f, 3.0f, -4.0f), 0), // identical to probe 0
+      (2L, Array(-1.0f, 2.0f, -3.0f, 4.0f), 1), // opposite signs
+      (3L, Array(2.0f, -1.0f, 4.0f, -3.0f), 0)  // same signs, different mag
+    ).toDF("vec_id", "embedding", "label")
+    val out = VectorOps.cosineTopKBinary(emb, nProbes = 1, k = 3, dim = 4,
+        candidates = 3)
+      .orderBy(col("rnk")).collect()
+    assert(out(0).getAs[Long]("neighbor_id") === 1L)
+    assert(out(0).getAs[Double]("score") === 1.0)
+    // the sign-opposite vector ranks last among the candidates
+    assert(out.last.getAs[Long]("neighbor_id") === 2L)
+  }
 }
