@@ -1106,6 +1106,65 @@ object TextOps {
   }
 
   /**
+   * Span-level repeated-substring analysis — the exact-substring dedup
+   * measure (the "repeated k-token span" family of corpus dedup, vs
+   * [[segmentDedup]]'s separator-delimited segments): every POSITIONAL
+   * k-gram occurring `minCount`+ times corpus-wide marks its k-token
+   * span, and each document reports how much of it is covered by such
+   * spans. Returns one row per input doc: `(doc_id, n_tokens,
+   * n_rep_grams, covered_tokens, dup_frac)` — `dup_frac` is the
+   * fraction of the doc's tokens inside a corpus-repeated span (1.0
+   * for an exact duplicate, partial for shared boilerplate/quotes).
+   * Docs with fewer than k tokens emit no grams and score 0.
+   *
+   * Scale shape: positional grams come from a zip of k shifted slices
+   * (k slice evaluations per doc — never a lambda over the token array,
+   * the SCALE.md subtree-duplication trap) + one `posexplode`; the gram
+   * frequency count is ONE map-side-partial aggregation and the
+   * flagged join is gram-keyed — both shuffle gram keys, never text.
+   * `maxPostings > 0` drops pathological grams (the same frequency
+   * escape hatch as [[ngramJaccardPairs]]); span coverage explodes k
+   * positions per FLAGGED gram only, then doc-keyed distinct counts.
+   */
+  def repeatedSpans(docs: DataFrame, k: Int = 5, minCount: Int = 2,
+      maxPostings: Int = 0): DataFrame = {
+    require(k > 0, s"repeatedSpans: k $k must be positive")
+    require(minCount >= 2, s"repeatedSpans: minCount $minCount must be >= 2")
+    val base = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n_tokens"))
+      .transform(Caches.persist(_)) // consumed by grams AND the join-back
+    val shifted = (0 until k).map(j =>
+      slice(col("toks"), lit(j + 1), size(col("toks")) - (k - 1)))
+    val gramArr = transform(arrays_zip(shifted: _*),
+      s => concat_ws(" ", (0 until k).map(j => s.getField(j.toString)): _*))
+    val grams = base.filter(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(gramArr))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("gram"))
+    val counts = grams.groupBy(col("gram")).agg(count(lit(1)).as("gn"))
+      .filter(col("gn") >= minCount)
+    val heavy =
+      if (maxPostings <= 0) counts
+      else counts.filter(col("gn") <= maxPostings)
+    val perDoc = grams.join(heavy.select(col("gram")), Seq("gram"))
+      .select(col("doc_id"), col("pos"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("tp"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("pos")).cast("long").as("n_rep_grams"),
+        countDistinct(col("tp")).cast("long").as("covered_tokens"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_rep_grams"), lit(0L)).as("n_rep_grams"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round(coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          greatest(col("n_tokens"), lit(1L)), 6).as("dup_frac"))
+  }
+
+  /**
    * RAG/context-window chunking: each document's whitespace token stream
    * is cut into fixed-size windows of `chunkTokens` starting every
    * `stride` tokens (stride < chunkTokens ⇒ overlapping windows, the

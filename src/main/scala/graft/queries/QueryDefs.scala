@@ -1166,6 +1166,44 @@ object QueryDefs {
           |    (h, c) -> (h*31 + c) % 2147483648) AS BIGINT) AS rolling_hash
           |FROM documents""".stripMargin)),
 
+    // Span-level repeated-substring coverage: positional 5-grams with
+    // corpus frequency >= 2 mark their spans; per-doc covered fraction.
+    ("repeated_substrings", (s: SparkSession, dir: String) =>
+      TextOps.repeatedSpans(t(s, dir, "documents"), k = 5, minCount = 2),
+      Some(
+        """WITH d AS (
+          |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |    list_filter(string_split_regex(trim(text), '\s+'),
+          |      x -> x <> '') AS toks
+          |  FROM documents),
+          |base AS (
+          |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens
+          |  FROM d),
+          |grams AS (
+          |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+          |    array_to_string(list_slice(toks, pos + 1, pos + 5), ' ') AS gram
+          |  FROM (
+          |    SELECT doc_id, toks,
+          |      unnest(range(0, greatest(len(toks) - 4, 0))) AS pos
+          |    FROM base WHERE len(toks) >= 5)),
+          |heavy AS (
+          |  SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+          |flagged AS (
+          |  SELECT g.doc_id, g.pos FROM grams g JOIN heavy h USING (gram)),
+          |cov AS (
+          |  SELECT doc_id,
+          |    CAST(count(DISTINCT pos) AS BIGINT) AS n_rep_grams,
+          |    CAST(count(DISTINCT tp) AS BIGINT) AS covered_tokens
+          |  FROM (SELECT doc_id, pos, unnest(range(pos, pos + 5)) AS tp
+          |    FROM flagged)
+          |  GROUP BY doc_id)
+          |SELECT b.doc_id, b.n_tokens,
+          |  coalesce(c.n_rep_grams, 0) AS n_rep_grams,
+          |  coalesce(c.covered_tokens, 0) AS covered_tokens,
+          |  round(CAST(coalesce(c.covered_tokens, 0) AS DOUBLE)
+          |    / greatest(b.n_tokens, 1), 6) AS dup_frac
+          |FROM base b LEFT JOIN cov c USING (doc_id)""".stripMargin)),
+
     // RAG/context-window chunking: overlapping 16-token windows every 12
     // tokens, a pure narrow map (tokenize -> sequence -> posexplode).
     ("doc_chunk", (s: SparkSession, dir: String) =>

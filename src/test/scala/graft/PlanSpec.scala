@@ -194,7 +194,9 @@ class PlanSpec extends SparkSpec {
       "ivfTopK" -> V.ivfTopK(emb, nProbes = 8, k = 5),
       "ivfTopKProbed" -> V.ivfTopKProbed(emb, nProbes = 8, k = 5),
       "cosineTopK" -> V.cosineTopK(emb, nProbes = 8, k = 5),
-      "cosineTopKQuantized" -> V.cosineTopKQuantized(emb, nProbes = 8, k = 5))
+      "cosineTopKQuantized" -> V.cosineTopKQuantized(emb, nProbes = 8, k = 5),
+      "cosineTopKBinary" -> V.cosineTopKBinary(emb, nProbes = 8, k = 5,
+        dim = 64))
     plans.foreach { case (name, df) =>
       val finalWindows = df.queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
@@ -207,5 +209,28 @@ class PlanSpec extends SparkSpec {
           s"$name: embedding-width column '$n' entered the ranking window")
       }
     }
+    // the binary coarse stage additionally must window on (probe_id,
+    // neighbor_id, ham) only — neither embeddings nor packed signatures
+    val binary = V.cosineTopKBinary(emb, nProbes = 8, k = 5, dim = 64)
+    binary.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.child.output.map(_.name)
+    }.flatten.foreach { n =>
+      assert(!n.contains("emb") && !n.contains("sig"),
+        s"cosineTopKBinary: wide column '$n' entered a window shuffle")
+    }
+  }
+
+  test("chunkDocs is one shuffle-free generate; bm25 top-k is a " +
+      "TakeOrdered, not a global sort") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val chunks = graft.operators.TextOps.chunkDocs(docs)
+    assert(!plan(chunks).contains("Exchange"),
+      "chunkDocs must be a pure narrow map")
+    val bm25 = graft.operators.TextOps.bm25TopK(docs, Seq("hash", "join"))
+    // global top-k must be per-partition heaps + driver merge; a Sort
+    // above an Exchange.rangepartitioning would be the full-corpus sort
+    assert(plan(bm25).contains("TakeOrderedAndProject"),
+      "bm25TopK lost its TakeOrderedAndProject top-k")
   }
 }

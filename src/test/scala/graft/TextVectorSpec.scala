@@ -858,6 +858,23 @@ class TextVectorSpec extends SparkSpec {
     assert(b(0) !== b(2))
   }
 
+  test("repeatedSpans: exact dups fully covered, partial overlap measured") {
+    val out = TextOps.repeatedSpans(docs, k = 4, minCount = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // docs 0 and 3 are identical: every position repeats, full coverage
+    assert(out(0L).getAs[Double]("dup_frac") === 1.0)
+    assert(out(3L).getAs[Double]("dup_frac") === 1.0)
+    // doc 1 shares its first 8 tokens with doc 0 (grams at pos 0..4),
+    // so 8 of its 9 tokens sit inside repeated spans
+    assert(out(1L).getAs[Long]("n_rep_grams") === 5L)
+    assert(out(1L).getAs[Long]("covered_tokens") === 8L)
+    assert(out(1L).getAs[Double]("dup_frac") === 0.888889)
+    // unique doc and the token-less doc both score zero, but stay present
+    assert(out(2L).getAs[Double]("dup_frac") === 0.0)
+    assert(out(4L).getAs[Long]("n_tokens") === 0L)
+    assert(out(4L).getAs[Double]("dup_frac") === 0.0)
+  }
+
   test("chunkDocs windows overlap by chunk-stride; empty doc keeps one row") {
     val out = TextOps.chunkDocs(docs, chunkTokens = 4, stride = 3)
       .orderBy(col("doc_id"), col("chunk_id")).collect()
