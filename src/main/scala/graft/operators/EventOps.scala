@@ -102,4 +102,30 @@ object EventOps {
       .select(col("user_id").cast("long").as("user_id"), col("n_events"),
         col("n_sessions"), col("max_session_events"))
   }
+
+  /**
+   * Retention cohorts — the product-analytics staple: users are
+   * cohorted by their FIRST active epoch-day, and each (cohort_day,
+   * day_offset) cell counts how many of that cohort were active
+   * `day_offset` days later (offset 0 = the cohort's own size).
+   *
+   * Scale shape: first-day per user is one user-keyed aggregation of
+   * (user, day) pairs — map-side partials collapse each partition to
+   * its distinct users before the exchange; the cohort join is
+   * user-keyed (no fan-out: one first_day row per user), and the final
+   * cell rollup moves (cohort_day, day_offset) keys. Nothing wider
+   * than ids and day numbers ever shuffles; at 100 TB the events scan
+   * prunes to (user_id, ts) via column pushdown.
+   */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val userDays = events
+      .select(col("user_id"), expr(s"ts div $NanosPerDay").as("day"))
+      .distinct()
+    val firstDay = userDays.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    userDays.join(firstDay, Seq("user_id"))
+      .groupBy(col("cohort_day").cast("long").as("cohort_day"),
+        (col("day") - col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).cast("long").as("n_active"))
+  }
 }

@@ -222,6 +222,65 @@ object TextOps {
   }
 
   /**
+   * Cross-corpus fuzzy near-dup: MinHash-banded candidate join between
+   * a training corpus and a REFERENCE corpus (eval benchmark, an
+   * earlier crawl, a licensed set), exact-Jaccard verified — the fuzzy
+   * counterpart of [[dedupAgainst]] (exact hash anti-join) and
+   * [[contamination]] (shared-n-gram counts): it catches paraphrased /
+   * lightly-edited overlap neither of those flags. Returns
+   * `(doc_id, ref_id, jaccard)` for every cross pair with
+   * jaccard >= threshold.
+   *
+   * Scale shape: both corpora shuffle ONCE on (band, band_key) — an
+   * equi-join, never a cross product; candidates are verified by a
+   * shingle-set rejoin exactly like [[nearDupPairs]]. `maxBucketSize`
+   * > 0 drops reference-side buckets larger than the cap (boilerplate
+   * banding keys that would fan every matching train doc out against
+   * them); the default keeps all (exact-recall, oracle-pinned mode).
+   * Signatures are the native [[graft.functions.minhash_signature]]
+   * kernel; both shingle frames persist for the plan's lifetime.
+   */
+  def nearDupAgainst(docs: DataFrame, reference: DataFrame, k: Int = 3,
+      numHashes: Int = 12, bands: Int = 4, threshold: Double = 0.8,
+      maxBucketSize: Int = 0): DataFrame = {
+    val rows = numHashes / bands
+    require(bands * rows == numHashes, "numHashes must divide into bands")
+    graft.functions.ensureRegistered(docs.sparkSession)
+    def shingled(d: DataFrame): DataFrame =
+      d.select(col("doc_id").cast("long").as("doc_id"),
+        shingles(col("text"), k).as("sh"))
+        .transform(Caches.persist(_))
+    def banded(sh: DataFrame): DataFrame =
+      sh.select(col("doc_id"),
+        posexplode(bandKeys(
+          graft.functions.minhash_signature(col("sh"), numHashes),
+          bands, rows)).as(Seq("band", "band_key")))
+    val shDocs = shingled(docs)
+    val shRef = shingled(reference)
+    val bandedRef = banded(shRef)
+      .select(col("doc_id").as("ref_id"), col("band"), col("band_key"))
+    val refOk =
+      if (maxBucketSize <= 0) bandedRef
+      else {
+        val keep = bandedRef.groupBy(col("band"), col("band_key"))
+          .agg(count(lit(1)).as("bn"))
+          .filter(col("bn") <= maxBucketSize)
+          .select(col("band"), col("band_key"))
+        bandedRef.join(keep, Seq("band", "band_key"))
+      }
+    val cand = banded(shDocs).join(refOk, Seq("band", "band_key"))
+      .select(col("doc_id"), col("ref_id")).distinct()
+    cand
+      .join(shDocs.select(col("doc_id"), col("sh").as("sh_d")), Seq("doc_id"))
+      .join(shRef.select(col("doc_id").as("ref_id"), col("sh").as("sh_r")),
+        Seq("ref_id"))
+      .select(col("doc_id"), col("ref_id"),
+        round(size(array_intersect(col("sh_d"), col("sh_r"))).cast("double") /
+          size(array_union(col("sh_d"), col("sh_r"))), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /**
    * EXACT n-gram-Jaccard near-dup pairs via an inverted index on word
    * k-shingles — the classic distributed set-similarity join. Unlike
    * MinHash/SimHash banding there are no probabilistic candidate misses:

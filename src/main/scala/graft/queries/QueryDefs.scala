@@ -588,6 +588,55 @@ object QueryDefs {
           |  FROM cand)
           |WHERE jaccard >= 0.8""".stripMargin)),
 
+    // Cross-corpus fuzzy near-dup: train split banded against the eval
+    // split (same MinHash machinery, equi-join across corpora) — the
+    // fuzzy decontamination pass exact dedup_against/contamination miss.
+    ("near_dup_against", (s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      TextOps.nearDupAgainst(
+        docs.filter(col("doc_id") % 25 =!= 0),
+        docs.filter(col("doc_id") % 25 === 0), threshold = 0.5)
+    },
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+          |  FROM documents),
+          |sh AS (
+          |  SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3
+          |      THEN [array_to_string(tk, ' ')]
+          |      ELSE list_transform(range(1, len(tk) - 1),
+          |             i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
+          |  FROM toks),
+          |hm AS (
+          |  SELECT doc_id, sh,
+          |    list_transform(sh, s ->
+          |      md5('0|' || s) || md5('1|' || s) || md5('2|' || s)) AS hs
+          |  FROM sh),
+          |sig AS (
+          |  SELECT doc_id, sh,
+          |    list_transform(range(0, 12), i ->
+          |      list_aggregate(list_transform(hs,
+          |        h -> substr(h, CAST(i*8+1 AS INT), 8)), 'min')) AS mh
+          |  FROM hm),
+          |banded AS (
+          |  SELECT doc_id, sh, b.b AS band,
+          |    md5(array_to_string(mh[b.b*3+1:b.b*3+3], '|')) AS band_key
+          |  FROM sig, generate_series(0, 3) b(b)),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS ref_id,
+          |    a.sh AS sh_d, b.sh AS sh_r
+          |  FROM banded a JOIN banded b
+          |    ON a.band = b.band AND a.band_key = b.band_key
+          |  WHERE a.doc_id % 25 <> 0 AND b.doc_id % 25 = 0)
+          |SELECT * FROM (
+          |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |    CAST(ref_id AS BIGINT) AS ref_id,
+          |    round(CAST(len(list_intersect(sh_d, sh_r)) AS DOUBLE) /
+          |          len(list_distinct(list_concat(sh_d, sh_r))), 6) AS jaccard
+          |  FROM cand)
+          |WHERE jaccard >= 0.5""".stripMargin)),
+
     // EXACT n-gram Jaccard via the inverted-index set-similarity join —
     // no probabilistic candidate misses, Jaccard from posting counts alone
     ("near_dup_ngram", (s: SparkSession, dir: String) =>
@@ -2459,6 +2508,23 @@ object QueryDefs {
           |  round(sum(value), 2) AS value_sum,
           |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
           |FROM events GROUP BY event_type, day""".stripMargin)),
+
+    // Retention cohorts: users keyed by first-active day; each
+    // (cohort_day, day_offset) cell counts still-active users.
+    ("events_retention", (s: SparkSession, dir: String) =>
+      EventOps.retentionCohorts(EventOps.readEvents(s, dir)),
+      Some(
+        """WITH ud AS (
+          |  SELECT DISTINCT user_id,
+          |    CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day
+          |  FROM events),
+          |fd AS (
+          |  SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id)
+          |SELECT CAST(f.cohort_day AS BIGINT) AS cohort_day,
+          |  CAST(u.day - f.cohort_day AS BIGINT) AS day_offset,
+          |  CAST(count(*) AS BIGINT) AS n_active
+          |FROM ud u JOIN fd f USING (user_id)
+          |GROUP BY 1, 2""".stripMargin)),
 
     ("events_sessions", (s: SparkSession, dir: String) =>
       EventOps.sessionize(EventOps.readEvents(s, dir)),

@@ -40,6 +40,29 @@ class EventMultimodalSpec extends SparkSpec {
     assert(out(6L) === Some(20 * m))
   }
 
+  test("retentionCohorts counts cohort members per day offset") {
+    val d = 86400L * 1000 * 1000 * 1000 // one day in ns
+    val ev = Seq(
+      // users 1,2 first active day 0; user 1 returns day 1 and 3
+      (1L, 0 * d, 1L, "click", 1.0, "{}"),
+      (2L, 1 * d + m, 1L, "click", 1.0, "{}"),
+      (3L, 3 * d, 1L, "click", 1.0, "{}"),
+      (4L, m, 2L, "view", 1.0, "{}"),
+      // user 3 first active day 1, returns day 2 (same-day dup ignored)
+      (5L, 1 * d, 3L, "click", 1.0, "{}"),
+      (6L, 1 * d + 2 * m, 3L, "view", 1.0, "{}"),
+      (7L, 2 * d, 3L, "click", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.retentionCohorts(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((0L, 0L)) === 2L) // cohort day-0 has two users
+    assert(out((0L, 1L)) === 1L) // only user 1 came back next day
+    assert(out((0L, 3L)) === 1L)
+    assert(out((1L, 0L)) === 1L) // user 3's own cohort
+    assert(out((1L, 1L)) === 1L)
+    assert(!out.contains((0L, 2L))) // nobody from cohort 0 on day 2
+  }
+
   test("cubeRollup includes slices and the grand total") {
     val out = EventOps.cubeRollup(events).collect()
       .map(r => (Option(r.get(0)), Option(r.get(1))) -> r.getLong(2)).toMap

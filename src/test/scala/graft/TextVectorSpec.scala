@@ -858,6 +858,20 @@ class TextVectorSpec extends SparkSpec {
     assert(b(0) !== b(2))
   }
 
+  test("nearDupAgainst flags cross-corpus near-dups, never in-corpus pairs") {
+    val ref = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog", "en", "r", 43L),
+      (101L, "entirely unrelated reference material", "en", "r", 37L),
+      (102L, "the quick brown fox jumps over the lazy dog", "en", "r", 43L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.nearDupAgainst(docs, ref, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("ref_id")))
+    // docs 0 and 3 (and near-dup 1) match both identical ref docs...
+    assert(out.contains((0L, 100L)) && out.contains((3L, 102L)))
+    // ...but in-corpus pairs (0,3) / in-ref pairs (100,102) never appear
+    assert(out.forall { case (d, r) => d < 100L && r >= 100L })
+  }
+
   test("repeatedSpans: exact dups fully covered, partial overlap measured") {
     val out = TextOps.repeatedSpans(docs, k = 4, minCount = 2)
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
