@@ -180,6 +180,44 @@ case class SimHash64(tokens: Expression)
 }
 
 /**
+ * Exact-match occurrence count of `token` in a string array — the tf
+ * kernel of BM25-style scoring. One tight byte-equality loop per row
+ * (the `size(filter(toks, _ === token))` column formulation interprets
+ * a boxed lambda per element); identical value by construction, so
+ * DuckDB `len(list_filter(...))` oracles are unchanged.
+ */
+case class CountToken(tokens: Expression, token: Expression)
+  extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(tokens, token)
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = tokens.nullable || token.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = InputCheck.check(
+    Seq((tokens, ArrayType(StringType), "tokens"),
+      (token, StringType, "token")), "graft_count_token")
+
+  override def eval(input: InternalRow): Any = {
+    val tAny = tokens.eval(input)
+    val kAny = token.eval(input)
+    if (tAny == null || kAny == null) return null
+    val toks = tAny.asInstanceOf[ArrayData]
+    val key = kAny.asInstanceOf[UTF8String]
+    var n = 0
+    var i = 0
+    while (i < toks.numElements()) {
+      if (key.equals(toks.getUTF8String(i))) n += 1
+      i += 1
+    }
+    java.lang.Integer.valueOf(n)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(tokens = newChildren(0), token = newChildren(1))
+}
+
+/**
  * Cosine similarity of two float-array embeddings, computed in one JVM
  * pass with sequential double accumulation — bit-identical to the
  * column formulation `dot/(sqrt(na)*sqrt(nb))` with sequential folds

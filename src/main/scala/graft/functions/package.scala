@@ -26,6 +26,7 @@ package object functions {
     }),
     "graft_simhash64" -> (exprs => SimHash64(exprs(0))),
     "graft_cosine" -> (exprs => CosineSim(exprs(0), exprs(1))),
+    "graft_count_token" -> (exprs => CountToken(exprs(0), exprs(1))),
     "graft_project" -> (exprs => {
       require(exprs.length == 2 && exprs(1).foldable &&
         exprs(1).dataType == org.apache.spark.sql.types.IntegerType,
@@ -59,6 +60,12 @@ package object functions {
   /** Native 64-bit SimHash over a token array. */
   def simhash64(tokens: Column): Column =
     call_function("graft_simhash64", tokens)
+
+  /** Native exact-match occurrence count of `token` in a string array
+    * (the BM25 tf kernel; value-identical to
+    * `size(filter(arr, _ === token))`). */
+  def count_token(tokens: Column, token: Column): Column =
+    call_function("graft_count_token", tokens, token)
 
   /** Codegen'd crop of a flat row-major plane (rows [y0,y1), cols
     * [x0,x1) of a `sx`-wide image). Call `ensureRegistered` first (the

@@ -1269,11 +1269,13 @@ object TextOps {
    * score. Per term: `idf = ln(1 + (N - df + 0.5)/(df + 0.5))`,
    * `w = idf · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))`.
    *
-   * Scale shape: per-term `tf` is `size(filter(toks, _ = term))` — a
-   * narrow projection, no explode of the token stream and no
-   * token-keyed shuffle (the classic inverted-index join is replaced
-   * by |terms| array scans per doc, the right trade for a bounded
-   * query bag). Corpus stats (N, avgdl, per-term df) are ONE
+   * Scale shape: per-term `tf` is the native
+   * [[graft.functions.count_token]] kernel — one byte-equality loop
+   * per row (the `size(filter(...))` HOF interprets a boxed lambda per
+   * element); a narrow projection, no explode of the token stream and
+   * no token-keyed shuffle (the classic inverted-index join is
+   * replaced by |terms| array scans per doc, the right trade for a
+   * bounded query bag). Corpus stats (N, avgdl, per-term df) are ONE
    * aggregate-to-1-row, broadcast back. The global top-k is
    * `orderBy(...).limit(k)` — Spark's TakeOrderedAndProject, a
    * per-partition heap + driver merge, never a single-partition sort.
@@ -1284,14 +1286,15 @@ object TextOps {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25TopK: at least one query term")
     require(kTop > 0, "bm25TopK: kTop must be positive")
+    graft.functions.ensureRegistered(docs.sparkSession)
     val base = docs
       .select(col("doc_id").cast("long").as("doc_id"),
         tokens(col("text")).as("toks"))
       .select(Seq(col("doc_id"),
         size(col("toks")).cast("double").as("dl")) ++
         terms.indices.map(i =>
-          size(filter(col("toks"), x => x === terms(i))).cast("double")
-            .as(s"tf_$i")): _*)
+          graft.functions.count_token(col("toks"), lit(terms(i)))
+            .cast("double").as(s"tf_$i")): _*)
     val stats = base.agg(
       count(lit(1)).cast("double").as("n_docs"),
       (avg(col("dl")).as("avgdl") +:

@@ -76,6 +76,12 @@ class TextVectorSpec extends SparkSpec {
       TextOps.simhash64(col("text")).as("columnar"))
       .filter(col("native") =!= col("columnar"))
     assert(simCmp.count() === 0)
+    val tokCmp = real.select(TextOps.tokens(col("text")).as("toks"))
+      .select(
+        graft.functions.count_token(col("toks"), lit("hash")).as("native"),
+        size(filter(col("toks"), x => x === "hash")).as("columnar"))
+      .filter(col("native") =!= col("columnar"))
+    assert(tokCmp.count() === 0)
   }
 
   test("fingerprint is whitespace/case-insensitive") {
