@@ -323,3 +323,121 @@ case class ProjectEmbedding(v: Expression, outDims: Int)
       newChildren: IndexedSeq[Expression]): Expression =
     copy(v = newChildren(0))
 }
+
+/**
+ * Product-quantization encode (Jegou et al. 2011, "Product quantization
+ * for nearest neighbor search"): the embedding is split into `m`
+ * contiguous subvectors and each is replaced by the id of its nearest
+ * codebook centroid (L2, ties to the lowest id) — `m` small ints in
+ * place of `dim` floats, the compressed corpus representation ADC
+ * search scans. `book` is the flattened codebook
+ * (`book(j*k*sub + c*sub + i)` = dim `i` of centroid `c` of subspace
+ * `j`), inlined driver-side by the caller (it is the PRODUCT quantizer:
+ * m×k subvectors, small by contract). Distances accumulate
+ * sequentially in double, bit-identical to DuckDB's
+ * `list_sum(list_transform(list_zip(...)))` over the same slices, so
+ * the argmin — and therefore every downstream oracle hash — agrees
+ * exactly.
+ */
+case class PqEncode(v: Expression, book: Array[Float], m: Int)
+  extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(v)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = v.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = InputCheck.check(
+    Seq((v, ArrayType(FloatType), "embedding")), "graft_pq_encode")
+
+  override def eval(input: InternalRow): Any = {
+    val vAny = v.eval(input)
+    if (vAny == null) return null
+    val av = vAny.asInstanceOf[ArrayData]
+    val dim = av.numElements()
+    if (dim == 0 || dim % m != 0) return null
+    val sub = dim / m
+    val k = book.length / (m * sub)
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var bestC = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val base = (j * k + c) * sub
+        var d = 0.0
+        var i = 0
+        while (i < sub) {
+          val diff = av.getFloat(j * sub + i).toDouble - book(base + i).toDouble
+          d += diff * diff
+          i += 1
+        }
+        // strictly-less keeps the lowest centroid id on ties — the
+        // row_number(dist ASC, cid ASC) contract of the SQL oracle
+        if (d < bestD) { bestD = d; bestC = c }
+        c += 1
+      }
+      out(j) = bestC
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(v = newChildren(0))
+}
+
+/**
+ * Asymmetric-distance computation for PQ search: approximate squared-L2
+ * distance between an UNCOMPRESSED probe and a PQ-encoded corpus vector
+ * — `sum_j L2²(probe_sub_j, book[j][codes[j]])`. Per-subspace sums
+ * accumulate sequentially and the outer sum adds them in subspace
+ * order, mirroring the oracle's
+ * `list_sum(list_transform(range(m), j -> list_sum(...)))` exactly.
+ * `m`, `sub`, `k` derive from the argument shapes.
+ */
+case class PqAdcDist(probe: Expression, codes: Expression,
+    book: Array[Float]) extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(probe, codes)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = InputCheck.check(
+    Seq((probe, ArrayType(FloatType), "probe"),
+      (codes, ArrayType(IntegerType), "codes")), "graft_pq_adc")
+
+  override def eval(input: InternalRow): Any = {
+    val pAny = probe.eval(input); val cAny = codes.eval(input)
+    if (pAny == null || cAny == null) return null
+    val pv = pAny.asInstanceOf[ArrayData]
+    val cv = cAny.asInstanceOf[ArrayData]
+    val dim = pv.numElements()
+    val m = cv.numElements()
+    if (m == 0 || dim % m != 0) return null
+    val sub = dim / m
+    val k = book.length / (m * sub)
+    var total = 0.0
+    var j = 0
+    while (j < m) {
+      val code = cv.getInt(j)
+      if (code < 0 || code >= k) return null
+      val base = (j * k + code) * sub
+      var d = 0.0
+      var i = 0
+      while (i < sub) {
+        val diff = pv.getFloat(j * sub + i).toDouble - book(base + i).toDouble
+        d += diff * diff
+        i += 1
+      }
+      total += d
+      j += 1
+    }
+    java.lang.Double.valueOf(total)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(probe = newChildren(0), codes = newChildren(1))
+}

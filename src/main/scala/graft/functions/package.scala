@@ -33,8 +33,38 @@ package object functions {
         "graft_project(embedding, outDims): outDims must be an INT literal")
       ProjectEmbedding(exprs(0), exprs(1).eval(null).asInstanceOf[Int])
     }),
+    "graft_pq_encode" -> (exprs => {
+      require(exprs.length == 3 && exprs(1).foldable && exprs(2).foldable &&
+        exprs(2).dataType == org.apache.spark.sql.types.IntegerType,
+        "graft_pq_encode(embedding, book, m): book must be an " +
+          "ARRAY<FLOAT> literal and m an INT literal")
+      PqEncode(exprs(0), literalFloats(exprs(1), "graft_pq_encode"),
+        exprs(2).eval(null).asInstanceOf[Int])
+    }),
+    "graft_pq_adc" -> (exprs => {
+      require(exprs.length == 3 && exprs(2).foldable,
+        "graft_pq_adc(probe, codes, book): book must be an " +
+          "ARRAY<FLOAT> literal")
+      PqAdcDist(exprs(0), exprs(1), literalFloats(exprs(2), "graft_pq_adc"))
+    }),
     "graft_synth_ramp" -> (exprs => SynthRampPixels(exprs(0), exprs(1))),
     "graft_pixel_sum" -> (exprs => PixelSum(exprs(0))))
+
+  /** Materialize a foldable ARRAY<FLOAT> argument (the inlined PQ
+    * codebook) at expression-build time. */
+  private def literalFloats(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      fn: String): Array[Float] = {
+    require(e.dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = false) ||
+      e.dataType == org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = true),
+      s"$fn: codebook literal must be ARRAY<FLOAT> " +
+        s"(got ${e.dataType.catalogString})")
+    e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toFloatArray()
+  }
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -66,6 +96,17 @@ package object functions {
     * `size(filter(arr, _ === token))`). */
   def count_token(tokens: Column, token: Column): Column =
     call_function("graft_count_token", tokens, token)
+
+  /** Native product-quantization encode: `m` nearest-centroid subvector
+    * ids (L2, ties to lowest id) against the flattened codebook
+    * `book(j*k*sub + c*sub + i)`. */
+  def pq_encode(v: Column, book: Array[Float], m: Int): Column =
+    call_function("graft_pq_encode", v, lit(book), lit(m))
+
+  /** Native PQ asymmetric distance: approximate squared-L2 between an
+    * uncompressed probe and a PQ code array under `book`. */
+  def pq_adc(probe: Column, codes: Column, book: Array[Float]): Column =
+    call_function("graft_pq_adc", probe, codes, lit(book))
 
   /** Codegen'd crop of a flat row-major plane (rows [y0,y1), cols
     * [x0,x1) of a `sx`-wide image). Call `ensureRegistered` first (the

@@ -698,4 +698,68 @@ object VectorOps {
       .select(col("probe_id"), col("rnk").cast("int").as("rnk"),
         col("neighbor_id"), col("score"))
   }
+
+  /** PQ codebook from the corpus itself: subvector `j` of each of the
+    * first `kCent` vectors (by vec_id) becomes centroid `(j, vec_id)` —
+    * the training-free deterministic analogue of [[firstNCentroids]],
+    * flattened to the `book(j*k*sub + c*sub + i)` layout the native
+    * kernels index. One tiny eager job (kCent rows by contract). */
+  def pqCodebook(emb: DataFrame, m: Int, kCent: Int): Array[Float] = {
+    val first = emb.filter(col("vec_id") < kCent)
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).toArray)
+    require(first.length == kCent,
+      s"pqCodebook: expected $kCent seed vectors with vec_id < $kCent, " +
+        s"found ${first.length}")
+    val dim = first.head.length
+    require(dim % m == 0, s"pqCodebook: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val book = new Array[Float](m * kCent * sub)
+    for (j <- 0 until m; c <- 0 until kCent; i <- 0 until sub)
+      book((j * kCent + c) * sub + i) = first(c)(j * sub + i)
+    book
+  }
+
+  /**
+   * Product-quantization ANN (Jegou et al. 2011): the corpus is encoded
+   * once into `m` subvector centroid ids (here m ints standing in for
+   * `dim` floats — a 32× index-footprint cut at m=8/dim=64, the reason
+   * PQ is the standard billion-vector in-memory index), and probes are
+   * ranked by asymmetric distance (exact probe subvector vs the
+   * neighbor's reconstructed centroids) without ever decompressing the
+   * corpus. Returns `(probe_id, rnk, neighbor_id, adc_dist)` — rank
+   * ascending in squared-L2 ADC, ties to the lowest neighbor.
+   *
+   * Scale shape (100 TB): the codebook is m×kCent subvectors — KB-sized
+   * by contract — collected once and inlined into the two native
+   * kernels (no codebook join); encoding is one embarrassingly-parallel
+   * corpus scan; the probe table is broadcast so the scored pair stream
+   * carries only `(probe_id, neighbor_id, m codes → one double)`; and
+   * the per-probe top-k window moves score-only triples, never
+   * embeddings (the [[cosineTopKReranked]] audit rule). The full-width
+   * corpus is scanned exactly once (to encode); search itself touches
+   * nothing wider than m ints per vector.
+   */
+  def pqTopK(emb: DataFrame, nProbes: Int, k: Int, m: Int = 8,
+      kCent: Int = 16): DataFrame = {
+    graft.functions.ensureRegistered(emb.sparkSession)
+    require(nProbes > 0 && k > 0, "pqTopK: nProbes and k must be positive")
+    val book = pqCodebook(emb, m, kCent)
+    val codes = emb.select(col("vec_id").cast("long").as("neighbor_id"),
+      graft.functions.pq_encode(col("embedding"), book, m).as("codes"))
+    val probes = broadcast(emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").cast("long").as("probe_id"),
+        col("embedding").as("p_emb")))
+    probes.join(codes, col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        round(graft.functions.pq_adc(col("p_emb"), col("codes"), book), 6)
+          .as("adc_dist"))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("adc_dist").asc, col("neighbor_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk").cast("int").as("rnk"),
+        col("neighbor_id"), col("adc_dist"))
+  }
 }

@@ -2444,6 +2444,61 @@ object QueryDefs {
           |FROM scored
           |QUALIFY rnk <= 3""".stripMargin)),
 
+    // Product-quantization ANN (Jegou et al. 2011): corpus encoded once
+    // into m=8 subvector centroid ids (32x smaller than the float
+    // embeddings), probes ranked by asymmetric squared-L2 against the
+    // reconstructed centroids. Codebook = subvectors of the first 16
+    // vectors (deterministic, SQL-replicable); native encode/ADC kernels
+    // accumulate sequentially for bit parity with DuckDB's list_sum.
+    ("embed_ann_pq", (s: SparkSession, dir: String) =>
+      VectorOps.pqTopK(t(s, dir, "embeddings"), nProbes = 16, k = 5,
+        m = 8, kCent = 16),
+      Some(
+        """WITH e AS (
+          |  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings),
+          |books AS (
+          |  SELECT t.j, c.vec_id AS cid,
+          |    list_slice(c.embedding, t.j*8 + 1, t.j*8 + 8) AS cvec
+          |  FROM range(8) t(j), e c WHERE c.vec_id < 16),
+          |codes AS (
+          |  SELECT vec_id, j, cid AS code FROM (
+          |    SELECT e.vec_id, b.j, b.cid,
+          |      row_number() OVER (PARTITION BY e.vec_id, b.j ORDER BY
+          |        list_sum(list_transform(
+          |          list_zip(list_slice(e.embedding, b.j*8 + 1, b.j*8 + 8),
+          |            b.cvec),
+          |          x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) *
+          |               (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) ASC,
+          |        b.cid ASC) AS rn
+          |    FROM e, books b) WHERE rn = 1),
+          |codes_arr AS (
+          |  SELECT vec_id, list(code ORDER BY j) AS codes
+          |  FROM codes GROUP BY vec_id),
+          |books_arr AS (
+          |  SELECT list(cbook ORDER BY j) AS bks FROM (
+          |    SELECT j, list(cvec ORDER BY cid) AS cbook
+          |    FROM books GROUP BY j)),
+          |probes AS (
+          |  SELECT vec_id AS probe_id, embedding AS p_emb
+          |  FROM e WHERE vec_id < 16),
+          |scored AS (
+          |  SELECT p.probe_id, c.vec_id AS neighbor_id,
+          |    round(list_sum(list_transform(range(8), j ->
+          |      list_sum(list_transform(
+          |        list_zip(list_slice(p.p_emb, j*8 + 1, j*8 + 8),
+          |          b.bks[j + 1][c.codes[j + 1] + 1]),
+          |        x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) *
+          |             (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))))),
+          |      6) AS adc_dist
+          |  FROM probes p, codes_arr c, books_arr b
+          |  WHERE c.vec_id <> p.probe_id)
+          |SELECT probe_id,
+          |  CAST(row_number() OVER (PARTITION BY probe_id
+          |    ORDER BY adc_dist ASC, neighbor_id ASC) AS INT) AS rnk,
+          |  neighbor_id, adc_dist
+          |FROM scored
+          |QUALIFY rnk <= 5""".stripMargin)),
+
     // Recall@k of the LSH path vs brute force: the oracle composes the two
     // hash-green constituent oracles (embed_ann_lsh + embed_topk).
     ("ann_recall", (s: SparkSession, dir: String) =>

@@ -196,7 +196,8 @@ class PlanSpec extends SparkSpec {
       "cosineTopK" -> V.cosineTopK(emb, nProbes = 8, k = 5),
       "cosineTopKQuantized" -> V.cosineTopKQuantized(emb, nProbes = 8, k = 5),
       "cosineTopKBinary" -> V.cosineTopKBinary(emb, nProbes = 8, k = 5,
-        dim = 64))
+        dim = 64),
+      "pqTopK" -> V.pqTopK(emb, nProbes = 8, k = 5))
     plans.foreach { case (name, df) =>
       val finalWindows = df.queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window

@@ -970,4 +970,40 @@ class TextVectorSpec extends SparkSpec {
     // the sign-opposite vector ranks last among the candidates
     assert(out.last.getAs[Long]("neighbor_id") === 2L)
   }
+
+  test("pqTopK: codes are bounded, seed self-reconstruction is exact, " +
+      "identical vectors rank first at ADC 0") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    graft.functions.ensureRegistered(spark)
+    val m = 8; val kCent = 16
+    val book = VectorOps.pqCodebook(emb, m, kCent)
+    assert(book.length === m * kCent * (64 / m))
+    val codes = emb.select(col("vec_id").cast("long").as("vec_id"),
+      graft.functions.pq_encode(col("embedding"), book, m).as("codes"))
+    // every code addresses a real centroid
+    val bad = codes.filter(exists(col("codes"),
+      c => c < 0 || c >= kCent)).count()
+    assert(bad === 0)
+    assert(codes.filter(size(col("codes")) =!= m).count() === 0)
+    // a codebook seed vector reconstructs itself exactly: ADC vs its
+    // own codes is 0 (ties in encode still land on an equal subvector)
+    val selfAdc = emb.filter(col("vec_id") < kCent)
+      .select(graft.functions.pq_adc(col("embedding"),
+        graft.functions.pq_encode(col("embedding"), book, m), book)
+        .as("d"))
+      .filter(col("d") =!= 0.0).count()
+    assert(selfAdc === 0)
+    // ranking: k rows per probe, rnk dense 1..k, ADC non-decreasing
+    val out = VectorOps.pqTopK(emb, nProbes = 4, k = 5, m = m,
+      kCent = kCent)
+    val rows = out.orderBy(col("probe_id"), col("rnk")).collect()
+    assert(rows.length === 4 * 5)
+    rows.grouped(5).foreach { g =>
+      assert(g.map(_.getAs[Int]("rnk")).toSeq === (1 to 5))
+      val dists = g.map(_.getAs[Double]("adc_dist")).toSeq
+      assert(dists === dists.sorted)
+      assert(dists.forall(_ >= 0.0))
+    }
+  }
 }
