@@ -762,4 +762,46 @@ object VectorOps {
       .select(col("probe_id"), col("rnk").cast("int").as("rnk"),
         col("neighbor_id"), col("adc_dist"))
   }
+
+  /**
+   * IVF-PQ — the composition behind every billion-scale in-memory ANN
+   * index (FAISS `IVFx,PQy`; Jegou et al. 2011 §IV "IVFADC"): a coarse
+   * quantizer routes each probe to ONE Voronoi cell and asymmetric PQ
+   * distance ranks only that cell's members, over codes instead of
+   * vectors. Both stages reuse the audited building blocks:
+   * [[assignClusters]] (broadcast codebook, map-side argmax) and the
+   * [[pqTopK]] kernels. Returns `(probe_id, cluster, rnk, neighbor_id,
+   * adc_dist)`.
+   *
+   * Scale shape (100 TB): after the one-scan encode, the inverted
+   * lists carry `(cluster, neighbor_id, m codes)` — at m=8 that is the
+   * 32×-compressed corpus IVFADC holds in RAM. The ONLY corpus shuffle
+   * is the cluster-keyed equi-join (probe side broadcast); the ranking
+   * window moves score triples. Cell sizing follows the IVF rule
+   * (`nCentroids ~ sqrt(N)`), so per-cell candidate streams stay
+   * bounded.
+   */
+  def ivfPqTopK(emb: DataFrame, nProbes: Int, k: Int, m: Int = 8,
+      kCent: Int = 16, nCentroids: Int = 16): DataFrame = {
+    graft.functions.ensureRegistered(emb.sparkSession)
+    require(nProbes > 0 && k > 0, "ivfPqTopK: nProbes and k must be positive")
+    val book = pqCodebook(emb, m, kCent)
+    val assigned = assignClusters(emb, firstNCentroids(emb, nCentroids))
+    val codes = assigned.select(col("cluster"),
+      col("vec_id").cast("long").as("neighbor_id"),
+      graft.functions.pq_encode(col("embedding"), book, m).as("codes"))
+    val probes = broadcast(assigned.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").cast("long").as("probe_id"),
+        col("embedding").as("p_emb"), col("cluster")))
+    probes.join(codes, Seq("cluster"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("cluster"), col("neighbor_id"),
+        round(graft.functions.pq_adc(col("p_emb"), col("codes"), book), 6)
+          .as("adc_dist"))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("adc_dist").asc, col("neighbor_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("cluster"), col("rnk").cast("int").as("rnk"),
+        col("neighbor_id"), col("adc_dist"))
+  }
 }

@@ -197,7 +197,8 @@ class PlanSpec extends SparkSpec {
       "cosineTopKQuantized" -> V.cosineTopKQuantized(emb, nProbes = 8, k = 5),
       "cosineTopKBinary" -> V.cosineTopKBinary(emb, nProbes = 8, k = 5,
         dim = 64),
-      "pqTopK" -> V.pqTopK(emb, nProbes = 8, k = 5))
+      "pqTopK" -> V.pqTopK(emb, nProbes = 8, k = 5),
+      "ivfPqTopK" -> V.ivfPqTopK(emb, nProbes = 8, k = 5))
     plans.foreach { case (name, df) =>
       val finalWindows = df.queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window

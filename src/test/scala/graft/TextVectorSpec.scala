@@ -1006,4 +1006,29 @@ class TextVectorSpec extends SparkSpec {
       assert(dists.forall(_ >= 0.0))
     }
   }
+
+  test("ivfPqTopK searches only the probe's own cell and agrees with " +
+      "pqTopK on in-cell distances") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ivfpq = VectorOps.ivfPqTopK(emb, nProbes = 8, k = 5)
+    // every neighbor shares the probe's coarse cell
+    val assigned = VectorOps.assignClusters(emb,
+        emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").cast("long").as("centroid_id"),
+            col("embedding").as("c_emb")))
+      .select(col("vec_id").as("neighbor_id"),
+        col("cluster").as("n_cluster"))
+    val strays = ivfpq.join(assigned, Seq("neighbor_id"))
+      .filter(col("cluster") =!= col("n_cluster")).count()
+    assert(strays === 0)
+    // the ADC metric is the same kernel pqTopK uses: where the flat
+    // scan also returns an (probe, neighbor) pair, the distances match
+    val flat = VectorOps.pqTopK(emb, nProbes = 8, k = 50)
+      .select(col("probe_id"), col("neighbor_id"),
+        col("adc_dist").as("flat_dist"))
+    val mismatch = ivfpq.join(flat, Seq("probe_id", "neighbor_id"))
+      .filter(col("adc_dist") =!= col("flat_dist")).count()
+    assert(mismatch === 0)
+  }
 }
