@@ -777,6 +777,61 @@ object TextOps {
   }
 
   /** Share of tokens with "normal" prose length (3..12 chars), 6dp. */
+  /**
+   * Gopher/MassiveWeb repetition-free quality rules (Rae et al. 2021,
+   * "Scaling Language Models: Methods, Analysis & Insights from
+   * Training Gopher", Appendix A1.1): word count and mean word length
+   * bounds, bullet-started / ellipsis-ended line fractions, the share
+   * of words containing an alphabetic character, and a minimum number
+   * of distinct common English stopwords — the named filter battery
+   * most open pretraining corpora (MassiveText, RefinedWeb, FineWeb)
+   * start from. Returns the per-document metrics plus the composed
+   * `keep` flag, so downstream can audit WHICH rule fired.
+   *
+   * Scale shape: ONE narrow projection over one corpus scan — every
+   * signal is a per-row expression (token/line splits, a
+   * whitespace-stripped length for the word-length sum, eight
+   * `array_contains` probes for the stopword count); no aggregation,
+   * no shuffle, no joins. The only HOF lambdas (line-prefix and
+   * alpha-word filters) run over ONE document's lines/tokens.
+   */
+  def gopherQuality(docs: DataFrame, minWords: Long = 50,
+      maxWords: Long = 100000, minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0, maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+      minStopwords: Int = 2): DataFrame = {
+    val stopwords = Seq("the", "be", "to", "of", "and", "that", "have",
+      "with")
+    val toks = tokens(col("text"))
+    val nW = size(toks).cast("long")
+    val sumLen = length(regexp_replace(col("text"), "\\s+", ""))
+    val meanLen = when(nW === 0, lit(0.0))
+      .otherwise(round(sumLen.cast("double") / nW, 6))
+    val lines = split(col("text"), "\n", -1)
+    val nL = size(lines)
+    val bulletFrac = round(size(filter(lines,
+      l => l.startsWith("- ") || l.startsWith("•")))
+      .cast("double") / nL, 6)
+    val ellipsisFrac = round(size(filter(lines, l => l.endsWith("...")))
+      .cast("double") / nL, 6)
+    val alphaFrac = when(nW === 0, lit(0.0))
+      .otherwise(round(size(filter(toks, t => t.rlike("[A-Za-z]")))
+        .cast("double") / nW, 6))
+    val stopHits = stopwords.map(w =>
+      array_contains(toks, w).cast("int")).reduce(_ + _)
+    val keep = nW.geq(minWords) && nW.leq(maxWords) &&
+      meanLen.geq(minMeanLen) && meanLen.leq(maxMeanLen) &&
+      bulletFrac < maxBulletFrac && ellipsisFrac < maxEllipsisFrac &&
+      alphaFrac.geq(minAlphaFrac) && stopHits.geq(minStopwords)
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+      nW.as("n_words"), meanLen.as("mean_word_len"),
+      bulletFrac.as("bullet_line_frac"),
+      ellipsisFrac.as("ellipsis_line_frac"),
+      alphaFrac.as("alpha_word_frac"),
+      stopHits.as("stopword_hits"),
+      keep.cast("int").as("keep"))
+  }
+
   private def normalShareCol(text: Column): Column = {
     val toks = tokens(text)
     when(size(toks) === 0, lit(0.0))

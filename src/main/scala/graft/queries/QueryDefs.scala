@@ -1375,6 +1375,54 @@ object QueryDefs {
           |      AS DOUBLE) / len(toks) END, 6) AS normal_token_share
           |FROM tk""".stripMargin)),
 
+    // Gopher/MassiveWeb quality rules (Rae et al. 2021 A1.1): the named
+    // line/word-level filter battery — word-count and mean-word-length
+    // bounds, bullet/ellipsis line fractions, alpha-word share, distinct
+    // stopword floor. One narrow projection, no shuffle.
+    ("gopher_quality", (s: SparkSession, dir: String) =>
+      TextOps.gopherQuality(t(s, dir, "documents"), minWords = 50,
+        minStopwords = 1),
+      Some(
+        """WITH base AS (
+          |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |    list_filter(string_split_regex(trim(text), '\s+'),
+          |      x -> x <> '') AS toks,
+          |    string_split(text, chr(10)) AS lines,
+          |    length(regexp_replace(text, '\s+', '', 'g')) AS sum_len
+          |  FROM documents),
+          |m AS (
+          |  SELECT doc_id,
+          |    CAST(len(toks) AS BIGINT) AS n_words,
+          |    CASE WHEN len(toks) = 0 THEN 0.0
+          |      ELSE round(CAST(sum_len AS DOUBLE) / len(toks), 6)
+          |      END AS mean_word_len,
+          |    round(CAST(len(list_filter(lines, l ->
+          |        starts_with(l, '- ') OR starts_with(l, '•')))
+          |      AS DOUBLE) / len(lines), 6) AS bullet_line_frac,
+          |    round(CAST(len(list_filter(lines, l -> ends_with(l, '...')))
+          |      AS DOUBLE) / len(lines), 6) AS ellipsis_line_frac,
+          |    CASE WHEN len(toks) = 0 THEN 0.0
+          |      ELSE round(CAST(len(list_filter(toks, t ->
+          |          regexp_matches(t, '[A-Za-z]')))
+          |        AS DOUBLE) / len(toks), 6) END AS alpha_word_frac,
+          |    (CAST(list_contains(toks, 'the') AS INT) +
+          |     CAST(list_contains(toks, 'be') AS INT) +
+          |     CAST(list_contains(toks, 'to') AS INT) +
+          |     CAST(list_contains(toks, 'of') AS INT) +
+          |     CAST(list_contains(toks, 'and') AS INT) +
+          |     CAST(list_contains(toks, 'that') AS INT) +
+          |     CAST(list_contains(toks, 'have') AS INT) +
+          |     CAST(list_contains(toks, 'with') AS INT)) AS stopword_hits
+          |  FROM base)
+          |SELECT doc_id, n_words, mean_word_len, bullet_line_frac,
+          |  ellipsis_line_frac, alpha_word_frac, stopword_hits,
+          |  CAST(n_words >= 50 AND n_words <= 100000
+          |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+          |    AND bullet_line_frac < 0.9 AND ellipsis_line_frac < 0.3
+          |    AND alpha_word_frac >= 0.8 AND stopword_hits >= 1
+          |    AS INT) AS keep
+          |FROM m""".stripMargin)),
+
     // Deterministic training-mix sampling: md5-derived uniform vs
     // per-stratum hex thresholds (ceil(rate*2^32) as 8 lowercase hex
     // chars) — byte-identical sample in any engine, zero shuffles

@@ -1007,6 +1007,30 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("gopherQuality computes line-level and word-level rule signals") {
+    val docs = Seq(
+      (1L, "- first bullet\n- second bullet\nplain line with the words"),
+      (2L, "trailing thought...\nanother one...\nsolid close with the end"),
+      (3L, "1 2 3 4 5 6 7 8 9 0"),
+      (4L, "the quick brown fox jumps over lazy dogs with vigor and grace")
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherQuality(docs, minWords = 5, minStopwords = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Double]("bullet_line_frac") === 0.666667)
+    assert(out(1L).getAs[Double]("ellipsis_line_frac") === 0.0)
+    assert(out(2L).getAs[Double]("ellipsis_line_frac") === 0.666667)
+    // all-numeric doc: zero alpha words, no stopwords -> dropped
+    assert(out(3L).getAs[Double]("alpha_word_frac") === 0.0)
+    assert(out(3L).getAs[Int]("stopword_hits") === 0)
+    assert(out(3L).getAs[Int]("keep") === 0)
+    // clean English doc passes every rule
+    assert(out(4L).getAs[Double]("alpha_word_frac") === 1.0)
+    assert(out(4L).getAs[Int]("stopword_hits") >= 3)
+    assert(out(4L).getAs[Int]("keep") === 1)
+    // mean word length: "1 2 3 ..." has 10 single-char words
+    assert(out(3L).getAs[Double]("mean_word_len") === 1.0)
+  }
+
   test("ivfPqTopK searches only the probe's own cell and agrees with " +
       "pqTopK on in-cell distances") {
     val emb = spark.read
