@@ -270,3 +270,71 @@ case class BlockMean2x(pixels: Expression, sx: Expression, sy: Expression)
       newChildren: IndexedSeq[Expression]): Expression =
     copy(pixels = newChildren(0), sx = newChildren(1), sy = newChildren(2))
 }
+
+/**
+ * Elementwise fold of a STACK of equal-size planes into one plane —
+ * the kernel behind Z-projection (`max` = maximum-intensity
+ * projection, `mean` = average-intensity projection with floor
+ * division, both order-independent so `collect_list`'s
+ * nondeterministic stack order cannot change the result). Evaluated
+ * once per (image, t, c) GROUP on the collected stack — an
+ * aggregation-boundary expression, not a per-row hot path — with one
+ * tight int loop instead of a z×pixels interpreted `zip_with` tree.
+ */
+case class PlaneStackFold(stack: Expression, how: String)
+  extends Expression with org.apache.spark.sql.catalyst.expressions
+    .codegen.CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(stack)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    stack.dataType match {
+      case ArrayType(ArrayType(IntegerType, _), _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_plane_fold: input must be array<array<int>> " +
+          s"(got ${t.catalogString})")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val sAny = stack.eval(input)
+    if (sAny == null) return null
+    val planes = sAny.asInstanceOf[ArrayData]
+    val n = planes.numElements()
+    if (n == 0) return null
+    val first = planes.getArray(0)
+    val len = first.numElements()
+    // accumulate in long: mean sums up to n*65535 per cell
+    val acc = new Array[Long](len)
+    var i = 0
+    while (i < len) { acc(i) = first.getInt(i).toLong; i += 1 }
+    var p = 1
+    while (p < n) {
+      val plane = planes.getArray(p)
+      // a ragged stack means the caller grouped mismatched planes —
+      // surface it as null rather than folding garbage
+      if (plane.numElements() != len) return null
+      var i2 = 0
+      while (i2 < len) {
+        val v = plane.getInt(i2).toLong
+        if (how == "max") { if (v > acc(i2)) acc(i2) = v }
+        else acc(i2) += v
+        i2 += 1
+      }
+      p += 1
+    }
+    val out = new Array[Int](len)
+    var j = 0
+    while (j < len) {
+      out(j) = if (how == "mean") (acc(j) / n).toInt else acc(j).toInt
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(stack = newChildren(0))
+}

@@ -47,6 +47,15 @@ package object functions {
           "ARRAY<FLOAT> literal")
       PqAdcDist(exprs(0), exprs(1), literalFloats(exprs(2), "graft_pq_adc"))
     }),
+    "graft_plane_fold" -> (exprs => {
+      require(exprs.length == 2 && exprs(1).foldable &&
+        exprs(1).dataType == org.apache.spark.sql.types.StringType,
+        "graft_plane_fold(stack, how): how must be a STRING literal")
+      val how = exprs(1).eval(null).toString
+      require(how == "max" || how == "mean",
+        s"graft_plane_fold: how must be 'max' or 'mean' (got '$how')")
+      PlaneStackFold(exprs(0), how)
+    }),
     "graft_synth_ramp" -> (exprs => SynthRampPixels(exprs(0), exprs(1))),
     "graft_pixel_sum" -> (exprs => PixelSum(exprs(0))))
 
@@ -119,6 +128,11 @@ package object functions {
   /** Codegen'd 2x2 floor block mean (pyramid level) of a flat plane. */
   def block_mean_2x(pixels: Column, sx: Column, sy: Column): Column =
     call_function("graft_block_mean_2x", pixels, sx, sy)
+
+  /** Native elementwise fold of a plane stack (`how` = "max" | "mean")
+    * — the Z-projection kernel. */
+  def plane_fold(stack: Column, how: String): Column =
+    call_function("graft_plane_fold", stack, lit(how))
 
   /** Closed-form synthetic plane `[(base + p) % 65536 | p <- 0..n-1]`
     * — one native loop per plane for the synthetic corpus generator. */

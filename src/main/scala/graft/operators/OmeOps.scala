@@ -373,6 +373,50 @@ object OmeOps {
           (col("record_meta.pixels_meta.physical_size_y") * 2).cast("float"))))
   }
 
+  /**
+   * Z-projection over the exploded plane table: every (image, t, c)
+   * z-stack collapses to ONE plane — `how = "max"` is the
+   * maximum-intensity projection every microscopy viewer ships
+   * (ilastik/Fiji "MIP"; the reference's 3-D views feed VTK the whole
+   * stack, view.py:116–120 — MIP is its 2-D summary), `"mean"` the
+   * average-intensity variant (floor division, matching the
+   * [[downscale2x]] integer-mean convention). Output is a plane table
+   * with `z = 0` and `n_planes` recording the stack depth, composable
+   * with [[nestPlanes]] / [[downscalePlanes]] / crop like any other
+   * plane table (record_meta's size_z is patched to 1).
+   *
+   * Scale shape (100 TB): ONE shuffle keyed by (image_id, t, c) with
+   * the native [[graft.functions.PlaneStackFold]] kernel folding each
+   * collected stack — the buffer is one image's z-stack (bounded by
+   * image geometry, the same contract as [[nestPlanes]]), never
+   * corpus-scale, and both folds are order-independent so the
+   * collect order of the shuffle cannot change results.
+   */
+  def projectZ(planeDf: DataFrame, how: String = "max"): DataFrame = {
+    graft.functions.ensureRegistered(planeDf.sparkSession)
+    require(how == "max" || how == "mean",
+      s"projectZ: how must be 'max' or 'mean' (got '$how')")
+    val hasMeta = planeDf.columns.contains("record_meta")
+    val aggs = Seq(
+      first(col("size_x")).as("size_x"),
+      first(col("size_y")).as("size_y")) ++
+      (if (hasMeta) Seq(first(col("record_meta")).as("record_meta"))
+       else Nil) ++ Seq(
+      graft.functions.plane_fold(collect_list(col("pixels")), how)
+        .as("pixels"),
+      count(lit(1)).cast("int").as("n_planes"))
+    val out = planeDf.groupBy(col("image_id"), col("t"), col("c"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("z", lit(0))
+      .select(Seq(col("image_id"), col("size_x"), col("size_y")) ++
+        (if (hasMeta) Seq(col("record_meta")) else Nil) ++
+        Seq(col("t"), col("c").cast("int").as("c"), col("z"),
+          col("pixels"), col("n_planes")): _*)
+    if (!hasMeta) out
+    else out.withColumn("record_meta", col("record_meta")
+      .withField("pixels_meta.size_z", lit(1)))
+  }
+
   /** Keep the ride-along `record_meta` consistent with the flat
     * `size_x`/`size_y` columns after a plane-table pixel transform, so
     * `nestPlanes` reconstructs records whose `pixels_meta` matches their

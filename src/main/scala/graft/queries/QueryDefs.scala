@@ -184,6 +184,33 @@ object QueryDefs {
            |  CAST(z AS INT) AS z, $planeStatsSelect
            |FROM l2 GROUP BY img, t, c, z""".stripMargin)),
 
+    // Z-projection: every (image, t, c) stack collapses to one plane —
+    // max = maximum-intensity projection (the microscopy-viewer staple),
+    // mean = average-intensity variant. One (image,t,c)-keyed shuffle;
+    // the native PlaneStackFold kernel folds each collected stack.
+    ("ome_zproject_max", (s: SparkSession, _: String) =>
+      planeStatsFromPlanes(OmeOps.projectZ(
+        OmeOps.explodePlanes(Fixtures.corpus4d(s)), how = "max")),
+      Some(
+        s"""WITH $px4d, proj AS (
+           |  SELECT img, t, c, p, max(v) AS v
+           |  FROM px GROUP BY img, t, c, p)
+           |SELECT $id4d AS image_id, CAST(t AS INT) AS t, CAST(c AS INT) AS c,
+           |  0 AS z, $planeStatsSelect
+           |FROM proj GROUP BY img, t, c""".stripMargin)),
+
+    ("ome_zproject_mean", (s: SparkSession, _: String) =>
+      planeStatsFromPlanes(OmeOps.projectZ(
+        OmeOps.explodePlanes(Fixtures.corpus4d(s)), how = "mean")),
+      Some(
+        s"""WITH $px4d, proj AS (
+           |  SELECT img, t, c, p,
+           |    CAST(sum(v) AS BIGINT) // count(*) AS v
+           |  FROM px GROUP BY img, t, c, p)
+           |SELECT $id4d AS image_id, CAST(t AS INT) AS t, CAST(c AS INT) AS c,
+           |  0 AS z, $planeStatsSelect
+           |FROM proj GROUP BY img, t, c""".stripMargin)),
+
     ("ome_stride", (s: SparkSession, _: String) =>
       planeStatsRows(OmeOps.strideDownsample(Fixtures.corpus4d(s), 2)),
       Some(

@@ -149,6 +149,30 @@ class OpsSpec extends SparkSpec {
     assert(OmeOps.toDense(nested).count() === 4)
   }
 
+  test("projectZ computes exact MIP/AIP pixels and re-nests to size_z 1") {
+    import spark.implicits._
+    val planes = Seq(
+      ("img", 2, 1, 0, 0, 0, Seq(1, 5)),
+      ("img", 2, 1, 0, 0, 1, Seq(3, 2)),
+      ("img", 2, 1, 0, 0, 2, Seq(2, 8))
+    ).toDF("image_id", "size_x", "size_y", "t", "c", "z", "pixels")
+    val mip = OmeOps.projectZ(planes, "max").collect()(0)
+    assert(mip.getAs[Seq[Int]]("pixels") === Seq(3, 8))
+    assert(mip.getAs[Int]("z") === 0)
+    assert(mip.getAs[Int]("n_planes") === 3)
+    val aip = OmeOps.projectZ(planes, "mean").collect()(0)
+    assert(aip.getAs[Seq[Int]]("pixels") === Seq(2, 5)) // floor(6/3), floor(15/3)
+    // with record_meta riding along, the projection re-nests to a
+    // self-consistent single-z record
+    val nested = OmeOps.nestPlanes(OmeOps.projectZ(
+      OmeOps.explodePlanes(Fixtures.corpus4d(spark)), "max")
+      .drop("n_planes"))
+    val m = nested.select(col("ome_arrow.pixels_meta.size_z"),
+      size(col("ome_arrow.planes"))).collect()
+    assert(m.forall(r => r.getInt(0) === 1))
+    assert(m.forall(r => r.getInt(1) === 4)) // 2t x 2c x 1z
+  }
+
   test("planeLookup returns first match and errors on absent plane") {
     val fx = Fixtures.conftestDf(spark)
     val px = OmeOps.planeLookup(fx, 0, 1, 0)
