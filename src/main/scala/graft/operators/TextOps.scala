@@ -1185,6 +1185,40 @@ object TextOps {
   }
 
   /**
+   * Deterministic corpus shuffle for training-order export: every doc
+   * gets a salted md5 `shuffle_key`, a `shard` from the key's first
+   * hex digits, and a dense rank WITHIN its shard — global training
+   * order is `(shard, shard_rank)` lexicographic, because the shard IS
+   * the key's prefix. No RNG state: the permutation is reproducible
+   * across engines, re-runs, and repartitions (the property epoch
+   * shuffles in data loaders need for resumable training).
+   *
+   * Scale shape (100 TB): a global `row_number() OVER (ORDER BY key)`
+   * would funnel the corpus through ONE partition; prefix sharding
+   * makes the ranking window PARTITIONED (`hexShardDigits` = 2 → 256
+   * uniform shards — md5 prefixes are uniform by construction), so
+   * every shard ranks in parallel and the writer emits one
+   * key-sorted file per shard with zero cross-shard coordination.
+   */
+  def shuffleRank(docs: DataFrame, salt: String = "epoch0",
+      hexShardDigits: Int = 2): DataFrame = {
+    require(hexShardDigits >= 1 && hexShardDigits <= 8,
+      s"shuffleRank: hexShardDigits must be in [1,8] (got $hexShardDigits)")
+    val key = md5(concat(lit(salt), lit("|"),
+      col("doc_id").cast("long").cast("string")))
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        key.as("shuffle_key"))
+      .withColumn("shard",
+        conv(col("shuffle_key").substr(1, hexShardDigits), 16, 10)
+          .cast("int"))
+      .withColumn("shard_rank", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("shuffle_key").asc, col("doc_id").asc)))
+      .select(col("doc_id"), col("shuffle_key"), col("shard"),
+        col("shard_rank").cast("int").as("shard_rank"))
+  }
+
+  /**
    * Pretraining sequence packing (concatenate-and-chunk): documents are
    * laid end-to-end in doc_id order within `nShards` deterministic
    * shards, and each doc reports its token span and the fixed-size

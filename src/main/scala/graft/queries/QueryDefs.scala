@@ -1468,6 +1468,29 @@ object QueryDefs {
           |  END AS INT) AS keep
           |FROM documents""".stripMargin)),
 
+    // Deterministic epoch shuffle: salted-md5 permutation key, shard =
+    // key's hex prefix (256 uniform shards), rank PARTITIONED by shard —
+    // global order is (shard, shard_rank) with no single-partition sort.
+    ("shuffle_rank", (s: SparkSession, dir: String) =>
+      TextOps.shuffleRank(t(s, dir, "documents"), salt = "epoch0",
+        hexShardDigits = 2),
+      Some(
+        """WITH keyed AS (
+          |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |    md5('epoch0|' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+          |  FROM documents),
+          |sharded AS (
+          |  SELECT doc_id, shuffle_key,
+          |    CAST((strpos('0123456789abcdef',
+          |        substring(shuffle_key, 1, 1)) - 1) * 16 +
+          |      (strpos('0123456789abcdef',
+          |        substring(shuffle_key, 2, 1)) - 1) AS INT) AS shard
+          |  FROM keyed)
+          |SELECT doc_id, shuffle_key, shard,
+          |  CAST(row_number() OVER (PARTITION BY shard
+          |    ORDER BY shuffle_key ASC, doc_id ASC) AS INT) AS shard_rank
+          |FROM sharded""".stripMargin)),
+
     ("curation_report", (s: SparkSession, dir: String) =>
       TextOps.curationReport(t(s, dir, "documents")),
       Some(

@@ -1007,6 +1007,29 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("shuffleRank is a reproducible permutation with dense per-shard " +
+      "ranks and prefix-consistent shards") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = TextOps.shuffleRank(docs, salt = "epoch0")
+    // reproducible: a second invocation produces byte-identical rows
+    val b = TextOps.shuffleRank(docs, salt = "epoch0")
+    assert(a.exceptAll(b).count() === 0)
+    // a different salt produces a different permutation
+    val c = TextOps.shuffleRank(docs, salt = "epoch1")
+    assert(a.join(c, Seq("doc_id"))
+      .filter(a("shuffle_key") === c("shuffle_key")).count() === 0)
+    // shard is the key's hex prefix; ranks are dense 1..n per shard
+    val badShard = a.filter(col("shard") =!=
+      conv(col("shuffle_key").substr(1, 2), 16, 10).cast("int")).count()
+    assert(badShard === 0)
+    val dense = a.groupBy(col("shard")).agg(
+      count(lit(1)).as("n"), max(col("shard_rank")).as("mx"),
+      min(col("shard_rank")).as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1).count()
+    assert(dense === 0)
+  }
+
   test("gopherQuality computes line-level and word-level rule signals") {
     val docs = Seq(
       (1L, "- first bullet\n- second bullet\nplain line with the words"),
