@@ -112,6 +112,16 @@ object PlanAudit {
       graft.SparkEntry.queries("importance_weights")(spark, dir))
     audit("pipeline_end_to_end",
       graft.SparkEntry.queries("pipeline_end_to_end")(spark, dir))
+
+    // round-7 additions: PQ family, z-projection, shuffle/quality ops
+    audit("embed_ann_pq", graft.SparkEntry.queries("embed_ann_pq")(spark, dir))
+    audit("embed_ann_ivfpq",
+      graft.SparkEntry.queries("embed_ann_ivfpq")(spark, dir))
+    audit("ome_zproject_max",
+      graft.SparkEntry.queries("ome_zproject_max")(spark, dir))
+    audit("gopher_quality",
+      graft.SparkEntry.queries("gopher_quality")(spark, dir))
+    audit("shuffle_rank", graft.SparkEntry.queries("shuffle_rank")(spark, dir))
     spark.stop()
   }
 }

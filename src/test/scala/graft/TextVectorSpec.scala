@@ -1054,6 +1054,35 @@ class TextVectorSpec extends SparkSpec {
     assert(out(3L).getAs[Double]("mean_word_len") === 1.0)
   }
 
+  test("pq_encode agrees with a plain-Scala argmin over real embeddings") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    graft.functions.ensureRegistered(spark)
+    val m = 8; val kCent = 16
+    val book = VectorOps.pqCodebook(emb, m, kCent)
+    val got = emb.select(col("vec_id").cast("long"),
+      graft.functions.pq_encode(col("embedding"), book, m))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val raw = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    assert(raw.nonEmpty)
+    raw.foreach { case (id, v) =>
+      val sub = v.length / m
+      val expect = (0 until m).map { j =>
+        (0 until kCent).minBy { c =>
+          var d = 0.0; var i = 0
+          while (i < sub) {
+            val diff = v(j * sub + i).toDouble -
+              book((j * kCent + c) * sub + i).toDouble
+            d += diff * diff; i += 1
+          }
+          d
+        }
+      }
+      assert(got(id) === expect, s"vec $id codes diverge")
+    }
+  }
+
   test("ivfPqTopK searches only the probe's own cell and agrees with " +
       "pqTopK on in-cell distances") {
     val emb = spark.read
