@@ -2462,6 +2462,17 @@ object QueryDefs {
           |  CAST(0 AS BIGINT) AS bad_count, CAST(0 AS BIGINT) AS bad_sum,
           |  CAST(0 AS BIGINT) AS empty_stream""".stripMargin)),
 
+    // Stream-stream interval join (click->purchase attribution within
+    // 2h, both sides watermarked): an inner join over a fully-drained
+    // finite feed must emit exactly the batch pair set.
+    ("stream_join_check", (s: SparkSession, dir: String) =>
+      graft.streaming.EventStream.attributionCheck(s, dir),
+      Some(
+        """SELECT CAST(0 AS BIGINT) AS phantom_pair,
+          |  CAST(0 AS BIGINT) AS missing_pair,
+          |  CAST(0 AS BIGINT) AS bad_delay,
+          |  CAST(0 AS BIGINT) AS empty_stream""".stripMargin)),
+
     ("stream_dedup_check", (s: SparkSession, dir: String) =>
       graft.streaming.DocStream.dedupCheck(s, dir),
       Some(

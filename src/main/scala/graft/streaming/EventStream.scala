@@ -46,6 +46,106 @@ object EventStream {
   }
 
   /**
+   * STREAM-STREAM interval join — the attribution query every event
+   * pipeline ships (which purchases followed a click by the same user
+   * within `maxDelay`?), and the one streaming operator class the
+   * single-stream surface (rollup/dedup/decontam) cannot express. Both
+   * sides are watermarked views of the events feed; the time-range
+   * predicate (`purchase_ts` in `[click_ts, click_ts + maxDelay]`) is
+   * what lets Spark BOUND the join state: a click's state is evictable
+   * once the watermark passes `click_ts + maxDelay`, a purchase's once
+   * it passes `purchase_ts` — without the range, state grows forever.
+   *
+   * Scale shape: state per key is (events in the delay horizon) per
+   * user, not history; the join shuffles both sides once on `user_id`.
+   */
+  def attributionJoinStream(spark: SparkSession, dir: String,
+      maxDelay: String = "2 hours",
+      lateness: String = "1 hour"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id"), col("event_ts").as("click_ts"))
+      .withWatermark("click_ts", lateness)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("event_ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", lateness)
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"interval $maxDelay"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (col("purchase_ts").cast("long") - col("click_ts").cast("long"))
+          .as("delay_sec"),
+        round(col("purchase_value"), 2).as("purchase_value"))
+  }
+
+  /**
+   * Structural check of [[attributionJoinStream]] against the identical
+   * batch join — the all-zeros-invariants pattern ([[rollupCheck]]).
+   * An INNER stream-stream join over a fully-drained finite feed must
+   * emit exactly the batch pair set: `phantom_pair` counts streamed
+   * pairs the batch join does not contain, `missing_pair` batch pairs
+   * the stream never emitted, `empty_stream` guards vacuous zeros.
+   * (The testdata feed is one parquet file → one microbatch, so no
+   * pair can be lost to cross-batch watermark eviction; a multi-file
+   * unordered feed could legitimately drop late rows.)
+   */
+  def attributionCheck(spark: SparkSession, dir: String,
+      maxDelay: String = "2 hours", lateness: String = "1 hour",
+      timeoutMs: Long = 300000L): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val view = "graft_stream_attrib_check"
+    if (spark.catalog.tableExists(view)) spark.catalog.dropTempView(view)
+    val q = attributionJoinStream(spark, dir, maxDelay, lateness)
+      .writeStream.format("memory").queryName(view)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      require(q.awaitTermination(timeoutMs),
+        s"attributionCheck: stream did not drain within ${timeoutMs} ms")
+    } finally q.stop()
+    val streamed = spark.table(view)
+      .select(col("click_id"), col("purchase_id"),
+        col("delay_sec").as("delay_s"))
+    val events = spark.read.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+    val bClicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("event_ts").as("click_ts"))
+    val bPurch = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("event_ts").as("purchase_ts"))
+    val batch = bClicks.join(bPurch,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"interval $maxDelay"))
+      .select(col("click_id"), col("purchase_id"),
+        (col("purchase_ts").cast("long") - col("click_ts").cast("long"))
+          .as("delay_b"))
+    batch.join(streamed, Seq("click_id", "purchase_id"), "full_outer")
+      .agg(
+        coalesce(sum(when(col("delay_b").isNull, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("phantom_pair"),
+        coalesce(sum(when(col("delay_s").isNull, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("missing_pair"),
+        coalesce(sum(when(col("delay_b").isNotNull && col("delay_s").isNotNull
+          && col("delay_b") =!= col("delay_s"), 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("bad_delay"))
+      .crossJoin(broadcast(streamed.agg(
+        (count(lit(1)) === 0).cast("long").as("empty_stream"))))
+  }
+
+  /**
    * Structural self-check of the streaming rollup against the batch
    * computation, shaped for an external oracle that cannot run a Spark
    * stream: RUNS [[windowedRollup]] to completion (AvailableNow trigger,

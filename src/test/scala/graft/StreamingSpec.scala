@@ -75,6 +75,16 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.keySet === closed.keySet)
   }
 
+  test("stream-stream attribution join emits exactly the batch pair set") {
+    val check = graft.streaming.EventStream
+      .attributionCheck(spark, "/root/testdata/sf0.001").collect()(0)
+    assert(check.getAs[Long]("phantom_pair") === 0L)
+    assert(check.getAs[Long]("missing_pair") === 0L)
+    assert(check.getAs[Long]("bad_delay") === 0L)
+    // the zeros are not vacuous: pairs were actually streamed
+    assert(check.getAs[Long]("empty_stream") === 0L)
+  }
+
   test("nearDupCheck passes all-zeros on a corpus with planted exact " +
       "dups (missed_exact has teeth)") {
     import spark.implicits._
