@@ -441,3 +441,52 @@ case class PqAdcDist(probe: Expression, codes: Expression,
       newChildren: IndexedSeq[Expression]): Expression =
     copy(probe = newChildren(0), codes = newChildren(1))
 }
+
+/**
+ * BPE encode of ONE token against a trained merge list (Sennrich et
+ * al. 2016, "Neural Machine Translation of Rare Words with Subword
+ * Units"): the token is split into characters and each merge `(left,
+ * right) -> left+right` is applied in rank order, replacing
+ * non-overlapping occurrences left-to-right — exactly the reference
+ * BPE apply loop, as one native kernel per token instead of
+ * nMerges interpreted lambda passes. The merge list is KB-sized by
+ * contract (it is the tokenizer), inlined at build time.
+ */
+case class BpeEncode(token: Expression, lefts: Array[String],
+    rights: Array[String]) extends Expression with CodegenFallback {
+
+  require(lefts.length == rights.length,
+    "graft_bpe_encode: lefts and rights must have equal length")
+
+  override def children: Seq[Expression] = Seq(token)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = token.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = InputCheck.check(
+    Seq((token, StringType, "token")), "graft_bpe_encode")
+
+  override def eval(input: InternalRow): Any = {
+    val tAny = token.eval(input)
+    if (tAny == null) return null
+    val s = tAny.asInstanceOf[UTF8String].toString
+    var syms: Array[String] = s.toCharArray.map(_.toString)
+    var m = 0
+    while (m < lefts.length && syms.length > 1) {
+      val l = lefts(m); val r = rights(m)
+      val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+          out += l + r; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.toArray
+      m += 1
+    }
+    new GenericArrayData(syms.map(UTF8String.fromString(_)))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(token = newChildren(0))
+}

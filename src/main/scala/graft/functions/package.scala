@@ -47,6 +47,13 @@ package object functions {
           "ARRAY<FLOAT> literal")
       PqAdcDist(exprs(0), exprs(1), literalFloats(exprs(2), "graft_pq_adc"))
     }),
+    "graft_bpe_encode" -> (exprs => {
+      require(exprs.length == 3 && exprs(1).foldable && exprs(2).foldable,
+        "graft_bpe_encode(token, lefts, rights): merge lists must be " +
+          "ARRAY<STRING> literals")
+      BpeEncode(exprs(0), literalStrings(exprs(1), "graft_bpe_encode"),
+        literalStrings(exprs(2), "graft_bpe_encode"))
+    }),
     "graft_plane_fold" -> (exprs => {
       require(exprs.length == 2 && exprs(1).foldable &&
         exprs(1).dataType == org.apache.spark.sql.types.StringType,
@@ -58,6 +65,21 @@ package object functions {
     }),
     "graft_synth_ramp" -> (exprs => SynthRampPixels(exprs(0), exprs(1))),
     "graft_pixel_sum" -> (exprs => PixelSum(exprs(0))))
+
+  /** Materialize a foldable ARRAY<STRING> argument (the inlined BPE
+    * merge list) at expression-build time. */
+  private def literalStrings(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      fn: String): Array[String] = {
+    require(e.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+      e.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+        .elementType == org.apache.spark.sql.types.StringType,
+      s"$fn: merge-list literal must be ARRAY<STRING> " +
+        s"(got ${e.dataType.catalogString})")
+    e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toArray[org.apache.spark.unsafe.types.UTF8String](
+        org.apache.spark.sql.types.StringType).map(_.toString)
+  }
 
   /** Materialize a foldable ARRAY<FLOAT> argument (the inlined PQ
     * codebook) at expression-build time. */
@@ -128,6 +150,12 @@ package object functions {
   /** Codegen'd 2x2 floor block mean (pyramid level) of a flat plane. */
   def block_mean_2x(pixels: Column, sx: Column, sy: Column): Column =
     call_function("graft_block_mean_2x", pixels, sx, sy)
+
+  /** Native BPE encode of one token against a trained merge list
+    * (rank order = array order). */
+  def bpe_encode(token: Column, lefts: Array[String],
+      rights: Array[String]): Column =
+    call_function("graft_bpe_encode", token, lit(lefts), lit(rights))
 
   /** Native elementwise fold of a plane stack (`how` = "max" | "mean")
     * — the Z-projection kernel. */

@@ -1185,6 +1185,121 @@ object TextOps {
   }
 
   /**
+   * BPE tokenizer training (Sennrich et al. 2016): learn `nMerges`
+   * merge rules from the corpus. The CORPUS-SCALE stage is the one
+   * distributed word-count aggregation; the iterative merge training
+   * then runs on the VOCABULARY-SIZED count table (bounded by contract
+   * — distinct words, not corpus size), which is exactly the shape
+   * every production tokenizer trainer uses (count distributed, train
+   * on the table). Pair selection is deterministic: highest weighted
+   * count, ties broken by lexicographically smallest (left, right) —
+   * so retraining reproduces the identical merge list.
+   *
+   * Returns `(rank, left, right, merged)` in training order — feed it
+   * to [[bpeEncodeTokens]] / [[graft.functions.bpe_encode]] to
+   * tokenize.
+   */
+  def bpeTrain(docs: DataFrame, nMerges: Int = 10): DataFrame = {
+    require(nMerges > 0, "bpeTrain: nMerges must be positive")
+    val sp = docs.sparkSession
+    val wordCounts = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var vocab: Array[(Array[String], Long)] = wordCounts.map { case (w, n) =>
+      (w.toCharArray.map(_.toString), n)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String,
+      String)]()
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val pairCounts = scala.collection.mutable.HashMap[(String, String),
+        Long]()
+      vocab.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pairCounts(k) = pairCounts.getOrElse(k, 0L) + n
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        val ((l, r), _) = pairCounts.toSeq
+          .sortBy { case ((pl, pr), c) => (-c, pl, pr) }.head
+        merges += ((rank, l, r, l + r))
+        vocab = vocab.map { case (syms, n) => (mergePair(syms, l, r), n) }
+        rank += 1
+      }
+    }
+    import sp.implicits._
+    sp.createDataset(merges.toSeq)
+      .toDF("rank", "left", "right", "merged")
+  }
+
+  /** One BPE merge round over a symbol sequence: replace
+    * non-overlapping `(l, r)` adjacencies left-to-right with `l+r` —
+    * the merged symbol never re-merges within the same round. */
+  private def mergePair(syms: Array[String], l: String,
+      r: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+        out += l + r; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Per-token subword sequences under a trained merge table: one row
+    * per (doc, token) with the native [[graft.functions.bpe_encode]]
+    * kernel applied — the merge list rides into the expression as a
+    * KB-sized literal, so encoding is a narrow scan, no join. */
+  def bpeEncodeTokens(docs: DataFrame, mergesDf: DataFrame): DataFrame = {
+    graft.functions.ensureRegistered(docs.sparkSession)
+    val ms = mergesDf.select(col("rank").cast("int"), col("left"),
+        col("right")).collect().sortBy(_.getInt(0))
+    val lefts = ms.map(_.getString(1))
+    val rights = ms.map(_.getString(2))
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"), col("tok"),
+        graft.functions.bpe_encode(col("tok"), lefts, rights)
+          .as("subwords"))
+  }
+
+  /**
+   * Structural all-zeros check of [[bpeTrain]] + the encode kernel (no
+   * SQL oracle can replicate iterative merge training): retrains to
+   * assert determinism, re-encodes the corpus to assert the lossless
+   * round-trip (`concat(subwords) == token` for EVERY token
+   * occurrence), asserts the learned merges actually compress
+   * (Σ subwords < Σ chars), and that training produced the requested
+   * merge count (the corpus vocabulary is rich enough by contract).
+   */
+  def bpeCheck(docs: DataFrame, nMerges: Int = 10): DataFrame = {
+    val sp = docs.sparkSession
+    val m1 = bpeTrain(docs, nMerges)
+    val m2 = bpeTrain(docs, nMerges)
+    val determinismBad =
+      m1.exceptAll(m2).count() + m2.exceptAll(m1).count()
+    val mergeDeficit = math.max(0L, nMerges.toLong - m1.count())
+    val enc = bpeEncodeTokens(docs, m1)
+    val agg = enc.agg(
+      sum(when(array_join(col("subwords"), "") =!= col("tok"), 1L)
+        .otherwise(0L)).cast("long").as("roundtrip_bad"),
+      (sum(size(col("subwords"))) >= sum(length(col("tok"))))
+        .cast("long").as("no_compression"),
+      (count(lit(1)) === 0).cast("long").as("empty_corpus"))
+    agg.select(col("roundtrip_bad"), col("no_compression"),
+      col("empty_corpus"),
+      lit(determinismBad).cast("long").as("determinism_bad"),
+      lit(mergeDeficit).cast("long").as("merge_deficit"))
+  }
+
+  /**
    * Deterministic corpus shuffle for training-order export: every doc
    * gets a salted md5 `shuffle_key`, a `shard` from the key's first
    * hex digits, and a dense rank WITHIN its shard — global training

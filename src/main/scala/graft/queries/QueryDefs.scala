@@ -1468,6 +1468,21 @@ object QueryDefs {
           |  END AS INT) AS keep
           |FROM documents""".stripMargin)),
 
+    // BPE tokenizer training (Sennrich et al. 2016): corpus-scale word
+    // count distributed, iterative merge training on the vocabulary
+    // table, native encode kernel. Iterative training is not
+    // SQL-replicable, so coverage is the all-zeros structural check:
+    // deterministic retrain, lossless round-trip on every token
+    // occurrence, real compression, full merge count.
+    ("bpe_check", (s: SparkSession, dir: String) =>
+      TextOps.bpeCheck(t(s, dir, "documents"), nMerges = 10),
+      Some(
+        """SELECT CAST(0 AS BIGINT) AS roundtrip_bad,
+          |  CAST(0 AS BIGINT) AS no_compression,
+          |  CAST(0 AS BIGINT) AS empty_corpus,
+          |  CAST(0 AS BIGINT) AS determinism_bad,
+          |  CAST(0 AS BIGINT) AS merge_deficit""".stripMargin)),
+
     // Deterministic epoch shuffle: salted-md5 permutation key, shard =
     // key's hex prefix (256 uniform shards), rank PARTITIONED by shard —
     // global order is (shard, shard_rank) with no single-partition sort.

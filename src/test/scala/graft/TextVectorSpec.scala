@@ -1007,6 +1007,37 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("bpeTrain learns hand-computable merges and the encode kernel " +
+      "round-trips") {
+    // corpus: "aa" x2, "ab" x1. Pair counts: (a,a)=2, (a,b)=1 ->
+    // merge 1 = a+a. After: "aa"=[aa], "ab"=[a,b]; only (a,b)=1 left ->
+    // merge 2 = a+b. Third round has no pairs -> training exhausts.
+    val docs = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    val merges = TextOps.bpeTrain(docs, nMerges = 5)
+      .orderBy(col("rank")).collect()
+    assert(merges.map(r => (r.getInt(0), r.getString(1), r.getString(2),
+      r.getString(3))).toSeq ===
+      Seq((1, "a", "a", "aa"), (2, "a", "b", "ab")))
+    // encode: "aab" -> [a,a,b] -> merge1 -> [aa,b]; merge2 needs an
+    // adjacent (a,b) which no longer exists -> [aa, b]
+    val enc = TextOps.bpeEncodeTokens(
+      Seq((2L, "aab ab aa")).toDF("doc_id", "text"),
+      TextOps.bpeTrain(docs, 5))
+      .orderBy(col("pos")).collect()
+    assert(enc(0).getAs[Seq[String]]("subwords") === Seq("aa", "b"))
+    assert(enc(1).getAs[Seq[String]]("subwords") === Seq("ab"))
+    assert(enc(2).getAs[Seq[String]]("subwords") === Seq("aa"))
+    // the structural check passes all-zeros on the real corpus
+    val chk = TextOps.bpeCheck(spark.read.parquet(
+      "/root/testdata/sf0.001/documents.parquet"), nMerges = 6)
+      .collect()(0)
+    assert(chk.getAs[Long]("roundtrip_bad") === 0L)
+    assert(chk.getAs[Long]("no_compression") === 0L)
+    assert(chk.getAs[Long]("determinism_bad") === 0L)
+    assert(chk.getAs[Long]("merge_deficit") === 0L)
+    assert(chk.getAs[Long]("empty_corpus") === 0L)
+  }
+
   test("shuffleRank is a reproducible permutation with dense per-shard " +
       "ranks and prefix-consistent shards") {
     val docs = spark.read
