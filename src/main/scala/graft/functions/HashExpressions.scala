@@ -490,3 +490,54 @@ case class BpeEncode(token: Expression, lefts: Array[String],
       newChildren: IndexedSeq[Expression]): Expression =
     copy(token = newChildren(0))
 }
+
+/**
+ * Exact squared-L2 distance between two float/double arrays, one
+ * sequential double pass — the ground-truth metric for certifying the
+ * PQ/ADC search paths (bit-identical to DuckDB's
+ * `list_sum(list_transform(list_zip(a, b), (x-y)*(x-y)))`).
+ */
+case class L2Sq(a: Expression, b: Expression)
+  extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(a, b)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (a.dataType, b.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ta, tb) => TypeCheckResult.TypeCheckFailure(
+        s"graft_l2sq: both inputs must be array<float> or array<double> " +
+          s"(got ${ta.catalogString}, ${tb.catalogString})")
+    }
+
+  private lazy val isDouble =
+    a.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  override def eval(input: InternalRow): Any = {
+    val aAny = a.eval(input); val bAny = b.eval(input)
+    if (aAny == null || bAny == null) return null
+    val av = aAny.asInstanceOf[ArrayData]
+    val bv = bAny.asInstanceOf[ArrayData]
+    if (av.numElements() != bv.numElements()) return null
+    val n = av.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isDouble) av.getDouble(i) else av.getFloat(i).toDouble
+      val y = if (isDouble) bv.getDouble(i) else bv.getFloat(i).toDouble
+      val d = x - y
+      acc += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(a = newChildren(0), b = newChildren(1))
+}

@@ -26,6 +26,7 @@ package object functions {
     }),
     "graft_simhash64" -> (exprs => SimHash64(exprs(0))),
     "graft_cosine" -> (exprs => CosineSim(exprs(0), exprs(1))),
+    "graft_l2sq" -> (exprs => L2Sq(exprs(0), exprs(1))),
     "graft_count_token" -> (exprs => CountToken(exprs(0), exprs(1))),
     "graft_project" -> (exprs => {
       require(exprs.length == 2 && exprs(1).foldable &&
@@ -107,6 +108,10 @@ package object functions {
   /** Native single-pass cosine similarity over float embeddings. */
   def cosine(a: Column, b: Column): Column =
     call_function("graft_cosine", a, b)
+
+  /** Native single-pass squared-L2 distance over float embeddings. */
+  def l2_sq(a: Column, b: Column): Column =
+    call_function("graft_l2sq", a, b)
 
   /** Native deterministic random projection to `outDims` dims (one loop
     * per row; bit-identical to the columnar HOF formulation). */

@@ -764,6 +764,43 @@ object VectorOps {
   }
 
   /**
+   * Recall@k certification of the PQ/ADC path against EXACT squared-L2
+   * brute force — the metric PQ actually approximates (certifying it
+   * against cosine would mix metrics; [[annRecall]] covers the cosine
+   * family). Per probe: how many of the true L2 top-k did ADC-over-codes
+   * recover? Scale: truth is a broadcast-probes one-scan ranking with
+   * the native [[graft.functions.l2_sq]] kernel; the compare joins
+   * (probe, neighbor) id pairs only.
+   */
+  def pqRecall(emb: DataFrame, nProbes: Int, k: Int, m: Int = 8,
+      kCent: Int = 16): DataFrame = {
+    graft.functions.ensureRegistered(emb.sparkSession)
+    val probes = broadcast(emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").cast("long").as("probe_id"),
+        col("embedding").as("p_emb")))
+    val truth = probes.join(
+        emb.select(col("vec_id").cast("long").as("neighbor_id"),
+          col("embedding")),
+        col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        round(graft.functions.l2_sq(col("p_emb"), col("embedding")), 6)
+          .as("d"))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("d").asc, col("neighbor_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("neighbor_id"))
+    val approx = pqTopK(emb, nProbes, k, m, kCent)
+      .select(col("probe_id"), col("neighbor_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("probe_id", "neighbor_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).cast("long").as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hit"))
+      .select(col("probe_id"), col("n_truth"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_truth").cast("double"), 6)
+          .as("recall"))
+  }
+
+  /**
    * IVF-PQ — the composition behind every billion-scale in-memory ANN
    * index (FAISS `IVFx,PQy`; Jegou et al. 2011 §IV "IVFADC"): a coarse
    * quantizer routes each probe to ONE Voronoi cell and asymmetric PQ

@@ -2749,6 +2749,80 @@ object QueryDefs {
           |  ON t.probe_id = a.probe_id AND t.neighbor_id = a.neighbor_id
           |GROUP BY t.probe_id""".stripMargin)),
 
+    // Recall@k of the PQ/ADC path vs EXACT squared-L2 brute force (the
+    // metric PQ approximates). Oracle composes the exact-L2 truth with
+    // the hash-green embed_ann_pq codebook/codes/ADC CTEs. NOTE the
+    // absolute recall is LOW here by construction: the synthetic
+    // embeddings are isotropic random vectors (no inter-dim correlation
+    // for subvector codebooks to exploit) and kCent=16 is a toy
+    // codebook — the query certifies the measurement pipeline, and at
+    // production kCent=256 per subspace on real (correlated) embeddings
+    // the same measurement is how you SIZE the codebook.
+    ("pq_recall", (s: SparkSession, dir: String) =>
+      VectorOps.pqRecall(t(s, dir, "embeddings"), nProbes = 16, k = 5,
+        m = 8, kCent = 16),
+      Some(
+        """WITH e AS (
+          |  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings),
+          |truth AS (
+          |  SELECT probe_id, neighbor_id FROM (
+          |    SELECT p.vec_id AS probe_id, n.vec_id AS neighbor_id,
+          |      round(list_sum(list_transform(
+          |        list_zip(p.embedding, n.embedding),
+          |        x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) *
+          |             (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 6) AS d
+          |    FROM e p JOIN e n ON n.vec_id <> p.vec_id
+          |    WHERE p.vec_id < 16)
+          |  QUALIFY row_number() OVER (PARTITION BY probe_id
+          |    ORDER BY d ASC, neighbor_id ASC) <= 5),
+          |books AS (
+          |  SELECT t.j, c.vec_id AS cid,
+          |    list_slice(c.embedding, t.j*8 + 1, t.j*8 + 8) AS cvec
+          |  FROM range(8) t(j), e c WHERE c.vec_id < 16),
+          |codes AS (
+          |  SELECT vec_id, j, cid AS code FROM (
+          |    SELECT e.vec_id, b.j, b.cid,
+          |      row_number() OVER (PARTITION BY e.vec_id, b.j ORDER BY
+          |        list_sum(list_transform(
+          |          list_zip(list_slice(e.embedding, b.j*8 + 1, b.j*8 + 8),
+          |            b.cvec),
+          |          x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) *
+          |               (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) ASC,
+          |        b.cid ASC) AS rn
+          |    FROM e, books b) WHERE rn = 1),
+          |codes_arr AS (
+          |  SELECT vec_id, list(code ORDER BY j) AS codes
+          |  FROM codes GROUP BY vec_id),
+          |books_arr AS (
+          |  SELECT list(cbook ORDER BY j) AS bks FROM (
+          |    SELECT j, list(cvec ORDER BY cid) AS cbook
+          |    FROM books GROUP BY j)),
+          |probes AS (
+          |  SELECT vec_id AS probe_id, embedding AS p_emb
+          |  FROM e WHERE vec_id < 16),
+          |pq AS (
+          |  SELECT probe_id, neighbor_id FROM (
+          |    SELECT p.probe_id, c.vec_id AS neighbor_id,
+          |      round(list_sum(list_transform(range(8), j ->
+          |        list_sum(list_transform(
+          |          list_zip(list_slice(p.p_emb, j*8 + 1, j*8 + 8),
+          |            b.bks[j + 1][c.codes[j + 1] + 1]),
+          |          x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) *
+          |               (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))))),
+          |        6) AS adc_dist
+          |    FROM probes p, codes_arr c, books_arr b
+          |    WHERE c.vec_id <> p.probe_id)
+          |  QUALIFY row_number() OVER (PARTITION BY probe_id
+          |    ORDER BY adc_dist ASC, neighbor_id ASC) <= 5)
+          |SELECT t.probe_id, CAST(count(*) AS BIGINT) AS n_truth,
+          |  CAST(sum(CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END)
+          |    AS BIGINT) AS n_hit,
+          |  round(sum(CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END) /
+          |    CAST(count(*) AS DOUBLE), 6) AS recall
+          |FROM truth t LEFT JOIN pq a
+          |  ON t.probe_id = a.probe_id AND t.neighbor_id = a.neighbor_id
+          |GROUP BY t.probe_id""".stripMargin)),
+
     // ============ events ============
 
     ("events_rollup", (s: SparkSession, dir: String) =>
