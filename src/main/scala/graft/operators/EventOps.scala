@@ -104,6 +104,45 @@ object EventOps {
   }
 
   /**
+   * Ordered funnel analysis over an event-type sequence — the
+   * product-analytics "viewed, then clicked, then purchased" question.
+   * Step 1 completes at a user's EARLIEST `steps(0)` event; step i at
+   * the earliest `steps(i-1)` event STRICTLY AFTER the user's step i-1
+   * completion. One row per step: users reaching it and the total
+   * nanoseconds spent converting from the previous step (0 for step 1).
+   *
+   * Scale shape: each step is a filtered projection of
+   * (user_id, ts, event_type) reduced to a per-user min BEFORE any
+   * join (user-keyed aggregation, map-side partials); the step-i join
+   * is user-keyed against the <= |users|-row funnel frontier, never
+   * event x event. All arithmetic is exact epoch-nanos longs, so the
+   * result is engine-portable with no rounding caveats.
+   */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val ev = events.select(col("user_id"), col("ts"), col("event_type"))
+    val first = ev.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+      .withColumn("gap_ns", lit(0L))
+    val frames = steps.tail.foldLeft(Vector(first)) { (acc, st) =>
+      val prev = acc.last.select(col("user_id"), col("t").as("t_prev"))
+      acc :+ ev.filter(col("event_type") === st)
+        .join(prev, Seq("user_id"))
+        .filter(col("ts") > col("t_prev"))
+        .groupBy(col("user_id"), col("t_prev"))
+        .agg(min(col("ts")).as("t"))
+        .withColumn("gap_ns", col("t") - col("t_prev"))
+        .select(col("user_id"), col("t"), col("gap_ns"))
+    }
+    frames.zipWithIndex.map { case (f, i) =>
+      f.agg(count(lit(1)).cast("long").as("n_users"),
+        coalesce(sum(col("gap_ns")), lit(0L)).cast("long").as("sum_gap_ns"))
+        .select(lit(i + 1).cast("int").as("step"),
+          lit(steps(i)).as("event_type"), col("n_users"), col("sum_gap_ns"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /**
    * Retention cohorts — the product-analytics staple: users are
    * cohorted by their FIRST active epoch-day, and each (cohort_day,
    * day_offset) cell counts how many of that cohort were active

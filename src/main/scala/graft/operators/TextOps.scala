@@ -169,6 +169,60 @@ object TextOps {
           col("n_distinct").cast("double") * tol).cast("int").as("approx_ok"))
 
   /**
+   * Per-source length-distribution quantile report with a sketch
+   * certification: exact linear-interpolation percentiles of `n_chars`
+   * at `ps`, plus `approx_ok` = 1 when the GK-sketch estimate
+   * (`percentile_approx`, accuracy `acc`) lands inside the exact
+   * [p - rankTol, p + rankTol] value band — i.e. the sketch's rank
+   * error is within `rankTol`, certified on the same scan.
+   *
+   * Plan shape (100 TB): one aggregation keyed by source; both exact
+   * and approx percentiles evaluate in the same aggregate pass. At
+   * corpus scale the exact percentile's per-group sorted buffer is the
+   * cost driver — the certified `percentile_approx` column is the
+   * scale path (fixed-size mergeable sketch buffers, like the HLL
+   * column in [[cardinalityReport]]), and this report proves on real
+   * data that swapping it in keeps rank error within `rankTol`.
+   */
+  def quantileReport(docs: DataFrame, ps: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      rankTol: Double = 0.05, acc: Int = 10000): DataFrame = {
+    val psSql = ps.mkString("array(", "D,", "D)")
+    val g = docs.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        expr(s"percentile(n_chars, $psSql)").as("ex"),
+        expr(s"percentile_approx(n_chars, $psSql, $acc)").as("ap"))
+    // Rank-certify: the sketch returns an actual data element, so the
+    // check is on the element's OCCUPIED RANK RANGE [lo, hi-1] (0-based,
+    // duplicates span a range), which must intersect the target band
+    // [p-rankTol, p+rankTol]*(n-1) widened to whole ranks (sub-element
+    // bands are meaningless). One extra narrow scan + broadcast join of
+    // the |sources|-row report — certification cost, not query cost.
+    val rankAggs = ps.indices.map { i =>
+      sum(when(col("n_chars") < col("ap").getItem(i), 1L)
+        .otherwise(0L)).as(s"lo_$i")
+    } ++ ps.indices.map { i =>
+      sum(when(col("n_chars") <= col("ap").getItem(i), 1L)
+        .otherwise(0L)).as(s"hi_$i")
+    }
+    val ranks = docs.select(col("source"), col("n_chars"))
+      .join(broadcast(g.select(col("source"), col("ap"))), Seq("source"))
+      .groupBy(col("source"))
+      .agg(rankAggs.head, rankAggs.tail: _*)
+    val okCols = ps.indices.map { i =>
+      val nm1 = (col("n_docs") - 1).cast("double")
+      (col(s"lo_$i").cast("double") <=
+        ceil(lit(math.min(1.0, ps(i) + rankTol)) * nm1)) &&
+      ((col(s"hi_$i") - 1).cast("double") >=
+        floor(lit(math.max(0.0, ps(i) - rankTol)) * nm1))
+    }
+    g.join(ranks, Seq("source"))
+      .select(col("source") +: col("n_docs") +:
+        ps.indices.map(i => round(col("ex").getItem(i), 6)
+          .as(s"p${(ps(i) * 100).round}")) :+
+        okCols.reduce(_ && _).cast("int").as("approx_ok"): _*)
+  }
+
+  /**
    * Near-duplicate pairs via banded MinHash LSH + exact-Jaccard verify.
    *
    * Pipeline: shingle -> `numHashes` minhashes -> `bands` band keys ->

@@ -1361,6 +1361,19 @@ object QueryDefs {
           |  CAST(1 AS INT) AS approx_ok
           |FROM documents GROUP BY source""".stripMargin)),
 
+    // Quantile sketch certification: exact interpolated percentiles are
+    // the oracle-pinned columns; approx_ok certifies the GK sketch's
+    // rank error on the same scan (the 100 TB percentile path).
+    ("quantile_report", (s: SparkSession, dir: String) =>
+      TextOps.quantileReport(t(s, dir, "documents")),
+      Some(
+        """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |  round(quantile_cont(n_chars, 0.5), 6) AS p50,
+          |  round(quantile_cont(n_chars, 0.9), 6) AS p90,
+          |  round(quantile_cont(n_chars, 0.99), 6) AS p99,
+          |  CAST(1 AS INT) AS approx_ok
+          |FROM documents GROUP BY source""".stripMargin)),
+
     // Count-min sketch: oracle replays the exact md5-hex sketch positions
     // (portable), so the probabilistic counter is hash-checked end-to-end.
     ("cms_heavy_hitters", (s: SparkSession, dir: String) =>
@@ -2850,6 +2863,41 @@ object QueryDefs {
           |  CAST(count(*) AS BIGINT) AS n_active
           |FROM ud u JOIN fd f USING (user_id)
           |GROUP BY 1, 2""".stripMargin)),
+
+    // Ordered funnel: earliest view -> first later click -> first later
+    // purchase per user; exact epoch-nanos gap sums (no rounding).
+    ("events_funnel", (s: SparkSession, dir: String) =>
+      // DuckDB timestamps are µs-precision, so compare gaps in µs (the
+      // events_asof convention).
+      EventOps.funnel(EventOps.readEvents(s, dir)
+        .withColumn("ts", expr("ts div 1000")),
+        Seq("view", "click", "purchase"))
+        .withColumnRenamed("sum_gap_ns", "sum_gap_us"),
+      Some(
+        """WITH e AS (
+          |  SELECT user_id, epoch_us(ts) AS ts, event_type FROM events),
+          |s1 AS (
+          |  SELECT user_id, min(ts) AS t FROM e
+          |  WHERE event_type = 'view' GROUP BY user_id),
+          |s2 AS (
+          |  SELECT e.user_id, s1.t AS tp, min(e.ts) AS t
+          |  FROM e JOIN s1 USING (user_id)
+          |  WHERE e.event_type = 'click' AND e.ts > s1.t
+          |  GROUP BY e.user_id, s1.t),
+          |s3 AS (
+          |  SELECT e.user_id, s2.t AS tp, min(e.ts) AS t
+          |  FROM e JOIN s2 USING (user_id)
+          |  WHERE e.event_type = 'purchase' AND e.ts > s2.t
+          |  GROUP BY e.user_id, s2.t)
+          |SELECT CAST(1 AS INT) AS step, 'view' AS event_type,
+          |  CAST(count(*) AS BIGINT) AS n_users,
+          |  CAST(0 AS BIGINT) AS sum_gap_us FROM s1
+          |UNION ALL
+          |SELECT CAST(2 AS INT), 'click', CAST(count(*) AS BIGINT),
+          |  CAST(coalesce(sum(t - tp), 0) AS BIGINT) FROM s2
+          |UNION ALL
+          |SELECT CAST(3 AS INT), 'purchase', CAST(count(*) AS BIGINT),
+          |  CAST(coalesce(sum(t - tp), 0) AS BIGINT) FROM s3""".stripMargin)),
 
     ("events_sessions", (s: SparkSession, dir: String) =>
       EventOps.sessionize(EventOps.readEvents(s, dir)),

@@ -12,7 +12,7 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
 
     def audit(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
       val plan = df.queryExecution.executedPlan.toString
@@ -21,6 +21,15 @@ object PlanAudit {
       val bcasts = "BroadcastExchange".r.findAllIn(plan).length
       val wsc = "WholeStageCodegen".r.findAllIn(plan).length
       println(f"$name%-24s shuffles=$shuffles bcast=$bcasts codegenSpans=$wsc")
+    }
+
+    // Generic mode: `runMain graft.tools.PlanAudit q1,q2[ sfDir]` audits
+    // the named registry queries instead of the fixed battery.
+    if (args.nonEmpty) {
+      args(0).split(",").map(_.trim).filter(_.nonEmpty).foreach { n =>
+        audit(n, graft.SparkEntry.queries(n)(spark, dir))
+      }
+      spark.stop(); return
     }
 
     // describe over a parquet-backed corpus: must read only metadata

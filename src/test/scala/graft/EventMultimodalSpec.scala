@@ -63,6 +63,25 @@ class EventMultimodalSpec extends SparkSpec {
     assert(!out.contains((0L, 2L))) // nobody from cohort 0 on day 2
   }
 
+  test("funnel orders steps strictly and sums conversion gaps") {
+    val out = EventOps.funnel(events, Seq("click", "purchase")).collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // user 1: click@0 -> purchase@10m; user 2: click@20m -> purchase@30m
+    // (the 5m purchase precedes the click, so it must not count)
+    assert(out(1) === (("click", 2L, 0L)))
+    assert(out(2) === (("purchase", 2L, 20 * m)))
+  }
+
+  test("funnel emits empty downstream steps as zero rows, not missing") {
+    val out = EventOps.funnel(events, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // only user 1 views (at 55m, after every click) -> funnel dies there
+    assert(out(1) === ((1L, 0L)))
+    assert(out(2) === ((0L, 0L)))
+    assert(out(3) === ((0L, 0L)))
+  }
+
   test("cubeRollup includes slices and the grand total") {
     val out = EventOps.cubeRollup(events).collect()
       .map(r => (Option(r.get(0)), Option(r.get(1))) -> r.getLong(2)).toMap

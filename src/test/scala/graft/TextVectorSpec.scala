@@ -282,6 +282,19 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("quantileReport interpolates exact percentiles and certifies GK") {
+    val fixture = (1 to 5).map(i => (i.toLong, s"d$i", "s0", i.toLong))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val r = TextOps.quantileReport(fixture).collect()(0)
+    assert(r.getAs[Long]("n_docs") === 5L)
+    // sorted [1..5]: p50 = element 2; p90 rank 3.6 -> 4 + 0.6*(5-4)
+    assert(r.getAs[Double]("p50") === 3.0)
+    assert(r.getAs[Double]("p90") === 4.6)
+    assert(r.getAs[Double]("p99") === 4.96)
+    // GK at accuracy 10000 is exact for 5 rows -> must certify
+    assert(r.getAs[Int]("approx_ok") === 1)
+  }
+
   test("dedupExactBest keeps the highest-scored copy, id tie-break") {
     val fixture = Seq(
       (0L, "same text", "s0", 5L),
