@@ -246,6 +246,36 @@ object VectorOps {
   }
 
   /**
+   * IVF index-balance report — the operational question behind every
+   * IVF / SemDeDup parameter choice: are the coarse cells BALANCED
+   * (cell size drives per-probe candidate cost and AQE skew risk) and
+   * how TIGHT are they (member->centroid cosine)? One row per cluster:
+   * member count, mean and worst member->centroid cosine (6dp).
+   *
+   * Centroids default to the deterministic first-`nCentroids` vectors
+   * (oracle-replayable); pass [[kmeansCentroids]] output as
+   * `centroidsDf` for the trained report. Scale shape: assignment is
+   * the map-side literal-codebook fold of [[assignClusters]]; the
+   * member->centroid rescore joins the tiny codebook by BROADCAST; the
+   * only shuffle moves (cluster, score) pairs into a
+   * nCentroids-row aggregation.
+   */
+  def clusterReport(emb: DataFrame, nCentroids: Int = 16,
+      centroidsDf: DataFrame = null): DataFrame = {
+    val cents = Option(centroidsDf).getOrElse(firstNCentroids(emb, nCentroids))
+    val assigned = assignClusters(emb, cents)
+    assigned
+      .join(broadcast(cents.select(
+        col("centroid_id").cast("long").as("cluster"), col("c_emb"))),
+        Seq("cluster"))
+      .select(col("cluster"), cosine6(col("embedding"), col("c_emb")).as("s"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).cast("long").as("n_vecs"),
+        round(avg(col("s")), 6).as("mean_cos"),
+        round(min(col("s")), 6).as("min_cos"))
+  }
+
+  /**
    * SemDeDup-style semantic deduplication (Abbas et al. 2023,
    * "SemDeDup: Data-efficient learning at web-scale through semantic
    * deduplication"): assign every vector to a coarse cluster, score

@@ -2354,6 +2354,42 @@ object QueryDefs {
           |  CAST(CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS is_kept
           |FROM assigned a LEFT JOIN removed r ON a.vec_id = r.vec_id""".stripMargin)),
 
+    // IVF index-balance report: per-cell member count + mean/worst
+    // member->centroid cosine — the cell-sizing evidence behind
+    // nCentroids/nProbes choices.
+    ("embed_cluster_report", (s: SparkSession, dir: String) =>
+      VectorOps.clusterReport(t(s, dir, "embeddings")),
+      Some(
+        """WITH e AS (
+          |  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings),
+          |cents AS (SELECT vec_id AS centroid_id, embedding AS c_emb
+          |  FROM e WHERE vec_id < 16),
+          |assigned AS (
+          |  SELECT vec_id, centroid_id AS cluster, s FROM (
+          |    SELECT e.vec_id, c.centroid_id,
+          |      round(
+          |        list_sum(list_transform(list_zip(e.embedding, c.c_emb),
+          |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+          |        (sqrt(list_sum(list_transform(e.embedding,
+          |           v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+          |         sqrt(list_sum(list_transform(c.c_emb,
+          |           v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS s,
+          |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |        round(
+          |          list_sum(list_transform(list_zip(e.embedding, c.c_emb),
+          |            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+          |          (sqrt(list_sum(list_transform(e.embedding,
+          |             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+          |           sqrt(list_sum(list_transform(c.c_emb,
+          |             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) DESC,
+          |        c.centroid_id ASC) AS rn
+          |    FROM e, cents c) WHERE rn = 1)
+          |SELECT CAST(cluster AS BIGINT) AS cluster,
+          |  CAST(count(*) AS BIGINT) AS n_vecs,
+          |  round(avg(s), 6) AS mean_cos,
+          |  round(min(s), 6) AS min_cos
+          |FROM assigned GROUP BY cluster""".stripMargin)),
+
     ("embed_ann_ivf", (s: SparkSession, dir: String) =>
       VectorOps.ivfTopK(t(s, dir, "embeddings"), nProbes = 16, k = 5),
       Some(

@@ -109,6 +109,21 @@ class TextVectorSpec extends SparkSpec {
     assert(rows.find(_._1 == 3).get._2 === 2L) // orthogonal last
   }
 
+  test("clusterReport sizes cells and scores member tightness") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0), // centroid 0
+      (1L, Array(0.0f, 1.0f), 1), // centroid 1
+      (2L, Array(1.0f, 0.0f), 0), // exact copy of c0
+      (3L, Array(0.6f, 0.8f), 1)  // cos c0=0.6, c1=0.8 -> cell 1
+    ).toDF("vec_id", "embedding", "label")
+    val out = VectorOps.clusterReport(emb, nCentroids = 2).collect()
+      .map(r => r.getAs[Long]("cluster") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Double]("mean_cos"),
+          r.getAs[Double]("min_cos"))).toMap
+    assert(out(0L) === ((2L, 1.0, 1.0)))
+    assert(out(1L) === ((2L, 0.9, 0.8)))
+  }
+
   test("ivfTopK assigns centroids to themselves and finds cluster members") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f), 0),   // centroid A
