@@ -223,6 +223,47 @@ object TextOps {
   }
 
   /**
+   * Corpus-level distribution divergence — the drift / mix-shift
+   * monitor: add-1-smoothed unigram distributions of two corpora over
+   * their JOINT vocabulary, reduced to KL(A||B), KL(B||A) and the
+   * bounded symmetric Jensen-Shannon divergence (natural log). One
+   * output row — run it between train snapshots, between a new crawl
+   * and the curated mix, or between sources, to quantify shift before
+   * it reaches training.
+   *
+   * Scale shape: each corpus contributes ONE token-count aggregation
+   * (explode + map-side-combined groupBy); everything after is
+   * VOCABULARY-sized — the full-outer vocab join, the 1-row totals
+   * broadcast back, and the final scalar reduction (the lmPerplexity
+   * family shape; nothing corpus-scale moves twice).
+   */
+  def corpusDivergence(a: DataFrame, b: DataFrame): DataFrame = {
+    def counts(df: DataFrame, nm: String) =
+      df.select(explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as(nm))
+    val joint = counts(a, "ca").join(counts(b, "cb"), Seq("tok"), "full_outer")
+      .select(coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val tot = joint.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+      count(lit(1)).as("v"))
+    val scored = joint.crossJoin(broadcast(tot))
+      .select(col("na"), col("nb"), col("v"),
+        ((col("ca") + 1).cast("double") /
+          (col("na") + col("v")).cast("double")).as("p"),
+        ((col("cb") + 1).cast("double") /
+          (col("nb") + col("v")).cast("double")).as("q"))
+      .withColumn("m", (col("p") + col("q")) / 2)
+    scored.agg(
+      max(col("na")).cast("long").as("n_a_tokens"),
+      max(col("nb")).cast("long").as("n_b_tokens"),
+      max(col("v")).cast("long").as("n_vocab"),
+      round(sum(col("p") * log(col("p") / col("q"))), 6).as("kl_ab"),
+      round(sum(col("q") * log(col("q") / col("p"))), 6).as("kl_ba"),
+      round(sum(lit(0.5) * col("p") * log(col("p") / col("m")) +
+        lit(0.5) * col("q") * log(col("q") / col("m"))), 6).as("js_div"))
+  }
+
+  /**
    * Near-duplicate pairs via banded MinHash LSH + exact-Jaccard verify.
    *
    * Pipeline: shingle -> `numHashes` minhashes -> `bands` band keys ->

@@ -1361,6 +1361,45 @@ object QueryDefs {
           |  CAST(1 AS INT) AS approx_ok
           |FROM documents GROUP BY source""".stripMargin)),
 
+    // Corpus divergence: KL/JS between the train and holdout splits'
+    // smoothed unigram distributions — the distribution-drift monitor.
+    ("corpus_divergence", (s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      TextOps.corpusDivergence(
+        docs.filter(col("doc_id") % 25 =!= 0),
+        docs.filter(col("doc_id") % 25 === 0))
+    },
+      Some(
+        """WITH ta AS (
+          |  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+          |      x -> x <> '')) AS tok
+          |  FROM documents WHERE doc_id % 25 <> 0),
+          |tb AS (
+          |  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+          |      x -> x <> '')) AS tok
+          |  FROM documents WHERE doc_id % 25 = 0),
+          |ca AS (SELECT tok, count(*) AS ca FROM ta GROUP BY tok),
+          |cb AS (SELECT tok, count(*) AS cb FROM tb GROUP BY tok),
+          |j AS (
+          |  SELECT coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb
+          |  FROM ca FULL OUTER JOIN cb USING (tok)),
+          |t AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS v FROM j),
+          |s AS (
+          |  SELECT t.na, t.nb, t.v,
+          |    (j.ca + 1.0) / (t.na + t.v) AS p,
+          |    (j.cb + 1.0) / (t.nb + t.v) AS q,
+          |    ((j.ca + 1.0) / (t.na + t.v) +
+          |     (j.cb + 1.0) / (t.nb + t.v)) / 2 AS m
+          |  FROM j CROSS JOIN t)
+          |SELECT CAST(max(na) AS BIGINT) AS n_a_tokens,
+          |  CAST(max(nb) AS BIGINT) AS n_b_tokens,
+          |  CAST(max(v) AS BIGINT) AS n_vocab,
+          |  round(sum(p * ln(p / q)), 6) AS kl_ab,
+          |  round(sum(q * ln(q / p)), 6) AS kl_ba,
+          |  round(sum(0.5 * p * ln(p / m) + 0.5 * q * ln(q / m)), 6)
+          |    AS js_div
+          |FROM s""".stripMargin)),
+
     // Quantile sketch certification: exact interpolated percentiles are
     // the oracle-pinned columns; approx_ok certifies the GK sketch's
     // rank error on the same scan (the 100 TB percentile path).

@@ -297,6 +297,24 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("corpusDivergence: zero for identical corpora, positive for shift") {
+    val a = Seq((0L, "x y z")).toDF("doc_id", "text")
+    val same = TextOps.corpusDivergence(a, a).collect()(0)
+    assert(same.getAs[Double]("kl_ab") === 0.0)
+    assert(same.getAs[Double]("kl_ba") === 0.0)
+    assert(same.getAs[Double]("js_div") === 0.0)
+    val b = Seq((1L, "x x x")).toDF("doc_id", "text")
+    val r = TextOps.corpusDivergence(a, b).collect()(0)
+    assert(r.getAs[Long]("n_a_tokens") === 3L)
+    assert(r.getAs[Long]("n_b_tokens") === 3L)
+    assert(r.getAs[Long]("n_vocab") === 3L)
+    assert(r.getAs[Double]("kl_ab") > 0.0)
+    assert(r.getAs[Double]("kl_ba") > 0.0)
+    // JS is symmetric and bounded by ln 2 in nats
+    assert(r.getAs[Double]("js_div") > 0.0 &&
+      r.getAs[Double]("js_div") <= math.log(2))
+  }
+
   test("quantileReport interpolates exact percentiles and certifies GK") {
     val fixture = (1 to 5).map(i => (i.toLong, s"d$i", "s0", i.toLong))
       .toDF("doc_id", "text", "source", "n_chars")
