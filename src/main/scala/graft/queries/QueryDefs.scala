@@ -2356,6 +2356,80 @@ object QueryDefs {
           |FROM scored
           |QUALIFY rnk <= 10""".stripMargin)),
 
+    // Vector-side composition proof (the embedding twin of
+    // pipeline_end_to_end): semantic dedup -> int8 quantization ->
+    // similarity search chained as ONE lazy plan — dim stats and the
+    // search corpus derive from the SURVIVOR set, so Catalyst pipelines
+    // dedup into quantization into search without materialization.
+    ("vector_pipeline_end_to_end", (s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      val kept = VectorOps.semanticDedup(emb, threshold = 0.3)
+        .filter(col("is_kept") === 1).select(col("vec_id"))
+      val survivors = emb.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding")).join(kept, Seq("vec_id"))
+      VectorOps.cosineTopKQuantized(survivors, nProbes = 8, k = 5)
+    },
+      Some(
+        """WITH e0 AS (
+          |  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings),
+          |cents AS (SELECT vec_id AS centroid_id, embedding AS c_emb
+          |  FROM e0 WHERE vec_id < 16),
+          |assigned AS (
+          |  SELECT vec_id, embedding, centroid_id AS cluster FROM (
+          |    SELECT e0.vec_id, e0.embedding, c.centroid_id,
+          |      row_number() OVER (PARTITION BY e0.vec_id ORDER BY
+          |        round(
+          |          list_sum(list_transform(list_zip(e0.embedding, c.c_emb),
+          |            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+          |          (sqrt(list_sum(list_transform(e0.embedding,
+          |             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+          |           sqrt(list_sum(list_transform(c.c_emb,
+          |             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) DESC,
+          |        c.centroid_id ASC) AS rn
+          |    FROM e0, cents c) WHERE rn = 1),
+          |removed AS (
+          |  SELECT DISTINCT b.vec_id FROM assigned a
+          |  JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          |  WHERE round(
+          |      list_sum(list_transform(list_zip(a.embedding, b.embedding),
+          |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+          |      (sqrt(list_sum(list_transform(a.embedding,
+          |         v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+          |       sqrt(list_sum(list_transform(b.embedding,
+          |         v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) >= 0.3),
+          |e AS (
+          |  SELECT a.vec_id, a.embedding FROM assigned a
+          |  LEFT JOIN removed r ON a.vec_id = r.vec_id
+          |  WHERE r.vec_id IS NULL),
+          |d AS (
+          |  SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS lo,
+          |    max(CAST(embedding[i] AS DOUBLE)) AS hi
+          |  FROM e, range(1, 65) t(i) GROUP BY i),
+          |s AS (SELECT list(lo ORDER BY i) AS mins, list(hi ORDER BY i) AS maxs
+          |  FROM d),
+          |dq AS (
+          |  SELECT vec_id,
+          |    list_transform(range(1, 65), i -> CASE
+          |      WHEN s.maxs[i] = s.mins[i] THEN s.mins[i]
+          |      ELSE s.mins[i] + round((CAST(embedding[i] AS DOUBLE) - s.mins[i])
+          |        / (s.maxs[i] - s.mins[i]) * 255) / 255 * (s.maxs[i] - s.mins[i])
+          |      END) AS dv
+          |  FROM e CROSS JOIN s),
+          |scored AS (
+          |  SELECT p.vec_id AS probe_id, e2.vec_id AS neighbor_id,
+          |    round(list_sum(list_transform(list_zip(p.dv, e2.dv),
+          |        x -> x[1] * x[2])) /
+          |      (sqrt(list_sum(list_transform(p.dv, a -> a * a))) *
+          |       sqrt(list_sum(list_transform(e2.dv, a -> a * a)))), 6) AS score
+          |  FROM dq p JOIN dq e2 ON e2.vec_id <> p.vec_id
+          |  WHERE p.vec_id < 8)
+          |SELECT probe_id,
+          |  CAST(row_number() OVER (PARTITION BY probe_id
+          |    ORDER BY score DESC, neighbor_id ASC) AS INT) AS rnk,
+          |  neighbor_id, score
+          |FROM scored
+          |QUALIFY rnk <= 5""".stripMargin)),
+
     // SemDeDup: coarse clusters (deterministic codebook), in-cluster
     // cosine pairs, drop the higher id of every pair above threshold
     ("semantic_dedup", (s: SparkSession, dir: String) =>
