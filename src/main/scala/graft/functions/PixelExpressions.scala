@@ -138,6 +138,59 @@ case class PixelSum(pixels: Expression) extends Expression {
     copy(pixels = newChildren(0))
 }
 
+/** Count of plane pixels >= a threshold, as a long — the saturation /
+  * clipping detector behind the QC report. Same rationale as
+  * [[PixelSum]]: `size(filter(pixels, _ >= t))` pays an interpreted
+  * lambda + boxed Integer per pixel; this is one tight int loop in
+  * both the codegen and interpreted paths. */
+case class PixelCountGe(pixels: Expression, threshold: Expression)
+  extends Expression {
+
+  override def children: Seq[Expression] = Seq(pixels, threshold)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def checkInputDataTypes(): TypeCheckResult = InputCheck.check(
+    Seq((pixels, ArrayType(IntegerType), "pixels"),
+      (threshold, IntegerType, "threshold")), "graft_pixel_count_ge")
+
+  override def eval(input: InternalRow): Any = {
+    val pxAny = pixels.eval(input)
+    if (pxAny == null) return null
+    val tAny = threshold.eval(input)
+    if (tAny == null) return null
+    val px = pxAny.asInstanceOf[ArrayData]
+    val t = tAny.asInstanceOf[Int]
+    var n = 0L
+    var i = 0
+    val len = px.numElements()
+    while (i < len) { if (px.getInt(i) >= t) n += 1; i += 1 }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pxG = pixels.genCode(ctx); val tG = threshold.genCode(ctx)
+    val i = ctx.freshName("i")
+    val code =
+      code"""
+        ${pxG.code}
+        ${tG.code}
+        boolean ${ev.isNull} = ${pxG.isNull} || ${tG.isNull};
+        long ${ev.value} = 0L;
+        if (!${ev.isNull}) {
+          for (int $i = 0; $i < ${pxG.value}.numElements(); $i++) {
+            if (${pxG.value}.getInt($i) >= ${tG.value}) ${ev.value}++;
+          }
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(pixels = newChildren(0), threshold = newChildren(1))
+}
+
 /** Closed-form synthetic plane: out[p] = (base + p) % 65536 for p in
   * [0, n) — the pixel formula behind `Fixtures.syntheticImages`. As a
   * column formulation (`transform(sequence(...))`) the corpus generator

@@ -65,7 +65,8 @@ package object functions {
       PlaneStackFold(exprs(0), how)
     }),
     "graft_synth_ramp" -> (exprs => SynthRampPixels(exprs(0), exprs(1))),
-    "graft_pixel_sum" -> (exprs => PixelSum(exprs(0))))
+    "graft_pixel_sum" -> (exprs => PixelSum(exprs(0))),
+    "graft_pixel_count_ge" -> (exprs => PixelCountGe(exprs(0), exprs(1))))
 
   /** Materialize a foldable ARRAY<STRING> argument (the inlined BPE
     * merge list) at expression-build time. */
@@ -176,4 +177,8 @@ package object functions {
     * `aggregate(pixels, 0L, _+_)` fold, without per-element boxing). */
   def pixel_sum(pixels: Column): Column =
     call_function("graft_pixel_sum", pixels)
+
+  /** Native count of plane pixels >= threshold (saturation detector). */
+  def pixel_count_ge(pixels: Column, threshold: Column): Column =
+    call_function("graft_pixel_count_ge", pixels, threshold)
 }

@@ -120,6 +120,36 @@ object OmeOps {
   }
 
   /**
+   * Acquisition QC report — the microscopy triage pass: per
+   * (image, channel), plane count, intensity range, mean, and the
+   * SATURATION fraction (pixels at or above `satLevel` — clipped
+   * detectors, blown exposures). One row per (image_id, c).
+   *
+   * Scale shape: explode is a narrow generator; min/max/sum/count-ge
+   * are per-plane native or codegen'd built-ins (no per-pixel lambdas);
+   * the single shuffle moves (image_id, c)-keyed scalar partials. Both
+   * ratios divide exact longs, so results are engine-portable.
+   */
+  def qcReport(df: DataFrame, satLevel: Int = 65535,
+      column: String = OmeSchema.DefaultColumn): DataFrame = {
+    graft.functions.ensureRegistered(df.sparkSession)
+    explodePlanes(df, column)
+      .groupBy(col("image_id"), col("c").cast("int").as("c"))
+      .agg(count(lit(1)).cast("long").as("n_planes"),
+        min(array_min(col("pixels"))).as("px_min"),
+        max(array_max(col("pixels"))).as("px_max"),
+        sum(graft.functions.pixel_sum(col("pixels"))).as("sum_v"),
+        sum(size(col("pixels")).cast("long")).as("npx"),
+        sum(graft.functions.pixel_count_ge(col("pixels"), lit(satLevel)))
+          .as("n_sat"))
+      .select(col("image_id"), col("c"), col("n_planes"),
+        col("px_min"), col("px_max"),
+        round(col("sum_v").cast("double") / col("npx"), 6).as("mean_v"),
+        round(col("n_sat").cast("double") / col("npx"), 6).as("sat_frac"),
+        col("npx").cast("long").as("n_px"))
+  }
+
+  /**
    * The reference's one relational transform: crop + T/C/Z selection
    * (transform.py:14-182), re-expressed as a single Catalyst expression
    * tree over the nested column — no explode, no shuffle, no UDF.

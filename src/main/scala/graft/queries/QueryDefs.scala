@@ -122,6 +122,22 @@ object QueryDefs {
            |  CAST(count(*) AS INT) AS n_px, CAST(sum(v) AS BIGINT) AS px_sum
            |FROM px WHERE t = 1 AND c = 1 AND z = 1 GROUP BY img""".stripMargin)),
 
+    // Acquisition QC: per (image, channel) intensity range/mean and the
+    // saturation fraction (native pixel_count_ge kernel; satLevel 150
+    // clips the synthetic ramp's upper tail so the fraction is nonzero).
+    ("ome_qc_report", (s: SparkSession, _: String) =>
+      OmeOps.qcReport(Fixtures.corpus4d(s), satLevel = 150),
+      Some(
+        s"""WITH $px4d
+           |SELECT $id4d AS image_id, CAST(c AS INT) AS c,
+           |  CAST(count(*) // 64 AS BIGINT) AS n_planes,
+           |  CAST(min(v) AS INT) AS px_min, CAST(max(v) AS INT) AS px_max,
+           |  round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_v,
+           |  round(CAST(sum(CASE WHEN v >= 150 THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / count(*), 6) AS sat_frac,
+           |  CAST(count(*) AS BIGINT) AS n_px
+           |FROM px GROUP BY img, c""".stripMargin)),
+
     ("ome_slice_crop", (s: SparkSession, _: String) =>
       planeStatsRows(OmeOps.sliceOmeArrow(Fixtures.corpus4d(s),
         xMin = 2, xMax = 6, yMin = 1, yMax = 7, tIndices = Some(Seq(1)))),

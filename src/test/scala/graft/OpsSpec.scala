@@ -43,6 +43,29 @@ class OpsSpec extends SparkSpec {
     assert(df.filter(not(col("a") <=> col("b"))).count() === 0)
   }
 
+  test("graft_pixel_count_ge matches the filtered-size fold") {
+    graft.functions.ensureRegistered(spark)
+    val df = spark.range(20).select(
+      graft.functions.synth_ramp(col("id") * 65000L, lit(50)).as("px"))
+      .select(
+        graft.functions.pixel_count_ge(col("px"), lit(30000)).as("a"),
+        size(filter(col("px"), v => v >= 30000)).cast("long").as("b"))
+    assert(df.filter(not(col("a") <=> col("b"))).count() === 0)
+  }
+
+  test("qcReport flags saturation above the level, exact means") {
+    // one image, 1x1x1 of 2x2: pixels 0,1,2,3 (img 0 => base 0)
+    val img = Fixtures.syntheticImages(spark, 1, t = 1, c = 1, z = 1,
+      sy = 2, sx = 2)
+    val r = OmeOps.qcReport(img, satLevel = 2).collect()(0)
+    assert(r.getAs[Long]("n_planes") === 1L)
+    assert(r.getAs[Int]("px_min") === 0)
+    assert(r.getAs[Int]("px_max") === 3)
+    assert(r.getAs[Double]("mean_v") === 1.5)
+    assert(r.getAs[Double]("sat_frac") === 0.5) // pixels 2 and 3 of 4
+    assert(r.getAs[Long]("n_px") === 4L)
+  }
+
   test("downscale2x keeps size-1 axes without nulls") {
     val thin = Fixtures.syntheticImages(spark, 1, t = 1, c = 1, z = 1, sy = 4, sx = 1)
     val px = OmeOps.downscale2x(thin)
