@@ -276,6 +276,36 @@ object VectorOps {
   }
 
   /**
+   * Structural certification of [[clusterReport]] over TRAINED k-means
+   * centroids (no SQL oracle can replay the training — the
+   * [[ivfTrainedCheck]] all-zeros pattern): cell membership must cover
+   * the corpus exactly, cluster ids must come from the codebook, cells
+   * must be unique, and every cell's stats must be internally
+   * consistent (n_vecs >= 1, -1 <= min_cos <= mean_cos <= 1 — both
+   * 6dp-rounded, and rounding is monotone so min <= mean survives it).
+   * Returns one row of violation counts; all zeros = certified.
+   */
+  def clusterReportTrainedCheck(emb: DataFrame, nCentroids: Int = 16,
+      maxIter: Int = 10, seed: Long = 7L): DataFrame = {
+    val rep = clusterReport(emb, nCentroids,
+      kmeansCentroids(emb, nCentroids, maxIter, seed))
+    rep.agg(
+      coalesce(sum(when(col("n_vecs") <= 0 ||
+        col("min_cos") > col("mean_cos") ||
+        col("mean_cos") > 1.0 || col("min_cos") < -1.0, 1L)
+        .otherwise(0L)), lit(0L)).cast("long").as("bad_cells"),
+      coalesce(sum(when(col("cluster") < 0 ||
+        col("cluster") >= nCentroids, 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("bad_cluster_id"),
+      (count(lit(1)) - countDistinct(col("cluster"))).cast("long")
+        .as("dup_cells"),
+      coalesce(sum(col("n_vecs")), lit(0L)).as("n_members"))
+      .crossJoin(emb.agg(count(lit(1)).as("n_emb")))
+      .select(col("bad_cells"), col("bad_cluster_id"), col("dup_cells"),
+        (col("n_emb") - col("n_members")).cast("long").as("missing_members"))
+  }
+
+  /**
    * SemDeDup-style semantic deduplication (Abbas et al. 2023,
    * "SemDeDup: Data-efficient learning at web-scale through semantic
    * deduplication"): assign every vector to a coarse cluster, score

@@ -2639,6 +2639,17 @@ object QueryDefs {
           |  CAST(0 AS BIGINT) AS dup_pairs, CAST(0 AS BIGINT) AS dup_assign,
           |  CAST(0 AS BIGINT) AS missing_assign""".stripMargin)),
 
+    // Trained cluster report: k-means training is not SQL-replicable, so
+    // certify the TRAINED report's invariants (coverage, id domain, cell
+    // uniqueness, stat consistency) via the all-zeros pattern.
+    ("embed_cluster_report_trained_check", (s: SparkSession, dir: String) =>
+      VectorOps.clusterReportTrainedCheck(t(s, dir, "embeddings")),
+      Some(
+        """SELECT CAST(0 AS BIGINT) AS bad_cells,
+          |  CAST(0 AS BIGINT) AS bad_cluster_id,
+          |  CAST(0 AS BIGINT) AS dup_cells,
+          |  CAST(0 AS BIGINT) AS missing_members""".stripMargin)),
+
     // ============ streaming structural checks ============
     // The all-zeros-invariants pattern applied to Structured Streaming:
     // each check RUNS the stream to completion (AvailableNow trigger,
