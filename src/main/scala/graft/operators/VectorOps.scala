@@ -246,6 +246,31 @@ object VectorOps {
   }
 
   /**
+   * Embedding-norm sanity report — the vector-side intake QC: per
+   * label, vector count, ZERO-NORM count (the degenerate rows that
+   * make cosine NaN — the exact failure [[assignClusters]] guards its
+   * codebook against), and min/mean/max L2 norm (un-normalized
+   * corpora, scale drift between embedding-model versions). Norms ride
+   * the native l2_sq kernel against a zero literal (sequential
+   * accumulation — bit-identical to a serial oracle), so the report is
+   * one narrow projection + one label-keyed aggregation.
+   */
+  def normReport(emb: DataFrame, dim: Int = 64): DataFrame = {
+    graft.functions.ensureRegistered(emb.sparkSession)
+    val zeros = array((0 until dim).map(_ => lit(0.0f)): _*)
+    emb.select(col("label"),
+      round(sqrt(graft.functions.l2_sq(col("embedding"), zeros)), 6)
+        .as("nrm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).cast("long").as("n_vecs"),
+        coalesce(sum(when(col("nrm") === 0.0, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("n_zero"),
+        round(min(col("nrm")), 6).as("min_norm"),
+        round(max(col("nrm")), 6).as("max_norm"),
+        round(avg(col("nrm")), 6).as("mean_norm"))
+  }
+
+  /**
    * IVF index-balance report — the operational question behind every
    * IVF / SemDeDup parameter choice: are the coarse cells BALANCED
    * (cell size drives per-probe candidate cost and AQE skew risk) and

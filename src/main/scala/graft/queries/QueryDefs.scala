@@ -2483,6 +2483,22 @@ object QueryDefs {
           |  CAST(CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS is_kept
           |FROM assigned a LEFT JOIN removed r ON a.vec_id = r.vec_id""".stripMargin)),
 
+    // Embedding-norm sanity: per-label zero-norm counts + L2 norm range
+    // (the intake QC behind the assignClusters zero-norm guard).
+    ("embed_norm_report", (s: SparkSession, dir: String) =>
+      VectorOps.normReport(t(s, dir, "embeddings")),
+      Some(
+        """WITH n AS (
+          |  SELECT label, round(sqrt(list_sum(list_transform(embedding,
+          |    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))), 6) AS nrm
+          |  FROM embeddings)
+          |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+          |  CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_zero,
+          |  round(min(nrm), 6) AS min_norm, round(max(nrm), 6) AS max_norm,
+          |  round(avg(nrm), 6) AS mean_norm
+          |FROM n GROUP BY label""".stripMargin)),
+
     // IVF index-balance report: per-cell member count + mean/worst
     // member->centroid cosine — the cell-sizing evidence behind
     // nCentroids/nProbes choices.

@@ -109,6 +109,22 @@ class TextVectorSpec extends SparkSpec {
     assert(rows.find(_._1 == 3).get._2 === 2L) // orthogonal last
   }
 
+  test("normReport counts zero-norm vectors and exact norms") {
+    val emb = Seq(
+      (0L, Array(3.0f, 4.0f), 0),
+      (1L, Array(0.0f, 0.0f), 0), // the NaN-cosine degenerate
+      (2L, Array(1.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = VectorOps.normReport(emb, dim = 2).collect()
+      .map(r => r.getAs[Int]("label") -> r).toMap
+    assert(out(0).getAs[Long]("n_vecs") === 2L)
+    assert(out(0).getAs[Long]("n_zero") === 1L)
+    assert(out(0).getAs[Double]("max_norm") === 5.0)
+    assert(out(0).getAs[Double]("mean_norm") === 2.5)
+    assert(out(1).getAs[Long]("n_zero") === 0L)
+    assert(out(1).getAs[Double]("min_norm") === 1.0)
+  }
+
   test("clusterReport sizes cells and scores member tightness") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f), 0), // centroid 0
