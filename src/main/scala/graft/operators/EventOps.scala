@@ -111,6 +111,10 @@ object EventOps {
    * completion. One row per step: users reaching it and the total
    * nanoseconds spent converting from the previous step (0 for step 1).
    *
+   * `maxGap > 0` bounds each conversion: step i only counts within
+   * `maxGap` time units of the step i-1 completion (the "converted
+   * within 7 days" form); 0 = unbounded.
+   *
    * Scale shape: each step is a filtered projection of
    * (user_id, ts, event_type) reduced to a per-user min BEFORE any
    * join (user-keyed aggregation, map-side partials); the step-i join
@@ -118,7 +122,8 @@ object EventOps {
    * event x event. All arithmetic is exact epoch-nanos longs, so the
    * result is engine-portable with no rounding caveats.
    */
-  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+  def funnel(events: DataFrame, steps: Seq[String],
+      maxGap: Long = 0L): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val ev = events.select(col("user_id"), col("ts"), col("event_type"))
     val first = ev.filter(col("event_type") === steps.head)
@@ -126,9 +131,13 @@ object EventOps {
       .withColumn("gap_ns", lit(0L))
     val frames = steps.tail.foldLeft(Vector(first)) { (acc, st) =>
       val prev = acc.last.select(col("user_id"), col("t").as("t_prev"))
+      val inWindow =
+        if (maxGap > 0L) col("ts") > col("t_prev") &&
+          col("ts") <= col("t_prev") + maxGap
+        else col("ts") > col("t_prev")
       acc :+ ev.filter(col("event_type") === st)
         .join(prev, Seq("user_id"))
-        .filter(col("ts") > col("t_prev"))
+        .filter(inWindow)
         .groupBy(col("user_id"), col("t_prev"))
         .agg(min(col("ts")).as("t"))
         .withColumn("gap_ns", col("t") - col("t_prev"))

@@ -253,14 +253,26 @@ object TextOps {
         ((col("cb") + 1).cast("double") /
           (col("nb") + col("v")).cast("double")).as("q"))
       .withColumn("m", (col("p") + col("q")) / 2)
+      // Each per-token divergence term is rounded into NANO-unit longs
+      // before summing: long sums are order-independent, so the result
+      // cannot flip its 6dp rounding with partition order (see
+      // clusterReport) — and a 1-ulp libm disagreement on ln shifts a
+      // term by at most one nano, far inside the 6dp output rounding.
+      .select(col("na"), col("nb"), col("v"),
+        round((col("p") * log(col("p") / col("q"))) * 1e9, 0).cast("long")
+          .as("t_ab"),
+        round((col("q") * log(col("q") / col("p"))) * 1e9, 0).cast("long")
+          .as("t_ba"),
+        round((lit(0.5) * col("p") * log(col("p") / col("m")) +
+          lit(0.5) * col("q") * log(col("q") / col("m"))) * 1e9, 0)
+          .cast("long").as("t_js"))
     scored.agg(
       max(col("na")).cast("long").as("n_a_tokens"),
       max(col("nb")).cast("long").as("n_b_tokens"),
       max(col("v")).cast("long").as("n_vocab"),
-      round(sum(col("p") * log(col("p") / col("q"))), 6).as("kl_ab"),
-      round(sum(col("q") * log(col("q") / col("p"))), 6).as("kl_ba"),
-      round(sum(lit(0.5) * col("p") * log(col("p") / col("m")) +
-        lit(0.5) * col("q") * log(col("q") / col("m"))), 6).as("js_div"))
+      round(sum(col("t_ab")).cast("double") / 1e9, 6).as("kl_ab"),
+      round(sum(col("t_ba")).cast("double") / 1e9, 6).as("kl_ba"),
+      round(sum(col("t_js")).cast("double") / 1e9, 6).as("js_div"))
   }
 
   /**

@@ -261,13 +261,21 @@ object VectorOps {
     emb.select(col("label"),
       round(sqrt(graft.functions.l2_sq(col("embedding"), zeros)), 6)
         .as("nrm"))
+      // order-independent mean: 6dp norms are exact micro-unit longs
+      // (see clusterReport — avg over doubles is sum-order sensitive at
+      // the rounding boundary)
+      .withColumn("micro", round(col("nrm") * 1e6, 0).cast("long"))
       .groupBy(col("label"))
       .agg(count(lit(1)).cast("long").as("n_vecs"),
         coalesce(sum(when(col("nrm") === 0.0, 1L).otherwise(0L)), lit(0L))
           .cast("long").as("n_zero"),
         round(min(col("nrm")), 6).as("min_norm"),
         round(max(col("nrm")), 6).as("max_norm"),
-        round(avg(col("nrm")), 6).as("mean_norm"))
+        sum(col("micro")).as("sum_micro"))
+      .select(col("label"), col("n_vecs"), col("n_zero"),
+        col("min_norm"), col("max_norm"),
+        round(col("sum_micro").cast("double") / col("n_vecs") / 1e6, 6)
+          .as("mean_norm"))
   }
 
   /**
@@ -294,10 +302,20 @@ object VectorOps {
         col("centroid_id").cast("long").as("cluster"), col("c_emb"))),
         Seq("cluster"))
       .select(col("cluster"), cosine6(col("embedding"), col("c_emb")).as("s"))
+      // The mean must be ORDER-INDEPENDENT to hash-match an external
+      // oracle: averaging doubles directly leaves the last ulp at the
+      // mercy of partition sum order, and one boundary-straddling cell
+      // flips the 6dp rounding (observed). The 6dp scores are exact in
+      // micro-units, so sum LONGS and divide once.
+      .withColumn("micro", round(col("s") * 1e6, 0).cast("long"))
       .groupBy(col("cluster"))
       .agg(count(lit(1)).cast("long").as("n_vecs"),
-        round(avg(col("s")), 6).as("mean_cos"),
+        sum(col("micro")).as("sum_micro"),
         round(min(col("s")), 6).as("min_cos"))
+      .select(col("cluster"), col("n_vecs"),
+        round(col("sum_micro").cast("double") / col("n_vecs") / 1e6, 6)
+          .as("mean_cos"),
+        col("min_cos"))
   }
 
   /**

@@ -1410,10 +1410,13 @@ object QueryDefs {
           |SELECT CAST(max(na) AS BIGINT) AS n_a_tokens,
           |  CAST(max(nb) AS BIGINT) AS n_b_tokens,
           |  CAST(max(v) AS BIGINT) AS n_vocab,
-          |  round(sum(p * ln(p / q)), 6) AS kl_ab,
-          |  round(sum(q * ln(q / p)), 6) AS kl_ba,
-          |  round(sum(0.5 * p * ln(p / m) + 0.5 * q * ln(q / m)), 6)
-          |    AS js_div
+          |  round(CAST(sum(CAST(round(p * ln(p / q) * 1000000000)
+          |    AS BIGINT)) AS DOUBLE) / 1000000000, 6) AS kl_ab,
+          |  round(CAST(sum(CAST(round(q * ln(q / p) * 1000000000)
+          |    AS BIGINT)) AS DOUBLE) / 1000000000, 6) AS kl_ba,
+          |  round(CAST(sum(CAST(round((0.5 * p * ln(p / m) +
+          |    0.5 * q * ln(q / m)) * 1000000000) AS BIGINT)) AS DOUBLE)
+          |    / 1000000000, 6) AS js_div
           |FROM s""".stripMargin)),
 
     // Quantile sketch certification: exact interpolated percentiles are
@@ -2496,7 +2499,8 @@ object QueryDefs {
           |  CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
           |    AS n_zero,
           |  round(min(nrm), 6) AS min_norm, round(max(nrm), 6) AS max_norm,
-          |  round(avg(nrm), 6) AS mean_norm
+          |  round(CAST(sum(CAST(round(nrm * 1000000) AS BIGINT)) AS DOUBLE)
+          |    / count(*) / 1000000, 6) AS mean_norm
           |FROM n GROUP BY label""".stripMargin)),
 
     // IVF index-balance report: per-cell member count + mean/worst
@@ -2531,7 +2535,8 @@ object QueryDefs {
           |    FROM e, cents c) WHERE rn = 1)
           |SELECT CAST(cluster AS BIGINT) AS cluster,
           |  CAST(count(*) AS BIGINT) AS n_vecs,
-          |  round(avg(s), 6) AS mean_cos,
+          |  round(CAST(sum(CAST(round(s * 1000000) AS BIGINT)) AS DOUBLE)
+          |    / count(*) / 1000000, 6) AS mean_cos,
           |  round(min(s), 6) AS min_cos
           |FROM assigned GROUP BY cluster""".stripMargin)),
 

@@ -73,6 +73,18 @@ class EventMultimodalSpec extends SparkSpec {
     assert(out(2) === (("purchase", 2L, 20 * m)))
   }
 
+  test("funnel maxGap bounds the conversion window") {
+    // user 1 converts in 10m, user 2 in 10m; a 5m window drops both,
+    // a 15m window keeps both
+    val tight = EventOps.funnel(events, Seq("click", "purchase"), 5 * m)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(tight(1) === 2L)
+    assert(tight(2) === 0L)
+    val wide = EventOps.funnel(events, Seq("click", "purchase"), 15 * m)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(wide(2) === 2L)
+  }
+
   test("funnel emits empty downstream steps as zero rows, not missing") {
     val out = EventOps.funnel(events, Seq("view", "click", "purchase"))
       .collect().map(r => r.getInt(0) -> (r.getLong(2), r.getLong(3))).toMap
