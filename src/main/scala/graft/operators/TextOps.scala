@@ -1715,8 +1715,13 @@ object TextOps {
     lmScoreEvents(bigramEventRows(docs), c2, c1, vocab, k)
       .select(col("doc_id"), col("nll"))
       .groupBy(col("doc_id"))
+      // order-independent mean: nano-unit long sum (SCALE.md lesson 11;
+      // the streaming scorer aggregates identically)
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
-        round(avg(col("nll")), 6).as("avg_nll"))
+        sum(round(col("nll") * 1e9, 0).cast("long")).as("sum_nano"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sum_nano").cast("double") / col("n_bigrams") / 1e9, 6)
+          .as("avg_nll"))
       .withColumn("ppl", round(exp(col("avg_nll")), 2))
   }
 
@@ -1794,7 +1799,11 @@ object TextOps {
       .crossJoin(broadcast(tt)).crossJoin(broadcast(tr))
       .select(col("doc_id"), logRatio.as("lr"))
       .groupBy(col("doc_id"))
+      // order-independent mean: nano-unit long sum (SCALE.md lesson 11)
       .agg(count(lit(1)).cast("long").as("n_feats"),
-        round(avg(col("lr")), 6).as("avg_log_ratio"))
+        sum(round(col("lr") * 1e9, 0).cast("long")).as("sum_nano"))
+      .select(col("doc_id"), col("n_feats"),
+        round(col("sum_nano").cast("double") / col("n_feats") / 1e9, 6)
+          .as("avg_log_ratio"))
   }
 }

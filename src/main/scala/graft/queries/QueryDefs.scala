@@ -1676,8 +1676,10 @@ object QueryDefs {
           |  CROSS JOIN v)
           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
           |  CAST(count(*) AS BIGINT) AS n_bigrams,
-          |  round(avg(nll), 6) AS avg_nll,
-          |  round(exp(round(avg(nll), 6)), 2) AS ppl
+          |  round(CAST(sum(CAST(round(nll * 1000000000) AS BIGINT)) AS DOUBLE)
+          |    / count(*) / 1000000000, 6) AS avg_nll,
+          |  round(exp(round(CAST(sum(CAST(round(nll * 1000000000) AS BIGINT))
+          |    AS DOUBLE) / count(*) / 1000000000, 6)), 2) AS ppl
           |FROM sc GROUP BY doc_id""".stripMargin)),
 
     // The real CCNet configuration: train the LM on a curated reference
@@ -1710,8 +1712,10 @@ object QueryDefs {
           |  CROSS JOIN v)
           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
           |  CAST(count(*) AS BIGINT) AS n_bigrams,
-          |  round(avg(nll), 6) AS avg_nll,
-          |  round(exp(round(avg(nll), 6)), 2) AS ppl
+          |  round(CAST(sum(CAST(round(nll * 1000000000) AS BIGINT)) AS DOUBLE)
+          |    / count(*) / 1000000000, 6) AS avg_nll,
+          |  round(exp(round(CAST(sum(CAST(round(nll * 1000000000) AS BIGINT))
+          |    AS DOUBLE) / count(*) / 1000000000, 6)), 2) AS ppl
           |FROM sc GROUP BY doc_id""".stripMargin)),
 
     // TF-IDF top-3 terms per document; ranking on the ROUNDED score
@@ -1770,7 +1774,8 @@ object QueryDefs {
           |  CROSS JOIN tt CROSS JOIN tr)
           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
           |  CAST(count(*) AS BIGINT) AS n_feats,
-          |  round(avg(lr), 6) AS avg_log_ratio
+          |  round(CAST(sum(CAST(round(lr * 1000000000) AS BIGINT)) AS DOUBLE)
+          |    / count(*) / 1000000000, 6) AS avg_log_ratio
           |FROM sc GROUP BY doc_id""".stripMargin)),
 
     ("length_rank", (s: SparkSession, dir: String) =>

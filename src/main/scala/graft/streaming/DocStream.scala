@@ -176,11 +176,16 @@ object DocStream {
         explode(TextOps.bigramEvents(col("text"))).as("bg"))
     TextOps.lmScoreEvents(events, c2, c1, vocab, k, hintBroadcast = true)
       .groupBy(window(col("ingest_ts"), windowLength), col("doc_id"))
+      // order-independent mean: nano-unit long sum — MUST stay identical
+      // to the batch lmPerplexity aggregation (stream_ppl_check pins
+      // exact equality)
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
-        round(avg(col("nll")), 6).as("avg_nll"))
+        sum(round(col("nll") * 1e9, 0).cast("long")).as("sum_nano"))
       .select(col("window.start").as("window_start"), col("doc_id"),
-        col("n_bigrams"), col("avg_nll"),
-        round(exp(col("avg_nll")), 2).as("ppl"))
+        col("n_bigrams"),
+        round(col("sum_nano").cast("double") / col("n_bigrams") / 1e9, 6)
+          .as("avg_nll"))
+      .withColumn("ppl", round(exp(col("avg_nll")), 2))
   }
 
   /** File-source convenience wrapper over [[nearDupPairsStream]]. */
