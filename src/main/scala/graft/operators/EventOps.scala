@@ -152,6 +152,50 @@ object EventOps {
   }
 
   /**
+   * Trailing-window anomaly detection over daily event volumes — the
+   * ops-monitoring staple: for each (event_type, day), the z-score of
+   * that day's count against the mean/std of the prior `window`
+   * observed days (current day excluded; emitted only once a full
+   * window of history exists). `z_score` is NULL when the trailing
+   * variance is zero; `is_spike` flags |z| >= `zThreshold` days.
+   *
+   * Determinism: the window aggregates are EXACT integer sums
+   * (sum, sum-of-squares over counts), so mean/variance/z are single
+   * double expressions over exact longs — no accumulation-order
+   * sensitivity anywhere (SCALE.md lesson 11 by construction).
+   * Scale shape: one (event_type, day) count aggregation, then a
+   * window partitioned by event_type (bounded partitions: one row per
+   * day) — nothing corpus-scale passes the first aggregation.
+   */
+  def anomalyScores(events: DataFrame, window: Int = 7,
+      zThreshold: Double = 3.0): DataFrame = {
+    require(window >= 2, "anomalyScores: need a window of at least 2")
+    val daily = events
+      .select(col("event_type"), expr(s"ts div $NanosPerDay").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-window, -1)
+    daily
+      .withColumn("n_prior", count(col("cnt")).over(w))
+      .withColumn("sum_p", sum(col("cnt")).over(w))
+      .withColumn("sumsq_p", sum(col("cnt") * col("cnt")).over(w))
+      .filter(col("n_prior") === window)
+      .withColumn("mean_p", col("sum_p").cast("double") / window)
+      .withColumn("var_p",
+        (col("sumsq_p").cast("double") -
+          col("sum_p").cast("double") * col("sum_p") / window) /
+          (window - 1))
+      .withColumn("z", when(col("var_p") > 0,
+        round((col("cnt") - col("mean_p")) / sqrt(col("var_p")), 6)))
+      .select(col("event_type"), col("day").cast("long").as("day"),
+        col("cnt").cast("long").as("n_events"),
+        round(col("mean_p"), 6).as("mean_prior"),
+        col("z").as("z_score"),
+        (abs(col("z")) >= zThreshold).cast("int").as("is_spike"))
+  }
+
+  /**
    * Retention cohorts — the product-analytics staple: users are
    * cohorted by their FIRST active epoch-day, and each (cohort_day,
    * day_offset) cell counts how many of that cohort were active

@@ -3066,6 +3066,40 @@ object QueryDefs {
           |FROM ud u JOIN fd f USING (user_id)
           |GROUP BY 1, 2""".stripMargin)),
 
+    // Trailing-window volume anomalies: z-score of each day's count per
+    // event type vs the prior 7 observed days (exact integer window
+    // sums -> order-free doubles).
+    ("events_anomaly", (s: SparkSession, dir: String) =>
+      EventOps.anomalyScores(EventOps.readEvents(s, dir)),
+      Some(
+        """WITH daily AS (
+          |  SELECT event_type,
+          |    CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+          |    count(*) AS cnt
+          |  FROM events GROUP BY 1, 2),
+          |w AS (
+          |  SELECT event_type, day, cnt,
+          |    count(cnt) OVER win AS n_prior,
+          |    sum(cnt) OVER win AS sum_p,
+          |    sum(cnt * cnt) OVER win AS sumsq_p
+          |  FROM daily
+          |  WINDOW win AS (PARTITION BY event_type ORDER BY day
+          |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+          |sc AS (
+          |  SELECT event_type, day, cnt,
+          |    CAST(sum_p AS DOUBLE) / 7 AS mean_p,
+          |    (CAST(sumsq_p AS DOUBLE) -
+          |      CAST(sum_p AS DOUBLE) * sum_p / 7) / 6 AS var_p
+          |  FROM w WHERE n_prior = 7)
+          |SELECT event_type, day, CAST(cnt AS BIGINT) AS n_events,
+          |  round(mean_p, 6) AS mean_prior,
+          |  CASE WHEN var_p > 0
+          |    THEN round((cnt - mean_p) / sqrt(var_p), 6) END AS z_score,
+          |  CAST(abs(CASE WHEN var_p > 0
+          |    THEN round((cnt - mean_p) / sqrt(var_p), 6) END) >= 3.0
+          |    AS INT) AS is_spike
+          |FROM sc""".stripMargin)),
+
     // Ordered funnel: earliest view -> first later click -> first later
     // purchase per user; exact epoch-nanos gap sums (no rounding).
     ("events_funnel", (s: SparkSession, dir: String) =>

@@ -94,6 +94,39 @@ class EventMultimodalSpec extends SparkSpec {
     assert(out(3) === ((0L, 0L)))
   }
 
+  test("anomalyScores z-scores a spike against the trailing window") {
+    val d = 86400L * 1000 * 1000 * 1000
+    // day 0: 10 events, day 1: 14, day 2: 30 (the spike)
+    val rows = (Seq.fill(10)(0L) ++ Seq.fill(14)(1L) ++ Seq.fill(30)(2L))
+      .zipWithIndex.map { case (day, i) =>
+        (i.toLong, day * d + i, 1L, "x", 1.0, "{}")
+      }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+      "props")
+    val out = EventOps.anomalyScores(ev, window = 2).collect()
+    assert(out.length === 1) // only day 2 has a full 2-day history
+    val r = out(0)
+    assert(r.getAs[Long]("day") === 2L)
+    assert(r.getAs[Long]("n_events") === 30L)
+    assert(r.getAs[Double]("mean_prior") === 12.0)
+    // var = ((100+196) - 24*24/2) / 1 = 8; z = 18 / sqrt(8) = 6.363961
+    assert(r.getAs[Double]("z_score") === 6.363961)
+    assert(r.getAs[Int]("is_spike") === 1)
+  }
+
+  test("anomalyScores emits NULL z on a zero-variance window") {
+    val d = 86400L * 1000 * 1000 * 1000
+    val rows = (Seq.fill(5)(0L) ++ Seq.fill(5)(1L) ++ Seq.fill(9)(2L))
+      .zipWithIndex.map { case (day, i) =>
+        (i.toLong, day * d + i, 1L, "x", 1.0, "{}")
+      }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+      "props")
+    val r = EventOps.anomalyScores(ev, window = 2).collect()(0)
+    assert(r.isNullAt(r.fieldIndex("z_score"))) // prior days 5,5 -> var 0
+    assert(r.isNullAt(r.fieldIndex("is_spike")))
+  }
+
   test("cubeRollup includes slices and the grand total") {
     val out = EventOps.cubeRollup(events).collect()
       .map(r => (Option(r.get(0)), Option(r.get(1))) -> r.getLong(2)).toMap
