@@ -127,6 +127,39 @@ class EventMultimodalSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("is_spike")))
   }
 
+  test("funnel matches a brute-force reference on seeded random events") {
+    val rnd = new scala.util.Random(7)
+    val types = Seq("a", "b", "c")
+    for (trial <- 1 to 6) {
+      val rows = (0 until 120).map { i =>
+        (i.toLong, rnd.nextInt(100).toLong * m, (1 + rnd.nextInt(6)).toLong,
+          types(rnd.nextInt(3)), 1.0, "{}")
+      }
+      val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props")
+      val got = EventOps.funnel(ev, types).collect()
+        .map(r => r.getInt(0) -> (r.getLong(2), r.getLong(3))).toMap
+      // reference: per user, chain earliest strictly-later step times
+      val byUser = rows.groupBy(_._3)
+      var frontier: Map[Long, Long] = byUser.flatMap { case (u, es) =>
+        val ts = es.filter(_._4 == "a").map(_._2)
+        if (ts.isEmpty) None else Some(u -> ts.min)
+      }
+      assert(got(1) === ((frontier.size.toLong, 0L)), s"trial $trial step 1")
+      for ((st, i) <- Seq("b", "c").zipWithIndex) {
+        val next = frontier.flatMap { case (u, t0) =>
+          val ts = byUser.getOrElse(u, Seq())
+            .filter(e => e._4 == st && e._2 > t0).map(_._2)
+          if (ts.isEmpty) None else Some(u -> ts.min)
+        }
+        val gaps = next.map { case (u, t1) => t1 - frontier(u) }.sum
+        assert(got(i + 2) === ((next.size.toLong, gaps)),
+          s"trial $trial step ${i + 2}")
+        frontier = next
+      }
+    }
+  }
+
   test("cubeRollup includes slices and the grand total") {
     val out = EventOps.cubeRollup(events).collect()
       .map(r => (Option(r.get(0)), Option(r.get(1))) -> r.getLong(2)).toMap
