@@ -150,6 +150,35 @@ object OmeOps {
   }
 
   /**
+   * Per-(image, channel) intensity histogram — the contrast/display
+   * substrate behind the reference's viewers: `nBins` equal-width bins
+   * over [lo, hi), one output row per NON-EMPTY bin. Pixels outside
+   * [lo, hi) are excluded (pick bounds from [[qcReport]]'s range).
+   *
+   * Per-plane bin counts are DIFFERENCES of the native
+   * `pixel_count_ge` kernel at consecutive bin edges — nBins+1 tight
+   * codegen loops per plane, no per-pixel lambda, no pixel explode.
+   * The single shuffle moves (image_id, c, bin, count) partials.
+   */
+  def histogram(df: DataFrame, nBins: Int = 16, lo: Int = 0,
+      hi: Int = 65536, column: String = OmeSchema.DefaultColumn): DataFrame = {
+    require(nBins > 0 && hi > lo && (hi - lo) % nBins == 0,
+      s"histogram: [$lo, $hi) must split into $nBins equal integer bins")
+    val w = (hi - lo) / nBins
+    graft.functions.ensureRegistered(df.sparkSession)
+    val binCounts = array((0 until nBins).map { i =>
+      graft.functions.pixel_count_ge(col("pixels"), lit(lo + i * w)) -
+        graft.functions.pixel_count_ge(col("pixels"), lit(lo + (i + 1) * w))
+    }: _*)
+    explodePlanes(df, column)
+      .select(col("image_id"), col("c").cast("int").as("c"),
+        posexplode(binCounts).as(Seq("bin", "bc")))
+      .groupBy(col("image_id"), col("c"), col("bin"))
+      .agg(sum(col("bc")).cast("long").as("n_px"))
+      .filter(col("n_px") > 0)
+  }
+
+  /**
    * The reference's one relational transform: crop + T/C/Z selection
    * (transform.py:14-182), re-expressed as a single Catalyst expression
    * tree over the nested column — no explode, no shuffle, no UDF.

@@ -138,6 +138,18 @@ object QueryDefs {
            |  CAST(count(*) AS BIGINT) AS n_px
            |FROM px GROUP BY img, c""".stripMargin)),
 
+    // Intensity histogram over the synthetic ramp corpus (values 0..179
+    // -> 16-wide bins over [0, 256) exercise 12 non-empty bins).
+    ("ome_histogram", (s: SparkSession, _: String) =>
+      OmeOps.histogram(Fixtures.corpus4d(s), nBins = 16, lo = 0, hi = 256),
+      Some(
+        s"""WITH $px4d
+           |SELECT $id4d AS image_id, CAST(c AS INT) AS c,
+           |  CAST((v - 0) // 16 AS INT) AS bin,
+           |  CAST(count(*) AS BIGINT) AS n_px
+           |FROM px WHERE v >= 0 AND v < 256
+           |GROUP BY img, c, 3""".stripMargin)),
+
     ("ome_slice_crop", (s: SparkSession, _: String) =>
       planeStatsRows(OmeOps.sliceOmeArrow(Fixtures.corpus4d(s),
         xMin = 2, xMax = 6, yMin = 1, yMax = 7, tIndices = Some(Seq(1)))),

@@ -66,6 +66,19 @@ class OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_px") === 4L)
   }
 
+  test("histogram bins pixels by count_ge differences, drops out-of-range") {
+    // one 2x2 plane: pixels 0,1,2,3
+    val img = Fixtures.syntheticImages(spark, 1, t = 1, c = 1, z = 1,
+      sy = 2, sx = 2)
+    val bins = OmeOps.histogram(img, nBins = 2, lo = 0, hi = 4).collect()
+      .map(r => r.getAs[Int]("bin") -> r.getAs[Long]("n_px")).toMap
+    assert(bins === Map(0 -> 2L, 1 -> 2L)) // {0,1} and {2,3}
+    // shrink the range: pixels 2,3 fall outside [0,2) and are excluded
+    val clipped = OmeOps.histogram(img, nBins = 1, lo = 0, hi = 2).collect()
+    assert(clipped.length === 1)
+    assert(clipped(0).getAs[Long]("n_px") === 2L)
+  }
+
   test("downscale2x keeps size-1 axes without nulls") {
     val thin = Fixtures.syntheticImages(spark, 1, t = 1, c = 1, z = 1, sy = 4, sx = 1)
     val px = OmeOps.downscale2x(thin)
