@@ -126,22 +126,29 @@ object EventOps {
       maxGap: Long = 0L): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val ev = events.select(col("user_id"), col("ts"), col("event_type"))
-    val first = ev.filter(col("event_type") === steps.head)
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
-      .withColumn("gap_ns", lit(0L))
+    // Each frontier frame persists (Caches.persist — release via
+    // Caches.scoped): frame i is consumed by frame i+1's join AND by its
+    // own per-step aggregate, and without the cache the lazy chains
+    // nest, re-running step 1's corpus aggregation once per step
+    // (O(steps^2) corpus passes for an n-step funnel).
+    val first = graft.operators.Caches.persist(
+      ev.filter(col("event_type") === steps.head)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+        .withColumn("gap_ns", lit(0L)))
     val frames = steps.tail.foldLeft(Vector(first)) { (acc, st) =>
       val prev = acc.last.select(col("user_id"), col("t").as("t_prev"))
       val inWindow =
         if (maxGap > 0L) col("ts") > col("t_prev") &&
           col("ts") <= col("t_prev") + maxGap
         else col("ts") > col("t_prev")
-      acc :+ ev.filter(col("event_type") === st)
-        .join(prev, Seq("user_id"))
-        .filter(inWindow)
-        .groupBy(col("user_id"), col("t_prev"))
-        .agg(min(col("ts")).as("t"))
-        .withColumn("gap_ns", col("t") - col("t_prev"))
-        .select(col("user_id"), col("t"), col("gap_ns"))
+      acc :+ graft.operators.Caches.persist(
+        ev.filter(col("event_type") === st)
+          .join(prev, Seq("user_id"))
+          .filter(inWindow)
+          .groupBy(col("user_id"), col("t_prev"))
+          .agg(min(col("ts")).as("t"))
+          .withColumn("gap_ns", col("t") - col("t_prev"))
+          .select(col("user_id"), col("t"), col("gap_ns")))
     }
     frames.zipWithIndex.map { case (f, i) =>
       f.agg(count(lit(1)).cast("long").as("n_users"),
@@ -179,7 +186,10 @@ object EventOps {
     daily
       .withColumn("n_prior", count(col("cnt")).over(w))
       .withColumn("sum_p", sum(col("cnt")).over(w))
-      .withColumn("sumsq_p", sum(col("cnt") * col("cnt")).over(w))
+      // squares in DECIMAL: long cnt*cnt wraps silently past ~1.1e9
+      // events/day — plausible at the scale this operator targets
+      .withColumn("sumsq_p",
+        sum(col("cnt").cast("decimal(19,0)") * col("cnt")).over(w))
       .filter(col("n_prior") === window)
       .withColumn("mean_p", col("sum_p").cast("double") / window)
       .withColumn("var_p",

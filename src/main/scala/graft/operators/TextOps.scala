@@ -187,10 +187,14 @@ object TextOps {
   def quantileReport(docs: DataFrame, ps: Seq[Double] = Seq(0.5, 0.9, 0.99),
       rankTol: Double = 0.05, acc: Int = 10000): DataFrame = {
     val psSql = ps.mkString("array(", "D,", "D)")
+    // persisted: consumed by both the rank-certification join and the
+    // final report join — without it Catalyst re-runs the expensive
+    // exact-percentile aggregation (per-group sorted buffers) twice
     val g = docs.groupBy(col("source"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
         expr(s"percentile(n_chars, $psSql)").as("ex"),
         expr(s"percentile_approx(n_chars, $psSql, $acc)").as("ap"))
+      .transform(graft.operators.Caches.persist(_))
     // Rank-certify: the sketch returns an actual data element, so the
     // check is on the element's OCCUPIED RANK RANGE [lo, hi-1] (0-based,
     // duplicates span a range), which must intersect the target band

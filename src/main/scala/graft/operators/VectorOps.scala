@@ -251,13 +251,16 @@ object VectorOps {
    * make cosine NaN — the exact failure [[assignClusters]] guards its
    * codebook against), and min/mean/max L2 norm (un-normalized
    * corpora, scale drift between embedding-model versions). Norms ride
-   * the native l2_sq kernel against a zero literal (sequential
+   * the native l2_sq kernel against a row-sized zero vector (sequential
    * accumulation — bit-identical to a serial oracle), so the report is
    * one narrow projection + one label-keyed aggregation.
    */
-  def normReport(emb: DataFrame, dim: Int = 64): DataFrame = {
+  def normReport(emb: DataFrame): DataFrame = {
     graft.functions.ensureRegistered(emb.sparkSession)
-    val zeros = array((0 until dim).map(_ => lit(0.0f)): _*)
+    // zero vector sized from the ROW's own embedding: a fixed-dim
+    // literal would make l2_sq return NULL on any length mismatch and
+    // silently certify a mis-shaped corpus as clean
+    val zeros = array_repeat(lit(0.0f), size(col("embedding")))
     emb.select(col("label"),
       round(sqrt(graft.functions.l2_sq(col("embedding"), zeros)), 6)
         .as("nrm"))
@@ -306,14 +309,22 @@ object VectorOps {
       // oracle: averaging doubles directly leaves the last ulp at the
       // mercy of partition sum order, and one boundary-straddling cell
       // flips the 6dp rounding (observed). The 6dp scores are exact in
-      // micro-units, so sum LONGS and divide once.
-      .withColumn("micro", round(col("s") * 1e6, 0).cast("long"))
+      // micro-units, so sum LONGS and divide once. A zero-norm MEMBER
+      // (assignClusters only guards centroid norms) scores NaN — it
+      // stays in n_vecs but is excluded from the tightness stats
+      // (micro -> null skips the sum; Spark's min already treats NaN as
+      // greatest), so one degenerate vector can't poison mean_cos or
+      // flip the min<=mean invariant; normReport is the tool that
+      // counts such vectors.
+      .withColumn("micro", when(!isnan(col("s")),
+        round(col("s") * 1e6, 0).cast("long")))
       .groupBy(col("cluster"))
       .agg(count(lit(1)).cast("long").as("n_vecs"),
+        count(col("micro")).cast("long").as("n_finite"),
         sum(col("micro")).as("sum_micro"),
         round(min(col("s")), 6).as("min_cos"))
       .select(col("cluster"), col("n_vecs"),
-        round(col("sum_micro").cast("double") / col("n_vecs") / 1e6, 6)
+        round(col("sum_micro").cast("double") / col("n_finite") / 1e6, 6)
           .as("mean_cos"),
         col("min_cos"))
   }

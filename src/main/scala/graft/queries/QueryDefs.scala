@@ -3093,7 +3093,7 @@ object QueryDefs {
           |  SELECT event_type, day, cnt,
           |    count(cnt) OVER win AS n_prior,
           |    sum(cnt) OVER win AS sum_p,
-          |    sum(cnt * cnt) OVER win AS sumsq_p
+          |    sum(CAST(cnt AS HUGEINT) * cnt) OVER win AS sumsq_p
           |  FROM daily
           |  WINDOW win AS (PARTITION BY event_type ORDER BY day
           |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),

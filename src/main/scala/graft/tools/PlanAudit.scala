@@ -12,7 +12,16 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    // Arg shapes: [] fixed battery; [dir] fixed battery on dir;
+    // [names] / [names, dir] audit the named registry queries. A path
+    // is recognized by its '/' so a lone dir is never misread as a
+    // query list (the Verify arg-order footgun class).
+    val (queryArg, dir) = args.toList match {
+      case Nil => (None, "/root/testdata/sf0.01")
+      case d :: Nil if d.contains("/") => (None, d)
+      case q :: Nil => (Some(q), "/root/testdata/sf0.01")
+      case q :: d :: _ => (Some(q), d)
+    }
 
     def audit(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
       val plan = df.queryExecution.executedPlan.toString
@@ -25,8 +34,8 @@ object PlanAudit {
 
     // Generic mode: `runMain graft.tools.PlanAudit q1,q2[ sfDir]` audits
     // the named registry queries instead of the fixed battery.
-    if (args.nonEmpty) {
-      args(0).split(",").map(_.trim).filter(_.nonEmpty).foreach { n =>
+    queryArg.foreach { qs =>
+      qs.split(",").map(_.trim).filter(_.nonEmpty).foreach { n =>
         audit(n, graft.SparkEntry.queries(n)(spark, dir))
       }
       spark.stop(); return

@@ -115,7 +115,7 @@ class TextVectorSpec extends SparkSpec {
       (1L, Array(0.0f, 0.0f), 0), // the NaN-cosine degenerate
       (2L, Array(1.0f, 0.0f), 1)
     ).toDF("vec_id", "embedding", "label")
-    val out = VectorOps.normReport(emb, dim = 2).collect()
+    val out = VectorOps.normReport(emb).collect()
       .map(r => r.getAs[Int]("label") -> r).toMap
     assert(out(0).getAs[Long]("n_vecs") === 2L)
     assert(out(0).getAs[Long]("n_zero") === 1L)
@@ -138,6 +138,22 @@ class TextVectorSpec extends SparkSpec {
           r.getAs[Double]("min_cos"))).toMap
     assert(out(0L) === ((2L, 1.0, 1.0)))
     assert(out(1L) === ((2L, 0.9, 0.8)))
+  }
+
+  test("clusterReport excludes zero-norm members from tightness stats") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0), // centroid 0
+      (1L, Array(0.0f, 1.0f), 1), // centroid 1
+      (2L, Array(0.0f, 0.0f), 0), // zero norm: NaN cosine, seeds to cell 0
+      (3L, Array(1.0f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = VectorOps.clusterReport(emb, nCentroids = 2).collect()
+      .map(r => r.getAs[Long]("cluster") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Double]("mean_cos"),
+          r.getAs[Double]("min_cos"))).toMap
+    // the degenerate counts as a member but not against mean/min
+    assert(out(0L) === ((3L, 1.0, 1.0)))
+    assert(out(1L) === ((1L, 1.0, 1.0)))
   }
 
   test("ivfTopK assigns centroids to themselves and finds cluster members") {
