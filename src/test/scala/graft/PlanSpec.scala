@@ -179,6 +179,38 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-7 report/analytics operators keep their audited shapes") {
+    val dir = "/root/testdata/sf0.001"
+    def shuffles(p: String) = "Exchange".r.findAllIn(p).length -
+      "BroadcastExchange".r.findAllIn(p).length
+
+    // pixel reports: one keyed exchange, pixels never explode
+    val qc = plan(SparkEntry.queries("ome_qc_report")(spark, dir))
+    assert(shuffles(qc) === 1, s"qcReport gained a shuffle")
+    val hist = plan(SparkEntry.queries("ome_histogram")(spark, dir))
+    assert(shuffles(hist) === 1, s"histogram gained a shuffle")
+    assert(!hist.contains("posexplode(pixels"),
+      "histogram exploded pixels instead of bin-count arrays")
+
+    // funnel and anomaly: keyed joins/windows only, never a cross
+    val funnel = plan(SparkEntry.queries("events_funnel")(spark, dir))
+    assert(!funnel.contains("CartesianProduct"),
+      "funnel degenerated to a cross product")
+    val anomaly = plan(SparkEntry.queries("events_anomaly")(spark, dir))
+    assert(shuffles(anomaly) === 2, "anomaly gained a shuffle")
+
+    // quantile certification joins the tiny report side by broadcast
+    val quant = plan(SparkEntry.queries("quantile_report")(spark, dir))
+    assert(quant.contains("BroadcastHashJoin"),
+      "quantile rank-certification lost its broadcast join")
+
+    // cluster report: assignment is a map-side fold — the only
+    // aggregation buffer is scalar partials, never embeddings
+    val cr = plan(SparkEntry.queries("embed_cluster_report")(spark, dir))
+    assert(!cr.contains("collect_list"),
+      "clusterReport buffers members in an aggregation row")
+  }
+
   test("every ANN variant's ranking window moves score triples, never " +
       "embedding arrays") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
