@@ -230,4 +230,36 @@ object EventOps {
         (col("day") - col("cohort_day")).cast("long").as("day_offset"))
       .agg(count(lit(1)).cast("long").as("n_active"))
   }
+
+  /**
+   * Typed extraction of one numeric property from the semi-structured
+   * `props` JSON column (reference keeps event payloads opaque; every
+   * warehouse query over them starts with this projection).
+   * `get_json_object` is a codegen'd path expression — a narrow
+   * per-row map, no UDF, no shuffle; a malformed or missing key yields
+   * NULL rather than failing the scan.
+   */
+  def propsExtract(events: DataFrame, key: String): DataFrame =
+    events.withColumn(key,
+      get_json_object(col("props"), s"$$.$key").cast("long"))
+
+  /**
+   * Per-event-type distribution report of a numeric JSON property:
+   * row count, missing-key count, min/max/sum, distinct values. All
+   * integer aggregates (exact, order-free). One narrow JSON projection
+   * feeding one hash aggregation with map-side partials — the JSON
+   * parse never crosses an exchange, so at 100 TB the only shuffled
+   * bytes are |event_type| × 6 longs of partials per partition.
+   */
+  def propsRollup(events: DataFrame, key: String = "k"): DataFrame =
+    propsExtract(events, key)
+      .select(col("event_type"), col(key).as("prop"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum(when(col("prop").isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_missing"),
+        min(col("prop")).cast("long").as("prop_min"),
+        max(col("prop")).cast("long").as("prop_max"),
+        sum(col("prop")).cast("long").as("prop_sum"),
+        count_distinct(col("prop")).cast("long").as("prop_distinct"))
 }

@@ -3199,6 +3199,25 @@ object QueryDefs {
           |  CAST(ts_us - asof_ts AS BIGINT) AS gap_us
           |FROM marked WHERE event_type = 'purchase'""".stripMargin)),
 
+    // Semi-structured payload analytics: typed JSON property extraction
+    // (get_json_object path, codegen'd narrow map) + exact integer
+    // distribution rollup per event type.
+    ("events_props_rollup", (s: SparkSession, dir: String) =>
+      EventOps.propsRollup(EventOps.readEvents(s, dir), "k"),
+      Some(
+        """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+          |  CAST(sum(CASE WHEN json_extract(props, '$.k') IS NULL
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+          |  CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+          |    AS prop_min,
+          |  CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+          |    AS prop_max,
+          |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+          |    AS prop_sum,
+          |  CAST(count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT))
+          |    AS BIGINT) AS prop_distinct
+          |FROM events GROUP BY event_type""".stripMargin)),
+
     ("events_cube", (s: SparkSession, dir: String) =>
       EventOps.cubeRollup(EventOps.readEvents(s, dir)),
       Some(

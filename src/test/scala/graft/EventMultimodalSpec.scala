@@ -168,6 +168,28 @@ class EventMultimodalSpec extends SparkSpec {
     assert(out((Some("click"), None)) === 2L)
   }
 
+  test("propsRollup extracts typed JSON properties with NULL on bad rows") {
+    val ev = Seq(
+      (1L, 0 * m, 1L, "click", 1.0, """{"k": 5}"""),
+      (2L, 1 * m, 1L, "click", 1.0, """{"k": 7}"""),
+      (3L, 2 * m, 2L, "click", 1.0, """{"other": 1}"""), // missing key
+      (4L, 3 * m, 2L, "view", 1.0, "not json"),          // malformed
+      (5L, 4 * m, 2L, "view", 1.0, """{"k": 5}""")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.propsRollup(ev, "k").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(6))).toMap
+    // clicks: 3 rows, 1 missing, distinct {5, 7} = 2
+    assert(out("click") === ((3L, 1L, 2L)))
+    // views: 2 rows, 1 malformed->missing, distinct {5} = 1
+    assert(out("view") === ((2L, 1L, 1L)))
+    val click = EventOps.propsRollup(ev, "k")
+      .filter(col("event_type") === "click").collect()(0)
+    assert(click.getLong(3) === 5L && click.getLong(4) === 7L &&
+      click.getLong(6) === 2L)
+    assert(click.getAs[Long]("prop_sum") === 12L)
+  }
+
   test("media round-trip: frameSample then features") {
     val media = MultimodalOps.mediaFromOme(Fixtures.corpus4d(spark))
     val sampled = MultimodalOps.frameSample(media, 4) // keep pages 0 and 4

@@ -128,6 +128,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan(q).contains("Exchange"), "sampleMix shuffled")
   }
 
+  test("propsRollup parses JSON before the exchange; only partials shuffle") {
+    import spark.implicits._
+    val ev = Seq((1L, 0L, 1L, "click", 1.0, """{"k": 5}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val p = plan(graft.operators.EventOps.propsRollup(ev, "k"))
+    // exactly one exchange (the final hash aggregation), with a partial
+    // aggregate below it so the JSON projection never crosses the wire
+    assert("Exchange".r.findAllIn(p).size === 1, s"extra shuffles:\n$p")
+    assert(p.contains("partial_"), s"no map-side partials:\n$p")
+  }
+
   test("importanceWeights: distribution tables and totals all broadcast") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val q = graft.operators.TextOps.importanceWeights(
