@@ -179,6 +179,63 @@ object OmeOps {
   }
 
   /**
+   * Otsu auto-threshold per (image, channel) — the classic foreground/
+   * background split (Otsu 1979) behind automated microscopy
+   * segmentation QC: the bin cut maximizing between-class variance,
+   * plus the resulting foreground fraction.
+   *
+   * Built ON [[histogram]], so the pixel pass is the same native
+   * `pixel_count_ge` reduction; everything after operates on the
+   * ≤ nBins rows per (image, channel) — free at any corpus scale.
+   * Engine-portable determinism: the cumulative class weights/masses
+   * are exact integer window sums (bin-index moments), and the score
+   * `num² / (w0·w1)` is a single double expression over those exact
+   * integers — identical bits in any IEEE engine, no rounded-ranking
+   * caveat. Ties (flat score plateaus) break to the LOWEST bin.
+   *
+   * A channel whose in-range pixels all fall in one bin has no valid
+   * cut (every split leaves an empty class) and emits no row.
+   * `threshold` is the lowest pixel value classified foreground:
+   * `lo + (otsu_bin + 1) · binWidth`.
+   */
+  def otsuThreshold(df: DataFrame, nBins: Int = 16, lo: Int = 0,
+      hi: Int = 65536, column: String = OmeSchema.DefaultColumn): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binW = (hi - lo) / nBins
+    val hist = histogram(df, nBins, lo, hi, column)
+    val cumWin = Window.partitionBy(col("image_id"), col("c"))
+      .orderBy(col("bin").asc).rowsBetween(Window.unboundedPreceding, 0)
+    val totWin = Window.partitionBy(col("image_id"), col("c"))
+    // decimal(38,0) keeps num exact where long would overflow
+    // (mass·weight products reach ~1e19 at 1e9 px/channel)
+    val dec = "decimal(38,0)"
+    val scored = hist
+      .withColumn("cum_w", sum(col("n_px")).over(cumWin))
+      .withColumn("cum_m", sum(col("n_px") * col("bin")).over(cumWin))
+      .withColumn("tot_w", sum(col("n_px")).over(totWin))
+      .withColumn("tot_m", sum(col("n_px") * col("bin")).over(totWin))
+      .withColumn("w1", col("tot_w") - col("cum_w"))
+      .filter(col("w1") > 0)
+      .withColumn("num",
+        col("cum_m").cast(dec) * col("w1").cast(dec) -
+          (col("tot_m") - col("cum_m")).cast(dec) * col("cum_w").cast(dec))
+    val numD = col("num").cast("double")
+    val rankWin = Window.partitionBy(col("image_id"), col("c"))
+      .orderBy(col("score").desc, col("bin").asc)
+    scored
+      .withColumn("score",
+        numD * numD / (col("cum_w").cast("double") * col("w1").cast("double")))
+      .withColumn("rnk", row_number().over(rankWin))
+      .filter(col("rnk") === 1)
+      .select(col("image_id"), col("c"),
+        col("bin").cast("int").as("otsu_bin"),
+        (lit(lo) + (col("bin") + 1) * binW).cast("long").as("threshold"),
+        col("tot_w").cast("long").as("n_px"),
+        col("w1").cast("long").as("fg_px"),
+        round(col("w1").cast("double") / col("tot_w"), 6).as("fg_frac"))
+  }
+
+  /**
    * The reference's one relational transform: crop + T/C/Z selection
    * (transform.py:14-182), re-expressed as a single Catalyst expression
    * tree over the nested column — no explode, no shuffle, no UDF.

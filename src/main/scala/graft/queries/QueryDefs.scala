@@ -150,6 +150,43 @@ object QueryDefs {
            |FROM px WHERE v >= 0 AND v < 256
            |GROUP BY img, c, 3""".stripMargin)),
 
+    // Otsu auto-threshold per (image, channel): exact integer cumulative
+    // moments over the histogram bins; the between-class-variance score
+    // is ONE double expression over exact integers (engine-identical
+    // bits), ranked with a lowest-bin tie-break.
+    ("ome_otsu", (s: SparkSession, _: String) =>
+      OmeOps.otsuThreshold(Fixtures.corpus4d(s), nBins = 16, lo = 0, hi = 256),
+      Some(
+        s"""WITH $px4d, hist AS (
+           |  SELECT img, c, CAST((v - 0) // 16 AS INT) AS bin,
+           |    count(*) AS n_px
+           |  FROM px WHERE v >= 0 AND v < 256 GROUP BY 1, 2, 3),
+           |cum AS (
+           |  SELECT img, c, bin,
+           |    sum(n_px) OVER w AS cum_w, sum(n_px * bin) OVER w AS cum_m,
+           |    sum(n_px) OVER p AS tot_w, sum(n_px * bin) OVER p AS tot_m
+           |  FROM hist
+           |  WINDOW w AS (PARTITION BY img, c ORDER BY bin
+           |    ROWS UNBOUNDED PRECEDING), p AS (PARTITION BY img, c)),
+           |sc AS (
+           |  SELECT img, c, bin, cum_w, tot_w, tot_w - cum_w AS w1,
+           |    CAST(CAST(cum_m * (tot_w - cum_w) AS HUGEINT) -
+           |      CAST((tot_m - cum_m) * cum_w AS HUGEINT) AS DOUBLE) AS numd
+           |  FROM cum WHERE tot_w - cum_w > 0),
+           |ranked AS (
+           |  SELECT img, c, bin, cum_w, tot_w, w1,
+           |    numd * numd / (CAST(cum_w AS DOUBLE) * CAST(w1 AS DOUBLE))
+           |      AS score
+           |  FROM sc
+           |  QUALIFY row_number() OVER (PARTITION BY img, c
+           |    ORDER BY score DESC, bin ASC) = 1)
+           |SELECT $id4d AS image_id, CAST(c AS INT) AS c,
+           |  CAST(bin AS INT) AS otsu_bin,
+           |  CAST((bin + 1) * 16 AS BIGINT) AS threshold,
+           |  CAST(tot_w AS BIGINT) AS n_px, CAST(w1 AS BIGINT) AS fg_px,
+           |  round(CAST(w1 AS DOUBLE) / tot_w, 6) AS fg_frac
+           |FROM ranked""".stripMargin)),
+
     ("ome_slice_crop", (s: SparkSession, _: String) =>
       planeStatsRows(OmeOps.sliceOmeArrow(Fixtures.corpus4d(s),
         xMin = 2, xMax = 6, yMin = 1, yMax = 7, tIndices = Some(Seq(1)))),

@@ -79,6 +79,49 @@ class OpsSpec extends SparkSpec {
     assert(clipped(0).getAs[Long]("n_px") === 2L)
   }
 
+  test("otsuThreshold matches brute-force between-class variance argmax") {
+    val img = Fixtures.syntheticImages(spark, 2, t = 1, c = 2, z = 1,
+      sy = 4, sx = 4)
+    val nBins = 8
+    val got = OmeOps.otsuThreshold(img, nBins = nBins, lo = 0, hi = 64)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getAs[Int]("otsu_bin"), r.getAs[Long]("threshold"),
+          r.getAs[Long]("fg_px"))).toMap
+    // brute force from the raw pixels of each (image, channel)
+    val pixels = OmeOps.explodePlanes(img)
+      .select(col("image_id"), col("c").cast("int").as("c"),
+        explode(col("pixels")).as("v"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getAs[Number](2).longValue))
+    val expected = pixels.groupBy(p => (p._1, p._2)).map { case (k, ps) =>
+      val bins = ps.map(_._3).filter(v => v >= 0 && v < 64).map(_ / 8)
+      val n = bins.size.toLong
+      val best = (0 until nBins - 1).flatMap { b =>
+        val w0 = bins.count(_ <= b).toLong
+        val w1 = n - w0
+        if (w0 == 0 || w1 == 0) None
+        else {
+          val m0 = bins.filter(_ <= b).sum.toDouble / w0
+          val m1 = bins.filter(_ > b).sum.toDouble / w1
+          Some((b, w0 * w1 * (m0 - m1) * (m0 - m1), w1))
+        }
+      }.maxBy { case (b, s, _) => (s, -b) }
+      k -> best
+    }
+    expected.foreach { case (k, (b, _, w1)) =>
+      assert(got(k)._1 === b, s"bin for $k")
+      assert(got(k)._2 === (b + 1) * 8L, s"threshold for $k")
+      assert(got(k)._3 === w1, s"fg_px for $k")
+    }
+    assert(got.keySet === expected.keySet)
+  }
+
+  test("otsuThreshold emits no row for a single-bin channel") {
+    // 2x2 plane pixels 0..3 all land in bin 0 of [0, 64)/8
+    val img = Fixtures.syntheticImages(spark, 1, t = 1, c = 1, z = 1,
+      sy = 2, sx = 2)
+    assert(OmeOps.otsuThreshold(img, nBins = 8, lo = 0, hi = 64).count() === 0)
+  }
+
   test("downscale2x keeps size-1 axes without nulls") {
     val thin = Fixtures.syntheticImages(spark, 1, t = 1, c = 1, z = 1, sy = 4, sx = 1)
     val px = OmeOps.downscale2x(thin)
