@@ -2741,6 +2741,17 @@ object QueryDefs {
           |  CAST(0 AS BIGINT) AS bad_count, CAST(0 AS BIGINT) AS bad_sum,
           |  CAST(0 AS BIGINT) AS empty_stream""".stripMargin)),
 
+    // Streaming sessionization via the native session_window state:
+    // closed sessions (watermark past last event + gap) must match the
+    // batch lag-gap split exactly — bounds, counts, and 2dp sums.
+    ("stream_sessions_check", (s: SparkSession, dir: String) =>
+      graft.streaming.EventStream.sessionCheck(s, dir),
+      Some(
+        """SELECT CAST(0 AS BIGINT) AS missing_session,
+          |  CAST(0 AS BIGINT) AS extra_session,
+          |  CAST(0 AS BIGINT) AS bad_count, CAST(0 AS BIGINT) AS bad_sum,
+          |  CAST(0 AS BIGINT) AS empty_stream""".stripMargin)),
+
     // Stream-stream interval join (click->purchase attribution within
     // 2h, both sides watermarked): an inner join over a fully-drained
     // finite feed must emit exactly the batch pair set.

@@ -216,4 +216,105 @@ object EventStream {
       .crossJoin(broadcast(streamed.agg(
         (count(lit(1)) === 0).cast("long").as("empty_stream"))))
   }
+
+  /**
+   * STREAMING sessionization — the live counterpart of
+   * `EventOps.sessionize`, via Spark's native `session_window` (the
+   * dynamic-gap merging session state the state store implements
+   * directly; no hand-rolled `flatMapGroupsWithState` needed). A
+   * session closes — and, in append mode, is emitted exactly once —
+   * when the watermark passes its end (`last event + gap`). State per
+   * (user, open session) is one merged window + its aggregates,
+   * evicted at emission: bounded by active users in the gap+lateness
+   * horizon, never by history.
+   */
+  def sessionStream(spark: SparkSession, dir: String,
+      gapMinutes: Int = 30, lateness: String = "1 hour"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_ts", lateness)
+      .groupBy(session_window(col("event_ts"), s"$gapMinutes minutes"),
+        col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        round(sum(col("value")), 2).as("value_sum"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("value_sum"))
+  }
+
+  /**
+   * Structural check of [[sessionStream]] against the batch gap-split
+   * ([[rollupCheck]]'s all-zeros-invariants pattern): drains the
+   * stream, re-derives sessions in batch via the lag-gap cumulative
+   * split (the `EventOps.sessionize` construction), and compares the
+   * CLOSED sessions — those whose `last event + gap` the final
+   * watermark passed; open tails are legitimately absent from append
+   * output. `session_end` must equal `last event + gap` exactly.
+   */
+  def sessionCheck(spark: SparkSession, dir: String,
+      gapMinutes: Int = 30, lateness: String = "1 hour",
+      timeoutMs: Long = 300000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.streaming.Trigger
+    val view = "graft_stream_session_check"
+    if (spark.catalog.tableExists(view)) spark.catalog.dropTempView(view)
+    val q = sessionStream(spark, dir, gapMinutes, lateness)
+      .writeStream.format("memory").queryName(view)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      require(q.awaitTermination(timeoutMs),
+        s"sessionCheck: stream did not drain within ${timeoutMs} ms")
+    } finally q.stop()
+    val streamed = spark.table(view)
+      .select(col("session_start"), col("session_end"), col("user_id"),
+        col("n_events").as("n_s"), col("value_sum").as("sum_s"))
+    val events = spark.read.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("event_ts").asc, col("event_id").asc)
+    val gapCol = expr(s"interval $gapMinutes minutes")
+    val sessions = events
+      // session_window merges events whose [ts, ts+gap) spans overlap:
+      // a new session starts when ts >= prev_ts + gap (micros-exact)
+      .withColumn("new_sess",
+        when(lag(col("event_ts"), 1).over(byUser).isNull, 1L)
+          .when(col("event_ts") >=
+            lag(col("event_ts"), 1).over(byUser) + gapCol, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(min(col("event_ts")).as("session_start"),
+        (max(col("event_ts")) + gapCol).as("session_end"),
+        count(lit(1)).cast("long").as("n_b"),
+        round(sum(col("value")), 2).as("sum_b"))
+    val wm = broadcast(events.agg(
+      (max(col("event_ts")) - expr(s"interval $lateness")).as("wm")))
+    val closed = sessions.crossJoin(wm)
+      .filter(col("session_end") <= col("wm"))
+      .select(col("session_start"), col("session_end"), col("user_id"),
+        col("n_b"), col("sum_b"))
+    closed.join(streamed,
+        Seq("session_start", "session_end", "user_id"), "full_outer")
+      .agg(
+        coalesce(sum(when(col("n_s").isNull, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("missing_session"),
+        coalesce(sum(when(col("n_b").isNull, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("extra_session"),
+        coalesce(sum(when(col("n_b").isNotNull && col("n_s").isNotNull &&
+          col("n_b") =!= col("n_s"), 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("bad_count"),
+        coalesce(sum(when(col("sum_b").isNotNull && col("sum_s").isNotNull &&
+          col("sum_b") =!= col("sum_s"), 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("bad_sum"))
+      .crossJoin(broadcast(streamed.agg(
+        (count(lit(1)) === 0).cast("long").as("empty_stream"))))
+  }
 }

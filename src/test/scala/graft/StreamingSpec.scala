@@ -85,6 +85,17 @@ class StreamingSpec extends SparkSpec {
     assert(check.getAs[Long]("empty_stream") === 0L)
   }
 
+  test("streaming sessionization emits exactly the closed batch sessions") {
+    val check = graft.streaming.EventStream
+      .sessionCheck(spark, "/root/testdata/sf0.001").collect()(0)
+    assert(check.getAs[Long]("missing_session") === 0L)
+    assert(check.getAs[Long]("extra_session") === 0L)
+    assert(check.getAs[Long]("bad_count") === 0L)
+    assert(check.getAs[Long]("bad_sum") === 0L)
+    // the zeros are not vacuous: sessions were actually streamed
+    assert(check.getAs[Long]("empty_stream") === 0L)
+  }
+
   test("nearDupCheck passes all-zeros on a corpus with planted exact " +
       "dups (missed_exact has teeth)") {
     import spark.implicits._
