@@ -839,22 +839,31 @@ object TextOps {
     * regex and RE2 (no backrefs, no lookaround). */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
 
   /**
-   * PII scrub: per-document email/phone match counts plus the md5 of the
-   * redacted text (emails -> `<EMAIL>`, phones -> `<PHONE>`) — the hash
-   * pins the exact replacement semantics without shipping full text
-   * through the result. Pure codegen'd regexp work, one narrow pass.
+   * PII scrub: per-document email/phone/IPv4/SSN match counts plus the
+   * md5 of the redacted text (`<EMAIL>`/`<PHONE>`/`<IP>`/`<SSN>` in
+   * that replacement order; counts are each over the ORIGINAL text) —
+   * the hash pins the exact replacement semantics without shipping full
+   * text through the result. All four patterns avoid
+   * backtracking-only constructs, so they run identically under Java
+   * regex and RE2-family engines. Pure codegen'd regexp work, one
+   * narrow pass, zero shuffles.
    */
   def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val txt = col(textCol)
+    def count(re: String) =
+      size(regexp_extract_all(txt, lit(re), lit(0))).cast("long")
     docs.select(col("doc_id").cast("long").as("doc_id"),
-      size(regexp_extract_all(txt, lit(EmailRe), lit(0))).cast("long")
-        .as("n_emails"),
-      size(regexp_extract_all(txt, lit(PhoneRe), lit(0))).cast("long")
-        .as("n_phones"),
-      md5(regexp_replace(regexp_replace(txt, EmailRe, "<EMAIL>"),
-        PhoneRe, "<PHONE>")).as("scrubbed_md5"))
+      count(EmailRe).as("n_emails"),
+      count(PhoneRe).as("n_phones"),
+      count(Ipv4Re).as("n_ips"),
+      count(SsnRe).as("n_ssns"),
+      md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        txt, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"),
+        Ipv4Re, "<IP>"), SsnRe, "<SSN>")).as("scrubbed_md5"))
   }
 
   /** Per-(lang, source) rollup of document/char/token statistics. */

@@ -1228,12 +1228,20 @@ object QueryDefs {
           lit(" contact user"), col("doc_id").cast("string"),
           lit("@example.com or 555-"),
           lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+          lit("."), (col("doc_id") % 100).cast("string"),
+          lit(" ssn 123-45-"),
           lpad((col("doc_id") % 10000).cast("string"), 4, "0")))),
       Some(
         """WITH aug AS (
           |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
           |    || '@example.com or 555-'
           |    || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+          |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          |    || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+          |    || '.' || CAST(doc_id % 100 AS VARCHAR)
+          |    || ' ssn 123-45-'
           |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
           |  FROM documents)
           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -1242,9 +1250,15 @@ object QueryDefs {
           |    AS n_emails,
           |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT)
           |    AS n_phones,
-          |  md5(regexp_replace(regexp_replace(t,
+          |  CAST(len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))
+          |    AS BIGINT) AS n_ips,
+          |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b'))
+          |    AS BIGINT) AS n_ssns,
+          |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-          |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS scrubbed_md5
+          |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+          |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+          |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g')) AS scrubbed_md5
           |FROM aug""".stripMargin)),
 
     ("text_stats", (s: SparkSession, dir: String) =>

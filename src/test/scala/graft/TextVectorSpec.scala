@@ -471,21 +471,32 @@ class TextVectorSpec extends SparkSpec {
     assert(out(3).getAs[Double]("boiler_frac") === 0.0)
   }
 
-  test("piiScrub counts and redacts emails and phones") {
+  test("piiScrub counts and redacts emails, phones, IPs, and SSNs") {
     val pii = Seq(
       (0L, "reach me at jane.doe@corp.example.org or 555-123-4567 thanks"),
-      (1L, "no pii here at all")
+      (1L, "no pii here at all"),
+      (2L, "host 192.168.1.77 leaked ssn 123-45-6789 twice: 987-65-4321")
     ).toDF("doc_id", "text")
     val out = TextOps.piiScrub(pii).orderBy("doc_id").collect()
     assert(out(0).getAs[Long]("n_emails") === 1L)
     assert(out(0).getAs[Long]("n_phones") === 1L)
+    assert(out(0).getAs[Long]("n_ips") === 0L)
+    // phone 3-3-4 must NOT also count as SSN 3-2-4
+    assert(out(0).getAs[Long]("n_ssns") === 0L)
     assert(out(1).getAs[Long]("n_emails") === 0L)
     assert(out(1).getAs[Long]("n_phones") === 0L)
+    assert(out(2).getAs[Long]("n_ips") === 1L)
+    assert(out(2).getAs[Long]("n_ssns") === 2L)
+    assert(out(2).getAs[Long]("n_phones") === 0L)
     // the hash pins the replacement text exactly
     val expect = pii.sparkSession.sql(
       "SELECT md5('reach me at <EMAIL> or <PHONE> thanks')")
       .collect()(0).getString(0)
     assert(out(0).getAs[String]("scrubbed_md5") === expect)
+    val expect2 = pii.sparkSession.sql(
+      "SELECT md5('host <IP> leaked ssn <SSN> twice: <SSN>')")
+      .collect()(0).getString(0)
+    assert(out(2).getAs[String]("scrubbed_md5") === expect2)
   }
 
   test("semanticDedup keeps the lowest id of a tight semantic group") {
