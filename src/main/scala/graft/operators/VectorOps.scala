@@ -955,4 +955,79 @@ object VectorOps {
       .select(col("probe_id"), col("cluster"), col("rnk").cast("int").as("rnk"),
         col("neighbor_id"), col("adc_dist"))
   }
+
+  /**
+   * MMR-diversified retrieval (Carbonell & Goldstein 1998, "The Use of
+   * MMR, Diversity-Based Reranking..."): per probe, greedily select
+   * `k` of the top-`candidates` cosine neighbors maximizing
+   * `λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)` — the result-set
+   * diversification every RAG retriever layers over plain top-k so k
+   * near-identical chunks don't crowd out coverage.
+   *
+   * Step 1 is pure relevance (its `mmr` column is the relevance
+   * score); steps 2..k re-score the remainder against the growing
+   * selected set. Every ranking is on 6dp-rounded scores with a
+   * neighbor-id tie-break, and the per-step max-similarity is a MAX
+   * over rounded pairs — order-free, so the greedy path (not just the
+   * final set) is engine-deterministic.
+   *
+   * Scale shape: the ONLY corpus-scale work is [[cosineTopK]]'s one
+   * broadcast-probe scan. Everything after — the embedding join-back,
+   * the candidate×candidate pair sims, and the k greedy rounds — runs
+   * on (nProbes × candidates)-sized tables, independent of corpus
+   * size; the k-round plan depth is a fixed query constant.
+   */
+  def mmrTopK(emb: DataFrame, nProbes: Int, k: Int, candidates: Int,
+      lambda: Double = 0.7): DataFrame = {
+    require(candidates >= k, "mmrTopK: candidates must cover k")
+    require(lambda >= 0 && lambda <= 1, "mmrTopK: lambda in [0,1]")
+    graft.functions.ensureRegistered(emb.sparkSession)
+    val cands = cosineTopK(emb, nProbes, candidates)
+      .select(col("probe_id"), col("neighbor_id"), col("score"))
+    val withEmb = cands.join(
+      emb.select(col("vec_id"), col("embedding")),
+      col("neighbor_id") === col("vec_id"))
+      .select(col("probe_id"), col("neighbor_id"), col("score"),
+        col("embedding"))
+    val a = withEmb.select(col("probe_id"), col("neighbor_id").as("a_id"),
+      col("embedding").as("a_emb"))
+    val b = withEmb.select(col("probe_id").as("b_probe"),
+      col("neighbor_id").as("b_id"), col("embedding").as("b_emb"))
+    val psim = a.join(b,
+        col("probe_id") === col("b_probe") && col("a_id") =!= col("b_id"))
+      .select(col("probe_id"), col("a_id"), col("b_id"),
+        cosine6(col("a_emb"), col("b_emb")).as("psim"))
+    def pickTop(df: DataFrame, step: Int): DataFrame =
+      df.withColumn("rnk",
+          row_number().over(Window.partitionBy(col("probe_id"))
+            .orderBy(col("mmr").desc, col("neighbor_id").asc)))
+        .filter(col("rnk") === 1)
+        .select(col("probe_id"), col("neighbor_id"), col("score"),
+          lit(step).as("step"), col("mmr"))
+    var sel = pickTop(cands.withColumn("mmr", col("score")), 1)
+    for (i <- 2 to k) {
+      val msim = psim
+        .join(sel.select(col("probe_id").as("s_probe"),
+          col("neighbor_id").as("s_id")),
+          col("probe_id") === col("s_probe") && col("b_id") === col("s_id"))
+        .groupBy(col("probe_id"), col("a_id"))
+        .agg(max(col("psim")).as("msim"))
+      val pick = cands
+        .join(sel.select(col("probe_id").as("t_probe"),
+          col("neighbor_id").as("t_id")),
+          col("probe_id") === col("t_probe") &&
+            col("neighbor_id") === col("t_id"), "left_anti")
+        .join(msim.select(col("probe_id").as("m_probe"),
+          col("a_id"), col("msim")),
+          col("probe_id") === col("m_probe") &&
+            col("neighbor_id") === col("a_id"))
+        .withColumn("mmr",
+          round(lit(lambda) * col("score") - lit(1 - lambda) * col("msim"), 6))
+      sel = sel.unionByName(pickTop(pick
+        .select(col("probe_id"), col("neighbor_id"), col("score"),
+          col("mmr")), i))
+    }
+    sel.select(col("probe_id"), col("step").cast("int").as("step"),
+      col("neighbor_id"), col("score"), col("mmr"))
+  }
 }

@@ -44,6 +44,74 @@ object QueryDefs {
        |       generate_series(0,${sz - 1}) z(z),
        |       generate_series(0,${sy * sx - 1}) p(p))""".stripMargin
 
+  /** DuckDB cosine(x, y) rounded to 6dp — the embed_topk idiom. */
+  private def cosSql(x: String, y: String): String =
+    s"""round(list_sum(list_transform(list_zip($x, $y),
+       |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+       |    (sqrt(list_sum(list_transform($x,
+       |       a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)))) *
+       |     sqrt(list_sum(list_transform($y,
+       |       a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE))))), 6)""".stripMargin
+
+  /** Oracle for `embed_topk_mmr`: the k greedy MMR rounds unrolled as
+    * chained CTEs (k is a fixed query constant, so the unrolled SQL is
+    * finite and engine-portable — no recursive CTE needed). λ and 1−λ
+    * literals come from the Scala doubles' shortest round-trip repr so
+    * DuckDB parses bit-identical IEEE values. */
+  private def mmrOracleSql(nProbes: Int, k: Int, candidates: Int,
+      lambda: Double): String = {
+    val l = lambda.toString
+    val oml = (1 - lambda).toString
+    val steps = (2 to k).map { i =>
+      s"""msim$i AS (
+         |  SELECT p.probe_id, p.a_id, max(p.psim) AS msim
+         |  FROM psim p JOIN acc${i - 1} s
+         |    ON p.probe_id = s.probe_id AND p.b_id = s.neighbor_id
+         |  GROUP BY 1, 2),
+         |pick$i AS (
+         |  SELECT * FROM (
+         |    SELECT c.probe_id, c.neighbor_id, c.score, $i AS step,
+         |      round($l * c.score - $oml * m.msim, 6) AS mmr
+         |    FROM cands c
+         |    JOIN msim$i m
+         |      ON c.probe_id = m.probe_id AND c.neighbor_id = m.a_id
+         |    LEFT JOIN acc${i - 1} s
+         |      ON c.probe_id = s.probe_id AND c.neighbor_id = s.neighbor_id
+         |    WHERE s.neighbor_id IS NULL)
+         |  QUALIFY row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY mmr DESC, neighbor_id ASC) = 1),
+         |acc$i AS (
+         |  SELECT * FROM acc${i - 1} UNION ALL SELECT * FROM pick$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH scored AS (
+       |  SELECT CAST(p.vec_id AS BIGINT) AS probe_id,
+       |    CAST(e.vec_id AS BIGINT) AS neighbor_id,
+       |    ${cosSql("p.embedding", "e.embedding")} AS score
+       |  FROM embeddings p JOIN embeddings e ON e.vec_id <> p.vec_id
+       |  WHERE p.vec_id < $nProbes),
+       |cands AS (
+       |  SELECT probe_id, neighbor_id, score FROM scored
+       |  QUALIFY row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY score DESC, neighbor_id ASC) <= $candidates),
+       |ce AS (
+       |  SELECT c.probe_id, c.neighbor_id, e.embedding
+       |  FROM cands c JOIN embeddings e ON c.neighbor_id = e.vec_id),
+       |psim AS (
+       |  SELECT a.probe_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+       |    ${cosSql("a.embedding", "b.embedding")} AS psim
+       |  FROM ce a JOIN ce b
+       |    ON a.probe_id = b.probe_id AND a.neighbor_id <> b.neighbor_id),
+       |acc1 AS (
+       |  SELECT probe_id, neighbor_id, score, 1 AS step, score AS mmr
+       |  FROM cands
+       |  QUALIFY row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY score DESC, neighbor_id ASC) = 1),
+       |$steps
+       |SELECT probe_id, CAST(step AS INT) AS step, neighbor_id, score, mmr
+       |FROM acc$k""".stripMargin
+  }
+
   /** px CTE for the i4d family (4 images, 2x2x2 of 8x8). */
   private val px4d = pxCte(4, 2, 2, 2, 8, 8)
 
@@ -2403,6 +2471,16 @@ object QueryDefs {
           |  neighbor_id, score
           |FROM rer
           |QUALIFY rnk <= 10""".stripMargin)),
+
+    // MMR-diversified retrieval: greedy λ·rel − (1−λ)·max-sim selection
+    // of 5 from the cosine top-20 per probe. The oracle unrolls the k
+    // greedy rounds as chained CTEs (k is a query constant); λ literals
+    // are emitted from the exact Scala doubles so both engines compute
+    // identical IEEE scores.
+    ("embed_topk_mmr", (s: SparkSession, dir: String) =>
+      VectorOps.mmrTopK(t(s, dir, "embeddings"), nProbes = 8, k = 5,
+        candidates = 20, lambda = 0.7),
+      Some(mmrOracleSql(nProbes = 8, k = 5, candidates = 20, lambda = 0.7))),
 
     // Scalar-quantized (int8, per-dim asymmetric) top-k: probes AND
     // corpus score from dequantized reconstructions — pins the whole

@@ -241,7 +241,8 @@ class PlanSpec extends SparkSpec {
       "cosineTopKBinary" -> V.cosineTopKBinary(emb, nProbes = 8, k = 5,
         dim = 64),
       "pqTopK" -> V.pqTopK(emb, nProbes = 8, k = 5),
-      "ivfPqTopK" -> V.ivfPqTopK(emb, nProbes = 8, k = 5))
+      "ivfPqTopK" -> V.ivfPqTopK(emb, nProbes = 8, k = 5),
+      "mmrTopK" -> V.mmrTopK(emb, nProbes = 8, k = 3, candidates = 10))
     plans.foreach { case (name, df) =>
       val finalWindows = df.queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window

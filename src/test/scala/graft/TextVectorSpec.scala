@@ -499,6 +499,25 @@ class TextVectorSpec extends SparkSpec {
     assert(out(2).getAs[String]("scrubbed_md5") === expect2)
   }
 
+  test("mmrTopK diversifies: a near-duplicate of the first pick defers " +
+      "to a more distinct candidate") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),   // probe
+      (1L, Array(0.9f, 0.1f, 0.0f), 0),   // top relevance
+      (2L, Array(0.9f, 0.11f, 0.0f), 0),  // near-dup of 1
+      (3L, Array(0.5f, 0.5f, 0.0f), 0)    // distinct, lower relevance
+    ).toDF("vec_id", "embedding", "label")
+    val out = VectorOps.mmrTopK(emb, nProbes = 1, k = 3, candidates = 3,
+      lambda = 0.2).orderBy("step").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 3L, 2L))
+    // step 1 is pure relevance: its mmr IS the relevance score
+    assert(out(0).getAs[Double]("mmr") === out(0).getAs[Double]("score"))
+    // plain top-k would have ranked the near-dup (2) second
+    val plain = VectorOps.cosineTopK(emb, nProbes = 1, k = 2)
+      .orderBy("rnk").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(plain === Seq(1L, 2L))
+  }
+
   test("semanticDedup keeps the lowest id of a tight semantic group") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),
