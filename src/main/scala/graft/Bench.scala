@@ -99,6 +99,30 @@ object Bench {
       java.nio.file.Paths.get("bench_out.json"), line + "\n")
     catch { case _: Throwable => () } // stdout line is the contract
     println(line)
+
+    // The driver's stdout capture keeps only the LAST ~2000 characters, so
+    // the full line above — ~4 KB at 130+ registered queries — survives
+    // only in bench_out.json (r5/r6 BENCH files both show the truncated
+    // front: "parsed": null). Print a compact line LAST whose total covers
+    // ALL queries but whose per-query map is a fixed headline subset, so a
+    // tail-window parse always finds one complete JSON line.
+    val headline = Vector(
+      "q1_agg", "q3_top_orders", "q5_region_revenue", "pipeline_end_to_end",
+      "dedup_exact", "near_dup_minhash", "near_dup_clusters_minhash",
+      "simhash_pairs", "near_dup_ngram", "semantic_dedup", "embed_near_dup",
+      "embed_topk", "embed_topk_reranked", "embed_topk_quantized",
+      "embed_ann_ivf", "embed_ann_pq", "embed_ann_ivfpq", "bm25_topk",
+      "contamination", "bloom_decontam", "lm_perplexity",
+      "importance_weights", "tfidf_topk", "doc_chunk", "sample_mix",
+      "pack_sequences", "quality_score", "token_count_bpe",
+      "mm_image_features", "events_sessions", "ome_tiff_golden",
+      "ome_zarr_roundtrip", "ome_parquet_roundtrip", "ome_slice_crop",
+      "ome_downscale2x", "ome_pyramid_l2", "ome_plane_stats",
+      "ome_scale_pipeline", "ome_zproject_max", "ome_histogram")
+    val resultMap = results.toMap
+    val hqs = headline.flatMap(n => resultMap.get(n).map(v =>
+      "\"" + n + "\":" + r4(v))).mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$hqs,"n_queries":${results.size},"n_failures":${failures.size},"queries_full":"bench_out.json","runs_per_query":3,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

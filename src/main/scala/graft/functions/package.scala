@@ -66,7 +66,8 @@ package object functions {
     }),
     "graft_synth_ramp" -> (exprs => SynthRampPixels(exprs(0), exprs(1))),
     "graft_pixel_sum" -> (exprs => PixelSum(exprs(0))),
-    "graft_pixel_count_ge" -> (exprs => PixelCountGe(exprs(0), exprs(1))))
+    "graft_pixel_count_ge" -> (exprs => PixelCountGe(exprs(0), exprs(1))),
+    "graft_pixel_brenner" -> (exprs => PixelBrenner(exprs(0), exprs(1))))
 
   /** Materialize a foldable ARRAY<STRING> argument (the inlined BPE
     * merge list) at expression-build time. */
@@ -181,4 +182,9 @@ package object functions {
   /** Native count of plane pixels >= threshold (saturation detector). */
   def pixel_count_ge(pixels: Column, threshold: Column): Column =
     call_function("graft_pixel_count_ge", pixels, threshold)
+
+  /** Native Brenner focus score (sum of squared horizontal
+    * second-differences) of a flat sx-wide plane. */
+  def pixel_brenner(pixels: Column, sx: Column): Column =
+    call_function("graft_pixel_brenner", pixels, sx)
 }
