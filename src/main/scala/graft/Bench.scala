@@ -120,9 +120,13 @@ object Bench {
       "ome_downscale2x", "ome_pyramid_l2", "ome_plane_stats",
       "ome_scale_pipeline", "ome_zproject_max", "ome_histogram")
     val resultMap = results.toMap
+    // a renamed/removed headline query must not vanish silently: name the
+    // unresolved entries in the compact line (ADVICE r7)
+    val missing = headline.filterNot(resultMap.contains)
     val hqs = headline.flatMap(n => resultMap.get(n).map(v =>
       "\"" + n + "\":" + r4(v))).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$hqs,"n_queries":${results.size},"n_failures":${failures.size},"queries_full":"bench_out.json","runs_per_query":3,"sf":"$sfDir"}""")
+    val miss = missing.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$hqs,"n_queries":${results.size},"n_failures":${failures.size},"headline_unresolved":$miss,"queries_full":"bench_out.json","runs_per_query":3,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

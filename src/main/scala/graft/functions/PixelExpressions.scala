@@ -402,10 +402,17 @@ case class PlaneStackFold(stack: Expression, how: String)
  * scale a per-plane scalar computed in one codegen'd int loop is the
  * shape that survives — no pixel explode, no lambda per pixel.
  *
- * Exact integer math (max |d| = 65535, d^2 < 2^33, summed in long — a
- * full 2 GiB plane of alternating extremes stays < 2^63), so the score
- * is engine-portable bit-for-bit and the DuckDB oracle can replay it
- * with `lead(v, 2)` window differences.
+ * PRECONDITION: pixel values must fit uint16 (the OME surface's widest
+ * integer dtype; `verify_ome_arrow` enforces it upstream). The exact-
+ * integer no-overflow argument depends on it: max |d| = 65535,
+ * d^2 < 2^33, summed in long — a full 2 GiB plane of alternating
+ * extremes stays < 2^63 — so the score is engine-portable bit-for-bit
+ * and the DuckDB oracle can replay it with `lead(v, 2)` window
+ * differences. Full-int32 pixels would make d^2 reach ~2^62 per term
+ * and silently wrap the long sum.
+ *
+ * A non-positive `sx` scores 0 (no complete row exists), keeping
+ * nullability purely child-driven like PixelSum/PixelCountGe.
  */
 case class PixelBrenner(pixels: Expression, sx: Expression)
   extends Expression {
@@ -424,7 +431,7 @@ case class PixelBrenner(pixels: Expression, sx: Expression)
     if (pxAny == null || sxAny == null) return null
     val px = pxAny.asInstanceOf[ArrayData]
     val w = sxAny.asInstanceOf[Int]
-    if (w <= 0) return null
+    if (w <= 0) return 0L
     val n = px.numElements()
     var s = 0L
     var rowBase = 0
@@ -451,10 +458,9 @@ case class PixelBrenner(pixels: Expression, sx: Expression)
       code"""
         ${pxG.code}
         ${sxG.code}
-        boolean ${ev.isNull} = ${pxG.isNull} || ${sxG.isNull} ||
-          ${sxG.value} <= 0;
+        boolean ${ev.isNull} = ${pxG.isNull} || ${sxG.isNull};
         long ${ev.value} = 0L;
-        if (!${ev.isNull}) {
+        if (!${ev.isNull} && ${sxG.value} > 0) {
           final int $n = ${pxG.value}.numElements();
           int $rb = 0;
           while ($rb + ${sxG.value} <= $n) {

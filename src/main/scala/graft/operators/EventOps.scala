@@ -8,10 +8,12 @@ import org.apache.spark.sql.functions._
  * Event-stream batch operators over `events(event_id, ts, user_id,
  * event_type, value, props)`.
  *
- * The events parquet stores nanosecond timestamps, which Spark's vectorized
- * reader rejects; we read them as raw epoch-nanos longs
- * (`spark.sql.legacy.parquet.nanosAsLong`) and do all time arithmetic on
- * integers — exact, timezone-free, and portable to any oracle engine.
+ * The events parquet has stored `ts` two ways across testdata
+ * generations: epoch-nanos int64 (which Spark's vectorized reader only
+ * accepts as raw longs via `spark.sql.legacy.parquet.nanosAsLong`) and
+ * `timestamp[us]`. [[readEvents]] normalizes both to epoch-nanos longs,
+ * so all downstream time arithmetic is integer — exact, timezone-free,
+ * and portable to any oracle engine.
  *
  * Scale notes: the session window is partitioned by user_id (high
  * cardinality, no skew); rollups are hash aggregations with map-side
@@ -22,10 +24,27 @@ object EventOps {
 
   val NanosPerDay: Long = 86400L * 1000 * 1000 * 1000
 
-  /** Read the events table with `ts` as epoch-nanos long. */
+  /** Read the events table with `ts` normalized to epoch-nanos long,
+    * whatever unit the file stores. A nanos-unit file reads as LongType
+    * directly (nanosAsLong); a `timestamp[us]` file is re-read with a
+    * forced-long schema — the raw epoch-µs int64, no timezone cast
+    * anywhere — and rescaled ×1000. The unit probe is a footer-only
+    * schema read, free at any corpus size. */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
+    val path = s"$sfDir/events.parquet"
+    val df = spark.read.parquet(path)
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ =>
+        val forced = org.apache.spark.sql.types.StructType(
+          df.schema.fields.map(f =>
+            if (f.name == "ts")
+              f.copy(dataType = org.apache.spark.sql.types.LongType)
+            else f))
+        spark.read.schema(forced).parquet(path)
+          .withColumn("ts", col("ts") * lit(1000L))
+    }
   }
 
   /** Per-(event_type, epoch-day) counts, value sums, distinct users. */

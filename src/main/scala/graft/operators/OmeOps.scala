@@ -150,6 +150,40 @@ object OmeOps {
   }
 
   /**
+   * Best-focus plane selection per (image, t, channel) z-stack — the
+   * autofocus/QC question behind the reference's interactive focus
+   * picking (view.py surfaces planes for a human; at corpus scale the
+   * engine must rank them): every plane gets a Brenner sharpness score
+   * (sum of squared horizontal second-differences, the native
+   * `pixel_brenner` one-loop kernel — no pixel explode, no lambda),
+   * and each stack reports its sharpest z with a lowest-z tie-break
+   * plus the stack's score range.
+   *
+   * Scale shape: the corpus-scale work is one narrow projection to
+   * (image_id, t, c, z, score) scalars; the single shuffle moves those
+   * five-scalar rows into a hash aggregation (max over a (score, -z)
+   * struct — no window, no second pass over pixels).
+   */
+  def focusReport(df: DataFrame,
+      column: String = OmeSchema.DefaultColumn): DataFrame = {
+    graft.functions.ensureRegistered(df.sparkSession)
+    explodePlanes(df, column)
+      .select(col("image_id"), col("t").cast("int").as("t"),
+        col("c").cast("int").as("c"), col("z").cast("int").as("z"),
+        graft.functions.pixel_brenner(col("pixels"), col("size_x"))
+          .as("score"))
+      .groupBy(col("image_id"), col("t"), col("c"))
+      .agg(count(lit(1)).cast("long").as("n_planes"),
+        max(struct(col("score"), (-col("z")).as("nz"))).as("best"),
+        min(col("score")).cast("long").as("score_min"),
+        max(col("score")).cast("long").as("score_max"))
+      .select(col("image_id"), col("t"), col("c"), col("n_planes"),
+        (-col("best.nz")).cast("int").as("best_z"),
+        col("best.score").cast("long").as("best_score"),
+        col("score_min"), col("score_max"))
+  }
+
+  /**
    * Per-(image, channel) intensity histogram — the contrast/display
    * substrate behind the reference's viewers: `nBins` equal-width bins
    * over [lo, hi), one output row per NON-EMPTY bin. Pixels outside

@@ -982,8 +982,15 @@ object VectorOps {
     require(candidates >= k, "mmrTopK: candidates must cover k")
     require(lambda >= 0 && lambda <= 1, "mmrTopK: lambda in [0,1]")
     graft.functions.ensureRegistered(emb.sparkSession)
-    val cands = cosineTopK(emb, nProbes, candidates)
-      .select(col("probe_id"), col("neighbor_id"), col("score"))
+    // The greedy rounds below each reference `cands`, `psim`, and every
+    // prior round's `sel`; without persistence round i re-executes the
+    // whole prior plan tree — including i copies of the corpus-scale
+    // cosineTopK scan — inside each branch (r7 measured 112 s at sf0.1
+    // for what is ~2 s of actual work). Persist the loop invariants and
+    // each frontier (Caches.persist — released via Caches.scoped), the
+    // EventOps.funnel template.
+    val cands = Caches.persist(cosineTopK(emb, nProbes, candidates)
+      .select(col("probe_id"), col("neighbor_id"), col("score")))
     val withEmb = cands.join(
       emb.select(col("vec_id"), col("embedding")),
       col("neighbor_id") === col("vec_id"))
@@ -993,10 +1000,10 @@ object VectorOps {
       col("embedding").as("a_emb"))
     val b = withEmb.select(col("probe_id").as("b_probe"),
       col("neighbor_id").as("b_id"), col("embedding").as("b_emb"))
-    val psim = a.join(b,
+    val psim = Caches.persist(a.join(b,
         col("probe_id") === col("b_probe") && col("a_id") =!= col("b_id"))
       .select(col("probe_id"), col("a_id"), col("b_id"),
-        cosine6(col("a_emb"), col("b_emb")).as("psim"))
+        cosine6(col("a_emb"), col("b_emb")).as("psim")))
     def pickTop(df: DataFrame, step: Int): DataFrame =
       df.withColumn("rnk",
           row_number().over(Window.partitionBy(col("probe_id"))
@@ -1004,7 +1011,7 @@ object VectorOps {
         .filter(col("rnk") === 1)
         .select(col("probe_id"), col("neighbor_id"), col("score"),
           lit(step).as("step"), col("mmr"))
-    var sel = pickTop(cands.withColumn("mmr", col("score")), 1)
+    var sel = Caches.persist(pickTop(cands.withColumn("mmr", col("score")), 1))
     for (i <- 2 to k) {
       val msim = psim
         .join(sel.select(col("probe_id").as("s_probe"),
@@ -1023,9 +1030,9 @@ object VectorOps {
             col("neighbor_id") === col("a_id"))
         .withColumn("mmr",
           round(lit(lambda) * col("score") - lit(1 - lambda) * col("msim"), 6))
-      sel = sel.unionByName(pickTop(pick
+      sel = Caches.persist(sel.unionByName(pickTop(pick
         .select(col("probe_id"), col("neighbor_id"), col("score"),
-          col("mmr")), i))
+          col("mmr")), i)))
     }
     sel.select(col("probe_id"), col("step").cast("int").as("step"),
       col("neighbor_id"), col("score"), col("mmr"))

@@ -255,6 +255,40 @@ object QueryDefs {
            |  round(CAST(w1 AS DOUBLE) / tot_w, 6) AS fg_frac
            |FROM ranked""".stripMargin)),
 
+    // Best-focus plane per (image, t, channel): Brenner sharpness score
+    // (native pixel_brenner kernel), replayed in SQL as lead(v,2) row
+    // differences. The synthetic ramp makes every plane score the same
+    // exact 192, so the row pins the exact integer sum AND the
+    // lowest-z tie-break; hostile-pixel discrimination lives in
+    // OpsSpec's eval/codegen parity case.
+    ("ome_focus_report", (s: SparkSession, _: String) =>
+      OmeOps.focusReport(Fixtures.corpus4d(s)),
+      Some(
+        s"""WITH $px4d,
+           |br AS (
+           |  SELECT img, t, c, z, sum((vl - v) * (vl - v)) AS score
+           |  FROM (
+           |    SELECT img, t, c, z, v,
+           |      lead(v, 2) OVER (PARTITION BY img, t, c, z, y
+           |        ORDER BY x) AS vl
+           |    FROM px)
+           |  WHERE vl IS NOT NULL
+           |  GROUP BY img, t, c, z),
+           |ranked AS (
+           |  SELECT img, t, c, z, score,
+           |    row_number() OVER (PARTITION BY img, t, c
+           |      ORDER BY score DESC, z ASC) AS rn,
+           |    count(*) OVER (PARTITION BY img, t, c) AS n_planes,
+           |    min(score) OVER (PARTITION BY img, t, c) AS smin,
+           |    max(score) OVER (PARTITION BY img, t, c) AS smax
+           |  FROM br)
+           |SELECT $id4d AS image_id, CAST(t AS INT) AS t,
+           |  CAST(c AS INT) AS c, CAST(n_planes AS BIGINT) AS n_planes,
+           |  CAST(z AS INT) AS best_z, CAST(score AS BIGINT) AS best_score,
+           |  CAST(smin AS BIGINT) AS score_min,
+           |  CAST(smax AS BIGINT) AS score_max
+           |FROM ranked WHERE rn = 1""".stripMargin)),
+
     ("ome_slice_crop", (s: SparkSession, _: String) =>
       planeStatsRows(OmeOps.sliceOmeArrow(Fixtures.corpus4d(s),
         xMin = 2, xMax = 6, yMin = 1, yMax = 7, tIndices = Some(Seq(1)))),

@@ -251,24 +251,17 @@ object DocStream {
       lateness: String = "10 minutes",
       feedDir: String = "/tmp/graft_stream_dedup_feed",
       timeoutMs: Long = 300000L): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    docs.select(col("doc_id").cast("long").as("doc_id"), col("text"),
-        col("lang"), col("source"), col("n_chars").cast("long").as("n_chars"),
-        lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("ingest_ts"))
-      .write.mode("overwrite").parquet(feedDir)
-    val view = "graft_stream_dedup_check"
-    if (spark.catalog.tableExists(view)) spark.catalog.dropTempView(view)
-    val q = dedupStream(spark, feedDir, lateness)
-      .writeStream.format("memory").queryName(view)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try {
-      require(q.awaitTermination(timeoutMs),
-        s"dedupCheck: stream did not drain within ${timeoutMs} ms")
-    } finally q.stop()
-    val out = spark.table(view).select(col("text_sha256"))
+    val out = StreamDrain.once(spark, "graft_stream_dedup_check",
+        s"$dir|$lateness|$feedDir", timeoutMs) {
+      docs.select(col("doc_id").cast("long").as("doc_id"), col("text"),
+          col("lang"), col("source"),
+          col("n_chars").cast("long").as("n_chars"),
+          lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+            .as("ingest_ts"))
+        .write.mode("overwrite").parquet(feedDir)
+      dedupStream(spark, feedDir, lateness)
+    }.select(col("text_sha256"))
     val outDistinct = out.distinct()
     val batchShas = docs.select(sha2(col("text"), 256).as("text_sha256"))
       .distinct()
@@ -311,28 +304,20 @@ object DocStream {
       numHashes: Int = 12, bands: Int = 4, threshold: Double = 0.5,
       feedDir: String = "/tmp/graft_stream_neardup_feed",
       timeoutMs: Long = 300000L): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
     graft.functions.ensureRegistered(spark)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    docs.select(col("doc_id").cast("long").as("doc_id"), col("text"),
-        col("lang"), col("source"), col("n_chars").cast("long").as("n_chars"),
-        lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("ingest_ts"))
-      .write.mode("overwrite").parquet(feedDir)
-    val view = "graft_stream_neardup_check"
-    if (spark.catalog.tableExists(view)) spark.catalog.dropTempView(view)
-    val feed = spark.readStream.schema(documentsSchema).parquet(feedDir)
-    val q = nearDupPairsStream(feed, k, numHashes, bands, threshold,
-        maxPerBucket = 4096)
-      .toDF()
-      .writeStream.format("memory").queryName(view)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try {
-      require(q.awaitTermination(timeoutMs),
-        s"nearDupCheck: stream did not drain within ${timeoutMs} ms")
-    } finally q.stop()
-    val hits = spark.table(view)
+    val hits = StreamDrain.once(spark, "graft_stream_neardup_check",
+        s"$dir|$k|$numHashes|$bands|$threshold|$feedDir", timeoutMs) {
+      docs.select(col("doc_id").cast("long").as("doc_id"), col("text"),
+          col("lang"), col("source"),
+          col("n_chars").cast("long").as("n_chars"),
+          lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+            .as("ingest_ts"))
+        .write.mode("overwrite").parquet(feedDir)
+      val feed = spark.readStream.schema(documentsSchema).parquet(feedDir)
+      nearDupPairsStream(feed, k, numHashes, bands, threshold,
+        maxPerBucket = 4096).toDF()
+    }
     val rows = numHashes / bands
     // batch recomputation of the stream's deterministic primitives
     val sigs = docs.select(col("doc_id").cast("long").as("doc_id"),
@@ -413,24 +398,6 @@ object DocStream {
     feed.write.mode("overwrite").parquet(feedDir)
   }
 
-  /** Run a streaming DF to completion into a memory sink; returns the
-    * sink table. */
-  private def drain(df: DataFrame, view: String,
-      timeoutMs: Long): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val spark = df.sparkSession
-    if (spark.catalog.tableExists(view)) spark.catalog.dropTempView(view)
-    val q = df.writeStream.format("memory").queryName(view)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try {
-      require(q.awaitTermination(timeoutMs),
-        s"$view: stream did not drain within ${timeoutMs} ms")
-    } finally q.stop()
-    spark.table(view)
-  }
-
   /**
    * Structural self-check of [[contaminationStream]] against the batch
    * decontamination operator (all-zeros pattern): the train split
@@ -448,12 +415,13 @@ object DocStream {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val train = docs.filter(col("doc_id") % 25 =!= 0)
     val eval = docs.filter(col("doc_id") % 25 === 0)
-    writeFeed(train, feedDir, withSentinel = true)
-    val hits = drain(
+    val hits = StreamDrain.once(spark, "graft_stream_contam_check",
+        s"$dir|$n|$minShared|$feedDir", timeoutMs) {
+      writeFeed(train, feedDir, withSentinel = true)
       contaminationStream(
         spark.readStream.schema(documentsSchema).parquet(feedDir),
-        eval, n, minShared),
-      "graft_stream_contam_check", timeoutMs)
+        eval, n, minShared)
+    }
       .select(col("doc_id").as("train_doc"), col("eval_doc"),
         col("n_shared").as("s_shared"))
     val batch = TextOps.contamination(train, eval, n, minShared)
@@ -494,12 +462,13 @@ object DocStream {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val train = docs.filter(col("doc_id") % 25 === 0)
     val score = docs.filter(col("doc_id") % 25 =!= 0)
-    writeFeed(score, feedDir, withSentinel = true)
-    val streamed = drain(
+    val streamed = StreamDrain.once(spark, "graft_stream_ppl_check",
+        s"$dir|$k|$feedDir", timeoutMs) {
+      writeFeed(score, feedDir, withSentinel = true)
       perplexityStream(
         spark.readStream.schema(documentsSchema).parquet(feedDir),
-        train, k),
-      "graft_stream_ppl_check", timeoutMs)
+        train, k)
+    }
       .filter(col("doc_id") =!= -999L) // the sentinel's window never closes
       .select(col("doc_id"), col("n_bigrams").as("s_bigrams"),
         col("avg_nll").as("s_nll"), col("ppl").as("s_ppl"))
@@ -560,12 +529,13 @@ object DocStream {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val train = docs.filter(col("doc_id") % 25 =!= 0)
     val eval = docs.filter(col("doc_id") % 25 === 0)
-    writeFeed(train, feedDir, withSentinel = false)
-    val streamed = drain(
+    val streamed = StreamDrain.once(spark, "graft_stream_bloom_check",
+        s"$dir|$n|$minHits|$feedDir", timeoutMs) {
+      writeFeed(train, feedDir, withSentinel = false)
       bloomDecontamStream(
         spark.readStream.schema(documentsSchema).parquet(feedDir),
-        eval, n, minHits = minHits),
-      "graft_stream_bloom_check", timeoutMs)
+        eval, n, minHits = minHits)
+    }
       .select(col("doc_id"), col("n_grams").as("s_grams"),
         col("n_hits").as("s_hits"), col("flagged").as("s_flag"))
     val batch = graft.operators.TextOps

@@ -14,14 +14,34 @@ import org.apache.spark.sql.types._
 object EventStream {
 
   /** Explicit schema (streaming file sources cannot infer), with the
-    * nanosecond timestamp read as a raw long. */
+    * timestamp read as a raw int64 whatever its unit — epoch-nanos
+    * files via nanosAsLong, `timestamp[us]` files as the raw µs
+    * payload. [[tsUnitNanos]] says which. */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // epoch nanos (nanosAsLong)
+    StructField("ts", LongType), // raw int64: epoch nanos OR epoch µs
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** Nanoseconds per raw `ts` unit in the dir's events parquet. The
+    * testdata generation has stored ts both as epoch-nanos int64 (which
+    * infers as LongType under nanosAsLong) and as `timestamp[us]` (whose
+    * raw int64 the forced-long [[eventsSchema]] reads as epoch-µs); a
+    * footer-only batch schema probe at plan-build time tells which, so
+    * both generations stay green. */
+  private[graft] def tsUnitNanos(spark: SparkSession, dir: String): Long = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dt = spark.read.option("pathGlobFilter", "events.parquet")
+      .parquet(dir).schema("ts").dataType
+    if (dt == LongType) 1L else 1000L
+  }
+
+  /** Event-time from the raw `ts` int64: scale to nanos (integer-exact,
+    * timezone-free), truncate to the µs Spark timestamps carry. */
+  private def eventTs(nsPerUnit: Long): org.apache.spark.sql.Column =
+    timestamp_micros(expr(s"(ts * ${nsPerUnit}L) div 1000"))
 
   /**
    * Watermarked per-(window, event_type) rollup of an events directory
@@ -36,7 +56,7 @@ object EventStream {
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("event_ts", eventTs(tsUnitNanos(spark, dir)))
       .withWatermark("event_ts", lateness)
       .groupBy(window(col("event_ts"), windowLength), col("event_type"))
       .agg(count(lit(1)).cast("long").as("n_events"),
@@ -67,7 +87,7 @@ object EventStream {
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("event_ts", eventTs(tsUnitNanos(spark, dir)))
     val clicks = events.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"),
         col("user_id"), col("event_ts").as("click_ts"))
@@ -101,24 +121,14 @@ object EventStream {
   def attributionCheck(spark: SparkSession, dir: String,
       maxDelay: String = "2 hours", lateness: String = "1 hour",
       timeoutMs: Long = 300000L): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val view = "graft_stream_attrib_check"
-    if (spark.catalog.tableExists(view)) spark.catalog.dropTempView(view)
-    val q = attributionJoinStream(spark, dir, maxDelay, lateness)
-      .writeStream.format("memory").queryName(view)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try {
-      require(q.awaitTermination(timeoutMs),
-        s"attributionCheck: stream did not drain within ${timeoutMs} ms")
-    } finally q.stop()
-    val streamed = spark.table(view)
+    val streamed = StreamDrain.once(spark, "graft_stream_attrib_check",
+        s"$dir|$maxDelay|$lateness", timeoutMs)(
+      attributionJoinStream(spark, dir, maxDelay, lateness))
       .select(col("click_id"), col("purchase_id"),
         col("delay_sec").as("delay_s"))
     val events = spark.read.schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("event_ts", eventTs(tsUnitNanos(spark, dir)))
     val bClicks = events.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("event_ts").as("click_ts"))
@@ -169,24 +179,14 @@ object EventStream {
   def rollupCheck(spark: SparkSession, dir: String,
       windowLength: String = "6 hours", lateness: String = "1 hour",
       timeoutMs: Long = 300000L): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val view = "graft_stream_rollup_check"
-    if (spark.catalog.tableExists(view)) spark.catalog.dropTempView(view)
-    val q = windowedRollup(spark, dir, windowLength, lateness)
-      .writeStream.format("memory").queryName(view)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try {
-      require(q.awaitTermination(timeoutMs),
-        s"rollupCheck: stream did not drain within ${timeoutMs} ms")
-    } finally q.stop()
-    val streamed = spark.table(view)
+    val streamed = StreamDrain.once(spark, "graft_stream_rollup_check",
+        s"$dir|$windowLength|$lateness", timeoutMs)(
+      windowedRollup(spark, dir, windowLength, lateness))
       .select(col("window_start"), col("event_type"),
         col("n_events").as("n_s"), col("value_sum").as("sum_s"))
     val events = spark.read.schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("event_ts", eventTs(tsUnitNanos(spark, dir)))
     val batch = events
       .groupBy(window(col("event_ts"), windowLength), col("event_type"))
       .agg(count(lit(1)).cast("long").as("n_b"),
@@ -235,7 +235,7 @@ object EventStream {
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("event_ts", eventTs(tsUnitNanos(spark, dir)))
       .withWatermark("event_ts", lateness)
       .groupBy(session_window(col("event_ts"), s"$gapMinutes minutes"),
         col("user_id"))
@@ -259,24 +259,14 @@ object EventStream {
       gapMinutes: Int = 30, lateness: String = "1 hour",
       timeoutMs: Long = 300000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.streaming.Trigger
-    val view = "graft_stream_session_check"
-    if (spark.catalog.tableExists(view)) spark.catalog.dropTempView(view)
-    val q = sessionStream(spark, dir, gapMinutes, lateness)
-      .writeStream.format("memory").queryName(view)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try {
-      require(q.awaitTermination(timeoutMs),
-        s"sessionCheck: stream did not drain within ${timeoutMs} ms")
-    } finally q.stop()
-    val streamed = spark.table(view)
+    val streamed = StreamDrain.once(spark, "graft_stream_session_check",
+        s"$dir|$gapMinutes|$lateness", timeoutMs)(
+      sessionStream(spark, dir, gapMinutes, lateness))
       .select(col("session_start"), col("session_end"), col("user_id"),
         col("n_events").as("n_s"), col("value_sum").as("sum_s"))
     val events = spark.read.schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("event_ts", eventTs(tsUnitNanos(spark, dir)))
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("event_ts").asc, col("event_id").asc)
     val gapCol = expr(s"interval $gapMinutes minutes")

@@ -53,6 +53,53 @@ class OpsSpec extends SparkSpec {
     assert(df.filter(not(col("a") <=> col("b"))).count() === 0)
   }
 
+  test("graft_pixel_brenner matches the second-difference fold under " +
+      "codegen and interpreted eval") {
+    graft.functions.ensureRegistered(spark)
+    import spark.implicits._
+    // hostile planes: extreme uint16 values, a partial trailing row
+    // (ignored), w < 3 (no diffs fit), sx <= 0 (scores 0, stays
+    // non-null per the Catalyst nullability contract)
+    val rows = Seq(
+      (Array(0, 65535, 0, 65535, 7, 123, 999, 4), 4),
+      (Array(5, 9, 1, 4, 8, 2, 7, 7, 7, 1), 4), // 10 px: trailing 2 dropped
+      (Array(1, 2, 3, 4, 5, 6), 2),             // w=2: zero diffs
+      (Array(1, 2, 3), 3),                      // exactly one diff: (3-1)^2
+      (Array(1, 2, 3, 4), 0),                   // sx=0 -> 0
+      (Array(1, 2, 3, 4), -2))                  // sx<0 -> 0
+    val df = rows.toDF("px", "w")
+    // reference formulation: index i participates iff its row is
+    // complete (i - i%w + w <= n) and x = i%w has x+2 < w
+    def ref(px: org.apache.spark.sql.Column,
+        w: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val n = size(px)
+      when(w <= 0, lit(0L)).otherwise(
+        aggregate(
+          filter(sequence(lit(0), n - 1), i =>
+            (i % w < w - 2) && (i - (i % w) + w <= n)),
+          lit(0L),
+          (acc, i) => {
+            val d = (element_at(px, i + 3) - element_at(px, i + 1))
+              .cast("long")
+            acc + d * d
+          }))
+    }
+    for (mode <- Seq("FALLBACK", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try {
+        val out = df.select(
+          graft.functions.pixel_brenner(col("px"), col("w")).as("a"),
+          ref(col("px"), col("w")).as("b")).collect()
+        out.foreach(r => assert(r.getLong(0) === r.getLong(1), mode))
+        // pinned literals so the ref fold itself has teeth
+        assert(out(2).getLong(0) === 0L)
+        assert(out(3).getLong(0) === 4L)
+        assert(out(4).getLong(0) === 0L)
+        assert(out(5).getLong(0) === 0L)
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("qcReport flags saturation above the level, exact means") {
     // one image, 1x1x1 of 2x2: pixels 0,1,2,3 (img 0 => base 0)
     val img = Fixtures.syntheticImages(spark, 1, t = 1, c = 1, z = 1,

@@ -243,18 +243,40 @@ class PlanSpec extends SparkSpec {
       "pqTopK" -> V.pqTopK(emb, nProbes = 8, k = 5),
       "ivfPqTopK" -> V.ivfPqTopK(emb, nProbes = 8, k = 5),
       "mmrTopK" -> V.mmrTopK(emb, nProbes = 8, k = 3, candidates = 10))
-    plans.foreach { case (name, df) =>
-      val finalWindows = df.queryExecution.optimizedPlan.collect {
+    // mmrTopK persists its loop invariants (cands/psim/frontiers), so its
+    // ranking windows sit INSIDE InMemoryRelation cache builders in the
+    // optimized plan — recurse through them rather than exempting it
+    def rnkWindows(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Seq[Seq[String]] = {
+      val direct = p.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
             if w.windowExpressions.exists(_.name == "rnk") =>
           w.child.output.map(_.name)
       }
+      val cached = p.collect {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          rnkWindows(r.cacheBuilder.logicalPlan)
+      }.flatten
+      direct ++ cached
+    }
+    plans.foreach { case (name, df) =>
+      val finalWindows = rnkWindows(df.queryExecution.optimizedPlan)
       assert(finalWindows.nonEmpty, s"$name lost its ranking window")
       finalWindows.flatten.foreach { n =>
         assert(!n.contains("emb") && !n.contains("pv") && !n.contains("dv"),
           s"$name: embedding-width column '$n' entered the ranking window")
       }
     }
+    // r7 regression pin: mmrTopK's greedy rounds must read the persisted
+    // candidate/frontier frames, never re-scan the corpus — every file
+    // scan has to sit behind an InMemoryRelation, none in the outer plan
+    val mmr = plans.collectFirst { case ("mmrTopK", df) => df }.get
+    val outerScans = mmr.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(outerScans.isEmpty,
+      s"mmrTopK re-scans the corpus outside its persisted frontier: $outerScans")
+    spark.catalog.clearCache() // drop the frames mmrTopK persisted
     // the binary coarse stage additionally must window on (probe_id,
     // neighbor_id, ham) only — neither embeddings nor packed signatures
     val binary = V.cosineTopKBinary(emb, nProbes = 8, k = 5, dim = 64)

@@ -150,6 +150,69 @@ class SourcesSpec extends SparkSpec {
     assert(ex.getMessage.contains("bytesize"))
   }
 
+  test("hostile BigTIFF LONG8 count rejects loudly before allocating") {
+    // regression pin (ADVICE r7 #2): a LONG8 count of 2^61+1 makes
+    // elemSize * count wrap to 8, slipping past the end-of-file bound
+    // while Array.tabulate would attempt a multi-EB allocation — the
+    // count itself must be validated against the file size first
+    val out = java.nio.ByteBuffer.allocate(256)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('I'.toByte).put('I'.toByte).putShort(43)
+    out.putShort(8).putShort(0).putLong(48)
+    for (v <- 0 until 16) out.putShort(v.toShort)
+    out.putLong(7)
+    def entry(tag: Int, typ: Int, count: Long, value: Long): Unit = {
+      out.putShort(tag.toShort).putShort(typ.toShort)
+      out.putLong(count).putLong(value)
+    }
+    entry(256, 3, 1, 4); entry(257, 3, 1, 4)
+    entry(258, 3, 1, 16); entry(259, 3, 1, 1)
+    entry(273, 16, 1, 16); entry(277, 3, 1, 1)
+    entry(279, 16, 0x2000000000000001L, 32) // hostile LONG8 count
+    out.putLong(0)
+    val bytes = java.util.Arrays.copyOf(out.array(), out.position())
+    val ex = intercept[IllegalArgumentException] { TiffCodec.decode(bytes) }
+    assert(ex.getMessage.contains("claims"), ex.getMessage)
+  }
+
+  test("v2 store with OVERSIZED (padded) chunk extents decodes exactly") {
+    // regression pin (ADVICE r7 #1): chunk y/x extents LARGER than the
+    // array shape are legal zarr (edge chunks pad to the full chunk
+    // shape); the whole-plane decoders' sx/sy strides would silently
+    // mis-read the cX-strided padded rows, so these must route through
+    // decodeChunkPieces — and decode correctly, not merely not error.
+    val one = Fixtures.corpus4d(spark).filter(col("ome_arrow.id") === "i4d-0003")
+    val root = "/tmp/graft_test_v2oversized/i4d-0003.zarr"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    graft.sources.OmeZarr.write(one, root, compressor = "null")
+    val lvl = new java.io.File(s"$root/0")
+    val za = new java.io.File(lvl, ".zarray")
+    val doc = new String(java.nio.file.Files.readAllBytes(za.toPath), "UTF-8")
+    // shape is (t, c, z, 8, 8) whole-plane chunks; oversize to 11 x 13
+    val (sy, sx, cY, cX) = (8, 8, 11, 13)
+    val patched = doc.replaceAll(
+      """"chunks"\s*:\s*\[1, 1, 1, 8, 8\]""",
+      s""""chunks": [1, 1, 1, $cY, $cX]""")
+    assert(patched != doc, s"fixture drift: expected 8x8 chunks in $doc")
+    java.nio.file.Files.write(za.toPath, patched.getBytes("UTF-8"))
+    // re-pad every raw <u2 chunk: rows restride from sx to cX, then
+    // zero-fill rows sy..cY — exactly what a padding writer emits
+    lvl.listFiles.filter(_.getName.matches("""\d+(\.\d+){4}""")).foreach { f =>
+      val orig = java.nio.file.Files.readAllBytes(f.toPath)
+      assert(orig.length === sy * sx * 2, s"unexpected chunk ${f.getName}")
+      val out = new Array[Byte](cY * cX * 2)
+      for (y <- 0 until sy)
+        System.arraycopy(orig, y * sx * 2, out, y * cX * 2, sx * 2)
+      java.nio.file.Files.write(f.toPath, out)
+    }
+    val back = graft.sources.OmeZarr.read(spark, root)
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      OmeOps.explodePlanes(df).select(col("t"), col("c"), col("z"),
+        aggregate(col("pixels"), lit(0L), (a, v) => a + v))
+        .orderBy(col("t"), col("c"), col("z")).collect().toSeq
+    assert(sums(one) === sums(back))
+  }
+
   test("predictor-2 (horizontal differencing) strips decode; tiles reject") {
     // hand-built LE classic TIFF: 4x2 uint16, uncompressed, predictor 2;
     // stored samples are row deltas of 100,110,130,160 / 5,6,8,11

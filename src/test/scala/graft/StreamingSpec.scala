@@ -61,9 +61,9 @@ class StreamingSpec extends SparkSpec {
     // batch ground truth: same 6h windows over the same file. Append mode
     // only emits windows the watermark has passed, so the final (unclosed)
     // window is legitimately absent — every EMITTED window must match.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("event_ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    // readEvents normalizes ts to epoch-nanos whatever unit the file stores
+    val batch = graft.operators.EventOps.readEvents(spark, "/root/testdata/sf0.001")
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
       .groupBy(window(col("event_ts"), "6 hours"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start"), col("event_type"), col("n"))
