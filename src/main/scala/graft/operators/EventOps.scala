@@ -251,6 +251,70 @@ object EventOps {
   }
 
   /**
+   * Event-type transition matrix — the Markov-chain view of user
+   * behavior (which event follows which?): for every consecutive
+   * (prev, next) pair within a user's timeline, the transition count
+   * and its probability among all transitions leaving `prev`.
+   *
+   * Scale shape: ONE user-keyed shuffle for the lag window (narrow
+   * (user_id, ts, event_id, event_type) rows — timelines per user are
+   * bounded, no skew); the pair rollup is a hash aggregation onto
+   * |event_types|^2 keys, and the probability normalization windows
+   * over that tiny aggregated table, never the corpus. Probabilities
+   * are exact-count ratios rounded to 6dp — engine-portable.
+   */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).cast("long").as("n_trans"))
+    pairs
+      .withColumn("p_trans",
+        round(col("n_trans").cast("double") /
+          sum(col("n_trans")).over(Window.partitionBy(col("prev_type"))), 6))
+      .select(col("prev_type"), col("next_type"), col("n_trans"),
+        col("p_trans"))
+  }
+
+  /**
+   * Engagement report — the DAU/WAU/stickiness staple: per epoch-day,
+   * the distinct active users that day (DAU), the distinct users
+   * active in the trailing `windowDays` (WAU for 7), and their ratio
+   * (stickiness). Only days with activity are reported (the corpus
+   * defines the calendar).
+   *
+   * Scale shape: the corpus collapses FIRST to distinct (user, day)
+   * pairs (map-side partial distinct before the exchange); the
+   * trailing-window membership then fans each pair out `windowDays`
+   * times — linear, shuffle keyed by day — and the final aggregation
+   * counts distincts per day. Nothing wider than (user_id, day) longs
+   * ever moves; at 100 TB the events scan prunes to two columns.
+   */
+  def engagement(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "engagement: windowDays must be >= 1")
+    val ud = events
+      .select(col("user_id"), expr(s"ts div $NanosPerDay").as("day"))
+      .distinct()
+    val dau = ud.groupBy(col("day"))
+      .agg(count_distinct(col("user_id")).cast("long").as("dau"))
+    // (user, day) contributes to the trailing window of days day..day+w-1;
+    // restrict to observed days so the report calendar matches DAU's
+    val windowed = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + (windowDays - 1)))
+          .as("day"))
+      .groupBy(col("day"))
+      .agg(count_distinct(col("user_id")).cast("long").as("wau"))
+    dau.join(windowed, Seq("day"))
+      .select(col("day").cast("long").as("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+  }
+
+  /**
    * Typed extraction of one numeric property from the semi-structured
    * `props` JSON column (reference keeps event payloads opaque; every
    * warehouse query over them starts with this projection).

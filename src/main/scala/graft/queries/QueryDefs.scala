@@ -3402,6 +3402,45 @@ object QueryDefs {
           |FROM events
           |GROUP BY CUBE(event_type, day)""".stripMargin)),
 
+    // Markov transition matrix between consecutive events per user:
+    // exact pair counts + 6dp leaving-probabilities.
+    ("events_transitions", (s: SparkSession, dir: String) =>
+      EventOps.transitionMatrix(EventOps.readEvents(s, dir)),
+      Some(
+        """WITH pairs AS (
+          |  SELECT lag(event_type) OVER (PARTITION BY user_id
+          |      ORDER BY epoch_ns(ts), event_id) AS prev_type,
+          |    event_type AS next_type
+          |  FROM events),
+          |agg AS (
+          |  SELECT prev_type, next_type, count(*) AS n_trans
+          |  FROM pairs WHERE prev_type IS NOT NULL
+          |  GROUP BY 1, 2)
+          |SELECT prev_type, next_type, CAST(n_trans AS BIGINT) AS n_trans,
+          |  round(CAST(n_trans AS DOUBLE) /
+          |    sum(n_trans) OVER (PARTITION BY prev_type), 6) AS p_trans
+          |FROM agg""".stripMargin)),
+
+    // DAU / trailing-7-day WAU / stickiness per observed day.
+    ("events_engagement", (s: SparkSession, dir: String) =>
+      EventOps.engagement(EventOps.readEvents(s, dir)),
+      Some(
+        """WITH ud AS (
+          |  SELECT DISTINCT user_id,
+          |    CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day
+          |  FROM events),
+          |dau AS (
+          |  SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY day),
+          |w AS (
+          |  SELECT day + i.i AS day, user_id
+          |  FROM ud, generate_series(0, 6) i(i)),
+          |wau AS (
+          |  SELECT day, count(DISTINCT user_id) AS wau FROM w GROUP BY day)
+          |SELECT CAST(d.day AS BIGINT) AS day, CAST(dau AS BIGINT) AS dau,
+          |  CAST(wau AS BIGINT) AS wau,
+          |  round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+          |FROM dau d JOIN wau USING (day)""".stripMargin)),
+
     // ============ relational (TPC-H-ish; bench headliners) ============
 
     ("q1_agg", (s: SparkSession, dir: String) =>

@@ -160,6 +160,36 @@ class EventMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("transitionMatrix counts consecutive pairs with exact leaving " +
+      "probabilities") {
+    val out = EventOps.transitionMatrix(events)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // user 1: click->purchase, purchase->view; user 2: purchase->click,
+    // click->purchase
+    assert(out(("click", "purchase")) === ((2L, 1.0)))
+    assert(out(("purchase", "view")) === ((1L, 0.5)))
+    assert(out(("purchase", "click")) === ((1L, 0.5)))
+    assert(out.size === 3)
+  }
+
+  test("engagement reports DAU, trailing WAU, and stickiness") {
+    val d = 86400L * 1000 * 1000 * 1000 // one day in ns
+    val ev = Seq(
+      (1L, 0 * d, 1L, "view", 0.0, "{}"),
+      (2L, 0 * d + 5, 2L, "view", 0.0, "{}"),
+      (3L, 1 * d, 1L, "view", 0.0, "{}"),
+      (4L, 9 * d, 3L, "view", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.engagement(ev, windowDays = 7)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(0L) === ((2L, 2L, 1.0)))      // users 1,2 active day 0
+    assert(out(1L) === ((1L, 2L, 0.5)))      // day 1: u1 active, u2 in window
+    assert(out(9L) === ((1L, 1L, 1.0)))      // day 9: only u3 (window rolled)
+    assert(out.size === 3)                   // only observed days reported
+  }
+
   test("cubeRollup includes slices and the grand total") {
     val out = EventOps.cubeRollup(events).collect()
       .map(r => (Option(r.get(0)), Option(r.get(1))) -> r.getLong(2)).toMap
