@@ -972,69 +972,83 @@ object VectorOps {
    * final set) is engine-deterministic.
    *
    * Scale shape: the ONLY corpus-scale work is [[cosineTopK]]'s one
-   * broadcast-probe scan. Everything after — the embedding join-back,
-   * the candidate×candidate pair sims, and the k greedy rounds — runs
-   * on (nProbes × candidates)-sized tables, independent of corpus
-   * size; the k-round plan depth is a fixed query constant.
+   * broadcast-probe scan (persisted — it feeds both the pair-sim build
+   * and the selection). Everything after — the embedding join-back and
+   * the candidate×candidate pair sims — runs on (nProbes × candidates)-
+   * sized tables, independent of corpus size. The k greedy rounds are
+   * inherently sequential per probe with a contract-bounded working set
+   * (candidates is a query constant), so they run INSIDE one cogroup
+   * over probe_id — the `mapGroupsWithState`-style shape for per-key
+   * iterative algorithms — instead of as k chained plans: r7's chained
+   * form re-executed the whole prior tree per round (112 s at sf0.1);
+   * the persisted variant still paid ~20 exchanges of scheduling
+   * overhead (4.7 s). One shuffle, one stage, probes parallelize
+   * across executors.
+   *
+   * The in-group arithmetic replicates the engine math bit-for-bit:
+   * pair sims arrive pre-rounded from the distributed [[cosine6]]
+   * expression, and the MMR score uses the same HALF_UP 6dp rounding
+   * as Spark's `round`.
    */
   def mmrTopK(emb: DataFrame, nProbes: Int, k: Int, candidates: Int,
       lambda: Double = 0.7): DataFrame = {
     require(candidates >= k, "mmrTopK: candidates must cover k")
     require(lambda >= 0 && lambda <= 1, "mmrTopK: lambda in [0,1]")
-    graft.functions.ensureRegistered(emb.sparkSession)
-    // The greedy rounds below each reference `cands`, `psim`, and every
-    // prior round's `sel`; without persistence round i re-executes the
-    // whole prior plan tree — including i copies of the corpus-scale
-    // cosineTopK scan — inside each branch (r7 measured 112 s at sf0.1
-    // for what is ~2 s of actual work). Persist the loop invariants and
-    // each frontier (Caches.persist — released via Caches.scoped), the
-    // EventOps.funnel template.
+    val spark = emb.sparkSession
+    import spark.implicits._
+    graft.functions.ensureRegistered(spark)
     val cands = Caches.persist(cosineTopK(emb, nProbes, candidates)
       .select(col("probe_id"), col("neighbor_id"), col("score")))
-    val withEmb = cands.join(
+    // candidate-sized (nProbes × candidates rows); persisted so the
+    // a×b self-join below reads the embedding join-back once, not twice
+    val withEmb = Caches.persist(cands.join(
       emb.select(col("vec_id"), col("embedding")),
       col("neighbor_id") === col("vec_id"))
       .select(col("probe_id"), col("neighbor_id"), col("score"),
-        col("embedding"))
+        col("embedding")))
     val a = withEmb.select(col("probe_id"), col("neighbor_id").as("a_id"),
       col("embedding").as("a_emb"))
     val b = withEmb.select(col("probe_id").as("b_probe"),
       col("neighbor_id").as("b_id"), col("embedding").as("b_emb"))
-    val psim = Caches.persist(a.join(b,
+    val psim = a.join(b,
         col("probe_id") === col("b_probe") && col("a_id") =!= col("b_id"))
       .select(col("probe_id"), col("a_id"), col("b_id"),
-        cosine6(col("a_emb"), col("b_emb")).as("psim")))
-    def pickTop(df: DataFrame, step: Int): DataFrame =
-      df.withColumn("rnk",
-          row_number().over(Window.partitionBy(col("probe_id"))
-            .orderBy(col("mmr").desc, col("neighbor_id").asc)))
-        .filter(col("rnk") === 1)
-        .select(col("probe_id"), col("neighbor_id"), col("score"),
-          lit(step).as("step"), col("mmr"))
-    var sel = Caches.persist(pickTop(cands.withColumn("mmr", col("score")), 1))
-    for (i <- 2 to k) {
-      val msim = psim
-        .join(sel.select(col("probe_id").as("s_probe"),
-          col("neighbor_id").as("s_id")),
-          col("probe_id") === col("s_probe") && col("b_id") === col("s_id"))
-        .groupBy(col("probe_id"), col("a_id"))
-        .agg(max(col("psim")).as("msim"))
-      val pick = cands
-        .join(sel.select(col("probe_id").as("t_probe"),
-          col("neighbor_id").as("t_id")),
-          col("probe_id") === col("t_probe") &&
-            col("neighbor_id") === col("t_id"), "left_anti")
-        .join(msim.select(col("probe_id").as("m_probe"),
-          col("a_id"), col("msim")),
-          col("probe_id") === col("m_probe") &&
-            col("neighbor_id") === col("a_id"))
-        .withColumn("mmr",
-          round(lit(lambda) * col("score") - lit(1 - lambda) * col("msim"), 6))
-      sel = Caches.persist(sel.unionByName(pickTop(pick
-        .select(col("probe_id"), col("neighbor_id"), col("score"),
-          col("mmr")), i)))
-    }
-    sel.select(col("probe_id"), col("step").cast("int").as("step"),
-      col("neighbor_id"), col("score"), col("mmr"))
+        cosine6(col("a_emb"), col("b_emb")).as("psim"))
+    // Spark round() semantics: HALF_UP on the decimal repr of the double
+    def round6(v: Double): Double =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val candsDs = cands.toDF("_1", "_2", "_3").as[(Long, Long, Double)]
+    val psimDs = psim.toDF("_1", "_2", "_3", "_4")
+      .as[(Long, Long, Long, Double)]
+    candsDs.groupByKey(_._1).cogroup(psimDs.groupByKey(_._1)) {
+      (probe, cIt, pIt) =>
+        val cs = cIt.toArray
+        val sims = pIt.map(p => (p._2, p._3) -> p._4).toMap
+        val selected =
+          scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Double, Double)]()
+        val remaining = scala.collection.mutable.ArrayBuffer(cs: _*)
+        // step 1: pure relevance; ties broken by lowest neighbor id
+        if (remaining.nonEmpty) {
+          val first = remaining.minBy(c => (-c._3, c._2))
+          selected += ((probe, 1, first._2, first._3, first._3))
+          remaining -= first
+        }
+        var step = 2
+        while (step <= k && remaining.nonEmpty) {
+          val scored = remaining.map { c =>
+            val msim = selected.iterator
+              .map(s => sims((c._2, s._3))).max
+            (c, round6(lambda * c._3 - (1 - lambda) * msim))
+          }
+          val (bc, bm) = scored.minBy { case (c, m) => (-m, c._2) }
+          selected += ((probe, step, bc._2, bc._3, bm))
+          remaining -= bc
+          step += 1
+        }
+        selected.iterator
+    }.toDF("probe_id", "step", "neighbor_id", "score", "mmr")
+      .select(col("probe_id"), col("step").cast("int").as("step"),
+        col("neighbor_id"), col("score"), col("mmr"))
   }
 }
