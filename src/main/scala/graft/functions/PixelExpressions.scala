@@ -480,3 +480,72 @@ case class PixelBrenner(pixels: Expression, sx: Expression)
       newChildren: IndexedSeq[Expression]): Expression =
     copy(pixels = newChildren(0), sx = newChildren(1))
 }
+
+/**
+ * Exact integer dot product of two pixel planes: `Σ a[i]·b[i]` over the
+ * common prefix (planes of one image share a geometry, so lengths match
+ * in every legitimate call; a truncated plane contributes only its
+ * stored pixels rather than failing the whole scan). The moment kernel
+ * behind `OmeOps.colocalization` — Pearson channel correlation needs
+ * Σxy / Σx² / Σy² per plane pair, and a `zip_with` + `aggregate`
+ * formulation pays an interpreted lambda with boxed Integers per pixel.
+ *
+ * PRECONDITION: pixel values must fit uint16 (`verify_ome_arrow`
+ * enforces it upstream). Then each term ≤ 65535² < 2^32 and the sum
+ * over a maximal 2^31−1-element plane stays below 2^63 — the long
+ * accumulator cannot wrap, so the result is engine-portable
+ * bit-for-bit.
+ */
+case class PixelDot(a: Expression, b: Expression) extends Expression {
+
+  override def children: Seq[Expression] = Seq(a, b)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def checkInputDataTypes(): TypeCheckResult = InputCheck.check(
+    Seq((a, ArrayType(IntegerType), "a"),
+      (b, ArrayType(IntegerType), "b")), "graft_pixel_dot")
+
+  override def eval(input: InternalRow): Any = {
+    val aAny = a.eval(input)
+    val bAny = b.eval(input)
+    if (aAny == null || bAny == null) return null
+    val av = aAny.asInstanceOf[ArrayData]
+    val bv = bAny.asInstanceOf[ArrayData]
+    val n = math.min(av.numElements(), bv.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += av.getInt(i).toLong * bv.getInt(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aG = a.genCode(ctx)
+    val bG = b.genCode(ctx)
+    val i = ctx.freshName("i")
+    val n = ctx.freshName("n")
+    val code =
+      code"""
+        ${aG.code}
+        ${bG.code}
+        boolean ${ev.isNull} = ${aG.isNull} || ${bG.isNull};
+        long ${ev.value} = 0L;
+        if (!${ev.isNull}) {
+          final int $n = Math.min(${aG.value}.numElements(),
+            ${bG.value}.numElements());
+          for (int $i = 0; $i < $n; $i++) {
+            ${ev.value} += (long) ${aG.value}.getInt($i) *
+              ${bG.value}.getInt($i);
+          }
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(a = newChildren(0), b = newChildren(1))
+}

@@ -67,7 +67,8 @@ package object functions {
     "graft_synth_ramp" -> (exprs => SynthRampPixels(exprs(0), exprs(1))),
     "graft_pixel_sum" -> (exprs => PixelSum(exprs(0))),
     "graft_pixel_count_ge" -> (exprs => PixelCountGe(exprs(0), exprs(1))),
-    "graft_pixel_brenner" -> (exprs => PixelBrenner(exprs(0), exprs(1))))
+    "graft_pixel_brenner" -> (exprs => PixelBrenner(exprs(0), exprs(1))),
+    "graft_pixel_dot" -> (exprs => PixelDot(exprs(0), exprs(1))))
 
   /** Materialize a foldable ARRAY<STRING> argument (the inlined BPE
     * merge list) at expression-build time. */
@@ -187,4 +188,9 @@ package object functions {
     * second-differences) of a flat sx-wide plane. */
   def pixel_brenner(pixels: Column, sx: Column): Column =
     call_function("graft_pixel_brenner", pixels, sx)
+
+  /** Native exact integer dot product of two pixel planes (the moment
+    * kernel behind channel colocalization). */
+  def pixel_dot(a: Column, b: Column): Column =
+    call_function("graft_pixel_dot", a, b)
 }

@@ -184,6 +184,76 @@ object OmeOps {
   }
 
   /**
+   * Channel colocalization — Pearson correlation between every channel
+   * pair of an image's stack (the fluorescence-microscopy staple: do
+   * the DNA and mitochondria stains light up the same pixels?). Per
+   * (image, c_a < c_b): the exact integer moments (n, Σx, Σy, Σxy) and
+   * the Pearson coefficient
+   * `r = (nΣxy − ΣxΣy) / sqrt((nΣx² − Σx²)(nΣy² − Σy²))`,
+   * NULL when either channel is constant (zero variance).
+   *
+   * Determinism: every moment is an exact integer (the native
+   * `pixel_dot` / `pixel_sum` kernels summed per plane, combined in
+   * DECIMAL(38,0) so `n·Σxy`-scale products cannot wrap), and `r` is
+   * ONE double expression over those exact integers — order-free,
+   * engine-identical bits (SCALE.md lesson 11 by construction).
+   *
+   * Scale shape: the plane pair join is keyed by (image_id, t, z) —
+   * each image's C planes meet only their own stack, C(C−1)/2 pairs
+   * per (t, z), never a corpus cross product; the per-pair moments
+   * reduce each pair to six scalars before the (image, ca, cb) rollup,
+   * so only scalars cross the second exchange.
+   */
+  def colocalization(df: DataFrame,
+      column: String = OmeSchema.DefaultColumn): DataFrame = {
+    graft.functions.ensureRegistered(df.sparkSession)
+    val planes = explodePlanes(df, column)
+      .select(col("image_id"), col("t"), col("z"),
+        col("c").cast("int").as("c"), col("pixels"))
+    val a = planes.select(col("image_id"), col("t"), col("z"),
+      col("c").as("c_a"), col("pixels").as("px_a"))
+    val b = planes.select(col("image_id").as("b_image"),
+      col("t").as("b_t"), col("z").as("b_z"),
+      col("c").as("c_b"), col("pixels").as("px_b"))
+    val dec = "decimal(38,0)"
+    val pairs = a.join(b,
+        col("image_id") === col("b_image") && col("t") === col("b_t") &&
+          col("z") === col("b_z") && col("c_a") < col("c_b"))
+      .select(col("image_id"), col("c_a"), col("c_b"),
+        size(col("px_a")).cast("long").as("n"),
+        graft.functions.pixel_sum(col("px_a")).as("sx"),
+        graft.functions.pixel_sum(col("px_b")).as("sy"),
+        graft.functions.pixel_dot(col("px_a"), col("px_a")).as("sxx"),
+        graft.functions.pixel_dot(col("px_b"), col("px_b")).as("syy"),
+        graft.functions.pixel_dot(col("px_a"), col("px_b")).as("sxy"))
+    val m = pairs.groupBy(col("image_id"), col("c_a"), col("c_b"))
+      .agg(count(lit(1)).cast("long").as("n_planes"),
+        sum(col("n").cast(dec)).as("n_px"),
+        sum(col("sx").cast(dec)).as("sum_x"),
+        sum(col("sy").cast(dec)).as("sum_y"),
+        sum(col("sxx").cast(dec)).as("sum_xx"),
+        sum(col("syy").cast(dec)).as("sum_yy"),
+        sum(col("sxy").cast(dec)).as("sum_xy"))
+      .withColumn("num",
+        (col("n_px") * col("sum_xy") - col("sum_x") * col("sum_y"))
+          .cast("double"))
+      .withColumn("den_x",
+        (col("n_px") * col("sum_xx") - col("sum_x") * col("sum_x"))
+          .cast("double"))
+      .withColumn("den_y",
+        (col("n_px") * col("sum_yy") - col("sum_y") * col("sum_y"))
+          .cast("double"))
+    m.select(col("image_id"), col("c_a"), col("c_b"), col("n_planes"),
+      col("n_px").cast("long").as("n_px"),
+      col("sum_x").cast("long").as("sum_x"),
+      col("sum_y").cast("long").as("sum_y"),
+      col("sum_xy").cast("long").as("sum_xy"),
+      when(col("den_x") > 0 && col("den_y") > 0,
+        round(col("num") / sqrt(col("den_x") * col("den_y")), 6))
+        .as("pearson_r"))
+  }
+
+  /**
    * Per-(image, channel) intensity histogram — the contrast/display
    * substrate behind the reference's viewers: `nBins` equal-width bins
    * over [lo, hi), one output row per NON-EMPTY bin. Pixels outside

@@ -289,6 +289,42 @@ object QueryDefs {
            |  CAST(smax AS BIGINT) AS score_max
            |FROM ranked WHERE rn = 1""".stripMargin)),
 
+    // Channel colocalization: exact integer moments (n, Σx, Σy, Σxy —
+    // native pixel_sum/pixel_dot kernels) + Pearson r per channel pair.
+    // The moments give the oracle exact-integer teeth; r is one double
+    // expression over them.
+    ("ome_colocalization", (s: SparkSession, _: String) =>
+      OmeOps.colocalization(Fixtures.corpus4d(s)),
+      Some(
+        s"""WITH $px4d,
+           |pr AS (
+           |  SELECT a.img, a.c AS c_a, b.c AS c_b, a.v AS x, b.v AS y
+           |  FROM px a JOIN px b
+           |    ON a.img = b.img AND a.t = b.t AND a.z = b.z
+           |    AND a.p = b.p AND a.c < b.c),
+           |m AS (
+           |  SELECT img, c_a, c_b, count(*) AS n_px,
+           |    sum(CAST(x AS HUGEINT)) AS sum_x,
+           |    sum(CAST(y AS HUGEINT)) AS sum_y,
+           |    sum(CAST(x AS HUGEINT) * x) AS sum_xx,
+           |    sum(CAST(y AS HUGEINT) * y) AS sum_yy,
+           |    sum(CAST(x AS HUGEINT) * y) AS sum_xy
+           |  FROM pr GROUP BY 1, 2, 3)
+           |SELECT $id4d AS image_id, CAST(c_a AS INT) AS c_a,
+           |  CAST(c_b AS INT) AS c_b,
+           |  CAST(n_px // 64 AS BIGINT) AS n_planes,
+           |  CAST(n_px AS BIGINT) AS n_px,
+           |  CAST(sum_x AS BIGINT) AS sum_x,
+           |  CAST(sum_y AS BIGINT) AS sum_y,
+           |  CAST(sum_xy AS BIGINT) AS sum_xy,
+           |  CASE WHEN (n_px * sum_xx - sum_x * sum_x) > 0
+           |        AND (n_px * sum_yy - sum_y * sum_y) > 0
+           |    THEN round(CAST(n_px * sum_xy - sum_x * sum_y AS DOUBLE) /
+           |      sqrt(CAST(n_px * sum_xx - sum_x * sum_x AS DOUBLE) *
+           |           CAST(n_px * sum_yy - sum_y * sum_y AS DOUBLE)), 6)
+           |  END AS pearson_r
+           |FROM m""".stripMargin)),
+
     ("ome_slice_crop", (s: SparkSession, _: String) =>
       planeStatsRows(OmeOps.sliceOmeArrow(Fixtures.corpus4d(s),
         xMin = 2, xMax = 6, yMin = 1, yMax = 7, tIndices = Some(Seq(1)))),

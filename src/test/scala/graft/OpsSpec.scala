@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.OmeOps
+import graft.operators.{OmeConstructors, OmeOps}
 import graft.schema.Fixtures
 
 /** Downscale / stride / percentile / dense-bridge / explode-nest specs. */
@@ -98,6 +98,55 @@ class OpsSpec extends SparkSpec {
         assert(out(5).getLong(0) === 0L)
       } finally spark.conf.unset("spark.sql.codegen.factoryMode")
     }
+  }
+
+  test("graft_pixel_dot matches the zip_with fold, truncates to the " +
+      "shorter plane") {
+    graft.functions.ensureRegistered(spark)
+    val df = spark.range(20).select(
+      graft.functions.synth_ramp(col("id") * 65000L, lit(50)).as("a"),
+      graft.functions.synth_ramp(col("id") * 31337L, lit(50)).as("b"))
+      .select(
+        graft.functions.pixel_dot(col("a"), col("b")).as("x"),
+        aggregate(zip_with(col("a"), col("b"), (p, q) =>
+          p.cast("long") * q), lit(0L), (acc, v) => acc + v).as("y"))
+    assert(df.filter(not(col("x") <=> col("y"))).count() === 0)
+    // mismatched lengths: only the common prefix contributes
+    import spark.implicits._
+    val short = Seq((Array(2, 3, 4), Array(5, 7)))
+      .toDF("a", "b")
+      .select(graft.functions.pixel_dot(col("a"), col("b")))
+      .collect()(0).getLong(0)
+    assert(short === 2L * 5 + 3L * 7)
+  }
+
+  test("colocalization computes exact Pearson r: +1 linear, -1 " +
+      "inverted, NULL constant") {
+    // one image, t=1, z=1, THREE channels of a 2x2 plane:
+    //   c0 = (10, 20, 30, 40)            base ramp
+    //   c1 = (20, 40, 60, 80)            = 2*c0        -> r(c0,c1) = +1
+    //   c2 = (40, 30, 20, 10)            reversed      -> r(c0,c2) = -1
+    val rec = OmeConstructors.fromDense(
+      spark.range(1).select(
+        lit("colo-1").as("id"),
+        array(Seq(10, 20, 30, 40, 20, 40, 60, 80, 40, 30, 20, 10)
+          .map(lit(_)): _*).as("dense")),
+      dimOrder = "CYX", sizeC = 3, sizeY = 2, sizeX = 2)
+    val out = OmeOps.colocalization(rec)
+      .collect().map(r => (r.getInt(1), r.getInt(2)) ->
+        (if (r.isNullAt(8)) None else Some(r.getDouble(8)))).toMap
+    assert(out((0, 1)) === Some(1.0))
+    assert(out((0, 2)) === Some(-1.0))
+    assert(out((1, 2)) === Some(-1.0))
+    // constant channel -> zero variance -> NULL r
+    val const = OmeConstructors.fromDense(
+      spark.range(1).select(
+        lit("colo-2").as("id"),
+        array(Seq(1, 2, 3, 4, 9, 9, 9, 9).map(lit(_)): _*).as("dense")),
+      dimOrder = "CYX", sizeC = 2, sizeY = 2, sizeX = 2)
+    val cr = OmeOps.colocalization(const).collect()(0)
+    assert(cr.isNullAt(8))
+    assert(cr.getLong(7) === (1L * 9 + 2 * 9 + 3 * 9 + 4 * 9)) // sum_xy exact
   }
 
   test("qcReport flags saturation above the level, exact means") {
