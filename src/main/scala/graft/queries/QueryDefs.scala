@@ -3536,7 +3536,51 @@ object QueryDefs {
           |JOIN supplier ON l_suppkey = s_suppkey
           |JOIN nation ON s_nationkey = n_nationkey
           |JOIN region ON n_regionkey = r_regionkey
-          |GROUP BY r_name, n_name""".stripMargin))
+          |GROUP BY r_name, n_name""".stripMargin)),
+
+    // q6-shape forecast-revenue: pure filter + aggregate — every
+    // predicate pushes to the parquet scan (discount bounds at 0.045/
+    // 0.075 mid-points so double representation noise cannot flip a
+    // boundary row between engines).
+    ("q6_forecast_revenue", (s: SparkSession, dir: String) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("date") >= lit("1996-01-01").cast("date") &&
+          col("l_shipdate").cast("date") < lit("1997-01-01").cast("date") &&
+          col("l_discount") >= 0.045 && col("l_discount") <= 0.075 &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"),
+          count(lit(1)).cast("long").as("n_rows")),
+      Some(
+        """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+          |  CAST(count(*) AS BIGINT) AS n_rows
+          |FROM lineitem
+          |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+          |  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+          |  AND l_discount >= 0.045 AND l_discount <= 0.075
+          |  AND l_quantity < 24""".stripMargin)),
+
+    // q4-shape late-shipment priority count: EXISTS as a LEFT SEMI join
+    // (one orderkey-keyed shuffle pair, no fan-out — an order with many
+    // late lines still counts once), grouped on the tiny priority domain.
+    ("q4_late_priority", (s: SparkSession, dir: String) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey") &&
+            datediff(col("l_shipdate").cast("date"),
+              col("o_orderdate").cast("date")) > 30,
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("long").as("n_orders")),
+      Some(
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+          |FROM orders o
+          |WHERE EXISTS (
+          |  SELECT 1 FROM lineitem l
+          |  WHERE l.l_orderkey = o.o_orderkey
+          |    AND datediff('day', CAST(o.o_orderdate AS DATE),
+          |      CAST(l.l_shipdate AS DATE)) > 30)
+          |GROUP BY o_orderpriority""".stripMargin))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
