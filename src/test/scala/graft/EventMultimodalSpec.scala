@@ -160,6 +160,30 @@ class EventMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("transitionMatrix matches a brute-force reference on seeded " +
+      "random events") {
+    val rnd = new scala.util.Random(11)
+    val types = Seq("a", "b", "c", "d")
+    for (trial <- 1 to 4) {
+      // (ts, event_id) totalizes each user's timeline in both the
+      // operator and the brute force, so ts collisions are safe
+      val rows = (0 until 150).map { i =>
+        (i.toLong, rnd.nextInt(500).toLong * m, (1 + rnd.nextInt(5)).toLong,
+          types(rnd.nextInt(4)), 1.0, "{}")
+      }
+      val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props")
+      val got = EventOps.transitionMatrix(ev).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val want = rows.groupBy(_._3).values.flatMap { es =>
+        es.sortBy(e => (e._2, e._1)).sliding(2).collect {
+          case Seq(p, n) => (p._4, n._4)
+        }
+      }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      assert(got === want, s"trial $trial")
+    }
+  }
+
   test("transitionMatrix counts consecutive pairs with exact leaving " +
       "probabilities") {
     val out = EventOps.transitionMatrix(events)
