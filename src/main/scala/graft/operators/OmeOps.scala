@@ -198,34 +198,47 @@ object OmeOps {
    * ONE double expression over those exact integers — order-free,
    * engine-identical bits (SCALE.md lesson 11 by construction).
    *
-   * Scale shape: the plane pair join is keyed by (image_id, t, z) —
-   * each image's C planes meet only their own stack, C(C−1)/2 pairs
-   * per (t, z), never a corpus cross product; the per-pair moments
-   * reduce each pair to six scalars before the (image, ca, cb) rollup,
-   * so only scalars cross the second exchange.
+   * Scale shape: SHUFFLE-FREE on the pixel side. The canonical record
+   * already holds all of an image's planes in one row, so the channel
+   * pairs are built in-row (HOFs over the `planes` array, each pair's
+   * moments one native-kernel call — lesson-4 shape: the lambda body
+   * is an opaque codegen'd loop, not a per-pixel expression tree);
+   * pixels never cross an exchange. The only shuffle is the final
+   * (image, c_a, c_b) rollup of six scalars per (t, z) pair.
    */
   def colocalization(df: DataFrame,
       column: String = OmeSchema.DefaultColumn): DataFrame = {
     graft.functions.ensureRegistered(df.sparkSession)
-    val planes = explodePlanes(df, column)
-      .select(col("image_id"), col("t"), col("z"),
-        col("c").cast("int").as("c"), col("pixels"))
-    val a = planes.select(col("image_id"), col("t"), col("z"),
-      col("c").as("c_a"), col("pixels").as("px_a"))
-    val b = planes.select(col("image_id").as("b_image"),
-      col("t").as("b_t"), col("z").as("b_z"),
-      col("c").as("c_b"), col("pixels").as("px_b"))
+    val rec = col(column)
+    val base = df.select(rec.getField("id").as("image_id"),
+      rec.getField("planes").as("planes"))
+    val pairMoments = flatten(transform(col("planes"), p1 =>
+      transform(
+        filter(col("planes"), p2 =>
+          p2.getField("t") === p1.getField("t") &&
+            p2.getField("z") === p1.getField("z") &&
+            p1.getField("c") < p2.getField("c")),
+        p2 => {
+          val pa = p1.getField("pixels")
+          val pb = p2.getField("pixels")
+          struct(
+            p1.getField("c").cast("int").as("c_a"),
+            p2.getField("c").cast("int").as("c_b"),
+            size(pa).cast("long").as("n"),
+            graft.functions.pixel_sum(pa).as("sx"),
+            graft.functions.pixel_sum(pb).as("sy"),
+            graft.functions.pixel_dot(pa, pa).as("sxx"),
+            graft.functions.pixel_dot(pb, pb).as("syy"),
+            graft.functions.pixel_dot(pa, pb).as("sxy"))
+        })))
     val dec = "decimal(38,0)"
-    val pairs = a.join(b,
-        col("image_id") === col("b_image") && col("t") === col("b_t") &&
-          col("z") === col("b_z") && col("c_a") < col("c_b"))
-      .select(col("image_id"), col("c_a"), col("c_b"),
-        size(col("px_a")).cast("long").as("n"),
-        graft.functions.pixel_sum(col("px_a")).as("sx"),
-        graft.functions.pixel_sum(col("px_b")).as("sy"),
-        graft.functions.pixel_dot(col("px_a"), col("px_a")).as("sxx"),
-        graft.functions.pixel_dot(col("px_b"), col("px_b")).as("syy"),
-        graft.functions.pixel_dot(col("px_a"), col("px_b")).as("sxy"))
+    val pairs = base
+      .select(col("image_id"), explode(pairMoments).as("pm"))
+      .select(col("image_id"), col("pm.c_a").as("c_a"),
+        col("pm.c_b").as("c_b"), col("pm.n").as("n"),
+        col("pm.sx").as("sx"), col("pm.sy").as("sy"),
+        col("pm.sxx").as("sxx"), col("pm.syy").as("syy"),
+        col("pm.sxy").as("sxy"))
     val m = pairs.groupBy(col("image_id"), col("c_a"), col("c_b"))
       .agg(count(lit(1)).cast("long").as("n_planes"),
         sum(col("n").cast(dec)).as("n_px"),

@@ -267,15 +267,20 @@ class PlanSpec extends SparkSpec {
           s"$name: embedding-width column '$n' entered the ranking window")
       }
     }
-    // r7 regression pin: mmrTopK's greedy rounds must read the persisted
-    // candidate/frontier frames, never re-scan the corpus — every file
-    // scan has to sit behind an InMemoryRelation, none in the outer plan
-    val mmr = plans.collectFirst { case ("mmrTopK", df) => df }.get
-    val outerScans = mmr.queryExecution.executedPlan.collect {
-      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
-    }
-    assert(outerScans.isEmpty,
-      s"mmrTopK re-scans the corpus outside its persisted frontier: $outerScans")
+    // r7 regression pin: mmrTopK must read the persisted candidate
+    // frames, never re-scan the corpus — every file scan has to sit
+    // behind an InMemoryRelation, none in the outer plan (AQE off so
+    // the physical collect can see through the plan)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val mmr = V.mmrTopK(emb, nProbes = 8, k = 3, candidates = 10)
+      val outerScans = mmr.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(outerScans.isEmpty,
+        s"mmrTopK re-scans the corpus outside its persisted frontier: " +
+          s"$outerScans")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
     spark.catalog.clearCache() // drop the frames mmrTopK persisted
     // the binary coarse stage additionally must window on (probe_id,
     // neighbor_id, ham) only — neither embeddings nor packed signatures
@@ -287,6 +292,26 @@ class PlanSpec extends SparkSpec {
       assert(!n.contains("emb") && !n.contains("sig"),
         s"cosineTopKBinary: wide column '$n' entered a window shuffle")
     }
+  }
+
+  test("colocalization never moves pixels: the only exchange carries " +
+      "scalar moments") {
+    // AQE's AdaptiveSparkPlanExec hides exchanges from collect until
+    // execution — plan the query without it for the audit
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = graft.operators.OmeOps.colocalization(Fixtures.corpus4d(spark))
+      val shuffles = q.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.child.output.map(_.name)
+      }
+      // in-row pair construction -> exactly the final scalar rollup shuffle
+      assert(shuffles.length === 1, s"expected 1 exchange, got $shuffles")
+      shuffles.flatten.foreach { n =>
+        assert(!n.contains("pixels") && !n.contains("planes") &&
+          !n.contains("pm"), s"pixel-width column '$n' crossed the exchange")
+      }
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
   test("chunkDocs is one shuffle-free generate; bm25 top-k is a " +
