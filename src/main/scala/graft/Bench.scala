@@ -118,7 +118,10 @@ object Bench {
       "mm_image_features", "events_sessions", "ome_tiff_golden",
       "ome_zarr_roundtrip", "ome_parquet_roundtrip", "ome_slice_crop",
       "ome_downscale2x", "ome_pyramid_l2", "ome_plane_stats",
-      "ome_scale_pipeline", "ome_zproject_max", "ome_histogram")
+      "ome_scale_pipeline", "ome_zproject_max", "ome_histogram",
+      "embed_topk_mmr", "events_rollup", "events_transitions",
+      "events_engagement", "ome_focus_report", "ome_colocalization",
+      "q6_forecast_revenue", "q4_late_priority")
     val resultMap = results.toMap
     // a renamed/removed headline query must not vanish silently: name the
     // unresolved entries in the compact line (ADVICE r7)
