@@ -229,7 +229,7 @@ object VectorOps {
     // NaN-is-greatest comparison semantics). The lambda body touches
     // only bound vars, attributes, and the native cosine kernel
     // (SCALE.md lessons 4 and 6).
-    val centArr = array(cents.tail.map { case (id, e) =>
+    val centArr = array(cents.tail.toIndexedSeq.map { case (id, e) =>
       struct(lit(id).as("id"), array(e.map(lit): _*).as("emb")) }: _*)
     val seed = struct(
       cosine6(col("embedding"), array(cents.head._2.map(lit): _*)).as("s"),
@@ -1027,7 +1027,7 @@ object VectorOps {
         val sims = pIt.map(p => (p._2, p._3) -> p._4).toMap
         val selected =
           scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Double, Double)]()
-        val remaining = scala.collection.mutable.ArrayBuffer(cs: _*)
+        val remaining = scala.collection.mutable.ArrayBuffer.from(cs)
         // step 1: pure relevance; ties broken by lowest neighbor id
         if (remaining.nonEmpty) {
           val first = remaining.minBy(c => (-c._3, c._2))
