@@ -24,12 +24,48 @@ object EventOps {
 
   val NanosPerDay: Long = 86400L * 1000 * 1000 * 1000
 
+  /** Nanoseconds per raw int64 unit of a parquet file's `ts` column,
+    * from the footer's logical-type annotation — the AUTHORITATIVE
+    * source (r7's red wave came from assuming one physical encoding;
+    * a Spark-level schema probe cannot distinguish ms from µs). Plain
+    * int64 (no annotation, or NANOS under nanosAsLong) is epoch-nanos
+    * by the testdata convention. Footer-only: free at any corpus size. */
+  private[graft] def tsUnitNanosOf(spark: SparkSession, path: String): Long = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val st = fs.getFileStatus(root)
+    val part =
+      if (st.isFile) root
+      else fs.listStatus(root)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName).head.getPath
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(part, conf))
+    val schema =
+      try reader.getFooter.getFileMetaData.getSchema finally reader.close()
+    schema.getFields.asScala.find(_.getName == "ts")
+      .flatMap(f => Option(f.asPrimitiveType().getLogicalTypeAnnotation))
+      .collect {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit match {
+            case LogicalTypeAnnotation.TimeUnit.MILLIS => 1000000L
+            case LogicalTypeAnnotation.TimeUnit.MICROS => 1000L
+            case LogicalTypeAnnotation.TimeUnit.NANOS  => 1L
+          }
+      }
+      .getOrElse(1L)
+  }
+
   /** Read the events table with `ts` normalized to epoch-nanos long,
     * whatever unit the file stores. A nanos-unit file reads as LongType
-    * directly (nanosAsLong); a `timestamp[us]` file is re-read with a
-    * forced-long schema — the raw epoch-µs int64, no timezone cast
-    * anywhere — and rescaled ×1000. The unit probe is a footer-only
-    * schema read, free at any corpus size. */
+    * directly (nanosAsLong); an annotated timestamp file is re-read
+    * with a forced-long schema — the raw int64, no timezone cast
+    * anywhere — and rescaled by the footer-declared unit
+    * ([[tsUnitNanosOf]]), so ms/µs/ns generations all normalize. */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$sfDir/events.parquet"
@@ -43,7 +79,7 @@ object EventOps {
               f.copy(dataType = org.apache.spark.sql.types.LongType)
             else f))
         spark.read.schema(forced).parquet(path)
-          .withColumn("ts", col("ts") * lit(1000L))
+          .withColumn("ts", col("ts") * lit(tsUnitNanosOf(spark, path)))
     }
   }
 

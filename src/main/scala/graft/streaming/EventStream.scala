@@ -28,14 +28,13 @@ object EventStream {
   /** Nanoseconds per raw `ts` unit in the dir's events parquet. The
     * testdata generation has stored ts both as epoch-nanos int64 (which
     * infers as LongType under nanosAsLong) and as `timestamp[us]` (whose
-    * raw int64 the forced-long [[eventsSchema]] reads as epoch-µs); a
-    * footer-only batch schema probe at plan-build time tells which, so
-    * both generations stay green. */
+    * raw int64 the forced-long [[eventsSchema]] reads as epoch-µs); the
+    * parquet footer's logical-type annotation is the authoritative unit
+    * (ms/µs/ns all normalize — `EventOps.tsUnitNanosOf`), probed once
+    * at plan-build time, so every generation stays green. */
   private[graft] def tsUnitNanos(spark: SparkSession, dir: String): Long = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val dt = spark.read.option("pathGlobFilter", "events.parquet")
-      .parquet(dir).schema("ts").dataType
-    if (dt == LongType) 1L else 1000L
+    graft.operators.EventOps.tsUnitNanosOf(spark, s"$dir/events.parquet")
   }
 
   /** Event-time from the raw `ts` int64: scale to nanos (integer-exact,

@@ -160,6 +160,51 @@ class EventMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("readEvents normalizes a timestamp[ms] generation to epoch-nanos") {
+    // hand-write a MILLIS-annotated parquet (Spark only writes µs, so
+    // this generation must come from the low-level writer) — the footer
+    // probe has to rescale x1e6, not assume µs
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.{LogicalTypeAnnotation => LTA,
+      PrimitiveType, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val schema = Types.buildMessage()
+      .addField(Types.required(INT64).named("event_id"))
+      .addField(Types.required(INT64)
+        .as(LTA.timestampType(false, LTA.TimeUnit.MILLIS)).named("ts"))
+      .addField(Types.required(INT64).named("user_id"))
+      .addField(Types.required(BINARY).as(LTA.stringType)
+        .named("event_type"))
+      .addField(Types.required(DOUBLE).named("value"))
+      .addField(Types.required(BINARY).as(LTA.stringType).named("props"))
+      .named("events")
+    val dir = new java.io.File("/tmp/graft_test_msunit")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    dir.mkdirs()
+    val path = new org.apache.hadoop.fs.Path(
+      s"${dir.getPath}/events.parquet")
+    val writer = ExampleParquetWriter.builder(path).withType(schema).build()
+    val gf = new SimpleGroupFactory(schema)
+    try Seq((1L, 86400000L, 1L), (2L, 90000000L, 2L)).foreach {
+      case (id, ms, u) =>
+        val g = gf.newGroup()
+        g.add("event_id", id); g.add("ts", ms); g.add("user_id", u)
+        g.add("event_type", "view"); g.add("value", 1.0)
+        g.add("props", "{}")
+        writer.write(g)
+    } finally writer.close()
+    val got = EventOps.readEvents(spark, dir.getPath)
+      .select(col("event_id"), col("ts"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === 86400000L * 1000000L) // ms -> ns
+    assert(got(2L) === 90000000L * 1000000L)
+    // and the day arithmetic lands on the right epoch day
+    val days = EventOps.dailyRollup(EventOps.readEvents(spark, dir.getPath))
+      .select(col("day")).collect().map(_.getLong(0)).toSet
+    assert(days === Set(1L))
+  }
+
   test("transitionMatrix matches a brute-force reference on seeded " +
       "random events") {
     val rnd = new scala.util.Random(11)
