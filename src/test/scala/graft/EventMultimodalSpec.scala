@@ -205,6 +205,54 @@ class EventMultimodalSpec extends SparkSpec {
     assert(days === Set(1L))
   }
 
+  test("readEvents passes nanos-annotated and plain-int64 generations " +
+      "through unscaled") {
+    // the original testdata stored ts as NANOS-annotated int64 (read
+    // raw under nanosAsLong); a plain unannotated int64 is epoch-nanos
+    // by convention — both must pass through x1, pinning the legacy
+    // branch now that the on-disk testdata is timestamp[us]
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.{LogicalTypeAnnotation => LTA, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    def write(dir: String, annotate: Boolean): Unit = {
+      val tsField =
+        if (annotate) Types.required(INT64)
+          .as(LTA.timestampType(false, LTA.TimeUnit.NANOS)).named("ts")
+        else Types.required(INT64).named("ts")
+      val schema = Types.buildMessage()
+        .addField(Types.required(INT64).named("event_id"))
+        .addField(tsField)
+        .addField(Types.required(INT64).named("user_id"))
+        .addField(Types.required(BINARY).as(LTA.stringType)
+          .named("event_type"))
+        .addField(Types.required(DOUBLE).named("value"))
+        .addField(Types.required(BINARY).as(LTA.stringType).named("props"))
+        .named("events")
+      val d = new java.io.File(dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(d)
+      d.mkdirs()
+      val w = ExampleParquetWriter.builder(
+        new org.apache.hadoop.fs.Path(s"$dir/events.parquet"))
+        .withType(schema).build()
+      val gf = new SimpleGroupFactory(schema)
+      try {
+        val g = gf.newGroup()
+        g.add("event_id", 1L); g.add("ts", 86400L * 1000000000L + 7L)
+        g.add("user_id", 1L); g.add("event_type", "view")
+        g.add("value", 1.0); g.add("props", "{}")
+        w.write(g)
+      } finally w.close()
+    }
+    for ((dir, ann) <- Seq(("/tmp/graft_test_nsunit", true),
+        ("/tmp/graft_test_rawunit", false))) {
+      write(dir, ann)
+      val ts = EventOps.readEvents(spark, dir)
+        .select(col("ts")).collect()(0).getLong(0)
+      assert(ts === 86400L * 1000000000L + 7L, s"annotated=$ann")
+    }
+  }
+
   test("transitionMatrix matches a brute-force reference on seeded " +
       "random events") {
     val rnd = new scala.util.Random(11)
