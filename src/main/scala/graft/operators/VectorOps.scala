@@ -957,6 +957,44 @@ object VectorOps {
   }
 
   /**
+   * Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009, "Reciprocal
+   * Rank Fusion outperforms Condorcet..."): combine a SPARSE ranked list
+   * (BM25) with a DENSE one (cosine top-k) by
+   * `rrf(d) = Σ_l 1/(k0 + rank_l(d))` — the standard hybrid-retrieval
+   * combiner every production search stack ships, robust to the two
+   * scorers' incomparable score scales because only RANKS enter.
+   *
+   * Inputs are `(doc_id, rnk)` frames (absent docs contribute nothing
+   * for that list). Determinism: the fusion is a FIXED-ORDER two-term
+   * double expression over integer ranks (full-outer join + coalesce),
+   * not a floating aggregation — engine-identical bits, ties broken by
+   * doc_id.
+   *
+   * Scale shape: both inputs are kTop-bounded by their rankers'
+   * contracts, so the join and final sort are constant-size; all
+   * corpus-scale work lives upstream in the rankers.
+   */
+  def rrfFuse(sparse: DataFrame, dense: DataFrame, kTop: Int = 10,
+      k0: Int = 60): DataFrame = {
+    require(kTop > 0, "rrfFuse: kTop must be positive")
+    require(k0 > 0, "rrfFuse: k0 must be positive")
+    val s = sparse.select(col("doc_id").cast("long").as("doc_id"),
+      col("rnk").cast("int").as("rnk_sparse"))
+    val d = dense.select(col("doc_id").cast("long").as("doc_id"),
+      col("rnk").cast("int").as("rnk_dense"))
+    s.join(d, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(k0) + col("rnk_sparse")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k0) + col("rnk_dense")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(kTop)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id").asc)))
+      .select(col("rnk").cast("int").as("rnk"), col("doc_id"),
+        col("rnk_sparse"), col("rnk_dense"), col("rrf"))
+  }
+
+  /**
    * MMR-diversified retrieval (Carbonell & Goldstein 1998, "The Use of
    * MMR, Diversity-Based Reranking..."): per probe, greedily select
    * `k` of the top-`candidates` cosine neighbors maximizing

@@ -1559,6 +1559,78 @@ object QueryDefs {
           |FROM scored WHERE score > 0.0
           |QUALIFY rnk <= 20""".stripMargin)),
 
+    // Hybrid retrieval: BM25 sparse list ⊕ dense cosine list for probe 0
+    // (vec_id/doc_id share the testdata id space), fused by reciprocal
+    // rank — only RANKS enter, so the incomparable score scales never
+    // mix. Fixed-order two-term fusion expression = engine-exact.
+    ("hybrid_topk", (s: SparkSession, dir: String) => {
+      val sparse = TextOps.bm25TopK(t(s, dir, "documents"),
+        Seq("hash", "join", "vector"), kTop = 20)
+        .select(col("doc_id"), col("rnk"))
+      val dense = VectorOps.cosineTopK(t(s, dir, "embeddings"),
+        nProbes = 1, k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rnk"))
+      VectorOps.rrfFuse(sparse, dense, kTop = 10)
+    },
+      Some(
+        """WITH tk AS (
+          |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |    list_filter(string_split_regex(trim(text), '\s+'),
+          |      x -> x <> '') AS toks
+          |  FROM documents),
+          |base AS (
+          |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+          |    CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE) AS tf_0,
+          |    CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf_1,
+          |    CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf_2
+          |  FROM tk),
+          |stats AS (
+          |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+          |    sum(CASE WHEN tf_0 > 0 THEN 1.0 ELSE 0.0 END) AS df_0,
+          |    sum(CASE WHEN tf_1 > 0 THEN 1.0 ELSE 0.0 END) AS df_1,
+          |    sum(CASE WHEN tf_2 > 0 THEN 1.0 ELSE 0.0 END) AS df_2
+          |  FROM base),
+          |bscore AS (
+          |  SELECT doc_id, round(
+          |    ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5)) * (tf_0 * 2.2)
+          |      / (tf_0 + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
+          |    ln(1.0 + (n_docs - df_1 + 0.5) / (df_1 + 0.5)) * (tf_1 * 2.2)
+          |      / (tf_1 + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
+          |    ln(1.0 + (n_docs - df_2 + 0.5) / (df_2 + 0.5)) * (tf_2 * 2.2)
+          |      / (tf_2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS score
+          |  FROM base CROSS JOIN stats),
+          |sparse AS (
+          |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC,
+          |    doc_id ASC) AS INT) AS rs
+          |  FROM bscore WHERE score > 0.0
+          |  QUALIFY rs <= 20),
+          |dscore AS (
+          |  SELECT CAST(e.vec_id AS BIGINT) AS doc_id,
+          |    round(
+          |      list_sum(list_transform(list_zip(p.embedding, e.embedding),
+          |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+          |      (sqrt(list_sum(list_transform(p.embedding,
+          |         a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)))) *
+          |       sqrt(list_sum(list_transform(e.embedding,
+          |         a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE))))), 6) AS score
+          |  FROM embeddings p JOIN embeddings e ON e.vec_id <> p.vec_id
+          |  WHERE p.vec_id = 0),
+          |dense AS (
+          |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC,
+          |    doc_id ASC) AS INT) AS rd
+          |  FROM dscore QUALIFY rd <= 20),
+          |fused AS (
+          |  SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id, s.rs, d.rd,
+          |    round(COALESCE(1.0 / (60 + s.rs), 0.0) +
+          |          COALESCE(1.0 / (60 + d.rd), 0.0), 6) AS rrf
+          |  FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id)
+          |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC)
+          |    AS INT) AS rnk,
+          |  CAST(doc_id AS BIGINT) AS doc_id, rs AS rnk_sparse,
+          |  rd AS rnk_dense, rrf
+          |FROM fused
+          |QUALIFY rnk <= 10""".stripMargin)),
+
     ("token_topk", (s: SparkSession, dir: String) =>
       TextOps.tokenTopK(t(s, dir, "documents"), 20),
       Some(

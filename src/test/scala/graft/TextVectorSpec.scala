@@ -1246,4 +1246,19 @@ class TextVectorSpec extends SparkSpec {
       .filter(col("adc_dist") =!= col("flat_dist")).count()
     assert(mismatch === 0)
   }
+
+  test("rrfFuse sums reciprocal ranks; single-list docs keep one term") {
+    import spark.implicits._
+    // doc 1 ranks 1st in both; doc 2 only sparse; doc 3 only dense
+    val sparse = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rnk")
+    val dense = Seq((1L, 1), (3L, 2)).toDF("doc_id", "rnk")
+    val out = VectorOps.rrfFuse(sparse, dense, kTop = 3, k0 = 60)
+      .collect().map(r => r.getLong(1) ->
+        (r.getInt(0), r.getDouble(4))).toMap
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    assert(out(1L) === ((1, r6(1.0 / 61 + 1.0 / 61))))
+    // docs 2 and 3 tie on 1/62 -> doc_id ascending breaks it
+    assert(out(2L) === ((2, r6(1.0 / 62))))
+    assert(out(3L) === ((3, r6(1.0 / 62))))
+  }
 }
