@@ -482,13 +482,16 @@ case class PixelBrenner(pixels: Expression, sx: Expression)
 }
 
 /**
- * Exact integer dot product of two pixel planes: `Σ a[i]·b[i]` over the
- * common prefix (planes of one image share a geometry, so lengths match
- * in every legitimate call; a truncated plane contributes only its
- * stored pixels rather than failing the whole scan). The moment kernel
- * behind `OmeOps.colocalization` — Pearson channel correlation needs
- * Σxy / Σx² / Σy² per plane pair, and a `zip_with` + `aggregate`
- * formulation pays an interpreted lambda with boxed Integers per pixel.
+ * Exact integer dot product of two pixel planes: `Σ a[i]·b[i]`.
+ * Length mismatch returns NULL: planes of one image share a geometry,
+ * so lengths match in every legitimate call, and a silent
+ * shorter-prefix dot would make `OmeOps.colocalization`'s moments
+ * mutually inconsistent (n/Σx/Σy over full planes, Σxy over a prefix →
+ * a quietly wrong Pearson r). NULL surfaces the corrupt plane in the
+ * report instead. The moment kernel behind colocalization — Pearson
+ * channel correlation needs Σxy / Σx² / Σy² per plane pair, and a
+ * `zip_with` + `aggregate` formulation pays an interpreted lambda with
+ * boxed Integers per pixel.
  *
  * PRECONDITION: pixel values must fit uint16 (`verify_ome_arrow`
  * enforces it upstream). Then each term ≤ 65535² < 2^32 and the sum
@@ -500,7 +503,8 @@ case class PixelDot(a: Expression, b: Expression) extends Expression {
 
   override def children: Seq[Expression] = Seq(a, b)
   override def dataType: DataType = LongType
-  override def nullable: Boolean = children.exists(_.nullable)
+  // NULL on length mismatch, independent of child nullability
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = InputCheck.check(
     Seq((a, ArrayType(IntegerType), "a"),
@@ -512,7 +516,8 @@ case class PixelDot(a: Expression, b: Expression) extends Expression {
     if (aAny == null || bAny == null) return null
     val av = aAny.asInstanceOf[ArrayData]
     val bv = bAny.asInstanceOf[ArrayData]
-    val n = math.min(av.numElements(), bv.numElements())
+    val n = av.numElements()
+    if (n != bv.numElements()) return null
     var s = 0L
     var i = 0
     while (i < n) {
@@ -534,11 +539,14 @@ case class PixelDot(a: Expression, b: Expression) extends Expression {
         boolean ${ev.isNull} = ${aG.isNull} || ${bG.isNull};
         long ${ev.value} = 0L;
         if (!${ev.isNull}) {
-          final int $n = Math.min(${aG.value}.numElements(),
-            ${bG.value}.numElements());
-          for (int $i = 0; $i < $n; $i++) {
-            ${ev.value} += (long) ${aG.value}.getInt($i) *
-              ${bG.value}.getInt($i);
+          final int $n = ${aG.value}.numElements();
+          if ($n != ${bG.value}.numElements()) {
+            ${ev.isNull} = true;
+          } else {
+            for (int $i = 0; $i < $n; $i++) {
+              ${ev.value} += (long) ${aG.value}.getInt($i) *
+                ${bG.value}.getInt($i);
+            }
           }
         }
       """

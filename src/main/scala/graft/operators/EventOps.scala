@@ -39,25 +39,42 @@ object EventOps {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
     val st = fs.getFileStatus(root)
-    val part =
-      if (st.isFile) root
+    val parts =
+      if (st.isFile) Array(root)
       else fs.listStatus(root)
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .sortBy(_.getPath.getName).head.getPath
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(part, conf))
-    val schema =
-      try reader.getFooter.getFileMetaData.getSchema finally reader.close()
-    schema.getFields.asScala.find(_.getName == "ts")
-      .flatMap(f => Option(f.asPrimitiveType().getLogicalTypeAnnotation))
-      .collect {
-        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-          t.getUnit match {
-            case LogicalTypeAnnotation.TimeUnit.MILLIS => 1000000L
-            case LogicalTypeAnnotation.TimeUnit.MICROS => 1000L
-            case LogicalTypeAnnotation.TimeUnit.NANOS  => 1L
-          }
-      }
-      .getOrElse(1L)
+        .sortBy(_.getPath.getName).map(_.getPath)
+    require(parts.nonEmpty, s"tsUnitNanosOf: no parquet part files under $path")
+    def unitOf(part: org.apache.hadoop.fs.Path): Long = {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(part, conf))
+      val schema =
+        try reader.getFooter.getFileMetaData.getSchema finally reader.close()
+      schema.getFields.asScala.find(_.getName == "ts")
+        .flatMap(f => Option(f.asPrimitiveType().getLogicalTypeAnnotation))
+        .collect {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MILLIS => 1000000L
+              case LogicalTypeAnnotation.TimeUnit.MICROS => 1000L
+              case LogicalTypeAnnotation.TimeUnit.NANOS  => 1L
+            }
+        }
+        .getOrElse(1L)
+    }
+    // Probe EVERY part footer, not just the first: a mixed-generation
+    // lake (ms parts alongside µs parts under one directory) rescaled by
+    // the first part's unit would silently corrupt timestamps. Footers
+    // are a few KB each — cheap at any corpus size — and a single-unit
+    // directory is the contract, so disagreement fails loudly here.
+    val units = parts.map(p => p -> unitOf(p))
+    val distinctUnits = units.map(_._2).distinct
+    require(distinctUnits.length == 1,
+      s"tsUnitNanosOf: mixed ts units across part files of $path: " +
+        units.groupBy(_._2).map { case (u, ps) =>
+          s"${u}ns/unit -> ${ps.take(3).map(_._1.getName).mkString(",")}" +
+            (if (ps.length > 3) s" (+${ps.length - 3} more)" else "")
+        }.mkString("; "))
+    distinctUnits.head
   }
 
   /** Read the events table with `ts` normalized to epoch-nanos long,

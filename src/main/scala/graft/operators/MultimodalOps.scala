@@ -11,12 +11,11 @@ import graft.sources.TiffCodec
  * `binary` columns beside typed metadata — the training-data-pipeline
  * pattern where raw bytes, extracted features and text live in one table.
  *
- * The IMAGE path is fully real: binary cells hold actual TIFF bytes
- * (encoded/decoded by `TiffCodec` inside executor tasks), so decode /
- * feature-extract / downscale / frame-sample operate on genuine content.
- * The AUDIO path's decoder is a clearly-marked deterministic STUB (this
- * environment has no audio codec); the Spark-side plumbing — schema,
- * batching, partition behavior — is identical to the real thing.
+ * Both media paths are fully real: IMAGE cells hold actual TIFF bytes
+ * (encoded/decoded by `TiffCodec` inside executor tasks) and AUDIO
+ * cells hold actual RIFF/WAVE bytes (parsed by the hand-rolled
+ * `WavCodec`, integer PCM 8/16/24/32-bit) — decode / feature-extract /
+ * downscale / frame-sample operate on genuine content.
  *
  * Scale notes: one media item = one row; decode is a per-row narrow map
  * (no shuffle), so a 100 TB media table processes embarrassingly
@@ -107,33 +106,43 @@ object MultimodalOps {
     }
   }
 
-  final case class AudioFeatures(media_id: String, n_samples: Long,
-      rms_q: Long, zero_crossings: Long)
+  final case class AudioFeatures(media_id: String, sample_rate: Int,
+      n_channels: Int, n_frames: Long, rms_q: Long, zero_crossings: Long,
+      peak: Int)
 
   /**
-   * Audio feature extraction — DECODE IS A DETERMINISTIC STUB: this
-   * container has no audio codec, so "decoding" maps the byte stream to
-   * a fake PCM signal (byte i -> sample (b(i) - 128)). The pipeline
-   * shape (binary in, per-item features out, narrow map) is the real
-   * thing; swap `fakePcm` for a real decoder when one is on the
-   * classpath.
+   * Audio feature extraction over REAL WAV bytes (replaces the r8
+   * deterministic stub): each binary cell is parsed by
+   * [[graft.sources.WavCodec]] (integer PCM 8/16/24/32-bit,
+   * multi-channel), yielding per-item signal features — energy
+   * (`rms_q = Σv²`, exact long; callers feeding 32-bit PCM at hour
+   * scale should downshift first, a single 2³¹ sample squares to
+   * 4.6·10¹⁸), per-channel zero crossings summed across channels, and
+   * the absolute peak. Same pipeline shape as [[imageFeatures]]: one
+   * narrow decode map, no shuffle, embarrassingly parallel at 100 TB.
    */
   def audioFeatures(media: Dataset[MediaRow]): DataFrame = {
     val sp = media.sparkSession
     import sp.implicits._
     media.map { m =>
-      val pcm = fakePcm(m.content) // STUB decode (see scaladoc)
-      var zc = 0L; var sq = 0L
-      var i = 0
-      while (i < pcm.length) {
-        sq += pcm(i).toLong * pcm(i)
-        if (i > 0 && ((pcm(i - 1) < 0) != (pcm(i) < 0))) zc += 1
-        i += 1
+      require(m.kind.startsWith("audio/"), s"not audio: ${m.kind}")
+      val wav = graft.sources.WavCodec.decode(m.content)
+      var zc = 0L; var sq = 0L; var peak = 0
+      var c = 0
+      while (c < wav.nChannels) {
+        val ch = wav.channels(c)
+        var i = 0
+        while (i < ch.length) {
+          val v = ch(i)
+          sq += v.toLong * v
+          if (math.abs(v) > peak) peak = math.abs(v)
+          if (i > 0 && ((ch(i - 1) < 0) != (v < 0))) zc += 1
+          i += 1
+        }
+        c += 1
       }
-      AudioFeatures(m.media_id, pcm.length.toLong, sq, zc)
+      AudioFeatures(m.media_id, wav.sampleRate, wav.nChannels,
+        wav.nFrames.toLong, sq, zc, peak)
     }.toDF()
   }
-
-  private def fakePcm(bytes: Array[Byte]): Array[Int] =
-    bytes.map(b => (b & 0xff) - 128)
 }

@@ -1308,23 +1308,30 @@ object TextOps {
    * BPE tokenizer training (Sennrich et al. 2016): learn `nMerges`
    * merge rules from the corpus. The CORPUS-SCALE stage is the one
    * distributed word-count aggregation; the iterative merge training
-   * then runs on the VOCABULARY-SIZED count table (bounded by contract
-   * — distinct words, not corpus size), which is exactly the shape
-   * every production tokenizer trainer uses (count distributed, train
-   * on the table). Pair selection is deterministic: highest weighted
-   * count, ties broken by lexicographically smallest (left, right) —
-   * so retraining reproduces the identical merge list.
+   * then runs on a count table BOUNDED at `maxVocab` distinct words —
+   * the top-`maxVocab` by count (ties by word) via a TakeOrdered, so
+   * the driver materializes at most `maxVocab` rows no matter how many
+   * distinct tokens the corpus has (a web-scale lake has 10⁸–10⁹;
+   * r8's uncapped collect was the repo's one driver-OOM path). Capping
+   * the training vocabulary to the head of the count distribution is
+   * standard tokenizer-trainer practice — tail hapaxes contribute
+   * nothing to the top pair counts. Pair selection is deterministic:
+   * highest weighted count, ties broken by lexicographically smallest
+   * (left, right) — so retraining reproduces the identical merge list.
    *
    * Returns `(rank, left, right, merged)` in training order — feed it
    * to [[bpeEncodeTokens]] / [[graft.functions.bpe_encode]] to
    * tokenize.
    */
-  def bpeTrain(docs: DataFrame, nMerges: Int = 10): DataFrame = {
+  def bpeTrain(docs: DataFrame, nMerges: Int = 10,
+      maxVocab: Int = 1000000): DataFrame = {
     require(nMerges > 0, "bpeTrain: nMerges must be positive")
+    require(maxVocab > 0, "bpeTrain: maxVocab must be positive")
     val sp = docs.sparkSession
     val wordCounts = docs
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("w")).limit(maxVocab)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     var vocab: Array[(Array[String], Long)] = wordCounts.map { case (w, n) =>
       (w.toCharArray.map(_.toString), n)

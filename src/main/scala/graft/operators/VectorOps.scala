@@ -168,6 +168,119 @@ object VectorOps {
       nCentroids: Int = 16, maxIter: Int = 10, seed: Long = 7L): DataFrame =
     ivfTopKWith(emb, kmeansCentroids(emb, nCentroids, maxIter, seed), nProbes, k)
 
+  /**
+   * IVF with DETERMINISTIC Lloyd-trained centroids — the trained coarse
+   * quantizer re-expressed so an external SQL engine can replicate the
+   * training bit-for-bit (the one registry row `embed_ann_ivf_trained`
+   * that was rows-only through r8 becomes hash-matched):
+   *
+   *  - embeddings are quantized to integer MICRO-UNITS
+   *    (`round(v·10⁶)` as long) — every subsequent training step is
+   *    exact integer arithmetic, order-free and engine-portable;
+   *  - init: the first `nCentroids` vectors by `vec_id` (no RNG);
+   *  - each of the `iters` fixed Lloyd rounds assigns every vector to
+   *    its min-L2²-distance centroid (exact integer distance, ties to
+   *    the lowest centroid id) and recomputes each centroid component
+   *    as the HALF_UP integer division `Σx / n` (empty cells keep
+   *    their previous centroid);
+   *  - search is the shared [[ivfSearch]] stage (cosine over the
+   *    ORIGINAL float embeddings, 6dp).
+   *
+   * Unlike [[ivfTopKTrained]] (Spark ML `KMeans`, seeded RNG init +
+   * double means — not SQL-replicable, covered structurally by
+   * [[ivfTrainedCheck]]), this variant's full train+assign+search is
+   * mirrored as chained CTEs in the DuckDB oracle.
+   *
+   * Scale shape: each Lloyd round is one corpus scan (map-side fold
+   * against a literal codebook — no join) plus one k×dims-cell partial
+   * aggregation; only k×dims scalars ever reach the driver per round.
+   * That is textbook distributed Lloyd: iteration cost = scans, not
+   * shuffles of the corpus.
+   */
+  def ivfTopKLloyd(emb: DataFrame, nProbes: Int, k: Int,
+      nCentroids: Int = 16, iters: Int = 2): DataFrame = {
+    graft.functions.ensureRegistered(emb.sparkSession)
+    val cents = lloydCentroidsMicro(emb, nCentroids, iters)
+    val assigned = emb.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding"),
+      nearestMicroL2(quantizeMicro(col("embedding")), cents).as("cluster"))
+    ivfSearch(assigned, nProbes, k)
+  }
+
+  /** Embedding → integer micro-units: `round(v·10⁶)` per component.
+    * Spark's `round` (HALF_UP on the double) and DuckDB's `round`
+    * (half-away-from-zero) agree on all doubles, so both engines
+    * produce identical longs from identical float32 inputs. */
+  private def quantizeMicro(c: Column): Column =
+    transform(c, v => round(v.cast("double") * 1000000.0d, 0).cast("long"))
+
+  /** HALF_UP integer division `s/n` (n > 0) in pure long arithmetic:
+    * both engines' integer `/` truncate, and the rearrangement keeps
+    * numerator and denominator positive so truncate == floor. Exact at
+    * any magnitude a 100 TB corpus produces (|2s+n| needs < 2⁶³:
+    * micro-components ≤ ~10⁷ × 10¹⁰ rows ≈ 10¹⁷ — headroom 90×). */
+  private def divHalfUp(s: Long, n: Long): Long =
+    if (s >= 0) (2 * s + n) / (2 * n) else -((2 * -s + n) / (2 * n))
+
+  /** Min-L2² assignment against a literal micro-unit codebook: exact
+    * long distance `Σ(x−c)²` per centroid; argmin as
+    * `array_position(dists, array_min(dists))` — array_position finds
+    * the FIRST minimal slot and `cents` is sorted by id, so ties land
+    * on the lowest centroid id. (Struct-based argmin formulations —
+    * `when` folds or `array_min` over `(d, id)` structs — lose field
+    * names to type coercion over unresolved HOF children; this one
+    * never extracts a field.) Map-side only (lesson-4 shape: no
+    * codebook join, no window). */
+  private def nearestMicroL2(qx: Column,
+      cents: Array[(Long, Array[Long])]): Column = {
+    require(cents.nonEmpty, "nearestMicroL2: empty codebook")
+    def dist(c: Array[Long]): Column =
+      aggregate(zip_with(qx, array(c.toIndexedSeq.map(lit): _*),
+        (a, b) => (a - b) * (a - b)), lit(0L), (acc, d) => acc + d)
+    val dists = array(cents.toIndexedSeq.map { case (_, c) => dist(c) }: _*)
+    val ids = array(cents.toIndexedSeq.map { case (id, _) => lit(id) }: _*)
+    element_at(ids, array_position(dists, array_min(dists)).cast("int"))
+  }
+
+  /** The deterministic Lloyd loop of [[ivfTopKLloyd]]: returns the
+    * final `(centroid_id, micro-components)` codebook. Centroid ids are
+    * the seeding vec_ids (`vec_id < k`), mirroring [[firstNCentroids]]. */
+  private[graft] def lloydCentroidsMicro(emb: DataFrame, k: Int,
+      iters: Int): Array[(Long, Array[Long])] = {
+    require(k > 0 && iters >= 0, "lloydCentroidsMicro: k > 0, iters >= 0")
+    val q = Caches.persist(emb.select(col("vec_id").cast("long").as("vec_id"),
+      quantizeMicro(col("embedding")).as("qx")))
+    var cents: Array[(Long, Array[Long])] = q.filter(col("vec_id") < k)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, s"lloydCentroidsMicro: no vectors with vec_id < $k")
+    var round = 0
+    while (round < iters) {
+      // one corpus scan: assign (map-side fold) + per-(cell, dim) sums;
+      // only k×dims (cell, dim, Σx, n) scalars collect
+      val sums = q
+        .select(nearestMicroL2(col("qx"), cents).as("cluster"),
+          posexplode(col("qx")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      val byCluster = sums.groupBy(_._1)
+      cents = cents.map { case (cid, prev) =>
+        byCluster.get(cid) match {
+          case Some(rows) =>
+            val next = prev.clone()
+            rows.foreach { case (_, dim, s, n) => next(dim) = divHalfUp(s, n) }
+            (cid, next)
+          case None => (cid, prev) // empty cell keeps its centroid
+        }
+      }
+      round += 1
+    }
+    cents
+  }
+
   /** K-means centroids over the embedding column as a `(centroid_id,
     * c_emb array<float>)` frame — broadcastable coarse-quantizer
     * codebook. */
@@ -1052,9 +1165,14 @@ object VectorOps {
         col("probe_id") === col("b_probe") && col("a_id") =!= col("b_id"))
       .select(col("probe_id"), col("a_id"), col("b_id"),
         cosine6(col("a_emb"), col("b_emb")).as("psim"))
-    // Spark round() semantics: HALF_UP on the decimal repr of the double
+    // Spark round() semantics: HALF_UP on the decimal repr of the double.
+    // NaN/Infinity pass through unrounded (BigDecimal.valueOf would throw
+    // NumberFormatException) — matching Spark's round, which returns the
+    // input for non-finite doubles. A zero-norm embedding yields a NaN
+    // cosine; it must degrade, not crash the cogroup.
     def round6(v: Double): Double =
-      java.math.BigDecimal.valueOf(v)
+      if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) v
+      else java.math.BigDecimal.valueOf(v)
         .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     val candsDs = cands.toDF("_1", "_2", "_3").as[(Long, Long, Double)]
     val psimDs = psim.toDF("_1", "_2", "_3", "_4")
@@ -1075,8 +1193,13 @@ object VectorOps {
         var step = 2
         while (step <= k && remaining.nonEmpty) {
           val scored = remaining.map { c =>
+            // getOrElse: the psim self-join can miss a pair only when an
+            // embedding join-back dropped a row (e.g. null embedding) —
+            // treat the unknown sim as -inf (no diversity penalty) rather
+            // than throwing NoSuchElementException mid-task.
             val msim = selected.iterator
-              .map(s => sims((c._2, s._3))).max
+              .map(s => sims.getOrElse((c._2, s._3), Double.NegativeInfinity))
+              .max
             (c, round6(lambda * c._3 - (1 - lambda) * msim))
           }
           val (bc, bm) = scored.minBy { case (c, m) => (-m, c._2) }

@@ -266,13 +266,17 @@ object QueryDefs {
       Some(
         s"""WITH $px4d,
            |br AS (
-           |  SELECT img, t, c, z, sum((vl - v) * (vl - v)) AS score
+           |  -- conditional sum, NOT `WHERE vl IS NOT NULL`: a degenerate
+           |  -- plane (sx < 3 ⇒ no x+2 neighbor anywhere) must score 0 to
+           |  -- match pixel_brenner, not vanish and shrink n_planes
+           |  SELECT img, t, c, z,
+           |    coalesce(sum(CASE WHEN vl IS NOT NULL
+           |      THEN (vl - v) * (vl - v) END), 0) AS score
            |  FROM (
            |    SELECT img, t, c, z, v,
            |      lead(v, 2) OVER (PARTITION BY img, t, c, z, y
            |        ORDER BY x) AS vl
            |    FROM px)
-           |  WHERE vl IS NOT NULL
            |  GROUP BY img, t, c, z),
            |ranked AS (
            |  SELECT img, t, c, z, score,
@@ -2369,30 +2373,43 @@ object QueryDefs {
            |  CAST(min(v) AS INT) AS px_min, CAST(max(v) AS INT) AS px_max
            |FROM l1 GROUP BY img""".stripMargin)),
 
-    ("mm_audio_stub", (s: SparkSession, _: String) => {
+    // REAL audio path (r8's one stub, retired): the fixture builds
+    // genuine stereo PCM16 RIFF/WAVE bytes from a closed-form integer
+    // sawtooth, WavCodec round-trips them inside executor tasks, and
+    // the oracle recomputes every feature from the signal formula —
+    // so encode, RIFF parse, de-interleave, and the feature math are
+    // all pinned by the hash.
+    ("mm_audio_features", (s: SparkSession, _: String) => {
       import s.implicits._
       val media = s.range(4).map { id =>
-        graft.operators.MultimodalOps.MediaRow(f"aud-$id%04d", "audio/fake",
-          Array.tabulate(1000 + id.toInt * 17)(i => ((i * 31 + id) % 256).toByte),
-          0, 0, 0)
+        val n = 500 + id.toInt * 17
+        val chans = Array.tabulate(2)(ch => Array.tabulate(n)(i =>
+          ((i * 37 + ch * 13 + id.toInt * 11) % 4001) - 2000))
+        graft.operators.MultimodalOps.MediaRow(f"aud-$id%04d", "audio/wav",
+          graft.sources.WavCodec.encode(16000, chans), 0, 0, 0)
       }
       graft.operators.MultimodalOps.audioFeatures(media)
     },
       Some(
         """WITH sig AS (
-          |  SELECT i.i AS id, s.s AS i,
-          |    ((s.s*31 + i.i) % 256) - 128 AS v
-          |  FROM generate_series(0,3) i(i), generate_series(0,1066) s(s)
-          |  WHERE s.s < 1000 + i.i*17),
+          |  SELECT i.i AS id, c.c AS ch, s.s AS i,
+          |    ((s.s*37 + c.c*13 + i.i*11) % 4001) - 2000 AS v
+          |  FROM generate_series(0,3) i(i), generate_series(0,1) c(c),
+          |       generate_series(0,550) s(s)
+          |  WHERE s.s < 500 + i.i*17),
           |flagged AS (
-          |  SELECT id, i, v,
-          |    CASE WHEN i > 0 AND ((lag(v) OVER (PARTITION BY id ORDER BY i) < 0)
-          |      <> (v < 0)) THEN 1 ELSE 0 END AS zc
+          |  SELECT id, ch, i, v,
+          |    CASE WHEN i > 0 AND
+          |      ((lag(v) OVER (PARTITION BY id, ch ORDER BY i) < 0)
+          |        <> (v < 0)) THEN 1 ELSE 0 END AS zc
           |  FROM sig)
           |SELECT printf('aud-%04d', id) AS media_id,
-          |  CAST(count(*) AS BIGINT) AS n_samples,
+          |  CAST(16000 AS INT) AS sample_rate,
+          |  CAST(2 AS INT) AS n_channels,
+          |  CAST(max(i) + 1 AS BIGINT) AS n_frames,
           |  CAST(sum(CAST(v AS BIGINT)*v) AS BIGINT) AS rms_q,
-          |  CAST(sum(zc) AS BIGINT) AS zero_crossings
+          |  CAST(sum(zc) AS BIGINT) AS zero_crossings,
+          |  CAST(max(abs(v)) AS INT) AS peak
           |FROM flagged GROUP BY id""".stripMargin)),
 
     // ============ simhash / embedding near-dup ============
@@ -2923,23 +2940,93 @@ object QueryDefs {
           |FROM scored
           |QUALIFY rnk <= 5""".stripMargin)),
 
-    // k-means-trained IVF (the production coarse quantizer): Spark ML
-    // training is not SQL-replicable, so this row is registered WITHOUT
-    // an oracle — the driver records the weaker rows-only check, and
-    // TextVectorSpec pins the structural invariants. NOTE: unlike every
-    // other entry this query function is not plan-lazy — KMeans.fit
-    // runs Spark jobs at DataFrame-construction time (~1.5 s warm at
-    // sf0.1), which the bench times as part of the query.
+    // Trained IVF, deterministic Lloyd variant: embeddings quantize to
+    // integer micro-units, two Lloyd rounds run in exact long arithmetic
+    // (min-L2² assignment, ties to lowest cid; HALF_UP integer-division
+    // mean update; empty cells carry forward), then the shared cosine
+    // search. Every training step is order-free integer math, so the
+    // oracle replays the FULL train+assign+search as chained CTEs — the
+    // registry's last rows-only entry is now hash-matched. The Spark ML
+    // KMeans path (`ivfTopKTrained`) remains covered structurally by
+    // `embed_ann_ivf_trained_check` below. NOTE: not plan-lazy — the
+    // Lloyd rounds run Spark jobs at DataFrame-construction time, which
+    // the bench times as part of the query.
     ("embed_ann_ivf_trained", (s: SparkSession, dir: String) =>
-      VectorOps.ivfTopKTrained(t(s, dir, "embeddings"), nProbes = 16, k = 5),
-      None),
+      VectorOps.ivfTopKLloyd(t(s, dir, "embeddings"), nProbes = 16, k = 5,
+        nCentroids = 16, iters = 2),
+      Some {
+        def assign(name: String, cents: String) =
+          s"""$name AS (
+             |  SELECT vec_id, cid AS cluster FROM (
+             |    SELECT q.vec_id, c.cid, row_number() OVER (
+             |      PARTITION BY q.vec_id
+             |      ORDER BY list_sum(list_transform(list_zip(q.qx, c.qc),
+             |        x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC, c.cid ASC)
+             |      AS rn
+             |    FROM q, $cents c) WHERE rn = 1)""".stripMargin
+        // HALF_UP integer division via positive-operand rearrangement
+        // ((2s+n)//(2n)), matching VectorOps.divHalfUp exactly; empty
+        // cells keep the previous centroid via the LEFT JOIN coalesce
+        def update(name: String, assigned: String, prev: String) =
+          s"""$name AS (
+             |  SELECT p.cid,
+             |    CASE WHEN m.qc IS NULL THEN p.qc ELSE m.qc END AS qc
+             |  FROM $prev p LEFT JOIN (
+             |    SELECT cluster AS cid,
+             |      list(CASE WHEN s >= 0 THEN (2*s + n) // (2*n)
+             |        ELSE -((2*(-s) + n) // (2*n)) END ORDER BY dim) AS qc
+             |    FROM (
+             |      SELECT cluster, dim, sum(x) AS s, count(*) AS n FROM (
+             |        SELECT a.cluster, unnest(q.qx) AS x,
+             |          generate_subscripts(q.qx, 1) AS dim
+             |        FROM $assigned a JOIN q USING (vec_id))
+             |      GROUP BY 1, 2)
+             |    GROUP BY cid) m ON p.cid = m.cid)""".stripMargin
+        s"""WITH q AS (
+           |  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+           |    list_transform(embedding,
+           |      v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
+           |      AS qx
+           |  FROM embeddings),
+           |c0 AS (SELECT vec_id AS cid, qx AS qc FROM q WHERE vec_id < 16),
+           |${assign("a1", "c0")},
+           |${update("c1", "a1", "c0")},
+           |${assign("a2", "c1")},
+           |${update("c2", "a2", "c1")},
+           |${assign("af", "c2")},
+           |assigned AS (
+           |  SELECT q.vec_id, q.embedding, af.cluster
+           |  FROM q JOIN af USING (vec_id)),
+           |probes AS (
+           |  SELECT vec_id AS probe_id, embedding AS p_emb, cluster
+           |  FROM assigned WHERE vec_id < 16),
+           |scored AS (
+           |  SELECT p.probe_id, p.cluster, a.vec_id AS neighbor_id,
+           |    round(
+           |      list_sum(list_transform(list_zip(p.p_emb, a.embedding),
+           |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+           |      (sqrt(list_sum(list_transform(p.p_emb,
+           |         v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+           |       sqrt(list_sum(list_transform(a.embedding,
+           |         v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS score
+           |  FROM probes p JOIN assigned a
+           |    ON p.cluster = a.cluster AND a.vec_id <> p.probe_id)
+           |SELECT probe_id, cluster,
+           |  CAST(row_number() OVER (PARTITION BY probe_id
+           |    ORDER BY score DESC, neighbor_id ASC) AS INT) AS rnk,
+           |  neighbor_id, score
+           |FROM scored
+           |QUALIFY rnk <= 5""".stripMargin
+      }),
 
-    // Structural oracle for the trained path (same params as above):
-    // every output column is a violation count that is zero for ANY
-    // correct assignment/search regardless of the trained centroids, so
-    // the oracle is the constant all-zeros row — a genuine hash-match
-    // over the trained path's invariants (rnk density, score
-    // monotonicity, k cap, no self/dup pairs, assignment totality).
+    // Structural oracle for the Spark ML KMeans-trained path (seeded
+    // RNG init + double means — not SQL-replicable, unlike the Lloyd
+    // variant above): every output column is a violation count that is
+    // zero for ANY correct assignment/search regardless of the trained
+    // centroids, so the oracle is the constant all-zeros row — a
+    // genuine hash-match over the trained path's invariants (rnk
+    // density, score monotonicity, k cap, no self/dup pairs,
+    // assignment totality).
     ("embed_ann_ivf_trained_check", (s: SparkSession, dir: String) =>
       VectorOps.ivfTrainedCheck(t(s, dir, "embeddings"), nProbes = 16, k = 5),
       Some(

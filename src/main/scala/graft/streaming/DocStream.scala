@@ -253,7 +253,8 @@ object DocStream {
       timeoutMs: Long = 300000L): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val out = StreamDrain.once(spark, "graft_stream_dedup_check",
-        s"$dir|$lateness|$feedDir", timeoutMs) {
+        s"$dir|$lateness|$feedDir", timeoutMs,
+        Seq(s"$dir/documents.parquet")) {
       docs.select(col("doc_id").cast("long").as("doc_id"), col("text"),
           col("lang"), col("source"),
           col("n_chars").cast("long").as("n_chars"),
@@ -307,7 +308,8 @@ object DocStream {
     graft.functions.ensureRegistered(spark)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val hits = StreamDrain.once(spark, "graft_stream_neardup_check",
-        s"$dir|$k|$numHashes|$bands|$threshold|$feedDir", timeoutMs) {
+        s"$dir|$k|$numHashes|$bands|$threshold|$feedDir", timeoutMs,
+        Seq(s"$dir/documents.parquet")) {
       docs.select(col("doc_id").cast("long").as("doc_id"), col("text"),
           col("lang"), col("source"),
           col("n_chars").cast("long").as("n_chars"),
@@ -416,7 +418,8 @@ object DocStream {
     val train = docs.filter(col("doc_id") % 25 =!= 0)
     val eval = docs.filter(col("doc_id") % 25 === 0)
     val hits = StreamDrain.once(spark, "graft_stream_contam_check",
-        s"$dir|$n|$minShared|$feedDir", timeoutMs) {
+        s"$dir|$n|$minShared|$feedDir", timeoutMs,
+        Seq(s"$dir/documents.parquet")) {
       writeFeed(train, feedDir, withSentinel = true)
       contaminationStream(
         spark.readStream.schema(documentsSchema).parquet(feedDir),
@@ -463,7 +466,8 @@ object DocStream {
     val train = docs.filter(col("doc_id") % 25 === 0)
     val score = docs.filter(col("doc_id") % 25 =!= 0)
     val streamed = StreamDrain.once(spark, "graft_stream_ppl_check",
-        s"$dir|$k|$feedDir", timeoutMs) {
+        s"$dir|$k|$feedDir", timeoutMs,
+        Seq(s"$dir/documents.parquet")) {
       writeFeed(score, feedDir, withSentinel = true)
       perplexityStream(
         spark.readStream.schema(documentsSchema).parquet(feedDir),
@@ -530,7 +534,8 @@ object DocStream {
     val train = docs.filter(col("doc_id") % 25 =!= 0)
     val eval = docs.filter(col("doc_id") % 25 === 0)
     val streamed = StreamDrain.once(spark, "graft_stream_bloom_check",
-        s"$dir|$n|$minHits|$feedDir", timeoutMs) {
+        s"$dir|$n|$minHits|$feedDir", timeoutMs,
+        Seq(s"$dir/documents.parquet")) {
       writeFeed(train, feedDir, withSentinel = false)
       bloomDecontamStream(
         spark.readStream.schema(documentsSchema).parquet(feedDir),

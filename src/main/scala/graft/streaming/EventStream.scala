@@ -121,7 +121,8 @@ object EventStream {
       maxDelay: String = "2 hours", lateness: String = "1 hour",
       timeoutMs: Long = 300000L): DataFrame = {
     val streamed = StreamDrain.once(spark, "graft_stream_attrib_check",
-        s"$dir|$maxDelay|$lateness", timeoutMs)(
+        s"$dir|$maxDelay|$lateness", timeoutMs,
+        Seq(s"$dir/events.parquet"))(
       attributionJoinStream(spark, dir, maxDelay, lateness))
       .select(col("click_id"), col("purchase_id"),
         col("delay_sec").as("delay_s"))
@@ -179,7 +180,8 @@ object EventStream {
       windowLength: String = "6 hours", lateness: String = "1 hour",
       timeoutMs: Long = 300000L): DataFrame = {
     val streamed = StreamDrain.once(spark, "graft_stream_rollup_check",
-        s"$dir|$windowLength|$lateness", timeoutMs)(
+        s"$dir|$windowLength|$lateness", timeoutMs,
+        Seq(s"$dir/events.parquet"))(
       windowedRollup(spark, dir, windowLength, lateness))
       .select(col("window_start"), col("event_type"),
         col("n_events").as("n_s"), col("value_sum").as("sum_s"))
@@ -259,7 +261,8 @@ object EventStream {
       timeoutMs: Long = 300000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val streamed = StreamDrain.once(spark, "graft_stream_session_check",
-        s"$dir|$gapMinutes|$lateness", timeoutMs)(
+        s"$dir|$gapMinutes|$lateness", timeoutMs,
+        Seq(s"$dir/events.parquet"))(
       sessionStream(spark, dir, gapMinutes, lateness))
       .select(col("session_start"), col("session_end"), col("user_id"),
         col("n_events").as("n_s"), col("value_sum").as("sum_s"))

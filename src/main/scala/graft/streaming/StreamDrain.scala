@@ -14,32 +14,77 @@ import org.apache.spark.sql.streaming.Trigger
  * warm-up per check re-drained identical feeds for ~75 s of its 282 s
  * total. With the memo, the first invocation pays the drain and later
  * ones reuse the sink; the batch comparison itself stays fully timed.
+ *
+ * Concurrency + staleness (r8 ADVICE): the check-then-drain section is
+ * serialized per sink view (two threads racing the same view would both
+ * pass a bare `contains` check and concurrently drop/start against one
+ * memory sink), and the memo key folds in a signature of the INPUT
+ * FILES (name/mtime/length, recursive) — if the data under the same
+ * path changes within a process, the key changes and the view
+ * re-drains instead of comparing a stale sink against fresh batch
+ * output.
  */
 object StreamDrain {
 
   private val drained =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val viewLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Content signature of `paths`: order-stable hash over each file's
+    * (relative name, mtime, length), recursive. Listing footers/status
+    * only — no data read, cheap at any corpus size. Missing paths sign
+    * as `absent` (a feed dir created inside the memoized thunk must not
+    * throw here). */
+  private[graft] def inputSig(spark: SparkSession, paths: Seq[String]): String = {
+    val conf = spark.sessionState.newHadoopConf()
+    paths.map { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(conf)
+      if (!fs.exists(hp)) s"$p:absent"
+      else {
+        val acc = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+        val it = fs.listFiles(hp, true)
+        while (it.hasNext) {
+          val s = it.next()
+          acc += ((s.getPath.toUri.getPath, s.getModificationTime, s.getLen))
+        }
+        var h = 1125899906842597L
+        acc.sortBy(_._1).foreach { case (n, m, l) =>
+          h = h * 31 + n.hashCode; h = h * 31 + m; h = h * 31 + l
+        }
+        s"$p:${java.lang.Long.toHexString(h)}"
+      }
+    }.mkString(",")
+  }
 
   /**
    * Build (first call only) and drain `feed` into memory sink `view`,
    * returning the sink table. `feed` is by-name: feed-staging side
    * effects (writing a parquet feed dir) are also skipped on reuse.
-   * `key` must pin every input the feed reads — data dir + operator
-   * params; a changed key or an externally dropped view re-drains.
+   * `key` must pin the operator params; `inputs` lists the data paths
+   * the feed reads (their file signatures join the memo key). A changed
+   * key, changed input bytes, or an externally dropped view re-drains.
    */
   def once(spark: SparkSession, view: String, key: String,
-      timeoutMs: Long)(feed: => DataFrame): DataFrame = {
-    val k = s"$view|$key"
-    if (!drained.contains(k) || !spark.catalog.tableExists(view)) {
-      if (spark.catalog.tableExists(view)) spark.catalog.dropTempView(view)
-      val q = feed.writeStream.format("memory").queryName(view)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try require(q.awaitTermination(timeoutMs),
-        s"$view: stream did not drain within ${timeoutMs} ms")
-      finally q.stop()
-      drained.add(k)
+      timeoutMs: Long, inputs: Seq[String] = Nil)(feed: => DataFrame): DataFrame = {
+    val lock = viewLocks.computeIfAbsent(view, _ => new Object)
+    lock.synchronized {
+      val k = s"$view|$key|${inputSig(spark, inputs)}"
+      if (!drained.contains(k) || !spark.catalog.tableExists(view)) {
+        if (spark.catalog.tableExists(view)) spark.catalog.dropTempView(view)
+        val q = feed.writeStream.format("memory").queryName(view)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try require(q.awaitTermination(timeoutMs),
+          s"$view: stream did not drain within ${timeoutMs} ms")
+        finally q.stop()
+        // one live memo entry per view: the sink holds only the latest
+        // drain, so stale keys for this view must not claim it
+        drained.removeIf((e: String) => e.startsWith(s"$view|"))
+        drained.add(k)
+      }
     }
     spark.table(view)
   }

@@ -253,6 +253,48 @@ class EventMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("tsUnitNanosOf rejects a mixed-unit part directory loudly") {
+    // r8 ADVICE: probing only the first part would rescale a
+    // mixed-generation lake by one part's unit, silently corrupting
+    // every other part's timestamps — the probe must read EVERY footer
+    // and fail on disagreement
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.{LogicalTypeAnnotation => LTA, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val dir = new java.io.File("/tmp/graft_test_mixedunit/events.parquet")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.getParentFile)
+    dir.mkdirs()
+    def write(part: String, unit: LTA.TimeUnit): Unit = {
+      val schema = Types.buildMessage()
+        .addField(Types.required(INT64).named("event_id"))
+        .addField(Types.required(INT64)
+          .as(LTA.timestampType(false, unit)).named("ts"))
+        .named("events")
+      val w = ExampleParquetWriter.builder(
+        new org.apache.hadoop.fs.Path(s"${dir.getPath}/$part"))
+        .withType(schema).build()
+      val gf = new SimpleGroupFactory(schema)
+      try {
+        val g = gf.newGroup()
+        g.add("event_id", 1L); g.add("ts", 86400000L)
+        w.write(g)
+      } finally w.close()
+    }
+    write("part-00000.parquet", LTA.TimeUnit.MILLIS)
+    write("part-00001.parquet", LTA.TimeUnit.MICROS)
+    val ex = intercept[IllegalArgumentException] {
+      EventOps.tsUnitNanosOf(spark, dir.getPath)
+    }
+    assert(ex.getMessage.contains("mixed ts units"))
+    // homogeneous directories still resolve (both parts MILLIS)
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.getParentFile)
+    dir.mkdirs()
+    write("part-00000.parquet", LTA.TimeUnit.MILLIS)
+    write("part-00001.parquet", LTA.TimeUnit.MILLIS)
+    assert(EventOps.tsUnitNanosOf(spark, dir.getPath) === 1000000L)
+  }
+
   test("transitionMatrix matches a brute-force reference on seeded " +
       "random events") {
     val rnd = new scala.util.Random(11)
@@ -345,15 +387,106 @@ class EventMultimodalSpec extends SparkSpec {
     assert(feats.forall(_.getAs[Long]("n_px") === 128L))
   }
 
-  test("audio stub features are deterministic") {
-    val media = spark.range(2).map { id =>
-      MultimodalOps.MediaRow(s"a$id", "audio/fake",
-        Array.tabulate(100)(i => (i % 256).toByte), 0, 0, 0)
+  test("WavCodec round-trips PCM16 and decodes hand-built 8/24/32-bit") {
+    import graft.sources.WavCodec
+    // PCM16 encode → decode round-trip, stereo, clamping pinned
+    val left = Array(0, 1000, -1000, 32767, -32768, 40000, -40000)
+    val right = Array(5, -5, 0, 12345, -12345, 7, -7)
+    val wav = WavCodec.decode(WavCodec.encode(44100, Array(left, right)))
+    assert(wav.sampleRate === 44100)
+    assert(wav.bitsPerSample === 16)
+    assert(wav.nChannels === 2)
+    assert(wav.channels(0).toSeq ===
+      Seq(0, 1000, -1000, 32767, -32768, 32767, -32768)) // clamped
+    assert(wav.channels(1).toSeq === right.toSeq)
+
+    // hand-built mono WAVs at other depths (LE, signed except 8-bit)
+    def handWav(bits: Int, dataBytes: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer
+        .allocate(44 + dataBytes.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + dataBytes.length)
+        .put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+        .putInt(8000).putInt(8000 * bits / 8).putShort((bits / 8).toShort)
+        .putShort(bits.toShort)
+      bb.put("data".getBytes).putInt(dataBytes.length).put(dataBytes)
+      bb.array()
     }
+    // 8-bit unsigned: 0 → -128, 128 → 0, 255 → 127
+    val w8 = WavCodec.decode(handWav(8,
+      Array(0, 128, 255).map(_.toByte)))
+    assert(w8.channels(0).toSeq === Seq(-128, 0, 127))
+    // 24-bit: 0x000001=1, 0xFFFFFF=-1, 0x800000=-2^23
+    val w24 = WavCodec.decode(handWav(24, Array[Byte](
+      1, 0, 0, -1, -1, -1, 0, 0, 0x80.toByte)))
+    assert(w24.channels(0).toSeq === Seq(1, -1, -(1 << 23)))
+    // 32-bit: min/max int
+    val bb32 = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(Int.MaxValue).putInt(Int.MinValue)
+    val w32 = WavCodec.decode(handWav(32, bb32.array()))
+    assert(w32.channels(0).toSeq === Seq(Int.MaxValue, Int.MinValue))
+  }
+
+  test("WavCodec skips unknown chunks and rejects hostile streams loudly") {
+    import graft.sources.WavCodec
+    val base = WavCodec.encode(8000, Array(Array(1, -2, 3)))
+    // splice an odd-sized LIST chunk between fmt and data: the walker
+    // must skip it (with pad byte) and still find the data chunk
+    val fmtEnd = 12 + 8 + 16
+    val list = "LIST".getBytes ++
+      Array[Byte](3, 0, 0, 0) ++ Array[Byte](7, 8, 9) ++ Array[Byte](0)
+    val spliced = base.take(fmtEnd) ++ list ++ base.drop(fmtEnd)
+    // fix RIFF size (not validated, but keep the stream honest)
+    assert(WavCodec.decode(spliced).channels(0).toSeq === Seq(1, -2, 3))
+
+    def msg(b: Array[Byte]) =
+      intercept[IllegalArgumentException](WavCodec.decode(b)).getMessage
+    assert(msg(Array[Byte](1, 2, 3)).contains("truncated"))
+    assert(msg("JUNK".getBytes ++ base.drop(4)).contains("not a RIFF"))
+    // float format (3) rejected, not silently mis-decoded
+    val floatWav = base.clone()
+    floatWav(20) = 3 // audioFormat LE low byte
+    assert(msg(floatWav).contains("unsupported audio format"))
+    // chunk declaring more bytes than remain → loud, no OOM allocation
+    val lying = base.clone()
+    val dataSizeOff = fmtEnd + 4
+    lying(dataSizeOff) = -1; lying(dataSizeOff + 1) = -1
+    lying(dataSizeOff + 2) = -1; lying(dataSizeOff + 3) = 0x7f
+    assert(msg(lying).contains("declares"))
+  }
+
+  test("audioFeatures computes exact energy/crossings/peak from real WAV") {
+    val media = spark.range(2).map { id =>
+      val n = 50 + id.toInt * 10
+      val chans = Array.tabulate(2)(ch => Array.tabulate(n)(i =>
+        ((i * 37 + ch * 13 + id.toInt * 11) % 401) - 200))
+      MultimodalOps.MediaRow(s"a$id", "audio/wav",
+        graft.sources.WavCodec.encode(16000, chans), 0, 0, 0)
+    }
+    val out = MultimodalOps.audioFeatures(media).collect()
+      .map(r => r.getAs[String]("media_id") -> r).toMap
+    // brute-force reference
+    for (id <- 0 to 1) {
+      val n = 50 + id * 10
+      val chans = Array.tabulate(2)(ch => Array.tabulate(n)(i =>
+        ((i * 37 + ch * 13 + id * 11) % 401) - 200))
+      val r = out(s"a$id")
+      assert(r.getAs[Long]("n_frames") === n.toLong)
+      assert(r.getAs[Int]("n_channels") === 2)
+      assert(r.getAs[Int]("sample_rate") === 16000)
+      assert(r.getAs[Long]("rms_q") ===
+        chans.flatten.map(v => v.toLong * v).sum)
+      assert(r.getAs[Int]("peak") === chans.flatten.map(math.abs).max)
+      val zc = chans.map(ch => ch.sliding(2).count(p =>
+        (p(0) < 0) != (p(1) < 0))).sum
+      assert(r.getAs[Long]("zero_crossings") === zc.toLong)
+    }
+    // determinism across reruns
     val a = MultimodalOps.audioFeatures(media).collect().map(_.toString).sorted
     val b = MultimodalOps.audioFeatures(media).collect().map(_.toString).sorted
     assert(a === b)
-    assert(a.length === 2)
   }
 
   test("constructor defaults produce a valid, parquet-writable record") {

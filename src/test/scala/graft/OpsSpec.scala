@@ -100,8 +100,8 @@ class OpsSpec extends SparkSpec {
     }
   }
 
-  test("graft_pixel_dot matches the zip_with fold, truncates to the " +
-      "shorter plane") {
+  test("graft_pixel_dot matches the zip_with fold, NULLs on length " +
+      "mismatch") {
     graft.functions.ensureRegistered(spark)
     val df = spark.range(20).select(
       graft.functions.synth_ramp(col("id") * 65000L, lit(50)).as("a"),
@@ -111,13 +111,20 @@ class OpsSpec extends SparkSpec {
         aggregate(zip_with(col("a"), col("b"), (p, q) =>
           p.cast("long") * q), lit(0L), (acc, v) => acc + v).as("y"))
     assert(df.filter(not(col("x") <=> col("y"))).count() === 0)
-    // mismatched lengths: only the common prefix contributes
+    // mismatched lengths: NULL, never a silent shorter-prefix dot that
+    // would desync colocalization's n/Σx/Σy from Σxy (r8 ADVICE) —
+    // pinned in BOTH eval and codegen paths
     import spark.implicits._
-    val short = Seq((Array(2, 3, 4), Array(5, 7)))
-      .toDF("a", "b")
-      .select(graft.functions.pixel_dot(col("a"), col("b")))
-      .collect()(0).getLong(0)
-    assert(short === 2L * 5 + 3L * 7)
+    for (mode <- Seq("NO_CODEGEN", "CODEGEN_ONLY")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try {
+        val rows = Seq((Array(2, 3, 4), Array(5, 7)))
+          .toDF("a", "b")
+          .select(graft.functions.pixel_dot(col("a"), col("b")))
+          .collect()
+        assert(rows(0).isNullAt(0), s"mode $mode")
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
   }
 
   test("colocalization computes exact Pearson r: +1 linear, -1 " +

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.operators.OmeOps
-import graft.streaming.OmeStreamIngest
+import graft.streaming.{OmeStreamIngest, StreamDrain}
 
 /** Streaming acquisition ingest: drop-directory of plane TIFFs ->
   * assembled canonical records (SURVEY.md §7.6 extension). */
@@ -277,6 +277,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(1L) === batch(1L))
     // the unseen-bigram doc must score strictly worse
     assert(streamed(1L)._2 > streamed(0L)._2)
+  }
+
+  test("StreamDrain.inputSig tracks input file content changes") {
+    // r8 ADVICE: the drain memo key must fold in input signatures so a
+    // feed dir whose DATA changes under an unchanged path re-drains
+    // instead of comparing a stale sink against a fresh batch
+    val dir = new java.io.File("/tmp/graft_test_drainsig")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    dir.mkdirs()
+    val f = new java.io.File(dir, "a.parquet")
+    java.nio.file.Files.writeString(f.toPath, "one")
+    val sig1 = StreamDrain.inputSig(spark, Seq(dir.getPath))
+    java.nio.file.Files.writeString(f.toPath, "longer-content")
+    val sig2 = StreamDrain.inputSig(spark, Seq(dir.getPath))
+    assert(sig1 !== sig2)
+    // adding a file changes it too
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "b.parquet").toPath, "x")
+    assert(StreamDrain.inputSig(spark, Seq(dir.getPath)) !== sig2)
+    // a path the feed will only create later signs as absent, no throw
+    assert(StreamDrain.inputSig(spark, Seq("/tmp/graft_no_such_dir"))
+      .contains("absent"))
   }
 
   test("partial image assembles zero-filled from buildRecord") {

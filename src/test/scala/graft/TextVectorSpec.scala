@@ -254,6 +254,66 @@ class TextVectorSpec extends SparkSpec {
     assert(out.map(_.toString).sorted.toSeq === out2.map(_.toString).sorted.toSeq)
   }
 
+  test("deterministic Lloyd IVF: ties to lowest cid, exact mean update") {
+    import spark.implicits._
+    // exact-in-float32 1-D-ish fixture (micro-units: ×10⁶)
+    val emb = Seq(
+      (0L, Seq(0.0f, 0.0f), 0),
+      (1L, Seq(4.0f, 0.0f), 0),
+      (2L, Seq(5.0f, 0.0f), 0),
+      (3L, Seq(6.0f, 0.0f), 0),
+      (4L, Seq(2.0f, 0.0f), 0) // equidistant c0/c1 → tie → c0
+    ).toDF("vec_id", "embedding", "label")
+    val cents = VectorOps.lloydCentroidsMicro(emb, k = 2, iters = 1)
+    // round 1: {v0,v4}→c0 (v4 by tie-break), {v1,v2,v3}→c1;
+    // means: c0=(1.0, 0), c1=(5.0, 0)
+    assert(cents.map { case (id, c) => (id, c.toSeq) }.toSeq ===
+      Seq((0L, Seq(1000000L, 0L)), (1L, Seq(5000000L, 0L))))
+  }
+
+  test("Lloyd mean update rounds HALF_UP away from zero on exact halves") {
+    import spark.implicits._
+    def train(v: Float) = VectorOps.lloydCentroidsMicro(
+      Seq((0L, Seq(0.0f, 0.0f), 0), (1L, Seq(v, 0.0f), 0))
+        .toDF("vec_id", "embedding", "label"), k = 1, iters = 1)
+    // Σx = ±1 micro over n=2 → ±0.5 → HALF_UP → ±1
+    assert(train(0.000001f).head._2.toSeq === Seq(1L, 0L))
+    assert(train(-0.000001f).head._2.toSeq === Seq(-1L, 0L))
+  }
+
+  test("Lloyd empty cell carries its previous centroid") {
+    import spark.implicits._
+    // v1 duplicates v0, so seeding gives c1 = c0 = (0,0); every vector
+    // tie-breaks into c0, c1 goes empty and must keep its centroid
+    val emb = Seq(
+      (0L, Seq(0.0f, 0.0f), 0),
+      (1L, Seq(0.0f, 0.0f), 0),
+      (2L, Seq(0.000003f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val cents = VectorOps.lloydCentroidsMicro(emb, k = 2, iters = 1)
+    assert(cents.map(_._1).toSeq === Seq(0L, 1L))
+    assert(cents(1)._2.toSeq === Seq(0L, 0L)) // carried, not NaN/dropped
+    // c0 absorbed all three: mean micro = (0+0+3)/3 = 1
+    assert(cents(0)._2.toSeq === Seq(1L, 0L))
+  }
+
+  test("ivfTopKLloyd searches in-cluster with ranked output, rerun-identical") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = VectorOps.ivfTopKLloyd(emb, nProbes = 8, k = 3, nCentroids = 4,
+      iters = 2).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getInt(2))
+      assert(byRank.map(_.getInt(2)).toSeq === (1 to byRank.length))
+      val scores = byRank.map(_.getDouble(4))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(rows.map(_.getLong(1)).distinct.length === 1)
+    }
+    val out2 = VectorOps.ivfTopKLloyd(emb, nProbes = 8, k = 3, nCentroids = 4,
+      iters = 2).collect()
+    assert(out.map(_.toString).sorted.toSeq === out2.map(_.toString).sorted.toSeq)
+  }
+
   test("repetitionStats measures duplicate 2-grams deterministically") {
     val rep = Seq(
       (0L, "a b a b a b"), // grams: "a b","b a","a b","b a","a b" -> 5 total, 2 distinct
@@ -516,6 +576,27 @@ class TextVectorSpec extends SparkSpec {
     val plain = VectorOps.cosineTopK(emb, nProbes = 1, k = 2)
       .orderBy("rnk").collect().map(_.getAs[Long]("neighbor_id")).toSeq
     assert(plain === Seq(1L, 2L))
+  }
+
+  test("mmrTopK survives a zero-norm candidate (NaN pair sims) without " +
+      "crashing") {
+    // r8 ADVICE: a zero-norm embedding makes cosine6 NaN; round6's
+    // BigDecimal.valueOf(NaN) threw NumberFormatException and killed the
+    // cogroup task. NaN must degrade (propagate through the MMR score),
+    // and k picks must still come back.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),  // probe
+      (1L, Array(0.9f, 0.1f, 0.0f), 0),
+      (2L, Array(0.0f, 0.0f, 0.0f), 0),  // zero norm
+      (3L, Array(0.5f, 0.5f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = VectorOps.mmrTopK(emb, nProbes = 1, k = 3, candidates = 3,
+      lambda = 0.5).orderBy("step").collect()
+    assert(out.length === 3)
+    assert(out.map(_.getAs[Int]("step")).toSeq === Seq(1, 2, 3))
+    // step 1 (pure relevance) is NaN-free: the zero-norm vector's NaN
+    // relevance never outranks real candidates under minBy
+    assert(!out(0).getAs[Double]("mmr").isNaN)
   }
 
   test("semanticDedup keeps the lowest id of a tight semantic group") {
