@@ -3739,7 +3739,86 @@ object QueryDefs {
           |  WHERE l.l_orderkey = o.o_orderkey
           |    AND datediff('day', CAST(o.o_orderdate AS DATE),
           |      CAST(l.l_shipdate AS DATE)) > 30)
-          |GROUP BY o_orderpriority""".stripMargin))
+          |GROUP BY o_orderpriority""".stripMargin)),
+
+    // q18-shape large-quantity orders: the aggregate-then-rejoin pattern
+    // the registry lacked (group the BIG side, HAVING-filter, join the
+    // survivors back to the dimensions). lineitem aggregates EXACTLY
+    // once — the filtered per-order quantity sum is reused as the output
+    // column instead of re-aggregating lineitem after the join (the
+    // naive TPC-H q18 text does the aggregation twice). The HAVING
+    // filter is selective by construction (sum(qty) > 300 keeps ~0.1%
+    // of orders at every SF), so the survivors broadcast onto orders
+    // and the joined result broadcasts onto customer: at 100 TB the
+    // only corpus-scale exchange is the one orderkey aggregation.
+    // Quantities are integer-valued doubles, so their sums are exact
+    // and the HAVING boundary cannot flip between engines.
+    ("q18_large_orders", (s: SparkSession, dir: String) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+        .filter(col("qty") > 300)
+      val ordBig = t(s, dir, "orders")
+        .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      t(s, dir, "customer")
+        .join(broadcast(ordBig), col("c_custkey") === col("o_custkey"))
+        .select(col("c_name"), col("c_custkey").cast("long").as("c_custkey"),
+          col("o_orderkey").cast("long").as("o_orderkey"),
+          round(col("o_totalprice"), 2).as("total_price"),
+          round(col("qty"), 2).as("sum_qty"))
+    },
+      Some(
+        """WITH oq AS (
+          |  SELECT l_orderkey, sum(l_quantity) AS qty
+          |  FROM lineitem GROUP BY l_orderkey),
+          |big AS (SELECT * FROM oq WHERE qty > 300)
+          |SELECT c_name, CAST(c_custkey AS BIGINT) AS c_custkey,
+          |  CAST(o_orderkey AS BIGINT) AS o_orderkey,
+          |  round(o_totalprice, 2) AS total_price,
+          |  round(qty, 2) AS sum_qty
+          |FROM big JOIN orders ON o_orderkey = l_orderkey
+          |JOIN customer ON c_custkey = o_custkey""".stripMargin)),
+
+    // q15-shape top supplier: correlated scalar-aggregate (revenue view
+    // + WHERE rev = (SELECT max(rev))). Revenue terms are rounded to
+    // exact integer CENTS per line item and summed as LONGS (SCALE.md
+    // lesson 11) so the per-supplier totals — and therefore the argmax
+    // and any ties — are order-free and engine-identical; a double sum
+    // here could flip the max between engines by one ulp. The revenue
+    // view is supplier-keyed (bounded), persisted so the max probe and
+    // the equality filter share one lineitem aggregation; the 1-row max
+    // rides a broadcast join back (never a driver collect, never an
+    // unpartitioned window). Ties on the max keep every tied supplier
+    // in both engines.
+    ("q15_top_supplier", (s: SparkSession, dir: String) => {
+      val cents = round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * 100.0, 0).cast("long")
+      val rev = graft.operators.Caches.persist(
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate").cast("date") >= lit("1996-01-01").cast("date") &&
+            col("l_shipdate").cast("date") < lit("1996-04-01").cast("date"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(cents).as("cents")))
+      val mx = rev.agg(max(col("cents")).as("mx"))
+      t(s, dir, "supplier")
+        .join(broadcast(rev.join(broadcast(mx), col("cents") === col("mx"))),
+          col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"),
+          round(col("cents") / 100.0, 2).as("total_revenue"))
+    },
+      Some(
+        """WITH rev AS (
+          |  SELECT l_suppkey,
+          |    sum(CAST(round(l_extendedprice * (1 - l_discount) * 100.0, 0)
+          |      AS BIGINT)) AS cents
+          |  FROM lineitem
+          |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+          |    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+          |  GROUP BY l_suppkey)
+          |SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+          |  round(cents / 100.0, 2) AS total_revenue
+          |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+          |WHERE cents = (SELECT max(cents) FROM rev)""".stripMargin))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -314,6 +314,112 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
+  test("q18 aggregates lineitem exactly once; survivors broadcast back") {
+    // the aggregate-then-rejoin pattern must not re-scan or re-aggregate
+    // the big side after the HAVING filter — one lineitem scan, one
+    // orderkey exchange, and the filtered aggregate broadcasts onto the
+    // dimension joins
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = SparkEntry.queries("q18_large_orders")(
+        spark, "/root/testdata/sf0.001")
+      val exec = q.queryExecution.executedPlan
+      val liScans = exec.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.rootPaths.exists(
+              _.toString.contains("lineitem")) => s
+      }
+      assert(liScans.length === 1,
+        s"q18 scanned lineitem ${liScans.length} times (re-aggregation)")
+      val shuffles = exec.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.length === 1,
+        s"q18 must shuffle only for the orderkey aggregation, " +
+          s"got ${shuffles.length}")
+      val bcasts = exec.collect {
+        case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => e
+      }
+      assert(bcasts.length === 2,
+        s"the HAVING survivors and the joined orders must broadcast, " +
+          s"got ${bcasts.length}")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
+  test("q15's max probe and equality filter share one persisted revenue " +
+      "view") {
+    // the correlated scalar aggregate must reuse the supplier-revenue
+    // aggregation: the outer plan reads the cached view twice and scans
+    // only supplier — a second lineitem scan means the subquery
+    // recomputed the corpus aggregation
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = SparkEntry.queries("q15_top_supplier")(
+        spark, "/root/testdata/sf0.001")
+      val exec = q.queryExecution.executedPlan
+      val fileScans = exec.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.rootPaths.map(_.toString).mkString
+      }
+      assert(fileScans.forall(_.contains("supplier")),
+        s"q15's outer plan scans beyond supplier: $fileScans")
+      val cacheReads = exec.collect {
+        case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => c
+      }
+      assert(cacheReads.length === 2,
+        s"expected the revenue view read twice (max probe + filter), " +
+          s"got ${cacheReads.length}")
+    } finally {
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("date-partitioned events prune partitions for day-ranged analytics") {
+    // SCALE.md's events note ("at 100 TB the events table would be
+    // date-partitioned so the day rollup prunes") pinned as a plan
+    // property: write the events normalized frame partitioned by day,
+    // filter a day range, and the scan must carry non-empty
+    // PartitionFilters (directory-level pruning — no data file of an
+    // out-of-range day is ever opened)
+    val d = Files.createTempDirectory("planspec_evpart").toString + "/events"
+    val ev = graft.operators.EventOps.readEvents(
+      spark, "/root/testdata/sf0.001")
+    ev.withColumn("day",
+        expr(s"ts div ${graft.operators.EventOps.NanosPerDay}"))
+      .write.partitionBy("day").parquet(d)
+    val part = spark.read.parquet(d)
+    // partition-column types are inferred on read (int vs long)
+    val lo = part.agg(min(col("day"))).head().getAs[Number](0).longValue()
+    // AQE's AdaptiveSparkPlanExec hides the scan from collect until
+    // execution — plan without it for the audit
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try for (q <- Seq(
+        graft.operators.EventOps.dailyRollup(
+          part.filter(col("day").between(lo, lo + 2))),
+        graft.operators.EventOps.retentionCohorts(
+          part.filter(col("day").between(lo, lo + 2))))) {
+      val scans = q.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, "no file scan in the partitioned events plan")
+      scans.foreach { s =>
+        assert(s.partitionFilters.nonEmpty,
+          s"day-range filter did not reach PartitionFilters: $s")
+      }
+      // pruning must actually drop partitions, not just annotate the scan
+      // (retention reads its input twice — first-day + activity — so the
+      // bound is per scan)
+      val total = part.select(col("day")).distinct().count()
+      scans.foreach { s =>
+        val selected = s.relation.location
+          .listFiles(s.partitionFilters, Nil).length
+        assert(selected <= 3 && selected < total,
+          s"expected <=3 of $total day partitions selected, got $selected")
+      }
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
   test("chunkDocs is one shuffle-free generate; bm25 top-k is a " +
       "TakeOrdered, not a global sort") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

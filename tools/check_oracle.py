@@ -10,6 +10,8 @@ values. Prints a per-query PASS/FAIL summary. Local-iteration tool only —
 not part of the library."""
 import json
 import math
+import os
+import re
 import sys
 
 import duckdb
@@ -33,6 +35,22 @@ def frame_rows(df):
     cols = sorted(df.columns)
     rows = [tuple(canon(r[c]) for c in cols) for _, r in df[cols].iterrows()]
     return cols, sorted(rows)
+
+
+def coverage_gaps(query_names):
+    """Inverse component map: every registry query must be cited by some
+    COVERAGE.md row's correctness-query column, or a renamed query can
+    silently orphan the component it certifies (VERDICT r8 #8). Returns
+    the list of unmapped query names."""
+    cov = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "COVERAGE.md")
+    try:
+        with open(cov) as f:
+            cited = set(re.findall(r"`([A-Za-z0-9_]+)`", f.read()))
+    except OSError as e:
+        print(f"WARN: cannot read COVERAGE.md ({e}); skipping coverage map")
+        return []
+    return sorted(q for q in query_names if q not in cited)
 
 
 def main():
@@ -67,8 +85,12 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
-    print(f"\n{n_pass} pass / {n_fail} fail of {len(oracles)}")
-    sys.exit(1 if n_fail else 0)
+    unmapped = coverage_gaps(oracles.keys())
+    for q in unmapped:
+        print(f"UNMAPPED {q}: not cited by any COVERAGE.md component row")
+    print(f"\n{n_pass} pass / {n_fail} fail of {len(oracles)}"
+          + (f"; {len(unmapped)} unmapped in COVERAGE.md" if unmapped else ""))
+    sys.exit(1 if n_fail or unmapped else 0)
 
 
 if __name__ == "__main__":
