@@ -108,7 +108,7 @@ object MultimodalOps {
 
   final case class AudioFeatures(media_id: String, sample_rate: Int,
       n_channels: Int, n_frames: Long, rms_q: Long, zero_crossings: Long,
-      peak: Int)
+      peak: Long)
 
   /**
    * Audio feature extraction over REAL WAV bytes (replaces the r8
@@ -127,7 +127,7 @@ object MultimodalOps {
     media.map { m =>
       require(m.kind.startsWith("audio/"), s"not audio: ${m.kind}")
       val wav = graft.sources.WavCodec.decode(m.content)
-      var zc = 0L; var sq = 0L; var peak = 0
+      var zc = 0L; var sq = 0L; var peak = 0L
       var c = 0
       while (c < wav.nChannels) {
         val ch = wav.channels(c)
@@ -135,7 +135,9 @@ object MultimodalOps {
         while (i < ch.length) {
           val v = ch(i)
           sq += v.toLong * v
-          if (math.abs(v) > peak) peak = math.abs(v)
+          // long abs: a 32-bit sample of Int.MinValue has no int negation
+          val a = math.abs(v.toLong)
+          if (a > peak) peak = a
           if (i > 0 && ((ch(i - 1) < 0) != (v < 0))) zc += 1
           i += 1
         }

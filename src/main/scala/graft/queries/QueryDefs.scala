@@ -2409,7 +2409,7 @@ object QueryDefs {
           |  CAST(max(i) + 1 AS BIGINT) AS n_frames,
           |  CAST(sum(CAST(v AS BIGINT)*v) AS BIGINT) AS rms_q,
           |  CAST(sum(zc) AS BIGINT) AS zero_crossings,
-          |  CAST(max(abs(v)) AS INT) AS peak
+          |  CAST(max(abs(v)) AS BIGINT) AS peak
           |FROM flagged GROUP BY id""".stripMargin)),
 
     // ============ simhash / embedding near-dup ============

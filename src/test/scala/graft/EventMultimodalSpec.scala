@@ -478,7 +478,7 @@ class EventMultimodalSpec extends SparkSpec {
       assert(r.getAs[Int]("sample_rate") === 16000)
       assert(r.getAs[Long]("rms_q") ===
         chans.flatten.map(v => v.toLong * v).sum)
-      assert(r.getAs[Int]("peak") === chans.flatten.map(math.abs).max)
+      assert(r.getAs[Long]("peak") === chans.flatten.map(math.abs).max.toLong)
       val zc = chans.map(ch => ch.sliding(2).count(p =>
         (p(0) < 0) != (p(1) < 0))).sum
       assert(r.getAs[Long]("zero_crossings") === zc.toLong)
