@@ -113,7 +113,8 @@ object Bench {
       "embed_topk", "embed_topk_reranked", "embed_topk_quantized",
       "embed_ann_ivf", "embed_ann_pq", "embed_ann_ivfpq", "bm25_topk",
       "contamination", "bloom_decontam", "lm_perplexity",
-      "importance_weights", "tfidf_topk", "doc_chunk", "sample_mix",
+      "importance_weights", "tfidf_topk", "doc_chunk", "doc_cdc_chunks",
+      "sample_mix",
       "pack_sequences", "quality_score", "token_count_bpe",
       "mm_image_features", "events_sessions", "ome_tiff_golden",
       "ome_zarr_roundtrip", "ome_parquet_roundtrip", "ome_slice_crop",

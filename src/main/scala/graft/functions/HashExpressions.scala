@@ -541,3 +541,73 @@ case class L2Sq(a: Expression, b: Expression)
       newChildren: IndexedSeq[Expression]): Expression =
     copy(a = newChildren(0), b = newChildren(1))
 }
+
+/**
+ * Content-defined chunk boundaries (the Rabin-style CDC primitive used
+ * to dedup crawl snapshots at chunk rather than document granularity):
+ * position `i` (1-based code-point index, `i >= window`) is a boundary
+ * iff `H(i) % 2^maskBits == 0`, where `H(i)` is the polynomial hash of
+ * the trailing `window` code points,
+ * `H(i) = (sum_k cp(i-k) * B^k) mod 2^32` with `B = 263` and each term
+ * reduced mod 2^32 before the sum. Because `H` depends only on the last
+ * `window` code points, boundaries realign after any insertion or
+ * deletion — the property that makes chunk hashes stable under
+ * shifted content, unlike fixed-width chunking.
+ *
+ * The direct O(n*window) form (not the rolling recurrence) is used so
+ * the hash is expressible verbatim as `window` lag terms in an external
+ * SQL oracle. One tight JVM loop per row; all arithmetic in exact longs.
+ */
+case class CdcBoundaries(text: Expression, window: Int, maskBits: Int)
+  extends Expression with CodegenFallback {
+
+  require(window >= 1 && window <= 64,
+    s"graft_cdc_boundaries: window must be in [1, 64] (got $window)")
+  require(maskBits >= 1 && maskBits <= 31,
+    s"graft_cdc_boundaries: maskBits must be in [1, 31] (got $maskBits)")
+
+  override def children: Seq[Expression] = Seq(text)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = text.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = InputCheck.check(
+    Seq((text, StringType, "text")), "graft_cdc_boundaries")
+
+  private val M = 4294967296L // 2^32
+  private lazy val pows: Array[Long] = {
+    val p = new Array[Long](window)
+    p(0) = 1L
+    var k = 1
+    while (k < window) { p(k) = (p(k - 1) * 263L) % M; k += 1 }
+    p
+  }
+  private lazy val mask = 1L << maskBits
+
+  override def eval(input: InternalRow): Any = {
+    val tAny = text.eval(input)
+    if (tAny == null) return null
+    // code points, not UTF-16 units: both UTF8String.substring and SQL
+    // length() count code points, so boundary indices line up with
+    // substring() in any engine
+    val cps = tAny.asInstanceOf[UTF8String].toString
+      .codePoints().toArray
+    val n = cps.length
+    val out = scala.collection.mutable.ArrayBuffer[Int]()
+    var i = window // 1-based boundary candidate; needs a full window
+    while (i <= n) {
+      var h = 0L
+      var k = 0
+      while (k < window) {
+        h += (cps(i - 1 - k).toLong * pows(k)) % M
+        k += 1
+      }
+      if (h % M % mask == 0L) out += i
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(text = newChildren(0))
+}

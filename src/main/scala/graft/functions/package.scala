@@ -68,7 +68,16 @@ package object functions {
     "graft_pixel_sum" -> (exprs => PixelSum(exprs(0))),
     "graft_pixel_count_ge" -> (exprs => PixelCountGe(exprs(0), exprs(1))),
     "graft_pixel_brenner" -> (exprs => PixelBrenner(exprs(0), exprs(1))),
-    "graft_pixel_dot" -> (exprs => PixelDot(exprs(0), exprs(1))))
+    "graft_pixel_dot" -> (exprs => PixelDot(exprs(0), exprs(1))),
+    "graft_cdc_boundaries" -> (exprs => {
+      require(exprs.length == 3 && exprs(1).foldable && exprs(2).foldable &&
+        exprs(1).dataType == org.apache.spark.sql.types.IntegerType &&
+        exprs(2).dataType == org.apache.spark.sql.types.IntegerType,
+        "graft_cdc_boundaries(text, window, maskBits): window and " +
+          "maskBits must be INT literals")
+      CdcBoundaries(exprs(0), exprs(1).eval(null).asInstanceOf[Int],
+        exprs(2).eval(null).asInstanceOf[Int])
+    }))
 
   /** Materialize a foldable ARRAY<STRING> argument (the inlined BPE
     * merge list) at expression-build time. */
@@ -193,4 +202,10 @@ package object functions {
     * kernel behind channel colocalization). */
   def pixel_dot(a: Column, b: Column): Column =
     call_function("graft_pixel_dot", a, b)
+
+  /** Native content-defined chunk boundaries: 1-based code-point
+    * positions where the trailing-`window` polynomial hash lands on a
+    * `2^maskBits` multiple (expected chunk length ~2^maskBits chars). */
+  def cdc_boundaries(text: Column, window: Int, maskBits: Int): Column =
+    call_function("graft_cdc_boundaries", text, lit(window), lit(maskBits))
 }

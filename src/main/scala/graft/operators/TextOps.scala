@@ -1594,6 +1594,51 @@ object TextOps {
   }
 
   /**
+   * Content-defined chunking (CDC): cut each document at positions
+   * where a trailing-window rolling hash lands on a `2^maskBits`
+   * multiple ([[graft.functions.cdc_boundaries]]) instead of at fixed
+   * offsets. Because boundaries depend only on local content, an
+   * insertion or deletion re-aligns every later chunk — chunk hashes
+   * downstream of an edit are IDENTICAL to the unedited document's,
+   * which is what makes CDC the dedup-stable unit for re-crawled /
+   * revisioned corpora (fixed-width chunks shift and nothing matches).
+   * Emits `(doc_id, chunk_idx, chunk_start, chunk_len, chunk_md5)`;
+   * `chunk_start` is the 0-based code-point offset. Empty/null texts
+   * drop (no chunkable content). Expected chunk length ~`2^maskBits`
+   * code points; a document shorter than `window` is one whole chunk.
+   *
+   * Scale shape: a pure narrow map — one native boundary loop per doc,
+   * `zip_with` span assembly over the (tiny) boundary array, one
+   * `posexplode`, md5 per chunk. No shuffle, no state; dedup-by-chunk
+   * downstream is then a chunk_md5 hash-aggregation exactly like
+   * [[dedupExact]].
+   */
+  def cdcChunks(docs: DataFrame, window: Int = 8,
+      maskBits: Int = 6): DataFrame = {
+    graft.functions.ensureRegistered(docs.sparkSession)
+    val withB = docs
+      .filter(col("text").isNotNull && length(col("text")) > lit(0))
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        graft.functions.cdc_boundaries(col("text"), window, maskBits)
+          .as("bnds"),
+        length(col("text")).as("n"))
+    withB
+      .select(col("doc_id"), col("text"),
+        posexplode(zip_with(
+          concat(array(lit(0)), col("bnds")),
+          concat(col("bnds"), array(col("n"))),
+          (s, e) => struct(s.as("s"), e.as("e")))))
+      // a boundary exactly at the end duplicates `n`: the final span is
+      // empty — drop it (span indices stay contiguous; it is the last)
+      .filter(col("col.e") > col("col.s"))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+        col("col.s").cast("int").as("chunk_start"),
+        (col("col.e") - col("col.s")).cast("int").as("chunk_len"),
+        md5(col("text").substr(col("col.s") + 1,
+          col("col.e") - col("col.s")).cast("binary")).as("chunk_md5"))
+  }
+
+  /**
    * BM25 keyword retrieval (Robertson/Sparck-Jones, the Okapi
    * formulation Lucene defaults to): score every document against a
    * fixed bag of query `terms` and return the global top `kTop` by

@@ -53,6 +53,20 @@ object QueryDefs {
        |     sqrt(list_sum(list_transform($y,
        |       a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE))))), 6)""".stripMargin
 
+  /** The `doc_cdc_chunks` oracle's window hash, unrolled as `w` lag
+    * terms: `(Σ_k cp(pos−k)·263^k mod 2^32) mod 2^32` — textually the
+    * same arithmetic the native `CdcBoundaries` loop performs, so the
+    * boundary set is engine-identical. */
+  private def cdcHashTerms(w: Int): String = {
+    val pows = Iterator.iterate(1L)(p => (p * 263L) % 4294967296L)
+      .take(w).toSeq
+    (0 until w).map { k =>
+      val cp = if (k == 0) "cp"
+        else s"lag(cp, $k) OVER (PARTITION BY doc_id ORDER BY pos)"
+      s"($cp * ${pows(k)}) % 4294967296"
+    }.mkString("(", "\n           |    + ", ") % 4294967296")
+  }
+
   /** Oracle for `embed_topk_mmr`: the k greedy MMR rounds unrolled as
     * chained CTEs (k is a fixed query constant, so the unrolled SQL is
     * finite and engine-portable — no recursive CTE needed). λ and 1−λ
@@ -1523,6 +1537,48 @@ object QueryDefs {
           |  array_to_string(list_slice(toks, s + 1, s + 16), ' ')
           |    AS chunk_text
           |FROM starts""".stripMargin)),
+
+    // Content-defined chunking: boundaries where the trailing-8-char
+    // polynomial hash % 64 == 0 (native CdcBoundaries loop); the oracle
+    // unrolls the identical hash as 8 lag terms. The dedup-stable chunk
+    // unit for re-crawled corpora — chunk hashes realign after edits.
+    ("doc_cdc_chunks", (s: SparkSession, dir: String) =>
+      TextOps.cdcChunks(t(s, dir, "documents"), window = 8, maskBits = 6),
+      Some(
+        s"""WITH d AS (
+           |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+           |    length(text) AS n
+           |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+           |chars AS (
+           |  SELECT doc_id, unnest(range(1, n + 1)) AS pos, text, n
+           |  FROM d),
+           |cps AS (
+           |  SELECT doc_id, pos,
+           |    CAST(unicode(substring(text, CAST(pos AS INT), 1))
+           |      AS BIGINT) AS cp, n
+           |  FROM chars),
+           |h AS (
+           |  SELECT doc_id, pos, n,
+           |    ${cdcHashTerms(8)} AS hv
+           |  FROM cps),
+           |bnds AS (
+           |  SELECT doc_id, pos AS b FROM h
+           |  WHERE pos >= 8 AND hv % 64 = 0),
+           |ends AS (
+           |  SELECT DISTINCT doc_id, b FROM (
+           |    SELECT doc_id, b FROM bnds
+           |    UNION ALL SELECT doc_id, n AS b FROM d) u),
+           |spans AS (
+           |  SELECT doc_id, b AS e,
+           |    coalesce(lag(b) OVER (PARTITION BY doc_id ORDER BY b), 0) AS s,
+           |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY b) - 1
+           |      AS INT) AS chunk_idx
+           |  FROM ends)
+           |SELECT sp.doc_id, sp.chunk_idx, CAST(sp.s AS INT) AS chunk_start,
+           |  CAST(sp.e - sp.s AS INT) AS chunk_len,
+           |  md5(substring(d.text, CAST(sp.s + 1 AS INT),
+           |    CAST(sp.e - sp.s AS INT))) AS chunk_md5
+           |FROM spans sp JOIN d USING (doc_id)""".stripMargin)),
 
     // BM25 keyword retrieval over a fixed 3-term query bag: per-doc tf
     // via narrow array scans (no token explode/shuffle), corpus stats as

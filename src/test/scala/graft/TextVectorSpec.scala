@@ -1342,4 +1342,81 @@ class TextVectorSpec extends SparkSpec {
     assert(out(2L) === ((2, r6(1.0 / 62))))
     assert(out(3L) === ((3, r6(1.0 / 62))))
   }
+
+  // ---------------------------------------------------------------
+  // content-defined chunking
+  // ---------------------------------------------------------------
+
+  /** Independent brute-force CDC reference (no shared code with the
+    * native expression): boundary at 1-based i >= w where the trailing
+    * window's polynomial hash is a 2^maskBits multiple. */
+  private def cdcRef(text: String, w: Int, maskBits: Int): Seq[Int] = {
+    val cps = text.codePoints().toArray
+    val M = 4294967296L
+    val pows = Iterator.iterate(1L)(p => (p * 263L) % M).take(w).toSeq
+    (w to cps.length).filter { i =>
+      val h = (0 until w).map(k => (cps(i - 1 - k).toLong * pows(k)) % M)
+        .sum % M
+      h % (1L << maskBits) == 0L
+    }
+  }
+
+  test("cdcChunks matches the brute-force reference and reassembles") {
+    val texts = Seq(
+      0L -> ("the quick brown fox jumps over the lazy dog " * 8).trim,
+      1L -> "short",
+      2L -> ("abcdefgh" * 40),
+      3L -> "unicode éè€ mixed content with ümläuts repeated " * 5)
+    val df = texts.toDF("doc_id", "text")
+    val out = TextOps.cdcChunks(df, window = 8, maskBits = 4)
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    for ((id, text) <- texts) {
+      val rows = out(id).sortBy(_.getAs[Int]("chunk_idx"))
+      // expected spans from the independent boundary set
+      val bnds = cdcRef(text, 8, 4)
+      val n = text.codePoints().toArray.length
+      val edges = (bnds :+ n).distinct
+      val expected = edges.zip(0 +: edges.dropRight(1)).map(_.swap)
+      assert(rows.length === expected.length, s"doc $id chunk count")
+      rows.zip(expected).zipWithIndex.foreach { case ((r, (s0, e0)), j) =>
+        assert(r.getAs[Int]("chunk_idx") === j)
+        assert(r.getAs[Int]("chunk_start") === s0, s"doc $id chunk $j")
+        assert(r.getAs[Int]("chunk_len") === e0 - s0, s"doc $id chunk $j")
+      }
+      // reassembly: spans tile the text exactly
+      assert(rows.map(_.getAs[Int]("chunk_len")).sum === n)
+    }
+  }
+
+  test("cdcChunks boundaries realign under a prefix edit (the CDC point)") {
+    val base = ("spark catalyst tungsten codegen shuffle broadcast " * 6).trim
+    val edited = "XYZ" + base
+    val a = TextOps.cdcChunks(Seq(10L -> base).toDF("doc_id", "text"),
+      window = 8, maskBits = 4).collect()
+    val b = TextOps.cdcChunks(Seq(11L -> edited).toDF("doc_id", "text"),
+      window = 8, maskBits = 4).collect()
+    val aHashes = a.map(_.getAs[String]("chunk_md5")).toSet
+    val bHashes = b.map(_.getAs[String]("chunk_md5")).toSet
+    // every chunk of the original except its FIRST (the edit region)
+    // must reappear verbatim in the edited document's chunk set
+    val aTail = a.sortBy(_.getAs[Int]("chunk_idx")).drop(1)
+      .map(_.getAs[String]("chunk_md5"))
+    assert(aTail.nonEmpty && aTail.forall(bHashes.contains),
+      "post-edit chunks did not realign")
+    // and fixed-width chunking would NOT have this property: the sets
+    // must differ only around the edit, not be disjoint
+    assert((aHashes intersect bHashes).nonEmpty)
+  }
+
+  test("cdcChunks drops empty/null texts and stays shuffle-free") {
+    val df = Seq((0L, "some usable text body here"), (1L, ""))
+      .toDF("doc_id", "text")
+      .union(Seq((2L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val out = TextOps.cdcChunks(df)
+    assert(out.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet === Set(0L))
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "cdcChunks must be a pure narrow map")
+  }
 }
