@@ -1639,6 +1639,45 @@ object TextOps {
   }
 
   /**
+   * Chunk-level duplication report over [[cdcChunks]] — the CDC payoff
+   * query: per document, how much of its content (by chunk and by
+   * character mass) also appears in OTHER documents, counting a chunk
+   * as duplicated when its md5 occurs in more than one distinct doc.
+   * Near-identical re-crawls that exact whole-doc dedup misses (one
+   * changed byte) still share every post-edit chunk, so their
+   * `dup_frac` approaches 1 while genuinely novel documents stay near
+   * 0. Emits `(doc_id, n_chunks, n_dup_chunks, dup_chars, dup_frac)`.
+   *
+   * Scale shape: the chunk frame persists once and feeds both sides;
+   * chunk document-frequency is ONE md5-keyed aggregation with
+   * map-side partials, joined back by the same key (equi-join, AQE
+   * skew-splittable), then a doc-keyed rollup of scalar counts.
+   * Shuffles move (md5, counts) keys — never chunk text; `dup_frac`
+   * is a ratio of exact long character sums rounded once, so it is
+   * partition-order-free.
+   */
+  def cdcDupReport(docs: DataFrame, window: Int = 8,
+      maskBits: Int = 6): DataFrame = {
+    val chunks = Caches.persist(
+      cdcChunks(docs, window, maskBits)
+        .select(col("doc_id"), col("chunk_len"), col("chunk_md5")))
+    val df = chunks.groupBy(col("chunk_md5"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"))
+    chunks.join(df, "chunk_md5")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).cast("long")
+          .as("n_dup_chunks"),
+        sum(when(col("n_docs") > 1, col("chunk_len").cast("long"))
+          .otherwise(0L)).cast("long").as("dup_chars"),
+        sum(col("chunk_len").cast("long")).as("total_chars"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        col("dup_chars"),
+        round(col("dup_chars").cast("double") / col("total_chars"), 6)
+          .as("dup_frac"))
+  }
+
+  /**
    * BM25 keyword retrieval (Robertson/Sparck-Jones, the Okapi
    * formulation Lucene defaults to): score every document against a
    * fixed bag of query `terms` and return the global top `kTop` by

@@ -53,9 +53,9 @@ object QueryDefs {
        |     sqrt(list_sum(list_transform($y,
        |       a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE))))), 6)""".stripMargin
 
-  /** The `doc_cdc_chunks` oracle's window hash, unrolled as `w` lag
-    * terms: `(Σ_k cp(pos−k)·263^k mod 2^32) mod 2^32` — textually the
-    * same arithmetic the native `CdcBoundaries` loop performs, so the
+  /** The CDC oracles' window hash, unrolled as `w` lag terms:
+    * `(Σ_k cp(pos−k)·263^k mod 2^32) mod 2^32` — textually the same
+    * arithmetic the native `CdcBoundaries` loop performs, so the
     * boundary set is engine-identical. */
   private def cdcHashTerms(w: Int): String = {
     val pows = Iterator.iterate(1L)(p => (p * 263L) % 4294967296L)
@@ -64,8 +64,47 @@ object QueryDefs {
       val cp = if (k == 0) "cp"
         else s"lag(cp, $k) OVER (PARTITION BY doc_id ORDER BY pos)"
       s"($cp * ${pows(k)}) % 4294967296"
-    }.mkString("(", "\n           |    + ", ") % 4294967296")
+    }.mkString("(", "\n    + ", ") % 4294967296")
   }
+
+  /** Shared CTE chain for the CDC oracles: documents → per-code-point
+    * rows → window hash → boundaries → spans → a final `chunks` table
+    * `(doc_id, chunk_idx, chunk_start, chunk_len, chunk_md5)` mirroring
+    * [[TextOps.cdcChunks]] exactly. Plain newlines (no stripMargin) so
+    * consumers compose it with their own SELECT. */
+  private def cdcChunksCtes(w: Int, maskBits: Int): String =
+    s"""d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text, length(text) AS n
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+chars AS (
+  SELECT doc_id, unnest(range(1, n + 1)) AS pos, text, n FROM d),
+cps AS (
+  SELECT doc_id, pos,
+    CAST(unicode(substring(text, CAST(pos AS INT), 1)) AS BIGINT) AS cp, n
+  FROM chars),
+h AS (
+  SELECT doc_id, pos, n,
+    ${cdcHashTerms(w)} AS hv
+  FROM cps),
+bnds AS (
+  SELECT doc_id, pos AS b FROM h
+  WHERE pos >= $w AND hv % ${1L << maskBits} = 0),
+ends AS (
+  SELECT DISTINCT doc_id, b FROM (
+    SELECT doc_id, b FROM bnds
+    UNION ALL SELECT doc_id, n AS b FROM d) u),
+spans AS (
+  SELECT doc_id, b AS e,
+    coalesce(lag(b) OVER (PARTITION BY doc_id ORDER BY b), 0) AS s,
+    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY b) - 1
+      AS INT) AS chunk_idx
+  FROM ends),
+chunks AS (
+  SELECT sp.doc_id, sp.chunk_idx, CAST(sp.s AS INT) AS chunk_start,
+    CAST(sp.e - sp.s AS INT) AS chunk_len,
+    md5(substring(d.text, CAST(sp.s + 1 AS INT),
+      CAST(sp.e - sp.s AS INT))) AS chunk_md5
+  FROM spans sp JOIN d USING (doc_id))"""
 
   /** Oracle for `embed_topk_mmr`: the k greedy MMR rounds unrolled as
     * chained CTEs (k is a fixed query constant, so the unrolled SQL is
@@ -1545,40 +1584,33 @@ object QueryDefs {
     ("doc_cdc_chunks", (s: SparkSession, dir: String) =>
       TextOps.cdcChunks(t(s, dir, "documents"), window = 8, maskBits = 6),
       Some(
-        s"""WITH d AS (
-           |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
-           |    length(text) AS n
-           |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
-           |chars AS (
-           |  SELECT doc_id, unnest(range(1, n + 1)) AS pos, text, n
-           |  FROM d),
-           |cps AS (
-           |  SELECT doc_id, pos,
-           |    CAST(unicode(substring(text, CAST(pos AS INT), 1))
-           |      AS BIGINT) AS cp, n
-           |  FROM chars),
-           |h AS (
-           |  SELECT doc_id, pos, n,
-           |    ${cdcHashTerms(8)} AS hv
-           |  FROM cps),
-           |bnds AS (
-           |  SELECT doc_id, pos AS b FROM h
-           |  WHERE pos >= 8 AND hv % 64 = 0),
-           |ends AS (
-           |  SELECT DISTINCT doc_id, b FROM (
-           |    SELECT doc_id, b FROM bnds
-           |    UNION ALL SELECT doc_id, n AS b FROM d) u),
-           |spans AS (
-           |  SELECT doc_id, b AS e,
-           |    coalesce(lag(b) OVER (PARTITION BY doc_id ORDER BY b), 0) AS s,
-           |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY b) - 1
-           |      AS INT) AS chunk_idx
-           |  FROM ends)
-           |SELECT sp.doc_id, sp.chunk_idx, CAST(sp.s AS INT) AS chunk_start,
-           |  CAST(sp.e - sp.s AS INT) AS chunk_len,
-           |  md5(substring(d.text, CAST(sp.s + 1 AS INT),
-           |    CAST(sp.e - sp.s AS INT))) AS chunk_md5
-           |FROM spans sp JOIN d USING (doc_id)""".stripMargin)),
+        s"""WITH ${cdcChunksCtes(8, 6)}
+SELECT doc_id, chunk_idx, chunk_start, chunk_len, chunk_md5
+FROM chunks""")),
+
+    // The CDC payoff: per-doc duplicated chunk/character mass (chunk
+    // md5 in >1 distinct doc) — catches near-identical re-crawls that
+    // whole-doc exact dedup misses. One md5-keyed doc-frequency
+    // aggregation joined back by the same key; dup_frac is a ratio of
+    // exact long sums rounded once.
+    ("cdc_dup_report", (s: SparkSession, dir: String) =>
+      TextOps.cdcDupReport(t(s, dir, "documents"), window = 8,
+        maskBits = 6),
+      Some(
+        s"""WITH ${cdcChunksCtes(8, 6)},
+freq AS (
+  SELECT chunk_md5, count(DISTINCT doc_id) AS n_docs
+  FROM chunks GROUP BY chunk_md5)
+SELECT c.doc_id,
+  CAST(count(*) AS BIGINT) AS n_chunks,
+  CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dup_chunks,
+  CAST(sum(CASE WHEN n_docs > 1 THEN chunk_len ELSE 0 END) AS BIGINT)
+    AS dup_chars,
+  round(CAST(sum(CASE WHEN n_docs > 1 THEN chunk_len ELSE 0 END)
+    AS DOUBLE) / sum(chunk_len), 6) AS dup_frac
+FROM chunks c JOIN freq USING (chunk_md5)
+GROUP BY c.doc_id""")),
 
     // BM25 keyword retrieval over a fixed 3-term query bag: per-doc tf
     // via narrow array scans (no token explode/shuffle), corpus stats as

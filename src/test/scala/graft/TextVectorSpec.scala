@@ -1419,4 +1419,26 @@ class TextVectorSpec extends SparkSpec {
     assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
       "cdcChunks must be a pure narrow map")
   }
+
+  test("cdcDupReport flags near-identical re-crawls whole-doc dedup misses") {
+    val base = ("data pipelines shuffle partitions broadcast joins " * 8).trim
+    val df = Seq(
+      0L -> base,
+      1L -> ("Z" + base),      // one-byte edit: exact dedup sees a NEW doc
+      2L -> "entirely unrelated content with no shared chunks at all")
+      .toDF("doc_id", "text")
+    val out = TextOps.cdcDupReport(df, window = 8, maskBits = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // the edited pair shares every post-edit chunk; the unique doc none
+    assert(out(0L).getAs[Double]("dup_frac") > 0.5,
+      s"original re-crawl not flagged: ${out(0L)}")
+    assert(out(1L).getAs[Double]("dup_frac") > 0.5,
+      s"edited re-crawl not flagged: ${out(1L)}")
+    assert(out(2L).getAs[Double]("dup_frac") === 0.0)
+    // counts are consistent: dup chunks never exceed chunks
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("n_dup_chunks") <= r.getAs[Long]("n_chunks"))
+    }
+    spark.catalog.clearCache() // drop the operator-internal chunk persist
+  }
 }
