@@ -557,3 +557,96 @@ case class PixelDot(a: Expression, b: Expression) extends Expression {
       newChildren: IndexedSeq[Expression]): Expression =
     copy(a = newChildren(0), b = newChildren(1))
 }
+
+/**
+ * Element-wise long sum of `array<int>` pixel planes across rows — the
+ * repo's first custom AGGREGATE kernel (TypedImperativeAggregate), and
+ * the scale-correct substrate for corpus-wide per-pixel-position
+ * statistics (flat-field / illumination estimation: the per-position
+ * mean over every plane a detector produced, BaSiC's first moment).
+ *
+ * Why an imperative aggregate and not `collect_list` + a fold: the
+ * fold's aggregation buffer is the WHOLE group's plane stack (corpus ÷
+ * channels rows in flat-field grouping — unbounded), while this
+ * buffer is one fixed `long[plane_size]` per partition per group that
+ * merges associatively — map-side combine sends (partitions × groups)
+ * arrays over the exchange, never the corpus. Per-row update is a tight
+ * primitive loop (no boxing, no per-element lambda eval).
+ *
+ * Semantics: null planes are skipped; a ragged plane (length mismatch
+ * vs the group's first) raises — per-position sums across mismatched
+ * geometries are meaningless, and the OME invariant (`len(pixels) =
+ * size_x·size_y`, export.py:97–101) makes mixed lengths within one
+ * grouping a caller bug. Empty group → NULL. Overflow is impossible in
+ * practice: uint16 pixels need 2^47 planes to wrap a long cell.
+ */
+case class PixelSumAgg(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = InputCheck.check(
+    Seq((child, ArrayType(IntegerType), "pixels")), "graft_pixel_sum_agg")
+
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val pxAny = child.eval(input)
+    if (pxAny == null) return buf
+    val px = pxAny.asInstanceOf[ArrayData]
+    val n = px.numElements()
+    if (buf.isEmpty) {
+      val fresh = new Array[Long](n)
+      var i = 0
+      while (i < n) { fresh(i) = px.getInt(i).toLong; i += 1 }
+      fresh
+    } else {
+      if (n != buf.length) throw new IllegalStateException(
+        s"graft_pixel_sum_agg: ragged plane (${n} px vs ${buf.length}) — " +
+          "per-position sums need one geometry per group")
+      var i = 0
+      while (i < n) { buf(i) += px.getInt(i); i += 1 }
+      buf
+    }
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    if (other.isEmpty) return buf
+    if (buf.isEmpty) return other
+    if (buf.length != other.length) throw new IllegalStateException(
+      s"graft_pixel_sum_agg: ragged partials (${other.length} vs " +
+        s"${buf.length})")
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    if (buf.isEmpty) null else new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * buf.length)
+    bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): PixelSumAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): PixelSumAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}

@@ -69,6 +69,7 @@ package object functions {
     "graft_pixel_count_ge" -> (exprs => PixelCountGe(exprs(0), exprs(1))),
     "graft_pixel_brenner" -> (exprs => PixelBrenner(exprs(0), exprs(1))),
     "graft_pixel_dot" -> (exprs => PixelDot(exprs(0), exprs(1))),
+    "graft_pixel_sum_agg" -> (exprs => PixelSumAgg(exprs(0))),
     "graft_cdc_boundaries" -> (exprs => {
       require(exprs.length == 3 && exprs(1).foldable && exprs(2).foldable &&
         exprs(1).dataType == org.apache.spark.sql.types.IntegerType &&
@@ -188,6 +189,11 @@ package object functions {
     * `aggregate(pixels, 0L, _+_)` fold, without per-element boxing). */
   def pixel_sum(pixels: Column): Column =
     call_function("graft_pixel_sum", pixels)
+
+  /** Native element-wise long-sum AGGREGATE over int-array planes
+    * (fixed-size mergeable buffer — the flat-field substrate). */
+  def pixel_sum_agg(pixels: Column): Column =
+    call_function("graft_pixel_sum_agg", pixels)
 
   /** Native count of plane pixels >= threshold (saturation detector). */
   def pixel_count_ge(pixels: Column, threshold: Column): Column =

@@ -557,6 +557,52 @@ object OmeOps {
   }
 
   /**
+   * Flat-field (illumination) report: per-channel, per-pixel-position
+   * statistics over EVERY plane in the corpus — the shading-correction
+   * estimate (BaSiC's first moment; Fiji "pseudo flat field"): vignetted
+   * optics and uneven illumination show up as a reproducible spatial
+   * pattern in the position means, and `gain` is the multiplicative
+   * correction (`channel mean ÷ position mean`) a pipeline applies to
+   * every plane of that channel. One row per `(c, pos)`:
+   * `n_planes`, exact `sum_px`, `mean_px` (6dp), `gain` (6dp, NULL for
+   * an all-zero position where no correction is defined).
+   *
+   * Scale shape (100 TB): the per-position sums ride the
+   * [[graft.functions.PixelSumAgg]] imperative aggregate — each
+   * partition folds its planes into ONE fixed `long[plane_size]`
+   * partial per channel, and only (partitions × channels) such arrays
+   * cross the exchange. The `posexplode` fans out the ALREADY-AGGREGATED
+   * channel field (channels × plane_size rows), never corpus pixels —
+   * the shape a per-pixel `posexplode` + groupBy would destroy (corpus
+   * × plane_size shuffle rows).
+   *
+   * Determinism: sums are exact longs; `mean_px`/`gain` are single
+   * double expressions over exact integers (SCALE.md lesson 11).
+   */
+  def flatfieldReport(df: DataFrame,
+      column: String = OmeSchema.DefaultColumn): DataFrame = {
+    graft.functions.ensureRegistered(df.sparkSession)
+    val perC = explodePlanes(df, column)
+      .groupBy(col("c"))
+      .agg(count(lit(1)).as("n_planes"),
+        graft.functions.pixel_sum_agg(col("pixels")).as("field"))
+      .select(col("c"), col("n_planes"),
+        aggregate(col("field"), lit(0L), (a, v) => a + v).as("tot"),
+        size(col("field")).as("npx"), col("field"))
+    perC
+      .select(col("c"), col("n_planes"), col("tot"), col("npx"),
+        posexplode(col("field")).as(Seq("pos", "sum_px")))
+      .select(col("c"), col("pos").cast("int").as("pos"),
+        col("n_planes"), col("sum_px"),
+        round(col("sum_px").cast("double") / col("n_planes"), 6)
+          .as("mean_px"),
+        when(col("sum_px") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("tot").cast("double") /
+            (col("npx").cast("double") * col("sum_px").cast("double")), 6))
+          .as("gain"))
+  }
+
+  /**
    * Plane-table crop: the slice operator's pixel crop as a column over the
    * exploded form `(image_id, ..., size_x, size_y, pixels)` — the shape to
    * use when composing heavy per-pixel stages at scale. Composing

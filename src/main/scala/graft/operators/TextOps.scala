@@ -1910,4 +1910,114 @@ object TextOps {
         round(col("sum_nano").cast("double") / col("n_feats") / 1e9, 6)
           .as("avg_log_ratio"))
   }
+
+  // -------------------------------------------------------------------
+  // Trainable quality/label classifier (Bernoulli naive Bayes over
+  // hashed token-presence features — weak-label distillation, the
+  // fastText-filter bootstrap shape)
+  // -------------------------------------------------------------------
+
+  /** md5-hex feature bucket of a token: 2 hex chars = 256 buckets,
+    * portable across engines (the [[importanceWeights]] / CMS hashing
+    * convention). */
+  private def featBucket(tok: Column): Column =
+    conv(substring(md5(tok), 1, 2), 16, 10).cast("int")
+
+  /**
+   * Weak-label distillation classifier — the trainable filter-model
+   * layer of a curation pipeline. Real pipelines bootstrap their
+   * quality/language filters exactly this way (CCNet, GPT-3's quality
+   * model): label documents with a cheap heuristic RULE, train a
+   * statistical model on those weak labels, and ship the model where
+   * the rule is too brittle or expensive. The reference has no model
+   * surface at all; this is pure engine extension.
+   *
+   * Model: BERNOULLI naive Bayes over 256 md5-hashed token-PRESENCE
+   * buckets. Presence/absence (not counts) is the point: the
+   * discriminative signal of a keyword-style rule lives in which
+   * features are MISSING, which multinomial count models cannot see.
+   * With Laplace smoothing, per bucket b:
+   *
+   *   wp(b) = ln((de+1)/(ne+2)) − ln((dr+1)/(nr+2))
+   *   wa(b) = ln((ne+1−de)/(ne+2)) − ln((nr+1−dr)/(nr+2))
+   *
+   * (de/dr = docs of the positive/negative class containing b, ne/nr =
+   * class sizes), and the per-doc log-odds score folds to a constant
+   * plus a sum over the doc's own present buckets:
+   *
+   *   margin(d) = [ln(ne/nr) + Σ_vocab wa(b)] + Σ_{b ∈ d} (wp(b)−wa(b))
+   *
+   * Determinism: every weight is nano-unit-quantized (`round(w·10⁹)`
+   * as long) THE MOMENT it leaves the `ln` — margins are then exact
+   * integer sums, order-free and engine-portable (the
+   * [[importanceWeights]] parity pattern, hash-green since r5). The
+   * weights are computed by Spark SQL `log` expressions (not driver
+   * math) so the oracle's `ln` replays the identical double pipeline.
+   *
+   * Scale shape (100 TB): training is ONE corpus scan — each doc's
+   * distinct buckets collapse map-side onto ≤ 256 keys, and only
+   * (bucket, de, dr) longs reach the driver. Scoring is ONE more scan
+   * with the ≤ 257 trained longs riding as a literal array (the
+   * Lloyd-codebook shape: no join, no shuffle of the corpus). The
+   * model itself is KB-sized and broadcast-free by construction.
+   */
+  private[graft] def nbDistillWeights(docs: DataFrame,
+      label: Column): (Array[Long], Long) = {
+    val nF = 256
+    val base = Caches.persist(docs.select(
+      when(label, 1L).otherwise(-1L).as("y"),
+      array_distinct(transform(tokens(col("text")),
+        t => featBucket(t))).as("bs")))
+    val cls = base.groupBy(col("y")).agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ne = cls.getOrElse(1L, 0L)
+    val nr = cls.getOrElse(-1L, 0L)
+    require(ne > 0 && nr > 0,
+      s"nbDistill: both classes must be present (pos=$ne, neg=$nr)")
+    // per-bucket class presence counts -> nano-quantized log weights,
+    // computed by Spark SQL log so both engines run the same doubles
+    val w = base.select(col("y"), explode(col("bs")).as("b"))
+      .groupBy(col("b"))
+      .agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).as("de"),
+        sum(when(col("y") === -1L, 1L).otherwise(0L)).as("dr"))
+      .select(col("b"),
+        round((log((col("de") + 1.0d) / lit(ne + 2.0d)) -
+          log((col("dr") + 1.0d) / lit(nr + 2.0d))) * 1e9, 0)
+          .cast("long").as("wp"),
+        round((log((lit(ne + 1.0d) - col("de")) / lit(ne + 2.0d)) -
+          log((lit(nr + 1.0d) - col("dr")) / lit(nr + 2.0d))) * 1e9, 0)
+          .cast("long").as("wa"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val dw = new Array[Long](nF)
+    // class prior through the same Spark-SQL log/round pipeline as the
+    // bucket weights (driver math.log/rint would be HALF_EVEN and a
+    // different libm — the oracle replays engine semantics)
+    var const = docs.sparkSession.range(1)
+      .select(round(log(lit(ne.toDouble) / lit(nr.toDouble)) * 1e9, 0)
+        .cast("long")).collect()(0).getLong(0)
+    w.foreach { case (b, wp, wa) => dw(b) = wp - wa; const += wa }
+    (dw, const)
+  }
+
+  /**
+   * Confusion-matrix report of the [[nbDistillWeights]]-trained
+   * classifier on its training corpus: one row per `(y, pred)` cell
+   * with the doc count and the exact integer margin sum — the signal a
+   * pipeline gates on before trusting a distilled filter. `pred` is
+   * `sign(margin)` with 0 → −1 (reject on the boundary).
+   */
+  def nbDistillReport(docs: DataFrame, label: Column): DataFrame = {
+    val (dw, const) = nbDistillWeights(docs, label)
+    val dwArr = array(dw.toIndexedSeq.map(lit): _*)
+    val margin = lit(const) +
+      aggregate(array_distinct(transform(tokens(col("text")),
+          t => featBucket(t))),
+        lit(0L), (acc, b) => acc + element_at(dwArr, b + 1))
+    docs.select(
+        when(label, 1).otherwise(-1).as("y"),
+        when(margin > 0L, 1).otherwise(-1).as("pred"),
+        margin.as("margin"))
+      .groupBy(col("y"), col("pred"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("margin")).as("margin_sum"))
+  }
 }

@@ -271,6 +271,32 @@ chunks AS (
            |FROM px WHERE v >= 0 AND v < 256
            |GROUP BY img, c, 3""".stripMargin)),
 
+    // Flat-field illumination report: per-(channel, pixel-position)
+    // sums across every corpus plane via the PixelSumAgg imperative
+    // aggregate (fixed long[] partials, map-side combine); mean and
+    // multiplicative gain are single double expressions over exact
+    // integers. Oracle: unnest every plane position and group by
+    // (c, pos) — relationally identical, shape-wise the opposite.
+    ("ome_flatfield", (s: SparkSession, _: String) =>
+      OmeOps.flatfieldReport(Fixtures.corpus4d(s)),
+      Some(
+        s"""WITH $px4d, s AS (
+           |  SELECT c, p AS pos, CAST(count(*) AS BIGINT) AS n_planes,
+           |    CAST(sum(v) AS BIGINT) AS sum_px
+           |  FROM px GROUP BY 1, 2),
+           |tot AS (
+           |  SELECT c, CAST(sum(sum_px) AS BIGINT) AS tot,
+           |    CAST(count(*) AS BIGINT) AS npx
+           |  FROM s GROUP BY c)
+           |SELECT CAST(s.c AS INT) AS c, CAST(pos AS INT) AS pos,
+           |  n_planes, sum_px,
+           |  round(CAST(sum_px AS DOUBLE) / n_planes, 6) AS mean_px,
+           |  CASE WHEN sum_px = 0 THEN NULL
+           |    ELSE round(CAST(tot AS DOUBLE) /
+           |      (CAST(npx AS DOUBLE) * CAST(sum_px AS DOUBLE)), 6)
+           |  END AS gain
+           |FROM s JOIN tot ON s.c = tot.c""".stripMargin)),
+
     // Otsu auto-threshold per (image, channel): exact integer cumulative
     // moments over the histogram bins; the between-class-variance score
     // is ONE double expression over exact integers (engine-identical
@@ -2142,6 +2168,72 @@ GROUP BY c.doc_id""")),
           |  round(CAST(sum(CAST(round(lr * 1000000000) AS BIGINT)) AS DOUBLE)
           |    / count(*) / 1000000000, 6) AS avg_log_ratio
           |FROM sc GROUP BY doc_id""".stripMargin)),
+
+    // Trainable text classifier (weak-label distillation, the
+    // fastText-filter bootstrap): Bernoulli naive Bayes over 256
+    // md5-hashed token-presence buckets, trained on the heuristic rule
+    // "contains 'customer' AND contains 'vector'" — the model must
+    // RECOVER a conjunction through absence-aware log-odds (presence
+    // weights alone cannot). All weights nano-quantized to longs the
+    // moment they leave ln, so the confusion matrix + exact margin
+    // sums hash-match the oracle's replay of the identical doubles.
+    ("quality_classifier", (s: SparkSession, dir: String) => {
+      val toks = TextOps.tokens(col("text"))
+      TextOps.nbDistillReport(t(s, dir, "documents"),
+        array_contains(toks, "customer") && array_contains(toks, "vector"))
+    },
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(trim(text), '\s+'),
+          |      x -> x <> '') AS tk
+          |  FROM documents),
+          |lab AS (
+          |  SELECT doc_id,
+          |    CASE WHEN list_contains(tk, 'customer')
+          |      AND list_contains(tk, 'vector') THEN 1 ELSE -1 END AS y,
+          |    list_distinct(list_transform(tk,
+          |      t -> substring(md5(t), 1, 2))) AS bs
+          |  FROM toks),
+          |n AS (
+          |  SELECT CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS ne,
+          |    CAST(sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS nr
+          |  FROM lab),
+          |ev AS (SELECT doc_id, y, unnest(bs) AS b FROM lab),
+          |cnt AS (
+          |  SELECT b,
+          |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS de,
+          |    CAST(sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS dr
+          |  FROM ev GROUP BY b),
+          |w AS (
+          |  SELECT b,
+          |    CAST(round((ln((de + 1.0) / (ne + 2.0)) -
+          |      ln((dr + 1.0) / (nr + 2.0))) * 1000000000, 0) AS BIGINT)
+          |      AS wp,
+          |    CAST(round((ln((ne + 1.0 - de) / (ne + 2.0)) -
+          |      ln((nr + 1.0 - dr) / (nr + 2.0))) * 1000000000, 0)
+          |      AS BIGINT) AS wa
+          |  FROM cnt CROSS JOIN n),
+          |cst AS (
+          |  SELECT CAST(round(ln(CAST(ne AS DOUBLE) / nr) * 1000000000,
+          |      0) AS BIGINT) + (SELECT sum(wa) FROM w) AS c
+          |  FROM n),
+          |sc AS (
+          |  SELECT l.doc_id, l.y,
+          |    cst.c + COALESCE(sum(w.wp - w.wa), 0) AS margin
+          |  FROM lab l CROSS JOIN cst
+          |  LEFT JOIN ev e ON e.doc_id = l.doc_id
+          |  LEFT JOIN w ON w.b = e.b
+          |  GROUP BY l.doc_id, l.y, cst.c)
+          |SELECT CAST(y AS INT) AS y,
+          |  CAST(CASE WHEN margin > 0 THEN 1 ELSE -1 END AS INT) AS pred,
+          |  CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(margin) AS BIGINT) AS margin_sum
+          |FROM sc GROUP BY 1, 2""".stripMargin)),
 
     ("length_rank", (s: SparkSession, dir: String) =>
       TextOps.lengthRank(t(s, dir, "documents")),

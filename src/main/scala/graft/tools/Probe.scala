@@ -11,14 +11,20 @@ object Probe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
-    println("=== cast(date) filter ===")
-    li.filter(col("l_shipdate").cast("date") >= lit("1996-01-01").cast("date"))
-      .select(col("l_extendedprice")).explain("formatted")
-    println("=== ntz literal filter ===")
-    li.filter(col("l_shipdate") >=
-        lit(java.time.LocalDateTime.of(1996, 1, 1, 0, 0)))
-      .select(col("l_extendedprice")).explain("formatted")
+
+    println("=== flatfieldReport on corpus4d (head) ===")
+    val ff = graft.operators.OmeOps.flatfieldReport(
+      graft.schema.Fixtures.corpus4d(spark))
+    ff.orderBy(col("c"), col("pos")).show(6, truncate = false)
+    println("=== flatfield plan (expect ObjectHashAggregate partial/final, no corpus-pixel shuffle) ===")
+    ff.explain("formatted")
+
+    println("=== nbDistillReport on sf0.01 documents ===")
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val toks = graft.operators.TextOps.tokens(col("text"))
+    val rep = graft.operators.TextOps.nbDistillReport(docs,
+      array_contains(toks, "customer") && array_contains(toks, "vector"))
+    rep.orderBy(col("y"), col("pred")).show(truncate = false)
     spark.stop()
   }
 }

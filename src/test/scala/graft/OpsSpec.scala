@@ -365,4 +365,61 @@ class OpsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("No plane found"))
   }
+
+  test("flatfieldReport matches a per-pixel posexplode recomputation") {
+    graft.functions.ensureRegistered(spark)
+    val corpus = Fixtures.corpus4d(spark)
+    val got = OmeOps.flatfieldReport(corpus)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r).toMap
+    // brute force: explode every pixel of every plane
+    val brute = OmeOps.explodePlanes(corpus)
+      .select(col("c"), posexplode(col("pixels")).as(Seq("pos", "v")))
+      .groupBy(col("c"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got.size === brute.size && got.size === 2 * 64)
+    brute.foreach { case (k, (n, sm)) =>
+      val r = got(k)
+      assert(r.getAs[Long]("n_planes") === n, s"n_planes at $k")
+      assert(r.getAs[Long]("sum_px") === sm, s"sum_px at $k")
+      assert(math.abs(r.getAs[Double]("mean_px") - sm.toDouble / n) < 1e-5)
+    }
+    // gain sanity: per channel, mean of (1/gain) over positions ~ 1
+    val gains = got.values.groupBy(_.getInt(0)).map { case (c, rs) =>
+      c -> rs.map(r => 1.0 / r.getAs[Double]("gain")).sum / rs.size
+    }
+    gains.values.foreach(g => assert(math.abs(g - 1.0) < 1e-3, s"$gains"))
+  }
+
+  test("graft_pixel_sum_agg merges partials across many partitions") {
+    graft.functions.ensureRegistered(spark)
+    // 64 one-plane rows scattered over 16 partitions forces the
+    // serialize/deserialize + merge path of the imperative aggregate
+    val df = spark.range(64).repartition(16)
+      .select(graft.functions.synth_ramp(col("id") * 1000L, lit(32))
+        .as("px"))
+    val got = df.agg(graft.functions.pixel_sum_agg(col("px")).as("f"))
+      .collect()(0).getSeq[Long](0)
+    val brute = df.select(posexplode(col("px")).as(Seq("pos", "v")))
+      .groupBy(col("pos")).agg(sum(col("v"))).orderBy(col("pos"))
+      .collect().map(_.getLong(1))
+    assert(got === brute.toSeq)
+  }
+
+  test("graft_pixel_sum_agg: empty group is NULL, ragged planes raise") {
+    graft.functions.ensureRegistered(spark)
+    val empty = spark.range(1).filter(col("id") < 0)
+      .select(array(lit(1)).as("px"))
+      .agg(graft.functions.pixel_sum_agg(col("px"))).collect()(0)
+    assert(empty.isNullAt(0))
+    val ragged = spark.range(2)
+      .select(graft.functions.synth_ramp(lit(0L),
+        (col("id") * 2 + 2).cast("int")).as("px"))
+    val ex = intercept[Exception] {
+      ragged.agg(graft.functions.pixel_sum_agg(col("px"))).collect()
+    }
+    assert(ex.getMessage.contains("ragged") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("ragged"))
+  }
 }

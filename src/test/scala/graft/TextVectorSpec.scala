@@ -1441,4 +1441,59 @@ class TextVectorSpec extends SparkSpec {
     }
     spark.catalog.clearCache() // drop the operator-internal chunk persist
   }
+
+  test("nbDistill learns a single-keyword rule exactly on a clean corpus") {
+    // label = contains 'alpha'; vocab engineered so every word hashes to
+    // its own bucket with overwhelming probability (distinct words)
+    val corpus = Seq(
+      (0L, "alpha beta gamma", "en", "s0", 1L),
+      (1L, "alpha delta", "en", "s0", 1L),
+      (2L, "beta gamma delta", "en", "s0", 1L),
+      (3L, "gamma delta", "en", "s0", 1L),
+      (4L, "alpha beta", "en", "s0", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val label = array_contains(TextOps.tokens(col("text")), "alpha")
+    val out = TextOps.nbDistillReport(corpus, label)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // Bernoulli NB sees 'alpha' present in every positive and absent in
+    // every negative: the separation is perfect
+    assert(out.getOrElse((1, 1), 0L) === 3L, s"confusion: $out")
+    assert(out.getOrElse((-1, -1), 0L) === 2L, s"confusion: $out")
+    assert(!out.contains((1, -1)) && !out.contains((-1, 1)), s"confusion: $out")
+    spark.catalog.clearCache()
+  }
+
+  test("nbDistill margins match a direct Bernoulli NB computation") {
+    val corpus = Seq(
+      (0L, "alpha beta", "en", "s0", 1L),
+      (1L, "alpha beta alpha", "en", "s0", 1L), // duplicate presence ignored
+      (2L, "beta", "en", "s0", 1L),
+      (3L, "gamma", "en", "s0", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val label = array_contains(TextOps.tokens(col("text")), "alpha")
+    val (dw, const) = TextOps.nbDistillWeights(corpus, label)
+    // hand model: ne = 2, nr = 2; per word (de, dr):
+    //   alpha (2,0)  beta (2,1)  gamma (0,1)
+    def bucket(w: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8"))
+      ((md(0) & 0xff) << 0) // first hex pair == first byte
+    }
+    def nano(x: Double): Long = BigDecimal(x * 1e9)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def wp(de: Long, dr: Long): Long =
+      nano(math.log((de + 1.0) / 4.0) - math.log((dr + 1.0) / 4.0))
+    def wa(de: Long, dr: Long): Long =
+      nano(math.log((3.0 - de) / 4.0) - math.log((3.0 - dr) / 4.0))
+    val expect = Map("alpha" -> (2L, 0L), "beta" -> (2L, 1L),
+      "gamma" -> (0L, 1L))
+    expect.foreach { case (wd, (de, dr)) =>
+      assert(dw(bucket(wd)) === wp(de, dr) - wa(de, dr),
+        s"dw($wd) mismatch")
+    }
+    val expConst = nano(math.log(1.0)) +
+      expect.values.map { case (de, dr) => wa(de, dr) }.sum
+    assert(const === expConst)
+    spark.catalog.clearCache()
+  }
 }
