@@ -1212,4 +1212,56 @@ object VectorOps {
       .select(col("probe_id"), col("step").cast("int").as("step"),
         col("neighbor_id"), col("score"), col("mmr"))
   }
+
+  /**
+   * Topic-cluster labeling report — the corpus cartography view a
+   * curation pipeline uses to see WHAT is in a 100 TB corpus before
+   * deciding mixes and filters: documents cluster by embedding
+   * (deterministic Lloyd coarse quantizer, the [[ivfTopKLloyd]]
+   * trainer), and each cluster is labeled with its top TF-IDF terms
+   * (each CLUSTER treated as one pseudo-document, so idf = how many
+   * clusters a term appears in — terms shared by every topic score 0
+   * and cluster-specific vocabulary rises).
+   *
+   * One row per `(cluster, rnk <= topTerms)`: the term, its exact
+   * in-cluster occurrence count, the cluster's doc count, and the
+   * 6dp score `n_term · ln(nClusters / df)` — a single double
+   * expression over exact longs, ranked on the ROUNDED score with a
+   * term tie-break, so the pick order is engine-portable.
+   *
+   * Scale shape: cluster assignment is the Lloyd literal-codebook
+   * map-side fold (no join); the doc→cluster attach is ONE id-keyed
+   * join of two narrow frames; token events collapse map-side onto
+   * (cluster, term) keys; everything after is vocabulary-sized.
+   */
+  def topicReport(docs: DataFrame, emb: DataFrame, nClusters: Int = 8,
+      iters: Int = 2, topTerms: Int = 5): DataFrame = {
+    graft.functions.ensureRegistered(emb.sparkSession)
+    val cents = lloydCentroidsMicro(emb, nClusters, iters)
+    val assigned = Caches.persist(emb.select(
+      col("vec_id").cast("long").as("vec_id"),
+      nearestMicroL2(quantizeMicro(col("embedding")), cents).as("cluster")))
+    val nDocs = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_docs"))
+    val events = docs
+      .select(col("doc_id").cast("long").as("vec_id"),
+        explode(TextOps.tokens(col("text"))).as("term"))
+      .join(assigned, Seq("vec_id"))
+    val ctf = Caches.persist(events.groupBy(col("cluster"), col("term"))
+      .agg(count(lit(1)).as("n_term")))
+    val dfq = ctf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = ctf
+      .join(dfq, Seq("term"))
+      .join(nDocs, Seq("cluster"))
+      .select(col("cluster"), col("term"), col("n_term"), col("n_docs"),
+        round(col("n_term") * log(lit(nClusters.toDouble) / col("df")), 6)
+          .as("score"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= topTerms)
+      .select(col("cluster"), col("rnk"), col("term"), col("n_term"),
+        col("n_docs"), col("score"))
+  }
 }

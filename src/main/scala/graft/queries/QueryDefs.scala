@@ -165,6 +165,49 @@ chunks AS (
        |FROM acc$k""".stripMargin
   }
 
+  /** The deterministic-Lloyd train+assign CTE chain (2 iterations,
+    * first-`k` init) ending in `af(vec_id, cluster)` — the same
+    * integer micro-unit replay the `embed_ann_ivf_trained` oracle
+    * inlines, parameterized by cluster count for reuse (topic report). */
+  private def lloydAssignCtes(k: Int): String = {
+    def assign(name: String, cents: String) =
+      s"""$name AS (
+         |  SELECT vec_id, cid AS cluster FROM (
+         |    SELECT q.vec_id, c.cid, row_number() OVER (
+         |      PARTITION BY q.vec_id
+         |      ORDER BY list_sum(list_transform(list_zip(q.qx, c.qc),
+         |        x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC, c.cid ASC)
+         |      AS rn
+         |    FROM q, $cents c) WHERE rn = 1)""".stripMargin
+    def update(name: String, assigned: String, prev: String) =
+      s"""$name AS (
+         |  SELECT p.cid,
+         |    CASE WHEN m.qc IS NULL THEN p.qc ELSE m.qc END AS qc
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT cluster AS cid,
+         |      list(CASE WHEN s >= 0 THEN (2*s + n) // (2*n)
+         |        ELSE -((2*(-s) + n) // (2*n)) END ORDER BY dim) AS qc
+         |    FROM (
+         |      SELECT cluster, dim, sum(x) AS s, count(*) AS n FROM (
+         |        SELECT a.cluster, unnest(q.qx) AS x,
+         |          generate_subscripts(q.qx, 1) AS dim
+         |        FROM $assigned a JOIN q USING (vec_id))
+         |      GROUP BY 1, 2)
+         |    GROUP BY cid) m ON p.cid = m.cid)""".stripMargin
+    s"""q AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+       |    list_transform(embedding,
+       |      v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
+       |      AS qx
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, qx AS qc FROM q WHERE vec_id < $k),
+       |${assign("a1", "c0")},
+       |${update("c1", "a1", "c0")},
+       |${assign("a2", "c1")},
+       |${update("c2", "a2", "c1")},
+       |${assign("af", "c2")}""".stripMargin
+  }
+
   /** px CTE for the i4d family (4 images, 2x2x2 of 8x8). */
   private val px4d = pxCte(4, 2, 2, 2, 8, 8)
 
@@ -2987,6 +3030,42 @@ GROUP BY c.doc_id""")),
           |  round(CAST(sum(CAST(round(nrm * 1000000) AS BIGINT)) AS DOUBLE)
           |    / count(*) / 1000000, 6) AS mean_norm
           |FROM n GROUP BY label""".stripMargin)),
+
+    // Topic-cluster labeling: documents cluster by embedding (the
+    // deterministic 2-round Lloyd trainer, replayed by the shared
+    // lloydAssignCtes chain) and each cluster is labeled with its top
+    // TF-IDF terms, idf over clusters-as-pseudo-documents. Rank on the
+    // 6dp-rounded score with a term tie-break = engine-portable order.
+    ("topic_report", (s: SparkSession, dir: String) =>
+      VectorOps.topicReport(t(s, dir, "documents"), t(s, dir, "embeddings"),
+        nClusters = 8, iters = 2, topTerms = 5),
+      Some(
+        s"""WITH ${lloydAssignCtes(8)},
+           |nd AS (
+           |  SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs
+           |  FROM af GROUP BY 1),
+           |ev AS (
+           |  SELECT af.cluster, t.term
+           |  FROM (
+           |    SELECT doc_id,
+           |      unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+           |        x -> x <> '')) AS term
+           |    FROM documents) t
+           |  JOIN af ON af.vec_id = t.doc_id),
+           |ctf AS (
+           |  SELECT cluster, term, CAST(count(*) AS BIGINT) AS n_term
+           |  FROM ev GROUP BY 1, 2),
+           |dfq AS (SELECT term, count(*) AS df FROM ctf GROUP BY term),
+           |sc AS (
+           |  SELECT c.cluster, c.term, c.n_term, nd.n_docs,
+           |    round(c.n_term * ln(8.0 / d.df), 6) AS score
+           |  FROM ctf c JOIN dfq d USING (term) JOIN nd USING (cluster))
+           |SELECT CAST(cluster AS BIGINT) AS cluster,
+           |  CAST(row_number() OVER (PARTITION BY cluster
+           |    ORDER BY score DESC, term ASC) AS INT) AS rnk,
+           |  term, n_term, n_docs, score
+           |FROM sc
+           |QUALIFY rnk <= 5""".stripMargin)),
 
     // IVF index-balance report: per-cell member count + mean/worst
     // member->centroid cosine — the cell-sizing evidence behind

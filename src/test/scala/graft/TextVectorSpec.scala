@@ -1496,4 +1496,39 @@ class TextVectorSpec extends SparkSpec {
     assert(const === expConst)
     spark.catalog.clearCache()
   }
+
+  test("topicReport labels clusters with their distinctive terms") {
+    // two tight embedding groups (around (10,0) and (0,10)); vec_id 0
+    // and 1 seed the two Lloyd centroids, one in each group
+    val emb = Seq(
+      (0L, Seq(10f, 0f), 0), (2L, Seq(11f, 0f), 0), (4L, Seq(9f, 1f), 0),
+      (1L, Seq(0f, 10f), 1), (3L, Seq(0f, 11f), 1), (5L, Seq(1f, 9f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val corpus = Seq(
+      (0L, "shared apple apple", "en", "s", 1L),
+      (2L, "shared apple", "en", "s", 1L),
+      (4L, "apple", "en", "s", 1L),
+      (1L, "shared banana banana", "en", "s", 1L),
+      (3L, "shared banana", "en", "s", 1L),
+      (5L, "banana", "en", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = VectorOps.topicReport(corpus, emb, nClusters = 2,
+      iters = 2, topTerms = 2).collect()
+    val byCluster = out.groupBy(_.getLong(0))
+    assert(byCluster.size === 2)
+    // rnk 1 in each cluster is the cluster-specific fruit; 'shared'
+    // appears in both clusters so its idf (ln 2/2) scores it 0
+    val top = byCluster.map { case (c, rs) =>
+      c -> rs.find(_.getInt(1) == 1).get.getString(2)
+    }
+    assert(top.values.toSet === Set("apple", "banana"), s"$top")
+    out.filter(_.getString(2) == "shared").foreach { r =>
+      assert(r.getDouble(5) === 0.0, s"shared term must score 0: $r")
+    }
+    // exact counts carried through: apple occurs 4x in its cluster
+    val apple = out.find(_.getString(2) == "apple").get
+    assert(apple.getAs[Long]("n_term") === 4L)
+    assert(apple.getAs[Long]("n_docs") === 3L)
+    spark.catalog.clearCache()
+  }
 }
