@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -398,4 +398,42 @@ object EventOps {
         max(col("prop")).cast("long").as("prop_max"),
         sum(col("prop")).cast("long").as("prop_sum"),
         count_distinct(col("prop")).cast("long").as("prop_distinct"))
+
+  /**
+   * Shuffle-key skew diagnostics — the evidence behind every
+   * partitioning decision at 100 TB: before keying a join or
+   * aggregation on a column, a pipeline wants to know whether one key
+   * owns enough of the corpus to capsize a task (→ salting / AQE skew
+   * handling) or the key space is healthy. One row per top-`topN` key:
+   * its exact row count, rank, corpus share (6dp), and
+   * `mean_ratio` = how many times the mean key weight this key carries
+   * (`n_rows · n_keys / n_total` — the direct "this task is X× the
+   * average" number).
+   *
+   * Scale shape: per-key counts collapse map-side; the global (total,
+   * distinct) pair is ONE broadcast 1-row aggregate derived from the
+   * (already tiny relative to the corpus) per-key frame; the top-N is
+   * a TakeOrdered, never a full sort.
+   */
+  def skewReport(df: DataFrame, key: Column, topN: Int = 20): DataFrame = {
+    require(topN > 0, "skewReport: topN must be positive")
+    val counts = Caches.persist(
+      df.groupBy(key.cast("string").as("key"))
+        .agg(count(lit(1)).as("n_rows")))
+    val totals = counts.agg(sum(col("n_rows")).as("n_total"),
+      count(lit(1)).as("n_keys"))
+    counts
+      .crossJoin(broadcast(totals))
+      .orderBy(col("n_rows").desc, col("key").asc)
+      .limit(topN)
+      .select(
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_rows").desc, col("key").asc)).cast("int")
+          .as("rnk"),
+        col("key"), col("n_rows"), col("n_total"), col("n_keys"),
+        round(col("n_rows").cast("double") / col("n_total"), 6)
+          .as("share"),
+        round(col("n_rows").cast("double") * col("n_keys") /
+          col("n_total"), 6).as("mean_ratio"))
+  }
 }

@@ -603,6 +603,60 @@ object OmeOps {
   }
 
   /**
+   * Flat-field correction APPLIED — the composition proof for
+   * [[flatfieldReport]]: estimate the per-(channel, position) gain from
+   * the corpus, multiply every plane's pixels by it (HALF_UP to ints),
+   * and re-aggregate the per-position sums. One row per `(c, pos)` with
+   * `sum_before` / `sum_after`. The pinned invariant: before rounding,
+   * `sum_px · gain = channel_total / npx` for EVERY position — a
+   * perfectly flat corrected field — so `sum_after` is constant per
+   * channel up to per-pixel rounding, which the oracle replays exactly.
+   *
+   * Scale shape: gains are a per-channel ARRAY derived from the
+   * already-reduced [[graft.functions.PixelSumAgg]] field and
+   * broadcast back onto the plane table (channels rows — KB-sized);
+   * the corrected planes re-reduce through the same imperative
+   * aggregate. Two corpus scans total (estimate + apply), zero
+   * corpus-pixel shuffles. The per-pixel multiply is a `zip_with`
+   * lambda — acceptable here because correction is a one-off
+   * re-materialization pass; a native kernel (the `PixelCrop` pattern)
+   * is the upgrade path if it ever sits in a hot loop.
+   *
+   * A zero-sum position (gain undefined, NULL in the report) applies
+   * gain 1.0 — there is nothing to rescale at a position that is zero
+   * in every plane.
+   */
+  def flatfieldApply(df: DataFrame,
+      column: String = OmeSchema.DefaultColumn): DataFrame = {
+    graft.functions.ensureRegistered(df.sparkSession)
+    val planes = Caches.persist(
+      explodePlanes(df, column).select(col("c"), col("pixels")))
+    val perC = Caches.persist(planes.groupBy(col("c"))
+      .agg(graft.functions.pixel_sum_agg(col("pixels")).as("field"))
+      .select(col("c"),
+        aggregate(col("field"), lit(0L), (a, v) => a + v).as("tot"),
+        size(col("field")).as("npx"), col("field")))
+    val gains = perC.select(col("c"),
+      transform(col("field"), s =>
+        when(s === 0L, lit(1.0d)).otherwise(
+          round(col("tot").cast("double") /
+            (col("npx").cast("double") * s.cast("double")), 6)))
+        .as("gain"))
+    val corrected = planes.join(broadcast(gains), Seq("c"))
+      .select(col("c"), zip_with(col("pixels"), col("gain"),
+        (p, g) => round(p.cast("double") * g, 0).cast("int")).as("px2"))
+    val after = corrected.groupBy(col("c"))
+      .agg(graft.functions.pixel_sum_agg(col("px2")).as("field_after"))
+    perC
+      .select(col("c"), posexplode(col("field")).as(Seq("pos", "sum_before")))
+      .join(after.select(col("c"),
+        posexplode(col("field_after")).as(Seq("pos", "sum_after"))),
+        Seq("c", "pos"))
+      .select(col("c"), col("pos").cast("int").as("pos"),
+        col("sum_before"), col("sum_after"))
+  }
+
+  /**
    * Plane-table crop: the slice operator's pixel crop as a column over the
    * exploded form `(image_id, ..., size_x, size_y, pixels)` — the shape to
    * use when composing heavy per-pixel stages at scale. Composing

@@ -340,6 +340,39 @@ chunks AS (
            |  END AS gain
            |FROM s JOIN tot ON s.c = tot.c""".stripMargin)),
 
+    // Flat-field correction applied end to end: estimate gains, rescale
+    // every pixel (HALF_UP), re-aggregate per-position sums — the
+    // corrected field is flat up to per-pixel rounding, and the oracle
+    // replays the identical estimate -> multiply -> round -> re-sum.
+    ("ome_flatfield_apply", (s: SparkSession, _: String) =>
+      OmeOps.flatfieldApply(Fixtures.corpus4d(s)),
+      Some(
+        s"""WITH $px4d, sb AS (
+           |  SELECT c, p AS pos, CAST(sum(v) AS BIGINT) AS sum_before
+           |  FROM px GROUP BY 1, 2),
+           |tot AS (
+           |  SELECT c, CAST(sum(sum_before) AS BIGINT) AS tot,
+           |    CAST(count(*) AS BIGINT) AS npx
+           |  FROM sb GROUP BY c),
+           |g AS (
+           |  SELECT sb.c, sb.pos,
+           |    CASE WHEN sum_before = 0 THEN 1.0
+           |      ELSE round(CAST(tot AS DOUBLE) /
+           |        (CAST(npx AS DOUBLE) * CAST(sum_before AS DOUBLE)), 6)
+           |    END AS gain
+           |  FROM sb JOIN tot ON sb.c = tot.c),
+           |corr AS (
+           |  SELECT px.c, px.p AS pos,
+           |    CAST(round(CAST(px.v AS DOUBLE) * g.gain, 0) AS INT) AS v2
+           |  FROM px JOIN g ON g.c = px.c AND g.pos = px.p),
+           |sa AS (
+           |  SELECT c, pos, CAST(sum(v2) AS BIGINT) AS sum_after
+           |  FROM corr GROUP BY 1, 2)
+           |SELECT CAST(sb.c AS INT) AS c, CAST(sb.pos AS INT) AS pos,
+           |  sum_before, sum_after
+           |FROM sb JOIN sa ON sa.c = sb.c AND sa.pos = sb.pos"""
+          .stripMargin)),
+
     // Otsu auto-threshold per (image, channel): exact integer cumulative
     // moments over the histogram bins; the between-class-variance score
     // is ONE double expression over exact integers (engine-identical
@@ -3876,6 +3909,30 @@ GROUP BY c.doc_id""")),
           |FROM agg""".stripMargin)),
 
     // DAU / trailing-7-day WAU / stickiness per observed day.
+    // Shuffle-key skew diagnostics on the natural event shuffle key:
+    // exact per-key counts, corpus share, and times-the-mean ratio for
+    // the heaviest keys — the pre-flight evidence behind salting / AQE
+    // skew decisions. TakeOrdered top-N, never a full sort.
+    ("events_key_skew", (s: SparkSession, dir: String) =>
+      EventOps.skewReport(t(s, dir, "events"), col("user_id"), topN = 20),
+      Some(
+        """WITH counts AS (
+          |  SELECT CAST(user_id AS VARCHAR) AS key,
+          |    CAST(count(*) AS BIGINT) AS n_rows
+          |  FROM events GROUP BY 1),
+          |t AS (
+          |  SELECT CAST(sum(n_rows) AS BIGINT) AS n_total,
+          |    CAST(count(*) AS BIGINT) AS n_keys
+          |  FROM counts)
+          |SELECT CAST(row_number() OVER (ORDER BY n_rows DESC, key ASC)
+          |    AS INT) AS rnk,
+          |  key, n_rows, n_total, n_keys,
+          |  round(CAST(n_rows AS DOUBLE) / n_total, 6) AS share,
+          |  round(CAST(n_rows AS DOUBLE) * n_keys / n_total, 6)
+          |    AS mean_ratio
+          |FROM counts CROSS JOIN t
+          |ORDER BY n_rows DESC, key ASC LIMIT 20""".stripMargin)),
+
     ("events_engagement", (s: SparkSession, dir: String) =>
       EventOps.engagement(EventOps.readEvents(s, dir)),
       Some(

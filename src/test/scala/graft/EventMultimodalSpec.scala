@@ -497,4 +497,21 @@ class EventMultimodalSpec extends SparkSpec {
       element_at(col("ome_arrow.planes"), 1).getField("pixels"),
       lit(0L), (a, v) => a + v)).collect()(0).getLong(0) === 0L)
   }
+
+  test("skewReport ranks heavy keys with exact shares and mean ratios") {
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c"))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }
+      .toDF("id", "k")
+    val out = graft.operators.EventOps.skewReport(df, col("k"), topN = 2)
+      .collect()
+    assert(out.length === 2)
+    val r1 = out.find(_.getInt(0) == 1).get
+    assert(r1.getString(1) === "a" && r1.getLong(2) === 6L)
+    assert(r1.getLong(3) === 10L && r1.getLong(4) === 3L)
+    assert(r1.getDouble(5) === 0.6) // share
+    assert(r1.getDouble(6) === 1.8) // 6 * 3 / 10
+    val r2 = out.find(_.getInt(0) == 2).get
+    assert(r2.getString(1) === "b" && r2.getDouble(6) === 0.9)
+    spark.catalog.clearCache()
+  }
 }

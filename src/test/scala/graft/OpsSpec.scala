@@ -422,4 +422,27 @@ class OpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("ragged") ||
       ex.getCause != null && ex.getCause.getMessage.contains("ragged"))
   }
+
+  test("flatfieldApply flattens the corrected field up to rounding") {
+    graft.functions.ensureRegistered(spark)
+    val corpus = Fixtures.corpus4d(spark)
+    val out = OmeOps.flatfieldApply(corpus).collect()
+    assert(out.length === 2 * 64)
+    // per channel: the corrected per-position sums must be tightly
+    // concentrated around tot/npx (exact before per-pixel rounding)
+    out.groupBy(_.getInt(0)).foreach { case (c, rs) =>
+      val target = rs.map(_.getAs[Long]("sum_before")).sum.toDouble / 64
+      rs.foreach { r =>
+        val after = r.getAs[Long]("sum_after").toDouble
+        // 16 planes -> at most ~0.5 rounding error per plane
+        assert(math.abs(after - target) <= 16.0,
+          s"c=$c pos=${r.getInt(1)}: after=$after target=$target")
+      }
+      // the UNcorrected field is NOT flat (ramp corpus): spread >> bound
+      val before = rs.map(_.getAs[Long]("sum_before"))
+      assert(before.max - before.min > 100,
+        s"fixture should have a sloped field, got ${before.max - before.min}")
+    }
+    spark.catalog.clearCache()
+  }
 }
