@@ -611,3 +611,69 @@ case class CdcBoundaries(text: Expression, window: Int, maskBits: Int)
       newChildren: IndexedSeq[Expression]): Expression =
     copy(text = newChildren(0))
 }
+
+/**
+ * Nearest-centroid assignment against an inlined integer micro-unit
+ * codebook — the deterministic-Lloyd hot kernel (`VectorOps
+ * .nearestMicroL2`): exact long `Σ(x−c)²` per centroid, argmin with a
+ * strictly-less comparison so ties keep the FIRST (lowest-id) centroid
+ * — `ids` is sorted ascending by contract, mirroring the oracle's
+ * `row_number(dist ASC, cid ASC)` and the previous
+ * `array_position(dists, array_min(dists))` column formulation
+ * bit-for-bit. The column version pays k interpreted `zip_with` +
+ * `aggregate` lambdas per VECTOR (k·2·dims boxed evals — the r9 bench
+ * measured the 2-round Lloyd trainer at ~7 s per run from this alone);
+ * this is one tight long loop. CodegenFallback is deliberate (the
+ * PqEncode rationale): the per-row virtual call is noise next to k·dims
+ * multiplies, and fallback keeps the surrounding projection inside
+ * whole-stage codegen.
+ *
+ * `book` is the flattened codebook: centroid `c`'s components live at
+ * `book[c*dims .. c*dims+dims)`. Returns the matching `ids[c]` (long);
+ * NULL on a null/dimension-mismatched input.
+ */
+case class MicroArgmin(qx: Expression, ids: Array[Long],
+    book: Array[Long]) extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(qx)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (ids.isEmpty || book.length % ids.length != 0)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_micro_argmin: book length must be a positive multiple " +
+          s"of ids length (got ${book.length} vs ${ids.length})")
+    else InputCheck.check(
+      Seq((qx, ArrayType(LongType), "qx")), "graft_micro_argmin")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val qAny = qx.eval(input)
+    if (qAny == null) return null
+    val qv = qAny.asInstanceOf[ArrayData]
+    val dims = book.length / ids.length
+    if (qv.numElements() != dims) return null
+    val q = qv.toLongArray()
+    var bestC = 0
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < ids.length) {
+      val base = c * dims
+      var d = 0L
+      var i = 0
+      while (i < dims) {
+        val diff = q(i) - book(base + i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestD) { bestD = d; bestC = c }
+      c += 1
+    }
+    ids(bestC)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(qx = newChildren(0))
+}

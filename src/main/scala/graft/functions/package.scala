@@ -70,6 +70,13 @@ package object functions {
     "graft_pixel_brenner" -> (exprs => PixelBrenner(exprs(0), exprs(1))),
     "graft_pixel_dot" -> (exprs => PixelDot(exprs(0), exprs(1))),
     "graft_pixel_sum_agg" -> (exprs => PixelSumAgg(exprs(0))),
+    "graft_micro_argmin" -> (exprs => {
+      require(exprs.length == 3 && exprs(1).foldable && exprs(2).foldable,
+        "graft_micro_argmin(qx, ids, book): ids and book must be " +
+          "ARRAY<BIGINT> literals")
+      MicroArgmin(exprs(0), literalLongs(exprs(1), "graft_micro_argmin"),
+        literalLongs(exprs(2), "graft_micro_argmin"))
+    }),
     "graft_cdc_boundaries" -> (exprs => {
       require(exprs.length == 3 && exprs(1).foldable && exprs(2).foldable &&
         exprs(1).dataType == org.apache.spark.sql.types.IntegerType &&
@@ -93,6 +100,21 @@ package object functions {
     e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       .toArray[org.apache.spark.unsafe.types.UTF8String](
         org.apache.spark.sql.types.StringType).map(_.toString)
+  }
+
+  /** Materialize a foldable ARRAY<BIGINT> argument (the inlined
+    * micro-unit codebook) at expression-build time. */
+  private def literalLongs(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      fn: String): Array[Long] = {
+    require(e.dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false) ||
+      e.dataType == org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = true),
+      s"$fn: literal must be ARRAY<BIGINT> (got ${e.dataType.catalogString})")
+    e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray()
   }
 
   /** Materialize a foldable ARRAY<FLOAT> argument (the inlined PQ
@@ -189,6 +211,13 @@ package object functions {
     * `aggregate(pixels, 0L, _+_)` fold, without per-element boxing). */
   def pixel_sum(pixels: Column): Column =
     call_function("graft_pixel_sum", pixels)
+
+  /** Native exact-integer nearest-centroid assignment (lowest-id ties)
+    * against a flattened micro-unit codebook — the Lloyd-trainer
+    * kernel. */
+  def micro_argmin(qx: Column, ids: Array[Long],
+      book: Array[Long]): Column =
+    call_function("graft_micro_argmin", qx, lit(ids), lit(book))
 
   /** Native element-wise long-sum AGGREGATE over int-array planes
     * (fixed-size mergeable buffer — the flat-field substrate). */

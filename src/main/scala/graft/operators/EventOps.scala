@@ -436,4 +436,79 @@ object EventOps {
         round(col("n_rows").cast("double") * col("n_keys") /
           col("n_total"), 6).as("mean_ratio"))
   }
+
+  /**
+   * General as-of join of two event frames — the full surface of the
+   * operator (pandas `merge_asof` / kdb `aj`): for every left row, the
+   * right row with the closest timestamp under `direction`, optionally
+   * bounded by `toleranceNs`.
+   *
+   *  - `backward`: latest right with `r.ts <= l.ts` (exact matches
+   *    included; ties on ts take the highest right id — last in the
+   *    deterministic (ts, side, id) order);
+   *  - `forward`: earliest right with `r.ts >= l.ts` (ties take the
+   *    lowest right id);
+   *  - `nearest`: whichever of the two candidates has the smaller gap,
+   *    ties to backward (pandas semantics). Tolerance is applied to
+   *    each candidate BEFORE the choice.
+   *
+   * Unmatched (or out-of-tolerance) left rows keep NULL match columns —
+   * the caller decides between left-semantics and filtering.
+   *
+   * Scale shape: the same union + ordered-window formulation as
+   * [[asofJoin]] — ONE key-keyed shuffle of narrow (key, ts, id, side)
+   * rows, never a range self-join; both direction windows share the
+   * single sort order (the forward window flips the side tiebreak as an
+   * ORDER expression, not a second exchange). State per key is one
+   * running (ts, id) pair per direction.
+   */
+  def asofJoinWith(left: DataFrame, right: DataFrame,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id", direction: String = "backward",
+      toleranceNs: Long = -1L): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"asofJoinWith: unknown direction '$direction'")
+    def side(df: DataFrame, v: Int) = df.select(
+      col(keyCol).cast("long").as("key"), col(tsCol).cast("long").as("ts"),
+      col(idCol).cast("long").as("id"), lit(v).as("side"))
+    val u = side(left, 1).unionAll(side(right, 0))
+    val isR = col("side") === 0
+    val wB = Window.partitionBy(col("key"))
+      .orderBy(col("ts").asc, col("side").asc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wF = Window.partitionBy(col("key"))
+      .orderBy(col("ts").asc, (lit(1) - col("side")).asc, col("id").asc)
+      .rowsBetween(0, Window.unboundedFollowing)
+    val cand = u
+      .withColumn("b_ts", last(when(isR, col("ts")), ignoreNulls = true)
+        .over(wB))
+      .withColumn("b_id", last(when(isR, col("id")), ignoreNulls = true)
+        .over(wB))
+      .withColumn("f_ts", first(when(isR, col("ts")), ignoreNulls = true)
+        .over(wF))
+      .withColumn("f_id", first(when(isR, col("id")), ignoreNulls = true)
+        .over(wF))
+      .filter(col("side") === 1)
+    val gb = col("ts") - col("b_ts")
+    val gf = col("f_ts") - col("ts")
+    val bOk = col("b_ts").isNotNull &&
+      (if (toleranceNs < 0) lit(true) else gb <= toleranceNs)
+    val fOk = col("f_ts").isNotNull &&
+      (if (toleranceNs < 0) lit(true) else gf <= toleranceNs)
+    val (mTs, mId, mGap) = direction match {
+      case "backward" => (when(bOk, col("b_ts")), when(bOk, col("b_id")),
+        when(bOk, gb))
+      case "forward" => (when(fOk, col("f_ts")), when(fOk, col("f_id")),
+        when(fOk, gf))
+      case "nearest" =>
+        val useB = bOk && (!fOk || gb <= gf)
+        (when(useB, col("b_ts")).when(fOk, col("f_ts")),
+          when(useB, col("b_id")).when(fOk, col("f_id")),
+          when(useB, gb).when(fOk, gf))
+    }
+    cand.select(col("id").as("event_id"), col("key").as("user_id"),
+      col("ts").as("ts_ns"), mId.as("asof_id"), mTs.as("asof_ts_ns"),
+      mGap.as("gap_ns"))
+  }
+
 }

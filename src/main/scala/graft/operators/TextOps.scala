@@ -2006,13 +2006,21 @@ object TextOps {
    * pipeline gates on before trusting a distilled filter. `pred` is
    * `sign(margin)` with 0 → −1 (reject on the boundary).
    */
-  def nbDistillReport(docs: DataFrame, label: Column): DataFrame = {
-    val (dw, const) = nbDistillWeights(docs, label)
+  /** The trained model applied to a `text` column: the exact integer
+    * log-odds margin under `(dw, const)` weights — a STATELESS narrow
+    * projection (literal array fold, no join), equally valid on a batch
+    * frame or a stream (`DocStream.nbCheck` pins batch/stream equality). */
+  private[graft] def nbMargin(dw: Array[Long], const: Long): Column = {
     val dwArr = array(dw.toIndexedSeq.map(lit): _*)
-    val margin = lit(const) +
+    lit(const) +
       aggregate(array_distinct(transform(tokens(col("text")),
           t => featBucket(t))),
         lit(0L), (acc, b) => acc + element_at(dwArr, b + 1))
+  }
+
+  def nbDistillReport(docs: DataFrame, label: Column): DataFrame = {
+    val (dw, const) = nbDistillWeights(docs, label)
+    val margin = nbMargin(dw, const)
     docs.select(
         when(label, 1).otherwise(-1).as("y"),
         when(margin > 0L, 1).otherwise(-1).as("pred"),

@@ -223,17 +223,28 @@ object VectorOps {
     if (s >= 0) (2 * s + n) / (2 * n) else -((2 * -s + n) / (2 * n))
 
   /** Min-L2² assignment against a literal micro-unit codebook: exact
-    * long distance `Σ(x−c)²` per centroid; argmin as
-    * `array_position(dists, array_min(dists))` — array_position finds
-    * the FIRST minimal slot and `cents` is sorted by id, so ties land
-    * on the lowest centroid id. (Struct-based argmin formulations —
-    * `when` folds or `array_min` over `(d, id)` structs — lose field
-    * names to type coercion over unresolved HOF children; this one
-    * never extracts a field.) Map-side only (lesson-4 shape: no
+    * long distance `Σ(x−c)²` per centroid, ties to the lowest centroid
+    * id — since r9 the native [[graft.functions.MicroArgmin]] kernel
+    * (one tight long loop per vector). The previous column formulation
+    * (`array_position(dists, array_min(dists))` over k `zip_with` +
+    * `aggregate` folds) is value-identical — TextVectorSpec pins kernel ==
+    * column on random and tie-crafted inputs — but paid k·2·dims
+    * INTERPRETED lambda evals per vector: the r9 bench measured the
+    * 2-round Lloyd trainer at ~7 s/run from exactly this, the kernel
+    * runs it in milliseconds. Map-side only (lesson-4 shape: no
     * codebook join, no window). */
   private def nearestMicroL2(qx: Column,
       cents: Array[(Long, Array[Long])]): Column = {
     require(cents.nonEmpty, "nearestMicroL2: empty codebook")
+    graft.functions.micro_argmin(qx, cents.map(_._1),
+      cents.flatMap(_._2))
+  }
+
+  /** The pre-r9 column formulation of [[nearestMicroL2]] — kept ONLY as
+    * the equivalence-test oracle for the native kernel. */
+  private[graft] def nearestMicroL2Columns(qx: Column,
+      cents: Array[(Long, Array[Long])]): Column = {
+    require(cents.nonEmpty, "nearestMicroL2Columns: empty codebook")
     def dist(c: Array[Long]): Column =
       aggregate(zip_with(qx, array(c.toIndexedSeq.map(lit): _*),
         (a, b) => (a - b) * (a - b)), lit(0L), (acc, d) => acc + d)

@@ -3413,6 +3413,19 @@ GROUP BY c.doc_id""")),
           |  CAST(0 AS BIGINT) AS dup_doc,
           |  CAST(0 AS BIGINT) AS empty_stream""".stripMargin)),
 
+    // Batch-trained model on the standing ingest: the distilled NB
+    // scorer as a stateless stream projection must emit EXACTLY the
+    // batch margins (same literal weights, same integer fold).
+    ("stream_nb_check", (s: SparkSession, dir: String) =>
+      graft.streaming.DocStream.nbCheck(s, dir),
+      Some(
+        """SELECT CAST(0 AS BIGINT) AS missing_doc,
+          |  CAST(0 AS BIGINT) AS extra_doc,
+          |  CAST(0 AS BIGINT) AS bad_margin,
+          |  CAST(0 AS BIGINT) AS bad_pred,
+          |  CAST(0 AS BIGINT) AS dup_doc,
+          |  CAST(0 AS BIGINT) AS empty_stream""".stripMargin)),
+
     ("stream_bloom_check", (s: SparkSession, dir: String) =>
       graft.streaming.DocStream.bloomCheck(s, dir),
       Some(
@@ -3909,6 +3922,101 @@ GROUP BY c.doc_id""")),
           |FROM agg""".stripMargin)),
 
     // DAU / trailing-7-day WAU / stickiness per observed day.
+    // Full-surface as-of join (merge_asof/kdb-aj semantics): NEAREST
+    // click around each purchase under a 30-minute tolerance — both
+    // direction windows ride ONE user-keyed sort (the forward window
+    // only flips the side tiebreak), ties to backward. µs units so the
+    // oracle's epoch_us replay is exact.
+    ("events_asof_nearest", (s: SparkSession, dir: String) => {
+      val e = EventOps.readEvents(s, dir).withColumn("ts",
+        expr("ts div 1000"))
+      EventOps.asofJoinWith(
+        e.filter(col("event_type") === "purchase"),
+        e.filter(col("event_type") === "click"),
+        direction = "nearest", toleranceNs = 30L * 60 * 1000 * 1000)
+        .withColumnRenamed("ts_ns", "ts_us")
+        .withColumnRenamed("asof_ts_ns", "asof_ts_us")
+        .withColumnRenamed("gap_ns", "gap_us")
+    },
+      Some(
+        """WITH e AS (
+          |  SELECT event_id, user_id, epoch_us(ts) AS ts, event_type
+          |  FROM events WHERE event_type IN ('click', 'purchase')),
+          |u AS (
+          |  SELECT user_id AS key, ts, event_id AS id,
+          |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side
+          |  FROM e),
+          |cand AS (
+          |  SELECT key, ts, id, side,
+          |    last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+          |      OVER wb AS b_ts,
+          |    last_value(CASE WHEN side = 0 THEN id END IGNORE NULLS)
+          |      OVER wb AS b_id,
+          |    first_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+          |      OVER wf AS f_ts,
+          |    first_value(CASE WHEN side = 0 THEN id END IGNORE NULLS)
+          |      OVER wf AS f_id
+          |  FROM u
+          |  WINDOW wb AS (PARTITION BY key ORDER BY ts, side, id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          |    wf AS (PARTITION BY key ORDER BY ts, 1 - side, id
+          |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+          |chosen AS (
+          |  SELECT key, ts, id,
+          |    (b_ts IS NOT NULL AND ts - b_ts <= 1800000000) AS b_ok,
+          |    (f_ts IS NOT NULL AND f_ts - ts <= 1800000000) AS f_ok,
+          |    b_ts, b_id, f_ts, f_id
+          |  FROM cand WHERE side = 1)
+          |SELECT CAST(id AS BIGINT) AS event_id,
+          |  CAST(key AS BIGINT) AS user_id, CAST(ts AS BIGINT) AS ts_us,
+          |  CAST(CASE WHEN b_ok AND (NOT f_ok OR ts - b_ts <= f_ts - ts)
+          |    THEN b_id WHEN f_ok THEN f_id END AS BIGINT) AS asof_id,
+          |  CAST(CASE WHEN b_ok AND (NOT f_ok OR ts - b_ts <= f_ts - ts)
+          |    THEN b_ts WHEN f_ok THEN f_ts END AS BIGINT) AS asof_ts_us,
+          |  CAST(CASE WHEN b_ok AND (NOT f_ok OR ts - b_ts <= f_ts - ts)
+          |    THEN ts - b_ts WHEN f_ok THEN f_ts - ts END AS BIGINT)
+          |    AS gap_us
+          |FROM chosen""".stripMargin)),
+
+    // Forward variant of the full-surface as-of join: the NEXT click at
+    // or after each purchase, unbounded tolerance — pins the forward
+    // window's equal-ts inclusion and lowest-id tie-break.
+    ("events_asof_forward", (s: SparkSession, dir: String) => {
+      val e = EventOps.readEvents(s, dir).withColumn("ts",
+        expr("ts div 1000"))
+      EventOps.asofJoinWith(
+        e.filter(col("event_type") === "purchase"),
+        e.filter(col("event_type") === "click"),
+        direction = "forward")
+        .withColumnRenamed("ts_ns", "ts_us")
+        .withColumnRenamed("asof_ts_ns", "asof_ts_us")
+        .withColumnRenamed("gap_ns", "gap_us")
+    },
+      Some(
+        """WITH e AS (
+          |  SELECT event_id, user_id, epoch_us(ts) AS ts, event_type
+          |  FROM events WHERE event_type IN ('click', 'purchase')),
+          |u AS (
+          |  SELECT user_id AS key, ts, event_id AS id,
+          |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side
+          |  FROM e),
+          |cand AS (
+          |  SELECT key, ts, id, side,
+          |    first_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+          |      OVER wf AS f_ts,
+          |    first_value(CASE WHEN side = 0 THEN id END IGNORE NULLS)
+          |      OVER wf AS f_id
+          |  FROM u
+          |  WINDOW wf AS (PARTITION BY key ORDER BY ts, 1 - side, id
+          |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+          |p AS (SELECT key, ts, id, f_ts, f_id FROM cand WHERE side = 1)
+          |SELECT CAST(id AS BIGINT) AS event_id,
+          |  CAST(key AS BIGINT) AS user_id, CAST(ts AS BIGINT) AS ts_us,
+          |  CAST(f_id AS BIGINT) AS asof_id,
+          |  CAST(f_ts AS BIGINT) AS asof_ts_us,
+          |  CAST(f_ts - ts AS BIGINT) AS gap_us
+          |FROM p""".stripMargin)),
+
     // Shuffle-key skew diagnostics on the natural event shuffle key:
     // exact per-key counts, corpus share, and times-the-mean ratio for
     // the heaviest keys — the pre-flight evidence behind salting / AQE

@@ -568,4 +568,71 @@ object DocStream {
       (count(lit(1)) === 0).cast("long").as("empty_stream"))
     joined.crossJoin(dup).crossJoin(empty)
   }
+
+  /**
+   * The batch-trained [[graft.operators.TextOps.nbDistillWeights]]
+   * model applied to a document STREAM — score-at-ingest filtering with
+   * a model trained offline, the standard deployment split (train on
+   * the settled corpus, gate the standing ingest). A stateless narrow
+   * projection: no watermark, no state, the literal weight array rides
+   * inside the streaming plan.
+   */
+  def nbScoreStream(docs: DataFrame, dw: Array[Long],
+      const: Long): DataFrame = {
+    val margin = graft.operators.TextOps.nbMargin(dw, const)
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+      margin.as("margin"),
+      when(margin > 0L, 1).otherwise(-1).as("pred"))
+  }
+
+  /**
+   * Structural self-check of [[nbScoreStream]] (all-zeros pattern): the
+   * corpus streams through the stateless scorer under the
+   * batch-trained weights, and every emitted (doc_id, margin, pred)
+   * must EXACTLY equal the batch scorer on the same corpus — same
+   * literal weights, same integer fold, so equality is exact.
+   * Violations: `missing_doc`, `extra_doc`, `bad_margin`, `bad_pred`,
+   * `dup_doc`, `empty_stream`.
+   */
+  def nbCheck(spark: SparkSession, dir: String,
+      feedDir: String = "/tmp/graft_stream_nb_feed",
+      timeoutMs: Long = 300000L): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val toks = graft.operators.TextOps.tokens(col("text"))
+    val label = array_contains(toks, "customer") &&
+      array_contains(toks, "vector")
+    val (dw, const) = graft.operators.TextOps.nbDistillWeights(docs, label)
+    val streamed = StreamDrain.once(spark, "graft_stream_nb_check",
+        s"$dir|$feedDir", timeoutMs, Seq(s"$dir/documents.parquet")) {
+      writeFeed(docs, feedDir, withSentinel = false)
+      nbScoreStream(
+        spark.readStream.schema(documentsSchema).parquet(feedDir), dw, const)
+    }
+      .select(col("doc_id"), col("margin").as("s_margin"),
+        col("pred").as("s_pred"))
+    val batch = docs.select(col("doc_id").cast("long").as("doc_id"),
+      graft.operators.TextOps.nbMargin(dw, const).as("b_margin"))
+      .select(col("doc_id"), col("b_margin"),
+        when(col("b_margin") > 0L, 1).otherwise(-1).as("b_pred"))
+    val joined = batch.join(streamed, Seq("doc_id"), "full_outer")
+      .agg(
+        coalesce(sum(when(col("s_margin").isNull, 1L).otherwise(0L)),
+          lit(0L)).cast("long").as("missing_doc"),
+        coalesce(sum(when(col("b_margin").isNull, 1L).otherwise(0L)),
+          lit(0L)).cast("long").as("extra_doc"),
+        coalesce(sum(when(col("b_margin").isNotNull &&
+          col("s_margin").isNotNull &&
+          col("b_margin") =!= col("s_margin"), 1L).otherwise(0L)),
+          lit(0L)).cast("long").as("bad_margin"),
+        coalesce(sum(when(col("b_pred").isNotNull &&
+          col("s_pred").isNotNull &&
+          col("b_pred") =!= col("s_pred"), 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("bad_pred"))
+    val dup = streamed.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
+      .agg(coalesce(sum(when(col("nw") > 1, 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("dup_doc"))
+    val empty = streamed.agg(
+      (count(lit(1)) === 0).cast("long").as("empty_stream"))
+    joined.crossJoin(dup).crossJoin(empty)
+  }
 }

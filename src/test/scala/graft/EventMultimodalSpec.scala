@@ -514,4 +514,39 @@ class EventMultimodalSpec extends SparkSpec {
     assert(r2.getString(1) === "b" && r2.getDouble(6) === 0.9)
     spark.catalog.clearCache()
   }
+
+  test("asofJoinWith: backward/forward/nearest with tolerance and ties") {
+    // left (purchases) at t=10m, 30m; right (clicks) at t=0, 10m, 50m
+    val left = Seq((100L, 10 * m, 1L), (101L, 30 * m, 1L), (102L, 5 * m, 2L))
+      .toDF("event_id", "ts", "user_id")
+    val right = Seq((200L, 0 * m, 1L), (201L, 10 * m, 1L), (202L, 50 * m, 1L))
+      .toDF("event_id", "ts", "user_id")
+    def run(dir: String, tol: Long = -1L) =
+      graft.operators.EventOps.asofJoinWith(left, right,
+        direction = dir, toleranceNs = tol)
+        .collect().map(r => r.getLong(0) ->
+          (Option(r.get(3)).map(_.asInstanceOf[Long]),
+           Option(r.get(5)).map(_.asInstanceOf[Long]))).toMap
+    val b = run("backward")
+    // exact match at t=10m included (201); user 2 has no clicks -> NULL
+    assert(b(100L) === (Some(201L), Some(0L)))
+    assert(b(101L) === (Some(201L), Some(20 * m)))
+    assert(b(102L) === (None, None))
+    val f = run("forward")
+    assert(f(100L) === (Some(201L), Some(0L)))
+    assert(f(101L) === (Some(202L), Some(20 * m)))
+    assert(f(102L) === (None, None))
+    // nearest at 30m: backward gap 20m == forward gap 20m -> backward
+    val n = run("nearest")
+    assert(n(101L) === (Some(201L), Some(20 * m)))
+    // tolerance 15m: both 20m candidates die
+    val nt = run("nearest", 15 * m)
+    assert(nt(101L) === (None, None))
+    assert(nt(100L) === (Some(201L), Some(0L)))
+    // forward-only survivor under tolerance: purchase 30m, tol 25m ->
+    // backward 20m ok... shrink: tol 5m kills both for 101
+    val bt = run("backward", 5 * m)
+    assert(bt(101L) === (None, None))
+    spark.catalog.clearCache()
+  }
 }

@@ -315,4 +315,45 @@ class StreamingSpec extends SparkSpec {
     assert(rec.planes.map(_.pixels.sum) === Seq(10, 0, 26, 0))
     assert(rec.acquisition_datetime.getTime === 2000L)
   }
+
+  test("streaming NB scorer emits exactly the batch margins") {
+    import spark.implicits._
+    val dir = "/tmp/graft_test_nbstream"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val rows = Seq(
+      (0L, "alpha beta gamma", "en", "s0", 1L, t0),
+      (1L, "beta gamma", "en", "s0", 1L, t0),
+      (2L, "alpha delta", "en", "s0", 1L, t0),
+      (3L, "delta", "en", "s0", 1L, t0))
+    val docs = rows.map(r => (r._1, r._2, r._3, r._4, r._5))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val label = array_contains(
+      graft.operators.TextOps.tokens(col("text")), "alpha")
+    val (dw, const) =
+      graft.operators.TextOps.nbDistillWeights(docs, label)
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars", "ingest_ts")
+      .coalesce(1).write.parquet(dir)
+    val q = graft.streaming.DocStream.nbScoreStream(
+        spark.readStream
+          .schema(graft.streaming.DocStream.documentsSchema).parquet(dir),
+        dw, const)
+      .writeStream.format("memory").queryName("nb_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT doc_id, margin, pred FROM nb_stream")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    val batch = docs.select(col("doc_id"),
+      graft.operators.TextOps.nbMargin(dw, const).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed.keySet === batch.keySet)
+    batch.foreach { case (id, m) =>
+      assert(streamed(id)._1 === m, s"margin mismatch for doc $id")
+      assert(streamed(id)._2 === (if (m > 0) 1 else -1))
+    }
+    // the model separates the training labels on this clean corpus
+    assert(streamed(0L)._2 === 1 && streamed(2L)._2 === 1)
+    assert(streamed(1L)._2 === -1 && streamed(3L)._2 === -1)
+    spark.catalog.clearCache()
+  }
 }

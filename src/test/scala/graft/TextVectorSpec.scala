@@ -1531,4 +1531,32 @@ class TextVectorSpec extends SparkSpec {
     assert(apple.getAs[Long]("n_docs") === 3L)
     spark.catalog.clearCache()
   }
+
+  test("micro_argmin kernel matches the column argmin incl. ties") {
+    graft.functions.ensureRegistered(spark)
+    // codebook with a deliberate duplicate centroid (ids 3 and 7) so
+    // ties must land on the lower id; dims=4
+    val cents: Array[(Long, Array[Long])] = Array(
+      (3L, Array(0L, 0L, 0L, 0L)),
+      (5L, Array(1000000L, 0L, 0L, 0L)),
+      (7L, Array(0L, 0L, 0L, 0L)),
+      (9L, Array(-500000L, 250000L, 0L, 1L)))
+    val df = spark.range(200).select(
+      transform(sequence(lit(0), lit(3)),
+        d => ((col("id") * 37 + d * 1013) % 2000001 - 1000000)
+          .cast("long")).as("qx"))
+    val cmp = df.select(
+      graft.functions.micro_argmin(col("qx"), cents.map(_._1),
+        cents.flatMap(_._2)).as("a"),
+      graft.operators.VectorOps.nearestMicroL2Columns(col("qx"), cents)
+        .as("b"))
+    assert(cmp.filter(not(col("a") <=> col("b"))).count() === 0)
+    // the exact-tie row: qx equidistant from ids 3 and 7 -> 3
+    val tie = spark.range(1)
+      .select(array(lit(0L), lit(0L), lit(0L), lit(0L)).as("qx"))
+      .select(graft.functions.micro_argmin(col("qx"), cents.map(_._1),
+        cents.flatMap(_._2)))
+      .collect()(0).getLong(0)
+    assert(tie === 3L)
+  }
 }
