@@ -20,7 +20,10 @@ object SfSweep {
     "q1_agg", "q18_large_orders", "dedup_exact", "near_dup_minhash",
     "near_dup_clusters_minhash", "contamination", "bloom_decontam",
     "lm_perplexity", "bm25_topk", "tfidf_topk", "embed_topk",
-    "embed_ann_ivfpq", "events_rollup", "events_sessions")
+    "embed_ann_ivfpq", "events_rollup", "events_sessions",
+    // r9 additions: trained-model, topic, as-of surface, skew report
+    "quality_classifier", "topic_report", "embed_ann_ivf_trained",
+    "events_asof_nearest", "events_key_skew")
 
   val Sfs: Seq[String] = Seq("sf0.001", "sf0.01", "sf0.1")
 
