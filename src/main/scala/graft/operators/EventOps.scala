@@ -511,4 +511,77 @@ object EventOps {
       mGap.as("gap_ns"))
   }
 
+  /**
+   * Per-user gap-session SPANS — [[sessionize]]'s intervals surfaced as
+   * rows: one `(user_id, session_idx, start_ts, end_ts, n_events)` per
+   * session (`session_idx` 1-based by start order). The interval-table
+   * producer for [[rangeJoinBinned]]. Same single user-keyed window
+   * pass as sessionize. `gap` is in `ts` units (ns at the native event
+   * domain; pass a µs gap for a µs-truncated frame).
+   */
+  def sessionSpans(events: DataFrame,
+      gap: Long = 30L * 60 * 1000 * 1000 * 1000): DataFrame = {
+    val gapNs = gap
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("new_sess",
+        when(col("ts") - lag(col("ts"), 1).over(byUser) > gapNs, 1L)
+          .when(lag(col("ts"), 1).over(byUser).isNull, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("new_sess")).over(byUser
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id").cast("long").as("user_id"),
+        col("session_idx").cast("long").as("session_idx"),
+        col("start_ts").cast("long").as("start_ts"),
+        col("end_ts").cast("long").as("end_ts"), col("n_events"))
+  }
+
+  /**
+   * Range join as a BINNED EQUI-JOIN — the scale answer to the operator
+   * class Spark executes as BroadcastNestedLoopJoin (small side) or
+   * refuses outright (a non-equi join of two large tables): match every
+   * probe `(key, ts)` to the intervals `(key, start_ts, end_ts)` that
+   * CONTAIN it (`start_ts <= ts <= end_ts`, both inclusive).
+   *
+   * The trick (Databricks' bin-based range join, the interval-tree
+   * analog for shuffles): pick a bin width; each interval EXPLODES to
+   * the bins it overlaps, each probe hashes to its single containing
+   * bin, and the match becomes an equi-join on `(key, bin)` followed by
+   * the exact containment filter. A probe's bin intersects exactly the
+   * intervals overlapping that bin, so no match is lost and — because a
+   * probe owns ONE bin — no duplicate pair ever emerges. Join
+   * cardinality: |probes| + Σ(interval_span/binNs) rows shuffle on
+   * (key, bin) — tune `binNs` toward the median interval length so
+   * intervals explode to O(1) bins each.
+   *
+   * PRECONDITION: nonnegative timestamps (the epoch-ns event domain) —
+   * `div` truncation and floor agree there, keeping bin math portable
+   * to floor-division engines.
+   *
+   * Output: probe rows + the matched interval's columns (inner join;
+   * unmatched probes drop — count them against the probe table when a
+   * coverage number is needed).
+   */
+  def rangeJoinBinned(probes: DataFrame, intervals: DataFrame,
+      binNs: Long, keyCol: String = "user_id"): DataFrame = {
+    require(binNs > 0, "rangeJoinBinned: binNs must be positive")
+    val iv = intervals.select(col(keyCol).cast("long").as("key"),
+      col("session_idx"), col("start_ts"), col("end_ts"),
+      explode(sequence(expr(s"start_ts div ${binNs}L"),
+        expr(s"end_ts div ${binNs}L"))).as("bin"))
+    probes
+      .select(col("event_id"), col(keyCol).cast("long").as("key"),
+        col("ts"), expr(s"ts div ${binNs}L").as("bin"))
+      .join(iv, Seq("key", "bin"))
+      .filter(col("start_ts") <= col("ts") && col("ts") <= col("end_ts"))
+      .select(col("event_id").cast("long").as("event_id"),
+        col("key").as("user_id"), col("ts").cast("long").as("ts"),
+        col("session_idx"), col("start_ts"), col("end_ts"))
+  }
 }

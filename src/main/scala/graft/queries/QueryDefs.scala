@@ -3922,6 +3922,53 @@ GROUP BY c.doc_id""")),
           |FROM agg""".stripMargin)),
 
     // DAU / trailing-7-day WAU / stickiness per observed day.
+    // Range join executed as a binned equi-join (the non-equi-join
+    // scale trick): purchases assign to the click-session interval
+    // containing them. The oracle is the INDEPENDENT direct non-equi
+    // formulation (BETWEEN join), so the binning transformation itself
+    // is what the hash pins. 10-minute bins over µs timestamps.
+    ("events_session_assign", (s: SparkSession, dir: String) => {
+      val e = EventOps.readEvents(s, dir).withColumn("ts",
+        expr("ts div 1000"))
+      val spans = EventOps.sessionSpans(
+        e.filter(col("event_type") === "click"),
+        gap = 30L * 60 * 1000 * 1000)
+      EventOps.rangeJoinBinned(
+        e.filter(col("event_type") === "purchase"), spans,
+        binNs = 10L * 60 * 1000 * 1000)
+    },
+      Some(
+        """WITH c AS (
+          |  SELECT event_id, user_id, epoch_us(ts) AS ts FROM events
+          |  WHERE event_type = 'click'),
+          |m AS (
+          |  SELECT user_id, ts, event_id,
+          |    CASE WHEN lag(ts) OVER w IS NULL
+          |      OR ts - lag(ts) OVER w > 1800000000 THEN 1 ELSE 0 END
+          |      AS ns
+          |  FROM c WINDOW w AS (PARTITION BY user_id
+          |    ORDER BY ts, event_id)),
+          |sx AS (
+          |  SELECT user_id, ts,
+          |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |      ROWS UNBOUNDED PRECEDING) AS session_idx
+          |  FROM m),
+          |spans AS (
+          |  SELECT user_id, session_idx, min(ts) AS start_ts,
+          |    max(ts) AS end_ts
+          |  FROM sx GROUP BY 1, 2),
+          |p AS (
+          |  SELECT event_id, user_id, epoch_us(ts) AS ts FROM events
+          |  WHERE event_type = 'purchase')
+          |SELECT CAST(p.event_id AS BIGINT) AS event_id,
+          |  CAST(p.user_id AS BIGINT) AS user_id,
+          |  CAST(p.ts AS BIGINT) AS ts,
+          |  CAST(s.session_idx AS BIGINT) AS session_idx,
+          |  CAST(s.start_ts AS BIGINT) AS start_ts,
+          |  CAST(s.end_ts AS BIGINT) AS end_ts
+          |FROM p JOIN spans s ON s.user_id = p.user_id
+          |  AND p.ts BETWEEN s.start_ts AND s.end_ts""".stripMargin)),
+
     // Full-surface as-of join (merge_asof/kdb-aj semantics): NEAREST
     // click around each purchase under a 30-minute tolerance — both
     // direction windows ride ONE user-keyed sort (the forward window

@@ -549,4 +549,49 @@ class EventMultimodalSpec extends SparkSpec {
     assert(bt(101L) === (None, None))
     spark.catalog.clearCache()
   }
+
+  test("rangeJoinBinned equals the direct non-equi join incl. boundaries") {
+    // intervals crafted to straddle bin boundaries (bin = 10 units) and
+    // to meet probes exactly at start/end (inclusive on both)
+    val intervals = Seq(
+      (1L, 1L, 5L, 25L),   // spans bins 0,1,2
+      (1L, 2L, 40L, 40L),  // degenerate single-point interval
+      (2L, 1L, 8L, 12L)    // crosses one boundary
+    ).toDF("user_id", "session_idx", "start_ts", "end_ts")
+    val probes = Seq(
+      (100L, 1L, 5L),   // exact start
+      (101L, 1L, 25L),  // exact end
+      (102L, 1L, 26L),  // just outside
+      (103L, 1L, 40L),  // point interval hit
+      (104L, 2L, 10L),  // inside, at a bin boundary
+      (105L, 2L, 13L),  // outside
+      (106L, 3L, 10L)   // no intervals for user 3
+    ).toDF("event_id", "user_id", "ts")
+    val got = graft.operators.EventOps
+      .rangeJoinBinned(probes, intervals, binNs = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    val direct = probes.as("p").join(intervals.as("i"),
+        col("p.user_id") === col("i.user_id") &&
+        col("p.ts") >= col("i.start_ts") && col("p.ts") <= col("i.end_ts"))
+      .select(col("p.event_id"), col("i.session_idx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === direct)
+    assert(got === Set((100L, 1L), (101L, 1L), (103L, 2L), (104L, 1L)))
+    spark.catalog.clearCache()
+  }
+
+  test("sessionSpans emits one row per gap session with exact bounds") {
+    val ev = Seq(
+      (1L, 0 * m, 1L), (2L, 10 * m, 1L),   // session 1: [0, 10m]
+      (3L, 55 * m, 1L),                    // session 2: [55m, 55m]
+      (4L, 7 * m, 2L)                      // user 2, one session
+    ).toDF("event_id", "ts", "user_id")
+    val spans = graft.operators.EventOps.sessionSpans(ev, gap = 30 * m)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(spans((1L, 1L)) === (0L, 10 * m, 2L))
+    assert(spans((1L, 2L)) === (55 * m, 55 * m, 1L))
+    assert(spans((2L, 1L)) === (7 * m, 7 * m, 1L))
+    spark.catalog.clearCache()
+  }
 }

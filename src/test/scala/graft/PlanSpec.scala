@@ -432,4 +432,23 @@ class PlanSpec extends SparkSpec {
     assert(plan(bm25).contains("TakeOrderedAndProject"),
       "bm25TopK lost its TakeOrderedAndProject top-k")
   }
+
+  test("rangeJoinBinned is an equi-join, never a nested-loop product") {
+    import spark.implicits._
+    val intervals = spark.range(50).select(col("id").as("user_id"),
+      lit(1L).as("session_idx"), (col("id") * 100).as("start_ts"),
+      (col("id") * 100 + 57).as("end_ts"))
+    val probes = spark.range(500).select(col("id").as("event_id"),
+      (col("id") % 50).as("user_id"), (col("id") * 7 % 5000).as("ts"))
+    val p = plan(graft.operators.EventOps
+      .rangeJoinBinned(probes, intervals, binNs = 10L))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"range join fell back to a nested-loop product:\n$p")
+    // the containment predicate must be a post-join FILTER on an
+    // equi-join keyed by (key, bin)
+    assert(p.contains("Join") || p.contains("SortMergeJoin") ||
+      p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin"),
+      s"no equi-join in plan:\n$p")
+  }
 }
