@@ -584,4 +584,50 @@ object EventOps {
         col("key").as("user_id"), col("ts").cast("long").as("ts"),
         col("session_idx"), col("start_ts"), col("end_ts"))
   }
+
+  /**
+   * The mergeable aggregation GRAIN behind incremental daily rollups —
+   * the pattern that lets a 100 TB pipeline fold TODAY's events into
+   * yesterday's standing aggregate without rescanning history. The
+   * grain is one row per `(event_type, day, user_id)` carrying exact
+   * mergeable partials: event count and integer-CENTS value sum
+   * (SCALE.md lesson 11 — a double running sum would make the merge
+   * order observable). Distinct-user counts — the non-mergeable
+   * aggregate that usually forces full recomputes — become mergeable
+   * BECAUSE the grain keeps user_id as a key: the final rollup's
+   * `n_users` is just the grain's per-(type, day) row count.
+   *
+   * Contract: `rollupFromGrain(mergeGrain(g(a), g(b))) ==
+   * rollupFromGrain(g(a ∪ b))` for ANY split of the corpus, overlapping
+   * days included — `events_rollup_incremental` hash-pins it against a
+   * full-recompute oracle.
+   *
+   * Scale shape: the grain table is |types × days × active-users| —
+   * orders of magnitude below the event corpus — and the merge is a
+   * grain-keyed aggregation of two grain tables, never a corpus scan.
+   */
+  def rollupGrain(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), expr(s"ts div $NanosPerDay").as("day"),
+        col("user_id").cast("long").as("user_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day"), col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum(col("cents")).as("value_cents"))
+
+  /** Merge two [[rollupGrain]] tables (disjoint or overlapping grains). */
+  def mergeGrain(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("event_type"), col("day"), col("user_id"))
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("value_cents")).as("value_cents"))
+
+  /** Final per-(type, day) rollup from the grain: counts and cents sums
+    * fold; `n_users` is the grain's row count per group. */
+  def rollupFromGrain(grain: DataFrame): DataFrame =
+    grain
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("value_cents")).as("value_cents"),
+        count(lit(1)).as("n_users"))
 }

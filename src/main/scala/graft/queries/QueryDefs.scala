@@ -3735,6 +3735,26 @@ GROUP BY c.doc_id""")),
           |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
           |FROM events GROUP BY event_type, day""".stripMargin)),
 
+    // Incremental rollup via the mergeable aggregation grain: the
+    // corpus splits by event-id parity (days overlap heavily, forcing
+    // real grain merges incl. the "unmergeable" distinct-user count),
+    // each half rolls to its (type, day, user) grain, the grains merge,
+    // and the final rollup must hash-equal the full-recompute oracle.
+    ("events_rollup_incremental", (s: SparkSession, dir: String) => {
+      val e = EventOps.readEvents(s, dir)
+      EventOps.rollupFromGrain(EventOps.mergeGrain(
+        EventOps.rollupGrain(e.filter(col("event_id") % 2 === 0)),
+        EventOps.rollupGrain(e.filter(col("event_id") % 2 =!= 0))))
+    },
+      Some(
+        """SELECT event_type,
+          |  CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+          |  CAST(count(*) AS BIGINT) AS n_events,
+          |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+          |    AS value_cents,
+          |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+          |FROM events GROUP BY event_type, day""".stripMargin)),
+
     // Retention cohorts: users keyed by first-active day; each
     // (cohort_day, day_offset) cell counts still-active users.
     ("events_retention", (s: SparkSession, dir: String) =>

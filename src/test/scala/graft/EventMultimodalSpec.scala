@@ -594,4 +594,32 @@ class EventMultimodalSpec extends SparkSpec {
     assert(spans((2L, 1L)) === (7 * m, 7 * m, 1L))
     spark.catalog.clearCache()
   }
+
+  test("grain merge equals full recompute for any corpus split") {
+    val ev = Seq(
+      (1L, 0 * m, 1L, "click", 1.25, "{}"),
+      (2L, 10 * m, 1L, "click", 2.50, "{}"),
+      (3L, 24 * 60 * m + 5 * m, 1L, "click", 0.75, "{}"),
+      (4L, 20 * m, 2L, "view", 3.00, "{}"),
+      (5L, 30 * m, 2L, "click", 1.00, "{}"),
+      (6L, 40 * m, 1L, "view", 4.50, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val full = graft.operators.EventOps.rollupFromGrain(
+      graft.operators.EventOps.rollupGrain(ev))
+    // split puts the SAME (click, day0, user1) grain in both halves
+    val merged = graft.operators.EventOps.rollupFromGrain(
+      graft.operators.EventOps.mergeGrain(
+        graft.operators.EventOps.rollupGrain(ev.filter(col("event_id") <= 3)),
+        graft.operators.EventOps.rollupGrain(ev.filter(col("event_id") > 3))))
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getString(0), r.getLong(1))
+    val f = full.collect().map(r => key(r) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val g = merged.collect().map(r => key(r) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(f === g)
+    // the overlapping grain merged: day-0 clicks = 3 events, 2 users
+    assert(f(("click", 0L)) === (3L, 475L, 2L))
+    spark.catalog.clearCache()
+  }
 }
