@@ -299,30 +299,7 @@ object TextOps {
     val sh = docs.select(col("doc_id").cast("long").as("doc_id"),
       shingles(col("text"), k).as("sh"))
       .transform(Caches.persist(_))
-    val banded = sh.select(col("doc_id"),
-      posexplode(bandKeys(
-        graft.functions.minhash_signature(col("sh"), numHashes), bands, rows))
-        .as(Seq("band", "band_key")))
-    // Candidate pairs per bucket via one aggregation (no self-join: a
-    // join would re-evaluate the whole signature subtree on both sides).
-    // Buckets are tiny (near-dup clusters), so in-bucket pair expansion
-    // is cheap; sorted ids give doc_a < doc_b directly.
-    val ids = array_sort(collect_list(col("doc_id")))
-    val pairs = sortedPairs(col("ids"),
-      (a, b) => struct(a.as("doc_a"), b.as("doc_b")))
-    // In-bucket pair expansion is O(m²) per bucket. `maxBucketSize` > 0
-    // drops larger buckets outright — the 100 TB guard against
-    // mass-duplicated boilerplate, whose pairs exact dedup should have
-    // collapsed BEFORE near-dup detection (run dedupExact first). The
-    // default keeps every bucket (exact recall, the oracle-pinned mode).
-    val bucketOk =
-      if (maxBucketSize > 0) size(col("ids")) <= maxBucketSize else lit(true)
-    val cand = banded.groupBy(col("band"), col("band_key"))
-      .agg(ids.as("ids"))
-      .filter(size(col("ids")) > 1 && bucketOk)
-      .select(explode(pairs).as("pair"))
-      .select(col("pair.doc_a").as("doc_a"), col("pair.doc_b").as("doc_b"))
-      .distinct()
+    val cand = minhashCandidatePairs(sh, numHashes, bands, maxBucketSize)
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -330,6 +307,100 @@ object TextOps {
         round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** The banded-LSH candidate stage shared by [[nearDupPairs]] and
+    * [[lshRecallReport]]: `(doc_a < doc_b)` pairs sharing at least one
+    * `(band, band_key)` bucket, via one aggregation per bucket (no
+    * self-join: a join would re-evaluate the signature subtree on both
+    * sides). Buckets are tiny (near-dup clusters), so in-bucket pair
+    * expansion is cheap; `maxBucketSize > 0` drops larger buckets
+    * outright — the 100 TB guard against mass-duplicated boilerplate,
+    * whose pairs exact dedup should have collapsed BEFORE near-dup
+    * detection (run dedupExact first). Default keeps every bucket
+    * (exact recall, the oracle-pinned mode). */
+  private[graft] def minhashCandidatePairs(sh: DataFrame, numHashes: Int,
+      bands: Int, maxBucketSize: Int): DataFrame = {
+    val rows = numHashes / bands
+    val banded = sh.select(col("doc_id"),
+      posexplode(bandKeys(
+        graft.functions.minhash_signature(col("sh"), numHashes), bands, rows))
+        .as(Seq("band", "band_key")))
+    val ids = array_sort(collect_list(col("doc_id")))
+    val pairs = sortedPairs(col("ids"),
+      (a, b) => struct(a.as("doc_a"), b.as("doc_b")))
+    val bucketOk =
+      if (maxBucketSize > 0) size(col("ids")) <= maxBucketSize else lit(true)
+    banded.groupBy(col("band"), col("band_key"))
+      .agg(ids.as("ids"))
+      .filter(size(col("ids")) > 1 && bucketOk)
+      .select(explode(pairs).as("pair"))
+      .select(col("pair.doc_a").as("doc_a"), col("pair.doc_b").as("doc_b"))
+      .distinct()
+  }
+
+  /**
+   * LSH banding-theory certification — the [[VectorOps.annRecall]] /
+   * `pqRecall` analog for the TEXT dedup path: empirical candidate
+   * recall of the banded-MinHash stage per exact-Jaccard bucket,
+   * against the S-curve the banding theorem predicts
+   * (`P(candidate) = 1 − (1 − s^rows)^bands`). The number that answers
+   * "will (bands, rows) catch my 0.8-Jaccard duplicates?" BEFORE a
+   * corpus-scale run — run it on a sample, read the bucket where
+   * recall must be ~1, ship the parameters.
+   *
+   * Ground truth: every pair sharing ≥ 1 shingle, exact Jaccard via
+   * the inverted-index posting join (pairs sharing nothing have
+   * Jaccard 0 and are irrelevant to recall). One row per Jaccard
+   * decile `bucket = least(ceil(j·10), 10)`: exact pair/caught counts,
+   * `recall` (6dp), and `theory` at the bucket midpoint — the theory
+   * column uses only multiplication (integer powers unrolled), so both
+   * engines produce identical bits.
+   *
+   * Certification-scale only by design: exact ground truth pays the
+   * posting join (Σ|postings|² work). The production candidate
+   * generator it certifies stays banded/capped.
+   */
+  def lshRecallReport(docs: DataFrame, k: Int = 3, numHashes: Int = 12,
+      bands: Int = 4): DataFrame = {
+    val rows = numHashes / bands
+    require(bands * rows == numHashes, "numHashes must divide into bands")
+    graft.functions.ensureRegistered(docs.sparkSession)
+    val sh = Caches.persist(docs.select(
+      col("doc_id").cast("long").as("doc_id"),
+      shingles(col("text"), k).as("sh")))
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    val posting = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val truth = posting.select(col("g"), col("doc_id").as("doc_a"))
+      .join(posting.select(col("g"), col("doc_id").as("doc_b")), Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared"))).as("j"))
+    val cand = minhashCandidatePairs(sh, numHashes, bands, 0)
+      .withColumn("caught", lit(1L))
+    val bucketed = truth
+      .join(cand, Seq("doc_a", "doc_b"), "left")
+      .select(least(ceil(col("j") * 10), lit(10)).cast("int").as("bucket"),
+        coalesce(col("caught"), lit(0L)).as("caught"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("caught")).as("n_caught"))
+    // theory at the bucket midpoint s: 1 - (1 - s^rows)^bands with the
+    // integer powers UNROLLED as products — bit-identical across engines
+    def pow(c: Column, e: Int): Column =
+      (1 until e).foldLeft(c)((acc, _) => acc * c)
+    val s = (col("bucket").cast("double") - 0.5) / 10.0
+    bucketed.select(col("bucket"), col("n_pairs"), col("n_caught"),
+      round(col("n_caught").cast("double") / col("n_pairs"), 6)
+        .as("recall"),
+      round(lit(1.0) - pow(lit(1.0) - pow(s, rows), bands), 6)
+        .as("theory"))
   }
 
   /**

@@ -977,6 +977,76 @@ chunks AS (
           |  FROM cand)
           |WHERE jaccard >= 0.8""".stripMargin)),
 
+    // LSH banding-theory certification: empirical candidate recall per
+    // exact-Jaccard decile vs the 1-(1-s^r)^b S-curve (integer powers
+    // unrolled as products so theory bits match across engines). The
+    // text-path analog of ann_recall/pq_recall.
+    ("lsh_recall_report", (s: SparkSession, dir: String) =>
+      TextOps.lshRecallReport(t(s, dir, "documents")),
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+          |  FROM documents),
+          |sh AS (
+          |  SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3
+          |      THEN [array_to_string(tk, ' ')]
+          |      ELSE list_transform(range(1, len(tk) - 1),
+          |             i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
+          |  FROM toks),
+          |hm AS (
+          |  SELECT doc_id, sh,
+          |    list_transform(sh, s ->
+          |      md5('0|' || s) || md5('1|' || s) || md5('2|' || s)) AS hs
+          |  FROM sh),
+          |sig AS (
+          |  SELECT doc_id, sh,
+          |    list_transform(range(0, 12), i ->
+          |      list_aggregate(list_transform(hs,
+          |        h -> substr(h, CAST(i*8+1 AS INT), 8)), 'min')) AS mh
+          |  FROM hm),
+          |banded AS (
+          |  SELECT doc_id, b.b AS band,
+          |    md5(array_to_string(mh[b.b*3+1:b.b*3+3], '|')) AS band_key
+          |  FROM sig, generate_series(0, 3) b(b)),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM banded a JOIN banded b
+          |    ON a.band = b.band AND a.band_key = b.band_key
+          |   AND a.doc_id < b.doc_id),
+          |post AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+          |sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+          |truth AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |    count(*) AS shared
+          |  FROM post a JOIN post b
+          |    ON a.g = b.g AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2),
+          |tj AS (
+          |  SELECT t.doc_a, t.doc_b,
+          |    CAST(t.shared AS DOUBLE) / (sa.n + sb.n - t.shared) AS j
+          |  FROM truth t JOIN sz sa ON sa.doc_id = t.doc_a
+          |  JOIN sz sb ON sb.doc_id = t.doc_b),
+          |bk AS (
+          |  SELECT least(CAST(ceil(j * 10) AS BIGINT), 10) AS bucket,
+          |    CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS caught
+          |  FROM tj LEFT JOIN cand c
+          |    ON c.doc_a = tj.doc_a AND c.doc_b = tj.doc_b),
+          |r AS (
+          |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+          |    CAST(sum(caught) AS BIGINT) AS n_caught
+          |  FROM bk GROUP BY 1),
+          |st AS (
+          |  SELECT bucket, n_pairs, n_caught,
+          |    (CAST(bucket AS DOUBLE) - 0.5) / 10.0 AS s
+          |  FROM r),
+          |s3 AS (SELECT bucket, n_pairs, n_caught, 1.0 - s*s*s AS t
+          |  FROM st)
+          |SELECT CAST(bucket AS INT) AS bucket, n_pairs, n_caught,
+          |  round(CAST(n_caught AS DOUBLE) / n_pairs, 6) AS recall,
+          |  round(1.0 - t*t*t*t, 6) AS theory
+          |FROM s3""".stripMargin)),
+
     // Cross-corpus fuzzy near-dup: train split banded against the eval
     // split (same MinHash machinery, equi-join across corpora) — the
     // fuzzy decontamination pass exact dedup_against/contamination miss.

@@ -1559,4 +1559,34 @@ class TextVectorSpec extends SparkSpec {
       .collect()(0).getLong(0)
     assert(tie === 3L)
   }
+
+  test("lshRecallReport catches planted near-dups and misses strangers") {
+    // ten base docs with disjoint-ish vocab + one high-Jaccard twin
+    val rows = (0 until 10).map { i =>
+      (i.toLong, (0 until 12).map(j => s"w${i}_$j").mkString(" "),
+        "en", "s", 1L)
+    } :+ ((100L,
+      (0 until 11).map(j => s"w0_$j").mkString(" ") + " zz",
+      "en", "s", 1L))
+    val docs = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.lshRecallReport(docs).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    // the planted twin pair lands in a high bucket with recall 1
+    val high = out.filter(_._1 >= 8).values
+    assert(high.nonEmpty, s"no high-Jaccard bucket: ${out.keys}")
+    high.foreach { r =>
+      assert(r.getAs[Long]("n_caught") === r.getAs[Long]("n_pairs"),
+        s"missed a high-Jaccard pair: $r")
+      assert(r.getAs[Double]("theory") > 0.9)
+    }
+    // theory column is the unrolled S-curve at the bucket midpoint
+    out.values.foreach { r =>
+      val s0 = (r.getInt(0) - 0.5) / 10.0
+      val t = 1.0 - s0 * s0 * s0
+      val exp = BigDecimal(1.0 - t * t * t * t)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("theory") === exp, s"theory at $r")
+    }
+    spark.catalog.clearCache()
+  }
 }
