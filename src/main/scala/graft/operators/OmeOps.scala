@@ -603,6 +603,49 @@ object OmeOps {
   }
 
   /**
+   * Radial intensity profile — mean intensity vs distance from the
+   * plane center, per channel: the vignetting/optics-QC view
+   * (microscope illumination falls off radially; a sloped profile on a
+   * flat sample means shading correction is needed — the evidence
+   * [[flatfieldReport]] then quantifies per position). One row per
+   * `(c, ring)` where `ring = floor(hypot(x−cx, y−cy))` in pixels
+   * (center = the (sx−1)/2, (sy−1)/2 midpoint, halves exact in
+   * doubles; IEEE sqrt is correctly rounded, so ring indices are
+   * engine-identical): position count, plane count, exact intensity
+   * sum, 6dp mean.
+   *
+   * Scale shape: rings are a PURE FUNCTION of pixel position, so the
+   * profile derives from the [[graft.functions.PixelSumAgg]] field —
+   * the same one corpus scan as flat-field — and the ring rollup runs
+   * over channels × plane_size already-aggregated rows. Corpus pixels
+   * never shuffle.
+   */
+  def radialProfile(df: DataFrame,
+      column: String = OmeSchema.DefaultColumn): DataFrame = {
+    graft.functions.ensureRegistered(df.sparkSession)
+    val perC = explodePlanes(df, column)
+      .groupBy(col("c"))
+      .agg(count(lit(1)).as("n_planes"),
+        first(col("size_x")).as("sx"), first(col("size_y")).as("sy"),
+        graft.functions.pixel_sum_agg(col("pixels")).as("field"))
+    perC
+      .select(col("c"), col("n_planes"), col("sx"), col("sy"),
+        posexplode(col("field")).as(Seq("pos", "sum_px")))
+      .select(col("c"), col("n_planes"), col("sum_px"),
+        floor(sqrt(
+          (col("pos") % col("sx") - (col("sx") - 1) / 2.0d) *
+            (col("pos") % col("sx") - (col("sx") - 1) / 2.0d) +
+          (floor(col("pos") / col("sx")) - (col("sy") - 1) / 2.0d) *
+            (floor(col("pos") / col("sx")) - (col("sy") - 1) / 2.0d)))
+          .cast("int").as("ring"))
+      .groupBy(col("c"), col("ring"))
+      .agg(count(lit(1)).as("n_pos"), first(col("n_planes")).as("n_planes"),
+        sum(col("sum_px")).as("sum_px"),
+        round(sum(col("sum_px")).cast("double") /
+          (count(lit(1)) * first(col("n_planes"))), 6).as("mean_px"))
+  }
+
+  /**
    * Flat-field correction APPLIED — the composition proof for
    * [[flatfieldReport]]: estimate the per-(channel, position) gain from
    * the corpus, multiply every plane's pixels by it (HALF_UP to ints),

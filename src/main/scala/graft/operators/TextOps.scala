@@ -1567,6 +1567,36 @@ object TextOps {
   }
 
   /**
+   * Packing-efficiency report over [[packSequences]]' layout — the
+   * number a pretraining-data team reads before committing a sequence
+   * length: per shard, how many `seqLen` chunks the concatenated
+   * stream fills, exact token counts, utilization of the final partial
+   * chunk, and the padding fraction a naive one-doc-per-sequence
+   * layout would have wasted instead (`1 − Σtokens / (docs·seqLen)`,
+   * overlong docs truncated). One row per shard + the derivable
+   * corpus-level view by summing.
+   *
+   * Scale shape: one pass over the packed frame (itself one window
+   * pass); everything aggregates to `nShards` rows map-side.
+   */
+  def packingReport(docs: DataFrame, seqLen: Int,
+      nShards: Int = 8): DataFrame = {
+    val packed = packSequences(docs, seqLen, nShards)
+    packed
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        max(col("last_chunk")).as("last_chunk"),
+        sum(least(col("n_tokens"), lit(seqLen.toLong))).as("naive_kept"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        (col("last_chunk") + 1).as("n_chunks"),
+        round(col("n_tokens").cast("double") /
+          ((col("last_chunk") + 1) * seqLen), 6).as("packed_util"),
+        round(lit(1.0) - col("naive_kept").cast("double") /
+          (col("n_docs") * seqLen), 6).as("naive_pad_frac"))
+  }
+
+  /**
    * Span-level repeated-substring analysis — the exact-substring dedup
    * measure (the "repeated k-token span" family of corpus dedup, vs
    * [[segmentDedup]]'s separator-delimited segments): every POSITIONAL

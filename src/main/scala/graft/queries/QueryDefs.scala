@@ -340,6 +340,32 @@ chunks AS (
            |  END AS gain
            |FROM s JOIN tot ON s.c = tot.c""".stripMargin)),
 
+    // Radial intensity profile: mean intensity vs pixel distance from
+    // the plane center per channel — the vignetting/optics-QC view,
+    // derived from the same PixelSumAgg field as flat-field (rings are
+    // a pure function of position; corpus pixels never shuffle).
+    ("ome_radial_profile", (s: SparkSession, _: String) =>
+      OmeOps.radialProfile(Fixtures.corpus4d(s)),
+      Some(
+        s"""WITH $px4d, s AS (
+           |  SELECT c, p AS pos, CAST(count(*) AS BIGINT) AS n_planes,
+           |    CAST(sum(v) AS BIGINT) AS sum_px
+           |  FROM px GROUP BY 1, 2),
+           |r AS (
+           |  SELECT c, n_planes, sum_px,
+           |    CAST(floor(sqrt(
+           |      (pos % 8 - 3.5) * (pos % 8 - 3.5) +
+           |      (floor(pos / 8) - 3.5) * (floor(pos / 8) - 3.5)))
+           |      AS INT) AS ring
+           |  FROM s)
+           |SELECT CAST(c AS INT) AS c, ring,
+           |  CAST(count(*) AS BIGINT) AS n_pos,
+           |  CAST(min(n_planes) AS BIGINT) AS n_planes,
+           |  CAST(sum(sum_px) AS BIGINT) AS sum_px,
+           |  round(CAST(sum(sum_px) AS DOUBLE) /
+           |    (count(*) * min(n_planes)), 6) AS mean_px
+           |FROM r GROUP BY c, ring""".stripMargin)),
+
     // Flat-field correction applied end to end: estimate gains, rescale
     // every pixel (HALF_UP), re-aggregate per-position sums — the
     // corrected field is flat up to per-pixel rounding, and the oracle
@@ -2184,6 +2210,38 @@ GROUP BY c.doc_id""")),
           |  CAST(greatest((end_token - 1) // 512,
           |    (end_token - n_tokens) // 512) AS BIGINT) AS last_chunk
           |FROM spans""".stripMargin)),
+
+    // Packing-efficiency report: per-shard chunk counts, packed
+    // utilization, and the padding fraction a naive one-doc-per-
+    // sequence layout would waste — the sequence-length sizing number.
+    ("packing_report", (s: SparkSession, dir: String) =>
+      TextOps.packingReport(t(s, dir, "documents"), seqLen = 512,
+        nShards = 4),
+      Some(
+        """WITH toks AS (
+          |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |    CAST(doc_id % 4 AS BIGINT) AS shard,
+          |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+          |      x -> x <> '')) AS BIGINT) AS n_tokens
+          |  FROM documents),
+          |spans AS (
+          |  SELECT doc_id, shard, n_tokens,
+          |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+          |      ROWS UNBOUNDED PRECEDING) AS end_token
+          |  FROM toks),
+          |p AS (
+          |  SELECT shard, n_tokens,
+          |    CAST(greatest((end_token - 1) // 512,
+          |      (end_token - n_tokens) // 512) AS BIGINT) AS last_chunk
+          |  FROM spans)
+          |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+          |  CAST(max(last_chunk) + 1 AS BIGINT) AS n_chunks,
+          |  round(CAST(sum(n_tokens) AS DOUBLE) /
+          |    ((max(last_chunk) + 1) * 512), 6) AS packed_util,
+          |  round(1.0 - CAST(sum(least(n_tokens, 512)) AS DOUBLE) /
+          |    (count(*) * 512), 6) AS naive_pad_frac
+          |FROM p GROUP BY shard""".stripMargin)),
 
     // Bigram-LM perplexity quality scoring (the CCNet filter shape),
     // self-trained on the corpus: add-k-smoothed p(w2|w1) with the
