@@ -1567,6 +1567,35 @@ object TextOps {
   }
 
   /**
+   * Encoding-artifact (mojibake) detection — the ftfy-class curation
+   * signal: web crawls are full of UTF-8 text that was decoded as
+   * Latin-1/cp1252 and re-encoded, leaving characteristic marker
+   * sequences ("â€™" for a right quote, "Ã©" for é, the U+FFFD
+   * replacement char from lossy decodes). Per doc: occurrence counts
+   * of the three marker families and a `flagged` bit — route flagged
+   * docs to a re-decode pass instead of training on garbage.
+   *
+   * Counting is `(len(text) − len(replace(text, marker, ''))) ÷
+   * len(marker)` — pure string built-ins, identical in any engine, no
+   * regex dialect to reconcile. Heuristic by design: a genuine "Ã"
+   * in clean French text counts too; thresholds, not proofs. One
+   * narrow projection, zero shuffles.
+   */
+  def encodingArtifacts(docs: DataFrame, minHits: Int = 1): DataFrame = {
+    def hits(marker: String): Column =
+      ((length(col("text")) -
+        length(regexp_replace(col("text"),
+          java.util.regex.Pattern.quote(marker), ""))) /
+        marker.length).cast("long")
+    val a = hits("â€") // "â€" — cp1252-mangled punctuation
+    val b = hits("Ã")       // "Ã" — mangled Latin-1 accents
+    val c = hits("�")       // U+FFFD replacement character
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+      a.as("punct_hits"), b.as("accent_hits"), c.as("replacement_hits"),
+      ((a + b + c) >= minHits).cast("int").as("flagged"))
+  }
+
+  /**
    * Packing-efficiency report over [[packSequences]]' layout — the
    * number a pretraining-data team reads before committing a sequence
    * length: per shard, how many `seqLen` chunks the concatenated

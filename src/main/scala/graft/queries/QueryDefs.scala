@@ -2211,6 +2211,28 @@ GROUP BY c.doc_id""")),
           |    (end_token - n_tokens) // 512) AS BIGINT) AS last_chunk
           |FROM spans""".stripMargin)),
 
+    // Encoding-artifact (mojibake) detection: counts of the three
+    // cp1252-mangling marker families per doc via replace-based
+    // counting (pure string built-ins, no regex dialect). The clean
+    // synthetic corpus scores all zeros — the detector's specs prove
+    // the positive path on crafted mojibake.
+    ("encoding_artifacts", (s: SparkSession, dir: String) =>
+      TextOps.encodingArtifacts(t(s, dir, "documents")),
+      Some(
+        """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |  CAST((length(text) - length(replace(text, 'â€', ''))) / 2
+          |    AS BIGINT) AS punct_hits,
+          |  CAST(length(text) - length(replace(text, 'Ã', ''))
+          |    AS BIGINT) AS accent_hits,
+          |  CAST(length(text) - length(replace(text, '�', ''))
+          |    AS BIGINT) AS replacement_hits,
+          |  CAST(CASE WHEN
+          |    (length(text) - length(replace(text, 'â€', ''))) / 2 +
+          |    (length(text) - length(replace(text, 'Ã', ''))) +
+          |    (length(text) - length(replace(text, '�', ''))) >= 1
+          |    THEN 1 ELSE 0 END AS INT) AS flagged
+          |FROM documents""".stripMargin)),
+
     // Packing-efficiency report: per-shard chunk counts, packed
     // utilization, and the padding fraction a naive one-doc-per-
     // sequence layout would waste — the sequence-length sizing number.

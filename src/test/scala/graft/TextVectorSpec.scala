@@ -1589,4 +1589,21 @@ class TextVectorSpec extends SparkSpec {
     }
     spark.catalog.clearCache()
   }
+
+  test("encodingArtifacts counts mojibake markers and flags hits") {
+    val corpus = Seq(
+      (0L, "perfectly clean ascii text", "en", "s", 1L),
+      (1L, "the word caf\u00c3\u00a9 was double-encoded", "en", "s", 1L),
+      (2L, "bad quote \u00e2\u20ac\u2122 and another \u00e2\u20ac\u0153 here", "en", "s", 1L),
+      (3L, "lossy \ufffd\ufffd decode", "en", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.encodingArtifacts(corpus)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+    assert(out(0L) === (0L, 0L, 0L, 0))
+    assert(out(1L) === (0L, 1L, 0L, 1))
+    assert(out(2L) === (2L, 0L, 0L, 1))
+    assert(out(3L) === (0L, 0L, 2L, 1))
+    spark.catalog.clearCache()
+  }
 }
