@@ -1275,4 +1275,63 @@ object VectorOps {
       .select(col("cluster"), col("rnk"), col("term"), col("n_term"),
         col("n_docs"), col("score"))
   }
+
+  /**
+   * IVF probe-sweep recall curve — the index-tuning evidence for
+   * `nProbe` (the [[lshRecallReport]] analog for the IVF family):
+   * recall@k of the multi-probe search ([[ivfTopKProbed]] semantics —
+   * same deterministic codebook, same cosine routing, same tie-breaks)
+   * at EVERY probe count 1..nCentroids, from one pass. For each true
+   * top-k neighbor (brute-force cosine ground truth), compute the rank
+   * of its cell in the query's centroid-preference order — the number
+   * of probes that would have found it — then the curve is a rollup of
+   * that distribution. `n_probe = nCentroids` searches every cell, so
+   * its recall is 1.0 by construction: the curve's self-check.
+   *
+   * Scale shape: ground truth is the brute-force scan (certification-
+   * scale by design, like [[annRecall]]); everything else is
+   * (queries × k) + (queries × nCentroids) rows.
+   */
+  def ivfProbeCurve(emb: DataFrame, k: Int = 3, nCentroids: Int = 16,
+      nQueries: Int = 16): DataFrame = {
+    graft.functions.ensureRegistered(emb.sparkSession)
+    val cents = firstNCentroids(emb, nCentroids)
+    val base = Caches.persist(emb.select(
+      col("vec_id").cast("long").as("vec_id"), col("embedding")))
+    val probes = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+    val truth = base.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        cosine6(col("p_emb"), col("embedding")).as("score"))
+      .withColumn("rnk", row_number().over(Window
+        .partitionBy(col("probe_id"))
+        .orderBy(col("score").desc, col("neighbor_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("neighbor_id"))
+    val member = assignClusters(base, cents)
+      .select(col("vec_id").as("neighbor_id"),
+        col("cluster").as("n_cluster"))
+    val pref = probes.crossJoin(broadcast(cents))
+      .select(col("probe_id"), col("centroid_id"),
+        cosine6(col("p_emb"), col("c_emb")).as("c_score"))
+      .withColumn("crnk", row_number().over(Window
+        .partitionBy(col("probe_id"))
+        .orderBy(col("c_score").desc, col("centroid_id").asc)))
+      .select(col("probe_id"), col("centroid_id").as("n_cluster"),
+        col("crnk"))
+    val needed = truth
+      .join(member, Seq("neighbor_id"))
+      .join(pref, Seq("probe_id", "n_cluster"))
+      .select(col("crnk"))
+      .transform(Caches.persist(_))
+    val total = needed.count()
+    needed
+      .select(explode(sequence(col("crnk").cast("int"),
+        lit(nCentroids))).as("n_probe"))
+      .groupBy(col("n_probe"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("n_probe"), col("n_hits"), lit(total).as("n_truth"),
+        round(col("n_hits").cast("double") / total, 6).as("recall"))
+  }
 }

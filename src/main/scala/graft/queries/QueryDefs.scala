@@ -3287,6 +3287,59 @@ GROUP BY c.doc_id""")),
           |  round(min(s), 6) AS min_cos
           |FROM assigned GROUP BY cluster""".stripMargin)),
 
+    // IVF probe-sweep recall curve: for every true brute-force top-k
+    // neighbor, the rank of its cell in the query's centroid preference
+    // = probes needed to find it; the curve rolls that distribution up
+    // to recall@k per nProbe 1..16 (recall(16) = 1.0 by construction —
+    // the self-check). The ivf-family tuning evidence.
+    ("ivf_probe_curve", (s: SparkSession, dir: String) =>
+      VectorOps.ivfProbeCurve(t(s, dir, "embeddings"), k = 3,
+        nCentroids = 16, nQueries = 16),
+      Some(
+        s"""WITH e AS (
+           |  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding
+           |  FROM embeddings),
+           |cents AS (SELECT vec_id AS centroid_id, embedding AS c_emb
+           |  FROM e WHERE vec_id < 16),
+           |probes AS (SELECT vec_id AS probe_id, embedding AS p_emb
+           |  FROM e WHERE vec_id < 16),
+           |truth AS (
+           |  SELECT probe_id, neighbor_id FROM (
+           |    SELECT p.probe_id, x.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY p.probe_id
+           |        ORDER BY ${cosSql("p.p_emb", "x.embedding")} DESC,
+           |          x.vec_id ASC) AS rnk
+           |    FROM probes p JOIN e x ON x.vec_id <> p.probe_id)
+           |  WHERE rnk <= 3),
+           |member AS (
+           |  SELECT vec_id AS neighbor_id, centroid_id AS n_cluster
+           |  FROM (
+           |    SELECT e.vec_id, c.centroid_id,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC,
+           |          c.centroid_id ASC) AS rn
+           |    FROM e, cents c) WHERE rn = 1),
+           |pref AS (
+           |  SELECT probe_id, centroid_id AS n_cluster,
+           |    row_number() OVER (PARTITION BY probe_id
+           |      ORDER BY ${cosSql("p.p_emb", "c.c_emb")} DESC,
+           |        c.centroid_id ASC) AS crnk
+           |  FROM probes p, cents c),
+           |needed AS (
+           |  SELECT pr.crnk
+           |  FROM truth t
+           |  JOIN member m ON m.neighbor_id = t.neighbor_id
+           |  JOIN pref pr ON pr.probe_id = t.probe_id
+           |    AND pr.n_cluster = m.n_cluster),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM needed)
+           |SELECT CAST(s.p AS INT) AS n_probe,
+           |  CAST(count(*) AS BIGINT) AS n_hits, tot.n_truth,
+           |  round(CAST(count(*) AS DOUBLE) / tot.n_truth, 6) AS recall
+           |FROM needed n JOIN generate_series(1, 16) s(p)
+           |  ON s.p >= n.crnk
+           |CROSS JOIN tot
+           |GROUP BY s.p, tot.n_truth""".stripMargin)),
+
     ("embed_ann_ivf", (s: SparkSession, dir: String) =>
       VectorOps.ivfTopK(t(s, dir, "embeddings"), nProbes = 16, k = 5),
       Some(

@@ -1606,4 +1606,24 @@ class TextVectorSpec extends SparkSpec {
     assert(out(3L) === (0L, 0L, 2L, 1))
     spark.catalog.clearCache()
   }
+
+  test("ivfProbeCurve is monotone and reaches exactly 1.0 at full probes") {
+    val emb = (0 until 40).map { i =>
+      val g = i % 4
+      (i.toLong, Seq(
+        (if (g == 0) 10f else 0f) + i * 0.01f,
+        (if (g == 1) 10f else 0f),
+        (if (g == 2) 10f else 0f),
+        (if (g == 3) 10f else 0f)), g)
+    }.toDF("vec_id", "embedding", "label")
+    val out = VectorOps.ivfProbeCurve(emb, k = 2, nCentroids = 4,
+      nQueries = 4).collect()
+      .map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(out(4) === 1.0, s"full-probe recall must be exactly 1: $out")
+    (1 until 4).foreach { p =>
+      if (out.contains(p) && out.contains(p + 1))
+        assert(out(p) <= out(p + 1), s"recall not monotone at $p: $out")
+    }
+    spark.catalog.clearCache()
+  }
 }
