@@ -1567,6 +1567,38 @@ object TextOps {
   }
 
   /**
+   * Corpus release diff — the dataset-versioning QA view: given two
+   * corpus versions keyed by `doc_id`, one row summarizing churn:
+   * docs added, removed, content-changed (same id, different sha256),
+   * unchanged, plus the changed/unchanged character deltas. The
+   * release-over-release gate a data team reads before promoting a
+   * refreshed crawl ("0.3% churn expected from the re-decode fix; 40%
+   * means the pipeline broke").
+   *
+   * Scale shape: one full-outer join on doc_id of two narrow
+   * (id, sha, n_chars) projections — content never joins, only
+   * fingerprints; the rollup is a 1-row aggregation with map-side
+   * partials.
+   */
+  def corpusDiff(prev: DataFrame, next: DataFrame): DataFrame = {
+    def keyed(d: DataFrame, tag: String) = d.select(
+      col("doc_id").cast("long").as("doc_id"),
+      sha2(col("text"), 256).as(s"sha_$tag"),
+      length(col("text")).cast("long").as(s"chars_$tag"))
+    keyed(prev, "a").join(keyed(next, "b"), Seq("doc_id"), "full_outer")
+      .agg(
+        sum(when(col("sha_a").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("sha_b").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("sha_a").isNotNull && col("sha_b").isNotNull &&
+          col("sha_a") =!= col("sha_b"), 1L).otherwise(0L))
+          .as("n_changed"),
+        sum(when(col("sha_a") === col("sha_b"), 1L).otherwise(0L))
+          .as("n_unchanged"),
+        coalesce(sum(when(col("sha_a").isNotNull && col("sha_b").isNotNull,
+          col("chars_b") - col("chars_a"))), lit(0L)).as("chars_delta"))
+  }
+
+  /**
    * Encoding-artifact (mojibake) detection — the ftfy-class curation
    * signal: web crawls are full of UTF-8 text that was decoded as
    * Latin-1/cp1252 and re-encoded, leaving characteristic marker

@@ -2211,6 +2211,58 @@ GROUP BY c.doc_id""")),
           |    (end_token - n_tokens) // 512) AS BIGINT) AS last_chunk
           |FROM spans""".stripMargin)),
 
+    // Corpus release diff: deterministic synthetic "next release"
+    // (every 10th doc dropped, every 7th survivor's text mutated, 50
+    // fresh ids appended) diffed against the corpus — added/removed/
+    // changed/unchanged counts plus the character delta.
+    ("corpus_diff", (s: SparkSession, dir: String) => {
+      val a = t(s, dir, "documents")
+      val survivors = a.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" refreshed"))).otherwise(col("text")))
+      val fresh = s.range(50).select(
+        (col("id") + 100000L).as("doc_id"),
+        concat(lit("new doc "), col("id")).as("text"),
+        lit("en").as("lang"), lit("crawl2").as("source"),
+        lit(0L).as("n_chars"))
+      TextOps.corpusDiff(a, survivors.unionByName(fresh))
+    },
+      Some(
+        """WITH a AS (
+          |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |    sha256(text) AS sha, CAST(length(text) AS BIGINT) AS chars
+          |  FROM documents),
+          |b0 AS (
+          |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |    CASE WHEN doc_id % 7 = 0 THEN text || ' refreshed'
+          |      ELSE text END AS text
+          |  FROM documents WHERE doc_id % 10 <> 0),
+          |b1 AS (
+          |  SELECT doc_id, text FROM b0
+          |  UNION ALL
+          |  SELECT 100000 + i.i AS doc_id, 'new doc ' || i.i AS text
+          |  FROM generate_series(0, 49) i(i)),
+          |b AS (SELECT doc_id, sha256(text) AS sha,
+          |  CAST(length(text) AS BIGINT) AS chars FROM b1),
+          |j AS (
+          |  SELECT a.sha AS sha_a, b.sha AS sha_b,
+          |    a.chars AS chars_a, b.chars AS chars_b
+          |  FROM a FULL JOIN b ON a.doc_id = b.doc_id)
+          |SELECT
+          |  CAST(sum(CASE WHEN sha_a IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_added,
+          |  CAST(sum(CASE WHEN sha_b IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_removed,
+          |  CAST(sum(CASE WHEN sha_a IS NOT NULL AND sha_b IS NOT NULL
+          |    AND sha_a <> sha_b THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_changed,
+          |  CAST(sum(CASE WHEN sha_a = sha_b THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_unchanged,
+          |  CAST(coalesce(sum(CASE WHEN sha_a IS NOT NULL
+          |    AND sha_b IS NOT NULL THEN chars_b - chars_a END), 0)
+          |    AS BIGINT) AS chars_delta
+          |FROM j""".stripMargin)),
+
     // Encoding-artifact (mojibake) detection: counts of the three
     // cp1252-mangling marker families per doc via replace-based
     // counting (pure string built-ins, no regex dialect). The clean

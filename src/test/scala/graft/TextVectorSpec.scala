@@ -1626,4 +1626,24 @@ class TextVectorSpec extends SparkSpec {
     }
     spark.catalog.clearCache()
   }
+
+  test("corpusDiff counts added/removed/changed/unchanged exactly") {
+    val a = Seq(
+      (0L, "alpha", "en", "s", 5L), (1L, "beta", "en", "s", 4L),
+      (2L, "gamma", "en", "s", 5L), (3L, "delta", "en", "s", 5L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val b = Seq(
+      (0L, "alpha", "en", "s", 5L),          // unchanged
+      (1L, "beta prime", "en", "s", 10L),    // changed (+6 chars)
+      (3L, "delta", "en", "s", 5L),          // unchanged
+      (9L, "epsilon", "en", "s", 7L)         // added; doc 2 removed
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextOps.corpusDiff(a, b).collect()(0)
+    assert(r.getAs[Long]("n_added") === 1L)
+    assert(r.getAs[Long]("n_removed") === 1L)
+    assert(r.getAs[Long]("n_changed") === 1L)
+    assert(r.getAs[Long]("n_unchanged") === 2L)
+    assert(r.getAs[Long]("chars_delta") === 6L)
+    spark.catalog.clearCache()
+  }
 }
