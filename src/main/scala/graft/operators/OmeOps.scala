@@ -603,6 +603,83 @@ object OmeOps {
   }
 
   /**
+   * Stage-drift detection — per (channel, z), the translation between
+   * CONSECUTIVE time points that maximizes the mean pixel
+   * cross-correlation over the overlap, searched on a
+   * `[-maxShift, maxShift]²` grid: the time-lapse QC that catches a
+   * drifting stage or a bumped plate before segmentation garbage
+   * propagates (Fiji's "Correct 3D drift" does the same search with
+   * FFTs; at QC shift ranges the direct grid is exact and integer).
+   *
+   * For each shift `(dy, dx)` the score is
+   * `Σ A[y+dy, x+dx]·B[y, x] ÷ overlap_px` (A = earlier frame,
+   * rounded 6dp) — exact-integer [[graft.functions.PixelDot]] over
+   * complementary [[graft.functions.PixelCrop]] windows, both
+   * codegen'd kernels. Argmax takes the FIRST maximal shift in
+   * row-major `(dy, dx)` order (engine-portable tie-break). One row
+   * per `(image, c, z, t)` frame pair: `best_dy`, `best_dx`, `score`.
+   *
+   * Scale shape: frame pairs are built IN-ROW from the record's own
+   * `planes` array (the [[colocalization]] shape) — pixels never cross
+   * an exchange; all `(2·maxShift+1)²` scores are one codegen'd
+   * projection per pair.
+   */
+  def driftReport(df: DataFrame, maxShift: Int = 2,
+      column: String = OmeSchema.DefaultColumn): DataFrame = {
+    require(maxShift >= 1, "driftReport: maxShift must be >= 1")
+    graft.functions.ensureRegistered(df.sparkSession)
+    val rec = col(column)
+    val w = 2 * maxShift + 1
+    val base = df.select(rec.getField("id").as("image_id"),
+      pm(rec).getField("size_x").as("sx"),
+      pm(rec).getField("size_y").as("sy"),
+      rec.getField("planes").as("planes"))
+    def cropDot(pa: Column, pb: Column, dy: Int, dx: Int): Column = {
+      def crop(px: Column, x0: Column, x1: Column, y0: Column,
+          y1: Column): Column =
+        call_function("graft_pixel_crop", px, col("sx"), x0, x1, y0, y1)
+      val ca = crop(pa, lit(math.max(0, dx)),
+        col("sx") - lit(math.max(0, -dx)),
+        lit(math.max(0, dy)), col("sy") - lit(math.max(0, -dy)))
+      val cb = crop(pb, lit(math.max(0, -dx)),
+        col("sx") - lit(math.max(0, dx)),
+        lit(math.max(0, -dy)), col("sy") - lit(math.max(0, dy)))
+      round(graft.functions.pixel_dot(ca, cb).cast("double") /
+        ((col("sx") - lit(math.abs(dx))) *
+          (col("sy") - lit(math.abs(dy)))), 6)
+    }
+    val pairScores = flatten(transform(col("planes"), p1 =>
+      transform(
+        filter(col("planes"), p2 =>
+          p2.getField("c") === p1.getField("c") &&
+            p2.getField("z") === p1.getField("z") &&
+            p2.getField("t") === p1.getField("t") + 1),
+        p2 => {
+          val shifts = for (dy <- -maxShift to maxShift;
+                            dx <- -maxShift to maxShift)
+            yield cropDot(p1.getField("pixels"), p2.getField("pixels"),
+              dy, dx)
+          struct(
+            p1.getField("c").cast("int").as("c"),
+            p1.getField("z").as("z"),
+            p1.getField("t").as("t"),
+            array(shifts: _*).as("scores"))
+        })))
+    base
+      .select(col("image_id"), col("sx"), col("sy"),
+        explode(pairScores).as("ps"))
+      .select(col("image_id"), col("ps.c").as("c"), col("ps.z").as("z"),
+        col("ps.t").as("t"),
+        array_position(col("ps.scores"), array_max(col("ps.scores")))
+          .cast("int").as("pos"),
+        col("ps.scores").as("scores"))
+      .select(col("image_id"), col("c"), col("z"), col("t"),
+        (expr(s"(pos - 1) div $w") - maxShift).cast("int").as("best_dy"),
+        (expr(s"(pos - 1) % $w") - maxShift).cast("int").as("best_dx"),
+        element_at(col("scores"), col("pos")).as("score"))
+  }
+
+  /**
    * Radial intensity profile — mean intensity vs distance from the
    * plane center, per channel: the vignetting/optics-QC view
    * (microscope illumination falls off radially; a sloped profile on a

@@ -340,6 +340,40 @@ chunks AS (
            |  END AS gain
            |FROM s JOIN tot ON s.c = tot.c""".stripMargin)),
 
+    // Stage-drift detection: per (image, c, z) consecutive-frame pair,
+    // the [-2,2]^2 shift maximizing mean overlap cross-correlation —
+    // exact-integer PixelCrop/PixelDot kernels in-row, first-maximal
+    // row-major tie-break, oracle replays the shifted-grid join.
+    ("ome_drift_report", (s: SparkSession, _: String) =>
+      OmeOps.driftReport(Fixtures.corpus4d(s)),
+      Some(
+        s"""WITH $px4d, sh AS (
+           |  SELECT dy.dy AS dy, dx.dx AS dx
+           |  FROM generate_series(-2, 2) dy(dy),
+           |       generate_series(-2, 2) dx(dx)),
+           |sc AS (
+           |  SELECT a.img, a.c, a.z, a.t, s.dy, s.dx,
+           |    round(CAST(sum(a.v * b.v) AS DOUBLE) /
+           |      ((8 - abs(s.dx)) * (8 - abs(s.dy))), 6) AS mscore
+           |  FROM px a
+           |  CROSS JOIN sh s
+           |  JOIN px b ON b.img = a.img AND b.c = a.c AND b.z = a.z
+           |    AND b.t = a.t + 1
+           |    AND a.y = b.y + s.dy AND a.x = b.x + s.dx
+           |  WHERE a.t < 1
+           |  GROUP BY 1, 2, 3, 4, 5, 6),
+           |best AS (
+           |  SELECT img, c, z, t, dy, dx, mscore,
+           |    row_number() OVER (PARTITION BY img, c, z, t
+           |      ORDER BY mscore DESC, (dy + 2) * 5 + (dx + 2) ASC)
+           |      AS rn
+           |  FROM sc)
+           |SELECT $id4d AS image_id, CAST(c AS INT) AS c,
+           |  CAST(z AS INT) AS z, CAST(t AS INT) AS t,
+           |  CAST(dy AS INT) AS best_dy, CAST(dx AS INT) AS best_dx,
+           |  mscore AS score
+           |FROM best WHERE rn = 1""".stripMargin)),
+
     // Radial intensity profile: mean intensity vs pixel distance from
     // the plane center per channel — the vignetting/optics-QC view,
     // derived from the same PixelSumAgg field as flat-field (rings are

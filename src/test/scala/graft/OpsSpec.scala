@@ -445,4 +445,43 @@ class OpsSpec extends SparkSpec {
     }
     spark.catalog.clearCache()
   }
+
+  test("driftReport recovers a planted stage drift") {
+    import graft.schema.OmePlane
+    // frame 1 = frame 0 translated down 1, right 1 over a 6x6 plane
+    // with a bright off-center blob; expected argmax shift = (-1, -1)
+    val sx = 6; val sy = 6
+    def blob(y0: Int, x0: Int): Seq[Int] =
+      (0 until sy * sx).map { p =>
+        val y = p / sx; val x = p % sx
+        if (math.abs(y - y0) <= 1 && math.abs(x - x0) <= 1) 900 else 10
+      }
+    val rec = OmeConstructors.toOmeArrow(spark, imageId = "drift-0",
+      sizeX = sx, sizeY = sy, sizeT = 2,
+      planes = Some(Seq(
+        OmePlane(0, 0, 0, blob(2, 3)),
+        OmePlane(0, 1, 0, blob(3, 4)))))
+    val out = OmeOps.driftReport(rec).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getAs[Int]("best_dy") === -1 && r.getAs[Int]("best_dx") === -1,
+      s"wrong drift: $r")
+    // and the score at the planted shift is a full-blob overlap: the
+    // brute-force recomputation agrees
+    val a = blob(2, 3); val b = blob(3, 4)
+    def score(dy: Int, dx: Int): Double = {
+      var s = 0L; var n = 0
+      for (y <- 0 until sy; x <- 0 until sx) {
+        val ay = y + dy; val ax = x + dx
+        if (ay >= 0 && ay < sy && ax >= 0 && ax < sx) {
+          s += a(ay * sx + ax).toLong * b(y * sx + x); n += 1
+        }
+      }
+      BigDecimal(s.toDouble / n).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(r.getAs[Double]("score") === score(-1, -1))
+    val all = for (dy <- -2 to 2; dx <- -2 to 2) yield score(dy, dx)
+    assert(score(-1, -1) === all.max)
+  }
 }
