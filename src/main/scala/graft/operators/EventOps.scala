@@ -630,4 +630,39 @@ object EventOps {
       .agg(sum(col("n_events")).as("n_events"),
         sum(col("value_cents")).as("value_cents"),
         count(lit(1)).as("n_users"))
+
+  /**
+   * SCD2 history build — the slowly-changing-dimension type-2
+   * primitive (the lakehouse MERGE pattern, Kimball's bread and
+   * butter): collapse a change log into versioned attribute intervals
+   * per key. Consecutive equal values dedup (observing the same state
+   * twice is not a new version); each surviving change opens a version
+   * at its timestamp and the NEXT version's timestamp closes it
+   * (`valid_to` NULL = current). One row per version:
+   * `(key, attr, valid_from, valid_to, version)`.
+   *
+   * Determinism: changes order by `(ts, event_id)` per key, so
+   * same-instant changes resolve identically in any engine.
+   *
+   * Scale shape: ONE key-partitioned window pass (lag for
+   * change-detection, lead + row_number on the collapsed rows) — the
+   * same single-shuffle shape as sessionization; no self-joins, no
+   * MERGE round-trips per batch.
+   */
+  def scd2Build(changes: DataFrame, keyCol: String = "user_id",
+      attrCol: String = "event_type"): DataFrame = {
+    val byKey = Window.partitionBy(col("key"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    changes
+      .select(col(keyCol).cast("long").as("key"),
+        col("ts").cast("long").as("ts"),
+        col("event_id").cast("long").as("event_id"),
+        col(attrCol).as("attr"))
+      .withColumn("prev", lag(col("attr"), 1).over(byKey))
+      .filter(col("prev").isNull || col("prev") =!= col("attr"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(byKey))
+      .withColumn("version", row_number().over(byKey).cast("int"))
+      .select(col("key").as(keyCol), col("attr"),
+        col("ts").as("valid_from"), col("valid_to"), col("version"))
+  }
 }

@@ -4024,6 +4024,32 @@ GROUP BY c.doc_id""")),
           |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
           |FROM events GROUP BY event_type, day""".stripMargin)),
 
+    // SCD2 history build: the change log collapses into versioned
+    // attribute intervals per user (consecutive equal states dedup,
+    // lead() closes each version) — one key-partitioned window pass.
+    ("scd2_history", (s: SparkSession, dir: String) =>
+      EventOps.scd2Build(EventOps.readEvents(s, dir)
+        .withColumn("ts", expr("ts div 1000"))),
+      Some(
+        """WITH c AS (
+          |  SELECT CAST(user_id AS BIGINT) AS user_id,
+          |    epoch_us(ts) AS ts, CAST(event_id AS BIGINT) AS event_id,
+          |    event_type AS attr
+          |  FROM events),
+          |d AS (
+          |  SELECT user_id, ts, event_id, attr,
+          |    lag(attr) OVER w AS prev
+          |  FROM c WINDOW w AS (PARTITION BY user_id
+          |    ORDER BY ts, event_id)),
+          |v AS (
+          |  SELECT user_id, attr, ts, event_id
+          |  FROM d WHERE prev IS NULL OR prev <> attr)
+          |SELECT user_id, attr, CAST(ts AS BIGINT) AS valid_from,
+          |  CAST(lead(ts) OVER w AS BIGINT) AS valid_to,
+          |  CAST(row_number() OVER w AS INT) AS version
+          |FROM v WINDOW w AS (PARTITION BY user_id
+          |  ORDER BY ts, event_id)""".stripMargin)),
+
     // Incremental rollup via the mergeable aggregation grain: the
     // corpus splits by event-id parity (days overlap heavily, forcing
     // real grain merges incl. the "unmergeable" distinct-user count),

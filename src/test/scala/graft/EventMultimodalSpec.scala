@@ -622,4 +622,24 @@ class EventMultimodalSpec extends SparkSpec {
     assert(f(("click", 0L)) === (3L, 475L, 2L))
     spark.catalog.clearCache()
   }
+
+  test("scd2Build collapses a change log into versioned intervals") {
+    val ev = Seq(
+      (1L, 0 * m, 1L, "free", 0.0, "{}"),
+      (2L, 10 * m, 1L, "free", 0.0, "{}"),  // same state -> no version
+      (3L, 20 * m, 1L, "pro", 0.0, "{}"),
+      (4L, 30 * m, 1L, "free", 0.0, "{}"),  // back to free = NEW version
+      (5L, 5 * m, 2L, "pro", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.operators.EventOps.scd2Build(ev)
+      .collect().map(r => (r.getLong(0), r.getInt(4)) ->
+        (r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(out.size === 4)
+    assert(out((1L, 1)) === ("free", 0L, 20 * m))
+    assert(out((1L, 2)) === ("pro", 20 * m, 30 * m))
+    assert(out((1L, 3)) === ("free", 30 * m, -1L)) // open version
+    assert(out((2L, 1)) === ("pro", 5 * m, -1L))
+    spark.catalog.clearCache()
+  }
 }
