@@ -665,4 +665,64 @@ object EventOps {
       .select(col("key").as(keyCol), col("attr"),
         col("ts").as("valid_from"), col("valid_to"), col("version"))
   }
+
+  /**
+   * PageRank over the event-type transition graph — iterative graph
+   * analytics as a first-class operator (the "which state dominates
+   * the long-run flow" view of [[transitionMatrix]]'s Markov edges).
+   * `iters` fixed power-iteration rounds with damping `d = dampingPct
+   * / 100`, in EXACT integer nano-units so every round replays as a
+   * chained CTE in any engine (the Lloyd-IVF determinism recipe):
+   *
+   *   r₀(v)    = 10⁹ div n
+   *   rₜ₊₁(v) = (15·10⁹) div (100·n)
+   *              + (d% · Σ_u (rₜ(u)·w(u,v)) div W(u)) div 100
+   *
+   * — all floor divisions of positive longs, so `div` and `//`
+   * agree. Dangling-node mass vanishes (the standard simplification;
+   * total mass is not conserved, RELATIVE ranks are the product).
+   *
+   * Scale shape: the edge list is |types|² by construction here, but
+   * the iteration shape is the general one — each round is one
+   * edges⋈ranks join + a destination-keyed aggregation, i.e. one
+   * edge-shuffle per round on a REAL graph; ranks stay
+   * node-cardinality.
+   */
+  def typeRank(events: DataFrame, iters: Int = 3,
+      dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100,
+      "typeRank: iters >= 1, dampingPct in [0, 100]")
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val edges = Caches.persist(events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("a"), col("event_type").as("b"))
+      .agg(count(lit(1)).as("w")))
+    val outW = edges.groupBy(col("a")).agg(sum(col("w")).as("wa"))
+    val nodes = Caches.persist(
+      events.select(col("event_type").as("node")).distinct())
+    val n = nodes.count()
+    require(n > 0, "typeRank: no events")
+    val base = (15L * 1000000000L) / (100L * n)
+    var ranks = nodes.select(col("node"), lit(1000000000L / n).as("r"))
+    var it = 0
+    while (it < iters) {
+      val contrib = ranks
+        .join(edges, ranks("node") === edges("a"))
+        .join(outW, Seq("a"))
+        .select(col("b").as("node"),
+          expr("(r * w) div wa").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr(s"($dampingPct * coalesce(s, 0L)) div 100"))
+            .as("r"))
+      it += 1
+    }
+    ranks.select(col("node").as("event_type"), col("r").as("rank_nano"),
+      round(col("r").cast("double") / 1e9, 6).as("rank"))
+  }
 }

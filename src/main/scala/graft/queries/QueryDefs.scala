@@ -4024,6 +4024,48 @@ GROUP BY c.doc_id""")),
           |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
           |FROM events GROUP BY event_type, day""".stripMargin)),
 
+    // PageRank over the event-type transition graph: 3 exact
+    // integer-nano power-iteration rounds (floor divisions of positive
+    // longs — div and // agree), replayed as chained CTEs. The
+    // iterative-graph-analytics class alongside connectedComponents.
+    ("events_type_rank", (s: SparkSession, dir: String) =>
+      EventOps.typeRank(EventOps.readEvents(s, dir)),
+      Some {
+        def roundCte(i: Int) =
+          s"""r$i AS (
+             |  SELECT n.node, bs.base + (85 * COALESCE(c.s, 0)) // 100
+             |    AS r
+             |  FROM nodes n CROSS JOIN bs
+             |  LEFT JOIN (
+             |    SELECT e.b AS node, sum((p.r * e.w) // ow.wa) AS s
+             |    FROM r${i - 1} p JOIN e ON e.a = p.node
+             |    JOIN ow ON ow.a = e.a
+             |    GROUP BY e.b) c ON c.node = n.node)""".stripMargin
+        s"""WITH lagd AS (
+           |  SELECT event_type,
+           |    lag(event_type) OVER (PARTITION BY user_id
+           |      ORDER BY ts, event_id) AS prev
+           |  FROM events),
+           |e AS (
+           |  SELECT prev AS a, event_type AS b,
+           |    CAST(count(*) AS BIGINT) AS w
+           |  FROM lagd WHERE prev IS NOT NULL GROUP BY 1, 2),
+           |ow AS (SELECT a, sum(w) AS wa FROM e GROUP BY a),
+           |nodes AS (SELECT DISTINCT event_type AS node FROM events),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+           |bs AS (SELECT (15 * CAST(1000000000 AS BIGINT)) // (100 * n)
+           |  AS base FROM nn),
+           |r0 AS (
+           |  SELECT node, (SELECT CAST(1000000000 AS BIGINT) // n FROM nn) AS r
+           |  FROM nodes),
+           |${roundCte(1)},
+           |${roundCte(2)},
+           |${roundCte(3)}
+           |SELECT node AS event_type, CAST(r AS BIGINT) AS rank_nano,
+           |  round(CAST(r AS DOUBLE) / 1000000000, 6) AS rank
+           |FROM r3""".stripMargin
+      }),
+
     // SCD2 history build: the change log collapses into versioned
     // attribute intervals per user (consecutive equal states dedup,
     // lead() closes each version) — one key-partitioned window pass.

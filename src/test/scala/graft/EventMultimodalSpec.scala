@@ -642,4 +642,30 @@ class EventMultimodalSpec extends SparkSpec {
     assert(out((2L, 1)) === ("pro", 5 * m, -1L))
     spark.catalog.clearCache()
   }
+
+  test("typeRank matches an independent integer power-iteration replay") {
+    // a -> b (always), b -> a or b -> b; the sink-ish b must outrank a
+    val ev = Seq(
+      (1L, 0 * m, 1L, "a", 0.0, "{}"), (2L, 1 * m, 1L, "b", 0.0, "{}"),
+      (3L, 2 * m, 1L, "b", 0.0, "{}"), (4L, 3 * m, 1L, "a", 0.0, "{}"),
+      (5L, 0 * m, 2L, "a", 0.0, "{}"), (6L, 1 * m, 2L, "b", 0.0, "{}"),
+      (7L, 2 * m, 2L, "b", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.operators.EventOps.typeRank(ev, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // edges: a->b w=2 (users 1,2), b->b w=2, b->a w=1; Wa=2, Wb=3
+    var ra = 1000000000L / 2; var rb = 1000000000L / 2
+    val base = (15L * 1000000000L) / (100L * 2)
+    for (_ <- 1 to 3) {
+      val ca = (rb * 1) / 3                  // b->a
+      val cb = (ra * 2) / 2 + (rb * 2) / 3   // a->b, b->b
+      val na = base + (85L * ca) / 100
+      val nb = base + (85L * cb) / 100
+      ra = na; rb = nb
+    }
+    assert(out("a") === ra, s"a: ${out("a")} vs $ra")
+    assert(out("b") === rb, s"b: ${out("b")} vs $rb")
+    assert(out("b") > out("a"))
+    spark.catalog.clearCache()
+  }
 }
