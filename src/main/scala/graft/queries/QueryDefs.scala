@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{EventOps, OmeOps, TextOps, VectorOps}
+import graft.operators.{EventOps, JoinOps, OmeOps, TextOps, VectorOps}
 import graft.schema.Fixtures
 
 /**
@@ -4601,6 +4601,28 @@ GROUP BY c.doc_id""")),
     // only corpus-scale exchange is the one orderkey aggregation.
     // Quantities are integer-valued doubles, so their sums are exact
     // and the HAVING boundary cannot flip between engines.
+    // Bloom runtime-filter semi-join: lineitems of high-value orders —
+    // the small side's keys ride to the lineitem scan as a literal
+    // bitmap and kill non-matching rows MAP-SIDE before the exchange;
+    // the exact semi-join removes false positives, so the oracle is
+    // the plain semi-join. Integer-cents revenue per lesson 11.
+    ("q_bloom_semijoin", (s: SparkSession, dir: String) => {
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+      JoinOps.bloomSemiJoin(t(s, dir, "lineitem"), "l_orderkey",
+        big, "o_orderkey")
+        .agg(count(lit(1)).cast("long").as("n_items"),
+          sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+            .as("revenue_cents"))
+    },
+      Some(
+        """SELECT CAST(count(*) AS BIGINT) AS n_items,
+          |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+          |    AS BIGINT) AS revenue_cents
+          |FROM lineitem
+          |WHERE l_orderkey IN (
+          |  SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)"""
+          .stripMargin)),
+
     ("q18_large_orders", (s: SparkSession, dir: String) => {
       val big = t(s, dir, "lineitem")
         .groupBy(col("l_orderkey"))

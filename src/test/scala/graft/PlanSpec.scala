@@ -451,4 +451,22 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin"),
       s"no equi-join in plan:\n$p")
   }
+
+  test("bloomSemiJoin filters map-side before the exchange, exactly") {
+    import spark.implicits._
+    val large = spark.range(2000).select(col("id").as("k"),
+      (col("id") * 7).as("payload"))
+    val small = spark.range(100).select((col("id") * 20).as("k"))
+    val got = graft.operators.JoinOps.bloomSemiJoin(large, "k", small, "k")
+    val expect = large.join(small, Seq("k"), "left_semi")
+    assert(got.collect().map(_.getLong(0)).sorted ===
+      expect.collect().map(_.getLong(0)).sorted)
+    // the bitmap probe must sit in a Filter on the large side's scan
+    // (map-side, before any exchange): the plan carries the shiftright
+    // word-index arithmetic of the literal-bitmap probe
+    val p = plan(got)
+    assert(p.contains("shiftright"),
+      s"no literal-bitmap probe filter in plan:\n$p")
+    spark.catalog.clearCache()
+  }
 }
