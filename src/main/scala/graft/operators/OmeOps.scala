@@ -603,6 +603,47 @@ object OmeOps {
   }
 
   /**
+   * Training-patch extraction — the VISION twin of the text pipeline's
+   * RAG chunking ([[TextOps.chunkDocs]]): every plane tiles into
+   * fixed `patch × patch` crops on a `stride` grid (only full patches;
+   * partial edges drop, the standard vision-training convention), one
+   * row per patch with its grid coordinates — the unit a
+   * patch-embedding or segmentation trainer consumes.
+   *
+   * Scale shape: a pure narrow map — grid coordinates come from two
+   * `sequence` explodes sized by each plane's own geometry, and each
+   * patch is ONE codegen'd [[graft.functions.PixelCrop]] call; no
+   * shuffle anywhere, parallelism = plane count × patches.
+   */
+  def extractPatches(planeDf: DataFrame, patch: Int,
+      stride: Int): DataFrame = {
+    require(patch > 0 && stride > 0,
+      "extractPatches: patch and stride must be positive")
+    graft.functions.ensureRegistered(planeDf.sparkSession)
+    planeDf
+      .select(col("image_id"), col("t"), col("c"), col("z"),
+        col("size_x"), col("size_y"), col("pixels"))
+      .filter(col("size_y") >= patch && col("size_x") >= patch)
+      .select(col("image_id"), col("t"), col("c"), col("z"),
+        col("size_x"), col("pixels"),
+        explode(sequence(lit(0),
+          expr(s"(size_y - $patch) div $stride"))).as("py"),
+        col("size_y"))
+      .select(col("image_id"), col("t"), col("c"), col("z"),
+        col("size_x"), col("pixels"), col("py"),
+        explode(sequence(lit(0),
+          expr(s"(size_x - $patch) div $stride"))).as("px"))
+      .select(col("image_id"), col("t"), col("c"), col("z"),
+        col("py").cast("int").as("py"), col("px").cast("int").as("px"),
+        call_function("graft_pixel_crop", col("pixels"), col("size_x"),
+          (col("px").cast("int") * stride).cast("int"),
+          (col("px").cast("int") * stride + patch).cast("int"),
+          (col("py").cast("int") * stride).cast("int"),
+          (col("py").cast("int") * stride + patch).cast("int"))
+          .as("patch"))
+  }
+
+  /**
    * Stage-drift detection — per (channel, z), the translation between
    * CONSECUTIVE time points that maximizes the mean pixel
    * cross-correlation over the overlap, searched on a

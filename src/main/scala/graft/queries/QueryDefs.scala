@@ -340,6 +340,35 @@ chunks AS (
            |  END AS gain
            |FROM s JOIN tot ON s.c = tot.c""".stripMargin)),
 
+    // Training-patch extraction (the vision twin of RAG chunking):
+    // every 8x8 plane tiles into four 4x4 patches — a pure narrow map,
+    // one codegen'd crop per patch, zero shuffles.
+    ("ome_patches", (s: SparkSession, _: String) =>
+      OmeOps.extractPatches(
+        OmeOps.explodePlanes(Fixtures.corpus4d(s))
+          .select(col("image_id"), col("t"), col("c"), col("z"),
+            col("size_x"), col("size_y"), col("pixels")),
+        patch = 4, stride = 4),
+      Some(
+        s"""WITH $px4d, keys AS (
+           |  SELECT DISTINCT img, t, c, z FROM px),
+           |g AS (
+           |  SELECT k.img, k.t, k.c, k.z, gy.gy AS py, gx.gx AS pxi
+           |  FROM keys k, generate_series(0, 1) gy(gy),
+           |    generate_series(0, 1) gx(gx))
+           |SELECT $id4d AS image_id, CAST(t AS INT) AS t,
+           |  CAST(c AS INT) AS c, CAST(z AS INT) AS z,
+           |  CAST(py AS INT) AS py, CAST(pxi AS INT) AS px,
+           |  (SELECT list(p.v ORDER BY
+           |      (p.y - g.py * 4) * 4 + (p.x - g.pxi * 4))
+           |    FROM px p
+           |    WHERE p.img = g.img AND p.t = g.t AND p.c = g.c
+           |      AND p.z = g.z
+           |      AND p.y >= g.py * 4 AND p.y < g.py * 4 + 4
+           |      AND p.x >= g.pxi * 4 AND p.x < g.pxi * 4 + 4)
+           |    AS patch
+           |FROM g""".stripMargin)),
+
     // Stage-drift detection: per (image, c, z) consecutive-frame pair,
     // the [-2,2]^2 shift maximizing mean overlap cross-correlation —
     // exact-integer PixelCrop/PixelDot kernels in-row, first-maximal

@@ -484,4 +484,29 @@ class OpsSpec extends SparkSpec {
     val all = for (dy <- -2 to 2; dx <- -2 to 2) yield score(dy, dx)
     assert(score(-1, -1) === all.max)
   }
+
+  test("extractPatches tiles planes exactly and drops partial edges") {
+    graft.functions.ensureRegistered(spark)
+    val planes = OmeOps.explodePlanes(Fixtures.corpus4d(spark))
+      .select(col("image_id"), col("t"), col("c"), col("z"),
+        col("size_x"), col("size_y"), col("pixels"))
+    val out = OmeOps.extractPatches(planes, patch = 4, stride = 4)
+      .collect()
+    // 32 planes x 4 full patches; stride 4 on 8x8 leaves no partials
+    assert(out.length === 32 * 4)
+    out.foreach(r => assert(r.getSeq[Int](6).length === 16))
+    // reassembling the four patches recovers every plane's pixel sum
+    val sums = out.groupBy(r => (r.getString(0), r.getInt(1),
+        r.getInt(2), r.getInt(3)))
+      .map { case (k, rs) => k -> rs.flatMap(_.getSeq[Int](6)).map(_.toLong).sum }
+    val planeSums = planes.select(col("image_id"), col("t"), col("c"),
+        col("z"), aggregate(col("pixels"), lit(0L), (a, v) => a + v))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getInt(3)) -> r.getLong(4)).toMap
+    assert(sums === planeSums)
+    // stride 3 on 8x8 with patch 4: grid positions 0,1 only (pos 2
+    // would start at 6 and overflow) -> still 4 patches, overlapping
+    val overlapping = OmeOps.extractPatches(planes, patch = 4, stride = 3)
+    assert(overlapping.count() === 32 * 4)
+  }
 }
