@@ -650,3 +650,106 @@ case class PixelSumAgg(child: Expression,
       newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren(0))
 }
+
+/**
+ * Deterministic plane augmentation as a pure index permutation — the
+ * vision-training augmentations (flips / right-angle rotations /
+ * transpose) that are exact on integer pixels, no interpolation. The
+ * output is the permuted flat row-major plane; rot90/transpose swap
+ * the plane dimensions (callers swap their `size_x`/`size_y` columns
+ * alongside, see [[graft.operators.OmeOps.augmentPlanes]]).
+ *
+ * `mode` is a build-time literal, so codegen specializes the inner
+ * loop to ONE index formula per mode — a tight int loop inside
+ * whole-stage codegen, like [[PixelCrop]]. Modes: `hflip`, `vflip`,
+ * `rot90` (clockwise), `rot180`, `transpose`.
+ */
+case class PixelPermute(pixels: Expression, sx: Expression,
+    sy: Expression, mode: String) extends Expression {
+
+  require(PixelPermute.modes.contains(mode),
+    s"graft_pixel_permute: mode must be one of " +
+      s"${PixelPermute.modes.mkString(", ")} (got '$mode')")
+
+  override def children: Seq[Expression] = Seq(pixels, sx, sy)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def checkInputDataTypes(): TypeCheckResult = InputCheck.check(
+    Seq((pixels, ArrayType(IntegerType), "pixels"),
+      (sx, IntegerType, "sx"), (sy, IntegerType, "sy")),
+    "graft_pixel_permute")
+
+  /** input index for output position (o) given plane dims — the single
+    * formula both eval and codegen use (kept textually in sync with
+    * [[srcIndexJava]]). */
+  @inline private def srcIndex(o: Int, w: Int, h: Int): Int = mode match {
+    case "hflip"     => (o / w) * w + (w - 1 - o % w)
+    case "vflip"     => (h - 1 - o / w) * w + o % w
+    case "rot180"    => h * w - 1 - o
+    case "rot90"     => (h - 1 - o % h) * w + o / h   // out is w rows x h cols
+    case "transpose" => (o % h) * w + o / h
+  }
+
+  private def srcIndexJava(o: String, w: String, h: String): String =
+    mode match {
+      case "hflip"     => s"($o / $w) * $w + ($w - 1 - $o % $w)"
+      case "vflip"     => s"($h - 1 - $o / $w) * $w + $o % $w"
+      case "rot180"    => s"$h * $w - 1 - $o"
+      case "rot90"     => s"($h - 1 - $o % $h) * $w + $o / $h"
+      case "transpose" => s"($o % $h) * $w + $o / $h"
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val pxAny = pixels.eval(input)
+    val wAny = sx.eval(input)
+    val hAny = sy.eval(input)
+    if (pxAny == null || wAny == null || hAny == null) return null
+    val px = pxAny.asInstanceOf[ArrayData]
+    val w = wAny.asInstanceOf[Int]
+    val h = hAny.asInstanceOf[Int]
+    val n = h * w
+    val out = new Array[Int](n)
+    var o = 0
+    while (o < n) { out(o) = px.getInt(srcIndex(o, w, h)); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pxG = pixels.genCode(ctx)
+    val wG = sx.genCode(ctx)
+    val hG = sy.genCode(ctx)
+    val arr = ctx.freshName("arr"); val o = ctx.freshName("o")
+    val n = ctx.freshName("n")
+    val idx = srcIndexJava(o, wG.value.toString, hG.value.toString)
+    val code =
+      code"""
+        ${pxG.code}
+        ${wG.code}
+        ${hG.code}
+        boolean ${ev.isNull} = ${pxG.isNull} || ${wG.isNull} || ${hG.isNull};
+        ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          int $n = ${hG.value} * ${wG.value};
+          int[] $arr = new int[$n];
+          for (int $o = 0; $o < $n; $o++) {
+            $arr[$o] = ${pxG.value}.getInt($idx);
+          }
+          ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(pixels = newChildren(0), sx = newChildren(1), sy = newChildren(2))
+}
+
+object PixelPermute {
+  val modes: Set[String] =
+    Set("hflip", "vflip", "rot90", "rot180", "transpose")
+  /** do the plane dimensions swap under this mode? */
+  def swapsDims(mode: String): Boolean =
+    mode == "rot90" || mode == "transpose"
+}

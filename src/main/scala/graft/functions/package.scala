@@ -77,6 +77,14 @@ package object functions {
       MicroArgmin(exprs(0), literalLongs(exprs(1), "graft_micro_argmin"),
         literalLongs(exprs(2), "graft_micro_argmin"))
     }),
+    "graft_pixel_permute" -> (exprs => {
+      require(exprs.length == 4 && exprs(3).foldable &&
+        exprs(3).dataType == org.apache.spark.sql.types.StringType,
+        "graft_pixel_permute(pixels, sx, sy, mode): mode must be a " +
+          "STRING literal")
+      PixelPermute(exprs(0), exprs(1), exprs(2),
+        exprs(3).eval(null).toString)
+    }),
     "graft_cdc_boundaries" -> (exprs => {
       require(exprs.length == 3 && exprs(1).foldable && exprs(2).foldable &&
         exprs(1).dataType == org.apache.spark.sql.types.IntegerType &&
@@ -190,6 +198,12 @@ package object functions {
   /** Codegen'd 2x2 floor block mean (pyramid level) of a flat plane. */
   def block_mean_2x(pixels: Column, sx: Column, sy: Column): Column =
     call_function("graft_block_mean_2x", pixels, sx, sy)
+
+  /** Codegen'd exact index-permutation augmentation of a flat plane
+    * (`mode` in hflip | vflip | rot90 | rot180 | transpose). */
+  def pixel_permute(pixels: Column, sx: Column, sy: Column,
+      mode: String): Column =
+    call_function("graft_pixel_permute", pixels, sx, sy, lit(mode))
 
   /** Native BPE encode of one token against a trained merge list
     * (rank order = array order). */

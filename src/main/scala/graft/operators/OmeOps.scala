@@ -644,6 +644,37 @@ object OmeOps {
   }
 
   /**
+   * Deterministic training augmentation — each plane under a set of
+   * exact index permutations (`hflip`, `vflip`, `rot90`, `rot180`,
+   * `transpose`): the right-angle augmentation family vision trainers
+   * apply that is lossless on integer microscopy pixels (no
+   * interpolation, unlike arbitrary-angle rotation). One output row
+   * per (plane, mode) tagged `aug`, with `size_x`/`size_y` swapped for
+   * the dimension-transposing modes.
+   *
+   * Scale shape: a UNION of per-mode narrow projections — each mode is
+   * a build-time literal so [[graft.functions.PixelPermute]] codegen
+   * specializes to one index formula per branch; no shuffle, no
+   * explode, output row count = planes × |modes| by construction.
+   */
+  def augmentPlanes(planeDf: DataFrame, modes: Seq[String]): DataFrame = {
+    require(modes.nonEmpty, "augmentPlanes: need at least one mode")
+    graft.functions.ensureRegistered(planeDf.sparkSession)
+    modes.map { m =>
+      val swap = graft.functions.PixelPermute.swapsDims(m)
+      planeDf.select(col("image_id"), col("t"), col("c"), col("z"),
+        lit(m).as("aug"),
+        (if (swap) col("size_y") else col("size_x")).cast("int")
+          .as("size_x"),
+        (if (swap) col("size_x") else col("size_y")).cast("int")
+          .as("size_y"),
+        graft.functions.pixel_permute(col("pixels"),
+          col("size_x").cast("int"), col("size_y").cast("int"), m)
+          .as("pixels"))
+    }.reduce(_ unionAll _)
+  }
+
+  /**
    * Stage-drift detection — per (channel, z), the translation between
    * CONSECUTIVE time points that maximizes the mean pixel
    * cross-correlation over the overlap, searched on a

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{EventOps, JoinOps, OmeOps, TextOps, VectorOps}
+import graft.operators.{EventOps, JoinOps, OmeOps, ProfileOps, TextOps, VectorOps}
 import graft.schema.Fixtures
 
 /**
@@ -368,6 +368,29 @@ chunks AS (
            |      AND p.x >= g.pxi * 4 AND p.x < g.pxi * 4 + 4)
            |    AS patch
            |FROM g""".stripMargin)),
+
+    // Deterministic augmentation: each plane under hflip/rot90/
+    // transpose as exact index permutations (codegen'd PixelPermute);
+    // the oracle re-lists the closed-form grid ordered by each mode's
+    // output position. No shuffle, rows = planes x modes.
+    ("ome_augment", (s: SparkSession, _: String) =>
+      OmeOps.augmentPlanes(
+        OmeOps.explodePlanes(Fixtures.corpus4d(s))
+          .select(col("image_id"), col("t"), col("c"), col("z"),
+            col("size_x"), col("size_y"), col("pixels")),
+        Seq("hflip", "rot90", "transpose")),
+      Some(
+        s"""WITH $px4d,
+           |m(mode) AS (VALUES ('hflip'), ('rot90'), ('transpose'))
+           |SELECT $id4d AS image_id, CAST(t AS INT) AS t,
+           |  CAST(c AS INT) AS c, CAST(z AS INT) AS z, mode AS aug,
+           |  CAST(8 AS INT) AS size_x, CAST(8 AS INT) AS size_y,
+           |  list(v ORDER BY CASE mode
+           |    WHEN 'hflip' THEN y * 8 + (7 - x)
+           |    WHEN 'rot90' THEN x * 8 + (7 - y)
+           |    ELSE x * 8 + y END) AS pixels
+           |FROM px, m
+           |GROUP BY img, t, c, z, mode""".stripMargin)),
 
     // Stage-drift detection: per (image, c, z) consecutive-frame pair,
     // the [-2,2]^2 shift maximizing mean overlap cross-correlation —
@@ -4717,7 +4740,91 @@ GROUP BY c.doc_id""")),
           |SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
           |  round(cents / 100.0, 2) AS total_revenue
           |FROM supplier JOIN rev ON s_suppkey = l_suppkey
-          |WHERE cents = (SELECT max(cents) FROM rev)""".stripMargin))
+          |WHERE cents = (SELECT max(cents) FROM rev)""".stripMargin)),
+
+    // Deequ-style column profile: melt → one (col, value) hash agg →
+    // k-row rollup. Counts only — value formatting never crosses
+    // engines; entropy via the exact ln N − Σc·lnc/N rearrangement.
+    ("profile_table", (s: SparkSession, dir: String) =>
+      ProfileOps.profileColumns(t(s, dir, "lineitem"),
+        Seq("l_returnflag", "l_linestatus", "l_quantity", "l_discount",
+          "l_shipdate", "l_orderkey")),
+      Some(
+        """WITH m AS (
+          |  SELECT 'l_returnflag' AS col_name,
+          |    CAST(l_returnflag AS VARCHAR) AS v FROM lineitem
+          |  UNION ALL SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR)
+          |    FROM lineitem
+          |  UNION ALL SELECT 'l_quantity', CAST(l_quantity AS VARCHAR)
+          |    FROM lineitem
+          |  UNION ALL SELECT 'l_discount', CAST(l_discount AS VARCHAR)
+          |    FROM lineitem
+          |  UNION ALL SELECT 'l_shipdate', CAST(l_shipdate AS VARCHAR)
+          |    FROM lineitem
+          |  UNION ALL SELECT 'l_orderkey', CAST(l_orderkey AS VARCHAR)
+          |    FROM lineitem),
+          |c AS (
+          |  SELECT col_name, v, count(*) AS cnt FROM m GROUP BY 1, 2),
+          |p AS (
+          |  SELECT col_name,
+          |    sum(cnt) AS n_rows,
+          |    coalesce(sum(CASE WHEN v IS NULL THEN cnt END), 0) AS n_null,
+          |    count(CASE WHEN v IS NOT NULL THEN 1 END) AS n_distinct,
+          |    coalesce(sum(CASE WHEN v IS NOT NULL
+          |      THEN CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE)) END),
+          |      0.0) AS clnc
+          |  FROM c GROUP BY 1)
+          |SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+          |  CAST(n_null AS BIGINT) AS n_null,
+          |  round(CAST(n_rows - n_null AS DOUBLE) / n_rows, 6)
+          |    AS completeness,
+          |  CAST(n_distinct AS BIGINT) AS n_distinct,
+          |  round(CASE WHEN n_rows - n_null > 0
+          |    THEN ln(CAST(n_rows - n_null AS DOUBLE))
+          |      - clnc / (n_rows - n_null) ELSE 0.0 END, 6) AS entropy
+          |FROM p""".stripMargin)),
+
+    // k-anonymity re-identification risk over (nation, segment) quasi
+    // identifiers: QI-keyed agg with map-side combine, then a 1-row
+    // rollup. Nothing collected.
+    ("k_anonymity", (s: SparkSession, dir: String) =>
+      ProfileOps.kAnonymity(t(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), k = 10),
+      Some(
+        """WITH g AS (
+          |  SELECT c_nationkey, c_mktsegment, count(*) AS sz
+          |  FROM customer GROUP BY 1, 2)
+          |SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+          |  CAST(count(*) AS BIGINT) AS n_groups,
+          |  CAST(min(sz) AS BIGINT) AS k_min,
+          |  CAST(count(CASE WHEN sz < 10 THEN 1 END) AS BIGINT)
+          |    AS groups_at_risk,
+          |  CAST(coalesce(sum(CASE WHEN sz < 10 THEN sz END), 0) AS BIGINT)
+          |    AS rows_at_risk,
+          |  round(CAST(coalesce(sum(CASE WHEN sz < 10 THEN sz END), 0)
+          |    AS DOUBLE) / sum(sz), 6) AS risk_frac
+          |FROM g""".stripMargin)),
+
+    // Blocked fuzzy record linkage: distinct-collapse → first-token
+    // block (deterministic row_number cap) → in-block self-join →
+    // Levenshtein filter. Pair space is Σ B_i², never n².
+    ("entity_pairs", (s: SparkSession, dir: String) =>
+      ProfileOps.entityPairs(t(s, dir, "part"), "p_name",
+        maxDist = 3, maxBlock = 200),
+      Some(
+        """WITH n AS (
+          |  SELECT DISTINCT p_name AS name FROM part
+          |  WHERE p_name IS NOT NULL),
+          |b AS (
+          |  SELECT name, split_part(name, ' ', 1) AS blk,
+          |    row_number() OVER (
+          |      PARTITION BY split_part(name, ' ', 1) ORDER BY name) AS rn
+          |  FROM n),
+          |c AS (SELECT blk, name FROM b WHERE rn <= 200)
+          |SELECT a.name AS name_a, b2.name AS name_b,
+          |  CAST(levenshtein(a.name, b2.name) AS INT) AS dist
+          |FROM c a JOIN c b2 ON a.blk = b2.blk AND a.name < b2.name
+          |WHERE levenshtein(a.name, b2.name) <= 3""".stripMargin))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
