@@ -753,3 +753,147 @@ object PixelPermute {
   def swapsDims(mode: String): Boolean =
     mode == "rot90" || mode == "transpose"
 }
+
+/**
+ * Imperative core of [[PixelCcObjects]] — kept in a standalone object
+ * so the codegen path emits ONE static call to the same routine eval
+ * uses (Scala emits static forwarders for top-level objects, so the
+ * generated Java references `graft.functions.CcObjects.objects(...)`
+ * directly). Union-find keeps the SMALLER root on every union, so a
+ * component's root — and therefore its label — is the minimum linear
+ * pixel index it contains: a deterministic, engine-portable labeling.
+ */
+object CcObjects {
+  /** 4-connected components of `mask` (non-zero = foreground) as one
+    * struct per object, sorted by label ascending:
+    * `(label, area, y0, x0, y1, x1, sum_y, sum_x)` with an inclusive
+    * bounding box and integer centroid sums (callers divide/round). */
+  def objects(mask: ArrayData, w: Int): ArrayData = {
+    val n = mask.numElements()
+    val parent = new Array[Int](n)
+    var i = 0
+    while (i < n) { parent(i) = if (mask.getInt(i) != 0) i else -1; i += 1 }
+
+    def find(a: Int): Int = {
+      var r = a
+      while (parent(r) != r) r = parent(r)
+      var c = a
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    def union(a: Int, b: Int): Unit = {
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+
+    i = 0
+    while (i < n) {
+      if (parent(i) >= 0) {
+        if (i % w > 0 && parent(i - 1) >= 0) union(i, i - 1)
+        if (i >= w && parent(i - w) >= 0) union(i, i - w)
+      }
+      i += 1
+    }
+
+    // per-root stats; roots are min indexes, first-seen in ascending
+    // index order, so insertion order == label order
+    val order = new scala.collection.mutable.ArrayBuffer[Int]()
+    val stats = new java.util.HashMap[Int, Array[Long]]()
+    i = 0
+    while (i < n) {
+      if (parent(i) >= 0) {
+        val r = find(i)
+        val y = i / w; val x = i % w
+        var s = stats.get(r)
+        if (s == null) {
+          s = Array[Long](0L, y, x, y, x, 0L, 0L)
+          stats.put(r, s); order += r
+        }
+        s(0) += 1L
+        if (y < s(1)) s(1) = y
+        if (x < s(2)) s(2) = x
+        if (y > s(3)) s(3) = y
+        if (x > s(4)) s(4) = x
+        s(5) += y; s(6) += x
+      }
+      i += 1
+    }
+    val rows = new Array[Any](order.length)
+    var o = 0
+    while (o < order.length) {
+      val r = order(o); val s = stats.get(r)
+      rows(o) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](r, s(0).toInt, s(1).toInt, s(2).toInt, s(3).toInt,
+          s(4).toInt, s(5), s(6)))
+      o += 1
+    }
+    new GenericArrayData(rows)
+  }
+}
+
+/**
+ * Connected-component object extraction over a flat row-major binary
+ * mask — the segmentation primitive behind object counting / area /
+ * centroid reports (the CellProfiler-style measurement unit). Mask
+ * prep (threshold, modular pattern, Otsu output…) is whatever column
+ * expression the caller composes; THIS expression is the imperative
+ * part SQL can't express: per-plane union-find labeling, one tight
+ * pass, no pixel ever leaving the row.
+ *
+ * Labels are each component's minimum linear pixel index (see
+ * [[CcObjects]]) — deterministic across engines, so per-object rows
+ * hash-compare against a recursive-CTE oracle.
+ */
+case class PixelCcObjects(mask: Expression, sx: Expression)
+  extends Expression {
+
+  override def children: Seq[Expression] = Seq(mask, sx)
+  override def dataType: DataType = PixelCcObjects.schema
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def checkInputDataTypes(): TypeCheckResult = InputCheck.check(
+    Seq((mask, ArrayType(IntegerType), "mask"), (sx, IntegerType, "sx")),
+    "graft_cc_objects")
+
+  override def eval(input: InternalRow): Any = {
+    val mAny = mask.eval(input)
+    val wAny = sx.eval(input)
+    if (mAny == null || wAny == null) return null
+    CcObjects.objects(mAny.asInstanceOf[ArrayData], wAny.asInstanceOf[Int])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mG = mask.genCode(ctx)
+    val wG = sx.genCode(ctx)
+    val code =
+      code"""
+        ${mG.code}
+        ${wG.code}
+        boolean ${ev.isNull} = ${mG.isNull} || ${wG.isNull};
+        ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.CcObjects.objects(${mG.value}, ${wG.value});
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(mask = newChildren(0), sx = newChildren(1))
+}
+
+object PixelCcObjects {
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("label", IntegerType, nullable = false),
+    StructField("area", IntegerType, nullable = false),
+    StructField("y0", IntegerType, nullable = false),
+    StructField("x0", IntegerType, nullable = false),
+    StructField("y1", IntegerType, nullable = false),
+    StructField("x1", IntegerType, nullable = false),
+    StructField("sum_y", LongType, nullable = false),
+    StructField("sum_x", LongType, nullable = false))),
+    containsNull = false)
+}

@@ -85,6 +85,7 @@ package object functions {
       PixelPermute(exprs(0), exprs(1), exprs(2),
         exprs(3).eval(null).toString)
     }),
+    "graft_cc_objects" -> (exprs => PixelCcObjects(exprs(0), exprs(1))),
     "graft_cdc_boundaries" -> (exprs => {
       require(exprs.length == 3 && exprs(1).foldable && exprs(2).foldable &&
         exprs(1).dataType == org.apache.spark.sql.types.IntegerType &&
@@ -204,6 +205,12 @@ package object functions {
   def pixel_permute(pixels: Column, sx: Column, sy: Column,
       mode: String): Column =
     call_function("graft_pixel_permute", pixels, sx, sy, lit(mode))
+
+  /** Native 4-connected-component object extraction over a binary mask
+    * (non-zero = foreground): one struct per object, labeled by the
+    * component's minimum linear pixel index. */
+  def cc_objects(mask: Column, sx: Column): Column =
+    call_function("graft_cc_objects", mask, sx)
 
   /** Native BPE encode of one token against a trained merge list
     * (rank order = array order). */

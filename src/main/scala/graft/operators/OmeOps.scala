@@ -644,6 +644,39 @@ object OmeOps {
   }
 
   /**
+   * Segmentation object report — per plane, the 4-connected components
+   * of a caller-supplied binary `mask` column (any expression over
+   * `pixels`: a fixed threshold, [[otsuThreshold]] output, a modular
+   * pattern…), one row per OBJECT with area, inclusive bounding box,
+   * and centroid: the CellProfiler-style measurement table a
+   * microscopy training pipeline keys labels from.
+   *
+   * Scale shape: labeling is ONE native [[graft.functions.PixelCcObjects]]
+   * union-find pass per plane inside whole-stage codegen — pixels never
+   * leave their row; the only fan-out is the per-OBJECT explode
+   * (objects per plane, orders of magnitude below pixels). No shuffle
+   * at all unless the caller aggregates downstream. Labels are each
+   * component's minimum linear pixel index, so the output is
+   * deterministic and engine-portable (hash-compared against a
+   * recursive-CTE min-label-propagation oracle).
+   */
+  def segmentObjects(planeDf: DataFrame, mask: Column): DataFrame = {
+    graft.functions.ensureRegistered(planeDf.sparkSession)
+    planeDf
+      .select(col("image_id"), col("t"), col("c"), col("z"),
+        explode(graft.functions.cc_objects(mask,
+          col("size_x").cast("int"))).as("obj"))
+      .select(col("image_id"), col("t"), col("c"), col("z"),
+        col("obj.label").as("label"), col("obj.area").as("area"),
+        col("obj.y0").as("y0"), col("obj.x0").as("x0"),
+        col("obj.y1").as("y1"), col("obj.x1").as("x1"),
+        round(col("obj.sum_y").cast("double") / col("obj.area"), 6)
+          .as("cy"),
+        round(col("obj.sum_x").cast("double") / col("obj.area"), 6)
+          .as("cx"))
+  }
+
+  /**
    * Deterministic training augmentation — each plane under a set of
    * exact index permutations (`hflip`, `vflip`, `rot90`, `rot180`,
    * `transpose`): the right-angle augmentation family vision trainers
