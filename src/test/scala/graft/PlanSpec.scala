@@ -469,4 +469,47 @@ class PlanSpec extends SparkSpec {
       s"no literal-bitmap probe filter in plan:\n$p")
     spark.catalog.clearCache()
   }
+
+  test("profileColumns prunes the scan to the profiled columns and " +
+      "shuffles only aggregates") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val p = plan(graft.operators.ProfileOps.profileColumns(li,
+      Seq("l_returnflag", "l_quantity")))
+    val readSchema = "ReadSchema: [^\n]+".r.findFirstIn(p)
+      .getOrElse(fail("no ReadSchema in plan"))
+    assert(readSchema.contains("l_returnflag") &&
+      readSchema.contains("l_quantity") &&
+      !readSchema.contains("l_extendedprice"),
+      s"scan not pruned to profiled columns: $readSchema")
+    // two exchanges: (col, value) agg and the per-column rollup — both
+    // fed by partial HashAggregates, never raw melted rows
+    val shuffles = "Exchange".r.findAllIn(p).length -
+      "BroadcastExchange".r.findAllIn(p).length
+    assert(shuffles === 2, s"expected 2 aggregate shuffles, got $shuffles:\n$p")
+  }
+
+  test("augmentPlanes and segmentObjects never shuffle") {
+    import spark.implicits._
+    val planes = (0 until 8).map(i =>
+      (s"img-$i", 0, 0, 0, 4, 4, Seq.tabulate(16)(j => (i + j) % 7)))
+      .toDF("image_id", "t", "c", "z", "size_x", "size_y", "pixels")
+    val pAug = plan(graft.operators.OmeOps.augmentPlanes(planes,
+      Seq("hflip", "rot90")))
+    assert(!pAug.contains("Exchange"),
+      s"augmentPlanes shuffled:\n$pAug")
+    assert(pAug.contains("Union"), s"expected a per-mode union:\n$pAug")
+    val pSeg = plan(graft.operators.OmeOps.segmentObjects(planes,
+      transform(col("pixels"), v => when(v > 3, lit(1)).otherwise(lit(0)))))
+    assert(!pSeg.contains("Exchange"),
+      s"segmentObjects shuffled:\n$pSeg")
+  }
+
+  test("entityPairs joins on the block key, never a nested-loop product") {
+    val part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    val p = plan(graft.operators.ProfileOps.entityPairs(
+      part, "p_name", 3, 200))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"entityPairs fell back to a nested-loop product:\n$p")
+  }
 }
