@@ -768,7 +768,9 @@ object CcObjects {
     * struct per object, sorted by label ascending:
     * `(label, area, y0, x0, y1, x1, sum_y, sum_x)` with an inclusive
     * bounding box and integer centroid sums (callers divide/round). */
-  def objects(mask: ArrayData, w: Int): ArrayData = {
+  /** union-find over the 4-connected foreground; returns the parent
+    * array (background = −1) with min-index roots. */
+  private def unionFind(mask: ArrayData, w: Int): Array[Int] = {
     val n = mask.numElements()
     val parent = new Array[Int](n)
     var i = 0
@@ -796,6 +798,16 @@ object CcObjects {
       }
       i += 1
     }
+    i = 0
+    while (i < n) { if (parent(i) >= 0) parent(i) = find(i); i += 1 }
+    parent
+  }
+
+  def objects(mask: ArrayData, w: Int): ArrayData = {
+    val n = mask.numElements()
+    val parent = unionFind(mask, w)
+    def find(a: Int): Int = parent(a)
+    var i = 0
 
     // per-root stats; roots are min indexes, first-seen in ascending
     // index order, so insertion order == label order
@@ -827,6 +839,50 @@ object CcObjects {
       rows(o) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](r, s(0).toInt, s(1).toInt, s(2).toInt, s(3).toInt,
           s(4).toInt, s(5), s(6)))
+      o += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  /** [[objects]] plus per-object intensity stats over `px` (same
+    * geometry): appends `(sum_v, min_v, max_v)` — the integrated /
+    * mean / extreme-intensity measurements CellProfiler reports per
+    * segmented object. */
+  def objectsIntensity(mask: ArrayData, px: ArrayData, w: Int): ArrayData = {
+    val n = mask.numElements()
+    val parent = unionFind(mask, w)
+    val order = new scala.collection.mutable.ArrayBuffer[Int]()
+    val stats = new java.util.HashMap[Int, Array[Long]]()
+    var i = 0
+    while (i < n) {
+      if (parent(i) >= 0) {
+        val r = parent(i)
+        val y = i / w; val x = i % w
+        val v = px.getInt(i)
+        var s = stats.get(r)
+        if (s == null) {
+          s = Array[Long](0L, y, x, y, x, 0L, 0L, 0L, v, v)
+          stats.put(r, s); order += r
+        }
+        s(0) += 1L
+        if (y < s(1)) s(1) = y
+        if (x < s(2)) s(2) = x
+        if (y > s(3)) s(3) = y
+        if (x > s(4)) s(4) = x
+        s(5) += y; s(6) += x
+        s(7) += v
+        if (v < s(8)) s(8) = v
+        if (v > s(9)) s(9) = v
+      }
+      i += 1
+    }
+    val rows = new Array[Any](order.length)
+    var o = 0
+    while (o < order.length) {
+      val r = order(o); val s = stats.get(r)
+      rows(o) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](r, s(0).toInt, s(1).toInt, s(2).toInt, s(3).toInt,
+          s(4).toInt, s(5), s(6), s(7), s(8).toInt, s(9).toInt))
       o += 1
     }
     new GenericArrayData(rows)
@@ -895,5 +951,179 @@ object PixelCcObjects {
     StructField("x1", IntegerType, nullable = false),
     StructField("sum_y", LongType, nullable = false),
     StructField("sum_x", LongType, nullable = false))),
+    containsNull = false)
+}
+
+/**
+ * Imperative core of [[PixelGlcmMoments]] (static-forwarder pattern,
+ * see [[CcObjects]]): horizontal (offset (0,1)) gray-level
+ * co-occurrence moments over `bins` equal-width bins of `[0, maxv)`.
+ * All moments are exact integers except `clnc = Σ c·ln c`, which is
+ * accumulated in FIXED bin order so the double sum is deterministic.
+ */
+object GlcmMoments {
+  /** `(n_pairs, contrast_num, dissim_num, energy_num, clnc)` where
+    * contrast_num = Σ c·(i−j)², dissim_num = Σ c·|i−j|,
+    * energy_num = Σ c² over the bins² co-occurrence counts. */
+  def moments(px: ArrayData, w: Int, bins: Int, maxv: Int): InternalRow = {
+    val n = px.numElements()
+    val counts = new Array[Long](bins * bins)
+    var i = 0
+    while (i < n) {
+      if (i % w < w - 1) {
+        val a = px.getInt(i) * bins / maxv
+        val b = px.getInt(i + 1) * bins / maxv
+        counts(a * bins + b) += 1L
+      }
+      i += 1
+    }
+    var nPairs = 0L; var contrast = 0L; var dissim = 0L; var energy = 0L
+    var clnc = 0.0
+    var k = 0
+    while (k < counts.length) {
+      val c = counts(k)
+      if (c > 0L) {
+        val d = k / bins - k % bins
+        nPairs += c
+        contrast += c * d * d
+        dissim += c * math.abs(d)
+        energy += c * c
+        clnc += c.toDouble * math.log(c.toDouble)
+      }
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nPairs, contrast, dissim, energy, clnc))
+  }
+}
+
+/**
+ * Gray-level co-occurrence texture moments per plane — the Haralick
+ * texture substrate (contrast, dissimilarity, energy, entropy derive
+ * from these by pure column arithmetic, see
+ * [[graft.operators.OmeOps.textureReport]]). One tight pass per plane
+ * over the horizontal neighbor pairs; pixels never leave the row and
+ * the co-occurrence matrix never materializes in the query — only the
+ * 5 scalar moments do.
+ */
+case class PixelGlcmMoments(pixels: Expression, sx: Expression,
+    bins: Int, maxv: Int) extends Expression {
+
+  require(bins > 0 && maxv >= bins,
+    s"graft_glcm_moments: need 0 < bins <= maxv (got bins=$bins maxv=$maxv)")
+
+  override def children: Seq[Expression] = Seq(pixels, sx)
+  override def dataType: DataType = PixelGlcmMoments.schema
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def checkInputDataTypes(): TypeCheckResult = InputCheck.check(
+    Seq((pixels, ArrayType(IntegerType), "pixels"), (sx, IntegerType, "sx")),
+    "graft_glcm_moments")
+
+  override def eval(input: InternalRow): Any = {
+    val pAny = pixels.eval(input)
+    val wAny = sx.eval(input)
+    if (pAny == null || wAny == null) return null
+    GlcmMoments.moments(pAny.asInstanceOf[ArrayData],
+      wAny.asInstanceOf[Int], bins, maxv)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pG = pixels.genCode(ctx)
+    val wG = sx.genCode(ctx)
+    val code =
+      code"""
+        ${pG.code}
+        ${wG.code}
+        boolean ${ev.isNull} = ${pG.isNull} || ${wG.isNull};
+        InternalRow ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.GlcmMoments.moments(
+            ${pG.value}, ${wG.value}, $bins, $maxv);
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(pixels = newChildren(0), sx = newChildren(1))
+}
+
+object PixelGlcmMoments {
+  val schema: DataType = StructType(Seq(
+    StructField("n_pairs", LongType, nullable = false),
+    StructField("contrast_num", LongType, nullable = false),
+    StructField("dissim_num", LongType, nullable = false),
+    StructField("energy_num", LongType, nullable = false),
+    StructField("clnc", DoubleType, nullable = false)))
+}
+
+/**
+ * [[PixelCcObjects]] with per-object intensity measurements: the mask
+ * drives labeling, `pixels` (same geometry) contributes integrated /
+ * min / max intensity per object — the full CellProfiler-style
+ * measurement struct. Same determinism contract: labels are min
+ * linear indexes, output sorted by label.
+ */
+case class PixelCcObjectsIntensity(mask: Expression, pixels: Expression,
+    sx: Expression) extends Expression {
+
+  override def children: Seq[Expression] = Seq(mask, pixels, sx)
+  override def dataType: DataType = PixelCcObjectsIntensity.schema
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def checkInputDataTypes(): TypeCheckResult = InputCheck.check(
+    Seq((mask, ArrayType(IntegerType), "mask"),
+      (pixels, ArrayType(IntegerType), "pixels"), (sx, IntegerType, "sx")),
+    "graft_cc_objects_intensity")
+
+  override def eval(input: InternalRow): Any = {
+    val mAny = mask.eval(input)
+    val pAny = pixels.eval(input)
+    val wAny = sx.eval(input)
+    if (mAny == null || pAny == null || wAny == null) return null
+    CcObjects.objectsIntensity(mAny.asInstanceOf[ArrayData],
+      pAny.asInstanceOf[ArrayData], wAny.asInstanceOf[Int])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mG = mask.genCode(ctx)
+    val pG = pixels.genCode(ctx)
+    val wG = sx.genCode(ctx)
+    val code =
+      code"""
+        ${mG.code}
+        ${pG.code}
+        ${wG.code}
+        boolean ${ev.isNull} = ${mG.isNull} || ${pG.isNull} || ${wG.isNull};
+        ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.CcObjects.objectsIntensity(
+            ${mG.value}, ${pG.value}, ${wG.value});
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(mask = newChildren(0), pixels = newChildren(1),
+      sx = newChildren(2))
+}
+
+object PixelCcObjectsIntensity {
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("label", IntegerType, nullable = false),
+    StructField("area", IntegerType, nullable = false),
+    StructField("y0", IntegerType, nullable = false),
+    StructField("x0", IntegerType, nullable = false),
+    StructField("y1", IntegerType, nullable = false),
+    StructField("x1", IntegerType, nullable = false),
+    StructField("sum_y", LongType, nullable = false),
+    StructField("sum_x", LongType, nullable = false),
+    StructField("sum_v", LongType, nullable = false),
+    StructField("min_v", IntegerType, nullable = false),
+    StructField("max_v", IntegerType, nullable = false))),
     containsNull = false)
 }

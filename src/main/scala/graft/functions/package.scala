@@ -86,6 +86,18 @@ package object functions {
         exprs(3).eval(null).toString)
     }),
     "graft_cc_objects" -> (exprs => PixelCcObjects(exprs(0), exprs(1))),
+    "graft_cc_objects_intensity" -> (exprs =>
+      PixelCcObjectsIntensity(exprs(0), exprs(1), exprs(2))),
+    "graft_glcm_moments" -> (exprs => {
+      require(exprs.length == 4 && exprs(2).foldable && exprs(3).foldable &&
+        exprs(2).dataType == org.apache.spark.sql.types.IntegerType &&
+        exprs(3).dataType == org.apache.spark.sql.types.IntegerType,
+        "graft_glcm_moments(pixels, sx, bins, maxv): bins and maxv must " +
+          "be INT literals")
+      PixelGlcmMoments(exprs(0), exprs(1),
+        exprs(2).eval(null).asInstanceOf[Int],
+        exprs(3).eval(null).asInstanceOf[Int])
+    }),
     "graft_cdc_boundaries" -> (exprs => {
       require(exprs.length == 3 && exprs(1).foldable && exprs(2).foldable &&
         exprs(1).dataType == org.apache.spark.sql.types.IntegerType &&
@@ -211,6 +223,18 @@ package object functions {
     * component's minimum linear pixel index. */
   def cc_objects(mask: Column, sx: Column): Column =
     call_function("graft_cc_objects", mask, sx)
+
+  /** Native horizontal gray-level co-occurrence moments per plane
+    * (`bins` equal-width bins over `[0, maxv)`). */
+  def glcm_moments(pixels: Column, sx: Column, bins: Int,
+      maxv: Int): Column =
+    call_function("graft_glcm_moments", pixels, sx, lit(bins), lit(maxv))
+
+  /** [[cc_objects]] plus per-object integrated/min/max intensity over
+    * `pixels` (same geometry as `mask`). */
+  def cc_objects_intensity(mask: Column, pixels: Column,
+      sx: Column): Column =
+    call_function("graft_cc_objects_intensity", mask, pixels, sx)
 
   /** Native BPE encode of one token against a trained merge list
     * (rank order = array order). */

@@ -644,6 +644,43 @@ object OmeOps {
   }
 
   /**
+   * Haralick texture report — per plane, the classic gray-level
+   * co-occurrence features over horizontal neighbor pairs binned to
+   * `bins` gray levels: `contrast` (Σp·d²), `dissimilarity` (Σp·|d|),
+   * `energy` (Σp²), `entropy` (−Σp·ln p) — the texture half of a
+   * CellProfiler-style feature table, the per-plane signal that
+   * separates in-focus structured tissue from blur/noise.
+   *
+   * Scale shape: one native [[graft.functions.PixelGlcmMoments]] pass
+   * per plane — pixels never leave the row, the bins² co-occurrence
+   * matrix never materializes in the query, only 5 scalar moments do;
+   * the features are pure column arithmetic over them. No shuffle, no
+   * explode. Degenerate planes (sx < 2 → zero pairs) report NULL
+   * features.
+   */
+  def textureReport(planeDf: DataFrame, bins: Int, maxv: Int): DataFrame = {
+    graft.functions.ensureRegistered(planeDf.sparkSession)
+    planeDf
+      .select(col("image_id"), col("t"), col("c"), col("z"),
+        graft.functions.glcm_moments(col("pixels"),
+          col("size_x").cast("int"), bins, maxv).as("m"))
+      .select(col("image_id"), col("t"), col("c"), col("z"),
+        col("m.n_pairs").as("n_pairs"),
+        when(col("m.n_pairs") > 0, round(
+          col("m.contrast_num").cast("double") / col("m.n_pairs"), 6))
+          .as("contrast"),
+        when(col("m.n_pairs") > 0, round(
+          col("m.dissim_num").cast("double") / col("m.n_pairs"), 6))
+          .as("dissimilarity"),
+        when(col("m.n_pairs") > 0, round(
+          col("m.energy_num").cast("double") /
+            (col("m.n_pairs") * col("m.n_pairs")), 6)).as("energy"),
+        when(col("m.n_pairs") > 0, round(
+          log(col("m.n_pairs").cast("double")) -
+            col("m.clnc") / col("m.n_pairs"), 6)).as("entropy"))
+  }
+
+  /**
    * Segmentation object report — per plane, the 4-connected components
    * of a caller-supplied binary `mask` column (any expression over
    * `pixels`: a fixed threshold, [[otsuThreshold]] output, a modular
@@ -674,6 +711,34 @@ object OmeOps {
           .as("cy"),
         round(col("obj.sum_x").cast("double") / col("obj.area"), 6)
           .as("cx"))
+  }
+
+  /**
+   * [[segmentObjects]] with intensity measurements: each object also
+   * reports integrated (`sum_v`), mean (`mean_v`), and extreme
+   * (`min_v`/`max_v`) intensity over the ORIGINAL pixels — the mask
+   * segments, the raw plane measures, exactly CellProfiler's
+   * object-intensity module. Same zero-shuffle shape; the kernel reads
+   * both arrays in one pass.
+   */
+  def segmentObjectsIntensity(planeDf: DataFrame, mask: Column): DataFrame = {
+    graft.functions.ensureRegistered(planeDf.sparkSession)
+    planeDf
+      .select(col("image_id"), col("t"), col("c"), col("z"),
+        explode(graft.functions.cc_objects_intensity(mask, col("pixels"),
+          col("size_x").cast("int"))).as("obj"))
+      .select(col("image_id"), col("t"), col("c"), col("z"),
+        col("obj.label").as("label"), col("obj.area").as("area"),
+        col("obj.y0").as("y0"), col("obj.x0").as("x0"),
+        col("obj.y1").as("y1"), col("obj.x1").as("x1"),
+        round(col("obj.sum_y").cast("double") / col("obj.area"), 6)
+          .as("cy"),
+        round(col("obj.sum_x").cast("double") / col("obj.area"), 6)
+          .as("cx"),
+        col("obj.sum_v").as("sum_v"),
+        round(col("obj.sum_v").cast("double") / col("obj.area"), 6)
+          .as("mean_v"),
+        col("obj.min_v").as("min_v"), col("obj.max_v").as("max_v"))
   }
 
   /**

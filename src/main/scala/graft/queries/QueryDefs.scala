@@ -369,6 +369,51 @@ chunks AS (
            |    AS patch
            |FROM g""".stripMargin)),
 
+    // Haralick texture features: per-plane horizontal GLCM moments via
+    // the native kernel (integer moments + fixed-order clnc), features
+    // as pure column arithmetic; oracle re-derives the co-occurrence
+    // counts with a neighbor self-join.
+    ("ome_texture", (s: SparkSession, _: String) =>
+      OmeOps.textureReport(
+        OmeOps.explodePlanes(Fixtures.corpus4d(s))
+          .select(col("image_id"), col("t"), col("c"), col("z"),
+            col("size_x"), col("size_y"), col("pixels")),
+        bins = 8, maxv = 256),
+      Some(
+        s"""WITH $px4d,
+           |pr AS (
+           |  SELECT a.img, a.t, a.c, a.z,
+           |    (a.v * 8) // 256 AS bi, (b.v * 8) // 256 AS bj
+           |  FROM px a JOIN px b ON b.img = a.img AND b.t = a.t
+           |    AND b.c = a.c AND b.z = a.z AND b.y = a.y
+           |    AND b.x = a.x + 1),
+           |cnt AS (
+           |  SELECT img, t, c, z, bi, bj, count(*) AS cn
+           |  FROM pr GROUP BY 1, 2, 3, 4, 5, 6),
+           |m AS (
+           |  SELECT img, t, c, z, sum(cn) AS n_pairs,
+           |    sum(cn * (bi - bj) * (bi - bj)) AS contrast_num,
+           |    sum(cn * abs(bi - bj)) AS dissim_num,
+           |    sum(cn * cn) AS energy_num,
+           |    sum(CAST(cn AS DOUBLE) * ln(CAST(cn AS DOUBLE))) AS clnc
+           |  FROM cnt GROUP BY 1, 2, 3, 4)
+           |SELECT $id4d AS image_id, CAST(t AS INT) AS t,
+           |  CAST(c AS INT) AS c, CAST(z AS INT) AS z,
+           |  CAST(n_pairs AS BIGINT) AS n_pairs,
+           |  CASE WHEN n_pairs > 0 THEN
+           |    round(CAST(contrast_num AS DOUBLE) / n_pairs, 6) END
+           |    AS contrast,
+           |  CASE WHEN n_pairs > 0 THEN
+           |    round(CAST(dissim_num AS DOUBLE) / n_pairs, 6) END
+           |    AS dissimilarity,
+           |  CASE WHEN n_pairs > 0 THEN
+           |    round(CAST(energy_num AS DOUBLE) / (n_pairs * n_pairs), 6)
+           |    END AS energy,
+           |  CASE WHEN n_pairs > 0 THEN
+           |    round(ln(CAST(n_pairs AS DOUBLE)) - clnc / n_pairs, 6) END
+           |    AS entropy
+           |FROM m""".stripMargin)),
+
     // Segmentation object report: per-plane 4-connected components of
     // a modular-pattern mask via the native union-find kernel (labels =
     // min linear index); the oracle replays the labeling as a
@@ -414,6 +459,55 @@ chunks AS (
            |  CAST(y1 AS INT) AS y1, CAST(x1 AS INT) AS x1,
            |  round(CAST(sy AS DOUBLE) / area, 6) AS cy,
            |  round(CAST(sxs AS DOUBLE) / area, 6) AS cx
+           |FROM obj""".stripMargin)),
+
+    // Segmentation with intensity measurements: mask segments, the raw
+    // plane measures (integrated/mean/min/max per object).
+    ("ome_segment_intensity", (s: SparkSession, _: String) =>
+      OmeOps.segmentObjectsIntensity(
+        OmeOps.explodePlanes(Fixtures.corpus4d(s))
+          .select(col("image_id"), col("t"), col("c"), col("z"),
+            col("size_x"), col("size_y"), col("pixels")),
+        transform(col("pixels"),
+          v => when((v * v) % 7 < 2, lit(1)).otherwise(lit(0)))),
+      Some(
+        s"""WITH RECURSIVE $px4d,
+           |fg AS (
+           |  SELECT img, t, c, z, y, x, v, y * 8 + x AS idx
+           |  FROM px WHERE (v * v) % 7 < 2),
+           |reach AS (
+           |  SELECT img, t, c, z, idx, idx AS ridx FROM fg
+           |  UNION
+           |  SELECT r.img, r.t, r.c, r.z, r.idx, f2.idx AS ridx
+           |  FROM reach r
+           |  JOIN fg f1 ON f1.img = r.img AND f1.t = r.t AND f1.c = r.c
+           |    AND f1.z = r.z AND f1.idx = r.ridx
+           |  JOIN fg f2 ON f2.img = f1.img AND f2.t = f1.t
+           |    AND f2.c = f1.c AND f2.z = f1.z
+           |    AND ((abs(f2.x - f1.x) = 1 AND f2.y = f1.y)
+           |      OR (abs(f2.y - f1.y) = 1 AND f2.x = f1.x))),
+           |lbl AS (
+           |  SELECT img, t, c, z, idx, min(ridx) AS label
+           |  FROM reach GROUP BY 1, 2, 3, 4, 5),
+           |obj AS (
+           |  SELECT l.img, l.t, l.c, l.z, l.label,
+           |    count(*) AS area, min(f.y) AS y0, min(f.x) AS x0,
+           |    max(f.y) AS y1, max(f.x) AS x1,
+           |    sum(f.y) AS sy, sum(f.x) AS sxs,
+           |    sum(f.v) AS sv, min(f.v) AS mnv, max(f.v) AS mxv
+           |  FROM lbl l JOIN fg f ON f.img = l.img AND f.t = l.t
+           |    AND f.c = l.c AND f.z = l.z AND f.idx = l.idx
+           |  GROUP BY 1, 2, 3, 4, 5)
+           |SELECT $id4d AS image_id, CAST(t AS INT) AS t,
+           |  CAST(c AS INT) AS c, CAST(z AS INT) AS z,
+           |  CAST(label AS INT) AS label, CAST(area AS INT) AS area,
+           |  CAST(y0 AS INT) AS y0, CAST(x0 AS INT) AS x0,
+           |  CAST(y1 AS INT) AS y1, CAST(x1 AS INT) AS x1,
+           |  round(CAST(sy AS DOUBLE) / area, 6) AS cy,
+           |  round(CAST(sxs AS DOUBLE) / area, 6) AS cx,
+           |  CAST(sv AS BIGINT) AS sum_v,
+           |  round(CAST(sv AS DOUBLE) / area, 6) AS mean_v,
+           |  CAST(mnv AS INT) AS min_v, CAST(mxv AS INT) AS max_v
            |FROM obj""".stripMargin)),
 
     // Deterministic augmentation: each plane under hflip/rot90/
