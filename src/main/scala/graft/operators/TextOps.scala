@@ -2190,4 +2190,81 @@ object TextOps {
       .groupBy(col("y"), col("pred"))
       .agg(count(lit(1)).as("n_docs"), sum(col("margin")).as("margin_sum"))
   }
+
+  /**
+   * Zipf rank-frequency law fit — does the corpus's token distribution
+   * follow the power law natural text does? A corpus whose fitted
+   * log-log slope is far from ≈ −1 (or whose R² is low) is a strong
+   * boilerplate/spam/synthetic-text signal at the CORPUS level, the
+   * complement of the per-document quality scores. Least-squares fit
+   * of `ln(count) ~ ln(rank)` over the top-`topN` tokens (ties broken
+   * by token so ranks are engine-identical); one row:
+   * `n_ranks, slope, intercept, r2` (6 dp).
+   *
+   * Scale shape: one (token)-keyed count aggregation with map-side
+   * combine, a TakeOrdered top-`topN` (never a global sort), and the
+   * regression runs on `topN` rows — the only window is over that
+   * bounded set.
+   */
+  def zipfReport(docs: DataFrame, topN: Int): DataFrame = {
+    require(topN > 1, "zipfReport: topN must be > 1")
+    val top = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("n"))
+      .orderBy(col("n").desc, col("w").asc)
+      .limit(topN)
+    val ranked = top.withColumn("rank", row_number().over(
+      Window.orderBy(col("n").desc, col("w").asc)))
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("n").cast("double")).as("y"))
+    ranked.agg(
+      count(lit(1)).cast("long").as("nr"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+      // degenerate variances (single rank, or all-equal counts for r2)
+      // report NULL rather than tripping ANSI division-by-zero
+      .select(col("nr"), col("sy"), col("sx"),
+        (col("nr") * col("sxy") - col("sx") * col("sy")).as("cov"),
+        (col("nr") * col("sxx") - col("sx") * col("sx")).as("vx"),
+        (col("nr") * col("syy") - col("sy") * col("sy")).as("vy"))
+      .select(col("nr").as("n_ranks"),
+        when(col("vx") =!= 0.0, round(col("cov") / col("vx"), 6))
+          .as("slope"),
+        when(col("vx") =!= 0.0, round((col("sy") -
+          col("sx") * (col("cov") / col("vx"))) / col("nr"), 6))
+          .as("intercept"),
+        when(col("vx") =!= 0.0 && col("vy") =!= 0.0,
+          round(col("cov") * col("cov") / (col("vx") * col("vy")), 6))
+          .as("r2"))
+  }
+
+  /**
+   * Deterministic train/val/test split — the epoch-stable assignment a
+   * training pipeline needs so a document NEVER migrates between
+   * splits across runs or machines: bucket = first two hex digits of
+   * `md5(salt|doc_id)` (uniform 0–255 by construction), `train` below
+   * `trainBuckets`, `val` in the next `valBuckets`, `test` above. One
+   * row per document: `doc_id, bucket, split`.
+   *
+   * Scale shape: a pure narrow projection — no shuffle, no sampling
+   * pass, no state; the split of any document is recomputable from its
+   * id alone (the property that makes the split auditable and
+   * leak-checkable downstream).
+   */
+  def datasetSplit(docs: DataFrame, salt: String = "split0",
+      trainBuckets: Int = 204, valBuckets: Int = 26): DataFrame = {
+    require(trainBuckets > 0 && valBuckets > 0 &&
+      trainBuckets + valBuckets < 256,
+      "datasetSplit: need 0 < trainBuckets, 0 < valBuckets, " +
+        "trainBuckets + valBuckets < 256")
+    val hex = md5(concat(lit(salt), lit("|"),
+      col("doc_id").cast("long").cast("string")))
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        conv(hex.substr(1, 2), 16, 10).cast("int").as("bucket"))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < trainBuckets, lit("train"))
+          .when(col("bucket") < trainBuckets + valBuckets, lit("val"))
+          .otherwise(lit("test")).as("split"))
+  }
 }

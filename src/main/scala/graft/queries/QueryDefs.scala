@@ -4883,6 +4883,63 @@ GROUP BY c.doc_id""")),
           |FROM supplier JOIN rev ON s_suppkey = l_suppkey
           |WHERE cents = (SELECT max(cents) FROM rev)""".stripMargin)),
 
+    // Zipf rank-frequency fit over the top-100 tokens: one token-count
+    // agg + TakeOrdered, regression on the bounded ranked set.
+    ("zipf_report", (s: SparkSession, dir: String) =>
+      TextOps.zipfReport(t(s, dir, "documents"), topN = 100),
+      Some(
+        """WITH c AS (
+          |  SELECT w, count(*) AS n FROM (
+          |    SELECT unnest(list_filter(string_split_regex(trim(text),
+          |      '\s+'), x -> x <> '')) AS w FROM documents)
+          |  GROUP BY w ORDER BY n DESC, w ASC LIMIT 100),
+          |r AS (
+          |  SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, w ASC)
+          |      AS DOUBLE)) AS x,
+          |    ln(CAST(n AS DOUBLE)) AS y FROM c),
+          |s AS (
+          |  SELECT count(*) AS nr, sum(x) AS sx, sum(y) AS sy,
+          |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+          |  FROM r),
+          |v AS (
+          |  SELECT nr, sx, sy, nr * sxy - sx * sy AS cov,
+          |    nr * sxx - sx * sx AS vx, nr * syy - sy * sy AS vy
+          |  FROM s)
+          |SELECT CAST(nr AS BIGINT) AS n_ranks,
+          |  CASE WHEN vx <> 0 THEN round(cov / vx, 6) END AS slope,
+          |  CASE WHEN vx <> 0 THEN
+          |    round((sy - sx * (cov / vx)) / nr, 6) END AS intercept,
+          |  CASE WHEN vx <> 0 AND vy <> 0 THEN
+          |    round(cov * cov / (vx * vy), 6) END AS r2
+          |FROM v""".stripMargin)),
+
+    // Deterministic hash split: bucket = first 2 md5 hex digits,
+    // train/val/test by threshold; rollup checks language balance.
+    ("dataset_split", (s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      TextOps.datasetSplit(docs)
+        .join(docs.select(col("doc_id").cast("long").as("doc_id"),
+          col("lang"), col("n_chars")), Seq("doc_id"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("chars"))
+    },
+      Some(
+        """WITH a AS (
+          |  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, n_chars,
+          |    (strpos('0123456789abcdef', substring(
+          |      md5('split0|' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+          |      * 16 +
+          |    (strpos('0123456789abcdef', substring(
+          |      md5('split0|' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+          |      AS bucket
+          |  FROM documents)
+          |SELECT CASE WHEN bucket < 204 THEN 'train'
+          |    WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split,
+          |  lang, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS chars
+          |FROM a GROUP BY 1, 2""".stripMargin)),
+
     // Deequ-style column profile: melt → one (col, value) hash agg →
     // k-row rollup. Counts only — value formatting never crosses
     // engines; entropy via the exact ln N − Σc·lnc/N rearrangement.
