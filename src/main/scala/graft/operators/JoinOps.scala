@@ -64,4 +64,63 @@ object JoinOps {
       .join(keys.withColumnRenamed("k", largeKey), Seq(largeKey),
         "left_semi")
   }
+
+  /**
+   * Point-in-time-correct feature join — the FEATURE-STORE
+   * materialization primitive: for every label row, the latest feature
+   * observation for the same entity with `feature_ts <= label_ts`
+   * (optionally within `maxStalenessNs`), so training examples can
+   * never leak future information. This is THE correctness property
+   * feature stores (Feast's point-in-time join, "time-travel join")
+   * exist to provide; chain one call per feature table and assemble on
+   * the label id.
+   *
+   * Output: one row per label —
+   * `(label_id, entity, ts, {prefix}_ts, {prefix}_id, {prefix}_val,
+   * {prefix}_staleness)`, NULL feature columns when no in-window
+   * observation exists.
+   *
+   * Scale shape: the [[EventOps.asofJoinWith]] union + ordered-window
+   * formulation — ONE entity-keyed shuffle of narrow rows, never a
+   * range join; the two `last(... ignoreNulls)` running values share a
+   * single sort, and because that order is TOTAL (`ts, side, id`) they
+   * always surface the same feature row, so ts and value stay
+   * consistent. Per-feature-table cost is one narrow shuffle; the
+   * final per-label assembly joins on the (already reduced) label ids.
+   */
+  def pointInTimeJoin(labels: DataFrame, features: DataFrame,
+      entityCol: String, tsCol: String, idCol: String,
+      valueCol: String, prefix: String,
+      maxStalenessNs: Long = -1L): DataFrame = {
+    require(prefix.nonEmpty, "pointInTimeJoin: prefix must be non-empty")
+    def side(df: DataFrame, s: Int, v: Column) = df.select(
+      col(entityCol).cast("long").as("entity"),
+      col(tsCol).cast("long").as("ts"),
+      col(idCol).cast("long").as("id"), lit(s).as("side"),
+      v.cast("double").as("fv"))
+    val u = side(labels, 1, lit(null))
+      .unionAll(side(features, 0, col(valueCol)))
+    val isF = col("side") === 0
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("entity"))
+      .orderBy(col("ts").asc, col("side").asc, col("id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val cand = u
+      .withColumn("f_ts", last(when(isF, col("ts")), ignoreNulls = true)
+        .over(w))
+      .withColumn("f_id", last(when(isF, col("id")), ignoreNulls = true)
+        .over(w))
+      .withColumn("f_val", last(when(isF, col("fv")), ignoreNulls = true)
+        .over(w))
+      .filter(col("side") === 1)
+    val fresh = col("f_ts").isNotNull &&
+      (if (maxStalenessNs < 0) lit(true)
+       else col("ts") - col("f_ts") <= maxStalenessNs)
+    cand.select(col("id").as("label_id"), col("entity"), col("ts"),
+      when(fresh, col("f_ts")).as(s"${prefix}_ts"),
+      when(fresh, col("f_id")).as(s"${prefix}_id"),
+      when(fresh, col("f_val")).as(s"${prefix}_val"),
+      when(fresh, col("ts") - col("f_ts")).as(s"${prefix}_staleness"))
+  }
 }

@@ -4443,6 +4443,76 @@ GROUP BY c.doc_id""")),
           |  CAST(ts_us - asof_ts AS BIGINT) AS gap_us
           |FROM marked WHERE event_type = 'purchase'""".stripMargin)),
 
+    // Feature-store point-in-time join: for each purchase label, the
+    // latest prior view and click feature per user within a 2 h
+    // staleness bound — training rows can never leak the future. One
+    // narrow user-keyed shuffle per feature table, assembly on label id.
+    ("pit_features", (s: SparkSession, dir: String) => {
+      val ev = EventOps.readEvents(s, dir)
+        .withColumn("ts", expr("ts div 1000"))
+      val labels = ev.filter(col("event_type") === "purchase")
+      val stalenessUs = 7200000000L // 2 h in µs
+      val v = JoinOps.pointInTimeJoin(labels,
+        ev.filter(col("event_type") === "view"),
+        "user_id", "ts", "event_id", "value", "view", stalenessUs)
+      val c = JoinOps.pointInTimeJoin(labels,
+        ev.filter(col("event_type") === "click"),
+        "user_id", "ts", "event_id", "value", "click", stalenessUs)
+      v.join(c, Seq("label_id", "entity", "ts"))
+        .select(col("label_id").as("event_id"),
+          col("entity").as("user_id"), col("ts").as("ts_us"),
+          col("view_ts").as("view_ts_us"), col("view_id"),
+          col("view_val"), col("view_staleness").as("view_staleness_us"),
+          col("click_ts").as("click_ts_us"), col("click_id"),
+          col("click_val"),
+          col("click_staleness").as("click_staleness_us"))
+    },
+      Some(
+        """WITH e AS (
+          |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+          |    value
+          |  FROM events
+          |  WHERE event_type IN ('purchase', 'view', 'click')),
+          |m AS (
+          |  SELECT event_id, user_id, ts_us, event_type,
+          |    last_value(CASE WHEN event_type = 'view' THEN ts_us END
+          |      IGNORE NULLS) OVER w AS v_ts,
+          |    last_value(CASE WHEN event_type = 'view' THEN event_id END
+          |      IGNORE NULLS) OVER w AS v_id,
+          |    last_value(CASE WHEN event_type = 'view' THEN value END
+          |      IGNORE NULLS) OVER w AS v_val,
+          |    last_value(CASE WHEN event_type = 'click' THEN ts_us END
+          |      IGNORE NULLS) OVER w AS c_ts,
+          |    last_value(CASE WHEN event_type = 'click' THEN event_id END
+          |      IGNORE NULLS) OVER w AS c_id,
+          |    last_value(CASE WHEN event_type = 'click' THEN value END
+          |      IGNORE NULLS) OVER w AS c_val
+          |  FROM e
+          |  WINDOW w AS (PARTITION BY user_id
+          |    ORDER BY ts_us, CASE WHEN event_type = 'purchase'
+          |      THEN 1 ELSE 0 END, event_id
+          |    ROWS UNBOUNDED PRECEDING))
+          |SELECT CAST(event_id AS BIGINT) AS event_id,
+          |  CAST(user_id AS BIGINT) AS user_id,
+          |  CAST(ts_us AS BIGINT) AS ts_us,
+          |  CAST(CASE WHEN ts_us - v_ts <= 7200000000 THEN v_ts END
+          |    AS BIGINT) AS view_ts_us,
+          |  CAST(CASE WHEN ts_us - v_ts <= 7200000000 THEN v_id END
+          |    AS BIGINT) AS view_id,
+          |  CASE WHEN ts_us - v_ts <= 7200000000 THEN v_val END
+          |    AS view_val,
+          |  CAST(CASE WHEN ts_us - v_ts <= 7200000000
+          |    THEN ts_us - v_ts END AS BIGINT) AS view_staleness_us,
+          |  CAST(CASE WHEN ts_us - c_ts <= 7200000000 THEN c_ts END
+          |    AS BIGINT) AS click_ts_us,
+          |  CAST(CASE WHEN ts_us - c_ts <= 7200000000 THEN c_id END
+          |    AS BIGINT) AS click_id,
+          |  CASE WHEN ts_us - c_ts <= 7200000000 THEN c_val END
+          |    AS click_val,
+          |  CAST(CASE WHEN ts_us - c_ts <= 7200000000
+          |    THEN ts_us - c_ts END AS BIGINT) AS click_staleness_us
+          |FROM m WHERE event_type = 'purchase'""".stripMargin)),
+
     // Semi-structured payload analytics: typed JSON property extraction
     // (get_json_object path, codegen'd narrow map) + exact integer
     // distribution rollup per event type.
