@@ -3828,6 +3828,18 @@ GROUP BY c.doc_id""")),
     // external oracle pins to constant zeros — streaming semantics get a
     // real CORRECTNESS row, not only ScalaTest assertions.
 
+    // Streaming segmentation: per-plane object counts/areas computed
+    // live (stateless native kernel in micro-batches) must equal the
+    // batch computation plane-for-plane.
+    ("stream_omeseg_check", (s: SparkSession, _: String) =>
+      graft.streaming.OmeStream.segmentCheck(s),
+      Some(
+        """SELECT CAST(0 AS BIGINT) AS missing_plane,
+          |  CAST(0 AS BIGINT) AS extra_plane,
+          |  CAST(0 AS BIGINT) AS bad_count,
+          |  CAST(0 AS BIGINT) AS bad_area,
+          |  CAST(0 AS BIGINT) AS empty_stream""".stripMargin)),
+
     ("stream_rollup_check", (s: SparkSession, dir: String) =>
       graft.streaming.EventStream.rollupCheck(s, dir),
       Some(

@@ -356,4 +356,14 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(1L)._2 === -1 && streamed(3L)._2 === -1)
     spark.catalog.clearCache()
   }
+
+  test("streaming segmentation counts agree with batch plane-for-plane") {
+    val feed = java.nio.file.Files
+      .createTempDirectory("omeseg_feed").toString
+    val r = graft.streaming.OmeStream.segmentCheck(spark, feedDir = feed)
+      .collect().head
+    assert((0 until 5).map(r.getLong) === Seq(0L, 0L, 0L, 0L, 0L),
+      s"streaming/batch segmentation disagreement: $r")
+    spark.catalog.clearCache()
+  }
 }
