@@ -122,4 +122,41 @@ object ProfileOps {
         levenshtein(col("a.name"), col("b.name")).cast("int").as("dist"))
       .where(col("dist") <= maxDist)
   }
+
+  /**
+   * Triangle count over an undirected pair graph — the clustering
+   * signal that distinguishes a CLIQUE of mutual near-matches (one
+   * entity observed many ways) from a CHAIN of borderline matches
+   * (distinct entities daisy-chained through a loose threshold); the
+   * standard pre-merge diagnostic before collapsing linkage components.
+   *
+   * Input: one row per undirected edge with endpoint columns `aCol`,
+   * `bCol`. Output one row: `n_edges, n_triangles, n_closed_wedges`
+   * (closed wedges = 3 × triangles, the global clustering numerator).
+   *
+   * Scale shape: the compact-forward algorithm — edges normalize to
+   * `u < v` once, then ONE self-join chains (u,v)+(v,w) into wedges
+   * and ONE semi-join closes them against the edge set; with ordered
+   * endpoints each triangle is produced exactly once. Both joins key
+   * on endpoints (hash joins, no nested loop); wedge count is bounded
+   * by Σ deg², which the caller controls via the pair generator's
+   * block/bucket caps.
+   */
+  def trianglesOf(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = pairs.select(
+      least(col(aCol), col(bCol)).as("u"),
+      greatest(col(aCol), col(bCol)).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    val wedges = e.alias("e1")
+      .join(e.alias("e2"), col("e1.v") === col("e2.u"))
+      .select(col("e1.u").as("u"), col("e1.v").as("v"),
+        col("e2.v").as("w"))
+    val closed = wedges.join(
+      e.select(col("u"), col("v").as("w")), Seq("u", "w"), "left_semi")
+    e.agg(count(lit(1)).cast("long").as("n_edges"))
+      .crossJoin(broadcast(closed.agg(
+        count(lit(1)).cast("long").as("n_triangles"))))
+      .select(col("n_edges"), col("n_triangles"),
+        (col("n_triangles") * 3).cast("long").as("n_closed_wedges"))
+  }
 }

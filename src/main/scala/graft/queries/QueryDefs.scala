@@ -5022,6 +5022,82 @@ GROUP BY c.doc_id""")),
           |  CAST(sum(n_chars) AS BIGINT) AS chars
           |FROM a GROUP BY 1, 2""".stripMargin)),
 
+    // Triangle count over the fuzzy-linkage graph: compact-forward
+    // (ordered endpoints, one wedge join + one closing semi-join) — the
+    // clique-vs-chain diagnostic before merging linkage components.
+    ("entity_triangles", (s: SparkSession, dir: String) =>
+      ProfileOps.trianglesOf(
+        ProfileOps.entityPairs(t(s, dir, "part"), "p_name",
+          maxDist = 3, maxBlock = 200), "name_a", "name_b"),
+      Some(
+        """WITH n AS (
+          |  SELECT DISTINCT p_name AS name FROM part
+          |  WHERE p_name IS NOT NULL),
+          |b AS (
+          |  SELECT name, split_part(name, ' ', 1) AS blk,
+          |    row_number() OVER (
+          |      PARTITION BY split_part(name, ' ', 1) ORDER BY name) AS rn
+          |  FROM n),
+          |c AS (SELECT blk, name FROM b WHERE rn <= 200),
+          |p AS (
+          |  SELECT a.name AS u, b2.name AS v
+          |  FROM c a JOIN c b2 ON a.blk = b2.blk AND a.name < b2.name
+          |  WHERE levenshtein(a.name, b2.name) <= 3),
+          |w AS (
+          |  SELECT e1.u, e1.v, e2.v AS w
+          |  FROM p e1 JOIN p e2 ON e1.v = e2.u),
+          |tri AS (
+          |  SELECT 1 AS one FROM w
+          |  JOIN p e3 ON w.u = e3.u AND w.w = e3.v)
+          |SELECT CAST((SELECT count(*) FROM p) AS BIGINT) AS n_edges,
+          |  CAST((SELECT count(*) FROM tri) AS BIGINT) AS n_triangles,
+          |  CAST((SELECT count(*) FROM tri) * 3 AS BIGINT)
+          |    AS n_closed_wedges""".stripMargin)),
+
+    // Windowed BI headliner: monthly revenue per nation with running
+    // cumulative and 3-month moving average — nation-partitioned
+    // windows (parallel across nations), integer-cents sums.
+    ("q_running_revenue", (s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = t(s, dir, "orders")
+        .select(col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("month"))
+        .agg(sum(col("cents")).as("cents"))
+      val w = Window.partitionBy(col("n_name")).orderBy(col("month"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val w3 = Window.partitionBy(col("n_name")).orderBy(col("month"))
+        .rowsBetween(-2, 0)
+      m.select(col("n_name"), col("month"),
+        round(col("cents") / 100.0, 2).as("revenue"),
+        round(sum(col("cents")).over(w) / 100.0, 2).as("cum_revenue"),
+        round(sum(col("cents")).over(w3).cast("double") /
+          count(lit(1)).over(w3) / 100.0, 6).as("ma3_revenue"))
+    },
+      Some(
+        """WITH o AS (
+          |  SELECT n_name, strftime(o_orderdate, '%Y-%m') AS month,
+          |    sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+          |  FROM orders
+          |  JOIN customer ON o_custkey = c_custkey
+          |  JOIN nation ON c_nationkey = n_nationkey
+          |  GROUP BY 1, 2)
+          |SELECT n_name, month, round(cents / 100.0, 2) AS revenue,
+          |  round(sum(cents) OVER (PARTITION BY n_name ORDER BY month
+          |    ROWS UNBOUNDED PRECEDING) / 100.0, 2) AS cum_revenue,
+          |  round(CAST(sum(cents) OVER w3 AS DOUBLE) /
+          |    count(*) OVER w3 / 100.0, 6) AS ma3_revenue
+          |FROM o
+          |WINDOW w3 AS (PARTITION BY n_name ORDER BY month
+          |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
     // Deequ-style column profile: melt → one (col, value) hash agg →
     // k-row rollup. Counts only — value formatting never crosses
     // engines; entropy via the exact ln N − Σc·lnc/N rearrangement.

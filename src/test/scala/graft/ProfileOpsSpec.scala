@@ -68,4 +68,28 @@ class ProfileOpsSpec extends SparkSpec {
     assert(ProfileOps.entityPairs(df, "nm", 3, maxBlock = 1).count() === 0L)
     assert(ProfileOps.entityPairs(df, "nm", 3, maxBlock = 2).count() === 1L)
   }
+
+  test("trianglesOf: counts each triangle once; chains stay open") {
+    import spark.implicits._
+    // K3 on {1,2,3} plus a pendant edge and a reversed duplicate
+    val edges = Seq((1, 2), (2, 3), (1, 3), (3, 4), (2, 1))
+      .toDF("a", "b")
+    val r = ProfileOps.trianglesOf(edges, "a", "b").collect().head
+    assert(r.getLong(0) === 4L) // (2,1) collapses into (1,2)
+    assert(r.getLong(1) === 1L)
+    assert(r.getLong(2) === 3L)
+    // open chain: no closure
+    val chain = Seq((1, 2), (2, 3)).toDF("a", "b")
+    val c = ProfileOps.trianglesOf(chain, "a", "b").collect().head
+    assert((c.getLong(0), c.getLong(1)) === ((2L, 0L)))
+  }
+
+  test("trianglesOf: K4 has four triangles") {
+    import spark.implicits._
+    val edges = (for {
+      i <- 1 to 4; j <- (i + 1) to 4
+    } yield (i, j)).toDF("a", "b")
+    val r = ProfileOps.trianglesOf(edges, "a", "b").collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((6L, 4L)))
+  }
 }
