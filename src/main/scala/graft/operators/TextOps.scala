@@ -2253,18 +2253,21 @@ object TextOps {
    * leak-checkable downstream).
    */
   def datasetSplit(docs: DataFrame, salt: String = "split0",
-      trainBuckets: Int = 204, valBuckets: Int = 26): DataFrame = {
+      trainBuckets: Int = 204, valBuckets: Int = 26,
+      keep: Seq[String] = Nil): DataFrame = {
     require(trainBuckets > 0 && valBuckets > 0 &&
       trainBuckets + valBuckets < 256,
       "datasetSplit: need 0 < trainBuckets, 0 < valBuckets, " +
         "trainBuckets + valBuckets < 256")
     val hex = md5(concat(lit(salt), lit("|"),
       col("doc_id").cast("long").cast("string")))
-    docs.select(col("doc_id").cast("long").as("doc_id"),
-        conv(hex.substr(1, 2), 16, 10).cast("int").as("bucket"))
-      .select(col("doc_id"), col("bucket"),
+    val kept = keep.map(col)
+    docs.select(col("doc_id").cast("long").as("doc_id") +:
+        conv(hex.substr(1, 2), 16, 10).cast("int").as("bucket") +:
+        kept: _*)
+      .select(col("doc_id") +: col("bucket") +:
         when(col("bucket") < trainBuckets, lit("train"))
           .when(col("bucket") < trainBuckets + valBuckets, lit("val"))
-          .otherwise(lit("test")).as("split"))
+          .otherwise(lit("test")).as("split") +: kept: _*)
   }
 }

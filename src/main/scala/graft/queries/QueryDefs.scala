@@ -4997,15 +4997,14 @@ GROUP BY c.doc_id""")),
 
     // Deterministic hash split: bucket = first 2 md5 hex digits,
     // train/val/test by threshold; rollup checks language balance.
-    ("dataset_split", (s: SparkSession, dir: String) => {
-      val docs = t(s, dir, "documents")
-      TextOps.datasetSplit(docs)
-        .join(docs.select(col("doc_id").cast("long").as("doc_id"),
-          col("lang"), col("n_chars")), Seq("doc_id"))
+    ("dataset_split", (s: SparkSession, dir: String) =>
+      // `keep` carries lang/n_chars through the assignment projection,
+      // so the rollup is scan -> narrow map -> agg: NO self-join
+      TextOps.datasetSplit(t(s, dir, "documents"),
+        keep = Seq("lang", "n_chars"))
         .groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).cast("long").as("n_docs"),
-          sum(col("n_chars")).cast("long").as("chars"))
-    },
+          sum(col("n_chars")).cast("long").as("chars")),
       Some(
         """WITH a AS (
           |  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, n_chars,
