@@ -1127,3 +1127,99 @@ object PixelCcObjectsIntensity {
     StructField("max_v", IntegerType, nullable = false))),
     containsNull = false)
 }
+
+/**
+ * Imperative core of [[PixelStretch]] (static-forwarder pattern, see
+ * [[CcObjects]]): percentile contrast stretch of one plane. The
+ * percentile is the SORTED-ARRAY INDEX form `sorted[(n−1)·p/100]`
+ * (integer floor — deterministic under ties because the VALUE at a
+ * sorted position never depends on tie order), and the rescale is the
+ * integer-exact HALF_UP formula
+ * `((clamp(v)−lo)·510 + (hi−lo)) / (2·(hi−lo))` — no doubles anywhere,
+ * so the output is bit-identical across engines.
+ */
+object StretchKernel {
+  /** `(lo, hi, stretched)`: 8-bit display-normalized plane. hi == lo
+    * (flat plane) maps everything to 0. */
+  def stretch(px: ArrayData, pLo: Int, pHi: Int): InternalRow = {
+    val n = px.numElements()
+    val sorted = px.toIntArray().clone()
+    java.util.Arrays.sort(sorted)
+    val lo = sorted((n - 1) * pLo / 100)
+    val hi = sorted((n - 1) * pHi / 100)
+    val out = new Array[Int](n)
+    if (hi > lo) {
+      val d = hi - lo
+      var i = 0
+      while (i < n) {
+        var v = px.getInt(i)
+        if (v < lo) v = lo
+        if (v > hi) v = hi
+        out(i) = ((v - lo) * 510 + d) / (2 * d)
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](lo, hi, new GenericArrayData(out)))
+  }
+}
+
+/**
+ * Percentile contrast stretch — the display-normalization step the
+ * reference's view substrate autoscaling implies, applied to the
+ * pixels themselves: clamp to the plane's `[pLo, pHi]` percentile
+ * window and rescale to 8-bit (the standard pre-export normalization
+ * for training thumbnails and viewers). One O(n log n) sort + one
+ * rescale loop per plane, fully inside the row; returns
+ * `struct(lo, hi, pixels)` so callers get the window alongside the
+ * normalized plane without a second sort.
+ */
+case class PixelStretch(pixels: Expression, pLo: Int, pHi: Int)
+  extends Expression {
+
+  require(pLo >= 0 && pHi <= 100 && pLo < pHi,
+    s"graft_pixel_stretch: need 0 <= pLo < pHi <= 100 (got $pLo, $pHi)")
+
+  override def children: Seq[Expression] = Seq(pixels)
+  override def dataType: DataType = PixelStretch.schema
+  override def nullable: Boolean = pixels.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = InputCheck.check(
+    Seq((pixels, ArrayType(IntegerType), "pixels")), "graft_pixel_stretch")
+
+  override def eval(input: InternalRow): Any = {
+    val pAny = pixels.eval(input)
+    if (pAny == null) return null
+    val px = pAny.asInstanceOf[ArrayData]
+    if (px.numElements() == 0) return null
+    StretchKernel.stretch(px, pLo, pHi)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pG = pixels.genCode(ctx)
+    val code =
+      code"""
+        ${pG.code}
+        boolean ${ev.isNull} = ${pG.isNull} || (!${pG.isNull} &&
+          ${pG.value}.numElements() == 0);
+        InternalRow ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.StretchKernel.stretch(
+            ${pG.value}, $pLo, $pHi);
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(pixels = newChildren(0))
+}
+
+object PixelStretch {
+  val schema: DataType = StructType(Seq(
+    StructField("lo", IntegerType, nullable = false),
+    StructField("hi", IntegerType, nullable = false),
+    StructField("pixels", ArrayType(IntegerType, containsNull = false),
+      nullable = false)))
+}

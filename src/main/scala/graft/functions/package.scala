@@ -88,6 +88,15 @@ package object functions {
     "graft_cc_objects" -> (exprs => PixelCcObjects(exprs(0), exprs(1))),
     "graft_cc_objects_intensity" -> (exprs =>
       PixelCcObjectsIntensity(exprs(0), exprs(1), exprs(2))),
+    "graft_pixel_stretch" -> (exprs => {
+      require(exprs.length == 3 && exprs(1).foldable && exprs(2).foldable &&
+        exprs(1).dataType == org.apache.spark.sql.types.IntegerType &&
+        exprs(2).dataType == org.apache.spark.sql.types.IntegerType,
+        "graft_pixel_stretch(pixels, pLo, pHi): percentiles must be " +
+          "INT literals")
+      PixelStretch(exprs(0), exprs(1).eval(null).asInstanceOf[Int],
+        exprs(2).eval(null).asInstanceOf[Int])
+    }),
     "graft_glcm_moments" -> (exprs => {
       require(exprs.length == 4 && exprs(2).foldable && exprs(3).foldable &&
         exprs(2).dataType == org.apache.spark.sql.types.IntegerType &&
@@ -235,6 +244,12 @@ package object functions {
   def cc_objects_intensity(mask: Column, pixels: Column,
       sx: Column): Column =
     call_function("graft_cc_objects_intensity", mask, pixels, sx)
+
+  /** Native percentile contrast stretch to 8-bit: integer-exact
+    * HALF_UP rescale of the `[pLo, pHi]` percentile window; returns
+    * `struct(lo, hi, pixels)`. */
+  def pixel_stretch(pixels: Column, pLo: Int, pHi: Int): Column =
+    call_function("graft_pixel_stretch", pixels, lit(pLo), lit(pHi))
 
   /** Native BPE encode of one token against a trained merge list
     * (rank order = array order). */

@@ -714,6 +714,29 @@ object OmeOps {
   }
 
   /**
+   * Percentile contrast stretch over the plane table — each plane
+   * clamped to its own `[pLo, pHi]` percentile window and rescaled to
+   * 8-bit with the integer-exact HALF_UP formula (the display /
+   * training-thumbnail normalization; the per-plane twin of
+   * [[percentileContrast]]'s corpus-level limits). One native
+   * [[graft.functions.PixelStretch]] sort+rescale per plane, fully
+   * in-row: no shuffle, no explode; `lo`/`hi` ride along so QC can
+   * audit the window without a second pass.
+   */
+  def contrastStretch(planeDf: DataFrame, pLo: Int, pHi: Int): DataFrame = {
+    graft.functions.ensureRegistered(planeDf.sparkSession)
+    planeDf
+      .select(col("image_id"), col("t"), col("c"), col("z"),
+        col("size_x"), col("size_y"),
+        graft.functions.pixel_stretch(col("pixels"), pLo, pHi).as("st"))
+      .select(col("image_id"), col("t"), col("c"), col("z"),
+        col("size_x").cast("int").as("size_x"),
+        col("size_y").cast("int").as("size_y"),
+        col("st.lo").as("lo"), col("st.hi").as("hi"),
+        col("st.pixels").as("pixels"))
+  }
+
+  /**
    * [[segmentObjects]] with intensity measurements: each object also
    * reports integrated (`sum_v`), mean (`mean_v`), and extreme
    * (`min_v`/`max_v`) intensity over the ORIGINAL pixels — the mask

@@ -369,6 +369,39 @@ chunks AS (
            |    AS patch
            |FROM g""".stripMargin)),
 
+    // Percentile contrast stretch: per-plane [p5, p95] clamp + integer
+    // HALF_UP rescale to 8-bit (sorted-index percentiles, no doubles);
+    // oracle re-sorts the closed-form grid per plane.
+    ("ome_contrast_stretch", (s: SparkSession, _: String) =>
+      OmeOps.contrastStretch(
+        OmeOps.explodePlanes(Fixtures.corpus4d(s))
+          .select(col("image_id"), col("t"), col("c"), col("z"),
+            col("size_x"), col("size_y"), col("pixels")),
+        pLo = 5, pHi = 95),
+      Some(
+        s"""WITH $px4d,
+           |q AS (
+           |  SELECT img, t, c, z, list(v ORDER BY v) AS sv,
+           |    count(*) AS n
+           |  FROM px GROUP BY 1, 2, 3, 4),
+           |b AS (
+           |  SELECT img, t, c, z,
+           |    sv[((n - 1) * 5) // 100 + 1] AS lo,
+           |    sv[((n - 1) * 95) // 100 + 1] AS hi
+           |  FROM q)
+           |SELECT $id4d AS image_id, CAST(t AS INT) AS t,
+           |  CAST(c AS INT) AS c, CAST(z AS INT) AS z,
+           |  CAST(8 AS INT) AS size_x, CAST(8 AS INT) AS size_y,
+           |  CAST(lo AS INT) AS lo, CAST(hi AS INT) AS hi,
+           |  (SELECT list(CAST(CASE WHEN b.hi > b.lo THEN
+           |      ((least(greatest(p2.v, b.lo), b.hi) - b.lo) * 510
+           |        + (b.hi - b.lo)) // (2 * (b.hi - b.lo))
+           |      ELSE 0 END AS INT) ORDER BY p2.p)
+           |    FROM px p2
+           |    WHERE p2.img = b.img AND p2.t = b.t AND p2.c = b.c
+           |      AND p2.z = b.z) AS pixels
+           |FROM b""".stripMargin)),
+
     // Haralick texture features: per-plane horizontal GLCM moments via
     // the native kernel (integer moments + fixed-order clnc), features
     // as pure column arithmetic; oracle re-derives the co-occurrence

@@ -23,7 +23,10 @@ object SfSweep {
     "embed_ann_ivfpq", "events_rollup", "events_sessions",
     // r9 additions: trained-model, topic, as-of surface, skew report
     "quality_classifier", "topic_report", "embed_ann_ivf_trained",
-    "events_asof_nearest", "events_key_skew")
+    "events_asof_nearest", "events_key_skew",
+    // r9-late additions: profiling, linkage, split, PIT join, windows
+    "profile_table", "zipf_report", "dataset_split", "entity_pairs",
+    "entity_triangles", "pit_features", "q_running_revenue")
 
   val Sfs: Seq[String] = Seq("sf0.001", "sf0.01", "sf0.1")
 

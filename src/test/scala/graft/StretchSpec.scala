@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.OmeOps
+
+/** Percentile contrast stretch: hand-computed windows and rescales. */
+class StretchSpec extends SparkSpec {
+
+  private def stretch(px: Seq[Int], pLo: Int, pHi: Int) = {
+    import spark.implicits._
+    graft.functions.ensureRegistered(spark)
+    val r = Seq(Tuple1(px)).toDF("px")
+      .select(graft.functions.pixel_stretch(col("px"), pLo, pHi).as("s"))
+      .select(col("s.lo"), col("s.hi"), col("s.pixels"))
+      .collect().head
+    (r.getInt(0), r.getInt(1), r.getSeq[Int](2))
+  }
+
+  test("stretch: full-range percentiles map min->0, max->255, " +
+      "midpoint HALF_UP") {
+    val (lo, hi, out) = stretch(Seq(10, 20, 30), 0, 100)
+    assert((lo, hi) === ((10, 30)))
+    // (20-10)*510 + 20 = 5120; 5120 / 40 = 128 (exact midpoint rounds up)
+    assert(out === Seq(0, 128, 255))
+  }
+
+  test("stretch: percentile window clamps outliers") {
+    // n=21, idx lo = 20*5/100 = 1, hi = 20*95/100 = 19
+    val px = (0 to 20).map(_ * 10)
+    val (lo, hi, out) = stretch(px, 5, 95)
+    assert((lo, hi) === ((10, 190)))
+    assert(out.head === 0)   // 0 clamps to lo
+    assert(out.last === 255) // 200 clamps to hi
+    assert(out(1) === 0 && out(19) === 255)
+  }
+
+  test("stretch: flat plane maps to all zeros") {
+    val (lo, hi, out) = stretch(Seq.fill(6)(7), 5, 95)
+    assert(lo === 7 && hi === 7)
+    assert(out === Seq.fill(6)(0))
+  }
+
+  test("contrastStretch: composes with re-aggregation; output is 8-bit") {
+    import spark.implicits._
+    val planes = OmeOps.explodePlanes(
+      graft.schema.Fixtures.corpus4d(spark))
+      .select(col("image_id"), col("t"), col("c"), col("z"),
+        col("size_x"), col("size_y"), col("pixels"))
+    val out = OmeOps.contrastStretch(planes, 5, 95)
+    val bounds = out.select(
+      min(array_min(col("pixels"))), max(array_max(col("pixels"))))
+      .collect().head
+    assert(bounds.getInt(0) >= 0 && bounds.getInt(1) <= 255)
+    assert(out.count() === planes.count())
+  }
+}
