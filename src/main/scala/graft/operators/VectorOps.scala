@@ -1334,4 +1334,61 @@ object VectorOps {
       .select(col("n_probe"), col("n_hits"), lit(total).as("n_truth"),
         round(col("n_hits").cast("double") / total, 6).as("recall"))
   }
+
+  /**
+   * Retrieval-quality evaluation — MRR, precision@k, and nDCG@k of the
+   * [[cosineTopK]] ranking against label relevance (`relevant` =
+   * neighbor shares the probe's `label`): the standard IR metrics a
+   * retrieval pipeline reports before swapping an index or embedding
+   * model. One row per probe: `probe_id, n_corpus_rel, n_rel_at_k,
+   * mrr, precision_at_k, ndcg` (6 dp; ndcg NULL when the corpus holds
+   * no relevant item for the probe).
+   *
+   * Determinism: relevance is integer; DCG sums ≤ k engine-identical
+   * `rel/log2(rank+1)` terms; the ideal DCG normalizer is the same sum
+   * over `min(n_corpus_rel, k)` ranks — both sides compute it from
+   * scratch and round last.
+   *
+   * Scale shape: rides [[cosineTopK]]'s audited plan (broadcast
+   * probes, one corpus scan, score-only window); the metric layer
+   * joins label LOOKUPS (broadcast n-probe side, vec_id-keyed
+   * neighbor side) and the per-probe rollup moves nProbes rows. The
+   * per-label corpus totals are one count aggregation over labels.
+   */
+  def retrievalMetrics(emb: DataFrame, nProbes: Int, k: Int): DataFrame = {
+    val ranked = cosineTopK(emb, nProbes, k)
+    val labels = emb.select(col("vec_id").cast("long").as("vec_id"),
+      col("label").cast("int").as("label"))
+    val probeLabels = broadcast(labels
+      .filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("label").as("p_label")))
+    val labelCounts = broadcast(labels.groupBy(col("label"))
+      .agg(count(lit(1)).cast("long").as("n_label")))
+    val rel = ranked
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label_v")), Seq("neighbor_id"))
+      .join(probeLabels, Seq("probe_id"))
+      .withColumn("rel", (col("n_label_v") === col("p_label")).cast("int"))
+    val perProbe = rel.groupBy(col("probe_id"), col("p_label"))
+      .agg(
+        sum(col("rel")).cast("long").as("n_rel_at_k"),
+        min(when(col("rel") === 1, col("rnk"))).as("first_rel_rnk"),
+        sum(col("rel").cast("double") /
+          log(2.0, col("rnk").cast("double") + 1)).as("dcg"))
+    perProbe
+      .join(labelCounts, col("p_label") === col("label"))
+      .withColumn("n_corpus_rel", (col("n_label") - 1).cast("long"))
+      .withColumn("ideal_n",
+        least(col("n_corpus_rel"), lit(k.toLong)).cast("int"))
+      .withColumn("idcg", aggregate(sequence(lit(1), col("ideal_n")),
+        lit(0.0), (acc, i) =>
+          acc + lit(1.0) / log(2.0, i.cast("double") + 1)))
+      .select(col("probe_id"), col("n_corpus_rel"), col("n_rel_at_k"),
+        round(coalesce(lit(1.0) / col("first_rel_rnk"), lit(0.0)), 6)
+          .as("mrr"),
+        round(col("n_rel_at_k").cast("double") / k, 6)
+          .as("precision_at_k"),
+        when(col("ideal_n") > 0, round(col("dcg") / col("idcg"), 6))
+          .as("ndcg"))
+  }
 }

@@ -3263,6 +3263,62 @@ GROUP BY c.doc_id""")),
           |FROM scored
           |QUALIFY rnk <= 10""".stripMargin)),
 
+    // Retrieval evaluation: MRR / precision@k / nDCG@k of the cosine
+    // top-10 against label relevance — per-probe metric rows; the
+    // oracle recomputes DCG and the ideal normalizer from scratch.
+    ("retrieval_metrics", (s: SparkSession, dir: String) =>
+      VectorOps.retrievalMetrics(t(s, dir, "embeddings"),
+        nProbes = 8, k = 10),
+      Some(
+        """WITH scored AS (
+          |  SELECT CAST(p.vec_id AS BIGINT) AS probe_id,
+          |    CAST(e.vec_id AS BIGINT) AS neighbor_id,
+          |    round(
+          |      list_sum(list_transform(list_zip(p.embedding, e.embedding),
+          |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+          |      (sqrt(list_sum(list_transform(p.embedding,
+          |         a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)))) *
+          |       sqrt(list_sum(list_transform(e.embedding,
+          |         a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE))))), 6)
+          |      AS score
+          |  FROM embeddings p JOIN embeddings e ON e.vec_id <> p.vec_id
+          |  WHERE p.vec_id < 8),
+          |ranked AS (
+          |  SELECT probe_id,
+          |    CAST(row_number() OVER (PARTITION BY probe_id
+          |      ORDER BY score DESC, neighbor_id ASC) AS INT) AS rnk,
+          |    neighbor_id
+          |  FROM scored QUALIFY rnk <= 10),
+          |rel AS (
+          |  SELECT r.probe_id, r.rnk,
+          |    CASE WHEN ne.label = pe.label THEN 1 ELSE 0 END AS rel,
+          |    pe.label AS p_label
+          |  FROM ranked r
+          |  JOIN embeddings ne ON ne.vec_id = r.neighbor_id
+          |  JOIN embeddings pe ON pe.vec_id = r.probe_id),
+          |lc AS (SELECT label, count(*) AS n_label FROM embeddings
+          |  GROUP BY 1),
+          |m AS (
+          |  SELECT probe_id, p_label, sum(rel) AS n_rel_at_k,
+          |    min(CASE WHEN rel = 1 THEN rnk END) AS frk,
+          |    sum(CAST(rel AS DOUBLE) / log2(rnk + 1)) AS dcg
+          |  FROM rel GROUP BY 1, 2),
+          |ic AS (
+          |  SELECT a.i AS n, sum(1.0 / log2(b.i + 1)) AS idcg
+          |  FROM generate_series(1, 10) a(i)
+          |  JOIN generate_series(1, 10) b(i) ON b.i <= a.i
+          |  GROUP BY 1)
+          |SELECT m.probe_id,
+          |  CAST(lc.n_label - 1 AS BIGINT) AS n_corpus_rel,
+          |  CAST(m.n_rel_at_k AS BIGINT) AS n_rel_at_k,
+          |  round(coalesce(1.0 / m.frk, 0.0), 6) AS mrr,
+          |  round(m.n_rel_at_k / 10.0, 6) AS precision_at_k,
+          |  CASE WHEN least(lc.n_label - 1, 10) > 0 THEN
+          |    round(m.dcg / ic.idcg, 6) END AS ndcg
+          |FROM m
+          |JOIN lc ON lc.label = m.p_label
+          |LEFT JOIN ic ON ic.n = least(lc.n_label - 1, 10)""".stripMargin)),
+
     // Two-stage retrieval: coarse top-50 per probe in a deterministic
     // 8-dim random projection, exact cosine rerank of the candidates.
     // Both stages rank on rounded scores so the candidate SET is
