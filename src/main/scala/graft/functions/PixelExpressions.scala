@@ -1223,3 +1223,88 @@ object PixelStretch {
     StructField("pixels", ArrayType(IntegerType, containsNull = false),
       nullable = false)))
 }
+
+/**
+ * Integer plane translation with zero fill — the APPLY half of drift
+ * correction ([[graft.operators.OmeOps.driftApply]]): the plane moves
+ * by `(dy, dx)` (`out(y, x) = in(y − dy, x − dx)`, out-of-frame reads
+ * fill with 0), so a frame whose measured drift against its anchor is
+ * `(dy, dx)` lands back on the anchor's coordinates. `dy`/`dx` are
+ * COLUMN arguments (they come from the drift report's data), so the
+ * kernel stays codegen'd while the shift varies per row.
+ */
+case class PixelShiftExpr(pixels: Expression, sx: Expression,
+    dy: Expression, dx: Expression) extends Expression {
+
+  override def children: Seq[Expression] = Seq(pixels, sx, dy, dx)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def checkInputDataTypes(): TypeCheckResult = InputCheck.check(
+    Seq((pixels, ArrayType(IntegerType), "pixels"), (sx, IntegerType, "sx"),
+      (dy, IntegerType, "dy"), (dx, IntegerType, "dx")),
+    "graft_pixel_shift")
+
+  override def eval(input: InternalRow): Any = {
+    val pAny = pixels.eval(input)
+    val wAny = sx.eval(input)
+    val dyAny = dy.eval(input)
+    val dxAny = dx.eval(input)
+    if (pAny == null || wAny == null || dyAny == null || dxAny == null)
+      return null
+    val px = pAny.asInstanceOf[ArrayData]
+    val w = wAny.asInstanceOf[Int]
+    val sdy = dyAny.asInstanceOf[Int]
+    val sdx = dxAny.asInstanceOf[Int]
+    val n = px.numElements()
+    val h = if (w > 0) n / w else 0
+    val out = new Array[Int](n)
+    var o = 0
+    while (o < n) {
+      val y = o / w - sdy
+      val x = o % w - sdx
+      out(o) = if (y >= 0 && y < h && x >= 0 && x < w)
+        px.getInt(y * w + x) else 0
+      o += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pG = pixels.genCode(ctx)
+    val wG = sx.genCode(ctx)
+    val dyG = dy.genCode(ctx)
+    val dxG = dx.genCode(ctx)
+    val arr = ctx.freshName("arr"); val o = ctx.freshName("o")
+    val n = ctx.freshName("n"); val h = ctx.freshName("h")
+    val y = ctx.freshName("y"); val x = ctx.freshName("x")
+    val code =
+      code"""
+        ${pG.code}
+        ${wG.code}
+        ${dyG.code}
+        ${dxG.code}
+        boolean ${ev.isNull} = ${pG.isNull} || ${wG.isNull} ||
+          ${dyG.isNull} || ${dxG.isNull};
+        ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          int $n = ${pG.value}.numElements();
+          int $h = ${wG.value} > 0 ? $n / ${wG.value} : 0;
+          int[] $arr = new int[$n];
+          for (int $o = 0; $o < $n; $o++) {
+            int $y = $o / ${wG.value} - ${dyG.value};
+            int $x = $o % ${wG.value} - ${dxG.value};
+            $arr[$o] = ($y >= 0 && $y < $h && $x >= 0 && $x < ${wG.value})
+              ? ${pG.value}.getInt($y * ${wG.value} + $x) : 0;
+          }
+          ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(pixels = newChildren(0), sx = newChildren(1),
+      dy = newChildren(2), dx = newChildren(3))
+}

@@ -88,6 +88,8 @@ package object functions {
     "graft_cc_objects" -> (exprs => PixelCcObjects(exprs(0), exprs(1))),
     "graft_cc_objects_intensity" -> (exprs =>
       PixelCcObjectsIntensity(exprs(0), exprs(1), exprs(2))),
+    "graft_pixel_shift" -> (exprs =>
+      PixelShiftExpr(exprs(0), exprs(1), exprs(2), exprs(3))),
     "graft_pixel_stretch" -> (exprs => {
       require(exprs.length == 3 && exprs(1).foldable && exprs(2).foldable &&
         exprs(1).dataType == org.apache.spark.sql.types.IntegerType &&
@@ -250,6 +252,12 @@ package object functions {
     * `struct(lo, hi, pixels)`. */
   def pixel_stretch(pixels: Column, pLo: Int, pHi: Int): Column =
     call_function("graft_pixel_stretch", pixels, lit(pLo), lit(pHi))
+
+  /** Native integer plane translation with zero fill
+    * (`out(y,x) = in(y−dy, x−dx)`); dy/dx are data columns. */
+  def pixel_shift(pixels: Column, sx: Column, dy: Column,
+      dx: Column): Column =
+    call_function("graft_pixel_shift", pixels, sx, dy, dx)
 
   /** Native BPE encode of one token against a trained merge list
     * (rank order = array order). */

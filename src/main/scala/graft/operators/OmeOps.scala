@@ -714,6 +714,52 @@ object OmeOps {
   }
 
   /**
+   * Drift CORRECTION — the apply half of [[driftReport]] (the
+   * flat-field estimate/apply pattern): every frame translates back
+   * onto the t=0 anchor's coordinates by the CUMULATIVE measured
+   * drift, so a time-lapse whose stage walked during acquisition
+   * re-registers before segmentation. One row per plane with the
+   * applied `(applied_dy, applied_dx)` and the shifted pixels
+   * (out-of-frame reads fill 0 — the honest boundary for a
+   * translated field of view).
+   *
+   * Scale shape: [[driftReport]]'s zero-exchange in-row scoring
+   * produces one (image, c, z, t)-keyed shift row per FRAME PAIR; the
+   * cumulative alignment is a window over frames-per-stack-sized
+   * partitions; the pixel apply is one codegen'd
+   * [[graft.functions.PixelShiftExpr]] pass joined by plane key —
+   * pixels cross the plane-keyed join once and nothing else.
+   */
+  def driftApply(df: DataFrame, maxShift: Int = 2,
+      column: String = OmeSchema.DefaultColumn): DataFrame = {
+    graft.functions.ensureRegistered(df.sparkSession)
+    val planes = explodePlanes(df, column)
+      .select(col("image_id"), col("t"), col("c"), col("z"),
+        col("size_x").cast("int").as("size_x"),
+        col("size_y").cast("int").as("size_y"), col("pixels"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("image_id"), col("c"), col("z"))
+      .orderBy(col("t")).rowsBetween(Window.unboundedPreceding, 0)
+    // pair (t -> t+1) corrects FRAME t+1; cumulative over earlier pairs
+    val cum = driftReport(df, maxShift, column)
+      .select(col("image_id"), col("c"), col("z"), col("t"),
+        col("best_dy"), col("best_dx"))
+      .withColumn("cum_dy", sum(col("best_dy")).over(w).cast("int"))
+      .withColumn("cum_dx", sum(col("best_dx")).over(w).cast("int"))
+      .select(col("image_id"), col("c"), col("z"),
+        (col("t") + 1).cast("int").as("t"), col("cum_dy"), col("cum_dx"))
+    planes
+      .join(cum, Seq("image_id", "c", "z", "t"), "left")
+      .select(col("image_id"), col("t"), col("c"), col("z"),
+        col("size_x"), col("size_y"),
+        coalesce(col("cum_dy"), lit(0)).as("applied_dy"),
+        coalesce(col("cum_dx"), lit(0)).as("applied_dx"),
+        graft.functions.pixel_shift(col("pixels"), col("size_x"),
+          coalesce(col("cum_dy"), lit(0)),
+          coalesce(col("cum_dx"), lit(0))).as("pixels"))
+  }
+
+  /**
    * Percentile contrast stretch over the plane table — each plane
    * clamped to its own `[pLo, pHi]` percentile window and rescaled to
    * 8-bit with the integer-exact HALF_UP formula (the display /

@@ -600,6 +600,54 @@ chunks AS (
            |  mscore AS score
            |FROM best WHERE rn = 1""".stripMargin)),
 
+    // Drift correction applied: every frame translated back onto the
+    // t=0 anchor by the cumulative measured drift (zero-fill bounds);
+    // the oracle re-derives the argmax shift and regenerates the
+    // translated closed-form grid.
+    ("ome_drift_apply", (s: SparkSession, _: String) =>
+      OmeOps.driftApply(Fixtures.corpus4d(s)),
+      Some(
+        s"""WITH $px4d, sh AS (
+           |  SELECT dy.dy AS dy, dx.dx AS dx
+           |  FROM generate_series(-2, 2) dy(dy),
+           |       generate_series(-2, 2) dx(dx)),
+           |sc AS (
+           |  SELECT a.img, a.c, a.z, a.t, s.dy, s.dx,
+           |    round(CAST(sum(a.v * b.v) AS DOUBLE) /
+           |      ((8 - abs(s.dx)) * (8 - abs(s.dy))), 6) AS mscore
+           |  FROM px a
+           |  CROSS JOIN sh s
+           |  JOIN px b ON b.img = a.img AND b.c = a.c AND b.z = a.z
+           |    AND b.t = a.t + 1
+           |    AND a.y = b.y + s.dy AND a.x = b.x + s.dx
+           |  WHERE a.t < 1
+           |  GROUP BY 1, 2, 3, 4, 5, 6),
+           |best AS (
+           |  SELECT img, c, z, dy, dx,
+           |    row_number() OVER (PARTITION BY img, c, z, t
+           |      ORDER BY mscore DESC, (dy + 2) * 5 + (dx + 2) ASC)
+           |      AS rn
+           |  FROM sc),
+           |bs AS (SELECT img, c, z, dy, dx FROM best WHERE rn = 1),
+           |ad AS (
+           |  SELECT k.img, k.t, k.c, k.z,
+           |    CASE WHEN k.t = 0 THEN 0 ELSE b.dy END AS ady,
+           |    CASE WHEN k.t = 0 THEN 0 ELSE b.dx END AS adx
+           |  FROM (SELECT DISTINCT img, t, c, z FROM px) k
+           |  JOIN bs b ON b.img = k.img AND b.c = k.c AND b.z = k.z)
+           |SELECT $id4d AS image_id, CAST(t AS INT) AS t,
+           |  CAST(c AS INT) AS c, CAST(z AS INT) AS z,
+           |  CAST(8 AS INT) AS size_x, CAST(8 AS INT) AS size_y,
+           |  CAST(ady AS INT) AS applied_dy, CAST(adx AS INT) AS applied_dx,
+           |  (SELECT list(CAST(CASE WHEN o.y - a.ady BETWEEN 0 AND 7
+           |      AND o.x - a.adx BETWEEN 0 AND 7
+           |    THEN (a.img * 31 + a.t * 13 + a.c * 7 + a.z * 3
+           |      + (o.y - a.ady) * 8 + (o.x - a.adx)) % 65536
+           |    ELSE 0 END AS INT) ORDER BY o.p)
+           |   FROM px o WHERE o.img = a.img AND o.t = a.t
+           |     AND o.c = a.c AND o.z = a.z) AS pixels
+           |FROM ad a""".stripMargin)),
+
     // Radial intensity profile: mean intensity vs pixel distance from
     // the plane center per channel — the vignetting/optics-QC view,
     // derived from the same PixelSumAgg field as flat-field (rings are
