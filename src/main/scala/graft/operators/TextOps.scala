@@ -2192,6 +2192,33 @@ object TextOps {
   }
 
   /**
+   * Language-ID evaluation — the confusion matrix of [[langId]]'s
+   * heuristic against the corpus's labeled `lang` column: one row per
+   * `(lang, lang_pred)` cell with count and within-language share
+   * (the per-class recall diagonal). The classifier-eval twin of
+   * [[VectorOps.retrievalMetrics]]: measure the component before
+   * trusting it to route a corpus.
+   *
+   * Scale shape: the prediction is [[langId]]'s narrow regex
+   * projection; the matrix is ONE (lang, pred) aggregation with
+   * map-side combine, and the share window runs over the
+   * |langs|²-bounded cell table, never documents.
+   */
+  def langIdEval(docs: DataFrame): DataFrame = {
+    val cells = langId(docs)
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+    val w = Window.partitionBy(col("lang"))
+    cells
+      .withColumn("lang_total", sum(col("n_docs")).over(w).cast("long"))
+      .select(col("lang"), col("lang_pred"), col("n_docs"),
+        col("lang_total"),
+        round(col("n_docs").cast("double") / col("lang_total"), 6)
+          .as("share"),
+        (col("lang") === col("lang_pred")).cast("int").as("correct"))
+  }
+
+  /**
    * Zipf rank-frequency law fit — does the corpus's token distribution
    * follow the power law natural text does? A corpus whose fitted
    * log-log slope is far from ≈ −1 (or whose R² is low) is a strong

@@ -1995,6 +1995,38 @@ chunks AS (
           |  CAST(c_es AS BIGINT) AS c_es, CAST(c_fr AS BIGINT) AS c_fr
           |FROM c""".stripMargin)),
 
+    // Language-ID evaluation: the confusion matrix of the heuristic
+    // against labeled lang — per-cell count + within-language share.
+    ("lang_id_eval", (s: SparkSession, dir: String) =>
+      TextOps.langIdEval(t(s, dir, "documents")),
+      Some(
+        """WITH c AS (
+          |  SELECT doc_id, lang,
+          |    len(regexp_extract_all(text, '\b(the|and|of|is)\b')) AS c_en,
+          |    len(regexp_extract_all(text, '\b(und|der|die|das)\b')) AS c_de,
+          |    len(regexp_extract_all(text, '\b(el|los|las|una)\b')) AS c_es,
+          |    len(regexp_extract_all(text, '\b(le|les|des|une)\b')) AS c_fr
+          |  FROM documents),
+          |p AS (
+          |  SELECT lang,
+          |    CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en > 0 THEN 'en'
+          |         WHEN c_de >= c_es AND c_de >= c_fr AND c_de > 0 THEN 'de'
+          |         WHEN c_es >= c_fr AND c_es > 0 THEN 'es'
+          |         WHEN c_fr > 0 THEN 'fr'
+          |         ELSE 'unknown' END AS lang_pred
+          |  FROM c),
+          |m AS (
+          |  SELECT lang, lang_pred, count(*) AS n_docs
+          |  FROM p GROUP BY 1, 2)
+          |SELECT lang, lang_pred, CAST(n_docs AS BIGINT) AS n_docs,
+          |  CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+          |    AS lang_total,
+          |  round(CAST(n_docs AS DOUBLE) /
+          |    sum(n_docs) OVER (PARTITION BY lang), 6) AS share,
+          |  CAST(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END AS INT)
+          |    AS correct
+          |FROM m""".stripMargin)),
+
     ("token_count_bpe", (s: SparkSession, dir: String) =>
       TextOps.tokenCounts(t(s, dir, "documents")),
       Some(
