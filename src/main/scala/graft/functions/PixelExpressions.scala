@@ -673,7 +673,8 @@ case class PixelPermute(pixels: Expression, sx: Expression,
 
   override def children: Seq[Expression] = Seq(pixels, sx, sy)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-  override def nullable: Boolean = children.exists(_.nullable)
+  // NULL on ragged geometry, independent of child nullability
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = InputCheck.check(
     Seq((pixels, ArrayType(IntegerType), "pixels"),
@@ -708,6 +709,10 @@ case class PixelPermute(pixels: Expression, sx: Expression,
     val px = pxAny.asInstanceOf[ArrayData]
     val w = wAny.asInstanceOf[Int]
     val h = hAny.asInstanceOf[Int]
+    // NULL on ragged geometry (the PixelDot convention): a plane whose
+    // array disagrees with its declared dims would otherwise read out
+    // of bounds or silently permute garbage
+    if (w <= 0 || h <= 0 || px.numElements() != h * w) return null
     val n = h * w
     val out = new Array[Int](n)
     var o = 0
@@ -727,7 +732,10 @@ case class PixelPermute(pixels: Expression, sx: Expression,
         ${pxG.code}
         ${wG.code}
         ${hG.code}
-        boolean ${ev.isNull} = ${pxG.isNull} || ${wG.isNull} || ${hG.isNull};
+        boolean ${ev.isNull} = ${pxG.isNull} || ${wG.isNull} || ${hG.isNull} ||
+          (!${pxG.isNull} && !${wG.isNull} && !${hG.isNull} &&
+            (${wG.value} <= 0 || ${hG.value} <= 0 ||
+              ${pxG.value}.numElements() != ${hG.value} * ${wG.value}));
         ArrayData ${ev.value} = null;
         if (!${ev.isNull}) {
           int $n = ${hG.value} * ${wG.value};
@@ -850,6 +858,7 @@ object CcObjects {
     * segmented object. */
   def objectsIntensity(mask: ArrayData, px: ArrayData, w: Int): ArrayData = {
     val n = mask.numElements()
+    val np = px.numElements()
     val parent = unionFind(mask, w)
     val order = new scala.collection.mutable.ArrayBuffer[Int]()
     val stats = new java.util.HashMap[Int, Array[Long]]()
@@ -858,7 +867,7 @@ object CcObjects {
       if (parent(i) >= 0) {
         val r = parent(i)
         val y = i / w; val x = i % w
-        val v = px.getInt(i)
+        val v = if (i < np) px.getInt(i) else 0
         var s = stats.get(r)
         if (s == null) {
           s = Array[Long](0L, y, x, y, x, 0L, 0L, 0L, v, v)
@@ -970,7 +979,9 @@ object GlcmMoments {
     val counts = new Array[Long](bins * bins)
     var i = 0
     while (i < n) {
-      if (i % w < w - 1) {
+      // the i+1 < n guard covers a ragged plane whose last row is
+      // partial — the pair at the truncation point simply doesn't exist
+      if (i % w < w - 1 && i + 1 < n) {
         val a = px.getInt(i) * bins / maxv
         val b = px.getInt(i + 1) * bins / maxv
         counts(a * bins + b) += 1L
@@ -1182,7 +1193,8 @@ case class PixelStretch(pixels: Expression, pLo: Int, pHi: Int)
 
   override def children: Seq[Expression] = Seq(pixels)
   override def dataType: DataType = PixelStretch.schema
-  override def nullable: Boolean = pixels.nullable
+  // NULL on an empty plane, independent of child nullability
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = InputCheck.check(
     Seq((pixels, ArrayType(IntegerType), "pixels")), "graft_pixel_stretch")
@@ -1238,7 +1250,8 @@ case class PixelShiftExpr(pixels: Expression, sx: Expression,
 
   override def children: Seq[Expression] = Seq(pixels, sx, dy, dx)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-  override def nullable: Boolean = children.exists(_.nullable)
+  // NULL on a non-positive width, independent of child nullability
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = InputCheck.check(
     Seq((pixels, ArrayType(IntegerType), "pixels"), (sx, IntegerType, "sx"),
@@ -1254,10 +1267,11 @@ case class PixelShiftExpr(pixels: Expression, sx: Expression,
       return null
     val px = pAny.asInstanceOf[ArrayData]
     val w = wAny.asInstanceOf[Int]
+    if (w <= 0) return null
     val sdy = dyAny.asInstanceOf[Int]
     val sdx = dxAny.asInstanceOf[Int]
     val n = px.numElements()
-    val h = if (w > 0) n / w else 0
+    val h = n / w
     val out = new Array[Int](n)
     var o = 0
     while (o < n) {
@@ -1285,11 +1299,12 @@ case class PixelShiftExpr(pixels: Expression, sx: Expression,
         ${dyG.code}
         ${dxG.code}
         boolean ${ev.isNull} = ${pG.isNull} || ${wG.isNull} ||
-          ${dyG.isNull} || ${dxG.isNull};
+          ${dyG.isNull} || ${dxG.isNull} ||
+          (!${wG.isNull} && ${wG.value} <= 0);
         ArrayData ${ev.value} = null;
         if (!${ev.isNull}) {
           int $n = ${pG.value}.numElements();
-          int $h = ${wG.value} > 0 ? $n / ${wG.value} : 0;
+          int $h = $n / ${wG.value};
           int[] $arr = new int[$n];
           for (int $o = 0; $o < $n; $o++) {
             int $y = $o / ${wG.value} - ${dyG.value};

@@ -69,6 +69,19 @@ class AugmentSpec extends SparkSpec {
     assert(byMode("transpose") === ((2, 3, Seq(0, 3, 1, 4, 2, 5))))
   }
 
+  test("PixelPermute: ragged geometry yields NULL, not garbage") {
+    import spark.implicits._
+    graft.functions.ensureRegistered(spark)
+    // 5 pixels declared as 3x2, zero width, negative height
+    val rows = Seq((Seq(0, 1, 2, 3, 4), 3, 2), (plane, 0, 2),
+      (plane, 3, -1))
+      .toDF("px", "sx", "sy")
+      .select(graft.functions.pixel_permute(
+        col("px"), col("sx"), col("sy"), "hflip").as("out"))
+      .collect()
+    assert(rows.forall(_.isNullAt(0)))
+  }
+
   test("augmentPlanes: row count is planes x modes") {
     import spark.implicits._
     val planes = (0 until 4).map(i =>

@@ -24,6 +24,17 @@ class DriftApplySpec extends SparkSpec {
     assert(shift(-1, -1) === Seq(4, 5, 0, 0, 0, 0)) // up-left
   }
 
+  test("pixel_shift: zero/negative width yields NULL, not a crash") {
+    import spark.implicits._
+    graft.functions.ensureRegistered(spark)
+    val rows = Seq((Seq(1, 2, 3), 0, 1, 1), (Seq(1, 2, 3), -2, 0, 0))
+      .toDF("p", "w", "dy", "dx")
+      .select(graft.functions.pixel_shift(col("p"), col("w"),
+        col("dy"), col("dx")).as("o"))
+      .collect()
+    assert(rows.forall(_.isNullAt(0)))
+  }
+
   test("driftApply: anchors t=0 and shifts each frame by its pair's " +
       "measured drift") {
     val imgs = Fixtures.corpus4d(spark)

@@ -52,6 +52,18 @@ class TextureSpec extends SparkSpec {
     assert(r.isNullAt(5) && r.isNullAt(6) && r.isNullAt(7) && r.isNullAt(8))
   }
 
+  test("GlcmMoments: a ragged plane (partial last row) never reads " +
+      "past the array") {
+    import spark.implicits._
+    graft.functions.ensureRegistered(spark)
+    // 5 pixels declared 3 wide: rows (0,1,2), (3,4) — pairs (0,1),
+    // (1,2), (3,4); the pair at the truncation point doesn't exist
+    val r = Seq((Seq(0, 1, 2, 3, 4), 3)).toDF("px", "w")
+      .select(graft.functions.glcm_moments(col("px"), col("w"), 8, 8)
+        .as("m")).select(col("m.n_pairs")).collect().head
+    assert(r.getLong(0) === 3L)
+  }
+
   test("GlcmMoments: eval matches codegen and a brute-force recount") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.Literal
