@@ -124,6 +124,65 @@ object ProfileOps {
   }
 
   /**
+   * Market-basket association rules — co-occurring item pairs with
+   * support, confidence, and lift (the classic frequent-itemset
+   * analytics over order/session baskets; at k=2 the exact pair pass
+   * IS the heavy step of Apriori/FP-growth, and higher-order itemsets
+   * grow from these survivors).
+   *
+   * Output: top-`topK` pairs by co-occurrence count (ties by item
+   * ids): `item_a < item_b, n_pairs, support, confidence_a_b, lift`
+   * (6 dp; `confidence_a_b` = P(b|a), `lift` =
+   * `n·c_ab / (c_a·c_b)`).
+   *
+   * Scale shape: (1) distinct (basket, item) collapse; (2) baskets
+   * ABOVE `maxBasketSize` drop entirely — the standard cap that keeps
+   * the per-basket pair fan-out ≤ B², so one pathological mega-basket
+   * cannot emit millions of pairs; (3) the pair generation is a
+   * basket-keyed self-join (equi-join, bounded fan-out), aggregated
+   * with map-side combine; (4) item counts and the basket total
+   * broadcast back onto the (already reduced) pair table;
+   * (5) top-`topK` is a TakeOrdered, never a global sort.
+   */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+      minCount: Int = 2, maxBasketSize: Int = 100,
+      topK: Int = 50): DataFrame = {
+    require(minCount >= 1 && maxBasketSize >= 2 && topK >= 1,
+      "associationRules: need minCount >= 1, maxBasketSize >= 2, topK >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val items = df.select(col(basketCol).cast("long").as("b"),
+      col(itemCol).cast("long").as("i")).distinct()
+    val sized = items
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("b"))))
+      .where(col("bsz") <= maxBasketSize)
+      .select(col("b"), col("i"))
+    val nB = broadcast(sized.agg(
+      countDistinct(col("b")).cast("long").as("n_baskets")))
+    val ic = sized.groupBy(col("i")).agg(count(lit(1)).as("ci"))
+    val pairs = sized.alias("x")
+      .join(sized.alias("y"),
+        col("x.b") === col("y.b") && col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("item_a"), col("y.i").as("item_b"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"))
+      .where(col("n_pairs") >= minCount)
+    pairs
+      .join(broadcast(ic.select(col("i").as("item_a"),
+        col("ci").as("ca"))), Seq("item_a"))
+      .join(broadcast(ic.select(col("i").as("item_b"),
+        col("ci").as("cb"))), Seq("item_b"))
+      .crossJoin(nB)
+      .select(col("item_a"), col("item_b"), col("n_pairs"),
+        round(col("n_pairs").cast("double") / col("n_baskets"), 6)
+          .as("support"),
+        round(col("n_pairs").cast("double") / col("ca"), 6)
+          .as("confidence_a_b"),
+        round(col("n_pairs").cast("double") * col("n_baskets") /
+          (col("ca") * col("cb")), 6).as("lift"))
+      .orderBy(col("n_pairs").desc, col("item_a").asc, col("item_b").asc)
+      .limit(topK)
+  }
+
+  /**
    * Triangle count over an undirected pair graph — the clustering
    * signal that distinguishes a CLIQUE of mutual near-matches (one
    * entity observed many ways) from a CHAIN of borderline matches

@@ -5190,6 +5190,40 @@ GROUP BY c.doc_id""")),
           |  CAST(sum(n_chars) AS BIGINT) AS chars
           |FROM a GROUP BY 1, 2""".stripMargin)),
 
+    // Market-basket association rules: co-ordered part pairs with
+    // support/confidence/lift — distinct collapse, capped per-basket
+    // self-join, broadcast counts, TakeOrdered top-k.
+    ("basket_rules", (s: SparkSession, dir: String) =>
+      ProfileOps.associationRules(t(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minCount = 2, maxBasketSize = 100,
+        topK = 50),
+      Some(
+        """WITH it AS (
+          |  SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS b,
+          |    CAST(l_partkey AS BIGINT) AS i FROM lineitem),
+          |sz AS (
+          |  SELECT b, i, count(*) OVER (PARTITION BY b) AS bsz FROM it),
+          |s2 AS (SELECT b, i FROM sz WHERE bsz <= 100),
+          |nb AS (SELECT count(DISTINCT b) AS n_baskets FROM s2),
+          |ic AS (SELECT i, count(*) AS ci FROM s2 GROUP BY 1),
+          |pr AS (
+          |  SELECT x.i AS item_a, y.i AS item_b, count(*) AS n_pairs
+          |  FROM s2 x JOIN s2 y ON x.b = y.b AND x.i < y.i
+          |  GROUP BY 1, 2 HAVING count(*) >= 2)
+          |SELECT CAST(item_a AS BIGINT) AS item_a,
+          |  CAST(item_b AS BIGINT) AS item_b,
+          |  CAST(n_pairs AS BIGINT) AS n_pairs,
+          |  round(CAST(n_pairs AS DOUBLE) / nb.n_baskets, 6) AS support,
+          |  round(CAST(n_pairs AS DOUBLE) / ca.ci, 6) AS confidence_a_b,
+          |  round(CAST(n_pairs AS DOUBLE) * nb.n_baskets /
+          |    (ca.ci * cb.ci), 6) AS lift
+          |FROM pr
+          |JOIN ic ca ON ca.i = pr.item_a
+          |JOIN ic cb ON cb.i = pr.item_b
+          |CROSS JOIN nb
+          |ORDER BY n_pairs DESC, item_a ASC, item_b ASC
+          |LIMIT 50""".stripMargin)),
+
     // Triangle count over the fuzzy-linkage graph: compact-forward
     // (ordered endpoints, one wedge join + one closing semi-join) — the
     // clique-vs-chain diagnostic before merging linkage components.

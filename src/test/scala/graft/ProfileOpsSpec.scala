@@ -84,6 +84,38 @@ class ProfileOpsSpec extends SparkSpec {
     assert((c.getLong(0), c.getLong(1)) === ((2L, 0L)))
   }
 
+  test("associationRules: support/confidence/lift on hand baskets") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L), (3L, 4L),
+      (4L, 5L),
+      (2L, 1L)) // duplicate line collapses in the distinct
+      .toDF("b", "i")
+    val out = ProfileOps.associationRules(rows, "b", "i",
+      minCount = 2, maxBasketSize = 10, topK = 10).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((1L, 2L, 3L)))
+    assert(r.getDouble(3) === 0.75)     // 3 of 4 baskets
+    assert(r.getDouble(4) === 1.0)      // every basket with 1 has 2
+    assert(r.getDouble(5) === 1.333333) // 3*4/(3*3)
+  }
+
+  test("associationRules: the basket-size cap drops mega-baskets " +
+      "before pair fan-out") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L), (3L, 4L))
+      .toDF("b", "i")
+    // cap 2 drops baskets 1 and 3; the lone surviving pair count is 1
+    assert(ProfileOps.associationRules(rows, "b", "i",
+      minCount = 2, maxBasketSize = 2, topK = 10).count() === 0L)
+  }
+
   test("trianglesOf: K4 has four triangles") {
     import spark.implicits._
     val edges = (for {
