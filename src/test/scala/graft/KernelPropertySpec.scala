@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ProfileOps
+
+/** Randomized properties of the r9-late kernels: permutation group
+  * laws, union-find vs brute-force BFS, stretch invariants, triangle
+  * counts vs exhaustive enumeration. */
+class KernelPropertySpec extends SparkSpec {
+
+  private val rnd = new scala.util.Random(20260814)
+
+  private def permuteDf(planes: Seq[(Seq[Int], Int, Int)],
+      mode: String): Seq[Seq[Int]] = {
+    import spark.implicits._
+    graft.functions.ensureRegistered(spark)
+    planes.toDF("px", "sx", "sy")
+      .select(graft.functions.pixel_permute(
+        col("px"), col("sx"), col("sy"), mode).as("o"))
+      .collect().map(_.getSeq[Int](0)).toSeq
+  }
+
+  test("PixelPermute: hflip/vflip/rot180/transpose are involutions; " +
+      "rot90 has order 4") {
+    val planes = (1 to 8).map { _ =>
+      val w = 1 + rnd.nextInt(6); val h = 1 + rnd.nextInt(6)
+      (Seq.fill(h * w)(rnd.nextInt(1000)), w, h)
+    }
+    for (m <- Seq("hflip", "vflip", "rot180", "transpose")) {
+      val once = permuteDf(planes, m)
+      // dims swap under transpose, so feed the swapped geometry back
+      val swapped = planes.zip(once).map { case ((_, w, h), p) =>
+        if (graft.functions.PixelPermute.swapsDims(m)) (p, h, w)
+        else (p, w, h)
+      }
+      val twice = permuteDf(swapped, m)
+      assert(twice === planes.map(_._1), s"mode=$m not an involution")
+    }
+    // rot90 four times is the identity (dims swap on odd applications)
+    var cur = planes
+    for (_ <- 1 to 4) {
+      val out = permuteDf(cur, "rot90")
+      cur = cur.zip(out).map { case ((_, w, h), p) => (p, h, w) }
+    }
+    assert(cur.map(_._1) === planes.map(_._1), "rot90^4 != id")
+  }
+
+  test("PixelPermute: every mode is a permutation (multiset preserved)") {
+    val planes = (1 to 6).map { _ =>
+      val w = 1 + rnd.nextInt(7); val h = 1 + rnd.nextInt(7)
+      (Seq.fill(h * w)(rnd.nextInt(100)), w, h)
+    }
+    for (m <- graft.functions.PixelPermute.modes) {
+      val out = permuteDf(planes, m)
+      planes.zip(out).foreach { case ((in, _, _), o) =>
+        assert(o.sorted === in.sorted, s"mode=$m lost pixels")
+      }
+    }
+  }
+
+  test("CcObjects: labels/areas agree with a brute-force BFS on " +
+      "random masks") {
+    import spark.implicits._
+    graft.functions.ensureRegistered(spark)
+    val cases = (1 to 20).map { _ =>
+      val w = 2 + rnd.nextInt(7); val h = 2 + rnd.nextInt(7)
+      (Seq.fill(h * w)(if (rnd.nextDouble() < 0.45) 1 else 0), w)
+    }
+    val got = cases.toDF("m", "w")
+      .select(graft.functions.cc_objects(col("m"), col("w")).as("o"))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getInt(0), r.getInt(1))))
+    cases.zip(got).foreach { case ((mask, w), objs) =>
+      // brute force: BFS flood fill, label = min index
+      val n = mask.length
+      val seen = Array.fill(n)(false)
+      val expected = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+      for (s <- 0 until n if mask(s) == 1 && !seen(s)) {
+        var comp = List(s); seen(s) = true
+        var frontier = List(s)
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap { i =>
+            val nbrs = Seq(
+              if (i % w > 0) Some(i - 1) else None,
+              if (i % w < w - 1 && i + 1 < n) Some(i + 1) else None,
+              if (i >= w) Some(i - w) else None,
+              if (i + w < n) Some(i + w) else None).flatten
+            nbrs.filter(j => mask(j) == 1 && !seen(j)).map { j =>
+              seen(j) = true; comp ::= j; j
+            }
+          }
+        }
+        expected += ((comp.min, comp.size))
+      }
+      assert(objs.toSeq === expected.sortBy(_._1).toSeq,
+        s"mask=$mask w=$w")
+    }
+  }
+
+  test("PixelStretch: output bounded to [0,255], monotone in the " +
+      "input ordering within the window") {
+    import spark.implicits._
+    graft.functions.ensureRegistered(spark)
+    val planes = (1 to 10).map(_ =>
+      Seq.fill(4 + rnd.nextInt(60))(rnd.nextInt(65536)))
+    val rows = planes.map(Tuple1(_)).toDF("px")
+      .select(graft.functions.pixel_stretch(col("px"), 5, 95).as("s"))
+      .select(col("s.lo"), col("s.hi"), col("s.pixels"))
+      .collect()
+    planes.zip(rows).foreach { case (in, r) =>
+      val (lo, hi, out) = (r.getInt(0), r.getInt(1), r.getSeq[Int](2))
+      assert(out.forall(v => v >= 0 && v <= 255))
+      // order preserved for in-window values
+      for (i <- in.indices; j <- in.indices
+           if in(i) >= lo && in(i) <= hi && in(j) >= lo && in(j) <= hi
+             && in(i) <= in(j)) {
+        assert(out(i) <= out(j))
+      }
+    }
+  }
+
+  test("trianglesOf: matches exhaustive enumeration on random graphs") {
+    import spark.implicits._
+    for (trial <- 1 to 5) {
+      val nNodes = 5 + rnd.nextInt(6)
+      val edges = (for {
+        i <- 0 until nNodes; j <- (i + 1) until nNodes
+        if rnd.nextDouble() < 0.4
+      } yield (i, j)).toSeq
+      if (edges.nonEmpty) {
+        val es = edges.toSet
+        val expect = (for {
+          a <- 0 until nNodes; b <- (a + 1) until nNodes
+          c <- (b + 1) until nNodes
+          if es((a, b)) && es((b, c)) && es((a, c))
+        } yield 1).size.toLong
+        val r = ProfileOps.trianglesOf(edges.toDF("a", "b"), "a", "b")
+          .collect().head
+        assert(r.getLong(1) === expect, s"trial=$trial edges=$edges")
+      }
+    }
+  }
+}
