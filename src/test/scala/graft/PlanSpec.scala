@@ -504,6 +504,38 @@ class PlanSpec extends SparkSpec {
       s"segmentObjects shuffled:\n$pSeg")
   }
 
+  test("pit_features and basket_rules never fall back to a " +
+      "nested-loop product") {
+    // basket_rules legitimately crosses against the 1-row basket-total
+    // broadcast (the repo's totals idiom); anything beyond that single
+    // Cross — or any CartesianProduct — is a fan-out regression
+    for (q <- Seq("pit_features", "basket_rules")) {
+      val p = plan(SparkEntry.queries(q)(spark, "/root/testdata/sf0.001"))
+      assert(!p.contains("CartesianProduct"),
+        s"$q fell back to a cartesian product:\n$p")
+      val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+      assert(bnl <= 1, s"$q has $bnl nested-loop joins:\n$p")
+      if (bnl == 1)
+        assert(p.contains("BuildRight, Cross"),
+          s"$q's nested-loop join is not the 1-row totals cross:\n$p")
+    }
+  }
+
+  test("q_running_revenue windows are nation-partitioned and dims " +
+      "broadcast") {
+    val p = plan(SparkEntry.queries("q_running_revenue")(
+      spark, "/root/testdata/sf0.001"))
+    val bcasts = "BroadcastExchange".r.findAllIn(p).length
+    val shuffles = "Exchange".r.findAllIn(p).length - bcasts
+    assert(bcasts >= 2, s"dims not broadcast:\n$p")
+    // one group-by exchange + one nation re-partition for the windows;
+    // a global (unpartitioned) window would add the single-partition
+    // funnel this pin guards against
+    assert(shuffles <= 2, s"too many shuffles: $shuffles\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"a global single-partition stage appeared:\n$p")
+  }
+
   test("entityPairs joins on the block key, never a nested-loop product") {
     val part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
     val p = plan(graft.operators.ProfileOps.entityPairs(
