@@ -100,6 +100,35 @@ object EventOps {
     }
   }
 
+  /**
+   * Weekly seasonality profile — event volume by (day-of-week, hour)
+   * cell over the whole corpus: the traffic fingerprint that separates
+   * human diurnal/weekly rhythm from bot flatness, and the capacity
+   * view behind "when do we scale the ingest fleet". One row per
+   * non-empty cell: `dow (0 = Sunday), hour, n_events, share` (6 dp).
+   *
+   * Epoch arithmetic only (1970-01-01 was a Thursday, hence the +4):
+   * no calendar/timezone functions, so the cells are engine- and
+   * locale-identical. Scale: one (dow, hour)-keyed aggregation with
+   * map-side combine — the exchange moves ≤ 168 cells per partition;
+   * the total rides a 1-row broadcast.
+   */
+  def seasonalityProfile(events: DataFrame): DataFrame = {
+    val cells = events
+      .select(((expr(s"ts div $NanosPerDay") + 4) % 7).cast("int")
+        .as("dow"),
+        (expr(s"ts div ${3600L * 1000 * 1000 * 1000}") % 24).cast("int")
+          .as("hour"))
+      .groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).cast("long").as("n_events"))
+    val total = broadcast(cells.agg(
+      sum(col("n_events")).cast("long").as("n_total")))
+    cells.crossJoin(total)
+      .select(col("dow"), col("hour"), col("n_events"),
+        round(col("n_events").cast("double") / col("n_total"), 6)
+          .as("share"))
+  }
+
   /** Per-(event_type, epoch-day) counts, value sums, distinct users. */
   def dailyRollup(events: DataFrame): DataFrame =
     events

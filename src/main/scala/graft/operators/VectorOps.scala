@@ -1336,6 +1336,47 @@ object VectorOps {
   }
 
   /**
+   * Embedding distribution drift between two corpora — the
+   * "has the embedding space moved since the index was built"
+   * retraining/reindexing trigger: compares the per-dimension MEAN
+   * vectors (centroids) of corpus `a` and corpus `b`. One row:
+   * `n_a, n_b, norm_a, norm_b, centroid_cosine, centroid_l2` (6 dp).
+   * A centroid cosine well below 1 (or an L2 shift comparable to the
+   * centroid norms) says new data no longer lives where the index
+   * partitions were trained — re-train the coarse quantizer
+   * ([[ivfTopKTrained]]) before recall silently decays.
+   *
+   * Scale shape: each corpus aggregates ONCE to a dim-length mean
+   * vector via posexplode + (dim)-keyed average (map-side combine;
+   * the exchange moves dims × partitions partials, never vectors);
+   * the comparison is a 1-row cross of two broadcast dim tables.
+   */
+  def embeddingDrift(a: DataFrame, b: DataFrame): DataFrame = {
+    def centroid(df: DataFrame, tag: String): DataFrame =
+      df.select(posexplode(col("embedding")).as(Seq("d", "v")))
+        .groupBy(col("d"))
+        .agg(avg(col("v").cast("double")).as(s"m_$tag"))
+    val na = broadcast(a.agg(count(lit(1)).cast("long").as("n_a")))
+    val nb = broadcast(b.agg(count(lit(1)).cast("long").as("n_b")))
+    val joined = centroid(a, "a").join(centroid(b, "b"), Seq("d"))
+    joined
+      .agg(
+        sum(col("m_a") * col("m_a")).as("aa"),
+        sum(col("m_b") * col("m_b")).as("bb"),
+        sum(col("m_a") * col("m_b")).as("ab"),
+        sum((col("m_a") - col("m_b")) * (col("m_a") - col("m_b")))
+          .as("dd"))
+      .crossJoin(na).crossJoin(nb)
+      .select(col("n_a"), col("n_b"),
+        round(sqrt(col("aa")), 6).as("norm_a"),
+        round(sqrt(col("bb")), 6).as("norm_b"),
+        when(col("aa") > 0 && col("bb") > 0,
+          round(col("ab") / (sqrt(col("aa")) * sqrt(col("bb"))), 6))
+          .as("centroid_cosine"),
+        round(sqrt(col("dd")), 6).as("centroid_l2"))
+  }
+
+  /**
    * Retrieval-quality evaluation — MRR, precision@k, and nDCG@k of the
    * [[cosineTopK]] ranking against label relevance (`relevant` =
    * neighbor shares the probe's `label`): the standard IR metrics a

@@ -3343,6 +3343,40 @@ GROUP BY c.doc_id""")),
           |FROM scored
           |QUALIFY rnk <= 10""".stripMargin)),
 
+    // Embedding distribution drift: centroid cosine/L2 between the
+    // even- and odd-label halves — the reindexing trigger; each corpus
+    // aggregates once to a dim-length mean vector.
+    ("embed_drift", (s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      VectorOps.embeddingDrift(
+        emb.filter(col("label") % 2 === 0),
+        emb.filter(col("label") % 2 === 1))
+    },
+      Some(
+        """WITH ca AS (
+          |  SELECT i.i AS d, avg(CAST(embedding[i.i] AS DOUBLE)) AS ma
+          |  FROM embeddings, generate_series(1, 64) i(i)
+          |  WHERE label % 2 = 0 GROUP BY 1),
+          |cb AS (
+          |  SELECT i.i AS d, avg(CAST(embedding[i.i] AS DOUBLE)) AS mb
+          |  FROM embeddings, generate_series(1, 64) i(i)
+          |  WHERE label % 2 = 1 GROUP BY 1),
+          |s AS (
+          |  SELECT sum(ma * ma) AS aa, sum(mb * mb) AS bb,
+          |    sum(ma * mb) AS ab, sum((ma - mb) * (ma - mb)) AS dd
+          |  FROM ca JOIN cb ON ca.d = cb.d),
+          |n AS (
+          |  SELECT count(CASE WHEN label % 2 = 0 THEN 1 END) AS n_a,
+          |    count(CASE WHEN label % 2 = 1 THEN 1 END) AS n_b
+          |  FROM embeddings)
+          |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+          |  round(sqrt(aa), 6) AS norm_a, round(sqrt(bb), 6) AS norm_b,
+          |  CASE WHEN aa > 0 AND bb > 0 THEN
+          |    round(ab / (sqrt(aa) * sqrt(bb)), 6) END
+          |    AS centroid_cosine,
+          |  round(sqrt(dd), 6) AS centroid_l2
+          |FROM s CROSS JOIN n""".stripMargin)),
+
     // Retrieval evaluation: MRR / precision@k / nDCG@k of the cosine
     // top-10 against label relevance — per-probe metric rows; the
     // oracle recomputes DCG and the ideal normalizer from scratch.
@@ -4693,6 +4727,22 @@ GROUP BY c.doc_id""")),
           |  CAST(CASE WHEN ts_us - c_ts <= 7200000000
           |    THEN ts_us - c_ts END AS BIGINT) AS click_staleness_us
           |FROM m WHERE event_type = 'purchase'""".stripMargin)),
+
+    // Weekly seasonality: event volume by (day-of-week, hour) cell —
+    // pure epoch arithmetic, one <=168-cell aggregation.
+    ("events_seasonality", (s: SparkSession, dir: String) =>
+      EventOps.seasonalityProfile(EventOps.readEvents(s, dir)),
+      Some(
+        """WITH c AS (
+          |  SELECT CAST(((epoch_us(ts) // 86400000000) + 4) % 7 AS INT)
+          |      AS dow,
+          |    CAST((epoch_us(ts) // 3600000000) % 24 AS INT) AS hour,
+          |    count(*) AS n_events
+          |  FROM events GROUP BY 1, 2),
+          |t AS (SELECT sum(n_events) AS n_total FROM c)
+          |SELECT dow, hour, CAST(n_events AS BIGINT) AS n_events,
+          |  round(CAST(n_events AS DOUBLE) / n_total, 6) AS share
+          |FROM c CROSS JOIN t""".stripMargin)),
 
     // Semi-structured payload analytics: typed JSON property extraction
     // (get_json_object path, codegen'd narrow map) + exact integer

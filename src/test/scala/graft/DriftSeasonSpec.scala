@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{EventOps, VectorOps}
+
+/** Embedding drift + seasonality profile on hand-built corpora. */
+class DriftSeasonSpec extends SparkSpec {
+
+  test("embeddingDrift: identical corpora show cosine 1, L2 0") {
+    import spark.implicits._
+    val emb = Seq((0L, Seq(1f, 2f, 3f)), (1L, Seq(3f, 2f, 1f)))
+      .toDF("vec_id", "embedding")
+    val r = VectorOps.embeddingDrift(emb, emb).collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((2L, 2L)))
+    assert(r.getDouble(4) === 1.0)
+    assert(r.getDouble(5) === 0.0)
+  }
+
+  test("embeddingDrift: orthogonal centroids show cosine 0") {
+    import spark.implicits._
+    val a = Seq((0L, Seq(2f, 0f))).toDF("vec_id", "embedding")
+    val b = Seq((1L, Seq(0f, 3f))).toDF("vec_id", "embedding")
+    val r = VectorOps.embeddingDrift(a, b).collect().head
+    assert(r.getDouble(2) === 2.0) // norm_a
+    assert(r.getDouble(3) === 3.0) // norm_b
+    assert(r.getDouble(4) === 0.0)
+    assert(r.getDouble(5) === math.round(math.sqrt(13) * 1e6) / 1e6)
+  }
+
+  test("seasonalityProfile: epoch day-of-week and hour cells are exact") {
+    import spark.implicits._
+    val h = 3600L * 1000 * 1000 * 1000
+    // 1970-01-01 (Thursday=4) at 00 and 01; 1970-01-04 (Sunday=0) at 01
+    val events = Seq(0L, 1L * h, 1L * h + 5, 3L * 24 * h + h)
+      .toDF("ts")
+    val out = EventOps.seasonalityProfile(events).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out((4, 0)) === ((1L, 0.25)))
+    assert(out((4, 1)) === ((2L, 0.5)))
+    assert(out((0, 1)) === ((1L, 0.25)))
+    assert(out.size === 3)
+  }
+}
