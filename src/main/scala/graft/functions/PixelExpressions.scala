@@ -1323,3 +1323,85 @@ case class PixelShiftExpr(pixels: Expression, sx: Expression,
     copy(pixels = newChildren(0), sx = newChildren(1),
       dy = newChildren(2), dx = newChildren(3))
 }
+
+/**
+ * Histogram equalization of one plane — the CDF-based NONLINEAR
+ * contrast map ([[PixelStretch]]'s linear cousin): each pixel maps to
+ * `(cdf(v) − cdf_min) · (L−1) / (n − cdf_min)` with HALF_UP handled
+ * by the integer-exact `(x·2·(L−1) + d) / (2·d)` form — no doubles,
+ * bit-identical across engines. `cdf(v)` = count of plane pixels
+ * ≤ v (upper bound in the sorted copy, O(log n) per pixel);
+ * `cdf_min` = multiplicity of the minimum. A constant plane maps to
+ * all zeros.
+ */
+object EqualizeKernel {
+  def equalize(px: ArrayData, levels: Int): ArrayData = {
+    val n = px.numElements()
+    val sorted = px.toIntArray().clone()
+    java.util.Arrays.sort(sorted)
+    // cdf_min = how many pixels share the minimum value
+    var cmin = 1
+    while (cmin < n && sorted(cmin) == sorted(0)) cmin += 1
+    val d = n - cmin
+    val out = new Array[Int](n)
+    if (d > 0) {
+      var i = 0
+      while (i < n) {
+        val v = px.getInt(i)
+        // upper bound: first index with sorted(idx) > v
+        var lo = 0; var hi = n
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (sorted(mid) <= v) lo = mid + 1 else hi = mid
+        }
+        out(i) = ((lo - cmin) * 2 * (levels - 1) + d) / (2 * d)
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** see [[EqualizeKernel]]; `levels` is a build-time literal. */
+case class PixelEqualize(pixels: Expression, levels: Int)
+  extends Expression {
+
+  require(levels >= 2, s"graft_pixel_equalize: levels must be >= 2")
+
+  override def children: Seq[Expression] = Seq(pixels)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  // NULL on an empty plane, independent of child nullability
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = InputCheck.check(
+    Seq((pixels, ArrayType(IntegerType), "pixels")),
+    "graft_pixel_equalize")
+
+  override def eval(input: InternalRow): Any = {
+    val pAny = pixels.eval(input)
+    if (pAny == null) return null
+    val px = pAny.asInstanceOf[ArrayData]
+    if (px.numElements() == 0) return null
+    EqualizeKernel.equalize(px, levels)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pG = pixels.genCode(ctx)
+    val code =
+      code"""
+        ${pG.code}
+        boolean ${ev.isNull} = ${pG.isNull} || (!${pG.isNull} &&
+          ${pG.value}.numElements() == 0);
+        ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.EqualizeKernel.equalize(
+            ${pG.value}, $levels);
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(pixels = newChildren(0))
+}

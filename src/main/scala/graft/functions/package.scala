@@ -88,6 +88,13 @@ package object functions {
     "graft_cc_objects" -> (exprs => PixelCcObjects(exprs(0), exprs(1))),
     "graft_cc_objects_intensity" -> (exprs =>
       PixelCcObjectsIntensity(exprs(0), exprs(1), exprs(2))),
+    "graft_pixel_equalize" -> (exprs => {
+      require(exprs.length == 2 && exprs(1).foldable &&
+        exprs(1).dataType == org.apache.spark.sql.types.IntegerType,
+        "graft_pixel_equalize(pixels, levels): levels must be an INT " +
+          "literal")
+      PixelEqualize(exprs(0), exprs(1).eval(null).asInstanceOf[Int])
+    }),
     "graft_pixel_shift" -> (exprs =>
       PixelShiftExpr(exprs(0), exprs(1), exprs(2), exprs(3))),
     "graft_pixel_stretch" -> (exprs => {
@@ -258,6 +265,11 @@ package object functions {
   def pixel_shift(pixels: Column, sx: Column, dy: Column,
       dx: Column): Column =
     call_function("graft_pixel_shift", pixels, sx, dy, dx)
+
+  /** Native integer-exact histogram equalization to `levels` gray
+    * levels (CDF map, HALF_UP). */
+  def pixel_equalize(pixels: Column, levels: Int): Column =
+    call_function("graft_pixel_equalize", pixels, lit(levels))
 
   /** Native BPE encode of one token against a trained merge list
     * (rank order = array order). */

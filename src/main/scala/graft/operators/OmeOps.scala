@@ -783,6 +783,22 @@ object OmeOps {
   }
 
   /**
+   * Histogram equalization over the plane table — the CDF-based
+   * nonlinear contrast map ([[contrastStretch]]'s cousin for planes
+   * whose histogram is bimodal or heavy-tailed, where a linear window
+   * wastes dynamic range). Integer-exact HALF_UP mapping to `levels`
+   * gray levels; one in-row O(n log n) sort + binary-search pass per
+   * plane, no shuffle.
+   */
+  def equalizePlanes(planeDf: DataFrame, levels: Int = 256): DataFrame = {
+    graft.functions.ensureRegistered(planeDf.sparkSession)
+    planeDf.select(col("image_id"), col("t"), col("c"), col("z"),
+      col("size_x").cast("int").as("size_x"),
+      col("size_y").cast("int").as("size_y"),
+      graft.functions.pixel_equalize(col("pixels"), levels).as("pixels"))
+  }
+
+  /**
    * [[segmentObjects]] with intensity measurements: each object also
    * reports integrated (`sum_v`), mean (`mean_v`), and extreme
    * (`min_v`/`max_v`) intensity over the ORIGINAL pixels — the mask

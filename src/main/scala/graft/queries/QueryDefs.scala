@@ -402,6 +402,36 @@ chunks AS (
            |      AND p2.z = b.z) AS pixels
            |FROM b""".stripMargin)),
 
+    // Histogram equalization: per-plane CDF contrast map with the
+    // integer-exact HALF_UP form; the oracle ranks via a RANGE window
+    // (count of pixels <= v) over the closed-form grid.
+    ("ome_equalize", (s: SparkSession, _: String) =>
+      OmeOps.equalizePlanes(
+        OmeOps.explodePlanes(Fixtures.corpus4d(s))
+          .select(col("image_id"), col("t"), col("c"), col("z"),
+            col("size_x"), col("size_y"), col("pixels")),
+        levels = 256),
+      Some(
+        s"""WITH $px4d,
+           |q AS (
+           |  SELECT img, t, c, z, p,
+           |    count(*) OVER (PARTITION BY img, t, c, z ORDER BY v
+           |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS rk,
+           |    count(*) OVER (PARTITION BY img, t, c, z) AS n
+           |  FROM px),
+           |b AS (
+           |  SELECT img, t, c, z, p, rk, n,
+           |    min(rk) OVER (PARTITION BY img, t, c, z) AS cmin
+           |  FROM q)
+           |SELECT $id4d AS image_id, CAST(t AS INT) AS t,
+           |  CAST(c AS INT) AS c, CAST(z AS INT) AS z,
+           |  CAST(8 AS INT) AS size_x, CAST(8 AS INT) AS size_y,
+           |  list(CAST(CASE WHEN n > cmin THEN
+           |      ((rk - cmin) * 510 + (n - cmin)) // (2 * (n - cmin))
+           |    ELSE 0 END AS INT) ORDER BY p) AS pixels
+           |FROM b GROUP BY img, t, c, z""".stripMargin)),
+
     // Haralick texture features: per-plane horizontal GLCM moments via
     // the native kernel (integer moments + fixed-order clnc), features
     // as pure column arithmetic; oracle re-derives the co-occurrence

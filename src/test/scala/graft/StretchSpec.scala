@@ -41,6 +41,23 @@ class StretchSpec extends SparkSpec {
     assert(out === Seq.fill(6)(0))
   }
 
+  test("equalize: CDF map with HALF_UP; constant plane maps to zeros") {
+    import spark.implicits._
+    graft.functions.ensureRegistered(spark)
+    def eq(px: Seq[Int]): Seq[Int] =
+      Seq(Tuple1(px)).toDF("px")
+        .select(graft.functions.pixel_equalize(col("px"), 256).as("o"))
+        .collect().head.getSeq[Int](0)
+    // n=4, min multiplicity 2 -> d=2; ranks 2,2,3,4
+    // 20: (3-2)*255/2 = 127.5 -> 128 (HALF_UP); 30: 255
+    assert(eq(Seq(10, 10, 20, 30)) === Seq(0, 0, 128, 255))
+    assert(eq(Seq(7, 7, 7)) === Seq(0, 0, 0))
+    // strictly increasing ramp spreads uniformly to the full range
+    val ramp = eq(Seq(0, 1, 2, 3))
+    assert(ramp.head === 0 && ramp.last === 255)
+    assert(ramp === ramp.sorted)
+  }
+
   test("contrastStretch: composes with re-aggregation; output is 8-bit") {
     import spark.implicits._
     val planes = OmeOps.explodePlanes(
