@@ -129,6 +129,49 @@ object EventOps {
           .as("share"))
   }
 
+  /**
+   * Debounce — keep an event only when at least `minGap` has elapsed
+   * since the LAST KEPT event of the same (user, type): the
+   * rate-limiting dedup that collapses double-clicks, retry storms,
+   * and bot bursts to one event per window. This is ITERATIVE
+   * semantics (each keep decision depends on the previous keep, not
+   * the previous row), which no plain SQL window expresses — the
+   * batch twin of a `flatMapGroupsWithState` stream, and the oracle
+   * replays it as a recursive CTE walking next-kept via LATERAL.
+   *
+   * Scale shape: ONE (user, type)-keyed shuffle
+   * (`groupByKey.flatMapGroups`), then a per-key in-memory sort +
+   * single sequential scan. Per-task memory is one key's events — the
+   * hot keys are exactly the bots debouncing exists to tame, so for
+   * adversarial keys pre-chunk by coarse time bucket (day) and accept
+   * the one boundary artifact per chunk, or move to the streaming
+   * state formulation where state is one timestamp per key.
+   */
+  def debounce(events: DataFrame, minGap: Long): DataFrame = {
+    require(minGap > 0, "debounce: minGap must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("event_type"),
+        col("ts").cast("long"), col("event_id").cast("long"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (_: (Long, String),
+          it: Iterator[(Long, String, Long, Long)]) =>
+        val arr = it.toArray.sortBy(r => (r._3, r._4))
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, String, Long, Long)]
+        var last = Long.MinValue
+        arr.foreach { r =>
+          if (last == Long.MinValue || r._3 - last >= minGap) {
+            out += r
+            last = r._3
+          }
+        }
+        out.iterator
+      }
+      .toDF("user_id", "event_type", "ts", "event_id")
+  }
+
   /** Per-(event_type, epoch-day) counts, value sums, distinct users. */
   def dailyRollup(events: DataFrame): DataFrame =
     events

@@ -4758,6 +4758,37 @@ GROUP BY c.doc_id""")),
           |    THEN ts_us - c_ts END AS BIGINT) AS click_staleness_us
           |FROM m WHERE event_type = 'purchase'""".stripMargin)),
 
+    // Debounce: keep one event per 12 h window per (user, type) —
+    // ITERATIVE keep-depends-on-last-keep semantics; the oracle walks
+    // the next-kept chain with a recursive CTE + LATERAL.
+    ("events_debounce", (s: SparkSession, dir: String) =>
+      EventOps.debounce(EventOps.readEvents(s, dir)
+        .withColumn("ts", expr("ts div 1000")),
+        minGap = 43200000000L) // 12 h in µs
+        .withColumnRenamed("ts", "ts_us"),
+      Some(
+        """WITH RECURSIVE e AS (
+          |  SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+          |    epoch_us(ts) AS ts_us, CAST(event_id AS BIGINT) AS event_id
+          |  FROM events),
+          |k AS (
+          |  SELECT user_id, event_type, ts_us, event_id
+          |  FROM (SELECT user_id, event_type, ts_us, event_id,
+          |      row_number() OVER (PARTITION BY user_id, event_type
+          |        ORDER BY ts_us, event_id) AS rn
+          |    FROM e) f WHERE rn = 1
+          |  UNION ALL
+          |  SELECT k.user_id, k.event_type, nx.ts_us, nx.event_id
+          |  FROM k, LATERAL (
+          |    SELECT ts_us, event_id FROM e
+          |    WHERE e.user_id = k.user_id
+          |      AND e.event_type = k.event_type
+          |      AND e.ts_us >= k.ts_us + 43200000000
+          |    ORDER BY ts_us, event_id LIMIT 1) nx)
+          |SELECT user_id, event_type, CAST(ts_us AS BIGINT) AS ts_us,
+          |  event_id
+          |FROM k""".stripMargin)),
+
     // Weekly seasonality: event volume by (day-of-week, hour) cell —
     // pure epoch arithmetic, one <=168-cell aggregation.
     ("events_seasonality", (s: SparkSession, dir: String) =>

@@ -28,6 +28,30 @@ class DriftSeasonSpec extends SparkSpec {
     assert(r.getDouble(5) === math.round(math.sqrt(13) * 1e6) / 1e6)
   }
 
+  test("debounce: keeps depend on the LAST KEPT event, not the " +
+      "previous row") {
+    import spark.implicits._
+    // ts 0, 5, 10, 25 with gap 10: 5 drops (gap from 0), 10 KEEPS
+    // (gap from 0 is 10), 25 keeps (gap from 10 is 15). A naive
+    // lag-based filter would wrongly keep ts=5's successor chain.
+    val events = Seq(
+      (1L, "c", 0L, 10L), (1L, "c", 5L, 11L), (1L, "c", 10L, 12L),
+      (1L, "c", 25L, 13L), (2L, "c", 3L, 20L), (1L, "v", 1L, 30L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val kept = EventOps.debounce(events, minGap = 10L)
+      .collect().map(_.getLong(3)).toSet
+    assert(kept === Set(10L, 12L, 13L, 20L, 30L))
+  }
+
+  test("debounce: equal timestamps keep only the lowest event id") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, "c", 7L, 2L), (1L, "c", 7L, 1L), (1L, "c", 7L, 3L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val kept = EventOps.debounce(events, minGap = 5L).collect()
+    assert(kept.map(_.getLong(3)).toSeq === Seq(1L))
+  }
+
   test("seasonalityProfile: epoch day-of-week and hour cells are exact") {
     import spark.implicits._
     val h = 3600L * 1000 * 1000 * 1000
