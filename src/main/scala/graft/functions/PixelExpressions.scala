@@ -1405,3 +1405,81 @@ case class PixelEqualize(pixels: Expression, levels: Int)
       newChildren: IndexedSeq[Expression]): Expression =
     copy(pixels = newChildren(0))
 }
+
+/**
+ * Rank-to-target remap of one plane — the per-plane half of
+ * cross-sample QUANTILE NORMALIZATION
+ * ([[graft.operators.OmeOps.quantileNormalize]]): every pixel is
+ * replaced by `targets(rank)` where `rank` is the pixel's position in
+ * the plane's `(value, index)` sort — the deterministic tie-break that
+ * makes equal pixels map to adjacent targets by original position, so
+ * output is engine-identical. NULL when the target profile's length
+ * disagrees with the plane (the PixelDot convention).
+ */
+object RankMapKernel {
+  def rankMap(px: ArrayData, targets: ArrayData): ArrayData = {
+    val n = px.numElements()
+    // sort indices by (value, index)
+    val idx = Array.tabulate(n)(identity)
+    val vals = px.toIntArray()
+    val boxed = idx.map(Integer.valueOf)
+    java.util.Arrays.sort(boxed, new java.util.Comparator[Integer] {
+      override def compare(a: Integer, b: Integer): Int = {
+        val c = java.lang.Integer.compare(vals(a), vals(b))
+        if (c != 0) c else java.lang.Integer.compare(a, b)
+      }
+    })
+    val out = new Array[Int](n)
+    var r = 0
+    while (r < n) { out(boxed(r)) = targets.getInt(r); r += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** see [[RankMapKernel]]. */
+case class PixelRankMap(pixels: Expression, targets: Expression)
+  extends Expression {
+
+  override def children: Seq[Expression] = Seq(pixels, targets)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  // NULL on a length mismatch, independent of child nullability
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = InputCheck.check(
+    Seq((pixels, ArrayType(IntegerType), "pixels"),
+      (targets, ArrayType(IntegerType), "targets")),
+    "graft_pixel_rank_map")
+
+  override def eval(input: InternalRow): Any = {
+    val pAny = pixels.eval(input)
+    val tAny = targets.eval(input)
+    if (pAny == null || tAny == null) return null
+    val px = pAny.asInstanceOf[ArrayData]
+    val tg = tAny.asInstanceOf[ArrayData]
+    if (px.numElements() != tg.numElements()) return null
+    RankMapKernel.rankMap(px, tg)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pG = pixels.genCode(ctx)
+    val tG = targets.genCode(ctx)
+    val code =
+      code"""
+        ${pG.code}
+        ${tG.code}
+        boolean ${ev.isNull} = ${pG.isNull} || ${tG.isNull} ||
+          (!${pG.isNull} && !${tG.isNull} &&
+            ${pG.value}.numElements() != ${tG.value}.numElements());
+        ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.RankMapKernel.rankMap(
+            ${pG.value}, ${tG.value});
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(pixels = newChildren(0), targets = newChildren(1))
+}

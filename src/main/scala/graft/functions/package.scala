@@ -88,6 +88,8 @@ package object functions {
     "graft_cc_objects" -> (exprs => PixelCcObjects(exprs(0), exprs(1))),
     "graft_cc_objects_intensity" -> (exprs =>
       PixelCcObjectsIntensity(exprs(0), exprs(1), exprs(2))),
+    "graft_pixel_rank_map" -> (exprs =>
+      PixelRankMap(exprs(0), exprs(1))),
     "graft_pixel_equalize" -> (exprs => {
       require(exprs.length == 2 && exprs(1).foldable &&
         exprs(1).dataType == org.apache.spark.sql.types.IntegerType,
@@ -270,6 +272,11 @@ package object functions {
     * levels (CDF map, HALF_UP). */
   def pixel_equalize(pixels: Column, levels: Int): Column =
     call_function("graft_pixel_equalize", pixels, lit(levels))
+
+  /** Native rank-to-target remap: pixel at sorted rank r becomes
+    * `targets[r]` (quantile-normalization apply step). */
+  def pixel_rank_map(pixels: Column, targets: Column): Column =
+    call_function("graft_pixel_rank_map", pixels, targets)
 
   /** Native BPE encode of one token against a trained merge list
     * (rank order = array order). */

@@ -783,6 +783,43 @@ object OmeOps {
   }
 
   /**
+   * Cross-sample QUANTILE NORMALIZATION per channel — every plane's
+   * value distribution is replaced by the channel's AVERAGE sorted
+   * profile (pixel at sorted rank r becomes the channel-mean of
+   * rank-r values): the microarray-era batch-effect remover applied
+   * to plates/wells — after it, no plane's histogram carries
+   * acquisition gain differences, only its spatial arrangement.
+   * Deterministic: ranks tie-break by original index, target means
+   * use the integer-exact HALF_UP form.
+   *
+   * Scale shape: the [[flatfieldReport]] pattern RANK-wise — the
+   * per-channel profile rides [[graft.functions.PixelSumAgg]] over
+   * the SORTED arrays (one fixed long[plane] partial per partition
+   * per channel; corpus pixels never shuffle), the target array
+   * derives in-row at the aggregation boundary, broadcasts back by
+   * channel, and the apply is one codegen'd
+   * [[graft.functions.PixelRankMap]] sort+remap pass per plane.
+   */
+  def quantileNormalize(planeDf: DataFrame): DataFrame = {
+    graft.functions.ensureRegistered(planeDf.sparkSession)
+    val sorted = planeDf.select(col("image_id"), col("t"), col("c"),
+      col("z"), col("size_x").cast("int").as("size_x"),
+      col("size_y").cast("int").as("size_y"),
+      array_sort(col("pixels")).as("sv"), col("pixels"))
+    val prof = sorted.groupBy(col("c"))
+      .agg(count(lit(1)).as("n_planes"),
+        graft.functions.pixel_sum_agg(col("sv")).as("field"))
+      .select(col("c"),
+        expr("transform(field, s -> cast((2 * s + n_planes) div " +
+          "(2 * n_planes) as int))").as("targets"))
+    sorted.join(broadcast(prof), Seq("c"))
+      .select(col("image_id"), col("t"), col("c"), col("z"),
+        col("size_x"), col("size_y"),
+        graft.functions.pixel_rank_map(col("pixels"), col("targets"))
+          .as("pixels"))
+  }
+
+  /**
    * Histogram equalization over the plane table — the CDF-based
    * nonlinear contrast map ([[contrastStretch]]'s cousin for planes
    * whose histogram is bimodal or heavy-tailed, where a linear window

@@ -402,6 +402,35 @@ chunks AS (
            |      AND p2.z = b.z) AS pixels
            |FROM b""".stripMargin)),
 
+    // Quantile normalization: per channel, each plane's distribution
+    // replaced by the channel's average sorted profile (HALF_UP
+    // integer means, (v, p) rank tie-break) — the batch-effect
+    // remover; oracle ranks with a window and joins the profile back.
+    ("ome_quantile_norm", (s: SparkSession, _: String) =>
+      OmeOps.quantileNormalize(
+        OmeOps.explodePlanes(Fixtures.corpus4d(s))
+          .select(col("image_id"), col("t"), col("c"), col("z"),
+            col("size_x"), col("size_y"), col("pixels"))),
+      Some(
+        s"""WITH $px4d,
+           |r AS (
+           |  SELECT img, t, c, z, p, v,
+           |    row_number() OVER (PARTITION BY img, t, c, z
+           |      ORDER BY v, p) - 1 AS rnk
+           |  FROM px),
+           |prof AS (
+           |  SELECT c, rnk,
+           |    (2 * sum(v) + count(*)) // (2 * count(*)) AS tv
+           |  FROM r GROUP BY 1, 2),
+           |m AS (
+           |  SELECT r.img, r.t, r.c, r.z, r.p, prof.tv
+           |  FROM r JOIN prof ON prof.c = r.c AND prof.rnk = r.rnk)
+           |SELECT $id4d AS image_id, CAST(t AS INT) AS t,
+           |  CAST(c AS INT) AS c, CAST(z AS INT) AS z,
+           |  CAST(8 AS INT) AS size_x, CAST(8 AS INT) AS size_y,
+           |  list(CAST(tv AS INT) ORDER BY p) AS pixels
+           |FROM m GROUP BY img, t, c, z""".stripMargin)),
+
     // Histogram equalization: per-plane CDF contrast map with the
     // integer-exact HALF_UP form; the oracle ranks via a RANGE window
     // (count of pixels <= v) over the closed-form grid.

@@ -58,6 +58,25 @@ class StretchSpec extends SparkSpec {
     assert(ramp === ramp.sorted)
   }
 
+  test("quantileNormalize: planes get the channel's average sorted " +
+      "profile; all same-channel histograms become identical") {
+    import spark.implicits._
+    val planes = Seq(
+      ("a", 0, 0, 0, 2, 1, Seq(0, 10)),
+      ("b", 0, 0, 0, 2, 1, Seq(4, 2)),
+      ("a", 0, 1, 0, 2, 1, Seq(100, 200)))
+      .toDF("image_id", "t", "c", "z", "size_x", "size_y", "pixels")
+    val out = OmeOps.quantileNormalize(planes).collect()
+      .map(r => (r.getString(0), r.getInt(2)) -> r.getSeq[Int](6)).toMap
+    // c0 profile: rank0 mean(0,2)=1, rank1 mean(10,4)=7
+    assert(out(("a", 0)) === Seq(1, 7))
+    assert(out(("b", 0)) === Seq(7, 1)) // 4 is the larger -> rank 1
+    // a single-plane channel maps to itself
+    assert(out(("a", 1)) === Seq(100, 200))
+    // defining property: same-channel sorted distributions identical
+    assert(out(("a", 0)).sorted === out(("b", 0)).sorted)
+  }
+
   test("contrastStretch: composes with re-aggregation; output is 8-bit") {
     import spark.implicits._
     val planes = OmeOps.explodePlanes(
