@@ -1483,3 +1483,112 @@ case class PixelRankMap(pixels: Expression, targets: Expression)
       newChildren: IndexedSeq[Expression]): Expression =
     copy(pixels = newChildren(0), targets = newChildren(1))
 }
+
+/**
+ * Focus stacking — the all-in-focus composite: for every pixel
+ * position, take the value from the z-plane whose LOCAL sharpness at
+ * that position is maximal (squared horizontal second difference —
+ * the pixel-level Brenner operator; border columns score 0). The
+ * depth-of-field workaround every extended-focus microscopy pipeline
+ * ships; [[PixelBrenner]] picks the best PLANE, this picks the best
+ * plane PER PIXEL. Ties take the LOWEST z, and the stack is sorted by
+ * z inside the kernel, so shuffle collect order cannot change the
+ * result. Returns `struct(pixels, zmap)` — the composite plane plus
+ * the chosen-z map (the QC view of where focus lives).
+ */
+object FocusStackKernel {
+  def compose(stack: ArrayData, w: Int): InternalRow = {
+    val nz = stack.numElements()
+    val planes = Array.tabulate(nz) { i =>
+      val r = stack.getStruct(i, 2)
+      (r.getInt(0), r.getArray(1))
+    }.sortBy(_._1)
+    val n = if (nz == 0) 0 else planes(0)._2.numElements()
+    val out = new Array[Int](n)
+    val zmap = new Array[Int](n)
+    var pos = 0
+    while (pos < n) {
+      val x = pos % w
+      var bestSharp = -1L
+      var bestIdx = 0
+      var zi = 0
+      while (zi < nz) {
+        val px = planes(zi)._2
+        val sharp = if (x == 0 || x == w - 1) 0L
+        else {
+          val d = px.getInt(pos - 1).toLong - 2L * px.getInt(pos) +
+            px.getInt(pos + 1)
+          d * d
+        }
+        if (sharp > bestSharp) { bestSharp = sharp; bestIdx = zi }
+        zi += 1
+      }
+      out(pos) = planes(bestIdx)._2.getInt(pos)
+      zmap(pos) = planes(bestIdx)._1
+      pos += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](new GenericArrayData(out), new GenericArrayData(zmap)))
+  }
+}
+
+/** see [[FocusStackKernel]]; stack = ARRAY<STRUCT<z INT, pixels
+  * ARRAY<INT>>> (any order — the kernel sorts by z). */
+case class FocusStack(stack: Expression, sx: Expression)
+  extends Expression {
+
+  override def children: Seq[Expression] = Seq(stack, sx)
+  override def dataType: DataType = FocusStack.schema
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (sx.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_focus_stack: sx must be INT")
+    else stack.dataType match {
+      case ArrayType(StructType(fields), _) if fields.length == 2 &&
+        fields(0).dataType == IntegerType &&
+        fields(1).dataType.isInstanceOf[ArrayType] =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_focus_stack: stack must be ARRAY<STRUCT<z INT, " +
+          s"pixels ARRAY<INT>>> (got ${other.simpleString})")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val sAny = stack.eval(input)
+    val wAny = sx.eval(input)
+    if (sAny == null || wAny == null) return null
+    FocusStackKernel.compose(sAny.asInstanceOf[ArrayData],
+      wAny.asInstanceOf[Int])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sG = stack.genCode(ctx)
+    val wG = sx.genCode(ctx)
+    val code =
+      code"""
+        ${sG.code}
+        ${wG.code}
+        boolean ${ev.isNull} = ${sG.isNull} || ${wG.isNull};
+        InternalRow ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.FocusStackKernel.compose(
+            ${sG.value}, ${wG.value});
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(stack = newChildren(0), sx = newChildren(1))
+}
+
+object FocusStack {
+  val schema: DataType = StructType(Seq(
+    StructField("pixels", ArrayType(IntegerType, containsNull = false),
+      nullable = false),
+    StructField("zmap", ArrayType(IntegerType, containsNull = false),
+      nullable = false)))
+}

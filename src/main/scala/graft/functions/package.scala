@@ -90,6 +90,7 @@ package object functions {
       PixelCcObjectsIntensity(exprs(0), exprs(1), exprs(2))),
     "graft_pixel_rank_map" -> (exprs =>
       PixelRankMap(exprs(0), exprs(1))),
+    "graft_focus_stack" -> (exprs => FocusStack(exprs(0), exprs(1))),
     "graft_pixel_equalize" -> (exprs => {
       require(exprs.length == 2 && exprs(1).foldable &&
         exprs(1).dataType == org.apache.spark.sql.types.IntegerType,
@@ -277,6 +278,12 @@ package object functions {
     * `targets[r]` (quantile-normalization apply step). */
   def pixel_rank_map(pixels: Column, targets: Column): Column =
     call_function("graft_pixel_rank_map", pixels, targets)
+
+  /** Native focus stacking: per-pixel best-local-sharpness composite
+    * over a z-stack of `(z, pixels)` structs; returns
+    * `struct(pixels, zmap)`. */
+  def focus_stack(stack: Column, sx: Column): Column =
+    call_function("graft_focus_stack", stack, sx)
 
   /** Native BPE encode of one token against a trained merge list
     * (rank order = array order). */

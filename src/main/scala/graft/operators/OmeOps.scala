@@ -783,6 +783,39 @@ object OmeOps {
   }
 
   /**
+   * Focus stacking — the all-in-focus composite per (image, t, c):
+   * each pixel takes its value from the z-plane with the best LOCAL
+   * sharpness at that position (squared horizontal second difference;
+   * ties to the lowest z). [[focusReport]] picks the sharpest PLANE;
+   * this composes the sharpest PIXELS — the extended-depth-of-field
+   * view thick samples need before segmentation. Output rows carry
+   * the composite `pixels` and the chosen-z `zmap` (focus
+   * topography, a QC signal in its own right).
+   *
+   * Scale shape: the [[projectZ]] grouping — ONE (image, t, c)-keyed
+   * shuffle collecting each stack (buffer bounded by image geometry,
+   * the nestPlanes contract), then one native
+   * [[graft.functions.FocusStack]] pass per group; the kernel sorts
+   * by z internally so collect order cannot change results.
+   */
+  def focusStack(planeDf: DataFrame): DataFrame = {
+    graft.functions.ensureRegistered(planeDf.sparkSession)
+    planeDf
+      .groupBy(col("image_id"), col("t"), col("c"))
+      .agg(first(col("size_x")).cast("int").as("size_x"),
+        first(col("size_y")).cast("int").as("size_y"),
+        graft.functions.focus_stack(
+          collect_list(struct(col("z").cast("int").as("z"),
+            col("pixels").as("pixels"))),
+          first(col("size_x")).cast("int")).as("fs"),
+        count(lit(1)).cast("int").as("n_planes"))
+      .select(col("image_id"), col("t").cast("int").as("t"),
+        col("c").cast("int").as("c"), col("size_x"), col("size_y"),
+        col("n_planes"), col("fs.pixels").as("pixels"),
+        col("fs.zmap").as("zmap"))
+  }
+
+  /**
    * Cross-sample QUANTILE NORMALIZATION per channel — every plane's
    * value distribution is replaced by the channel's AVERAGE sorted
    * profile (pixel at sorted rank r becomes the channel-mean of

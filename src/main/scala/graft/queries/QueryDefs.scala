@@ -402,6 +402,41 @@ chunks AS (
            |      AND p2.z = b.z) AS pixels
            |FROM b""".stripMargin)),
 
+    // Focus stacking: per-pixel best-local-sharpness composite over
+    // the z-stack (ties to lowest z) + the chosen-z map; the oracle
+    // scores sharpness via x±1 self-joins and argmaxes per position.
+    ("ome_focus_stack", (s: SparkSession, _: String) =>
+      OmeOps.focusStack(
+        OmeOps.explodePlanes(Fixtures.corpus4d(s))
+          .select(col("image_id"), col("t"), col("c"), col("z"),
+            col("size_x"), col("size_y"), col("pixels"))),
+      Some(
+        s"""WITH $px4d,
+           |sh AS (
+           |  SELECT a.img, a.t, a.c, a.z, a.y, a.x, a.p, a.v,
+           |    CASE WHEN a.x > 0 AND a.x < 7 THEN
+           |      CAST(b.v - 2 * a.v + c2.v AS BIGINT) *
+           |      CAST(b.v - 2 * a.v + c2.v AS BIGINT)
+           |    ELSE 0 END AS sharp
+           |  FROM px a
+           |  LEFT JOIN px b ON b.img = a.img AND b.t = a.t
+           |    AND b.c = a.c AND b.z = a.z AND b.y = a.y
+           |    AND b.x = a.x - 1
+           |  LEFT JOIN px c2 ON c2.img = a.img AND c2.t = a.t
+           |    AND c2.c = a.c AND c2.z = a.z AND c2.y = a.y
+           |    AND c2.x = a.x + 1),
+           |pick AS (
+           |  SELECT img, t, c, z, p, v,
+           |    row_number() OVER (PARTITION BY img, t, c, y, x
+           |      ORDER BY sharp DESC, z ASC) AS rn
+           |  FROM sh)
+           |SELECT $id4d AS image_id, CAST(t AS INT) AS t,
+           |  CAST(c AS INT) AS c, CAST(8 AS INT) AS size_x,
+           |  CAST(8 AS INT) AS size_y, CAST(2 AS INT) AS n_planes,
+           |  list(CAST(v AS INT) ORDER BY p) AS pixels,
+           |  list(CAST(z AS INT) ORDER BY p) AS zmap
+           |FROM pick WHERE rn = 1 GROUP BY img, t, c""".stripMargin)),
+
     // Quantile normalization: per channel, each plane's distribution
     // replaced by the channel's average sorted profile (HALF_UP
     // integer means, (v, p) rank tie-break) — the batch-effect

@@ -77,6 +77,22 @@ class StretchSpec extends SparkSpec {
     assert(out(("a", 0)).sorted === out(("b", 0)).sorted)
   }
 
+  test("focusStack: per-pixel sharpest z wins; ties take lowest z") {
+    import spark.implicits._
+    // two 4x1 planes; hand sharpness (squared 2nd diff):
+    //   z0 [0,0,9,0]  -> x1: 81,    x2: 324
+    //   z1 [0,50,0,0] -> x1: 10000, x2: 2500
+    // borders tie at 0 -> z0
+    val planes = Seq(
+      ("img", 0, 0, 0, 4, 1, Seq(0, 0, 9, 0)),
+      ("img", 0, 0, 1, 4, 1, Seq(0, 50, 0, 0)))
+      .toDF("image_id", "t", "c", "z", "size_x", "size_y", "pixels")
+    val r = OmeOps.focusStack(planes).collect().head
+    assert(r.getSeq[Int](6) === Seq(0, 50, 0, 0)) // composite
+    assert(r.getSeq[Int](7) === Seq(0, 1, 1, 0))  // zmap
+    assert(r.getInt(5) === 2)                     // n_planes
+  }
+
   test("contrastStretch: composes with re-aggregation; output is 8-bit") {
     import spark.implicits._
     val planes = OmeOps.explodePlanes(
