@@ -897,6 +897,30 @@ object OmeOps {
   }
 
   /**
+   * Object morphology features — shape descriptors derived from
+   * [[segmentObjects]]'s exact integer measurements: `extent`
+   * (area / bounding-box area — how much of its box the object
+   * fills), `aspect` (bbox height / width), and the bbox dimensions:
+   * the size/shape half of a CellProfiler measurement table, the
+   * features a "round nuclei vs elongated debris" filter keys on.
+   * Pure column arithmetic over the per-object rows — no new kernel
+   * work, no additional shuffle.
+   */
+  def objectMorphology(planeDf: DataFrame, mask: Column): DataFrame = {
+    segmentObjects(planeDf, mask)
+      .select(col("image_id"), col("t"), col("c"), col("z"),
+        col("label"), col("area"),
+        (col("y1") - col("y0") + 1).cast("int").as("bbox_h"),
+        (col("x1") - col("x0") + 1).cast("int").as("bbox_w"),
+        round(col("area").cast("double") /
+          ((col("y1") - col("y0") + 1) * (col("x1") - col("x0") + 1)), 6)
+          .as("extent"),
+        round((col("y1") - col("y0") + 1).cast("double") /
+          (col("x1") - col("x0") + 1), 6).as("aspect"),
+        col("cy"), col("cx"))
+  }
+
+  /**
    * Deterministic training augmentation — each plane under a set of
    * exact index permutations (`hflip`, `vflip`, `rot90`, `rot180`,
    * `transpose`): the right-angle augmentation family vision trainers

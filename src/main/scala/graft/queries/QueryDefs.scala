@@ -588,6 +588,55 @@ chunks AS (
            |  round(CAST(sxs AS DOUBLE) / area, 6) AS cx
            |FROM obj""".stripMargin)),
 
+    // Object morphology: extent/aspect shape descriptors derived from
+    // the exact segmentation measurements — pure column arithmetic.
+    ("ome_object_morphology", (s: SparkSession, _: String) =>
+      OmeOps.objectMorphology(
+        OmeOps.explodePlanes(Fixtures.corpus4d(s))
+          .select(col("image_id"), col("t"), col("c"), col("z"),
+            col("size_x"), col("size_y"), col("pixels")),
+        transform(col("pixels"),
+          v => when((v * v) % 7 < 2, lit(1)).otherwise(lit(0)))),
+      Some(
+        s"""WITH RECURSIVE $px4d,
+           |fg AS (
+           |  SELECT img, t, c, z, y, x, y * 8 + x AS idx
+           |  FROM px WHERE (v * v) % 7 < 2),
+           |reach AS (
+           |  SELECT img, t, c, z, idx, idx AS ridx FROM fg
+           |  UNION
+           |  SELECT r.img, r.t, r.c, r.z, r.idx, f2.idx AS ridx
+           |  FROM reach r
+           |  JOIN fg f1 ON f1.img = r.img AND f1.t = r.t AND f1.c = r.c
+           |    AND f1.z = r.z AND f1.idx = r.ridx
+           |  JOIN fg f2 ON f2.img = f1.img AND f2.t = f1.t
+           |    AND f2.c = f1.c AND f2.z = f1.z
+           |    AND ((abs(f2.x - f1.x) = 1 AND f2.y = f1.y)
+           |      OR (abs(f2.y - f1.y) = 1 AND f2.x = f1.x))),
+           |lbl AS (
+           |  SELECT img, t, c, z, idx, min(ridx) AS label
+           |  FROM reach GROUP BY 1, 2, 3, 4, 5),
+           |obj AS (
+           |  SELECT l.img, l.t, l.c, l.z, l.label,
+           |    count(*) AS area, min(f.y) AS y0, min(f.x) AS x0,
+           |    max(f.y) AS y1, max(f.x) AS x1,
+           |    sum(f.y) AS sy, sum(f.x) AS sxs
+           |  FROM lbl l JOIN fg f ON f.img = l.img AND f.t = l.t
+           |    AND f.c = l.c AND f.z = l.z AND f.idx = l.idx
+           |  GROUP BY 1, 2, 3, 4, 5)
+           |SELECT $id4d AS image_id, CAST(t AS INT) AS t,
+           |  CAST(c AS INT) AS c, CAST(z AS INT) AS z,
+           |  CAST(label AS INT) AS label, CAST(area AS INT) AS area,
+           |  CAST(y1 - y0 + 1 AS INT) AS bbox_h,
+           |  CAST(x1 - x0 + 1 AS INT) AS bbox_w,
+           |  round(CAST(area AS DOUBLE) /
+           |    ((y1 - y0 + 1) * (x1 - x0 + 1)), 6) AS extent,
+           |  round(CAST(y1 - y0 + 1 AS DOUBLE) / (x1 - x0 + 1), 6)
+           |    AS aspect,
+           |  round(CAST(sy AS DOUBLE) / area, 6) AS cy,
+           |  round(CAST(sxs AS DOUBLE) / area, 6) AS cx
+           |FROM obj""".stripMargin)),
+
     // Segmentation with intensity measurements: mask segments, the raw
     // plane measures (integrated/mean/min/max per object).
     ("ome_segment_intensity", (s: SparkSession, _: String) =>
