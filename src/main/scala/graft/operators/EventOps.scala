@@ -376,6 +376,41 @@ object EventOps {
   }
 
   /**
+   * Cohort lifetime value — [[retentionCohorts]]'s revenue twin: per
+   * (signup-cohort day, day offset), how much PURCHASE value the
+   * cohort generated, both for the day and cumulatively — the LTV
+   * curve a growth team reads payback periods from. Revenue sums in
+   * integer cents ([SCALE.md lesson 11]) so the cumulative window is
+   * exact; one row per non-empty (cohort_day, day_offset):
+   * `n_buyers, revenue, cum_revenue` (2 dp).
+   *
+   * Scale shape: first-day per user is one user-keyed aggregation;
+   * the cohort join fans out ONLY purchase rows (no fan-out per
+   * user — one first_day row each); the cell rollup moves
+   * (cohort, offset) keys and the cumulative window runs over the
+   * cohort-sized aggregate, never events.
+   */
+  def cohortLtv(events: DataFrame): DataFrame = {
+    val firstDay = events
+      .select(col("user_id"), expr(s"ts div $NanosPerDay").as("day"))
+      .groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr(s"ts div $NanosPerDay").as("day"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    val cells = purchases.join(firstDay, Seq("user_id"))
+      .groupBy(col("cohort_day").cast("long").as("cohort_day"),
+        (col("day") - col("cohort_day")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).cast("long").as("n_buyers"),
+        sum(col("cents")).as("cents"))
+    val w = Window.partitionBy(col("cohort_day"))
+      .orderBy(col("day_offset"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells.select(col("cohort_day"), col("day_offset"), col("n_buyers"),
+      round(col("cents") / 100.0, 2).as("revenue"),
+      round(sum(col("cents")).over(w) / 100.0, 2).as("cum_revenue"))
+  }
+
+  /**
    * Event-type transition matrix — the Markov-chain view of user
    * behavior (which event follows which?): for every consecutive
    * (prev, next) pair within a user's timeline, the transition count

@@ -783,6 +783,37 @@ object OmeOps {
   }
 
   /**
+   * Two-channel RGB composite — the merged-channel display view
+   * (DNA in red, Mito in green — the reference's channel-color
+   * metadata made into pixels): each channel contrast-stretches to
+   * 8-bit independently ([[contrastStretch]]), then packs as
+   * `0xRRGG00` ints per pixel. One row per (image, t, z).
+   *
+   * Scale shape: the stretch is the per-plane native kernel; the
+   * merge is a (image, t, z)-keyed equi-join of exactly two channel
+   * rows plus one `zip_with` pack per plane — a narrow plane-keyed
+   * join, no fan-out.
+   */
+  def compositeRgb(planeDf: DataFrame, rChannel: Int = 0,
+      gChannel: Int = 1, pLo: Int = 5, pHi: Int = 95): DataFrame = {
+    require(rChannel != gChannel,
+      "compositeRgb: channels must differ")
+    val st = contrastStretch(planeDf, pLo, pHi)
+      .select(col("image_id"), col("t"), col("c"), col("z"),
+        col("size_x"), col("size_y"), col("pixels"))
+    val r = st.filter(col("c") === rChannel).drop("c")
+      .withColumnRenamed("pixels", "r_px")
+    val g = st.filter(col("c") === gChannel).drop("c")
+      .withColumnRenamed("pixels", "g_px")
+      .drop("size_x").drop("size_y")
+    r.join(g, Seq("image_id", "t", "z"))
+      .select(col("image_id"), col("t"), col("z"),
+        col("size_x"), col("size_y"),
+        zip_with(col("r_px"), col("g_px"),
+          (a, b) => a * 65536 + b * 256).as("pixels"))
+  }
+
+  /**
    * Focus stacking — the all-in-focus composite per (image, t, c):
    * each pixel takes its value from the z-plane with the best LOCAL
    * sharpness at that position (squared horizontal second difference;

@@ -402,6 +402,43 @@ chunks AS (
            |      AND p2.z = b.z) AS pixels
            |FROM b""".stripMargin)),
 
+    // RGB composite: per-channel 8-bit stretch then 0xRRGG00 pack per
+    // (image, t, z) — the merged-channel display view.
+    ("ome_composite_rgb", (s: SparkSession, _: String) =>
+      OmeOps.compositeRgb(
+        OmeOps.explodePlanes(Fixtures.corpus4d(s))
+          .select(col("image_id"), col("t"), col("c"), col("z"),
+            col("size_x"), col("size_y"), col("pixels"))),
+      Some(
+        s"""WITH $px4d,
+           |q AS (
+           |  SELECT img, t, c, z, list(v ORDER BY v) AS sv,
+           |    count(*) AS n
+           |  FROM px GROUP BY 1, 2, 3, 4),
+           |b AS (
+           |  SELECT img, t, c, z,
+           |    sv[((n - 1) * 5) // 100 + 1] AS lo,
+           |    sv[((n - 1) * 95) // 100 + 1] AS hi
+           |  FROM q),
+           |st AS (
+           |  SELECT p.img, p.t, p.c, p.z, p.p,
+           |    CASE WHEN b.hi > b.lo THEN
+           |      ((least(greatest(p.v, b.lo), b.hi) - b.lo) * 510
+           |        + (b.hi - b.lo)) // (2 * (b.hi - b.lo))
+           |    ELSE 0 END AS s
+           |  FROM px p JOIN b ON b.img = p.img AND b.t = p.t
+           |    AND b.c = p.c AND b.z = p.z),
+           |m AS (
+           |  SELECT r.img AS img, r.t AS t, r.z AS z, r.p AS p,
+           |    r.s * 65536 + g.s * 256 AS rgb
+           |  FROM st r JOIN st g ON g.img = r.img AND g.t = r.t
+           |    AND g.z = r.z AND g.p = r.p AND r.c = 0 AND g.c = 1)
+           |SELECT $id4d AS image_id, CAST(t AS INT) AS t,
+           |  CAST(z AS INT) AS z, CAST(8 AS INT) AS size_x,
+           |  CAST(8 AS INT) AS size_y,
+           |  list(CAST(rgb AS INT) ORDER BY p) AS pixels
+           |FROM m GROUP BY img, t, z""".stripMargin)),
+
     // Focus stacking: per-pixel best-local-sharpness composite over
     // the z-stack (ties to lowest z) + the chosen-z map; the oracle
     // scores sharpness via x±1 self-joins and argmaxes per position.
@@ -4870,6 +4907,32 @@ GROUP BY c.doc_id""")),
           |  CAST(CASE WHEN ts_us - c_ts <= 7200000000
           |    THEN ts_us - c_ts END AS BIGINT) AS click_staleness_us
           |FROM m WHERE event_type = 'purchase'""".stripMargin)),
+
+    // Cohort LTV: per (signup-cohort, offset) purchase revenue + the
+    // cumulative curve — integer-cents sums, cohort-partitioned window.
+    ("events_ltv", (s: SparkSession, dir: String) =>
+      EventOps.cohortLtv(EventOps.readEvents(s, dir)),
+      Some(
+        """WITH fd AS (
+          |  SELECT user_id, min(epoch_us(ts) // 86400000000) AS cohort_day
+          |  FROM events GROUP BY 1),
+          |pu AS (
+          |  SELECT e.user_id, epoch_us(e.ts) // 86400000000 AS day,
+          |    CAST(round(e.value * 100, 0) AS BIGINT) AS cents
+          |  FROM events e WHERE e.event_type = 'purchase'),
+          |cells AS (
+          |  SELECT CAST(fd.cohort_day AS BIGINT) AS cohort_day,
+          |    CAST(pu.day - fd.cohort_day AS BIGINT) AS day_offset,
+          |    CAST(count(DISTINCT pu.user_id) AS BIGINT) AS n_buyers,
+          |    sum(pu.cents) AS cents
+          |  FROM pu JOIN fd ON fd.user_id = pu.user_id
+          |  GROUP BY 1, 2)
+          |SELECT cohort_day, day_offset, n_buyers,
+          |  round(cents / 100.0, 2) AS revenue,
+          |  round(sum(cents) OVER (PARTITION BY cohort_day
+          |    ORDER BY day_offset ROWS UNBOUNDED PRECEDING) / 100.0, 2)
+          |    AS cum_revenue
+          |FROM cells""".stripMargin)),
 
     // Debounce: keep one event per 12 h window per (user, type) —
     // ITERATIVE keep-depends-on-last-keep semantics; the oracle walks

@@ -52,6 +52,35 @@ class DriftSeasonSpec extends SparkSpec {
     assert(kept.map(_.getLong(3)).toSeq === Seq(1L))
   }
 
+  test("cohortLtv: revenue accumulates per cohort at integer cents") {
+    import spark.implicits._
+    val d = 86400L * 1000 * 1000 * 1000
+    val events = Seq(
+      (1L, 0L * d, "purchase", 1.00, 1L),
+      (1L, 2L * d + 5, "purchase", 2.50, 2L),
+      (1L, 1L * d, "view", 0.0, 3L),
+      (2L, 1L * d, "view", 9.99, 4L)) // never purchases
+      .toDF("user_id", "ts", "event_type", "value", "event_id")
+    val out = EventOps.cohortLtv(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out((0L, 0L)) === ((1L, 1.0, 1.0)))
+    assert(out((0L, 2L)) === ((1L, 2.5, 3.5)))
+    assert(out.size === 2)
+  }
+
+  test("compositeRgb: channels stretch independently then pack RRGG00") {
+    import spark.implicits._
+    val planes = Seq(
+      ("i", 0, 0, 0, 2, 1, Seq(0, 10)),
+      ("i", 0, 1, 0, 2, 1, Seq(10, 0)))
+      .toDF("image_id", "t", "c", "z", "size_x", "size_y", "pixels")
+    val r = graft.operators.OmeOps
+      .compositeRgb(planes, 0, 1, pLo = 0, pHi = 100)
+      .collect().head
+    assert(r.getSeq[Int](5) === Seq(255 * 256, 255 * 65536))
+  }
+
   test("seasonalityProfile: epoch day-of-week and hour cells are exact") {
     import spark.implicits._
     val h = 3600L * 1000 * 1000 * 1000
