@@ -376,6 +376,65 @@ object EventOps {
   }
 
   /**
+   * Bot-likelihood report — per-user behavioral fingerprints that
+   * separate scripted traffic from people: event volume, type
+   * diversity, inter-event gap mean/std (a bot's gaps are metronomic —
+   * std ≈ 0 — where human gaps are heavy-tailed), and the share of
+   * events in the user's single busiest hour-of-day (bots concentrate,
+   * humans spread). One row per user with ≥ 2 events:
+   * `n_events, n_types, gap_mean_s, gap_std_s, top_hour,
+   * top_hour_share` (6 dp). Expects native epoch-ns `ts`; gaps are
+   * measured in SECONDS so the Σg² moment stays far inside long range
+   * (a ns Σg² would overflow at day-scale gaps).
+   *
+   * Determinism: gap variance derives from exact integer Σg and Σg²
+   * (`(Σg² − (Σg)²/n) / n` computed in one double expression, rounded
+   * last); the busiest hour breaks ties toward the lowest hour.
+   *
+   * Scale shape: ONE user-keyed shuffle carries both the lag window
+   * and the per-user rollup; the hour concentration reuses the same
+   * partitioning (a second aggregation over (user, hour) cells, ≤ 24
+   * per user). Nothing corpus-scale crosses more than the user key.
+   */
+  def botReport(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val gaps = events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("long").as("ts"),
+        expr("ts div 1000000000").as("sec"), col("event_id"),
+        col("event_type"))
+      .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+    val base = gaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        countDistinct(col("event_type")).cast("long").as("n_types"),
+        count(col("gap")).cast("long").as("n_gaps"),
+        coalesce(sum(col("gap")), lit(0L)).as("sg"),
+        coalesce(sum(col("gap") * col("gap")), lit(0L)).as("sgg"))
+      .filter(col("n_gaps") >= 1)
+    val hours = events
+      .select(col("user_id").cast("long").as("user_id"),
+        (expr(s"ts div ${3600L * 1000 * 1000 * 1000}") % 24).cast("int")
+          .as("hour"))
+      .groupBy(col("user_id"), col("hour"))
+      .agg(count(lit(1)).cast("long").as("nh"))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("nh"), (-col("hour")).as("negh"))).as("top"))
+      .select(col("user_id"), col("top.nh").as("top_hour_n"),
+        (-col("top.negh")).cast("int").as("top_hour"))
+    base.join(hours, Seq("user_id"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        round(col("sg").cast("double") / col("n_gaps"), 6)
+          .as("gap_mean_s"),
+        round(sqrt((col("sgg").cast("double") -
+          col("sg").cast("double") * col("sg") / col("n_gaps")) /
+          col("n_gaps")), 6).as("gap_std_s"),
+        col("top_hour"),
+        round(col("top_hour_n").cast("double") / col("n_events"), 6)
+          .as("top_hour_share"))
+  }
+
+  /**
    * Cohort lifetime value — [[retentionCohorts]]'s revenue twin: per
    * (signup-cohort day, day offset), how much PURCHASE value the
    * cohort generated, both for the day and cumulatively — the LTV

@@ -4908,6 +4908,49 @@ GROUP BY c.doc_id""")),
           |    THEN ts_us - c_ts END AS BIGINT) AS click_staleness_us
           |FROM m WHERE event_type = 'purchase'""".stripMargin)),
 
+    // Bot-likelihood report: per-user inter-event gap regularity +
+    // busiest-hour concentration — integer second-gap moments, one
+    // user-keyed shuffle.
+    ("events_bot_report", (s: SparkSession, dir: String) =>
+      EventOps.botReport(EventOps.readEvents(s, dir)),
+      Some(
+        """WITH e AS (
+          |  SELECT CAST(user_id AS BIGINT) AS user_id, event_id,
+          |    event_type, epoch_us(ts) AS ts_us,
+          |    epoch_us(ts) // 1000000 AS sec,
+          |    (epoch_us(ts) // 3600000000) % 24 AS hour
+          |  FROM events),
+          |g AS (
+          |  SELECT user_id, event_type,
+          |    sec - lag(sec) OVER (PARTITION BY user_id
+          |      ORDER BY ts_us, event_id) AS gap
+          |  FROM e),
+          |b AS (
+          |  SELECT user_id, count(*) AS n_events,
+          |    count(DISTINCT event_type) AS n_types,
+          |    count(gap) AS n_gaps,
+          |    coalesce(sum(gap), 0) AS sg,
+          |    coalesce(sum(gap * gap), 0) AS sgg
+          |  FROM g GROUP BY 1 HAVING count(gap) >= 1),
+          |h AS (
+          |  SELECT user_id, hour, count(*) AS nh FROM e GROUP BY 1, 2),
+          |th AS (
+          |  SELECT user_id, hour AS top_hour, nh AS top_hour_n
+          |  FROM (SELECT user_id, hour, nh,
+          |      row_number() OVER (PARTITION BY user_id
+          |        ORDER BY nh DESC, hour ASC) AS rn
+          |    FROM h) f WHERE rn = 1)
+          |SELECT b.user_id, CAST(b.n_events AS BIGINT) AS n_events,
+          |  CAST(b.n_types AS BIGINT) AS n_types,
+          |  round(CAST(b.sg AS DOUBLE) / b.n_gaps, 6) AS gap_mean_s,
+          |  round(sqrt((CAST(b.sgg AS DOUBLE) -
+          |    CAST(b.sg AS DOUBLE) * b.sg / b.n_gaps) / b.n_gaps), 6)
+          |    AS gap_std_s,
+          |  CAST(th.top_hour AS INT) AS top_hour,
+          |  round(CAST(th.top_hour_n AS DOUBLE) / b.n_events, 6)
+          |    AS top_hour_share
+          |FROM b JOIN th ON th.user_id = b.user_id""".stripMargin)),
+
     // Cohort LTV: per (signup-cohort, offset) purchase revenue + the
     // cumulative curve — integer-cents sums, cohort-partitioned window.
     ("events_ltv", (s: SparkSession, dir: String) =>

@@ -52,6 +52,26 @@ class DriftSeasonSpec extends SparkSpec {
     assert(kept.map(_.getLong(3)).toSeq === Seq(1L))
   }
 
+  test("botReport: metronomic gaps score zero variance; humans don't") {
+    import spark.implicits._
+    val s = 1000L * 1000 * 1000
+    // bot: exactly 60 s apart, all inside hour 0
+    val bot = (0 until 10).map(i =>
+      (1L, i * 60L * s, "click", 0.0, i.toLong))
+    // human: irregular gaps spread over hours
+    val human = Seq(0L, 100L, 5000L, 9000L, 20000L).zipWithIndex.map {
+      case (t, i) => (2L, t * s, "view", 0.0, 100L + i) }
+    val events = (bot ++ human)
+      .toDF("user_id", "ts", "event_type", "value", "event_id")
+    val out = EventOps.botReport(events).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getDouble(4),
+        r.getDouble(6)))).toMap
+    val (bMean, bStd, bShare) = out(1L)
+    assert(bMean === 60.0 && bStd === 0.0 && bShare === 1.0)
+    val (_, hStd, hShare) = out(2L)
+    assert(hStd > 0.0 && hShare < 1.0)
+  }
+
   test("cohortLtv: revenue accumulates per cohort at integer cents") {
     import spark.implicits._
     val d = 86400L * 1000 * 1000 * 1000
