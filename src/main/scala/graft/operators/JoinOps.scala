@@ -66,6 +66,35 @@ object JoinOps {
   }
 
   /**
+   * Salted equi-join — the classic hot-key mitigation
+   * ([[graft.operators.EventOps.skewReport]] DIAGNOSES the skew; this
+   * removes it): the large side's rows spread across `salts` virtual
+   * partitions by a deterministic hash of the whole row's join
+   * context, and the small side replicates `salts`× so every
+   * (key, salt) cell still finds its match — the result is EXACTLY
+   * the plain inner join, but a key holding 30% of the corpus now
+   * lands on `salts` reducers instead of one. Use when AQE's skew
+   * split can't help (e.g. the skew is in a hash-aggregation feeding
+   * the join) or on engines without it; `salts` ≈ the worst key's
+   * multiple of a healthy partition.
+   *
+   * Scale: large side gains one narrow `pmod(hash(...))` column — no
+   * extra shuffle beyond the join's own; the small side's ×`salts`
+   * replication is the explicit price, so keep it for genuinely small
+   * dimension sides.
+   */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+      salts: Int): DataFrame = {
+    require(salts >= 1, "saltedJoin: salts must be >= 1")
+    val l = large.withColumn("__salt",
+      pmod(hash(large.columns.map(col).toIndexedSeq: _*), lit(salts)))
+    val saltTable = broadcast(small.sparkSession.range(1)
+      .select(explode(sequence(lit(0), lit(salts - 1))).as("__s"))
+      .select(col("__s").cast("int").as("__salt")))
+    l.join(small.crossJoin(saltTable), Seq(key, "__salt")).drop("__salt")
+  }
+
+  /**
    * Point-in-time-correct feature join — the FEATURE-STORE
    * materialization primitive: for every label row, the latest feature
    * observation for the same entity with `feature_ts <= label_ts`

@@ -5397,6 +5397,30 @@ GROUP BY c.doc_id""")),
           |  SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)"""
           .stripMargin)),
 
+    // Salted join: the hot-key mitigation — result EXACTLY equals the
+    // plain join (the oracle IS the plain join), the salt only moves
+    // where the rows land.
+    ("q_salted_join", (s: SparkSession, dir: String) =>
+      JoinOps.saltedJoin(
+        t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_extendedprice")),
+        t(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
+          .select(col("o_orderkey").as("l_orderkey"),
+            col("o_orderpriority")),
+        "l_orderkey", salts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("long").as("n_items"),
+          sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+            .as("revenue_cents")),
+      Some(
+        """SELECT o_orderpriority,
+          |  CAST(count(*) AS BIGINT) AS n_items,
+          |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+          |    AS BIGINT) AS revenue_cents
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |WHERE o_totalprice > 300000.0
+          |GROUP BY 1""".stripMargin)),
+
     ("q18_large_orders", (s: SparkSession, dir: String) => {
       val big = t(s, dir, "lineitem")
         .groupBy(col("l_orderkey"))

@@ -46,6 +46,22 @@ class PitJoinSpec extends SparkSpec {
     assert(ok(100L) === Some(20L))
   }
 
+  test("saltedJoin: result set is exactly the plain inner join") {
+    import spark.implicits._
+    val large = (0 until 500).map(i => (i % 7L, i.toLong))
+      .toDF("k", "payload")
+    val small = Seq((0L, "a"), (3L, "b"), (9L, "never-matches"))
+      .toDF("k", "tag")
+    val salted = JoinOps.saltedJoin(large, small, "k", salts = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2))
+    val plain = large.join(small, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(salted.toSeq === plain.toSeq)
+    assert(salted.nonEmpty)
+  }
+
   test("pointInTimeJoin: same-ts feature is visible; equal-ts features " +
       "tie to the highest id — and ts/val stay consistent") {
     import spark.implicits._
