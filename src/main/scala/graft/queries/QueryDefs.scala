@@ -240,6 +240,46 @@ chunks AS (
     s"""CAST(count(*) AS INT) AS n_px, CAST(sum(v) AS BIGINT) AS px_sum,
        |CAST(min(v) AS INT) AS px_min, CAST(max(v) AS INT) AS px_max""".stripMargin
 
+  /**
+   * Replace array column `arr` with 7 order-pinning scalar digests
+   * (`n/sum/min/max/first/last/wsum`, wsum = Σ v[i]·(i+1)) — the
+   * driver's pandas comparator cannot sort raw array cells, so every
+   * registry query must emit scalars; full-array assertions live in
+   * ScalaTest. wsum pins the exact element ORDER, first/last pin the
+   * endpoints, so a permuted or off-by-one kernel still hash-fails.
+   */
+  private def digestArray(df: DataFrame, arr: String, p: String): DataFrame =
+    df.withColumns(Map(
+      s"${p}_n" -> size(col(arr)).cast("int"),
+      s"${p}_sum" -> graft.functions.pixel_sum(col(arr)),
+      s"${p}_min" -> array_min(col(arr)).cast("int"),
+      s"${p}_max" -> array_max(col(arr)).cast("int"),
+      s"${p}_first" -> element_at(col(arr), 1).cast("int"),
+      s"${p}_last" -> element_at(col(arr), -1).cast("int"),
+      s"${p}_wsum" -> aggregate(
+        zip_with(col(arr), sequence(lit(1), size(col(arr))),
+          (v, i) => v.cast("long") * i),
+        lit(0L), (a, x) => a + x))).drop(arr)
+
+  /** DuckDB twin of [[digestArray]]: wraps `inner` (which may itself be
+   *  a WITH query) and digests each (arrayCol -> prefix) identically. */
+  private def digestWrap(inner: String, scalars: Seq[String],
+      arrays: Seq[(String, String)]): String = {
+    val digest = arrays.flatMap { case (a, p) => Seq(
+      s"CAST(len($a) AS INT) AS ${p}_n",
+      s"CAST(list_sum($a) AS BIGINT) AS ${p}_sum",
+      s"CAST(list_min($a) AS INT) AS ${p}_min",
+      s"CAST(list_max($a) AS INT) AS ${p}_max",
+      s"CAST($a[1] AS INT) AS ${p}_first",
+      s"CAST($a[-1] AS INT) AS ${p}_last",
+      s"CAST(list_sum(list_transform($a, (v, i) -> " +
+        s"CAST(v AS BIGINT) * i)) AS BIGINT) AS ${p}_wsum") }
+    s"""SELECT ${(scalars ++ digest).mkString(",\n  ")}
+       |FROM (
+       |$inner
+       |) base""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -344,12 +384,12 @@ chunks AS (
     // every 8x8 plane tiles into four 4x4 patches — a pure narrow map,
     // one codegen'd crop per patch, zero shuffles.
     ("ome_patches", (s: SparkSession, _: String) =>
-      OmeOps.extractPatches(
+      digestArray(OmeOps.extractPatches(
         OmeOps.explodePlanes(Fixtures.corpus4d(s))
           .select(col("image_id"), col("t"), col("c"), col("z"),
             col("size_x"), col("size_y"), col("pixels")),
-        patch = 4, stride = 4),
-      Some(
+        patch = 4, stride = 4), "patch", "pt"),
+      Some(digestWrap(
         s"""WITH $px4d, keys AS (
            |  SELECT DISTINCT img, t, c, z FROM px),
            |g AS (
@@ -367,18 +407,20 @@ chunks AS (
            |      AND p.y >= g.py * 4 AND p.y < g.py * 4 + 4
            |      AND p.x >= g.pxi * 4 AND p.x < g.pxi * 4 + 4)
            |    AS patch
-           |FROM g""".stripMargin)),
+           |FROM g""".stripMargin,
+        Seq("image_id", "t", "c", "z", "py", "px"),
+        Seq("patch" -> "pt")))),
 
     // Percentile contrast stretch: per-plane [p5, p95] clamp + integer
     // HALF_UP rescale to 8-bit (sorted-index percentiles, no doubles);
     // oracle re-sorts the closed-form grid per plane.
     ("ome_contrast_stretch", (s: SparkSession, _: String) =>
-      OmeOps.contrastStretch(
+      digestArray(OmeOps.contrastStretch(
         OmeOps.explodePlanes(Fixtures.corpus4d(s))
           .select(col("image_id"), col("t"), col("c"), col("z"),
             col("size_x"), col("size_y"), col("pixels")),
-        pLo = 5, pHi = 95),
-      Some(
+        pLo = 5, pHi = 95), "pixels", "px"),
+      Some(digestWrap(
         s"""WITH $px4d,
            |q AS (
            |  SELECT img, t, c, z, list(v ORDER BY v) AS sv,
@@ -400,16 +442,18 @@ chunks AS (
            |    FROM px p2
            |    WHERE p2.img = b.img AND p2.t = b.t AND p2.c = b.c
            |      AND p2.z = b.z) AS pixels
-           |FROM b""".stripMargin)),
+           |FROM b""".stripMargin,
+        Seq("image_id", "t", "c", "z", "size_x", "size_y", "lo", "hi"),
+        Seq("pixels" -> "px")))),
 
     // RGB composite: per-channel 8-bit stretch then 0xRRGG00 pack per
     // (image, t, z) — the merged-channel display view.
     ("ome_composite_rgb", (s: SparkSession, _: String) =>
-      OmeOps.compositeRgb(
+      digestArray(OmeOps.compositeRgb(
         OmeOps.explodePlanes(Fixtures.corpus4d(s))
           .select(col("image_id"), col("t"), col("c"), col("z"),
-            col("size_x"), col("size_y"), col("pixels"))),
-      Some(
+            col("size_x"), col("size_y"), col("pixels"))), "pixels", "px"),
+      Some(digestWrap(
         s"""WITH $px4d,
            |q AS (
            |  SELECT img, t, c, z, list(v ORDER BY v) AS sv,
@@ -437,17 +481,20 @@ chunks AS (
            |  CAST(z AS INT) AS z, CAST(8 AS INT) AS size_x,
            |  CAST(8 AS INT) AS size_y,
            |  list(CAST(rgb AS INT) ORDER BY p) AS pixels
-           |FROM m GROUP BY img, t, z""".stripMargin)),
+           |FROM m GROUP BY img, t, z""".stripMargin,
+        Seq("image_id", "t", "z", "size_x", "size_y"),
+        Seq("pixels" -> "px")))),
 
     // Focus stacking: per-pixel best-local-sharpness composite over
     // the z-stack (ties to lowest z) + the chosen-z map; the oracle
     // scores sharpness via x±1 self-joins and argmaxes per position.
     ("ome_focus_stack", (s: SparkSession, _: String) =>
-      OmeOps.focusStack(
+      digestArray(digestArray(OmeOps.focusStack(
         OmeOps.explodePlanes(Fixtures.corpus4d(s))
           .select(col("image_id"), col("t"), col("c"), col("z"),
             col("size_x"), col("size_y"), col("pixels"))),
-      Some(
+        "pixels", "px"), "zmap", "zm"),
+      Some(digestWrap(
         s"""WITH $px4d,
            |sh AS (
            |  SELECT a.img, a.t, a.c, a.z, a.y, a.x, a.p, a.v,
@@ -472,18 +519,20 @@ chunks AS (
            |  CAST(8 AS INT) AS size_y, CAST(2 AS INT) AS n_planes,
            |  list(CAST(v AS INT) ORDER BY p) AS pixels,
            |  list(CAST(z AS INT) ORDER BY p) AS zmap
-           |FROM pick WHERE rn = 1 GROUP BY img, t, c""".stripMargin)),
+           |FROM pick WHERE rn = 1 GROUP BY img, t, c""".stripMargin,
+        Seq("image_id", "t", "c", "size_x", "size_y", "n_planes"),
+        Seq("pixels" -> "px", "zmap" -> "zm")))),
 
     // Quantile normalization: per channel, each plane's distribution
     // replaced by the channel's average sorted profile (HALF_UP
     // integer means, (v, p) rank tie-break) — the batch-effect
     // remover; oracle ranks with a window and joins the profile back.
     ("ome_quantile_norm", (s: SparkSession, _: String) =>
-      OmeOps.quantileNormalize(
+      digestArray(OmeOps.quantileNormalize(
         OmeOps.explodePlanes(Fixtures.corpus4d(s))
           .select(col("image_id"), col("t"), col("c"), col("z"),
-            col("size_x"), col("size_y"), col("pixels"))),
-      Some(
+            col("size_x"), col("size_y"), col("pixels"))), "pixels", "px"),
+      Some(digestWrap(
         s"""WITH $px4d,
            |r AS (
            |  SELECT img, t, c, z, p, v,
@@ -501,18 +550,20 @@ chunks AS (
            |  CAST(c AS INT) AS c, CAST(z AS INT) AS z,
            |  CAST(8 AS INT) AS size_x, CAST(8 AS INT) AS size_y,
            |  list(CAST(tv AS INT) ORDER BY p) AS pixels
-           |FROM m GROUP BY img, t, c, z""".stripMargin)),
+           |FROM m GROUP BY img, t, c, z""".stripMargin,
+        Seq("image_id", "t", "c", "z", "size_x", "size_y"),
+        Seq("pixels" -> "px")))),
 
     // Histogram equalization: per-plane CDF contrast map with the
     // integer-exact HALF_UP form; the oracle ranks via a RANGE window
     // (count of pixels <= v) over the closed-form grid.
     ("ome_equalize", (s: SparkSession, _: String) =>
-      OmeOps.equalizePlanes(
+      digestArray(OmeOps.equalizePlanes(
         OmeOps.explodePlanes(Fixtures.corpus4d(s))
           .select(col("image_id"), col("t"), col("c"), col("z"),
             col("size_x"), col("size_y"), col("pixels")),
-        levels = 256),
-      Some(
+        levels = 256), "pixels", "px"),
+      Some(digestWrap(
         s"""WITH $px4d,
            |q AS (
            |  SELECT img, t, c, z, p,
@@ -531,7 +582,9 @@ chunks AS (
            |  list(CAST(CASE WHEN n > cmin THEN
            |      ((rk - cmin) * 510 + (n - cmin)) // (2 * (n - cmin))
            |    ELSE 0 END AS INT) ORDER BY p) AS pixels
-           |FROM b GROUP BY img, t, c, z""".stripMargin)),
+           |FROM b GROUP BY img, t, c, z""".stripMargin,
+        Seq("image_id", "t", "c", "z", "size_x", "size_y"),
+        Seq("pixels" -> "px")))),
 
     // Haralick texture features: per-plane horizontal GLCM moments via
     // the native kernel (integer moments + fixed-order clnc), features
@@ -728,12 +781,12 @@ chunks AS (
     // the oracle re-lists the closed-form grid ordered by each mode's
     // output position. No shuffle, rows = planes x modes.
     ("ome_augment", (s: SparkSession, _: String) =>
-      OmeOps.augmentPlanes(
+      digestArray(OmeOps.augmentPlanes(
         OmeOps.explodePlanes(Fixtures.corpus4d(s))
           .select(col("image_id"), col("t"), col("c"), col("z"),
             col("size_x"), col("size_y"), col("pixels")),
-        Seq("hflip", "rot90", "transpose")),
-      Some(
+        Seq("hflip", "rot90", "transpose")), "pixels", "px"),
+      Some(digestWrap(
         s"""WITH $px4d,
            |m(mode) AS (VALUES ('hflip'), ('rot90'), ('transpose'))
            |SELECT $id4d AS image_id, CAST(t AS INT) AS t,
@@ -744,7 +797,9 @@ chunks AS (
            |    WHEN 'rot90' THEN x * 8 + (7 - y)
            |    ELSE x * 8 + y END) AS pixels
            |FROM px, m
-           |GROUP BY img, t, c, z, mode""".stripMargin)),
+           |GROUP BY img, t, c, z, mode""".stripMargin,
+        Seq("image_id", "t", "c", "z", "aug", "size_x", "size_y"),
+        Seq("pixels" -> "px")))),
 
     // Stage-drift detection: per (image, c, z) consecutive-frame pair,
     // the [-2,2]^2 shift maximizing mean overlap cross-correlation —
@@ -785,8 +840,8 @@ chunks AS (
     // the oracle re-derives the argmax shift and regenerates the
     // translated closed-form grid.
     ("ome_drift_apply", (s: SparkSession, _: String) =>
-      OmeOps.driftApply(Fixtures.corpus4d(s)),
-      Some(
+      digestArray(OmeOps.driftApply(Fixtures.corpus4d(s)), "pixels", "px"),
+      Some(digestWrap(
         s"""WITH $px4d, sh AS (
            |  SELECT dy.dy AS dy, dx.dx AS dx
            |  FROM generate_series(-2, 2) dy(dy),
@@ -826,7 +881,10 @@ chunks AS (
            |    ELSE 0 END AS INT) ORDER BY o.p)
            |   FROM px o WHERE o.img = a.img AND o.t = a.t
            |     AND o.c = a.c AND o.z = a.z) AS pixels
-           |FROM ad a""".stripMargin)),
+           |FROM ad a""".stripMargin,
+        Seq("image_id", "t", "c", "z", "size_x", "size_y",
+          "applied_dy", "applied_dx"),
+        Seq("pixels" -> "px")))),
 
     // Radial intensity profile: mean intensity vs pixel distance from
     // the plane center per channel — the vignetting/optics-QC view,

@@ -31,6 +31,27 @@ def canon(v):
     return str(v)
 
 
+def reject_nested(df, name, side):
+    """The DRIVER's comparator sorts result frames with pandas
+    sort_values, which raises on ndarray/list/dict cells — so any
+    array- or struct-typed result column passes locally only because
+    canon() stringifies it, then fails on the driver (the r9 8-query
+    regression). Mirror the driver's real constraint: hard-fail here."""
+    bad = []
+    for c in df.columns:
+        for v in df[c]:
+            if v is None:
+                continue
+            if isinstance(v, (list, tuple, dict)) or type(v).__name__ == "ndarray":
+                bad.append(c)
+            break
+    if bad:
+        raise ValueError(
+            f"{name}: {side} result has nested column(s) {bad} — the "
+            "driver comparator cannot sort these; reduce to scalar "
+            "digests (QueryDefs.digestArray / digestWrap)")
+
+
 def frame_rows(df):
     cols = sorted(df.columns)
     rows = [tuple(canon(r[c]) for c in cols) for _, r in df[cols].iterrows()]
@@ -67,6 +88,8 @@ def main():
             spark_df = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
             oracle_df = con.sql(sql).df()
+            reject_nested(spark_df, name, "spark")
+            reject_nested(oracle_df, name, "oracle")
             sc, sr = frame_rows(spark_df)
             oc, orows = frame_rows(oracle_df)
             if sc != oc:
