@@ -971,6 +971,11 @@ object PixelCcObjects {
  * accumulated in FIXED bin order so the double sum is deterministic.
  */
 object GlcmMoments {
+  private def clampBin(v: Int, bins: Int, maxv: Int): Int = {
+    val b = (v.toLong * bins / maxv).toInt
+    if (b < 0) 0 else if (b > bins - 1) bins - 1 else b
+  }
+
   /** `(n_pairs, contrast_num, dissim_num, energy_num, clnc)` where
     * contrast_num = Σ c·(i−j)², dissim_num = Σ c·|i−j|,
     * energy_num = Σ c² over the bins² co-occurrence counts. */
@@ -982,8 +987,11 @@ object GlcmMoments {
       // the i+1 < n guard covers a ragged plane whose last row is
       // partial — the pair at the truncation point simply doesn't exist
       if (i % w < w - 1 && i + 1 < n) {
-        val a = px.getInt(i) * bins / maxv
-        val b = px.getInt(i + 1) * bins / maxv
+        // Long bin math + clamp to [0, bins-1]: a pixel outside
+        // [0, maxv) (caller maxv narrower than the data's bit depth)
+        // lands in the edge bin instead of indexing out of bounds
+        val a = clampBin(px.getInt(i), bins, maxv)
+        val b = clampBin(px.getInt(i + 1), bins, maxv)
         counts(a * bins + b) += 1L
       }
       i += 1
@@ -1156,17 +1164,21 @@ object StretchKernel {
     val n = px.numElements()
     val sorted = px.toIntArray().clone()
     java.util.Arrays.sort(sorted)
-    val lo = sorted((n - 1) * pLo / 100)
-    val hi = sorted((n - 1) * pHi / 100)
+    // Long sorted-index: (n-1)*pHi overflows Int above ~22.6M pixels
+    val lo = sorted(((n - 1).toLong * pLo / 100).toInt)
+    val hi = sorted(((n - 1).toLong * pHi / 100).toInt)
     val out = new Array[Int](n)
     if (hi > lo) {
-      val d = hi - lo
+      // Long numerator: with 32-bit intensity data the window d (and
+      // (v-lo)*510) can exceed Int range — same class as the sorted-
+      // index overflow above
+      val d = (hi - lo).toLong
       var i = 0
       while (i < n) {
         var v = px.getInt(i)
         if (v < lo) v = lo
         if (v > hi) v = hi
-        out(i) = ((v - lo) * 510 + d) / (2 * d)
+        out(i) = (((v - lo).toLong * 510 + d) / (2 * d)).toInt
         i += 1
       }
     }
@@ -1354,7 +1366,10 @@ object EqualizeKernel {
           val mid = (lo + hi) >>> 1
           if (sorted(mid) <= v) lo = mid + 1 else hi = mid
         }
-        out(i) = ((lo - cmin) * 2 * (levels - 1) + d) / (2 * d)
+        // Long numerator: lo can be the full plane size, so the Int
+        // form overflows at levels=256 for planes above ~4.2M pixels
+        out(i) = (((lo - cmin).toLong * 2 * (levels - 1) + d) /
+          (2L * d)).toInt
         i += 1
       }
     }
@@ -1497,13 +1512,23 @@ case class PixelRankMap(pixels: Expression, targets: Expression)
  * the chosen-z map (the QC view of where focus lives).
  */
 object FocusStackKernel {
+  /** Returns null (→ SQL NULL) on a non-positive width or a ragged
+    * stack (plane lengths disagree) — the PixelShiftExpr convention;
+    * indexing every plane at the composite position otherwise reads
+    * out of bounds on the shorter ones. */
   def compose(stack: ArrayData, w: Int): InternalRow = {
+    if (w <= 0) return null
     val nz = stack.numElements()
     val planes = Array.tabulate(nz) { i =>
       val r = stack.getStruct(i, 2)
       (r.getInt(0), r.getArray(1))
     }.sortBy(_._1)
     val n = if (nz == 0) 0 else planes(0)._2.numElements()
+    var zi0 = 1
+    while (zi0 < nz) {
+      if (planes(zi0)._2.numElements() != n) return null
+      zi0 += 1
+    }
     val out = new Array[Int](n)
     val zmap = new Array[Int](n)
     var pos = 0
@@ -1539,7 +1564,8 @@ case class FocusStack(stack: Expression, sx: Expression)
 
   override def children: Seq[Expression] = Seq(stack, sx)
   override def dataType: DataType = FocusStack.schema
-  override def nullable: Boolean = children.exists(_.nullable)
+  // NULL on w <= 0 or a ragged stack, independent of child nullability
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (sx.dataType != IntegerType)
@@ -1575,6 +1601,7 @@ case class FocusStack(stack: Expression, sx: Expression)
         if (!${ev.isNull}) {
           ${ev.value} = graft.functions.FocusStackKernel.compose(
             ${sG.value}, ${wG.value});
+          ${ev.isNull} = ${ev.value} == null;
         }
       """
     ev.copy(code = code)
