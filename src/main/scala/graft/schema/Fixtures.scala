@@ -126,7 +126,11 @@ object Fixtures {
       lit("µm").as("physical_size_y_unit"),
       lit("µm").as("physical_size_z_unit"),
       channels.as("channels"))
-    spark.range(n).select(col("id").cast("int").as("id"))
+    // one partition per image, not defaultParallelism (32): a 4-row
+    // family in 32 mostly-empty partitions costs 8x the task-schedule
+    // overhead on every downstream job (export wrote 128 tasks for 16
+    // rows) without exercising any more of the plan
+    spark.range(0, n, 1, n).select(col("id").cast("int").as("id"))
       .select(struct(
         lit(OmeSchema.TagType).as("type"),
         lit(OmeSchema.Version).as("version"),

@@ -149,9 +149,10 @@ object OmeParquet {
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString).toSeq
     if (parts.nonEmpty) {
-      val sp = spark
-      import sp.implicits._
-      spark.createDataset(parts).repartition(parts.length)
+      // parallelize with one exact slice per file — a Dataset
+      // repartition here would add a full (if tiny) shuffle job to
+      // every export
+      spark.sparkContext.parallelize(parts, parts.length)
         .foreachPartition { it: Iterator[String] =>
           it.foreach(p => stampOne(new Path(p), conf.value, tags))
         }

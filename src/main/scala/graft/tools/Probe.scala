@@ -1,48 +1,57 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-/** Scratch driver for one-off plan/behavior probes (see .claude/skills). */
+import graft.operators.OmeOps
+import graft.schema.Fixtures
+
+/** Scratch driver for one-off probes (see .claude/skills/verify). */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    println("=== profileColumns on sf0.01 lineitem ===")
-    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
-    val prof = graft.operators.ProfileOps.profileColumns(li,
-      Seq("l_returnflag", "l_quantity", "l_shipdate"))
-    prof.orderBy(col("col_name")).show(truncate = false)
-    println("=== profile plan (expect one (col,v) hash agg + rollup, ReadSchema pruned to 3 cols) ===")
-    prof.explain("formatted")
+    def time[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"=== $tag: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
 
-    println("=== kAnonymity on sf0.01 customer ===")
-    val cust = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
-    graft.operators.ProfileOps.kAnonymity(cust,
-      Seq("c_nationkey", "c_mktsegment"), 5).show(truncate = false)
-
-    println("=== entityPairs on sf0.01 part ===")
-    val part = spark.read.parquet("/root/testdata/sf0.01/part.parquet")
-    val pairs = graft.operators.ProfileOps.entityPairs(part, "p_name", 3, 200)
-    pairs.orderBy(col("name_a"), col("name_b")).show(8, truncate = false)
-    println(s"pairs total: ${pairs.count()}")
-
-    println("=== augmentPlanes on corpus4d (rot90 head) ===")
-    val planes = graft.operators.OmeOps.explodePlanes(
-      graft.schema.Fixtures.corpus4d(spark))
-      .select(col("image_id"), col("t"), col("c"), col("z"),
-        col("size_x"), col("size_y"), col("pixels"))
-    val aug = graft.operators.OmeOps.augmentPlanes(planes,
-      Seq("hflip", "rot90", "transpose"))
-    aug.filter(col("aug") === "rot90")
-      .orderBy(col("image_id"), col("t"), col("c"), col("z"))
-      .show(2, truncate = false)
-    println("=== augment plan (expect union of narrow projections, graft_pixel_permute inside WholeStageCodegen, no exchange) ===")
-    aug.explain("formatted")
+    val corpus = Fixtures.mixedCorpus(spark)
+    println(s"=== corpus partitions: ${corpus.rdd.getNumPartitions}")
+    // warm-up full path once
+    graft.OmeArrow.export(corpus, how = "ome-parquet",
+      out = "/tmp/probe_rt.parquet", columnName = "image")
+    import org.apache.spark.sql.functions.col
+    for (i <- 1 to 2) {
+      time(s"plain parquet write rep$i") {
+        corpus.select(col("ome_arrow").as("image")).write
+          .mode("overwrite").option("compression", "zstd")
+          .parquet("/tmp/probe_rt_plain.parquet")
+      }
+      time(s"stamp rep$i") {
+        graft.sources.OmeParquet.stampFooterMetadata(spark,
+          "/tmp/probe_rt_plain.parquet", Map("k" -> "v"))
+      }
+      time(s"export rep$i") {
+        graft.OmeArrow.export(corpus, how = "ome-parquet",
+          out = "/tmp/probe_rt.parquet", columnName = "image")
+      }
+      time(s"read rep$i") {
+        graft.OmeArrow.read(spark, "/tmp/probe_rt.parquet").count()
+      }
+      time(s"read+describe rep$i") {
+        OmeOps.describe(
+          graft.OmeArrow.read(spark, "/tmp/probe_rt.parquet")).count()
+      }
+    }
+    val nparts = new java.io.File("/tmp/probe_rt.parquet")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    println(s"=== part files: $nparts")
     spark.stop()
   }
 }
