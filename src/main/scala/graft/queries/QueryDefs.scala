@@ -213,6 +213,24 @@ chunks AS (
 
   private val id4d = "printf('i4d-%04d', img)"
 
+  /** px CTE for the textured i4e family (6 images, 2x3x3 of 8x8):
+    * quadratic texture `base + p^2 * (1 + (z + y) % 2)` — nonzero,
+    * z-varying second differences so sharpness oracles discriminate
+    * (see [[graft.schema.Fixtures.texturedCorpus]]). */
+  private val px4e =
+    s"""px AS (
+       |  SELECT i.i AS img, t.t AS t, c.c AS c, z.z AS z, p.p AS p,
+       |         (p.p // 8) AS y, (p.p % 8) AS x,
+       |         (i.i*31 + t.t*13 + c.c*7 + z.z*3 +
+       |          p.p*p.p*(1 + (z.z + p.p // 8) % 2)) % 65536 AS v
+       |  FROM generate_series(0,5) i(i),
+       |       generate_series(0,1) t(t),
+       |       generate_series(0,2) c(c),
+       |       generate_series(0,2) z(z),
+       |       generate_series(0,63) p(p))""".stripMargin
+
+  private val id4e = "printf('i4e-%04d', img)"
+
   /** The i4d corpus with plane (t=1,c=1,z=1) removed from every image. */
   private def holed4d(spark: SparkSession): DataFrame =
     OmeOps.filterPlanes(Fixtures.corpus4d(spark), p =>
@@ -447,14 +465,15 @@ chunks AS (
         Seq("pixels" -> "px")))),
 
     // RGB composite: per-channel 8-bit stretch then 0xRRGG00 pack per
-    // (image, t, z) — the merged-channel display view.
+    // (image, t, z) — the merged-channel display view. Textured corpus:
+    // 36 output rows, channel windows genuinely differ.
     ("ome_composite_rgb", (s: SparkSession, _: String) =>
       digestArray(OmeOps.compositeRgb(
-        OmeOps.explodePlanes(Fixtures.corpus4d(s))
+        OmeOps.explodePlanes(Fixtures.texturedCorpus(s))
           .select(col("image_id"), col("t"), col("c"), col("z"),
             col("size_x"), col("size_y"), col("pixels"))), "pixels", "px"),
       Some(digestWrap(
-        s"""WITH $px4d,
+        s"""WITH $px4e,
            |q AS (
            |  SELECT img, t, c, z, list(v ORDER BY v) AS sv,
            |    count(*) AS n
@@ -477,7 +496,7 @@ chunks AS (
            |    r.s * 65536 + g.s * 256 AS rgb
            |  FROM st r JOIN st g ON g.img = r.img AND g.t = r.t
            |    AND g.z = r.z AND g.p = r.p AND r.c = 0 AND g.c = 1)
-           |SELECT $id4d AS image_id, CAST(t AS INT) AS t,
+           |SELECT $id4e AS image_id, CAST(t AS INT) AS t,
            |  CAST(z AS INT) AS z, CAST(8 AS INT) AS size_x,
            |  CAST(8 AS INT) AS size_y,
            |  list(CAST(rgb AS INT) ORDER BY p) AS pixels
@@ -488,14 +507,16 @@ chunks AS (
     // Focus stacking: per-pixel best-local-sharpness composite over
     // the z-stack (ties to lowest z) + the chosen-z map; the oracle
     // scores sharpness via x±1 self-joins and argmaxes per position.
+    // Textured corpus: 36 rows, 3-deep stacks whose sharpest z varies
+    // by row parity — the zmap digest discriminates.
     ("ome_focus_stack", (s: SparkSession, _: String) =>
       digestArray(digestArray(OmeOps.focusStack(
-        OmeOps.explodePlanes(Fixtures.corpus4d(s))
+        OmeOps.explodePlanes(Fixtures.texturedCorpus(s))
           .select(col("image_id"), col("t"), col("c"), col("z"),
             col("size_x"), col("size_y"), col("pixels"))),
         "pixels", "px"), "zmap", "zm"),
       Some(digestWrap(
-        s"""WITH $px4d,
+        s"""WITH $px4e,
            |sh AS (
            |  SELECT a.img, a.t, a.c, a.z, a.y, a.x, a.p, a.v,
            |    CASE WHEN a.x > 0 AND a.x < 7 THEN
@@ -514,9 +535,9 @@ chunks AS (
            |    row_number() OVER (PARTITION BY img, t, c, y, x
            |      ORDER BY sharp DESC, z ASC) AS rn
            |  FROM sh)
-           |SELECT $id4d AS image_id, CAST(t AS INT) AS t,
+           |SELECT $id4e AS image_id, CAST(t AS INT) AS t,
            |  CAST(c AS INT) AS c, CAST(8 AS INT) AS size_x,
-           |  CAST(8 AS INT) AS size_y, CAST(2 AS INT) AS n_planes,
+           |  CAST(8 AS INT) AS size_y, CAST(3 AS INT) AS n_planes,
            |  list(CAST(v AS INT) ORDER BY p) AS pixels,
            |  list(CAST(z AS INT) ORDER BY p) AS zmap
            |FROM pick WHERE rn = 1 GROUP BY img, t, c""".stripMargin,

@@ -80,19 +80,37 @@ object Fixtures {
    */
   def syntheticImages(spark: SparkSession, n: Int,
       t: Int = 2, c: Int = 2, z: Int = 2,
-      sy: Int = 32, sx: Int = 32, prefix: String = "img"): DataFrame = {
+      sy: Int = 32, sx: Int = 32, prefix: String = "img",
+      textured: Boolean = false): DataFrame = {
     graft.functions.ensureRegistered(spark)
     val img = col("id")
     // Native one-loop-per-plane ramp: same values as the column
     // formulation `transform(sequence(0, sy*sx-1), p => (base + p) %
     // 65536)` but without a boxed lambda eval per pixel — the generator
     // was the dominant (and GC-noisy) cost of the scale-pipeline bench.
+    //
+    // `textured` swaps the linear ramp for the quadratic form
+    // `base + p^2 * (1 + (z + p/sx) % 2)`: the ramp's second difference
+    // is 0 everywhere, so sharpness-sensitive kernels (focus stacking)
+    // see every plane as equally sharp — the textured variant gives
+    // in-row second difference 2k with k alternating by (z + row)
+    // parity, so the sharpest z genuinely varies across the image and
+    // the oracle discriminates, not just smokes. Closed form either way.
     val pixelsFor = (tt: org.apache.spark.sql.Column,
                      cc: org.apache.spark.sql.Column,
                      zz: org.apache.spark.sql.Column) =>
-      graft.functions.synth_ramp(
-        (img * 31 + tt * 13 + cc * 7 + zz * 3).cast("long"),
-        lit(sy * sx))
+      if (!textured)
+        graft.functions.synth_ramp(
+          (img * 31 + tt * 13 + cc * 7 + zz * 3).cast("long"),
+          lit(sy * sx))
+      else {
+        val base = img * 31 + tt * 13 + cc * 7 + zz * 3
+        // floor-div for the row index: Column./ is DOUBLE division
+        transform(sequence(lit(0), lit(sy * sx - 1)), p =>
+          ((base + p * p * (lit(1) +
+            (zz + floor(p / lit(sx)).cast("int")) % 2))
+            % 65536).cast("int"))
+      }
     // t-major, then c, then z plane order (reference ingest convention,
     // ingest.py:258-264).
     val planes = flatten(transform(sequence(lit(0), lit(t - 1)), tt =>
@@ -161,6 +179,15 @@ object Fixtures {
     * pixel-level operator oracles. */
   def corpus4d(spark: SparkSession): DataFrame =
     syntheticImages(spark, 4, t = 2, c = 2, z = 2, sy = 8, sx = 8, prefix = "i4d")
+
+  /** The textured `i4e` family (6 images, 2x3x3 planes of 8x8,
+    * quadratic texture) — substrate for the sharpness- and
+    * channel-sensitive oracles (focus stacking, RGB composite), where
+    * the linear ramp's zero second difference would degenerate every
+    * plane to an equal-sharpness tie. */
+  def texturedCorpus(spark: SparkSession): DataFrame =
+    syntheticImages(spark, 6, t = 2, c = 3, z = 3, sy = 8, sx = 8,
+      prefix = "i4e", textured = true)
 
   // --- color TIFF fixture assembly ------------------------------------
   //
