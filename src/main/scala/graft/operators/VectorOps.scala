@@ -1159,7 +1159,13 @@ object VectorOps {
     val spark = emb.sparkSession
     import spark.implicits._
     graft.functions.ensureRegistered(spark)
+    // score can be NULL when a neighbor's embedding is null (cosine6
+    // of null is null); such a candidate has no usable relevance AND
+    // would crash the non-nullable cogroup encoder — drop it here so
+    // the psim join-back and the selection loop only ever see scored
+    // candidates (the getOrElse(-inf) below stays as defense in depth)
     val cands = Caches.persist(cosineTopK(emb, nProbes, candidates)
+      .filter(col("score").isNotNull)
       .select(col("probe_id"), col("neighbor_id"), col("score")))
     // candidate-sized (nProbes × candidates rows); persisted so the
     // a×b self-join below reads the embedding join-back once, not twice

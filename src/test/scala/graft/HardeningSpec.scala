@@ -82,6 +82,60 @@ class HardeningSpec extends SparkSpec {
     assert(FocusStackKernel.compose(ok, 2) !== null)
   }
 
+  test("mmrTopK: a null-embedding neighbor is dropped from the " +
+      "candidate set instead of crashing the cogroup (missing-psim " +
+      "guard stays unreachable)") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Some(Array(1.0f, 0.0f, 0.0f))),  // probe
+      (1L, Some(Array(0.9f, 0.1f, 0.0f))),
+      (2L, None: Option[Array[Float]]),     // null embedding -> null score
+      (3L, Some(Array(0.5f, 0.5f, 0.0f))))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.VectorOps.mmrTopK(
+      emb, nProbes = 1, k = 3, candidates = 3, lambda = 0.5)
+      .orderBy("step").collect()
+    // only the two scored neighbors can be selected
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSet === Set(1L, 3L))
+    assert(out.forall(!_.isNullAt(out.head.fieldIndex("mmr"))))
+  }
+
+  test("StreamDrain.once: racing threads on one view drain the feed " +
+      "exactly once (per-view lock serializes check-then-drain)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("drainrace").toFile
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.mode("overwrite").parquet(dir.getPath)
+    val evals = new java.util.concurrent.atomic.AtomicInteger(0)
+    def drain(): Long = graft.streaming.StreamDrain.once(
+      spark, "hardening_race_view", "k1", 60000L, Seq(dir.getPath)) {
+      evals.incrementAndGet()
+      spark.readStream.schema("id LONG, s STRING").parquet(dir.getPath)
+    }.count()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (1 to 4).map(_ => pool.submit(
+        new java.util.concurrent.Callable[Long] { def call(): Long = drain() }))
+      assert(futures.map(_.get()).toSet === Set(2L))
+    } finally pool.shutdown()
+    assert(evals.get() === 1,
+      s"feed evaluated ${evals.get()} times; the lock must admit one drain")
+  }
+
+  test("focusReport: degenerate geometry (width < 3) scores 0 and is " +
+      "reported, not dropped") {
+    val corpus = graft.schema.Fixtures.syntheticImages(
+      spark, 1, t = 1, c = 1, z = 2, sy = 2, sx = 2, prefix = "deg")
+    val rows = graft.operators.OmeOps.focusReport(corpus).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_planes") === 2L)
+    assert(r.getAs[Int]("best_z") === 0)       // tie -> lowest z
+    assert(r.getAs[Long]("best_score") === 0L) // no interior columns
+    assert(r.getAs[Long]("score_min") === 0L)
+    assert(r.getAs[Long]("score_max") === 0L)
+  }
+
   test("FocusStack expression: NULL propagates through codegen on a " +
       "ragged stack; valid stacks still compose") {
     import spark.implicits._
