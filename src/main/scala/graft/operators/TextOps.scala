@@ -1376,6 +1376,50 @@ object TextOps {
   }
 
   /**
+   * Per-domain contribution cap — the web-corpus governance step
+   * (RefinedWeb/FineWeb keep at most N pages per registered domain so
+   * no single site dominates the training mix): keep the `cap` docs
+   * with the SMALLEST salted id-hashes per domain, ties by doc_id —
+   * an order-free deterministic quota, stable under re-runs,
+   * repartitions, and engine swaps (the [[sampleMix]] hash idiom).
+   *
+   * Plan shape (100 TB): per-domain totals first (a tiny keyed
+   * aggregation — |domains| rows), broadcast back; domains at or
+   * under quota keep every doc WITHOUT entering a sort, so the
+   * rank window runs only over the over-cap domains' docs — on web
+   * crawls that's the head of a Zipf tail, a small fraction of the
+   * corpus. The residual hazard is one mega-domain serializing its
+   * window partition; exact quota cannot salt (rank is global per
+   * domain), so pathological domains should first rate-cap via
+   * [[sampleMix]] (approximate, shuffle-free) and then exact-cap the
+   * survivors — both passes are in this file by design.
+   *
+   * Returns every input doc with (domain, u8, n_docs_domain, keep);
+   * filter `keep = 1` for the capped corpus.
+   */
+  def domainCap(docs: DataFrame, cap: Int, keyCol: String = "source",
+      salt: String = "domcap"): DataFrame = {
+    require(cap > 0, s"domainCap: cap $cap must be positive")
+    val u8 = md5(concat(lit(salt), lit("|"),
+      col("doc_id").cast("long").cast("string"))).substr(1, 8)
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
+      col(keyCol).as("domain"), u8.as("u8"))
+    val totals = base.groupBy(col("domain"))
+      .agg(count(lit(1)).cast("long").as("n_docs_domain"))
+    val withN = base.join(broadcast(totals), Seq("domain"))
+    val under = withN.filter(col("n_docs_domain") <= cap)
+      .withColumn("keep", lit(1))
+    val over = withN.filter(col("n_docs_domain") > cap)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("domain"))
+        .orderBy(col("u8").asc, col("doc_id").asc)))
+      .withColumn("keep", (col("rn") <= cap).cast("int"))
+      .drop("rn")
+    under.unionByName(over)
+      .select(col("doc_id"), col("domain"), col("u8"),
+        col("n_docs_domain"), col("keep"))
+  }
+
+  /**
    * BPE tokenizer training (Sennrich et al. 2016): learn `nMerges`
    * merge rules from the corpus. The CORPUS-SCALE stage is the one
    * distributed word-count aggregation; the iterative merge training

@@ -63,6 +63,89 @@ object VectorOps {
         col("neighbor_id"), col("score"))
   }
 
+  /**
+   * Hard-negative mining for contrastive training: for every probe
+   * (`vec_id < nProbes`), the `k` most-similar vectors with a
+   * DIFFERENT label — the near-misses that make the best negatives
+   * for embedding-model fine-tuning (in-batch random negatives stop
+   * teaching once the model separates easy pairs).
+   *
+   * Same scale shape as [[cosineTopK]]: probes (with labels)
+   * broadcast, corpus scanned once, the label inequality rides the
+   * broadcast join condition so same-label pairs are never scored,
+   * per-probe top-k as a probe-partitioned rank.
+   */
+  def hardNegatives(emb: DataFrame, nProbes: Int, k: Int): DataFrame = {
+    graft.functions.ensureRegistered(emb.sparkSession)
+    val probes = broadcast(emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("label").as("probe_label"),
+        col("embedding").as("p_emb")))
+    probes.join(emb,
+        col("vec_id") =!= col("probe_id") &&
+          col("label") =!= col("probe_label"))
+      .select(col("probe_id").cast("long").as("probe_id"),
+        col("probe_label").cast("int").as("probe_label"),
+        col("vec_id").cast("long").as("neighbor_id"),
+        col("label").cast("int").as("neighbor_label"),
+        cosine6(col("p_emb"), col("embedding")).as("score"))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("score").desc, col("neighbor_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("probe_label"),
+        col("rnk").cast("int").as("rnk"),
+        col("neighbor_id"), col("neighbor_label"), col("score"))
+  }
+
+  /**
+   * Margin-criterion bitext mining (Artetxe & Schwenk 2019, the
+   * CCMatrix/LASER parallel-corpus pipeline): for every vector of
+   * side A, the best side-B match scored by
+   * `margin(x, y) = cos(x, y) / ((avgTopK_B(x) + avgTopK_A(y)) / 2)`
+   * — raw cosine over-selects "hub" sentences that are close to
+   * everything; dividing by both directions' average top-`k`
+   * neighborhood similarity cancels hubness so genuinely parallel
+   * pairs surface. Returns one row per A vector: its best B match,
+   * the raw cosine, both neighborhood means, and the 6dp margin.
+   *
+   * Scale shape: sides are scored once into one pair frame
+   * ([[Caches.persist]]-ed — the two directional neighborhood
+   * aggregations and the final argmax all reuse it instead of
+   * re-scoring), neighborhood means are per-key top-k aggregations
+   * over that frame, and the argmax is a rank over A partitions. At
+   * 100 TB the pair frame must come from an ANN candidate stage
+   * ([[annTopK]]/[[ivfTopK]]) rather than the exhaustive cross join;
+   * the margin algebra downstream is identical.
+   */
+  def bitextMargin(sideA: DataFrame, sideB: DataFrame, k: Int = 4): DataFrame = {
+    graft.functions.ensureRegistered(sideA.sparkSession)
+    require(k > 0, s"bitextMargin: k $k must be positive")
+    val a = broadcast(sideA.select(col("vec_id").cast("long").as("a_id"),
+      col("embedding").as("a_emb")))
+    val pairs = Caches.persist(a.join(
+        sideB.select(col("vec_id").cast("long").as("b_id"),
+          col("embedding").as("b_emb")), lit(true))
+      .select(col("a_id"), col("b_id"),
+        cosine6(col("a_emb"), col("b_emb")).as("cos")))
+    def neighborhoodMean(keyCol: String, outCol: String): DataFrame =
+      pairs.withColumn("rn", row_number().over(
+          Window.partitionBy(col(keyCol))
+            .orderBy(col("cos").desc,
+              col(if (keyCol == "a_id") "b_id" else "a_id").asc)))
+        .filter(col("rn") <= k)
+        .groupBy(col(keyCol))
+        .agg(round(avg(col("cos")), 6).as(outCol))
+    val aMean = neighborhoodMean("a_id", "a_mean")
+    val bMean = neighborhoodMean("b_id", "b_mean")
+    pairs.join(aMean, Seq("a_id")).join(broadcast(bMean), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), col("cos"),
+        col("a_mean"), col("b_mean"),
+        round(col("cos") * 2 / (col("a_mean") + col("b_mean")), 6)
+          .as("margin"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("a_id"))
+        .orderBy(col("margin").desc, col("b_id").asc)))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
   /** Deterministic pseudo-random hyperplane component: plane `j`,
     * dimension `d` -> ((j*31 + d*7) % 13) - 6, as double. */
   private def planeComponent(j: Int, d: Column): Column =

@@ -5815,7 +5815,90 @@ GROUP BY c.doc_id""")),
           |SELECT a.name AS name_a, b2.name AS name_b,
           |  CAST(levenshtein(a.name, b2.name) AS INT) AS dist
           |FROM c a JOIN c b2 ON a.blk = b2.blk AND a.name < b2.name
-          |WHERE levenshtein(a.name, b2.name) <= 3""".stripMargin))
+          |WHERE levenshtein(a.name, b2.name) <= 3""".stripMargin)),
+
+    // ============ web-corpus governance + contrastive mining ============
+
+    // Per-domain contribution cap (RefinedWeb/FineWeb quota): keep the
+    // 10 smallest-salted-hash docs per source; under-cap domains skip
+    // the rank entirely (the operator's scale fast path).
+    ("domain_cap_sample", (s: SparkSession, dir: String) =>
+      TextOps.domainCap(t(s, dir, "documents"), cap = 10),
+      Some(
+        """WITH base AS (
+          |  SELECT CAST(doc_id AS BIGINT) AS doc_id, source AS domain,
+          |    substr(md5('domcap|' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)),
+          |      1, 8) AS u8
+          |  FROM documents),
+          |tot AS (
+          |  SELECT domain, count(*) AS n FROM base GROUP BY 1),
+          |rk AS (
+          |  SELECT b.doc_id, b.domain, b.u8, t.n,
+          |    row_number() OVER (PARTITION BY b.domain
+          |      ORDER BY b.u8, b.doc_id) AS rn
+          |  FROM base b JOIN tot t ON t.domain = b.domain)
+          |SELECT doc_id, domain, u8, CAST(n AS BIGINT) AS n_docs_domain,
+          |  CAST(CASE WHEN n <= 10 OR rn <= 10 THEN 1 ELSE 0 END AS INT)
+          |    AS keep
+          |FROM rk""".stripMargin)),
+
+    // Hard-negative mining: per probe, the 10 most-similar
+    // different-label vectors (contrastive fine-tuning negatives).
+    ("hard_negatives", (s: SparkSession, dir: String) =>
+      VectorOps.hardNegatives(t(s, dir, "embeddings"), nProbes = 8, k = 10),
+      Some(
+        s"""WITH scored AS (
+           |  SELECT CAST(p.vec_id AS BIGINT) AS probe_id,
+           |    CAST(p.label AS INT) AS probe_label,
+           |    CAST(e.vec_id AS BIGINT) AS neighbor_id,
+           |    CAST(e.label AS INT) AS neighbor_label,
+           |    ${cosSql("p.embedding", "e.embedding")} AS score
+           |  FROM embeddings p JOIN embeddings e
+           |    ON e.vec_id <> p.vec_id AND e.label <> p.label
+           |  WHERE p.vec_id < 8)
+           |SELECT probe_id, probe_label,
+           |  CAST(row_number() OVER (PARTITION BY probe_id
+           |    ORDER BY score DESC, neighbor_id ASC) AS INT) AS rnk,
+           |  neighbor_id, neighbor_label, score
+           |FROM scored
+           |QUALIFY rnk <= 10""".stripMargin)),
+
+    // Margin-criterion bitext mining (Artetxe & Schwenk): label-0 side
+    // vs label-1 side, hubness-corrected best match per A vector.
+    ("bitext_margin", (s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      VectorOps.bitextMargin(
+        emb.filter(col("label") === 0), emb.filter(col("label") === 1),
+        k = 4)
+    },
+      Some(
+        s"""WITH a AS (
+           |  SELECT CAST(vec_id AS BIGINT) AS a_id, embedding
+           |  FROM embeddings WHERE label = 0),
+           |b AS (
+           |  SELECT CAST(vec_id AS BIGINT) AS b_id, embedding
+           |  FROM embeddings WHERE label = 1),
+           |pairs AS (
+           |  SELECT a.a_id, b.b_id,
+           |    ${cosSql("a.embedding", "b.embedding")} AS cos
+           |  FROM a, b),
+           |am AS (
+           |  SELECT a_id, round(avg(cos), 6) AS a_mean FROM (
+           |    SELECT a_id, cos, row_number() OVER (PARTITION BY a_id
+           |      ORDER BY cos DESC, b_id ASC) AS rn FROM pairs)
+           |  WHERE rn <= 4 GROUP BY 1),
+           |bm AS (
+           |  SELECT b_id, round(avg(cos), 6) AS b_mean FROM (
+           |    SELECT b_id, cos, row_number() OVER (PARTITION BY b_id
+           |      ORDER BY cos DESC, a_id ASC) AS rn FROM pairs)
+           |  WHERE rn <= 4 GROUP BY 1)
+           |SELECT p.b_id, p.a_id, p.cos, am.a_mean, bm.b_mean,
+           |  round(p.cos * 2 / (am.a_mean + bm.b_mean), 6) AS margin
+           |FROM pairs p
+           |JOIN am ON am.a_id = p.a_id
+           |JOIN bm ON bm.b_id = p.b_id
+           |QUALIFY row_number() OVER (PARTITION BY p.a_id
+           |  ORDER BY margin DESC, p.b_id ASC) = 1""".stripMargin))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1646,4 +1646,70 @@ class TextVectorSpec extends SparkSpec {
     assert(r.getAs[Long]("chars_delta") === 6L)
     spark.catalog.clearCache()
   }
+
+  test("domainCap: exact quota on over-cap domains, everything kept " +
+      "under cap, deterministic under repartition") {
+    val d = (0L to 9L).map(i => (i, s"t$i", "big"))
+      .++(Seq((100L, "u", "small"), (101L, "v", "small")))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.domainCap(d, cap = 4).collect()
+    val byDomain = out.groupBy(_.getAs[String]("domain"))
+    // under-cap domain: all kept
+    assert(byDomain("small").forall(_.getAs[Int]("keep") === 1))
+    assert(byDomain("small").forall(_.getAs[Long]("n_docs_domain") === 2L))
+    // over-cap domain: exactly cap kept, and they are the cap smallest
+    // hashes (order-free quota)
+    val big = byDomain("big")
+    assert(big.count(_.getAs[Int]("keep") === 1) === 4)
+    val keptHashes = big.filter(_.getAs[Int]("keep") === 1)
+      .map(_.getAs[String]("u8")).sorted
+    val smallest = big.map(_.getAs[String]("u8")).sorted.take(4)
+    assert(keptHashes === smallest)
+    // partitioning must not change the sample
+    val again = TextOps.domainCap(d.repartition(7), cap = 4).collect()
+      .filter(_.getAs[Int]("keep") === 1).map(_.getAs[Long]("doc_id")).sorted
+    assert(again === out.filter(_.getAs[Int]("keep") === 1)
+      .map(_.getAs[Long]("doc_id")).sorted)
+  }
+
+  test("hardNegatives: same-label near-duplicates are never candidates; " +
+      "different-label neighbors rank by cosine") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),   // probe
+      (1L, Array(0.99f, 0.01f, 0.0f), 0), // same label: excluded
+      (2L, Array(0.9f, 0.1f, 0.0f), 1),   // closest cross-label
+      (3L, Array(0.0f, 1.0f, 0.0f), 2))   // orthogonal cross-label
+      .toDF("vec_id", "embedding", "label")
+    val out = VectorOps.hardNegatives(emb, nProbes = 1, k = 5)
+      .orderBy("rnk").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(2L, 3L))
+    assert(out.head.getAs[Int]("probe_label") === 0)
+    assert(out.map(_.getAs[Int]("neighbor_label")).toSeq === Seq(1, 2))
+    assert(out.head.getAs[Double]("score") > 0.99)
+  }
+
+  test("bitextMargin: hubness correction picks the specific match over " +
+      "the hub despite a lower raw cosine") {
+    val s3 = (1.0 / math.sqrt(3.0)).toFloat
+    val sideA = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val sideB = Seq(
+      (10L, Array(s3, s3, s3)),             // hub: cos 0.577 to every A
+      (11L, Array(0.0f, 0.55f, 0.8352f)))   // specific-ish: cos 0.55 to a1
+      .toDF("vec_id", "embedding")
+    val rows = VectorOps.bitextMargin(sideA, sideB, k = 3).collect()
+      .map(r => r.getAs[Long]("a_id") ->
+        (r.getAs[Long]("b_id"), r.getAs[Double]("cos"),
+          r.getAs[Double]("margin"))).toMap
+    assert(rows.size === 3) // one best match per A vector
+    // raw cosine prefers the hub for a1 (0.577 > 0.55)...
+    assert(rows(1L)._2 < 0.577 + 1e-6)
+    // ...but the hub's inflated neighborhood mean lowers its margin,
+    // so the margin criterion selects b1
+    assert(rows(1L)._1 === 11L)
+    assert(rows(1L)._3 > 1.0)
+    spark.catalog.clearCache() // bitextMargin persists its pair frame
+  }
 }
