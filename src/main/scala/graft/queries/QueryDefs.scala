@@ -4332,6 +4332,18 @@ GROUP BY c.doc_id""")),
           |  CAST(0 AS BIGINT) AS bad_delay,
           |  CAST(0 AS BIGINT) AS empty_stream""".stripMargin)),
 
+    // streaming per-domain quota: single-batch feed must reproduce the
+    // batch hash quota exactly (sorted-within-batch admission)
+    ("stream_domain_cap_check", (s: SparkSession, dir: String) =>
+      graft.streaming.DocStream.domainCapCheck(s, dir),
+      Some(
+        """SELECT CAST(0 AS BIGINT) AS missing_doc,
+          |  CAST(0 AS BIGINT) AS extra_doc,
+          |  CAST(0 AS BIGINT) AS keep_mismatch,
+          |  CAST(0 AS BIGINT) AS over_cap,
+          |  CAST(0 AS BIGINT) AS dup_doc,
+          |  CAST(0 AS BIGINT) AS empty_stream""".stripMargin)),
+
     ("stream_dedup_check", (s: SparkSession, dir: String) =>
       graft.streaming.DocStream.dedupCheck(s, dir),
       Some(

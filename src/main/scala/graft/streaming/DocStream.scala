@@ -635,4 +635,106 @@ object DocStream {
       (count(lit(1)) === 0).cast("long").as("empty_stream"))
     joined.crossJoin(dup).crossJoin(empty)
   }
+
+  /** One document on the domain-quota stream. */
+  case class DomainDoc(domain: String, doc_id: Long, u8: String)
+
+  /** Admission decision: `admitted` 1/0; `admit_seq` is the 1-based
+    * running admission number within the domain (0 when rejected). */
+  case class DomainAdmit(doc_id: Long, domain: String, admit_seq: Int,
+      admitted: Int)
+
+  /** Per-domain state: admitted-so-far counter — one Int per domain. */
+  case class DomainCapState(admitted: Int)
+
+  /**
+   * Streaming per-domain contribution cap — the at-ingest counterpart
+   * of `TextOps.domainCap`: each domain admits at most `cap` documents
+   * over the stream's lifetime, then rejects. The batch operator keeps
+   * the cap SMALLEST salted hashes (order-free); a stream cannot see
+   * the future, so its contract is first-`cap` by arrival, made
+   * deterministic inside each micro-batch by sorting the group's
+   * arrivals by (u8, doc_id) — a single-batch feed therefore
+   * reproduces the batch quota EXACTLY (the property
+   * [[domainCapCheck]] certifies), and multi-batch feeds admit
+   * batch-order-then-hash.
+   *
+   * State is one counter per domain — |domains| ints, the smallest
+   * state footprint of any stateful operator here; no timeout so a
+   * domain's quota is permanent for the life of the query (restart
+   * from checkpoint preserves it).
+   */
+  def domainCapStream(docs: DataFrame, cap: Int,
+      salt: String = "domcap"): Dataset[DomainAdmit] = {
+    require(cap > 0, s"domainCapStream: cap $cap must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val events = docs.select(col("source").as("domain"),
+        col("doc_id").cast("long").as("doc_id"),
+        md5(concat(lit(salt), lit("|"),
+          col("doc_id").cast("long").cast("string"))).substr(1, 8).as("u8"))
+      .as[DomainDoc]
+    events.groupByKey(_.domain)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(
+        (domain: String, it: Iterator[DomainDoc],
+         state: GroupState[DomainCapState]) => {
+          var n = state.getOption.map(_.admitted).getOrElse(0)
+          val out = it.toArray.sortBy(d => (d.u8, d.doc_id)).map { d =>
+            val adm = n < cap
+            if (adm) n += 1
+            DomainAdmit(d.doc_id, domain, if (adm) n else 0,
+              if (adm) 1 else 0)
+          }
+          state.update(DomainCapState(n))
+          out.iterator
+        })
+  }
+
+  /**
+   * Structural self-check of [[domainCapStream]] against
+   * `TextOps.domainCap` (all-zeros pattern): the corpus streams as ONE
+   * batch, so the stream's sorted-within-batch admission must equal
+   * the batch hash quota document-for-document. Violations:
+   * `missing_doc` (corpus doc the stream never decided), `extra_doc`,
+   * `keep_mismatch` (admitted != batch keep flag), `over_cap`
+   * (domains whose admitted count exceeds the cap — the state
+   * invariant), `dup_doc`, `empty_stream`.
+   */
+  def domainCapCheck(spark: SparkSession, dir: String, cap: Int = 10,
+      feedDir: String = "/tmp/graft_stream_domcap_feed",
+      timeoutMs: Long = 300000L): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val streamed = StreamDrain.once(spark, "graft_stream_domcap_check",
+        s"$dir|$cap|$feedDir", timeoutMs,
+        Seq(s"$dir/documents.parquet")) {
+      writeFeed(docs, feedDir, withSentinel = false)
+      domainCapStream(
+        spark.readStream.schema(documentsSchema).parquet(feedDir),
+        cap).toDF()
+    }.select(col("doc_id"), col("domain"),
+      col("admitted").as("s_admitted"))
+    val batch = graft.operators.TextOps.domainCap(docs, cap)
+      .select(col("doc_id"), col("keep").as("b_keep"))
+    val joined = batch.join(streamed, Seq("doc_id"), "full_outer")
+      .agg(
+        coalesce(sum(when(col("s_admitted").isNull, 1L).otherwise(0L)),
+          lit(0L)).cast("long").as("missing_doc"),
+        coalesce(sum(when(col("b_keep").isNull, 1L).otherwise(0L)),
+          lit(0L)).cast("long").as("extra_doc"),
+        coalesce(sum(when(col("b_keep").isNotNull &&
+          col("s_admitted").isNotNull &&
+          col("b_keep") =!= col("s_admitted"), 1L).otherwise(0L)),
+          lit(0L)).cast("long").as("keep_mismatch"))
+    val over = streamed.groupBy(col("domain"))
+      .agg(sum(col("s_admitted")).as("n_admitted"))
+      .agg(coalesce(sum(when(col("n_admitted") > cap, 1L).otherwise(0L)),
+        lit(0L)).cast("long").as("over_cap"))
+    val dup = streamed.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
+      .agg(coalesce(sum(when(col("nw") > 1, 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("dup_doc"))
+    val empty = streamed.agg(
+      (count(lit(1)) === 0).cast("long").as("empty_stream"))
+    joined.crossJoin(over).crossJoin(dup).crossJoin(empty)
+  }
 }

@@ -544,4 +544,31 @@ class PlanSpec extends SparkSpec {
       !p.contains("CartesianProduct"),
       s"entityPairs fell back to a nested-loop product:\n$p")
   }
+
+  test("domainCap: totals broadcast back; only the over-cap branch " +
+      "windows, and nothing funnels to a single partition") {
+    val p = plan(SparkEntry.queries("domain_cap_sample")(
+      spark, "/root/testdata/sf0.001"))
+    val bcasts = "BroadcastExchange".r.findAllIn(p).length
+    val shuffles = "Exchange".r.findAllIn(p).length - bcasts
+    assert(bcasts >= 2, s"domain totals not broadcast:\n$p")
+    // totals aggregation + the over-cap rank window (+1 AQE variance);
+    // a plan that windows BOTH branches would add more
+    assert(shuffles <= 3, s"too many shuffles: $shuffles\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"a global single-partition stage appeared:\n$p")
+  }
+
+  test("hardNegatives keeps cosineTopK's shape: probes broadcast, one " +
+      "shuffle (the probe-partitioned rank), label filter inside the " +
+      "join") {
+    val p = plan(SparkEntry.queries("hard_negatives")(
+      spark, "/root/testdata/sf0.001"))
+    val bcasts = "BroadcastExchange".r.findAllIn(p).length
+    val shuffles = "Exchange".r.findAllIn(p).length - bcasts
+    assert(bcasts === 1, s"probe side must broadcast, got $bcasts:\n$p")
+    assert(shuffles === 1, s"expected only the rank shuffle: $shuffles\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"label inequality fell out of the join:\n$p")
+  }
 }

@@ -366,4 +366,36 @@ class StreamingSpec extends SparkSpec {
       s"streaming/batch segmentation disagreement: $r")
     spark.catalog.clearCache()
   }
+
+  test("streaming domain cap: quota carries across micro-batches — a " +
+      "full domain rejects every later arrival") {
+    import spark.implicits._
+    val dir = "/tmp/graft_test_domcapstream"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def wave(rows: Seq[(Long, String)]): Unit =
+      rows.map { case (id, src) => (id, s"doc $id", "en", src, 6L, t0) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars", "ingest_ts")
+        .coalesce(1).write.mode("append").parquet(dir)
+    wave(Seq((1L, "d"), (2L, "d"), (10L, "e")))
+    val q = graft.streaming.DocStream.domainCapStream(
+        spark.readStream
+          .schema(graft.streaming.DocStream.documentsSchema)
+          .parquet(dir), cap = 2)
+      .writeStream.format("memory").queryName("domcap_waves")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val w1 = spark.table("domcap_waves").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("admitted")).toMap
+      assert(w1 === Map(1L -> 1, 2L -> 1, 10L -> 1)) // d now full
+      wave(Seq((3L, "d"), (4L, "d"), (11L, "e")))
+      q.processAllAvailable()
+      val w2 = spark.table("domcap_waves").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("admitted")).toMap
+      assert(w2 === w1 ++ Map(3L -> 0, 4L -> 0, 11L -> 1),
+        "quota must persist across batches: d rejects, e admits")
+    } finally q.stop()
+  }
 }
