@@ -152,4 +152,40 @@ object JoinOps {
       when(fresh, col("f_val")).as(s"${prefix}_val"),
       when(fresh, col("ts") - col("f_ts")).as(s"${prefix}_staleness"))
   }
+
+  /**
+   * Bucketed co-located join — the ZERO-SHUFFLE big-big join: both
+   * sides are written as bucketed+sorted tables on the join key with
+   * the same bucket count, so Spark's scan emits the partitioning and
+   * ordering the sort-merge join needs and the planner elides BOTH
+   * exchanges AND both sorts. This is the technique for a fact-fact
+   * join neither side of which broadcasts: pay the bucket write once,
+   * then every subsequent join on that key is exchange-free — at
+   * 100 TB the bucketed layout amortizes across the whole workload
+   * (the Hive-compatible layout every serious warehouse pre-buckets
+   * its biggest tables into).
+   *
+   * `writeBucketed` registers an EXTERNAL table at `path` (explicit
+   * location — nothing lands in a default warehouse dir);
+   * `joinBucketed` reads both tables back and merge-joins them. The
+   * `merge` hint pins SMJ so a small test corpus cannot silently
+   * broadcast and bypass the property being demonstrated; PlanSpec
+   * asserts the join subtree has no Exchange.
+   */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      bucketCol: String, nBuckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .option("path", path)
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table)
+
+  /** Join two same-bucketing tables on `leftKey == rightKey`; the plan
+    * must contain no Exchange under the SortMergeJoin. */
+  def joinBucketed(spark: org.apache.spark.sql.SparkSession,
+      leftTable: String, rightTable: String,
+      leftKey: String, rightKey: String): DataFrame = {
+    val l = spark.table(leftTable)
+    val r = spark.table(rightTable)
+    l.hint("merge").join(r, l(leftKey) === r(rightKey))
+  }
 }

@@ -5829,6 +5829,49 @@ GROUP BY c.doc_id""")),
           |FROM c a JOIN c b2 ON a.blk = b2.blk AND a.name < b2.name
           |WHERE levenshtein(a.name, b2.name) <= 3""".stripMargin)),
 
+    // Bucketed co-located join: orders and lineitem pre-bucketed on
+    // the order key with identical bucket counts -> the sort-merge
+    // join plans with NO exchange and NO sort (PlanSpec-pinned); the
+    // only shuffle in the whole query is the final priority rollup.
+    ("q_bucketed_join", (s: SparkSession, dir: String) => {
+      JoinOps.writeBucketed(t(s, dir, "orders"), "graft_b_orders",
+        "/tmp/graft_bucketed/orders", "o_orderkey", 8)
+      JoinOps.writeBucketed(t(s, dir, "lineitem"), "graft_b_lineitem",
+        "/tmp/graft_bucketed/lineitem", "l_orderkey", 8)
+      JoinOps.joinBucketed(s, "graft_b_orders", "graft_b_lineitem",
+          "o_orderkey", "l_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("long").as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+    },
+      Some(
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+          |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          |GROUP BY o_orderpriority""".stripMargin)),
+
+    // JSONL corpus roundtrip: documents -> line-delimited JSON ->
+    // explicit-schema permissive read -> per-source content digest
+    // (count + char volume + 60-bit xor of text md5 prefixes). The xor
+    // catches any text corrupted by the escape/unescape cycle.
+    ("jsonl_roundtrip", (s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      graft.sources.DocJsonl.write(docs, "/tmp/graft_q_jsonl_rt")
+      graft.sources.DocJsonl.read(s, "/tmp/graft_q_jsonl_rt")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          expr("bit_xor(CAST(conv(substring(md5(text), 1, 15), 16, 10) " +
+            "AS BIGINT))").as("text_xor"))
+    },
+      Some(
+        """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |  bit_xor(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT))
+          |    AS text_xor
+          |FROM documents GROUP BY source""".stripMargin)),
+
     // ============ web-corpus governance + contrastive mining ============
 
     // Per-domain contribution cap (RefinedWeb/FineWeb quota): keep the

@@ -144,11 +144,15 @@ object Fixtures {
       lit("µm").as("physical_size_y_unit"),
       lit("µm").as("physical_size_z_unit"),
       channels.as("channels"))
-    // one partition per image, not defaultParallelism (32): a 4-row
-    // family in 32 mostly-empty partitions costs 8x the task-schedule
-    // overhead on every downstream job (export wrote 128 tasks for 16
-    // rows) without exercising any more of the plan
-    spark.range(0, n, 1, n).select(col("id").cast("int").as("id"))
+    // min(n, cores) partitions, not a flat defaultParallelism (32): a
+    // 4-row family in 32 mostly-empty partitions costs 8x the
+    // task-schedule overhead on every downstream job (export wrote 128
+    // tasks for 16 rows) — but one-per-image is just as wrong at the
+    // other end (the bench's 100+-image scale corpus exploded into
+    // 100+ tasks per stage, ome_scale_pipeline 1.1 -> 2.6 s)
+    spark.range(0, n, 1,
+        math.min(n, spark.sparkContext.defaultParallelism))
+      .select(col("id").cast("int").as("id"))
       .select(struct(
         lit(OmeSchema.TagType).as("type"),
         lit(OmeSchema.Version).as("version"),

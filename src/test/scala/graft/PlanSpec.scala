@@ -559,6 +559,19 @@ class PlanSpec extends SparkSpec {
       s"a global single-partition stage appeared:\n$p")
   }
 
+  test("bucketed co-located join: the sort-merge join plans with zero " +
+      "exchanges — only the final rollup shuffles") {
+    val p = plan(SparkEntry.queries("q_bucketed_join")(
+      spark, "/root/testdata/sf0.001"))
+    assert(p.contains("SortMergeJoin"),
+      s"bucketed join must stay a sort-merge join:\n$p")
+    val bcasts = "BroadcastExchange".r.findAllIn(p).length
+    val shuffles = "Exchange".r.findAllIn(p).length - bcasts
+    assert(shuffles === 1,
+      s"bucketing must elide the join exchanges (want only the final " +
+        s"aggregation shuffle): $shuffles\n$p")
+  }
+
   test("hardNegatives keeps cosineTopK's shape: probes broadcast, one " +
       "shuffle (the probe-partitioned rank), label filter inside the " +
       "join") {

@@ -424,4 +424,39 @@ class SourcesSpec extends SparkSpec {
     // XYCZT: C fastest. page 7 -> c=1, z=0, t=1
     assert(OmeXml.pageCoords("XYCZT", 2, 3, 2, 7) === ((1, 1, 0)))
   }
+
+  test("DocJsonl: hostile text (newlines, quotes, unicode, tabs) " +
+      "round-trips losslessly; corrupt lines are counted, not fatal") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toString
+    val hostile = Seq(
+      (1L, "line one\nline two\twith tab", "en", "s0", 26L),
+      (2L, "\"quoted\" and \\backslash\\", "en", "s0", 24L),
+      (3L, "unicode: é中文 😀", "zh", "s1", 12L),
+      (4L, "", "en", "s1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    graft.sources.DocJsonl.write(hostile, dir)
+    val back = graft.sources.DocJsonl.read(spark, dir)
+      .orderBy("doc_id").collect()
+    val orig = hostile.orderBy("doc_id").collect()
+    assert(back.map(_.getString(1)).toSeq === orig.map(_.getString(1)).toSeq,
+      "text must survive the JSON escape/unescape cycle byte-for-byte")
+    // inject one malformed line beside the good files
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "part-junk.json"),
+      """{"doc_id": 99, "text": "trunca""")
+    val report = graft.sources.DocJsonl.ingestReport(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(report("_corrupt") === ((1L, 1L)), s"report: $report")
+    assert(report("s0")._1 === 2L && report("s1")._1 === 2L)
+    // strict read drops the corrupt line and keeps every good doc
+    assert(graft.sources.DocJsonl.read(spark, dir).count() === 4L)
+    // quarantine keeps it, raw line attached (project a data column
+    // too — corrupt-column-only plans are disallowed by Spark)
+    val quar = graft.sources.DocJsonl.quarantine(spark, dir)
+      .select(col("doc_id"), col("_corrupt"))
+      .filter(col("_corrupt").isNotNull).collect()
+    assert(quar.length === 1 && quar.head.getString(1).contains("trunca"))
+  }
 }
