@@ -677,3 +677,68 @@ case class MicroArgmin(qx: Expression, ids: Array[Long],
       newChildren: IndexedSeq[Expression]): Expression =
     copy(qx = newChildren(0))
 }
+
+/**
+ * Imperative core of [[NfcNormalize]] (static-forwarder pattern):
+ * Unicode NFC normalization with an allocation-free fast path —
+ * `Normalizer.isNormalized` is a quick-check table lookup that
+ * answers YES for all-ASCII (and most already-composed) text without
+ * building a new string, so the overwhelmingly common case costs one
+ * scan and returns the input UTF8String as-is.
+ */
+object NfcKernel {
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str,
+        java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str,
+      java.text.Normalizer.Form.NFC))
+  }
+}
+
+/**
+ * Unicode NFC normalization — the canonicalization every dedup /
+ * fingerprint stage needs before hashing: "é" composed (U+00E9) and
+ * decomposed (e + U+0301) are the SAME text to a reader but different
+ * bytes to sha2/md5, so un-normalized corpora under-deduplicate.
+ * Both JVM (`java.text.Normalizer`) and DuckDB (`nfc_normalize`)
+ * implement the same Unicode canonical composition, so results are
+ * oracle-checkable cross-engine.
+ */
+case class NfcNormalize(child: Expression) extends Expression {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = InputCheck.check(
+    Seq((child, StringType, "text")), "graft_nfc")
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else NfcKernel.nfc(v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    val code =
+      code"""
+        ${c.code}
+        boolean ${ev.isNull} = ${c.isNull};
+        UTF8String ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.NfcKernel.nfc(${c.value});
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}

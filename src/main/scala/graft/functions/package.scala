@@ -127,7 +127,8 @@ package object functions {
           "maskBits must be INT literals")
       CdcBoundaries(exprs(0), exprs(1).eval(null).asInstanceOf[Int],
         exprs(2).eval(null).asInstanceOf[Int])
-    }))
+    }),
+    "graft_nfc" -> (exprs => NfcNormalize(exprs(0))))
 
   /** Materialize a foldable ARRAY<STRING> argument (the inlined BPE
     * merge list) at expression-build time. */
@@ -203,6 +204,13 @@ package object functions {
   /** Native 64-bit SimHash over a token array. */
   def simhash64(tokens: Column): Column =
     call_function("graft_simhash64", tokens)
+
+  /** Unicode NFC normalization (codegen'd; allocation-free fast path
+    * for already-normalized text). Canonicalize before hashing —
+    * composed and decomposed accents are different bytes to sha2/md5.
+    * Oracle twin: DuckDB `nfc_normalize`. */
+  def nfc_normalize(text: Column): Column =
+    call_function("graft_nfc", text)
 
   /** Native exact-match occurrence count of `token` in a string array
     * (the BM25 tf kernel; value-identical to

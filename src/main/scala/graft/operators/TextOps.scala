@@ -143,6 +143,24 @@ object TextOps {
       md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"))
 
   /**
+   * Unicode-NFC-canonicalized corpus: `text` replaced by its NFC form,
+   * `changed` = 1 where normalization altered the bytes. The step
+   * BEFORE any content hash — composed U+00E9 and decomposed e+U+0301
+   * are the same text to a reader but different bytes to
+   * sha2/md5/minhash, so an un-normalized corpus under-deduplicates
+   * exactly the documents that passed through different editors.
+   * Pure narrow map (native codegen'd kernel, allocation-free for
+   * already-normalized text); at 100 TB this is a zero-shuffle
+   * prefix of the dedup pipeline.
+   */
+  def normalizeNfc(docs: DataFrame): DataFrame = {
+    graft.functions.ensureRegistered(docs.sparkSession)
+    val n = graft.functions.nfc_normalize(col("text"))
+    docs.withColumn("changed", (n =!= col("text")).cast("int"))
+      .withColumn("text", n)
+  }
+
+  /**
    * Per-source cardinality report: document count, exact distinct
    * canonical-fingerprint count, and an HLL++ cross-check —
    * `approx_ok` = 1 when Spark's `approx_count_distinct` (mergeable

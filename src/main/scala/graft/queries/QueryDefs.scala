@@ -5872,6 +5872,32 @@ GROUP BY c.doc_id""")),
           |    AS text_xor
           |FROM documents GROUP BY source""".stripMargin)),
 
+    // Unicode NFC canonicalization: every doc gets a DECOMPOSED e+0301
+    // suffix injected (identically in both engines), so normalization
+    // must genuinely compose — n_changed pins the detection, the md5
+    // xor pins the exact composed bytes cross-engine.
+    ("nfc_normalize_report", (s: SparkSession, dir: String) =>
+      TextOps.normalizeNfc(
+        t(s, dir, "documents")
+          .withColumn("text", concat(col("text"), lit("e\u0301"))))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("changed")).cast("long").as("n_changed"),
+          expr("bit_xor(CAST(conv(substring(md5(text), 1, 15), 16, 10) " +
+            "AS BIGINT))").as("text_xor")),
+      Some(
+        """WITH inj AS (
+          |  SELECT source, text || 'e' || chr(769) AS text
+          |  FROM documents),
+          |n AS (
+          |  SELECT source, text, nfc_normalize(text) AS ntext FROM inj)
+          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(CASE WHEN ntext <> text THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_changed,
+          |  bit_xor(CAST('0x' || substr(md5(ntext), 1, 15) AS BIGINT))
+          |    AS text_xor
+          |FROM n GROUP BY source""".stripMargin)),
+
     // ============ web-corpus governance + contrastive mining ============
 
     // Per-domain contribution cap (RefinedWeb/FineWeb quota): keep the

@@ -1688,6 +1688,29 @@ class TextVectorSpec extends SparkSpec {
     assert(out.head.getAs[Double]("score") > 0.99)
   }
 
+  test("normalizeNfc: decomposed accents compose to the same bytes; " +
+      "clean text passes through unflagged; nulls propagate") {
+    import spark.implicits._
+    val composed = "Caf\u00e9"
+    val decomposed = "Cafe\u0301"
+    val hangul = "\u1100\u1161" // jamo pair, composes to U+AC00
+    val d = Seq(
+      (1L, composed), (2L, decomposed), (3L, hangul),
+      (4L, "plain ascii"), (5L, null))
+      .toDF("doc_id", "text")
+    val out = TextOps.normalizeNfc(d).orderBy("doc_id").collect()
+    assert(out(0).getString(1) === composed && out(0).getInt(2) === 0)
+    assert(out(1).getString(1) === composed && out(1).getInt(2) === 1,
+      "decomposed form must compose to the same bytes as the composed")
+    assert(out(2).getString(1) === "\uac00" && out(2).getInt(2) === 1)
+    assert(out(3).getString(1) === "plain ascii" && out(3).getInt(2) === 0)
+    assert(out(4).isNullAt(1) && out(4).isNullAt(2))
+    // the dedup consequence: both spellings now hash identically
+    val shas = TextOps.normalizeNfc(d).filter(col("doc_id") <= 2)
+      .select(sha2(col("text"), 256)).collect().map(_.getString(0))
+    assert(shas(0) === shas(1))
+  }
+
   test("bitextMargin: hubness correction picks the specific match over " +
       "the hub despite a lower raw cosine") {
     val s3 = (1.0 / math.sqrt(3.0)).toFloat
