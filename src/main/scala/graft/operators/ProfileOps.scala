@@ -152,10 +152,14 @@ object ProfileOps {
     import org.apache.spark.sql.expressions.Window
     val items = df.select(col(basketCol).cast("long").as("b"),
       col(itemCol).cast("long").as("i")).distinct()
-    val sized = items
+    // persisted: four consumers (basket total, item counts, both pair
+    // aliases) would otherwise each replay the distinct + size-cap
+    // window — 8 redundant shuffles of the corpus-derived frame; the
+    // cached form is two long columns, orders below the input
+    val sized = Caches.persist(items
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("b"))))
       .where(col("bsz") <= maxBasketSize)
-      .select(col("b"), col("i"))
+      .select(col("b"), col("i")))
     val nB = broadcast(sized.agg(
       countDistinct(col("b")).cast("long").as("n_baskets")))
     val ic = sized.groupBy(col("i")).agg(count(lit(1)).as("ci"))
