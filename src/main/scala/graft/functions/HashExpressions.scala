@@ -742,3 +742,82 @@ case class NfcNormalize(child: Expression) extends Expression {
       newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren(0))
 }
+
+/** Imperative core of [[ZValue2]]: Morton/Z-order interleave of the
+  * low `bits` bits of two non-negative longs — x on even result bits,
+  * y on odd. */
+object ZValueKernel {
+  def interleave(x: Long, y: Long, bits: Int): Long = {
+    var z = 0L
+    var b = 0
+    while (b < bits) {
+      z |= ((x >> b) & 1L) << (2 * b)
+      z |= ((y >> b) & 1L) << (2 * b + 1)
+      b += 1
+    }
+    z
+  }
+}
+
+/**
+ * Two-column Z-order (Morton) value — the multi-dimensional
+ * CLUSTERING key: sorting a table by the interleaved bits of two
+ * columns keeps rows that are close in EITHER dimension close on
+ * disk, so parquet min/max stats prune selective predicates on both
+ * columns (a single-column sort can only serve one). The layout
+ * technique behind Delta/Iceberg Z-ORDER, as a plain deterministic
+ * expression any engine can replay. NULL on null or negative inputs
+ * (Z-order is defined on the non-negative grid); `bits` <= 31 keeps
+ * the result in a positive long.
+ */
+case class ZValue2(x: Expression, y: Expression, bits: Int)
+  extends Expression {
+
+  require(bits > 0 && bits <= 31,
+    s"graft_zvalue: bits must be in [1, 31] (got $bits)")
+
+  override def children: Seq[Expression] = Seq(x, y)
+  override def dataType: DataType = LongType
+  // NULL on negative inputs, independent of child nullability
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = InputCheck.check(
+    Seq((x, LongType, "x"), (y, LongType, "y")), "graft_zvalue")
+
+  override def eval(input: InternalRow): Any = {
+    val xa = x.eval(input)
+    val ya = y.eval(input)
+    if (xa == null || ya == null) return null
+    val xv = xa.asInstanceOf[Long]
+    val yv = ya.asInstanceOf[Long]
+    if (xv < 0 || yv < 0) return null
+    java.lang.Long.valueOf(ZValueKernel.interleave(xv, yv, bits))
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val xg = x.genCode(ctx)
+    val yg = y.genCode(ctx)
+    val code =
+      code"""
+        ${xg.code}
+        ${yg.code}
+        boolean ${ev.isNull} = ${xg.isNull} || ${yg.isNull} ||
+          (!${xg.isNull} && !${yg.isNull} &&
+            (${xg.value} < 0L || ${yg.value} < 0L));
+        long ${ev.value} = 0L;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.ZValueKernel.interleave(
+            ${xg.value}, ${yg.value}, $bits);
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(x = newChildren(0), y = newChildren(1))
+}

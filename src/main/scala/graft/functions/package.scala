@@ -128,7 +128,13 @@ package object functions {
       CdcBoundaries(exprs(0), exprs(1).eval(null).asInstanceOf[Int],
         exprs(2).eval(null).asInstanceOf[Int])
     }),
-    "graft_nfc" -> (exprs => NfcNormalize(exprs(0))))
+    "graft_nfc" -> (exprs => NfcNormalize(exprs(0))),
+    "graft_zvalue" -> (exprs => {
+      require(exprs.length == 3 && exprs(2).foldable &&
+        exprs(2).dataType == org.apache.spark.sql.types.IntegerType,
+        "graft_zvalue(x, y, bits): bits must be an INT literal")
+      ZValue2(exprs(0), exprs(1), exprs(2).eval(null).asInstanceOf[Int])
+    }))
 
   /** Materialize a foldable ARRAY<STRING> argument (the inlined BPE
     * merge list) at expression-build time. */
@@ -211,6 +217,12 @@ package object functions {
     * Oracle twin: DuckDB `nfc_normalize`. */
   def nfc_normalize(text: Column): Column =
     call_function("graft_nfc", text)
+
+  /** Morton/Z-order interleave of two non-negative longs' low `bits`
+    * bits — the multi-dimensional clustering key (x on even bits, y
+    * on odd). NULL on null/negative inputs. */
+  def z_value(x: Column, y: Column, bits: Int): Column =
+    call_function("graft_zvalue", x, y, lit(bits))
 
   /** Native exact-match occurrence count of `token` in a string array
     * (the BM25 tf kernel; value-identical to

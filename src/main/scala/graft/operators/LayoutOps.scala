@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Physical data-layout operators — the write-side techniques that
+ * make 100 TB scans cheap before any query runs: multi-dimensional
+ * clustering so parquet min/max stats prune on more than one column.
+ */
+object LayoutOps {
+
+  /**
+   * Attach the Z-order clustering key: `z` = Morton interleave of the
+   * low `bits` bits of the two columns (values folded into the 2^bits
+   * grid by modulo, so arbitrary key ranges cluster without a stats
+   * pass). Sorting by `z` keeps rows close in EITHER dimension close
+   * on disk — the Delta/Iceberg Z-ORDER layout as a plain expression.
+   */
+  def zorder(df: DataFrame, xCol: String, yCol: String,
+      bits: Int = 16): DataFrame = {
+    graft.functions.ensureRegistered(df.sparkSession)
+    val mask = lit((1L << bits) - 1)
+    df.withColumn("z", graft.functions.z_value(
+      col(xCol).cast("long").bitwiseAND(mask),
+      col(yCol).cast("long").bitwiseAND(mask), bits))
+  }
+
+  /**
+   * Write `df` Z-ordered across `numFiles` parquet files:
+   * range-partition on `z` (sampled range boundaries — balanced
+   * files without a global sort) and sort within each partition, so
+   * every file covers a compact z-range and its x/y column stats
+   * cover a tight rectangle of the key grid.
+   */
+  def writeZordered(df: DataFrame, path: String, xCol: String,
+      yCol: String, bits: Int = 16, numFiles: Int = 8): Unit =
+    zorder(df, xCol, yCol, bits)
+      .repartitionByRange(numFiles, col("z"))
+      .sortWithinPartitions(col("z"))
+      .write.mode("overwrite").parquet(path)
+
+  /**
+   * Clustering-quality report over a written parquet directory: one
+   * row per part file with its row count and the min/max of the two
+   * key columns — the rectangle a min/max-pruning reader would skip
+   * or scan. The quality metric is `avg_extent_frac`: mean of
+   * (per-file x-extent / global x-extent + y-extent fraction) / 2 —
+   * ~1.0 for an unclustered write (every file spans everything),
+   * shrinking toward numFiles^-1/2 under Z-order. Reads only footer
+   * stats via a grouped aggregation, no second data pass at scale
+   * (the per-file group is what the footer stats would give; exact
+   * here so the DuckDB oracle can replay it from the rows).
+   */
+  def clusteringReport(spark: SparkSession, path: String,
+      xCol: String, yCol: String): DataFrame = {
+    val df = spark.read.parquet(path)
+      .select(col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"),
+        input_file_name().as("file"))
+    val perFile = df.groupBy(col("file"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+    val global = perFile.agg(
+      min(col("x_min")).as("gx_min"), max(col("x_max")).as("gx_max"),
+      min(col("y_min")).as("gy_min"), max(col("y_max")).as("gy_max"))
+    perFile.crossJoin(broadcast(global))
+      .select(col("n_rows"), col("x_min"), col("x_max"),
+        col("y_min"), col("y_max"),
+        round(((col("x_max") - col("x_min")).cast("double") /
+          greatest(col("gx_max") - col("gx_min"), lit(1L)) +
+          (col("y_max") - col("y_min")).cast("double") /
+            greatest(col("gy_max") - col("gy_min"), lit(1L))) / 2, 6)
+          .as("extent_frac"))
+  }
+}

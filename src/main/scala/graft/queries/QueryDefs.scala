@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{EventOps, JoinOps, OmeOps, ProfileOps, TextOps, VectorOps}
+import graft.operators.{EventOps, JoinOps, LayoutOps, OmeOps, ProfileOps, TextOps, VectorOps}
 import graft.schema.Fixtures
 
 /**
@@ -5871,6 +5871,32 @@ GROUP BY c.doc_id""")),
           |  bit_xor(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT))
           |    AS text_xor
           |FROM documents GROUP BY source""".stripMargin)),
+
+    // Z-order clustering key: Morton interleave of (orderkey, partkey)
+    // folded to the 2^16 grid, bucketed by z >> 18 (~120 buckets at sf0.01) — pins the
+    // bit-interleave math cross-engine (the layout-quality claim of
+    // writeZordered is exercised in LayoutSpec, where it is measurable;
+    // sampled range boundaries are not oracle-replicable).
+    ("zorder_histogram", (s: SparkSession, dir: String) =>
+      LayoutOps.zorder(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", bits = 16)
+        .groupBy(shiftright(col("z"), 18).as("bucket"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          min(col("z")).as("z_min"), max(col("z")).as("z_max")),
+      Some(
+        """WITH g AS (
+          |  SELECT l_orderkey & 65535 AS x, l_partkey & 65535 AS y
+          |  FROM lineitem),
+          |zt AS (
+          |  SELECT CAST(list_sum(list_transform(range(0, 16),
+          |    b -> (((x >> b) & 1) << (2*b)) +
+          |         (((y >> b) & 1) << (2*b + 1)))) AS BIGINT) AS z
+          |  FROM g)
+          |SELECT CAST(z >> 18 AS BIGINT) AS bucket,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  CAST(min(z) AS BIGINT) AS z_min, CAST(max(z) AS BIGINT) AS z_max
+          |FROM zt GROUP BY 1""".stripMargin)),
 
     // Unicode NFC canonicalization: every doc gets a DECOMPOSED e+0301
     // suffix injected (identically in both engines), so normalization

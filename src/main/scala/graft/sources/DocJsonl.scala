@@ -30,11 +30,18 @@ object DocJsonl {
 
   /** Export a documents frame as JSONL (one object per line, UTF-8;
     * Spark's writer escapes control characters, so embedded newlines
-    * and quotes in `text` round-trip losslessly). */
-  def write(docs: DataFrame, path: String): Unit =
+    * and quotes in `text` round-trip losslessly). `compression`:
+    * "none", "gzip", "bzip2", "deflate" — published corpora ship
+    * compressed, and the reader picks the codec from the file
+    * extension with no option needed. gzip is NOT splittable (one
+    * task per FILE on read), so compressed exports inherit their
+    * parallelism from the write — size part files accordingly. */
+  def write(docs: DataFrame, path: String,
+      compression: String = "none"): Unit =
     docs.select(col("doc_id").cast("long").as("doc_id"), col("text"),
         col("lang"), col("source"), col("n_chars").cast("long").as("n_chars"))
-      .write.mode("overwrite").json(path)
+      .write.mode("overwrite").option("compression", compression)
+      .json(path)
 
   /** Read a JSONL corpus with the documents schema, dropping malformed
     * and `doc_id`-less lines (the contract makes `doc_id` mandatory).

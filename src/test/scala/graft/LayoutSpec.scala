@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.ZValueKernel
+import graft.operators.LayoutOps
+
+/** Z-order layout: interleave math and the measurable clustering
+  * property (per-file key rectangles shrink vs an unclustered write). */
+class LayoutSpec extends SparkSpec {
+
+  test("ZValueKernel: hand-computed interleaves; x rides even bits") {
+    // x=3 (bits 0,1) -> result bits 0,2 = 5; y=1 (bit 0) -> bit 1 = 2
+    assert(ZValueKernel.interleave(3, 1, 2) === 7L)
+    assert(ZValueKernel.interleave(1, 2, 2) === 9L) // 1 | (bit1 of y -> 8)
+    assert(ZValueKernel.interleave(0, 0, 16) === 0L)
+    // full 16-bit grid corner
+    assert(ZValueKernel.interleave(65535, 0, 16) === 0x55555555L)
+    assert(ZValueKernel.interleave(0, 65535, 16) === 0xAAAAAAAAL)
+  }
+
+  test("z_value expression: NULL on negative input; matches the kernel " +
+      "through codegen") {
+    import spark.implicits._
+    graft.functions.ensureRegistered(spark)
+    val out = Seq((3L, 1L), (1L, 2L), (-1L, 5L))
+      .toDF("x", "y")
+      .select(graft.functions.z_value(col("x"), col("y"), 2).as("z"))
+      .collect()
+    assert(out(0).getLong(0) === 7L && out(1).getLong(0) === 9L)
+    assert(out(2).isNullAt(0))
+  }
+
+  test("writeZordered: per-file key rectangles are far tighter than an " +
+      "unclustered write of the same rows") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 4096 points spread over a 256x256 grid in RANDOM row order, so
+    // the unclustered write has no accidental locality
+    val rows = rnd.shuffle((0 until 4096).toList)
+      .map(i => (i.toLong % 256, i.toLong / 16 % 256))
+      .toDF("x", "y")
+    val zd = java.nio.file.Files.createTempDirectory("zord").toString
+    val pd = java.nio.file.Files.createTempDirectory("plain").toString
+    LayoutOps.writeZordered(rows, zd, "x", "y", bits = 8, numFiles = 8)
+    rows.repartition(8).write.mode("overwrite").parquet(pd)
+    def avgExtent(path: String): Double = {
+      val r = LayoutOps.clusteringReport(spark, path, "x", "y")
+        .agg(avg(col("extent_frac"))).collect().head
+      r.getDouble(0)
+    }
+    val (zExt, pExt) = (avgExtent(zd), avgExtent(pd))
+    // random-order files each span ~the whole grid (frac ~1); z-ordered
+    // files cover compact rectangles
+    assert(pExt > 0.8, s"unclustered baseline unexpectedly tight: $pExt")
+    assert(zExt < pExt / 2,
+      s"z-order must at least halve the mean key extent: z=$zExt plain=$pExt")
+  }
+}

@@ -458,5 +458,14 @@ class SourcesSpec extends SparkSpec {
       .select(col("doc_id"), col("_corrupt"))
       .filter(col("_corrupt").isNotNull).collect()
     assert(quar.length === 1 && quar.head.getString(1).contains("trunca"))
+    // gzip roundtrip: codec picked from the .gz extension on read
+    val gzDir = java.nio.file.Files.createTempDirectory("jsonlgz").toString
+    graft.sources.DocJsonl.write(hostile, gzDir, compression = "gzip")
+    assert(new java.io.File(gzDir).listFiles()
+      .exists(_.getName.endsWith(".json.gz")), "expected gzip parts")
+    val gzBack = graft.sources.DocJsonl.read(spark, gzDir)
+      .orderBy("doc_id").collect()
+    assert(gzBack.map(_.getString(1)).toSeq ===
+      orig.map(_.getString(1)).toSeq)
   }
 }
