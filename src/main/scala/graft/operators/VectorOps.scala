@@ -785,6 +785,42 @@ object VectorOps {
           .as("recall"))
   }
 
+  /**
+   * Matryoshka dimension-recall curve: recall@k of brute-force search
+   * over PREFIX-TRUNCATED embeddings against the full-width truth,
+   * one row per (truncation width, probe) — the deployment eval for
+   * MRL-style models, where the index stores only an embedding prefix
+   * and survivors rerank at full width: the curve says how short the
+   * prefix can go before recall pays.
+   *
+   * Plan shape: the full-width truth computes once (persisted,
+   * nProbes x k ids); each width's search is [[cosineTopK]]'s
+   * broadcast-probes/one-scan shape over a NARROWER projection of the
+   * same corpus — the scans are per-width, which is the honest cost
+   * of evaluating a width (at 100 TB, run the curve on a sampled
+   * corpus and pick the width before indexing the full one).
+   */
+  def dimRecallCurve(emb: DataFrame, nProbes: Int, k: Int,
+      dims: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ > 0), "dimRecallCurve: bad dims")
+    val truth = Caches.persist(cosineTopK(emb, nProbes, k)
+      .select(col("probe_id"), col("neighbor_id")))
+    dims.map { d =>
+      val trunc = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, d).as("embedding"))
+      val approx = cosineTopK(trunc, nProbes, k)
+        .select(col("probe_id"), col("neighbor_id"), lit(1L).as("hit"))
+      truth.join(approx, Seq("probe_id", "neighbor_id"), "left")
+        .groupBy(col("probe_id"))
+        .agg(count(lit(1)).cast("long").as("n_truth"),
+          sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hit"))
+        .select(lit(d).as("dims"), col("probe_id"), col("n_truth"),
+          col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_truth"), 6)
+            .as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Deterministic pseudo-random projection weight for output dim `j`,
     * input dim `d`: ((j*37 + d*11) % 19) - 9, as double — engine-portable
     * (same closed form in oracle SQL), zero-mean-ish over dims. */

@@ -5872,6 +5872,42 @@ GROUP BY c.doc_id""")),
           |    AS text_xor
           |FROM documents GROUP BY source""".stripMargin)),
 
+    // Matryoshka dimension-recall curve: brute-force top-10 over
+    // prefix-truncated embeddings (8/16/32 of 64 dims) scored against
+    // the full-width truth — how short can the stored prefix go.
+    ("mrl_dim_curve", (s: SparkSession, dir: String) =>
+      VectorOps.dimRecallCurve(t(s, dir, "embeddings"),
+        nProbes = 8, k = 10, dims = Seq(8, 16, 32)),
+      Some {
+        def topk(name: String, emb: String) =
+          s"""$name AS (
+             |  SELECT probe_id, neighbor_id FROM (
+             |    SELECT CAST(p.vec_id AS BIGINT) AS probe_id,
+             |      CAST(e.vec_id AS BIGINT) AS neighbor_id,
+             |      ${cosSql(s"p.$emb", s"e.$emb")} AS score,
+             |      row_number() OVER (PARTITION BY p.vec_id
+             |        ORDER BY score DESC, e.vec_id ASC) AS rnk
+             |    FROM embeddings p JOIN embeddings e
+             |      ON e.vec_id <> p.vec_id
+             |    WHERE p.vec_id < 8)
+             |  WHERE rnk <= 10)""".stripMargin
+        def sel(d: Int) =
+          s"""SELECT CAST($d AS INT) AS dims, t.probe_id,
+             |  CAST(count(*) AS BIGINT) AS n_truth,
+             |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+             |  round(sum(CASE WHEN a.neighbor_id IS NOT NULL
+             |      THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+             |    AS recall
+             |FROM truth t LEFT JOIN a$d a
+             |  ON a.probe_id = t.probe_id AND a.neighbor_id = t.neighbor_id
+             |GROUP BY t.probe_id""".stripMargin
+        (Seq(topk("truth", "embedding")) ++
+          Seq(8, 16, 32).map(d => topk(s"a$d", s"embedding[1:$d]")))
+          .mkString("WITH ", ",\n", "\n") +
+          Seq(8, 16, 32).map(sel).mkString("\nUNION ALL\n")
+      }),
+
     // Z-order clustering key: Morton interleave of (orderkey, partkey)
     // folded to the 2^16 grid, bucketed by z >> 18 (~120 buckets at sf0.01) — pins the
     // bit-interleave math cross-engine (the layout-quality claim of

@@ -1711,6 +1711,24 @@ class TextVectorSpec extends SparkSpec {
     assert(shas(0) === shas(1))
   }
 
+  test("dimRecallCurve: full-width truncation recovers the truth " +
+      "exactly (recall 1.0); short prefixes stay in [0, 1]") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val emb = (0L until 40L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val out = VectorOps.dimRecallCurve(emb, nProbes = 4, k = 5,
+      dims = Seq(4, 16)).collect()
+    val byDim = out.groupBy(_.getAs[Int]("dims"))
+    assert(byDim(16).forall(_.getAs[Double]("recall") === 1.0),
+      "width 16 of 16 IS the truth")
+    assert(byDim(4).forall { r =>
+      val rec = r.getAs[Double]("recall"); rec >= 0.0 && rec <= 1.0 })
+    assert(out.forall(_.getAs[Long]("n_truth") === 5L))
+    spark.catalog.clearCache() // truth frame persisted by the curve
+  }
+
   test("bitextMargin: hubness correction picks the specific match over " +
       "the hub despite a lower raw cosine") {
     val s3 = (1.0 / math.sqrt(3.0)).toFloat
