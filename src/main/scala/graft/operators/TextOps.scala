@@ -557,6 +557,34 @@ object TextOps {
    * (doc_id, gram) with map-side partial aggregation, then a per-doc
    * reaggregation — two shuffles, both on high-cardinality keys, no joins.
    */
+  /**
+   * Train/eval n-gram coverage — the train-test overlap statistic
+   * evaluation papers report: per eval document, the fraction of its
+   * DISTINCT word n-grams that appear ANYWHERE in the train corpus.
+   * [[contamination]] finds which train doc leaked into which eval
+   * doc; this measures aggregate memorization exposure even when no
+   * single train doc crosses the pairwise threshold.
+   *
+   * Scale shape: the train side collapses to distinct grams (one
+   * aggregation, map-side combine); the eval side's grams LEFT
+   * SEMI-match via an equi-join on the gram; one per-doc rollup.
+   * No doc x doc pairing anywhere, so cost is gram-cardinality-bound.
+   */
+  def ngramCoverage(train: DataFrame, eval: DataFrame, n: Int = 3): DataFrame = {
+    val trainGrams = train
+      .select(explode(shingles(col("text"), n)).as("gram")).distinct()
+    val evalGrams = eval.select(col("doc_id").cast("long").as("doc_id"),
+      explode(shingles(col("text"), n)).as("gram"))
+    evalGrams
+      .join(trainGrams.withColumn("hit", lit(1L)), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_covered"))
+      .select(col("doc_id"), col("n_grams"), col("n_covered"),
+        round(col("n_covered").cast("double") / col("n_grams"), 6)
+          .as("coverage"))
+  }
+
   def repetitionStats(docs: DataFrame, n: Int = 2): DataFrame = {
     val counts = docs.select(col("doc_id").cast("long").as("doc_id"),
         explode(ngrams(col("text"), n)).as("gram"))

@@ -5872,6 +5872,40 @@ GROUP BY c.doc_id""")),
           |    AS text_xor
           |FROM documents GROUP BY source""".stripMargin)),
 
+    // Train/eval n-gram coverage: per eval doc, fraction of its
+    // distinct 3-grams appearing anywhere in the train split — the
+    // aggregate memorization-exposure metric (contamination's
+    // pairwise complement).
+    ("ngram_coverage", (s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      TextOps.ngramCoverage(
+        docs.filter(col("doc_id") % 25 =!= 0),
+        docs.filter(col("doc_id") % 25 === 0))
+    },
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+          |  FROM documents),
+          |sh AS (
+          |  SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3
+          |      THEN [array_to_string(tk, ' ')]
+          |      ELSE list_transform(range(1, len(tk) - 1),
+          |             i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
+          |  FROM toks),
+          |tr AS (SELECT DISTINCT unnest(sh) AS gram
+          |       FROM sh WHERE doc_id % 25 <> 0),
+          |ev AS (SELECT doc_id, unnest(sh) AS gram
+          |       FROM sh WHERE doc_id % 25 = 0)
+          |SELECT ev.doc_id,
+          |  CAST(count(*) AS BIGINT) AS n_grams,
+          |  CAST(sum(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_covered,
+          |  round(sum(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END)
+          |    / CAST(count(*) AS DOUBLE), 6) AS coverage
+          |FROM ev LEFT JOIN tr ON tr.gram = ev.gram
+          |GROUP BY ev.doc_id""".stripMargin)),
+
     // Matryoshka dimension-recall curve: brute-force top-10 over
     // prefix-truncated embeddings (8/16/32 of 64 dims) scored against
     // the full-width truth — how short can the stored prefix go.
