@@ -137,8 +137,68 @@ class KernelPropertySpec extends SparkSpec {
         } yield 1).size.toLong
         val r = ProfileOps.trianglesOf(edges.toDF("a", "b"), "a", "b")
           .collect().head
-        assert(r.getLong(1) === expect, s"trial=$trial edges=$edges")
+        assert(r.getLong(1) === expect, s"trial=$trial edges=$expect")
       }
+    }
+  }
+
+  test("ZValueKernel: injective on the grid, and bit-exact " +
+      "de-interleave recovers both inputs") {
+    val bits = 10
+    def deinterleave(z: Long): (Long, Long) = {
+      var x = 0L; var y = 0L; var b = 0
+      while (b < bits) {
+        x |= ((z >> (2 * b)) & 1L) << b
+        y |= ((z >> (2 * b + 1)) & 1L) << b
+        b += 1
+      }
+      (x, y)
+    }
+    val pts = Seq.fill(500)((rnd.nextInt(1024).toLong,
+      rnd.nextInt(1024).toLong)).distinct
+    val zs = pts.map { case (x, y) =>
+      graft.functions.ZValueKernel.interleave(x, y, bits) }
+    assert(zs.distinct.size === pts.size, "interleave must be injective")
+    pts.zip(zs).foreach { case ((x, y), z) =>
+      assert(deinterleave(z) === ((x, y)))
+    }
+  }
+
+  test("NfcKernel: idempotent, and equal for canonically-equivalent " +
+      "random combining sequences") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def nfc(s: String): String =
+      graft.functions.NfcKernel.nfc(UTF8String.fromString(s)).toString
+    val bases = "aeiouAEIOUcn"
+    val combos = Seq('\u0300', '\u0301', '\u0302', '\u0303', '\u0308')
+    for (_ <- 1 to 200) {
+      val raw = (1 to 8).map { _ =>
+        val b = bases(rnd.nextInt(bases.length)).toString
+        if (rnd.nextBoolean()) b + combos(rnd.nextInt(combos.length)) else b
+      }.mkString
+      val once = nfc(raw)
+      assert(nfc(once) === once, s"not idempotent on ${raw.toList}")
+      // NFD of the NFC form must normalize back to the same NFC bytes
+      val nfd = java.text.Normalizer.normalize(once,
+        java.text.Normalizer.Form.NFD)
+      assert(nfc(nfd) === once, s"NFD round-trip diverged on ${raw.toList}")
+    }
+  }
+
+  test("domainCap: per-domain kept count is exactly min(cap, n) for " +
+      "random skewed corpora") {
+    import spark.implicits._
+    for (trial <- 1 to 3) {
+      val rows = (0 until 200).map { i =>
+        (i.toLong + trial * 1000, s"t$i", s"d${rnd.nextInt(6)}") }
+      val df = rows.toDF("doc_id", "text", "source").repartition(5)
+      val kept = graft.operators.TextOps.domainCap(df, cap = 12)
+        .filter(col("keep") === 1)
+        .groupBy(col("domain")).agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expect = rows.groupBy(_._3).map { case (d, rs) =>
+        d -> math.min(12, rs.size).toLong }
+      assert(kept === expect, s"trial=$trial")
     }
   }
 }
