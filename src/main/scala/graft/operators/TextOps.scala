@@ -1358,6 +1358,40 @@ object TextOps {
   }
 
   /**
+   * Deterministic WEIGHTED sampling without replacement
+   * (Efraimidis–Spirakis A-ES): each document draws an exponential
+   * key `-ln(u) / w` from its content-independent salted id-hash
+   * (u uniform in (0,1]); the `k` SMALLEST keys are the weighted
+   * sample — inclusion probability proportional to `w` without
+   * replacement, and fully reproducible: no RNG state, any engine
+   * replays the same sample from the same ids. The fixed-BUDGET
+   * importance sampler ([[sampleMix]] is rate-based Bernoulli — its
+   * output size floats; this one carves exactly `k`).
+   *
+   * Rows with null or non-positive weight are excluded (zero-weight
+   * items have no sampling mass; the exponential key is undefined).
+   *
+   * Scale shape: one narrow projection computes the key map-side;
+   * the top-k is `orderBy(...).limit(k)` — Spark plans
+   * TakeOrderedAndProject (per-partition heaps + one k-row merge),
+   * never a global sort.
+   */
+  def sampleWeighted(docs: DataFrame, weight: Column, k: Int,
+      salt: String = "wsample"): DataFrame = {
+    require(k > 0, s"sampleWeighted: k $k must be positive")
+    val u8 = md5(concat(lit(salt), lit("|"),
+      col("doc_id").cast("long").cast("string"))).substr(1, 8)
+    val u = (conv(u8, 16, 10).cast("long") + 1) / lit(4294967296.0)
+    val w = weight.cast("double")
+    docs.filter(w.isNotNull && w > 0)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        weight.cast("long").as("weight"), (-log(u) / w).as("k0"))
+      .orderBy(col("k0").asc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("weight"), round(col("k0"), 6).as("wkey"))
+  }
+
+  /**
    * Deterministic stratified sampling: exactly `min(nPer, |stratum|)`
    * documents per stratum, chosen by the content-independent id-hash
    * order (md5 of salted doc_id, ties by doc_id) — the eval-set /

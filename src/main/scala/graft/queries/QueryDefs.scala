@@ -5872,6 +5872,22 @@ GROUP BY c.doc_id""")),
           |    AS text_xor
           |FROM documents GROUP BY source""".stripMargin)),
 
+    // Weighted sampling without replacement (Efraimidis–Spirakis):
+    // exactly 50 docs, inclusion odds proportional to n_chars, fully
+    // hash-deterministic — the fixed-budget importance sampler.
+    ("sample_weighted", (s: SparkSession, dir: String) =>
+      TextOps.sampleWeighted(t(s, dir, "documents"), col("n_chars"), 50),
+      Some(
+        """WITH b AS (
+          |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |    CAST(n_chars AS BIGINT) AS weight,
+          |    -ln((CAST('0x' || substr(md5('wsample|' ||
+          |        CAST(CAST(doc_id AS BIGINT) AS VARCHAR)), 1, 8)
+          |      AS BIGINT) + 1) / 4294967296.0) / n_chars AS k0
+          |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+          |SELECT doc_id, weight, round(k0, 6) AS wkey
+          |FROM b ORDER BY k0 ASC, doc_id ASC LIMIT 50""".stripMargin)),
+
     // Train/eval n-gram coverage: per eval doc, fraction of its
     // distinct 3-grams appearing anywhere in the train split — the
     // aggregate memorization-exposure metric (contamination's

@@ -1711,6 +1711,37 @@ class TextVectorSpec extends SparkSpec {
     assert(shas(0) === shas(1))
   }
 
+  test("sampleWeighted: uniform weights reduce to largest-hash top-k; " +
+      "scale-invariant in the weights; heavy items dominate") {
+    import spark.implicits._
+    val d = (0L until 100L).map(i => (i, s"doc $i", 10L))
+      .toDF("doc_id", "text", "w")
+    val uni = TextOps.sampleWeighted(d, col("w"), 10)
+      .collect().map(_.getLong(0)).sorted
+    // with equal weights the exponential key -ln(u)/w is DECREASING
+    // in u, so the sample IS the k LARGEST salted hashes
+    val byHash = d.select(col("doc_id"),
+        md5(concat(lit("wsample|"), col("doc_id").cast("string")))
+          .substr(1, 8).as("u8"))
+      .orderBy(col("u8").desc).limit(10).collect().map(_.getLong(0)).sorted
+    assert(uni === byHash)
+    // scaling every weight leaves the sample unchanged
+    val scaled = TextOps.sampleWeighted(d.withColumn("w", col("w") * 1000),
+      col("w"), 10).collect().map(_.getLong(0)).sorted
+    assert(scaled === uni)
+    // a dominant weight is effectively always included
+    val skew = d.withColumn("w",
+      when(col("doc_id") === 55L, lit(1000000000L)).otherwise(lit(1L)))
+    val s = TextOps.sampleWeighted(skew, col("w"), 5)
+      .collect().map(_.getLong(0))
+    assert(s.contains(55L))
+    // zero/null weights are excluded
+    val z = TextOps.sampleWeighted(
+      d.withColumn("w", when(col("doc_id") < 90, lit(0L)).otherwise(lit(1L))),
+      col("w"), 50).collect().map(_.getLong(0))
+    assert(z.length === 10 && z.forall(_ >= 90L))
+  }
+
   test("dimRecallCurve: full-width truncation recovers the truth " +
       "exactly (recall 1.0); short prefixes stay in [0, 1]") {
     import spark.implicits._
