@@ -55,5 +55,24 @@ class LayoutSpec extends SparkSpec {
     assert(pExt > 0.8, s"unclustered baseline unexpectedly tight: $pExt")
     assert(zExt < pExt / 2,
       s"z-order must at least halve the mean key extent: z=$zExt plain=$pExt")
+
+    // ...and the layout turns into real I/O: a small (x, y) rectangle
+    // lets the parquet reader SKIP whole row groups whose min/max
+    // exclude it, so the scan emits far fewer rows pre-filter on the
+    // z-ordered layout (record-level filtering is off by default, so
+    // scan numOutputRows = rows of the row groups actually read)
+    def scannedRows(path: String): Long = {
+      val q = spark.read.parquet(path)
+        .filter(col("x") < 32 && col("y") < 32)
+      q.collect() // drive the scan so metrics populate
+      q.queryExecution.executedPlan.collectLeaves()
+        .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value }.sum
+    }
+    val (zRows, pRows) = (scannedRows(zd), scannedRows(pd))
+    assert(pRows === 4096L,
+      s"unclustered layout must read every row group: $pRows")
+    assert(zRows <= pRows / 2,
+      s"z-order must skip most row groups: z=$zRows plain=$pRows")
   }
 }
