@@ -41,6 +41,42 @@ object LayoutOps {
       .write.mode("overwrite").parquet(path)
 
   /**
+   * Small-file compaction: rewrite a parquet directory into
+   * `ceil(total_bytes / targetBytes)` files — the operational fix for
+   * the small-file problem (a 100 TB table accreted from streaming
+   * micro-batches or over-parallel writes pays footer/open overhead
+   * per file and floods the driver's file listing; NameNode-scale
+   * metadata pressure is the classic failure). Sizing reads ONLY the
+   * directory listing; the data moves once through a round-robin
+   * repartition (no keys — pure file-count surgery, content
+   * preserved as a multiset). Writes to `<path>.compact.tmp`, then
+   * swaps atomically-enough via two renames, so a crashed compaction
+   * never leaves the table half-rewritten. Returns (files_before,
+   * files_after).
+   */
+  def compactParquet(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    require(targetBytes > 0, "compactParquet: targetBytes must be positive")
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val parts = fs.listStatus(hp)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val total = parts.map(_.getLen).sum
+    val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact.tmp")
+    val old = new org.apache.hadoop.fs.Path(path + ".compact.old")
+    spark.read.parquet(path).repartition(n)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(old, true)
+    require(fs.rename(hp, old), s"compactParquet: cannot stage $path")
+    require(fs.rename(tmp, hp), s"compactParquet: cannot swap in $tmp")
+    fs.delete(old, true)
+    val after = fs.listStatus(hp).count(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet"))
+    (parts.length, after)
+  }
+
+  /**
    * Clustering-quality report over a written parquet directory: one
    * row per part file with its row count and the min/max of the two
    * key columns — the rectangle a min/max-pruning reader would skip

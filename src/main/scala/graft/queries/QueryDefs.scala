@@ -5872,6 +5872,27 @@ GROUP BY c.doc_id""")),
           |    AS text_xor
           |FROM documents GROUP BY source""".stripMargin)),
 
+    // Small-file compaction roundtrip: documents written as 64 tiny
+    // parquet files, compacted to a handful, content digest must
+    // survive byte-for-byte (the multiset-preservation contract).
+    ("compact_roundtrip", (s: SparkSession, dir: String) => {
+      val p = "/tmp/graft_q_compact"
+      t(s, dir, "documents").repartition(64)
+        .write.mode("overwrite").parquet(p)
+      LayoutOps.compactParquet(s, p, targetBytes = 256L * 1024)
+      s.read.parquet(p).groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          expr("bit_xor(CAST(conv(substring(md5(text), 1, 15), 16, 10) " +
+            "AS BIGINT))").as("text_xor"))
+    },
+      Some(
+        """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |  bit_xor(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT))
+          |    AS text_xor
+          |FROM documents GROUP BY source""".stripMargin)),
+
     // Weighted sampling without replacement (Efraimidis–Spirakis):
     // exactly 50 docs, inclusion odds proportional to n_chars, fully
     // hash-deterministic — the fixed-budget importance sampler.

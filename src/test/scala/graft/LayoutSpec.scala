@@ -75,4 +75,27 @@ class LayoutSpec extends SparkSpec {
     assert(zRows <= pRows / 2,
       s"z-order must skip most row groups: z=$zRows plain=$pRows")
   }
+
+  test("compactParquet: collapses a small-file directory, preserves " +
+      "content exactly, and survives re-reads after the swap") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString +
+      "/table"
+    val rows = (0L until 2000L).map(i => (i, s"row $i payload"))
+      .toDF("id", "s")
+    rows.repartition(40).write.mode("overwrite").parquet(dir)
+    val before = rows.collect().map(_.getLong(0)).sorted
+    val (nb, na) = graft.operators.LayoutOps.compactParquet(
+      spark, dir, targetBytes = 64L * 1024)
+    assert(nb === 40 && na < nb,
+      s"expected fewer files after compaction: $nb -> $na")
+    val back = spark.read.parquet(dir).collect()
+    assert(back.map(_.getLong(0)).sorted === before)
+    assert(back.map(_.getString(1)).toSet ===
+      (0L until 2000L).map(i => s"row $i payload").toSet)
+    // no leftover staging dirs
+    val parent = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
+    assert(!parent.exists(_.contains("compact.")),
+      s"staging dirs leaked: ${parent.toSeq}")
+  }
 }
