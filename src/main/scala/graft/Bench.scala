@@ -34,7 +34,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // local-iteration filter (the driver never sets it): restrict the
+    // run to a comma-separated subset — the frozen-registry control
+    // for separating registry-growth noise from real per-query drift
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
 
     def runOnce(name: String): Option[Double] = {

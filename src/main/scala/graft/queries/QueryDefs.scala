@@ -5872,6 +5872,56 @@ GROUP BY c.doc_id""")),
           |    AS text_xor
           |FROM documents GROUP BY source""".stripMargin)),
 
+    // The SQL surface: native graft_* expressions invoked through
+    // plain spark.sql TEXT (the GraftExtensions cluster-deployment
+    // claim, pinned by a hash row): NFC + simhash + token count +
+    // z-value in one statement over a registered view.
+    ("q_sql_native_fns", (s: SparkSession, dir: String) => {
+      graft.functions.ensureRegistered(s)
+      t(s, dir, "documents").createOrReplaceTempView("graft_sql_docs")
+      s.sql(
+        """SELECT source,
+          |  CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(graft_count_token(
+          |    filter(split(trim(graft_nfc(text)), '\\s+'), t -> t != ''),
+          |    'the')) AS BIGINT) AS n_the,
+          |  CAST(sum(pmod(graft_simhash64(
+          |    filter(split(trim(text), '\\s+'), t -> t != '')), 1000))
+          |    AS BIGINT) AS sim_mod_sum,
+          |  CAST(sum(graft_zvalue(doc_id % 256, n_chars % 256, 8))
+          |    AS BIGINT) AS z_sum
+          |FROM graft_sql_docs
+          |GROUP BY source""".stripMargin)
+    },
+      Some(
+        """WITH sigs AS (
+          |  SELECT source, doc_id, n_chars, text, (
+          |    SELECT CAST(sum(CASE WHEN vote <= 0 THEN 0
+          |      WHEN j = 63 THEN -9223372036854775808
+          |      ELSE 1::BIGINT << j END) AS BIGINT)
+          |    FROM (
+          |      SELECT j.j AS j, sum(CASE WHEN
+          |        ((ascii(substr(md5(tok), CAST(j.j//4 + 1 AS INT), 1)) -
+          |          CASE WHEN ascii(substr(md5(tok), CAST(j.j//4 + 1 AS INT), 1)) >= 97
+          |               THEN 87 ELSE 48 END) >> CAST(3 - j.j%4 AS INT)) % 2 = 1
+          |        THEN 1 ELSE -1 END) AS vote
+          |      FROM unnest(list_filter(string_split_regex(trim(text), '\s+'),
+          |             x -> x <> '')) AS u(tok),
+          |           generate_series(0, 63) j(j)
+          |      GROUP BY j.j)
+          |  ) AS sig
+          |  FROM documents)
+          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(len(list_filter(
+          |    list_filter(string_split_regex(trim(nfc_normalize(text)), '\s+'),
+          |      x -> x <> ''), t -> t = 'the'))) AS BIGINT) AS n_the,
+          |  CAST(sum(((sig % 1000) + 1000) % 1000) AS BIGINT) AS sim_mod_sum,
+          |  CAST(sum((SELECT sum(
+          |      ((((doc_id % 256) >> b.b) & 1) << (2*b.b)) +
+          |      ((((n_chars % 256) >> b.b) & 1) << (2*b.b + 1)))
+          |    FROM generate_series(0, 7) b(b))) AS BIGINT) AS z_sum
+          |FROM sigs GROUP BY source""".stripMargin)),
+
     // Small-file compaction roundtrip: documents written as 64 tiny
     // parquet files, compacted to a handful, content digest must
     // survive byte-for-byte (the multiset-preservation contract).
