@@ -1527,4 +1527,55 @@ object OmeOps {
       meta.getField("size_x").as("size_x"),
       dense.as("dense"))
   }
+
+  /**
+   * Perceptual average-hash (aHash) near-duplicate detection over
+   * plane tables — the imaging counterpart of text MinHash: each 8x8
+   * plane hashes to 64 bits (bit p = pixel p strictly above the plane
+   * mean — compared as `v·n > Σv`, so the mean never materializes as
+   * a lossy division), and planes of DIFFERENT images at the same
+   * (t, c, z) pair up when their hashes differ in at most
+   * `maxHamming` bits. Robust to brightness offsets (mean-relative)
+   * and mild noise; the standard cheap screen before pixel-exact
+   * comparison of re-acquired / re-exported microscopy data.
+   *
+   * Planes wider than 8x8 should [[downscalePlanes]] to 8x8 first
+   * (the classic aHash resize step, here the exact block-mean
+   * pyramid).
+   *
+   * Scale shape: the hash is one narrow codegen-friendly HOF fold per
+   * plane (no shuffle); candidate pairing joins 8-byte hashes keyed
+   * by (t, c, z) — planes never pair across coordinates, so the pair
+   * space is images² PER COORDINATE, and the corpus' pixel columns
+   * never enter the join.
+   */
+  def perceptualHashPairs(planeDf: DataFrame,
+      maxHamming: Int = 16): DataFrame = {
+    graft.functions.ensureRegistered(planeDf.sparkSession)
+    require(maxHamming >= 0, "perceptualHashPairs: maxHamming >= 0")
+    val hashed = planeDf
+      .withColumn("psum", graft.functions.pixel_sum(col("pixels")))
+      .withColumn("ahash", expr(
+        """aggregate(zip_with(pixels, sequence(0, size(pixels) - 1),
+          |  (v, i) -> CASE WHEN CAST(v AS BIGINT) * size(pixels) > psum
+          |    THEN CASE WHEN i = 63
+          |      THEN CAST('-9223372036854775808' AS BIGINT)
+          |      ELSE shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)) END
+          |    ELSE CAST(0 AS BIGINT) END),
+          |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin))
+      .select(col("image_id"), col("t").cast("int").as("t"),
+        col("c").cast("int").as("c"), col("z").cast("int").as("z"),
+        col("ahash"))
+    val a = hashed.select(col("image_id").as("image_a"), col("t"),
+      col("c"), col("z"), col("ahash").as("hash_a"))
+    val b = hashed.select(col("image_id").as("image_b"), col("t"),
+      col("c"), col("z"), col("ahash").as("hash_b"))
+    a.join(b, Seq("t", "c", "z"))
+      .filter(col("image_a") < col("image_b"))
+      .withColumn("hamming",
+        bit_count(col("hash_a").bitwiseXOR(col("hash_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("image_a"), col("image_b"), col("t"), col("c"),
+        col("z"), col("hamming"))
+  }
 }

@@ -5872,6 +5872,50 @@ GROUP BY c.doc_id""")),
           |    AS text_xor
           |FROM documents GROUP BY source""".stripMargin)),
 
+    // Perceptual average-hash near-dup pairs over the textured corpus:
+    // 64-bit mean-relative plane hashes, paired per (t, c, z) across
+    // images under a Hamming threshold — imaging's MinHash.
+    ("ome_phash_pairs", (s: SparkSession, _: String) =>
+      OmeOps.perceptualHashPairs(
+        OmeOps.explodePlanes(Fixtures.texturedCorpus(s))
+          .select(col("image_id"), col("t"), col("c"), col("z"),
+            col("size_x"), col("size_y"), col("pixels"))
+          // image-dependent speckle (mirrored in the oracle): the
+          // textured family's quadratic form is shift-invariant
+          // across images, so unperturbed aHashes would all collide
+          // at hamming 0 and neither the hamming column nor the
+          // threshold would discriminate
+          .withColumn("imgn",
+            substring(col("image_id"), 5, 4).cast("int"))
+          .withColumn("pixels", expr(
+            "transform(pixels, (v, p) -> CAST(v + " +
+              "((imgn * (p + 3)) % 29) * 40 AS INT))"))
+          .drop("imgn"),
+        maxHamming = 5),
+      Some(
+        s"""WITH $px4e,
+           |pxp AS (
+           |  SELECT img, t, c, z, p,
+           |    v + ((img * (p + 3)) % 29) * 40 AS v
+           |  FROM px),
+           |ah AS (
+           |  SELECT img, t, c, z,
+           |    CAST(sum(CASE WHEN CAST(v AS BIGINT) * 64 > psum THEN
+           |      CASE WHEN p = 63 THEN -9223372036854775808
+           |        ELSE 1::BIGINT << p END
+           |      ELSE 0 END) AS BIGINT) AS ahash
+           |  FROM (SELECT pxp.*, sum(CAST(v AS BIGINT))
+           |          OVER (PARTITION BY img, t, c, z) AS psum FROM pxp)
+           |  GROUP BY img, t, c, z)
+           |SELECT printf('i4e-%04d', a.img) AS image_a,
+           |  printf('i4e-%04d', b.img) AS image_b,
+           |  CAST(a.t AS INT) AS t, CAST(a.c AS INT) AS c,
+           |  CAST(a.z AS INT) AS z,
+           |  CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+           |FROM ah a JOIN ah b ON a.t = b.t AND a.c = b.c AND a.z = b.z
+           |  AND a.img < b.img
+           |WHERE bit_count(xor(a.ahash, b.ahash)) <= 5""".stripMargin)),
+
     // The SQL surface: native graft_* expressions invoked through
     // plain spark.sql TEXT (the GraftExtensions cluster-deployment
     // claim, pinned by a hash row): NFC + simhash + token count +

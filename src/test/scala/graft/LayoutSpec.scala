@@ -76,6 +76,23 @@ class LayoutSpec extends SparkSpec {
       s"z-order must skip most row groups: z=$zRows plain=$pRows")
   }
 
+  test("perceptualHashPairs: brightness-offset invariant (aHash is " +
+      "mean-relative); a flipped texture is distant") {
+    import spark.implicits._
+    val base = (0 until 64).map(p => (p * p) % 997)
+    def planes(rows: (String, Seq[Int])*) = rows.toSeq.map {
+      case (id, px) => (id, 0, 0, 0, 8, 8, px)
+    }.toDF("image_id", "t", "c", "z", "size_x", "size_y", "pixels")
+    val out = graft.operators.OmeOps.perceptualHashPairs(planes(
+      "a" -> base,
+      "b" -> base.map(_ + 500),          // pure brightness offset
+      "c" -> base.map(v => 997 - v)),    // inverted texture
+      maxHamming = 64).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getInt(5)).toMap
+    assert(out(("a", "b")) === 0, "offset must not move mean-relative bits")
+    assert(out(("a", "c")) > 32, s"inverted texture should be distant: $out")
+  }
+
   test("compactParquet: collapses a small-file directory, preserves " +
       "content exactly, and survives re-reads after the swap") {
     import spark.implicits._
