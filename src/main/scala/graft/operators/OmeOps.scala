@@ -1250,6 +1250,44 @@ object OmeOps {
       .withField("pixels_meta.size_z", lit(1)))
   }
 
+  /**
+   * Orthogonal maximum-intensity view (XZ orthoslice): per
+   * (image, t, c), an image of `size_z` rows by `size_x` columns
+   * where pixel (z, x) = max over y of plane z at (y, x) — the side
+   * view every volumetric viewer shows beside the XY plane
+   * ([[projectZ]] collapses z; this collapses Y). Row z of the output
+   * is plane z's per-COLUMN max, so the whole view assembles from
+   * per-plane reductions plus one z-ordered concat.
+   *
+   * Scale shape: the column-max is a narrow per-plane fold (no
+   * shuffle); assembly is one (image, t, c)-keyed aggregation whose
+   * buffer holds size_z arrays of size_x ints — bounded by image
+   * geometry, the [[nestPlanes]] contract. `sort_array` on the
+   * (z, row) structs makes collect order irrelevant.
+   */
+  def orthoMipXZ(planeDf: DataFrame): DataFrame = {
+    graft.functions.ensureRegistered(planeDf.sparkSession)
+    val colMax = expr(
+      """transform(sequence(0, size_x - 1), x ->
+        |  aggregate(
+        |    sequence(0, CAST(size(pixels) / size_x AS INT) - 1),
+        |    CAST(NULL AS INT),
+        |    (m, y) -> CASE WHEN m IS NULL THEN pixels[y * size_x + x]
+        |      ELSE greatest(m, pixels[y * size_x + x]) END))""".stripMargin)
+    planeDf
+      .withColumn("zrow", colMax)
+      .groupBy(col("image_id"), col("t"), col("c"))
+      .agg(first(col("size_x")).cast("int").as("size_x"),
+        count(lit(1)).cast("int").as("size_y"), // z becomes the row axis
+        flatten(transform(
+          sort_array(collect_list(struct(col("z").cast("int").as("z"),
+            col("zrow").as("r")))),
+          s => s.getField("r"))).as("pixels"))
+      .select(col("image_id"), col("t").cast("int").as("t"),
+        col("c").cast("int").as("c"), col("size_x"), col("size_y"),
+        col("pixels"))
+  }
+
   /** Keep the ride-along `record_meta` consistent with the flat
     * `size_x`/`size_y` columns after a plane-table pixel transform, so
     * `nestPlanes` reconstructs records whose `pixels_meta` matches their

@@ -5872,6 +5872,28 @@ GROUP BY c.doc_id""")),
           |    AS text_xor
           |FROM documents GROUP BY source""".stripMargin)),
 
+    // Orthogonal MIP (XZ orthoslice): per (image, t, c), a z-by-x side
+    // view of per-column maxima over y — digest-reduced; the oracle
+    // re-derives each (z, x) max from the closed-form textured grid.
+    ("ome_ortho_xz", (s: SparkSession, _: String) =>
+      digestArray(OmeOps.orthoMipXZ(
+        OmeOps.explodePlanes(Fixtures.texturedCorpus(s))
+          .select(col("image_id"), col("t"), col("c"), col("z"),
+            col("size_x"), col("size_y"), col("pixels"))),
+        "pixels", "px"),
+      Some(digestWrap(
+        s"""WITH $px4e,
+           |cm AS (
+           |  SELECT img, t, c, z, x, max(v) AS mv
+           |  FROM px GROUP BY 1, 2, 3, 4, 5)
+           |SELECT $id4e AS image_id, CAST(t AS INT) AS t,
+           |  CAST(c AS INT) AS c, CAST(8 AS INT) AS size_x,
+           |  CAST(3 AS INT) AS size_y,
+           |  list(CAST(mv AS INT) ORDER BY z, x) AS pixels
+           |FROM cm GROUP BY img, t, c""".stripMargin,
+        Seq("image_id", "t", "c", "size_x", "size_y"),
+        Seq("pixels" -> "px")))),
+
     // Perceptual average-hash near-dup pairs over the textured corpus:
     // 64-bit mean-relative plane hashes, paired per (t, c, z) across
     // images under a Hamming threshold — imaging's MinHash.
