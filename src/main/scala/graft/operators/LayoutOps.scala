@@ -49,32 +49,91 @@ object LayoutOps {
    * metadata pressure is the classic failure). Sizing reads ONLY the
    * directory listing; the data moves once through a round-robin
    * repartition (no keys — pure file-count surgery, content
-   * preserved as a multiset). Writes to `<path>.compact.tmp`, then
-   * swaps atomically-enough via two renames, so a crashed compaction
-   * never leaves the table half-rewritten. Returns (files_before,
-   * files_after).
+   * preserved as a multiset).
+   *
+   * Partitioned (Hive-layout) tables: a directory whose children are
+   * subdirectories (`path/day=…/`) recurses and compacts each leaf
+   * partition IN PLACE, preserving the directory structure — each
+   * leaf's files stay inside their partition dir, so partition
+   * columns, pruning, and discovery are untouched (the flat-path
+   * sizing alone would see zero files, read the whole table through
+   * Spark's recursive reader, and flatten it to one file). Hidden
+   * children (`_`/`.` prefixes, e.g. `_SUCCESS`) are ignored.
+   *
+   * Swap discipline per leaf: the rewrite lands in
+   * `<path>.compact.tmp`, then two renames swap it in, and a failed
+   * second rename restores the original directory — a crash can
+   * strand a `.compact.tmp`/`.compact.old` sibling but never loses
+   * the table. Readers racing the swap window (between the two
+   * renames) can see the path briefly missing; compaction is an
+   * offline/maintenance operation, not a concurrent-reader-safe
+   * commit protocol (that is a table format's job — Delta/Iceberg).
+   * Returns (files_before, files_after) summed over leaves.
    */
   def compactParquet(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     require(targetBytes > 0, "compactParquet: targetBytes must be positive")
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
-    val parts = fs.listStatus(hp)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    val total = parts.map(_.getLen).sum
-    val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".compact.tmp")
-    val old = new org.apache.hadoop.fs.Path(path + ".compact.old")
-    spark.read.parquet(path).repartition(n)
-      .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(old, true)
-    require(fs.rename(hp, old), s"compactParquet: cannot stage $path")
-    require(fs.rename(tmp, hp), s"compactParquet: cannot swap in $tmp")
-    fs.delete(old, true)
-    val after = fs.listStatus(hp).count(s =>
-      s.isFile && s.getPath.getName.endsWith(".parquet"))
-    (parts.length, after)
+    val children = fs.listStatus(hp)
+    val subdirs = children.filter { s =>
+      val n = s.getPath.getName
+      s.isDirectory && !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (subdirs.nonEmpty) {
+      // partitioned layout: compact each partition subtree in place
+      val results =
+        subdirs.map(d => compactParquet(spark, d.getPath.toString, targetBytes))
+      (results.map(_._1).sum, results.map(_._2).sum)
+    } else {
+      val parts = children
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      if (parts.isEmpty) (0, 0) // nothing to compact (empty partition)
+      else {
+        val total = parts.map(_.getLen).sum
+        val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+        val tmp = new org.apache.hadoop.fs.Path(path + ".compact.tmp")
+        val old = new org.apache.hadoop.fs.Path(path + ".compact.old")
+        spark.read.parquet(path).repartition(n)
+          .write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(old, true)
+        require(fs.rename(hp, old), s"compactParquet: cannot stage $path")
+        try {
+          require(fs.rename(tmp, hp), s"compactParquet: cannot swap in $tmp")
+        } catch {
+          case e: Throwable =>
+            // restore the staged original so `path` never ends up missing
+            fs.rename(old, hp)
+            fs.delete(tmp, true)
+            throw e
+        }
+        fs.delete(old, true)
+        val after = fs.listStatus(hp).count(s =>
+          s.isFile && s.getPath.getName.endsWith(".parquet"))
+        (parts.length, after)
+      }
+    }
   }
+
+  /**
+   * Bucketed plane-table layout — the imaging twin of
+   * [[graft.operators.JoinOps.writeBucketed]]: an exploded plane table
+   * (`explodePlanes` output) written bucketed+sorted on `image_id`, so
+   * EVERY later per-image aggregation — `nestPlanes`, per-image QC
+   * rollups, feature joins on `image_id` — reads the bucket
+   * partitioning straight off the scan and plans with ZERO exchanges.
+   * At 100 TB the plane table is the hot representation (SURVEY §1.4
+   * form 2) and per-image re-aggregation is its dominant access
+   * pattern; paying the bucket shuffle once at ingest amortizes it
+   * across the whole downstream workload. Registers an EXTERNAL table
+   * at `path` (explicit location, like `writeBucketed`).
+   */
+  def writePlanesBucketed(planeDf: DataFrame, table: String, path: String,
+      nBuckets: Int): Unit =
+    planeDf.write.mode("overwrite").format("parquet")
+      .option("path", path)
+      .bucketBy(nBuckets, "image_id").sortBy("image_id")
+      .saveAsTable(table)
 
   /**
    * Clustering-quality report over a written parquet directory: one

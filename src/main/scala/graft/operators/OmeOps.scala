@@ -1577,43 +1577,84 @@ object OmeOps {
    * and mild noise; the standard cheap screen before pixel-exact
    * comparison of re-acquired / re-exported microscopy data.
    *
-   * Planes wider than 8x8 should [[downscalePlanes]] to 8x8 first
-   * (the classic aHash resize step, here the exact block-mean
-   * pyramid).
+   * Planes wider than 8x8 must [[downscalePlanes]] to 8x8 first (the
+   * classic aHash resize step, here the exact block-mean pyramid) —
+   * a plane with more than 64 pixels raises: `i` in the bit fold
+   * wraps mod 64, so oversized input would silently produce an
+   * additive accumulator, not a bitmask (r10 ADVICE).
    *
    * Scale shape: the hash is one narrow codegen-friendly HOF fold per
-   * plane (no shuffle); candidate pairing joins 8-byte hashes keyed
-   * by (t, c, z) — planes never pair across coordinates, so the pair
-   * space is images² PER COORDINATE, and the corpus' pixel columns
-   * never enter the join.
+   * plane (no shuffle); candidate pairing is BANDED like its text
+   * siblings ([[TextOps.simhashPairs]]): the 64-bit hash splits into
+   * `maxHamming + 1` bit-bands and only images sharing a whole band
+   * at the same (t, c, z) become candidates — by pigeonhole a pair
+   * within `maxHamming` differing bits must agree on at least one of
+   * `maxHamming + 1` bands, so banding is EXACT-recall, never a
+   * heuristic. The all-pairs images²-per-coordinate join survives
+   * only as the `exhaustive = true` certification mode (and as the
+   * automatic fallback when `maxHamming >= 64`, where every pair
+   * qualifies anyway), the same opt-in split as `lshRecallReport`.
    */
   def perceptualHashPairs(planeDf: DataFrame,
-      maxHamming: Int = 16): DataFrame = {
+      maxHamming: Int = 3, exhaustive: Boolean = false): DataFrame = {
     graft.functions.ensureRegistered(planeDf.sparkSession)
     require(maxHamming >= 0, "perceptualHashPairs: maxHamming >= 0")
     val hashed = planeDf
       .withColumn("psum", graft.functions.pixel_sum(col("pixels")))
       .withColumn("ahash", expr(
-        """aggregate(zip_with(pixels, sequence(0, size(pixels) - 1),
+        """CASE WHEN size(pixels) > 64 THEN raise_error(concat(
+          |  'perceptualHashPairs: plane has ', CAST(size(pixels) AS STRING),
+          |  ' pixels (> 64) - downscalePlanes to 8x8 before hashing'))
+          |ELSE aggregate(zip_with(pixels, sequence(0, size(pixels) - 1),
           |  (v, i) -> CASE WHEN CAST(v AS BIGINT) * size(pixels) > psum
           |    THEN CASE WHEN i = 63
           |      THEN CAST('-9223372036854775808' AS BIGINT)
           |      ELSE shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)) END
           |    ELSE CAST(0 AS BIGINT) END),
-          |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin))
+          |  CAST(0 AS BIGINT), (a, x) -> a + x) END""".stripMargin))
       .select(col("image_id"), col("t").cast("int").as("t"),
         col("c").cast("int").as("c"), col("z").cast("int").as("z"),
         col("ahash"))
-    val a = hashed.select(col("image_id").as("image_a"), col("t"),
-      col("c"), col("z"), col("ahash").as("hash_a"))
-    val b = hashed.select(col("image_id").as("image_b"), col("t"),
-      col("c"), col("z"), col("ahash").as("hash_b"))
-    a.join(b, Seq("t", "c", "z"))
+    def emit(cands: DataFrame): DataFrame = cands
       .filter(col("image_a") < col("image_b"))
       .withColumn("hamming",
         bit_count(col("hash_a").bitwiseXOR(col("hash_b"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select(col("image_a"), col("image_b"), col("t"), col("c"),
         col("z"), col("hamming"))
+    if (exhaustive || maxHamming >= 64) {
+      val a = hashed.select(col("image_id").as("image_a"), col("t"),
+        col("c"), col("z"), col("ahash").as("hash_a"))
+      val b = hashed.select(col("image_id").as("image_b"), col("t"),
+        col("c"), col("z"), col("ahash").as("hash_b"))
+      emit(a.join(b, Seq("t", "c", "z")))
+    } else {
+      // maxHamming + 1 bands over 64 bits; the first (64 % bands)
+      // bands take the extra bit. width == 64 only when maxHamming ==
+      // 0 (one band = the whole hash — a plain exact-hash equi-join).
+      val nBands = maxHamming + 1
+      val base = 64 / nBands
+      val rem = 64 % nBands
+      val chunkCols = (0 until nBands).map { i =>
+        val width = if (i < rem) base + 1 else base
+        val offset = i * base + math.min(i, rem)
+        if (width == 64) col("ahash")
+        else shiftrightunsigned(col("ahash"), offset)
+          .bitwiseAND(lit((1L << width) - 1))
+      }
+      val banded = hashed.select(col("image_id"), col("t"), col("c"),
+        col("z"), col("ahash"),
+        posexplode(array(chunkCols: _*)).as(Seq("band", "chunk")))
+      val a = banded.select(col("image_id").as("image_a"), col("t"),
+        col("c"), col("z"), col("band"), col("chunk"),
+        col("ahash").as("hash_a"))
+      val b = banded.select(col("image_id").as("image_b"), col("t"),
+        col("c"), col("z"), col("band"), col("chunk"),
+        col("ahash").as("hash_b"))
+      // a pair sharing several bands emerges once per shared band —
+      // the distinct collapses them (hamming is functional in the
+      // hashes, so the row is identical each time)
+      emit(a.join(b, Seq("t", "c", "z", "band", "chunk"))).distinct()
+    }
   }
 }

@@ -1371,6 +1371,14 @@ object TextOps {
    * Rows with null or non-positive weight are excluded (zero-weight
    * items have no sampling mass; the exponential key is undefined).
    *
+   * The ORDERING key is the 6dp-rounded exponential key (ties by
+   * doc_id), not the raw double: `-ln(u)/w` is transcendental and
+   * JVM `Math.log` vs another engine's libm can disagree in the last
+   * ulp, so near-ties at the k-th boundary could make two engines
+   * pick different samples — rounding to the same 6dp both engines
+   * already report as `wkey` makes the cross-engine boundary
+   * deterministic (r10 ADVICE).
+   *
    * Scale shape: one narrow projection computes the key map-side;
    * the top-k is `orderBy(...).limit(k)` — Spark plans
    * TakeOrderedAndProject (per-partition heaps + one k-row merge),
@@ -1385,10 +1393,11 @@ object TextOps {
     val w = weight.cast("double")
     docs.filter(w.isNotNull && w > 0)
       .select(col("doc_id").cast("long").as("doc_id"),
-        weight.cast("long").as("weight"), (-log(u) / w).as("k0"))
-      .orderBy(col("k0").asc, col("doc_id").asc)
+        weight.cast("long").as("weight"),
+        round(-log(u) / w, 6).as("wkey"))
+      .orderBy(col("wkey").asc, col("doc_id").asc)
       .limit(k)
-      .select(col("doc_id"), col("weight"), round(col("k0"), 6).as("wkey"))
+      .select(col("doc_id"), col("weight"), col("wkey"))
   }
 
   /**
@@ -1463,8 +1472,12 @@ object TextOps {
    * an order-free deterministic quota, stable under re-runs,
    * repartitions, and engine swaps (the [[sampleMix]] hash idiom).
    *
-   * Plan shape (100 TB): per-domain totals first (a tiny keyed
-   * aggregation — |domains| rows), broadcast back; domains at or
+   * Plan shape (100 TB): per-domain totals first (a keyed aggregation
+   * — |domains| rows, which for a web corpus is 10⁷–10⁸ REGISTERED
+   * DOMAINS, so the totals join is left to the optimizer/AQE rather
+   * than force-broadcast: a forced multi-GB broadcast OOMs the driver
+   * where a plain shuffle join is safe, and AQE still broadcasts
+   * automatically when totals are genuinely small); domains at or
    * under quota keep every doc WITHOUT entering a sort, so the
    * rank window runs only over the over-cap domains' docs — on web
    * crawls that's the head of a Zipf tail, a small fraction of the
@@ -1486,7 +1499,7 @@ object TextOps {
       col(keyCol).as("domain"), u8.as("u8"))
     val totals = base.groupBy(col("domain"))
       .agg(count(lit(1)).cast("long").as("n_docs_domain"))
-    val withN = base.join(broadcast(totals), Seq("domain"))
+    val withN = base.join(totals, Seq("domain"))
     val under = withN.filter(col("n_docs_domain") <= cap)
       .withColumn("keep", lit(1))
     val over = withN.filter(col("n_docs_domain") > cap)

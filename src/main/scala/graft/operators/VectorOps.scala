@@ -118,14 +118,45 @@ object VectorOps {
    */
   def bitextMargin(sideA: DataFrame, sideB: DataFrame, k: Int = 4): DataFrame = {
     graft.functions.ensureRegistered(sideA.sparkSession)
-    require(k > 0, s"bitextMargin: k $k must be positive")
     val a = broadcast(sideA.select(col("vec_id").cast("long").as("a_id"),
       col("embedding").as("a_emb")))
-    val pairs = Caches.persist(a.join(
+    bitextMarginFromPairs(a.join(
         sideB.select(col("vec_id").cast("long").as("b_id"),
           col("embedding").as("b_emb")), lit(true))
       .select(col("a_id"), col("b_id"),
-        cosine6(col("a_emb"), col("b_emb")).as("cos")))
+        cosine6(col("a_emb"), col("b_emb")).as("cos")), k)
+  }
+
+  /**
+   * The margin algebra of [[bitextMargin]], factored over an arbitrary
+   * candidate pair frame `(a_id, b_id, cos)` — the seam that makes the
+   * 100 TB path a drop-in: feed it the exhaustive cross-scored frame
+   * (certification, [[bitextMargin]]) or an ANN candidate frame
+   * ([[bitextMarginAnn]]) and the downstream hubness correction and
+   * argmax are byte-identical. Neighborhood means are computed over
+   * the SUPPLIED pairs (for ANN candidates that is the standard
+   * approximation: the top-k of retrieved candidates stands in for
+   * the true top-k neighborhood). No forced broadcasts — both mean
+   * frames are |side|-row tables at corpus scale, so the join
+   * strategy is left to the optimizer/AQE (the r10 `domainCap`
+   * lesson: a forced broadcast of a corpus-cardinality frame OOMs
+   * where a plain shuffle join is safe).
+   */
+  def bitextMarginFromPairs(pairFrame: DataFrame, k: Int = 4): DataFrame = {
+    require(k > 0, s"bitextMargin: k $k must be positive")
+    val pairs = Caches.persist(pairFrame.select(
+      col("a_id").cast("long").as("a_id"),
+      col("b_id").cast("long").as("b_id"), col("cos")))
+    // mean in EXACT integer arithmetic, not round(avg(double), 6): the
+    // cosines are 6dp decimals, so the top-k mean is the rational
+    // Σmicro/k — and a mean of 6dp decimals lands on a .5e-6 rounding
+    // boundary often (k=4: whenever Σmicro ≡ 2 mod 4), exactly where
+    // Spark's decimal-string HALF_UP and another engine's binary
+    // rounding disagree (observed on the ANN candidate frame). The
+    // HALF_UP division runs in integers (the `divHalfUp` positive-
+    // operand rearrangement; floor of an exact small-integer quotient
+    // is exact in IEEE), so both engines produce the identical 6dp
+    // decimal with no double ever rounded at a boundary.
     def neighborhoodMean(keyCol: String, outCol: String): DataFrame =
       pairs.withColumn("rn", row_number().over(
           Window.partitionBy(col(keyCol))
@@ -133,10 +164,17 @@ object VectorOps {
               col(if (keyCol == "a_id") "b_id" else "a_id").asc)))
         .filter(col("rn") <= k)
         .groupBy(col(keyCol))
-        .agg(round(avg(col("cos")), 6).as(outCol))
+        .agg(sum(round(col("cos") * 1000000.0, 0).cast("long")).as("s_"),
+          count(lit(1)).as("n_"))
+        .select(col(keyCol),
+          (when(col("s_") >= 0,
+            floor((col("s_") * 2 + col("n_")) / (col("n_") * 2)))
+            .otherwise(-floor(((-col("s_")) * 2 + col("n_")) /
+              (col("n_") * 2))))
+            .cast("double")./(1000000.0).as(outCol))
     val aMean = neighborhoodMean("a_id", "a_mean")
     val bMean = neighborhoodMean("b_id", "b_mean")
-    pairs.join(aMean, Seq("a_id")).join(broadcast(bMean), Seq("b_id"))
+    pairs.join(aMean, Seq("a_id")).join(bMean, Seq("b_id"))
       .select(col("a_id"), col("b_id"), col("cos"),
         col("a_mean"), col("b_mean"),
         round(col("cos") * 2 / (col("a_mean") + col("b_mean")), 6)
@@ -144,6 +182,49 @@ object VectorOps {
       .withColumn("rn", row_number().over(Window.partitionBy(col("a_id"))
         .orderBy(col("margin").desc, col("b_id").asc)))
       .filter(col("rn") === 1).drop("rn")
+  }
+
+  /**
+   * ANN-fed bitext margin mining — the shape that actually runs at
+   * corpus scale ([[bitextMargin]]'s docstring promise, now code):
+   * candidates come from an IVF stage instead of the |A|·|B|
+   * exhaustive cross join. The coarse codebook is the `nCentroids`
+   * smallest-id side-B vectors (deterministic, training-free — the
+   * [[ivfTopK]] seeding convention, so an external SQL oracle can
+   * replay assignment exactly); BOTH sides assign to their nearest
+   * centroid via the shared map-side [[assignClusters]] fold, and
+   * only same-cluster (A, B) pairs are scored. The margin algebra is
+   * [[bitextMarginFromPairs]] — shared, not duplicated.
+   *
+   * Scale shape: codebook broadcast as literals (KB), each side
+   * scanned once for assignment, ONE shuffle keyed by cluster for
+   * the candidate join — pair work is Σ|A_c|·|B_c| per cluster, not
+   * |A|·|B|. A vectors whose cluster holds no B vectors yield no row
+   * (approximate by design, like every ANN path here); recall is
+   * certified against the exhaustive path by the registry's
+   * sf-scale oracle, the `ivf_probe_curve` discipline.
+   */
+  def bitextMarginAnn(sideA: DataFrame, sideB: DataFrame, k: Int = 4,
+      nCentroids: Int = 16): DataFrame = {
+    graft.functions.ensureRegistered(sideA.sparkSession)
+    require(nCentroids > 0, s"bitextMarginAnn: nCentroids must be positive")
+    val cents = sideB.select(col("vec_id").cast("long").as("centroid_id"),
+        col("embedding").as("c_emb"))
+      .orderBy(col("centroid_id").asc).limit(nCentroids)
+    val aAssigned = assignClusters(
+        sideA.select(col("vec_id").cast("long").as("vec_id"), col("embedding")),
+        cents)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        col("cluster"))
+    val bAssigned = assignClusters(
+        sideB.select(col("vec_id").cast("long").as("vec_id"), col("embedding")),
+        cents)
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        col("cluster"))
+    bitextMarginFromPairs(
+      aAssigned.join(bAssigned, Seq("cluster"))
+        .select(col("a_id"), col("b_id"),
+          cosine6(col("a_emb"), col("b_emb")).as("cos")), k)
   }
 
   /** Deterministic pseudo-random hyperplane component: plane `j`,

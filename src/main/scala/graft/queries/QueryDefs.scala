@@ -6023,7 +6023,7 @@ GROUP BY c.doc_id""")),
           |      AS BIGINT) + 1) / 4294967296.0) / n_chars AS k0
           |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
           |SELECT doc_id, weight, round(k0, 6) AS wkey
-          |FROM b ORDER BY k0 ASC, doc_id ASC LIMIT 50""".stripMargin)),
+          |FROM b ORDER BY round(k0, 6) ASC, doc_id ASC LIMIT 50""".stripMargin)),
 
     // Train/eval n-gram coverage: per eval doc, fraction of its
     // distinct 3-grams appearing anywhere in the train split — the
@@ -6213,12 +6213,22 @@ GROUP BY c.doc_id""")),
            |    ${cosSql("a.embedding", "b.embedding")} AS cos
            |  FROM a, b),
            |am AS (
-           |  SELECT a_id, round(avg(cos), 6) AS a_mean FROM (
+           |  SELECT a_id, CAST(CASE
+    WHEN sum(CAST(round(cos * 1000000, 0) AS BIGINT)) >= 0
+    THEN (2 * sum(CAST(round(cos * 1000000, 0) AS BIGINT)) + count(*))
+      // (2 * count(*))
+    ELSE -((2 * -sum(CAST(round(cos * 1000000, 0) AS BIGINT)) + count(*))
+      // (2 * count(*))) END AS DOUBLE) / 1000000.0 AS a_mean FROM (
            |    SELECT a_id, cos, row_number() OVER (PARTITION BY a_id
            |      ORDER BY cos DESC, b_id ASC) AS rn FROM pairs)
            |  WHERE rn <= 4 GROUP BY 1),
            |bm AS (
-           |  SELECT b_id, round(avg(cos), 6) AS b_mean FROM (
+           |  SELECT b_id, CAST(CASE
+    WHEN sum(CAST(round(cos * 1000000, 0) AS BIGINT)) >= 0
+    THEN (2 * sum(CAST(round(cos * 1000000, 0) AS BIGINT)) + count(*))
+      // (2 * count(*))
+    ELSE -((2 * -sum(CAST(round(cos * 1000000, 0) AS BIGINT)) + count(*))
+      // (2 * count(*))) END AS DOUBLE) / 1000000.0 AS b_mean FROM (
            |    SELECT b_id, cos, row_number() OVER (PARTITION BY b_id
            |      ORDER BY cos DESC, a_id ASC) AS rn FROM pairs)
            |  WHERE rn <= 4 GROUP BY 1)
@@ -6228,7 +6238,104 @@ GROUP BY c.doc_id""")),
            |JOIN am ON am.a_id = p.a_id
            |JOIN bm ON bm.b_id = p.b_id
            |QUALIFY row_number() OVER (PARTITION BY p.a_id
-           |  ORDER BY margin DESC, p.b_id ASC) = 1""".stripMargin))
+           |  ORDER BY margin DESC, p.b_id ASC) = 1""".stripMargin)),
+
+    // ANN-fed bitext margin (the 100 TB path of bitext_margin): both
+    // sides IVF-assign to a deterministic 16-centroid codebook (the
+    // 16 smallest-id B vectors), only same-cluster pairs are scored,
+    // and the SHARED margin algebra ranks them — the oracle replays
+    // codebook, assignment, candidate join, and margin as chained
+    // CTEs, so the approximate path gets a full value-level hash
+    // match, not just a structural check.
+    ("bitext_margin_ann", (s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      VectorOps.bitextMarginAnn(
+        emb.filter(col("label") === 0), emb.filter(col("label") === 1),
+        k = 4, nCentroids = 16)
+    },
+      Some(
+        s"""WITH a AS (
+           |  SELECT CAST(vec_id AS BIGINT) AS a_id, embedding
+           |  FROM embeddings WHERE label = 0),
+           |b AS (
+           |  SELECT CAST(vec_id AS BIGINT) AS b_id, embedding
+           |  FROM embeddings WHERE label = 1),
+           |cents AS (
+           |  SELECT b_id AS centroid_id, embedding AS c_emb
+           |  FROM b ORDER BY b_id ASC LIMIT 16),
+           |aa AS (
+           |  SELECT a_id, embedding, centroid_id AS cluster FROM (
+           |    SELECT a.a_id, a.embedding, c.centroid_id,
+           |      row_number() OVER (PARTITION BY a.a_id ORDER BY
+           |        ${cosSql("a.embedding", "c.c_emb")} DESC,
+           |        c.centroid_id ASC) AS rn
+           |    FROM a, cents c) WHERE rn = 1),
+           |ba AS (
+           |  SELECT b_id, embedding, centroid_id AS cluster FROM (
+           |    SELECT b.b_id, b.embedding, c.centroid_id,
+           |      row_number() OVER (PARTITION BY b.b_id ORDER BY
+           |        ${cosSql("b.embedding", "c.c_emb")} DESC,
+           |        c.centroid_id ASC) AS rn
+           |    FROM b, cents c) WHERE rn = 1),
+           |pairs AS (
+           |  SELECT aa.a_id, ba.b_id,
+           |    ${cosSql("aa.embedding", "ba.embedding")} AS cos
+           |  FROM aa JOIN ba ON aa.cluster = ba.cluster),
+           |am AS (
+           |  SELECT a_id, CAST(CASE
+    WHEN sum(CAST(round(cos * 1000000, 0) AS BIGINT)) >= 0
+    THEN (2 * sum(CAST(round(cos * 1000000, 0) AS BIGINT)) + count(*))
+      // (2 * count(*))
+    ELSE -((2 * -sum(CAST(round(cos * 1000000, 0) AS BIGINT)) + count(*))
+      // (2 * count(*))) END AS DOUBLE) / 1000000.0 AS a_mean FROM (
+           |    SELECT a_id, cos, row_number() OVER (PARTITION BY a_id
+           |      ORDER BY cos DESC, b_id ASC) AS rn FROM pairs)
+           |  WHERE rn <= 4 GROUP BY 1),
+           |bm AS (
+           |  SELECT b_id, CAST(CASE
+    WHEN sum(CAST(round(cos * 1000000, 0) AS BIGINT)) >= 0
+    THEN (2 * sum(CAST(round(cos * 1000000, 0) AS BIGINT)) + count(*))
+      // (2 * count(*))
+    ELSE -((2 * -sum(CAST(round(cos * 1000000, 0) AS BIGINT)) + count(*))
+      // (2 * count(*))) END AS DOUBLE) / 1000000.0 AS b_mean FROM (
+           |    SELECT b_id, cos, row_number() OVER (PARTITION BY b_id
+           |      ORDER BY cos DESC, a_id ASC) AS rn FROM pairs)
+           |  WHERE rn <= 4 GROUP BY 1)
+           |SELECT p.b_id, p.a_id, p.cos, am.a_mean, bm.b_mean,
+           |  round(p.cos * 2 / (am.a_mean + bm.b_mean), 6) AS margin
+           |FROM pairs p
+           |JOIN am ON am.a_id = p.a_id
+           |JOIN bm ON bm.b_id = p.b_id
+           |QUALIFY row_number() OVER (PARTITION BY p.a_id
+           |  ORDER BY margin DESC, p.b_id ASC) = 1""".stripMargin)),
+
+    // Bucketed plane-table layout round-trip: the exploded plane table
+    // written bucketed+sorted on image_id, then re-nested and
+    // described — the per-image re-aggregation plans with ZERO
+    // exchanges off the bucketed scan (PlanSpec-pinned), the 100 TB
+    // answer to repeated per-image work over the plane form.
+    ("ome_bucketed_nest", (s: SparkSession, _: String) => {
+      LayoutOps.writePlanesBucketed(
+        OmeOps.explodePlanes(Fixtures.mixedCorpus(s)),
+        "graft_b_planes", "/tmp/graft_bucketed/planes", 8)
+      OmeOps.describe(OmeOps.nestPlanes(s.table("graft_b_planes")))
+    },
+      Some(
+        s"""WITH fams(prefix, st, sc, sz, sy, sx, typ) AS (VALUES
+           |  ('i2d',1,1,1,8,8,'2D image'),
+           |  ('i3d',1,2,3,8,8,'3D image (z-stack)'),
+           |  ('mov',3,1,1,8,8,'movie / timelapse'),
+           |  ('i4d',2,2,2,8,8,'4D timelapse-volume'))
+           |SELECT printf('%s-%04d', prefix, i.i) AS id,
+           |  CAST(st AS INT) AS size_t, CAST(sc AS INT) AS size_c,
+           |  CAST(sz AS INT) AS size_z, CAST(sy AS INT) AS size_y,
+           |  CAST(sx AS INT) AS size_x, typ AS type,
+           |  CAST(sc AS INT) AS channels, sc > 1 AS is_multichannel,
+           |  printf('%s, %s - shape (T=%d, C=%d, Z=%d, Y=%d, X=%d)', typ,
+           |    CASE WHEN sc > 1 THEN printf('multi-channel (%d channels)', sc)
+           |         ELSE 'single-channel' END,
+           |    st, sc, sz, sy, sx) AS summary
+           |FROM fams, generate_series(0,3) i(i)""".stripMargin))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

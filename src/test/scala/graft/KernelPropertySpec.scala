@@ -137,7 +137,8 @@ class KernelPropertySpec extends SparkSpec {
         } yield 1).size.toLong
         val r = ProfileOps.trianglesOf(edges.toDF("a", "b"), "a", "b")
           .collect().head
-        assert(r.getLong(1) === expect, s"trial=$trial edges=$expect")
+        assert(r.getLong(1) === expect,
+          s"trial=$trial expect=$expect edges=$edges")
       }
     }
   }

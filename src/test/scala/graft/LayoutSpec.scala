@@ -93,6 +93,80 @@ class LayoutSpec extends SparkSpec {
     assert(out(("a", "c")) > 32, s"inverted texture should be distant: $out")
   }
 
+  test("perceptualHashPairs: banded candidate stage has exact recall — " +
+      "band>maxHamming pigeonhole reproduces the exhaustive join") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // 12 images x 2 coordinates; half are noisy copies of a shared
+    // texture (close pairs at several hamming distances), half random
+    val shared = Array.fill(64)(rnd.nextInt(4096))
+    val planes = (for {
+      img <- 0 until 12
+      z <- 0 until 2
+    } yield {
+      val px =
+        if (img < 6) shared.map(v => v + (if (rnd.nextInt(8) == 0) 600 else 0))
+        else Array.fill(64)(rnd.nextInt(4096))
+      (f"img-$img%02d", 0, 0, z, 8, 8, px.toSeq)
+    }).toDF("image_id", "t", "c", "z", "size_x", "size_y", "pixels")
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5))).toSet
+    for (mh <- Seq(0, 3, 5, 16)) {
+      val banded = asSet(graft.operators.OmeOps.perceptualHashPairs(
+        planes, maxHamming = mh))
+      val full = asSet(graft.operators.OmeOps.perceptualHashPairs(
+        planes, maxHamming = mh, exhaustive = true))
+      assert(banded === full,
+        s"banded pairs diverge from exhaustive at maxHamming=$mh: " +
+          s"missing=${full -- banded} extra=${banded -- full}")
+    }
+  }
+
+  test("perceptualHashPairs: a plane wider than 64 pixels raises " +
+      "instead of silently wrapping the bit index") {
+    import spark.implicits._
+    val planes = Seq(("big", 0, 0, 0, 9, 8, (0 until 72).map(p => p * 7)))
+      .toDF("image_id", "t", "c", "z", "size_x", "size_y", "pixels")
+    val e = intercept[Exception] {
+      graft.operators.OmeOps.perceptualHashPairs(planes, maxHamming = 5)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("downscalePlanes")),
+      s"expected the precondition error, got: $e")
+  }
+
+  test("compactParquet: partitioned table compacts per leaf, preserves " +
+      "the partition layout and the partition column") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compactp").toString +
+      "/table"
+    val rows = (0L until 1000L).map(i => (i, s"p $i", if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "s", "day")
+    rows.repartition(20).write.partitionBy("day")
+      .mode("overwrite").parquet(dir)
+    val (nb, na) = graft.operators.LayoutOps.compactParquet(
+      spark, dir, targetBytes = 64L * 1024)
+    assert(nb === 40 && na < nb, // 20 files per partition before
+      s"expected fewer files after partitioned compaction: $nb -> $na")
+    // partition dirs survive in place — no flattening, no stragglers
+    val children = new java.io.File(dir).listFiles().map(_.getName).sorted
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+    assert(children.toSeq === Seq("day=a", "day=b"),
+      s"partition layout changed: ${children.toSeq}")
+    // content identical INCLUDING the partition column
+    val back = spark.read.parquet(dir)
+      .select(col("id"), col("s"), col("day")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    assert(back.toSeq ===
+      (0L until 1000L).map(i => (i, s"p $i", if (i % 2 == 0) "a" else "b")))
+    // partition pruning still works on the compacted layout
+    assert(spark.read.parquet(dir).filter(col("day") === "a").count() === 500L)
+  }
+
   test("compactParquet: collapses a small-file directory, preserves " +
       "content exactly, and survives re-reads after the swap") {
     import spark.implicits._

@@ -1784,4 +1784,39 @@ class TextVectorSpec extends SparkSpec {
     assert(rows(1L)._3 > 1.0)
     spark.catalog.clearCache() // bitextMargin persists its pair frame
   }
+
+  test("bitextMarginAnn: on well-separated clusters the IVF candidate " +
+      "stage reproduces the exhaustive margin rows exactly") {
+    // two orthogonal groups; every top-k neighborhood is within-group,
+    // so restricting candidates to the cluster changes nothing — the
+    // ANN path must agree with the exhaustive path row for row
+    def gx(t: Float) = Array(1.0f, t, 0.0f, 0.0f)
+    def gy(t: Float) = Array(0.0f, 0.0f, 1.0f, t)
+    val sideA = Seq(
+      (0L, gx(0.00f)), (1L, gx(0.15f)), (2L, gx(0.30f)), (3L, gx(0.45f)),
+      (4L, gy(0.00f)), (5L, gy(0.15f)), (6L, gy(0.30f)), (7L, gy(0.45f)))
+      .toDF("vec_id", "embedding")
+    // smallest two B ids are one per group -> the 2-centroid codebook
+    // lands one centroid in each group
+    val sideB = Seq(
+      (10L, gx(0.05f)), (11L, gy(0.05f)),
+      (12L, gx(0.20f)), (13L, gy(0.20f)),
+      (14L, gx(0.35f)), (15L, gy(0.35f)),
+      (16L, gx(0.50f)), (17L, gy(0.50f)))
+      .toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("cos"), r.getAs[Double]("a_mean"),
+        r.getAs[Double]("b_mean"), r.getAs[Double]("margin"))).toSet
+    val ann = rows(VectorOps.bitextMarginAnn(sideA, sideB, k = 2,
+      nCentroids = 2))
+    val full = rows(VectorOps.bitextMargin(sideA, sideB, k = 2))
+    assert(ann.size === 8, "one best match per A vector")
+    assert(ann === full,
+      s"ANN margin rows diverge: missing=${full -- ann} extra=${ann -- full}")
+    // every selected pair stays within its subspace group
+    assert(ann.forall { case (a, b, _, _, _, _) =>
+      (a < 4) === (b % 2 == 0) })
+    spark.catalog.clearCache() // both paths persist their pair frames
+  }
 }
