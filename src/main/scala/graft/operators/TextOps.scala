@@ -1371,13 +1371,19 @@ object TextOps {
    * Rows with null or non-positive weight are excluded (zero-weight
    * items have no sampling mass; the exponential key is undefined).
    *
-   * The ORDERING key is the 6dp-rounded exponential key (ties by
-   * doc_id), not the raw double: `-ln(u)/w` is transcendental and
-   * JVM `Math.log` vs another engine's libm can disagree in the last
-   * ulp, so near-ties at the k-th boundary could make two engines
-   * pick different samples — rounding to the same 6dp both engines
-   * already report as `wkey` makes the cross-engine boundary
-   * deterministic (r10 ADVICE).
+   * The ORDERING key quantizes the SCALE-FREE factor: `-ln(u)` (range
+   * (0, ~22.2]) rounds to an exact integer in 1e-12 units BEFORE the
+   * division by `w`, and rows order by `Lq / w` (ties by doc_id).
+   * `ln` is transcendental, so JVM `Math.log` vs another engine's
+   * libm can disagree in the last ulp and flip a raw-double k-th
+   * boundary (r10 ADVICE); after quantization both engines carry the
+   * identical exact integer, and the one IEEE division that follows
+   * is bit-identical everywhere. Quantizing `-ln(u)` rather than the
+   * quotient keeps the two contract properties intact that a flat
+   * 6dp-rounding of `k0` destroys: exact weight-scale invariance
+   * (same `Lq`, every key divides by the same constant) and the
+   * uniform-weights ≡ hash-top-k reduction (`Lq` stays strictly
+   * monotone in u — adjacent 2^-32 hash steps move ≥ ~230 quanta).
    *
    * Scale shape: one narrow projection computes the key map-side;
    * the top-k is `orderBy(...).limit(k)` — Spark plans
@@ -1394,10 +1400,13 @@ object TextOps {
     docs.filter(w.isNotNull && w > 0)
       .select(col("doc_id").cast("long").as("doc_id"),
         weight.cast("long").as("weight"),
-        round(-log(u) / w, 6).as("wkey"))
-      .orderBy(col("wkey").asc, col("doc_id").asc)
+        round(-log(u) * 1000000000000.0d, 0).cast("long").as("lnq"))
+      .orderBy((col("lnq").cast("double") / col("weight").cast("double")).asc,
+        col("doc_id").asc)
       .limit(k)
-      .select(col("doc_id"), col("weight"), col("wkey"))
+      .select(col("doc_id"), col("weight"),
+        round(col("lnq").cast("double") / 1000000000000.0d /
+          col("weight").cast("double"), 6).as("wkey"))
   }
 
   /**

@@ -6018,12 +6018,17 @@ GROUP BY c.doc_id""")),
         """WITH b AS (
           |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
           |    CAST(n_chars AS BIGINT) AS weight,
-          |    -ln((CAST('0x' || substr(md5('wsample|' ||
+          |    CAST(round(-ln((CAST('0x' || substr(md5('wsample|' ||
           |        CAST(CAST(doc_id AS BIGINT) AS VARCHAR)), 1, 8)
-          |      AS BIGINT) + 1) / 4294967296.0) / n_chars AS k0
+          |      AS BIGINT) + 1) / 4294967296.0) * 1000000000000.0, 0)
+          |      AS BIGINT) AS lnq
           |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
-          |SELECT doc_id, weight, round(k0, 6) AS wkey
-          |FROM b ORDER BY round(k0, 6) ASC, doc_id ASC LIMIT 50""".stripMargin)),
+          |SELECT doc_id, weight,
+          |  round(CAST(lnq AS DOUBLE) / 1000000000000.0
+          |    / CAST(weight AS DOUBLE), 6) AS wkey
+          |FROM b
+          |ORDER BY CAST(lnq AS DOUBLE) / CAST(weight AS DOUBLE) ASC,
+          |  doc_id ASC LIMIT 50""".stripMargin)),
 
     // Train/eval n-gram coverage: per eval doc, fraction of its
     // distinct 3-grams appearing anywhere in the train split — the

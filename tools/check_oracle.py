@@ -74,6 +74,25 @@ def coverage_gaps(query_names):
     return sorted(q for q in query_names if q not in cited)
 
 
+def header_drift(n_queries):
+    """COVERAGE.md's header advertises the registry size; r10's header said
+    198 while the registry held 209 (VERDICT r10 #5). The dump may be a
+    subset, so only a REGISTRY LARGER than the header is provable drift —
+    flag it so the header cannot lag again."""
+    cov = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "COVERAGE.md")
+    try:
+        with open(cov) as f:
+            m = re.search(r"\*\*(\d+) queries", f.read())
+    except OSError:
+        return None
+    if m and n_queries > int(m.group(1)):
+        return (f"HEADER DRIFT: COVERAGE.md header says {m.group(1)} "
+                f"queries but this dump alone has {n_queries} — sync the "
+                "header to QueryDefs.defs.size")
+    return None
+
+
 def main():
     out_dir = sys.argv[1]
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
@@ -111,9 +130,12 @@ def main():
     unmapped = coverage_gaps(oracles.keys())
     for q in unmapped:
         print(f"UNMAPPED {q}: not cited by any COVERAGE.md component row")
+    drift = header_drift(len(oracles))
+    if drift:
+        print(drift)
     print(f"\n{n_pass} pass / {n_fail} fail of {len(oracles)}"
           + (f"; {len(unmapped)} unmapped in COVERAGE.md" if unmapped else ""))
-    sys.exit(1 if n_fail or unmapped else 0)
+    sys.exit(1 if n_fail or unmapped or drift else 0)
 
 
 if __name__ == "__main__":
