@@ -2010,14 +2010,20 @@ object TextOps {
     require(terms.nonEmpty, "bm25TopK: at least one query term")
     require(kTop > 0, "bm25TopK: kTop must be positive")
     graft.functions.ensureRegistered(docs.sparkSession)
-    val base = docs
+    // persisted: BOTH the stats aggregate and the scoring pass consume
+    // this frame — without the barrier the corpus tokenizes twice
+    // (tokenize dominates; the projection itself is n_docs rows of
+    // 2+|terms| doubles, safe to cache at any corpus size). r11: the
+    // double-tokenize was the whole gap behind the r10 bench drift on
+    // this query (0.37 -> 0.76 s; ~0.30 s single-pass after).
+    val base = Caches.persist(docs
       .select(col("doc_id").cast("long").as("doc_id"),
         tokens(col("text")).as("toks"))
       .select(Seq(col("doc_id"),
         size(col("toks")).cast("double").as("dl")) ++
         terms.indices.map(i =>
           graft.functions.count_token(col("toks"), lit(terms(i)))
-            .cast("double").as(s"tf_$i")): _*)
+            .cast("double").as(s"tf_$i")): _*))
     val stats = base.agg(
       count(lit(1)).cast("double").as("n_docs"),
       (avg(col("dl")).as("avgdl") +:
