@@ -1522,6 +1522,53 @@ object TextOps {
   }
 
   /**
+   * Per-stratum TOKEN-BUDGET carving — real pretraining recipes
+   * specify mixes in tokens, not rates ("200 B tokens of web, 30 B of
+   * code"; [[sampleMix]] is the rate-based sampler, this is the
+   * budget-based one): within each stratum, documents admit in
+   * salted-id-hash order until the stratum's budget is exhausted —
+   * keep iff the running token total INCLUDING this document stays
+   * within budget. Strict PREFIX semantics: the first document that
+   * would overshoot closes the stratum (no later smaller doc sneaks
+   * in), so the sample is contiguous in hash order — reproducible
+   * across engines, re-runs, and corpus repartitions, and auditable
+   * from the cumulative column alone.
+   *
+   * Budgets are a stratum → token-count map inlined as literals;
+   * strata absent from the map get `defaultBudget` (default:
+   * unlimited, keep everything).
+   *
+   * Scale shape: ONE shuffle keyed by stratum for the running-total
+   * window (the [[sampleStratified]] shape). Strata are few and large
+   * by construction; for a pathological corpus-sized stratum,
+   * rate-thin first with [[sampleMix]] (rate ≈ budget / corpus
+   * tokens, shuffle-free) and exact-carve the survivors — the
+   * [[domainCap]] two-phase discipline.
+   *
+   * Returns every input doc with `(doc_id, stratum, u8, n_tokens,
+   * cum_tokens, keep)`; filter `keep = 1` for the carved corpus.
+   */
+  def sampleTokenBudget(docs: DataFrame, budgets: Map[String, Long],
+      defaultBudget: Long = Long.MaxValue, keyCol: String = "source",
+      tokenCol: String = "n_chars", salt: String = "tokbudget"): DataFrame = {
+    budgets.foreach { case (s, v) =>
+      require(v >= 0, s"sampleTokenBudget: budget for '$s' must be >= 0") }
+    val u8 = md5(concat(lit(salt), lit("|"),
+      col("doc_id").cast("long").cast("string"))).substr(1, 8)
+    val budget = budgets.foldLeft(when(lit(false), lit(0L))) {
+      case (acc, (s, v)) => acc.when(col("stratum") === s, lit(v))
+    }.otherwise(lit(defaultBudget))
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        col(keyCol).as("stratum"), u8.as("u8"),
+        col(tokenCol).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens",
+        sum(col("n_tokens")).over(Window.partitionBy(col("stratum"))
+          .orderBy(col("u8").asc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("keep", (col("cum_tokens") <= budget).cast("int"))
+  }
+
+  /**
    * BPE tokenizer training (Sennrich et al. 2016): learn `nMerges`
    * merge rules from the corpus. The CORPUS-SCALE stage is the one
    * distributed word-count aggregation; the iterative merge training

@@ -200,9 +200,9 @@ object VectorOps {
    * scanned once for assignment, ONE shuffle keyed by cluster for
    * the candidate join — pair work is Σ|A_c|·|B_c| per cluster, not
    * |A|·|B|. A vectors whose cluster holds no B vectors yield no row
-   * (approximate by design, like every ANN path here); recall is
-   * certified against the exhaustive path by the registry's
-   * sf-scale oracle, the `ivf_probe_curve` discipline.
+   * (approximate by design, like every ANN path here); recall vs the
+   * exhaustive path is certified by [[bitextMarginAnnRecall]]
+   * (`bitext_margin_recall`), the `ivf_probe_curve` discipline.
    */
   def bitextMarginAnn(sideA: DataFrame, sideB: DataFrame, k: Int = 4,
       nCentroids: Int = 16): DataFrame = {
@@ -225,6 +225,40 @@ object VectorOps {
       aAssigned.join(bAssigned, Seq("cluster"))
         .select(col("a_id"), col("b_id"),
           cosine6(col("a_emb"), col("b_emb")).as("cos")), k)
+  }
+
+  /**
+   * ANN-vs-exhaustive certification for [[bitextMarginAnn]] — the
+   * parameter-sizing evidence a 100 TB deployment reads before
+   * trusting the approximate path (the `ivf_probe_curve` /
+   * `ann_recall` discipline applied to margin mining): both paths run
+   * on the SAME sides, join on the A id, and one row reports
+   * `n_a` (exhaustive matches), `n_agree` (ANN picked the identical
+   * best B), `n_missed` (A ids the candidate stage starved — empty
+   * cluster), and `margin_gap_micro` (Σ of the 6dp margin deltas in
+   * exact micro-units where both paths answered — signed: the ANN
+   * margin can exceed the exhaustive one because its neighborhood
+   * means see only candidates). Certification-scale by intent: run at
+   * a sampled SF to size `nCentroids`, not on the full corpus.
+   */
+  def bitextMarginAnnRecall(sideA: DataFrame, sideB: DataFrame,
+      k: Int = 4, nCentroids: Int = 16): DataFrame = {
+    val full = bitextMargin(sideA, sideB, k)
+      .select(col("a_id"), col("b_id").as("full_b"),
+        col("margin").as("full_margin"))
+    val ann = bitextMarginAnn(sideA, sideB, k, nCentroids)
+      .select(col("a_id"), col("b_id").as("ann_b"),
+        col("margin").as("ann_margin"))
+    full.join(ann, Seq("a_id"), "left")
+      .agg(count(lit(1)).cast("long").as("n_a"),
+        sum(when(col("ann_b").isNotNull && col("ann_b") === col("full_b"),
+          1L).otherwise(0L)).cast("long").as("n_agree"),
+        sum(when(col("ann_b").isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_missed"),
+        sum(when(col("ann_b").isNotNull,
+          round((col("full_margin") - col("ann_margin")) * 1000000.0, 0)
+            .cast("long")).otherwise(0L)).cast("long")
+          .as("margin_gap_micro"))
   }
 
   /** Deterministic pseudo-random hyperplane component: plane `j`,

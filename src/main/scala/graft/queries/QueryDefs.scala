@@ -53,6 +53,19 @@ object QueryDefs {
        |     sqrt(list_sum(list_transform($y,
        |       a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE))))), 6)""".stripMargin
 
+  /** The bitext neighborhood mean as EXACT integer HALF_UP division
+    * over micro-unit cosine sums (divHalfUp's positive-operand
+    * rearrangement) — a mean of 6dp decimals lands on .5e-6 rounding
+    * boundaries where engines' double rounding diverges, so no double
+    * is ever rounded here (r11). Aggregate context: `cos` grouped. */
+  private def microMeanSql: String =
+    """CAST(CASE
+      |    WHEN sum(CAST(round(cos * 1000000, 0) AS BIGINT)) >= 0
+      |    THEN (2 * sum(CAST(round(cos * 1000000, 0) AS BIGINT)) + count(*))
+      |      // (2 * count(*))
+      |    ELSE -((2 * -sum(CAST(round(cos * 1000000, 0) AS BIGINT)) + count(*))
+      |      // (2 * count(*))) END AS DOUBLE) / 1000000.0""".stripMargin
+
   /** The CDC oracles' window hash, unrolled as `w` lag terms:
     * `(Σ_k cp(pos−k)·263^k mod 2^32) mod 2^32` — textually the same
     * arithmetic the native `CdcBoundaries` loop performs, so the
@@ -6177,6 +6190,32 @@ GROUP BY c.doc_id""")),
           |    AS keep
           |FROM rk""".stripMargin)),
 
+    // Token-budget carving: src0 capped at 3000 chars, src1 at 5000,
+    // everything else at 4000 — strict hash-order prefix per stratum.
+    ("sample_token_budget", (s: SparkSession, dir: String) =>
+      TextOps.sampleTokenBudget(t(s, dir, "documents"),
+        budgets = Map("src0" -> 3000L, "src1" -> 5000L),
+        defaultBudget = 4000L),
+      Some(
+        """WITH b AS (
+          |  SELECT CAST(doc_id AS BIGINT) AS doc_id, source AS stratum,
+          |    substr(md5('tokbudget|' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)),
+          |      1, 8) AS u8,
+          |    CAST(n_chars AS BIGINT) AS n_tokens
+          |  FROM documents),
+          |c AS (
+          |  SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY stratum
+          |    ORDER BY u8, doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |    AS cum_tokens
+          |  FROM b)
+          |SELECT doc_id, stratum, u8, n_tokens, cum_tokens,
+          |  CAST(CASE WHEN cum_tokens <=
+          |    CASE WHEN stratum = 'src0' THEN 3000
+          |         WHEN stratum = 'src1' THEN 5000 ELSE 4000 END
+          |    THEN 1 ELSE 0 END AS INT) AS keep
+          |FROM c""".stripMargin)),
+
     // Hard-negative mining: per probe, the 10 most-similar
     // different-label vectors (contrastive fine-tuning negatives).
     ("hard_negatives", (s: SparkSession, dir: String) =>
@@ -6218,22 +6257,12 @@ GROUP BY c.doc_id""")),
            |    ${cosSql("a.embedding", "b.embedding")} AS cos
            |  FROM a, b),
            |am AS (
-           |  SELECT a_id, CAST(CASE
-    WHEN sum(CAST(round(cos * 1000000, 0) AS BIGINT)) >= 0
-    THEN (2 * sum(CAST(round(cos * 1000000, 0) AS BIGINT)) + count(*))
-      // (2 * count(*))
-    ELSE -((2 * -sum(CAST(round(cos * 1000000, 0) AS BIGINT)) + count(*))
-      // (2 * count(*))) END AS DOUBLE) / 1000000.0 AS a_mean FROM (
+           |  SELECT a_id, $microMeanSql AS a_mean FROM (
            |    SELECT a_id, cos, row_number() OVER (PARTITION BY a_id
            |      ORDER BY cos DESC, b_id ASC) AS rn FROM pairs)
            |  WHERE rn <= 4 GROUP BY 1),
            |bm AS (
-           |  SELECT b_id, CAST(CASE
-    WHEN sum(CAST(round(cos * 1000000, 0) AS BIGINT)) >= 0
-    THEN (2 * sum(CAST(round(cos * 1000000, 0) AS BIGINT)) + count(*))
-      // (2 * count(*))
-    ELSE -((2 * -sum(CAST(round(cos * 1000000, 0) AS BIGINT)) + count(*))
-      // (2 * count(*))) END AS DOUBLE) / 1000000.0 AS b_mean FROM (
+           |  SELECT b_id, $microMeanSql AS b_mean FROM (
            |    SELECT b_id, cos, row_number() OVER (PARTITION BY b_id
            |      ORDER BY cos DESC, a_id ASC) AS rn FROM pairs)
            |  WHERE rn <= 4 GROUP BY 1)
@@ -6287,22 +6316,12 @@ GROUP BY c.doc_id""")),
            |    ${cosSql("aa.embedding", "ba.embedding")} AS cos
            |  FROM aa JOIN ba ON aa.cluster = ba.cluster),
            |am AS (
-           |  SELECT a_id, CAST(CASE
-    WHEN sum(CAST(round(cos * 1000000, 0) AS BIGINT)) >= 0
-    THEN (2 * sum(CAST(round(cos * 1000000, 0) AS BIGINT)) + count(*))
-      // (2 * count(*))
-    ELSE -((2 * -sum(CAST(round(cos * 1000000, 0) AS BIGINT)) + count(*))
-      // (2 * count(*))) END AS DOUBLE) / 1000000.0 AS a_mean FROM (
+           |  SELECT a_id, $microMeanSql AS a_mean FROM (
            |    SELECT a_id, cos, row_number() OVER (PARTITION BY a_id
            |      ORDER BY cos DESC, b_id ASC) AS rn FROM pairs)
            |  WHERE rn <= 4 GROUP BY 1),
            |bm AS (
-           |  SELECT b_id, CAST(CASE
-    WHEN sum(CAST(round(cos * 1000000, 0) AS BIGINT)) >= 0
-    THEN (2 * sum(CAST(round(cos * 1000000, 0) AS BIGINT)) + count(*))
-      // (2 * count(*))
-    ELSE -((2 * -sum(CAST(round(cos * 1000000, 0) AS BIGINT)) + count(*))
-      // (2 * count(*))) END AS DOUBLE) / 1000000.0 AS b_mean FROM (
+           |  SELECT b_id, $microMeanSql AS b_mean FROM (
            |    SELECT b_id, cos, row_number() OVER (PARTITION BY b_id
            |      ORDER BY cos DESC, a_id ASC) AS rn FROM pairs)
            |  WHERE rn <= 4 GROUP BY 1)
@@ -6313,6 +6332,95 @@ GROUP BY c.doc_id""")),
            |JOIN bm ON bm.b_id = p.b_id
            |QUALIFY row_number() OVER (PARTITION BY p.a_id
            |  ORDER BY margin DESC, p.b_id ASC) = 1""".stripMargin)),
+
+    // ANN-vs-exhaustive certification for the margin miner (the
+    // ivf_probe_curve discipline): one row — exhaustive A matches,
+    // how many the IVF path reproduced identically, how many it
+    // starved, and the signed micro-unit margin-gap mass. The oracle
+    // replays BOTH chains and the comparison join.
+    ("bitext_margin_recall", (s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      VectorOps.bitextMarginAnnRecall(
+        emb.filter(col("label") === 0), emb.filter(col("label") === 1),
+        k = 4, nCentroids = 16)
+    },
+      Some(
+        s"""WITH a AS (
+           |  SELECT CAST(vec_id AS BIGINT) AS a_id, embedding
+           |  FROM embeddings WHERE label = 0),
+           |b AS (
+           |  SELECT CAST(vec_id AS BIGINT) AS b_id, embedding
+           |  FROM embeddings WHERE label = 1),
+           |pairs_x AS (
+           |  SELECT a.a_id, b.b_id,
+           |    ${cosSql("a.embedding", "b.embedding")} AS cos
+           |  FROM a, b),
+           |amx AS (
+           |  SELECT a_id, $microMeanSql AS a_mean FROM (
+           |    SELECT a_id, cos, row_number() OVER (PARTITION BY a_id
+           |      ORDER BY cos DESC, b_id ASC) AS rn FROM pairs_x)
+           |  WHERE rn <= 4 GROUP BY 1),
+           |bmx AS (
+           |  SELECT b_id, $microMeanSql AS b_mean FROM (
+           |    SELECT b_id, cos, row_number() OVER (PARTITION BY b_id
+           |      ORDER BY cos DESC, a_id ASC) AS rn FROM pairs_x)
+           |  WHERE rn <= 4 GROUP BY 1),
+           |fullsel AS (
+           |  SELECT p.a_id, p.b_id,
+           |    round(p.cos * 2 / (am.a_mean + bm.b_mean), 6) AS margin
+           |  FROM pairs_x p
+           |  JOIN amx am ON am.a_id = p.a_id
+           |  JOIN bmx bm ON bm.b_id = p.b_id
+           |  QUALIFY row_number() OVER (PARTITION BY p.a_id
+           |    ORDER BY margin DESC, p.b_id ASC) = 1),
+           |cents AS (
+           |  SELECT b_id AS centroid_id, embedding AS c_emb
+           |  FROM b ORDER BY b_id ASC LIMIT 16),
+           |aa AS (
+           |  SELECT a_id, embedding, centroid_id AS cluster FROM (
+           |    SELECT a.a_id, a.embedding, c.centroid_id,
+           |      row_number() OVER (PARTITION BY a.a_id ORDER BY
+           |        ${cosSql("a.embedding", "c.c_emb")} DESC,
+           |        c.centroid_id ASC) AS rn
+           |    FROM a, cents c) WHERE rn = 1),
+           |ba AS (
+           |  SELECT b_id, embedding, centroid_id AS cluster FROM (
+           |    SELECT b.b_id, b.embedding, c.centroid_id,
+           |      row_number() OVER (PARTITION BY b.b_id ORDER BY
+           |        ${cosSql("b.embedding", "c.c_emb")} DESC,
+           |        c.centroid_id ASC) AS rn
+           |    FROM b, cents c) WHERE rn = 1),
+           |pairs_n AS (
+           |  SELECT aa.a_id, ba.b_id,
+           |    ${cosSql("aa.embedding", "ba.embedding")} AS cos
+           |  FROM aa JOIN ba ON aa.cluster = ba.cluster),
+           |amn AS (
+           |  SELECT a_id, $microMeanSql AS a_mean FROM (
+           |    SELECT a_id, cos, row_number() OVER (PARTITION BY a_id
+           |      ORDER BY cos DESC, b_id ASC) AS rn FROM pairs_n)
+           |  WHERE rn <= 4 GROUP BY 1),
+           |bmn AS (
+           |  SELECT b_id, $microMeanSql AS b_mean FROM (
+           |    SELECT b_id, cos, row_number() OVER (PARTITION BY b_id
+           |      ORDER BY cos DESC, a_id ASC) AS rn FROM pairs_n)
+           |  WHERE rn <= 4 GROUP BY 1),
+           |annsel AS (
+           |  SELECT p.a_id, p.b_id,
+           |    round(p.cos * 2 / (am.a_mean + bm.b_mean), 6) AS margin
+           |  FROM pairs_n p
+           |  JOIN amn am ON am.a_id = p.a_id
+           |  JOIN bmn bm ON bm.b_id = p.b_id
+           |  QUALIFY row_number() OVER (PARTITION BY p.a_id
+           |    ORDER BY margin DESC, p.b_id ASC) = 1)
+           |SELECT CAST(count(*) AS BIGINT) AS n_a,
+           |  CAST(sum(CASE WHEN n.b_id = f.b_id THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_agree,
+           |  CAST(sum(CASE WHEN n.b_id IS NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_missed,
+           |  CAST(sum(CASE WHEN n.b_id IS NOT NULL
+           |    THEN CAST(round((f.margin - n.margin) * 1000000, 0) AS BIGINT)
+           |    ELSE 0 END) AS BIGINT) AS margin_gap_micro
+           |FROM fullsel f LEFT JOIN annsel n ON n.a_id = f.a_id""".stripMargin)),
 
     // Bucketed plane-table layout round-trip: the exploded plane table
     // written bucketed+sorted on image_id, then re-nested and

@@ -1742,6 +1742,41 @@ class TextVectorSpec extends SparkSpec {
     assert(z.length === 10 && z.forall(_ >= 90L))
   }
 
+  test("sampleTokenBudget: strict hash-order prefix per stratum — the " +
+      "first overshooting doc closes the stratum; default budget " +
+      "applies to unmapped strata; deterministic under repartition") {
+    import spark.implicits._
+    val d = (0L until 40L).map(i =>
+      (i, if (i < 20) "web" else "code", 100L + i))
+      .toDF("doc_id", "source", "n_chars")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextOps.sampleTokenBudget(df, budgets = Map("web" -> 500L),
+        defaultBudget = 300L, tokenCol = "n_chars")
+    val out = run(d).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(3),
+        r.getLong(4), r.getInt(5))).toMap
+    assert(out.size === 40, "every input doc is returned with a flag")
+    // per stratum: kept docs are exactly the hash-order prefix whose
+    // cumulative stays within budget, and the flag matches cum<=budget
+    for ((stratum, budget) <- Seq("web" -> 500L, "code" -> 300L)) {
+      val rows = out.values.filter(_._1 == stratum).toSeq
+      assert(rows.forall { case (_, _, cum, keep) =>
+        keep == (if (cum <= budget) 1 else 0) })
+      val kept = rows.filter(_._4 == 1)
+      assert(kept.nonEmpty, s"$stratum: budget admits at least one doc")
+      assert(kept.map(_._2).sum <= budget,
+        s"$stratum: kept token mass must respect the budget")
+      // prefix: max kept cum < min dropped cum (contiguous in order)
+      val dropped = rows.filter(_._4 == 0)
+      if (dropped.nonEmpty)
+        assert(kept.map(_._3).max < dropped.map(_._3).min)
+    }
+    // repartition must not move the carve (hash order, not input order)
+    val again = run(d.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getInt(5)).toMap
+    assert(out.keys.forall(k => again(k) == out(k)._4))
+  }
+
   test("dimRecallCurve: full-width truncation recovers the truth " +
       "exactly (recall 1.0); short prefixes stay in [0, 1]") {
     import spark.implicits._
