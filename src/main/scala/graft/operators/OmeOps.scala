@@ -1657,4 +1657,55 @@ object OmeOps {
       emit(a.join(b, Seq("t", "c", "z", "band", "chunk"))).distinct()
     }
   }
+
+  /**
+   * Perceptual near-duplicate GROUPS: connected components over the
+   * image-level banded aHash pair graph ([[perceptualHashPairs]],
+   * collapsed across coordinates) — transitively linked
+   * re-acquisition/re-export chains fold into one cluster, exactly
+   * the imaging twin of [[TextOps.nearDupClustersMinhash]], and the
+   * clustering engine IS [[TextOps.connectedComponents]] (same
+   * driver-union-find / distributed-min-label strategies and
+   * convergence contract). EAGER, like every CC caller.
+   *
+   * Image ids are strings, so they bridge into the cluster engine's
+   * long domain via `xxhash64` (collision odds ~n²/2⁶⁴; a detected
+   * collision fails loudly) — but every OUTPUT is hash-independent:
+   * the cluster label is the MINIMUM image_id STRING of the
+   * component, so results are identical under any injective id
+   * numbering and an external engine can replay them without
+   * knowing xxhash64. One row per image that appears in a pair:
+   * `(image_id, cluster_image, cluster_size, is_keeper)`.
+   */
+  def perceptualHashClusters(planeDf: DataFrame, maxHamming: Int = 3,
+      maxIters: Int = 25, driverEdgeLimit: Long = 1000000L): DataFrame = {
+    val pairs = Caches.persist(
+      perceptualHashPairs(planeDf, maxHamming)
+        .select(col("image_a"), col("image_b")).distinct())
+    val ids = Caches.persist(
+      pairs.select(col("image_a").as("image_id"))
+        .union(pairs.select(col("image_b").as("image_id")))
+        .distinct()
+        .withColumn("nid", xxhash64(col("image_id"))))
+    val n = ids.count()
+    require(n == ids.select(col("nid")).distinct().count(),
+      "perceptualHashClusters: xxhash64 collision across image ids — " +
+        "renumber ids before clustering")
+    val edges = pairs
+      .join(ids.select(col("image_id").as("image_a"),
+        col("nid").as("nid_a")), "image_a")
+      .join(ids.select(col("image_id").as("image_b"),
+        col("nid").as("nid_b")), "image_b")
+      .select(col("nid_a"), col("nid_b"))
+    val cc = TextOps.connectedComponents(edges, maxIters,
+      driverEdgeLimit, idCol = "nid")
+    val labeled = cc.join(ids, "nid")
+    val keepers = labeled.groupBy(col("cluster_id"))
+      .agg(min(col("image_id")).as("cluster_image"))
+    labeled.join(keepers, "cluster_id")
+      .select(col("image_id"), col("cluster_image"),
+        col("cluster_size"),
+        (col("image_id") === col("cluster_image")).cast("int")
+          .as("is_keeper"))
+  }
 }

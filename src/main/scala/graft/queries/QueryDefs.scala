@@ -5951,6 +5951,59 @@ GROUP BY c.doc_id""")),
            |  AND a.img < b.img
            |WHERE bit_count(xor(a.ahash, b.ahash)) <= 5""".stripMargin)),
 
+    // Perceptual near-dup CLUSTERS: connected components over the
+    // image-level banded aHash graph (min-image-id labels, recursive
+    // CTE on the oracle side) — the imaging nearDupClustersMinhash.
+    ("ome_phash_clusters", (s: SparkSession, _: String) =>
+      OmeOps.perceptualHashClusters(
+        OmeOps.explodePlanes(Fixtures.texturedCorpus(s))
+          .select(col("image_id"), col("t"), col("c"), col("z"),
+            col("size_x"), col("size_y"), col("pixels"))
+          .withColumn("imgn",
+            substring(col("image_id"), 5, 4).cast("int"))
+          .withColumn("pixels", expr(
+            "transform(pixels, (v, p) -> CAST(v + " +
+              "((imgn * (p + 3)) % 29) * 40 AS INT))"))
+          .drop("imgn"),
+        maxHamming = 5),
+      Some(
+        s"""WITH RECURSIVE $px4e,
+           |pxp AS (
+           |  SELECT img, t, c, z, p,
+           |    v + ((img * (p + 3)) % 29) * 40 AS v
+           |  FROM px),
+           |ah AS (
+           |  SELECT img, t, c, z,
+           |    CAST(sum(CASE WHEN CAST(v AS BIGINT) * 64 > psum THEN
+           |      CASE WHEN p = 63 THEN -9223372036854775808
+           |        ELSE 1::BIGINT << p END
+           |      ELSE 0 END) AS BIGINT) AS ahash
+           |  FROM (SELECT pxp.*, sum(CAST(v AS BIGINT))
+           |          OVER (PARTITION BY img, t, c, z) AS psum FROM pxp)
+           |  GROUP BY img, t, c, z)
+           |, prs AS (
+           |  SELECT DISTINCT a.img AS ia, b.img AS ib
+           |  FROM ah a JOIN ah b ON a.t = b.t AND a.c = b.c AND a.z = b.z
+           |    AND a.img < b.img
+           |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 5),
+           |edges AS (
+           |  SELECT ia AS a, ib AS b FROM prs
+           |  UNION ALL SELECT ib, ia FROM prs),
+           |reach AS (
+           |  SELECT a AS node, a AS lbl FROM edges
+           |  UNION
+           |  SELECT e.b AS node, r.lbl AS lbl
+           |  FROM reach r JOIN edges e ON e.a = r.node),
+           |labels AS (
+           |  SELECT node, min(lbl) AS cl FROM reach GROUP BY node),
+           |sizes AS (
+           |  SELECT cl, count(*) AS cluster_size FROM labels GROUP BY 1)
+           |SELECT printf('i4e-%04d', l.node) AS image_id,
+           |  printf('i4e-%04d', l.cl) AS cluster_image,
+           |  CAST(s.cluster_size AS BIGINT) AS cluster_size,
+           |  CAST(l.node = l.cl AS INT) AS is_keeper
+           |FROM labels l JOIN sizes s USING (cl)""".stripMargin)),
+
     // The SQL surface: native graft_* expressions invoked through
     // plain spark.sql TEXT (the GraftExtensions cluster-deployment
     // claim, pinned by a hash row): NFC + simhash + token count +

@@ -123,6 +123,35 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("perceptualHashClusters: transitive chains fold into one " +
+      "cluster labeled by the minimum image id") {
+    import spark.implicits._
+    // constant-popcount patterns (32 bright of 64 → mean fixed at
+    // 2000) so the hash bit IS the pattern bit and hamming is exact:
+    // a~b at 2, b~c at 2, a vs c at 4 (> maxHamming 3) — only
+    // transitivity folds the chain; d is 32 bits away from everything
+    def px(set: Set[Int]) = (0 until 64).map(i => if (set(i)) 3000 else 1000)
+    val sa = (0 until 32).toSet
+    val sb = sa - 1 + 33
+    val sc = sb - 2 + 34
+    val sd = (16 until 48).toSet
+    val planes = Seq(
+      ("img-a", px(sa)), ("img-b", px(sb)),
+      ("img-c", px(sc)), ("img-d", px(sd)))
+      .map { case (id, p) => (id, 0, 0, 0, 8, 8, p) }
+      .toDF("image_id", "t", "c", "z", "size_x", "size_y", "pixels")
+    val out = graft.operators.OmeOps.perceptualHashClusters(
+      planes, maxHamming = 3).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2),
+        r.getInt(3))).toMap
+    assert(out.keySet === Set("img-a", "img-b", "img-c"),
+      s"chain members cluster, isolated image emits nothing: $out")
+    assert(out.values.forall(_._1 == "img-a"), "min-id labels the cluster")
+    assert(out.values.forall(_._2 == 3L))
+    assert(out("img-a")._3 == 1 && out("img-b")._3 == 0)
+    spark.catalog.clearCache() // pair/id frames persisted by the op
+  }
+
   test("perceptualHashPairs: a plane wider than 64 pixels raises " +
       "instead of silently wrapping the bit index") {
     import spark.implicits._
