@@ -4357,6 +4357,20 @@ GROUP BY c.doc_id""")),
           |  CAST(0 AS BIGINT) AS dup_doc,
           |  CAST(0 AS BIGINT) AS empty_stream""".stripMargin)),
 
+    // streaming token-budget admission: single-batch feed must
+    // reproduce the batch strict-prefix carve exactly
+    ("stream_token_budget_check", (s: SparkSession, dir: String) =>
+      graft.streaming.DocStream.tokenBudgetCheck(s, dir,
+        budgets = Map("src0" -> 3000L, "src1" -> 5000L),
+        defaultBudget = 4000L),
+      Some(
+        """SELECT CAST(0 AS BIGINT) AS missing_doc,
+          |  CAST(0 AS BIGINT) AS extra_doc,
+          |  CAST(0 AS BIGINT) AS keep_mismatch,
+          |  CAST(0 AS BIGINT) AS over_budget,
+          |  CAST(0 AS BIGINT) AS dup_doc,
+          |  CAST(0 AS BIGINT) AS empty_stream""".stripMargin)),
+
     ("stream_dedup_check", (s: SparkSession, dir: String) =>
       graft.streaming.DocStream.dedupCheck(s, dir),
       Some(

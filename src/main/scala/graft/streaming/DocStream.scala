@@ -737,4 +737,119 @@ object DocStream {
       (count(lit(1)) === 0).cast("long").as("empty_stream"))
     joined.crossJoin(over).crossJoin(dup).crossJoin(empty)
   }
+
+  /** One document on the token-budget stream. */
+  case class BudgetDoc(stratum: String, doc_id: Long, u8: String,
+      n_tokens: Long)
+
+  /** Admission decision: `cum_tokens` is the stratum's running admitted
+    * token total INCLUDING this doc (0 when rejected). */
+  case class BudgetAdmit(doc_id: Long, stratum: String, cum_tokens: Long,
+      admitted: Int)
+
+  /** Per-stratum state: admitted token total + closed flag — one Long
+    * and one Boolean per stratum. */
+  case class BudgetState(used: Long, closed: Boolean)
+
+  /**
+   * Streaming per-stratum TOKEN-BUDGET admission — the at-ingest
+   * counterpart of `TextOps.sampleTokenBudget`, the
+   * [[domainCapStream]] discipline applied to a token quota: each
+   * stratum admits documents until its budget would overshoot; the
+   * FIRST overshoot closes the stratum permanently (strict prefix —
+   * no later smaller doc sneaks in), mirroring the batch operator's
+   * contiguous-in-order contract. Arrivals sort by (u8, doc_id)
+   * within each micro-batch, so a single-batch feed reproduces the
+   * batch carve document-for-document (certified by
+   * [[tokenBudgetCheck]]); multi-batch feeds admit
+   * batch-order-then-hash.
+   *
+   * State is (Long, Boolean) per stratum; no timeout — the carve is
+   * permanent for the life of the query and survives checkpoint
+   * restarts.
+   */
+  def tokenBudgetStream(docs: DataFrame, budgets: Map[String, Long],
+      defaultBudget: Long = Long.MaxValue,
+      salt: String = "tokbudget"): Dataset[BudgetAdmit] = {
+    budgets.foreach { case (s, v) =>
+      require(v >= 0, s"tokenBudgetStream: budget for '$s' must be >= 0") }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val events = docs.select(col("source").as("stratum"),
+        col("doc_id").cast("long").as("doc_id"),
+        md5(concat(lit(salt), lit("|"),
+          col("doc_id").cast("long").cast("string"))).substr(1, 8).as("u8"),
+        col("n_chars").cast("long").as("n_tokens"))
+      .as[BudgetDoc]
+    events.groupByKey(_.stratum)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(
+        (stratum: String, it: Iterator[BudgetDoc],
+         state: GroupState[BudgetState]) => {
+          val budget = budgets.getOrElse(stratum, defaultBudget)
+          var st = state.getOption.getOrElse(BudgetState(0L, false))
+          val out = it.toArray.sortBy(d => (d.u8, d.doc_id)).map { d =>
+            val adm = !st.closed && st.used + d.n_tokens <= budget
+            if (adm) st = BudgetState(st.used + d.n_tokens, st.closed)
+            else st = BudgetState(st.used, true) // first overshoot closes
+            BudgetAdmit(d.doc_id, stratum, if (adm) st.used else 0L,
+              if (adm) 1 else 0)
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+
+  /**
+   * Structural self-check of [[tokenBudgetStream]] against
+   * `TextOps.sampleTokenBudget` (all-zeros pattern): the corpus
+   * streams as ONE batch, so the stream's sorted-within-batch strict
+   * prefix must equal the batch carve document-for-document.
+   * Violations: `missing_doc`, `extra_doc`, `keep_mismatch`,
+   * `over_budget` (strata whose admitted token mass exceeds their
+   * budget — the state invariant), `dup_doc`, `empty_stream`.
+   */
+  def tokenBudgetCheck(spark: SparkSession, dir: String,
+      budgets: Map[String, Long], defaultBudget: Long,
+      feedDir: String = "/tmp/graft_stream_tokbudget_feed",
+      timeoutMs: Long = 300000L): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val streamed = StreamDrain.once(spark, "graft_stream_tokbudget_check",
+        s"$dir|$defaultBudget|${budgets.toSeq.sorted.mkString(",")}|$feedDir",
+        timeoutMs, Seq(s"$dir/documents.parquet")) {
+      writeFeed(docs, feedDir, withSentinel = false)
+      tokenBudgetStream(
+        spark.readStream.schema(documentsSchema).parquet(feedDir),
+        budgets, defaultBudget).toDF()
+    }.select(col("doc_id"), col("stratum"),
+      col("admitted").as("s_admitted"))
+    val batch = graft.operators.TextOps.sampleTokenBudget(docs, budgets,
+        defaultBudget)
+      .select(col("doc_id"), col("n_tokens"), col("keep").as("b_keep"))
+    val joined = batch.join(streamed, Seq("doc_id"), "full_outer")
+      .agg(
+        coalesce(sum(when(col("s_admitted").isNull, 1L).otherwise(0L)),
+          lit(0L)).cast("long").as("missing_doc"),
+        coalesce(sum(when(col("b_keep").isNull, 1L).otherwise(0L)),
+          lit(0L)).cast("long").as("extra_doc"),
+        coalesce(sum(when(col("b_keep").isNotNull &&
+          col("s_admitted").isNotNull &&
+          col("b_keep") =!= col("s_admitted"), 1L).otherwise(0L)),
+          lit(0L)).cast("long").as("keep_mismatch"))
+    val budgetOf = budgets.foldLeft(when(lit(false), lit(0L))) {
+      case (acc, (s, v)) => acc.when(col("stratum") === s, lit(v))
+    }.otherwise(lit(defaultBudget))
+    val over = batch.join(streamed, Seq("doc_id"))
+      .filter(col("s_admitted") === 1)
+      .groupBy(col("stratum"))
+      .agg(sum(col("n_tokens")).as("tok_admitted"))
+      .agg(coalesce(sum(when(col("tok_admitted") > budgetOf, 1L)
+        .otherwise(0L)), lit(0L)).cast("long").as("over_budget"))
+    val dup = streamed.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
+      .agg(coalesce(sum(when(col("nw") > 1, 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("dup_doc"))
+    val empty = streamed.agg(
+      (count(lit(1)) === 0).cast("long").as("empty_stream"))
+    joined.crossJoin(over).crossJoin(dup).crossJoin(empty)
+  }
 }

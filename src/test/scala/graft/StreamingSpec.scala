@@ -398,4 +398,43 @@ class StreamingSpec extends SparkSpec {
         "quota must persist across batches: d rejects, e admits")
     } finally q.stop()
   }
+
+  test("streaming token budget: first overshoot CLOSES the stratum " +
+      "permanently — a later smaller doc is rejected across batches") {
+    import spark.implicits._
+    val dir = "/tmp/graft_test_tokbudgetstream"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def wave(rows: Seq[(Long, String, Long)]): Unit =
+      rows.map { case (id, src, n) => (id, s"doc $id", "en", src, n, t0) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars", "ingest_ts")
+        .coalesce(1).write.mode("append").parquet(dir)
+    // budget w=100: wave 1 admits 60; wave 2's big doc (70) overshoots
+    // and CLOSES w — the tiny doc (5) in wave 3 must still be rejected
+    wave(Seq((1L, "w", 60L), (10L, "x", 9L)))
+    val q = graft.streaming.DocStream.tokenBudgetStream(
+        spark.readStream
+          .schema(graft.streaming.DocStream.documentsSchema)
+          .parquet(dir), budgets = Map("w" -> 100L),
+        defaultBudget = 1000L)
+      .writeStream.format("memory").queryName("tokbudget_waves")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def snap() = spark.table("tokbudget_waves").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("cum_tokens"), r.getAs[Int]("admitted"))).toMap
+      assert(snap() === Map(1L -> (60L, 1), 10L -> (9L, 1)))
+      wave(Seq((2L, "w", 70L)))
+      q.processAllAvailable()
+      assert(snap()(2L) === ((0L, 0)), "70 overshoots the remaining 40")
+      wave(Seq((3L, "w", 5L), (11L, "x", 9L)))
+      q.processAllAvailable()
+      val w3 = snap()
+      assert(w3(3L) === ((0L, 0)),
+        "the overshoot closed stratum w — a later fitting doc stays out")
+      assert(w3(11L) === ((18L, 1)), "other strata keep admitting")
+    } finally q.stop()
+  }
 }
