@@ -843,6 +843,40 @@ object TextOps {
       maxIters, driverEdgeLimit)
 
   /**
+   * Quality-aware keeper selection over a NEAR-dup cluster frame — the
+   * fuzzy counterpart of [[dedupExactBest]] and the standard
+   * C4/RefinedWeb retention rule: among near-duplicates, keep the
+   * highest-`score` member (longest, best quality score, freshest —
+   * caller's choice), not the arbitrary minimum id the clustering
+   * emits. Takes ANY cluster frame shaped like
+   * [[connectedComponents]]'s output (`doc_id`, `cluster_id`), so it
+   * composes with the MinHash, SimHash, n-gram, and embedding cluster
+   * paths alike. Documents in no cluster form singleton groups and
+   * keep themselves (their own id can never collide with a real
+   * `cluster_id`, which is always the id of a CLUSTERED document).
+   *
+   * Scale shape: one id-keyed LEFT join (clusters frame is small —
+   * only near-dup members) + one cluster-keyed rank window whose
+   * partitions are cluster-sized. Returns every input doc:
+   * `(doc_id, cluster_id, score, is_kept)`.
+   */
+  def clusterBestKeeper(docs: DataFrame, clusters: DataFrame,
+      score: Column): DataFrame = {
+    val scored = docs.select(col("doc_id").cast("long").as("doc_id"),
+      score.cast("long").as("score"))
+    val member = clusters.select(col("doc_id").cast("long").as("doc_id"),
+      col("cluster_id").cast("long").as("cluster_id"))
+    scored.join(member, Seq("doc_id"), "left")
+      .withColumn("cluster_id",
+        coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("cluster_id"), col("score"),
+        (col("rn") === 1).cast("int").as("is_kept"))
+  }
+
+  /**
    * Connected components over an ARBITRARY undirected edge list — the
    * clustering engine behind [[nearDupClusters]], exposed for any pair
    * source (MinHash, SimHash, embedding-cosine, custom joins). The

@@ -2193,6 +2193,74 @@ chunks AS (
           |  CAST(l.node = l.cluster_id AS INT) AS is_keeper
           |FROM labels l JOIN sizes s USING (cluster_id)""".stripMargin)),
 
+    // Quality-aware near-dup retention (C4/RefinedWeb rule): keep the
+    // LONGEST member of each MinHash cluster, not the minimum id —
+    // the fuzzy counterpart of dedup_exact_best. Oracle = the full
+    // minhash cluster chain + the score argmax.
+    ("near_dup_best_keeper", (s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      TextOps.clusterBestKeeper(docs,
+        TextOps.nearDupClustersMinhash(docs), col("n_chars"))
+    },
+      Some(
+        """WITH RECURSIVE toks AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+          |  FROM documents),
+          |sh AS (
+          |  SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3
+          |      THEN [array_to_string(tk, ' ')]
+          |      ELSE list_transform(range(1, len(tk) - 1),
+          |             i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
+          |  FROM toks),
+          |hm AS (
+          |  SELECT doc_id, sh,
+          |    list_transform(sh, s ->
+          |      md5('0|' || s) || md5('1|' || s) || md5('2|' || s)) AS hs
+          |  FROM sh),
+          |sig AS (
+          |  SELECT doc_id, sh,
+          |    list_transform(range(0, 12), i ->
+          |      list_aggregate(list_transform(hs,
+          |        h -> substr(h, CAST(i*8+1 AS INT), 8)), 'min')) AS mh
+          |  FROM hm),
+          |banded AS (
+          |  SELECT doc_id, sh, b.b AS band,
+          |    md5(array_to_string(mh[b.b*3+1:b.b*3+3], '|')) AS band_key
+          |  FROM sig, generate_series(0, 3) b(b)),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |    a.sh AS sh_a, b.sh AS sh_b
+          |  FROM banded a JOIN banded b
+          |    ON a.band = b.band AND a.band_key = b.band_key
+          |   AND a.doc_id < b.doc_id),
+          |pairs AS (
+          |  SELECT doc_a, doc_b FROM (
+          |    SELECT doc_a, doc_b,
+          |      round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+          |            len(list_distinct(list_concat(sh_a, sh_b))), 6) AS jaccard
+          |    FROM cand)
+          |  WHERE jaccard >= 0.8),
+          |edges AS (
+          |  SELECT doc_a AS a, doc_b AS b FROM pairs
+          |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+          |reach AS (
+          |  SELECT a AS node, a AS lbl FROM edges
+          |  UNION
+          |  SELECT e.b AS node, r.lbl AS lbl
+          |  FROM reach r JOIN edges e ON e.a = r.node),
+          |labels AS (
+          |  SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+          |allr AS (
+          |  SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+          |    COALESCE(l.cluster_id, CAST(d.doc_id AS BIGINT)) AS cluster_id,
+          |    CAST(d.n_chars AS BIGINT) AS score
+          |  FROM documents d LEFT JOIN labels l ON l.node = d.doc_id)
+          |SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id, score,
+          |  CAST(row_number() OVER (PARTITION BY cluster_id
+          |    ORDER BY score DESC, doc_id ASC) = 1 AS INT) AS is_kept
+          |FROM allr""".stripMargin)),
+
     // PII scrub over deterministically augmented text (planted email +
     // phone per doc, so counts and the redaction hash are non-trivial)
     ("pii_scrub", (s: SparkSession, dir: String) =>

@@ -1742,6 +1742,23 @@ class TextVectorSpec extends SparkSpec {
     assert(z.length === 10 && z.forall(_ >= 90L))
   }
 
+  test("clusterBestKeeper: highest score wins its cluster (ties to the " +
+      "lower id); unclustered docs keep themselves") {
+    import spark.implicits._
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 5L), (9L, 1L))
+      .toDF("doc_id", "n_chars")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val out = TextOps.clusterBestKeeper(docs, clusters, col("n_chars"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(3))).toMap
+    assert(out.size === 5, "every doc gets a verdict")
+    // cluster 1: scores 10/30/30 -> doc 2 wins the tie over doc 3
+    assert(out(2L) === ((1L, 1)) && out(3L) === ((1L, 0)) &&
+      out(1L) === ((1L, 0)))
+    assert(out(4L) === ((4L, 1)), "singleton cluster keeps its member")
+    assert(out(9L) === ((9L, 1)), "unclustered doc keeps itself")
+  }
+
   test("sampleTokenBudget: strict hash-order prefix per stratum — the " +
       "first overshooting doc closes the stratum; default budget " +
       "applies to unmapped strata; deterministic under repartition") {
