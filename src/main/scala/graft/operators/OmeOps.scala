@@ -1615,6 +1615,12 @@ object OmeOps {
       .select(col("image_id"), col("t").cast("int").as("t"),
         col("c").cast("int").as("c"), col("z").cast("int").as("z"),
         col("ahash"))
+      // persisted: BOTH sides of the candidate self-join (banded or
+      // exhaustive) consume this frame — without the barrier the
+      // corpus' pixel columns scan twice and the aHash fold runs
+      // twice (the bm25 r11 lesson); the frame itself is 8 bytes of
+      // hash + coordinates per plane, cacheable at any corpus size
+      .transform(Caches.persist(_))
     def emit(cands: DataFrame): DataFrame = cands
       .filter(col("image_a") < col("image_b"))
       .withColumn("hamming",
