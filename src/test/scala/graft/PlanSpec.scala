@@ -601,6 +601,43 @@ class PlanSpec extends SparkSpec {
       s"ANN margin fell back to an all-pairs product:\n$p")
   }
 
+  test("banded perceptualHashPairs: candidates come from the " +
+      "(t,c,z,band,chunk) equi-join — never a nested-loop product") {
+    val p = plan(SparkEntry.queries("ome_phash_pairs")(
+      spark, "/root/testdata/sf0.001"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"banded phash fell back to an all-pairs product:\n$p")
+    spark.catalog.clearCache() // hashed frame persisted by the op
+  }
+
+  test("sampleTokenBudget: one stratum-keyed window, no global " +
+      "single-partition sort") {
+    val p = plan(SparkEntry.queries("sample_token_budget")(
+      spark, "/root/testdata/sf0.001"))
+    assert(!p.contains("SinglePartition"),
+      s"budget carve funneled to a single partition:\n$p")
+    val bcasts = "BroadcastExchange".r.findAllIn(p).length
+    val shuffles = "Exchange".r.findAllIn(p).length - bcasts
+    assert(shuffles <= 1, s"expected only the stratum window shuffle: " +
+      s"$shuffles\n$p")
+  }
+
+  test("clusterBestKeeper: the rank window partitions by cluster — " +
+      "no global window, no nested-loop join") {
+    val docs = spark.read.parquet(
+      "/root/testdata/sf0.001/documents.parquet")
+    val clusters = graft.operators.TextOps.nearDupClustersMinhash(docs)
+    val p = plan(graft.operators.TextOps.clusterBestKeeper(
+      docs, clusters, col("n_chars")))
+    assert(!p.contains("SinglePartition"),
+      s"keeper selection funneled to a single partition:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"membership join fell back to a product:\n$p")
+    spark.catalog.clearCache() // CC pair frame persisted upstream
+  }
+
   test("hardNegatives keeps cosineTopK's shape: probes broadcast, one " +
       "shuffle (the probe-partitioned rank), label filter inside the " +
       "join") {
