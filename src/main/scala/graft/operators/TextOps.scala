@@ -608,6 +608,44 @@ object TextOps {
   }
 
   /**
+   * Gopher duplicate-LINE repetition signals (Rae et al. 2021 A1.1's
+   * line-granularity rules — [[repetitionStats]] covers the n-gram
+   * granularity): per document, the fraction of non-empty lines that
+   * occur more than once WITHIN the document, and the fraction of
+   * line characters belonging to such duplicated lines — the signal
+   * that catches chat logs, scraped tables, and templated listings
+   * whose repetition is line-structured rather than n-gram-dense.
+   *
+   * Scale shape: a pure narrow map — lines never leave their row, so
+   * NOTHING shuffles (the in-row occurrence count is O(lines²) HOF
+   * work per document; web documents hold 10²–10³ lines, so the row
+   * cost is bounded and the zero-shuffle trade wins over exploding
+   * every line of a 100 TB corpus into a (doc, line) aggregation).
+   * Empty documents report zero lines and 0.0 fractions.
+   */
+  def duplicateLineStats(docs: DataFrame, sep: String = "\n"): DataFrame = {
+    // DSL split/filter, not an expr string: a quoted separator like
+    // "\n" does not survive the SQL string-literal escape round-trip
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        filter(split(col("text"), java.util.regex.Pattern.quote(sep)),
+          x => x =!= "").as("lines"))
+      .select(col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        expr("""filter(lines,
+          |  x -> size(filter(lines, y -> y = x)) > 1)""".stripMargin)
+          .as("dups"),
+        expr("aggregate(lines, 0L, (a, x) -> a + length(x))").as("chars"))
+      .select(col("doc_id"), col("n_lines"),
+        when(col("n_lines") === 0, lit(0.0))
+          .otherwise(round(size(col("dups")).cast("double") /
+            col("n_lines"), 6)).as("dup_line_frac"),
+        when(col("chars") === 0L, lit(0.0))
+          .otherwise(round(
+            expr("aggregate(dups, 0L, (a, x) -> a + length(x))")
+              .cast("double") / col("chars"), 6)).as("dup_line_char_frac"))
+  }
+
+  /**
    * CCNet-style repeated-segment REMOVAL (Wenzek et al. 2020, "CCNet:
    * Extracting high quality monolingual datasets from web crawl data"):
    * documents split on `sep` into segments (paragraphs for "\n\n",

@@ -2088,6 +2088,52 @@ chunks AS (
           |    / CAST(count(*) AS DOUBLE), 6) AS boiler_frac
           |FROM g JOIN d USING (gram) GROUP BY g.doc_id""".stripMargin)),
 
+    // Gopher duplicate-LINE repetition: deterministic line injection
+    // (every doc gains an 'item' line, repeated when id%3=0) so the
+    // fractions discriminate — the line-granularity Gopher signal.
+    ("dup_line_stats", (s: SparkSession, dir: String) => {
+      val id = col("doc_id").cast("long")
+      TextOps.duplicateLineStats(t(s, dir, "documents").withColumn("text",
+        concat(col("text"),
+          lit("\nitem "), (id % 7).cast("string"),
+          when(id % 3 === 0,
+            concat(lit("\nitem "), (id % 7).cast("string")))
+            .otherwise(concat(lit("\nuniq "), id.cast("string"))),
+          lit("\ntail "), (id % 5).cast("string"))))
+    },
+      Some(
+        """WITH aug AS (
+          |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |    text || chr(10) || 'item ' ||
+          |      CAST(CAST(doc_id AS BIGINT) % 7 AS VARCHAR)
+          |    || CASE WHEN CAST(doc_id AS BIGINT) % 3 = 0
+          |        THEN chr(10) || 'item ' ||
+          |          CAST(CAST(doc_id AS BIGINT) % 7 AS VARCHAR)
+          |        ELSE chr(10) || 'uniq ' ||
+          |          CAST(CAST(doc_id AS BIGINT) AS VARCHAR) END
+          |    || chr(10) || 'tail ' ||
+          |      CAST(CAST(doc_id AS BIGINT) % 5 AS VARCHAR) AS text
+          |  FROM documents),
+          |l AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+          |  FROM aug),
+          |m AS (
+          |  SELECT doc_id, len(lines) AS n_lines,
+          |    list_filter(lines,
+          |      x -> len(list_filter(lines, y -> y = x)) > 1) AS dups,
+          |    list_sum(list_transform(lines, x -> len(x))) AS chars
+          |  FROM l)
+          |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+          |  CASE WHEN n_lines = 0 THEN 0.0
+          |    ELSE round(CAST(len(dups) AS DOUBLE) / n_lines, 6) END
+          |    AS dup_line_frac,
+          |  CASE WHEN chars = 0 THEN 0.0
+          |    ELSE round(CAST(coalesce(
+          |      list_sum(list_transform(dups, x -> len(x))), 0) AS DOUBLE)
+          |      / chars, 6) END AS dup_line_char_frac
+          |FROM m""".stripMargin)),
+
     // connected components over the exact-Jaccard pair graph (min-label
     // propagation on the Spark side, recursive CTE on the oracle side)
     ("near_dup_clusters", (s: SparkSession, dir: String) =>

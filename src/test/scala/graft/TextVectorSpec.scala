@@ -1742,6 +1742,25 @@ class TextVectorSpec extends SparkSpec {
     assert(z.length === 10 && z.forall(_ >= 90L))
   }
 
+  test("duplicateLineStats: within-doc duplicated lines and their char " +
+      "mass; empty docs and empty lines handled") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "aa\nbb\naa\ncc"),       // 4 lines, 'aa' twice -> 2/4, 4/8 chars
+      (2L, "x\n\n\nx\ny"),          // empties drop: x,x,y -> 2/3, 2/3
+      (3L, "one\ntwo\nthree"),      // no dups
+      (4L, ""))                     // empty doc
+      .toDF("doc_id", "text")
+    val out = TextOps.duplicateLineStats(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    assert(out(1L) === ((4L, 0.5, 0.5)))
+    assert(out(2L) === ((3L, math.rint(2.0 / 3 * 1e6) / 1e6,
+      math.rint(2.0 / 3 * 1e6) / 1e6)))
+    assert(out(3L) === ((3L, 0.0, 0.0)))
+    assert(out(4L) === ((0L, 0.0, 0.0)))
+  }
+
   test("clusterBestKeeper: highest score wins its cluster (ties to the " +
       "lower id); unclustered docs keep themselves") {
     import spark.implicits._
