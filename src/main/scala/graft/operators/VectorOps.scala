@@ -1315,6 +1315,56 @@ object VectorOps {
   }
 
   /**
+   * MULTI-PROBE IVF-PQ — the configuration billion-scale deployments
+   * actually run (FAISS `IVFx,PQy` with `nprobe > 1`): each probe
+   * searches its `nProbe` nearest centroids' cells by asymmetric PQ
+   * distance over codes, combining [[ivfTopKProbed]]'s recall lever
+   * with [[ivfPqTopK]]'s 32× code compression. `nProbe = nCentroids`
+   * degenerates to whole-corpus ADC ([[pqTopK]]).
+   *
+   * Scale shape: the centroid ranking crosses the (small) probe set
+   * with the (small) codebook; the corpus encodes once and shuffles
+   * ONCE keyed by its assigned cluster; probes replicate `nProbe`×
+   * into the cell join — corpus-side work identical to single-probe,
+   * only the probe fan-out grows. A neighbor lives in exactly one
+   * cell, so no dedup is needed across probed cells.
+   */
+  def ivfPqTopKProbed(emb: DataFrame, nProbes: Int, k: Int,
+      nProbe: Int = 3, m: Int = 8, kCent: Int = 16,
+      nCentroids: Int = 16): DataFrame = {
+    graft.functions.ensureRegistered(emb.sparkSession)
+    require(nProbes > 0 && k > 0 && nProbe > 0,
+      "ivfPqTopKProbed: nProbes, k, nProbe must be positive")
+    val book = pqCodebook(emb, m, kCent)
+    val cents = firstNCentroids(emb, nCentroids)
+    val codes = assignClusters(emb, cents).select(col("cluster"),
+      col("vec_id").cast("long").as("neighbor_id"),
+      graft.functions.pq_encode(col("embedding"), book, m).as("codes"))
+    val probeClusters = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").cast("long").as("probe_id"),
+        col("embedding").as("p_emb"))
+      .crossJoin(broadcast(cents))
+      .select(col("probe_id"), col("p_emb"), col("centroid_id"),
+        cosine6(col("p_emb"), col("c_emb")).as("c_score"))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("c_score").desc, col("centroid_id").asc)))
+      .filter(col("crnk") <= nProbe)
+      .select(col("probe_id"), col("p_emb"),
+        col("centroid_id").as("cluster"))
+    broadcast(probeClusters).join(codes, Seq("cluster"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        round(graft.functions.pq_adc(col("p_emb"), col("codes"), book), 6)
+          .as("adc_dist"))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("adc_dist").asc, col("neighbor_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk").cast("int").as("rnk"),
+        col("neighbor_id"), col("adc_dist"))
+  }
+
+  /**
    * Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009, "Reciprocal
    * Rank Fusion outperforms Condorcet..."): combine a SPARSE ranked list
    * (BM25) with a DENSE one (cosine top-k) by
