@@ -6094,6 +6094,27 @@ GROUP BY c.doc_id""")),
           |    AS text_xor
           |FROM documents GROUP BY source""".stripMargin)),
 
+    // GZIPPED JSONL roundtrip (the .json.gz shipping form of Pile/
+    // Dolma-style corpora): write compressed, reader picks the codec
+    // from the extension — same digest contract as the plain path.
+    ("jsonl_gz_roundtrip", (s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      graft.sources.DocJsonl.write(docs, "/tmp/graft_q_jsonl_gz",
+        compression = "gzip")
+      graft.sources.DocJsonl.read(s, "/tmp/graft_q_jsonl_gz")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          expr("bit_xor(CAST(conv(substring(md5(text), 1, 15), 16, 10) " +
+            "AS BIGINT))").as("text_xor"))
+    },
+      Some(
+        """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |  bit_xor(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT))
+          |    AS text_xor
+          |FROM documents GROUP BY source""".stripMargin)),
+
     // Orthogonal MIP (XZ orthoslice): per (image, t, c), a z-by-x side
     // view of per-column maxima over y — digest-reduced; the oracle
     // re-derives each (z, x) max from the closed-form textured grid.
