@@ -1288,6 +1288,35 @@ object OmeOps {
         col("pixels"))
   }
 
+  /** The YZ orthoslice companion of [[orthoMipXZ]] — the volumetric
+    * viewer's OTHER side panel: per (image, t, c), a size_z-by-size_y
+    * view whose pixel (z, y) is the maximum over x of row y in
+    * z-plane z. Same shape: per-plane row-max fold is narrow, the
+    * assembly is one image-keyed aggregation bounded by geometry, and
+    * `sort_array` makes collect order irrelevant. */
+  def orthoMipYZ(planeDf: DataFrame): DataFrame = {
+    graft.functions.ensureRegistered(planeDf.sparkSession)
+    val rowMax = expr(
+      """transform(sequence(0, CAST(size(pixels) / size_x AS INT) - 1), y ->
+        |  aggregate(
+        |    sequence(0, size_x - 1),
+        |    CAST(NULL AS INT),
+        |    (m, x) -> CASE WHEN m IS NULL THEN pixels[y * size_x + x]
+        |      ELSE greatest(m, pixels[y * size_x + x]) END))""".stripMargin)
+    planeDf
+      .withColumn("zrow", rowMax)
+      .groupBy(col("image_id"), col("t"), col("c"))
+      .agg(first(size(col("zrow"))).cast("int").as("size_x"), // y axis
+        count(lit(1)).cast("int").as("size_y"), // z becomes the row axis
+        flatten(transform(
+          sort_array(collect_list(struct(col("z").cast("int").as("z"),
+            col("zrow").as("r")))),
+          s => s.getField("r"))).as("pixels"))
+      .select(col("image_id"), col("t").cast("int").as("t"),
+        col("c").cast("int").as("c"), col("size_x"), col("size_y"),
+        col("pixels"))
+  }
+
   /** Keep the ride-along `record_meta` consistent with the flat
     * `size_x`/`size_y` columns after a plane-table pixel transform, so
     * `nestPlanes` reconstructs records whose `pixels_meta` matches their

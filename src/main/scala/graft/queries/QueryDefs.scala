@@ -6094,6 +6094,26 @@ GROUP BY c.doc_id""")),
           |    AS text_xor
           |FROM documents GROUP BY source""".stripMargin)),
 
+    // Ingest triage over a feed with INJECTED corrupt lines: the
+    // PERMISSIVE quarantine must count them under '_corrupt' without
+    // dying and without disturbing the per-source parsed totals.
+    ("jsonl_ingest_report", (s: SparkSession, dir: String) => {
+      val p = "/tmp/graft_q_jsonl_ing"
+      graft.sources.DocJsonl.write(t(s, dir, "documents"), p)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(p, "zz-corrupt.json"),
+        "xx not json 1\nxx not json 2\nxx not json 3\n")
+      graft.sources.DocJsonl.ingestReport(s, p)
+    },
+      Some(
+        """SELECT source, CAST(count(*) AS BIGINT) AS n_lines,
+          |  CAST(0 AS BIGINT) AS n_corrupt,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM documents GROUP BY source
+          |UNION ALL
+          |SELECT '_corrupt', CAST(3 AS BIGINT), CAST(3 AS BIGINT),
+          |  CAST(0 AS BIGINT)""".stripMargin)),
+
     // GZIPPED JSONL roundtrip (the .json.gz shipping form of Pile/
     // Dolma-style corpora): write compressed, reader picks the codec
     // from the extension — same digest contract as the plain path.
@@ -6133,6 +6153,27 @@ GROUP BY c.doc_id""")),
            |  CAST(c AS INT) AS c, CAST(8 AS INT) AS size_x,
            |  CAST(3 AS INT) AS size_y,
            |  list(CAST(mv AS INT) ORDER BY z, x) AS pixels
+           |FROM cm GROUP BY img, t, c""".stripMargin,
+        Seq("image_id", "t", "c", "size_x", "size_y"),
+        Seq("pixels" -> "px")))),
+
+    // The YZ orthoslice (the viewer's other side panel): per
+    // (image, t, c), a z-by-y view of per-row maxima over x.
+    ("ome_ortho_yz", (s: SparkSession, _: String) =>
+      digestArray(OmeOps.orthoMipYZ(
+        OmeOps.explodePlanes(Fixtures.texturedCorpus(s))
+          .select(col("image_id"), col("t"), col("c"), col("z"),
+            col("size_x"), col("size_y"), col("pixels"))),
+        "pixels", "px"),
+      Some(digestWrap(
+        s"""WITH $px4e,
+           |cm AS (
+           |  SELECT img, t, c, z, y, max(v) AS mv
+           |  FROM px GROUP BY 1, 2, 3, 4, 5)
+           |SELECT $id4e AS image_id, CAST(t AS INT) AS t,
+           |  CAST(c AS INT) AS c, CAST(8 AS INT) AS size_x,
+           |  CAST(3 AS INT) AS size_y,
+           |  list(CAST(mv AS INT) ORDER BY z, y) AS pixels
            |FROM cm GROUP BY img, t, c""".stripMargin,
         Seq("image_id", "t", "c", "size_x", "size_y"),
         Seq("pixels" -> "px")))),
