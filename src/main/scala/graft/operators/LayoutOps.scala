@@ -58,7 +58,10 @@ object LayoutOps {
    * columns, pruning, and discovery are untouched (the flat-path
    * sizing alone would see zero files, read the whole table through
    * Spark's recursive reader, and flatten it to one file). Hidden
-   * children (`_`/`.` prefixes, e.g. `_SUCCESS`) are ignored.
+   * children (`_`/`.` prefixes, e.g. `_SUCCESS`) are ignored. A
+   * mixed layout (data files AND partition subdirectories at the
+   * same level — not a valid Hive table) compacts only the
+   * subtrees and leaves the loose root files untouched.
    *
    * Swap discipline per leaf: the rewrite lands in
    * `<path>.compact.tmp`, then two renames swap it in, and a failed

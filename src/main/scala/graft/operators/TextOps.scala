@@ -625,9 +625,11 @@ object TextOps {
    */
   def duplicateLineStats(docs: DataFrame, sep: String = "\n"): DataFrame = {
     // DSL split/filter, not an expr string: a quoted separator like
-    // "\n" does not survive the SQL string-literal escape round-trip
+    // "\n" does not survive the SQL string-literal escape round-trip.
+    // NULL text coalesces to "" so it reports zero lines, not NULLs.
     docs.select(col("doc_id").cast("long").as("doc_id"),
-        filter(split(col("text"), java.util.regex.Pattern.quote(sep)),
+        filter(split(coalesce(col("text"), lit("")),
+          java.util.regex.Pattern.quote(sep)),
           x => x =!= "").as("lines"))
       .select(col("doc_id"),
         size(col("lines")).cast("long").as("n_lines"),

@@ -1749,7 +1749,8 @@ class TextVectorSpec extends SparkSpec {
       (1L, "aa\nbb\naa\ncc"),       // 4 lines, 'aa' twice -> 2/4, 4/8 chars
       (2L, "x\n\n\nx\ny"),          // empties drop: x,x,y -> 2/3, 2/3
       (3L, "one\ntwo\nthree"),      // no dups
-      (4L, ""))                     // empty doc
+      (4L, ""),                     // empty doc
+      (5L, null.asInstanceOf[String])) // null text -> zeros, not NULLs
       .toDF("doc_id", "text")
     val out = TextOps.duplicateLineStats(d).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
@@ -1759,6 +1760,7 @@ class TextVectorSpec extends SparkSpec {
       math.rint(2.0 / 3 * 1e6) / 1e6)))
     assert(out(3L) === ((3L, 0.0, 0.0)))
     assert(out(4L) === ((0L, 0.0, 0.0)))
+    assert(out(5L) === ((0L, 0.0, 0.0)))
   }
 
   test("clusterBestKeeper: highest score wins its cluster (ties to the " +
