@@ -81,7 +81,11 @@ object LayoutOps {
     val children = fs.listStatus(hp)
     val subdirs = children.filter { s =>
       val n = s.getPath.getName
-      s.isDirectory && !n.startsWith("_") && !n.startsWith(".")
+      // never recurse into a crashed run's staging leftovers — a
+      // stranded `<leaf>.compact.old` holds a COPY of the original
+      // data and compacting it as a partition would double the table
+      s.isDirectory && !n.startsWith("_") && !n.startsWith(".") &&
+        !n.contains(".compact.")
     }
     if (subdirs.nonEmpty) {
       // partitioned layout: compact each partition subtree in place
