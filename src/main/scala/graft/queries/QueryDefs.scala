@@ -2307,6 +2307,97 @@ chunks AS (
           |    ORDER BY score DESC, doc_id ASC) = 1 AS INT) AS is_kept
           |FROM allr""".stripMargin)),
 
+    // r11 composition proof: near-dup BEST-KEEPER retention feeding
+    // the token-budget carve as ONE lazy plan — cluster, keep the
+    // longest member, then budget-carve ONLY the survivors (the
+    // pipeline_end_to_end discipline for the r11 operators).
+    ("dedup_budget_pipeline", (s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val kept = TextOps.clusterBestKeeper(docs,
+          TextOps.nearDupClustersMinhash(docs), col("n_chars"))
+        .filter(col("is_kept") === 1).select(col("doc_id"))
+      TextOps.sampleTokenBudget(docs.join(kept, "doc_id"),
+        budgets = Map("src0" -> 3000L, "src1" -> 5000L),
+        defaultBudget = 4000L)
+    },
+      Some(
+        """WITH RECURSIVE toks AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+          |  FROM documents),
+          |sh AS (
+          |  SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3
+          |      THEN [array_to_string(tk, ' ')]
+          |      ELSE list_transform(range(1, len(tk) - 1),
+          |             i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
+          |  FROM toks),
+          |hm AS (
+          |  SELECT doc_id, sh,
+          |    list_transform(sh, s ->
+          |      md5('0|' || s) || md5('1|' || s) || md5('2|' || s)) AS hs
+          |  FROM sh),
+          |sig AS (
+          |  SELECT doc_id, sh,
+          |    list_transform(range(0, 12), i ->
+          |      list_aggregate(list_transform(hs,
+          |        h -> substr(h, CAST(i*8+1 AS INT), 8)), 'min')) AS mh
+          |  FROM hm),
+          |banded AS (
+          |  SELECT doc_id, sh, b.b AS band,
+          |    md5(array_to_string(mh[b.b*3+1:b.b*3+3], '|')) AS band_key
+          |  FROM sig, generate_series(0, 3) b(b)),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |    a.sh AS sh_a, b.sh AS sh_b
+          |  FROM banded a JOIN banded b
+          |    ON a.band = b.band AND a.band_key = b.band_key
+          |   AND a.doc_id < b.doc_id),
+          |pairs AS (
+          |  SELECT doc_a, doc_b FROM (
+          |    SELECT doc_a, doc_b,
+          |      round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+          |            len(list_distinct(list_concat(sh_a, sh_b))), 6) AS jaccard
+          |    FROM cand)
+          |  WHERE jaccard >= 0.8),
+          |edges AS (
+          |  SELECT doc_a AS a, doc_b AS b FROM pairs
+          |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+          |reach AS (
+          |  SELECT a AS node, a AS lbl FROM edges
+          |  UNION
+          |  SELECT e.b AS node, r.lbl AS lbl
+          |  FROM reach r JOIN edges e ON e.a = r.node),
+          |labels AS (
+          |  SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+          |allr AS (
+          |  SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+          |    COALESCE(l.cluster_id, CAST(d.doc_id AS BIGINT)) AS cid,
+          |    CAST(d.n_chars AS BIGINT) AS score
+          |  FROM documents d LEFT JOIN labels l ON l.node = d.doc_id),
+          |kept AS (
+          |  SELECT doc_id FROM (
+          |    SELECT doc_id, row_number() OVER (PARTITION BY cid
+          |      ORDER BY score DESC, doc_id ASC) AS rn FROM allr)
+          |  WHERE rn = 1),
+          |b2 AS (
+          |  SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source AS stratum,
+          |    substr(md5('tokbudget|' ||
+          |      CAST(CAST(d.doc_id AS BIGINT) AS VARCHAR)), 1, 8) AS u8,
+          |    CAST(d.n_chars AS BIGINT) AS n_tokens
+          |  FROM documents d JOIN kept k ON k.doc_id = d.doc_id),
+          |c2 AS (
+          |  SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY stratum
+          |    ORDER BY u8, doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |    AS cum_tokens
+          |  FROM b2)
+          |SELECT doc_id, stratum, u8, n_tokens, cum_tokens,
+          |  CAST(CASE WHEN cum_tokens <=
+          |    CASE WHEN stratum = 'src0' THEN 3000
+          |         WHEN stratum = 'src1' THEN 5000 ELSE 4000 END
+          |    THEN 1 ELSE 0 END AS INT) AS keep
+          |FROM c2""".stripMargin)),
+
     // PII scrub over deterministically augmented text (planted email +
     // phone per doc, so counts and the redaction hash are non-trivial)
     ("pii_scrub", (s: SparkSession, dir: String) =>
