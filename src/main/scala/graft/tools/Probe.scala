@@ -59,8 +59,8 @@ object Probe {
       VectorOps.bitextMargin(emb.filter(col("label") === 0),
         emb.filter(col("label") === 1), k = 4).collect()
     }
-    val annBest = ann.map(r => r.getLong(1) -> r.getLong(0)).toMap
-    val fullBest = full.map(r => r.getLong(1) -> r.getLong(0)).toMap
+    val annBest = ann.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fullBest = full.map(r => r.getLong(0) -> r.getLong(1)).toMap
     val agree = annBest.count { case (a, b) => fullBest.get(a).contains(b) }
     println(s"=== bitext: ann rows=${ann.length} full rows=${full.length} " +
       s"best-match agreement=$agree/${fullBest.size}")
