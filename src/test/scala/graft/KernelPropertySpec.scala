@@ -202,4 +202,48 @@ class KernelPropertySpec extends SparkSpec {
       assert(kept === expect, s"trial=$trial")
     }
   }
+
+  test("sampleTokenBudget properties: keep == (cum <= budget), kept " +
+      "mass within budget, and the keep-set is a contiguous prefix " +
+      "in (u8, doc_id) order — over random corpora and budgets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 4) {
+      val strata = Seq("w", "x", "y")
+      val rows = (0 until 60).map { i =>
+        (i.toLong + trial * 1000, strata(rnd.nextInt(3)),
+          (1 + rnd.nextInt(50)).toLong)
+      }
+      val budgets = Map("w" -> (50L + rnd.nextInt(300)),
+        "x" -> (50L + rnd.nextInt(300)))
+      val default = 50L + rnd.nextInt(300)
+      val out = graft.operators.TextOps.sampleTokenBudget(
+          rows.toDF("doc_id", "source", "n_chars"),
+          budgets, default).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getLong(4), r.getInt(5)))
+      assert(out.length === 60, s"trial=$trial: every doc decided")
+      for (st <- strata) {
+        val b = budgets.getOrElse(st, default)
+        val sr = out.filter(_._2 == st).sortBy(r => (r._3, r._1))
+        // the flag is exactly the cumulative test
+        assert(sr.forall { case (_, _, _, _, cum, keep) =>
+          keep == (if (cum <= b) 1 else 0) }, s"trial=$trial stratum=$st")
+        // cumulative column is the true running sum in (u8, id) order
+        var run = 0L
+        sr.foreach { case (id, _, _, n, cum, _) =>
+          run += n
+          assert(cum === run, s"trial=$trial stratum=$st doc=$id")
+        }
+        // prefix: once a doc drops, every later doc drops
+        val keeps = sr.map(_._6)
+        assert(!keeps.zip(keeps.drop(1)).exists { case (a, c) =>
+          a == 0 && c == 1 }, s"trial=$trial stratum=$st not a prefix")
+        // kept mass within budget
+        assert(sr.filter(_._6 == 1).map(_._4).sum <= b,
+          s"trial=$trial stratum=$st over budget")
+      }
+    }
+  }
 }
