@@ -1178,6 +1178,44 @@ object TextOps {
         .as("fragmentation"))
   }
 
+  /**
+   * Per-language tokenizer FERTILITY report — the numbers a
+   * multilingual corpus owner reads before committing to a tokenizer
+   * (fertility = subword tokens per whitespace word; chars-per-token
+   * = the compression the context window actually gets): languages a
+   * tokenizer under-serves show fertility ≫ 1 and low chars/token,
+   * which silently taxes their context budget and training compute.
+   * Uses the same regex-BPE token model as [[tokenCounts]] so the
+   * metric is engine-replicable; with a trained merge list, feed
+   * [[bpeEncodeTokens]] counts through the same rollup instead.
+   *
+   * Scale shape: one narrow projection computes per-doc counts
+   * map-side; the rollup collapses onto |langs| keys with map-side
+   * combine. Ratios derive from exact long sums in one double
+   * expression each.
+   */
+  def tokenizerFertility(docs: DataFrame): DataFrame = {
+    val ws = size(tokens(col("text")))
+    val bpe = size(bpeTokens(col("text")))
+    docs.select(col("lang"),
+        col("n_chars").cast("long").as("chars"),
+        ws.cast("long").as("ws"), bpe.cast("long").as("bpe"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("chars")).cast("long").as("sum_chars"),
+        sum(col("ws")).cast("long").as("sum_ws_tokens"),
+        sum(col("bpe")).cast("long").as("sum_bpe_tokens"))
+      .select(col("lang"), col("n_docs"), col("sum_chars"),
+        col("sum_ws_tokens"), col("sum_bpe_tokens"),
+        round(when(col("sum_ws_tokens") === 0, 0.0)
+          .otherwise(col("sum_bpe_tokens").cast("double") /
+            col("sum_ws_tokens").cast("double")), 6).as("fertility"),
+        round(when(col("sum_bpe_tokens") === 0, 0.0)
+          .otherwise(col("sum_chars").cast("double") /
+            col("sum_bpe_tokens").cast("double")), 6)
+          .as("chars_per_token"))
+  }
+
   /** Polynomial rolling hash of the raw text: fold over character codes,
     * h = (h * 31 + code) mod 2^31 — order-sensitive (anagram-safe) unlike
     * a bag-of-tokens hash, and exactly replicable in any engine with a

@@ -2521,6 +2521,33 @@ chunks AS (
           |    ELSE CAST(bpe AS DOUBLE) / ws END, 6) AS fragmentation
           |FROM c""".stripMargin)),
 
+    // Per-language tokenizer fertility: subwords-per-word and
+    // chars-per-token — the multilingual tokenizer-selection numbers.
+    ("tokenizer_fertility", (s: SparkSession, dir: String) =>
+      TextOps.tokenizerFertility(t(s, dir, "documents")),
+      Some(
+        """WITH c AS (
+          |  SELECT lang, CAST(n_chars AS BIGINT) AS chars,
+          |    len(list_filter(string_split_regex(trim(text), '\s+'),
+          |      x -> x <> '')) AS ws,
+          |    len(regexp_extract_all(text,
+          |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe
+          |  FROM documents),
+          |m AS (
+          |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          |    CAST(sum(chars) AS BIGINT) AS sum_chars,
+          |    CAST(sum(ws) AS BIGINT) AS sum_ws_tokens,
+          |    CAST(sum(bpe) AS BIGINT) AS sum_bpe_tokens
+          |  FROM c GROUP BY lang)
+          |SELECT lang, n_docs, sum_chars, sum_ws_tokens, sum_bpe_tokens,
+          |  round(CASE WHEN sum_ws_tokens = 0 THEN 0.0
+          |    ELSE CAST(sum_bpe_tokens AS DOUBLE) /
+          |      CAST(sum_ws_tokens AS DOUBLE) END, 6) AS fertility,
+          |  round(CASE WHEN sum_bpe_tokens = 0 THEN 0.0
+          |    ELSE CAST(sum_chars AS DOUBLE) /
+          |      CAST(sum_bpe_tokens AS DOUBLE) END, 6) AS chars_per_token
+          |FROM m""".stripMargin)),
+
     ("doc_rolling_hash", (s: SparkSession, dir: String) =>
       TextOps.fingerprintRolling(t(s, dir, "documents")),
       Some(
