@@ -90,28 +90,9 @@ object Bench {
       name -> median
     }
 
-    // Timings rounded to 0.1 ms: full double precision tripled the line
-    // length and r5's driver-side tail capture truncated it mid-JSON,
-    // losing the total metric. Belt and braces: the line is also written
-    // to bench_out.json so a truncated capture can be reconstructed.
-    def r4(v: Double): Double = math.rint(v * 10000) / 10000
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r4(v) }
-      .mkString("{", ",", "}")
-    val fs = failures.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
-      .mkString("{", ",", "}")
-    val total = r4(results.collect { case (_, v) if v >= 0 => v }.sum)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fs,"runs_per_query":3,"sf":"$sfDir"}"""
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_out.json"), line + "\n")
-    catch { case _: Throwable => () } // stdout line is the contract
-    println(line)
-
-    // The driver's stdout capture keeps only the LAST ~2000 characters, so
-    // the full line above — ~4 KB at 130+ registered queries — survives
-    // only in bench_out.json (r5/r6 BENCH files both show the truncated
-    // front: "parsed": null). Print a compact line LAST whose total covers
-    // ALL queries but whose per-query map is a fixed headline subset, so a
-    // tail-window parse always finds one complete JSON line.
+    // The FROZEN headline tier: the 49 queries every round since r9 has
+    // reported — never grow this list (a frozen denominator is its whole
+    // point); new surface lands in the full-registry tier automatically.
     val headline = Vector(
       "q1_agg", "q3_top_orders", "q5_region_revenue", "pipeline_end_to_end",
       "dedup_exact", "near_dup_minhash", "near_dup_clusters_minhash",
@@ -129,6 +110,36 @@ object Bench {
       "embed_topk_mmr", "events_rollup", "events_transitions",
       "events_engagement", "ome_focus_report", "ome_colocalization",
       "q6_forecast_revenue", "q4_late_priority")
+
+    // Timings rounded to 0.1 ms: full double precision tripled the line
+    // length and r5's driver-side tail capture truncated it mid-JSON,
+    // losing the total metric. Belt and braces: the line is also written
+    // to bench_out.json so a truncated capture can be reconstructed.
+    def r4(v: Double): Double = math.rint(v * 10000) / 10000
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r4(v) }
+      .mkString("{", ",", "}")
+    val fs = failures.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = r4(results.collect { case (_, v) if v >= 0 => v }.sum)
+    // Two explicit bench tiers (VERDICT r11 #8): `value` covers the FULL
+    // registry (the gate), `headline_total` sums only the frozen 49-query
+    // headline subset — the round-over-round comparison metric, immune to
+    // registry growth (223 queries' full total moves every time surface
+    // is added; the frozen tier isolates real per-query drift).
+    val headlineTotal = r4(headline.flatMap(results.toMap.get)
+      .filter(_ >= 0).sum)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","headline_total":$headlineTotal,"queries":$qs,"failures":$fs,"runs_per_query":3,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_out.json"), line + "\n")
+    catch { case _: Throwable => () } // stdout line is the contract
+    println(line)
+
+    // The driver's stdout capture keeps only the LAST ~2000 characters, so
+    // the full line above — ~4 KB at 130+ registered queries — survives
+    // only in bench_out.json (r5/r6 BENCH files both show the truncated
+    // front: "parsed": null). Print a compact line LAST whose total covers
+    // ALL queries but whose per-query map is a fixed headline subset, so a
+    // tail-window parse always finds one complete JSON line.
     val resultMap = results.toMap
     // a renamed/removed headline query must not vanish silently: name the
     // unresolved entries in the compact line (ADVICE r7)
@@ -136,7 +147,7 @@ object Bench {
     val hqs = headline.flatMap(n => resultMap.get(n).map(v =>
       "\"" + n + "\":" + r4(v))).mkString("{", ",", "}")
     val miss = missing.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$hqs,"n_queries":${results.size},"n_failures":${failures.size},"headline_unresolved":$miss,"queries_full":"bench_out.json","runs_per_query":3,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","headline_total":$headlineTotal,"queries":$hqs,"n_queries":${results.size},"n_failures":${failures.size},"headline_unresolved":$miss,"queries_full":"bench_out.json","runs_per_query":3,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

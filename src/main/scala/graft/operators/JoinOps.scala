@@ -36,33 +36,77 @@ object JoinOps {
   def bloomSemiJoin(large: DataFrame, largeKey: String,
       small: DataFrame, smallKey: String,
       numHashes: Int = 3, hexDigits: Int = 5): DataFrame = {
+    // one persisted distinct-keys frame feeds BOTH stages (build scans
+    // it eagerly, the exact semi-join consumes it in-plan) so the
+    // small side distincts once, not twice
+    val keys = Caches.persist(
+      small.select(col(smallKey).as("k")).distinct())
+    bloomSemiJoinWith(large, largeKey, keys, "k",
+      bloomBitmap(keys, "k", numHashes, hexDigits),
+      numHashes, hexDigits)
+  }
+
+  /** Bloom hash positions for key `k`: `numHashes` md5-prefix values in
+    * `[0, 16^hexDigits)` — portable (an external engine reproduces them
+    * from md5 alone). Shared by the bitmap BUILD and the PROBE so the
+    * two stages can never drift. */
+  private def bloomPositions(k: Column, numHashes: Int,
+      hexDigits: Int): Seq[Column] = (0 until numHashes).map(i =>
+    conv(substring(md5(concat(lit(i.toString), lit("|"),
+      k.cast("string"))), 1, hexDigits), 16, 10).cast("long"))
+
+  private def bloomWord(p: Column): Column = shiftright(p, 6).cast("int")
+  private def bloomMask(p: Column): Column =
+    call_function("shiftleft", lit(1L), pmod(p, lit(64L)).cast("int"))
+
+  /**
+   * Build stage of [[bloomSemiJoin]], exposed separately so a workload
+   * that probes the SAME small-side key set many times (a bench's
+   * repeated reps, a decontamination filter reused across corpus
+   * shards) pays the distinct+aggregate build ONCE and reuses the
+   * bitmap as a literal — the fixture-stage split the r11 verdict asked
+   * for. Eager: returns the `2^(4·hexDigits)`-bit bitmap as packed
+   * longs (≤ bitmap/64 words collected — key-space bounded, never
+   * row-count bounded).
+   */
+  def bloomBitmap(small: DataFrame, smallKey: String,
+      numHashes: Int = 3, hexDigits: Int = 5): Array[Long] = {
     require(hexDigits >= 1 && hexDigits <= 15,
       s"bloomSemiJoin: hexDigits $hexDigits not in [1,15]")
     require(numHashes >= 1, "bloomSemiJoin: numHashes must be >= 1")
     val m = 1L << (4 * hexDigits)
     val nWords = ((m + 63) / 64).toInt
-    def positions(k: Column): Seq[Column] = (0 until numHashes).map(i =>
-      conv(substring(md5(concat(lit(i.toString), lit("|"),
-        k.cast("string"))), 1, hexDigits), 16, 10).cast("long"))
-    def wordOf(p: Column): Column = shiftright(p, 6).cast("int")
-    def maskOf(p: Column): Column =
-      call_function("shiftleft", lit(1L), pmod(p, lit(64L)).cast("int"))
-    val keys = Caches.persist(
-      small.select(col(smallKey).as("k")).distinct())
     val bits = new Array[Long](nWords)
-    keys.select(explode(array(positions(col("k")): _*)).as("p"))
-      .select(wordOf(col("p")).as("w"), maskOf(col("p")).as("m"))
+    small.select(col(smallKey).as("k")).distinct()
+      .select(explode(array(
+        bloomPositions(col("k"), numHashes, hexDigits): _*)).as("p"))
+      .select(bloomWord(col("p")).as("w"), bloomMask(col("p")).as("m"))
       .groupBy(col("w")).agg(call_function("bit_or", col("m")).as("mask"))
       .collect()
       .foreach(r => bits(r.getInt(0)) = r.getLong(1))
+    bits
+  }
+
+  /** Probe stage of [[bloomSemiJoin]] against a pre-built bitmap: the
+    * map-side Bloom filter kills non-matching `large` rows before the
+    * exchange, then the exact left-semi join against `small`'s distinct
+    * keys removes the false positives. `numHashes`/`hexDigits` must
+    * match the build call. */
+  def bloomSemiJoinWith(large: DataFrame, largeKey: String,
+      small: DataFrame, smallKey: String, bits: Array[Long],
+      numHashes: Int = 3, hexDigits: Int = 5): DataFrame = {
+    require(bits.length == (((1L << (4 * hexDigits)) + 63) / 64).toInt,
+      s"bloomSemiJoinWith: bitmap has ${bits.length} words, " +
+        s"hexDigits $hexDigits needs ${((1L << (4 * hexDigits)) + 63) / 64}")
     val bitsLit = typedLit(bits.toSeq)
-    val mightContain = positions(col(largeKey)).map(p =>
-      element_at(bitsLit, wordOf(p) + 1)
-        .bitwiseAND(maskOf(p)) =!= 0L).reduce(_ && _)
+    val mightContain =
+      bloomPositions(col(largeKey), numHashes, hexDigits).map(p =>
+        element_at(bitsLit, bloomWord(p) + 1)
+          .bitwiseAND(bloomMask(p)) =!= 0L).reduce(_ && _)
     large
       .filter(mightContain)
-      .join(keys.withColumnRenamed("k", largeKey), Seq(largeKey),
-        "left_semi")
+      .join(small.select(col(smallKey).as(largeKey)).distinct(),
+        Seq(largeKey), "left_semi")
   }
 
   /**

@@ -63,27 +63,47 @@ object LayoutOps {
    * same level — not a valid Hive table) compacts only the
    * subtrees and leaves the loose root files untouched.
    *
-   * Swap discipline per leaf: the rewrite lands in
-   * `<path>.compact.tmp`, then two renames swap it in, and a failed
-   * second rename restores the original directory — a crash can
-   * strand a `.compact.tmp`/`.compact.old` sibling but never loses
-   * the table. Readers racing the swap window (between the two
-   * renames) can see the path briefly missing; compaction is an
-   * offline/maintenance operation, not a concurrent-reader-safe
-   * commit protocol (that is a table format's job — Delta/Iceberg).
-   * Returns (files_before, files_after) summed over leaves.
+   * Swap discipline per leaf: the rewrite lands in a DOT-PREFIXED
+   * sibling `.compact.tmp.<leaf>`, then two renames swap it in, and
+   * a failed second rename restores the original directory — a crash
+   * can strand a `.compact.tmp.<leaf>`/`.compact.old.<leaf>` sibling
+   * but never loses the table. The dot prefix matters for
+   * partitioned tables, where the sibling lives INSIDE the table
+   * root: Hadoop/Spark's hidden-path filter skips `.`-prefixed
+   * directories during partition discovery, so a stranded staging
+   * dir can never surface as a phantom partition that duplicates the
+   * leaf's rows on read. Every compaction pass also sweeps stranded
+   * staging dirs from a previous crashed run first: `.compact.old.X`
+   * with no live `X` is the original mid-swap — restored by rename;
+   * with a live `X` it is a stale copy — deleted; `.compact.tmp.X`
+   * is regenerable — deleted. Readers racing the swap window
+   * (between the two renames) can see the path briefly missing;
+   * compaction is an offline/maintenance operation, not a
+   * concurrent-reader-safe commit protocol (that is a table format's
+   * job — Delta/Iceberg). Returns (files_before, files_after) summed
+   * over leaves.
    */
   def compactParquet(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     require(targetBytes > 0, "compactParquet: targetBytes must be positive")
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    // a crashed run may have left `path` itself mid-swap (renamed away
+    // to its .compact.old sibling) — recover before listing
+    if (!fs.exists(hp) && hp.getParent != null) {
+      val bak = new org.apache.hadoop.fs.Path(
+        hp.getParent, ".compact.old." + hp.getName)
+      if (fs.exists(bak))
+        require(fs.rename(bak, hp), s"compactParquet: cannot restore $path")
+    }
+    sweepCompactStaging(fs, hp)
     val children = fs.listStatus(hp)
     val subdirs = children.filter { s =>
       val n = s.getPath.getName
-      // never recurse into a crashed run's staging leftovers — a
-      // stranded `<leaf>.compact.old` holds a COPY of the original
-      // data and compacting it as a partition would double the table
+      // never recurse into staging leftovers — a stranded backup holds
+      // a COPY of the original data and compacting it as a partition
+      // would double the table (`.`-prefix catches the current naming;
+      // the `.compact.` substring catches pre-r12 suffix-style names)
       s.isDirectory && !n.startsWith("_") && !n.startsWith(".") &&
         !n.contains(".compact.")
     }
@@ -99,8 +119,10 @@ object LayoutOps {
       else {
         val total = parts.map(_.getLen).sum
         val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-        val tmp = new org.apache.hadoop.fs.Path(path + ".compact.tmp")
-        val old = new org.apache.hadoop.fs.Path(path + ".compact.old")
+        val tmp = new org.apache.hadoop.fs.Path(
+          hp.getParent, ".compact.tmp." + hp.getName)
+        val old = new org.apache.hadoop.fs.Path(
+          hp.getParent, ".compact.old." + hp.getName)
         spark.read.parquet(path).repartition(n)
           .write.mode("overwrite").parquet(tmp.toString)
         fs.delete(old, true)
@@ -118,6 +140,36 @@ object LayoutOps {
         val after = fs.listStatus(hp).count(s =>
           s.isFile && s.getPath.getName.endsWith(".parquet"))
         (parts.length, after)
+      }
+    }
+  }
+
+  /**
+   * Recover/clean staging dirs stranded among `dir`'s children by a
+   * compaction run that crashed between its two swap renames. Covers
+   * both the current dot-prefixed names (`.compact.{tmp,old}.<leaf>`)
+   * and the pre-r12 suffix names (`<leaf>.compact.{tmp,old}`) — the
+   * latter are the read-duplication hazard this sweep retires: a
+   * suffix-named backup inside a table root parses as a real Hive
+   * partition (e.g. `day=X.compact.old`) and silently duplicates the
+   * leaf's rows on the next read.
+   */
+  private def sweepCompactStaging(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(dir) || !fs.getFileStatus(dir).isDirectory) return
+    fs.listStatus(dir).foreach { s =>
+      val n = s.getPath.getName
+      val leaf =
+        if (n.startsWith(".compact.old.")) n.stripPrefix(".compact.old.")
+        else if (n.endsWith(".compact.old")) n.stripSuffix(".compact.old")
+        else null
+      if (n.startsWith(".compact.tmp.") || n.endsWith(".compact.tmp")) {
+        fs.delete(s.getPath, true) // tmp is always regenerable
+      } else if (leaf != null) {
+        val live = new org.apache.hadoop.fs.Path(dir, leaf)
+        if (fs.exists(live)) fs.delete(s.getPath, true) // stale copy
+        else require(fs.rename(s.getPath, live),
+          s"compactParquet: cannot restore $live from crashed staging")
       }
     }
   }

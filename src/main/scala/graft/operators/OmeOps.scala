@@ -1623,6 +1623,14 @@ object OmeOps {
    * only as the `exhaustive = true` certification mode (and as the
    * automatic fallback when `maxHamming >= 64`, where every pair
    * qualifies anyway), the same opt-in split as `lshRecallReport`.
+   *
+   * BREAKING DEFAULT CHANGE (r11): `maxHamming` defaulted to 16
+   * before banding landed; it now defaults to 3 — the standard aHash
+   * near-dup threshold, and the value that keeps the band count (and
+   * thus candidate fan-out) small. Callers that relied on the old
+   * loose default must pass `maxHamming = 16` explicitly (banding
+   * keeps even that exact — just with 17 bands of ~4 bits, a far
+   * larger candidate set).
    */
   def perceptualHashPairs(planeDf: DataFrame,
       maxHamming: Int = 3, exhaustive: Boolean = false): DataFrame = {

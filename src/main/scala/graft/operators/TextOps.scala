@@ -1659,6 +1659,13 @@ object TextOps {
    *
    * Returns every input doc with `(doc_id, stratum, u8, n_tokens,
    * cum_tokens, keep)`; filter `keep = 1` for the carved corpus.
+   * `cum_tokens` here is the running total over ALL docs in hash
+   * order (rejected docs included — that is what makes the prefix
+   * auditable); the streaming twin
+   * [[graft.streaming.DocStream.tokenBudgetStream]] reports an
+   * admitted-only running total instead. Only the keep/admit
+   * decision is contract-identical between the two (certified by
+   * `tokenBudgetCheck`); the cumulative columns are NOT comparable.
    */
   def sampleTokenBudget(docs: DataFrame, budgets: Map[String, Long],
       defaultBudget: Long = Long.MaxValue, keyCol: String = "source",

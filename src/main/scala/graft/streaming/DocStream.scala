@@ -760,9 +760,15 @@ object DocStream {
    * no later smaller doc sneaks in), mirroring the batch operator's
    * contiguous-in-order contract. Arrivals sort by (u8, doc_id)
    * within each micro-batch, so a single-batch feed reproduces the
-   * batch carve document-for-document (certified by
-   * [[tokenBudgetCheck]]); multi-batch feeds admit
-   * batch-order-then-hash.
+   * batch carve's KEEP/ADMIT decision document-for-document
+   * (certified by [[tokenBudgetCheck]]); multi-batch feeds admit
+   * batch-order-then-hash. The cumulative columns are NOT
+   * contract-identical: this stream's `cum_tokens` is the
+   * admitted-only running total (0 on reject — the only total the
+   * per-stratum state carries), while the batch operator's
+   * `cum_tokens` is the all-docs running prefix total that rejected
+   * docs also advance. Compare admit flags across the twins, never
+   * the cumulative columns.
    *
    * State is (Long, Boolean) per stratum; no timeout — the carve is
    * permanent for the life of the query and survives checkpoint

@@ -218,4 +218,52 @@ class LayoutSpec extends SparkSpec {
     assert(!parent.exists(_.contains("compact.")),
       s"staging dirs leaked: ${parent.toSeq}")
   }
+
+  test("compactParquet: stranded staging dirs from a crashed run are " +
+      "hidden from reads, swept on re-compaction, and a mid-swap leaf " +
+      "is restored") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compactc").toString +
+      "/table"
+    val rows = (0L until 400L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "day")
+    rows.repartition(4).write.partitionBy("day")
+      .mode("overwrite").parquet(dir)
+    val fsDir = new java.io.File(dir)
+    // simulate crash A: backup copy of day=a stranded NEXT TO the live
+    // leaf (crash between the write of tmp and the swap's first rename
+    // leaves tmp; here we plant the worse case — a full stale backup)
+    def copyTree(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs(); src.listFiles().foreach(f =>
+          copyTree(f, new java.io.File(dst, f.getName)))
+      } else java.nio.file.Files.copy(src.toPath, dst.toPath)
+    }
+    copyTree(new java.io.File(fsDir, "day=a"),
+      new java.io.File(fsDir, ".compact.old.day=a"))
+    copyTree(new java.io.File(fsDir, "day=a"),
+      new java.io.File(fsDir, ".compact.tmp.day=a"))
+    // the dot prefix keeps partition discovery clean: no phantom
+    // partition, no duplicated rows (THE r11-advice read hazard)
+    assert(spark.read.parquet(dir).count() === 400L)
+    assert(spark.read.parquet(dir).select("day").distinct().count() === 2L)
+    // simulate crash B: day=b renamed away mid-swap (live leaf missing)
+    assert(new java.io.File(fsDir, "day=b")
+      .renameTo(new java.io.File(fsDir, ".compact.old.day=b")))
+    // re-compaction sweeps A (stale copy + tmp deleted) and restores B
+    val (nb, na) = graft.operators.LayoutOps.compactParquet(
+      spark, dir, targetBytes = 64L * 1024 * 1024)
+    assert(nb === 8 && na <= nb, s"unexpected file counts: $nb -> $na")
+    // compact-staging names all contain "compact"; the remaining
+    // hidden entries (_SUCCESS, ._*.crc checksums) are write-protocol
+    // noise, not the hazard under test
+    val children = fsDir.listFiles().map(_.getName)
+      .filter(n => n.contains("compact") || n.startsWith("day=")).sorted
+    assert(children.toSeq === Seq("day=a", "day=b"),
+      s"staging dirs not swept: ${children.toSeq}")
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 400L)
+    assert(back.select(sum(col("id"))).head.getLong(0) ===
+      (0L until 400L).sum)
+  }
 }

@@ -75,22 +75,37 @@ def coverage_gaps(query_names):
 
 
 def header_drift(n_queries):
-    """COVERAGE.md's header advertises the registry size; r10's header said
-    198 while the registry held 209 (VERDICT r10 #5). The dump may be a
-    subset, so only a REGISTRY LARGER than the header is provable drift —
-    flag it so the header cannot lag again."""
-    cov = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "COVERAGE.md")
-    try:
-        with open(cov) as f:
-            m = re.search(r"\*\*(\d+) queries", f.read())
-    except OSError:
-        return None
-    if m and n_queries > int(m.group(1)):
-        return (f"HEADER DRIFT: COVERAGE.md header says {m.group(1)} "
-                f"queries but this dump alone has {n_queries} — sync the "
-                "header to QueryDefs.defs.size")
-    return None
+    """Doc headers advertise the registry size and keep lagging it:
+    r10's COVERAGE.md said 198 while the registry held 209 (VERDICT r10
+    #5); r11's README said 222 against 223 (VERDICT r11 #1). The dump
+    may be a subset, so only a REGISTRY LARGER than a claimed count is
+    provable drift — scan every query-count claim in COVERAGE.md and
+    README.md so neither doc can lag again."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # (doc, pattern, all_matches): COVERAGE.md checks only its FIRST
+    # count (the header — later mentions are round-history notes that
+    # legitimately cite old sizes); README.md's claims are all current.
+    claims = [
+        ("COVERAGE.md", r"\*\*(\d+) queries", False),
+        ("README.md", r"(\d+) operator queries", True),
+        ("README.md", r"the (\d+) oracle-paired", True),
+    ]
+    msgs = []
+    for doc, pat, all_matches in claims:
+        try:
+            with open(os.path.join(root, doc)) as f:
+                text = f.read()
+        except OSError:
+            continue
+        matches = re.finditer(pat, text) if all_matches else \
+            [m for m in [re.search(pat, text)] if m]
+        for m in matches:
+            if n_queries > int(m.group(1)):
+                msgs.append(
+                    f"HEADER DRIFT: {doc} claims {m.group(1)} queries "
+                    f"('{m.group(0)}') but this dump alone has "
+                    f"{n_queries} — sync to QueryDefs.defs.size")
+    return "\n".join(msgs) if msgs else None
 
 
 def main():
