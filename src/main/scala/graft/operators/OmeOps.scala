@@ -983,6 +983,117 @@ object OmeOps {
   }
 
   /**
+   * Object TRACKING across time — link [[segmentObjects]] components of
+   * CONSECUTIVE t frames per (image, c, z) stack into tracks by
+   * mutual-nearest-centroid within `maxDisp`, the classic
+   * reciprocal-nearest-neighbor linker (TrackMate/CellProfiler's
+   * simple LAP stand-in): an object in frame t+1 links to an object in
+   * frame t iff each is the other's nearest candidate (squared
+   * centroid distance, ties by the partner's label) and the distance
+   * is at most `maxDisp`. One-to-one by construction — rank-1 on BOTH
+   * sides — so tracks are simple paths in time; an object whose
+   * nearest predecessor was claimed starts a NEW track (no
+   * second-choice assignment: greedy seconds are order-dependent and
+   * engine-unportable). A jump beyond `maxDisp` or a skipped frame
+   * ends the track — gap closing is a different operator.
+   *
+   * Takes ANY object frame with `(image_id, c, z, t, label, cy, cx)`
+   * ([[segmentObjects]] / [[segmentObjectsIntensity]] output, or an
+   * external measurement table). Returns one row per TRACK:
+   * `(image_id, c, z, track_t, track_label, n_obs, t_start, t_end,
+   * net_dy, net_dx, path_len, max_step)` — the track id is the
+   * (t, label) of its EARLIEST object (min struct, hash-independent
+   * like [[perceptualHashClusters]]' min-image-id contract), `net_*`
+   * the end-minus-start centroid delta, `path_len`/`max_step` the
+   * summed / largest per-step Euclidean displacement (6 dp). Unlinked
+   * objects are singleton tracks (n_obs = 1, zero displacement).
+   *
+   * Scale shape: candidate links come from ONE equi-join keyed by
+   * (image, c, z, adjacent-t) — objects meet only objects of the SAME
+   * stack's next frame, Σ per-frame-pair |A_t|·|A_t+1|, never a global
+   * cross join; mutual-nearest is two object-keyed rank windows; chain
+   * assembly reuses [[graft.operators.TextOps.connectedComponents]]
+   * (links are one-to-one so components ARE paths; min-label
+   * propagation converges in O(log longest-track) distributed rounds,
+   * or the driver union-find under `driverEdgeLimit`). String/compound
+   * object ids bridge to the CC engine's long domain via xxhash64 with
+   * a loud collision check, and every OUTPUT is hash-independent.
+   */
+  def trackObjects(objects: DataFrame, maxDisp: Double = 3.0,
+      maxIters: Int = 25, driverEdgeLimit: Long = 1000000L): DataFrame = {
+    require(maxDisp > 0, "trackObjects: maxDisp must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val obj = Caches.persist(objects.select(col("image_id"),
+      col("c").cast("int").as("c"), col("z").cast("int").as("z"),
+      col("t").cast("int").as("t"), col("label").cast("int").as("label"),
+      col("cy").cast("double").as("cy"), col("cx").cast("double").as("cx")))
+    val a = obj.select(col("image_id"), col("c"), col("z"),
+      col("t").as("ta"), col("label").as("la"),
+      col("cy").as("ya"), col("cx").as("xa"),
+      (col("t") + 1).as("tb"))
+    val b = obj.select(col("image_id"), col("c"), col("z"),
+      col("t").as("tb"), col("label").as("lb"),
+      col("cy").as("yb"), col("cx").as("xb"))
+    val cand = a.join(b, Seq("image_id", "c", "z", "tb"))
+      .withColumn("d2",
+        (col("yb") - col("ya")) * (col("yb") - col("ya")) +
+          (col("xb") - col("xa")) * (col("xb") - col("xa")))
+      .filter(col("d2") <= lit(maxDisp * maxDisp))
+    val wSrc = Window.partitionBy(col("image_id"), col("c"), col("z"),
+      col("ta"), col("la")).orderBy(col("d2").asc, col("lb").asc)
+    val wDst = Window.partitionBy(col("image_id"), col("c"), col("z"),
+      col("tb"), col("lb")).orderBy(col("d2").asc, col("la").asc)
+    val links = cand
+      .withColumn("rs", row_number().over(wSrc))
+      .withColumn("rd", row_number().over(wDst))
+      .filter(col("rs") === 1 && col("rd") === 1)
+      .select(col("image_id"), col("c"), col("z"),
+        col("ta"), col("la"), col("tb"), col("lb"))
+    def key(t: Column, l: Column): Column = xxhash64(col("image_id"),
+      col("c"), col("z"), t, l)
+    val withKeys = obj.withColumn("nid",
+      key(col("t"), col("label")))
+    val nObj = withKeys.count()
+    require(nObj ==
+      withKeys.select(col("nid")).distinct().count(),
+      "trackObjects: xxhash64 collision across object keys — renumber " +
+        "object labels before tracking")
+    val edges = links.select(key(col("ta"), col("la")).as("nid_a"),
+      key(col("tb"), col("lb")).as("nid_b"))
+    val cc = TextOps.connectedComponents(edges, maxIters,
+      driverEdgeLimit, idCol = "nid")
+    val assigned = withKeys
+      .join(cc.select(col("nid"), col("cluster_id")), Seq("nid"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("nid")))
+    val wTrack = Window
+      .partitionBy(col("image_id"), col("c"), col("z"), col("cluster_id"))
+      .orderBy(col("t").asc)
+    val steps = assigned
+      .withColumn("step", sqrt(
+        (col("cy") - lag(col("cy"), 1).over(wTrack)) *
+          (col("cy") - lag(col("cy"), 1).over(wTrack)) +
+          (col("cx") - lag(col("cx"), 1).over(wTrack)) *
+            (col("cx") - lag(col("cx"), 1).over(wTrack))))
+    steps.groupBy(col("image_id"), col("c"), col("z"), col("cluster_id"))
+      .agg(min(struct(col("t"), col("label"))).as("root"),
+        count(lit(1)).cast("long").as("n_obs"),
+        min(col("t")).as("t_start"), max(col("t")).as("t_end"),
+        (max_by(col("cy"), col("t")) - min_by(col("cy"), col("t")))
+          .as("raw_net_dy"),
+        (max_by(col("cx"), col("t")) - min_by(col("cx"), col("t")))
+          .as("raw_net_dx"),
+        coalesce(sum(col("step")), lit(0.0)).as("raw_path"),
+        coalesce(max(col("step")), lit(0.0)).as("raw_max"))
+      .select(col("image_id"), col("c"), col("z"),
+        col("root.t").as("track_t"), col("root.label").as("track_label"),
+        col("n_obs"), col("t_start"), col("t_end"),
+        round(col("raw_net_dy"), 6).as("net_dy"),
+        round(col("raw_net_dx"), 6).as("net_dx"),
+        round(col("raw_path"), 6).as("path_len"),
+        round(col("raw_max"), 6).as("max_step"))
+  }
+
+  /**
    * Stage-drift detection — per (channel, z), the translation between
    * CONSECUTIVE time points that maximizes the mean pixel
    * cross-correlation over the overlap, searched on a

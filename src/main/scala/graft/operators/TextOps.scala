@@ -2029,6 +2029,95 @@ object TextOps {
   }
 
   /**
+   * ExactSubstr cross-document repeated-substring REMOVAL (the Lee et
+   * al. 2022 "Deduplicating Training Data Makes Language Models
+   * Better" dedup class, at word-token granularity): where
+   * [[repeatedSpans]] only SCORES how much of a document lies inside
+   * corpus-repeated spans, this operator rewrites the corpus with
+   * those spans excised — every positional k-gram occurring
+   * `minCount`+ times corpus-wide marks its k-token span, overlapping
+   * marked spans merge into maximal covered intervals, and the
+   * surviving tokens reassemble in order. Like the reference ExactSubstr
+   * tool's default, ALL occurrences of a repeated span are removed
+   * (not all-but-one): a span frequent enough to trip the threshold is
+   * boilerplate/license/navigation text the pipeline wants gone, and
+   * removing every copy keeps the operator a pure per-doc rewrite (no
+   * canonical-occurrence election, which would serialize on a global
+   * order). Docs with fewer than `k` tokens pass through unchanged.
+   *
+   * Returns one row per input doc:
+   * `(doc_id, n_tokens, n_kept, n_removed, text_dedup)`.
+   *
+   * Scale shape: the gram pass is [[repeatedSpans]]' — k shifted
+   * slices zipped (never a lambda re-evaluating the tokenizer per
+   * element), one posexplode, gram-keyed count with map-side partials,
+   * gram-keyed flag join; `maxPostings > 0` drops pathological grams.
+   * Flagged START positions aggregate per doc (bounded by the doc's
+   * own token count — never corpus-scale), merge into disjoint
+   * intervals with ONE O(|starts|) stack-fold, and the rewrite is a
+   * narrow per-row filter over (token, index) against the merged
+   * intervals — O(tokens · intervals) per doc where intervals is the
+   * number of MAXIMAL repeated regions, typically a handful. No stage
+   * ever shuffles text except the one doc-keyed starts join.
+   */
+  def exactSubstrDedup(docs: DataFrame, k: Int = 5, minCount: Int = 2,
+      maxPostings: Int = 0): DataFrame = {
+    require(k > 0, s"exactSubstrDedup: k $k must be positive")
+    require(minCount >= 2,
+      s"exactSubstrDedup: minCount $minCount must be >= 2")
+    val base = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n_tokens"))
+      .transform(Caches.persist(_)) // consumed by grams AND the rewrite
+    val shifted = (0 until k).map(j =>
+      slice(col("toks"), lit(j + 1), size(col("toks")) - (k - 1)))
+    val gramArr = transform(arrays_zip(shifted: _*),
+      s => concat_ws(" ", (0 until k).map(j => s.getField(j.toString)): _*))
+    val grams = base.filter(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(gramArr))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("gram"))
+      .transform(Caches.persist(_)) // counted AND flag-joined
+    val counts = grams.groupBy(col("gram")).agg(count(lit(1)).as("gn"))
+      .filter(col("gn") >= minCount)
+    val heavy =
+      if (maxPostings <= 0) counts
+      else counts.filter(col("gn") <= maxPostings)
+    val starts = grams.join(heavy.select(col("gram")), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("starts"))
+    // ascending starts fold into disjoint maximal intervals: [p, p+k-1]
+    // merges into the last interval whenever it overlaps or touches it
+    val intervals = expr(
+      s"""aggregate(starts,
+         |  CAST(array() AS ARRAY<STRUCT<lo: BIGINT, hi: BIGINT>>),
+         |  (acc, p) -> CASE
+         |    WHEN size(acc) > 0 AND p <= element_at(acc, -1).hi + 1
+         |    THEN concat(slice(acc, 1, size(acc) - 1),
+         |      array(named_struct('lo', element_at(acc, -1).lo,
+         |        'hi', greatest(element_at(acc, -1).hi,
+         |          p + CAST(${k - 1} AS BIGINT)))))
+         |    ELSE concat(acc,
+         |      array(named_struct('lo', p,
+         |        'hi', p + CAST(${k - 1} AS BIGINT)))) END)""".stripMargin)
+    val kept = expr(
+      """filter(toks, (t, i) ->
+        |  NOT exists(iv, x -> CAST(i AS BIGINT) >= x.lo
+        |    AND CAST(i AS BIGINT) <= x.hi))""".stripMargin)
+    base.join(starts, Seq("doc_id"), "left")
+      .withColumn("iv", when(col("starts").isNull,
+        expr("CAST(array() AS ARRAY<STRUCT<lo: BIGINT, hi: BIGINT>>)"))
+        .otherwise(intervals))
+      .withColumn("kept", kept)
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (col("n_tokens") - size(col("kept")).cast("long")).as("n_removed"),
+        array_join(col("kept"), " ").as("text_dedup"))
+  }
+
+  /**
    * RAG/context-window chunking: each document's whitespace token stream
    * is cut into fixed-size windows of `chunkTokens` starting every
    * `stride` tokens (stride < chunkTokens ⇒ overlapping windows, the

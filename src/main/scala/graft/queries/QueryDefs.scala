@@ -731,6 +731,87 @@ chunks AS (
            |  round(CAST(sxs AS DOUBLE) / area, 6) AS cx
            |FROM obj""".stripMargin)),
 
+    // Object tracking across time: mutual-nearest-centroid linking of a
+    // closed-form moving-blob object table (4 images x 3 blobs x 8
+    // frames: a drifter, a mid-movie appearer, a past-maxDisp jumper
+    // that splits) into per-track displacement stats; the oracle
+    // replays candidate ranking + chain assembly as a recursive CTE.
+    ("ome_object_tracks", (s: SparkSession, _: String) => {
+      val objs = s.range(4L * 3 * 8).select(
+        (col("id") / 24).cast("int").as("img"),
+        ((col("id") / 8) % 3).cast("int").as("k"),
+        (col("id") % 8).cast("int").as("t"))
+        .filter(!(col("k") === 1 && col("t") < 3))
+        .select(format_string("trk-%04d", col("img")).as("image_id"),
+          lit(0).as("c"), lit(0).as("z"), col("t"),
+          (col("k") * 10 + col("t")).as("label"),
+          when(col("k") === 0, col("img") + col("t") + 10)
+            .when(col("k") === 1, col("img") + 30)
+            .otherwise(col("img") + 50).cast("double").as("cy"),
+          when(col("k") === 0, lit(10))
+            .when(col("k") === 1, col("t") * 2 + 5)
+            .otherwise(when(col("t") < 4, col("t") + 40)
+              .otherwise(col("t") + 62)).cast("double").as("cx"))
+      OmeOps.trackObjects(objs, maxDisp = 3.0)
+    },
+      Some(
+        """WITH RECURSIVE o AS (
+          |  SELECT printf('trk-%04d', img) AS image_id,
+          |    CAST(t AS INT) AS t, CAST(k*10 + t AS INT) AS label,
+          |    CAST(CASE k WHEN 0 THEN img + t + 10 WHEN 1 THEN img + 30
+          |      ELSE img + 50 END AS DOUBLE) AS cy,
+          |    CAST(CASE k WHEN 0 THEN 10 WHEN 1 THEN t*2 + 5
+          |      ELSE CASE WHEN t < 4 THEN t + 40 ELSE t + 62 END
+          |      END AS DOUBLE) AS cx
+          |  FROM generate_series(0,3) i(img),
+          |    generate_series(0,2) kk(k), generate_series(0,7) tt(t)
+          |  WHERE NOT (k = 1 AND t < 3)),
+          |cand AS (
+          |  SELECT a.image_id, a.t AS ta, a.label AS la,
+          |    b.t AS tb, b.label AS lb,
+          |    (b.cy-a.cy)*(b.cy-a.cy) + (b.cx-a.cx)*(b.cx-a.cx) AS d2
+          |  FROM o a JOIN o b
+          |    ON b.image_id = a.image_id AND b.t = a.t + 1
+          |  WHERE (b.cy-a.cy)*(b.cy-a.cy) + (b.cx-a.cx)*(b.cx-a.cx)
+          |    <= 9.0),
+          |ranked AS (
+          |  SELECT *,
+          |    row_number() OVER (PARTITION BY image_id, ta, la
+          |      ORDER BY d2, lb) AS rs,
+          |    row_number() OVER (PARTITION BY image_id, tb, lb
+          |      ORDER BY d2, la) AS rd
+          |  FROM cand),
+          |links AS (
+          |  SELECT image_id, ta, la, tb, lb FROM ranked
+          |  WHERE rs = 1 AND rd = 1),
+          |chain AS (
+          |  SELECT o.image_id, o.t, o.label, o.t AS rt, o.label AS rlbl
+          |  FROM o LEFT JOIN links l ON l.image_id = o.image_id
+          |    AND l.tb = o.t AND l.lb = o.label
+          |  WHERE l.lb IS NULL
+          |  UNION ALL
+          |  SELECT l.image_id, l.tb AS t, l.lb AS label, ch.rt, ch.rlbl
+          |  FROM chain ch JOIN links l ON l.image_id = ch.image_id
+          |    AND l.ta = ch.t AND l.la = ch.label),
+          |asg AS (
+          |  SELECT ch.image_id, ch.rt, ch.rlbl, o.t, o.cy, o.cx
+          |  FROM chain ch JOIN o ON o.image_id = ch.image_id
+          |    AND o.t = ch.t AND o.label = ch.label),
+          |steps AS (
+          |  SELECT *, sqrt((cy - lag(cy) OVER w) * (cy - lag(cy) OVER w)
+          |      + (cx - lag(cx) OVER w) * (cx - lag(cx) OVER w)) AS step
+          |  FROM asg
+          |  WINDOW w AS (PARTITION BY image_id, rt, rlbl ORDER BY t))
+          |SELECT image_id, CAST(0 AS INT) AS c, CAST(0 AS INT) AS z,
+          |  CAST(rt AS INT) AS track_t, CAST(rlbl AS INT) AS track_label,
+          |  CAST(count(*) AS BIGINT) AS n_obs,
+          |  CAST(min(t) AS INT) AS t_start, CAST(max(t) AS INT) AS t_end,
+          |  round(arg_max(cy, t) - arg_min(cy, t), 6) AS net_dy,
+          |  round(arg_max(cx, t) - arg_min(cx, t), 6) AS net_dx,
+          |  round(coalesce(sum(step), 0), 6) AS path_len,
+          |  round(coalesce(max(step), 0), 6) AS max_step
+          |FROM steps GROUP BY image_id, rt, rlbl""".stripMargin)),
+
     // Object morphology: extent/aspect shape descriptors derived from
     // the exact segmentation measurements — pure column arithmetic.
     ("ome_object_morphology", (s: SparkSession, _: String) =>
@@ -2614,6 +2695,53 @@ chunks AS (
           |  round(CAST(coalesce(c.covered_tokens, 0) AS DOUBLE)
           |    / greatest(b.n_tokens, 1), 6) AS dup_frac
           |FROM base b LEFT JOIN cov c USING (doc_id)""".stripMargin)),
+
+    // ExactSubstr dedup (Lee et al. 2022 class): positional 5-grams
+    // with corpus frequency >= 2 mark spans; marked spans merge and are
+    // REMOVED from every doc; rewritten text compared by md5 digest.
+    ("exact_substr_dedup", (s: SparkSession, dir: String) =>
+      TextOps.exactSubstrDedup(t(s, dir, "documents"), k = 5, minCount = 2)
+        .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+          col("n_removed"), md5(col("text_dedup")).as("kept_md5")),
+      Some(
+        """WITH d AS (
+          |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |    list_filter(string_split_regex(trim(text), '\s+'),
+          |      x -> x <> '') AS toks
+          |  FROM documents),
+          |base AS (
+          |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens
+          |  FROM d),
+          |grams AS (
+          |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+          |    array_to_string(list_slice(toks, pos + 1, pos + 5), ' ') AS gram
+          |  FROM (
+          |    SELECT doc_id, toks,
+          |      unnest(range(0, greatest(len(toks) - 4, 0))) AS pos
+          |    FROM base WHERE len(toks) >= 5)),
+          |heavy AS (
+          |  SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+          |covered AS (
+          |  SELECT DISTINCT doc_id, tp FROM (
+          |    SELECT g.doc_id, unnest(range(g.pos, g.pos + 5)) AS tp
+          |    FROM grams g JOIN heavy h USING (gram))),
+          |toksp AS (
+          |  SELECT doc_id, unnest(toks) AS tok,
+          |    CAST(unnest(range(len(toks))) AS BIGINT) AS pos
+          |  FROM base),
+          |kept AS (
+          |  SELECT t.doc_id,
+          |    string_agg(t.tok, ' ' ORDER BY t.pos) AS ktext,
+          |    CAST(count(*) AS BIGINT) AS n_kept
+          |  FROM toksp t LEFT JOIN covered c
+          |    ON t.doc_id = c.doc_id AND t.pos = c.tp
+          |  WHERE c.tp IS NULL
+          |  GROUP BY t.doc_id)
+          |SELECT b.doc_id, b.n_tokens,
+          |  coalesce(k.n_kept, 0) AS n_kept,
+          |  b.n_tokens - coalesce(k.n_kept, 0) AS n_removed,
+          |  md5(coalesce(k.ktext, '')) AS kept_md5
+          |FROM base b LEFT JOIN kept k USING (doc_id)""".stripMargin)),
 
     // RAG/context-window chunking: overlapping 16-token windows every 12
     // tokens, a pure narrow map (tokenize -> sequence -> posexplode).

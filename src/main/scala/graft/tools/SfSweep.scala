@@ -3,9 +3,10 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Scratch driver: measures representative registry queries at every
-  * testdata scale factor (sf0.001 / sf0.01 / sf0.1 — 100x of input
-  * growth) so SCALE.md's 100 TB story has MEASURED growth curves, not
-  * just plan-shape audits (VERDICT r8 #4).
+  * scale factor of a testdata root (driver tree sf0.001/0.01/0.1, or a
+  * [[GenSf]] tree adding sf1.0 — 1000x of input growth end-to-end) so
+  * SCALE.md's 100 TB story has MEASURED growth curves, not just
+  * plan-shape audits (VERDICT r8 #4, r11 #1).
   *
   * Methodology matches Bench: per (sf, query) one untimed warm-up rep,
   * then median of 3 timed reps; operator-internal caches scoped per
@@ -14,6 +15,13 @@ import org.apache.spark.sql.SparkSession
   * exact + LSH dedup, n-gram contamination, LM scoring, retrieval,
   * ANN, events) — the Fixtures-synthetic OME queries scale by image
   * count, measured separately in [[ScalePoints]].
+  *
+  * Env knobs: `SPARK_GRAFT_TESTDATA` root (default /root/testdata),
+  * `SPARK_GRAFT_SFS` comma list of sf dir names (default the driver
+  * tree's three), `SPARK_GRAFT_SWEEP_ONLY` comma list of query names.
+  * The JSON line reports per-query medians per sf plus the max driver
+  * heap observed per sf — flat heap across 1000x input is the
+  * no-driver-accumulation proof.
   */
 object SfSweep {
   val Queries: Seq[String] = Seq(
@@ -28,19 +36,25 @@ object SfSweep {
     "profile_table", "zipf_report", "dataset_split", "entity_pairs",
     "entity_triangles", "pit_features", "q_running_revenue")
 
-  val Sfs: Seq[String] = Seq("sf0.001", "sf0.01", "sf0.1")
-
   def main(args: Array[String]): Unit = {
     val root = sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata")
+    val sfs = sys.env.getOrElse("SPARK_GRAFT_SFS", "sf0.001,sf0.01,sf0.1")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val queries = sys.env.get("SPARK_GRAFT_SWEEP_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Queries)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def cell(name: String, sfDir: String): Double =
+    val heapMb = scala.collection.mutable.Map[String, Long]()
+      .withDefaultValue(0L)
+    def cell(name: String, sf: String): Double =
       graft.operators.Caches.scoped {
         val q = graft.SparkEntry.queries(name)
+        val sfDir = s"$root/$sf"
         q(spark, sfDir).count() // warm-up: codegen, JIT, file listing
         val times = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
@@ -48,19 +62,29 @@ object SfSweep {
           (System.nanoTime() - t0) / 1e9
         }.sorted
         spark.catalog.clearCache()
+        val rt = Runtime.getRuntime
+        heapMb(sf) = math.max(heapMb(sf),
+          (rt.totalMemory - rt.freeMemory) / (1024 * 1024))
         times(1)
       }
 
-    val rows = Queries.map { name =>
-      val ts = Sfs.map(sf => cell(name, s"$root/$sf"))
-      val ratio = if (ts(1) > 0) ts(2) / ts(1) else Double.NaN
-      println(f"| $name%-26s | ${ts(0)}%6.2f | ${ts(1)}%6.2f | ${ts(2)}%6.2f | ${ratio}%5.1fx |")
+    val hdr = sfs.map(s => f"$s%8s").mkString(" | ")
+    println(f"| ${"query"}%-26s | $hdr | growth |")
+    val rows = queries.map { name =>
+      val ts = sfs.map(sf => cell(name, sf))
+      // growth = last-sf time over previous-sf time (the 10x step)
+      val ratio = if (ts.size >= 2 && ts(ts.size - 2) > 0)
+        ts.last / ts(ts.size - 2) else Double.NaN
+      val cellsTxt = ts.map(t => f"$t%8.2f").mkString(" | ")
+      println(f"| $name%-26s | $cellsTxt | ${ratio}%5.1fx |")
       name -> ts
     }
     val json = rows.map { case (n, ts) =>
       "\"" + n + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
-    println(s"""{"sfs":["${Sfs.mkString("\",\"")}"],"sweep":$json}""")
+    val heapJson = sfs.map(s => "\"" + s + "\":" + heapMb(s))
+      .mkString("{", ",", "}")
+    println(s"""{"root":"$root","sfs":["${sfs.mkString("\",\"")}"],"sweep":$json,"max_heap_mb":$heapJson}""")
     spark.stop()
   }
 }

@@ -470,6 +470,30 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("exactSubstrDedup: gram-keyed joins only — no cartesian, no " +
+      "nested-loop, text never in a join key") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b c d e f"), (1L, "a b c d x y"))
+      .toDF("doc_id", "text")
+    val p = plan(graft.operators.TextOps.exactSubstrDedup(docs, k = 4))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"exactSubstrDedup fan-out regressed to a product:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("trackObjects: candidate links come from a stack+adjacent-t " +
+      "equi-join — no cartesian over objects") {
+    import spark.implicits._
+    val objs = Seq(("i", 0, 0, 0, 1, 1.0, 1.0), ("i", 0, 0, 1, 2, 1.0, 2.0))
+      .toDF("image_id", "c", "z", "t", "label", "cy", "cx")
+    val p = plan(graft.operators.OmeOps.trackObjects(objs, maxDisp = 3.0))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"trackObjects candidate join regressed to a product:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("profileColumns prunes the scan to the profiled columns and " +
       "shuffles only aggregates") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")

@@ -83,4 +83,63 @@ class SegmentSpec extends SparkSpec {
       (7, 4, 1, 1, 2, 2, 1.5, 1.5),   // the 2x2 blob, label = idx(1,1)
       (23, 1, 3, 5, 3, 5, 3.0, 5.0))) // the isolated pixel
   }
+
+  test("trackObjects: two blobs CROSSING in x keep their identities " +
+      "through mutual-nearest linking (segmentObjects end-to-end)") {
+    import spark.implicits._
+    // 8x8 planes, t = 0..4; blob A walks right along row 3
+    // (x = 1,2,3,4,5), blob B walks left along row 5 (x = 6,5,4,3,2).
+    // They cross in x between t=2 and t=3. Per-step own-successor
+    // distance is 1; the cross-blob candidate is sqrt(4+1) > via d2:
+    // own d2 = 1 vs swap d2 = 4+1? rows differ by 2 so swap d2 >= 4 —
+    // mutual-nearest must link straight lines, never swap identities.
+    val planes = (0 until 5).map { t =>
+      val px = Array.fill(64)(0)
+      px(3 * 8 + (1 + t)) = 9 // blob A
+      px(5 * 8 + (6 - t)) = 9 // blob B
+      ("xing", t, 0, 0, 8, 8, px.toSeq)
+    }.toDF("image_id", "t", "c", "z", "size_x", "size_y", "pixels")
+    val objs = OmeOps.segmentObjects(planes,
+      transform(col("pixels"), v => when(v >= 9, lit(1)).otherwise(lit(0))))
+    val tracks = OmeOps.trackObjects(objs, maxDisp = 2.5)
+      .orderBy(col("track_label")).collect()
+    assert(tracks.length === 2, s"expected 2 tracks, got ${tracks.length}")
+    val a = tracks(0) // root label = idx(3,1) = 25
+    assert(a.getAs[Int]("track_t") === 0 && a.getAs[Int]("track_label") === 25)
+    assert(a.getAs[Long]("n_obs") === 5L)
+    assert(a.getAs[Int]("t_start") === 0 && a.getAs[Int]("t_end") === 4)
+    assert(a.getAs[Double]("net_dy") === 0.0)
+    assert(a.getAs[Double]("net_dx") === 4.0)  // x 1 -> 5
+    assert(a.getAs[Double]("path_len") === 4.0)
+    assert(a.getAs[Double]("max_step") === 1.0)
+    val b = tracks(1) // root label = idx(5,6) = 46
+    assert(b.getAs[Int]("track_t") === 0 && b.getAs[Int]("track_label") === 46)
+    assert(b.getAs[Long]("n_obs") === 5L)
+    assert(b.getAs[Double]("net_dx") === -4.0) // x 6 -> 2
+    assert(b.getAs[Double]("path_len") === 4.0)
+    spark.catalog.clearCache() // object frame persisted by the tracker
+  }
+
+  test("trackObjects: a past-maxDisp jump splits the track; an " +
+      "unlinked object is a singleton") {
+    import spark.implicits._
+    val objs = Seq(
+      // one blob stepping 1/frame, then jumping 10 at t=2
+      ("im", 0, 0, 0, 100, 5.0, 5.0),
+      ("im", 0, 0, 1, 100, 5.0, 6.0),
+      ("im", 0, 0, 2, 100, 5.0, 16.0),
+      ("im", 0, 0, 3, 100, 5.0, 17.0),
+      // a lone object in another frame pair's void
+      ("im", 0, 0, 1, 200, 50.0, 50.0)
+    ).toDF("image_id", "c", "z", "t", "label", "cy", "cx")
+    val out = OmeOps.trackObjects(objs, maxDisp = 3.0)
+      .orderBy(col("track_t"), col("track_label")).collect()
+      .map(r => (r.getAs[Int]("track_t"), r.getAs[Int]("track_label"),
+        r.getAs[Long]("n_obs"), r.getAs[Double]("net_dx")))
+    assert(out.toSeq === Seq(
+      (0, 100, 2L, 1.0),   // t0-t1 before the jump
+      (1, 200, 1L, 0.0),   // the singleton
+      (2, 100, 2L, 1.0)))  // t2-t3 after the jump
+    spark.catalog.clearCache()
+  }
 }

@@ -1084,6 +1084,47 @@ class TextVectorSpec extends SparkSpec {
     assert(out(4L).getAs[Double]("dup_frac") === 0.0)
   }
 
+  test("exactSubstrDedup removes merged repeated spans, keeps the rest " +
+      "in order") {
+    val out = TextOps.exactSubstrDedup(docs, k = 4, minCount = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // docs 0 and 3 are identical: every 4-gram repeats, BOTH copies
+    // vanish entirely (the remove-all-occurrences contract)
+    assert(out(0L).getAs[Long]("n_removed") === 9L)
+    assert(out(0L).getAs[String]("text_dedup") === "")
+    assert(out(3L).getAs[String]("text_dedup") === "")
+    // doc 1 shares its first 8 tokens with doc 0 (flagged grams at pos
+    // 0..4 merge into ONE interval [0,7]); only the differing tail
+    // token survives, in its original position
+    assert(out(1L).getAs[Long]("n_kept") === 1L)
+    assert(out(1L).getAs[String]("text_dedup") === "cat")
+    // a doc with no repeated grams passes through verbatim
+    assert(out(2L).getAs[String]("text_dedup") ===
+      "completely different text about spark engines here")
+    assert(out(2L).getAs[Long]("n_removed") === 0L)
+    // whitespace-only doc: zero tokens, still present, unchanged
+    assert(out(4L).getAs[Long]("n_tokens") === 0L)
+    assert(out(4L).getAs[String]("text_dedup") === "")
+    spark.catalog.clearCache() // base/grams frames persisted by the op
+  }
+
+  test("exactSubstrDedup merges DISJOINT repeated regions separately " +
+      "and keeps the gap between them") {
+    val share = Seq(
+      // both docs share tokens 0-3 ("a b c d") and tokens 6-9
+      // ("x y z w"); the middles differ -> two separate intervals,
+      // gap tokens survive
+      (0L, "a b c d mid1 mid2 x y z w tail0"),
+      (1L, "a b c d gap1 gap2 x y z w tail1")
+    ).toDF("doc_id", "text")
+    val out = TextOps.exactSubstrDedup(share, k = 4, minCount = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[String]("text_dedup") === "mid1 mid2 tail0")
+    assert(out(1L).getAs[String]("text_dedup") === "gap1 gap2 tail1")
+    assert(out(0L).getAs[Long]("n_removed") === 8L)
+    spark.catalog.clearCache()
+  }
+
   test("chunkDocs windows overlap by chunk-stride; empty doc keeps one row") {
     val out = TextOps.chunkDocs(docs, chunkTokens = 4, stride = 3)
       .orderBy(col("doc_id"), col("chunk_id")).collect()
