@@ -1021,6 +1021,51 @@ object OmeOps {
    */
   def trackObjects(objects: DataFrame, maxDisp: Double = 3.0,
       maxIters: Int = 25, driverEdgeLimit: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned =
+      trackAssignments(objects, maxDisp, maxIters, driverEdgeLimit)
+    val wTrack = Window.partitionBy(col("image_id"), col("c"), col("z"),
+      col("track_t"), col("track_label")).orderBy(col("t").asc)
+    val steps = assigned
+      .withColumn("step", sqrt(
+        (col("cy") - lag(col("cy"), 1).over(wTrack)) *
+          (col("cy") - lag(col("cy"), 1).over(wTrack)) +
+          (col("cx") - lag(col("cx"), 1).over(wTrack)) *
+            (col("cx") - lag(col("cx"), 1).over(wTrack))))
+    steps.groupBy(col("image_id"), col("c"), col("z"),
+        col("track_t"), col("track_label"))
+      .agg(count(lit(1)).cast("long").as("n_obs"),
+        min(col("t")).as("t_start"), max(col("t")).as("t_end"),
+        (max_by(col("cy"), col("t")) - min_by(col("cy"), col("t")))
+          .as("raw_net_dy"),
+        (max_by(col("cx"), col("t")) - min_by(col("cx"), col("t")))
+          .as("raw_net_dx"),
+        coalesce(sum(col("step")), lit(0.0)).as("raw_path"),
+        coalesce(max(col("step")), lit(0.0)).as("raw_max"))
+      .select(col("image_id"), col("c"), col("z"),
+        col("track_t"), col("track_label"),
+        col("n_obs"), col("t_start"), col("t_end"),
+        round(col("raw_net_dy"), 6).as("net_dy"),
+        round(col("raw_net_dx"), 6).as("net_dx"),
+        round(col("raw_path"), 6).as("path_len"),
+        round(col("raw_max"), 6).as("max_step"))
+  }
+
+  /**
+   * The per-OBJECT half of [[trackObjects]]: every input object with
+   * its track identity attached — `(image_id, c, z, t, label, cy, cx,
+   * track_t, track_label)` — the frame a training pipeline joins
+   * back to [[segmentObjectsIntensity]] measurements or
+   * [[extractPatches]] crops to key per-cell trajectories
+   * (trajectory features, lineage labels, track-consistent
+   * augmentation). Same linking contract as [[trackObjects]]
+   * (mutual-nearest within `maxDisp`, one-to-one, track id =
+   * earliest (t, label) of the chain, hash-independent); unlinked
+   * objects carry their own (t, label) as a singleton track id.
+   * EAGER like every CC caller.
+   */
+  def trackAssignments(objects: DataFrame, maxDisp: Double = 3.0,
+      maxIters: Int = 25, driverEdgeLimit: Long = 1000000L): DataFrame = {
     require(maxDisp > 0, "trackObjects: maxDisp must be positive")
     import org.apache.spark.sql.expressions.Window
     val obj = Caches.persist(objects.select(col("image_id"),
@@ -1065,32 +1110,15 @@ object OmeOps {
     val assigned = withKeys
       .join(cc.select(col("nid"), col("cluster_id")), Seq("nid"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("nid")))
-    val wTrack = Window
+    // track id = earliest (t, label) of the chain — computed per
+    // cluster, so the internal hash ids never surface
+    val wRoot = Window
       .partitionBy(col("image_id"), col("c"), col("z"), col("cluster_id"))
-      .orderBy(col("t").asc)
-    val steps = assigned
-      .withColumn("step", sqrt(
-        (col("cy") - lag(col("cy"), 1).over(wTrack)) *
-          (col("cy") - lag(col("cy"), 1).over(wTrack)) +
-          (col("cx") - lag(col("cx"), 1).over(wTrack)) *
-            (col("cx") - lag(col("cx"), 1).over(wTrack))))
-    steps.groupBy(col("image_id"), col("c"), col("z"), col("cluster_id"))
-      .agg(min(struct(col("t"), col("label"))).as("root"),
-        count(lit(1)).cast("long").as("n_obs"),
-        min(col("t")).as("t_start"), max(col("t")).as("t_end"),
-        (max_by(col("cy"), col("t")) - min_by(col("cy"), col("t")))
-          .as("raw_net_dy"),
-        (max_by(col("cx"), col("t")) - min_by(col("cx"), col("t")))
-          .as("raw_net_dx"),
-        coalesce(sum(col("step")), lit(0.0)).as("raw_path"),
-        coalesce(max(col("step")), lit(0.0)).as("raw_max"))
-      .select(col("image_id"), col("c"), col("z"),
-        col("root.t").as("track_t"), col("root.label").as("track_label"),
-        col("n_obs"), col("t_start"), col("t_end"),
-        round(col("raw_net_dy"), 6).as("net_dy"),
-        round(col("raw_net_dx"), 6).as("net_dx"),
-        round(col("raw_path"), 6).as("path_len"),
-        round(col("raw_max"), 6).as("max_step"))
+    assigned
+      .withColumn("root", min(struct(col("t"), col("label"))).over(wRoot))
+      .select(col("image_id"), col("c"), col("z"), col("t"), col("label"),
+        col("cy"), col("cx"),
+        col("root.t").as("track_t"), col("root.label").as("track_label"))
   }
 
   /**

@@ -48,6 +48,29 @@ object QueryDefs {
   private def dirTag(dir: String): String =
     java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
 
+  /** Closed-form moving-blob object table for the tracking queries:
+    * 4 images x 3 blobs x 8 frames — blob 0 drifts 1/frame, blob 1
+    * appears at t>=3 (new mid-movie track), blob 2 jumps past
+    * maxDisp=3 at t=4 (track split). Shared by `ome_object_tracks`
+    * (per-track stats) and `ome_track_assign` (per-object identity);
+    * the oracles regenerate it from the same formula. */
+  private def trackCorpus(s: SparkSession): DataFrame =
+    s.range(4L * 3 * 8).select(
+      (col("id") / 24).cast("int").as("img"),
+      ((col("id") / 8) % 3).cast("int").as("k"),
+      (col("id") % 8).cast("int").as("t"))
+      .filter(!(col("k") === 1 && col("t") < 3))
+      .select(format_string("trk-%04d", col("img")).as("image_id"),
+        lit(0).as("c"), lit(0).as("z"), col("t"),
+        (col("k") * 10 + col("t")).as("label"),
+        when(col("k") === 0, col("img") + col("t") + 10)
+          .when(col("k") === 1, col("img") + 30)
+          .otherwise(col("img") + 50).cast("double").as("cy"),
+        when(col("k") === 0, lit(10))
+          .when(col("k") === 1, col("t") * 2 + 5)
+          .otherwise(when(col("t") < 4, col("t") + 40)
+            .otherwise(col("t") + 62)).cast("double").as("cx"))
+
   // ---------------------------------------------------------------------
   // Closed-form pixel grid CTE for a synthetic family (Fixtures formula:
   // v = (img*31 + t*13 + c*7 + z*3 + p) % 65536, p = y*sx + x).
@@ -736,24 +759,8 @@ chunks AS (
     // frames: a drifter, a mid-movie appearer, a past-maxDisp jumper
     // that splits) into per-track displacement stats; the oracle
     // replays candidate ranking + chain assembly as a recursive CTE.
-    ("ome_object_tracks", (s: SparkSession, _: String) => {
-      val objs = s.range(4L * 3 * 8).select(
-        (col("id") / 24).cast("int").as("img"),
-        ((col("id") / 8) % 3).cast("int").as("k"),
-        (col("id") % 8).cast("int").as("t"))
-        .filter(!(col("k") === 1 && col("t") < 3))
-        .select(format_string("trk-%04d", col("img")).as("image_id"),
-          lit(0).as("c"), lit(0).as("z"), col("t"),
-          (col("k") * 10 + col("t")).as("label"),
-          when(col("k") === 0, col("img") + col("t") + 10)
-            .when(col("k") === 1, col("img") + 30)
-            .otherwise(col("img") + 50).cast("double").as("cy"),
-          when(col("k") === 0, lit(10))
-            .when(col("k") === 1, col("t") * 2 + 5)
-            .otherwise(when(col("t") < 4, col("t") + 40)
-              .otherwise(col("t") + 62)).cast("double").as("cx"))
-      OmeOps.trackObjects(objs, maxDisp = 3.0)
-    },
+    ("ome_object_tracks", (s: SparkSession, _: String) =>
+      OmeOps.trackObjects(trackCorpus(s), maxDisp = 3.0),
       Some(
         """WITH RECURSIVE o AS (
           |  SELECT printf('trk-%04d', img) AS image_id,
@@ -811,6 +818,57 @@ chunks AS (
           |  round(coalesce(sum(step), 0), 6) AS path_len,
           |  round(coalesce(max(step), 0), 6) AS max_step
           |FROM steps GROUP BY image_id, rt, rlbl""".stripMargin)),
+
+    // Per-object track identity — the frame a pipeline joins back to
+    // intensity measurements / patch crops to key per-cell
+    // trajectories; same corpus, same linking replay, object-level.
+    ("ome_track_assign", (s: SparkSession, _: String) =>
+      OmeOps.trackAssignments(trackCorpus(s), maxDisp = 3.0),
+      Some(
+        """WITH RECURSIVE o AS (
+          |  SELECT printf('trk-%04d', img) AS image_id,
+          |    CAST(t AS INT) AS t, CAST(k*10 + t AS INT) AS label,
+          |    CAST(CASE k WHEN 0 THEN img + t + 10 WHEN 1 THEN img + 30
+          |      ELSE img + 50 END AS DOUBLE) AS cy,
+          |    CAST(CASE k WHEN 0 THEN 10 WHEN 1 THEN t*2 + 5
+          |      ELSE CASE WHEN t < 4 THEN t + 40 ELSE t + 62 END
+          |      END AS DOUBLE) AS cx
+          |  FROM generate_series(0,3) i(img),
+          |    generate_series(0,2) kk(k), generate_series(0,7) tt(t)
+          |  WHERE NOT (k = 1 AND t < 3)),
+          |cand AS (
+          |  SELECT a.image_id, a.t AS ta, a.label AS la,
+          |    b.t AS tb, b.label AS lb,
+          |    (b.cy-a.cy)*(b.cy-a.cy) + (b.cx-a.cx)*(b.cx-a.cx) AS d2
+          |  FROM o a JOIN o b
+          |    ON b.image_id = a.image_id AND b.t = a.t + 1
+          |  WHERE (b.cy-a.cy)*(b.cy-a.cy) + (b.cx-a.cx)*(b.cx-a.cx)
+          |    <= 9.0),
+          |ranked AS (
+          |  SELECT *,
+          |    row_number() OVER (PARTITION BY image_id, ta, la
+          |      ORDER BY d2, lb) AS rs,
+          |    row_number() OVER (PARTITION BY image_id, tb, lb
+          |      ORDER BY d2, la) AS rd
+          |  FROM cand),
+          |links AS (
+          |  SELECT image_id, ta, la, tb, lb FROM ranked
+          |  WHERE rs = 1 AND rd = 1),
+          |chain AS (
+          |  SELECT o.image_id, o.t, o.label, o.t AS rt, o.label AS rlbl
+          |  FROM o LEFT JOIN links l ON l.image_id = o.image_id
+          |    AND l.tb = o.t AND l.lb = o.label
+          |  WHERE l.lb IS NULL
+          |  UNION ALL
+          |  SELECT l.image_id, l.tb AS t, l.lb AS label, ch.rt, ch.rlbl
+          |  FROM chain ch JOIN links l ON l.image_id = ch.image_id
+          |    AND l.ta = ch.t AND l.la = ch.label)
+          |SELECT ch.image_id, CAST(0 AS INT) AS c, CAST(0 AS INT) AS z,
+          |  o.t, o.label, o.cy, o.cx,
+          |  CAST(ch.rt AS INT) AS track_t,
+          |  CAST(ch.rlbl AS INT) AS track_label
+          |FROM chain ch JOIN o ON o.image_id = ch.image_id
+          |  AND o.t = ch.t AND o.label = ch.label""".stripMargin)),
 
     // Object morphology: extent/aspect shape descriptors derived from
     // the exact segmentation measurements — pure column arithmetic.
@@ -2742,6 +2800,54 @@ chunks AS (
           |  b.n_tokens - coalesce(k.n_kept, 0) AS n_removed,
           |  md5(coalesce(k.ktext, '')) AS kept_md5
           |FROM base b LEFT JOIN kept k USING (doc_id)""".stripMargin)),
+
+    // Cross-operator certification: the REMOVE operator's per-doc
+    // excised-token counts must equal the SCORE operator's covered-token
+    // counts (same grams, same merged spans — two independent
+    // formulations of one contract), and the totals must match the
+    // oracle's own replay. n_mismatch is value-checked against 0.
+    ("exact_substr_cert", (s: SparkSession, dir: String) => {
+      val spans = TextOps.repeatedSpans(t(s, dir, "documents"),
+        k = 5, minCount = 2)
+        .select(col("doc_id"), col("covered_tokens"))
+      val ded = TextOps.exactSubstrDedup(t(s, dir, "documents"),
+        k = 5, minCount = 2)
+        .select(col("doc_id"), col("n_removed"), col("n_tokens"))
+      ded.join(spans, Seq("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          coalesce(sum(when(col("n_removed") =!= col("covered_tokens"),
+            1L).otherwise(0L)), lit(0L)).cast("long").as("n_mismatch"),
+          sum(col("n_removed")).cast("long").as("total_removed"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"))
+    },
+      Some(
+        """WITH d AS (
+          |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |    list_filter(string_split_regex(trim(text), '\s+'),
+          |      x -> x <> '') AS toks
+          |  FROM documents),
+          |base AS (
+          |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens
+          |  FROM d),
+          |grams AS (
+          |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+          |    array_to_string(list_slice(toks, pos + 1, pos + 5), ' ') AS gram
+          |  FROM (
+          |    SELECT doc_id, toks,
+          |      unnest(range(0, greatest(len(toks) - 4, 0))) AS pos
+          |    FROM base WHERE len(toks) >= 5)),
+          |heavy AS (
+          |  SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+          |cov AS (
+          |  SELECT doc_id, CAST(count(DISTINCT tp) AS BIGINT) AS covered
+          |  FROM (SELECT g.doc_id, unnest(range(g.pos, g.pos + 5)) AS tp
+          |    FROM grams g JOIN heavy h USING (gram))
+          |  GROUP BY doc_id)
+          |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(0 AS BIGINT) AS n_mismatch,
+          |  CAST(sum(coalesce(c.covered, 0)) AS BIGINT) AS total_removed,
+          |  CAST(sum(b.n_tokens) AS BIGINT) AS total_tokens
+          |FROM base b LEFT JOIN cov c USING (doc_id)""".stripMargin)),
 
     // RAG/context-window chunking: overlapping 16-token windows every 12
     // tokens, a pure narrow map (tokenize -> sequence -> posexplode).

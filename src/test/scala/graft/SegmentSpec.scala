@@ -140,6 +140,15 @@ class SegmentSpec extends SparkSpec {
       (0, 100, 2L, 1.0),   // t0-t1 before the jump
       (1, 200, 1L, 0.0),   // the singleton
       (2, 100, 2L, 1.0)))  // t2-t3 after the jump
+    // the per-object half agrees: every object carries its chain's
+    // earliest (t, label) as track identity
+    val asg = OmeOps.trackAssignments(objs, maxDisp = 3.0)
+      .orderBy(col("t"), col("label")).collect()
+      .map(r => (r.getAs[Int]("t"), r.getAs[Int]("label"),
+        r.getAs[Int]("track_t"), r.getAs[Int]("track_label")))
+    assert(asg.toSeq === Seq(
+      (0, 100, 0, 100), (1, 100, 0, 100), (1, 200, 1, 200),
+      (2, 100, 2, 100), (3, 100, 2, 100)))
     spark.catalog.clearCache()
   }
 }
