@@ -1122,6 +1122,57 @@ object OmeOps {
   }
 
   /**
+   * Per-track intensity trend — the PHOTOBLEACHING QC a timelapse
+   * pipeline runs right after tracking: for every track
+   * ([[trackAssignments]]' linking contract), the least-squares slope
+   * of object intensity over time plus the endpoint intensities.
+   * Fluorophores bleach roughly linearly at QC timescales; a steep
+   * negative slope says shorten exposure / fix normalization before
+   * the track's intensities feed a model, and a POSITIVE slope flags
+   * focus drift or segmentation instability. Input is any object
+   * frame with `(image_id, c, z, t, label, cy, cx, mean_intensity)`
+   * ([[segmentObjectsIntensity]] output joined on its measurement
+   * columns). One row per track: `(image_id, c, z, track_t,
+   * track_label, n_obs, i_start, i_end, bleach_slope)` — slope NULL
+   * for single-observation tracks.
+   *
+   * The slope uses the closed two-pass-free form
+   * `(n·Σti − Σt·Σi) / (n·Σt² − (Σt)²)`: all sums accumulate in one
+   * aggregation over the assignment join (no per-track window), and
+   * because the denominator is integer-exact in t the division is the
+   * ONLY floating step — rounded 6 dp, engine-portable.
+   *
+   * Scale shape: [[trackAssignments]]' cost plus one 5-key join back
+   * to the measurement frame and one track-keyed aggregation.
+   */
+  def trackIntensityTrends(objects: DataFrame, maxDisp: Double = 3.0,
+      maxIters: Int = 25, driverEdgeLimit: Long = 1000000L): DataFrame = {
+    val asg = trackAssignments(objects, maxDisp, maxIters, driverEdgeLimit)
+    val ints = objects.select(col("image_id"),
+      col("c").cast("int").as("c"), col("z").cast("int").as("z"),
+      col("t").cast("int").as("t"), col("label").cast("int").as("label"),
+      col("mean_intensity").cast("double").as("mi"))
+    asg.join(ints, Seq("image_id", "c", "z", "t", "label"))
+      .groupBy(col("image_id"), col("c"), col("z"),
+        col("track_t"), col("track_label"))
+      .agg(count(lit(1)).cast("long").as("n_obs"),
+        min_by(col("mi"), col("t")).as("raw_i_start"),
+        max_by(col("mi"), col("t")).as("raw_i_end"),
+        sum(col("t").cast("double") * col("mi")).as("s_ti"),
+        sum(col("t").cast("long")).as("s_t"),
+        sum(col("mi")).as("s_i"),
+        sum(col("t").cast("long") * col("t").cast("long")).as("s_tt"))
+      .select(col("image_id"), col("c"), col("z"),
+        col("track_t"), col("track_label"), col("n_obs"),
+        round(col("raw_i_start"), 6).as("i_start"),
+        round(col("raw_i_end"), 6).as("i_end"),
+        when(col("n_obs") * col("s_tt") - col("s_t") * col("s_t") =!= 0L,
+          round((col("n_obs") * col("s_ti") - col("s_t") * col("s_i")) /
+            (col("n_obs") * col("s_tt") - col("s_t") * col("s_t"))
+              .cast("double"), 6)).as("bleach_slope"))
+  }
+
+  /**
    * Stage-drift detection — per (channel, z), the translation between
    * CONSECUTIVE time points that maximizes the mean pixel
    * cross-correlation over the overlap, searched on a

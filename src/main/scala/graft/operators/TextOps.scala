@@ -2088,8 +2088,21 @@ object TextOps {
     val starts = grams.join(heavy.select(col("gram")), Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("pos"))).as("starts"))
-    // ascending starts fold into disjoint maximal intervals: [p, p+k-1]
-    // merges into the last interval whenever it overlaps or touches it
+    exciseSpans(base, starts, k)
+  }
+
+  /**
+   * Shared rewrite stage of [[exactSubstrDedup]] /
+   * [[decontaminateSpans]]: given the tokenized `base`
+   * (doc_id, toks, n_tokens) and per-doc sorted flagged k-gram START
+   * positions, merge the starts into disjoint maximal covered
+   * intervals (one O(|starts|) stack-fold — ascending [p, p+k-1]
+   * windows merge whenever they overlap or touch) and reassemble the
+   * uncovered tokens in order. Narrow per-row work after one
+   * doc-keyed join; O(tokens · merged-intervals) per doc.
+   */
+  private def exciseSpans(base: DataFrame, starts: DataFrame,
+      k: Int): DataFrame = {
     val intervals = expr(
       s"""aggregate(starts,
          |  CAST(array() AS ARRAY<STRUCT<lo: BIGINT, hi: BIGINT>>),
@@ -2115,6 +2128,53 @@ object TextOps {
         size(col("kept")).cast("long").as("n_kept"),
         (col("n_tokens") - size(col("kept")).cast("long")).as("n_removed"),
         array_join(col("kept"), " ").as("text_dedup"))
+  }
+
+  /**
+   * SPAN-LEVEL benchmark decontamination — the surgical alternative to
+   * dropping whole training documents: every positional k-gram of a
+   * TRAIN doc that appears ANYWHERE in the eval/benchmark set marks
+   * its k-token span, marked spans merge into maximal intervals
+   * ([[exactSubstrDedup]]'s fold), and the spans are EXCISED while the
+   * rest of the document survives. This is what a pipeline reaches for
+   * when benchmark text rides inside otherwise-good documents (quoted
+   * test questions, embedded eval passages): [[contamination]] scores
+   * the pair overlap, [[bloomDecontaminate]] flags cheaply at scale,
+   * and this operator REMOVES the contaminated spans — keeping the
+   * training tokens the doc-level drop would have thrown away.
+   *
+   * Returns one row per TRAIN doc: `(doc_id, n_tokens, n_kept,
+   * n_removed, text_dedup)`; eval docs are never rewritten.
+   *
+   * Scale shape: the eval side collapses to DISTINCT k-grams (the
+   * [[ngramCoverage]] reduction) and the flag join is gram-keyed —
+   * Catalyst broadcasts a small benchmark set automatically; the train
+   * side pays the same one posexplode + doc-keyed starts join as
+   * [[exactSubstrDedup]], text never shuffles.
+   */
+  def decontaminateSpans(train: DataFrame, eval: DataFrame,
+      k: Int = 5): DataFrame = {
+    require(k > 0, s"decontaminateSpans: k $k must be positive")
+    val base = train
+      .select(col("doc_id").cast("long").as("doc_id"),
+        tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n_tokens"))
+      .transform(Caches.persist(_)) // consumed by grams AND the rewrite
+    val shifted = (0 until k).map(j =>
+      slice(col("toks"), lit(j + 1), size(col("toks")) - (k - 1)))
+    val gramArr = transform(arrays_zip(shifted: _*),
+      s => concat_ws(" ", (0 until k).map(j => s.getField(j.toString)): _*))
+    val grams = base.filter(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(gramArr))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("gram"))
+    val evalGrams = eval
+      .select(explode(ngrams(col("text"), k)).as("gram")).distinct()
+    val starts = grams.join(evalGrams, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("starts"))
+    exciseSpans(base, starts, k)
   }
 
   /**

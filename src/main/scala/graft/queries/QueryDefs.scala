@@ -69,7 +69,13 @@ object QueryDefs {
         when(col("k") === 0, lit(10))
           .when(col("k") === 1, col("t") * 2 + 5)
           .otherwise(when(col("t") < 4, col("t") + 40)
-            .otherwise(col("t") + 62)).cast("double").as("cx"))
+            .otherwise(col("t") + 62)).cast("double").as("cx"),
+        // closed-form intensity: blob 0 bleaches -5/frame, blob 1 is
+        // flat, blob 2 bleaches -2/frame (both of its split subtracks)
+        when(col("k") === 0, lit(100) - col("t") * 5 + col("img"))
+          .when(col("k") === 1, col("img") + 80)
+          .otherwise(lit(60) - col("t") * 2 + col("img"))
+          .cast("double").as("mean_intensity"))
 
   // ---------------------------------------------------------------------
   // Closed-form pixel grid CTE for a synthetic family (Fixtures formula:
@@ -818,6 +824,67 @@ chunks AS (
           |  round(coalesce(sum(step), 0), 6) AS path_len,
           |  round(coalesce(max(step), 0), 6) AS max_step
           |FROM steps GROUP BY image_id, rt, rlbl""".stripMargin)),
+
+    // Per-track photobleaching QC: least-squares intensity slope over
+    // each track (closed n·Σti − Σt·Σi form — one aggregation, the
+    // division is the only floating step); same corpus + chain replay.
+    ("ome_track_bleach", (s: SparkSession, _: String) =>
+      OmeOps.trackIntensityTrends(trackCorpus(s), maxDisp = 3.0),
+      Some(
+        """WITH RECURSIVE o AS (
+          |  SELECT printf('trk-%04d', img) AS image_id,
+          |    CAST(t AS INT) AS t, CAST(k*10 + t AS INT) AS label,
+          |    CAST(CASE k WHEN 0 THEN img + t + 10 WHEN 1 THEN img + 30
+          |      ELSE img + 50 END AS DOUBLE) AS cy,
+          |    CAST(CASE k WHEN 0 THEN 10 WHEN 1 THEN t*2 + 5
+          |      ELSE CASE WHEN t < 4 THEN t + 40 ELSE t + 62 END
+          |      END AS DOUBLE) AS cx,
+          |    CAST(CASE k WHEN 0 THEN 100 - t*5 + img WHEN 1 THEN img + 80
+          |      ELSE 60 - t*2 + img END AS DOUBLE) AS mi
+          |  FROM generate_series(0,3) i(img),
+          |    generate_series(0,2) kk(k), generate_series(0,7) tt(t)
+          |  WHERE NOT (k = 1 AND t < 3)),
+          |cand AS (
+          |  SELECT a.image_id, a.t AS ta, a.label AS la,
+          |    b.t AS tb, b.label AS lb,
+          |    (b.cy-a.cy)*(b.cy-a.cy) + (b.cx-a.cx)*(b.cx-a.cx) AS d2
+          |  FROM o a JOIN o b
+          |    ON b.image_id = a.image_id AND b.t = a.t + 1
+          |  WHERE (b.cy-a.cy)*(b.cy-a.cy) + (b.cx-a.cx)*(b.cx-a.cx)
+          |    <= 9.0),
+          |ranked AS (
+          |  SELECT *,
+          |    row_number() OVER (PARTITION BY image_id, ta, la
+          |      ORDER BY d2, lb) AS rs,
+          |    row_number() OVER (PARTITION BY image_id, tb, lb
+          |      ORDER BY d2, la) AS rd
+          |  FROM cand),
+          |links AS (
+          |  SELECT image_id, ta, la, tb, lb FROM ranked
+          |  WHERE rs = 1 AND rd = 1),
+          |chain AS (
+          |  SELECT o.image_id, o.t, o.label, o.t AS rt, o.label AS rlbl
+          |  FROM o LEFT JOIN links l ON l.image_id = o.image_id
+          |    AND l.tb = o.t AND l.lb = o.label
+          |  WHERE l.lb IS NULL
+          |  UNION ALL
+          |  SELECT l.image_id, l.tb AS t, l.lb AS label, ch.rt, ch.rlbl
+          |  FROM chain ch JOIN links l ON l.image_id = ch.image_id
+          |    AND l.ta = ch.t AND l.la = ch.label),
+          |asg AS (
+          |  SELECT ch.image_id, ch.rt, ch.rlbl, o.t, o.mi
+          |  FROM chain ch JOIN o ON o.image_id = ch.image_id
+          |    AND o.t = ch.t AND o.label = ch.label)
+          |SELECT image_id, CAST(0 AS INT) AS c, CAST(0 AS INT) AS z,
+          |  CAST(rt AS INT) AS track_t, CAST(rlbl AS INT) AS track_label,
+          |  CAST(count(*) AS BIGINT) AS n_obs,
+          |  round(arg_min(mi, t), 6) AS i_start,
+          |  round(arg_max(mi, t), 6) AS i_end,
+          |  CASE WHEN count(*) * sum(t*t) - sum(t) * sum(t) <> 0 THEN
+          |    round((count(*) * sum(t * mi) - sum(t) * sum(mi)) /
+          |      CAST(count(*) * sum(t*t) - sum(t) * sum(t) AS DOUBLE), 6)
+          |  END AS bleach_slope
+          |FROM asg GROUP BY image_id, rt, rlbl""".stripMargin)),
 
     // Per-object track identity — the frame a pipeline joins back to
     // intensity measurements / patch crops to key per-cell
@@ -2783,6 +2850,67 @@ chunks AS (
           |  SELECT DISTINCT doc_id, tp FROM (
           |    SELECT g.doc_id, unnest(range(g.pos, g.pos + 5)) AS tp
           |    FROM grams g JOIN heavy h USING (gram))),
+          |toksp AS (
+          |  SELECT doc_id, unnest(toks) AS tok,
+          |    CAST(unnest(range(len(toks))) AS BIGINT) AS pos
+          |  FROM base),
+          |kept AS (
+          |  SELECT t.doc_id,
+          |    string_agg(t.tok, ' ' ORDER BY t.pos) AS ktext,
+          |    CAST(count(*) AS BIGINT) AS n_kept
+          |  FROM toksp t LEFT JOIN covered c
+          |    ON t.doc_id = c.doc_id AND t.pos = c.tp
+          |  WHERE c.tp IS NULL
+          |  GROUP BY t.doc_id)
+          |SELECT b.doc_id, b.n_tokens,
+          |  coalesce(k.n_kept, 0) AS n_kept,
+          |  b.n_tokens - coalesce(k.n_kept, 0) AS n_removed,
+          |  md5(coalesce(k.ktext, '')) AS kept_md5
+          |FROM base b LEFT JOIN kept k USING (doc_id)""".stripMargin)),
+
+    // SPAN-LEVEL decontamination: train-doc 5-gram spans that appear
+    // anywhere in the eval split are excised, the rest of each doc
+    // survives — the surgical alternative to doc-level dropping.
+    ("decontam_spans", (s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      TextOps.decontaminateSpans(
+        docs.filter(col("doc_id") % 25 =!= 0),
+        docs.filter(col("doc_id") % 25 === 0), k = 5)
+        .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+          col("n_removed"), md5(col("text_dedup")).as("kept_md5"))
+    },
+      Some(
+        """WITH d AS (
+          |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |    list_filter(string_split_regex(trim(text), '\s+'),
+          |      x -> x <> '') AS toks
+          |  FROM documents),
+          |tr AS (SELECT * FROM d WHERE doc_id % 25 <> 0),
+          |ev AS (SELECT * FROM d WHERE doc_id % 25 = 0),
+          |base AS (
+          |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens
+          |  FROM tr),
+          |grams AS (
+          |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+          |    array_to_string(list_slice(toks, pos + 1, pos + 5), ' ') AS gram
+          |  FROM (
+          |    SELECT doc_id, toks,
+          |      unnest(range(0, greatest(len(toks) - 4, 0))) AS pos
+          |    FROM base WHERE len(toks) >= 5)),
+          |eg AS (
+          |  SELECT DISTINCT gram FROM (
+          |    SELECT array_to_string(list_slice(toks, pos + 1, pos + 5),
+          |      ' ') AS gram
+          |    FROM (SELECT toks,
+          |        unnest(range(0, greatest(len(toks) - 4, 0))) AS pos
+          |      FROM ev WHERE len(toks) >= 5)
+          |    UNION ALL
+          |    SELECT array_to_string(toks, ' ') AS gram FROM ev
+          |    WHERE len(toks) < 5)),
+          |covered AS (
+          |  SELECT DISTINCT doc_id, tp FROM (
+          |    SELECT g.doc_id, unnest(range(g.pos, g.pos + 5)) AS tp
+          |    FROM grams g JOIN eg USING (gram))),
           |toksp AS (
           |  SELECT doc_id, unnest(toks) AS tok,
           |    CAST(unnest(range(len(toks))) AS BIGINT) AS pos

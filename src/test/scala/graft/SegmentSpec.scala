@@ -151,4 +151,28 @@ class SegmentSpec extends SparkSpec {
       (2, 100, 2, 100), (3, 100, 2, 100)))
     spark.catalog.clearCache()
   }
+
+  test("trackIntensityTrends: exact least-squares slope per track; " +
+      "NULL for a singleton") {
+    import spark.implicits._
+    val objs = Seq(
+      // linear bleach -3/frame over 4 frames (stationary object)
+      ("im", 0, 0, 0, 1, 5.0, 5.0, 90.0),
+      ("im", 0, 0, 1, 1, 5.0, 5.0, 87.0),
+      ("im", 0, 0, 2, 1, 5.0, 5.0, 84.0),
+      ("im", 0, 0, 3, 1, 5.0, 5.0, 81.0),
+      // a singleton: slope undefined
+      ("im", 0, 0, 1, 9, 50.0, 50.0, 42.0)
+    ).toDF("image_id", "c", "z", "t", "label", "cy", "cx",
+      "mean_intensity")
+    val out = OmeOps.trackIntensityTrends(objs, maxDisp = 1.0)
+      .orderBy(col("track_label")).collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Double]("bleach_slope") === -3.0)
+    assert(out(0).getAs[Double]("i_start") === 90.0)
+    assert(out(0).getAs[Double]("i_end") === 81.0)
+    assert(out(1).isNullAt(out(1).fieldIndex("bleach_slope")))
+    assert(out(1).getAs[Long]("n_obs") === 1L)
+    spark.catalog.clearCache()
+  }
 }

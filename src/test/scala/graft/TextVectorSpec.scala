@@ -1125,6 +1125,26 @@ class TextVectorSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("decontaminateSpans excises only the eval-overlapping span; " +
+      "flanks and eval-free docs survive verbatim") {
+    val train = Seq(
+      // eval passage "q1 q2 q3 q4" embedded mid-doc (4-gram at pos 2-5)
+      (0L, "intro text q1 q2 q3 q4 outro tail"),
+      (1L, "entirely clean training material here")
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "q1 q2 q3 q4")).toDF("doc_id", "text")
+    val out = TextOps.decontaminateSpans(train, eval, k = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[String]("text_dedup") === "intro text outro tail")
+    assert(out(0L).getAs[Long]("n_removed") === 4L)
+    assert(out(1L).getAs[String]("text_dedup") ===
+      "entirely clean training material here")
+    assert(out(1L).getAs[Long]("n_removed") === 0L)
+    // eval docs are never rewritten — output covers the TRAIN side only
+    assert(!out.contains(100L))
+    spark.catalog.clearCache()
+  }
+
   test("chunkDocs windows overlap by chunk-stride; empty doc keeps one row") {
     val out = TextOps.chunkDocs(docs, chunkTokens = 4, stride = 3)
       .orderBy(col("doc_id"), col("chunk_id")).collect()
