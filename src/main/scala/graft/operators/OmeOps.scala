@@ -1020,10 +1020,11 @@ object OmeOps {
    * a loud collision check, and every OUTPUT is hash-independent.
    */
   def trackObjects(objects: DataFrame, maxDisp: Double = 3.0,
-      maxIters: Int = 25, driverEdgeLimit: Long = 1000000L): DataFrame = {
+      maxIters: Int = 25, driverEdgeLimit: Long = 1000000L,
+      maxGap: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val assigned =
-      trackAssignments(objects, maxDisp, maxIters, driverEdgeLimit)
+      trackAssignments(objects, maxDisp, maxIters, driverEdgeLimit, maxGap)
     val wTrack = Window.partitionBy(col("image_id"), col("c"), col("z"),
       col("track_t"), col("track_label")).orderBy(col("t").asc)
     val steps = assigned
@@ -1063,37 +1064,71 @@ object OmeOps {
    * earliest (t, label) of the chain, hash-independent); unlinked
    * objects carry their own (t, label) as a singleton track id.
    * EAGER like every CC caller.
+   *
+   * GAP CLOSING (`maxGap` > 0): after the adjacent-frame pass, still-
+   * open track ENDS (no outgoing link) and track STARTS (no incoming
+   * link) retry the same mutual-nearest rule across 2, then 3, … up
+   * to `maxGap + 1` frames — TrackMate's gap-closing stage, bridging
+   * detection dropouts (an out-of-focus flicker, a missed
+   * segmentation) that would otherwise split every long track. Gap
+   * rounds are strictly ordered — a gap-g link only pairs endpoints
+   * NO shorter gap could — so results stay deterministic; `maxDisp`
+   * is NOT scaled by the gap (a dropout is a detection failure, not
+   * faster motion; callers wanting per-gap-frame displacement budget
+   * pass a larger `maxDisp` explicitly).
    */
   def trackAssignments(objects: DataFrame, maxDisp: Double = 3.0,
-      maxIters: Int = 25, driverEdgeLimit: Long = 1000000L): DataFrame = {
+      maxIters: Int = 25, driverEdgeLimit: Long = 1000000L,
+      maxGap: Int = 0): DataFrame = {
     require(maxDisp > 0, "trackObjects: maxDisp must be positive")
+    require(maxGap >= 0 && maxGap <= 5,
+      s"trackObjects: maxGap $maxGap not in [0,5] (each gap level adds " +
+        "a candidate-join round; bridge longer dropouts upstream)")
     import org.apache.spark.sql.expressions.Window
     val obj = Caches.persist(objects.select(col("image_id"),
       col("c").cast("int").as("c"), col("z").cast("int").as("z"),
       col("t").cast("int").as("t"), col("label").cast("int").as("label"),
       col("cy").cast("double").as("cy"), col("cx").cast("double").as("cx")))
-    val a = obj.select(col("image_id"), col("c"), col("z"),
-      col("t").as("ta"), col("label").as("la"),
-      col("cy").as("ya"), col("cx").as("xa"),
-      (col("t") + 1).as("tb"))
-    val b = obj.select(col("image_id"), col("c"), col("z"),
-      col("t").as("tb"), col("label").as("lb"),
-      col("cy").as("yb"), col("cx").as("xb"))
-    val cand = a.join(b, Seq("image_id", "c", "z", "tb"))
-      .withColumn("d2",
-        (col("yb") - col("ya")) * (col("yb") - col("ya")) +
-          (col("xb") - col("xa")) * (col("xb") - col("xa")))
-      .filter(col("d2") <= lit(maxDisp * maxDisp))
     val wSrc = Window.partitionBy(col("image_id"), col("c"), col("z"),
       col("ta"), col("la")).orderBy(col("d2").asc, col("lb").asc)
     val wDst = Window.partitionBy(col("image_id"), col("c"), col("z"),
       col("tb"), col("lb")).orderBy(col("d2").asc, col("la").asc)
-    val links = cand
-      .withColumn("rs", row_number().over(wSrc))
-      .withColumn("rd", row_number().over(wDst))
-      .filter(col("rs") === 1 && col("rd") === 1)
-      .select(col("image_id"), col("c"), col("z"),
-        col("ta"), col("la"), col("tb"), col("lb"))
+    // one mutual-nearest pass linking `src` frames to `dst` frames
+    // `gap` frames later — shared by the adjacent pass and gap rounds
+    def mutualNearest(src: DataFrame, dst: DataFrame,
+        gap: Int): DataFrame = {
+      val a = src.select(col("image_id"), col("c"), col("z"),
+        col("t").as("ta"), col("label").as("la"),
+        col("cy").as("ya"), col("cx").as("xa"),
+        (col("t") + gap).as("tb"))
+      val b = dst.select(col("image_id"), col("c"), col("z"),
+        col("t").as("tb"), col("label").as("lb"),
+        col("cy").as("yb"), col("cx").as("xb"))
+      a.join(b, Seq("image_id", "c", "z", "tb"))
+        .withColumn("d2",
+          (col("yb") - col("ya")) * (col("yb") - col("ya")) +
+            (col("xb") - col("xa")) * (col("xb") - col("xa")))
+        .filter(col("d2") <= lit(maxDisp * maxDisp))
+        .withColumn("rs", row_number().over(wSrc))
+        .withColumn("rd", row_number().over(wDst))
+        .filter(col("rs") === 1 && col("rd") === 1)
+        .select(col("image_id"), col("c"), col("z"),
+          col("ta"), col("la"), col("tb"), col("lb"))
+    }
+    var links = mutualNearest(obj, obj, 1)
+    for (g <- 2 to maxGap + 1) {
+      // endpoints no shorter gap could pair; persist the accumulated
+      // links once per round — both open-endpoint anti-joins and the
+      // union consume them
+      val fixed = Caches.persist(links)
+      val openSrc = obj.join(fixed.select(col("image_id"), col("c"),
+        col("z"), col("ta").as("t"), col("la").as("label")),
+        Seq("image_id", "c", "z", "t", "label"), "left_anti")
+      val openDst = obj.join(fixed.select(col("image_id"), col("c"),
+        col("z"), col("tb").as("t"), col("lb").as("label")),
+        Seq("image_id", "c", "z", "t", "label"), "left_anti")
+      links = fixed.unionByName(mutualNearest(openSrc, openDst, g))
+    }
     def key(t: Column, l: Column): Column = xxhash64(col("image_id"),
       col("c"), col("z"), t, l)
     val withKeys = obj.withColumn("nid",

@@ -825,6 +825,104 @@ chunks AS (
           |  round(coalesce(max(step), 0), 6) AS max_step
           |FROM steps GROUP BY image_id, rt, rlbl""".stripMargin)),
 
+    // Gap-closing tracking: a one-frame detection dropout (blob 0
+    // missing at t=3) bridges at maxGap=1 while the adjacent-frame
+    // links stay untouched; oracle unrolls the gap round — mutual
+    // nearest at gap 2 among endpoints the gap-1 pass left open.
+    ("ome_track_gap", (s: SparkSession, _: String) => {
+      val objs = s.range(2L * 2 * 6).select(
+        (col("id") / 12).cast("int").as("img"),
+        ((col("id") / 6) % 2).cast("int").as("k"),
+        (col("id") % 6).cast("int").as("t"))
+        .filter(!(col("k") === 0 && col("t") === 3))
+        .select(format_string("gap-%04d", col("img")).as("image_id"),
+          lit(0).as("c"), lit(0).as("z"), col("t"),
+          (col("k") * 10 + col("t")).as("label"),
+          (col("k") * 20 + col("img") + 5).cast("double").as("cy"),
+          (col("t") + 10).cast("double").as("cx"))
+      OmeOps.trackObjects(objs, maxDisp = 3.0, maxGap = 1)
+    },
+      Some(
+        """WITH RECURSIVE o AS (
+          |  SELECT printf('gap-%04d', img) AS image_id,
+          |    CAST(t AS INT) AS t, CAST(k*10 + t AS INT) AS label,
+          |    CAST(k*20 + img + 5 AS DOUBLE) AS cy,
+          |    CAST(t + 10 AS DOUBLE) AS cx
+          |  FROM generate_series(0,1) i(img),
+          |    generate_series(0,1) kk(k), generate_series(0,5) tt(t)
+          |  WHERE NOT (k = 0 AND t = 3)),
+          |cand1 AS (
+          |  SELECT a.image_id, a.t AS ta, a.label AS la,
+          |    b.t AS tb, b.label AS lb,
+          |    (b.cy-a.cy)*(b.cy-a.cy) + (b.cx-a.cx)*(b.cx-a.cx) AS d2
+          |  FROM o a JOIN o b
+          |    ON b.image_id = a.image_id AND b.t = a.t + 1
+          |  WHERE (b.cy-a.cy)*(b.cy-a.cy) + (b.cx-a.cx)*(b.cx-a.cx)
+          |    <= 9.0),
+          |links1 AS (
+          |  SELECT image_id, ta, la, tb, lb FROM (
+          |    SELECT *,
+          |      row_number() OVER (PARTITION BY image_id, ta, la
+          |        ORDER BY d2, lb) AS rs,
+          |      row_number() OVER (PARTITION BY image_id, tb, lb
+          |        ORDER BY d2, la) AS rd
+          |    FROM cand1) WHERE rs = 1 AND rd = 1),
+          |osrc AS (
+          |  SELECT o.* FROM o LEFT JOIN links1 l
+          |    ON l.image_id = o.image_id AND l.ta = o.t
+          |    AND l.la = o.label
+          |  WHERE l.la IS NULL),
+          |odst AS (
+          |  SELECT o.* FROM o LEFT JOIN links1 l
+          |    ON l.image_id = o.image_id AND l.tb = o.t
+          |    AND l.lb = o.label
+          |  WHERE l.lb IS NULL),
+          |cand2 AS (
+          |  SELECT a.image_id, a.t AS ta, a.label AS la,
+          |    b.t AS tb, b.label AS lb,
+          |    (b.cy-a.cy)*(b.cy-a.cy) + (b.cx-a.cx)*(b.cx-a.cx) AS d2
+          |  FROM osrc a JOIN odst b
+          |    ON b.image_id = a.image_id AND b.t = a.t + 2
+          |  WHERE (b.cy-a.cy)*(b.cy-a.cy) + (b.cx-a.cx)*(b.cx-a.cx)
+          |    <= 9.0),
+          |links2 AS (
+          |  SELECT image_id, ta, la, tb, lb FROM (
+          |    SELECT *,
+          |      row_number() OVER (PARTITION BY image_id, ta, la
+          |        ORDER BY d2, lb) AS rs,
+          |      row_number() OVER (PARTITION BY image_id, tb, lb
+          |        ORDER BY d2, la) AS rd
+          |    FROM cand2) WHERE rs = 1 AND rd = 1),
+          |links AS (
+          |  SELECT * FROM links1 UNION ALL SELECT * FROM links2),
+          |chain AS (
+          |  SELECT o.image_id, o.t, o.label, o.t AS rt, o.label AS rlbl
+          |  FROM o LEFT JOIN links l ON l.image_id = o.image_id
+          |    AND l.tb = o.t AND l.lb = o.label
+          |  WHERE l.lb IS NULL
+          |  UNION ALL
+          |  SELECT l.image_id, l.tb AS t, l.lb AS label, ch.rt, ch.rlbl
+          |  FROM chain ch JOIN links l ON l.image_id = ch.image_id
+          |    AND l.ta = ch.t AND l.la = ch.label),
+          |asg AS (
+          |  SELECT ch.image_id, ch.rt, ch.rlbl, o.t, o.cy, o.cx
+          |  FROM chain ch JOIN o ON o.image_id = ch.image_id
+          |    AND o.t = ch.t AND o.label = ch.label),
+          |steps AS (
+          |  SELECT *, sqrt((cy - lag(cy) OVER w) * (cy - lag(cy) OVER w)
+          |      + (cx - lag(cx) OVER w) * (cx - lag(cx) OVER w)) AS step
+          |  FROM asg
+          |  WINDOW w AS (PARTITION BY image_id, rt, rlbl ORDER BY t))
+          |SELECT image_id, CAST(0 AS INT) AS c, CAST(0 AS INT) AS z,
+          |  CAST(rt AS INT) AS track_t, CAST(rlbl AS INT) AS track_label,
+          |  CAST(count(*) AS BIGINT) AS n_obs,
+          |  CAST(min(t) AS INT) AS t_start, CAST(max(t) AS INT) AS t_end,
+          |  round(arg_max(cy, t) - arg_min(cy, t), 6) AS net_dy,
+          |  round(arg_max(cx, t) - arg_min(cx, t), 6) AS net_dx,
+          |  round(coalesce(sum(step), 0), 6) AS path_len,
+          |  round(coalesce(max(step), 0), 6) AS max_step
+          |FROM steps GROUP BY image_id, rt, rlbl""".stripMargin)),
+
     // Per-track photobleaching QC: least-squares intensity slope over
     // each track (closed n·Σti − Σt·Σi form — one aggregation, the
     // division is the only floating step); same corpus + chain replay.

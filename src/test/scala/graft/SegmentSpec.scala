@@ -152,6 +152,30 @@ class SegmentSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("trackObjects gap closing: a one-frame dropout splits the track " +
+      "at maxGap=0 and bridges at maxGap=1") {
+    import spark.implicits._
+    // one blob drifting +1/frame in cx, missing at t=2 (detection
+    // dropout): frames t = 0,1,3,4
+    val objs = Seq(0, 1, 3, 4).map(t =>
+      ("im", 0, 0, t, 7, 5.0, 10.0 + t))
+      .toDF("image_id", "c", "z", "t", "label", "cy", "cx")
+    val split = OmeOps.trackObjects(objs, maxDisp = 3.0).collect()
+    assert(split.length === 2, "dropout must split without gap closing")
+    val bridged = OmeOps.trackObjects(objs, maxDisp = 3.0, maxGap = 1)
+      .collect()
+    assert(bridged.length === 1, "maxGap=1 must bridge the dropout")
+    val tr = bridged(0)
+    assert(tr.getAs[Long]("n_obs") === 4L)
+    assert(tr.getAs[Int]("t_start") === 0 && tr.getAs[Int]("t_end") === 4)
+    // steps: 1 + 2 (across the gap) + 1
+    assert(tr.getAs[Double]("path_len") === 4.0)
+    assert(tr.getAs[Double]("max_step") === 2.0)
+    // the gap round must not re-link endpoints the adjacent pass
+    // already paired: total links = 3 (0-1, 1-3 bridged, 3-4)
+    spark.catalog.clearCache()
+  }
+
   test("trackIntensityTrends: exact least-squares slope per track; " +
       "NULL for a singleton") {
     import spark.implicits._
