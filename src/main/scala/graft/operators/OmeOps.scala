@@ -1133,9 +1133,9 @@ object OmeOps {
       col("c"), col("z"), t, l)
     val withKeys = obj.withColumn("nid",
       key(col("t"), col("label")))
-    val nObj = withKeys.count()
-    require(nObj ==
-      withKeys.select(col("nid")).distinct().count(),
+    // one aggregation job for the collision check, not two counts
+    val chk = withKeys.agg(count(lit(1)), count_distinct(col("nid"))).head
+    require(chk.getLong(0) == chk.getLong(1),
       "trackObjects: xxhash64 collision across object keys — renumber " +
         "object labels before tracking")
     val edges = links.select(key(col("ta"), col("la")).as("nid_a"),

@@ -34,7 +34,9 @@ object SfSweep {
     "events_asof_nearest", "events_key_skew",
     // r9-late additions: profiling, linkage, split, PIT join, windows
     "profile_table", "zipf_report", "dataset_split", "entity_pairs",
-    "entity_triangles", "pit_features", "q_running_revenue")
+    "entity_triangles", "pit_features", "q_running_revenue",
+    // r12 additions: span removal + span-level decontamination
+    "exact_substr_dedup", "decontam_spans")
 
   def main(args: Array[String]): Unit = {
     val root = sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata")
