@@ -923,6 +923,20 @@ chunks AS (
           |  round(coalesce(max(step), 0), 6) AS max_step
           |FROM steps GROUP BY image_id, rt, rlbl""".stripMargin)),
 
+    // Streaming tracker vs the batch linker (all-zeros pattern): the
+    // object corpus streams as one batch; every streamed object's
+    // track identity must equal trackAssignments' — same mutual-
+    // nearest total order, roots chained through per-stack state.
+    ("stream_track_check", (s: SparkSession, _: String) =>
+      graft.streaming.OmeStream.trackCheck(s, trackCorpus(s),
+        maxDisp = 3.0),
+      Some(
+        """SELECT CAST(0 AS BIGINT) AS missing_obj,
+          |  CAST(0 AS BIGINT) AS extra_obj,
+          |  CAST(0 AS BIGINT) AS track_mismatch,
+          |  CAST(0 AS BIGINT) AS dup_obj,
+          |  CAST(0 AS BIGINT) AS empty_stream""".stripMargin)),
+
     // Per-track photobleaching QC: least-squares intensity slope over
     // each track (closed n·Σti − Σt·Σi form — one aggregation, the
     // division is the only floating step); same corpus + chain replay.

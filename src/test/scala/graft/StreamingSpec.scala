@@ -367,6 +367,42 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("streaming tracker: track roots carry across micro-batches; a " +
+      "skipped frame starts a new track") {
+    import spark.implicits._
+    val dir = "/tmp/graft_test_trackstream"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    def wave(rows: Seq[(Int, Int, Double)]): Unit =
+      rows.map { case (t, label, cx) => ("im", 0, 0, t, label, 5.0, cx) }
+        .toDF("image_id", "c", "z", "t", "label", "cy", "cx")
+        .coalesce(1).write.mode("append").parquet(dir)
+    // wave 1: frames t=0,1 — one blob drifting +1/frame
+    wave(Seq((0, 7, 10.0), (1, 7, 11.0)))
+    val q = graft.streaming.OmeStream.trackStream(
+        spark.readStream
+          .schema(graft.streaming.OmeStream.objectSchema)
+          .parquet(dir), maxDisp = 3.0)
+      .writeStream.format("memory").queryName("track_waves")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // wave 2: frame t=2 continues the chain — the root must come
+      // from STATE (frame 1 lives in the previous micro-batch)
+      wave(Seq((2, 7, 12.0)))
+      q.processAllAvailable()
+      // wave 3: frame t=4 skips t=3 — no gap closing live: new track
+      wave(Seq((4, 7, 14.0)))
+      q.processAllAvailable()
+      val got = spark.table("track_waves").collect()
+        .map(r => (r.getAs[Int]("t"),
+          r.getAs[Int]("track_t"), r.getAs[Int]("track_label"))).sorted
+      assert(got.toSeq === Seq((0, 0, 7), (1, 0, 7), (2, 0, 7),
+        (4, 4, 7)),
+        s"roots must chain through state and break at the gap: ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming domain cap: quota carries across micro-batches — a " +
       "full domain rejects every later arrival") {
     import spark.implicits._
