@@ -2046,7 +2046,9 @@ object TextOps {
    * order). Docs with fewer than `k` tokens pass through unchanged.
    *
    * Returns one row per input doc:
-   * `(doc_id, n_tokens, n_kept, n_removed, text_dedup)`.
+   * `(doc_id, n_tokens, n_kept, n_removed, text_dedup)`. NULL text
+   * propagates as NULL metrics — the doc is never silently dropped,
+   * and nothing NULL can match a gram.
    *
    * Scale shape: the gram pass is [[repeatedSpans]]' — k shifted
    * slices zipped (never a lambda re-evaluating the tokenizer per
@@ -2144,7 +2146,9 @@ object TextOps {
    * training tokens the doc-level drop would have thrown away.
    *
    * Returns one row per TRAIN doc: `(doc_id, n_tokens, n_kept,
-   * n_removed, text_dedup)`; eval docs are never rewritten.
+   * n_removed, text_dedup)`; eval docs are never rewritten. NULL
+   * train text propagates as NULL metrics (the doc is not dropped);
+   * NULL eval text contributes no grams.
    *
    * Scale shape: the eval side collapses to DISTINCT k-grams (the
    * [[ngramCoverage]] reduction) and the flag join is gram-keyed —

@@ -1145,6 +1145,25 @@ class TextVectorSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("span operators: NULL text propagates as NULL metrics, the doc " +
+      "is never dropped, and NULL eval text contributes no grams") {
+    val withNull = Seq((0L, "a b c d e"), (1L, null.asInstanceOf[String]),
+      (2L, "a b c d f")).toDF("doc_id", "text")
+    val ded = TextOps.exactSubstrDedup(withNull, k = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(ded.keySet === Set(0L, 1L, 2L))
+    assert(ded(1L).isNullAt(ded(1L).fieldIndex("n_tokens")))
+    assert(ded(1L).isNullAt(ded(1L).fieldIndex("text_dedup")))
+    assert(ded(0L).getAs[String]("text_dedup") === "e") // abcd repeats
+    val dec = TextOps.decontaminateSpans(withNull,
+      Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text"), k = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(dec(0L).getAs[Long]("n_removed") === 0L,
+      "a NULL eval doc must flag nothing")
+    assert(dec(1L).isNullAt(dec(1L).fieldIndex("n_removed")))
+    spark.catalog.clearCache()
+  }
+
   test("chunkDocs windows overlap by chunk-stride; empty doc keeps one row") {
     val out = TextOps.chunkDocs(docs, chunkTokens = 4, stride = 3)
       .orderBy(col("doc_id"), col("chunk_id")).collect()
