@@ -1157,6 +1157,93 @@ object OmeOps {
   }
 
   /**
+   * Grid tile STITCHING — assemble a stage-scan mosaic from a tile
+   * table (the BigStitcher/ashlar class of operation, metadata-driven:
+   * tile positions come from the stage's `row`/`col` grid coordinates,
+   * not cross-correlation registration — add [[driftReport]]-style
+   * refinement upstream if the stage is untrusted). Tiles of the same
+   * (image, t, c, z) with uniform `size_x`/`size_y` and `overlap`
+   * pixels of shared border assemble into ONE mosaic plane of
+   * `nc·(w−ov)+ov` by `nr·(h−ov)+ov`; in overlap regions the blend is
+   * MAX of the contributing tiles (deterministic and order-free, the
+   * [[projectZ]] discipline — mean blends average away misalignment
+   * instead of exposing it).
+   *
+   * The grid must be COMPLETE and duplicate-free (raises otherwise —
+   * a silently zero-filled missing tile poisons downstream QC), and
+   * `2·overlap` must stay below the tile dims (bounds each output
+   * pixel to ≤4 contributing tiles).
+   *
+   * Scale shape: ONE stack-keyed shuffle nests the tiles
+   * (geometry-bounded, the [[nestPlanes]] shape), then the mosaic is
+   * a single in-row HOF projection — each output pixel reads its ≤4
+   * candidate tiles by index arithmetic; pixels never cross an
+   * exchange and the per-pixel work is constant (attribute lookups,
+   * no re-evaluated subtrees).
+   */
+  def stitchGrid(tileDf: DataFrame, overlap: Int = 0): DataFrame = {
+    require(overlap >= 0, "stitchGrid: overlap must be >= 0")
+    val ov = overlap
+    val nested = tileDf
+      .select(col("image_id"), col("t").cast("int").as("t"),
+        col("c").cast("int").as("c"), col("z").cast("int").as("z"),
+        col("row").cast("int").as("row"), col("col").cast("int").as("col"),
+        col("size_x").cast("int").as("w"),
+        col("size_y").cast("int").as("h"), col("pixels"))
+      .groupBy(col("image_id"), col("t"), col("c"), col("z"))
+      .agg(
+        sort_array(collect_list(
+          struct(col("row"), col("col"), col("pixels")))).as("tiles"),
+        (max(col("row")) + 1).as("nr"), (max(col("col")) + 1).as("nc"),
+        count(lit(1)).cast("int").as("n_tiles"),
+        count_distinct(struct(col("row"), col("col"))).cast("int")
+          .as("n_cells"),
+        min(col("row")).as("r_min"), min(col("col")).as("c_min"),
+        min(col("w")).as("w"), max(col("w")).as("w_max"),
+        min(col("h")).as("h"), max(col("h")).as("h_max"))
+    val checked = nested.withColumn("ok", expr(
+      s"""CASE
+         |  WHEN w != w_max OR h != h_max THEN raise_error(
+         |    'stitchGrid: tile dims differ within one stack')
+         |  WHEN r_min != 0 OR c_min != 0 OR n_cells != nr * nc
+         |    OR n_tiles != n_cells THEN raise_error(concat(
+         |    'stitchGrid: incomplete or duplicated grid (', image_id,
+         |    ': ', CAST(n_tiles AS STRING), ' tiles for ',
+         |    CAST(nr AS STRING), 'x', CAST(nc AS STRING), ')'))
+         |  WHEN 2 * $ov >= w OR 2 * $ov >= h THEN raise_error(
+         |    'stitchGrid: 2*overlap must be below the tile dims')
+         |  ELSE true END""".stripMargin))
+    // output pixel (Y, X) reads its <=4 candidate tiles: the latest
+    // tile starting at or before the coordinate, and its predecessor
+    // (overlap contributor); -1 sentinel loses to any real pixel
+    def cand(rSel: String, cSel: String): String =
+      s"""CASE WHEN ($rSel) >= 0 AND ($rSel) < nr
+         |  AND ($cSel) >= 0 AND ($cSel) < nc
+         |  AND i DIV WW - ($rSel) * (h - $ov) < h
+         |  AND i % WW - ($cSel) * (w - $ov) < w
+         |THEN element_at(element_at(tiles,
+         |    CAST(($rSel) * nc + ($cSel) + 1 AS INT)).pixels,
+         |  CAST((i DIV WW - ($rSel) * (h - $ov)) * w +
+         |    (i % WW - ($cSel) * (w - $ov)) + 1 AS INT))
+         |ELSE -1 END""".stripMargin
+    val r1 = s"(i DIV WW) DIV (h - $ov)"
+    val c1 = s"(i % WW) DIV (w - $ov)"
+    checked
+      .withColumn("WW", expr(s"nc * (w - $ov) + $ov"))
+      .withColumn("HH", expr(s"nr * (h - $ov) + $ov"))
+      .withColumn("pixels", expr(
+        s"""transform(sequence(0, HH * WW - 1), i -> greatest(
+           |  ${cand(s"$r1 - 1", s"$c1 - 1")},
+           |  ${cand(s"$r1 - 1", c1)},
+           |  ${cand(r1, s"$c1 - 1")},
+           |  ${cand(r1, c1)}))""".stripMargin))
+      .filter(col("ok")) // forces the grid checks into the plan
+      .select(col("image_id"), col("t"), col("c"), col("z"),
+        col("n_tiles"),
+        col("WW").as("size_x"), col("HH").as("size_y"), col("pixels"))
+  }
+
+  /**
    * Per-track intensity trend — the PHOTOBLEACHING QC a timelapse
    * pipeline runs right after tracking: for every track
    * ([[trackAssignments]]' linking contract), the least-squares slope

@@ -825,6 +825,45 @@ chunks AS (
           |  round(coalesce(max(step), 0), 6) AS max_step
           |FROM steps GROUP BY image_id, rt, rlbl""".stripMargin)),
 
+    // Grid tile stitching: 2x3 stage-scan mosaics with 1px overlap,
+    // max blend; the oracle replays via global-coordinate max group-by
+    // (every tile pixel lands at (r*(h-ov)+y, c*(w-ov)+x); the mosaic
+    // pixel is the max of what lands there — same rule, dual form).
+    ("ome_stitch_grid", (s: SparkSession, _: String) => {
+      graft.functions.ensureRegistered(s) // digestArray's pixel_sum
+      val tiles = s.range(2L * 2 * 3)
+        .withColumn("img", (col("id") / 6).cast("int"))
+        .withColumn("row", ((col("id") / 3) % 2).cast("int"))
+        .withColumn("col", (col("id") % 3).cast("int"))
+        .select(format_string("sti-%04d", col("img")).as("image_id"),
+          lit(0).as("t"), lit(0).as("c"), lit(0).as("z"),
+          col("row"), col("col"),
+          lit(4).as("size_x"), lit(4).as("size_y"),
+          expr("""transform(sequence(0, 15), p ->
+            CAST((img*31 + row*17 + col*11 + p*3) % 251 AS INT))""")
+            .as("pixels"))
+      digestArray(OmeOps.stitchGrid(tiles, overlap = 1), "pixels", "mx")
+    },
+      Some(digestWrap(
+        """WITH px AS (
+          |  SELECT img, r, c, p, p // 4 AS y, p % 4 AS x,
+          |    (img*31 + r*17 + c*11 + p*3) % 251 AS v
+          |  FROM generate_series(0,1) i(img), generate_series(0,1) rr(r),
+          |    generate_series(0,2) cc(c), generate_series(0,15) pp(p)),
+          |mos AS (
+          |  SELECT img, r*3 + y AS gy, c*3 + x AS gx, max(v) AS v
+          |  FROM px GROUP BY 1, 2, 3),
+          |keys AS (SELECT DISTINCT img FROM px)
+          |SELECT printf('sti-%04d', k.img) AS image_id,
+          |  CAST(0 AS INT) AS t, CAST(0 AS INT) AS c, CAST(0 AS INT) AS z,
+          |  CAST(6 AS INT) AS n_tiles,
+          |  CAST(10 AS INT) AS size_x, CAST(7 AS INT) AS size_y,
+          |  (SELECT list(m.v ORDER BY m.gy * 10 + m.gx) FROM mos m
+          |    WHERE m.img = k.img) AS pixels
+          |FROM keys k""".stripMargin,
+        Seq("image_id", "t", "c", "z", "n_tiles", "size_x", "size_y"),
+        Seq("pixels" -> "mx")))),
+
     // Gap-closing tracking: a one-frame detection dropout (blob 0
     // missing at t=3) bridges at maxGap=1 while the adjacent-frame
     // links stay untouched; oracle unrolls the gap round — mutual

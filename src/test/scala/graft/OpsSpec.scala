@@ -509,4 +509,51 @@ class OpsSpec extends SparkSpec {
     val overlapping = OmeOps.extractPatches(planes, patch = 4, stride = 3)
     assert(overlapping.count() === 32 * 4)
   }
+
+  test("stitchGrid assembles a 2x2 overlap-1 mosaic exactly; max blend " +
+      "in every overlap band") {
+    import spark.implicits._
+    // tile (r,c) 3x3 with pixel p -> (r*2+c+1)*10 + p; overlap 1 ->
+    // mosaic 5x5; hand-computed max blend
+    val tiles = (for (r <- 0 to 1; c <- 0 to 1) yield
+      ("m", 0, 0, 0, r, c, 3, 3,
+        (0 until 9).map(p => (r * 2 + c + 1) * 10 + p).toVector))
+      .toDF("image_id", "t", "c", "z", "row", "col", "size_x", "size_y",
+        "pixels")
+    val out = OmeOps.stitchGrid(tiles, overlap = 1).collect()
+    assert(out.length === 1)
+    val row = out(0)
+    assert(row.getAs[Int]("size_x") === 5 && row.getAs[Int]("size_y") === 5)
+    assert(row.getAs[Int]("n_tiles") === 4)
+    assert(row.getAs[Seq[Int]]("pixels") === Seq(
+      10, 11, 20, 21, 22,
+      13, 14, 23, 24, 25,
+      30, 31, 40, 41, 42,
+      33, 34, 43, 44, 45,
+      36, 37, 46, 47, 48))
+  }
+
+  test("stitchGrid raises on an incomplete grid and on oversized overlap") {
+    import spark.implicits._
+    val tiles = Seq(
+      ("m", 0, 0, 0, 0, 0, 3, 3, (0 until 9).map(_ + 10).toVector),
+      ("m", 0, 0, 0, 1, 1, 3, 3, (0 until 9).map(_ + 40).toVector))
+      .toDF("image_id", "t", "c", "z", "row", "col", "size_x", "size_y",
+        "pixels")
+    val e = intercept[Exception] {
+      OmeOps.stitchGrid(tiles, overlap = 1).collect()
+    }
+    def messages(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(t =>
+        Option(t.getMessage).toSeq ++ messages(t.getCause))
+    assert(messages(e).exists(_.contains("incomplete or duplicated")))
+    val full = (for (r <- 0 to 1; c <- 0 to 1) yield
+      ("m", 0, 0, 0, r, c, 3, 3, (0 until 9).toVector))
+      .toDF("image_id", "t", "c", "z", "row", "col", "size_x", "size_y",
+        "pixels")
+    val e2 = intercept[Exception] {
+      OmeOps.stitchGrid(full, overlap = 2).collect()
+    }
+    assert(messages(e2).exists(_.contains("2*overlap")))
+  }
 }
