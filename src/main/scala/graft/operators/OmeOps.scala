@@ -1244,6 +1244,111 @@ object OmeOps {
   }
 
   /**
+   * Stitch REFINEMENT QC — the registration half of [[stitchGrid]]'s
+   * metadata-driven assembly (ashlar/BigStitcher's edge-alignment
+   * stage): for every ADJACENT tile pair of a stack's grid, the
+   * declared-overlap bands cross-correlate over a
+   * `[-maxShift, maxShift]²` search ([[graft.functions.PixelDot]] /
+   * [[graft.functions.PixelSumAgg]] over complementary
+   * [[graft.functions.PixelCrop]] windows, first row-major argmax),
+   * reporting the measured residual offset per edge. Unlike
+   * [[driftReport]]'s raw mean dot (same-camera consecutive frames),
+   * the score here is the window COVARIANCE `mean(ab) − mean(a)·mean(b)`
+   * — adjacent tiles routinely differ by a brightness offset
+   * (vignetting, illumination falloff toward the tile border), and a
+   * raw dot lets the brighter misaligned window beat the exact match,
+   * while covariance is offset-invariant. A perfectly
+   * positioned stage scores `(0, 0)` on every edge; a nonzero
+   * `best_dy`/`best_dx` is the per-edge correction a global
+   * stitch-optimization would consume — and the QC signal that the
+   * stage coordinates (or the declared overlap) are wrong BEFORE
+   * [[stitchGrid]]'s max blend quietly double-exposes the seam.
+   *
+   * One row per grid edge: `(image_id, t, c, z, axis 'h'|'v', row,
+   * col, best_dy, best_dx, score)` — (row, col) is the left/top tile
+   * of the pair; `score` the winning window covariance (6 dp).
+   *
+   * Scale shape: TWO self-equi-joins on (stack, adjacent grid cell) —
+   * Σ edges, never tiles² — then all `(2·maxShift+1)²` scores are one
+   * codegen'd in-row projection per edge; pixels never cross an
+   * exchange beyond the edge join itself.
+   */
+  def stitchRefine(tileDf: DataFrame, overlap: Int,
+      maxShift: Int = 1): DataFrame = {
+    require(maxShift >= 1, "stitchRefine: maxShift must be >= 1")
+    require(overlap > maxShift,
+      s"stitchRefine: overlap $overlap must exceed maxShift $maxShift")
+    graft.functions.ensureRegistered(tileDf.sparkSession)
+    val ov = overlap
+    val wgrid = 2 * maxShift + 1
+    val tiles = tileDf.select(col("image_id"),
+      col("t").cast("int").as("t"), col("c").cast("int").as("c"),
+      col("z").cast("int").as("z"), col("row").cast("int").as("row"),
+      col("col").cast("int").as("col"),
+      col("size_x").cast("int").as("w"),
+      col("size_y").cast("int").as("h"), col("pixels"))
+    def crop(px: Column, sx: Column, x0: Column, x1: Column,
+        y0: Column, y1: Column): Column =
+      call_function("graft_pixel_crop", px, sx, x0, x1, y0, y1)
+    // window covariance of the two bands at shift (dy, dx); band width
+    // `bw` is the crop kernel's row length for BOTH band arrays
+    def cropCov(ba: Column, bb: Column, bw: Column, bh: Column,
+        dy: Int, dx: Int): Column = {
+      val ca = crop(ba, bw, lit(math.max(0, dx)),
+        bw - lit(math.max(0, -dx)),
+        lit(math.max(0, dy)), bh - lit(math.max(0, -dy)))
+      val cb = crop(bb, bw, lit(math.max(0, -dx)),
+        bw - lit(math.max(0, dx)),
+        lit(math.max(0, -dy)), bh - lit(math.max(0, dy)))
+      val n = ((bw - lit(math.abs(dx))) *
+        (bh - lit(math.abs(dy)))).cast("long")
+      // exact integer numerator n·Σab − Σa·Σb, one floating division
+      round(((n * graft.functions.pixel_dot(ca, cb) -
+        graft.functions.pixel_sum(ca) * graft.functions.pixel_sum(cb))
+          .cast("double")) / (n * n).cast("double"), 6)
+    }
+    def edges(axis: String): DataFrame = {
+      val horiz = axis == "h"
+      val b = tiles.select(col("image_id"), col("t"), col("c"), col("z"),
+        (if (horiz) col("row") else col("row") - 1).as("row"),
+        (if (horiz) col("col") - 1 else col("col")).as("col"),
+        col("w").as("wb"), col("h").as("hb"), col("pixels").as("pb"))
+      val joined = tiles.join(b, Seq("image_id", "t", "c", "z",
+        "row", "col"))
+        .filter(col("w") === col("wb") && col("h") === col("hb"))
+      val (bandA, bandB, bw, bh) =
+        if (horiz) (
+          crop(col("pixels"), col("w"), col("w") - ov, col("w"),
+            lit(0), col("h")),
+          crop(col("pb"), col("w"), lit(0), lit(ov), lit(0), col("h")),
+          lit(ov), col("h"))
+        else (
+          crop(col("pixels"), col("w"), lit(0), col("w"),
+            col("h") - ov, col("h")),
+          crop(col("pb"), col("w"), lit(0), col("w"), lit(0), lit(ov)),
+          col("w"), lit(ov))
+      val withBands = joined
+        .withColumn("ba", bandA).withColumn("bb", bandB)
+      val shifts = for (dy <- -maxShift to maxShift;
+                        dx <- -maxShift to maxShift)
+        yield cropCov(col("ba"), col("bb"), bw, bh, dy, dx)
+      withBands.select(col("image_id"), col("t"), col("c"), col("z"),
+        lit(axis).as("axis"), col("row"), col("col"),
+        array(shifts: _*).as("scores"))
+    }
+    edges("h").unionByName(edges("v"))
+      .withColumn("pos", array_position(col("scores"),
+        array_max(col("scores"))).cast("int"))
+      .select(col("image_id"), col("t"), col("c"), col("z"),
+        col("axis"), col("row"), col("col"),
+        (expr(s"(pos - 1) div $wgrid") - maxShift).cast("int")
+          .as("best_dy"),
+        (expr(s"(pos - 1) % $wgrid") - maxShift).cast("int")
+          .as("best_dx"),
+        element_at(col("scores"), col("pos")).as("score"))
+  }
+
+  /**
    * Per-track intensity trend — the PHOTOBLEACHING QC a timelapse
    * pipeline runs right after tracking: for every track
    * ([[trackAssignments]]' linking contract), the least-squares slope

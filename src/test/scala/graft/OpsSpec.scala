@@ -533,6 +533,39 @@ class OpsSpec extends SparkSpec {
       36, 37, 46, 47, 48))
   }
 
+  test("stitchRefine: a consistent stage scores (0,0) on every edge; a " +
+      "content-shifted tile shows its residual offset") {
+    import spark.implicits._
+    // tiles cut from one DECORRELATED global field (a quadratic mix —
+    // linear fields are translation-degenerate for registration),
+    // 6x6 tiles, 2px overlap, 2x2 grid -> tile (r,c) pixel (y,x) =
+    // g(r*4 + y, c*4 + x); tile (1,1) jittered: content from one row
+    // LOWER (g(Y+1, X)) — its edges must report the dy=1 residual
+    def g(yy: Int, xx: Int): Int =
+      (yy * yy * 7 + xx * xx * 3 + yy * xx * 5 + yy * 11 + xx) % 251
+    val tiles = (for (r <- 0 to 1; c <- 0 to 1) yield {
+      val jit = if (r == 1 && c == 1) 1 else 0
+      ("st", 0, 0, 0, r, c, 6, 6,
+        (0 until 36).map(p =>
+          g(r * 4 + p / 6 + jit, c * 4 + p % 6)).toVector)
+    }).toDF("image_id", "t", "c", "z", "row", "col", "size_x", "size_y",
+      "pixels")
+    val out = OmeOps.stitchRefine(tiles, overlap = 2, maxShift = 1)
+      .collect().map(r => ((r.getAs[String]("axis"),
+        r.getAs[Int]("row"), r.getAs[Int]("col")),
+        (r.getAs[Int]("best_dy"), r.getAs[Int]("best_dx")))).toMap
+    assert(out.size === 4) // 2 h-edges + 2 v-edges
+    // clean edges: exact alignment at the declared position
+    assert(out(("h", 0, 0)) === (0, 0))
+    assert(out(("v", 0, 0)) === (0, 0))
+    // edges touching the jittered tile: content sits one row lower,
+    // so the band match is at dy = 1 (a.by = b.by + 1)
+    assert(out(("h", 1, 0)) === (1, 0),
+      s"jittered horizontal edge: ${out(("h", 1, 0))}")
+    assert(out(("v", 0, 1)) === (1, 0),
+      s"jittered vertical edge: ${out(("v", 0, 1))}")
+  }
+
   test("stitchGrid raises on an incomplete grid and on oversized overlap") {
     import spark.implicits._
     val tiles = Seq(
