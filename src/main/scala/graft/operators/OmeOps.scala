@@ -1349,6 +1349,69 @@ object OmeOps {
   }
 
   /**
+   * Stitch SOLVE — turn [[stitchRefine]]'s per-edge residuals into
+   * PER-TILE absolute offsets: offsets accumulate along the
+   * deterministic spanning tree "down column 0, then across each row"
+   * (`off(r,c) = Σ v-edges (i,0→i+1,0) for i<r + Σ h-edges (r,j→r,j+1)
+   * for j<c`, anchor `off(0,0) = (0,0)`) — the quick-stitcher
+   * tree-accumulation; a residual on a redundant (non-tree) edge stays
+   * visible in the refine report but does not move tiles (full
+   * least-squares over the grid graph is a solver, not a query).
+   * Positive `off_dy` means the tile's CONTENT sits that many rows
+   * lower than its stage coordinates claim — feed the negated offsets
+   * to a position-correcting reassembly.
+   *
+   * One row per tile: `(image_id, t, c, z, row, col, off_dy, off_dx)`.
+   *
+   * Scale shape: [[stitchRefine]]'s edge cost plus two stack-keyed
+   * prefix-sum windows (column-0 spine, then per-row) and one
+   * broadcast-sized join — edges per stack are grid-bounded, never
+   * pixel-scale.
+   */
+  def stitchSolve(tileDf: DataFrame, overlap: Int,
+      maxShift: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = Caches.persist(stitchRefine(tileDf, overlap, maxShift))
+    val stack = Seq("image_id", "t", "c", "z")
+    // spine: cumulative v-edge residuals down column 0 -> row offsets
+    val wSpine = Window.partitionBy(stack.map(col): _*)
+      .orderBy(col("row").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spine = edges.filter(col("axis") === "v" && col("col") === 0)
+      .select(stack.map(col) :+ col("row").as("erow") :+
+        col("best_dy").as("vdy") :+ col("best_dx").as("vdx"): _*)
+      .withColumn("row", col("erow") + 1).drop("erow")
+      .withColumn("spine_dy", sum(col("vdy")).over(wSpine))
+      .withColumn("spine_dx", sum(col("vdx")).over(wSpine))
+      .select((stack.map(col) :+ col("row") :+ col("spine_dy") :+
+        col("spine_dx")): _*)
+    // rows: cumulative h-edge residuals across each row
+    val wRow = Window.partitionBy((stack.map(col) :+ col("row")): _*)
+      .orderBy(col("col").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val across = edges.filter(col("axis") === "h")
+      .select(stack.map(col) :+ col("row") :+ col("col").as("ecol") :+
+        col("best_dy").as("hdy") :+ col("best_dx").as("hdx"): _*)
+      .withColumn("col", col("ecol") + 1).drop("ecol")
+      .withColumn("row_dy", sum(col("hdy")).over(wRow))
+      .withColumn("row_dx", sum(col("hdx")).over(wRow))
+      .select((stack.map(col) :+ col("row") :+ col("col") :+
+        col("row_dy") :+ col("row_dx")): _*)
+    val tiles = tileDf.select(col("image_id"),
+      col("t").cast("int").as("t"), col("c").cast("int").as("c"),
+      col("z").cast("int").as("z"), col("row").cast("int").as("row"),
+      col("col").cast("int").as("col"))
+    tiles
+      .join(spine, stack :+ "row", "left")
+      .join(across, stack ++ Seq("row", "col"), "left")
+      .select((stack.map(col) :+ col("row") :+ col("col") :+
+        (coalesce(col("spine_dy"), lit(0L)) +
+          coalesce(col("row_dy"), lit(0L))).cast("int").as("off_dy") :+
+        (coalesce(col("spine_dx"), lit(0L)) +
+          coalesce(col("row_dx"), lit(0L))).cast("int").as("off_dx")): _*)
+  }
+
+  /**
    * Per-track intensity trend — the PHOTOBLEACHING QC a timelapse
    * pipeline runs right after tracking: for every track
    * ([[trackAssignments]]' linking contract), the least-squares slope

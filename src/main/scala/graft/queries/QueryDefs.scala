@@ -944,6 +944,104 @@ chunks AS (
           |  CAST(dy AS INT) AS best_dy, CAST(dx AS INT) AS best_dx, score
           |FROM best WHERE rn = 1""".stripMargin)),
 
+    // Stitch solve: edge residuals accumulate along the column-0-then-
+    // across-rows spanning tree into per-tile offsets; the jittered
+    // (1,1) tile of image 1 lands at (1,0), every clean tile at (0,0).
+    ("ome_stitch_solve", (s: SparkSession, _: String) => {
+      graft.functions.ensureRegistered(s)
+      val tiles = s.range(2L * 2 * 2)
+        .withColumn("img", (col("id") / 4).cast("int"))
+        .withColumn("row", ((col("id") / 2) % 2).cast("int"))
+        .withColumn("col", (col("id") % 2).cast("int"))
+        .withColumn("jit", when(col("img") === 1 && col("row") === 1 &&
+          col("col") === 1, 1).otherwise(0))
+        .select(format_string("slv-%04d", col("img")).as("image_id"),
+          lit(0).as("t"), lit(0).as("c"), lit(0).as("z"),
+          col("row"), col("col"),
+          lit(6).as("size_x"), lit(6).as("size_y"),
+          expr("""transform(sequence(0, 35), p -> CAST(
+            ((row*4 + p DIV 6 + jit)*(row*4 + p DIV 6 + jit)*7 +
+             (col*4 + p % 6)*(col*4 + p % 6)*3 +
+             (row*4 + p DIV 6 + jit)*(col*4 + p % 6)*5 +
+             (row*4 + p DIV 6 + jit)*11 + (col*4 + p % 6)) % 251
+            AS INT))""").as("pixels"))
+      OmeOps.stitchSolve(tiles, overlap = 2, maxShift = 1)
+    },
+      Some(
+        """WITH px AS (
+          |  SELECT img, r, c, y, x,
+          |    ((r*4 + y + jit)*(r*4 + y + jit)*7
+          |      + (c*4 + x)*(c*4 + x)*3
+          |      + (r*4 + y + jit)*(c*4 + x)*5
+          |      + (r*4 + y + jit)*11 + (c*4 + x)) % 251 AS v
+          |  FROM (
+          |    SELECT img, r, c, y, x,
+          |      CASE WHEN img = 1 AND r = 1 AND c = 1 THEN 1 ELSE 0 END
+          |        AS jit
+          |    FROM generate_series(0,1) i(img), generate_series(0,1) rr(r),
+          |      generate_series(0,1) cc(c), generate_series(0,5) yy(y),
+          |      generate_series(0,5) xx(x))),
+          |shifts AS (
+          |  SELECT dy, dx FROM generate_series(-1,1) d1(dy),
+          |    generate_series(-1,1) d2(dx)),
+          |ba AS (
+          |  SELECT img, 'h' AS axis, r AS erow, c AS ecol,
+          |    y AS by, x - 4 AS bx, v
+          |  FROM px WHERE x >= 4 AND c < 1
+          |  UNION ALL
+          |  SELECT img, 'v' AS axis, r AS erow, c AS ecol,
+          |    y - 4 AS by, x AS bx, v
+          |  FROM px WHERE y >= 4 AND r < 1),
+          |bb AS (
+          |  SELECT img, 'h' AS axis, r AS erow, c - 1 AS ecol,
+          |    y AS by, x AS bx, v
+          |  FROM px WHERE x < 2 AND c > 0
+          |  UNION ALL
+          |  SELECT img, 'v' AS axis, r - 1 AS erow, c AS ecol,
+          |    y AS by, x AS bx, v
+          |  FROM px WHERE y < 2 AND r > 0),
+          |sc AS (
+          |  SELECT a.img, a.axis, a.erow, a.ecol, s.dy, s.dx,
+          |    round((count(*) * sum(a.v * b.v)
+          |      - sum(a.v) * sum(b.v))::DOUBLE
+          |      / (count(*) * count(*)), 6) AS score
+          |  FROM shifts s
+          |  JOIN ba a ON true
+          |  JOIN bb b ON b.img = a.img AND b.axis = a.axis
+          |    AND b.erow = a.erow AND b.ecol = a.ecol
+          |    AND a.by = b.by + s.dy AND a.bx = b.bx + s.dx
+          |  GROUP BY 1, 2, 3, 4, 5, 6),
+          |resid AS (
+          |  SELECT img, axis, erow, ecol, dy, dx FROM (
+          |    SELECT *, row_number() OVER (
+          |      PARTITION BY img, axis, erow, ecol
+          |      ORDER BY score DESC, dy, dx) AS rn
+          |    FROM sc) WHERE rn = 1),
+          |spine AS (
+          |  SELECT img, erow + 1 AS r,
+          |    sum(dy) OVER (PARTITION BY img ORDER BY erow) AS sdy,
+          |    sum(dx) OVER (PARTITION BY img ORDER BY erow) AS sdx
+          |  FROM resid WHERE axis = 'v' AND ecol = 0),
+          |acrs AS (
+          |  SELECT img, erow AS r, ecol + 1 AS c,
+          |    sum(dy) OVER (PARTITION BY img, erow ORDER BY ecol) AS rdy,
+          |    sum(dx) OVER (PARTITION BY img, erow ORDER BY ecol) AS rdx
+          |  FROM resid WHERE axis = 'h'),
+          |tiles AS (
+          |  SELECT img, r, c FROM generate_series(0,1) i(img),
+          |    generate_series(0,1) rr(r), generate_series(0,1) cc(c))
+          |SELECT printf('slv-%04d', t.img) AS image_id,
+          |  CAST(0 AS INT) AS t, CAST(0 AS INT) AS c, CAST(0 AS INT) AS z,
+          |  CAST(t.r AS INT) AS row, CAST(t.c AS INT) AS col,
+          |  CAST(coalesce(s.sdy, 0) + coalesce(a.rdy, 0) AS INT)
+          |    AS off_dy,
+          |  CAST(coalesce(s.sdx, 0) + coalesce(a.rdx, 0) AS INT)
+          |    AS off_dx
+          |FROM tiles t
+          |LEFT JOIN spine s ON s.img = t.img AND s.r = t.r
+          |LEFT JOIN acrs a ON a.img = t.img AND a.r = t.r AND a.c = t.c"""
+          .stripMargin)),
+
     // Gap-closing tracking: a one-frame detection dropout (blob 0
     // missing at t=3) bridges at maxGap=1 while the adjacent-frame
     // links stay untouched; oracle unrolls the gap round — mutual

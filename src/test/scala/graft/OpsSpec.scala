@@ -566,6 +566,27 @@ class OpsSpec extends SparkSpec {
       s"jittered vertical edge: ${out(("v", 0, 1))}")
   }
 
+  test("stitchSolve: tree-accumulated offsets — the jittered tile gets " +
+      "(1,0), every clean tile (0,0)") {
+    import spark.implicits._
+    def g(yy: Int, xx: Int): Int =
+      (yy * yy * 7 + xx * xx * 3 + yy * xx * 5 + yy * 11 + xx) % 251
+    val tiles = (for (r <- 0 to 1; c <- 0 to 1) yield {
+      val jit = if (r == 1 && c == 1) 1 else 0
+      ("sv", 0, 0, 0, r, c, 6, 6,
+        (0 until 36).map(p =>
+          g(r * 4 + p / 6 + jit, c * 4 + p % 6)).toVector)
+    }).toDF("image_id", "t", "c", "z", "row", "col", "size_x", "size_y",
+      "pixels")
+    val out = OmeOps.stitchSolve(tiles, overlap = 2, maxShift = 1)
+      .collect().map(r => ((r.getAs[Int]("row"), r.getAs[Int]("col")),
+        (r.getAs[Int]("off_dy"), r.getAs[Int]("off_dx")))).toMap
+    assert(out === Map((0, 0) -> ((0, 0)), (0, 1) -> ((0, 0)),
+      (1, 0) -> ((0, 0)), (1, 1) -> ((1, 0))),
+      s"tree accumulation wrong: $out")
+    spark.catalog.clearCache() // refine edge frame persisted by solve
+  }
+
   test("stitchGrid raises on an incomplete grid and on oversized overlap") {
     import spark.implicits._
     val tiles = Seq(
