@@ -494,6 +494,19 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("stitchRefine: edges come from stack+adjacent-cell equi-joins — " +
+      "no cartesian over tiles") {
+    import spark.implicits._
+    val tiles = (for (r <- 0 to 1; c <- 0 to 1) yield
+      ("i", 0, 0, 0, r, c, 4, 4, (0 until 16).toVector))
+      .toDF("image_id", "t", "c", "z", "row", "col", "size_x", "size_y",
+        "pixels")
+    val p = plan(graft.operators.OmeOps.stitchRefine(tiles, overlap = 2))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"stitchRefine edge join regressed to a product:\n$p")
+  }
+
   test("profileColumns prunes the scan to the profiled columns and " +
       "shuffles only aggregates") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
