@@ -1012,10 +1012,16 @@ object OmeOps {
    * (image, c, z, adjacent-t) — objects meet only objects of the SAME
    * stack's next frame, Σ per-frame-pair |A_t|·|A_t+1|, never a global
    * cross join; mutual-nearest is two object-keyed rank windows; chain
-   * assembly reuses [[graft.operators.TextOps.connectedComponents]]
-   * (links are one-to-one so components ARE paths; min-label
-   * propagation converges in O(log longest-track) distributed rounds,
-   * or the driver union-find under `driverEdgeLimit`). String/compound
+   * assembly reuses [[graft.operators.TextOps.connectedComponents]].
+   * Links are one-to-one so components ARE paths — which makes the
+   * DRIVER union-find the right CC strategy here (edges ≈ objects,
+   * comfortably under `driverEdgeLimit` for any single-run corpus):
+   * the distributed min-label fallback converges in O(component
+   * DIAMETER) rounds, and a track's diameter is its LENGTH, so a
+   * movie longer than `maxIters` frames on the distributed path fails
+   * loudly asking for a higher cap (near-dup graphs have tiny
+   * diameters; tracks do not — set `maxIters` ≥ the longest movie, or
+   * keep the graph under `driverEdgeLimit`). String/compound
    * object ids bridge to the CC engine's long domain via xxhash64 with
    * a loud collision check, and every OUTPUT is hash-independent.
    */

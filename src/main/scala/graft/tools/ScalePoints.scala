@@ -35,6 +35,37 @@ object ScalePoints {
       sec
     }
     Seq(32, 128, 512, 1024).foreach(run)
+
+    // r12: tracking scale points — objects grow with movie count
+    // (50 frames x 40 straight-moving blobs per stack); the operator
+    // is EAGER (collision check + CC), so the whole call is timed,
+    // second rep reported (warm). Edge count ≈ objects, exercising the
+    // driver union-find path the tracker is designed around.
+    def runTrack(nImages: Int): Double = {
+      val k = 40L; val t = 50L
+      def objs = spark.range(nImages * t * k).select(
+        format_string("trk-%06d", (col("id") / (t * k)).cast("int"))
+          .as("image_id"),
+        lit(0).as("c"), lit(0).as("z"),
+        ((col("id") / k) % t).cast("int").as("t"),
+        (col("id") % k).cast("int").as("label"),
+        ((col("id") % k) * 10).cast("double").as("cy"),
+        (((col("id") / k) % t) + (col("id") % k) % 7).cast("double")
+          .as("cx"))
+      def once(): Double = graft.operators.Caches.scoped {
+        val t0 = System.nanoTime()
+        graft.operators.OmeOps.trackAssignments(objs, maxDisp = 3.0)
+          .count()
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm-up rep (eager op: everything re-runs)
+      val sec = once()
+      println(f"track nImages=$nImages%4d objects=${nImages * t * k}%8d " +
+        f"sec=$sec%.2f")
+      sec
+    }
+    Seq(1, 8, 64, 256).foreach(runTrack)
     spark.stop()
   }
 }
