@@ -2952,6 +2952,132 @@ chunks AS (
           |    THEN 1 ELSE 0 END AS INT) AS keep
           |FROM c2""".stripMargin)),
 
+    // The r12 pipeline composition: doc-level near-dup keeper ->
+    // SPAN-level ExactSubstr excision over the survivors -> token-
+    // budget carve on the POST-excision counts. The three stages chain
+    // lazily (except the documented eager CC) and the budget sees the
+    // tokens that actually survive both dedup granularities.
+    ("dedup_substr_pipeline", (s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val kept = TextOps.clusterBestKeeper(docs,
+          TextOps.nearDupClustersMinhash(docs), col("n_chars"))
+        .filter(col("is_kept") === 1).select(col("doc_id"))
+      val excised = TextOps.exactSubstrDedup(docs.join(kept, "doc_id"),
+        k = 5, minCount = 2)
+      TextOps.sampleTokenBudget(
+        excised.join(docs.select(col("doc_id"), col("source")), "doc_id"),
+        budgets = Map("src0" -> 2000L, "src1" -> 3000L),
+        defaultBudget = 2500L, tokenCol = "n_kept")
+    },
+      Some(
+        """WITH RECURSIVE toks AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+          |  FROM documents),
+          |sh AS (
+          |  SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3
+          |      THEN [array_to_string(tk, ' ')]
+          |      ELSE list_transform(range(1, len(tk) - 1),
+          |             i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
+          |  FROM toks),
+          |hm AS (
+          |  SELECT doc_id, sh,
+          |    list_transform(sh, s ->
+          |      md5('0|' || s) || md5('1|' || s) || md5('2|' || s)) AS hs
+          |  FROM sh),
+          |sig AS (
+          |  SELECT doc_id, sh,
+          |    list_transform(range(0, 12), i ->
+          |      list_aggregate(list_transform(hs,
+          |        h -> substr(h, CAST(i*8+1 AS INT), 8)), 'min')) AS mh
+          |  FROM hm),
+          |banded AS (
+          |  SELECT doc_id, sh, b.b AS band,
+          |    md5(array_to_string(mh[b.b*3+1:b.b*3+3], '|')) AS band_key
+          |  FROM sig, generate_series(0, 3) b(b)),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |    a.sh AS sh_a, b.sh AS sh_b
+          |  FROM banded a JOIN banded b
+          |    ON a.band = b.band AND a.band_key = b.band_key
+          |   AND a.doc_id < b.doc_id),
+          |pairs AS (
+          |  SELECT doc_a, doc_b FROM (
+          |    SELECT doc_a, doc_b,
+          |      round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+          |            len(list_distinct(list_concat(sh_a, sh_b))), 6) AS jaccard
+          |    FROM cand)
+          |  WHERE jaccard >= 0.8),
+          |edges AS (
+          |  SELECT doc_a AS a, doc_b AS b FROM pairs
+          |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+          |reach AS (
+          |  SELECT a AS node, a AS lbl FROM edges
+          |  UNION
+          |  SELECT e.b AS node, r.lbl AS lbl
+          |  FROM reach r JOIN edges e ON e.a = r.node),
+          |labels AS (
+          |  SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+          |allr AS (
+          |  SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+          |    COALESCE(l.cluster_id, CAST(d.doc_id AS BIGINT)) AS cid,
+          |    CAST(d.n_chars AS BIGINT) AS score
+          |  FROM documents d LEFT JOIN labels l ON l.node = d.doc_id),
+          |kept AS (
+          |  SELECT doc_id FROM (
+          |    SELECT doc_id, row_number() OVER (PARTITION BY cid
+          |      ORDER BY score DESC, doc_id ASC) AS rn FROM allr)
+          |  WHERE rn = 1),
+          |base AS (
+          |  SELECT CAST(t.doc_id AS BIGINT) AS doc_id, t.tk AS toks2,
+          |    CAST(len(t.tk) AS BIGINT) AS n_tokens
+          |  FROM toks t JOIN kept k ON k.doc_id = CAST(t.doc_id AS BIGINT)),
+          |grams AS (
+          |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+          |    array_to_string(list_slice(toks2, pos + 1, pos + 5), ' ')
+          |      AS gram
+          |  FROM (
+          |    SELECT doc_id, toks2,
+          |      unnest(range(0, greatest(len(toks2) - 4, 0))) AS pos
+          |    FROM base WHERE len(toks2) >= 5)),
+          |heavy AS (
+          |  SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+          |covered AS (
+          |  SELECT DISTINCT doc_id, tp FROM (
+          |    SELECT g.doc_id, unnest(range(g.pos, g.pos + 5)) AS tp
+          |    FROM grams g JOIN heavy h USING (gram))),
+          |toksp AS (
+          |  SELECT doc_id, unnest(toks2) AS tok,
+          |    CAST(unnest(range(len(toks2))) AS BIGINT) AS pos
+          |  FROM base),
+          |keptt AS (
+          |  SELECT t2.doc_id, CAST(count(*) AS BIGINT) AS n_kept
+          |  FROM toksp t2 LEFT JOIN covered c
+          |    ON t2.doc_id = c.doc_id AND t2.pos = c.tp
+          |  WHERE c.tp IS NULL
+          |  GROUP BY t2.doc_id),
+          |ex AS (
+          |  SELECT b.doc_id, coalesce(k2.n_kept, 0) AS n_kept
+          |  FROM base b LEFT JOIN keptt k2 USING (doc_id)),
+          |b2 AS (
+          |  SELECT e.doc_id, d.source AS stratum,
+          |    substr(md5('tokbudget|' ||
+          |      CAST(e.doc_id AS VARCHAR)), 1, 8) AS u8,
+          |    CAST(e.n_kept AS BIGINT) AS n_tokens
+          |  FROM ex e JOIN documents d ON CAST(d.doc_id AS BIGINT) = e.doc_id),
+          |c2 AS (
+          |  SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY stratum
+          |    ORDER BY u8, doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |    AS cum_tokens
+          |  FROM b2)
+          |SELECT doc_id, stratum, u8, n_tokens, cum_tokens,
+          |  CAST(CASE WHEN cum_tokens <=
+          |    CASE WHEN stratum = 'src0' THEN 2000
+          |         WHEN stratum = 'src1' THEN 3000 ELSE 2500 END
+          |    THEN 1 ELSE 0 END AS INT) AS keep
+          |FROM c2""".stripMargin)),
+
     // PII scrub over deterministically augmented text (planted email +
     // phone per doc, so counts and the redaction hash are non-trivial)
     ("pii_scrub", (s: SparkSession, dir: String) =>
