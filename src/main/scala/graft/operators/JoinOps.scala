@@ -37,12 +37,15 @@ object JoinOps {
       small: DataFrame, smallKey: String,
       numHashes: Int = 3, hexDigits: Int = 5): DataFrame = {
     // one persisted distinct-keys frame feeds BOTH stages (build scans
-    // it eagerly, the exact semi-join consumes it in-plan) so the
-    // small side distincts once, not twice
+    // it eagerly, the exact semi-join consumes it in-plan) through the
+    // pre-distinct internal paths, so the small side distincts ONCE —
+    // the public bloomBitmap/bloomSemiJoinWith entry points re-distinct
+    // for safety on arbitrary inputs, which here would re-aggregate the
+    // cached frame twice per call for nothing (r12 advice)
     val keys = Caches.persist(
       small.select(col(smallKey).as("k")).distinct())
-    bloomSemiJoinWith(large, largeKey, keys, "k",
-      bloomBitmap(keys, "k", numHashes, hexDigits),
+    bloomProbeDistinct(large, largeKey, keys, "k",
+      bitmapOfDistinct(keys, "k", numHashes, hexDigits),
       numHashes, hexDigits)
   }
 
@@ -70,16 +73,24 @@ object JoinOps {
    * row-count bounded).
    */
   def bloomBitmap(small: DataFrame, smallKey: String,
-      numHashes: Int = 3, hexDigits: Int = 5): Array[Long] = {
+      numHashes: Int = 3, hexDigits: Int = 5): Array[Long] =
+    bitmapOfDistinct(small.select(col(smallKey).as("k")).distinct(), "k",
+      numHashes, hexDigits)
+
+  /** [[bloomBitmap]] over an ALREADY-DISTINCT keys frame (no
+    * re-aggregation — duplicate keys would not corrupt the bitmap, but
+    * re-distincting a cached distinct frame is pure waste). */
+  private def bitmapOfDistinct(keys: DataFrame, keyCol: String,
+      numHashes: Int, hexDigits: Int): Array[Long] = {
     require(hexDigits >= 1 && hexDigits <= 15,
       s"bloomSemiJoin: hexDigits $hexDigits not in [1,15]")
     require(numHashes >= 1, "bloomSemiJoin: numHashes must be >= 1")
     val m = 1L << (4 * hexDigits)
     val nWords = ((m + 63) / 64).toInt
     val bits = new Array[Long](nWords)
-    small.select(col(smallKey).as("k")).distinct()
+    keys
       .select(explode(array(
-        bloomPositions(col("k"), numHashes, hexDigits): _*)).as("p"))
+        bloomPositions(col(keyCol), numHashes, hexDigits): _*)).as("p"))
       .select(bloomWord(col("p")).as("w"), bloomMask(col("p")).as("m"))
       .groupBy(col("w")).agg(call_function("bit_or", col("m")).as("mask"))
       .collect()
@@ -94,7 +105,17 @@ object JoinOps {
     * match the build call. */
   def bloomSemiJoinWith(large: DataFrame, largeKey: String,
       small: DataFrame, smallKey: String, bits: Array[Long],
-      numHashes: Int = 3, hexDigits: Int = 5): DataFrame = {
+      numHashes: Int = 3, hexDigits: Int = 5): DataFrame =
+    bloomProbeDistinct(large, largeKey,
+      small.select(col(smallKey).as("k")).distinct(), "k", bits,
+      numHashes, hexDigits)
+
+  /** [[bloomSemiJoinWith]] over an ALREADY-DISTINCT keys frame — the
+    * semi-join ignores right-side duplicates, so the distinct is purely
+    * a size optimization the internal caller has already paid. */
+  private def bloomProbeDistinct(large: DataFrame, largeKey: String,
+      keys: DataFrame, keyCol: String, bits: Array[Long],
+      numHashes: Int, hexDigits: Int): DataFrame = {
     require(bits.length == (((1L << (4 * hexDigits)) + 63) / 64).toInt,
       s"bloomSemiJoinWith: bitmap has ${bits.length} words, " +
         s"hexDigits $hexDigits needs ${((1L << (4 * hexDigits)) + 63) / 64}")
@@ -105,8 +126,8 @@ object JoinOps {
           .bitwiseAND(bloomMask(p)) =!= 0L).reduce(_ && _)
     large
       .filter(mightContain)
-      .join(small.select(col(smallKey).as(largeKey)).distinct(),
-        Seq(largeKey), "left_semi")
+      .join(keys.select(col(keyCol).as(largeKey)), Seq(largeKey),
+        "left_semi")
   }
 
   /**

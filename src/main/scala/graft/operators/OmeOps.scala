@@ -1163,6 +1163,118 @@ object OmeOps {
   }
 
   /**
+   * DIVISION-AWARE tracking — cell LINEAGE: [[trackAssignments]]'
+   * mutual-nearest linker extended so a frame-t object may claim TWO
+   * frame-t+1 objects when a division splits it, emitting
+   * parent/child edges and a per-LINEAGE identity instead of
+   * splitting every mitosis into unrelated tracks (the one-to-one
+   * linker's documented blind spot — every real timelapse of dividing
+   * cells hits it; TrackMate/LAP charge a split cost for exactly this
+   * case, CellProfiler's "follow neighbors" likewise).
+   *
+   * Linking rules, all deterministic and engine-portable:
+   *  - PRIMARY links are unchanged: reciprocal rank-1 within
+   *    `maxDisp` (squared centroid distance, ties by partner label) —
+   *    a lineage with no divisions gets exactly the
+   *    [[trackAssignments]] chains;
+   *  - a DIVISION link attaches a second daughter `b` to a parent `a`
+   *    iff `a` already has a primary daughter (cells split FROM a
+   *    tracked cell — an untracked object spawning two children is a
+   *    detection artifact, not mitosis), `b` is `a`'s rank-2
+   *    candidate, and `a` is `b`'s rank-1 predecessor. The rank-1
+   *    back-condition means `b` had NO primary link of its own (its
+   *    nearest predecessor chose it second), so division edges never
+   *    steal an object another track claimed — no greedy cascade,
+   *    no order dependence; a THIRD simultaneous daughter (rank-3) is
+   *    not linked (triple fission is noise at QC timescales).
+   *
+   * Parent pointers are unique (both link kinds require rank-1 on the
+   * child side), so components are TREES ordered by t and the
+   * earliest (t, label) of a component is its unique founder — the
+   * lineage id, hash-independent like the track id contract. One row
+   * per OBJECT: `(image_id, c, z, t, label, cy, cx, parent_t,
+   * parent_label, is_division_child, lineage_t, lineage_label)` —
+   * `parent_*` NULL for founders, `is_division_child` 1 iff the
+   * incoming edge was a division edge. EAGER like every CC caller.
+   *
+   * Scale shape: the [[trackAssignments]] candidate equi-join
+   * (Σ|A_t|·|A_t+1| per stack, never global) with ONE extra
+   * aggregate window sharing wSrc's partitioning (the has-primary
+   * flag); lineage assembly through the same driver union-find
+   * (edges ≈ objects; tree diameter = movie length, so the
+   * distributed min-label path needs `maxIters` ≥ the longest movie
+   * — same caveat as tracks).
+   */
+  def trackLineage(objects: DataFrame, maxDisp: Double = 3.0,
+      maxIters: Int = 25, driverEdgeLimit: Long = 1000000L): DataFrame = {
+    require(maxDisp > 0, "trackLineage: maxDisp must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val obj = Caches.persist(objects.select(col("image_id"),
+      col("c").cast("int").as("c"), col("z").cast("int").as("z"),
+      col("t").cast("int").as("t"), col("label").cast("int").as("label"),
+      col("cy").cast("double").as("cy"), col("cx").cast("double").as("cx")))
+    val a = obj.select(col("image_id"), col("c"), col("z"),
+      col("t").as("ta"), col("label").as("la"),
+      col("cy").as("ya"), col("cx").as("xa"), (col("t") + 1).as("tb"))
+    val b = obj.select(col("image_id"), col("c"), col("z"),
+      col("t").as("tb"), col("label").as("lb"),
+      col("cy").as("yb"), col("cx").as("xb"))
+    val wSrc = Window.partitionBy(col("image_id"), col("c"), col("z"),
+      col("ta"), col("la")).orderBy(col("d2").asc, col("lb").asc)
+    val wDst = Window.partitionBy(col("image_id"), col("c"), col("z"),
+      col("tb"), col("lb")).orderBy(col("d2").asc, col("la").asc)
+    val wPar = Window.partitionBy(col("image_id"), col("c"), col("z"),
+      col("ta"), col("la"))
+    // links feed BOTH the CC edge list and the parent attachment —
+    // persist once
+    val links = Caches.persist(a.join(b, Seq("image_id", "c", "z", "tb"))
+      .withColumn("d2",
+        (col("yb") - col("ya")) * (col("yb") - col("ya")) +
+          (col("xb") - col("xa")) * (col("xb") - col("xa")))
+      .filter(col("d2") <= lit(maxDisp * maxDisp))
+      .withColumn("rs", row_number().over(wSrc))
+      .withColumn("rd", row_number().over(wDst))
+      .withColumn("has_primary",
+        max(when(col("rs") === 1 && col("rd") === 1, 1).otherwise(0))
+          .over(wPar))
+      .filter((col("rs") === 1 && col("rd") === 1) ||
+        (col("rs") === 2 && col("rd") === 1 && col("has_primary") === 1))
+      .select(col("image_id"), col("c"), col("z"), col("ta"), col("la"),
+        col("tb"), col("lb"),
+        when(col("rs") === 2, 1).otherwise(0).cast("int").as("is_div")))
+    def key(t: Column, l: Column): Column = xxhash64(col("image_id"),
+      col("c"), col("z"), t, l)
+    val withKeys = obj.withColumn("nid", key(col("t"), col("label")))
+    // one aggregation job for the collision check, not two counts
+    val chk = withKeys.agg(count(lit(1)), count_distinct(col("nid"))).head
+    require(chk.getLong(0) == chk.getLong(1),
+      "trackLineage: xxhash64 collision across object keys — renumber " +
+        "object labels before tracking")
+    val edges = links.select(key(col("ta"), col("la")).as("nid_a"),
+      key(col("tb"), col("lb")).as("nid_b"))
+    val cc = TextOps.connectedComponents(edges, maxIters,
+      driverEdgeLimit, idCol = "nid")
+    val assigned = withKeys
+      .join(cc.select(col("nid"), col("cluster_id")), Seq("nid"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("nid")))
+    val wRoot = Window
+      .partitionBy(col("image_id"), col("c"), col("z"), col("cluster_id"))
+    val parents = links.select(col("image_id"), col("c"), col("z"),
+      col("tb").as("t"), col("lb").as("label"),
+      col("ta").as("parent_t"), col("la").as("parent_label"),
+      col("is_div"))
+    assigned
+      .withColumn("root", min(struct(col("t"), col("label"))).over(wRoot))
+      .join(parents, Seq("image_id", "c", "z", "t", "label"), "left")
+      .select(col("image_id"), col("c"), col("z"), col("t"), col("label"),
+        col("cy"), col("cx"),
+        col("parent_t"), col("parent_label"),
+        coalesce(col("is_div"), lit(0)).cast("int")
+          .as("is_division_child"),
+        col("root.t").as("lineage_t"), col("root.label").as("lineage_label"))
+  }
+
+  /**
    * Grid tile STITCHING — assemble a stage-scan mosaic from a tile
    * table (the BigStitcher/ashlar class of operation, metadata-driven:
    * tile positions come from the stage's `row`/`col` grid coordinates,
@@ -1319,9 +1431,19 @@ object OmeOps {
         (if (horiz) col("row") else col("row") - 1).as("row"),
         (if (horiz) col("col") - 1 else col("col")).as("col"),
         col("w").as("wb"), col("h").as("hb"), col("pixels").as("pb"))
+      // dims mismatch RAISES (stitchGrid's fail-loud discipline): a
+      // silently dropped edge would coalesce to a clean-looking (0,0)
+      // offset in stitchSolve — "aligned" and "never measured" must not
+      // be indistinguishable (r12 advice)
       val joined = tiles.join(b, Seq("image_id", "t", "c", "z",
         "row", "col"))
-        .filter(col("w") === col("wb") && col("h") === col("hb"))
+        .withColumn("__dims_ok", expr(
+          """CASE WHEN w != wb OR h != hb THEN raise_error(concat(
+            |  'stitchRefine: adjacent tiles differ in dims (', image_id,
+            |  ' edge at row=', CAST(row AS STRING),
+            |  ' col=', CAST(col AS STRING), ')'))
+            |ELSE true END""".stripMargin))
+        .filter(col("__dims_ok")).drop("__dims_ok")
       val (bandA, bandB, bw, bh) =
         if (horiz) (
           crop(col("pixels"), col("w"), col("w") - ov, col("w"),
@@ -1364,8 +1486,9 @@ object OmeOps {
    * visible in the refine report but does not move tiles (full
    * least-squares over the grid graph is a solver, not a query).
    * Positive `off_dy` means the tile's CONTENT sits that many rows
-   * lower than its stage coordinates claim — feed the negated offsets
-   * to a position-correcting reassembly.
+   * lower than its stage coordinates claim — [[stitchApply]] consumes
+   * these directly (it draws the tile `off` pixels past its nominal
+   * origin, putting the content back at its true coordinates).
    *
    * One row per tile: `(image_id, t, c, z, row, col, off_dy, off_dx)`.
    *
@@ -1416,6 +1539,127 @@ object OmeOps {
         (coalesce(col("spine_dx"), lit(0L)) +
           coalesce(col("row_dx"), lit(0L))).cast("int").as("off_dx")): _*)
   }
+
+  /**
+   * Stitch APPLY — assemble the mosaic from PER-TILE solved offsets
+   * instead of the declared grid positions: the last mile of the
+   * registration chain ([[stitchRefine]] measures edge residuals →
+   * [[stitchSolve]] accumulates per-tile offsets → this draws the
+   * corrected mosaic), the [[driftApply]] analog for stage scans — a
+   * user who ran the solve did it to get a BETTER MOSAIC, not a
+   * report. `offsets` is [[stitchSolve]]'s output (or any frame with
+   * `(image_id, t, c, z, row, col, off_dy, off_dx)`), consumed
+   * DIRECTLY: positive `off_dy` means the tile's content sits that
+   * many rows lower than its stage coordinates claim, so the tile
+   * draws at `row·(h−ov) + off_dy` and the content lands back at its
+   * true canvas coordinates. Tiles missing from `offsets` draw at
+   * their nominal position (offset 0). The canvas keeps the NOMINAL
+   * `nc·(w−ov)+ov` by `nr·(h−ov)+ov` size; overlap regions blend MAX
+   * ([[stitchGrid]]'s deterministic, misalignment-exposing rule) and
+   * the border pixels a shifted edge tile exposes fill 0.
+   *
+   * Grid checks mirror [[stitchGrid]] (uniform dims, complete and
+   * duplicate-free, `2·overlap` below the tile dims) plus one of its
+   * own: |offset| must not exceed `overlap` — a seam can only certify
+   * shifts it can see, and a larger offset breaks the bounded
+   * candidate arithmetic below (raise, don't quietly misassemble).
+   *
+   * Scale shape: one broadcast-sized join tags tiles with their
+   * offsets, then the [[nestPlanes]]-style stack-keyed nest and ONE
+   * in-row HOF projection. With |off| ≤ ov < (dim − ov), a canvas
+   * pixel's covering tiles sit within a fixed 4×4 grid-cell window of
+   * its nominal cell (vs [[stitchGrid]]'s 2×2) — each output pixel
+   * reads ≤16 candidates by index arithmetic, constant per-pixel
+   * work, pixels never cross an exchange after the nest.
+   */
+  def stitchApply(tileDf: DataFrame, overlap: Int,
+      offsets: DataFrame): DataFrame = {
+    require(overlap >= 0, "stitchApply: overlap must be >= 0")
+    val ov = overlap
+    val off = offsets.select(col("image_id"), col("t").cast("int").as("t"),
+      col("c").cast("int").as("c"), col("z").cast("int").as("z"),
+      col("row").cast("int").as("row"), col("col").cast("int").as("col"),
+      col("off_dy").cast("int").as("off_dy"),
+      col("off_dx").cast("int").as("off_dx"))
+    val nested = tileDf
+      .select(col("image_id"), col("t").cast("int").as("t"),
+        col("c").cast("int").as("c"), col("z").cast("int").as("z"),
+        col("row").cast("int").as("row"), col("col").cast("int").as("col"),
+        col("size_x").cast("int").as("w"),
+        col("size_y").cast("int").as("h"), col("pixels"))
+      .join(off, Seq("image_id", "t", "c", "z", "row", "col"), "left")
+      .na.fill(0, Seq("off_dy", "off_dx"))
+      .groupBy(col("image_id"), col("t"), col("c"), col("z"))
+      .agg(
+        sort_array(collect_list(struct(col("row"), col("col"),
+          col("off_dy"), col("off_dx"), col("pixels")))).as("tiles"),
+        (max(col("row")) + 1).as("nr"), (max(col("col")) + 1).as("nc"),
+        count(lit(1)).cast("int").as("n_tiles"),
+        count_distinct(struct(col("row"), col("col"))).cast("int")
+          .as("n_cells"),
+        min(col("row")).as("r_min"), min(col("col")).as("c_min"),
+        min(col("w")).as("w"), max(col("w")).as("w_max"),
+        min(col("h")).as("h"), max(col("h")).as("h_max"),
+        max(greatest(abs(col("off_dy")), abs(col("off_dx"))))
+          .as("off_max"))
+    val checked = nested.withColumn("ok", expr(
+      s"""CASE
+         |  WHEN w != w_max OR h != h_max THEN raise_error(
+         |    'stitchApply: tile dims differ within one stack')
+         |  WHEN r_min != 0 OR c_min != 0 OR n_cells != nr * nc
+         |    OR n_tiles != n_cells THEN raise_error(concat(
+         |    'stitchApply: incomplete or duplicated grid (', image_id,
+         |    ': ', CAST(n_tiles AS STRING), ' tiles for ',
+         |    CAST(nr AS STRING), 'x', CAST(nc AS STRING), ')'))
+         |  WHEN 2 * $ov >= w OR 2 * $ov >= h THEN raise_error(
+         |    'stitchApply: 2*overlap must be below the tile dims')
+         |  WHEN off_max > $ov THEN raise_error(concat(
+         |    'stitchApply: tile offset ', CAST(off_max AS STRING),
+         |    ' exceeds the overlap $ov — the seam cannot certify a ',
+         |    'shift it never saw; re-run stitchRefine with a larger ',
+         |    'overlap/maxShift or fix the stage coordinates'))
+         |  ELSE true END""".stripMargin))
+    // output pixel (Y, X) reads its <=16 candidate tiles (nominal cell
+    // ±: offsets move a tile by at most ov < cell pitch, so covering
+    // tiles sit in [r1-2, r1+1] x [c1-2, c1+1]); each candidate's own
+    // (off_dy, off_dx) ride the nested struct — the driftApply
+    // data-column pattern; -1 sentinel loses to any real pixel
+    def cand(rSel: String, cSel: String): String = {
+      val idx = s"CAST(($rSel) * nc + ($cSel) + 1 AS INT)"
+      val oy = s"(($rSel) * (h - $ov) + element_at(tiles, $idx).off_dy)"
+      val ox = s"(($cSel) * (w - $ov) + element_at(tiles, $idx).off_dx)"
+      s"""CASE WHEN ($rSel) >= 0 AND ($rSel) < nr
+         |  AND ($cSel) >= 0 AND ($cSel) < nc
+         |  AND i DIV WW - $oy >= 0 AND i DIV WW - $oy < h
+         |  AND i % WW - $ox >= 0 AND i % WW - $ox < w
+         |THEN element_at(element_at(tiles, $idx).pixels,
+         |  CAST((i DIV WW - $oy) * w + (i % WW - $ox) + 1 AS INT))
+         |ELSE -1 END""".stripMargin
+    }
+    val r1 = s"(i DIV WW) DIV (h - $ov)"
+    val c1 = s"(i % WW) DIV (w - $ov)"
+    val cands = for (dr <- -2 to 1; dc <- -2 to 1)
+      yield cand(s"$r1 + ${dr}", s"$c1 + ${dc}")
+    checked
+      .withColumn("WW", expr(s"nc * (w - $ov) + $ov"))
+      .withColumn("HH", expr(s"nr * (h - $ov) + $ov"))
+      .withColumn("pixels", expr(
+        s"""transform(sequence(0, HH * WW - 1), i -> greatest(
+           |  ${cands.mkString(",\n  ")},
+           |  0))""".stripMargin))
+      .filter(col("ok")) // forces the grid checks into the plan
+      .select(col("image_id"), col("t"), col("c"), col("z"),
+        col("n_tiles"),
+        col("WW").as("size_x"), col("HH").as("size_y"), col("pixels"))
+  }
+
+  /** The full registration chain in one call: [[stitchRefine]] →
+    * [[stitchSolve]] → [[stitchApply]] — measure the seams, solve
+    * per-tile offsets, draw the corrected mosaic. The composition a
+    * stage-scan pipeline actually runs when the stage is untrusted. */
+  def stitchRefined(tileDf: DataFrame, overlap: Int,
+      maxShift: Int = 1): DataFrame =
+    stitchApply(tileDf, overlap, stitchSolve(tileDf, overlap, maxShift))
 
   /**
    * Per-track intensity trend — the PHOTOBLEACHING QC a timelapse

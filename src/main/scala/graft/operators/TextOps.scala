@@ -787,6 +787,30 @@ object TextOps {
   def bloomDecontaminate(train: DataFrame, eval: DataFrame, n: Int = 3,
       numHashes: Int = 3, hexDigits: Int = 5,
       minHits: Int = 2): DataFrame = {
+    val mightContain = evalBloomPredicate(eval, n, numHashes, hexDigits)
+    train
+      .select(col("doc_id").cast("long").as("doc_id"),
+        shingles(col("text"), n).as("sh"))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"),
+        size(filter(col("sh"), g => mightContain(g))).cast("long")
+          .as("n_hits"))
+      .select(col("doc_id"), col("n_grams"), col("n_hits"),
+        (col("n_hits") >= minHits).cast("int").as("flagged"))
+  }
+
+  /**
+   * Eval-side Bloom build shared by [[bloomDecontaminate]] and
+   * [[decontaminateTwoStage]]: hashes the eval split's distinct word
+   * n-grams into a `16^hexDigits`-bit filter (position_i = first
+   * `hexDigits` hex chars of md5("i|gram"), the engine-portable trick)
+   * and returns the map-side membership predicate. EAGER: one bounded
+   * aggregation job whose key space is m/64 words (<= 16384 rows at the
+   * default 5) regardless of eval size, then a bounded driver collect;
+   * the bitmap rides the returned predicate as a literal, so every
+   * consumer plan stays a narrow projection with ZERO eval-side joins.
+   */
+  private def evalBloomPredicate(eval: DataFrame, n: Int,
+      numHashes: Int, hexDigits: Int): Column => Column = {
     require(hexDigits >= 1 && hexDigits <= 15,
       s"bloomDecontaminate: hexDigits $hexDigits not in [1,15]")
     require(numHashes >= 1, "bloomDecontaminate: numHashes must be >= 1")
@@ -809,17 +833,51 @@ object TextOps {
       .collect()
       .foreach(r => bits(r.getInt(0)) = r.getLong(1))
     val bitsLit = typedLit(bits.toSeq)
-    def mightContain(g: Column): Column = positions(g).map(p =>
+    (g: Column) => positions(g).map(p =>
       element_at(bitsLit, wordOf(p) + 1)
         .bitwiseAND(maskOf(p)) =!= 0L).reduce(_ && _)
-    train
-      .select(col("doc_id").cast("long").as("doc_id"),
-        shingles(col("text"), n).as("sh"))
-      .select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"),
-        size(filter(col("sh"), g => mightContain(g))).cast("long")
-          .as("n_hits"))
-      .select(col("doc_id"), col("n_grams"), col("n_hits"),
-        (col("n_hits") >= minHits).cast("int").as("flagged"))
+  }
+
+  /**
+   * TWO-STAGE benchmark decontamination — the scale-safe composition of
+   * [[bloomDecontaminate]] (flag) and [[contamination]] (exact verify),
+   * and the measured answer to the exact posting-list join's pair
+   * explosion on gram-saturated corpora (a boilerplate-heavy crawl, a
+   * small-vocab synthetic: output is O(pairs), which goes quadratic
+   * when many train docs share many grams — SCALE.md's one super-linear
+   * sweep row). Stage 1 scores every train doc against the eval Bloom
+   * filter MAP-SIDE (zero corpus shuffles, the [[bloomDecontaminate]]
+   * plan shape) and keeps docs with at least `minShared` distinct gram
+   * hits; only those SURVIVORS enter stage 2's exact gram equi-join, so
+   * the posting lists — and the pair output — shrink from "every train
+   * doc sharing any gram" to "train docs already known to share >=
+   * minShared grams with the eval union".
+   *
+   * RESULT EQUALITY, not approximation: a Bloom filter has NO false
+   * negatives, so a train doc with `n_shared >= minShared` distinct
+   * grams against ANY eval doc scores `n_hits >= minShared` against the
+   * eval UNION (its shared grams all hit) and always survives stage 1;
+   * Bloom false positives only ADD survivors, which stage 2's exact
+   * join filters back out. Hence the output is EXACTLY
+   * [[contamination]](train, eval, n, minShared) — the oracle replays
+   * the plain exact SQL, making the no-false-negative argument a
+   * hash-checked property rather than prose.
+   *
+   * Plan shape (100 TB): one bounded eval-side build job (key-space
+   * bounded, eval never joins), then ONE lazy plan — narrow Bloom scan
+   * of train (filter pushes to the parquet scan; no exchange until a
+   * survivor) feeding the exact posting join over the surviving
+   * fraction only. The train corpus pays one full scan and shuffles
+   * only survivors' grams.
+   */
+  def decontaminateTwoStage(train: DataFrame, eval: DataFrame, n: Int = 3,
+      minShared: Int = 2, numHashes: Int = 3,
+      hexDigits: Int = 5): DataFrame = {
+    val mightContain = evalBloomPredicate(eval, n, numHashes, hexDigits)
+    val survivors = train.filter(
+      size(filter(shingles(col("text"), n), g => mightContain(g)))
+        >= minShared)
+    contamination(survivors, eval, n, minShared)
   }
 
   /**

@@ -1042,6 +1042,53 @@ chunks AS (
           |LEFT JOIN acrs a ON a.img = t.img AND a.r = t.r AND a.c = t.c"""
           .stripMargin)),
 
+    // Stitch APPLY — the full refine→solve→apply registration chain on
+    // the jittered fixture. The oracle is the CLEAN GLOBAL FIELD: each
+    // tile's content is the field sampled at its TRUE position (the
+    // jittered tile 1 row lower than its stage coordinates claim), so a
+    // correct chain must measure the residual, solve the (1,0) offset,
+    // and draw every pixel back at its ground-truth value — the
+    // "misalignment provably removed" property stated as SQL. A sign
+    // error, a wrong solve, or a broken candidate window all break
+    // pixel equality; nothing in the chain is taken on faith.
+    ("ome_stitch_apply", (s: SparkSession, _: String) => {
+      graft.functions.ensureRegistered(s)
+      val tiles = s.range(2L * 2 * 2)
+        .withColumn("img", (col("id") / 4).cast("int"))
+        .withColumn("row", ((col("id") / 2) % 2).cast("int"))
+        .withColumn("col", (col("id") % 2).cast("int"))
+        .withColumn("jit", when(col("img") === 1 && col("row") === 1 &&
+          col("col") === 1, 1).otherwise(0))
+        .select(format_string("apl-%04d", col("img")).as("image_id"),
+          lit(0).as("t"), lit(0).as("c"), lit(0).as("z"),
+          col("row"), col("col"),
+          lit(6).as("size_x"), lit(6).as("size_y"),
+          expr("""transform(sequence(0, 35), p -> CAST(
+            ((row*4 + p DIV 6 + jit)*(row*4 + p DIV 6 + jit)*7 +
+             (col*4 + p % 6)*(col*4 + p % 6)*3 +
+             (row*4 + p DIV 6 + jit)*(col*4 + p % 6)*5 +
+             (row*4 + p DIV 6 + jit)*11 + (col*4 + p % 6)) % 251
+            AS INT))""").as("pixels"))
+      digestArray(OmeOps.stitchRefined(tiles, overlap = 2, maxShift = 1),
+        "pixels", "mx")
+    },
+      Some(digestWrap(
+        """WITH mos AS (
+          |  SELECT img, gy, gx,
+          |    (gy*gy*7 + gx*gx*3 + gy*gx*5 + gy*11 + gx) % 251 AS v
+          |  FROM generate_series(0,1) i(img),
+          |    generate_series(0,9) yy(gy), generate_series(0,9) xx(gx)),
+          |keys AS (SELECT DISTINCT img FROM mos)
+          |SELECT printf('apl-%04d', k.img) AS image_id,
+          |  CAST(0 AS INT) AS t, CAST(0 AS INT) AS c, CAST(0 AS INT) AS z,
+          |  CAST(4 AS INT) AS n_tiles,
+          |  CAST(10 AS INT) AS size_x, CAST(10 AS INT) AS size_y,
+          |  (SELECT list(m.v ORDER BY m.gy * 10 + m.gx) FROM mos m
+          |    WHERE m.img = k.img) AS pixels
+          |FROM keys k""".stripMargin,
+        Seq("image_id", "t", "c", "z", "n_tiles", "size_x", "size_y"),
+        Seq("pixels" -> "mx")))),
+
     // Gap-closing tracking: a one-frame detection dropout (blob 0
     // missing at t=3) bridges at maxGap=1 while the adjacent-frame
     // links stay untouched; oracle unrolls the gap round — mutual
@@ -1153,6 +1200,90 @@ chunks AS (
           |  CAST(0 AS BIGINT) AS track_mismatch,
           |  CAST(0 AS BIGINT) AS dup_obj,
           |  CAST(0 AS BIGINT) AS empty_stream""".stripMargin)),
+
+    // DIVISION-AWARE lineage: a parent cell drifts for 3 frames, then
+    // splits into two equidistant daughters (the label tie-break makes
+    // daughter 1 the primary rank-1 link, daughter 2 the rank-2
+    // division edge) that drift apart; a bystander never divides. The
+    // oracle replays candidate ranking, the has-primary window, the
+    // division rule (rs=2 ∧ rd=1 ∧ parent-has-primary), and resolves
+    // lineage founders by the recursive parent closure — parents are
+    // unique, so the closure IS the component.
+    ("ome_track_lineage", (s: SparkSession, _: String) => {
+      val objs = s.range(2L * 3 * 5).select(
+        (col("id") / 15).cast("int").as("img"),
+        ((col("id") / 5) % 3).cast("int").as("k"),
+        (col("id") % 5).cast("int").as("t"))
+        .filter(!(col("k") === 1 && col("t") < 3))
+        .select(format_string("lin-%04d", col("img")).as("image_id"),
+          lit(0).as("c"), lit(0).as("z"), col("t"),
+          when(col("k") === 0, 1).when(col("k") === 1, 2).otherwise(9)
+            .cast("int").as("label"),
+          when(col("k") === 0,
+            lit(10) - greatest(lit(0), col("t") - 2))
+            .when(col("k") === 1, lit(10) + (col("t") - 2))
+            .otherwise(lit(30)).cast("double").as("cy"),
+          (col("t") + 10 + col("img")).cast("double").as("cx"))
+      OmeOps.trackLineage(objs, maxDisp = 3.0)
+    },
+      Some(
+        """WITH RECURSIVE o AS (
+          |  SELECT printf('lin-%04d', img) AS image_id,
+          |    CAST(t AS INT) AS t,
+          |    CAST(CASE k WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 9 END AS INT)
+          |      AS label,
+          |    CAST(CASE k WHEN 0 THEN 10 - greatest(0, t - 2)
+          |      WHEN 1 THEN 10 + (t - 2) ELSE 30 END AS DOUBLE) AS cy,
+          |    CAST(t + 10 + img AS DOUBLE) AS cx
+          |  FROM generate_series(0,1) i(img),
+          |    generate_series(0,2) kk(k), generate_series(0,4) tt(t)
+          |  WHERE NOT (k = 1 AND t < 3)),
+          |cand AS (
+          |  SELECT a.image_id, a.t AS ta, a.label AS la,
+          |    b.t AS tb, b.label AS lb,
+          |    (b.cy-a.cy)*(b.cy-a.cy) + (b.cx-a.cx)*(b.cx-a.cx) AS d2
+          |  FROM o a JOIN o b
+          |    ON b.image_id = a.image_id AND b.t = a.t + 1
+          |  WHERE (b.cy-a.cy)*(b.cy-a.cy) + (b.cx-a.cx)*(b.cx-a.cx)
+          |    <= 9.0),
+          |ranked AS (
+          |  SELECT *,
+          |    row_number() OVER (PARTITION BY image_id, ta, la
+          |      ORDER BY d2, lb) AS rs,
+          |    row_number() OVER (PARTITION BY image_id, tb, lb
+          |      ORDER BY d2, la) AS rd
+          |  FROM cand),
+          |ranked2 AS (
+          |  SELECT *, max(CASE WHEN rs = 1 AND rd = 1 THEN 1 ELSE 0 END)
+          |    OVER (PARTITION BY image_id, ta, la) AS hasp
+          |  FROM ranked),
+          |links AS (
+          |  SELECT image_id, ta, la, tb, lb,
+          |    CASE WHEN rs = 2 THEN 1 ELSE 0 END AS is_div
+          |  FROM ranked2
+          |  WHERE (rs = 1 AND rd = 1)
+          |    OR (rs = 2 AND rd = 1 AND hasp = 1)),
+          |roots AS (
+          |  SELECT o.image_id, o.t, o.label, o.t AS rt, o.label AS rl
+          |  FROM o LEFT JOIN links l ON l.image_id = o.image_id
+          |    AND l.tb = o.t AND l.lb = o.label
+          |  WHERE l.lb IS NULL
+          |  UNION ALL
+          |  SELECT l.image_id, l.tb AS t, l.lb AS label, r.rt, r.rl
+          |  FROM roots r JOIN links l ON l.image_id = r.image_id
+          |    AND l.ta = r.t AND l.la = r.label)
+          |SELECT o.image_id, CAST(0 AS INT) AS c, CAST(0 AS INT) AS z,
+          |  o.t, o.label, o.cy, o.cx,
+          |  CAST(l.ta AS INT) AS parent_t,
+          |  CAST(l.la AS INT) AS parent_label,
+          |  CAST(coalesce(l.is_div, 0) AS INT) AS is_division_child,
+          |  CAST(r.rt AS INT) AS lineage_t,
+          |  CAST(r.rl AS INT) AS lineage_label
+          |FROM o
+          |LEFT JOIN links l ON l.image_id = o.image_id AND l.tb = o.t
+          |  AND l.lb = o.label
+          |JOIN roots r ON r.image_id = o.image_id AND r.t = o.t
+          |  AND r.label = o.label""".stripMargin)),
 
     // Per-track photobleaching QC: least-squares intensity slope over
     // each track (closed n·Σti − Σt·Σi form — one aggregation, the
@@ -2455,6 +2586,43 @@ chunks AS (
           |  CAST(sum(allhit) AS BIGINT) AS n_hits,
           |  CAST(CASE WHEN sum(allhit) >= 2 THEN 1 ELSE 0 END AS INT) AS flagged
           |FROM hitg GROUP BY doc_id""".stripMargin)),
+
+    // TWO-STAGE decontamination (the scale-safe composition): Bloom-flag
+    // map-side, exact-verify survivors only — ONE lazy train-side plan.
+    // The oracle is the PLAIN exact-contamination SQL: Bloom filters
+    // have no false negatives, so the composition must be value-equal
+    // to the exact path — hash parity here CERTIFIES that property
+    // (a lost true positive would hash-fail, not just look slow).
+    ("decontam_two_stage", (s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      TextOps.decontaminateTwoStage(
+        docs.filter(col("doc_id") % 25 =!= 0),
+        docs.filter(col("doc_id") % 25 === 0))
+    },
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+          |  FROM documents),
+          |sh AS (
+          |  SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3
+          |      THEN [array_to_string(tk, ' ')]
+          |      ELSE list_transform(range(1, len(tk) - 1),
+          |             i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
+          |  FROM toks),
+          |tr AS (SELECT doc_id AS train_doc, unnest(sh) AS gram
+          |       FROM sh WHERE doc_id % 25 <> 0),
+          |ev AS (SELECT doc_id AS eval_doc, len(sh) AS n_eval_grams,
+          |         unnest(sh) AS gram
+          |       FROM sh WHERE doc_id % 25 = 0)
+          |SELECT * FROM (
+          |  SELECT CAST(train_doc AS BIGINT) AS train_doc,
+          |    CAST(eval_doc AS BIGINT) AS eval_doc,
+          |    CAST(count(*) AS BIGINT) AS n_shared,
+          |    round(count(*) / CAST(n_eval_grams AS DOUBLE), 6) AS eval_frac
+          |  FROM tr JOIN ev USING (gram)
+          |  GROUP BY train_doc, eval_doc, n_eval_grams)
+          |WHERE n_shared >= 2""".stripMargin)),
 
     // FLAGSHIP composition: the full pretraining-data pipeline as ONE
     // lazy plan — quality filter -> exact dedup -> decontamination vs

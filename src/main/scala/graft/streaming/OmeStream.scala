@@ -134,9 +134,14 @@ object OmeStream {
    *
    * State is ONE frame of objects per stack — `(lastT, objects)` —
    * never history; frames within a micro-batch process in ascending t,
-   * so multi-frame batches chain correctly. No timeout: an idle stack
-   * resumes tracking when its next frame arrives (state size is
-   * objects-per-frame, which microscopy bounds at thousands).
+   * so multi-frame batches chain correctly. A LATE frame (t at or
+   * before the stack's last processed frame) emits singleton tracks
+   * and leaves state UNTOUCHED — rewinding state would relink the next
+   * in-order frame against the stale late frame and corrupt every
+   * downstream root; exact late-data linking is the batch operator's
+   * job on the archive. No timeout: an idle stack resumes tracking
+   * when its next frame arrives (state size is objects-per-frame,
+   * which microscopy bounds at thousands).
    */
   def trackStream(objects: DataFrame,
       maxDisp: Double = 3.0): org.apache.spark.sql.Dataset[TrackAssign] = {
@@ -162,6 +167,16 @@ object OmeStream {
           val frames = it.toArray.sortBy(o => (o.t, o.label))
             .groupBy(_.t).toSeq.sortBy(_._1)
           for ((t, objs) <- frames) {
+            if (t <= st.lastT) {
+              // LATE frame (t already processed or passed): emit its
+              // objects as singleton tracks WITHOUT touching state — a
+              // state rewind would make the next in-order frame link
+              // against the stale late frame and corrupt every
+              // downstream root (r12 advice). Live linking needs order;
+              // replay the batch linker on the archive for exactness.
+              objs.foreach(o => out += TrackAssign(o.image_id, o.c, o.z,
+                o.t, o.label, o.t, o.label))
+            } else {
             val prev = if (t == st.lastT + 1) st.objs else Nil
             val tracked = objs.map { o =>
               // wDst rank-1: o's best predecessor by (d2, la)
@@ -188,6 +203,7 @@ object OmeStream {
                 tr.rootT, tr.rootLabel)
             }
             st = StackState(t, tracked.toList)
+            }
           }
           state.update(st)
           out.iterator

@@ -587,6 +587,86 @@ class OpsSpec extends SparkSpec {
     spark.catalog.clearCache() // refine edge frame persisted by solve
   }
 
+  test("stitchApply: hand-computed per-tile-offset assembly — a shifted " +
+      "corner tile exposes 0-filled canvas and every pixel reads its " +
+      "offset tile") {
+    import spark.implicits._
+    // the stitchGrid fixture (tile (r,c) 3x3, pixel p -> (r*2+c+1)*10+p,
+    // overlap 1, 5x5 canvas) with tile (0,0) shifted (+1,+1): its
+    // content draws at origin (1,1), the abandoned corner fills 0, and
+    // overlap bands max-blend the moved tile against its neighbors
+    val tiles = (for (r <- 0 to 1; c <- 0 to 1) yield
+      ("ap0", 0, 0, 0, r, c, 3, 3,
+        (0 until 9).map(p => (r * 2 + c + 1) * 10 + p).toVector))
+      .toDF("image_id", "t", "c", "z", "row", "col", "size_x", "size_y",
+        "pixels")
+    val offs = Seq(("ap0", 0, 0, 0, 0, 0, 1, 1))
+      .toDF("image_id", "t", "c", "z", "row", "col", "off_dy", "off_dx")
+    val out = OmeOps.stitchApply(tiles, overlap = 1, offs).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[scala.collection.Seq[Int]]("pixels").toVector === Vector(
+      0, 0, 20, 21, 22,
+      0, 10, 23, 24, 25,
+      30, 31, 40, 41, 42,
+      33, 34, 43, 44, 45,
+      36, 37, 46, 47, 48))
+  }
+
+  test("stitchApply: the refine→solve→apply chain provably removes a " +
+      "planted misalignment — the corrected mosaic IS the clean field") {
+    import spark.implicits._
+    def g(yy: Int, xx: Int): Int =
+      (yy * yy * 7 + xx * xx * 3 + yy * xx * 5 + yy * 11 + xx) % 251
+    val tiles = (for (r <- 0 to 1; c <- 0 to 1) yield {
+      val jit = if (r == 1 && c == 1) 1 else 0
+      ("apc", 0, 0, 0, r, c, 6, 6,
+        (0 until 36).map(p =>
+          g(r * 4 + p / 6 + jit, c * 4 + p % 6)).toVector)
+    }).toDF("image_id", "t", "c", "z", "row", "col", "size_x", "size_y",
+      "pixels")
+    val clean = (for (y <- 0 until 10; x <- 0 until 10) yield g(y, x)).toVector
+    // the misalignment is VISIBLE in the naive assembly...
+    val naive = OmeOps.stitchGrid(tiles, overlap = 2)
+      .collect()(0).getAs[scala.collection.Seq[Int]]("pixels").toVector
+    assert(naive !== clean, "plant failed: naive mosaic already clean")
+    // ...and GONE after the chain: every pixel back at ground truth
+    val fixed = OmeOps.stitchRefined(tiles, overlap = 2, maxShift = 1)
+      .collect()(0)
+    assert(fixed.getAs[Int]("size_x") === 10)
+    assert(fixed.getAs[Int]("size_y") === 10)
+    assert(fixed.getAs[scala.collection.Seq[Int]]("pixels").toVector === clean)
+    spark.catalog.clearCache() // refine edge frame persisted by solve
+  }
+
+  test("stitchApply raises when an offset exceeds the overlap; " +
+      "stitchRefine raises on adjacent-tile dims mismatch") {
+    import spark.implicits._
+    val tiles = (for (r <- 0 to 1; c <- 0 to 1) yield
+      ("apx", 0, 0, 0, r, c, 3, 3, (0 until 9).toVector))
+      .toDF("image_id", "t", "c", "z", "row", "col", "size_x", "size_y",
+        "pixels")
+    val offs = Seq(("apx", 0, 0, 0, 1, 1, 2, 0))
+      .toDF("image_id", "t", "c", "z", "row", "col", "off_dy", "off_dx")
+    def messages(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(t =>
+        Option(t.getMessage).toSeq ++ messages(t.getCause))
+    val e = intercept[Exception] {
+      OmeOps.stitchApply(tiles, overlap = 1, offs).collect()
+    }
+    assert(messages(e).exists(_.contains("exceeds the overlap")))
+    // dims mismatch must RAISE in refine (not silently drop the edge
+    // and let solve coalesce it to a clean-looking 0)
+    val mixed = Seq(
+      ("rx", 0, 0, 0, 0, 0, 6, 6, (0 until 36).toVector),
+      ("rx", 0, 0, 0, 0, 1, 8, 6, (0 until 48).toVector))
+      .toDF("image_id", "t", "c", "z", "row", "col", "size_x", "size_y",
+        "pixels")
+    val e2 = intercept[Exception] {
+      OmeOps.stitchRefine(mixed, overlap = 2, maxShift = 1).collect()
+    }
+    assert(messages(e2).exists(_.contains("differ in dims")))
+  }
+
   test("stitchGrid raises on an incomplete grid and on oversized overlap") {
     import spark.implicits._
     val tiles = Seq(

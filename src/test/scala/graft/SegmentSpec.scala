@@ -176,6 +176,83 @@ class SegmentSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("trackLineage: a crafted division links BOTH daughters to the " +
+      "parent (rank-1 primary + rank-2 division edge), a third " +
+      "equidistant object stays unlinked, lineage id spans the tree") {
+    import spark.implicits._
+    val objs = Seq(
+      // parent at t=0; daughters at t=1 equidistant (d2=2 each, label
+      // tie-break makes label 1 primary, label 2 the division child);
+      // a THIRD near object (label 3, d2=4 -> rank-3) must NOT link;
+      // daughters drift apart through t=2; a far bystander never splits
+      ("dv", 0, 0, 0, 1, 10.0, 10.0),
+      ("dv", 0, 0, 1, 1, 9.0, 11.0),
+      ("dv", 0, 0, 1, 2, 11.0, 11.0),
+      ("dv", 0, 0, 1, 3, 10.0, 12.0),
+      ("dv", 0, 0, 2, 1, 8.0, 12.0),
+      ("dv", 0, 0, 2, 2, 12.0, 12.0),
+      ("dv", 0, 0, 0, 9, 30.0, 10.0),
+      ("dv", 0, 0, 1, 9, 30.0, 11.0),
+      ("dv", 0, 0, 2, 9, 30.0, 12.0)
+    ).toDF("image_id", "c", "z", "t", "label", "cy", "cx")
+    val out = OmeOps.trackLineage(objs, maxDisp = 3.0)
+      .orderBy(col("t"), col("label")).collect()
+      .map(r => ((r.getAs[Int]("t"), r.getAs[Int]("label")),
+        (Option(r.getAs[Any]("parent_t")).map(_.asInstanceOf[Int]),
+          Option(r.getAs[Any]("parent_label")).map(_.asInstanceOf[Int]),
+          r.getAs[Int]("is_division_child"),
+          r.getAs[Int]("lineage_t"), r.getAs[Int]("lineage_label"))))
+      .toMap
+    assert(out.size === 9)
+    // founders: parent, third object, bystander
+    assert(out((0, 1)) === ((None, None, 0, 0, 1)))
+    assert(out((1, 3)) === ((None, None, 0, 1, 3)))
+    assert(out((0, 9)) === ((None, None, 0, 0, 9)))
+    // the primary daughter continues the track; the division child
+    // carries is_division_child=1; BOTH live in the parent's lineage
+    assert(out((1, 1)) === ((Some(0), Some(1), 0, 0, 1)))
+    assert(out((1, 2)) === ((Some(0), Some(1), 1, 0, 1)))
+    // grand-children chain through their own parents, same lineage
+    assert(out((2, 1)) === ((Some(1), Some(1), 0, 0, 1)))
+    assert(out((2, 2)) === ((Some(1), Some(2), 0, 0, 1)))
+    // the bystander's simple path is untouched by division logic
+    assert(out((1, 9)) === ((Some(0), Some(9), 0, 0, 9)))
+    assert(out((2, 9)) === ((Some(1), Some(9), 0, 0, 9)))
+    spark.catalog.clearCache()
+  }
+
+  test("trackLineage: no division from an object WITHOUT a primary " +
+      "daughter — two children of an unclaimed parent stay founders") {
+    import spark.implicits._
+    // two objects at t=0 equidistant from ONE object b at t=1: b's
+    // rank-1 predecessor is label 1 (tie-break), so label 1 <-> b is
+    // primary; label 5's rank-1 candidate (b) was claimed, label 5 has
+    // NO primary, so even though c is its rank-2 within maxDisp, no
+    // division edge may form from it
+    val objs = Seq(
+      ("nv", 0, 0, 0, 1, 10.0, 10.0),
+      ("nv", 0, 0, 0, 5, 12.0, 10.0),
+      ("nv", 0, 0, 1, 7, 11.0, 11.0),  // b: between the two
+      ("nv", 0, 0, 1, 8, 13.0, 11.0)   // c: nearer label 5, rank-2 of it
+    ).toDF("image_id", "c", "z", "t", "label", "cy", "cx")
+    val out = OmeOps.trackLineage(objs, maxDisp = 3.0)
+      .collect().map(r => ((r.getAs[Int]("t"), r.getAs[Int]("label")),
+        (Option(r.getAs[Any]("parent_label")).map(_.asInstanceOf[Int]),
+          r.getAs[Int]("is_division_child"),
+          r.getAs[Int]("lineage_t"), r.getAs[Int]("lineage_label"))))
+      .toMap
+    // b: d2 to label1 = 1+1=2, to label5 = 1+1=2 -> tie, label 1 wins
+    // rd; label1's rs=1 is b (c is d2=1+... farther) -> primary 1<->b.
+    // c: d2 to label5 = 1+1=2 (rank-1 of c), label5's rs: b d2=2 (tie
+    // label 7 < 8 -> rs(b)=1, rs(c)=2); label5 has NO primary (b's
+    // rd=1 went to label 1), so rs=2&rd=1&hasp=0 -> NO division edge.
+    assert(out((1, 7)) === ((Some(1), 0, 0, 1)))
+    assert(out((0, 5)) === ((None, 0, 0, 5)))
+    assert(out((1, 8)) === ((None, 0, 1, 8)),
+      "division edge formed from a parent with no primary daughter")
+    spark.catalog.clearCache()
+  }
+
   test("trackIntensityTrends: exact least-squares slope per track; " +
       "NULL for a singleton") {
     import spark.implicits._

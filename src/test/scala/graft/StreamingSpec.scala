@@ -403,6 +403,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming tracker: a LATE frame emits singletons and must not " +
+      "rewind state — the next in-order frame still links to the true " +
+      "latest frame") {
+    import spark.implicits._
+    val dir = "/tmp/graft_test_trackstream_late"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    def wave(rows: Seq[(Int, Int, Double)]): Unit =
+      rows.map { case (t, label, cx) => ("im", 0, 0, t, label, 5.0, cx) }
+        .toDF("image_id", "c", "z", "t", "label", "cy", "cx")
+        .coalesce(1).write.mode("append").parquet(dir)
+    wave(Seq((0, 7, 10.0), (1, 7, 11.0)))
+    val q = graft.streaming.OmeStream.trackStream(
+        spark.readStream
+          .schema(graft.streaming.OmeStream.objectSchema)
+          .parquet(dir), maxDisp = 3.0)
+      .writeStream.format("memory").queryName("track_late")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a LATE replay of t=0 arrives after t=1 was processed: it must
+      // emit a singleton and leave state at frame 1 — before the fix,
+      // state rewound to the stale frame 0 and corrupted what follows
+      wave(Seq((0, 7, 10.0)))
+      q.processAllAvailable()
+      wave(Seq((2, 7, 12.0)))
+      q.processAllAvailable()
+      val got = spark.table("track_late").collect()
+        .map(r => (r.getAs[Int]("t"),
+          r.getAs[Int]("track_t"), r.getAs[Int]("track_label"))).sorted
+      // the in-order t=0,1,2 chain keeps root (0,7); the late replay
+      // of t=0 shows up once more as its own singleton (0,7) row
+      assert(got.toSeq === Seq((0, 0, 7), (0, 0, 7), (1, 0, 7),
+        (2, 0, 7)),
+        s"late frame must not rewind tracking state: ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming domain cap: quota carries across micro-batches — a " +
       "full domain rejects every later arrival") {
     import spark.implicits._

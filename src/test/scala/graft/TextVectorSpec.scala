@@ -370,6 +370,34 @@ class TextVectorSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"bloom scoring shuffled:\n$p")
   }
 
+  test("decontaminateTwoStage: value-equal to the exact path (no false " +
+      "negatives survive the bloom stage); sub-threshold docs are " +
+      "pruned before the posting join") {
+    val train = Seq(
+      (10L, "the quick brown fox jumps high"), // 2 shared grams
+      (11L, "completely different training text entirely"), // 0 shared
+      (12L, "the quick brown fox runs"), // identical to eval doc 0
+      (13L, "a quick brown dog sits still") // 1 shared gram < minShared
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (0L, "the quick brown fox runs"),
+      (1L, "a quick brown cat sleeps")).toDF("doc_id", "text")
+    val exact = TextOps.contamination(train, eval_, n = 3, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val two = TextOps.decontaminateTwoStage(train, eval_, n = 3,
+      minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(exact.nonEmpty)
+    assert(two === exact,
+      "two-stage composition must equal the exact contamination output")
+    // doc 13 shares exactly ONE 3-gram ("a quick brown") with eval
+    // doc 1 — below minShared, so the bloom stage prunes it before the
+    // posting join and it appears on neither path
+    assert(!two.exists(_._1 == 13L))
+  }
+
   test("cmsTokenCounts: estimates dominate true counts; top-k is exact") {
     val fixture = Seq(
       (0L, "alpha alpha alpha beta"),
