@@ -1027,10 +1027,10 @@ object OmeOps {
    */
   def trackObjects(objects: DataFrame, maxDisp: Double = 3.0,
       maxIters: Int = 25, driverEdgeLimit: Long = 1000000L,
-      maxGap: Int = 0): DataFrame = {
+      maxGap: Int = 0, keyCheck: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val assigned =
-      trackAssignments(objects, maxDisp, maxIters, driverEdgeLimit, maxGap)
+    val assigned = trackAssignments(objects, maxDisp, maxIters,
+      driverEdgeLimit, maxGap, keyCheck)
     val wTrack = Window.partitionBy(col("image_id"), col("c"), col("z"),
       col("track_t"), col("track_label")).orderBy(col("t").asc)
     val steps = assigned
@@ -1085,7 +1085,7 @@ object OmeOps {
    */
   def trackAssignments(objects: DataFrame, maxDisp: Double = 3.0,
       maxIters: Int = 25, driverEdgeLimit: Long = 1000000L,
-      maxGap: Int = 0): DataFrame = {
+      maxGap: Int = 0, keyCheck: Boolean = true): DataFrame = {
     require(maxDisp > 0, "trackObjects: maxDisp must be positive")
     require(maxGap >= 0 && maxGap <= 5,
       s"trackObjects: maxGap $maxGap not in [0,5] (each gap level adds " +
@@ -1121,29 +1121,41 @@ object OmeOps {
         .select(col("image_id"), col("c"), col("z"),
           col("ta"), col("la"), col("tb"), col("lb"))
     }
-    var links = mutualNearest(obj, obj, 1)
+    // gap rounds persist each round's NEW links exactly once, and only
+    // when a LATER round's open-endpoint anti-joins will re-read them
+    // (before r13 each round re-persisted the ACCUMULATED union —
+    // O(rounds × links) cache churn at maxGap ≥ 2; the final round is
+    // never re-read, so it is never persisted)
+    var fixedRounds = Vector.empty[DataFrame]
+    var newest = mutualNearest(obj, obj, 1)
     for (g <- 2 to maxGap + 1) {
-      // endpoints no shorter gap could pair; persist the accumulated
-      // links once per round — both open-endpoint anti-joins and the
-      // union consume them
-      val fixed = Caches.persist(links)
+      fixedRounds :+= Caches.persist(newest)
+      // endpoints no shorter gap could pair
+      val fixed = fixedRounds.reduce(_.unionByName(_))
       val openSrc = obj.join(fixed.select(col("image_id"), col("c"),
         col("z"), col("ta").as("t"), col("la").as("label")),
         Seq("image_id", "c", "z", "t", "label"), "left_anti")
       val openDst = obj.join(fixed.select(col("image_id"), col("c"),
         col("z"), col("tb").as("t"), col("lb").as("label")),
         Seq("image_id", "c", "z", "t", "label"), "left_anti")
-      links = fixed.unionByName(mutualNearest(openSrc, openDst, g))
+      newest = mutualNearest(openSrc, openDst, g)
     }
+    val links = (fixedRounds :+ newest).reduce(_.unionByName(_))
     def key(t: Column, l: Column): Column = xxhash64(col("image_id"),
       col("c"), col("z"), t, l)
-    val withKeys = obj.withColumn("nid",
-      key(col("t"), col("label")))
-    // one aggregation job for the collision check, not two counts
-    val chk = withKeys.agg(count(lit(1)), count_distinct(col("nid"))).head
-    require(chk.getLong(0) == chk.getLong(1),
-      "trackObjects: xxhash64 collision across object keys — renumber " +
-        "object labels before tracking")
+    val withKeys = obj.withColumn("nid", key(col("t"), col("label")))
+    // one aggregation job for the collision check, not two counts —
+    // OPT-OUT (r12 verdict #5): callers re-tracking in a hot loop over
+    // frames whose labels they already renumbered (or already tracked
+    // once this session) skip the extra job with keyCheck = false; a
+    // collision with the check off silently merges the two colliding
+    // objects' tracks, so the default stays on
+    if (keyCheck) {
+      val chk = withKeys.agg(count(lit(1)), count_distinct(col("nid"))).head
+      require(chk.getLong(0) == chk.getLong(1),
+        "trackObjects: xxhash64 collision across object keys — renumber " +
+          "object labels before tracking")
+    }
     val edges = links.select(key(col("ta"), col("la")).as("nid_a"),
       key(col("tb"), col("lb")).as("nid_b"))
     val cc = TextOps.connectedComponents(edges, maxIters,
@@ -1206,7 +1218,8 @@ object OmeOps {
    * — same caveat as tracks).
    */
   def trackLineage(objects: DataFrame, maxDisp: Double = 3.0,
-      maxIters: Int = 25, driverEdgeLimit: Long = 1000000L): DataFrame = {
+      maxIters: Int = 25, driverEdgeLimit: Long = 1000000L,
+      keyCheck: Boolean = true): DataFrame = {
     require(maxDisp > 0, "trackLineage: maxDisp must be positive")
     import org.apache.spark.sql.expressions.Window
     val obj = Caches.persist(objects.select(col("image_id"),
@@ -1245,11 +1258,13 @@ object OmeOps {
     def key(t: Column, l: Column): Column = xxhash64(col("image_id"),
       col("c"), col("z"), t, l)
     val withKeys = obj.withColumn("nid", key(col("t"), col("label")))
-    // one aggregation job for the collision check, not two counts
-    val chk = withKeys.agg(count(lit(1)), count_distinct(col("nid"))).head
-    require(chk.getLong(0) == chk.getLong(1),
-      "trackLineage: xxhash64 collision across object keys — renumber " +
-        "object labels before tracking")
+    // same opt-out collision-check contract as [[trackAssignments]]
+    if (keyCheck) {
+      val chk = withKeys.agg(count(lit(1)), count_distinct(col("nid"))).head
+      require(chk.getLong(0) == chk.getLong(1),
+        "trackLineage: xxhash64 collision across object keys — renumber " +
+          "object labels before tracking")
+    }
     val edges = links.select(key(col("ta"), col("la")).as("nid_a"),
       key(col("tb"), col("lb")).as("nid_b"))
     val cc = TextOps.connectedComponents(edges, maxIters,

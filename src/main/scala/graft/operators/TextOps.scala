@@ -481,6 +481,99 @@ object TextOps {
   }
 
   /**
+   * Persisted MinHash-LSH INDEX build — the incremental-ingest
+   * counterpart of [[nearDupAgainst]]. A daily pipeline deduplicates
+   * each new crawl increment against the ACCUMULATED corpus;
+   * re-shingling and re-signing 100 TB of reference text per increment
+   * is the bottleneck [[nearDupAgainst]] cannot avoid (both sides of
+   * its band join are computed from raw text at call time). This
+   * operator pays the reference-side work ONCE: it writes
+   *
+   *  - `path/bands` — `(band, band_key, ref_id, bn)`, one row per
+   *    (doc, band), sorted within partitions by `band_key` so parquet
+   *    row-group stats support runtime/pushed filtering; `bn` is the
+   *    BUCKET SIZE (docs sharing this band key), precomputed so
+   *    query-time boilerplate-bucket caps become a pushed parquet
+   *    predicate instead of a per-query aggregation over the index;
+   *  - `path/shingles` — `(ref_id, sh)`, the shingle sets the
+   *    verification stage intersects (fetched for matched candidates
+   *    only, never scanned for scoring).
+   *
+   * Build cost: one pass over the reference text (shingle + native
+   * minhash signature inside codegen) and ONE shuffle keyed by
+   * (band, band_key) for the bucket-size window. Queries then run
+   * with ZERO reference-side text work — see [[nearDupAgainstIndex]].
+   */
+  def buildMinhashIndex(reference: DataFrame, path: String, k: Int = 3,
+      numHashes: Int = 12, bands: Int = 4): Unit = {
+    val rows = numHashes / bands
+    require(bands * rows == numHashes, "numHashes must divide into bands")
+    graft.functions.ensureRegistered(reference.sparkSession)
+    val sh = Caches.persist(reference.select(
+      col("doc_id").cast("long").as("ref_id"),
+      shingles(col("text"), k).as("sh")))
+    val wBucket = Window.partitionBy(col("band"), col("band_key"))
+    sh.select(col("ref_id"),
+        posexplode(bandKeys(
+          graft.functions.minhash_signature(col("sh"), numHashes),
+          bands, rows)).as(Seq("band", "band_key")))
+      .withColumn("bn", count(lit(1)).over(wBucket).cast("int"))
+      .sortWithinPartitions(col("band_key"))
+      .write.mode("overwrite").parquet(s"$path/bands")
+    sh.write.mode("overwrite").parquet(s"$path/shingles")
+  }
+
+  /**
+   * Query a NEW batch against a [[buildMinhashIndex]] index: same
+   * output contract as [[nearDupAgainst]] — `(doc_id, ref_id,
+   * jaccard)` for every cross pair with jaccard >= threshold — but the
+   * reference corpus is never re-read as text. `k`/`numHashes`/`bands`
+   * must match the build (band keys are md5 of signature slices, so a
+   * mismatch yields zero matches, not wrong ones).
+   *
+   * Scale shape: the new batch (an increment — small relative to the
+   * corpus by construction) shingles and bands map-side, then ONE
+   * equi-join on (band, band_key) against the bands table; the
+   * optimizer picks broadcast when the increment is small (not
+   * forced — the [[domainCap]] lesson: a caller CAN pass a huge
+   * batch, and a forced broadcast would OOM). `maxBucketSize > 0`
+   * becomes a PUSHED parquet predicate on the precomputed `bn` column
+   * — boilerplate buckets are skipped at scan time via row-group
+   * stats, no aggregation job. Verification fetches shingle sets for
+   * the candidate ref_ids only.
+   */
+  def nearDupAgainstIndex(docs: DataFrame, path: String, k: Int = 3,
+      numHashes: Int = 12, bands: Int = 4, threshold: Double = 0.8,
+      maxBucketSize: Int = 0): DataFrame = {
+    val rows = numHashes / bands
+    require(bands * rows == numHashes, "numHashes must divide into bands")
+    val spark = docs.sparkSession
+    graft.functions.ensureRegistered(spark)
+    val shDocs = Caches.persist(docs.select(
+      col("doc_id").cast("long").as("doc_id"),
+      shingles(col("text"), k).as("sh")))
+    val idx = spark.read.parquet(s"$path/bands")
+    val refOk =
+      if (maxBucketSize <= 0) idx
+      else idx.filter(col("bn") <= maxBucketSize)
+    val cand = shDocs
+      .select(col("doc_id"),
+        posexplode(bandKeys(
+          graft.functions.minhash_signature(col("sh"), numHashes),
+          bands, rows)).as(Seq("band", "band_key")))
+      .join(refOk, Seq("band", "band_key"))
+      .select(col("doc_id"), col("ref_id")).distinct()
+    val shRef = spark.read.parquet(s"$path/shingles")
+    cand
+      .join(shDocs.select(col("doc_id"), col("sh").as("sh_d")), Seq("doc_id"))
+      .join(shRef.select(col("ref_id"), col("sh").as("sh_r")), Seq("ref_id"))
+      .select(col("doc_id"), col("ref_id"),
+        round(size(array_intersect(col("sh_d"), col("sh_r"))).cast("double") /
+          size(array_union(col("sh_d"), col("sh_r"))), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /**
    * EXACT n-gram-Jaccard near-dup pairs via an inverted index on word
    * k-shingles — the classic distributed set-similarity join. Unlike
    * MinHash/SimHash banding there are no probabilistic candidate misses:

@@ -108,6 +108,112 @@ object DocStream {
   }
 
   /**
+   * At-ingest INCREMENTAL near-dup — the stream-static twin of
+   * [[graft.operators.TextOps.nearDupAgainstIndex]]: documents arriving
+   * on a stream are shingled, signed, and banded map-side, then joined
+   * against the PERSISTED MinHash index
+   * ([[graft.operators.TextOps.buildMinhashIndex]]) — the standing
+   * "does this crawl batch duplicate the accumulated corpus" query.
+   * Both joins are STREAM-STATIC (stateless): the bands table and the
+   * candidate shingle fetch re-plan per micro-batch, so the optimizer
+   * broadcasts the (small) batch side against the (corpus-sized) index
+   * scan — the index is never collected or broadcast. The only state
+   * is the watermark-windowed (doc, ref) collapse (band multiplicity —
+   * a pair matching in 3 bands is one hit) and the redelivery dedup.
+   *
+   * Same `lateness` contract as [[contaminationStream]]: the
+   * `dropDuplicatesWithinWatermark` retention IS the redelivery-dedup
+   * horizon. Output: one `(window_start, doc_id, ref_id, jaccard)` row
+   * per flagged pair when its window closes; jaccard is the exact
+   * verified value (6 dp), identical to the batch operator's.
+   */
+  def nearDupIndexStream(docs: DataFrame, indexPath: String, k: Int = 3,
+      numHashes: Int = 12, bands: Int = 4, threshold: Double = 0.8,
+      maxBucketSize: Int = 0,
+      windowLength: String = "10 minutes",
+      lateness: String = "1 minute"): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.ensureRegistered(spark)
+    val rows = numHashes / bands
+    require(bands * rows == numHashes, "numHashes must divide into bands")
+    val idx = spark.read.parquet(s"$indexPath/bands")
+    val refOk =
+      if (maxBucketSize <= 0) idx
+      else idx.filter(col("bn") <= maxBucketSize)
+    val shRef = spark.read.parquet(s"$indexPath/shingles")
+      .select(col("ref_id"), col("sh").as("sh_r"))
+    docs
+      .withWatermark("ingest_ts", lateness)
+      .dropDuplicatesWithinWatermark("doc_id")
+      .select(col("doc_id").cast("long").as("doc_id"), col("ingest_ts"),
+        TextOps.shingles(col("text"), k).as("sh_d"))
+      .select(col("doc_id"), col("ingest_ts"), col("sh_d"),
+        posexplode(TextOps.bandKeys(
+          graft.functions.minhash_signature(col("sh_d"), numHashes),
+          bands, rows)).as(Seq("band", "band_key")))
+      .join(refOk, Seq("band", "band_key"))
+      .join(shRef, Seq("ref_id"))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh_d"), col("sh_r"))).cast("double") /
+          size(array_union(col("sh_d"), col("sh_r"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(window(col("ingest_ts"), windowLength), col("doc_id"),
+        col("ref_id"))
+      // every duplicate row carries the SAME verified jaccard (band
+      // multiplicity only) — max is the order-free collapse
+      .agg(max(col("jaccard")).as("jaccard"))
+      .select(col("window.start").as("window_start"), col("doc_id"),
+        col("ref_id"), col("jaccard"))
+  }
+
+  /**
+   * Structural self-check of [[nearDupIndexStream]] against the batch
+   * index query (all-zeros pattern): the index is built from the eval
+   * split, the train split streams against it, and the emitted hit set
+   * must EXACTLY equal `TextOps.nearDupAgainstIndex` on the same
+   * splits — both paths verify with the same 6 dp jaccard, so equality
+   * is exact. Violations: `missing_pair`, `extra_pair`, `bad_jaccard`,
+   * `dup_pair` (one pair in two windows), `empty_stream`.
+   */
+  def nearDupIndexCheck(spark: SparkSession, dir: String, k: Int = 3,
+      numHashes: Int = 12, bands: Int = 4, threshold: Double = 0.5,
+      feedDir: String = "/tmp/graft_stream_mhidx_feed",
+      timeoutMs: Long = 300000L): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val train = docs.filter(col("doc_id") % 25 =!= 0)
+    val eval = docs.filter(col("doc_id") % 25 === 0)
+    val idxPath = s"$feedDir-idx"
+    TextOps.buildMinhashIndex(eval, idxPath, k, numHashes, bands)
+    val hits = StreamDrain.once(spark, "graft_stream_mhidx_check",
+        s"$dir|$k|$numHashes|$bands|$threshold|$feedDir", timeoutMs,
+        Seq(s"$dir/documents.parquet")) {
+      writeFeed(train, feedDir, withSentinel = true)
+      nearDupIndexStream(
+        spark.readStream.schema(documentsSchema).parquet(feedDir),
+        idxPath, k, numHashes, bands, threshold)
+    }.select(col("doc_id"), col("ref_id"), col("jaccard").as("s_jac"))
+    val batch = TextOps.nearDupAgainstIndex(train, idxPath, k, numHashes,
+        bands, threshold)
+      .select(col("doc_id"), col("ref_id"), col("jaccard").as("b_jac"))
+    val joined = batch.join(hits, Seq("doc_id", "ref_id"), "full_outer")
+      .agg(
+        coalesce(sum(when(col("s_jac").isNull, 1L).otherwise(0L)),
+          lit(0L)).cast("long").as("missing_pair"),
+        coalesce(sum(when(col("b_jac").isNull, 1L).otherwise(0L)),
+          lit(0L)).cast("long").as("extra_pair"),
+        coalesce(sum(when(col("b_jac").isNotNull && col("s_jac").isNotNull
+          && col("b_jac") =!= col("s_jac"), 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("bad_jaccard"))
+    val dup = hits.groupBy(col("doc_id"), col("ref_id"))
+      .agg(count(lit(1)).as("nw"))
+      .agg(coalesce(sum(when(col("nw") > 1, 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("dup_pair"))
+    val empty = hits.agg(
+      (count(lit(1)) === 0).cast("long").as("empty_stream"))
+    joined.crossJoin(dup).crossJoin(empty)
+  }
+
+  /**
    * Streaming decontamination — the STREAM-STATIC join pattern:
    * documents arriving on a stream are shingled and joined against a
    * static benchmark gram index (broadcast; completely stateless join),

@@ -494,6 +494,26 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("nearDupAgainstIndex: the bucket cap pushes to the bands scan as " +
+      "a parquet predicate on the precomputed bn; no product") {
+    import spark.implicits._
+    val ref = Seq((100L, "a b c d e", "en", "r", 9L),
+      (101L, "f g h i j", "en", "r", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val docs = Seq((1L, "a b c d e", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val path = Files.createTempDirectory("planspec_mhidx").toString
+    graft.operators.TextOps.buildMinhashIndex(ref, path)
+    val p = plan(graft.operators.TextOps.nearDupAgainstIndex(
+      docs, path, threshold = 0.5, maxBucketSize = 3))
+    assert(p.contains("LessThanOrEqual(bn,3)"),
+      s"bn cap not pushed to the bands scan:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"index band join regressed to a product:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("stitchRefine: edges come from stack+adjacent-cell equi-joins — " +
       "no cartesian over tiles") {
     import spark.implicits._

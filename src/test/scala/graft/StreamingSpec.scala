@@ -236,6 +236,43 @@ class StreamingSpec extends SparkSpec {
     assert(hits(0)._3 >= 2L)
   }
 
+  test("streaming near-dup vs the persisted index: hits per wave, " +
+      "unrelated docs never flagged") {
+    import spark.implicits._
+    val dir = "/tmp/graft_test_mhidxstream"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val idxPath = s"$dir-idx"
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val late = java.sql.Timestamp.valueOf("2026-01-01 03:00:00")
+    // the accumulated corpus: one doc the stream will duplicate
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog", "en", "r", 43L),
+      (101L, "entirely unrelated reference material here", "en", "r", 42L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    graft.operators.TextOps.buildMinhashIndex(corpus, idxPath)
+    Seq(
+      // near-dup of corpus doc 100 -> flagged against it
+      (0L, "the quick brown fox jumps over the lazy dog", "en", "s0", 43L, t0),
+      (1L, "no overlap with anything stored before now", "en", "s0", 42L, t0),
+      // late arrival closes the first window
+      (2L, "filler content entirely different words", "en", "s0", 39L, late)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars", "ingest_ts")
+      .coalesce(1).write.parquet(dir)
+    val stream = spark.readStream
+      .schema(graft.streaming.DocStream.documentsSchema).parquet(dir)
+    val q = graft.streaming.DocStream
+      .nearDupIndexStream(stream, idxPath, threshold = 0.5)
+      .writeStream.format("memory").queryName("mhidx_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val hits = spark.sql(
+      "SELECT doc_id, ref_id, jaccard FROM mhidx_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hits.toSeq === Seq((0L, 100L, 1.0)))
+  }
+
   test("streaming perplexity matches the batch LM scorer per document") {
     import spark.implicits._
     val dir = "/tmp/graft_test_pplstream"

@@ -1095,6 +1095,33 @@ class TextVectorSpec extends SparkSpec {
     assert(out.forall { case (d, r) => d < 100L && r >= 100L })
   }
 
+  test("nearDupAgainstIndex equals nearDupAgainst through the persisted " +
+      "index, including the bucket cap") {
+    val ref = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog", "en", "r", 43L),
+      (101L, "entirely unrelated reference material", "en", "r", 37L),
+      (102L, "the quick brown fox jumps over the lazy dog", "en", "r", 43L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val path = java.nio.file.Files.createTempDirectory("mhidx").toString
+    TextOps.buildMinhashIndex(ref, path)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("ref_id"),
+        r.getAs[Double]("jaccard"))).toSet
+    val direct = pairs(TextOps.nearDupAgainst(docs, ref, threshold = 0.5))
+    val viaIdx = pairs(TextOps.nearDupAgainstIndex(docs, path,
+      threshold = 0.5))
+    assert(direct.nonEmpty && viaIdx === direct)
+    // the two identical ref docs share every band bucket (bn = 2), so
+    // a cap of 1 drops them on BOTH paths — the index's precomputed bn
+    // must reproduce nearDupAgainst's query-time bucket counting
+    val cappedDirect = pairs(TextOps.nearDupAgainst(docs, ref,
+      threshold = 0.5, maxBucketSize = 1))
+    val cappedIdx = pairs(TextOps.nearDupAgainstIndex(docs, path,
+      threshold = 0.5, maxBucketSize = 1))
+    assert(cappedIdx === cappedDirect)
+    assert(cappedDirect !== direct, "cap should change the result here")
+  }
+
   test("repeatedSpans: exact dups fully covered, partial overlap measured") {
     val out = TextOps.repeatedSpans(docs, k = 4, minCount = 2)
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap

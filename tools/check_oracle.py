@@ -89,6 +89,12 @@ def header_drift(n_queries):
         ("COVERAGE.md", r"\*\*(\d+) queries", False),
         ("README.md", r"(\d+) operator queries", True),
         ("README.md", r"the (\d+) oracle-paired", True),
+        # r12 ADVICE: a bench run labeled FINAL/full must not cite a
+        # registry smaller than the current one — "the FINAL 234-query
+        # tree" shipped while HEAD held 235 (round-HISTORY citations of
+        # old sizes stay legal: they don't use the FINAL/full label)
+        ("COVERAGE.md", r"FINAL (\d+)-query", True),
+        ("COVERAGE.md", r"full (\d+)-query", True),
     ]
     msgs = []
     for doc, pat, all_matches in claims:
@@ -105,6 +111,40 @@ def header_drift(n_queries):
                     f"HEADER DRIFT: {doc} claims {m.group(1)} queries "
                     f"('{m.group(0)}') but this dump alone has "
                     f"{n_queries} — sync to QueryDefs.defs.size")
+    return "\n".join(msgs) if msgs else None
+
+
+def test_count_drift():
+    """r12 VERDICT #6: COVERAGE.md's prose test count lagged the suite
+    twice (409 claimed vs 419 measured). sbt writes per-suite JUnit XML
+    under target/test-reports/ on every `sbt test`; summing their
+    tests= attributes gives the measured count with no extra tooling.
+    Only MEASURED > CLAIMED is provable drift (a selective testOnly run
+    leaves stale per-suite XMLs that can undercount a fresh suite, and
+    the dump may postdate a suite deletion)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    reports = os.path.join(root, "target", "test-reports")
+    try:
+        xmls = [f for f in os.listdir(reports) if f.endswith(".xml")]
+    except OSError:
+        return None
+    measured = 0
+    for f in xmls:
+        with open(os.path.join(reports, f)) as fh:
+            m = re.search(r'tests="(\d+)"', fh.read())
+            if m:
+                measured += int(m.group(1))
+    if not measured:
+        return None
+    try:
+        with open(os.path.join(root, "COVERAGE.md")) as f:
+            claims = re.findall(r"(\d+) ScalaTest", f.read())
+    except OSError:
+        return None
+    msgs = [f"TEST-COUNT DRIFT: COVERAGE.md claims {c} ScalaTest tests "
+            f"but target/test-reports sums to {measured} — re-run a full "
+            "`sbt test`, then sync the prose"
+            for c in claims if measured > int(c)]
     return "\n".join(msgs) if msgs else None
 
 
@@ -148,9 +188,12 @@ def main():
     drift = header_drift(len(oracles))
     if drift:
         print(drift)
+    tdrift = test_count_drift()
+    if tdrift:
+        print(tdrift)
     print(f"\n{n_pass} pass / {n_fail} fail of {len(oracles)}"
           + (f"; {len(unmapped)} unmapped in COVERAGE.md" if unmapped else ""))
-    sys.exit(1 if n_fail or unmapped or drift else 0)
+    sys.exit(1 if n_fail or unmapped or drift or tdrift else 0)
 
 
 if __name__ == "__main__":
