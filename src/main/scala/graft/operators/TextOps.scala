@@ -879,8 +879,10 @@ object TextOps {
    */
   def bloomDecontaminate(train: DataFrame, eval: DataFrame, n: Int = 3,
       numHashes: Int = 3, hexDigits: Int = 5,
-      minHits: Int = 2): DataFrame = {
-    val mightContain = evalBloomPredicate(eval, n, numHashes, hexDigits)
+      minHits: Int = 2, maxFill: Double = 0.25,
+      fastHash: Boolean = false): DataFrame = {
+    val mightContain =
+      evalBloomPredicate(eval, n, numHashes, hexDigits, maxFill, fastHash)
     train
       .select(col("doc_id").cast("long").as("doc_id"),
         shingles(col("text"), n).as("sh"))
@@ -903,14 +905,25 @@ object TextOps {
    * consumer plan stays a narrow projection with ZERO eval-side joins.
    */
   private def evalBloomPredicate(eval: DataFrame, n: Int,
-      numHashes: Int, hexDigits: Int): Column => Column = {
+      numHashes: Int, hexDigits: Int,
+      maxFill: Double = 0.25, fastHash: Boolean = false): Column => Column = {
     require(hexDigits >= 1 && hexDigits <= 15,
       s"bloomDecontaminate: hexDigits $hexDigits not in [1,15]")
     require(numHashes >= 1, "bloomDecontaminate: numHashes must be >= 1")
     val m = 1L << (4 * hexDigits)
     val nWords = ((m + 63) / 64).toInt
+    // two position families, same filter algebra: md5-substring is the
+    // ORACLE-REPLAYABLE default (DuckDB computes the identical filter,
+    // so the registry rows stay hash-checkable); xxhash64 is the
+    // PRODUCTION path — ~an order of magnitude cheaper per gram, which
+    // is the difference between the flag scan costing less or more
+    // than the corpus-gram shuffle it avoids (measured: SCALE.md r13
+    // decontamination matrix). Output is identical either way for the
+    // two-stage composition — stage 2 is exact — only the flag stage's
+    // false-positive SET differs.
     def positions(g: Column): Seq[Column] = (0 until numHashes).map(i =>
-      conv(substring(md5(concat(lit(i.toString), lit("|"), g)),
+      if (fastHash) pmod(xxhash64(lit(i), g), lit(m))
+      else conv(substring(md5(concat(lit(i.toString), lit("|"), g)),
         1, hexDigits), 16, 10).cast("long"))
     def wordOf(p: Column): Column = shiftright(p, 6).cast("int")
     def maskOf(p: Column): Column =
@@ -925,6 +938,22 @@ object TextOps {
       .groupBy(col("w")).agg(call_function("bit_or", col("m")).as("mask"))
       .collect()
       .foreach(r => bits(r.getInt(0)) = r.getLong(1))
+    // SATURATION GUARD (r13, measured): an overfull filter silently
+    // degrades the Bloom stage to "flag everything" — per-gram false
+    // positives are fill^numHashes, so at the 63% fill a 350 K-gram
+    // eval suite produces at the default hexDigits=5, ~25% of RANDOM
+    // grams hit and every train doc flags: the two-stage composition
+    // then pays the md5 scan AND the full exact join (measured 2.7x
+    // WORSE than plain exact at sf1 — SCALE.md r13). That cliff is
+    // invisible in the output (no false negatives either way), so it
+    // must fail loud here: size hexDigits to the eval suite
+    // (m >= ~10 bits per inserted gram-position keeps fill under 25%).
+    val fill = bits.map(java.lang.Long.bitCount).sum.toDouble / m
+    require(fill <= maxFill,
+      f"bloom filter ${fill * 100}%.0f%% full (max ${maxFill * 100}%.0f%%)" +
+        " — the flag stage would pass most docs through; raise" +
+        " hexDigits (m = 16^hexDigits bits) to fit the eval suite, or" +
+        " run exact contamination (with maxPostings) instead")
     val bitsLit = typedLit(bits.toSeq)
     (g: Column) => positions(g).map(p =>
       element_at(bitsLit, wordOf(p) + 1)
@@ -962,11 +991,27 @@ object TextOps {
    * survivor) feeding the exact posting join over the surviving
    * fraction only. The train corpus pays one full scan and shuffles
    * only survivors' grams.
+   *
+   * WHEN TO USE (measured — SCALE.md r13 decontamination matrix): the
+   * composition wins only when the flag stage actually PRUNES. It does
+   * not when (a) the corpus' gram space is saturated (boilerplate-
+   * heavy / tiny-vocab: most docs genuinely share grams with eval — no
+   * composition can beat the O(pairs) output; use `maxPostings` or
+   * span excision), or (b) the eval gram set is small enough that
+   * plain [[contamination]] broadcasts it (the exact join is then
+   * already shuffle-free and strictly cheaper than scan + 3 md5/gram).
+   * The designed window is a fixed eval suite too LARGE to broadcast
+   * over a corpus where overlap is rare. SIZE THE FILTER to the suite:
+   * `hexDigits` must give m >= ~10 bits per inserted gram-position or
+   * the build RAISES (`maxFill`) — an overfull filter flags everything
+   * and measures strictly worse than the exact path it wraps.
    */
   def decontaminateTwoStage(train: DataFrame, eval: DataFrame, n: Int = 3,
       minShared: Int = 2, numHashes: Int = 3,
-      hexDigits: Int = 5): DataFrame = {
-    val mightContain = evalBloomPredicate(eval, n, numHashes, hexDigits)
+      hexDigits: Int = 5, maxFill: Double = 0.25,
+      fastHash: Boolean = false): DataFrame = {
+    val mightContain =
+      evalBloomPredicate(eval, n, numHashes, hexDigits, maxFill, fastHash)
     val survivors = train.filter(
       size(filter(shingles(col("text"), n), g => mightContain(g)))
         >= minShared)

@@ -54,8 +54,11 @@ object ScalePoints {
           .as("cx"))
       def once(): Double = graft.operators.Caches.scoped {
         val t0 = System.nanoTime()
-        graft.operators.OmeOps.trackAssignments(objs, maxDisp = 3.0)
-          .count()
+        // driverEdgeLimit raised for the r13 1024-movie point: 2 M
+        // objects → ~2 M edges (still ≈ 32 MB of driver longs — the
+        // union-find path holds one decade past the default cap)
+        graft.operators.OmeOps.trackAssignments(objs, maxDisp = 3.0,
+          driverEdgeLimit = 4000000L).count()
         spark.catalog.clearCache()
         (System.nanoTime() - t0) / 1e9
       }
@@ -65,7 +68,7 @@ object ScalePoints {
         f"sec=$sec%.2f")
       sec
     }
-    Seq(1, 8, 64, 256).foreach(runTrack)
+    Seq(1, 8, 64, 256, 1024).foreach(runTrack)
     spark.stop()
   }
 }

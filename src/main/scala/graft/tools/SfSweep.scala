@@ -64,6 +64,46 @@ object SfSweep {
     else graft.operators.TextOps.contamination(train, eval)
   }
 
+  /** The regime the two-stage composition is DESIGNED for: an eval
+    * suite too large to broadcast (20% of the corpus, sf-scaled) over
+    * an UNSATURATED gram space (n = 8 on the 30-word vocab — random
+    * cross-doc 8-gram matches are ~nil, so only planted duplicates
+    * overlap and the Bloom stage prunes ~the whole train corpus
+    * map-side). Exact contamination must move the full train gram
+    * stream into its join; the two-stage path moves survivors only —
+    * the difference shows in the sweep's shuffle-bytes column even
+    * where small-sf wall clock is overhead-bound. */
+  private def largeEval(s: SparkSession, sfDir: String,
+      twoStage: Boolean): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val docs = s.read.parquet(s"$sfDir/documents.parquet")
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val eval = docs.filter(col("doc_id") % 5 === 0)
+    // hexDigits = 6: the sf1 eval suite inserts ~1.05 M gram-positions,
+    // which SATURATES the default 1 M-bit filter (the measured
+    // flag-everything cliff the maxFill guard now raises on); 16.7 M
+    // bits keeps fill ~6%
+    if (twoStage) graft.operators.TextOps.decontaminateTwoStage(
+      train, eval, n = 8, minShared = 1, hexDigits = 6)
+    else graft.operators.TextOps.contamination(train, eval,
+      n = 8, minShared = 1)
+  }
+
+  private def bigEvalFixed(root: String)(s: SparkSession, sfDir: String,
+      twoStage: Boolean, fastHash: Boolean = false)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val train = s.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 5 =!= 0)
+    val eval = s.read.parquet(s"$root/sf1.0/documents.parquet")
+      .filter(col("doc_id") % 5 === 0)
+    if (twoStage) graft.operators.TextOps.decontaminateTwoStage(
+      train, eval, n = 8, minShared = 1, hexDigits = 6,
+      fastHash = fastHash)
+    else graft.operators.TextOps.contamination(train, eval,
+      n = 8, minShared = 1)
+  }
+
   def main(args: Array[String]): Unit = {
     val root = sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata")
     val sfs = sys.env.getOrElse("SPARK_GRAFT_SFS", "sf0.001,sf0.01,sf0.1")
@@ -84,37 +124,110 @@ object SfSweep {
       "contamination_fixed_eval" ->
         ((s, d) => fixedEval(root)(s, d, twoStage = false)),
       "decontam_two_stage_fixed_eval" ->
-        ((s, d) => fixedEval(root)(s, d, twoStage = true)))
-    def cell(name: String, sf: String): Double =
+        ((s, d) => fixedEval(root)(s, d, twoStage = true)),
+      "contamination_large_eval" ->
+        ((s, d) => largeEval(s, d, twoStage = false)),
+      "decontam_two_stage_large_eval" ->
+        ((s, d) => largeEval(s, d, twoStage = true)),
+      // the BIG-EVAL regime modeled at sweep scale: a 10⁷⁺-gram eval
+      // suite cannot broadcast as a join hashmap (hundreds of MB per
+      // executor), so the exact path degrades to a full corpus-gram
+      // shuffle + SMJ — auto-broadcast OFF models that here. The
+      // two-stage path is measured under the SAME conf: its bitmap is
+      // a ~2 MB literal precisely because m bits ≪ a gram-string
+      // hashmap (the memory asymmetry that defines the window).
+      "contamination_large_eval_nobcast" ->
+        ((s, d) => {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+          largeEval(s, d, twoStage = false)
+        }),
+      "decontam_two_stage_large_eval_nobcast" ->
+        ((s, d) => {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+          largeEval(s, d, twoStage = true)
+        }),
+      // the crossover measurement: a FIXED big eval suite (sf1's 20%
+      // slice, ~400 K 8-grams — the "all benchmarks ever published"
+      // scale that defeats a hashmap broadcast) against a train corpus
+      // sweeping sf1 → sf10. Exact pays a corpus-linear gram shuffle
+      // per decade; two-stage pays a corpus-linear map-side bitmap
+      // scan plus a FIXED eval build — the slopes differ, so the
+      // decade where they cross is a measurement, not a claim.
+      "contamination_bigeval_fixed_nobcast" ->
+        ((s, d) => {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+          bigEvalFixed(root)(s, d, twoStage = false)
+        }),
+      "decontam_two_stage_bigeval_fixed_nobcast" ->
+        ((s, d) => {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+          bigEvalFixed(root)(s, d, twoStage = true)
+        }),
+      // same regime, PRODUCTION hash (xxhash64 flag positions instead
+      // of the oracle-replayable md5) — isolates the md5 tax
+      "decontam_two_stage_bigeval_fast_nobcast" ->
+        ((s, d) => {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+          bigEvalFixed(root)(s, d, twoStage = true, fastHash = true)
+        }))
+    // shuffle WRITE bytes per cell (r13): the scale evidence wall
+    // clock cannot give at small sf — a plan that moves the corpus
+    // into an exchange shows it here even when fixed overheads
+    // dominate the timing. Measured over the LAST timed rep (steady
+    // state: operator persists are warm, so this is the per-query
+    // marginal shuffle).
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null)
+            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      })
+    def cell(name: String, sf: String): (Double, Double) =
       graft.operators.Caches.scoped {
         val q = extras.getOrElse(name, graft.SparkEntry.queries(name))
         val sfDir = s"$root/$sf"
         q(spark, sfDir).count() // warm-up: codegen, JIT, file listing
+        var lastRepShuffle = 0L
         val times = (1 to 3).map { _ =>
+          Thread.sleep(150) // listener drain (tool-only approximation)
+          val before = shuffleBytes.get()
           val t0 = System.nanoTime()
           q(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(150)
+          lastRepShuffle = shuffleBytes.get() - before
+          dt
         }.sorted
         spark.catalog.clearCache()
         val rt = Runtime.getRuntime
         heapMb(sf) = math.max(heapMb(sf),
           (rt.totalMemory - rt.freeMemory) / (1024 * 1024))
-        times(1)
+        (times(1), lastRepShuffle / 1048576.0)
       }
 
     val hdr = sfs.map(s => f"$s%8s").mkString(" | ")
-    println(f"| ${"query"}%-26s | $hdr | growth |")
+    val shHdr = sfs.map(s => f"${s + " shMB"}%12s").mkString(" | ")
+    println(f"| ${"query"}%-26s | $hdr | growth | $shHdr |")
     val rows = queries.map { name =>
-      val ts = sfs.map(sf => cell(name, sf))
+      val cells = sfs.map(sf => cell(name, sf))
+      val ts = cells.map(_._1)
+      val sh = cells.map(_._2)
       // growth = last-sf time over previous-sf time (the 10x step)
       val ratio = if (ts.size >= 2 && ts(ts.size - 2) > 0)
         ts.last / ts(ts.size - 2) else Double.NaN
       val cellsTxt = ts.map(t => f"$t%8.2f").mkString(" | ")
-      println(f"| $name%-26s | $cellsTxt | ${ratio}%5.1fx |")
-      name -> ts
+      val shTxt = sh.map(b => f"$b%12.2f").mkString(" | ")
+      println(f"| $name%-26s | $cellsTxt | ${ratio}%5.1fx | $shTxt |")
+      name -> cells
     }
-    val json = rows.map { case (n, ts) =>
-      "\"" + n + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
+    val json = rows.map { case (n, cs) =>
+      "\"" + n + "\":[" + cs.map(c => f"${c._1}%.3f").mkString(",") +
+        "],\"" + n + "_shuffle_mb\":[" +
+        cs.map(c => f"${c._2}%.2f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     val heapJson = sfs.map(s => "\"" + s + "\":" + heapMb(s))
       .mkString("{", ",", "}")

@@ -396,6 +396,37 @@ class TextVectorSpec extends SparkSpec {
     // doc 1 — below minShared, so the bloom stage prunes it before the
     // posting join and it appears on neither path
     assert(!two.exists(_._1 == 13L))
+    // the production xxhash64 flag positions change only the
+    // false-positive SET — stage 2 is exact, so the output is
+    // identical
+    val fast = TextOps.decontaminateTwoStage(train, eval_, n = 3,
+      minShared = 2, fastHash = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(fast === exact)
+  }
+
+  test("bloom filter saturation fails loud: an overfull filter would " +
+      "silently flag everything (measured 2.7x worse than exact)") {
+    val train = Seq((10L, "any train text at all")).toDF("doc_id", "text")
+    // hexDigits = 1 -> m = 16 bits; a handful of eval grams x 3
+    // positions overfills it immediately
+    val eval_ = Seq(
+      (0L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.decontaminateTwoStage(train, eval_, hexDigits = 1)
+    }
+    assert(e.getMessage.contains("full") &&
+      e.getMessage.contains("hexDigits"))
+    // the same guard protects the flag-only operator
+    val e2 = intercept[IllegalArgumentException] {
+      TextOps.bloomDecontaminate(train, eval_, hexDigits = 1)
+    }
+    assert(e2.getMessage.contains("full"))
+    // loosening maxFill is the explicit override
+    assert(TextOps.decontaminateTwoStage(train, eval_, hexDigits = 1,
+      maxFill = 1.0).collect() != null)
   }
 
   test("cmsTokenCounts: estimates dominate true counts; top-k is exact") {
