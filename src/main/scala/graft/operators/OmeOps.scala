@@ -1290,6 +1290,47 @@ object OmeOps {
   }
 
   /**
+   * Per-LINEAGE rollup of [[trackLineage]] — the population-dynamics
+   * QC a dividing-cell timelapse is usually acquired FOR: one row per
+   * lineage (founder-labeled) with `n_obs` (object-observations),
+   * `n_divisions` (division edges), `n_terminal` (terminal branches —
+   * a division tree with d divisions has exactly d + 1 leaves, so this
+   * is derived, not re-traversed), `max_cells` (peak simultaneous cell
+   * count across frames — the growth-curve summary), and the
+   * `t_start`/`t_end` span. The relation to [[trackLineage]] mirrors
+   * [[trackObjects]] vs [[trackAssignments]]: per-entity stats over
+   * the per-object identity frame.
+   *
+   * Scale shape: [[trackLineage]]'s cost plus two lineage-keyed
+   * aggregations (both with map-side partial aggregation; the per-t
+   * cell count nests inside the same lineage key space). The lineage
+   * frame persists for the two consumers' lifetime.
+   */
+  def lineageStats(objects: DataFrame, maxDisp: Double = 3.0,
+      maxIters: Int = 25, driverEdgeLimit: Long = 1000000L,
+      keyCheck: Boolean = true): DataFrame = {
+    val keys = Seq("image_id", "c", "z", "lineage_t", "lineage_label")
+    val lin = Caches.persist(trackLineage(objects, maxDisp, maxIters,
+      driverEdgeLimit, keyCheck))
+    val maxCells = lin
+      .groupBy((keys :+ "t").map(col): _*)
+      .agg(count(lit(1)).as("nc"))
+      .groupBy(keys.map(col): _*)
+      .agg(max(col("nc")).cast("long").as("max_cells"))
+    lin.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("n_obs"),
+        coalesce(sum(col("is_division_child")), lit(0L)).cast("long")
+          .as("n_divisions"),
+        min(col("t")).as("t_start"), max(col("t")).as("t_end"))
+      .join(maxCells, keys)
+      .select(col("image_id"), col("c"), col("z"),
+        col("lineage_t"), col("lineage_label"),
+        col("n_obs"), col("n_divisions"),
+        (col("n_divisions") + 1L).cast("long").as("n_terminal"),
+        col("max_cells"), col("t_start"), col("t_end"))
+  }
+
+  /**
    * Grid tile STITCHING — assemble a stage-scan mosaic from a tile
    * table (the BigStitcher/ashlar class of operation, metadata-driven:
    * tile positions come from the stage's `row`/`col` grid coordinates,

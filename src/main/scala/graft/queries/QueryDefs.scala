@@ -1285,6 +1285,101 @@ chunks AS (
           |JOIN roots r ON r.image_id = o.image_id AND r.t = o.t
           |  AND r.label = o.label""".stripMargin)),
 
+    // Per-lineage population-dynamics rollup over the SAME crafted
+    // division corpus: the dividing lineage reports n_divisions=1,
+    // max_cells=2, n_terminal=2; the lone far blob reports a
+    // division-free singleton lineage. Oracle extends the lineage CTE
+    // chain with the per-t cell count and the lineage group-by.
+    ("ome_lineage_stats", (s: SparkSession, _: String) => {
+      val objs = s.range(2L * 3 * 5).select(
+        (col("id") / 15).cast("int").as("img"),
+        ((col("id") / 5) % 3).cast("int").as("k"),
+        (col("id") % 5).cast("int").as("t"))
+        .filter(!(col("k") === 1 && col("t") < 3))
+        .select(format_string("lin-%04d", col("img")).as("image_id"),
+          lit(0).as("c"), lit(0).as("z"), col("t"),
+          when(col("k") === 0, 1).when(col("k") === 1, 2).otherwise(9)
+            .cast("int").as("label"),
+          when(col("k") === 0,
+            lit(10) - greatest(lit(0), col("t") - 2))
+            .when(col("k") === 1, lit(10) + (col("t") - 2))
+            .otherwise(lit(30)).cast("double").as("cy"),
+          (col("t") + 10 + col("img")).cast("double").as("cx"))
+      OmeOps.lineageStats(objs, maxDisp = 3.0)
+    },
+      Some(
+        """WITH RECURSIVE o AS (
+          |  SELECT printf('lin-%04d', img) AS image_id,
+          |    CAST(t AS INT) AS t,
+          |    CAST(CASE k WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 9 END AS INT)
+          |      AS label,
+          |    CAST(CASE k WHEN 0 THEN 10 - greatest(0, t - 2)
+          |      WHEN 1 THEN 10 + (t - 2) ELSE 30 END AS DOUBLE) AS cy,
+          |    CAST(t + 10 + img AS DOUBLE) AS cx
+          |  FROM generate_series(0,1) i(img),
+          |    generate_series(0,2) kk(k), generate_series(0,4) tt(t)
+          |  WHERE NOT (k = 1 AND t < 3)),
+          |cand AS (
+          |  SELECT a.image_id, a.t AS ta, a.label AS la,
+          |    b.t AS tb, b.label AS lb,
+          |    (b.cy-a.cy)*(b.cy-a.cy) + (b.cx-a.cx)*(b.cx-a.cx) AS d2
+          |  FROM o a JOIN o b
+          |    ON b.image_id = a.image_id AND b.t = a.t + 1
+          |  WHERE (b.cy-a.cy)*(b.cy-a.cy) + (b.cx-a.cx)*(b.cx-a.cx)
+          |    <= 9.0),
+          |ranked AS (
+          |  SELECT *,
+          |    row_number() OVER (PARTITION BY image_id, ta, la
+          |      ORDER BY d2, lb) AS rs,
+          |    row_number() OVER (PARTITION BY image_id, tb, lb
+          |      ORDER BY d2, la) AS rd
+          |  FROM cand),
+          |ranked2 AS (
+          |  SELECT *, max(CASE WHEN rs = 1 AND rd = 1 THEN 1 ELSE 0 END)
+          |    OVER (PARTITION BY image_id, ta, la) AS hasp
+          |  FROM ranked),
+          |links AS (
+          |  SELECT image_id, ta, la, tb, lb,
+          |    CASE WHEN rs = 2 THEN 1 ELSE 0 END AS is_div
+          |  FROM ranked2
+          |  WHERE (rs = 1 AND rd = 1)
+          |    OR (rs = 2 AND rd = 1 AND hasp = 1)),
+          |roots AS (
+          |  SELECT o.image_id, o.t, o.label, o.t AS rt, o.label AS rl
+          |  FROM o LEFT JOIN links l ON l.image_id = o.image_id
+          |    AND l.tb = o.t AND l.lb = o.label
+          |  WHERE l.lb IS NULL
+          |  UNION ALL
+          |  SELECT l.image_id, l.tb AS t, l.lb AS label, r.rt, r.rl
+          |  FROM roots r JOIN links l ON l.image_id = r.image_id
+          |    AND l.ta = r.t AND l.la = r.label),
+          |assigned AS (
+          |  SELECT o.image_id, o.t, o.label,
+          |    coalesce(l.is_div, 0) AS is_div, r.rt, r.rl
+          |  FROM o
+          |  LEFT JOIN links l ON l.image_id = o.image_id AND l.tb = o.t
+          |    AND l.lb = o.label
+          |  JOIN roots r ON r.image_id = o.image_id AND r.t = o.t
+          |    AND r.label = o.label),
+          |per_t AS (
+          |  SELECT image_id, rt, rl, t, count(*) AS nc
+          |  FROM assigned GROUP BY 1, 2, 3, 4),
+          |mx AS (
+          |  SELECT image_id, rt, rl, CAST(max(nc) AS BIGINT) AS max_cells
+          |  FROM per_t GROUP BY 1, 2, 3)
+          |SELECT a.image_id, CAST(0 AS INT) AS c, CAST(0 AS INT) AS z,
+          |  CAST(a.rt AS INT) AS lineage_t,
+          |  CAST(a.rl AS INT) AS lineage_label,
+          |  CAST(count(*) AS BIGINT) AS n_obs,
+          |  CAST(sum(a.is_div) AS BIGINT) AS n_divisions,
+          |  CAST(sum(a.is_div) + 1 AS BIGINT) AS n_terminal,
+          |  mx.max_cells,
+          |  min(a.t) AS t_start, max(a.t) AS t_end
+          |FROM assigned a
+          |JOIN mx ON mx.image_id = a.image_id AND mx.rt = a.rt
+          |  AND mx.rl = a.rl
+          |GROUP BY a.image_id, a.rt, a.rl, mx.max_cells""".stripMargin)),
+
     // Per-track photobleaching QC: least-squares intensity slope over
     // each track (closed n·Σti − Σt·Σi form — one aggregation, the
     // division is the only floating step); same corpus + chain replay.

@@ -221,6 +221,39 @@ class SegmentSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("lineageStats: the division tree reports 1 division, 2 terminal " +
+      "branches, peak 2 simultaneous cells; the bystander is a " +
+      "division-free singleton lineage") {
+    import spark.implicits._
+    val objs = Seq(
+      // same division corpus as the trackLineage spec: parent ->
+      // primary daughter (label 1) + division child (label 2), plus
+      // the unlinked rank-3 object and a far bystander chain
+      ("dv", 0, 0, 0, 1, 10.0, 10.0),
+      ("dv", 0, 0, 1, 1, 9.0, 11.0),
+      ("dv", 0, 0, 1, 2, 11.0, 11.0),
+      ("dv", 0, 0, 1, 3, 10.0, 12.0),
+      ("dv", 0, 0, 2, 1, 8.0, 12.0),
+      ("dv", 0, 0, 2, 2, 12.0, 12.0),
+      ("dv", 0, 0, 0, 9, 30.0, 10.0),
+      ("dv", 0, 0, 1, 9, 30.0, 11.0),
+      ("dv", 0, 0, 2, 9, 30.0, 12.0)
+    ).toDF("image_id", "c", "z", "t", "label", "cy", "cx")
+    val out = OmeOps.lineageStats(objs, maxDisp = 3.0).collect()
+      .map(r => ((r.getAs[Int]("lineage_t"), r.getAs[Int]("lineage_label")),
+        (r.getAs[Long]("n_obs"), r.getAs[Long]("n_divisions"),
+          r.getAs[Long]("n_terminal"), r.getAs[Long]("max_cells"),
+          r.getAs[Int]("t_start"), r.getAs[Int]("t_end")))).toMap
+    assert(out.size === 3)
+    // the division tree: parent + 2 daughters x 2 frames = 5 objects,
+    // 1 division, 2 leaves, peak 2 cells alive at t=1 and t=2
+    assert(out((0, 1)) === ((5L, 1L, 2L, 2L, 0, 2)))
+    // the unlinked rank-3 object: singleton lineage
+    assert(out((1, 3)) === ((1L, 0L, 1L, 1L, 1, 1)))
+    // the bystander chain: 3 observations, never divides
+    assert(out((0, 9)) === ((3L, 0L, 1L, 1L, 0, 2)))
+  }
+
   test("trackLineage: no division from an object WITHOUT a primary " +
       "daughter — two children of an unclaimed parent stay founders") {
     import spark.implicits._
