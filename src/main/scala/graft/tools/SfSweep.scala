@@ -173,40 +173,33 @@ object SfSweep {
     // shuffle WRITE bytes per cell (r13): the scale evidence wall
     // clock cannot give at small sf — a plan that moves the corpus
     // into an exchange shows it here even when fixed overheads
-    // dominate the timing. Measured over the LAST timed rep (steady
-    // state: operator persists are warm, so this is the per-query
-    // marginal shuffle).
-    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          val m = t.taskMetrics
-          if (m != null)
-            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-        }
-      })
+    // dominate the timing. Shared listener + a real listener-bus
+    // drain (r14: the fixed 150 ms sleeps were a race under load).
+    graft.BenchMetrics.install(spark.sparkContext)
     def cell(name: String, sf: String): (Double, Double) =
       graft.operators.Caches.scoped {
+        // reset the confs the *_nobcast variants flip: without this,
+        // every cell measured AFTER a nobcast cell in the same run
+        // silently executed with broadcast joins disabled (ADVICE r13)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+          10L * 1024 * 1024)
         val q = extras.getOrElse(name, graft.SparkEntry.queries(name))
         val sfDir = s"$root/$sf"
         q(spark, sfDir).count() // warm-up: codegen, JIT, file listing
-        var lastRepShuffle = 0L
-        val times = (1 to 3).map { _ =>
-          Thread.sleep(150) // listener drain (tool-only approximation)
-          val before = shuffleBytes.get()
-          val t0 = System.nanoTime()
-          q(spark, sfDir).count()
-          val dt = (System.nanoTime() - t0) / 1e9
-          Thread.sleep(150)
-          lastRepShuffle = shuffleBytes.get() - before
-          dt
-        }.sorted
+        val reps = (1 to 3).map { _ =>
+          graft.BenchMetrics.timed(spark.sparkContext) {
+            q(spark, sfDir).count(): Unit
+          }
+        }
         spark.catalog.clearCache()
         val rt = Runtime.getRuntime
         heapMb(sf) = math.max(heapMb(sf),
           (rt.totalMemory - rt.freeMemory) / (1024 * 1024))
-        (times(1), lastRepShuffle / 1048576.0)
+        // median TIME and that same rep's shuffle delta — a median time
+        // paired with another rep's shuffle volume can attribute one
+        // rep's stragglers to another's wall clock (ADVICE r13)
+        val (mt, ms) = reps.sortBy(_._1).apply(reps.size / 2)
+        (mt, ms / 1048576.0)
       }
 
     val hdr = sfs.map(s => f"$s%8s").mkString(" | ")

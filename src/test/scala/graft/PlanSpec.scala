@@ -514,6 +514,41 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("appendToMinhashIndex: the bn-maintenance base read PRUNES to the " +
+      "increment's touched part directories (PartitionFilters, not a " +
+      "full index scan)") {
+    import spark.implicits._
+    val ref = Seq((100L, "a b c d e", "en", "r", 9L),
+      (101L, "f g h i j", "en", "r", 9L),
+      (102L, "k l m n o", "en", "r", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val path = Files.createTempDirectory("planspec_mhidx_app").toString
+    graft.operators.TextOps.buildMinhashIndex(ref, path)
+    val parts = spark.read.parquet(s"$path/bands")
+      .select("part").distinct().collect().map(_.getInt(0)).sorted
+    assert(parts.length > 1, "fixture too small to demonstrate pruning")
+    val touched = Seq(parts.head)
+    val base = graft.operators.TextOps.touchedBandPartitions(
+      spark, path, touched)
+    val p = plan(base)
+    assert(p.contains("PartitionFilters") && p.contains("part#"),
+      s"append base read carries no partition filter:\n$p")
+    // the pruning is real, not cosmetic: executing the read touches
+    // only the touched part's files
+    base.collect()
+    val scanned = base.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.getOrElse(fail("no FileSourceScanExec in append base read"))
+    val totalFiles = new java.io.File(s"$path/bands").listFiles()
+      .filter(_.getName.startsWith("part=")).map(d =>
+        d.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    assert(scanned < totalFiles,
+      s"append base read scanned all $totalFiles index files")
+    spark.catalog.clearCache()
+  }
+
   test("stitchRefine: edges come from stack+adjacent-cell equi-joins — " +
       "no cartesian over tiles") {
     import spark.implicits._

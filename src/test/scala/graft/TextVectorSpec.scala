@@ -1153,6 +1153,63 @@ class TextVectorSpec extends SparkSpec {
     assert(cappedDirect !== direct, "cap should change the result here")
   }
 
+  test("appendToMinhashIndex: build-once + append is row-identical to a " +
+      "full rebuild (bands incl. recomputed bn, shingles, query result)") {
+    val ref = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog", "en", "r", 43L),
+      (101L, "entirely unrelated reference material", "en", "r", 37L),
+      (102L, "the quick brown fox jumps over the lazy dog", "en", "r", 43L),
+      (103L, "another later crawl increment document", "en", "r", 38L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val full = java.nio.file.Files.createTempDirectory("mhidx_full").toString
+    val incr = java.nio.file.Files.createTempDirectory("mhidx_incr").toString
+    TextOps.buildMinhashIndex(ref, full)
+    // day 1: docs 100/101; day 2 increment: 102 (collides with 100's
+    // buckets — bn must grow from 1 to 2 in the touched partitions)
+    // and 103 (fresh buckets)
+    TextOps.buildMinhashIndex(ref.filter($"doc_id" <= 101L), incr)
+    TextOps.appendToMinhashIndex(ref.filter($"doc_id" >= 102L), incr)
+    def bandRows(p: String) = spark.read.parquet(s"$p/bands")
+      .select("ref_id", "band", "band_key", "bn").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .toSet
+    assert(bandRows(incr) === bandRows(full),
+      "appended bands (incl. bn maintenance) must equal a full rebuild")
+    def shRows(p: String) = spark.read.parquet(s"$p/shingles")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSet)).toSet
+    assert(shRows(incr) === shRows(full))
+    def pairs(p: String) = TextOps.nearDupAgainstIndex(docs, p,
+      threshold = 0.5).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("ref_id"),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(pairs(incr) === pairs(full) && pairs(incr).nonEmpty)
+    spark.catalog.clearCache()
+  }
+
+  test("minhash index params manifest: a parameter mismatch at query or " +
+      "append time raises instead of silently returning zero matches") {
+    val ref = Seq((100L, "a b c d e f g", "en", "r", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val path = java.nio.file.Files.createTempDirectory("mhidx_par").toString
+    TextOps.buildMinhashIndex(ref, path, k = 3, numHashes = 12, bands = 4)
+    val e = intercept[IllegalArgumentException] {
+      TextOps.nearDupAgainstIndex(docs, path, k = 2, numHashes = 12,
+        bands = 4, threshold = 0.5)
+    }
+    assert(e.getMessage.contains("built with"))
+    val e2 = intercept[IllegalArgumentException] {
+      TextOps.nearDupAgainstIndex(docs, path, k = 3, numHashes = 12,
+        bands = 6, threshold = 0.5)
+    }
+    assert(e2.getMessage.contains("built with"))
+    // an index without a manifest (pre-r14 layout) is refused loudly
+    val bare = java.nio.file.Files.createTempDirectory("mhidx_bare")
+    val e3 = intercept[IllegalArgumentException] {
+      TextOps.appendToMinhashIndex(ref, bare.toString)
+    }
+    assert(e3.getMessage.contains("params manifest"))
+  }
+
   test("repeatedSpans: exact dups fully covered, partial overlap measured") {
     val out = TextOps.repeatedSpans(docs, k = 4, minCount = 2)
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap

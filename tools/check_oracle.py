@@ -149,6 +149,9 @@ def test_count_drift():
 
 
 def main():
+    if len(sys.argv) < 2:
+        print(__doc__.strip())
+        sys.exit(2)
     out_dir = sys.argv[1]
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
     con = duckdb.connect()
