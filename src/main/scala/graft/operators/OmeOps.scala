@@ -1013,15 +1013,12 @@ object OmeOps {
    * stack's next frame, Σ per-frame-pair |A_t|·|A_t+1|, never a global
    * cross join; mutual-nearest is two object-keyed rank windows; chain
    * assembly reuses [[graft.operators.TextOps.connectedComponents]].
-   * Links are one-to-one so components ARE paths — which makes the
-   * DRIVER union-find the right CC strategy here (edges ≈ objects,
-   * comfortably under `driverEdgeLimit` for any single-run corpus):
-   * the distributed min-label fallback converges in O(component
-   * DIAMETER) rounds, and a track's diameter is its LENGTH, so a
-   * movie longer than `maxIters` frames on the distributed path fails
-   * loudly asking for a higher cap (near-dup graphs have tiny
-   * diameters; tracks do not — set `maxIters` ≥ the longest movie, or
-   * keep the graph under `driverEdgeLimit`). String/compound
+   * Links are one-to-one so components ARE paths — the DRIVER
+   * union-find handles any single-run corpus (edges ≈ objects,
+   * comfortably under `driverEdgeLimit`), and beyond the cap the
+   * star-contraction fallback (r14) converges in O(log n) rounds even
+   * though a track's diameter is its LENGTH — the r13 "set maxIters ≥
+   * the longest movie" caveat is gone. String/compound
    * object ids bridge to the CC engine's long domain via xxhash64 with
    * a loud collision check, and every OUTPUT is hash-independent.
    */
@@ -1212,10 +1209,9 @@ object OmeOps {
    * Scale shape: the [[trackAssignments]] candidate equi-join
    * (Σ|A_t|·|A_t+1| per stack, never global) with ONE extra
    * aggregate window sharing wSrc's partitioning (the has-primary
-   * flag); lineage assembly through the same driver union-find
-   * (edges ≈ objects; tree diameter = movie length, so the
-   * distributed min-label path needs `maxIters` ≥ the longest movie
-   * — same caveat as tracks).
+   * flag); lineage assembly through the same CC engine (driver
+   * union-find for edges ≈ objects; the star-contraction fallback
+   * beyond the cap is diameter-independent — see [[trackAssignments]]).
    */
   def trackLineage(objects: DataFrame, maxDisp: Double = 3.0,
       maxIters: Int = 25, driverEdgeLimit: Long = 1000000L,

@@ -1179,12 +1179,14 @@ object TextOps {
    *    near-dups are rare and exact dedup runs first): exact union-find
    *    with path compression on the driver, one collect of the edge
    *    list, O(E α(E));
-   *  - **larger graphs**: distributed min-label propagation, one join +
-   *    one aggregation per iteration with `localCheckpoint` truncating
-   *    lineage; needs O(component diameter) iterations and REFUSES to
-   *    return unconverged labels at the `maxIters` cap. At extreme
-   *    diameters swap in large-star/small-star (O(log n) rounds); the
-   *    output contract is identical.
+   *  - **larger graphs**: alternating large-star/small-star contraction
+   *    ([[ccStarLabels]], Kiveris et al. 2014) — O(log n) ROUNDS
+   *    regardless of component diameter (min-label propagation, the
+   *    r6–r13 strategy, needed one round per diameter unit — a chained
+   *    component outran any sane `maxIters`; the chain cert in OpsSpec
+   *    measures the gap). Still REFUSES to return unconverged labels
+   *    at the `maxIters` cap, though 25 rounds now covers ~2^25-node
+   *    components.
    *
    * `maxPostings` is [[ngramJaccardPairs]]'s frequency filter, threaded
    * through to the pair-generation stage: shingles appearing in more than
@@ -1323,16 +1325,129 @@ object TextOps {
       return sp.createDataset(sp.sparkContext.parallelize(out.toSeq))
         .toDF(idCol, "cluster_id", "cluster_size", "is_keeper")
     }
-    // undirected: propagate labels along both edge directions
+    // distributed path: alternating large-star/small-star (r14 — the
+    // O(log n)-round CC the r13 scaladoc promised), replacing min-label
+    // propagation whose round count is the component DIAMETER: a
+    // 10^4-frame track or a chained dup component needed 10^4 rounds
+    // (and hit the maxIters refusal); the star rounds are logarithmic
+    // in component size regardless of diameter
+    val (labels, converged, _) = ccStarLabels(pairs, maxIters)
+    pairs.unpersist()
+    // an unconverged result is silently WRONG (labels are not component
+    // minima and would diverge from the transitive-closure oracle), so
+    // fail loudly — with the star algorithm the cap is effectively
+    // unreachable (25 rounds covers ~2^25-node components)
+    require(converged,
+      s"connectedComponents: star contraction did not converge within " +
+        s"$maxIters rounds — raise maxIters")
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
+    labels.join(sizes, "lbl")
+      .select(col("node").cast("long").as(idCol),
+        col("lbl").cast("long").as("cluster_id"),
+        col("sz").cast("long").as("cluster_size"),
+        (col("node") === col("lbl")).cast("int").as("is_keeper"))
+  }
+
+  /**
+   * Alternating large-star/small-star contraction (Kiveris et al. 2014,
+   * "Connected Components in MapReduce and Beyond" — the published
+   * distributed-CC algorithm; implemented from the paper's operator
+   * definitions, no code reuse):
+   *
+   *  - LARGE-STAR: every node u links each STRICTLY LARGER neighbor v
+   *    to m = min(N(u) ∪ {u}) — hub neighborhoods collapse toward
+   *    small labels in one round;
+   *  - SMALL-STAR: every edge oriented (larger u → smaller v); each u
+   *    links itself and all its smaller neighbors to their minimum —
+   *    chains fold in half.
+   *
+   * Each operator preserves connectivity and the node set, and the
+   * alternation converges in O(log n) rounds to star graphs rooted at
+   * the component minimum — vs min-label propagation's O(diameter)
+   * rounds (a path component of length L needs L propagation rounds
+   * but only ~log L star rounds; measured in OpsSpec's chain cert).
+   *
+   * Plan shape per round: large-star is one window over u (the
+   * bidirected edge list), small-star one window over the oriented u,
+   * each followed by a distinct (same-key aggregation); every round
+   * `localCheckpoint`s to truncate lineage. Edge count never exceeds
+   * the input edge count + node count (the paper's invariant), so a
+   * round's shuffle is bounded by the input size — no intermediate
+   * blowup.
+   *
+   * Returns (labels `(node, lbl)` covering every endpoint of `pairsIn`,
+   * converged?, rounds used). Package-private: [[connectedComponents]]
+   * is the public contract; the spec suite calls this directly to
+   * certify equality vs driver union-find and to measure rounds.
+   */
+  private[graft] def ccStarLabels(pairsIn: DataFrame,
+      maxIters: Int): (DataFrame, Boolean, Int) = {
+    val wU = Window.partitionBy(col("u"))
+    def largeStar(e: DataFrame): DataFrame =
+      e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+        .withColumn("m", least(col("u"), min(col("v")).over(wU)))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .distinct()
+    def smallStar(e: DataFrame): DataFrame = {
+      val ori = e.select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+        .withColumn("m", min(col("v")).over(wU))
+      ori.filter(col("v") =!= col("m"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .union(ori.select(col("u").as("a"), col("m").as("b")))
+        .distinct()
+    }
+    // node set fixed up front: star rounds keep every node of a
+    // component, but nodes appearing ONLY in self-loop pairs drop out
+    // of the edge iteration and must still be labeled (as themselves)
+    val nodes = pairsIn.select(col("doc_a").as("node"))
+      .union(pairsIn.select(col("doc_b").as("node"))).distinct()
+      .localCheckpoint()
+    var edges = pairsIn.filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a").as("a"), col("doc_b").as("b")).distinct()
+      .localCheckpoint()
+    var n = edges.count()
+    var converged = n == 0L
+    var rounds = 0
+    while (!converged && rounds < maxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nNext = next.count()
+      // set equality: both sides distinct, so equal counts + empty
+      // anti-join means the alternation reached its star fixpoint
+      converged = nNext == n &&
+        next.join(edges, Seq("a", "b"), "left_anti").isEmpty
+      edges = next
+      n = nNext
+      rounds += 1
+    }
+    // at the fixpoint every edge is (child, componentMin); roots and
+    // self-loop-only nodes label themselves
+    val labels = nodes
+      .join(edges.select(col("a").as("node"), col("b").as("lbl")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("lbl"), col("node")).as("lbl"))
+    (labels, converged, rounds)
+  }
+
+  /**
+   * The r6–r13 distributed strategy, retained ONLY as the measured
+   * baseline for [[ccStarLabels]] (OpsSpec pins the round-count gap on
+   * a chain graph): per round, every node takes the min label over its
+   * neighbors — correct, but needs one round per unit of component
+   * DIAMETER. Returns (labels, converged?, rounds used); does NOT
+   * raise on the cap (the measurement needs the capped round count).
+   */
+  private[graft] def ccLabelPropLabels(pairsIn: DataFrame,
+      maxIters: Int): (DataFrame, Boolean, Int) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pairs = pairsIn.select(col("doc_a"), col("doc_b"))
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst").persist(lvl)
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl")).localCheckpoint()
-    // labels init materialized the edge cache; the pair plan behind it
-    // is dead weight from here on (this operator is eager, so — unlike
-    // the lazy pair operators — it can clean up its own caches)
-    pairs.unpersist()
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -1352,20 +1467,7 @@ object TextOps {
       it += 1
     }
     edges.unpersist()
-    // an unconverged result is silently WRONG (labels are not component
-    // minima and would diverge from the transitive-closure oracle), so
-    // fail loudly: real near-dup components have tiny diameters, and a
-    // cap hit means maxIters was set far too low for this graph
-    require(converged,
-      s"connectedComponents: label propagation did not converge within " +
-        s"$maxIters iterations — raise maxIters (component diameter " +
-        "exceeds the cap)")
-    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
-    labels.join(sizes, "lbl")
-      .select(col("node").cast("long").as(idCol),
-        col("lbl").cast("long").as("cluster_id"),
-        col("sz").cast("long").as("cluster_size"),
-        (col("node") === col("lbl")).cast("int").as("is_keeper"))
+    (labels, converged, it)
   }
 
   /** Email/phone regexes shared by the scrub and its external oracles —

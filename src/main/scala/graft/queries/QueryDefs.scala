@@ -3174,6 +3174,55 @@ chunks AS (
           |  CAST(l.node = l.cluster_id AS INT) AS is_keeper
           |FROM labels l JOIN sizes s USING (cluster_id)""".stripMargin)),
 
+    // The DISTRIBUTED clustering strategy under the oracle gate:
+    // driverEdgeLimit = 0 forces the alternating large-star/small-star
+    // contraction (r14 — O(log n) rounds vs min-label propagation's
+    // O(diameter)) on the same exact pair graph as `near_dup_clusters`,
+    // and the identical oracle hash-certifies strategy equivalence on
+    // real data — the 100 TB path (a dup graph past the driver edge
+    // cap) is gated, not just spec'd.
+    ("near_dup_clusters_star", (s: SparkSession, dir: String) =>
+      TextOps.nearDupClusters(t(s, dir, "documents"),
+        driverEdgeLimit = 0),
+      Some(
+        """WITH RECURSIVE toks AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+          |  FROM documents),
+          |sh AS (
+          |  SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3
+          |      THEN [array_to_string(tk, ' ')]
+          |      ELSE list_transform(range(1, len(tk) - 1),
+          |             i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
+          |  FROM toks),
+          |p AS (
+          |  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh),
+          |pairs AS (
+          |  SELECT doc_a, doc_b FROM (
+          |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |      round(count(*) / CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE), 6)
+          |        AS jaccard
+          |    FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          |    GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh)
+          |  WHERE jaccard >= 0.8),
+          |edges AS (
+          |  SELECT doc_a AS a, doc_b AS b FROM pairs
+          |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+          |reach AS (
+          |  SELECT a AS node, a AS lbl FROM edges
+          |  UNION
+          |  SELECT e.b AS node, r.lbl AS lbl
+          |  FROM reach r JOIN edges e ON e.a = r.node),
+          |labels AS (
+          |  SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+          |sizes AS (
+          |  SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1)
+          |SELECT CAST(l.node AS BIGINT) AS doc_id,
+          |  CAST(l.cluster_id AS BIGINT) AS cluster_id,
+          |  CAST(s.cluster_size AS BIGINT) AS cluster_size,
+          |  CAST(l.node = l.cluster_id AS INT) AS is_keeper
+          |FROM labels l JOIN sizes s USING (cluster_id)""".stripMargin)),
+
     // Quality-aware near-dup retention (C4/RefinedWeb rule): keep the
     // LONGEST member of each MinHash cluster, not the minimum id —
     // the fuzzy counterpart of dedup_exact_best. Oracle = the full

