@@ -1286,6 +1286,129 @@ object OmeOps {
   }
 
   /**
+   * MERGE-AWARE tracking — the symmetric twin of [[trackLineage]]'s
+   * division rule (VERDICT r13 #4): two frame-t objects may both link
+   * INTO one frame-t+1 object when they fuse — cell fusion, or the
+   * far more common under-segmentation merge where a segmenter
+   * briefly joins touching cells (TrackMate's LAP charges a merge
+   * cost for exactly this event). The one-to-one linker fragments
+   * identity here: the losing track simply ends and its history
+   * detaches from the merged object.
+   *
+   * Linking rules — the mirror image of the division rules, all
+   * deterministic and engine-portable:
+   *  - PRIMARY links are unchanged: reciprocal rank-1 within
+   *    `maxDisp` (squared centroid distance, ties by partner label);
+   *  - a MERGE link attaches a second predecessor `a` to a target `b`
+   *    iff `b` already has a primary predecessor (objects merge INTO
+   *    a tracked object — an object materializing from two unlinked
+   *    blobs is a detection artifact), `b` is `a`'s rank-1 candidate,
+   *    and `a` is `b`'s rank-2 predecessor. The rank-1 forward
+   *    condition means `a` had NO primary link of its own (its best
+   *    successor chose another predecessor first), so merge edges
+   *    never steal a source another track claimed — no greedy
+   *    cascade, no order dependence; a THIRD simultaneous merger
+   *    (rd=3) is not linked.
+   *
+   * LINEAGE-ID SEMANTICS (explicit, because merges break the tree
+   * property): each object still has at most ONE primary parent and
+   * at most ONE merge parent (both rules pin a unique rank), but a
+   * merged object has BOTH, so components are DAGs wherever a merge
+   * edge exists — and the two merging tracks' objects, including
+   * their pre-merge history, share ONE lineage id: the earliest
+   * (t, label) of the weakly-connected component (a merge JOINS two
+   * identities; callers needing the pre-merge identities distinct
+   * should read the per-kind parent columns, which preserve them).
+   *
+   * One row per OBJECT: `(image_id, c, z, t, label, cy, cx, parent_t,
+   * parent_label, merge_parent_t, merge_parent_label, is_merge_child,
+   * lineage_t, lineage_label)` — `parent_*` is the primary parent
+   * (NULL for founders), `merge_parent_*` the second predecessor
+   * (NULL unless this object absorbed a merge), `is_merge_child` 1
+   * iff a merge edge targets the object. EAGER like every CC caller.
+   *
+   * Scale shape: identical to [[trackLineage]] — the per-stack
+   * adjacent-frame candidate equi-join, ONE extra aggregate window
+   * (the has-primary flag, here over the DESTINATION key, sharing
+   * wDst's partitioning), CC through the shared engine (driver
+   * union-find under the cap, diameter-independent star contraction
+   * beyond it).
+   */
+  def trackMerges(objects: DataFrame, maxDisp: Double = 3.0,
+      maxIters: Int = 25, driverEdgeLimit: Long = 1000000L,
+      keyCheck: Boolean = true): DataFrame = {
+    require(maxDisp > 0, "trackMerges: maxDisp must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val obj = Caches.persist(objects.select(col("image_id"),
+      col("c").cast("int").as("c"), col("z").cast("int").as("z"),
+      col("t").cast("int").as("t"), col("label").cast("int").as("label"),
+      col("cy").cast("double").as("cy"), col("cx").cast("double").as("cx")))
+    val a = obj.select(col("image_id"), col("c"), col("z"),
+      col("t").as("ta"), col("label").as("la"),
+      col("cy").as("ya"), col("cx").as("xa"), (col("t") + 1).as("tb"))
+    val b = obj.select(col("image_id"), col("c"), col("z"),
+      col("t").as("tb"), col("label").as("lb"),
+      col("cy").as("yb"), col("cx").as("xb"))
+    val wSrc = Window.partitionBy(col("image_id"), col("c"), col("z"),
+      col("ta"), col("la")).orderBy(col("d2").asc, col("lb").asc)
+    val wDst = Window.partitionBy(col("image_id"), col("c"), col("z"),
+      col("tb"), col("lb")).orderBy(col("d2").asc, col("la").asc)
+    val wTgt = Window.partitionBy(col("image_id"), col("c"), col("z"),
+      col("tb"), col("lb"))
+    val links = Caches.persist(a.join(b, Seq("image_id", "c", "z", "tb"))
+      .withColumn("d2",
+        (col("yb") - col("ya")) * (col("yb") - col("ya")) +
+          (col("xb") - col("xa")) * (col("xb") - col("xa")))
+      .filter(col("d2") <= lit(maxDisp * maxDisp))
+      .withColumn("rs", row_number().over(wSrc))
+      .withColumn("rd", row_number().over(wDst))
+      .withColumn("has_primary",
+        max(when(col("rs") === 1 && col("rd") === 1, 1).otherwise(0))
+          .over(wTgt))
+      .filter((col("rs") === 1 && col("rd") === 1) ||
+        (col("rs") === 1 && col("rd") === 2 && col("has_primary") === 1))
+      .select(col("image_id"), col("c"), col("z"), col("ta"), col("la"),
+        col("tb"), col("lb"),
+        when(col("rd") === 2, 1).otherwise(0).cast("int").as("is_merge")))
+    def key(t: Column, l: Column): Column = xxhash64(col("image_id"),
+      col("c"), col("z"), t, l)
+    val withKeys = obj.withColumn("nid", key(col("t"), col("label")))
+    if (keyCheck) {
+      val chk = withKeys.agg(count(lit(1)), count_distinct(col("nid"))).head
+      require(chk.getLong(0) == chk.getLong(1),
+        "trackMerges: xxhash64 collision across object keys — renumber " +
+          "object labels before tracking")
+    }
+    val edges = links.select(key(col("ta"), col("la")).as("nid_a"),
+      key(col("tb"), col("lb")).as("nid_b"))
+    val cc = TextOps.connectedComponents(edges, maxIters,
+      driverEdgeLimit, idCol = "nid")
+    val assigned = withKeys
+      .join(cc.select(col("nid"), col("cluster_id")), Seq("nid"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("nid")))
+    val wRoot = Window
+      .partitionBy(col("image_id"), col("c"), col("z"), col("cluster_id"))
+    val primaries = links.filter(col("is_merge") === 0)
+      .select(col("image_id"), col("c"), col("z"),
+        col("tb").as("t"), col("lb").as("label"),
+        col("ta").as("parent_t"), col("la").as("parent_label"))
+    val mergers = links.filter(col("is_merge") === 1)
+      .select(col("image_id"), col("c"), col("z"),
+        col("tb").as("t"), col("lb").as("label"),
+        col("ta").as("merge_parent_t"), col("la").as("merge_parent_label"))
+    assigned
+      .withColumn("root", min(struct(col("t"), col("label"))).over(wRoot))
+      .join(primaries, Seq("image_id", "c", "z", "t", "label"), "left")
+      .join(mergers, Seq("image_id", "c", "z", "t", "label"), "left")
+      .select(col("image_id"), col("c"), col("z"), col("t"), col("label"),
+        col("cy"), col("cx"),
+        col("parent_t"), col("parent_label"),
+        col("merge_parent_t"), col("merge_parent_label"),
+        col("merge_parent_t").isNotNull.cast("int").as("is_merge_child"),
+        col("root.t").as("lineage_t"), col("root.label").as("lineage_label"))
+  }
+
+  /**
    * Per-LINEAGE rollup of [[trackLineage]] — the population-dynamics
    * QC a dividing-cell timelapse is usually acquired FOR: one row per
    * lineage (founder-labeled) with `n_obs` (object-observations),

@@ -254,6 +254,87 @@ class SegmentSpec extends SparkSpec {
     assert(out((0, 9)) === ((3L, 0L, 1L, 1L, 0, 2)))
   }
 
+  test("trackMerges: a crafted fusion links BOTH predecessors into the " +
+      "merged object (rank-1 primary + rank-2 merge edge), a rank-3 " +
+      "bystander stays unlinked, one lineage spans the merged DAG") {
+    import spark.implicits._
+    val objs = Seq(
+      // blob A drifts level; blob B closes from cy=13 and FUSES into
+      // A at t=2 (B@t1 -> A@t2: rs=1, rd=2, target has primary);
+      // C (label 3) is A@t2's rank-3 predecessor and must NOT link;
+      // a far bystander chain is untouched by merge logic
+      ("mg", 0, 0, 0, 1, 10.0, 10.0),
+      ("mg", 0, 0, 1, 1, 10.0, 11.0),
+      ("mg", 0, 0, 2, 1, 10.0, 12.0),
+      ("mg", 0, 0, 0, 2, 13.0, 10.0),
+      ("mg", 0, 0, 1, 2, 12.0, 11.0),
+      ("mg", 0, 0, 1, 3, 7.5, 11.0),
+      ("mg", 0, 0, 0, 9, 30.0, 10.0),
+      ("mg", 0, 0, 1, 9, 30.0, 11.0),
+      ("mg", 0, 0, 2, 9, 30.0, 12.0)
+    ).toDF("image_id", "c", "z", "t", "label", "cy", "cx")
+    val out = OmeOps.trackMerges(objs, maxDisp = 3.0)
+      .orderBy(col("t"), col("label")).collect()
+      .map(r => ((r.getAs[Int]("t"), r.getAs[Int]("label")),
+        (Option(r.getAs[Any]("parent_label")).map(_.asInstanceOf[Int]),
+          Option(r.getAs[Any]("merge_parent_label"))
+            .map(_.asInstanceOf[Int]),
+          r.getAs[Int]("is_merge_child"),
+          r.getAs[Int]("lineage_t"), r.getAs[Int]("lineage_label"))))
+      .toMap
+    assert(out.size === 9)
+    // the merged object carries BOTH parents: primary A, merge B
+    assert(out((2, 1)) === ((Some(1), Some(2), 1, 0, 1)))
+    // B's pre-merge history joins A's lineage through the weak
+    // component — a merge JOINS identities (documented semantics)
+    assert(out((0, 2)) === ((None, None, 0, 0, 1)))
+    assert(out((1, 2)) === ((Some(2), None, 0, 0, 1)))
+    // A's own chain is plain primary links
+    assert(out((0, 1)) === ((None, None, 0, 0, 1)))
+    assert(out((1, 1)) === ((Some(1), None, 0, 0, 1)))
+    // the rank-3 predecessor never links (no greedy cascade)
+    assert(out((1, 3)) === ((None, None, 0, 1, 3)))
+    // the bystander's simple path is untouched
+    assert(out((1, 9)) === ((Some(9), None, 0, 0, 9)))
+    assert(out((2, 9)) === ((Some(9), None, 0, 0, 9)))
+    spark.catalog.clearCache()
+  }
+
+  test("trackMerges: no merge into an object WITHOUT a primary " +
+      "predecessor — two sources racing to an unclaimed target stay " +
+      "separate tracks") {
+    import spark.implicits._
+    // two objects at t=0 EQUIDISTANT from one object at t=1: the
+    // label tie-break gives label 1 rd=1 — but label 1's rs=1 pairs
+    // reciprocally (primary), and label 2 (rs=1, rd=2) then merges.
+    // Move the target so NEITHER source is reciprocal-primary
+    // (target's rd=1 source has rs=2 elsewhere): with no primary
+    // predecessor, the rd=2 edge must NOT become a merge.
+    val objs = Seq(
+      // s1 (label 1) has its OWN continuation at t=1 (label 4,
+      // d2=1 — its rs=1), so its edge to the contested target
+      // (label 5, d2=4, rs=2, rd=1) is not primary; s2 (label 2,
+      // d2=5 to target, rs=1, rd=2) sees a target with NO primary
+      // predecessor -> no merge edge, target stays a founder
+      ("nm", 0, 0, 0, 1, 10.0, 10.0),
+      ("nm", 0, 0, 1, 4, 10.0, 11.0),
+      ("nm", 0, 0, 1, 5, 12.0, 10.0),
+      ("nm", 0, 0, 0, 2, 14.0, 11.0)
+    ).toDF("image_id", "c", "z", "t", "label", "cy", "cx")
+    val out = OmeOps.trackMerges(objs, maxDisp = 3.0)
+      .orderBy(col("t"), col("label")).collect()
+      .map(r => ((r.getAs[Int]("t"), r.getAs[Int]("label")),
+        (Option(r.getAs[Any]("parent_label")).map(_.asInstanceOf[Int]),
+          Option(r.getAs[Any]("merge_parent_label"))
+            .map(_.asInstanceOf[Int]),
+          r.getAs[Int]("is_merge_child")))).toMap
+    // target (1,5) has no primary predecessor and therefore no merge
+    assert(out((1, 5)) === ((None, None, 0)))
+    // s1 continues into its own reciprocal partner
+    assert(out((1, 4)) === ((Some(1), None, 0)))
+    spark.catalog.clearCache()
+  }
+
   test("trackLineage: no division from an object WITHOUT a primary " +
       "daughter — two children of an unclaimed parent stay founders") {
     import spark.implicits._
