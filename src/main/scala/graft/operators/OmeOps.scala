@@ -1409,6 +1409,135 @@ object OmeOps {
   }
 
   /**
+   * FULL event-aware tracking — divisions AND merges in ONE pass: the
+   * composition of [[trackLineage]]'s division rule and
+   * [[trackMerges]]' merge rule, because a real dividing-cell
+   * timelapse has both event kinds (and a segmenter that
+   * under-segments also over-segments — splits and fusions interleave
+   * within one movie; TrackMate's LAP solves both costs in the same
+   * assignment for the same reason). Running the two specialist
+   * operators separately would assemble two DIFFERENT component sets
+   * with incompatible lineage ids; this emits one consistent identity
+   * over all event edges.
+   *
+   * Edge rules, verbatim from the specialists (each pinned by its own
+   * oracle row) — per candidate edge a→b between consecutive frames:
+   *  - PRIMARY:  rs=1 ∧ rd=1 (reciprocal rank-1 within `maxDisp`);
+   *  - DIVISION: rs=2 ∧ rd=1 ∧ source-has-primary — a parent with a
+   *    primary daughter claims its rank-2 candidate iff that candidate
+   *    ranks the parent first;
+   *  - MERGE:    rs=1 ∧ rd=2 ∧ target-has-primary — a source whose
+   *    best successor is an already-tracked target attaches as the
+   *    target's rank-2 predecessor.
+   * The rules are mutually exclusive per edge and each pins a unique
+   * rank, so every object still has ≤1 incoming rd=1 edge (its
+   * `parent_*`, division-flagged when rs=2) and ≤1 incoming rd=2
+   * merge edge (`merge_parent_*`). A division edge CANNOT target an
+   * object that also receives a merge (a merge needs the target's
+   * rd=1 edge to be primary, i.e. rs=1), and no rule cascades —
+   * determinism and the no-steal property carry over unchanged.
+   *
+   * Lineage-id semantics follow [[trackMerges]] (the weaker of the
+   * two contracts, explicitly): components are trees except where a
+   * merge edge joins two subtrees into a DAG, and every object of the
+   * weakly-connected component — both division branches, both merging
+   * histories — shares the component's earliest (t, label).
+   *
+   * One row per OBJECT: `(image_id, c, z, t, label, cy, cx, parent_t,
+   * parent_label, is_division_child, merge_parent_t,
+   * merge_parent_label, is_merge_child, lineage_t, lineage_label)`.
+   * EAGER like every CC caller.
+   *
+   * Scale shape: the same single per-stack adjacent-frame candidate
+   * equi-join as the specialists, now with BOTH one-column aggregate
+   * windows (source-has-primary sharing wSrc's partitioning,
+   * target-has-primary sharing wDst's) — the second window is the
+   * only cost over [[trackLineage]]; CC through the shared engine.
+   */
+  def trackEvents(objects: DataFrame, maxDisp: Double = 3.0,
+      maxIters: Int = 25, driverEdgeLimit: Long = 1000000L,
+      keyCheck: Boolean = true): DataFrame = {
+    require(maxDisp > 0, "trackEvents: maxDisp must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val obj = Caches.persist(objects.select(col("image_id"),
+      col("c").cast("int").as("c"), col("z").cast("int").as("z"),
+      col("t").cast("int").as("t"), col("label").cast("int").as("label"),
+      col("cy").cast("double").as("cy"), col("cx").cast("double").as("cx")))
+    val a = obj.select(col("image_id"), col("c"), col("z"),
+      col("t").as("ta"), col("label").as("la"),
+      col("cy").as("ya"), col("cx").as("xa"), (col("t") + 1).as("tb"))
+    val b = obj.select(col("image_id"), col("c"), col("z"),
+      col("t").as("tb"), col("label").as("lb"),
+      col("cy").as("yb"), col("cx").as("xb"))
+    val wSrc = Window.partitionBy(col("image_id"), col("c"), col("z"),
+      col("ta"), col("la")).orderBy(col("d2").asc, col("lb").asc)
+    val wDst = Window.partitionBy(col("image_id"), col("c"), col("z"),
+      col("tb"), col("lb")).orderBy(col("d2").asc, col("la").asc)
+    val wPar = Window.partitionBy(col("image_id"), col("c"), col("z"),
+      col("ta"), col("la"))
+    val wTgt = Window.partitionBy(col("image_id"), col("c"), col("z"),
+      col("tb"), col("lb"))
+    val isPrimary = col("rs") === 1 && col("rd") === 1
+    val links = Caches.persist(a.join(b, Seq("image_id", "c", "z", "tb"))
+      .withColumn("d2",
+        (col("yb") - col("ya")) * (col("yb") - col("ya")) +
+          (col("xb") - col("xa")) * (col("xb") - col("xa")))
+      .filter(col("d2") <= lit(maxDisp * maxDisp))
+      .withColumn("rs", row_number().over(wSrc))
+      .withColumn("rd", row_number().over(wDst))
+      .withColumn("src_primary",
+        max(when(isPrimary, 1).otherwise(0)).over(wPar))
+      .withColumn("dst_primary",
+        max(when(isPrimary, 1).otherwise(0)).over(wTgt))
+      .filter(isPrimary ||
+        (col("rs") === 2 && col("rd") === 1 && col("src_primary") === 1) ||
+        (col("rs") === 1 && col("rd") === 2 && col("dst_primary") === 1))
+      .select(col("image_id"), col("c"), col("z"), col("ta"), col("la"),
+        col("tb"), col("lb"),
+        when(col("rs") === 2, 1).otherwise(0).cast("int").as("is_div"),
+        when(col("rd") === 2, 1).otherwise(0).cast("int").as("is_merge")))
+    def key(t: Column, l: Column): Column = xxhash64(col("image_id"),
+      col("c"), col("z"), t, l)
+    val withKeys = obj.withColumn("nid", key(col("t"), col("label")))
+    if (keyCheck) {
+      val chk = withKeys.agg(count(lit(1)), count_distinct(col("nid"))).head
+      require(chk.getLong(0) == chk.getLong(1),
+        "trackEvents: xxhash64 collision across object keys — renumber " +
+          "object labels before tracking")
+    }
+    val edges = links.select(key(col("ta"), col("la")).as("nid_a"),
+      key(col("tb"), col("lb")).as("nid_b"))
+    val cc = TextOps.connectedComponents(edges, maxIters,
+      driverEdgeLimit, idCol = "nid")
+    val assigned = withKeys
+      .join(cc.select(col("nid"), col("cluster_id")), Seq("nid"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("nid")))
+    val wRoot = Window
+      .partitionBy(col("image_id"), col("c"), col("z"), col("cluster_id"))
+    val parents = links.filter(col("is_merge") === 0)
+      .select(col("image_id"), col("c"), col("z"),
+        col("tb").as("t"), col("lb").as("label"),
+        col("ta").as("parent_t"), col("la").as("parent_label"),
+        col("is_div"))
+    val mergers = links.filter(col("is_merge") === 1)
+      .select(col("image_id"), col("c"), col("z"),
+        col("tb").as("t"), col("lb").as("label"),
+        col("ta").as("merge_parent_t"), col("la").as("merge_parent_label"))
+    assigned
+      .withColumn("root", min(struct(col("t"), col("label"))).over(wRoot))
+      .join(parents, Seq("image_id", "c", "z", "t", "label"), "left")
+      .join(mergers, Seq("image_id", "c", "z", "t", "label"), "left")
+      .select(col("image_id"), col("c"), col("z"), col("t"), col("label"),
+        col("cy"), col("cx"),
+        col("parent_t"), col("parent_label"),
+        coalesce(col("is_div"), lit(0)).cast("int")
+          .as("is_division_child"),
+        col("merge_parent_t"), col("merge_parent_label"),
+        col("merge_parent_t").isNotNull.cast("int").as("is_merge_child"),
+        col("root.t").as("lineage_t"), col("root.label").as("lineage_label"))
+  }
+
+  /**
    * Per-LINEAGE rollup of [[trackLineage]] — the population-dynamics
    * QC a dividing-cell timelapse is usually acquired FOR: one row per
    * lineage (founder-labeled) with `n_obs` (object-observations),

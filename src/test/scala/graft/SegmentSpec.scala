@@ -300,6 +300,47 @@ class SegmentSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("trackEvents: a division and a fusion in ONE movie get consistent " +
+      "identities — both rules fire, each family keeps one lineage") {
+    import spark.implicits._
+    val objs = Seq(
+      // division family: parent 1 splits at t=1 into primary daughter 1
+      // and division child 2 (equidistant, label tie-break)
+      ("ev", 0, 0, 0, 1, 10.0, 10.0),
+      ("ev", 0, 0, 1, 1, 9.0, 11.0),
+      ("ev", 0, 0, 1, 2, 11.0, 11.0),
+      // merge family: blob 5 closes from cy=33 and fuses into blob 4
+      // at t=2
+      ("ev", 0, 0, 0, 4, 30.0, 10.0),
+      ("ev", 0, 0, 1, 4, 30.0, 11.0),
+      ("ev", 0, 0, 2, 4, 30.0, 12.0),
+      ("ev", 0, 0, 0, 5, 33.0, 10.0),
+      ("ev", 0, 0, 1, 5, 32.0, 11.0)
+    ).toDF("image_id", "c", "z", "t", "label", "cy", "cx")
+    val out = OmeOps.trackEvents(objs, maxDisp = 3.0)
+      .orderBy(col("t"), col("label")).collect()
+      .map(r => ((r.getAs[Int]("t"), r.getAs[Int]("label")),
+        (Option(r.getAs[Any]("parent_label")).map(_.asInstanceOf[Int]),
+          r.getAs[Int]("is_division_child"),
+          Option(r.getAs[Any]("merge_parent_label"))
+            .map(_.asInstanceOf[Int]),
+          r.getAs[Int]("is_merge_child"),
+          r.getAs[Int]("lineage_t"), r.getAs[Int]("lineage_label"))))
+      .toMap
+    assert(out.size === 8)
+    // the division: both daughters parented by 1, child 2 flagged
+    assert(out((1, 1)) === ((Some(1), 0, None, 0, 0, 1)))
+    assert(out((1, 2)) === ((Some(1), 1, None, 0, 0, 1)))
+    // the fusion: merged object carries primary 4 AND merge parent 5
+    assert(out((2, 4)) === ((Some(4), 0, Some(5), 1, 0, 4)))
+    // B's history joins the merged lineage; the division family's
+    // lineage is separate
+    assert(out((0, 5)) === ((None, 0, None, 0, 0, 4)))
+    assert(out((1, 5)) === ((Some(5), 0, None, 0, 0, 4)))
+    assert(out((0, 1)) === ((None, 0, None, 0, 0, 1)))
+    spark.catalog.clearCache()
+  }
+
   test("trackMerges: no merge into an object WITHOUT a primary " +
       "predecessor — two sources racing to an unclaimed target stay " +
       "separate tracks") {
