@@ -1579,6 +1579,55 @@ object OmeOps {
   }
 
   /**
+   * Per-LINEAGE rollup of [[trackEvents]] — [[lineageStats]]
+   * generalized to components with MERGE edges, where the tree
+   * identity `n_terminal = n_divisions + 1` no longer holds: a merged
+   * component has multiple FOUNDERS (each starts a branch), every
+   * division adds a branch, and every merge consumes one (two branches
+   * continue as one), so
+   *
+   *   `n_terminal = n_founders + n_divisions - n_merges`
+   *
+   * — still a derived identity over per-object flags, never a DAG
+   * traversal. One row per lineage: `(image_id, c, z, lineage_t,
+   * lineage_label, n_obs, n_founders, n_divisions, n_merges,
+   * n_terminal, max_cells, t_start, t_end)`; a founder is an object
+   * with neither a primary nor a merge parent.
+   *
+   * Scale shape: [[trackEvents]]' cost plus the same two lineage-keyed
+   * map-side-partial aggregations as [[lineageStats]].
+   */
+  def eventStats(objects: DataFrame, maxDisp: Double = 3.0,
+      maxIters: Int = 25, driverEdgeLimit: Long = 1000000L,
+      keyCheck: Boolean = true): DataFrame = {
+    val keys = Seq("image_id", "c", "z", "lineage_t", "lineage_label")
+    val ev = Caches.persist(trackEvents(objects, maxDisp, maxIters,
+      driverEdgeLimit, keyCheck))
+    val maxCells = ev
+      .groupBy((keys :+ "t").map(col): _*)
+      .agg(count(lit(1)).as("nc"))
+      .groupBy(keys.map(col): _*)
+      .agg(max(col("nc")).cast("long").as("max_cells"))
+    ev.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("n_obs"),
+        sum((col("parent_t").isNull && col("merge_parent_t").isNull)
+          .cast("long")).cast("long").as("n_founders"),
+        coalesce(sum(col("is_division_child")), lit(0L)).cast("long")
+          .as("n_divisions"),
+        coalesce(sum(col("is_merge_child")), lit(0L)).cast("long")
+          .as("n_merges"),
+        min(col("t")).as("t_start"), max(col("t")).as("t_end"))
+      .join(maxCells, keys)
+      .select(col("image_id"), col("c"), col("z"),
+        col("lineage_t"), col("lineage_label"),
+        col("n_obs"), col("n_founders"), col("n_divisions"),
+        col("n_merges"),
+        (col("n_founders") + col("n_divisions") - col("n_merges"))
+          .cast("long").as("n_terminal"),
+        col("max_cells"), col("t_start"), col("t_end"))
+  }
+
+  /**
    * Grid tile STITCHING — assemble a stage-scan mosaic from a tile
    * table (the BigStitcher/ashlar class of operation, metadata-driven:
    * tile positions come from the stage's `row`/`col` grid coordinates,

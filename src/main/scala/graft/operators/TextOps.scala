@@ -552,6 +552,19 @@ object TextOps {
   private def bandPart(bandKey: Column, nParts: Int): Column =
     pmod(xxhash64(bandKey), lit(nParts.toLong)).cast("int")
 
+  /** Manifest equality gate shared by every index CONSUMER (batch and
+    * streaming): band keys are md5 of signature slices, so mismatched
+    * parameters return zero matches silently — refused loudly here. */
+  private[graft] def requireIndexParams(spark: SparkSession, path: String,
+      k: Int, numHashes: Int, bands: Int, op: String): Unit = {
+    val (bk, bnh, bb, _) = minhashIndexParams(spark, path)
+    require(bk == k && bnh == numHashes && bb == bands,
+      s"$op: index at $path was built with (k=$bk, numHashes=$bnh, " +
+        s"bands=$bb) but queried with (k=$k, numHashes=$numHashes, " +
+        s"bands=$bands) — a mismatch returns zero matches silently, " +
+        "so it is refused")
+  }
+
   /** Manifest reader shared by the index consumers; raises with a
     * build-vs-query explanation when the manifest is absent. */
   private def minhashIndexParams(spark: SparkSession,
@@ -684,12 +697,8 @@ object TextOps {
     val rows = numHashes / bands
     require(bands * rows == numHashes, "numHashes must divide into bands")
     val spark = docs.sparkSession
-    val (bk, bnh, bb, _) = minhashIndexParams(spark, path)
-    require(bk == k && bnh == numHashes && bb == bands,
-      s"nearDupAgainstIndex: index at $path was built with (k=$bk, " +
-        s"numHashes=$bnh, bands=$bb) but queried with (k=$k, " +
-        s"numHashes=$numHashes, bands=$bands) — a mismatch returns " +
-        "zero matches silently, so it is refused")
+    requireIndexParams(spark, path, k, numHashes, bands,
+      "nearDupAgainstIndex")
     graft.functions.ensureRegistered(spark)
     val shDocs = Caches.persist(docs.select(
       col("doc_id").cast("long").as("doc_id"),

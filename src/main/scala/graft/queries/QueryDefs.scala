@@ -1575,6 +1575,122 @@ chunks AS (
           |JOIN roots r ON r.image_id = o.image_id AND r.t = o.t
           |  AND r.label = o.label""".stripMargin)),
 
+    // Population dynamics over the combined-events corpus: the merge
+    // generalizes the tree identity — terminal branches = founders +
+    // divisions − merges (a merged lineage has TWO founders and ONE
+    // surviving branch). The dividing lineage reports 1/1/0/2, the
+    // merged lineage 2/0/1/1, the bystander 1/0/0/1.
+    ("ome_event_stats", (s: SparkSession, _: String) => {
+      val objs = s.range(2L * 5 * 5).select(
+        (col("id") / 25).cast("int").as("img"),
+        ((col("id") / 5) % 5).cast("int").as("k"),
+        (col("id") % 5).cast("int").as("t"))
+        .filter(!(col("k") === 1 && col("t") < 3) &&
+          !(col("k") === 3 && col("t") > 2))
+        .select(format_string("evt-%04d", col("img")).as("image_id"),
+          lit(0).as("c"), lit(0).as("z"), col("t"),
+          when(col("k") === 0, 1).when(col("k") === 1, 2)
+            .when(col("k") === 2, 4).when(col("k") === 3, 5)
+            .otherwise(9).cast("int").as("label"),
+          when(col("k") === 0, lit(10) - greatest(lit(0), col("t") - 2))
+            .when(col("k") === 1, lit(10) + (col("t") - 2))
+            .when(col("k") === 2, lit(30))
+            .when(col("k") === 3, lit(34) - col("t"))
+            .otherwise(lit(50)).cast("double").as("cy"),
+          (col("t") + 10 + col("img")).cast("double").as("cx"))
+      OmeOps.eventStats(objs, maxDisp = 3.0)
+    },
+      Some(
+        """WITH RECURSIVE o AS (
+          |  SELECT printf('evt-%04d', img) AS image_id,
+          |    CAST(t AS INT) AS t,
+          |    CAST(CASE k WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4
+          |      WHEN 3 THEN 5 ELSE 9 END AS INT) AS label,
+          |    CAST(CASE k WHEN 0 THEN 10 - greatest(0, t - 2)
+          |      WHEN 1 THEN 10 + (t - 2) WHEN 2 THEN 30
+          |      WHEN 3 THEN 34 - t ELSE 50 END AS DOUBLE) AS cy,
+          |    CAST(t + 10 + img AS DOUBLE) AS cx
+          |  FROM generate_series(0,1) i(img),
+          |    generate_series(0,4) kk(k), generate_series(0,4) tt(t)
+          |  WHERE NOT (k = 1 AND t < 3) AND NOT (k = 3 AND t > 2)),
+          |cand AS (
+          |  SELECT a.image_id, a.t AS ta, a.label AS la,
+          |    b.t AS tb, b.label AS lb,
+          |    (b.cy-a.cy)*(b.cy-a.cy) + (b.cx-a.cx)*(b.cx-a.cx) AS d2
+          |  FROM o a JOIN o b
+          |    ON b.image_id = a.image_id AND b.t = a.t + 1
+          |  WHERE (b.cy-a.cy)*(b.cy-a.cy) + (b.cx-a.cx)*(b.cx-a.cx)
+          |    <= 9.0),
+          |ranked AS (
+          |  SELECT *,
+          |    row_number() OVER (PARTITION BY image_id, ta, la
+          |      ORDER BY d2, lb) AS rs,
+          |    row_number() OVER (PARTITION BY image_id, tb, lb
+          |      ORDER BY d2, la) AS rd
+          |  FROM cand),
+          |ranked2 AS (
+          |  SELECT *,
+          |    max(CASE WHEN rs = 1 AND rd = 1 THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY image_id, ta, la) AS hasp_src,
+          |    max(CASE WHEN rs = 1 AND rd = 1 THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY image_id, tb, lb) AS hasp_dst
+          |  FROM ranked),
+          |links AS (
+          |  SELECT image_id, ta, la, tb, lb,
+          |    CASE WHEN rs = 2 THEN 1 ELSE 0 END AS is_div,
+          |    CASE WHEN rd = 2 THEN 1 ELSE 0 END AS is_merge
+          |  FROM ranked2
+          |  WHERE (rs = 1 AND rd = 1)
+          |    OR (rs = 2 AND rd = 1 AND hasp_src = 1)
+          |    OR (rs = 1 AND rd = 2 AND hasp_dst = 1)),
+          |edges AS (
+          |  SELECT image_id, ta AS t1, la AS l1, tb AS t2, lb AS l2
+          |  FROM links
+          |  UNION ALL
+          |  SELECT image_id, tb, lb, ta, la FROM links),
+          |reach AS (
+          |  SELECT image_id, t, label, t*1000 + label AS lbl FROM o
+          |  UNION
+          |  SELECT e.image_id, e.t2 AS t, e.l2 AS label, r.lbl
+          |  FROM reach r JOIN edges e ON e.image_id = r.image_id
+          |    AND e.t1 = r.t AND e.l1 = r.label),
+          |roots AS (
+          |  SELECT image_id, t, label, min(lbl) AS mn
+          |  FROM reach GROUP BY 1, 2, 3),
+          |assigned AS (
+          |  SELECT o.image_id, o.t, o.label,
+          |    CASE WHEN p.la IS NULL AND m.la IS NULL THEN 1 ELSE 0 END
+          |      AS is_founder,
+          |    coalesce(p.is_div, 0) AS is_div,
+          |    CASE WHEN m.la IS NOT NULL THEN 1 ELSE 0 END AS is_mrg,
+          |    r.mn
+          |  FROM o
+          |  LEFT JOIN links p ON p.image_id = o.image_id AND p.tb = o.t
+          |    AND p.lb = o.label AND p.is_merge = 0
+          |  LEFT JOIN links m ON m.image_id = o.image_id AND m.tb = o.t
+          |    AND m.lb = o.label AND m.is_merge = 1
+          |  JOIN roots r ON r.image_id = o.image_id AND r.t = o.t
+          |    AND r.label = o.label),
+          |per_t AS (
+          |  SELECT image_id, mn, t, count(*) AS nc
+          |  FROM assigned GROUP BY 1, 2, 3),
+          |mx AS (
+          |  SELECT image_id, mn, CAST(max(nc) AS BIGINT) AS max_cells
+          |  FROM per_t GROUP BY 1, 2)
+          |SELECT a.image_id, CAST(0 AS INT) AS c, CAST(0 AS INT) AS z,
+          |  CAST(a.mn // 1000 AS INT) AS lineage_t,
+          |  CAST(a.mn % 1000 AS INT) AS lineage_label,
+          |  CAST(count(*) AS BIGINT) AS n_obs,
+          |  CAST(sum(a.is_founder) AS BIGINT) AS n_founders,
+          |  CAST(sum(a.is_div) AS BIGINT) AS n_divisions,
+          |  CAST(sum(a.is_mrg) AS BIGINT) AS n_merges,
+          |  CAST(sum(a.is_founder) + sum(a.is_div) - sum(a.is_mrg)
+          |    AS BIGINT) AS n_terminal,
+          |  mx.max_cells, min(a.t) AS t_start, max(a.t) AS t_end
+          |FROM assigned a
+          |JOIN mx ON mx.image_id = a.image_id AND mx.mn = a.mn
+          |GROUP BY a.image_id, a.mn, mx.max_cells""".stripMargin)),
+
     // Per-track photobleaching QC: least-squares intensity slope over
     // each track (closed n·Σti − Σt·Σi form — one aggregation, the
     // division is the only floating step); same corpus + chain replay.

@@ -136,6 +136,11 @@ object DocStream {
     graft.functions.ensureRegistered(spark)
     val rows = numHashes / bands
     require(bands * rows == numHashes, "numHashes must divide into bands")
+    // same manifest contract as the batch query (ADVICE r13): a
+    // build/query parameter mismatch silently streams zero matches —
+    // duplicates flowing through an at-ingest dedup gate — so refuse it
+    TextOps.requireIndexParams(spark, indexPath, k, numHashes, bands,
+      "nearDupIndexStream")
     val idx = spark.read.parquet(s"$indexPath/bands")
     val refOk =
       if (maxBucketSize <= 0) idx

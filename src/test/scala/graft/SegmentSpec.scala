@@ -341,6 +341,33 @@ class SegmentSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("eventStats: terminal branches = founders + divisions - merges " +
+      "(a merged lineage has two founders, one surviving branch)") {
+    import spark.implicits._
+    val objs = Seq(
+      ("ev", 0, 0, 0, 1, 10.0, 10.0),
+      ("ev", 0, 0, 1, 1, 9.0, 11.0),
+      ("ev", 0, 0, 1, 2, 11.0, 11.0),
+      ("ev", 0, 0, 0, 4, 30.0, 10.0),
+      ("ev", 0, 0, 1, 4, 30.0, 11.0),
+      ("ev", 0, 0, 2, 4, 30.0, 12.0),
+      ("ev", 0, 0, 0, 5, 33.0, 10.0),
+      ("ev", 0, 0, 1, 5, 32.0, 11.0)
+    ).toDF("image_id", "c", "z", "t", "label", "cy", "cx")
+    val out = OmeOps.eventStats(objs, maxDisp = 3.0).collect()
+      .map(r => ((r.getAs[Int]("lineage_t"), r.getAs[Int]("lineage_label")),
+        (r.getAs[Long]("n_obs"), r.getAs[Long]("n_founders"),
+          r.getAs[Long]("n_divisions"), r.getAs[Long]("n_merges"),
+          r.getAs[Long]("n_terminal"), r.getAs[Long]("max_cells"))))
+      .toMap
+    assert(out.size === 2)
+    // division lineage: 1 founder + 1 division = 2 terminal branches
+    assert(out((0, 1)) === ((3L, 1L, 1L, 0L, 2L, 2L)))
+    // merged lineage: 2 founders - 1 merge = 1 terminal branch
+    assert(out((0, 4)) === ((5L, 2L, 0L, 1L, 1L, 2L)))
+    spark.catalog.clearCache()
+  }
+
   test("trackMerges: no merge into an object WITHOUT a primary " +
       "predecessor — two sources racing to an unclaimed target stay " +
       "separate tracks") {
