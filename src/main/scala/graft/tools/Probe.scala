@@ -8,23 +8,41 @@ import graft.operators.TextOps
 /** Scratch driver for one-off probes (see .claude/skills/verify). */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
 
-    // r12 probe: NULL text through the new span operators
-    val docs = Seq((0L, "a b c d e f"), (1L, null.asInstanceOf[String]),
-      (2L, "a b c d e zz")).toDF("doc_id", "text")
-    println("=== exactSubstrDedup with a NULL-text doc:")
-    TextOps.exactSubstrDedup(docs, k = 4).orderBy(col("doc_id"))
-      .show(false)
-    println("=== decontaminateSpans with NULL on both sides:")
-    TextOps.decontaminateSpans(docs,
-      Seq((9L, null.asInstanceOf[String]), (10L, "a b c d")).toDF("doc_id", "text"),
-      k = 4).orderBy(col("doc_id")).show(false)
+    // r14 probe: the VERDICT r13 #3 equality cert at corpus scale —
+    // the sf1 near-dup pair graph clustered by driver union-find vs
+    // the alternating-star distributed path, certified row-identical.
+    val root = sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/tmp/graft_sweep")
+    val docs = spark.read.parquet(s"$root/sf1.0/documents.parquet")
+    val pairs = graft.operators.Caches.scoped {
+      val p = TextOps.nearDupPairs(docs, threshold = 0.8)
+        .select(col("doc_a"), col("doc_b"))
+      p.persist()
+      println(s"=== sf1 dup graph: ${p.count()} edges")
+      p.localCheckpoint(true)
+    }
+    val t0 = System.nanoTime()
+    val viaDriver = TextOps.connectedComponents(pairs)
+    val nDriver = viaDriver.count()
+    val tDriver = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val viaStar = TextOps.connectedComponents(pairs, driverEdgeLimit = 0)
+    val nStar = viaStar.count()
+    val tStar = (System.nanoTime() - t1) / 1e9
+    val cols = Seq("doc_id", "cluster_id", "cluster_size", "is_keeper")
+    val diff = viaDriver.exceptAll(viaStar).count() +
+      viaStar.exceptAll(viaDriver).count()
+    println(f"=== driver union-find: $nDriver rows in $tDriver%.1f s; " +
+      f"star contraction: $nStar rows in $tStar%.1f s; " +
+      s"row diff (exceptAll both ways over $cols): $diff")
+    println(if (diff == 0 && nDriver == nStar)
+      "=== EQUALITY CERT PASS" else "=== EQUALITY CERT FAIL")
     spark.stop()
   }
 }
