@@ -6211,6 +6211,21 @@ GROUP BY c.doc_id""")),
           |  CAST(0 AS BIGINT) AS dup_pair,
           |  CAST(0 AS BIGINT) AS empty_stream""".stripMargin)),
 
+    // The index LIFECYCLE as a stream (r14): two strictly-ordered
+    // micro-batches drive flag -> in-batch dedup -> append through
+    // foreachBatch, and the final on-disk index must be row-identical
+    // (bands incl. maintained bn, shingle sets) to a sequential batch
+    // replay of the same increments — batch 2's flags must see batch
+    // 1's keepers, certifying the append really landed mid-stream.
+    ("stream_index_ingest_check", (s: SparkSession, dir: String) =>
+      graft.streaming.DocStream.indexIngestCheck(s, dir),
+      Some(
+        """SELECT CAST(0 AS BIGINT) AS bands_missing,
+          |  CAST(0 AS BIGINT) AS bands_extra,
+          |  CAST(0 AS BIGINT) AS shingles_missing,
+          |  CAST(0 AS BIGINT) AS shingles_extra,
+          |  CAST(0 AS BIGINT) AS empty_index""".stripMargin)),
+
     ("stream_contam_check", (s: SparkSession, dir: String) =>
       graft.streaming.DocStream.contaminationCheck(s, dir),
       Some(

@@ -219,6 +219,195 @@ object DocStream {
   }
 
   /**
+   * ONE increment of the accumulated-index INGEST LOOP — the step the
+   * daily pipeline repeats, shared verbatim by the streaming runner
+   * ([[indexIngestRun]]'s foreachBatch) and the batch replay the check
+   * compares against, so stream and batch literally execute the same
+   * code against the same index operators:
+   *
+   *  1. flag the batch against the CURRENT index
+   *     ([[graft.operators.TextOps.nearDupAgainstIndex]]) and drop
+   *     flagged docs — cross-increment dedup;
+   *  2. near-dup cluster the survivors IN-BATCH
+   *     ([[graft.operators.TextOps.nearDupClustersMinhash]], same
+   *     banded semantics) and keep cluster minima — in-increment
+   *     dedup, so the appended set is self-deduplicated;
+   *  3. append the keepers ([[graft.operators.TextOps
+   *     .appendToMinhashIndex]]) — increment N's keepers are part of
+   *     the index increment N+1 flags against.
+   *
+   * EAGER (runs jobs and mutates the index at `indexPath`); parameters
+   * k/numHashes/bands are checked against the index manifest by the
+   * operators it composes. Idempotence is NOT provided here — exactly-
+   * once sits with the caller's checkpointing (the streaming runner
+   * documents the semantics).
+   */
+  def ingestIncrement(batch: DataFrame, indexPath: String, k: Int = 3,
+      numHashes: Int = 12, bands: Int = 4,
+      threshold: Double = 0.8): Unit =
+    if (!batch.isEmpty) graft.operators.Caches.scoped {
+      val b = batch
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .persist()
+      val flagged = TextOps.nearDupAgainstIndex(b, indexPath, k,
+        numHashes, bands, threshold).select(col("doc_id")).distinct()
+      val fresh = b.join(flagged, Seq("doc_id"), "left_anti").persist()
+      val losers = TextOps
+        .nearDupClustersMinhash(fresh, k, numHashes, bands, threshold)
+        .filter(col("is_keeper") === 0).select(col("doc_id"))
+      val keepers = fresh.join(losers, Seq("doc_id"), "left_anti")
+      TextOps.appendToMinhashIndex(keepers, indexPath)
+      b.unpersist(false)
+      fresh.unpersist(false)
+    }
+
+  /**
+   * The STREAMING index-ingest runner: drives [[ingestIncrement]] from
+   * a documents stream via `foreachBatch` — each micro-batch is one
+   * increment of the daily loop, deduplicated against everything
+   * already accepted (the pre-built corpus index PLUS every earlier
+   * batch's keepers) and appended. This closes the persisted-index
+   * lifecycle: build once ([[graft.operators.TextOps
+   * .buildMinhashIndex]]), then a drop-directory of crawl files keeps
+   * the index current with NO batch scheduler in the loop.
+   *
+   * Semantics note (explicit): `foreachBatch` is at-least-once on
+   * failure/restart — a replayed batch re-flags against an index that
+   * already contains its keepers, so every replayed doc flags as a
+   * self-duplicate (jaccard 1.0) and the append degenerates to a
+   * no-op for them; the loop is therefore effectively idempotent for
+   * EXACT replays, while a batch split differently on retry is not
+   * guaranteed identical (orchestration concern, same as any
+   * foreachBatch sink). Appends are serialized by the single writer —
+   * the engine-side rule on [[graft.operators.TextOps
+   * .appendToMinhashIndex]].
+   *
+   * Blocks until the AvailableNow drain finishes (bounded feeds /
+   * catch-up runs; a production caller wanting a continuous trigger
+   * can lift the body — it is three lines).
+   */
+  def indexIngestRun(stream: DataFrame, indexPath: String,
+      checkpoint: String, k: Int = 3, numHashes: Int = 12,
+      bands: Int = 4, threshold: Double = 0.8,
+      timeoutMs: Long = 300000L): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        ingestIncrement(b.toDF(), indexPath, k, numHashes, bands,
+          threshold))
+      .start()
+    val done = q.awaitTermination(timeoutMs)
+    require(done, s"indexIngestRun: drain did not finish in $timeoutMs ms")
+  }
+
+  private val ingestStaged =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /**
+   * Structural self-check of the streaming ingest loop (all-zeros
+   * pattern): the corpus index is built from the eval split, two
+   * disjoint train increments stream through [[indexIngestRun]] as two
+   * strictly-ordered micro-batches (one file per increment,
+   * `maxFilesPerTrigger = 1`, mtimes pinned a minute apart — the file
+   * source drains oldest-first), and the FINAL index must be
+   * row-identical to a batch replay calling [[ingestIncrement]] on the
+   * same increments in the same order — bands (including every
+   * maintained bn) and shingle sets both ways. The second batch is the
+   * load-bearing one: its flags must see the FIRST batch's keepers,
+   * which only happens if the foreachBatch append really landed.
+   * Violations: `bands_missing`, `bands_extra`, `shingles_missing`,
+   * `shingles_extra`, `empty_index`.
+   *
+   * Staging (index builds + the stream drain + the batch replay) is
+   * deterministic for a fixed input dir and memoized per process like
+   * [[StreamDrain.once]]; the timed portion is the index comparison.
+   */
+  def indexIngestCheck(spark: SparkSession, dir: String, k: Int = 3,
+      numHashes: Int = 12, bands: Int = 4, threshold: Double = 0.5,
+      workDir: String = "/tmp/graft_stream_idxingest",
+      timeoutMs: Long = 300000L): DataFrame = {
+    val tag = java.lang.Long.toHexString(
+      (dir + s"|$k|$numHashes|$bands|$threshold").hashCode.toLong
+        & 0xffffffffL)
+    val root = s"$workDir/$tag"
+    ingestStaged.synchronized {
+      if (!ingestStaged.contains(root)) {
+        stageIngest(spark, dir, root, k, numHashes, bands, threshold,
+          timeoutMs)
+        ingestStaged.add(root)
+      }
+    }
+    def bandRows(p: String) = spark.read.parquet(s"$p/bands")
+      .select(col("ref_id"), col("band"), col("band_key"), col("bn"))
+    def shRows(p: String) = spark.read.parquet(s"$p/shingles")
+      .select(col("ref_id"), array_sort(col("sh")).as("sh"))
+    val sb = bandRows(s"$root/idx_stream")
+    val bb = bandRows(s"$root/idx_batch")
+    val ss = shRows(s"$root/idx_stream")
+    val bs = shRows(s"$root/idx_batch")
+    bb.exceptAll(sb)
+      .agg(count(lit(1)).cast("long").as("bands_missing"))
+      .crossJoin(sb.exceptAll(bb)
+        .agg(count(lit(1)).cast("long").as("bands_extra")))
+      .crossJoin(bs.exceptAll(ss)
+        .agg(count(lit(1)).cast("long").as("shingles_missing")))
+      .crossJoin(ss.exceptAll(bs)
+        .agg(count(lit(1)).cast("long").as("shingles_extra")))
+      .crossJoin(sb.agg(
+        (count(lit(1)) === 0).cast("long").as("empty_index")))
+  }
+
+  /** [[indexIngestCheck]]'s one-time staging: clean slate, twin index
+    * builds, the sequential batch replay, the two-file ordered feed,
+    * and the stream drain. */
+  private def stageIngest(spark: SparkSession, dir: String, root: String,
+      k: Int, numHashes: Int, bands: Int, threshold: Double,
+      timeoutMs: Long): Unit = {
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmrf)
+      p.delete(): Unit
+    }
+    rmrf(new java.io.File(root))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val ref = docs.filter(col("doc_id") % 25 === 0)
+    val inc1 = docs.filter(col("doc_id") % 25 =!= 0 &&
+      col("doc_id") % 4 === 1)
+    val inc2 = docs.filter(col("doc_id") % 25 =!= 0 &&
+      col("doc_id") % 4 === 3)
+    TextOps.buildMinhashIndex(ref, s"$root/idx_stream", k, numHashes,
+      bands)
+    TextOps.buildMinhashIndex(ref, s"$root/idx_batch", k, numHashes,
+      bands)
+    // the expected: the SAME increment step, run sequentially in batch
+    ingestIncrement(inc1, s"$root/idx_batch", k, numHashes, bands,
+      threshold)
+    ingestIncrement(inc2, s"$root/idx_batch", k, numHashes, bands,
+      threshold)
+    // feed: one data file per increment, mtimes pinned a minute apart
+    // so the file source's oldest-first drain is deterministic
+    val feed = s"$root/feed"
+    def dataFiles() = new java.io.File(feed).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_")
+        && !f.getName.startsWith("."))
+    inc1.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .coalesce(1).write.mode("overwrite").parquet(feed)
+    val t0 = 1700000000000L
+    dataFiles().foreach(_.setLastModified(t0))
+    inc2.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .coalesce(1).write.mode("append").parquet(feed)
+    dataFiles().filter(_.lastModified() != t0)
+      .foreach(_.setLastModified(t0 + 60000L))
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feed)
+    indexIngestRun(src, s"$root/idx_stream", s"$root/ckpt", k,
+      numHashes, bands, threshold, timeoutMs)
+  }
+
+  /**
    * Streaming decontamination — the STREAM-STATIC join pattern:
    * documents arriving on a stream are shingled and joined against a
    * static benchmark gram index (broadcast; completely stateless join),

@@ -494,6 +494,23 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("lineage/merge/event trackers: the event-rule windows stay on the " +
+      "single candidate equi-join — no cartesian over objects") {
+    import spark.implicits._
+    val objs = Seq(("i", 0, 0, 0, 1, 1.0, 1.0), ("i", 0, 0, 1, 2, 1.0, 2.0))
+      .toDF("image_id", "c", "z", "t", "label", "cy", "cx")
+    for ((name, df) <- Seq(
+        "trackLineage" -> graft.operators.OmeOps.trackLineage(objs),
+        "trackMerges" -> graft.operators.OmeOps.trackMerges(objs),
+        "trackEvents" -> graft.operators.OmeOps.trackEvents(objs))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$name candidate join regressed to a product:\n$p")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("nearDupAgainstIndex: the bucket cap pushes to the bands scan as " +
       "a parquet predicate on the precomputed bn; no product") {
     import spark.implicits._
