@@ -6093,6 +6093,166 @@ GROUP BY c.doc_id""")),
           |  CAST(0 AS BIGINT) AS dup_pairs, CAST(0 AS BIGINT) AS dup_assign,
           |  CAST(0 AS BIGINT) AS missing_assign""".stripMargin)),
 
+    // PERSISTED IVF index (r14 — the embeddings counterpart of
+    // near_dup_index): the Lloyd-micro codebook is trained once, the
+    // corpus written as partition-per-cell inverted lists, and probes
+    // read ONLY their cells' directories. Value-identical to
+    // ivfTopKLloyd (same codebook, same assignment, same search), so
+    // the oracle is the embed_ann_ivf_trained chain verbatim — hash
+    // parity certifies the on-disk round trip loses nothing.
+    ("ivf_index_topk", (s: SparkSession, dir: String) => {
+      val tag = dirTag(dir)
+      val emb = t(s, dir, "embeddings")
+      val path = s"/tmp/graft_ivfindex/$tag"
+      if (fixtureMemo.add(s"ivfindex|$dir"))
+        VectorOps.buildIvfIndex(emb, path, nCentroids = 16, iters = 2)
+      VectorOps.ivfIndexTopK(emb.filter(col("vec_id") < 16), path, k = 5)
+    },
+      Some {
+        def assign(name: String, cents: String, src: String) =
+          s"""$name AS (
+             |  SELECT vec_id, cid AS cluster FROM (
+             |    SELECT q.vec_id, c.cid, row_number() OVER (
+             |      PARTITION BY q.vec_id
+             |      ORDER BY list_sum(list_transform(list_zip(q.qx, c.qc),
+             |        x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC, c.cid ASC)
+             |      AS rn
+             |    FROM $src q, $cents c) WHERE rn = 1)""".stripMargin
+        def update(name: String, assigned: String, prev: String) =
+          s"""$name AS (
+             |  SELECT p.cid,
+             |    CASE WHEN m.qc IS NULL THEN p.qc ELSE m.qc END AS qc
+             |  FROM $prev p LEFT JOIN (
+             |    SELECT cluster AS cid,
+             |      list(CASE WHEN s >= 0 THEN (2*s + n) // (2*n)
+             |        ELSE -((2*(-s) + n) // (2*n)) END ORDER BY dim) AS qc
+             |    FROM (
+             |      SELECT cluster, dim, sum(x) AS s, count(*) AS n FROM (
+             |        SELECT a.cluster, unnest(q.qx) AS x,
+             |          generate_subscripts(q.qx, 1) AS dim
+             |        FROM $assigned a JOIN q USING (vec_id))
+             |      GROUP BY 1, 2)
+             |    GROUP BY cid) m ON p.cid = m.cid)""".stripMargin
+        s"""WITH q AS (
+           |  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+           |    list_transform(embedding,
+           |      v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
+           |      AS qx
+           |  FROM embeddings),
+           |c0 AS (SELECT vec_id AS cid, qx AS qc FROM q WHERE vec_id < 16),
+           |${assign("a1", "c0", "q")},
+           |${update("c1", "a1", "c0")},
+           |${assign("a2", "c1", "q")},
+           |${update("c2", "a2", "c1")},
+           |${assign("af", "c2", "q")},
+           |assigned AS (
+           |  SELECT q.vec_id, q.embedding, af.cluster
+           |  FROM q JOIN af USING (vec_id)),
+           |probes AS (
+           |  SELECT vec_id AS probe_id, embedding AS p_emb, cluster
+           |  FROM assigned WHERE vec_id < 16),
+           |scored AS (
+           |  SELECT p.probe_id, p.cluster, a.vec_id AS neighbor_id,
+           |    round(
+           |      list_sum(list_transform(list_zip(p.p_emb, a.embedding),
+           |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+           |      (sqrt(list_sum(list_transform(p.p_emb,
+           |         v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+           |       sqrt(list_sum(list_transform(a.embedding,
+           |         v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS score
+           |  FROM probes p JOIN assigned a
+           |    ON p.cluster = a.cluster AND a.vec_id <> p.probe_id)
+           |SELECT probe_id, cluster,
+           |  CAST(row_number() OVER (PARTITION BY probe_id
+           |    ORDER BY score DESC, neighbor_id ASC) AS INT) AS rnk,
+           |  neighbor_id, score
+           |FROM scored
+           |QUALIFY rnk <= 5""".stripMargin
+      }),
+
+    // INCREMENTAL add to the persisted IVF index (FAISS `add`): the
+    // index is built from the EVEN vec_ids only — codebook trained on
+    // that half, seeds vec_id < 16 AND even — then the odd half is
+    // appended with the codebook FROZEN. The oracle trains on the even
+    // subset and assigns EVERYTHING with the final codebook: hash
+    // parity certifies both that the append assigned by the frozen
+    // codebook (not a retrain) and that appended cells merge cleanly
+    // into probe-time reads.
+    ("ivf_index_incr", (s: SparkSession, dir: String) => {
+      val tag = dirTag(dir)
+      val emb = t(s, dir, "embeddings")
+      val path = s"/tmp/graft_ivfindex_incr/$tag"
+      if (fixtureMemo.add(s"ivfindex_incr|$dir")) {
+        VectorOps.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0), path,
+          nCentroids = 16, iters = 2)
+        VectorOps.appendToIvfIndex(emb.filter(col("vec_id") % 2 =!= 0),
+          path)
+      }
+      VectorOps.ivfIndexTopK(emb.filter(col("vec_id") < 16), path, k = 5)
+    },
+      Some {
+        def assign(name: String, cents: String, src: String) =
+          s"""$name AS (
+             |  SELECT vec_id, cid AS cluster FROM (
+             |    SELECT q.vec_id, c.cid, row_number() OVER (
+             |      PARTITION BY q.vec_id
+             |      ORDER BY list_sum(list_transform(list_zip(q.qx, c.qc),
+             |        x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC, c.cid ASC)
+             |      AS rn
+             |    FROM $src q, $cents c) WHERE rn = 1)""".stripMargin
+        def update(name: String, assigned: String, prev: String) =
+          s"""$name AS (
+             |  SELECT p.cid,
+             |    CASE WHEN m.qc IS NULL THEN p.qc ELSE m.qc END AS qc
+             |  FROM $prev p LEFT JOIN (
+             |    SELECT cluster AS cid,
+             |      list(CASE WHEN s >= 0 THEN (2*s + n) // (2*n)
+             |        ELSE -((2*(-s) + n) // (2*n)) END ORDER BY dim) AS qc
+             |    FROM (
+             |      SELECT cluster, dim, sum(x) AS s, count(*) AS n FROM (
+             |        SELECT a.cluster, unnest(qe.qx) AS x,
+             |          generate_subscripts(qe.qx, 1) AS dim
+             |        FROM $assigned a JOIN qe ON qe.vec_id = a.vec_id)
+             |      GROUP BY 1, 2)
+             |    GROUP BY cid) m ON p.cid = m.cid)""".stripMargin
+        s"""WITH q AS (
+           |  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+           |    list_transform(embedding,
+           |      v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
+           |      AS qx
+           |  FROM embeddings),
+           |qe AS (SELECT * FROM q WHERE vec_id % 2 = 0),
+           |c0 AS (SELECT vec_id AS cid, qx AS qc FROM qe WHERE vec_id < 16),
+           |${assign("a1", "c0", "qe")},
+           |${update("c1", "a1", "c0")},
+           |${assign("a2", "c1", "qe")},
+           |${update("c2", "a2", "c1")},
+           |${assign("af", "c2", "q")},
+           |assigned AS (
+           |  SELECT q.vec_id, q.embedding, af.cluster
+           |  FROM q JOIN af USING (vec_id)),
+           |probes AS (
+           |  SELECT vec_id AS probe_id, embedding AS p_emb, cluster
+           |  FROM assigned WHERE vec_id < 16),
+           |scored AS (
+           |  SELECT p.probe_id, p.cluster, a.vec_id AS neighbor_id,
+           |    round(
+           |      list_sum(list_transform(list_zip(p.p_emb, a.embedding),
+           |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+           |      (sqrt(list_sum(list_transform(p.p_emb,
+           |         v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+           |       sqrt(list_sum(list_transform(a.embedding,
+           |         v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS score
+           |  FROM probes p JOIN assigned a
+           |    ON p.cluster = a.cluster AND a.vec_id <> p.probe_id)
+           |SELECT probe_id, cluster,
+           |  CAST(row_number() OVER (PARTITION BY probe_id
+           |    ORDER BY score DESC, neighbor_id ASC) AS INT) AS rnk,
+           |  neighbor_id, score
+           |FROM scored
+           |QUALIFY rnk <= 5""".stripMargin
+      }),
+
     // Trained cluster report: k-means training is not SQL-replicable, so
     // certify the TRAINED report's invariants (coverage, id domain, cell
     // uniqueness, stat consistency) via the all-zeros pattern.

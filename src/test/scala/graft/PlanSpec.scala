@@ -566,6 +566,43 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("ivfIndexTopK: the vectors read PRUNES to the probed cells' " +
+      "partition directories — the inverted-list contract") {
+    import spark.implicits._
+    val emb = spark.range(64).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(7)), d =>
+        (cos(($"id" % 8 + 1) * (d + 1)) + 0.1f).cast("float"))
+        .as("embedding"))
+    val path = Files.createTempDirectory("planspec_ivfidx").toString
+    graft.operators.VectorOps.buildIvfIndex(emb, path, nCentroids = 8,
+      iters = 1)
+    val cells = spark.read.parquet(s"$path/vectors")
+      .select($"cluster".cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(cells.length > 1, "fixture too small to demonstrate pruning")
+    val probed = graft.operators.VectorOps.touchedCells(
+      spark, path, Seq(cells.head))
+    val p = plan(probed)
+    assert(p.contains("PartitionFilters") && p.contains("cluster#"),
+      s"probe-time vectors read carries no partition filter:\n$p")
+    probed.collect()
+    val scanned = probed.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.getOrElse(fail("no FileSourceScanExec in probe read"))
+    val totalFiles = new java.io.File(s"$path/vectors").listFiles()
+      .filter(_.getName.startsWith("cluster=")).map(d =>
+        d.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    assert(scanned < totalFiles,
+      s"probe read scanned all $totalFiles index files — no pruning")
+    // end-to-end: the operator over one probe returns rows while
+    // reading only that probe's cell (certified above)
+    assert(graft.operators.VectorOps.ivfIndexTopK(
+      emb.filter($"vec_id" < 2), path, k = 3).count() > 0)
+    spark.catalog.clearCache()
+  }
+
   test("stitchRefine: edges come from stack+adjacent-cell equi-joins — " +
       "no cartesian over tiles") {
     import spark.implicits._

@@ -1221,6 +1221,47 @@ class TextVectorSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("ivfIndexTopK equals ivfTopKLloyd through the persisted index; " +
+      "append assigns by the FROZEN codebook") {
+    val emb = spark.range(48).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)), d =>
+        (cos((col("id") % 6 + 1) * (d + 1)) + 0.1).cast("float"))
+        .as("embedding"))
+    val path = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    VectorOps.buildIvfIndex(emb, path, nCentroids = 6, iters = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("score"))).toSet
+    val direct = rows(VectorOps.ivfTopKLloyd(emb, nProbes = 4, k = 3,
+      nCentroids = 6, iters = 2))
+    val viaIdx = rows(VectorOps.ivfIndexTopK(
+      emb.filter(col("vec_id") < 4), path, k = 3))
+    assert(direct.nonEmpty && viaIdx === direct)
+    // frozen-codebook append: build on evens, append odds; every
+    // appended vector's stored cell must equal assignment by the
+    // EVENS-trained codebook (not a retrain over the union)
+    val half = java.nio.file.Files.createTempDirectory("ivfidx_h").toString
+    VectorOps.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0), half,
+      nCentroids = 6, iters = 2)
+    val beforeCb = spark.read.parquet(s"$half/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    VectorOps.appendToIvfIndex(emb.filter(col("vec_id") % 2 =!= 0), half)
+    val afterCb = spark.read.parquet(s"$half/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    assert(afterCb === beforeCb, "append must not retrain the codebook")
+    val stored = spark.read.parquet(s"$half/vectors")
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stored.size === 48, "append must add every new vector")
+    // a missing codebook is refused loudly
+    val bare = java.nio.file.Files.createTempDirectory("ivfidx_bare")
+    val e = intercept[IllegalArgumentException] {
+      VectorOps.appendToIvfIndex(emb, bare.toString)
+    }
+    assert(e.getMessage.contains("no codebook"))
+    spark.catalog.clearCache()
+  }
+
   test("minhash index params manifest: a parameter mismatch at query or " +
       "append time raises instead of silently returning zero matches") {
     val ref = Seq((100L, "a b c d e f g", "en", "r", 13L))
