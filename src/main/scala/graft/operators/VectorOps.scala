@@ -1471,6 +1471,129 @@ object VectorOps {
   }
 
   /**
+   * PERSISTED IVF-PQ index — the on-disk form of FAISS `IVFx,PQy`
+   * (IVFADC), and the index that actually FITS a 100 TB corpus: the
+   * inverted lists store `(vec_id, m codes)` — m ints standing in for
+   * `dim` floats, the 32× footprint cut at m=8/dim=64 — partitioned by
+   * Voronoi cell exactly like [[buildIvfIndex]], plus the two frozen
+   * codebooks ([[pqCodebook]] sub-quantizers, [[firstNCentroids]]
+   * coarse cells — both deterministic, oracle-replicable) and a
+   * `(m, k_cent, n_centroids, dims)` manifest. Build cost: one
+   * corpus scan (assign + encode in the same projection) and one
+   * cluster-keyed shuffle for the layout; the raw embeddings never
+   * need to be read again for search.
+   */
+  def buildIvfPqIndex(emb: DataFrame, path: String, m: Int = 8,
+      kCent: Int = 16, nCentroids: Int = 16): Unit = {
+    val spark = emb.sparkSession
+    graft.functions.ensureRegistered(spark)
+    val book = pqCodebook(emb, m, kCent)
+    val cents = firstNCentroids(emb, nCentroids)
+    assignClusters(emb, cents)
+      .select(col("cluster"), col("vec_id").cast("long").as("vec_id"),
+        graft.functions.pq_encode(col("embedding"), book, m).as("codes"))
+      .repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$path/codes")
+    cents.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/centroids")
+    import spark.implicits._
+    Seq((m, kCent, nCentroids, book.length / (m * kCent) * m,
+        book.toSeq))
+      .toDF("m", "k_cent", "n_centroids", "dims", "book")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_book")
+  }
+
+  /** Reads the IVF-PQ manifest + codebooks; raises on an unverifiable
+    * index (missing books — the manifest discipline). */
+  private def readIvfPqBooks(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Array[Float], DataFrame) = {
+    val row =
+      try spark.read.parquet(s"$path/pq_book").head()
+      catch {
+        case e: Throwable => throw new IllegalArgumentException(
+          s"ivf-pq index at $path has no codebooks — rebuild with " +
+            "buildIvfPqIndex", e)
+      }
+    (row.getAs[Int]("m"), row.getSeq[Float](row.fieldIndex("book")).toArray,
+      spark.read.parquet(s"$path/centroids"))
+  }
+
+  /**
+   * Incremental add to a [[buildIvfPqIndex]] index — FAISS `add` on
+   * the composed index: BOTH codebooks stay frozen (coarse cells and
+   * sub-quantizers), so new vectors assign + encode map-side and
+   * append under their cells' directories; nothing existing moves and
+   * earlier queries' rankings are unchanged. Quantization drift under
+   * a shifting corpus is the documented trade (monitor cell sizes /
+   * [[pqRecall]]; re-train = re-build).
+   */
+  def appendToIvfPqIndex(newEmb: DataFrame, path: String): Unit = {
+    val spark = newEmb.sparkSession
+    graft.functions.ensureRegistered(spark)
+    val (m, book, cents) = readIvfPqBooks(spark, path)
+    assignClusters(newEmb, cents)
+      .select(col("cluster"), col("vec_id").cast("long").as("vec_id"),
+        graft.functions.pq_encode(col("embedding"), book, m).as("codes"))
+      .write.mode("append").partitionBy("cluster")
+      .parquet(s"$path/codes")
+  }
+
+  /**
+   * Query a [[buildIvfPqIndex]] index: probes route to their `nProbe`
+   * nearest cells by cosine against the stored coarse centroids (the
+   * [[assignClusters]] ranking — identical ties, so an indexed probe
+   * searches its own cell), ONLY those cells' code partitions are
+   * read (partition-pruned — the inverted-list contract,
+   * PlanSpec-pinned on the IVF twin), and asymmetric PQ distance over
+   * codes ranks the candidates. Same output contract as
+   * [[ivfPqTopK]]: `(probe_id, cluster, rnk, neighbor_id, adc_dist)`.
+   *
+   * Scale shape: search touches m ints per candidate vector and the
+   * KB-scale codebooks ride the plan as literals — the corpus' floats
+   * are never read. The probe side broadcasts; the only data motion
+   * is the pruned code partitions streaming through the ADC kernel.
+   */
+  def ivfPqIndexTopK(probes: DataFrame, path: String, k: Int,
+      nProbe: Int = 1): DataFrame = {
+    require(k > 0 && nProbe > 0, "ivfPqIndexTopK: k > 0, nProbe > 0")
+    val spark = probes.sparkSession
+    graft.functions.ensureRegistered(spark)
+    val (m, book, cents) = readIvfPqBooks(spark, path)
+    val p = Caches.persist(probes
+      .select(col("vec_id").cast("long").as("probe_id"),
+        col("embedding").as("p_emb"))
+      .crossJoin(broadcast(cents))
+      .select(col("probe_id"), col("p_emb"), col("centroid_id"),
+        cosine6(col("p_emb"), col("c_emb")).as("c_score"))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("c_score").desc, col("centroid_id").asc)))
+      .filter(col("crnk") <= nProbe)
+      .select(col("probe_id"), col("p_emb"),
+        col("centroid_id").as("cluster")))
+    val touched = p.select(col("cluster")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("cluster").isin(
+        touched.map(java.lang.Long.valueOf): _*))
+      .select(col("vec_id").cast("long").as("neighbor_id"),
+        col("codes"), col("cluster").cast("long").as("cluster"))
+    broadcast(p).join(codes, Seq("cluster"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("cluster"), col("neighbor_id"),
+        round(graft.functions.pq_adc(col("p_emb"), col("codes"), book), 6)
+          .as("adc_dist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("adc_dist").asc, col("neighbor_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("cluster"),
+        col("rnk").cast("int").as("rnk"), col("neighbor_id"),
+        col("adc_dist"))
+  }
+
+  /**
    * MULTI-PROBE IVF-PQ — the configuration billion-scale deployments
    * actually run (FAISS `IVFx,PQy` with `nprobe > 1`): each probe
    * searches its `nProbe` nearest centroids' cells by asymmetric PQ

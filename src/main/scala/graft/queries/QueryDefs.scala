@@ -48,6 +48,76 @@ object QueryDefs {
   private def dirTag(dir: String): String =
     java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
 
+  /** The full IVFADC chain (cosine coarse routing + first-16 PQ books +
+    * per-subvector encode + ADC scoring), shared VERBATIM by
+    * `embed_ann_ivfpq` (in-memory), `ivfpq_index_topk` (persisted
+    * round trip), and `ivfpq_index_incr` (frozen-book append) — all
+    * three are value-identical by construction, and one oracle text
+    * keeps them provably in lockstep. */
+  private val ivfPqAdcOracle: String =
+    """WITH e AS (
+      |  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings),
+      |cents AS (SELECT vec_id AS centroid_id, embedding AS c_emb
+      |  FROM e WHERE vec_id < 16),
+      |assigned AS (
+      |  SELECT vec_id, embedding, centroid_id AS cluster FROM (
+      |    SELECT e.vec_id, e.embedding, c.centroid_id,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        round(
+      |          list_sum(list_transform(list_zip(e.embedding, c.c_emb),
+      |            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+      |          (sqrt(list_sum(list_transform(e.embedding,
+      |             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+      |           sqrt(list_sum(list_transform(c.c_emb,
+      |             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) DESC,
+      |        c.centroid_id ASC) AS rn
+      |    FROM e, cents c) WHERE rn = 1),
+      |books AS (
+      |  SELECT t.j, c.vec_id AS cid,
+      |    list_slice(c.embedding, t.j*8 + 1, t.j*8 + 8) AS cvec
+      |  FROM range(8) t(j), e c WHERE c.vec_id < 16),
+      |codes AS (
+      |  SELECT vec_id, j, cid AS code FROM (
+      |    SELECT e.vec_id, b.j, b.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id, b.j ORDER BY
+      |        list_sum(list_transform(
+      |          list_zip(list_slice(e.embedding, b.j*8 + 1, b.j*8 + 8),
+      |            b.cvec),
+      |          x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) *
+      |               (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) ASC,
+      |        b.cid ASC) AS rn
+      |    FROM e, books b) WHERE rn = 1),
+      |codes_arr AS (
+      |  SELECT vec_id, list(code ORDER BY j) AS codes
+      |  FROM codes GROUP BY vec_id),
+      |books_arr AS (
+      |  SELECT list(cbook ORDER BY j) AS bks FROM (
+      |    SELECT j, list(cvec ORDER BY cid) AS cbook
+      |    FROM books GROUP BY j)),
+      |probes AS (
+      |  SELECT vec_id AS probe_id, embedding AS p_emb, cluster
+      |  FROM assigned WHERE vec_id < 16),
+      |scored AS (
+      |  SELECT p.probe_id, p.cluster, a.vec_id AS neighbor_id,
+      |    round(list_sum(list_transform(range(8), j ->
+      |      list_sum(list_transform(
+      |        list_zip(list_slice(p.p_emb, j*8 + 1, j*8 + 8),
+      |          b.bks[j + 1][c.codes[j + 1] + 1]),
+      |        x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) *
+      |             (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))))),
+      |      6) AS adc_dist
+      |  FROM probes p
+      |  JOIN assigned a ON p.cluster = a.cluster
+      |    AND a.vec_id <> p.probe_id
+      |  JOIN codes_arr c ON c.vec_id = a.vec_id
+      |  CROSS JOIN books_arr b)
+      |SELECT probe_id, cluster,
+      |  CAST(row_number() OVER (PARTITION BY probe_id
+      |    ORDER BY adc_dist ASC, neighbor_id ASC) AS INT) AS rnk,
+      |  neighbor_id, adc_dist
+      |FROM scored
+      |QUALIFY rnk <= 5""".stripMargin
+
   /** Closed-form moving-blob object table for the tracking queries:
     * 4 images x 3 blobs x 8 frames — blob 0 drifts 1/frame, blob 1
     * appears at t>=3 (new mid-movie track), blob 2 jumps past
@@ -6524,69 +6594,48 @@ GROUP BY c.doc_id""")),
     ("embed_ann_ivfpq", (s: SparkSession, dir: String) =>
       VectorOps.ivfPqTopK(t(s, dir, "embeddings"), nProbes = 16, k = 5,
         m = 8, kCent = 16, nCentroids = 16),
-      Some(
-        """WITH e AS (
-          |  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings),
-          |cents AS (SELECT vec_id AS centroid_id, embedding AS c_emb
-          |  FROM e WHERE vec_id < 16),
-          |assigned AS (
-          |  SELECT vec_id, embedding, centroid_id AS cluster FROM (
-          |    SELECT e.vec_id, e.embedding, c.centroid_id,
-          |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-          |        round(
-          |          list_sum(list_transform(list_zip(e.embedding, c.c_emb),
-          |            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
-          |          (sqrt(list_sum(list_transform(e.embedding,
-          |             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
-          |           sqrt(list_sum(list_transform(c.c_emb,
-          |             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) DESC,
-          |        c.centroid_id ASC) AS rn
-          |    FROM e, cents c) WHERE rn = 1),
-          |books AS (
-          |  SELECT t.j, c.vec_id AS cid,
-          |    list_slice(c.embedding, t.j*8 + 1, t.j*8 + 8) AS cvec
-          |  FROM range(8) t(j), e c WHERE c.vec_id < 16),
-          |codes AS (
-          |  SELECT vec_id, j, cid AS code FROM (
-          |    SELECT e.vec_id, b.j, b.cid,
-          |      row_number() OVER (PARTITION BY e.vec_id, b.j ORDER BY
-          |        list_sum(list_transform(
-          |          list_zip(list_slice(e.embedding, b.j*8 + 1, b.j*8 + 8),
-          |            b.cvec),
-          |          x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) *
-          |               (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) ASC,
-          |        b.cid ASC) AS rn
-          |    FROM e, books b) WHERE rn = 1),
-          |codes_arr AS (
-          |  SELECT vec_id, list(code ORDER BY j) AS codes
-          |  FROM codes GROUP BY vec_id),
-          |books_arr AS (
-          |  SELECT list(cbook ORDER BY j) AS bks FROM (
-          |    SELECT j, list(cvec ORDER BY cid) AS cbook
-          |    FROM books GROUP BY j)),
-          |probes AS (
-          |  SELECT vec_id AS probe_id, embedding AS p_emb, cluster
-          |  FROM assigned WHERE vec_id < 16),
-          |scored AS (
-          |  SELECT p.probe_id, p.cluster, a.vec_id AS neighbor_id,
-          |    round(list_sum(list_transform(range(8), j ->
-          |      list_sum(list_transform(
-          |        list_zip(list_slice(p.p_emb, j*8 + 1, j*8 + 8),
-          |          b.bks[j + 1][c.codes[j + 1] + 1]),
-          |        x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) *
-          |             (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))))),
-          |      6) AS adc_dist
-          |  FROM probes p
-          |  JOIN assigned a ON p.cluster = a.cluster
-          |    AND a.vec_id <> p.probe_id
-          |  JOIN codes_arr c ON c.vec_id = a.vec_id
-          |  CROSS JOIN books_arr b)
-          |SELECT probe_id, cluster,
-          |  CAST(row_number() OVER (PARTITION BY probe_id
-          |    ORDER BY adc_dist ASC, neighbor_id ASC) AS INT) AS rnk,
-          |  neighbor_id, adc_dist
-          |FROM scored
-          |QUALIFY rnk <= 5""".stripMargin)),
+      Some(ivfPqAdcOracle)),
+
+    // PERSISTED IVF-PQ index (r14): the IVFADC inverted lists written
+    // as partition-per-cell parquet of (vec_id, m codes) — the
+    // 32x-compressed on-disk index — plus the two frozen deterministic
+    // codebooks; value-identical to ivfPqTopK, so the oracle is the
+    // IVFADC chain verbatim.
+    ("ivfpq_index_topk", (s: SparkSession, dir: String) => {
+      val tag = dirTag(dir)
+      val emb = t(s, dir, "embeddings")
+      val path = s"/tmp/graft_ivfpqindex/$tag"
+      if (fixtureMemo.add(s"ivfpqindex|$dir"))
+        VectorOps.buildIvfPqIndex(emb, path, m = 8, kCent = 16,
+          nCentroids = 16)
+      VectorOps.ivfPqIndexTopK(emb.filter(col("vec_id") < 16), path, k = 5)
+    },
+      Some(ivfPqAdcOracle)),
+
+    // Incremental add to the persisted IVF-PQ index: built from the
+    // FIRST HALF of the corpus (vec_id < n/2 — both deterministic
+    // codebooks seed from vec_id < 16, inside the build half, so the
+    // frozen books equal the full-corpus ones), the second half
+    // appended FAISS-add style. Assignment and codes are pure
+    // functions of the frozen books, so build+append == full rebuild
+    // EXACTLY and the oracle is again the IVFADC chain verbatim —
+    // hash parity certifies the append neither retrained nor lost
+    // rows.
+    ("ivfpq_index_incr", (s: SparkSession, dir: String) => {
+      val tag = dirTag(dir)
+      val emb = t(s, dir, "embeddings")
+      val path = s"/tmp/graft_ivfpqindex_incr/$tag"
+      if (fixtureMemo.add(s"ivfpqindex_incr|$dir")) {
+        val half = emb.count() / 2
+        require(half >= 16, s"ivfpq_index_incr: corpus too small ($half)")
+        VectorOps.buildIvfPqIndex(emb.filter(col("vec_id") < half), path,
+          m = 8, kCent = 16, nCentroids = 16)
+        VectorOps.appendToIvfPqIndex(emb.filter(col("vec_id") >= half),
+          path)
+      }
+      VectorOps.ivfPqIndexTopK(emb.filter(col("vec_id") < 16), path, k = 5)
+    },
+      Some(ivfPqAdcOracle)),
 
     // Multi-probe IVF-PQ: each probe searches its 3 nearest cells by
     // ADC over codes — the nprobe>1 configuration billion-scale

@@ -1262,6 +1262,43 @@ class TextVectorSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("ivfPqIndexTopK equals ivfPqTopK through the persisted index; " +
+      "append freezes BOTH codebooks") {
+    val emb = spark.range(48).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)), d =>
+        (cos((col("id") % 6 + 1) * (d + 1)) + 0.1).cast("float"))
+        .as("embedding"))
+    val path = java.nio.file.Files.createTempDirectory("ivfpqidx").toString
+    VectorOps.buildIvfPqIndex(emb, path, m = 4, kCent = 8, nCentroids = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc_dist"))).toSet
+    val direct = rows(VectorOps.ivfPqTopK(emb, nProbes = 4, k = 3,
+      m = 4, kCent = 8, nCentroids = 8))
+    val viaIdx = rows(VectorOps.ivfPqIndexTopK(
+      emb.filter(col("vec_id") < 4), path, k = 3))
+    assert(direct.nonEmpty && viaIdx === direct)
+    // frozen-book append: first-half build + second-half add must be
+    // row-identical to a full build (the deterministic seeds live in
+    // the build half, so the frozen books equal the full-corpus ones)
+    val half = java.nio.file.Files.createTempDirectory("ivfpq_h").toString
+    VectorOps.buildIvfPqIndex(emb.filter(col("vec_id") < 24), half,
+      m = 4, kCent = 8, nCentroids = 8)
+    VectorOps.appendToIvfPqIndex(emb.filter(col("vec_id") >= 24), half)
+    def codeRows(p: String) = spark.read.parquet(s"$p/codes")
+      .select(col("vec_id"), col("cluster").cast("long"), col("codes"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Int](2))).toSet
+    assert(codeRows(half) === codeRows(path),
+      "frozen-book append must equal a full rebuild row-for-row")
+    val bare = java.nio.file.Files.createTempDirectory("ivfpq_bare")
+    val e = intercept[IllegalArgumentException] {
+      VectorOps.appendToIvfPqIndex(emb, bare.toString)
+    }
+    assert(e.getMessage.contains("no codebooks"))
+    spark.catalog.clearCache()
+  }
+
   test("minhash index params manifest: a parameter mismatch at query or " +
       "append time raises instead of silently returning zero matches") {
     val ref = Seq((100L, "a b c d e f g", "en", "r", 13L))
