@@ -619,7 +619,10 @@ object TextOps {
    * `nParts` at build time so one part ≈ one comfortable task). Not
    * concurrency-safe: serialize appends per index path (a lost-update
    * race between two writers is a pipeline-orchestration concern, not
-   * an engine one).
+   * an engine one). Repeated appends accumulate one file set per
+   * increment; both layouts compact in place with
+   * [[LayoutOps.compactParquet]] (partition-aware, crash-restoring)
+   * when file counts grow.
    */
   def appendToMinhashIndex(newDocs: DataFrame, path: String): Unit = {
     val spark = newDocs.sparkSession

@@ -899,7 +899,9 @@ object VectorOps {
    * identically — the trade is that a drifting corpus slowly unbalances
    * cells (monitor with a cluster-size scan; re-train = re-build, the
    * same discipline FAISS documents). Not concurrency-safe: serialize
-   * appends per index path.
+   * appends per index path. Repeated appends accumulate files per
+   * cell directory — compact in place with [[LayoutOps.compactParquet]]
+   * (partition-aware, crash-restoring) when file counts grow.
    */
   def appendToIvfIndex(newEmb: DataFrame, path: String): Unit = {
     val spark = newEmb.sparkSession

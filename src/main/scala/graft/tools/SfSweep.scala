@@ -169,7 +169,18 @@ object SfSweep {
         ((s, d) => {
           s.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
           bigEvalFixed(root)(s, d, twoStage = true, fastHash = true)
-        }))
+        }),
+      // the embed_near_dup m²-per-bucket fix, measured (r14 SCALE.md
+      // finding): the registry row pins numPlanes=6 (64 buckets —
+      // oracle-replayable), whose pair work grows 100x per decade; the
+      // operator's own sizing rule (numPlanes ~ log2(corpus /
+      // targetBucketSize)) says sf10's 200 K vectors want 9 planes
+      // (512 buckets, ~400/bucket). This cell IS the rule applied —
+      // sweep it next to `embed_near_dup` to measure the recovery.
+      "embed_near_dup_planes9" ->
+        ((s, d) => graft.operators.VectorOps.embedNearDup(
+          s.read.parquet(s"$d/embeddings.parquet"), threshold = 0.35,
+          numPlanes = 9)))
     // shuffle WRITE bytes per cell (r13): the scale evidence wall
     // clock cannot give at small sf — a plan that moves the corpus
     // into an exchange shows it here even when fixed overheads

@@ -1218,6 +1218,15 @@ class TextVectorSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("ref_id"),
         r.getAs[Double]("jaccard"))).toSet
     assert(pairs(incr) === pairs(full) && pairs(incr).nonEmpty)
+    // maintenance path (the scaladoc's claim, proven): appends
+    // accumulate files; the partition-aware compactor flattens each
+    // part dir in place and the index answers identically after
+    val (nb, na) = graft.operators.LayoutOps.compactParquet(
+      spark, s"$incr/bands")
+    graft.operators.LayoutOps.compactParquet(spark, s"$incr/shingles")
+    assert(na <= nb)
+    assert(bandRows(incr) === bandRows(full))
+    assert(pairs(incr) === pairs(full))
     spark.catalog.clearCache()
   }
 
