@@ -118,6 +118,84 @@ object QueryDefs {
       |FROM scored
       |QUALIFY rnk <= 5""".stripMargin
 
+  /** The multi-probe (nprobe = 3) IVFADC chain, shared verbatim by
+    * `embed_ann_ivfpq_probed` (in-memory) and `ivfpq_index_probed`
+    * (persisted index) — value-identical by construction. */
+  private val ivfPqAdcProbedOracle: String =
+    """WITH e AS (
+      |  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings),
+      |cents AS (SELECT vec_id AS centroid_id, embedding AS c_emb
+      |  FROM e WHERE vec_id < 16),
+      |assigned AS (
+      |  SELECT vec_id, embedding, centroid_id AS cluster FROM (
+      |    SELECT e.vec_id, e.embedding, c.centroid_id,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        round(
+      |          list_sum(list_transform(list_zip(e.embedding, c.c_emb),
+      |            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+      |          (sqrt(list_sum(list_transform(e.embedding,
+      |             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+      |           sqrt(list_sum(list_transform(c.c_emb,
+      |             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) DESC,
+      |        c.centroid_id ASC) AS rn
+      |    FROM e, cents c) WHERE rn = 1),
+      |books AS (
+      |  SELECT t.j, c.vec_id AS cid,
+      |    list_slice(c.embedding, t.j*8 + 1, t.j*8 + 8) AS cvec
+      |  FROM range(8) t(j), e c WHERE c.vec_id < 16),
+      |codes AS (
+      |  SELECT vec_id, j, cid AS code FROM (
+      |    SELECT e.vec_id, b.j, b.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id, b.j ORDER BY
+      |        list_sum(list_transform(
+      |          list_zip(list_slice(e.embedding, b.j*8 + 1, b.j*8 + 8),
+      |            b.cvec),
+      |          x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) *
+      |               (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) ASC,
+      |        b.cid ASC) AS rn
+      |    FROM e, books b) WHERE rn = 1),
+      |codes_arr AS (
+      |  SELECT vec_id, list(code ORDER BY j) AS codes
+      |  FROM codes GROUP BY vec_id),
+      |books_arr AS (
+      |  SELECT list(cbook ORDER BY j) AS bks FROM (
+      |    SELECT j, list(cvec ORDER BY cid) AS cbook
+      |    FROM books GROUP BY j)),
+      |probes AS (
+      |  SELECT probe_id, p_emb, centroid_id AS cluster FROM (
+      |    SELECT e.vec_id AS probe_id, e.embedding AS p_emb,
+      |      c.centroid_id,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        round(
+      |          list_sum(list_transform(list_zip(e.embedding, c.c_emb),
+      |            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+      |          (sqrt(list_sum(list_transform(e.embedding,
+      |             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+      |           sqrt(list_sum(list_transform(c.c_emb,
+      |             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) DESC,
+      |        c.centroid_id ASC) AS crnk
+      |    FROM e, cents c WHERE e.vec_id < 16) WHERE crnk <= 3),
+      |scored AS (
+      |  SELECT p.probe_id, a.vec_id AS neighbor_id,
+      |    round(list_sum(list_transform(range(8), j ->
+      |      list_sum(list_transform(
+      |        list_zip(list_slice(p.p_emb, j*8 + 1, j*8 + 8),
+      |          b.bks[j + 1][c.codes[j + 1] + 1]),
+      |        x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) *
+      |             (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))))),
+      |      6) AS adc_dist
+      |  FROM probes p
+      |  JOIN assigned a ON p.cluster = a.cluster
+      |    AND a.vec_id <> p.probe_id
+      |  JOIN codes_arr c ON c.vec_id = a.vec_id
+      |  CROSS JOIN books_arr b)
+      |SELECT probe_id,
+      |  CAST(row_number() OVER (PARTITION BY probe_id
+      |    ORDER BY adc_dist ASC, neighbor_id ASC) AS INT) AS rnk,
+      |  neighbor_id, adc_dist
+      |FROM scored
+      |QUALIFY rnk <= 5""".stripMargin
+
   /** Closed-form moving-blob object table for the tracking queries:
     * 4 images x 3 blobs x 8 frames — blob 0 drifts 1/frame, blob 1
     * appears at t>=3 (new mid-movie track), blob 2 jumps past
@@ -6644,80 +6722,25 @@ GROUP BY c.doc_id""")),
     ("embed_ann_ivfpq_probed", (s: SparkSession, dir: String) =>
       VectorOps.ivfPqTopKProbed(t(s, dir, "embeddings"), nProbes = 16,
         k = 5, nProbe = 3, m = 8, kCent = 16, nCentroids = 16),
-      Some(
-        """WITH e AS (
-          |  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings),
-          |cents AS (SELECT vec_id AS centroid_id, embedding AS c_emb
-          |  FROM e WHERE vec_id < 16),
-          |assigned AS (
-          |  SELECT vec_id, embedding, centroid_id AS cluster FROM (
-          |    SELECT e.vec_id, e.embedding, c.centroid_id,
-          |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-          |        round(
-          |          list_sum(list_transform(list_zip(e.embedding, c.c_emb),
-          |            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
-          |          (sqrt(list_sum(list_transform(e.embedding,
-          |             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
-          |           sqrt(list_sum(list_transform(c.c_emb,
-          |             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) DESC,
-          |        c.centroid_id ASC) AS rn
-          |    FROM e, cents c) WHERE rn = 1),
-          |books AS (
-          |  SELECT t.j, c.vec_id AS cid,
-          |    list_slice(c.embedding, t.j*8 + 1, t.j*8 + 8) AS cvec
-          |  FROM range(8) t(j), e c WHERE c.vec_id < 16),
-          |codes AS (
-          |  SELECT vec_id, j, cid AS code FROM (
-          |    SELECT e.vec_id, b.j, b.cid,
-          |      row_number() OVER (PARTITION BY e.vec_id, b.j ORDER BY
-          |        list_sum(list_transform(
-          |          list_zip(list_slice(e.embedding, b.j*8 + 1, b.j*8 + 8),
-          |            b.cvec),
-          |          x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) *
-          |               (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) ASC,
-          |        b.cid ASC) AS rn
-          |    FROM e, books b) WHERE rn = 1),
-          |codes_arr AS (
-          |  SELECT vec_id, list(code ORDER BY j) AS codes
-          |  FROM codes GROUP BY vec_id),
-          |books_arr AS (
-          |  SELECT list(cbook ORDER BY j) AS bks FROM (
-          |    SELECT j, list(cvec ORDER BY cid) AS cbook
-          |    FROM books GROUP BY j)),
-          |probes AS (
-          |  SELECT probe_id, p_emb, centroid_id AS cluster FROM (
-          |    SELECT e.vec_id AS probe_id, e.embedding AS p_emb,
-          |      c.centroid_id,
-          |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-          |        round(
-          |          list_sum(list_transform(list_zip(e.embedding, c.c_emb),
-          |            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
-          |          (sqrt(list_sum(list_transform(e.embedding,
-          |             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
-          |           sqrt(list_sum(list_transform(c.c_emb,
-          |             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) DESC,
-          |        c.centroid_id ASC) AS crnk
-          |    FROM e, cents c WHERE e.vec_id < 16) WHERE crnk <= 3),
-          |scored AS (
-          |  SELECT p.probe_id, a.vec_id AS neighbor_id,
-          |    round(list_sum(list_transform(range(8), j ->
-          |      list_sum(list_transform(
-          |        list_zip(list_slice(p.p_emb, j*8 + 1, j*8 + 8),
-          |          b.bks[j + 1][c.codes[j + 1] + 1]),
-          |        x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) *
-          |             (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))))),
-          |      6) AS adc_dist
-          |  FROM probes p
-          |  JOIN assigned a ON p.cluster = a.cluster
-          |    AND a.vec_id <> p.probe_id
-          |  JOIN codes_arr c ON c.vec_id = a.vec_id
-          |  CROSS JOIN books_arr b)
-          |SELECT probe_id,
-          |  CAST(row_number() OVER (PARTITION BY probe_id
-          |    ORDER BY adc_dist ASC, neighbor_id ASC) AS INT) AS rnk,
-          |  neighbor_id, adc_dist
-          |FROM scored
-          |QUALIFY rnk <= 5""".stripMargin)),
+      Some(ivfPqAdcProbedOracle)),
+
+    // Multi-probe query against the PERSISTED IVF-PQ index (r14): the
+    // same nprobe=3 routing over the stored codebooks, reading only
+    // the <= 3*nProbes probed cells' code partitions; `cluster` is
+    // dropped because a probed result row's cell is not part of the
+    // in-memory operator's contract. Oracle shared verbatim with
+    // embed_ann_ivfpq_probed.
+    ("ivfpq_index_probed", (s: SparkSession, dir: String) => {
+      val tag = dirTag(dir)
+      val emb = t(s, dir, "embeddings")
+      val path = s"/tmp/graft_ivfpqindex/$tag"
+      if (fixtureMemo.add(s"ivfpqindex|$dir"))
+        VectorOps.buildIvfPqIndex(emb, path, m = 8, kCent = 16,
+          nCentroids = 16)
+      VectorOps.ivfPqIndexTopK(emb.filter(col("vec_id") < 16), path,
+        k = 5, nProbe = 3).drop("cluster")
+    },
+      Some(ivfPqAdcProbedOracle)),
 
     // hash-green constituent oracles (embed_ann_lsh + embed_topk).
     ("ann_recall", (s: SparkSession, dir: String) =>
