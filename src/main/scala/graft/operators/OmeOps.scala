@@ -1148,7 +1148,7 @@ object OmeOps {
     // collision with the check off silently merges the two colliding
     // objects' tracks, so the default stays on
     if (keyCheck) {
-      val chk = withKeys.agg(count(lit(1)), count_distinct(col("nid"))).head
+      val chk = withKeys.agg(count(lit(1)), count_distinct(col("nid"))).head()
       require(chk.getLong(0) == chk.getLong(1),
         "trackObjects: xxhash64 collision across object keys — renumber " +
           "object labels before tracking")
@@ -1256,7 +1256,7 @@ object OmeOps {
     val withKeys = obj.withColumn("nid", key(col("t"), col("label")))
     // same opt-out collision-check contract as [[trackAssignments]]
     if (keyCheck) {
-      val chk = withKeys.agg(count(lit(1)), count_distinct(col("nid"))).head
+      val chk = withKeys.agg(count(lit(1)), count_distinct(col("nid"))).head()
       require(chk.getLong(0) == chk.getLong(1),
         "trackLineage: xxhash64 collision across object keys — renumber " +
           "object labels before tracking")
@@ -1374,7 +1374,7 @@ object OmeOps {
       col("c"), col("z"), t, l)
     val withKeys = obj.withColumn("nid", key(col("t"), col("label")))
     if (keyCheck) {
-      val chk = withKeys.agg(count(lit(1)), count_distinct(col("nid"))).head
+      val chk = withKeys.agg(count(lit(1)), count_distinct(col("nid"))).head()
       require(chk.getLong(0) == chk.getLong(1),
         "trackMerges: xxhash64 collision across object keys — renumber " +
           "object labels before tracking")
@@ -1500,7 +1500,7 @@ object OmeOps {
       col("c"), col("z"), t, l)
     val withKeys = obj.withColumn("nid", key(col("t"), col("label")))
     if (keyCheck) {
-      val chk = withKeys.agg(count(lit(1)), count_distinct(col("nid"))).head
+      val chk = withKeys.agg(count(lit(1)), count_distinct(col("nid"))).head()
       require(chk.getLong(0) == chk.getLong(1),
         "trackEvents: xxhash64 collision across object keys — renumber " +
           "object labels before tracking")
