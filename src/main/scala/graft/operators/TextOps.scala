@@ -623,6 +623,21 @@ object TextOps {
    * increment; both layouts compact in place with
    * [[LayoutOps.compactParquet]] (partition-aware, crash-restoring)
    * when file counts grow.
+   *
+   * Crash semantics (ADVICE r14): the two writes cannot be atomic
+   * together, so they are ORDERED for the safer failure — shingles
+   * first, bands second. A crash between them leaves docs with
+   * shingle sets but no band rows: such docs are merely INVISIBLE
+   * (they never surface as candidates — no bn inflation, no wrong
+   * scores), and the natural retry completes the append; the bands
+   * half re-derives bn over base ∪ increment where base does NOT yet
+   * contain the increment, so the recomputed sizes stay exact. The
+   * retry's second shingle write duplicates the orphaned shingle rows
+   * byte-identically; [[nearDupAgainstIndex]] deduplicates its output
+   * (candidate-bounded — never corpus-scale) so a recovered index
+   * answers queries identically to a fresh rebuild. The inverse order
+   * would instead inflate bn silently on replay — band rows present,
+   * shingles absent, docs never self-flagging.
    */
   def appendToMinhashIndex(newDocs: DataFrame, path: String): Unit = {
     val spark = newDocs.sparkSession
@@ -648,6 +663,9 @@ object TextOps {
       .repartition(col("part"))
       .sortWithinPartitions(col("band_key"))
       .localCheckpoint(true) // materialize BEFORE overwriting the source
+    // shingles FIRST (crash ordering — see scaladoc): shingles without
+    // bands are invisible; bands without shingles inflate bn on retry
+    sh.write.mode("append").parquet(s"$path/shingles")
     val prevMode = spark.conf.getOption(
       "spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -659,7 +677,6 @@ object TextOps {
       case None =>
         spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-    sh.write.mode("append").parquet(s"$path/shingles")
     inc.unpersist(false)
     sh.unpersist(false)
   }
@@ -725,6 +742,11 @@ object TextOps {
         round(size(array_intersect(col("sh_d"), col("sh_r"))).cast("double") /
           size(array_union(col("sh_d"), col("sh_r"))), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      // candidate-bounded (matched pairs only, never corpus-scale):
+      // absorbs the byte-identical duplicate shingle rows a crashed-
+      // then-retried append leaves behind (appendToMinhashIndex crash
+      // semantics) — a no-op on a cleanly-built index
+      .distinct()
   }
 
   /**
@@ -1423,13 +1445,29 @@ object TextOps {
     var n = edges.count()
     var converged = n == 0L
     var rounds = 0
+    // a localCheckpoint's blocks ARE the checkpoint (LocalRDDCheckpoint
+    // keeps no file copy) — freeing a PRIOR round's blocks once its
+    // successor is materialized keeps the loop at O(1) cached rounds
+    // instead of O(rounds) (ADVICE r14); only rounds never referenced
+    // again are released, the final round stays live for the labels join
+    def checkpointRdd(df: DataFrame) =
+      df.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
     while (!converged && rounds < maxIters) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      val nNext = next.count()
-      // set equality: both sides distinct, so equal counts + empty
-      // anti-join means the alternation reached its star fixpoint
-      converged = nNext == n &&
-        next.join(edges, Seq("a", "b"), "left_anti").isEmpty
+      // set equality in ONE action (both sides distinct): |next| and
+      // |next \ edges| from the same left-join aggregate — fixpoint
+      // iff the count held and nothing in next is new
+      val conv = next.join(
+          edges.select(col("a"), col("b"), lit(1).as("seen")),
+          Seq("a", "b"), "left")
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(when(col("seen").isNull, 1L).otherwise(0L)),
+            lit(0L)).as("fresh")).head()
+      val nNext = conv.getLong(0)
+      converged = nNext == n && conv.getLong(1) == 0L
+      checkpointRdd(edges).foreach(_.unpersist(false))
       edges = next
       n = nNext
       rounds += 1

@@ -275,12 +275,18 @@ object DocStream {
    * failure/restart — a replayed batch re-flags against an index that
    * already contains its keepers, so every replayed doc flags as a
    * self-duplicate (jaccard 1.0) and the append degenerates to a
-   * no-op for them; the loop is therefore effectively idempotent for
-   * EXACT replays, while a batch split differently on retry is not
-   * guaranteed identical (orchestration concern, same as any
-   * foreachBatch sink). Appends are serialized by the single writer —
-   * the engine-side rule on [[graft.operators.TextOps
-   * .appendToMinhashIndex]].
+   * no-op for them. That self-flagging holds at FULL-APPEND
+   * granularity only (ADVICE r14): it requires the prior attempt's
+   * append to have COMPLETED (both the shingle and band writes).
+   * A crash INSIDE [[graft.operators.TextOps.appendToMinhashIndex]]
+   * leaves shingles-without-bands — docs that do not yet self-flag —
+   * and the retry re-appends them; the append's write ordering makes
+   * that recovery exact (bn stays correct, the duplicated shingle
+   * rows are absorbed query-side — see its crash-semantics scaladoc).
+   * A batch split differently on retry is likewise not guaranteed
+   * identical (orchestration concern, same as any foreachBatch sink).
+   * Appends are serialized by the single writer — the engine-side
+   * rule on [[graft.operators.TextOps.appendToMinhashIndex]].
    *
    * Blocks until the AvailableNow drain finishes (bounded feeds /
    * catch-up runs; a production caller wanting a continuous trigger
@@ -297,7 +303,13 @@ object DocStream {
         ingestIncrement(b.toDF(), indexPath, k, numHashes, bands,
           threshold))
       .start()
-    val done = q.awaitTermination(timeoutMs)
+    // stop the query BEFORE surfacing a timeout (ADVICE r14): without
+    // the stop a failed drain leaves a live writer mutating the index
+    // after the caller observed failure — a retry would then violate
+    // the serialize-appends-per-path rule
+    val done =
+      try q.awaitTermination(timeoutMs)
+      finally if (q.isActive) q.stop()
     require(done, s"indexIngestRun: drain did not finish in $timeoutMs ms")
   }
 

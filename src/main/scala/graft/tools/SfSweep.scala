@@ -209,8 +209,8 @@ object SfSweep {
         // median TIME and that same rep's shuffle delta — a median time
         // paired with another rep's shuffle volume can attribute one
         // rep's stragglers to another's wall clock (ADVICE r13)
-        val (mt, ms) = reps.sortBy(_._1).apply(reps.size / 2)
-        (mt, ms / 1048576.0)
+        val m = reps.sortBy(_.sec).apply(reps.size / 2)
+        (m.sec, m.shuffleBytes / 1048576.0)
       }
 
     val hdr = sfs.map(s => f"$s%8s").mkString(" | ")
