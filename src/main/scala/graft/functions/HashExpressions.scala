@@ -543,6 +543,56 @@ case class L2Sq(a: Expression, b: Expression)
 }
 
 /**
+ * Exact squared-L2 distance between two LONG arrays (integer
+ * micro-units), one sequential long pass — the pairwise form of
+ * [[MicroArgmin]]'s inner loop, for ranking a probe against a
+ * centroid CODEBOOK READ FROM DISK (two array columns) instead of a
+ * codebook embedded in the expression tree. All arithmetic in exact
+ * longs, so it is bit-identical to DuckDB's
+ * `list_sum(list_transform(list_zip(a, b), (x-y)*(x-y)))` over
+ * BIGINT lists and to the literal-codebook kernels it replaces on
+ * the probe path (micro components ≤ ~10⁷ → a 64-dim distance tops
+ * out near 6.4e15, well inside long range).
+ */
+case class MicroL2(a: Expression, b: Expression)
+  extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(a, b)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (a.dataType, b.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ta, tb) => TypeCheckResult.TypeCheckFailure(
+        s"graft_micro_l2: both inputs must be array<bigint> " +
+          s"(got ${ta.catalogString}, ${tb.catalogString})")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val aAny = a.eval(input); val bAny = b.eval(input)
+    if (aAny == null || bAny == null) return null
+    val av = aAny.asInstanceOf[ArrayData]
+    val bv = bAny.asInstanceOf[ArrayData]
+    if (av.numElements() != bv.numElements()) return null
+    val n = av.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = av.getLong(i) - bv.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(a = newChildren(0), b = newChildren(1))
+}
+
+/**
  * Content-defined chunk boundaries (the Rabin-style CDC primitive used
  * to dedup crawl snapshots at chunk rather than document granularity):
  * position `i` (1-based code-point index, `i >= window`) is a boundary

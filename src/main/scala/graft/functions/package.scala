@@ -70,6 +70,7 @@ package object functions {
     "graft_pixel_brenner" -> (exprs => PixelBrenner(exprs(0), exprs(1))),
     "graft_pixel_dot" -> (exprs => PixelDot(exprs(0), exprs(1))),
     "graft_pixel_sum_agg" -> (exprs => PixelSumAgg(exprs(0))),
+    "graft_micro_l2" -> (exprs => MicroL2(exprs(0), exprs(1))),
     "graft_micro_argmin" -> (exprs => {
       require(exprs.length == 3 && exprs(1).foldable && exprs(2).foldable,
         "graft_micro_argmin(qx, ids, book): ids and book must be " +
@@ -332,6 +333,13 @@ package object functions {
   def micro_argmin(qx: Column, ids: Array[Long],
       book: Array[Long]): Column =
     call_function("graft_micro_argmin", qx, lit(ids), lit(book))
+
+  /** Native exact squared-L2 between two long-array COLUMNS (integer
+    * micro-units) — the probe-vs-disk-codebook pairwise kernel: lets
+    * cell ranking join against a centroids table instead of embedding
+    * the codebook in the plan. */
+  def micro_l2(a: Column, b: Column): Column =
+    call_function("graft_micro_l2", a, b)
 
   /** Native element-wise long-sum AGGREGATE over int-array planes
     * (fixed-size mergeable buffer — the flat-field substrate). */

