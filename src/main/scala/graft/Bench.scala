@@ -165,7 +165,14 @@ object Bench {
     // on the same tree was unadjudicable from the artifacts alone —
     // byte baselines are per-config, so the line must self-describe)
     val shuffleParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val cfg = s""""cpus":$cpus,"shuffle_partitions":$shuffleParts"""
+    // cpus may be non-numeric ("*" is valid for local[*]) — emit it as a
+    // JSON number only when it IS one, else quote it, so the contract
+    // stdout line stays parseable for any valid master (ADVICE r15)
+    val cpusJson = scala.util.Try(cpus.trim.toInt.toString)
+      .getOrElse("\"" + cpus.replace("\"", "") + "\"")
+    val shufflePartsJson = scala.util.Try(shuffleParts.trim.toInt.toString)
+      .getOrElse("\"" + shuffleParts.replace("\"", "") + "\"")
+    val cfg = s""""cpus":$cpusJson,"shuffle_partitions":$shufflePartsJson"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec",$cfg,"headline_total":$headlineTotal,"headline_shuffle_mb":$headlineShuffle,"headline_jobs":$headlineJobs,"headline_task_sec":$headlineTaskSec,"queries":$qs,"shuffle_mb":$shq,"jobs":$jq,"task_sec":$tq,"failures":$fs,"runs_per_query":3,"sf":"$sfDir"}"""
     // Timestamped output file (VERDICT r13 #3: a fixed cwd name invites
     // overwrites — the judge's isolated panel cost r13's full driver

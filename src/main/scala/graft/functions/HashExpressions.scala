@@ -575,7 +575,16 @@ case class MicroL2(a: Expression, b: Expression)
     if (aAny == null || bAny == null) return null
     val av = aAny.asInstanceOf[ArrayData]
     val bv = bAny.asInstanceOf[ArrayData]
-    if (av.numElements() != bv.numElements()) return null
+    // RAISE on dimension mismatch (ADVICE r15): a null here would sort
+    // FIRST under the probe path's `orderBy(d.asc)` cell-ranking window,
+    // silently ranking the lowest-id cells "nearest" for a probe whose
+    // dims disagree with the codebook — wrong neighbors, no error. A
+    // mismatched index must fail loudly, like the minhash param check.
+    if (av.numElements() != bv.numElements())
+      throw new IllegalArgumentException(
+        s"graft_micro_l2: array length mismatch (${av.numElements()} vs " +
+          s"${bv.numElements()}) — probe dims disagree with the codebook; " +
+          "rebuild the index or fix the probe projection")
     val n = av.numElements()
     var acc = 0L
     var i = 0

