@@ -3116,6 +3116,73 @@ object TextOps {
       .select(col("rnk").cast("int").as("rnk"), col("doc_id"), col("score"))
   }
 
+  /**
+   * BATCH retrieval against a [[buildBm25Index]] index — the standing-
+   * service shape: many query bags, one index, one pruned read.
+   * `queries` is `(query_id, terms array<string>)`; bags are treated
+   * as term SETS (duplicates dropped — unlike [[bm25TopK]]'s
+   * positional bag, a batch row has no stable term positions to sum
+   * by). Returns the per-query top `kTop`: `(query_id, rnk, doc_id,
+   * score)`; a bag whose terms all miss the corpus simply yields no
+   * rows.
+   *
+   * Scoring: identical per-term BM25 weights to [[bm25AgainstIndex]],
+   * but summed ORDER-FREE as exact nano-unit longs (each weight
+   * rounds to 1e-9 before the fold — the SCALE.md lesson-11 trick),
+   * because the fixed-order conditional-sum trick does not generalize
+   * to variable bags. Scores may therefore differ from
+   * [[bm25TopK]]'s in the 9th decimal; they are deterministic across
+   * engines and partitionings, which is what a certified batch
+   * operator needs.
+   *
+   * Scale shape: ONE postings read pruned to the batch's distinct
+   * vocabulary (a bounded driver collect — the term union of the
+   * batch, KB–MB scale for real query logs; the parts filter and the
+   * pushed term predicate work exactly as in the single-bag path),
+   * df derived once for all queries, then an equi-join of the
+   * (query_id, term) pairs against the candidate-bounded posting
+   * rows and a per-query rank window (query_id partitions — no skew
+   * wider than one query's candidates).
+   */
+  def bm25BatchAgainstIndex(queries: DataFrame, path: String,
+      kTop: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(kTop > 0, "bm25BatchAgainstIndex: kTop must be positive")
+    val spark = queries.sparkSession
+    val nParts = bm25IndexNParts(spark, path)
+    val (nDocs, sumDl) = bm25IndexStats(spark, path)
+    require(nDocs > 0, s"bm25 index at $path is empty")
+    val avgdl = sumDl.toDouble / nDocs
+    val qt = Caches.persist(queries.select(
+      col("query_id").cast("long").as("query_id"),
+      explode(array_distinct(col("terms"))).as("term")))
+    val termList = qt.select(col("term")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq // the batch vocabulary
+    val posts = Caches.persist(
+      termPostings(spark, path, termList, nParts)
+        .dropDuplicates(Seq("term", "doc_id")))
+    val dfTab = posts.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val tf = col("tf").cast("double")
+    val idf = log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + 0.5) /
+      (col("df") + 0.5))
+    val w = idf * (tf * (k1 + 1.0)) / (tf + lit(k1) *
+      (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    qt.join(posts.join(broadcast(dfTab), "term"), Seq("term"))
+      .select(col("query_id"), col("doc_id"),
+        round(w * 1e9, 0).cast("long").as("w_nano"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w_nano")).as("s_nano"))
+      .select(col("query_id"), col("doc_id"),
+        round(col("s_nano").cast("double") / 1e9, 6).as("score"))
+      .filter(col("score") > 0.0)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .filter(col("rnk") <= kTop)
+      .select(col("query_id"), col("rnk").cast("int").as("rnk"),
+        col("doc_id"), col("score"))
+  }
+
   /** Rank of each document inside its (lang) group by n_chars — window
     * function demo surface. */
   def lengthRank(docs: DataFrame): DataFrame =

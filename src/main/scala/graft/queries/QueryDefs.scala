@@ -6482,6 +6482,75 @@ GROUP BY c.doc_id""")),
            |  round(max_vecs * n_cells / total, 6) AS imbalance
            |FROM filled CROSS JOIN tot""".stripMargin)),
 
+    // BATCH retrieval against the persisted BM25 index — the standing-
+    // service shape (many query bags, ONE pruned postings read): four
+    // literal bags incl. a miss-everything bag that must vanish.
+    // Weights are nano-unit-rounded BEFORE the per-query sum (the
+    // lesson-11 order-free fold — a variable bag has no fixed term
+    // order to sum by), replayed verbatim by the oracle.
+    ("bm25_index_batch", (s: SparkSession, dir: String) => {
+      val tag = dirTag(dir)
+      val path = s"/tmp/graft_bm25index/$tag"
+      if (fixtureMemo.add(s"bm25index|$dir"))
+        TextOps.buildBm25Index(t(s, dir, "documents"), path)
+      import s.implicits._
+      val bags = Seq(
+        (0L, Seq("hash", "join")),
+        (1L, Seq("vector")),
+        (2L, Seq("join", "vector", "hash")),
+        (3L, Seq("zzz_nosuchterm"))).toDF("query_id", "terms")
+      TextOps.bm25BatchAgainstIndex(bags, path, kTop = 10)
+    },
+      Some(
+        """WITH qb(query_id, terms) AS (VALUES
+          |    (0, ['hash', 'join']),
+          |    (1, ['vector']),
+          |    (2, ['join', 'vector', 'hash']),
+          |    (3, ['zzz_nosuchterm'])),
+          |qt AS (
+          |  SELECT CAST(query_id AS BIGINT) AS query_id,
+          |    unnest(terms) AS term
+          |  FROM qb),
+          |tk AS (
+          |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |    list_filter(string_split_regex(trim(text), '\s+'),
+          |      x -> x <> '') AS toks
+          |  FROM documents),
+          |posts AS (
+          |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+          |  FROM (SELECT doc_id, unnest(toks) AS term FROM tk)
+          |  GROUP BY 1, 2),
+          |dltab AS (
+          |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk),
+          |stats AS (
+          |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+          |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+          |  FROM dltab),
+          |dfv AS (
+          |  SELECT term, CAST(count(*) AS DOUBLE) AS df
+          |  FROM posts GROUP BY term),
+          |w AS (
+          |  SELECT q.query_id, p.doc_id,
+          |    CAST(round(
+          |      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (p.tf * 2.2)
+          |        / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / avgdl))
+          |      * 1000000000) AS BIGINT) AS w_nano
+          |  FROM qt q
+          |  JOIN posts p USING (term)
+          |  JOIN dfv USING (term)
+          |  JOIN dltab d ON d.doc_id = p.doc_id
+          |  CROSS JOIN stats),
+          |scored AS (
+          |  SELECT query_id, doc_id,
+          |    round(CAST(sum(w_nano) AS DOUBLE) / 1000000000, 6) AS score
+          |  FROM w GROUP BY 1, 2)
+          |SELECT query_id,
+          |  CAST(row_number() OVER (PARTITION BY query_id
+          |    ORDER BY score DESC, doc_id ASC) AS INT) AS rnk,
+          |  doc_id, score
+          |FROM scored WHERE score > 0.0
+          |QUALIFY rnk <= 10""".stripMargin)),
+
     // Trained cluster report: k-means training is not SQL-replicable, so
     // certify the TRAINED report's invariants (coverage, id domain, cell
     // uniqueness, stat consistency) via the all-zeros pattern.
@@ -6613,6 +6682,21 @@ GROUP BY c.doc_id""")),
           |  CAST(0 AS BIGINT) AS bands_extra,
           |  CAST(0 AS BIGINT) AS shingles_missing,
           |  CAST(0 AS BIGINT) AS shingles_extra,
+          |  CAST(0 AS BIGINT) AS empty_index""".stripMargin)),
+
+    // The BM25-index lifecycle as a stream (r16): two strictly-ordered
+    // micro-batches append to the persisted retrieval index through
+    // foreachBatch, and the final on-disk index must be row-identical
+    // (postings incl. denormalized dl, doclens, refreshed stats) to a
+    // sequential batch replay of the same increments.
+    ("stream_bm25_ingest_check", (s: SparkSession, dir: String) =>
+      graft.streaming.DocStream.bm25IngestCheck(s, dir),
+      Some(
+        """SELECT CAST(0 AS BIGINT) AS postings_missing,
+          |  CAST(0 AS BIGINT) AS postings_extra,
+          |  CAST(0 AS BIGINT) AS doclens_missing,
+          |  CAST(0 AS BIGINT) AS doclens_extra,
+          |  CAST(0 AS BIGINT) AS stats_mismatch,
           |  CAST(0 AS BIGINT) AS empty_index""".stripMargin)),
 
     ("stream_contam_check", (s: SparkSession, dir: String) =>

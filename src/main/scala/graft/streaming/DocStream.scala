@@ -420,6 +420,133 @@ object DocStream {
   }
 
   /**
+   * The STREAMING BM25-index ingest runner (r16) — the retrieval
+   * index's counterpart of [[indexIngestRun]]: each micro-batch of a
+   * documents stream appends to a [[graft.operators.TextOps
+   * .buildBm25Index]] index via `foreachBatch`, keeping a standing
+   * retrieval service's corpus current with no batch scheduler in the
+   * loop. No dedup stage here — a retrieval index is not a dedup
+   * gate; the batch body IS `appendToBm25Index` (pure posting/doclens
+   * appends + the stats refresh).
+   *
+   * Semantics note: `foreachBatch` is at-least-once — a replayed
+   * batch re-appends byte-identical rows, which the index absorbs BY
+   * DESIGN (stats dedup by doc_id, query-side candidate-bounded
+   * posting dedup — see the append's crash-semantics scaladoc), so
+   * replays converge to the exact single-append answers. Appends are
+   * serialized by the single writer, per the engine-side rule.
+   * Blocks until the AvailableNow drain finishes; the query is
+   * stopped before a timeout surfaces (no writer left mutating the
+   * index after an observed failure).
+   */
+  def bm25IngestRun(stream: DataFrame, indexPath: String,
+      checkpoint: String, timeoutMs: Long = 300000L): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!b.isEmpty) TextOps.appendToBm25Index(b.toDF(), indexPath))
+      .start()
+    val done =
+      try q.awaitTermination(timeoutMs)
+      finally if (q.isActive) q.stop()
+    require(done, s"bm25IngestRun: drain did not finish in $timeoutMs ms")
+  }
+
+  private val bm25IngestStaged =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /**
+   * Structural self-check of the streaming BM25 ingest (all-zeros
+   * pattern, the [[indexIngestCheck]] discipline): the index is built
+   * from the eval split, two disjoint train increments stream through
+   * [[bm25IngestRun]] as two strictly-ordered micro-batches (one file
+   * each, pinned mtimes, `maxFilesPerTrigger = 1`), and the FINAL
+   * on-disk index must be row-identical to a sequential batch replay
+   * appending the same increments — postings (term, doc_id, tf, dl),
+   * doclens, and the refreshed (n_docs, sum_dl) stats all ways.
+   * Violations: `postings_missing`, `postings_extra`,
+   * `doclens_missing`, `doclens_extra`, `stats_mismatch`,
+   * `empty_index`.
+   */
+  def bm25IngestCheck(spark: SparkSession, dir: String,
+      workDir: String = "/tmp/graft_stream_bm25ingest",
+      timeoutMs: Long = 300000L): DataFrame = {
+    val tag = java.lang.Long.toHexString(
+      dir.hashCode.toLong & 0xffffffffL)
+    val root = s"$workDir/$tag"
+    bm25IngestStaged.synchronized {
+      if (!bm25IngestStaged.contains(root)) {
+        stageBm25Ingest(spark, dir, root, timeoutMs)
+        bm25IngestStaged.add(root)
+      }
+    }
+    def postings(p: String) = spark.read.parquet(s"$p/postings")
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    def doclens(p: String) = spark.read.parquet(s"$p/doclens")
+      .select(col("doc_id"), col("dl"))
+    def stats(p: String) = spark.read.parquet(s"$p/stats")
+      .select(col("n_docs"), col("sum_dl"))
+    val sp = postings(s"$root/idx_stream")
+    val bp = postings(s"$root/idx_batch")
+    val sl = doclens(s"$root/idx_stream")
+    val bl = doclens(s"$root/idx_batch")
+    bp.exceptAll(sp)
+      .agg(count(lit(1)).cast("long").as("postings_missing"))
+      .crossJoin(sp.exceptAll(bp)
+        .agg(count(lit(1)).cast("long").as("postings_extra")))
+      .crossJoin(bl.exceptAll(sl)
+        .agg(count(lit(1)).cast("long").as("doclens_missing")))
+      .crossJoin(sl.exceptAll(bl)
+        .agg(count(lit(1)).cast("long").as("doclens_extra")))
+      .crossJoin(stats(s"$root/idx_stream")
+        .exceptAll(stats(s"$root/idx_batch"))
+        .agg(count(lit(1)).cast("long").as("stats_mismatch")))
+      .crossJoin(sp.agg(
+        (count(lit(1)) === 0).cast("long").as("empty_index")))
+  }
+
+  /** [[bm25IngestCheck]]'s one-time staging: clean slate, twin index
+    * builds, the sequential batch replay, the two-file ordered feed,
+    * and the stream drain. */
+  private def stageBm25Ingest(spark: SparkSession, dir: String,
+      root: String, timeoutMs: Long): Unit = {
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmrf)
+      p.delete(): Unit
+    }
+    rmrf(new java.io.File(root))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val ref = docs.filter(col("doc_id") % 25 === 0)
+    val inc1 = docs.filter(col("doc_id") % 25 =!= 0 &&
+      col("doc_id") % 4 === 1)
+    val inc2 = docs.filter(col("doc_id") % 25 =!= 0 &&
+      col("doc_id") % 4 === 3)
+    TextOps.buildBm25Index(ref, s"$root/idx_stream")
+    TextOps.buildBm25Index(ref, s"$root/idx_batch")
+    TextOps.appendToBm25Index(inc1, s"$root/idx_batch")
+    TextOps.appendToBm25Index(inc2, s"$root/idx_batch")
+    val feed = s"$root/feed"
+    def dataFiles() = new java.io.File(feed).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_")
+        && !f.getName.startsWith("."))
+    inc1.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .coalesce(1).write.mode("overwrite").parquet(feed)
+    val t0 = 1700000000000L
+    dataFiles().foreach(_.setLastModified(t0))
+    inc2.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .coalesce(1).write.mode("append").parquet(feed)
+    dataFiles().filter(_.lastModified() != t0)
+      .foreach(_.setLastModified(t0 + 60000L))
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feed)
+    bm25IngestRun(src, s"$root/idx_stream", s"$root/ckpt", timeoutMs)
+  }
+
+  /**
    * Streaming decontamination — the STREAM-STATIC join pattern:
    * documents arriving on a stream are shingled and joined against a
    * static benchmark gram index (broadcast; completely stateless join),

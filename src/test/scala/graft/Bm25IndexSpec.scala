@@ -82,6 +82,45 @@ class Bm25IndexSpec extends SparkSpec {
       "replayed doclens rows must not inflate n_docs")
     assert(rows(TextOps.bm25AgainstIndex(spark, twice, terms)) ===
       rows(TextOps.bm25AgainstIndex(spark, once, terms)))
+    // maintenance path: appends accumulate files; the partition-aware
+    // compactor flattens each part dir in place and the index answers
+    // identically after (file-count hygiene for a long-lived index)
+    val (nb, na) = graft.operators.LayoutOps.compactParquet(
+      spark, s"$twice/postings")
+    graft.operators.LayoutOps.compactParquet(spark, s"$twice/doclens")
+    assert(na <= nb)
+    assert(rows(TextOps.bm25AgainstIndex(spark, twice, terms)) ===
+      rows(TextOps.bm25AgainstIndex(spark, once, terms)))
+    spark.catalog.clearCache()
+  }
+
+  test("bm25BatchAgainstIndex: each bag ranks like the single-bag path " +
+      "(within the nano-unit rounding), miss-everything bags vanish") {
+    val path = java.nio.file.Files.createTempDirectory("bm25batch").toString
+    TextOps.buildBm25Index(corpus, path)
+    val bags = Seq(
+      (0L, Seq("hash", "join", "vector")),
+      (1L, Seq("vector")),
+      (2L, Seq("zzz_nothing"))).toDF("query_id", "terms")
+    val out = TextOps.bm25BatchAgainstIndex(bags, path, kTop = 20)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    assert(!out.exists(_._1 === 2L), "all-miss bag must yield no rows")
+    // bag 0 = the single-bag query: same docs in the same order; the
+    // order-free nano fold may differ from the fixed-order sum only
+    // past the 9th decimal, which 6dp rounding almost always absorbs
+    val single = rows(TextOps.bm25AgainstIndex(spark, path, terms))
+    val bag0 = out.filter(_._1 === 0L).sortBy(_._2)
+      .map(t => (t._2, t._3, t._4)).toSeq
+    assert(bag0.map(t => (t._1, t._2)) === single.map(t => (t._1, t._2)))
+    bag0.zip(single).foreach { case ((_, _, s1), (_, _, s2)) =>
+      assert(math.abs(s1 - s2) < 2e-6, s"score drift: $s1 vs $s2")
+    }
+    // a one-term bag's ranking is tf-then-dl-monotone; spot its top doc
+    val bag1 = out.filter(_._1 === 1L).sortBy(_._2)
+    assert(bag1.nonEmpty && bag1.head._3 === 4L,
+      "doc 4 (tf=2, short) must top the 'vector' bag")
     spark.catalog.clearCache()
   }
 
