@@ -246,4 +246,42 @@ class KernelPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("MicroL2: codegen and interpreted paths agree on random long " +
+      "arrays; a length mismatch raises in BOTH") {
+    import spark.implicits._
+    graft.functions.ensureRegistered(spark)
+    val rows = (1 to 64).map { _ =>
+      val n = 1 + rnd.nextInt(16)
+      (Seq.fill(n)(rnd.nextInt(2000000).toLong - 1000000L),
+        Seq.fill(n)(rnd.nextInt(2000000).toLong - 1000000L))
+    }
+    val expected = rows.map { case (x, y) =>
+      x.zip(y).map { case (a, b) => (a - b) * (a - b) }.sum }
+    val df = rows.toDF("a", "b")
+    def got(codegen: String): Seq[Long] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      try df.select(expr("graft_micro_l2(a, b)")).collect()
+        .map(_.getLong(0)).toSeq
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    assert(got("CODEGEN_ONLY") === expected)
+    assert(got("NO_CODEGEN") === expected)
+    // dim mismatch must raise (not return null and rank wrong cells
+    // nearest) on BOTH paths
+    val bad = Seq((Seq(1L, 2L), Seq(1L, 2L, 3L))).toDF("a", "b")
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try {
+        val e = intercept[Exception] {
+          bad.select(expr("graft_micro_l2(a, b)")).collect()
+        }
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Nil
+          else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+        assert(msgs(e).exists(_.contains("length mismatch")),
+          s"mode=$mode wrong failure: ${msgs(e).mkString(" | ")}")
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
 }

@@ -1227,6 +1227,20 @@ class TextVectorSpec extends SparkSpec {
     assert(na <= nb)
     assert(bandRows(incr) === bandRows(full))
     assert(pairs(incr) === pairs(full))
+    // a REPLAYED completed append (the worst at-least-once crash/retry
+    // window: every touched partition already holds the increment's
+    // rows) must CONVERGE — the merged-bands dedup (ADVICE r15) keeps
+    // bn exact and the band rows identical; replayed shingle rows are
+    // byte-identical (set-equal here, absorbed query-side)
+    TextOps.appendToMinhashIndex(ref.filter($"doc_id" >= 102L), incr)
+    assert(bandRows(incr) === bandRows(full),
+      "replayed append must not inflate bn or duplicate band rows")
+    // row COUNT too: byte-identical duplicates would collapse in the
+    // set compare, so equality of counts is the duplication check
+    assert(spark.read.parquet(s"$incr/bands").count() ===
+      spark.read.parquet(s"$full/bands").count())
+    assert(shRows(incr) === shRows(full))
+    assert(pairs(incr) === pairs(full))
     spark.catalog.clearCache()
   }
 
