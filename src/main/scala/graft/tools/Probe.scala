@@ -14,32 +14,43 @@ object Probe {
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.ensureRegistered(spark)
 
-    // r15 probe: where do the 4096-cell ivfIndexTopK probe seconds go?
-    // Stage the operator's internals with separate timers.
-    val path = "/tmp/graft_ivfcellscale/c4096"
-    def t[A](name: String)(body: => A): A = {
-      val t0 = System.nanoTime()
-      val r = body
-      println(f"=== $name: ${(System.nanoTime() - t0) / 1e9}%.3f s")
-      r
+    // r16 probe: the persisted-BM25 query plans — shuffle/broadcast
+    // census + the pruned scan, for SCALE.md's plan-audit table
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val path = "/tmp/graft_probe_bm25"
+    graft.operators.TextOps.buildBm25Index(docs, path)
+    def census(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val p = df.queryExecution.executedPlan.toString
+      val bcasts = "BroadcastExchange".r.findAllIn(p).length
+      val shuffles = "Exchange".r.findAllIn(p).length - bcasts
+      val pushed = "PushedFilters: [^\n]+".r.findFirstIn(p).getOrElse("-")
+      val pf = "PartitionFilters: [^\n]+".r.findFirstIn(p).getOrElse("-")
+      val takeOrdered = p.contains("TakeOrderedAndProject")
+      println(s"=== $name: shuffles=$shuffles broadcasts=$bcasts " +
+        s"takeOrdered=$takeOrdered")
+      println(s"===   $pf")
+      println(s"===   $pushed")
     }
-    val emb = spark.range(20000).select(col("id").as("vec_id"),
-      transform(sequence(lit(0), lit(63)), d =>
-        cos((col("id") % 64 + 1) * (d + 1)).cast("float")).as("embedding"))
-    val probes = emb.filter(col("vec_id") < 16)
-    (1 to 2).foreach { rep =>
-      println(s"=== rep $rep")
-      val cents = t("read centroids")(
-        spark.read.parquet(s"$path/centroids"))
-      t("centroids count")(cents.count())
-      val listed = t("vectors listing (read+count)")(
-        spark.read.parquet(s"$path/vectors").count())
-      println(s"=== vectors rows: $listed")
-      val q = t("ivfIndexTopK plan+collect")(
-        graft.operators.VectorOps.ivfIndexTopK(probes, path, k = 5))
-      t("result count")(q.count())
-      spark.catalog.clearCache()
-    }
+    census("bm25AgainstIndex", graft.operators.TextOps.bm25AgainstIndex(
+      spark, path, Seq("hash", "join", "vector"), kTop = 20))
+    import spark.implicits._
+    val bags = Seq((0L, Seq("hash", "join")), (1L, Seq("vector")))
+      .toDF("query_id", "terms")
+    census("bm25BatchAgainstIndex",
+      graft.operators.TextOps.bm25BatchAgainstIndex(bags, path, kTop = 10))
+    census("ivfIndexStats readSchema check", {
+      val ipath = "/tmp/graft_probe_ivf"
+      graft.operators.VectorOps.buildIvfIndex(
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet"),
+        ipath, nCentroids = 16, iters = 1)
+      graft.operators.VectorOps.ivfIndexStats(spark, ipath)
+    })
+    // the stats scan must read ONLY cluster (+ the part key)
+    val st = graft.operators.VectorOps.ivfIndexStats(
+      spark, "/tmp/graft_probe_ivf")
+    "ReadSchema: [^\n]+".r.findAllIn(
+      st.queryExecution.executedPlan.toString).foreach(s =>
+      println(s"=== ivfIndexStats $s"))
     spark.stop()
   }
 }

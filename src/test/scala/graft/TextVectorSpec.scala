@@ -1338,6 +1338,16 @@ class TextVectorSpec extends SparkSpec {
     assert(z.length === 6)
     assert(z.exists(_._2 === 0L), s"expected a zero-filled cell in " +
       s"${z.mkString(",")}")
+    // the IVF-PQ twin's codes layout reports through the same monitor
+    val emb16 = spark.range(48).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)), d =>
+        (cos((col("id") % 6 + 1) * (d + 1)) + 0.1).cast("float"))
+        .as("embedding"))
+    val pq = java.nio.file.Files.createTempDirectory("ivfstats_pq").toString
+    VectorOps.buildIvfPqIndex(emb16, pq, m = 4, kCent = 8, nCentroids = 8)
+    val pqStats = VectorOps.ivfIndexStats(spark, pq, sub = "codes")
+      .collect().map(r => r.getAs[Long]("n_vecs"))
+    assert(pqStats.length === 8 && pqStats.sum === 48L)
     spark.catalog.clearCache()
   }
 
