@@ -3137,16 +3137,24 @@ object TextOps {
    *
    * Scale shape: ONE postings read pruned to the batch's distinct
    * vocabulary (a bounded driver collect — the term union of the
-   * batch, KB–MB scale for real query logs; the parts filter and the
-   * pushed term predicate work exactly as in the single-bag path),
-   * df derived once for all queries, then an equi-join of the
-   * (query_id, term) pairs against the candidate-bounded posting
-   * rows and a per-query rank window (query_id partitions — no skew
-   * wider than one query's candidates).
+   * batch; the parts filter and the pushed term predicate work
+   * exactly as in the single-bag path), df derived once for all
+   * queries, then an equi-join of the (query_id, term) pairs against
+   * the candidate-bounded posting rows and a per-query rank window
+   * (query_id partitions — no skew wider than one query's
+   * candidates). Above `maxLiteralTerms` distinct terms the read
+   * switches from the isin literals to a SEMI-JOIN on the term frame:
+   * a mega-batch's vocabulary inlined into the plan would make the
+   * PLAN the bottleneck (the r14 codebook-literal lesson) and touches
+   * most part directories anyway, so at that scale the join is the
+   * right plan and directory pruning has nothing left to win.
    */
   def bm25BatchAgainstIndex(queries: DataFrame, path: String,
-      kTop: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      kTop: Int = 20, k1: Double = 1.2, b: Double = 0.75,
+      maxLiteralTerms: Int = 4096): DataFrame = {
     require(kTop > 0, "bm25BatchAgainstIndex: kTop must be positive")
+    require(maxLiteralTerms >= 1,
+      "bm25BatchAgainstIndex: maxLiteralTerms must be >= 1")
     val spark = queries.sparkSession
     val nParts = bm25IndexNParts(spark, path)
     val (nDocs, sumDl) = bm25IndexStats(spark, path)
@@ -3155,11 +3163,21 @@ object TextOps {
     val qt = Caches.persist(queries.select(
       col("query_id").cast("long").as("query_id"),
       explode(array_distinct(col("terms"))).as("term")))
-    val termList = qt.select(col("term")).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq // the batch vocabulary
-    val posts = Caches.persist(
-      termPostings(spark, path, termList, nParts)
-        .dropDuplicates(Seq("term", "doc_id")))
+    val termFrame = qt.select(col("term")).distinct()
+    // the literal-vs-join decision needs the count anyway; collect the
+    // vocabulary only when it is small enough to inline
+    val nTerms = termFrame.count()
+    val read =
+      if (nTerms <= maxLiteralTerms) {
+        val termList = termFrame.collect().map(_.getString(0)).sorted.toSeq
+        termPostings(spark, path, termList, nParts)
+      } else
+        // broadcast is the optimizer's choice, not forced (the
+        // domainCap lesson: a pathological batch could carry a
+        // corpus-scale vocabulary and a forced broadcast would OOM)
+        spark.read.parquet(s"$path/postings")
+          .join(termFrame, Seq("term"), "left_semi")
+    val posts = Caches.persist(read.dropDuplicates(Seq("term", "doc_id")))
     val dfTab = posts.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
     val tf = col("tf").cast("double")

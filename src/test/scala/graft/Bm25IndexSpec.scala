@@ -121,6 +121,14 @@ class Bm25IndexSpec extends SparkSpec {
     val bag1 = out.filter(_._1 === 1L).sortBy(_._2)
     assert(bag1.nonEmpty && bag1.head._3 === 4L,
       "doc 4 (tf=2, short) must top the 'vector' bag")
+    // the mega-batch fallback (vocabulary too large to inline as isin
+    // literals -> semi-join read) must answer identically
+    val viaJoin = TextOps.bm25BatchAgainstIndex(bags, path, kTop = 20,
+      maxLiteralTerms = 1).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    assert(viaJoin.sortBy(t => (t._1, t._2)).toSeq ===
+      out.sortBy(t => (t._1, t._2)).toSeq)
     spark.catalog.clearCache()
   }
 
