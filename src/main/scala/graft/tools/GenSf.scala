@@ -163,32 +163,9 @@ object GenSf {
       format_string("{\"k\": %d}", h("eprop", id) % 100).as("props")),
       "events", math.max(1, (nEvents / 500000).toInt))
 
-    // documents: text is a pure function of a CONTENT id, which equals
-    // the row id except for planted duplicates — every 625th doc is an
-    // exact copy of its predecessor (the driver's ~0.16% dup rate) and
-    // every 400th is a near-dup with ~10% of words replaced by a "dup"
-    // marker token (the driver corpus' observed marker)
     val nDocs = n(50000)
-    val contentId = when(id % 625 === 624, id - 1)
-      .when(id % 400 === 399, id - 1).otherwise(id)
-    val isNear = id % 400 === 399 && !(id % 625 === 624)
-    val nWords = (h("dlen", contentId) % 91) + 10
-    val words = transform(sequence(lit(0), (nWords - 1).cast("int")),
-      i => when(isNear &&
-          pmod(xxhash64(lit("dnear"), id, i), lit(10L)) === 0L, lit("dup"))
-        .otherwise(element_at(typedLit(Vocab),
-          pmod(xxhash64(lit("dword"), contentId, i),
-            lit(Vocab.size)).cast("int") + 1)))
-    val docs = rng(nDocs).select(id.as("doc_id"),
-      array_join(words, " ").as("text"),
-      // lang/source describe the DOCUMENT, not the content — planted
-      // dups keep their own, like real cross-source duplication
-      when(u("dlang", id) < 0.42, lit("en"))
-        .otherwise(element_at(typedLit(Langs),
-          (h("dlang2", id) % 4).cast("int") + 2)).as("lang"),
-      concat(lit("src"), (h("dsrc", id) % 20).cast("string")).as("source"))
-    write(docs.withColumn("n_chars", length(col("text")).cast("long")),
-      "documents", math.max(1, (nDocs / 50000).toInt))
+    write(documentsDf(spark, sf), "documents",
+      math.max(1, (nDocs / 50000).toInt))
 
     // embeddings: unit-normalized 64-dim gaussians (Box-Muller over two
     // uniform hashes) with a small label-direction bias — matches the
@@ -213,6 +190,38 @@ object GenSf {
       .select(col("vec_id"), transform(col("g"),
         x => (x / col("nrm")).cast("float")).as("embedding"), col("label"))
     write(normed, "embeddings", 1)
+  }
+
+  /** The documents table alone (factored out of [[generate]], r16):
+    * text is a pure function of a CONTENT id, which equals the row id
+    * except for planted duplicates — every 625th doc is an exact copy
+    * of its predecessor (the driver's ~0.16% dup rate) and every 400th
+    * a near-dup with ~10% of words replaced by a "dup" marker token.
+    * Exposed so scale tools (Bm25Scale) can generate a documents
+    * decade without paying for the full table set. */
+  def documentsDf(spark: SparkSession, sf: Double): DataFrame = {
+    val id = col("id")
+    val nDocs = math.max(1L, math.round(50000 * sf))
+    val contentId = when(id % 625 === 624, id - 1)
+      .when(id % 400 === 399, id - 1).otherwise(id)
+    val isNear = id % 400 === 399 && !(id % 625 === 624)
+    val nWords = (h("dlen", contentId) % 91) + 10
+    val words = transform(sequence(lit(0), (nWords - 1).cast("int")),
+      i => when(isNear &&
+          pmod(xxhash64(lit("dnear"), id, i), lit(10L)) === 0L, lit("dup"))
+        .otherwise(element_at(typedLit(Vocab),
+          pmod(xxhash64(lit("dword"), contentId, i),
+            lit(Vocab.size)).cast("int") + 1)))
+    spark.range(nDocs).toDF("id").select(id.as("doc_id"),
+        array_join(words, " ").as("text"),
+        // lang/source describe the DOCUMENT, not the content — planted
+        // dups keep their own, like real cross-source duplication
+        when(u("dlang", id) < 0.42, lit("en"))
+          .otherwise(element_at(typedLit(Langs),
+            (h("dlang2", id) % 4).cast("int") + 2)).as("lang"),
+        concat(lit("src"), (h("dsrc", id) % 20).cast("string"))
+          .as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
   def main(args: Array[String]): Unit = {
