@@ -108,6 +108,70 @@ object Bm25Scale {
       }
       show("query(post-append)", postQuery)
     }
+
+    // Part 2: the REALISTIC-vocabulary counterpoint. GenSf's 30-word
+    // vocabulary makes df ~ N (every term a stopword) — the index's
+    // worst case. Real corpora have 10^5-10^6 vocabularies where a
+    // query bag's lists are tiny fractions; generate one (100 K-word
+    // Zipf-ish vocabulary, 500 K docs x 60 tokens) and query MID-TAIL
+    // terms so selectivity is what retrieval actually sees.
+    {
+      val dir = "/tmp/graft_bm25scale/bigvocab"
+      val p = s"$dir/documents.parquet"
+      if (!new java.io.File(p).exists()) {
+        val id = col("id")
+        def u(seed: String, x: org.apache.spark.sql.Column) =
+          shiftrightunsigned(xxhash64(lit(seed), x), 11).cast("double") /
+            lit(9007199254740992.0)
+        // u^3 biases toward 0: rank-0 words dominate, tail is long
+        val words = transform(sequence(lit(0), lit(59)), i =>
+          concat(lit("w"), floor(pow(u("zipf", id * 64 + i), 3.0)
+            * 100000).cast("long").cast("string")))
+        spark.range(500000).select(id.as("doc_id"),
+            array_join(words, " ").as("text"), lit("en").as("lang"),
+            lit("s0").as("source"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .coalesce(10).write.mode("overwrite").parquet(p)
+      }
+      val docs = spark.read.parquet(p)
+      val bigTerms = Seq("w31412", "w45077", "w60233") // mid-tail picks
+      def median3(body: => Unit): BenchMetrics.Rep = {
+        BenchMetrics.timed(spark.sparkContext)(body)
+        val reps = (1 to 3).map(_ =>
+          BenchMetrics.timed(spark.sparkContext)(body)).sortBy(_.sec)
+        reps(1)
+      }
+      def show(name: String, r: BenchMetrics.Rep): Unit =
+        println(f"bigvocab $name%-18s sec=${r.sec}%7.2f " +
+          f"shuffle_mb=${r.shuffleBytes / 1048576.0}%8.2f " +
+          f"jobs=${r.jobs}%4d task_sec=${r.taskMs / 1e3}%7.2f")
+      show("bm25TopK(full)", median3 {
+        graft.operators.Caches.scoped {
+          graft.operators.TextOps.bm25TopK(docs, bigTerms).count(): Unit
+        }
+        spark.catalog.clearCache()
+      })
+      val idx = s"$dir/idx"
+      show("buildBm25Index", BenchMetrics.timed(spark.sparkContext) {
+        graft.operators.Caches.scoped {
+          graft.operators.TextOps.buildBm25Index(docs, idx)
+        }
+        spark.catalog.clearCache()
+      })
+      show("bm25AgainstIndex", median3 {
+        graft.operators.Caches.scoped {
+          graft.operators.TextOps.bm25AgainstIndex(spark, idx, bigTerms)
+            .count(): Unit
+        }
+        spark.catalog.clearCache()
+      })
+      // df sanity so the point is documented with its selectivity
+      val dfRows = spark.read.parquet(s"$idx/postings")
+        .filter(col("term").isin(bigTerms: _*))
+        .groupBy(col("term")).count().collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted
+      println(s"bigvocab df: ${dfRows.mkString(", ")} of 500000 docs")
+    }
     spark.stop()
   }
 }
