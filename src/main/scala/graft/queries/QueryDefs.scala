@@ -6699,6 +6699,20 @@ GROUP BY c.doc_id""")),
           |  CAST(0 AS BIGINT) AS stats_mismatch,
           |  CAST(0 AS BIGINT) AS empty_index""".stripMargin)),
 
+    // The IVF-index lifecycle as a stream (r16, completing the
+    // third index family's symmetry with minhash and bm25): two
+    // strictly-ordered micro-batches FAISS-add through foreachBatch;
+    // the final index must be row-identical to the sequential batch
+    // replay — stored assignments prove the frozen codebook assigned
+    // (no retrain), and the codebook itself must not drift.
+    ("stream_ivf_ingest_check", (s: SparkSession, dir: String) =>
+      graft.streaming.VecStream.ivfIngestCheck(s, dir),
+      Some(
+        """SELECT CAST(0 AS BIGINT) AS vectors_missing,
+          |  CAST(0 AS BIGINT) AS vectors_extra,
+          |  CAST(0 AS BIGINT) AS codebook_drift,
+          |  CAST(0 AS BIGINT) AS empty_index""".stripMargin)),
+
     ("stream_contam_check", (s: SparkSession, dir: String) =>
       graft.streaming.DocStream.contaminationCheck(s, dir),
       Some(

@@ -1,0 +1,147 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.VectorOps
+
+/**
+ * Streaming maintenance for the persisted ANN indexes — the
+ * embeddings counterpart of [[DocStream.indexIngestRun]] /
+ * [[DocStream.bm25IngestRun]], closing the lifecycle-as-a-stream
+ * story for the third index family (r16): a feed of freshly-embedded
+ * vectors (nightly encoder output landing in a drop directory) keeps
+ * a [[graft.operators.VectorOps.buildIvfIndex]] index current with no
+ * batch scheduler in the loop.
+ */
+object VecStream {
+
+  /** Explicit feed schema (streaming file sources cannot infer). */
+  val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  /**
+   * The STREAMING IVF-index ingest runner: each micro-batch appends
+   * through [[graft.operators.VectorOps.appendToIvfIndex]] — FAISS
+   * `add` per batch: the frozen codebook assigns map-side and the new
+   * vectors land under their cells' part directories; nothing
+   * existing moves, so concurrent probe-time readers stay correct
+   * (they may just not see the newest batch yet — the usual
+   * read-committed freshness of a file-based index).
+   *
+   * Semantics note: `foreachBatch` is at-least-once — a replayed
+   * batch re-appends byte-identical rows, which probe-time reads
+   * absorb the way any retried parquet append is absorbed: duplicate
+   * (vec_id, cluster) rows score identically and rank windows keep
+   * one per neighbor id only when the caller dedups; exact replays
+   * are an orchestration concern (checkpointing) exactly as the
+   * append scaladoc states. Quantization drift under a shifting
+   * corpus is the documented trade — monitor with
+   * [[graft.operators.VectorOps.ivfIndexStats]]; re-train =
+   * re-build. Appends serialize through the single writer. Blocks
+   * until the AvailableNow drain finishes; the query is stopped
+   * before a timeout surfaces.
+   */
+  def ivfIngestRun(stream: DataFrame, indexPath: String,
+      checkpoint: String, timeoutMs: Long = 300000L): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!b.isEmpty) VectorOps.appendToIvfIndex(b.toDF(), indexPath))
+      .start()
+    val done =
+      try q.awaitTermination(timeoutMs)
+      finally if (q.isActive) q.stop()
+    require(done, s"ivfIngestRun: drain did not finish in $timeoutMs ms")
+  }
+
+  private val ivfIngestStaged =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /**
+   * Structural self-check of the streaming IVF ingest (all-zeros
+   * pattern, the [[DocStream.indexIngestCheck]] discipline): the
+   * index is built from the EVEN vec_ids (codebook trained there,
+   * then FROZEN), the odd vec_ids stream through [[ivfIngestRun]] as
+   * two strictly-ordered micro-batches (one file each, pinned mtimes,
+   * `maxFilesPerTrigger = 1`), and the FINAL on-disk index must be
+   * row-identical to a batch replay appending the same increments —
+   * stored (vec_id, cluster) assignments (certifying the stream
+   * assigned by the frozen codebook, not a retrain) and the codebook
+   * itself byte-for-byte. Violations: `vectors_missing`,
+   * `vectors_extra`, `codebook_drift`, `empty_index`.
+   */
+  def ivfIngestCheck(spark: SparkSession, dir: String,
+      workDir: String = "/tmp/graft_stream_ivfingest",
+      timeoutMs: Long = 300000L): DataFrame = {
+    val tag = java.lang.Long.toHexString(
+      dir.hashCode.toLong & 0xffffffffL)
+    val root = s"$workDir/$tag"
+    ivfIngestStaged.synchronized {
+      if (!ivfIngestStaged.contains(root)) {
+        stageIvfIngest(spark, dir, root, timeoutMs)
+        ivfIngestStaged.add(root)
+      }
+    }
+    def vecs(p: String) = spark.read.parquet(s"$p/vectors")
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("cluster").cast("long").as("cluster"))
+    def book(p: String) = spark.read.parquet(s"$p/centroids")
+      .select(col("centroid_id"), col("qc"))
+    val sv = vecs(s"$root/idx_stream")
+    val bv = vecs(s"$root/idx_batch")
+    bv.exceptAll(sv)
+      .agg(count(lit(1)).cast("long").as("vectors_missing"))
+      .crossJoin(sv.exceptAll(bv)
+        .agg(count(lit(1)).cast("long").as("vectors_extra")))
+      .crossJoin(book(s"$root/idx_stream")
+        .exceptAll(book(s"$root/idx_batch"))
+        .agg(count(lit(1)).cast("long").as("codebook_drift")))
+      .crossJoin(sv.agg(
+        (count(lit(1)) === 0).cast("long").as("empty_index")))
+  }
+
+  /** [[ivfIngestCheck]]'s one-time staging: clean slate, twin builds
+    * on the even half, the sequential batch replay, the two-file
+    * ordered feed of the odd half, and the stream drain. */
+  private def stageIvfIngest(spark: SparkSession, dir: String,
+      root: String, timeoutMs: Long): Unit = {
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmrf)
+      p.delete(): Unit
+    }
+    rmrf(new java.io.File(root))
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val inc1 = emb.filter(col("vec_id") % 4 === 1)
+    val inc2 = emb.filter(col("vec_id") % 4 === 3)
+    VectorOps.buildIvfIndex(base, s"$root/idx_stream",
+      nCentroids = 16, iters = 2)
+    VectorOps.buildIvfIndex(base, s"$root/idx_batch",
+      nCentroids = 16, iters = 2)
+    VectorOps.appendToIvfIndex(inc1, s"$root/idx_batch")
+    VectorOps.appendToIvfIndex(inc2, s"$root/idx_batch")
+    val feed = s"$root/feed"
+    def dataFiles() = new java.io.File(feed).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_")
+        && !f.getName.startsWith("."))
+    inc1.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+      .coalesce(1).write.mode("overwrite").parquet(feed)
+    val t0 = 1700000000000L
+    dataFiles().foreach(_.setLastModified(t0))
+    inc2.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+      .coalesce(1).write.mode("append").parquet(feed)
+    dataFiles().filter(_.lastModified() != t0)
+      .foreach(_.setLastModified(t0 + 60000L))
+    val src = spark.readStream
+      .schema(embeddingsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feed)
+    ivfIngestRun(src, s"$root/idx_stream", s"$root/ckpt", timeoutMs)
+  }
+}
