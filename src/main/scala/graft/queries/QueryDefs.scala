@@ -6551,6 +6551,90 @@ GROUP BY c.doc_id""")),
           |FROM scored WHERE score > 0.0
           |QUALIFY rnk <= 10""".stripMargin)),
 
+    // The STANDING-SERVICE hybrid (r16): sparse list from the
+    // persisted BM25 index, dense list from the persisted IVF index,
+    // fused by reciprocal rank — the hybrid_topk composition with BOTH
+    // rankers running off on-disk indexes instead of per-batch corpus
+    // recomputes. The oracle replays the bm25 chain + the Lloyd
+    // assignment chain (probe 0's cell-restricted neighbors) + the
+    // same fixed fusion expression.
+    ("hybrid_index_topk", (s: SparkSession, dir: String) => {
+      val tag = dirTag(dir)
+      val bmPath = s"/tmp/graft_bm25index/$tag"
+      if (fixtureMemo.add(s"bm25index|$dir"))
+        TextOps.buildBm25Index(t(s, dir, "documents"), bmPath)
+      val ivPath = s"/tmp/graft_ivfindex/$tag"
+      if (fixtureMemo.add(s"ivfindex|$dir"))
+        VectorOps.buildIvfIndex(t(s, dir, "embeddings"), ivPath,
+          nCentroids = 16, iters = 2)
+      val sparse = TextOps.bm25AgainstIndex(s, bmPath,
+        Seq("hash", "join", "vector"), kTop = 20)
+        .select(col("doc_id"), col("rnk"))
+      val dense = VectorOps.ivfIndexTopK(
+        t(s, dir, "embeddings").filter(col("vec_id") === 0), ivPath,
+        k = 20).select(col("neighbor_id").as("doc_id"), col("rnk"))
+      VectorOps.rrfFuse(sparse, dense, kTop = 10)
+    },
+      Some(
+        s"""WITH ${lloydAssignCtes(16)},
+           |assigned AS (
+           |  SELECT q.vec_id, q.embedding, af.cluster
+           |  FROM q JOIN af USING (vec_id)),
+           |probe0 AS (
+           |  SELECT vec_id AS probe_id, embedding AS p_emb, cluster
+           |  FROM assigned WHERE vec_id = 0),
+           |dscore AS (
+           |  SELECT a.vec_id AS doc_id,
+           |    ${cosSql("p.p_emb", "a.embedding")} AS score
+           |  FROM probe0 p JOIN assigned a
+           |    ON p.cluster = a.cluster AND a.vec_id <> p.probe_id),
+           |dense AS (
+           |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC,
+           |    doc_id ASC) AS INT) AS rd
+           |  FROM dscore QUALIFY rd <= 20),
+           |tk AS (
+           |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |    list_filter(string_split_regex(trim(text), '\\s+'),
+           |      x -> x <> '') AS toks
+           |  FROM documents),
+           |base AS (
+           |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |    CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE) AS tf_0,
+           |    CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf_1,
+           |    CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf_2
+           |  FROM tk),
+           |stats AS (
+           |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+           |    sum(CASE WHEN tf_0 > 0 THEN 1.0 ELSE 0.0 END) AS df_0,
+           |    sum(CASE WHEN tf_1 > 0 THEN 1.0 ELSE 0.0 END) AS df_1,
+           |    sum(CASE WHEN tf_2 > 0 THEN 1.0 ELSE 0.0 END) AS df_2
+           |  FROM base),
+           |bscore AS (
+           |  SELECT doc_id, round(
+           |    ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5)) * (tf_0 * 2.2)
+           |      / (tf_0 + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
+           |    ln(1.0 + (n_docs - df_1 + 0.5) / (df_1 + 0.5)) * (tf_1 * 2.2)
+           |      / (tf_1 + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
+           |    ln(1.0 + (n_docs - df_2 + 0.5) / (df_2 + 0.5)) * (tf_2 * 2.2)
+           |      / (tf_2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS score
+           |  FROM base CROSS JOIN stats),
+           |sparse AS (
+           |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC,
+           |    doc_id ASC) AS INT) AS rs
+           |  FROM bscore WHERE score > 0.0
+           |  QUALIFY rs <= 20),
+           |fused AS (
+           |  SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id, s.rs, d.rd,
+           |    round(COALESCE(1.0 / (60 + s.rs), 0.0) +
+           |          COALESCE(1.0 / (60 + d.rd), 0.0), 6) AS rrf
+           |  FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id)
+           |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC)
+           |    AS INT) AS rnk,
+           |  CAST(doc_id AS BIGINT) AS doc_id, rs AS rnk_sparse,
+           |  rd AS rnk_dense, rrf
+           |FROM fused
+           |QUALIFY rnk <= 10""".stripMargin)),
+
     // Trained cluster report: k-means training is not SQL-replicable, so
     // certify the TRAINED report's invariants (coverage, id domain, cell
     // uniqueness, stat consistency) via the all-zeros pattern.
