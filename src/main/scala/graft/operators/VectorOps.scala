@@ -1025,7 +1025,11 @@ object VectorOps {
    * and the bytes skew across append units. Cell-level bytes do not
    * exist at this layout's granularity (a part directory mixes all
    * cells hashing to it), so this reports the truth the filesystem
-   * has instead of attributing bytes it cannot know.
+   * has instead of attributing bytes it cannot know. Works on ANY of
+   * the engine's `part=`-partitioned index layouts — the IVF twin's
+   * `vectors`, the IVF-PQ twin's `codes`, the BM25 index's
+   * `postings`, the MinHash index's `bands` (pass the sub-table name;
+   * spec-pinned on the BM25 layout too).
    */
   def ivfIndexDiskStats(spark: org.apache.spark.sql.SparkSession,
       path: String, sub: String = "vectors"): DataFrame = {

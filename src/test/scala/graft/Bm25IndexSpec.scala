@@ -82,6 +82,14 @@ class Bm25IndexSpec extends SparkSpec {
       "replayed doclens rows must not inflate n_docs")
     assert(rows(TextOps.bm25AgainstIndex(spark, twice, terms)) ===
       rows(TextOps.bm25AgainstIndex(spark, once, terms)))
+    // the shared disk monitor reads this layout too: every part dir
+    // visible, bytes present, file growth from the replayed append
+    val disk = graft.operators.VectorOps.ivfIndexDiskStats(
+      spark, twice, sub = "postings").collect()
+      .map(r => (r.getAs[Int]("n_files"), r.getAs[Long]("bytes")))
+    assert(disk.nonEmpty && disk.forall(_._2 > 0L))
+    assert(disk.exists(_._1 >= 2),
+      "the replayed append's parts should show multi-file growth")
     // maintenance path: appends accumulate files; the partition-aware
     // compactor flattens each part dir in place and the index answers
     // identically after (file-count hygiene for a long-lived index)
