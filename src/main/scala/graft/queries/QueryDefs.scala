@@ -6797,6 +6797,18 @@ GROUP BY c.doc_id""")),
           |  CAST(0 AS BIGINT) AS codebook_drift,
           |  CAST(0 AS BIGINT) AS empty_index""".stripMargin)),
 
+    // The IVFADC twin of stream_ivf_ingest_check: frozen coarse cells
+    // AND frozen PQ sub-quantizers encode each micro-batch; the codes
+    // table must match the batch replay and neither codebook may move.
+    ("stream_ivfpq_ingest_check", (s: SparkSession, dir: String) =>
+      graft.streaming.VecStream.ivfPqIngestCheck(s, dir),
+      Some(
+        """SELECT CAST(0 AS BIGINT) AS codes_missing,
+          |  CAST(0 AS BIGINT) AS codes_extra,
+          |  CAST(0 AS BIGINT) AS pq_book_drift,
+          |  CAST(0 AS BIGINT) AS centroid_drift,
+          |  CAST(0 AS BIGINT) AS empty_index""".stripMargin)),
+
     ("stream_contam_check", (s: SparkSession, dir: String) =>
       graft.streaming.DocStream.contaminationCheck(s, dir),
       Some(

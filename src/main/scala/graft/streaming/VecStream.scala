@@ -104,6 +104,123 @@ object VecStream {
         (count(lit(1)) === 0).cast("long").as("empty_index")))
   }
 
+  /**
+   * The IVF-PQ twin's streaming ingest runner — identical foreachBatch
+   * mechanics to [[ivfIngestRun]], appending through
+   * [[graft.operators.VectorOps.appendToIvfPqIndex]]: BOTH codebooks
+   * (coarse cells and the PQ sub-quantizers) stay frozen, new vectors
+   * assign + encode map-side and land as m-int codes under their
+   * cells' part directories.
+   */
+  def ivfPqIngestRun(stream: DataFrame, indexPath: String,
+      checkpoint: String, timeoutMs: Long = 300000L): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!b.isEmpty) VectorOps.appendToIvfPqIndex(b.toDF(), indexPath))
+      .start()
+    val done =
+      try q.awaitTermination(timeoutMs)
+      finally if (q.isActive) q.stop()
+    require(done, s"ivfPqIngestRun: drain did not finish in $timeoutMs ms")
+  }
+
+  private val ivfPqIngestStaged =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /**
+   * [[ivfIngestCheck]]'s IVFADC twin (all-zeros pattern): even vec_ids
+   * at build (both codebooks trained there, then FROZEN), odd vec_ids
+   * streamed as two strictly-ordered micro-batches, final index
+   * row-identical to the batch replay — stored (vec_id, cluster,
+   * codes) triples certify the stream ENCODED by the frozen
+   * sub-quantizers and assigned by the frozen cells, and both
+   * codebook tables must be byte-identical. Violations:
+   * `codes_missing`, `codes_extra`, `pq_book_drift`,
+   * `centroid_drift`, `empty_index`.
+   */
+  def ivfPqIngestCheck(spark: SparkSession, dir: String,
+      workDir: String = "/tmp/graft_stream_ivfpqingest",
+      timeoutMs: Long = 300000L): DataFrame = {
+    val tag = java.lang.Long.toHexString(
+      dir.hashCode.toLong & 0xffffffffL)
+    val root = s"$workDir/$tag"
+    ivfPqIngestStaged.synchronized {
+      if (!ivfPqIngestStaged.contains(root)) {
+        stageIvfPqIngest(spark, dir, root, timeoutMs)
+        ivfPqIngestStaged.add(root)
+      }
+    }
+    def codes(p: String) = spark.read.parquet(s"$p/codes")
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("cluster").cast("long").as("cluster"), col("codes"))
+    // symmetric frame diffs, schema-agnostic (the codebook tables'
+    // exact columns are the builders' concern, not the cert's)
+    def drift(sub: String, as: String) = {
+      val s = spark.read.parquet(s"$root/idx_stream/$sub")
+      val b = spark.read.parquet(s"$root/idx_batch/$sub")
+      s.exceptAll(b).unionByName(b.exceptAll(s))
+        .agg(count(lit(1)).cast("long").as(as))
+    }
+    val sc = codes(s"$root/idx_stream")
+    val bc = codes(s"$root/idx_batch")
+    bc.exceptAll(sc)
+      .agg(count(lit(1)).cast("long").as("codes_missing"))
+      .crossJoin(sc.exceptAll(bc)
+        .agg(count(lit(1)).cast("long").as("codes_extra")))
+      .crossJoin(drift("pq_book", "pq_book_drift"))
+      .crossJoin(drift("centroids", "centroid_drift"))
+      .crossJoin(sc.agg(
+        (count(lit(1)) === 0).cast("long").as("empty_index")))
+  }
+
+  /** [[ivfPqIngestCheck]]'s one-time staging, mirroring
+    * [[stageIvfIngest]] with the IVFADC build/append pair. */
+  private def stageIvfPqIngest(spark: SparkSession, dir: String,
+      root: String, timeoutMs: Long): Unit = {
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmrf)
+      p.delete(): Unit
+    }
+    rmrf(new java.io.File(root))
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // first-HALF base (the ivfpq_index_incr split): pqCodebook seeds
+    // from vec_id < kCent, so the build split must contain them all
+    val half = emb.count() / 2
+    require(half >= 16, s"ivfPqIngestCheck: corpus too small ($half)")
+    val base = emb.filter(col("vec_id") < half)
+    val inc1 = emb.filter(col("vec_id") >= half &&
+      col("vec_id") % 2 === 0)
+    val inc2 = emb.filter(col("vec_id") >= half &&
+      col("vec_id") % 2 === 1)
+    VectorOps.buildIvfPqIndex(base, s"$root/idx_stream",
+      m = 8, kCent = 16, nCentroids = 16)
+    VectorOps.buildIvfPqIndex(base, s"$root/idx_batch",
+      m = 8, kCent = 16, nCentroids = 16)
+    VectorOps.appendToIvfPqIndex(inc1, s"$root/idx_batch")
+    VectorOps.appendToIvfPqIndex(inc2, s"$root/idx_batch")
+    val feed = s"$root/feed"
+    def dataFiles() = new java.io.File(feed).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_")
+        && !f.getName.startsWith("."))
+    inc1.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+      .coalesce(1).write.mode("overwrite").parquet(feed)
+    val t0 = 1700000000000L
+    dataFiles().foreach(_.setLastModified(t0))
+    inc2.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+      .coalesce(1).write.mode("append").parquet(feed)
+    dataFiles().filter(_.lastModified() != t0)
+      .foreach(_.setLastModified(t0 + 60000L))
+    val src = spark.readStream
+      .schema(embeddingsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feed)
+    ivfPqIngestRun(src, s"$root/idx_stream", s"$root/ckpt", timeoutMs)
+  }
+
   /** [[ivfIngestCheck]]'s one-time staging: clean slate, twin builds
     * on the even half, the sequential batch replay, the two-file
     * ordered feed of the odd half, and the stream drain. */

@@ -171,6 +171,43 @@ object Bm25Scale {
         .groupBy(col("term")).count().collect()
         .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted
       println(s"bigvocab df: ${dfRows.mkString(", ")} of 500000 docs")
+
+      // Part 3: batch amortization — the bm25BatchAgainstIndex claim
+      // measured. 50 distinct 2-term bags answered as ONE batch (one
+      // pruned read) vs 50 sequential per-bag recomputes (each
+      // re-tokenizing the corpus) vs 50 sequential index queries
+      // (each its own pruned read — the no-batch-API strawman).
+      import spark.implicits._
+      val bags = (0 until 50).map(i =>
+        (i.toLong, Seq(s"w${30000 + i * 37}", s"w${50000 + i * 53}")))
+        .toDF("query_id", "terms")
+      val bagList = (0 until 50).map(i =>
+        Seq(s"w${30000 + i * 37}", s"w${50000 + i * 53}"))
+      show("batch(50 bags)", median3 {
+        graft.operators.Caches.scoped {
+          graft.operators.TextOps.bm25BatchAgainstIndex(bags, idx,
+            kTop = 10).count(): Unit
+        }
+        spark.catalog.clearCache()
+      })
+      show("50x index query", BenchMetrics.timed(spark.sparkContext) {
+        bagList.foreach { ts =>
+          graft.operators.Caches.scoped {
+            graft.operators.TextOps.bm25AgainstIndex(spark, idx, ts,
+              kTop = 10).count(): Unit
+          }
+        }
+        spark.catalog.clearCache()
+      })
+      show("50x recompute", BenchMetrics.timed(spark.sparkContext) {
+        bagList.foreach { ts =>
+          graft.operators.Caches.scoped {
+            graft.operators.TextOps.bm25TopK(docs, ts, kTop = 10)
+              .count(): Unit
+          }
+        }
+        spark.catalog.clearCache()
+      })
     }
     spark.stop()
   }
