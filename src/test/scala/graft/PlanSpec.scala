@@ -650,6 +650,25 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("ivfIndexStats: the index scan reads ONLY the cluster column — " +
+      "the monitor never pays for embedding bytes") {
+    import spark.implicits._
+    val emb = spark.range(64).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(7)), d =>
+        (cos(($"id" % 8 + 1) * (d + 1)) + 0.1f).cast("float"))
+        .as("embedding"))
+    val path = Files.createTempDirectory("planspec_ivfstats").toString
+    graft.operators.VectorOps.buildIvfIndex(emb, path, nCentroids = 8,
+      iters = 1)
+    val p = plan(graft.operators.VectorOps.ivfIndexStats(spark, path))
+    val vecScans = "ReadSchema: struct<[^>\n]*>".r.findAllIn(p).toSeq
+      .filter(_.contains("cluster"))
+    assert(vecScans.nonEmpty, s"no cluster scan in the stats plan:\n$p")
+    vecScans.foreach(rs => assert(!rs.contains("embedding"),
+      s"the monitor reads embedding bytes: $rs"))
+    spark.catalog.clearCache()
+  }
+
   test("ivfIndexTopK: probe plan size is CONSTANT in nCentroids — the " +
       "codebook rides a broadcast table, not the expression tree") {
     import spark.implicits._
