@@ -703,6 +703,52 @@ object VectorOps {
    * its join partition (AQE skew-join can split it) but never memory.
    * Size the codebook so clusters average corpus/nCentroids.
    */
+  /**
+   * SEMANTIC decontamination — the embedding-space analogue of
+   * [[TextOps.contamination]] (r16): flag every training vector whose
+   * max cosine similarity against ANY eval-suite vector reaches
+   * `threshold`, emitting `(doc_id, eval_id, max_sim)` with `eval_id`
+   * = the argmax (ties to the lowest id). N-gram decontamination
+   * misses PARAPHRASED leakage — same benchmark item, different
+   * words; in embedding space a paraphrase sits next to its source,
+   * so this is the second gate the eval-integrity literature layers
+   * over lexical overlap.
+   *
+   * Scale shape: the eval suite is small by construction (the same
+   * assumption the n-gram path's broadcast makes), so it rides ONE
+   * broadcast and the training corpus is scanned ONCE — the
+   * [[cosineTopK]] shape with the roles flipped (per-CORPUS-row max
+   * over probes instead of per-probe rank over corpus). The per-doc
+   * argmax is a struct-max aggregate, not a window: because the eval
+   * side broadcasts, every train doc's pair rows are co-located in
+   * its own input partition, so the map-side partial collapses them
+   * to ONE row per doc before the exchange — the shuffle moves
+   * train-row-count rows of three scalars, never the pair matrix.
+   * The flagged output is what a removal anti-join consumes
+   * (`train.join(flagged, "doc_id", "left_anti")` — the
+   * [[TextOps.contamination]] usage).
+   */
+  def semanticContamination(train: DataFrame, eval: DataFrame,
+      threshold: Double = 0.9): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "semanticContamination: threshold must be in (0, 1]")
+    graft.functions.ensureRegistered(train.sparkSession)
+    val t = train.select(col("vec_id").cast("long").as("doc_id"),
+      col("embedding").as("t_emb"))
+    val e = eval.select(col("vec_id").cast("long").as("eval_id"),
+      col("embedding").as("e_emb"))
+    t.join(broadcast(e))
+      .select(col("doc_id"), col("eval_id"),
+        cosine6(col("t_emb"), col("e_emb")).as("sim"))
+      // argmax via struct max (lexicographic): max sim, ties -> the
+      // LOWEST eval_id (negated so the max picks it)
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("sim"), (-col("eval_id")).as("neg"))).as("m"))
+      .select(col("doc_id"), (-col("m.neg")).cast("long").as("eval_id"),
+        col("m.sim").as("max_sim"))
+      .filter(col("max_sim") >= threshold)
+  }
+
   def semanticDedup(emb: DataFrame, threshold: Double,
       nCentroids: Int = 16): DataFrame = {
     // persisted: the self-join consumes the assignment twice and the

@@ -5919,6 +5919,36 @@ GROUP BY c.doc_id""")),
 
     // SemDeDup: coarse clusters (deterministic codebook), in-cluster
     // cosine pairs, drop the higher id of every pair above threshold
+    // SEMANTIC decontamination (r16): the embedding-space second gate
+    // over lexical decontamination — flag train vectors whose max
+    // cosine against any eval vector reaches the threshold (paraphrased
+    // leakage sits next to its source in embedding space where n-grams
+    // see nothing). Eval = vec_id % 10 == 0; threshold 0.4 sits at the
+    // corpus' p99 max-sim so the flagged set is small but non-empty.
+    ("semantic_contamination", (s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      VectorOps.semanticContamination(
+        emb.filter(col("vec_id") % 10 =!= 0),
+        emb.filter(col("vec_id") % 10 === 0), threshold = 0.4)
+    },
+      Some(
+        s"""WITH tr AS (
+           |  SELECT CAST(vec_id AS BIGINT) AS doc_id, embedding
+           |  FROM embeddings WHERE vec_id % 10 <> 0),
+           |ev AS (
+           |  SELECT CAST(vec_id AS BIGINT) AS eval_id, embedding
+           |  FROM embeddings WHERE vec_id % 10 = 0),
+           |pairs AS (
+           |  SELECT t.doc_id, e.eval_id,
+           |    ${cosSql("t.embedding", "e.embedding")} AS sim
+           |  FROM tr t CROSS JOIN ev e),
+           |best AS (
+           |  SELECT doc_id, eval_id, sim, row_number() OVER (
+           |    PARTITION BY doc_id ORDER BY sim DESC, eval_id ASC) AS rn
+           |  FROM pairs)
+           |SELECT doc_id, eval_id, sim AS max_sim
+           |FROM best WHERE rn = 1 AND sim >= 0.4""".stripMargin)),
+
     ("semantic_dedup", (s: SparkSession, dir: String) =>
       VectorOps.semanticDedup(t(s, dir, "embeddings"), threshold = 0.3),
       Some(

@@ -650,6 +650,21 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("semanticContamination: eval broadcasts, the pair matrix never " +
+      "shuffles — only per-doc argmax partials cross the wire") {
+    val emb = spark.read.parquet(
+      "/root/testdata/sf0.001/embeddings.parquet")
+    val p = plan(graft.operators.VectorOps.semanticContamination(
+      emb.filter(col("vec_id") % 10 =!= 0),
+      emb.filter(col("vec_id") % 10 === 0), threshold = 0.4))
+    assert("BroadcastExchange".r.findAllIn(p).nonEmpty,
+      s"eval side stopped broadcasting:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the eval side sort-merged or carteses against the corpus:\n$p")
+    assert(p.contains("partial_max"),
+      s"per-doc argmax lost its map-side partial:\n$p")
+  }
+
   test("ivfIndexStats: the index scan reads ONLY the cluster column — " +
       "the monitor never pays for embedding bytes") {
     import spark.implicits._
