@@ -726,7 +726,12 @@ object VectorOps {
    * train-row-count rows of three scalars, never the pair matrix.
    * The flagged output is what a removal anti-join consumes
    * (`train.join(flagged, "doc_id", "left_anti")` — the
-   * [[TextOps.contamination]] usage).
+   * [[TextOps.contamination]] usage). When the EVAL side is too big
+   * to broadcast (decontaminating against an aggregation of whole
+   * benchmark suites), compose the persisted-index path instead:
+   * `buildIvfIndex(eval, path)` once, then
+   * `ivfIndexTopK(train, path, k = 1)` + the threshold filter — the
+   * approximate twin, probed-cells recall, corpus never broadcast.
    */
   def semanticContamination(train: DataFrame, eval: DataFrame,
       threshold: Double = 0.9): DataFrame = {
