@@ -83,11 +83,18 @@ object TrackScale {
         graft.operators.OmeOps.trackEvents(d, maxDisp = 3.0,
           driverEdgeLimit = lim)))
 
-    for ((name, fn) <- ops;
-         (nImages, lim, tag) <- Seq(
-           (64, 4000000L, "driver-cc"),
-           (640, 4000000L, "driver-cc"),
-           (640, 1000000L, "star-cc"))) {
+    // args mode: `TrackScale <nImages>` runs ONE star-CC point of
+    // trackEvents at that size — for extending the distributed path's
+    // growth curve without re-paying the full matrix
+    val matrix: Seq[(Int, Long, String)] =
+      if (args.nonEmpty) Seq((args(0).toInt, 1000000L, "star-cc"))
+      else Seq(
+        (64, 4000000L, "driver-cc"),
+        (640, 4000000L, "driver-cc"),
+        (640, 1000000L, "star-cc"))
+    val opsToRun = if (args.nonEmpty) ops.filter(_._1 == "trackEvents")
+      else ops
+    for ((name, fn) <- opsToRun; (nImages, lim, tag) <- matrix) {
       def once() = BenchMetrics.timed(spark.sparkContext) {
         graft.operators.Caches.scoped {
           fn(corpus(nImages), lim).count(): Unit
