@@ -1271,6 +1271,52 @@ object TextOps {
       maxIters, driverEdgeLimit)
 
   /**
+   * LEAKAGE-AWARE train/validation split (r16) — the held-out hygiene
+   * rule from the dedup literature (Lee et al. 2022, "Deduplicating
+   * Training Data Makes Language Models Better"): a per-document hash
+   * split lets a near-duplicate of a TRAINING document land in the
+   * VALIDATION set, silently inflating eval numbers. This operator
+   * assigns the split by a salted hash of the document's NEAR-DUP
+   * CLUSTER id — every member of a cluster lands on the SAME side by
+   * construction, so cross-split paraphrase leakage is structurally
+   * impossible, not just unlikely. Documents in no cluster form
+   * singleton groups keyed by their own id (which can never collide
+   * with a real cluster_id — always the id of a clustered document).
+   *
+   * Emits `(doc_id, group_id, is_val)` for EVERY input document; the
+   * split is deterministic in (doc_id graph, salt) — re-running on
+   * the same corpus reproduces it exactly, and appending documents
+   * never moves existing ones unless the append JOINS two clusters
+   * (in which case they must move together — that is the point).
+   *
+   * Scale shape: the clustering is the dominant (and shared) cost —
+   * banded MinHash LSH + the CC engine, the [[nearDupClustersMinhash]]
+   * path with all its scale behavior; the split adds one left join of
+   * the corpus against the (clustered-docs-only, usually far smaller)
+   * cluster frame plus a narrow md5 projection. The expected val
+   * fraction is `valRate` of GROUPS (weighted by nothing) — with
+   * heavy-duplication corpora the doc-level fraction shifts toward
+   * big clusters' sides, which is inherent to any leakage-free split.
+   */
+  def clusterAwareSplit(docs: DataFrame, valRate: Double = 0.1,
+      k: Int = 3, numHashes: Int = 12, bands: Int = 4,
+      threshold: Double = 0.8, salt: String = "split"): DataFrame = {
+    require(valRate >= 0.0 && valRate <= 1.0,
+      s"clusterAwareSplit: valRate $valRate not in [0,1]")
+    val clusters = nearDupClustersMinhash(docs, k, numHashes, bands,
+      threshold).select(col("doc_id"), col("cluster_id"))
+    val isVal =
+      if (valRate >= 1.0) lit(1)
+      else (md5(concat(lit(salt), lit("|"),
+        col("group_id").cast("string"))).substr(1, 8) <
+          lit(thresholdHex(valRate))).cast("int")
+    docs.select(col("doc_id").cast("long").as("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("cluster_id"), col("doc_id")))
+      .select(col("doc_id"), col("group_id"), isVal.as("is_val"))
+  }
+
+  /**
    * Quality-aware keeper selection over a NEAR-dup cluster frame — the
    * fuzzy counterpart of [[dedupExactBest]] and the standard
    * C4/RefinedWeb retention rule: among near-duplicates, keep the
@@ -2068,14 +2114,17 @@ object TextOps {
    * Returns every input doc with its stratum, hash and keep flag
    * (filter `keep = 1` for the sampled corpus).
    */
+  /** `u < rate  <=>  hex8(u * 2^32) < hex8(ceil(rate * 2^32))` — the
+    * engine-portable md5-hex threshold shared by the deterministic
+    * samplers ([[sampleMix]], [[clusterAwareSplit]]). */
+  private def thresholdHex(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate $rate not in [0,1]")
+    f"${math.min(math.ceil(rate * 4294967296.0).toLong, 4294967296L - 1)}%08x"
+  }
+
   def sampleMix(docs: DataFrame, rates: Map[String, Double],
       defaultRate: Double = 1.0, keyCol: String = "lang",
       salt: String = "mix"): DataFrame = {
-    def thresholdHex(rate: Double): String = {
-      require(rate >= 0.0 && rate <= 1.0, s"sampleMix: rate $rate not in [0,1]")
-      // u < rate  <=>  hex8(u * 2^32) < hex8(ceil(rate * 2^32))
-      f"${math.min(math.ceil(rate * 4294967296.0).toLong, 4294967296L - 1)}%08x"
-    }
     val u8 = md5(concat(lit(salt), lit("|"),
       col("doc_id").cast("long").cast("string"))).substr(1, 8)
     // rate >= 1 keeps unconditionally (avoids the 2^-32 ffffffff edge)

@@ -3672,6 +3672,69 @@ chunks AS (
           |  CAST(l.node = l.cluster_id AS INT) AS is_keeper
           |FROM labels l JOIN sizes s USING (cluster_id)""".stripMargin)),
 
+    // LEAKAGE-AWARE train/val split (r16): the split key is the
+    // near-dup CLUSTER id, so paraphrases can never straddle the
+    // held-out boundary; singletons group by their own id. Oracle =
+    // the clusters chain + the sample_mix md5-threshold rule on the
+    // group id (valRate 0.25 -> '40000000').
+    ("cluster_split", (s: SparkSession, dir: String) =>
+      TextOps.clusterAwareSplit(t(s, dir, "documents"), valRate = 0.25),
+      Some(
+        """WITH RECURSIVE toks AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+          |  FROM documents),
+          |sh AS (
+          |  SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3
+          |      THEN [array_to_string(tk, ' ')]
+          |      ELSE list_transform(range(1, len(tk) - 1),
+          |             i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
+          |  FROM toks),
+          |hm AS (
+          |  SELECT doc_id, sh,
+          |    list_transform(sh, s ->
+          |      md5('0|' || s) || md5('1|' || s) || md5('2|' || s)) AS hs
+          |  FROM sh),
+          |sig AS (
+          |  SELECT doc_id, sh,
+          |    list_transform(range(0, 12), i ->
+          |      list_aggregate(list_transform(hs,
+          |        h -> substr(h, CAST(i*8+1 AS INT), 8)), 'min')) AS mh
+          |  FROM hm),
+          |banded AS (
+          |  SELECT doc_id, sh, b.b AS band,
+          |    md5(array_to_string(mh[b.b*3+1:b.b*3+3], '|')) AS band_key
+          |  FROM sig, generate_series(0, 3) b(b)),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |    a.sh AS sh_a, b.sh AS sh_b
+          |  FROM banded a JOIN banded b
+          |    ON a.band = b.band AND a.band_key = b.band_key
+          |   AND a.doc_id < b.doc_id),
+          |pairs AS (
+          |  SELECT doc_a, doc_b FROM (
+          |    SELECT doc_a, doc_b,
+          |      round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+          |            len(list_distinct(list_concat(sh_a, sh_b))), 6) AS jaccard
+          |    FROM cand)
+          |  WHERE jaccard >= 0.8),
+          |edges AS (
+          |  SELECT doc_a AS a, doc_b AS b FROM pairs
+          |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+          |reach AS (
+          |  SELECT a AS node, a AS lbl FROM edges
+          |  UNION
+          |  SELECT e.b AS node, r.lbl AS lbl
+          |  FROM reach r JOIN edges e ON e.a = r.node),
+          |labels AS (
+          |  SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+          |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+          |  CAST(coalesce(l.cluster_id, d.doc_id) AS BIGINT) AS group_id,
+          |  CAST(substring(md5('split|' ||
+          |      CAST(coalesce(l.cluster_id, d.doc_id) AS VARCHAR)), 1, 8)
+          |    < '40000000' AS INT) AS is_val
+          |FROM documents d LEFT JOIN labels l ON l.node = d.doc_id""".stripMargin)),
+
     // The DISTRIBUTED clustering strategy under the oracle gate:
     // driverEdgeLimit = 0 forces the alternating large-star/small-star
     // contraction (r14 — O(log n) rounds vs min-label propagation's

@@ -827,6 +827,33 @@ class TextVectorSpec extends SparkSpec {
     assert(bySrc.filter(_._1 == "s1").forall(_._2 === 1))
   }
 
+  test("clusterAwareSplit: near-duplicates NEVER straddle the held-out " +
+      "boundary, every doc is assigned, rate bounds hold") {
+    // docs 0, 1, 3 are a near-dup cluster (0==3 exact, 1 near); across
+    // MANY salts they must always share is_val — a per-doc hash split
+    // would separate them for roughly half the salts
+    for (salt <- (0 until 8).map(i => s"s$i")) {
+      val out = TextOps.clusterAwareSplit(docs, valRate = 0.5,
+          threshold = 0.5, salt = salt).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("group_id"), r.getAs[Int]("is_val"))).toMap
+      assert(out.size === 5, "every doc gets a split")
+      assert(Set(out(0L), out(1L), out(3L)).size === 1,
+        s"salt=$salt: near-dup cluster split across the boundary")
+      // singletons group by their own id
+      assert(out(2L)._1 === 2L && out(4L)._1 === 4L)
+    }
+    // rate bounds: 0 -> all train, 1 -> all val; deterministic
+    assert(TextOps.clusterAwareSplit(docs, valRate = 0.0).collect()
+      .forall(_.getAs[Int]("is_val") === 0))
+    assert(TextOps.clusterAwareSplit(docs, valRate = 1.0).collect()
+      .forall(_.getAs[Int]("is_val") === 1))
+    val a = TextOps.clusterAwareSplit(docs, 0.5).collect().map(_.toString)
+    val b = TextOps.clusterAwareSplit(docs, 0.5).collect().map(_.toString)
+    assert(a.toSeq === b.toSeq)
+    spark.catalog.clearCache()
+  }
+
   test("packSequences: spans and chunk ranges follow the shard cumsum") {
     val fixture = Seq(
       (0L, "a " * 300),  // 300 tokens, shard 0
