@@ -14,43 +14,37 @@ object Probe {
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.ensureRegistered(spark)
 
-    // r16 probe: the persisted-BM25 query plans — shuffle/broadcast
-    // census + the pruned scan, for SCALE.md's plan-audit table
-    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
-    val path = "/tmp/graft_probe_bm25"
-    graft.operators.TextOps.buildBm25Index(docs, path)
-    def census(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
-      val p = df.queryExecution.executedPlan.toString
-      val bcasts = "BroadcastExchange".r.findAllIn(p).length
-      val shuffles = "Exchange".r.findAllIn(p).length - bcasts
-      val pushed = "PushedFilters: [^\n]+".r.findFirstIn(p).getOrElse("-")
-      val pf = "PartitionFilters: [^\n]+".r.findFirstIn(p).getOrElse("-")
-      val takeOrdered = p.contains("TakeOrderedAndProject")
-      println(s"=== $name: shuffles=$shuffles broadcasts=$bcasts " +
-        s"takeOrdered=$takeOrdered")
-      println(s"===   $pf")
-      println(s"===   $pushed")
-    }
-    census("bm25AgainstIndex", graft.operators.TextOps.bm25AgainstIndex(
-      spark, path, Seq("hash", "join", "vector"), kTop = 20))
-    import spark.implicits._
-    val bags = Seq((0L, Seq("hash", "join")), (1L, Seq("vector")))
-      .toDF("query_id", "terms")
-    census("bm25BatchAgainstIndex",
-      graft.operators.TextOps.bm25BatchAgainstIndex(bags, path, kTop = 10))
-    census("ivfIndexStats readSchema check", {
-      val ipath = "/tmp/graft_probe_ivf"
-      graft.operators.VectorOps.buildIvfIndex(
-        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet"),
-        ipath, nCentroids = 16, iters = 1)
-      graft.operators.VectorOps.ivfIndexStats(spark, ipath)
-    })
-    // the stats scan must read ONLY cluster (+ the part key)
-    val st = graft.operators.VectorOps.ivfIndexStats(
-      spark, "/tmp/graft_probe_ivf")
-    "ReadSchema: [^\n]+".r.findAllIn(
-      st.queryExecution.executedPlan.toString).foreach(s =>
-      println(s"=== ivfIndexStats $s"))
+    // r16 probe: does the TrackScale corpus really contain division
+    // and merge events? (The SCALE.md decade section claims them by
+    // construction; count them empirically on a 2-movie slice.)
+    val k = 40; val tF = 50; val half = tF / 2
+    val base = spark.range(2L * tF * k).select(
+      format_string("trk-%06d", (col("id") / (tF * k)).cast("int"))
+        .as("image_id"),
+      lit(0).as("c"), lit(0).as("z"),
+      ((col("id") / k) % tF).cast("int").as("t"),
+      (col("id") % k).cast("int").as("lane"))
+    val alive = base.filter(!(col("lane") % 8 === 4 && col("t") >= half))
+    val merging = col("lane") % 8 === 4 && col("t") === half - 1
+    val positioned = alive.select(col("image_id"), col("c"), col("z"),
+      col("t"), col("lane").as("label"),
+      when(merging, (col("lane") - 1) * 10.0 + 2.0)
+        .otherwise(col("lane") * 10.0).as("cy"),
+      when(merging, col("t") + (col("lane") - 1) % 7 + 1.0)
+        .otherwise((col("t") + col("lane") % 7).cast("double")).as("cx"))
+    val children = base.filter(col("lane") % 8 === 0 && col("t") >= half)
+      .select(col("image_id"), col("c"), col("z"), col("t"),
+        (col("lane") + k).as("label"),
+        (col("lane") * 10.0 + 1.0).as("cy"),
+        (col("t") + col("lane") % 7).cast("double").as("cx"))
+    val corpus = positioned.unionByName(children)
+    val ev = graft.operators.OmeOps.trackEvents(corpus, maxDisp = 3.0)
+    ev.agg(
+      sum(col("is_division_child").cast("long")).as("divisions"),
+      sum(col("is_merge_child").cast("long")).as("merges"))
+      .collect().foreach(r =>
+        println(s"=== trackscale 2-movie corpus: divisions=${r.get(0)} " +
+          s"merges=${r.get(1)} (expect 5 x 2 of each)"))
     spark.stop()
   }
 }
