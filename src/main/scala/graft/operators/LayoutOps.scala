@@ -228,4 +228,74 @@ object LayoutOps {
             greatest(col("gy_max") - col("gy_min"), lit(1L))) / 2, 6)
           .as("extent_frac"))
   }
+
+  private def swapPaths(path: String): (org.apache.hadoop.fs.Path,
+      org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path) = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    require(hp.getParent != null,
+      s"index swap needs a parented path, got $path")
+    (hp, new org.apache.hadoop.fs.Path(hp.getParent,
+      ".rebuild.tmp." + hp.getName),
+      new org.apache.hadoop.fs.Path(hp.getParent,
+        ".rebuild.old." + hp.getName))
+  }
+
+  /** The staging directory an index rebuild writes its full new layout
+    * into before [[commitIndexSwap]] publishes it — a dot-prefixed
+    * SIBLING of the live path (same filesystem, so the commit renames
+    * never copy; invisible to any parquet reader of the parent). */
+  private[graft] def indexStagingPath(path: String): String = {
+    val (_, tmp, _) = swapPaths(path)
+    tmp.toString
+  }
+
+  /**
+   * Crash-recovery sweep for an interrupted index rebuild
+   * ([[graft.operators.VectorOps.rebuildIvfIndex]] /
+   * [[graft.operators.TextOps.rebuildBm25Index]]) — the
+   * [[compactParquet]] crash-restoring discipline at index-root
+   * granularity. A rebuild stages the ENTIRE new index at a
+   * dot-prefixed sibling, then commits with two renames (live →
+   * `.rebuild.old.<leaf>`, staged → live) and deletes the backup.
+   * Every crash window recovers here to a fully-consistent index:
+   *
+   *  - before the first rename: live untouched — the stranded staging
+   *    dir is deleted (always regenerable);
+   *  - between the renames: live missing, backup present — the backup
+   *    is restored, so the OLD index answers exactly as before the
+   *    rebuild started (the staged copy is discarded: restore-old is
+   *    the one choice that never has to trust a half-written stage);
+   *  - after the second rename: the new index is live — the stale
+   *    backup and any staging leftover are deleted.
+   *
+   * Like compaction, the swap itself is an offline/maintenance
+   * operation: a reader scanning between the two renames can see the
+   * path briefly missing (concurrent-commit protocols are a table
+   * format's job). Idempotent; safe to call on a healthy index.
+   */
+  def recoverIndexSwap(spark: SparkSession, path: String): Unit = {
+    val (hp, tmp, old) = swapPaths(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(old)) {
+      if (fs.exists(hp)) fs.delete(old, true) // stale backup
+      else require(fs.rename(old, hp),
+        s"recoverIndexSwap: cannot restore $path from $old")
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+  }
+
+  /** The two-rename publish of a staged index rebuild: live →
+    * backup, staged → live, delete backup. Callers must have staged a
+    * COMPLETE index at [[indexStagingPath]]; crash windows are
+    * [[recoverIndexSwap]]'s contract. */
+  private[graft] def commitIndexSwap(spark: SparkSession,
+      path: String): Unit = {
+    val (hp, tmp, old) = swapPaths(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(tmp), s"commitIndexSwap: nothing staged at $tmp")
+    if (fs.exists(hp))
+      require(fs.rename(hp, old), s"commitIndexSwap: cannot retire $path")
+    require(fs.rename(tmp, hp), s"commitIndexSwap: cannot publish $tmp")
+    fs.delete(old, true)
+  }
 }

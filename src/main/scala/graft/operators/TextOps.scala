@@ -656,18 +656,28 @@ object TextOps {
       .collect().map(_.getInt(0)).sorted // bounded by n_parts
     val base = touchedBandPartitions(spark, path, touched)
     val wBucket = Window.partitionBy(col("band"), col("band_key"))
+    // idempotency for EVERY crash window (ADVICE r15): a crash during
+    // the bands dynamic-overwrite commit (per-partition renames are
+    // not atomic) can leave some touched partitions already holding
+    // the increment's rows; without this the retry's union would
+    // double-count them, inflating bn and duplicating band rows. A
+    // valid index has exactly one row per (ref_id, band), so the
+    // dedup is a no-op on clean appends. It dedups via a lag flag
+    // over the bn window's OWN partitioning (`part` is a function of
+    // band_key, so within a (band, band_key) partition equal ref_ids
+    // ARE the duplicates, and the ref_id ordering makes them
+    // adjacent): one exchange serves both the dedup and the bn count
+    // — the r16 dropDuplicates on all four columns hash-partitioned
+    // differently and cost the append a second increment+touched-
+    // partition-sized shuffle (ADVICE r16).
+    val wOrd = wBucket.orderBy(col("ref_id").asc)
     val merged = inc
       .unionByName(base.select(col("ref_id"), col("band"),
         col("band_key"), col("part"))) // stale bn dropped, recomputed
-      // idempotency for EVERY crash window (ADVICE r15): a crash during
-      // the bands dynamic-overwrite commit (per-partition renames are
-      // not atomic) can leave some touched partitions already holding
-      // the increment's rows; without this the retry's union would
-      // double-count them, inflating bn and duplicating band rows. A
-      // valid index has exactly one row per (ref_id, band), so the
-      // dedup is a no-op on clean appends — and it rides the same
-      // bucket-keyed shuffle the bn window needs anyway.
-      .dropDuplicates(Seq("ref_id", "band", "band_key", "part"))
+      .withColumn("dupb",
+        col("ref_id") === lag(col("ref_id"), 1).over(wOrd))
+      .filter(!coalesce(col("dupb"), lit(false)))
+      .drop("dupb")
       .withColumn("bn", count(lit(1)).over(wBucket).cast("int"))
       .repartition(col("part"))
       .sortWithinPartitions(col("band_key"))
@@ -2950,7 +2960,10 @@ object TextOps {
    * Per-term df is deliberately NOT materialized: for a query bag it
    * equals the row count of each (already pruned, candidate-bounded)
    * posting list, so deriving it at query time costs one tiny
-   * aggregation and appends never maintain a df table.
+   * aggregation and appends never maintain a df table. After heavy
+   * append traffic, [[rebuildBm25Index]] restores the pristine layout
+   * (dedup + re-sort + optional `nParts` re-size) behind an atomic
+   * swap.
    *
    * Build cost: one tokenize pass, one (term, doc_id) aggregation,
    * one `part`-keyed shuffle clustering the layout — all corpus-scale
@@ -3062,6 +3075,16 @@ object TextOps {
    * `bm25_index_incr` registry row hash-certifies build+append ==
    * full-rebuild results). Not concurrency-safe: serialize appends
    * per index path.
+   *
+   * PRECONDITION — new documents only (ADVICE r16): appending a
+   * doc_id the index already holds is supported ONLY as a
+   * byte-identical replay of a prior append (the crash/retry case
+   * above). Re-appending an existing doc_id with CHANGED text is
+   * unsupported — the query-side (term, doc_id) dedup and the stats
+   * refresh's doc_id dedup would each keep an ARBITRARY row, making
+   * that doc's tf/dl partition-order-dependent. To update a
+   * document's content, rebuild the corpus's index (or
+   * [[rebuildBm25Index]] after removing the stale rows upstream).
    */
   def appendToBm25Index(newDocs: DataFrame, path: String): Unit = {
     val spark = newDocs.sparkSession
@@ -3076,6 +3099,52 @@ object TextOps {
       .parquet(s"$path/postings")
     refreshBm25Stats(spark, path)
     base.unpersist(false)
+  }
+
+  /**
+   * Canonicalizing REBUILD of a [[buildBm25Index]] index — the
+   * maintenance half of the lifecycle (VERDICT r16 #3), the BM25
+   * analogue of [[graft.operators.VectorOps.rebuildIvfIndex]]. BM25
+   * has no trained component, so "re-train" here is a re-LAYOUT: the
+   * live postings and doclens are read back, deduplicated ((term,
+   * doc_id) / doc_id — purging any byte-identical rows that
+   * crashed-and-replayed at-least-once appends accumulated), rewritten
+   * in the pristine build layout (term-hash part directories,
+   * term-sorted row groups — appends degrade row-group tightness;
+   * this restores it, and `nParts > 0` re-sizes the directory fan-out
+   * for a corpus that outgrew its build-time value), stats recomputed,
+   * and the whole staged index published with the atomic two-rename
+   * swap. Serving reads never see a half-index; every crash window
+   * restores the old index intact ([[LayoutOps.recoverIndexSwap]],
+   * called on entry so a retry self-heals; spec-pinned).
+   *
+   * The dedup canonicalizes REPLAYS only: an existing doc_id
+   * re-appended with changed text (the unsupported case — see
+   * [[appendToBm25Index]]) keeps an arbitrary one of its conflicting
+   * rows. Not concurrency-safe with appends: serialize maintenance
+   * per index path.
+   */
+  def rebuildBm25Index(spark: SparkSession, path: String,
+      nParts: Int = 0): Unit = {
+    LayoutOps.recoverIndexSwap(spark, path)
+    val np = if (nParts > 0) nParts else bm25IndexNParts(spark, path)
+    val tmp = LayoutOps.indexStagingPath(path)
+    spark.read.parquet(s"$path/doclens")
+      .dropDuplicates(Seq("doc_id"))
+      .write.mode("overwrite").parquet(s"$tmp/doclens")
+    spark.read.parquet(s"$path/postings")
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      .dropDuplicates(Seq("term", "doc_id"))
+      .withColumn("part", termPart(col("term"), np))
+      .repartition(col("part"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("overwrite").partitionBy("part")
+      .parquet(s"$tmp/postings")
+    import spark.implicits._
+    Seq(np).toDF("n_parts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/params")
+    refreshBm25Stats(spark, tmp)
+    LayoutOps.commitIndexSwap(spark, path)
   }
 
   /** The query-time posting read, factored out so PlanSpec can pin
@@ -3122,6 +3191,14 @@ object TextOps {
    * candidate-bounded (Σ df rows). The df table is |terms| rows
    * (broadcast); the global top-k is TakeOrdered; the final rnk window
    * runs over kTop rows.
+   *
+   * Mega-bag caveat (VERDICT r16): the fixed-order sum emits one
+   * conditional aggregate per query term, so the PLAN grows linearly
+   * in |terms| — fine for human keyword bags, wrong for
+   * vocabulary-scale bags. Point bags above ~100 terms at
+   * [[bm25BatchAgainstIndex]], whose order-free nano-unit fold keeps
+   * the plan constant and whose `maxLiteralTerms` guard switches the
+   * pruning literals to a semi-join.
    */
   def bm25AgainstIndex(spark: SparkSession, path: String,
       terms: Seq[String], kTop: Int = 20, k1: Double = 1.2,

@@ -728,10 +728,9 @@ object VectorOps {
    * (`train.join(flagged, "doc_id", "left_anti")` — the
    * [[TextOps.contamination]] usage). When the EVAL side is too big
    * to broadcast (decontaminating against an aggregation of whole
-   * benchmark suites), compose the persisted-index path instead:
-   * `buildIvfIndex(eval, path)` once, then
-   * `ivfIndexTopK(train, path, k = 1)` + the threshold filter — the
-   * approximate twin, probed-cells recall, corpus never broadcast.
+   * benchmark suites), use [[semanticContaminationIndexed]] — the
+   * persisted-index composition this scaladoc used to describe in
+   * prose, now certified code.
    */
   def semanticContamination(train: DataFrame, eval: DataFrame,
       threshold: Double = 0.9): DataFrame = {
@@ -751,6 +750,40 @@ object VectorOps {
       .agg(max(struct(col("sim"), (-col("eval_id")).as("neg"))).as("m"))
       .select(col("doc_id"), (-col("m.neg")).cast("long").as("eval_id"),
         col("m.sim").as("max_sim"))
+      .filter(col("max_sim") >= threshold)
+  }
+
+  /**
+   * [[semanticContamination]] for an eval suite TOO BIG TO BROADCAST
+   * (VERDICT r16 #2) — decontaminating against an aggregation of
+   * whole benchmark suites, where the broadcast path's "eval is
+   * small" assumption breaks. The eval suite is built ONCE into a
+   * persisted [[buildIvfIndex]] index; each decontamination run is
+   * then `ivfIndexTopK(train, k = 1, nProbe)` + the threshold filter:
+   * the training corpus streams as probes against the eval index's
+   * inverted lists, reading only probed cells — the eval side never
+   * broadcasts and never recomputes across runs. Same output contract
+   * as the broadcast path: `(doc_id, eval_id, max_sim)` with the
+   * argmax's ties to the lowest eval id (the rank window's
+   * `neighbor_id asc` tie-break is the struct-max's `-eval_id` one).
+   *
+   * Recall: with `nProbe >= nCentroids` every cell is probed and the
+   * result is EXACT — hash-certified equal to the broadcast path by
+   * the `semantic_contamination_indexed` registry row. Smaller
+   * `nProbe` is the standard IVF recall trade (a paraphrase pair
+   * whose eval twin sits in an unprobed cell is missed) — size it
+   * like any [[ivfIndexTopK]] deployment.
+   *
+   * Requires train and eval vec_id spaces to be disjoint: the
+   * underlying search excludes id-equal matches as self-matches.
+   */
+  def semanticContaminationIndexed(train: DataFrame, indexPath: String,
+      threshold: Double = 0.9, nProbe: Int = 1): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "semanticContaminationIndexed: threshold must be in (0, 1]")
+    ivfIndexTopK(train, indexPath, k = 1, nProbe = nProbe)
+      .select(col("probe_id").as("doc_id"),
+        col("neighbor_id").as("eval_id"), col("score").as("max_sim"))
       .filter(col("max_sim") >= threshold)
   }
 
@@ -1000,11 +1033,20 @@ object VectorOps {
    * no files. The codebook never moves, so
    * queries before and after an append rank existing neighbors
    * identically — the trade is that a drifting corpus slowly unbalances
-   * cells (monitor with a cluster-size scan; re-train = re-build, the
-   * same discipline FAISS documents). Not concurrency-safe: serialize
-   * appends per index path. Repeated appends accumulate files per
-   * cell directory — compact in place with [[LayoutOps.compactParquet]]
-   * (partition-aware, crash-restoring) when file counts grow.
+   * cells (monitor with a cluster-size scan; re-train =
+   * [[rebuildIvfIndex]], which retrains into a staging directory and
+   * atomically swaps — the FAISS re-train discipline made crash-safe).
+   * Not concurrency-safe: serialize appends per index path. Repeated
+   * appends accumulate files per cell directory — compact in place
+   * with [[LayoutOps.compactParquet]] (partition-aware,
+   * crash-restoring) when file counts grow.
+   *
+   * At-least-once semantics: a crashed-and-replayed append re-adds
+   * byte-identical rows; probe-time reads ([[ivfIndexTopK]]) absorb
+   * them with a window-ride dedup, and [[rebuildIvfIndex]] purges them
+   * from disk. Re-appending an existing `vec_id` with CHANGED
+   * embedding bytes is unsupported (both rows are stored and both
+   * rank) — treat vec_ids as immutable, or rebuild.
    */
   def appendToIvfIndex(newEmb: DataFrame, path: String): Unit = {
     val spark = newEmb.sparkSession
@@ -1024,6 +1066,50 @@ object VectorOps {
   }
 
   /**
+   * RE-TRAIN the lifecycle's other half (VERDICT r16 #3) — the
+   * operation every append scaladoc defers to when [[ivfIndexStats]]
+   * shows drift-flooded cells. The index stores its raw vectors, so
+   * it retrains FROM ITSELF: read `(vec_id, embedding)` off the live
+   * layout, dedup by vec_id (purging any rows a crashed-and-replayed
+   * at-least-once append left behind — this is also the repair tool),
+   * run the full [[buildIvfIndex]] (fresh Lloyd codebook, fresh
+   * cell-clustered layout) into a staging sibling, and publish with
+   * an atomic two-rename swap. Serving reads never see a half-index:
+   * they read the old index until the commit, the new one after, and
+   * every crash window restores the old index intact
+   * ([[LayoutOps.recoverIndexSwap]], called here on entry so a retry
+   * self-heals; spec-pinned). `nCentroids`/`iters`/`nParts` default
+   * to the live manifest's values (pass > 0 to re-size — the "corpus
+   * grew 10×, re-split the cells" knob).
+   *
+   * Cost: one build over the indexed corpus — the retrain IS a build,
+   * by design (a drifted codebook invalidates every stored
+   * assignment, so there is nothing incremental to save). Not
+   * concurrency-safe with appends: serialize maintenance per index
+   * path.
+   */
+  def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, nCentroids: Int = 0, iters: Int = -1,
+      nParts: Int = 0): Unit = {
+    LayoutOps.recoverIndexSwap(spark, path)
+    val params = spark.read.parquet(s"$path/params").head()
+    val nc = if (nCentroids > 0) nCentroids
+      else params.getAs[Int]("n_centroids")
+    val it = if (iters >= 0) iters else params.getAs[Int]("iters")
+    val np = if (nParts > 0) nParts else ivfIndexNParts(spark, path)
+    // persisted: the build consumes the corpus once per Lloyd round
+    // plus once for the layout write — without the barrier the dedup
+    // shuffle would re-run per consumer
+    val corpus = Caches.persist(spark.read.parquet(s"$path/vectors")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .dropDuplicates("vec_id"))
+    try {
+      buildIvfIndex(corpus, LayoutOps.indexStagingPath(path), nc, it, np)
+      LayoutOps.commitIndexSwap(spark, path)
+    } finally corpus.unpersist(false)
+  }
+
+  /**
    * Monitoring report over a persisted IVF(-PQ) index's on-disk layout
    * (VERDICT r14 #6 / r15 #4) — the operator the append scaladocs'
    * "monitor cell sizes; re-train = re-build" advice calls for. One
@@ -1035,6 +1121,12 @@ object VectorOps {
    * list — the signal to re-train). Cells the corpus never reached
    * report `n_vecs = 0` (they come from the codebook table, not the
    * data), which is exactly the starvation the report exists to show.
+   * An index with NO vectors at all reports every cell with `n_vecs =
+   * 0` and NULL `frac`/`imbalance` — ratios over an empty corpus are
+   * not measurements, and NaN masquerading as one would defeat the
+   * monitor (ADVICE r16). Counts are the layout's on-disk truth:
+   * rows duplicated by a replayed at-least-once append count as
+   * stored — [[rebuildIvfIndex]] is the dedup/retrain repair.
    *
    * `sub` selects the list layout: the IVF twin's `vectors` (default)
    * or the IVF-PQ twin's `codes` — both carry the `cluster` column.
@@ -1061,10 +1153,18 @@ object VectorOps {
       sum(col("n_vecs")).cast("double").as("total"),
       count(lit(1)).cast("double").as("n_cells"),
       max(col("n_vecs")).cast("double").as("max_vecs"))
+    // an index whose lists are EMPTY (built, then every append crashed,
+    // or the sub table was truncated) must not report NaN ratios as if
+    // they were measurements: frac/imbalance go explicitly NULL — the
+    // loud "nothing indexed" signal (ADVICE r16) — while n_vecs = 0
+    // rows still enumerate every codebook cell
     filled.crossJoin(broadcast(tot))
       .select(col("cluster"), col("n_vecs"),
-        round(col("n_vecs").cast("double") / col("total"), 6).as("frac"),
-        round(col("max_vecs") * col("n_cells") / col("total"), 6)
+        when(col("total") > 0.0,
+          round(col("n_vecs").cast("double") / col("total"), 6))
+          .as("frac"),
+        when(col("total") > 0.0,
+          round(col("max_vecs") * col("n_cells") / col("total"), 6))
           .as("imbalance"))
   }
 
@@ -1080,17 +1180,25 @@ object VectorOps {
    * the engine's `part=`-partitioned index layouts — the IVF twin's
    * `vectors`, the IVF-PQ twin's `codes`, the BM25 index's
    * `postings`, the MinHash index's `bands` (pass the sub-table name;
-   * spec-pinned on the BM25 layout too).
+   * spec-pinned on the BM25 layout too) — on ANY Hadoop-supported
+   * filesystem (the listing goes through the Hadoop `FileSystem` API
+   * like every other index reader, VERDICT r16 #1: a 100 TB index
+   * lives on HDFS/S3, where a `java.io.File` listing returns nothing
+   * and the monitor would refuse a perfectly healthy index).
    */
   def ivfIndexDiskStats(spark: org.apache.spark.sql.SparkSession,
       path: String, sub: String = "vectors"): DataFrame = {
-    val dirs = new java.io.File(s"$path/$sub").listFiles()
-    require(dirs != null, s"no $sub layout at $path")
-    val rows = dirs.filter(_.getName.startsWith("part="))
+    val hp = new org.apache.hadoop.fs.Path(s"$path/$sub")
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(hp) && fs.getFileStatus(hp).isDirectory,
+      s"no $sub layout at $path")
+    val rows = fs.listStatus(hp)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("part="))
       .map { d =>
-        val fs = d.listFiles().filter(_.getName.endsWith(".parquet"))
-        (d.getName.stripPrefix("part=").toInt, fs.length,
-          fs.map(_.length()).sum)
+        val files = fs.listStatus(d.getPath)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        (d.getPath.getName.stripPrefix("part=").toInt, files.length,
+          files.map(_.getLen).sum)
       }.sortBy(_._1).toSeq
     import spark.implicits._
     rows.toDF("part", "n_files", "bytes")
@@ -1150,13 +1258,29 @@ object VectorOps {
         nParts = ivfIndexNParts(spark, path))
       .select(col("vec_id").cast("long").as("neighbor_id"),
         col("embedding"), col("cluster").cast("long").as("cluster"))
+    // replay absorption (ADVICE r16): an at-least-once ingest
+    // (VecStream.ivfIngestRun under foreachBatch) that crashes and
+    // replays a batch appends byte-identical (vec_id, cluster,
+    // embedding) rows — without a dedup the duplicated neighbor takes
+    // two ranks and displaces a genuine one. Duplicates score
+    // identically, so under the rank window's (score desc, neighbor_id
+    // asc) order they are ADJACENT within each probe partition: a lag
+    // flag over the SAME window spec dedups them with ZERO extra
+    // exchanges (both windows partition on probe_id — one shuffle, one
+    // sort). Re-appending an existing vec_id with a CHANGED embedding
+    // is NOT a replay and stays unsupported (both rows rank) —
+    // [[rebuildIvfIndex]] is the repair.
+    val wRank = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
     p.join(vecs, Seq("cluster"))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .select(col("probe_id"), col("cluster"), col("neighbor_id"),
         cosine6(col("p_emb"), col("embedding")).as("score"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("probe_id"))
-          .orderBy(col("score").desc, col("neighbor_id").asc)))
+      .withColumn("dup",
+        col("neighbor_id") === lag(col("neighbor_id"), 1).over(wRank) &&
+          col("score") === lag(col("score"), 1).over(wRank))
+      .filter(!coalesce(col("dup"), lit(false)))
+      .withColumn("rnk", row_number().over(wRank))
       .filter(col("rnk") <= k)
       .select(col("probe_id"), col("cluster"),
         col("rnk").cast("int").as("rnk"), col("neighbor_id"),
@@ -1733,7 +1857,12 @@ object VectorOps {
    * append under their cells' part directories; nothing existing moves and
    * earlier queries' rankings are unchanged. Quantization drift under
    * a shifting corpus is the documented trade (monitor cell sizes /
-   * [[pqRecall]]; re-train = re-build).
+   * [[pqRecall]]; re-train = re-build FROM THE SOURCE CORPUS — codes
+   * are lossy, so unlike [[rebuildIvfIndex]] this index cannot
+   * retrain from its own contents). At-least-once replays re-add
+   * byte-identical code rows; [[ivfPqIndexTopK]] absorbs them with
+   * the same window-ride dedup as the IVF twin. Re-encoding an
+   * existing vec_id with changed embedding bytes is unsupported.
    */
   def appendToIvfPqIndex(newEmb: DataFrame, path: String): Unit = {
     val spark = newEmb.sparkSession
@@ -1794,14 +1923,22 @@ object VectorOps {
         nParts = nParts)
       .select(col("vec_id").cast("long").as("neighbor_id"),
         col("codes"), col("cluster").cast("long").as("cluster"))
+    // replay absorption — the [[ivfIndexTopK]] lag-flag dedup on the
+    // ADC rank window (same argument: replayed codes rows are
+    // byte-identical, hence adjacent under the window's order; the
+    // flag rides the window's own exchange+sort)
+    val wRank = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
     broadcast(p).join(codes, Seq("cluster"))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .select(col("probe_id"), col("cluster"), col("neighbor_id"),
         round(graft.functions.pq_adc(col("p_emb"), col("codes"), book), 6)
           .as("adc_dist"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("probe_id"))
-          .orderBy(col("adc_dist").asc, col("neighbor_id").asc)))
+      .withColumn("dup",
+        col("neighbor_id") === lag(col("neighbor_id"), 1).over(wRank) &&
+          col("adc_dist") === lag(col("adc_dist"), 1).over(wRank))
+      .filter(!coalesce(col("dup"), lit(false)))
+      .withColumn("rnk", row_number().over(wRank))
       .filter(col("rnk") <= k)
       .select(col("probe_id"), col("cluster"),
         col("rnk").cast("int").as("rnk"), col("neighbor_id"),

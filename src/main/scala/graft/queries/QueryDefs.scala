@@ -87,6 +87,76 @@ object QueryDefs {
       |FROM scored WHERE score > 0.0
       |QUALIFY rnk <= 20""".stripMargin
 
+  /** The full-corpus trained-IVF search chain (2-round deterministic
+    * Lloyd on micro-quantized components, nearest-cell assignment,
+    * in-cell cosine rank), shared VERBATIM by `ivf_index_topk` (the
+    * persisted round trip) and `ivf_index_rebuild` (r17 — the
+    * retrain-into-staging + atomic-swap lifecycle: a rebuilt index
+    * must answer exactly like a fresh full-corpus build, including
+    * after the fixture's replayed append left duplicate rows for the
+    * rebuild's dedup to purge). */
+  private val ivfIndexTopkOracle: String = {
+    def assign(name: String, cents: String, src: String) =
+      s"""$name AS (
+         |  SELECT vec_id, cid AS cluster FROM (
+         |    SELECT q.vec_id, c.cid, row_number() OVER (
+         |      PARTITION BY q.vec_id
+         |      ORDER BY list_sum(list_transform(list_zip(q.qx, c.qc),
+         |        x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC, c.cid ASC)
+         |      AS rn
+         |    FROM $src q, $cents c) WHERE rn = 1)""".stripMargin
+    def update(name: String, assigned: String, prev: String) =
+      s"""$name AS (
+         |  SELECT p.cid,
+         |    CASE WHEN m.qc IS NULL THEN p.qc ELSE m.qc END AS qc
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT cluster AS cid,
+         |      list(CASE WHEN s >= 0 THEN (2*s + n) // (2*n)
+         |        ELSE -((2*(-s) + n) // (2*n)) END ORDER BY dim) AS qc
+         |    FROM (
+         |      SELECT cluster, dim, sum(x) AS s, count(*) AS n FROM (
+         |        SELECT a.cluster, unnest(q.qx) AS x,
+         |          generate_subscripts(q.qx, 1) AS dim
+         |        FROM $assigned a JOIN q USING (vec_id))
+         |      GROUP BY 1, 2)
+         |    GROUP BY cid) m ON p.cid = m.cid)""".stripMargin
+    s"""WITH q AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+       |    list_transform(embedding,
+       |      v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
+       |      AS qx
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, qx AS qc FROM q WHERE vec_id < 16),
+       |${assign("a1", "c0", "q")},
+       |${update("c1", "a1", "c0")},
+       |${assign("a2", "c1", "q")},
+       |${update("c2", "a2", "c1")},
+       |${assign("af", "c2", "q")},
+       |assigned AS (
+       |  SELECT q.vec_id, q.embedding, af.cluster
+       |  FROM q JOIN af USING (vec_id)),
+       |probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS p_emb, cluster
+       |  FROM assigned WHERE vec_id < 16),
+       |scored AS (
+       |  SELECT p.probe_id, p.cluster, a.vec_id AS neighbor_id,
+       |    round(
+       |      list_sum(list_transform(list_zip(p.p_emb, a.embedding),
+       |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+       |      (sqrt(list_sum(list_transform(p.p_emb,
+       |         v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+       |       sqrt(list_sum(list_transform(a.embedding,
+       |         v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS score
+       |  FROM probes p JOIN assigned a
+       |    ON p.cluster = a.cluster AND a.vec_id <> p.probe_id)
+       |SELECT probe_id, cluster,
+       |  CAST(row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY score DESC, neighbor_id ASC) AS INT) AS rnk,
+       |  neighbor_id, score
+       |FROM scored
+       |QUALIFY rnk <= 5""".stripMargin
+  }
+
   /** The full IVFADC chain (cosine coarse routing + first-16 PQ books +
     * per-subvector encode + ADC scoring), shared VERBATIM by
     * `embed_ann_ivfpq` (in-memory), `ivfpq_index_topk` (persisted
@@ -4527,6 +4597,31 @@ GROUP BY c.doc_id""")),
     },
       Some(bm25Oracle)),
 
+    // REBUILD lifecycle (r17 — VERDICT r16 #3, the BM25 half): build
+    // from the even doc_ids, append the odd half, REPLAY that append
+    // verbatim (the at-least-once crash/retry that leaves duplicate
+    // posting/doclen rows on disk), then rebuildBm25Index
+    // canonicalizes the whole index — (term, doc_id)/doc_id dedup,
+    // pristine term-sorted re-layout, recomputed stats — behind the
+    // atomic two-rename swap. Same full-corpus oracle as bm25_topk:
+    // hash parity certifies post-rebuild answers equal a fresh
+    // buildBm25Index over the full corpus.
+    ("bm25_index_rebuild", (s: SparkSession, dir: String) => {
+      val tag = dirTag(dir)
+      val docs = t(s, dir, "documents")
+      val path = s"/tmp/graft_bm25index_rb/$tag"
+      if (fixtureMemo.add(s"bm25index_rb|$dir")) {
+        TextOps.buildBm25Index(docs.filter(col("doc_id") % 2 === 0), path)
+        val odd = docs.filter(col("doc_id") % 2 =!= 0)
+        TextOps.appendToBm25Index(odd, path)
+        TextOps.appendToBm25Index(odd, path) // at-least-once replay
+        TextOps.rebuildBm25Index(s, path)
+      }
+      TextOps.bm25AgainstIndex(s, path,
+        Seq("hash", "join", "vector"), kTop = 20)
+    },
+      Some(bm25Oracle)),
+
     // Hybrid retrieval: BM25 sparse list ⊕ dense cosine list for probe 0
     // (vec_id/doc_id share the testdata id space), fused by reciprocal
     // rank — only RANKS enter, so the incomparable score scales never
@@ -6012,6 +6107,44 @@ GROUP BY c.doc_id""")),
            |SELECT doc_id, eval_id, sim AS max_sim
            |FROM best WHERE rn = 1 AND sim >= 0.4""".stripMargin)),
 
+    // INDEXED semantic decontamination (r17 — VERDICT r16 #2): the
+    // too-big-to-broadcast composition the broadcast path's scaladoc
+    // promises, certified. The eval suite is built ONCE into a
+    // persisted IVF index; the training corpus then streams as probes
+    // (k = 1) and thresholds on the top score. nProbe = nCentroids
+    // probes every cell, so the search is EXACT and the oracle is the
+    // broadcast path's chain VERBATIM — hash parity certifies the
+    // index round trip, the rank-window argmax (ties to lowest
+    // eval_id, same as the struct-max), and the threshold all match.
+    ("semantic_contamination_indexed", (s: SparkSession, dir: String) => {
+      val tag = dirTag(dir)
+      val emb = t(s, dir, "embeddings")
+      val path = s"/tmp/graft_evalindex/$tag"
+      if (fixtureMemo.add(s"evalindex|$dir"))
+        VectorOps.buildIvfIndex(emb.filter(col("vec_id") % 10 === 0), path,
+          nCentroids = 32, iters = 2)
+      VectorOps.semanticContaminationIndexed(
+        emb.filter(col("vec_id") % 10 =!= 0), path,
+        threshold = 0.4, nProbe = 32)
+    },
+      Some(
+        s"""WITH tr AS (
+           |  SELECT CAST(vec_id AS BIGINT) AS doc_id, embedding
+           |  FROM embeddings WHERE vec_id % 10 <> 0),
+           |ev AS (
+           |  SELECT CAST(vec_id AS BIGINT) AS eval_id, embedding
+           |  FROM embeddings WHERE vec_id % 10 = 0),
+           |pairs AS (
+           |  SELECT t.doc_id, e.eval_id,
+           |    ${cosSql("t.embedding", "e.embedding")} AS sim
+           |  FROM tr t CROSS JOIN ev e),
+           |best AS (
+           |  SELECT doc_id, eval_id, sim, row_number() OVER (
+           |    PARTITION BY doc_id ORDER BY sim DESC, eval_id ASC) AS rn
+           |  FROM pairs)
+           |SELECT doc_id, eval_id, sim AS max_sim
+           |FROM best WHERE rn = 1 AND sim >= 0.4""".stripMargin)),
+
     ("semantic_dedup", (s: SparkSession, dir: String) =>
       VectorOps.semanticDedup(t(s, dir, "embeddings"), threshold = 0.3),
       Some(
@@ -6395,67 +6528,7 @@ GROUP BY c.doc_id""")),
         VectorOps.buildIvfIndex(emb, path, nCentroids = 16, iters = 2)
       VectorOps.ivfIndexTopK(emb.filter(col("vec_id") < 16), path, k = 5)
     },
-      Some {
-        def assign(name: String, cents: String, src: String) =
-          s"""$name AS (
-             |  SELECT vec_id, cid AS cluster FROM (
-             |    SELECT q.vec_id, c.cid, row_number() OVER (
-             |      PARTITION BY q.vec_id
-             |      ORDER BY list_sum(list_transform(list_zip(q.qx, c.qc),
-             |        x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC, c.cid ASC)
-             |      AS rn
-             |    FROM $src q, $cents c) WHERE rn = 1)""".stripMargin
-        def update(name: String, assigned: String, prev: String) =
-          s"""$name AS (
-             |  SELECT p.cid,
-             |    CASE WHEN m.qc IS NULL THEN p.qc ELSE m.qc END AS qc
-             |  FROM $prev p LEFT JOIN (
-             |    SELECT cluster AS cid,
-             |      list(CASE WHEN s >= 0 THEN (2*s + n) // (2*n)
-             |        ELSE -((2*(-s) + n) // (2*n)) END ORDER BY dim) AS qc
-             |    FROM (
-             |      SELECT cluster, dim, sum(x) AS s, count(*) AS n FROM (
-             |        SELECT a.cluster, unnest(q.qx) AS x,
-             |          generate_subscripts(q.qx, 1) AS dim
-             |        FROM $assigned a JOIN q USING (vec_id))
-             |      GROUP BY 1, 2)
-             |    GROUP BY cid) m ON p.cid = m.cid)""".stripMargin
-        s"""WITH q AS (
-           |  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
-           |    list_transform(embedding,
-           |      v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
-           |      AS qx
-           |  FROM embeddings),
-           |c0 AS (SELECT vec_id AS cid, qx AS qc FROM q WHERE vec_id < 16),
-           |${assign("a1", "c0", "q")},
-           |${update("c1", "a1", "c0")},
-           |${assign("a2", "c1", "q")},
-           |${update("c2", "a2", "c1")},
-           |${assign("af", "c2", "q")},
-           |assigned AS (
-           |  SELECT q.vec_id, q.embedding, af.cluster
-           |  FROM q JOIN af USING (vec_id)),
-           |probes AS (
-           |  SELECT vec_id AS probe_id, embedding AS p_emb, cluster
-           |  FROM assigned WHERE vec_id < 16),
-           |scored AS (
-           |  SELECT p.probe_id, p.cluster, a.vec_id AS neighbor_id,
-           |    round(
-           |      list_sum(list_transform(list_zip(p.p_emb, a.embedding),
-           |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
-           |      (sqrt(list_sum(list_transform(p.p_emb,
-           |         v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
-           |       sqrt(list_sum(list_transform(a.embedding,
-           |         v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS score
-           |  FROM probes p JOIN assigned a
-           |    ON p.cluster = a.cluster AND a.vec_id <> p.probe_id)
-           |SELECT probe_id, cluster,
-           |  CAST(row_number() OVER (PARTITION BY probe_id
-           |    ORDER BY score DESC, neighbor_id ASC) AS INT) AS rnk,
-           |  neighbor_id, score
-           |FROM scored
-           |QUALIFY rnk <= 5""".stripMargin
-      }),
+      Some(ivfIndexTopkOracle)),
 
     // INCREMENTAL add to the persisted IVF index (FAISS `add`): the
     // index is built from the EVEN vec_ids only — codebook trained on
@@ -6574,6 +6647,33 @@ GROUP BY c.doc_id""")),
            |  round(n_vecs / total, 6) AS frac,
            |  round(max_vecs * n_cells / total, 6) AS imbalance
            |FROM filled CROSS JOIN tot""".stripMargin)),
+
+    // RE-TRAIN lifecycle (r17 — VERDICT r16 #3): the index is built
+    // from the EVEN vec_ids, the odd half appended with the codebook
+    // frozen, the odd append REPLAYED verbatim (the at-least-once
+    // crash/retry, leaving duplicate rows on disk), and then
+    // rebuildIvfIndex retrains the codebook over the full stored
+    // corpus — dedup by vec_id, fresh Lloyd, pristine cell layout —
+    // into a staging sibling published by the atomic two-rename swap.
+    // Oracle = the full-corpus trained chain VERBATIM (the
+    // ivf_index_topk oracle): hash parity certifies post-rebuild
+    // answers equal a fresh buildIvfIndex over the full corpus — the
+    // retrain retrained, the dedup purged, the swap lost nothing.
+    ("ivf_index_rebuild", (s: SparkSession, dir: String) => {
+      val tag = dirTag(dir)
+      val emb = t(s, dir, "embeddings")
+      val path = s"/tmp/graft_ivfindex_rb/$tag"
+      if (fixtureMemo.add(s"ivfindex_rb|$dir")) {
+        VectorOps.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0), path,
+          nCentroids = 16, iters = 2)
+        val odd = emb.filter(col("vec_id") % 2 =!= 0)
+        VectorOps.appendToIvfIndex(odd, path)
+        VectorOps.appendToIvfIndex(odd, path) // at-least-once replay
+        VectorOps.rebuildIvfIndex(s, path)
+      }
+      VectorOps.ivfIndexTopK(emb.filter(col("vec_id") < 16), path, k = 5)
+    },
+      Some(ivfIndexTopkOracle)),
 
     // BATCH retrieval against the persisted BM25 index — the standing-
     // service shape (many query bags, ONE pruned postings read): four

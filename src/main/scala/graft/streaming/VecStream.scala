@@ -31,18 +31,21 @@ object VecStream {
    * (they may just not see the newest batch yet — the usual
    * read-committed freshness of a file-based index).
    *
-   * Semantics note: `foreachBatch` is at-least-once — a replayed
-   * batch re-appends byte-identical rows, which probe-time reads
-   * absorb the way any retried parquet append is absorbed: duplicate
-   * (vec_id, cluster) rows score identically and rank windows keep
-   * one per neighbor id only when the caller dedups; exact replays
-   * are an orchestration concern (checkpointing) exactly as the
-   * append scaladoc states. Quantization drift under a shifting
-   * corpus is the documented trade — monitor with
-   * [[graft.operators.VectorOps.ivfIndexStats]]; re-train =
-   * re-build. Appends serialize through the single writer. Blocks
-   * until the AvailableNow drain finishes; the query is stopped
-   * before a timeout surfaces.
+   * Semantics note: `foreachBatch` is at-least-once — a crash/restart
+   * REPLAYS a batch, appending byte-identical (vec_id, cluster,
+   * embedding) rows. Probe-time reads absorb them:
+   * [[graft.operators.VectorOps.ivfIndexTopK]] dedups replayed
+   * neighbors on its rank window (ADVICE r16 — without it the
+   * duplicated neighbor took two ranks and displaced a genuine one),
+   * and [[graft.operators.VectorOps.rebuildIvfIndex]] purges them
+   * from disk. What replays do NOT absorb: a feed that re-keys an
+   * existing vec_id to CHANGED embedding bytes — that is an update,
+   * not a replay, and is unsupported (both rows rank). Quantization
+   * drift under a shifting corpus is the documented trade — monitor
+   * with [[graft.operators.VectorOps.ivfIndexStats]]; re-train =
+   * [[graft.operators.VectorOps.rebuildIvfIndex]]. Appends serialize
+   * through the single writer. Blocks until the AvailableNow drain
+   * finishes; the query is stopped before a timeout surfaces.
    */
   def ivfIngestRun(stream: DataFrame, indexPath: String,
       checkpoint: String, timeoutMs: Long = 300000L): Unit = {
@@ -110,7 +113,10 @@ object VecStream {
    * [[graft.operators.VectorOps.appendToIvfPqIndex]]: BOTH codebooks
    * (coarse cells and the PQ sub-quantizers) stay frozen, new vectors
    * assign + encode map-side and land as m-int codes under their
-   * cells' part directories.
+   * cells' part directories. Same at-least-once story: replayed
+   * batches re-append byte-identical code rows, which
+   * [[graft.operators.VectorOps.ivfPqIndexTopK]]'s rank-window dedup
+   * absorbs; re-keyed (changed-embedding) vec_ids are unsupported.
    */
   def ivfPqIngestRun(stream: DataFrame, indexPath: String,
       checkpoint: String, timeoutMs: Long = 300000L): Unit = {

@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scratch driver for one-off probes (see .claude/skills/verify). */
@@ -13,38 +14,42 @@ object Probe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.ensureRegistered(spark)
+    import spark.implicits._
 
-    // r16 probe: does the TrackScale corpus really contain division
-    // and merge events? (The SCALE.md decade section claims them by
-    // construction; count them empirically on a 2-movie slice.)
-    val k = 40; val tF = 50; val half = tF / 2
-    val base = spark.range(2L * tF * k).select(
-      format_string("trk-%06d", (col("id") / (tF * k)).cast("int"))
-        .as("image_id"),
-      lit(0).as("c"), lit(0).as("z"),
-      ((col("id") / k) % tF).cast("int").as("t"),
-      (col("id") % k).cast("int").as("lane"))
-    val alive = base.filter(!(col("lane") % 8 === 4 && col("t") >= half))
-    val merging = col("lane") % 8 === 4 && col("t") === half - 1
-    val positioned = alive.select(col("image_id"), col("c"), col("z"),
-      col("t"), col("lane").as("label"),
-      when(merging, (col("lane") - 1) * 10.0 + 2.0)
-        .otherwise(col("lane") * 10.0).as("cy"),
-      when(merging, col("t") + (col("lane") - 1) % 7 + 1.0)
-        .otherwise((col("t") + col("lane") % 7).cast("double")).as("cx"))
-    val children = base.filter(col("lane") % 8 === 0 && col("t") >= half)
-      .select(col("image_id"), col("c"), col("z"), col("t"),
-        (col("lane") + k).as("label"),
-        (col("lane") * 10.0 + 1.0).as("cy"),
-        (col("t") + col("lane") % 7).cast("double").as("cx"))
-    val corpus = positioned.unionByName(children)
-    val ev = graft.operators.OmeOps.trackEvents(corpus, maxDisp = 3.0)
-    ev.agg(
-      sum(col("is_division_child").cast("long")).as("divisions"),
-      sum(col("is_merge_child").cast("long")).as("merges"))
-      .collect().foreach(r =>
-        println(s"=== trackscale 2-movie corpus: divisions=${r.get(0)} " +
-          s"merges=${r.get(1)} (expect 5 x 2 of each)"))
+    // r17 probe 1: the appendToMinhashIndex lag-flag dedup must SHARE
+    // the bn window's (band, band_key) exchange — exactly ONE Exchange
+    // in the merged-frame plan (the r16 dropDuplicates shape had two).
+    val rows = Seq((1L, 0, 123L, 3), (1L, 0, 123L, 3), (2L, 0, 123L, 3),
+      (2L, 1, 77L, 5)).toDF("ref_id", "band", "band_key", "part")
+    val wBucket = Window.partitionBy($"band", $"band_key")
+    val wOrd = wBucket.orderBy($"ref_id".asc)
+    val merged = rows
+      .withColumn("dupb", $"ref_id" === lag($"ref_id", 1).over(wOrd))
+      .filter(!coalesce($"dupb", lit(false))).drop("dupb")
+      .withColumn("bn", count(lit(1)).over(wBucket).cast("int"))
+    val p1 = merged.queryExecution.executedPlan.toString
+    println(s"=== minhash merged exchanges: ${
+      "Exchange".r.findAllIn(p1).size} (want 1)")
+
+    // r17 probe 2: ivfIndexTopK's replay dedup must ride the rank
+    // window — same exchange count as the pre-dedup shape (1 per-probe
+    // window exchange downstream of the probe-side broadcast join).
+    val e = spark.range(64).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(7)), d =>
+        (cos(($"id" % 8 + 1) * (d + 1)) + 0.1).cast("float"))
+        .as("embedding"))
+    val path = java.nio.file.Files.createTempDirectory("probe_ivf").toString
+    graft.operators.VectorOps.buildIvfIndex(e, path, nCentroids = 8,
+      iters = 1)
+    val q = graft.operators.VectorOps.ivfIndexTopK(
+      e.filter($"vec_id" < 4), path, k = 3, nProbe = 2)
+    q.collect()
+    val p2 = q.queryExecution.executedPlan.toString
+    val nEx = "Exchange".r.findAllIn(p2).size
+    val nWin = "Window".r.findAllIn(p2).size
+    println(s"=== ivfIndexTopK exchanges: $nEx windows: $nWin")
+    println("=== ivfIndexTopK plan tail:")
+    p2.linesIterator.take(24).foreach(l => println("    " + l))
     spark.stop()
   }
 }
