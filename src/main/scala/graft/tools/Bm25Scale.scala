@@ -107,6 +107,35 @@ object Bm25Scale {
         spark.catalog.clearCache()
       }
       show("query(post-append)", postQuery)
+
+      // Part 4 (r17 — VERDICT r16 #5): the standing-service decade
+      // point. 512 two-term bags answered as ONE batch, measured on
+      // BOTH read branches: the default literal-isin pruning (the
+      // batch vocabulary here is <= the full 30-word GenSf vocab, well
+      // under maxLiteralTerms) and the forced SEMI-JOIN branch
+      // (maxLiteralTerms = 1 — the mega-vocabulary plan shape, where
+      // inlined literals would make the plan the bottleneck).
+      {
+        import spark.implicits._
+        val v = GenSf.Vocab
+        val bags512 = (0 until 512).map(i =>
+          (i.toLong, Seq(v(i * 7 % v.size), v((i * 13 + 5) % v.size))))
+          .toDF("query_id", "terms")
+        show("batch512(literal)", median3 {
+          graft.operators.Caches.scoped {
+            graft.operators.TextOps.bm25BatchAgainstIndex(bags512, idx,
+              kTop = 10).count(): Unit
+          }
+          spark.catalog.clearCache()
+        })
+        show("batch512(semijoin)", median3 {
+          graft.operators.Caches.scoped {
+            graft.operators.TextOps.bm25BatchAgainstIndex(bags512, idx,
+              kTop = 10, maxLiteralTerms = 1).count(): Unit
+          }
+          spark.catalog.clearCache()
+        })
+      }
     }
 
     // Part 2: the REALISTIC-vocabulary counterpoint. GenSf's 30-word

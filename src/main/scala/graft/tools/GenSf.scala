@@ -50,7 +50,7 @@ object GenSf {
   // near-uniform usage) — keeping the SAME vocabulary keeps shingle
   // spaces, MinHash band collision rates, and tokenizer behavior
   // comparable across driver and generated tables.
-  private val Vocab = Seq("spark", "window", "merge", "table", "column",
+  private[tools] val Vocab = Seq("spark", "window", "merge", "table", "column",
     "vector", "stream", "value", "data", "small", "join", "filter", "big",
     "group", "hash", "customer", "sort", "order", "slow", "line", "part",
     "fast", "row", "the", "agg", "key", "query", "a", "scan", "batch")
