@@ -1880,6 +1880,35 @@ object VectorOps {
   }
 
   /**
+   * RE-TRAIN the IVF-PQ lifecycle's other half — the
+   * [[rebuildIvfIndex]] discipline for the compressed twin, with the
+   * one structural difference stated in the type: PQ codes are LOSSY,
+   * so the index cannot retrain from its own contents and the caller
+   * passes the SOURCE corpus. Both codebooks retrain fresh (coarse
+   * cells + sub-quantizers), the corpus re-encodes, the whole staged
+   * index publishes via the atomic two-rename swap, and any rows a
+   * crashed-and-replayed at-least-once append duplicated are purged
+   * (`vec_id` dedup on the source before encoding). Defaults re-read
+   * the live manifest; pass > 0 to re-size. Serving reads never see a
+   * half-index; crash windows restore the old one
+   * ([[LayoutOps.recoverIndexSwap]], called on entry).
+   */
+  def rebuildIvfPqIndex(emb: DataFrame, path: String, m: Int = 0,
+      kCent: Int = 0, nCentroids: Int = 0, nParts: Int = 0): Unit = {
+    val spark = emb.sparkSession
+    LayoutOps.recoverIndexSwap(spark, path)
+    val row = spark.read.parquet(s"$path/pq_book").head()
+    val mm = if (m > 0) m else row.getAs[Int]("m")
+    val kc = if (kCent > 0) kCent else row.getAs[Int]("k_cent")
+    val nc = if (nCentroids > 0) nCentroids
+      else row.getAs[Int]("n_centroids")
+    val np = if (nParts > 0) nParts else row.getAs[Int]("n_parts")
+    buildIvfPqIndex(emb.dropDuplicates("vec_id"),
+      LayoutOps.indexStagingPath(path), mm, kc, nc, np)
+    LayoutOps.commitIndexSwap(spark, path)
+  }
+
+  /**
    * Query a [[buildIvfPqIndex]] index: probes route to their `nProbe`
    * nearest cells by cosine against the stored coarse centroids (the
    * [[assignClusters]] ranking — identical ties, so an indexed probe

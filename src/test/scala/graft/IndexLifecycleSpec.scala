@@ -247,6 +247,34 @@ class IndexLifecycleSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("rebuildIvfPqIndex: retrain-from-source over build+replayed-" +
+      "append equals a fresh full build (codes are lossy, so the " +
+      "corpus is the argument)") {
+    val e16 = emb(64, dims = 16, patterns = 6)
+    val dirty = java.nio.file.Files
+      .createTempDirectory("ilc_pq_rb").toString
+    val fresh = java.nio.file.Files
+      .createTempDirectory("ilc_pq_fresh").toString
+    VectorOps.buildIvfPqIndex(e16.filter($"vec_id" < 32), dirty,
+      m = 4, kCent = 8, nCentroids = 8)
+    val rest = e16.filter($"vec_id" >= 32)
+    VectorOps.appendToIvfPqIndex(rest, dirty)
+    VectorOps.appendToIvfPqIndex(rest, dirty) // at-least-once replay
+    assert(spark.read.parquet(s"$dirty/codes").count() === 96L)
+    VectorOps.rebuildIvfPqIndex(e16, dirty) // params from the manifest
+    VectorOps.buildIvfPqIndex(e16, fresh, m = 4, kCent = 8,
+      nCentroids = 8)
+    assert(spark.read.parquet(s"$dirty/codes").count() === 64L,
+      "replayed code rows must be purged")
+    assert(spark.read.parquet(s"$dirty/pq_book").collect().toSeq ===
+      spark.read.parquet(s"$fresh/pq_book").collect().toSeq)
+    def pqRows(path: String) =
+      VectorOps.ivfPqIndexTopK(e16.filter($"vec_id" < 4), path, k = 5,
+        nProbe = 2).orderBy("probe_id", "rnk").collect().toSeq
+    assert(pqRows(dirty) === pqRows(fresh))
+    spark.catalog.clearCache()
+  }
+
   test("ivfIndexDiskStats goes through the Hadoop FileSystem API: an " +
       "explicit file: URI lists identically to the bare path, and a " +
       "missing layout still refuses loudly") {
