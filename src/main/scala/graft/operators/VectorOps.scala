@@ -1042,11 +1042,14 @@ object VectorOps {
    * crash-restoring) when file counts grow.
    *
    * At-least-once semantics: a crashed-and-replayed append re-adds
-   * byte-identical rows; probe-time reads ([[ivfIndexTopK]]) absorb
-   * them with a window-ride dedup, and [[rebuildIvfIndex]] purges them
-   * from disk. Re-appending an existing `vec_id` with CHANGED
-   * embedding bytes is unsupported (both rows are stored and both
-   * rank) — treat vec_ids as immutable, or rebuild.
+   * byte-identical rows, which give the duplicated neighbor two ranks
+   * in a default probe read. The recovery pair: query with
+   * `ivfIndexTopK(..., absorbReplays = true)` (window-ride dedup; pays
+   * the partial-window-limit bytes) in the window between the crash
+   * and [[rebuildIvfIndex]], which purges the duplicates from disk.
+   * Re-appending an existing `vec_id` with CHANGED embedding bytes is
+   * unsupported (both rows are stored and both rank) — treat vec_ids
+   * as immutable, or rebuild.
    */
   def appendToIvfIndex(newEmb: DataFrame, path: String): Unit = {
     val spark = newEmb.sparkSession
@@ -1231,7 +1234,7 @@ object VectorOps {
    * broadcasts the probe side.
    */
   def ivfIndexTopK(probes: DataFrame, path: String, k: Int,
-      nProbe: Int = 1): DataFrame = {
+      nProbe: Int = 1, absorbReplays: Boolean = false): DataFrame = {
     require(k > 0 && nProbe > 0, "ivfIndexTopK: k > 0, nProbe > 0")
     val spark = probes.sparkSession
     graft.functions.ensureRegistered(spark)
@@ -1265,21 +1268,30 @@ object VectorOps {
     // two ranks and displaces a genuine one. Duplicates score
     // identically, so under the rank window's (score desc, neighbor_id
     // asc) order they are ADJACENT within each probe partition: a lag
-    // flag over the SAME window spec dedups them with ZERO extra
-    // exchanges (both windows partition on probe_id — one shuffle, one
-    // sort). Re-appending an existing vec_id with a CHANGED embedding
-    // is NOT a replay and stays unsupported (both rows rank) —
-    // [[rebuildIvfIndex]] is the repair.
+    // flag over the SAME window spec dedups them with zero extra
+    // exchanges. OPT-IN (`absorbReplays`) because the flag is not
+    // free at scale: a bare Filter(rnk<=k)-over-row_number pattern
+    // gets Spark's PARTIAL WindowGroupLimit below the exchange (only
+    // ~top-k rows per probe per map partition shuffle), while the lag
+    // window above the same exchange forces EVERY scored pair through
+    // it — MBs vs hundreds of GB at production probe batches. Default
+    // keeps the k-bounded plan; query with absorbReplays = true in
+    // the window between an ingest crash and its [[rebuildIvfIndex]]
+    // repair. Re-appending an existing vec_id with a CHANGED embedding
+    // is NOT a replay and stays unsupported (both rows rank).
     val wRank = Window.partitionBy(col("probe_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
-    p.join(vecs, Seq("cluster"))
+    val scored = p.join(vecs, Seq("cluster"))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .select(col("probe_id"), col("cluster"), col("neighbor_id"),
         cosine6(col("p_emb"), col("embedding")).as("score"))
+    val deduped = if (!absorbReplays) scored else scored
       .withColumn("dup",
         col("neighbor_id") === lag(col("neighbor_id"), 1).over(wRank) &&
           col("score") === lag(col("score"), 1).over(wRank))
       .filter(!coalesce(col("dup"), lit(false)))
+      .drop("dup")
+    deduped
       .withColumn("rnk", row_number().over(wRank))
       .filter(col("rnk") <= k)
       .select(col("probe_id"), col("cluster"),
@@ -1857,12 +1869,13 @@ object VectorOps {
    * append under their cells' part directories; nothing existing moves and
    * earlier queries' rankings are unchanged. Quantization drift under
    * a shifting corpus is the documented trade (monitor cell sizes /
-   * [[pqRecall]]; re-train = re-build FROM THE SOURCE CORPUS — codes
-   * are lossy, so unlike [[rebuildIvfIndex]] this index cannot
-   * retrain from its own contents). At-least-once replays re-add
-   * byte-identical code rows; [[ivfPqIndexTopK]] absorbs them with
-   * the same window-ride dedup as the IVF twin. Re-encoding an
-   * existing vec_id with changed embedding bytes is unsupported.
+   * [[pqRecall]]; re-train = [[rebuildIvfPqIndex]] FROM THE SOURCE
+   * CORPUS — codes are lossy, so unlike [[rebuildIvfIndex]] this
+   * index cannot retrain from its own contents). At-least-once
+   * replays re-add byte-identical code rows; query with
+   * `absorbReplays = true` between a crash and the rebuild, exactly
+   * as the IVF twin. Re-encoding an existing vec_id with changed
+   * embedding bytes is unsupported.
    */
   def appendToIvfPqIndex(newEmb: DataFrame, path: String): Unit = {
     val spark = newEmb.sparkSession
@@ -1925,7 +1938,7 @@ object VectorOps {
    * is the pruned code partitions streaming through the ADC kernel.
    */
   def ivfPqIndexTopK(probes: DataFrame, path: String, k: Int,
-      nProbe: Int = 1): DataFrame = {
+      nProbe: Int = 1, absorbReplays: Boolean = false): DataFrame = {
     require(k > 0 && nProbe > 0, "ivfPqIndexTopK: k > 0, nProbe > 0")
     val spark = probes.sparkSession
     graft.functions.ensureRegistered(spark)
@@ -1953,20 +1966,24 @@ object VectorOps {
       .select(col("vec_id").cast("long").as("neighbor_id"),
         col("codes"), col("cluster").cast("long").as("cluster"))
     // replay absorption — the [[ivfIndexTopK]] lag-flag dedup on the
-    // ADC rank window (same argument: replayed codes rows are
-    // byte-identical, hence adjacent under the window's order; the
-    // flag rides the window's own exchange+sort)
+    // ADC rank window, OPT-IN for the same reason (the lag window
+    // forfeits the partial WindowGroupLimit's k-bounded shuffle;
+    // default keeps the scale plan, absorbReplays = true covers the
+    // crash-to-rebuild window)
     val wRank = Window.partitionBy(col("probe_id"))
       .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
-    broadcast(p).join(codes, Seq("cluster"))
+    val scored = broadcast(p).join(codes, Seq("cluster"))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .select(col("probe_id"), col("cluster"), col("neighbor_id"),
         round(graft.functions.pq_adc(col("p_emb"), col("codes"), book), 6)
           .as("adc_dist"))
+    val deduped = if (!absorbReplays) scored else scored
       .withColumn("dup",
         col("neighbor_id") === lag(col("neighbor_id"), 1).over(wRank) &&
           col("adc_dist") === lag(col("adc_dist"), 1).over(wRank))
       .filter(!coalesce(col("dup"), lit(false)))
+      .drop("dup")
+    deduped
       .withColumn("rnk", row_number().over(wRank))
       .filter(col("rnk") <= k)
       .select(col("probe_id"), col("cluster"),

@@ -33,16 +33,19 @@ object VecStream {
    *
    * Semantics note: `foreachBatch` is at-least-once — a crash/restart
    * REPLAYS a batch, appending byte-identical (vec_id, cluster,
-   * embedding) rows. Probe-time reads absorb them:
-   * [[graft.operators.VectorOps.ivfIndexTopK]] dedups replayed
-   * neighbors on its rank window (ADVICE r16 — without it the
-   * duplicated neighbor took two ranks and displaced a genuine one),
-   * and [[graft.operators.VectorOps.rebuildIvfIndex]] purges them
-   * from disk. What replays do NOT absorb: a feed that re-keys an
-   * existing vec_id to CHANGED embedding bytes — that is an update,
-   * not a replay, and is unsupported (both rows rank). Quantization
-   * drift under a shifting corpus is the documented trade — monitor
-   * with [[graft.operators.VectorOps.ivfIndexStats]]; re-train =
+   * embedding) rows, and a DEFAULT probe read then ranks the
+   * duplicated neighbor twice (ADVICE r16 — stated plainly: replayed
+   * batches degrade topK until repaired). The recovery pair: query
+   * with [[graft.operators.VectorOps.ivfIndexTopK]]'s
+   * `absorbReplays = true` (rank-window dedup; trades the partial
+   * window limit's k-bounded shuffle) from the crash until
+   * [[graft.operators.VectorOps.rebuildIvfIndex]] purges the
+   * duplicates from disk. What neither absorbs: a feed that re-keys
+   * an existing vec_id to CHANGED embedding bytes — that is an
+   * update, not a replay, and is unsupported (both rows rank).
+   * Quantization drift under a shifting corpus is the documented
+   * trade — monitor with
+   * [[graft.operators.VectorOps.ivfIndexStats]]; re-train =
    * [[graft.operators.VectorOps.rebuildIvfIndex]]. Appends serialize
    * through the single writer. Blocks until the AvailableNow drain
    * finishes; the query is stopped before a timeout surfaces.
@@ -114,9 +117,12 @@ object VecStream {
    * (coarse cells and the PQ sub-quantizers) stay frozen, new vectors
    * assign + encode map-side and land as m-int codes under their
    * cells' part directories. Same at-least-once story: replayed
-   * batches re-append byte-identical code rows, which
-   * [[graft.operators.VectorOps.ivfPqIndexTopK]]'s rank-window dedup
-   * absorbs; re-keyed (changed-embedding) vec_ids are unsupported.
+   * batches re-append byte-identical code rows that degrade a
+   * default probe read's topK until repaired — query
+   * [[graft.operators.VectorOps.ivfPqIndexTopK]] with
+   * `absorbReplays = true` from the crash until
+   * [[graft.operators.VectorOps.rebuildIvfPqIndex]] purges them;
+   * re-keyed (changed-embedding) vec_ids are unsupported.
    */
   def ivfPqIngestRun(stream: DataFrame, indexPath: String,
       checkpoint: String, timeoutMs: Long = 300000L): Unit = {

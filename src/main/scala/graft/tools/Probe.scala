@@ -31,9 +31,11 @@ object Probe {
     println(s"=== minhash merged exchanges: ${
       "Exchange".r.findAllIn(p1).size} (want 1)")
 
-    // r17 probe 2: ivfIndexTopK's replay dedup must ride the rank
-    // window — same exchange count as the pre-dedup shape (1 per-probe
-    // window exchange downstream of the probe-side broadcast join).
+    // r17 probe 2: the DEFAULT ivfIndexTopK must keep the PARTIAL
+    // WindowGroupLimit below the rank exchange (k-bounded shuffle —
+    // the scale plan), and absorbReplays=true must add its lag dedup
+    // with the SAME exchange count (the dedup rides the rank window;
+    // it forfeits only the partial limit, never adds a shuffle).
     val e = spark.range(64).select($"id".as("vec_id"),
       transform(sequence(lit(0), lit(7)), d =>
         (cos(($"id" % 8 + 1) * (d + 1)) + 0.1).cast("float"))
@@ -41,15 +43,19 @@ object Probe {
     val path = java.nio.file.Files.createTempDirectory("probe_ivf").toString
     graft.operators.VectorOps.buildIvfIndex(e, path, nCentroids = 8,
       iters = 1)
-    val q = graft.operators.VectorOps.ivfIndexTopK(
-      e.filter($"vec_id" < 4), path, k = 3, nProbe = 2)
-    q.collect()
-    val p2 = q.queryExecution.executedPlan.toString
-    val nEx = "Exchange".r.findAllIn(p2).size
-    val nWin = "Window".r.findAllIn(p2).size
-    println(s"=== ivfIndexTopK exchanges: $nEx windows: $nWin")
-    println("=== ivfIndexTopK plan tail:")
-    p2.linesIterator.take(24).foreach(l => println("    " + l))
+    for (absorb <- Seq(false, true)) {
+      val q = graft.operators.VectorOps.ivfIndexTopK(
+        e.filter($"vec_id" < 4), path, k = 3, nProbe = 2,
+        absorbReplays = absorb)
+      q.collect()
+      val p2 = q.queryExecution.executedPlan.toString
+      val nEx = "Exchange".r.findAllIn(p2).size
+      val nPartial = "WindowGroupLimit.*Partial".r.findAllIn(p2).size
+      println(s"=== ivfIndexTopK(absorb=$absorb) exchanges: $nEx " +
+        s"partial-window-limits: $nPartial" +
+        (if (!absorb) " (want >=1 — the k-bounded shuffle)" else ""))
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }

@@ -205,8 +205,9 @@ class IndexLifecycleSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
-  test("ivfIndexTopK / ivfPqIndexTopK absorb a replayed append: the " +
-      "duplicated neighbor keeps ONE rank and displaces nothing " +
+  test("ivfIndexTopK / ivfPqIndexTopK with absorbReplays absorb a " +
+      "replayed append — the duplicated neighbor keeps ONE rank and " +
+      "displaces nothing — and the flag is a no-op on a clean index " +
       "(ADVICE r16)") {
     val e = emb(64)
     val once = java.nio.file.Files
@@ -221,11 +222,24 @@ class IndexLifecycleSpec extends SparkSpec {
     }
     VectorOps.appendToIvfIndex(inc, twice) // the replay
     val probes = e.filter($"vec_id" < 4)
-    val r1 = topkRows(once, probes)
-    val r2 = topkRows(twice, probes)
+    def rows(path: String, absorb: Boolean) =
+      VectorOps.ivfIndexTopK(probes, path, k = 5, nProbe = 2,
+        absorbReplays = absorb).orderBy("probe_id", "rnk")
+        .collect().toSeq
+    // clean index: the flag changes nothing (the dedup is a no-op)
+    assert(rows(once, absorb = false) === rows(once, absorb = true))
+    // replayed index: absorbReplays answers exactly like the clean twin
+    val r1 = rows(once, absorb = false)
+    val r2 = rows(twice, absorb = true)
     assert(r1 === r2, "replayed rows must not displace genuine neighbors")
     assert(r1.map(r => (r.getLong(0), r.getLong(3))).distinct.size ===
       r1.size, "no neighbor may take two ranks")
+    // and the DEFAULT read on the replayed index shows the documented
+    // degradation (duplicate ranks) — the reason the crash-to-rebuild
+    // window needs the flag or the rebuild
+    val rDefault = rows(twice, absorb = false)
+    assert(rDefault.map(r => (r.getLong(0), r.getLong(3))).distinct.size <
+      rDefault.size, "fixture must demonstrate the duplicate-rank hazard")
 
     val e16 = emb(64, dims = 16, patterns = 6)
     val pOnce = java.nio.file.Files
@@ -240,10 +254,11 @@ class IndexLifecycleSpec extends SparkSpec {
       VectorOps.appendToIvfPqIndex(e16.filter($"vec_id" >= 32), p)
     }
     VectorOps.appendToIvfPqIndex(e16.filter($"vec_id" >= 32), pTwice)
-    def pqRows(path: String) =
+    def pqRows(path: String, absorb: Boolean) =
       VectorOps.ivfPqIndexTopK(e16.filter($"vec_id" < 4), path, k = 5,
-        nProbe = 2).orderBy("probe_id", "rnk").collect().toSeq
-    assert(pqRows(pOnce) === pqRows(pTwice))
+        nProbe = 2, absorbReplays = absorb)
+        .orderBy("probe_id", "rnk").collect().toSeq
+    assert(pqRows(pOnce, absorb = false) === pqRows(pTwice, absorb = true))
     spark.catalog.clearCache()
   }
 
