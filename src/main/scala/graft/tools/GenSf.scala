@@ -167,10 +167,19 @@ object GenSf {
     write(documentsDf(spark, sf), "documents",
       math.max(1, (nDocs / 50000).toInt))
 
-    // embeddings: unit-normalized 64-dim gaussians (Box-Muller over two
-    // uniform hashes) with a small label-direction bias — matches the
-    // driver corpus' per-component std 0.125 and weak label clusters
-    val nVec = n(20000)
+    write(embeddingsDf(spark, sf), "embeddings", 1)
+  }
+
+  /** The embeddings table alone (factored out of [[generate]], r17 —
+    * the [[documentsDf]] discipline, so scale tools (RebuildScale)
+    * can generate an embeddings corpus at any sf without writing the
+    * whole sf tree): unit-normalized 64-dim gaussians (Box-Muller
+    * over two uniform hashes) with a small label-direction bias —
+    * matches the driver corpus' per-component std 0.125 and weak
+    * label clusters. */
+  def embeddingsDf(spark: SparkSession, sf: Double): DataFrame = {
+    val id = col("id")
+    val nVec = math.max(1L, math.round(20000 * sf))
     val gauss = transform(sequence(lit(0), lit(63)), i => {
       val u1 = shiftrightunsigned(xxhash64(lit("v1"), id, i), 11)
         .cast("double") / lit(9007199254740992.0)
@@ -182,14 +191,13 @@ object GenSf {
         (pmod(xxhash64(lit("vdir"), lbl, i), lit(1000)).cast("double") /
           1000.0 - 0.5) * 0.2
     })
-    val normed = rng(nVec)
+    spark.range(nVec).toDF("id")
       .select(id.as("vec_id"), (h("vlab", id) % 10).cast("int").as("label"),
         gauss.as("g"))
       .withColumn("nrm", sqrt(aggregate(col("g"), lit(0.0),
         (a, x) => a + x * x)))
       .select(col("vec_id"), transform(col("g"),
         x => (x / col("nrm")).cast("float")).as("embedding"), col("label"))
-    write(normed, "embeddings", 1)
   }
 
   /** The documents table alone (factored out of [[generate]], r16):

@@ -684,6 +684,43 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("ivfIndexTopK: the DEFAULT read keeps the PARTIAL " +
+      "WindowGroupLimit below the rank exchange (k-bounded shuffle), " +
+      "and absorbReplays adds its lag dedup with the same exchange " +
+      "count (SCALE.md lesson 17)") {
+    import spark.implicits._
+    val emb = spark.range(64).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(7)), d =>
+        (cos(($"id" % 8 + 1) * (d + 1)) + 0.1f).cast("float"))
+        .as("embedding"))
+    val path = Files.createTempDirectory("planspec_ivfwgl").toString
+    graft.operators.VectorOps.buildIvfIndex(emb, path, nCentroids = 8,
+      iters = 1)
+    def planOf(absorb: Boolean) = {
+      val q = graft.operators.VectorOps.ivfIndexTopK(
+        emb.filter($"vec_id" < 4), path, k = 3, nProbe = 2,
+        absorbReplays = absorb)
+      q.collect()
+      q.queryExecution.executedPlan.toString
+    }
+    val pDefault = planOf(absorb = false)
+    val pAbsorb = planOf(absorb = true)
+    // the default plan ships ~top-k rows per probe per map partition:
+    // the optimizer's Partial WindowGroupLimit must sit below the rank
+    // exchange (the r17 always-on dedup silently forfeited it — bytes
+    // grew 10x even at sf0.1; at production probe batches the k-bound
+    // vs every-scored-pair gap is the scale story)
+    assert("WindowGroupLimit.*Partial".r.findFirstIn(pDefault).nonEmpty,
+      s"default probe read lost its partial window limit:\n$pDefault")
+    // the opt-in dedup trades ONLY that partial limit — never an
+    // extra exchange (the lag window shares the rank partitioning)
+    assert("Exchange".r.findAllIn(pDefault).size ===
+      "Exchange".r.findAllIn(pAbsorb).size,
+      "absorbReplays added an exchange — the dedup stopped riding " +
+        "the rank window")
+    spark.catalog.clearCache()
+  }
+
   test("ivfIndexTopK: probe plan size is CONSTANT in nCentroids — the " +
       "codebook rides a broadcast table, not the expression tree") {
     import spark.implicits._
