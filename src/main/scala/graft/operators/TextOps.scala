@@ -700,6 +700,66 @@ object TextOps {
     sh.unpersist(false)
   }
 
+  /**
+   * RE-TUNE rebuild of a [[buildMinhashIndex]] index — the fourth
+   * index family's lifecycle half (r17), and the one with a retune
+   * story the others lack: the index STORES its shingle sets, so the
+   * LSH banding can be re-parameterized (`numHashes`/`bands` — the
+   * recall/precision dial [[lshRecallReport]] tunes; also `nParts`
+   * re-fanning) WITHOUT re-reading or re-tokenizing the corpus text.
+   * Signatures recompute from stored shingles, bands rewrite in the
+   * pristine build layout with bn recomputed globally, shingles
+   * rewrite deduplicated by ref_id (purging rows a
+   * crashed-and-replayed append duplicated — the repair half), and
+   * the whole staged index publishes via the atomic two-rename swap
+   * ([[graft.operators.LayoutOps.commitIndexSwap]]; every crash
+   * window restores the old index —
+   * [[graft.operators.LayoutOps.recoverIndexSwap]] on entry, so
+   * retries self-heal). Queries must pass the NEW parameters after a
+   * retune ([[requireIndexParams]] refuses mismatches loudly, as
+   * always).
+   *
+   * What it cannot change: `k` — shingles are stored already
+   * k-shingled, so a different shingle width needs a fresh
+   * [[buildMinhashIndex]] from text (stated here rather than
+   * silently recomputing wrong). Not concurrency-safe with appends:
+   * serialize maintenance per index path.
+   */
+  def rebuildMinhashIndex(spark: SparkSession, path: String,
+      numHashes: Int = 0, bands: Int = 0, nParts: Int = 0): Unit = {
+    LayoutOps.recoverIndexSwap(spark, path)
+    val (k, bNh, bBands, bNp) = minhashIndexParams(spark, path)
+    val nh = if (numHashes > 0) numHashes else bNh
+    val bb = if (bands > 0) bands else bBands
+    val np = if (nParts > 0) nParts else bNp
+    val rows = nh / bb
+    require(bb * rows == nh,
+      "rebuildMinhashIndex: numHashes must divide into bands")
+    graft.functions.ensureRegistered(spark)
+    val tmp = LayoutOps.indexStagingPath(path)
+    val sh = Caches.persist(spark.read.parquet(s"$path/shingles")
+      .dropDuplicates(Seq("ref_id")))
+    val wBucket = Window.partitionBy(col("band"), col("band_key"))
+    try {
+      sh.select(col("ref_id"),
+          posexplode(bandKeys(
+            graft.functions.minhash_signature(col("sh"), nh),
+            bb, rows)).as(Seq("band", "band_key")))
+        .withColumn("bn", count(lit(1)).over(wBucket).cast("int"))
+        .withColumn("part", bandPart(col("band_key"), np))
+        .repartition(col("part"))
+        .sortWithinPartitions(col("band_key"))
+        .write.mode("overwrite").partitionBy("part")
+        .parquet(s"$tmp/bands")
+      sh.write.mode("overwrite").parquet(s"$tmp/shingles")
+      import spark.implicits._
+      Seq((k, nh, bb, np))
+        .toDF("k", "num_hashes", "bands", "n_parts")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/params")
+      LayoutOps.commitIndexSwap(spark, path)
+    } finally sh.unpersist(false)
+  }
+
   /** The append's base read, factored out so PlanSpec can pin that an
     * increment's bn maintenance PRUNES to the touched partition
     * directories (the scan's PartitionFilters carry the `part` set;

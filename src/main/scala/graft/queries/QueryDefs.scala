@@ -350,6 +350,56 @@ object QueryDefs {
        |       generate_series(0,${sy * sx - 1}) p(p))""".stripMargin
 
   /** DuckDB cosine(x, y) rounded to 6dp — the embed_topk idiom. */
+  /** The full MinHash CTE replay over the whole reference split
+    * (shingle -> 12-slot md5 min-hash signature -> 4-band keys ->
+    * bucket join -> exact verified jaccard), shared VERBATIM by
+    * `near_dup_against` (the direct per-batch path),
+    * `near_dup_index` (build once, query increments),
+    * `near_dup_index_incr` (build + partition-pruned append) and
+    * `near_dup_index_rebuild` (r17 — append REPLAYED, then the
+    * re-tune rebuild): one oracle text keeps the whole lifecycle
+    * provably in lockstep — hash parity certifies every step equals
+    * the direct computation over the full reference split. */
+  private val minhashIndexOracle: String =
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+          |  FROM documents),
+          |sh AS (
+          |  SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3
+          |      THEN [array_to_string(tk, ' ')]
+          |      ELSE list_transform(range(1, len(tk) - 1),
+          |             i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
+          |  FROM toks),
+          |hm AS (
+          |  SELECT doc_id, sh,
+          |    list_transform(sh, s ->
+          |      md5('0|' || s) || md5('1|' || s) || md5('2|' || s)) AS hs
+          |  FROM sh),
+          |sig AS (
+          |  SELECT doc_id, sh,
+          |    list_transform(range(0, 12), i ->
+          |      list_aggregate(list_transform(hs,
+          |        h -> substr(h, CAST(i*8+1 AS INT), 8)), 'min')) AS mh
+          |  FROM hm),
+          |banded AS (
+          |  SELECT doc_id, sh, b.b AS band,
+          |    md5(array_to_string(mh[b.b*3+1:b.b*3+3], '|')) AS band_key
+          |  FROM sig, generate_series(0, 3) b(b)),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS ref_id,
+          |    a.sh AS sh_d, b.sh AS sh_r
+          |  FROM banded a JOIN banded b
+          |    ON a.band = b.band AND a.band_key = b.band_key
+          |  WHERE a.doc_id % 25 <> 0 AND b.doc_id % 25 = 0)
+          |SELECT * FROM (
+          |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |    CAST(ref_id AS BIGINT) AS ref_id,
+          |    round(CAST(len(list_intersect(sh_d, sh_r)) AS DOUBLE) /
+          |          len(list_distinct(list_concat(sh_d, sh_r))), 6) AS jaccard
+          |  FROM cand)
+          |WHERE jaccard >= 0.5""".stripMargin
+
   private def cosSql(x: String, y: String): String =
     s"""round(list_sum(list_transform(list_zip($x, $y),
        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
@@ -3010,45 +3060,7 @@ chunks AS (
         docs.filter(col("doc_id") % 25 =!= 0),
         docs.filter(col("doc_id") % 25 === 0), threshold = 0.5)
     },
-      Some(
-        """WITH toks AS (
-          |  SELECT doc_id,
-          |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
-          |  FROM documents),
-          |sh AS (
-          |  SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3
-          |      THEN [array_to_string(tk, ' ')]
-          |      ELSE list_transform(range(1, len(tk) - 1),
-          |             i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
-          |  FROM toks),
-          |hm AS (
-          |  SELECT doc_id, sh,
-          |    list_transform(sh, s ->
-          |      md5('0|' || s) || md5('1|' || s) || md5('2|' || s)) AS hs
-          |  FROM sh),
-          |sig AS (
-          |  SELECT doc_id, sh,
-          |    list_transform(range(0, 12), i ->
-          |      list_aggregate(list_transform(hs,
-          |        h -> substr(h, CAST(i*8+1 AS INT), 8)), 'min')) AS mh
-          |  FROM hm),
-          |banded AS (
-          |  SELECT doc_id, sh, b.b AS band,
-          |    md5(array_to_string(mh[b.b*3+1:b.b*3+3], '|')) AS band_key
-          |  FROM sig, generate_series(0, 3) b(b)),
-          |cand AS (
-          |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS ref_id,
-          |    a.sh AS sh_d, b.sh AS sh_r
-          |  FROM banded a JOIN banded b
-          |    ON a.band = b.band AND a.band_key = b.band_key
-          |  WHERE a.doc_id % 25 <> 0 AND b.doc_id % 25 = 0)
-          |SELECT * FROM (
-          |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
-          |    CAST(ref_id AS BIGINT) AS ref_id,
-          |    round(CAST(len(list_intersect(sh_d, sh_r)) AS DOUBLE) /
-          |          len(list_distinct(list_concat(sh_d, sh_r))), 6) AS jaccard
-          |  FROM cand)
-          |WHERE jaccard >= 0.5""".stripMargin)),
+      Some(minhashIndexOracle)),
 
     // Incremental near-dup via the PERSISTED MinHash index: the eval
     // split's bands+shingles are written once per input dir (the
@@ -3067,45 +3079,7 @@ chunks AS (
       TextOps.nearDupAgainstIndex(docs.filter(col("doc_id") % 25 =!= 0),
         path, threshold = 0.5)
     },
-      Some(
-        """WITH toks AS (
-          |  SELECT doc_id,
-          |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
-          |  FROM documents),
-          |sh AS (
-          |  SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3
-          |      THEN [array_to_string(tk, ' ')]
-          |      ELSE list_transform(range(1, len(tk) - 1),
-          |             i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
-          |  FROM toks),
-          |hm AS (
-          |  SELECT doc_id, sh,
-          |    list_transform(sh, s ->
-          |      md5('0|' || s) || md5('1|' || s) || md5('2|' || s)) AS hs
-          |  FROM sh),
-          |sig AS (
-          |  SELECT doc_id, sh,
-          |    list_transform(range(0, 12), i ->
-          |      list_aggregate(list_transform(hs,
-          |        h -> substr(h, CAST(i*8+1 AS INT), 8)), 'min')) AS mh
-          |  FROM hm),
-          |banded AS (
-          |  SELECT doc_id, sh, b.b AS band,
-          |    md5(array_to_string(mh[b.b*3+1:b.b*3+3], '|')) AS band_key
-          |  FROM sig, generate_series(0, 3) b(b)),
-          |cand AS (
-          |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS ref_id,
-          |    a.sh AS sh_d, b.sh AS sh_r
-          |  FROM banded a JOIN banded b
-          |    ON a.band = b.band AND a.band_key = b.band_key
-          |  WHERE a.doc_id % 25 <> 0 AND b.doc_id % 25 = 0)
-          |SELECT * FROM (
-          |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
-          |    CAST(ref_id AS BIGINT) AS ref_id,
-          |    round(CAST(len(list_intersect(sh_d, sh_r)) AS DOUBLE) /
-          |          len(list_distinct(list_concat(sh_d, sh_r))), 6) AS jaccard
-          |  FROM cand)
-          |WHERE jaccard >= 0.5""".stripMargin)),
+      Some(minhashIndexOracle)),
 
     // INCREMENTAL index maintenance (VERDICT r13 #2): the reference
     // split is indexed in TWO installments — half at build, half via
@@ -3128,45 +3102,34 @@ chunks AS (
       TextOps.nearDupAgainstIndex(docs.filter(col("doc_id") % 25 =!= 0),
         path, threshold = 0.5)
     },
-      Some(
-        """WITH toks AS (
-          |  SELECT doc_id,
-          |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
-          |  FROM documents),
-          |sh AS (
-          |  SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3
-          |      THEN [array_to_string(tk, ' ')]
-          |      ELSE list_transform(range(1, len(tk) - 1),
-          |             i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
-          |  FROM toks),
-          |hm AS (
-          |  SELECT doc_id, sh,
-          |    list_transform(sh, s ->
-          |      md5('0|' || s) || md5('1|' || s) || md5('2|' || s)) AS hs
-          |  FROM sh),
-          |sig AS (
-          |  SELECT doc_id, sh,
-          |    list_transform(range(0, 12), i ->
-          |      list_aggregate(list_transform(hs,
-          |        h -> substr(h, CAST(i*8+1 AS INT), 8)), 'min')) AS mh
-          |  FROM hm),
-          |banded AS (
-          |  SELECT doc_id, sh, b.b AS band,
-          |    md5(array_to_string(mh[b.b*3+1:b.b*3+3], '|')) AS band_key
-          |  FROM sig, generate_series(0, 3) b(b)),
-          |cand AS (
-          |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS ref_id,
-          |    a.sh AS sh_d, b.sh AS sh_r
-          |  FROM banded a JOIN banded b
-          |    ON a.band = b.band AND a.band_key = b.band_key
-          |  WHERE a.doc_id % 25 <> 0 AND b.doc_id % 25 = 0)
-          |SELECT * FROM (
-          |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
-          |    CAST(ref_id AS BIGINT) AS ref_id,
-          |    round(CAST(len(list_intersect(sh_d, sh_r)) AS DOUBLE) /
-          |          len(list_distinct(list_concat(sh_d, sh_r))), 6) AS jaccard
-          |  FROM cand)
-          |WHERE jaccard >= 0.5""".stripMargin)),
+      Some(minhashIndexOracle)),
+
+    // REBUILD lifecycle for the MinHash family (r17 — the fourth and
+    // last index family's maintenance half): half build + half
+    // append + that append REPLAYED verbatim (duplicate shingle rows
+    // on disk), then rebuildMinhashIndex re-derives signatures and
+    // bands FROM THE STORED SHINGLES (no corpus text re-read),
+    // dedups shingles by ref_id, recomputes bn globally, and
+    // publishes via the atomic two-rename swap. Same verbatim oracle:
+    // hash parity certifies rebuild == the direct computation over
+    // the full reference split.
+    ("near_dup_index_rebuild", (s: SparkSession, dir: String) => {
+      val tag = dirTag(dir)
+      val docs = t(s, dir, "documents")
+      val path = s"/tmp/graft_mhindex_rb/$tag"
+      if (fixtureMemo.add(s"mhindex_rb|$dir")) {
+        TextOps.buildMinhashIndex(
+          docs.filter(col("doc_id") % 50 === 0), path)
+        val inc = docs.filter(
+          col("doc_id") % 25 === 0 && col("doc_id") % 50 =!= 0)
+        TextOps.appendToMinhashIndex(inc, path)
+        TextOps.appendToMinhashIndex(inc, path) // at-least-once replay
+        TextOps.rebuildMinhashIndex(s, path)
+      }
+      TextOps.nearDupAgainstIndex(docs.filter(col("doc_id") % 25 =!= 0),
+        path, threshold = 0.5)
+    },
+      Some(minhashIndexOracle)),
 
     // EXACT n-gram Jaccard via the inverted-index set-similarity join —
     // no probabilistic candidate misses, Jaccard from posting counts alone

@@ -290,6 +290,55 @@ class IndexLifecycleSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("rebuildMinhashIndex: re-derives from STORED shingles — same-" +
+      "params rebuild equals a fresh build through a replayed append, " +
+      "and a re-band retune equals a fresh build at the new " +
+      "parameters (no corpus text re-read)") {
+    import graft.operators.TextOps
+    val docs = (0L until 24L).map { i =>
+      val base = s"alpha beta gamma delta epsilon zeta token$i word${i % 7}"
+      (i, if (i % 6 == 5) s"alpha beta gamma delta epsilon zeta token${i - 1} word${(i - 1) % 7}" else base)
+    }.toDF("doc_id", "text")
+    val ref = docs.filter($"doc_id" % 2 === 0)
+    val inc = docs.filter($"doc_id" % 2 === 0 && $"doc_id" % 4 =!= 0)
+    val build = docs.filter($"doc_id" % 4 === 0)
+    val queries = docs.filter($"doc_id" % 2 =!= 0)
+    def hits(path: String, k: Int = 3, nh: Int = 12, b: Int = 4) =
+      TextOps.nearDupAgainstIndex(queries, path, threshold = 0.3,
+        k = k, numHashes = nh, bands = b)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2))).toSeq.sorted
+    val dirty = java.nio.file.Files
+      .createTempDirectory("ilc_mh_rb").toString
+    val fresh = java.nio.file.Files
+      .createTempDirectory("ilc_mh_fresh").toString
+    TextOps.buildMinhashIndex(build, dirty)
+    TextOps.appendToMinhashIndex(inc, dirty)
+    TextOps.appendToMinhashIndex(inc, dirty) // at-least-once replay
+    TextOps.buildMinhashIndex(ref, fresh)
+    val dupShingles = spark.read.parquet(s"$dirty/shingles").count()
+    assert(dupShingles > ref.count(),
+      "fixture must actually hold replayed shingle rows")
+    TextOps.rebuildMinhashIndex(spark, dirty)
+    assert(spark.read.parquet(s"$dirty/shingles").count() === ref.count(),
+      "replayed shingle rows must be purged")
+    assert(hits(dirty) === hits(fresh))
+    assert(hits(dirty).nonEmpty, "fixture must produce near-dup hits")
+    // the retune: re-band 4 -> 6 from stored shingles; equals a fresh
+    // build at the new parameters, and the OLD parameters are refused
+    TextOps.rebuildMinhashIndex(spark, dirty, bands = 6)
+    val fresh6 = java.nio.file.Files
+      .createTempDirectory("ilc_mh_f6").toString
+    TextOps.buildMinhashIndex(ref, fresh6, bands = 6)
+    assert(hits(dirty, b = 6) === hits(fresh6, b = 6))
+    val ex = intercept[IllegalArgumentException] {
+      TextOps.nearDupAgainstIndex(queries, dirty, threshold = 0.3)
+        .collect()
+    }
+    assert(ex.getMessage.contains("bands"))
+    spark.catalog.clearCache()
+  }
+
   test("ivfIndexDiskStats goes through the Hadoop FileSystem API: an " +
       "explicit file: URI lists identically to the bare path, and a " +
       "missing layout still refuses loudly") {
