@@ -229,11 +229,32 @@ object LayoutOps {
           .as("extent_frac"))
   }
 
+  /** Filesystems whose `rename` is a non-atomic per-object copy+delete
+    * (object stores): a crash mid-rename leaves a PARTIAL copy that the
+    * two-rename swap protocol would then mistake for a complete index —
+    * recovery could delete the only complete copy. The swap therefore
+    * REFUSES these schemes up front (r17 review finding): on an object
+    * store, rebuild to a NEW path and cut serving over by reference
+    * (the pointer swap a table format provides), or run the index on
+    * HDFS/a posix filesystem where directory rename is atomic. */
+  private val nonAtomicRenameSchemes =
+    Set("s3", "s3a", "s3n", "gs", "oss", "cos", "swift", "wasb", "wasbs")
+
+  private def requireAtomicRename(scheme: String, path: String): Unit =
+    require(scheme == null ||
+        !nonAtomicRenameSchemes.contains(scheme.toLowerCase),
+      s"index swap at $path: '$scheme' renames directories by " +
+        "copy+delete (non-atomic), so a crash mid-swap could leave a " +
+        "partial copy posing as a complete index — rebuild to a NEW " +
+        "path and cut over by reference, or host the index on a " +
+        "filesystem with atomic rename (HDFS, posix)")
+
   private def swapPaths(path: String): (org.apache.hadoop.fs.Path,
       org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path) = {
     val hp = new org.apache.hadoop.fs.Path(path)
     require(hp.getParent != null,
       s"index swap needs a parented path, got $path")
+    requireAtomicRename(hp.toUri.getScheme, path)
     (hp, new org.apache.hadoop.fs.Path(hp.getParent,
       ".rebuild.tmp." + hp.getName),
       new org.apache.hadoop.fs.Path(hp.getParent,
@@ -272,10 +293,18 @@ object LayoutOps {
    * operation: a reader scanning between the two renames can see the
    * path briefly missing (concurrent-commit protocols are a table
    * format's job). Idempotent; safe to call on a healthy index.
+   *
+   * Filesystem contract: the protocol is sound ONLY where directory
+   * rename is atomic (HDFS, posix) — on object stores a rename is a
+   * copy+delete whose crash leaves a PARTIAL copy the recovery could
+   * mistake for a complete index, so the known copy-rename schemes
+   * are refused up front (see `nonAtomicRenameSchemes`; spec-pinned
+   * on an `s3a:` path).
    */
   def recoverIndexSwap(spark: SparkSession, path: String): Unit = {
     val (hp, tmp, old) = swapPaths(path)
     val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    requireAtomicRename(fs.getScheme, path) // scheme-less default-FS case
     if (fs.exists(old)) {
       if (fs.exists(hp)) fs.delete(old, true) // stale backup
       else require(fs.rename(old, hp),
@@ -292,6 +321,7 @@ object LayoutOps {
       path: String): Unit = {
     val (hp, tmp, old) = swapPaths(path)
     val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    requireAtomicRename(fs.getScheme, path) // scheme-less default-FS case
     require(fs.exists(tmp), s"commitIndexSwap: nothing staged at $tmp")
     if (fs.exists(hp))
       require(fs.rename(hp, old), s"commitIndexSwap: cannot retire $path")

@@ -774,14 +774,21 @@ object VectorOps {
    * whose eval twin sits in an unprobed cell is missed) — size it
    * like any [[ivfIndexTopK]] deployment.
    *
-   * Requires train and eval vec_id spaces to be disjoint: the
-   * underlying search excludes id-equal matches as self-matches.
+   * Train and eval vec_id spaces may overlap freely: the underlying
+   * search runs with `excludeSelf = false`, because train ids and
+   * eval ids are INDEPENDENT numberings — a train doc whose id
+   * collides with an eval item's id is a different document that must
+   * still be compared (the broadcast path has no self-exclusion
+   * either; an always-on one here silently passed exactly the
+   * leakage this operator exists to catch — r17 review finding,
+   * spec-pinned with a colliding-id fixture).
    */
   def semanticContaminationIndexed(train: DataFrame, indexPath: String,
       threshold: Double = 0.9, nProbe: Int = 1): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       "semanticContaminationIndexed: threshold must be in (0, 1]")
-    ivfIndexTopK(train, indexPath, k = 1, nProbe = nProbe)
+    ivfIndexTopK(train, indexPath, k = 1, nProbe = nProbe,
+        excludeSelf = false)
       .select(col("probe_id").as("doc_id"),
         col("neighbor_id").as("eval_id"), col("score").as("max_sim"))
       .filter(col("max_sim") >= threshold)
@@ -973,11 +980,15 @@ object VectorOps {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
   }
 
-  /** Manifest reader for the partition-unit count; raises when absent
-    * (an index without its manifest cannot be read correctly — the
-    * [[TextOps.buildMinhashIndex]] discipline). */
-  private def ivfIndexNParts(spark: org.apache.spark.sql.SparkSession,
-      path: String): Int = {
+  /** Guarded manifest reader: raises the rebuild message when the
+    * manifest is absent or missing any of `fields` (an index without a
+    * readable manifest cannot be read correctly — the
+    * [[TextOps.buildMinhashIndex]] discipline; field guards per
+    * ADVICE r15: a legacy layout must get the rebuild message, not an
+    * opaque "field does not exist"). */
+  private def ivfIndexManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      fields: Seq[String]): org.apache.spark.sql.Row = {
     val row =
       try spark.read.parquet(s"$path/params").head()
       catch {
@@ -985,15 +996,19 @@ object VectorOps {
           s"ivf index at $path has no params manifest — rebuild with " +
             "buildIvfIndex", e)
       }
-    // field access guarded too (ADVICE r15): a pre-r15 index (params
-    // without n_parts) must get the rebuild message, not an opaque
-    // "n_parts does not exist"
-    if (!row.schema.fieldNames.contains("n_parts"))
+    val missing = fields.filterNot(row.schema.fieldNames.contains)
+    if (missing.nonEmpty)
       throw new IllegalArgumentException(
-        s"ivf index at $path predates the partitioned layout (params " +
-          "carries no n_parts) — rebuild with buildIvfIndex")
-    row.getAs[Int]("n_parts")
+        s"ivf index at $path predates the current layout (params " +
+          s"carries no ${missing.mkString("/")}) — rebuild with " +
+          "buildIvfIndex")
+    row
   }
+
+  /** Manifest reader for the partition-unit count. */
+  private def ivfIndexNParts(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int =
+    ivfIndexManifest(spark, path, Seq("n_parts")).getAs[Int]("n_parts")
 
   /** Codebook reader shared by the index consumers; raises when the
     * index has no codebook (refusing an unverifiable layout, the
@@ -1095,11 +1110,15 @@ object VectorOps {
       path: String, nCentroids: Int = 0, iters: Int = -1,
       nParts: Int = 0): Unit = {
     LayoutOps.recoverIndexSwap(spark, path)
-    val params = spark.read.parquet(s"$path/params").head()
+    // ONE guarded manifest read supplies all three defaults (the r17
+    // review caught the raw double-read here surfacing opaque Spark
+    // errors instead of the readers' rebuild message)
+    val params = ivfIndexManifest(spark, path,
+      Seq("n_centroids", "iters", "n_parts"))
     val nc = if (nCentroids > 0) nCentroids
       else params.getAs[Int]("n_centroids")
     val it = if (iters >= 0) iters else params.getAs[Int]("iters")
-    val np = if (nParts > 0) nParts else ivfIndexNParts(spark, path)
+    val np = if (nParts > 0) nParts else params.getAs[Int]("n_parts")
     // persisted: the build consumes the corpus once per Lloyd round
     // plus once for the layout write — without the barrier the dedup
     // shuffle would re-run per consumer
@@ -1216,7 +1235,11 @@ object VectorOps {
    * pruning + row-group skips on the sorted cluster column),
    * joined, cosine-scored, and ranked per probe. Same output contract
    * as [[ivfTopK]]/[[ivfTopKLloyd]]: `(probe_id, cluster, rnk,
-   * neighbor_id, score)`, self-matches excluded.
+   * neighbor_id, score)`, self-matches excluded by default
+   * (`excludeSelf = false` for probes whose id space is UNRELATED to
+   * the index's — an id collision across independent numberings is a
+   * different vector that must still rank;
+   * [[semanticContaminationIndexed]] is the canonical caller).
    *
    * Scale shape: the cell ranking is a broadcast join of the probes
    * against the ON-DISK `path/centroids` table scored by the native
@@ -1234,7 +1257,8 @@ object VectorOps {
    * broadcasts the probe side.
    */
   def ivfIndexTopK(probes: DataFrame, path: String, k: Int,
-      nProbe: Int = 1, absorbReplays: Boolean = false): DataFrame = {
+      nProbe: Int = 1, absorbReplays: Boolean = false,
+      excludeSelf: Boolean = true): DataFrame = {
     require(k > 0 && nProbe > 0, "ivfIndexTopK: k > 0, nProbe > 0")
     val spark = probes.sparkSession
     graft.functions.ensureRegistered(spark)
@@ -1281,23 +1305,41 @@ object VectorOps {
     // is NOT a replay and stays unsupported (both rows rank).
     val wRank = Window.partitionBy(col("probe_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
-    val scored = p.join(vecs, Seq("cluster"))
-      .filter(col("neighbor_id") =!= col("probe_id"))
+    // excludeSelf = the "probe is IN the index" contract (a vector must
+    // not rank as its own neighbor). Turn it OFF when probe and index
+    // id spaces are UNRELATED numberings (semanticContaminationIndexed:
+    // train ids vs eval ids are independent, and an id collision there
+    // is two DIFFERENT documents that must still be compared — the r17
+    // review's silent-leakage finding).
+    val joined = p.join(vecs, Seq("cluster"))
+    val scored = (if (excludeSelf)
+        joined.filter(col("neighbor_id") =!= col("probe_id"))
+      else joined)
       .select(col("probe_id"), col("cluster"), col("neighbor_id"),
         cosine6(col("p_emb"), col("embedding")).as("score"))
-    val deduped = if (!absorbReplays) scored else scored
-      .withColumn("dup",
-        col("neighbor_id") === lag(col("neighbor_id"), 1).over(wRank) &&
-          col("score") === lag(col("score"), 1).over(wRank))
-      .filter(!coalesce(col("dup"), lit(false)))
-      .drop("dup")
-    deduped
+    (if (absorbReplays) dedupReplayRows(scored, wRank, "score")
+     else scored)
       .withColumn("rnk", row_number().over(wRank))
       .filter(col("rnk") <= k)
       .select(col("probe_id"), col("cluster"),
         col("rnk").cast("int").as("rnk"), col("neighbor_id"),
         col("score"))
   }
+
+  /** The opt-in replay dedup shared by both probe paths: replayed
+    * appends re-add byte-identical rows, which tie on (key, neighbor)
+    * and are therefore ADJACENT under the rank window's total order —
+    * a lag flag over the SAME window spec drops the repeats without a
+    * new exchange. The caller pays the partial-WindowGroupLimit
+    * forfeit documented at the call sites (SCALE.md lesson 17). */
+  private def dedupReplayRows(scored: DataFrame,
+      wRank: org.apache.spark.sql.expressions.WindowSpec,
+      keyCol: String): DataFrame =
+    scored.withColumn("dup",
+        col("neighbor_id") === lag(col("neighbor_id"), 1).over(wRank) &&
+          col(keyCol) === lag(col(keyCol), 1).over(wRank))
+      .filter(!coalesce(col("dup"), lit(false)))
+      .drop("dup")
 
   /** The probe-time inverted-list read, factored out so PlanSpec can
     * pin that it PRUNES: the scan's PartitionFilters carry the probed
@@ -1910,15 +1952,37 @@ object VectorOps {
       kCent: Int = 0, nCentroids: Int = 0, nParts: Int = 0): Unit = {
     val spark = emb.sparkSession
     LayoutOps.recoverIndexSwap(spark, path)
-    val row = spark.read.parquet(s"$path/pq_book").head()
+    // guarded manifest read (the raw read surfaced opaque Spark errors
+    // on missing/legacy layouts — r17 review, same fix as the IVF twin)
+    val row =
+      try spark.read.parquet(s"$path/pq_book").head()
+      catch {
+        case e: Throwable => throw new IllegalArgumentException(
+          s"ivf-pq index at $path has no codebooks — rebuild with " +
+            "buildIvfPqIndex", e)
+      }
+    val needed = Seq("m", "k_cent", "n_centroids", "n_parts")
+    val missing = needed.filterNot(row.schema.fieldNames.contains)
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"ivf-pq index at $path predates the current layout (pq_book " +
+          s"carries no ${missing.mkString("/")}) — rebuild with " +
+          "buildIvfPqIndex")
     val mm = if (m > 0) m else row.getAs[Int]("m")
     val kc = if (kCent > 0) kCent else row.getAs[Int]("k_cent")
     val nc = if (nCentroids > 0) nCentroids
       else row.getAs[Int]("n_centroids")
     val np = if (nParts > 0) nParts else row.getAs[Int]("n_parts")
-    buildIvfPqIndex(emb.dropDuplicates("vec_id"),
-      LayoutOps.indexStagingPath(path), mm, kc, nc, np)
-    LayoutOps.commitIndexSwap(spark, path)
+    // persisted: the build consumes the corpus three times (PQ books,
+    // coarse seeds, the encode+layout pass) — without the barrier the
+    // dedup shuffle and source scan re-run per consumer (r17 review;
+    // the IVF twin already had this)
+    val corpus = Caches.persist(emb.dropDuplicates("vec_id"))
+    try {
+      buildIvfPqIndex(corpus, LayoutOps.indexStagingPath(path),
+        mm, kc, nc, np)
+      LayoutOps.commitIndexSwap(spark, path)
+    } finally corpus.unpersist(false)
   }
 
   /**
@@ -1977,13 +2041,8 @@ object VectorOps {
       .select(col("probe_id"), col("cluster"), col("neighbor_id"),
         round(graft.functions.pq_adc(col("p_emb"), col("codes"), book), 6)
           .as("adc_dist"))
-    val deduped = if (!absorbReplays) scored else scored
-      .withColumn("dup",
-        col("neighbor_id") === lag(col("neighbor_id"), 1).over(wRank) &&
-          col("adc_dist") === lag(col("adc_dist"), 1).over(wRank))
-      .filter(!coalesce(col("dup"), lit(false)))
-      .drop("dup")
-    deduped
+    (if (absorbReplays) dedupReplayRows(scored, wRank, "adc_dist")
+     else scored)
       .withColumn("rnk", row_number().over(wRank))
       .filter(col("rnk") <= k)
       .select(col("probe_id"), col("cluster"),

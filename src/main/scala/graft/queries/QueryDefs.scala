@@ -349,7 +349,6 @@ object QueryDefs {
        |       generate_series(0,${sz - 1}) z(z),
        |       generate_series(0,${sy * sx - 1}) p(p))""".stripMargin
 
-  /** DuckDB cosine(x, y) rounded to 6dp — the embed_topk idiom. */
   /** The full MinHash CTE replay over the whole reference split
     * (shingle -> 12-slot md5 min-hash signature -> 4-band keys ->
     * bucket join -> exact verified jaccard), shared VERBATIM by
@@ -400,6 +399,7 @@ object QueryDefs {
           |  FROM cand)
           |WHERE jaccard >= 0.5""".stripMargin
 
+  /** DuckDB cosine(x, y) rounded to 6dp — the embed_topk idiom. */
   private def cosSql(x: String, y: String): String =
     s"""round(list_sum(list_transform(list_zip($x, $y),
        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /

@@ -383,10 +383,16 @@ class IndexLifecycleSpec extends SparkSpec {
   }
 
   test("semanticContaminationIndexed at nProbe >= nCells equals the " +
-      "broadcast path exactly") {
-    val e = emb(60, patterns = 7)
-    val train = e.filter($"vec_id" % 10 =!= 0)
-    val eval = e.filter($"vec_id" % 10 === 0)
+      "broadcast path exactly — INCLUDING when train and eval vec_id " +
+      "spaces collide (independent numberings; an always-on " +
+      "self-exclusion silently passed exactly that leakage)") {
+    // train ids 0..59 and eval ids 0..5 OVERLAP on 0..5 — the normal
+    // case for independently-numbered corpora. emb() is deterministic
+    // by id, so train doc 0 IS eval item 0's exact paraphrase
+    // (cosine 1.0): the contamination gate must flag it, not drop it
+    // as a "self match".
+    val train = emb(60, patterns = 7)
+    val eval = emb(6, patterns = 7)
     val path = java.nio.file.Files
       .createTempDirectory("ilc_semidx").toString
     VectorOps.buildIvfIndex(eval, path, nCentroids = 32, iters = 2)
@@ -398,7 +404,24 @@ class IndexLifecycleSpec extends SparkSpec {
     val indexed = canon(VectorOps.semanticContaminationIndexed(
       train, path, threshold = 0.5, nProbe = 32))
     assert(direct.nonEmpty, "threshold too high — fixture flags nothing")
+    assert(direct.exists { case (d, e2, s) => d == e2 && s == 1.0 },
+      "fixture must contain a colliding-id exact paraphrase")
     assert(indexed === direct)
     spark.catalog.clearCache()
+  }
+
+  test("index swap refuses object-store schemes up front: a non-atomic " +
+      "copy+delete rename could leave a partial copy posing as a " +
+      "complete index") {
+    val ex = intercept[IllegalArgumentException] {
+      LayoutOps.recoverIndexSwap(spark, "s3a://bucket/indexes/ivf")
+    }
+    assert(ex.getMessage.contains("non-atomic") &&
+      ex.getMessage.contains("s3a"))
+    // local paths (and file: URIs) stay allowed
+    val ok = java.nio.file.Files
+      .createTempDirectory("ilc_swap_ok").toString
+    LayoutOps.recoverIndexSwap(spark, ok)
+    LayoutOps.recoverIndexSwap(spark, s"file:$ok")
   }
 }
