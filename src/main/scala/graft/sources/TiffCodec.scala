@@ -632,7 +632,15 @@ object TiffCodec {
       }
       i += 1
     }
-    if (omega >= 0) write(omega)
+    if (omega >= 0) {
+      write(omega)
+      // The decoder adds a table entry for this final code too (pairing
+      // the previous string with its first byte) and may grow its read
+      // width when that add lands on 511/1023/2047 — mirror the add here
+      // (encoder `next` runs one ahead, so grow() at 512/1024/2048 is the
+      // exact mirror) so EOI is written at the width the decoder reads it.
+      next += 1; grow()
+    }
     write(257)
     if (nacc > 0) out.write(((acc << (8 - nacc)) & 0xff).toInt) // flush
     out.toByteArray
