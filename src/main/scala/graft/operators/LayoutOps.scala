@@ -229,25 +229,32 @@ object LayoutOps {
           .as("extent_frac"))
   }
 
-  /** Filesystems whose `rename` is a non-atomic per-object copy+delete
-    * (object stores): a crash mid-rename leaves a PARTIAL copy that the
-    * two-rename swap protocol would then mistake for a complete index —
-    * recovery could delete the only complete copy. The swap therefore
-    * REFUSES these schemes up front (r17 review finding): on an object
-    * store, rebuild to a NEW path and cut serving over by reference
-    * (the pointer swap a table format provides), or run the index on
-    * HDFS/a posix filesystem where directory rename is atomic. */
-  private val nonAtomicRenameSchemes =
-    Set("s3", "s3a", "s3n", "gs", "oss", "cos", "swift", "wasb", "wasbs")
+  /** Filesystems with PROVEN atomic directory rename — the two-rename
+    * swap protocol's entire safety argument (recovery never mistakes a
+    * partial copy for a complete index) rests on it, so the guard is an
+    * ALLOWLIST that fails safe on anything unknown (ADVICE r17: the
+    * previous deny-list silently gave abfs on a flat-namespace Azure
+    * account, o3fs, and third-party object-store connectors the unsafe
+    * protocol). `null`/empty covers the scheme-less default-FS case,
+    * which the call sites re-check against the RESOLVED
+    * `FileSystem.getScheme`. Object stores (s3a, gs, abfs, ...) use the
+    * pointer-publish lifecycle instead ([[withPointerGeneration]]),
+    * which needs no renames at all. */
+  private val atomicRenameSchemes = Set("file", "hdfs", "viewfs")
 
   private def requireAtomicRename(scheme: String, path: String): Unit =
-    require(scheme == null ||
-        !nonAtomicRenameSchemes.contains(scheme.toLowerCase),
-      s"index swap at $path: '$scheme' renames directories by " +
-        "copy+delete (non-atomic), so a crash mid-swap could leave a " +
-        "partial copy posing as a complete index — rebuild to a NEW " +
-        "path and cut over by reference, or host the index on a " +
-        "filesystem with atomic rename (HDFS, posix)")
+    require(scheme == null || scheme.isEmpty ||
+        atomicRenameSchemes.contains(scheme.toLowerCase),
+      s"index swap at $path: directory rename on '$scheme' is not " +
+        "known-atomic (object stores rename by copy+delete), so a " +
+        "crash mid-swap could leave a partial copy posing as a " +
+        "complete index — publish through the pointer lifecycle " +
+        "instead (LayoutOps.withPointerGeneration / " +
+        "resolveIndexPointer, e.g. VectorOps.rebuildIvfIndexPointer: " +
+        "write a NEW generation directory, then commit with one " +
+        "pointer-object write, which is atomic on every store), or " +
+        "host the index on a filesystem with atomic rename " +
+        "(hdfs, file, viewfs)")
 
   private def swapPaths(path: String): (org.apache.hadoop.fs.Path,
       org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path) = {
@@ -327,5 +334,182 @@ object LayoutOps {
       require(fs.rename(hp, old), s"commitIndexSwap: cannot retire $path")
     require(fs.rename(tmp, hp), s"commitIndexSwap: cannot publish $tmp")
     fs.delete(old, true)
+  }
+
+  // --- pointer-publish index lifecycle (object-store safe) -------------
+
+  /** The OTHER publish protocol — for filesystems whose rename is a
+    * non-atomic copy+delete (s3a, gs, abfs, ...), where
+    * [[commitIndexSwap]]'s two-rename swap is refused. The index ROOT
+    * holds numbered generation directories (`gen-00001`, ...) plus a
+    * tiny pointer directory `_ptr/` of one-line pointer objects
+    * (`ptr-00001` containing exactly `gen-00001`). The LIVE index is the
+    * generation named by the highest VALID pointer; publish = write the
+    * full new generation, then PUT one new pointer object — a
+    * single-object write, atomic on every store (S3 PUTs are
+    * all-or-nothing; no rename, no overwrite, nothing in place).
+    *
+    * Crash windows (every one leaves the old generation serving):
+    *  - mid-generation-write: no pointer names it → invisible;
+    *    [[recoverPointerSwap]] sweeps the stranded directory;
+    *  - mid-pointer-write: a pointer is valid ONLY if its trimmed
+    *    content equals `gen-<its own number>` AND that directory
+    *    exists — any strict prefix of the correct content fails the
+    *    equality, so a torn write can never alias to a different
+    *    generation; resolution falls back to the previous valid
+    *    pointer and recovery deletes the torn one;
+    *  - after the pointer write: publish is complete; recovery prunes
+    *    all but the live and the immediately-previous generation (kept
+    *    for operator rollback).
+    *
+    * Like the rename swap, maintenance is single-writer per index root
+    * (generation numbers are allocated by listing); READERS are
+    * wait-free — [[resolveIndexPointer]] at open, then every query runs
+    * against an immutable generation directory. */
+  private def pointerDir(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, "_ptr")
+
+  private val GenName = "^gen-(\\d{5,})$".r
+  private val PtrName = "^ptr-(\\d{5,})$".r
+
+  private def genLeaf(n: Long): String = f"gen-$n%05d"
+
+  private def listNumbered(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path,
+      pat: scala.util.matching.Regex): Seq[(Long, org.apache.hadoop.fs.Path)] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case pat(n) => Some((n.toLong, st.getPath))
+        case _ => None
+      }
+    }
+
+  /** True iff `ptr-<n>` exists, reads fully, and its trimmed content is
+    * exactly `gen-<n>` for a generation directory that exists — the
+    * torn-write-proof validity rule (see the lifecycle scaladoc). */
+  private def pointerValid(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, n: Long,
+      ptr: org.apache.hadoop.fs.Path): Boolean = {
+    val content = try {
+      val in = fs.open(ptr)
+      try {
+        // read to EOF (or 64 bytes — a valid pointer is ~10): a SHORT
+        // read must not make a good pointer look torn
+        val buf = new Array[Byte](64)
+        var off = 0
+        var n = 0
+        while (off < buf.length && n >= 0) {
+          n = in.read(buf, off, buf.length - off)
+          if (n > 0) off += n
+        }
+        new String(buf, 0, off, "UTF-8").trim
+      } finally in.close()
+    } catch { case _: java.io.IOException => "" }
+    content == genLeaf(n) &&
+      fs.exists(new org.apache.hadoop.fs.Path(root, genLeaf(n)))
+  }
+
+  private def latestValidPointer(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Option[Long] =
+    listNumbered(fs, pointerDir(root), PtrName).sortBy(-_._1)
+      .collectFirst { case (n, p) if pointerValid(fs, root, n, p) => n }
+
+  /** The LIVE generation directory of a pointer-published index — what
+    * readers open and what [[graft.operators.VectorOps.ivfIndexTopK]]
+    * and friends take as their index path. Fails with a build recipe if
+    * the root has no published generation. */
+  def resolveIndexPointer(spark: SparkSession, root: String): String = {
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
+    val live = latestValidPointer(fs, rp).getOrElse(
+      throw new IllegalArgumentException(
+        s"resolveIndexPointer: no published generation under $root — " +
+          "build into LayoutOps.withPointerGeneration(spark, root)(gen " +
+          "=> buildIvfIndex(corpus, gen, ...)) to publish the first one"))
+    new org.apache.hadoop.fs.Path(rp, genLeaf(live)).toString
+  }
+
+  /** Allocates the next generation directory path under `root` (max of
+    * every existing generation/pointer number, plus one) WITHOUT
+    * creating it — the caller writes the complete new index there, then
+    * [[commitPointerSwap]] publishes it. A crash before the commit
+    * leaves the directory unreferenced and invisible. */
+  private[graft] def pointerStagingPath(spark: SparkSession,
+      root: String): String = {
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
+    val used = (listNumbered(fs, rp, GenName) ++
+      listNumbered(fs, pointerDir(rp), PtrName)).map(_._1)
+    new org.apache.hadoop.fs.Path(rp,
+      genLeaf(if (used.isEmpty) 1L else used.max + 1L)).toString
+  }
+
+  /** Publishes a staged generation with ONE pointer-object write (the
+    * atomic step on every filesystem, object stores included), then
+    * prunes: all generations except the new live one and its immediate
+    * predecessor (kept for rollback) are deleted, along with their
+    * pointers and any torn/stranded leftovers. */
+  private[graft] def commitPointerSwap(spark: SparkSession, root: String,
+      genPath: String): Unit = {
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
+    val gp = new org.apache.hadoop.fs.Path(genPath)
+    val n = gp.getName match {
+      case GenName(d) => d.toLong
+      case other => throw new IllegalArgumentException(
+        s"commitPointerSwap: $other is not a gen-<n> directory — stage " +
+          "at LayoutOps.pointerStagingPath")
+    }
+    require(gp.getParent != null &&
+        fs.makeQualified(gp.getParent) == fs.makeQualified(rp),
+      s"commitPointerSwap: $genPath is not a child of $root")
+    require(fs.exists(gp) && fs.listStatus(gp).nonEmpty,
+      s"commitPointerSwap: nothing staged at $genPath")
+    val ptr = new org.apache.hadoop.fs.Path(pointerDir(rp), f"ptr-$n%05d")
+    require(!fs.exists(ptr),
+      s"commitPointerSwap: $ptr already exists — maintenance is " +
+        "single-writer per index root")
+    val out = fs.create(ptr, false)
+    try out.write((genLeaf(n) + "\n").getBytes("UTF-8")) finally out.close()
+    prunePointerGenerations(fs, rp)
+  }
+
+  /** Crash-recovery sweep for a pointer-published index — the
+    * [[recoverIndexSwap]] counterpart: deletes torn pointers, stranded
+    * unpublished generations, and all history beyond live+previous.
+    * Idempotent; a no-op on a healthy root; safe before the first
+    * publish (nothing valid to keep → only strandeds are swept). */
+  def recoverPointerSwap(spark: SparkSession, root: String): Unit = {
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
+    prunePointerGenerations(fs, rp)
+  }
+
+  private def prunePointerGenerations(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    val ptrs = listNumbered(fs, pointerDir(root), PtrName).sortBy(-_._1)
+    val valid = ptrs.filter { case (n, p) => pointerValid(fs, root, n, p) }
+      .map(_._1)
+    val keep = valid.take(2).toSet // live + rollback predecessor
+    ptrs.foreach { case (n, p) => if (!keep.contains(n)) fs.delete(p, false) }
+    listNumbered(fs, root, GenName).foreach { case (n, p) =>
+      if (!keep.contains(n)) fs.delete(p, true)
+    }
+  }
+
+  /** The pointer lifecycle's publish wrapper: recover, allocate the
+    * next generation, run `build` against it (write the COMPLETE new
+    * index there), commit with the one-object pointer write, and
+    * return the now-live generation path. Works identically on `file:`
+    * (how the spec simulates it) and on object stores — no step
+    * renames or overwrites anything. */
+  def withPointerGeneration(spark: SparkSession, root: String)(
+      build: String => Unit): String = {
+    recoverPointerSwap(spark, root)
+    val gen = pointerStagingPath(spark, root)
+    build(gen)
+    commitPointerSwap(spark, root, gen)
+    gen
   }
 }

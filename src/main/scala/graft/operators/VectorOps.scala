@@ -1132,6 +1132,44 @@ object VectorOps {
   }
 
   /**
+   * [[rebuildIvfIndex]] for OBJECT-STORE indexes (s3a, gs, abfs, ...),
+   * where the two-rename swap is refused because directory rename is a
+   * non-atomic copy+delete (VERDICT r17 #4): the index lives under a
+   * pointer ROOT of immutable generation directories, the retrain
+   * writes a complete NEW generation, and publish is ONE pointer-object
+   * write — atomic on every store ([[LayoutOps.withPointerGeneration]]
+   * has the full crash-window contract; every window leaves the old
+   * generation serving). Readers open
+   * [[LayoutOps.resolveIndexPointer]]`(spark, root)` and pass that
+   * generation path to [[ivfIndexTopK]] / appends as usual.
+   *
+   * Same retrain semantics as [[rebuildIvfIndex]]: reads the LIVE
+   * generation's raw vectors, dedups replayed-append rows by vec_id,
+   * full fresh Lloyd build; `nCentroids`/`iters`/`nParts` default to
+   * the live manifest. Single-writer per index root, like all index
+   * maintenance. The first build of a pointer index is just
+   * `withPointerGeneration(spark, root)(gen => buildIvfIndex(corpus,
+   * gen, ...))`.
+   */
+  def rebuildIvfIndexPointer(spark: org.apache.spark.sql.SparkSession,
+      root: String, nCentroids: Int = 0, iters: Int = -1,
+      nParts: Int = 0): Unit = {
+    val live = LayoutOps.resolveIndexPointer(spark, root)
+    val params = ivfIndexManifest(spark, live,
+      Seq("n_centroids", "iters", "n_parts"))
+    val nc = if (nCentroids > 0) nCentroids
+      else params.getAs[Int]("n_centroids")
+    val it = if (iters >= 0) iters else params.getAs[Int]("iters")
+    val np = if (nParts > 0) nParts else params.getAs[Int]("n_parts")
+    val corpus = Caches.persist(spark.read.parquet(s"$live/vectors")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .dropDuplicates("vec_id"))
+    try LayoutOps.withPointerGeneration(spark, root)(gen =>
+      buildIvfIndex(corpus, gen, nc, it, np))
+    finally corpus.unpersist(false)
+  }
+
+  /**
    * Monitoring report over a persisted IVF(-PQ) index's on-disk layout
    * (VERDICT r14 #6 / r15 #4) — the operator the append scaladocs'
    * "monitor cell sizes; re-train = re-build" advice calls for. One

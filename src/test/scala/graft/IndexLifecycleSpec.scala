@@ -410,18 +410,122 @@ class IndexLifecycleSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
-  test("index swap refuses object-store schemes up front: a non-atomic " +
-      "copy+delete rename could leave a partial copy posing as a " +
-      "complete index") {
+  test("index swap scheme guard is an ALLOWLIST that names the pointer " +
+      "lifecycle: s3a refused, unknown schemes (abfss) fail safe, " +
+      "known-atomic filesystems stay allowed") {
     val ex = intercept[IllegalArgumentException] {
       LayoutOps.recoverIndexSwap(spark, "s3a://bucket/indexes/ivf")
     }
-    assert(ex.getMessage.contains("non-atomic") &&
-      ex.getMessage.contains("s3a"))
+    assert(ex.getMessage.contains("s3a") &&
+      ex.getMessage.contains("withPointerGeneration") &&
+      ex.getMessage.contains("rebuildIvfIndexPointer"),
+      s"refusal must name the object-store alternative: ${ex.getMessage}")
+    // the old deny-list silently passed abfss (ADVICE r17): an
+    // allowlist fails safe on every unproven scheme
+    val ex2 = intercept[IllegalArgumentException] {
+      LayoutOps.recoverIndexSwap(spark, "abfss://c@acct.dfs.example/idx")
+    }
+    assert(ex2.getMessage.contains("abfss"))
     // local paths (and file: URIs) stay allowed
     val ok = java.nio.file.Files
       .createTempDirectory("ilc_swap_ok").toString
     LayoutOps.recoverIndexSwap(spark, ok)
     LayoutOps.recoverIndexSwap(spark, s"file:$ok")
+  }
+
+  test("pointer lifecycle: first publish, replayed append, " +
+      "rebuildIvfIndexPointer — the rename-free object-store protocol, " +
+      "simulated on file:; history pruned to live + rollback") {
+    val e = emb(64)
+    val root = java.nio.file.Files
+      .createTempDirectory("ilc_ptr_root").toString
+    val fresh = java.nio.file.Files
+      .createTempDirectory("ilc_ptr_fresh").toString
+    // first publish IS the wrapper: no special-case bootstrap
+    val gen1 = LayoutOps.withPointerGeneration(spark, root)(g =>
+      VectorOps.buildIvfIndex(e.filter($"vec_id" % 2 === 0), g,
+        nCentroids = 8, iters = 2))
+    assert(gen1.endsWith("gen-00001"))
+    assert(LayoutOps.resolveIndexPointer(spark, root) === gen1)
+    // appends target the resolved LIVE generation, unchanged API
+    val odd = e.filter($"vec_id" % 2 =!= 0)
+    VectorOps.appendToIvfIndex(odd, gen1)
+    VectorOps.appendToIvfIndex(odd, gen1) // at-least-once replay
+    assert(spark.read.parquet(s"$gen1/vectors").count() === 96L)
+    VectorOps.rebuildIvfIndexPointer(spark, root)
+    val live = LayoutOps.resolveIndexPointer(spark, root)
+    assert(live.endsWith("gen-00002"), s"live moved to $live")
+    VectorOps.buildIvfIndex(e, fresh, nCentroids = 8, iters = 2)
+    // dedup happened on disk; retrain equals a fresh full build
+    assert(spark.read.parquet(s"$live/vectors").count() === 64L)
+    assert(spark.read.parquet(s"$live/centroids").collect().toSet ===
+      spark.read.parquet(s"$fresh/centroids").collect().toSet)
+    val probes = e.filter($"vec_id" < 4)
+    assert(topkRows(live, probes) === topkRows(fresh, probes))
+    // the predecessor generation is retained for rollback — and after
+    // a THIRD publish, pruning keeps exactly live + previous
+    VectorOps.rebuildIvfIndexPointer(spark, root)
+    val gens = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.startsWith("gen-")).toSet
+    assert(gens === Set("gen-00002", "gen-00003"), s"got $gens")
+    assert(LayoutOps.resolveIndexPointer(spark, root)
+      .endsWith("gen-00003"))
+    spark.catalog.clearCache()
+  }
+
+  test("pointer crash windows: a stranded unpublished generation is " +
+      "invisible and swept; a TORN pointer write can never alias to " +
+      "another generation — resolution falls back, recovery deletes it") {
+    val e = emb(64)
+    val root = java.nio.file.Files
+      .createTempDirectory("ilc_ptr_crash").toString
+    val gen1 = LayoutOps.withPointerGeneration(spark, root)(g =>
+      VectorOps.buildIvfIndex(e, g, nCentroids = 8, iters = 1))
+    val probes = e.filter($"vec_id" < 4)
+    val before = topkRows(gen1, probes)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+    // window 1: crash mid-generation-write (before the pointer PUT) —
+    // the complete-but-unpublished stage is invisible and regenerable
+    val gen2 = LayoutOps.pointerStagingPath(spark, root)
+    VectorOps.buildIvfIndex(e, gen2, nCentroids = 8, iters = 1)
+    assert(LayoutOps.resolveIndexPointer(spark, root) === gen1,
+      "an unpublished generation must be invisible to readers")
+    LayoutOps.recoverPointerSwap(spark, root)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(gen2)))
+    assert(topkRows(LayoutOps.resolveIndexPointer(spark, root),
+      probes) === before)
+
+    // window 2: crash mid-POINTER-write. The validity rule (content ==
+    // gen-<the pointer's own number>) makes every torn variant invalid,
+    // including the nastiest one: a prefix that happens to NAME AN
+    // EXISTING OTHER GENERATION.
+    for (torn <- Seq("", "gen-0000", "gen-00001")) {
+      val gen2b = LayoutOps.pointerStagingPath(spark, root)
+      assert(gen2b.endsWith("gen-00002"))
+      VectorOps.buildIvfIndex(e, gen2b, nCentroids = 8, iters = 1)
+      val ptr = new org.apache.hadoop.fs.Path(s"$root/_ptr/ptr-00002")
+      val out = fs.create(ptr, false)
+      try out.write(torn.getBytes("UTF-8")) finally out.close()
+      assert(LayoutOps.resolveIndexPointer(spark, root) === gen1,
+        s"torn pointer '$torn' must not resolve")
+      LayoutOps.recoverPointerSwap(spark, root)
+      assert(!fs.exists(ptr) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(gen2b)),
+        s"recovery must delete the torn pointer '$torn' and its stage")
+    }
+
+    // a retry after any crash completes normally and answers like the
+    // old index (same corpus, deterministic trainer)
+    VectorOps.rebuildIvfIndexPointer(spark, root)
+    val live = LayoutOps.resolveIndexPointer(spark, root)
+    assert(live.endsWith("gen-00002"))
+    assert(topkRows(live, probes) === before)
+    // recovery on a healthy root is a no-op
+    LayoutOps.recoverPointerSwap(spark, root)
+    assert(LayoutOps.resolveIndexPointer(spark, root) === live)
+    assert(topkRows(live, probes) === before)
+    spark.catalog.clearCache()
   }
 }
