@@ -360,12 +360,19 @@ object LayoutOps {
     *    pointer and recovery deletes the torn one;
     *  - after the pointer write: publish is complete; recovery prunes
     *    all but the live and the immediately-previous generation (kept
-    *    for operator rollback).
+    *    for [[rollbackIndexPointer]]).
     *
     * Like the rename swap, maintenance is single-writer per index root
     * (generation numbers are allocated by listing); READERS are
     * wait-free — [[resolveIndexPointer]] at open, then every query runs
-    * against an immutable generation directory. */
+    * against a generation directory that no publish ever mutates.
+    * Generations are immutable TO THE PROTOCOL: the standard pure-append
+    * APIs (`appendToIvfIndex` & co.) may still target the resolved live
+    * generation — they add files, never rename or rewrite published
+    * ones, so the pointer's atomicity story is untouched; on an object
+    * store their parquet commits inherit Spark's committer semantics
+    * (use an object-store-native committer, e.g. the S3A magic
+    * committer, as for any parquet append there). */
   private def pointerDir(root: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(root, "_ptr")
 
@@ -385,35 +392,49 @@ object LayoutOps {
       }
     }
 
-  /** True iff `ptr-<n>` exists, reads fully, and its trimmed content is
-    * exactly `gen-<n>` for a generation directory that exists — the
-    * torn-write-proof validity rule (see the lifecycle scaladoc). */
-  private def pointerValid(fs: org.apache.hadoop.fs.FileSystem,
+  private val RollbackContent = "^gen-(\\d{5,}) ptr-(\\d{5,})$".r
+
+  /** The validated TARGET generation of `ptr-<n>`, or None. Two valid
+    * content forms, both torn-write-proof (every strict prefix of
+    * either fails validation, so a crash mid-write can never alias to
+    * a different generation):
+    *  - publish: exactly `gen-<n>` — the pointer's OWN number;
+    *  - rollback: `gen-<m> ptr-<n>` — any generation, but the second
+    *    token must name the pointer itself (a torn prefix loses it).
+    * In both forms the named generation directory must exist. */
+  private def pointerTarget(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, n: Long,
-      ptr: org.apache.hadoop.fs.Path): Boolean = {
+      ptr: org.apache.hadoop.fs.Path): Option[Long] = {
     val content = try {
       val in = fs.open(ptr)
       try {
-        // read to EOF (or 64 bytes — a valid pointer is ~10): a SHORT
-        // read must not make a good pointer look torn
+        // read to EOF (or 64 bytes — a valid pointer is ~10-24): a
+        // SHORT read must not make a good pointer look torn
         val buf = new Array[Byte](64)
         var off = 0
-        var n = 0
-        while (off < buf.length && n >= 0) {
-          n = in.read(buf, off, buf.length - off)
-          if (n > 0) off += n
+        var got = 0
+        while (off < buf.length && got >= 0) {
+          got = in.read(buf, off, buf.length - off)
+          if (got > 0) off += got
         }
         new String(buf, 0, off, "UTF-8").trim
       } finally in.close()
     } catch { case _: java.io.IOException => "" }
-    content == genLeaf(n) &&
-      fs.exists(new org.apache.hadoop.fs.Path(root, genLeaf(n)))
+    val target = content match {
+      case RollbackContent(m, self) if self.toLong == n => Some(m.toLong)
+      case _ if content == genLeaf(n) => Some(n)
+      case _ => None
+    }
+    target.filter(m =>
+      fs.exists(new org.apache.hadoop.fs.Path(root, genLeaf(m))))
   }
 
-  private def latestValidPointer(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Option[Long] =
+  /** Valid pointers as `(pointer number, target generation)`, newest
+    * pointer first. */
+  private def validPointers(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[(Long, Long)] =
     listNumbered(fs, pointerDir(root), PtrName).sortBy(-_._1)
-      .collectFirst { case (n, p) if pointerValid(fs, root, n, p) => n }
+      .flatMap { case (n, p) => pointerTarget(fs, root, n, p).map((n, _)) }
 
   /** The LIVE generation directory of a pointer-published index — what
     * readers open and what [[graft.operators.VectorOps.ivfIndexTopK]]
@@ -422,7 +443,7 @@ object LayoutOps {
   def resolveIndexPointer(spark: SparkSession, root: String): String = {
     val rp = new org.apache.hadoop.fs.Path(root)
     val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
-    val live = latestValidPointer(fs, rp).getOrElse(
+    val live = validPointers(fs, rp).headOption.map(_._2).getOrElse(
       throw new IllegalArgumentException(
         s"resolveIndexPointer: no published generation under $root — " +
           "build into LayoutOps.withPointerGeneration(spark, root)(gen " +
@@ -488,13 +509,14 @@ object LayoutOps {
 
   private def prunePointerGenerations(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Unit = {
-    val ptrs = listNumbered(fs, pointerDir(root), PtrName).sortBy(-_._1)
-    val valid = ptrs.filter { case (n, p) => pointerValid(fs, root, n, p) }
-      .map(_._1)
-    val keep = valid.take(2).toSet // live + rollback predecessor
-    ptrs.foreach { case (n, p) => if (!keep.contains(n)) fs.delete(p, false) }
+    val valid = validPointers(fs, root)
+    val keepPtrs = valid.take(2).map(_._1).toSet // live + predecessor
+    val keepGens = valid.take(2).map(_._2).toSet
+    listNumbered(fs, pointerDir(root), PtrName).foreach { case (n, p) =>
+      if (!keepPtrs.contains(n)) fs.delete(p, false)
+    }
     listNumbered(fs, root, GenName).foreach { case (n, p) =>
-      if (!keep.contains(n)) fs.delete(p, true)
+      if (!keepGens.contains(n)) fs.delete(p, true)
     }
   }
 
@@ -511,5 +533,38 @@ object LayoutOps {
     build(gen)
     commitPointerSwap(spark, root, gen)
     gen
+  }
+
+  /** Re-points the live index to the RETAINED PREDECESSOR generation —
+    * the operator the pruning policy keeps that generation for (a
+    * rebuild published bad data, roll back while the root cause is
+    * found). Implemented as one new pointer-object write in the
+    * self-naming rollback form (`gen-<m> ptr-<n>` — see
+    * [[resolveIndexPointer]]'s validity rule; still no renames, still
+    * atomic, still torn-write-proof), so rollback has the same crash
+    * story as publish. The generation rolled back FROM stays retained
+    * (it becomes the predecessor), so a second rollback rolls forward
+    * again. Refuses when no predecessor generation is retained. Returns
+    * the now-live generation path. */
+  def rollbackIndexPointer(spark: SparkSession, root: String): String = {
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
+    val valid = validPointers(fs, rp)
+    require(valid.nonEmpty,
+      s"rollbackIndexPointer: no published generation under $root")
+    val live = valid.head._2
+    val prev = valid.collectFirst { case (_, g) if g != live => g }
+      .getOrElse(throw new IllegalArgumentException(
+        s"rollbackIndexPointer: no predecessor generation retained " +
+          s"under $root — only ${genLeaf(live)} is published"))
+    val used = (listNumbered(fs, rp, GenName) ++
+      listNumbered(fs, pointerDir(rp), PtrName)).map(_._1)
+    val n = used.max + 1L
+    val ptr = new org.apache.hadoop.fs.Path(pointerDir(rp), f"ptr-$n%05d")
+    val out = fs.create(ptr, false)
+    try out.write(f"${genLeaf(prev)} ptr-$n%05d\n".getBytes("UTF-8"))
+    finally out.close()
+    prunePointerGenerations(fs, rp)
+    new org.apache.hadoop.fs.Path(rp, genLeaf(prev)).toString
   }
 }

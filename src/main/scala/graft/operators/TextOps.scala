@@ -674,9 +674,14 @@ object TextOps {
     val merged = inc
       .unionByName(base.select(col("ref_id"), col("band"),
         col("band_key"), col("part"))) // stale bn dropped, recomputed
+      // null-exact dedup (ADVICE r17): <=> treats equal-NULL ref_ids as
+      // duplicates like the dropDuplicates this replaced, and the
+      // row_number guard (same window spec → same Window exec, no new
+      // exchange) keeps a NULL group's first row
       .withColumn("dupb",
-        col("ref_id") === lag(col("ref_id"), 1).over(wOrd))
-      .filter(!coalesce(col("dupb"), lit(false)))
+        row_number().over(wOrd) > 1 &&
+          (col("ref_id") <=> lag(col("ref_id"), 1).over(wOrd)))
+      .filter(!col("dupb"))
       .drop("dupb")
       .withColumn("bn", count(lit(1)).over(wBucket).cast("int"))
       .repartition(col("part"))
@@ -728,7 +733,18 @@ object TextOps {
   def rebuildMinhashIndex(spark: SparkSession, path: String,
       numHashes: Int = 0, bands: Int = 0, nParts: Int = 0): Unit = {
     LayoutOps.recoverIndexSwap(spark, path)
-    val (k, bNh, bBands, bNp) = minhashIndexParams(spark, path)
+    minhashRetuneInto(spark, path, LayoutOps.indexStagingPath(path),
+      numHashes, bands, nParts)
+    LayoutOps.commitIndexSwap(spark, path)
+  }
+
+  /** The retune-from-stored-shingles core both publish protocols
+    * share: resolve parameters against `src`'s manifest, re-derive
+    * signatures/bands/bn from the stored shingle sets, write the
+    * pristine layout to `dst`. */
+  private def minhashRetuneInto(spark: SparkSession, src: String,
+      dst: String, numHashes: Int, bands: Int, nParts: Int): Unit = {
+    val (k, bNh, bBands, bNp) = minhashIndexParams(spark, src)
     val nh = if (numHashes > 0) numHashes else bNh
     val bb = if (bands > 0) bands else bBands
     val np = if (nParts > 0) nParts else bNp
@@ -736,8 +752,7 @@ object TextOps {
     require(bb * rows == nh,
       "rebuildMinhashIndex: numHashes must divide into bands")
     graft.functions.ensureRegistered(spark)
-    val tmp = LayoutOps.indexStagingPath(path)
-    val sh = Caches.persist(spark.read.parquet(s"$path/shingles")
+    val sh = Caches.persist(spark.read.parquet(s"$src/shingles")
       .dropDuplicates(Seq("ref_id")))
     val wBucket = Window.partitionBy(col("band"), col("band_key"))
     try {
@@ -750,14 +765,27 @@ object TextOps {
         .repartition(col("part"))
         .sortWithinPartitions(col("band_key"))
         .write.mode("overwrite").partitionBy("part")
-        .parquet(s"$tmp/bands")
-      sh.write.mode("overwrite").parquet(s"$tmp/shingles")
+        .parquet(s"$dst/bands")
+      sh.write.mode("overwrite").parquet(s"$dst/shingles")
       import spark.implicits._
       Seq((k, nh, bb, np))
         .toDF("k", "num_hashes", "bands", "n_parts")
-        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/params")
-      LayoutOps.commitIndexSwap(spark, path)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dst/params")
     } finally sh.unpersist(false)
+  }
+
+  /** [[rebuildMinhashIndex]] (the RETUNE) for OBJECT-STORE indexes —
+    * same re-parameterization from stored shingles (no corpus text
+    * re-read; `k` still refused), published through the pointer
+    * lifecycle instead of the rename swap. Readers resolve the live
+    * generation via
+    * [[graft.operators.LayoutOps.resolveIndexPointer]] and must pass
+    * the NEW parameters after a retune, as always. */
+  def rebuildMinhashIndexPointer(spark: SparkSession, root: String,
+      numHashes: Int = 0, bands: Int = 0, nParts: Int = 0): Unit = {
+    val live = LayoutOps.resolveIndexPointer(spark, root)
+    LayoutOps.withPointerGeneration(spark, root)(gen =>
+      minhashRetuneInto(spark, live, gen, numHashes, bands, nParts))
   }
 
   /** The append's base read, factored out so PlanSpec can pin that an
@@ -3188,23 +3216,48 @@ object TextOps {
       nParts: Int = 0): Unit = {
     LayoutOps.recoverIndexSwap(spark, path)
     val np = if (nParts > 0) nParts else bm25IndexNParts(spark, path)
-    val tmp = LayoutOps.indexStagingPath(path)
-    spark.read.parquet(s"$path/doclens")
+    canonicalizeBm25Into(spark, path, LayoutOps.indexStagingPath(path), np)
+    LayoutOps.commitIndexSwap(spark, path)
+  }
+
+  /** The canonicalizing re-layout both publish protocols share: read
+    * the index at `src`, dedup replayed-append rows, restore the
+    * term-sorted pristine layout at the requested fan-out, recompute
+    * stats — all written to `dst` (a rename-swap staging sibling or a
+    * pointer generation directory). */
+  private def canonicalizeBm25Into(spark: SparkSession, src: String,
+      dst: String, np: Int): Unit = {
+    spark.read.parquet(s"$src/doclens")
       .dropDuplicates(Seq("doc_id"))
-      .write.mode("overwrite").parquet(s"$tmp/doclens")
-    spark.read.parquet(s"$path/postings")
+      .write.mode("overwrite").parquet(s"$dst/doclens")
+    spark.read.parquet(s"$src/postings")
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
       .dropDuplicates(Seq("term", "doc_id"))
       .withColumn("part", termPart(col("term"), np))
       .repartition(col("part"))
       .sortWithinPartitions(col("term"))
       .write.mode("overwrite").partitionBy("part")
-      .parquet(s"$tmp/postings")
+      .parquet(s"$dst/postings")
     import spark.implicits._
     Seq(np).toDF("n_parts")
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/params")
-    refreshBm25Stats(spark, tmp)
-    LayoutOps.commitIndexSwap(spark, path)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dst/params")
+    refreshBm25Stats(spark, dst)
+  }
+
+  /** [[rebuildBm25Index]] for OBJECT-STORE indexes — same
+    * canonicalizing re-layout, published through the pointer
+    * lifecycle ([[graft.operators.LayoutOps.withPointerGeneration]]:
+    * write a complete NEW generation, commit with one pointer-object
+    * write; readers resolve via
+    * [[graft.operators.LayoutOps.resolveIndexPointer]]). Same
+    * new-docs-only append precondition and single-writer contract as
+    * the rename-swap twin. */
+  def rebuildBm25IndexPointer(spark: SparkSession, root: String,
+      nParts: Int = 0): Unit = {
+    val live = LayoutOps.resolveIndexPointer(spark, root)
+    val np = if (nParts > 0) nParts else bm25IndexNParts(spark, live)
+    LayoutOps.withPointerGeneration(spark, root)(gen =>
+      canonicalizeBm25Into(spark, live, gen, np))
   }
 
   /** The query-time posting read, factored out so PlanSpec can pin

@@ -1368,15 +1368,21 @@ object VectorOps {
     * appends re-add byte-identical rows, which tie on (key, neighbor)
     * and are therefore ADJACENT under the rank window's total order —
     * a lag flag over the SAME window spec drops the repeats without a
-    * new exchange. The caller pays the partial-WindowGroupLimit
-    * forfeit documented at the call sites (SCALE.md lesson 17). */
-  private def dedupReplayRows(scored: DataFrame,
+    * new exchange (row_number over that spec shares the same Window
+    * exec, so the first-row guard is free too). Null-exact
+    * dropDuplicates semantics (ADVICE r17): `<=>` treats two NULL ids
+    * as the same row, and the `row_number > 1` guard keeps the FIRST
+    * occurrence of a NULL group instead of losing it to lag's null
+    * default. The caller pays the partial-WindowGroupLimit forfeit
+    * documented at the call sites (SCALE.md lesson 17). */
+  private[graft] def dedupReplayRows(scored: DataFrame,
       wRank: org.apache.spark.sql.expressions.WindowSpec,
       keyCol: String): DataFrame =
     scored.withColumn("dup",
-        col("neighbor_id") === lag(col("neighbor_id"), 1).over(wRank) &&
-          col(keyCol) === lag(col(keyCol), 1).over(wRank))
-      .filter(!coalesce(col("dup"), lit(false)))
+        row_number().over(wRank) > 1 &&
+          (col("neighbor_id") <=> lag(col("neighbor_id"), 1).over(wRank)) &&
+          (col(keyCol) <=> lag(col(keyCol), 1).over(wRank)))
+      .filter(!col("dup"))
       .drop("dup")
 
   /** The probe-time inverted-list read, factored out so PlanSpec can
@@ -1990,8 +1996,27 @@ object VectorOps {
       kCent: Int = 0, nCentroids: Int = 0, nParts: Int = 0): Unit = {
     val spark = emb.sparkSession
     LayoutOps.recoverIndexSwap(spark, path)
-    // guarded manifest read (the raw read surfaced opaque Spark errors
-    // on missing/legacy layouts — r17 review, same fix as the IVF twin)
+    val (mm, kc, nc, np) =
+      ivfPqRebuildParams(spark, path, m, kCent, nCentroids, nParts)
+    // persisted: the build consumes the corpus three times (PQ books,
+    // coarse seeds, the encode+layout pass) — without the barrier the
+    // dedup shuffle and source scan re-run per consumer (r17 review;
+    // the IVF twin already had this)
+    val corpus = Caches.persist(emb.dropDuplicates("vec_id"))
+    try {
+      buildIvfPqIndex(corpus, LayoutOps.indexStagingPath(path),
+        mm, kc, nc, np)
+      LayoutOps.commitIndexSwap(spark, path)
+    } finally corpus.unpersist(false)
+  }
+
+  /** Guarded manifest read shared by both IVF-PQ rebuild paths (the
+    * raw read surfaced opaque Spark errors on missing/legacy layouts —
+    * r17 review): each `<= 0` argument falls back to the live
+    * manifest's value. */
+  private def ivfPqRebuildParams(
+      spark: org.apache.spark.sql.SparkSession, path: String, m: Int,
+      kCent: Int, nCentroids: Int, nParts: Int): (Int, Int, Int, Int) = {
     val row =
       try spark.read.parquet(s"$path/pq_book").head()
       catch {
@@ -2006,21 +2031,29 @@ object VectorOps {
         s"ivf-pq index at $path predates the current layout (pq_book " +
           s"carries no ${missing.mkString("/")}) — rebuild with " +
           "buildIvfPqIndex")
-    val mm = if (m > 0) m else row.getAs[Int]("m")
-    val kc = if (kCent > 0) kCent else row.getAs[Int]("k_cent")
-    val nc = if (nCentroids > 0) nCentroids
-      else row.getAs[Int]("n_centroids")
-    val np = if (nParts > 0) nParts else row.getAs[Int]("n_parts")
-    // persisted: the build consumes the corpus three times (PQ books,
-    // coarse seeds, the encode+layout pass) — without the barrier the
-    // dedup shuffle and source scan re-run per consumer (r17 review;
-    // the IVF twin already had this)
+    (if (m > 0) m else row.getAs[Int]("m"),
+      if (kCent > 0) kCent else row.getAs[Int]("k_cent"),
+      if (nCentroids > 0) nCentroids else row.getAs[Int]("n_centroids"),
+      if (nParts > 0) nParts else row.getAs[Int]("n_parts"))
+  }
+
+  /** [[rebuildIvfPqIndex]] for OBJECT-STORE indexes — same
+    * retrain-from-source semantics (codes are lossy, so the corpus is
+    * the argument; BOTH codebooks retrain), published through the
+    * pointer lifecycle ([[LayoutOps.withPointerGeneration]]) instead
+    * of the rename swap. Parameter defaults come from the LIVE
+    * generation's manifest; readers resolve it via
+    * [[LayoutOps.resolveIndexPointer]]. */
+  def rebuildIvfPqIndexPointer(emb: DataFrame, root: String, m: Int = 0,
+      kCent: Int = 0, nCentroids: Int = 0, nParts: Int = 0): Unit = {
+    val spark = emb.sparkSession
+    val live = LayoutOps.resolveIndexPointer(spark, root)
+    val (mm, kc, nc, np) =
+      ivfPqRebuildParams(spark, live, m, kCent, nCentroids, nParts)
     val corpus = Caches.persist(emb.dropDuplicates("vec_id"))
-    try {
-      buildIvfPqIndex(corpus, LayoutOps.indexStagingPath(path),
-        mm, kc, nc, np)
-      LayoutOps.commitIndexSwap(spark, path)
-    } finally corpus.unpersist(false)
+    try LayoutOps.withPointerGeneration(spark, root)(gen =>
+      buildIvfPqIndex(corpus, gen, mm, kc, nc, np))
+    finally corpus.unpersist(false)
   }
 
   /**
@@ -2040,7 +2073,8 @@ object VectorOps {
    * is the pruned code partitions streaming through the ADC kernel.
    */
   def ivfPqIndexTopK(probes: DataFrame, path: String, k: Int,
-      nProbe: Int = 1, absorbReplays: Boolean = false): DataFrame = {
+      nProbe: Int = 1, absorbReplays: Boolean = false,
+      excludeSelf: Boolean = true): DataFrame = {
     require(k > 0 && nProbe > 0, "ivfPqIndexTopK: k > 0, nProbe > 0")
     val spark = probes.sparkSession
     graft.functions.ensureRegistered(spark)
@@ -2074,8 +2108,15 @@ object VectorOps {
     // crash-to-rebuild window)
     val wRank = Window.partitionBy(col("probe_id"))
       .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
-    val scored = broadcast(p).join(codes, Seq("cluster"))
-      .filter(col("neighbor_id") =!= col("probe_id"))
+    // excludeSelf mirrors [[ivfIndexTopK]] (ADVICE r17): the default is
+    // the "probe is IN the index" contract; turn it OFF when probe and
+    // index id spaces are independent numberings, where an id collision
+    // is two DIFFERENT vectors that must still rank — the exact silent
+    // drop the r17 review fixed on the IVF twin.
+    val joinedPq = broadcast(p).join(codes, Seq("cluster"))
+    val scored = (if (excludeSelf)
+        joinedPq.filter(col("neighbor_id") =!= col("probe_id"))
+      else joinedPq)
       .select(col("probe_id"), col("cluster"), col("neighbor_id"),
         round(graft.functions.pq_adc(col("p_emb"), col("codes"), book), 6)
           .as("adc_dist"))

@@ -410,6 +410,46 @@ class IndexLifecycleSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("ivfPqIndexTopK excludeSelf = false keeps colliding-id pairs — " +
+      "the PQ twin of the r17 silent-leakage fix (ADVICE r17)") {
+    val e16 = emb(64, dims = 16, patterns = 6)
+    val path = java.nio.file.Files
+      .createTempDirectory("ilc_pq_self").toString
+    VectorOps.buildIvfPqIndex(e16, path, m = 4, kCent = 8, nCentroids = 8)
+    // probe ids 0..3 COLLIDE with indexed ids 0..3 — under independent
+    // numberings those are different vectors that must still rank
+    val probes = e16.filter($"vec_id" < 4)
+    val withSelf = VectorOps.ivfPqIndexTopK(probes, path, k = 5,
+      nProbe = 8, excludeSelf = false)
+    assert(withSelf.filter($"neighbor_id" === $"probe_id").count() === 4L,
+      "every probe's colliding id must rank (ADC distance 0 to itself)")
+    // the default keeps the probe-is-in-the-index contract
+    assert(VectorOps.ivfPqIndexTopK(probes, path, k = 5, nProbe = 8)
+      .filter($"neighbor_id" === $"probe_id").count() === 0L)
+    spark.catalog.clearCache()
+  }
+
+  test("dedupReplayRows is null-exact dropDuplicates over the rank " +
+      "window: NULL ids dedup like equal values and the group's first " +
+      "row survives (ADVICE r17)") {
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy($"probe_id")
+      .orderBy($"score".desc, $"neighbor_id".asc)
+    val rows = Seq[(Long, java.lang.Long, java.lang.Double)](
+      (1L, 10L, 0.9), (1L, 10L, 0.9),           // classic replay pair
+      (1L, null, 0.5), (1L, null, 0.5),         // replayed NULL-id rows
+      (1L, null, 0.4),                          // NULL id, distinct score
+      (2L, null, 0.7)                           // lone NULL id
+    ).toDF("probe_id", "neighbor_id", "score")
+    val got = VectorOps.dedupReplayRows(rows, wRank, "score")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        r.getDouble(2))).toSet
+    assert(got === Set((1L, Some(10L), 0.9), (1L, None, 0.5),
+      (1L, None, 0.4), (2L, None, 0.7)),
+      s"expected exact dropDuplicates-on-window semantics, got $got")
+  }
+
   test("index swap scheme guard is an ALLOWLIST that names the pointer " +
       "lifecycle: s3a refused, unknown schemes (abfss) fail safe, " +
       "known-atomic filesystems stay allowed") {
@@ -470,6 +510,129 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(gens === Set("gen-00002", "gen-00003"), s"got $gens")
     assert(LayoutOps.resolveIndexPointer(spark, root)
       .endsWith("gen-00003"))
+    spark.catalog.clearCache()
+  }
+
+  test("pointer lifecycle covers ALL FOUR index families: bm25 " +
+      "canonicalize, ivf-pq retrain-from-source, and the minhash " +
+      "retune all publish through generations and answer like their " +
+      "rename-swap twins") {
+    def tmpDir(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+
+    // BM25: replayed append canonicalized, answers == fresh build
+    val bmRoot = tmpDir("ilc_ptr_bm")
+    val bmFresh = tmpDir("ilc_ptr_bmf")
+    val gen1 = LayoutOps.withPointerGeneration(spark, bmRoot)(g =>
+      TextOps.buildBm25Index(bmCorpus.filter($"doc_id" < 4), g))
+    val rest = bmCorpus.filter($"doc_id" >= 4)
+    TextOps.appendToBm25Index(rest, gen1)
+    TextOps.appendToBm25Index(rest, gen1) // at-least-once replay
+    TextOps.rebuildBm25IndexPointer(spark, bmRoot)
+    TextOps.buildBm25Index(bmCorpus, bmFresh)
+    val bmLive = LayoutOps.resolveIndexPointer(spark, bmRoot)
+    assert(bmLive.endsWith("gen-00002"))
+    assert(spark.read.parquet(s"$bmLive/postings").count() ===
+      spark.read.parquet(s"$bmFresh/postings").count(),
+      "replayed posting rows must be purged")
+    assert(bmRows(bmLive) === bmRows(bmFresh))
+
+    // IVF-PQ: retrain-from-source (codes are lossy) through the root
+    val e16 = emb(64, dims = 16, patterns = 6)
+    val pqRoot = tmpDir("ilc_ptr_pq")
+    val pqFresh = tmpDir("ilc_ptr_pqf")
+    val pqGen1 = LayoutOps.withPointerGeneration(spark, pqRoot)(g =>
+      VectorOps.buildIvfPqIndex(e16.filter($"vec_id" < 32), g,
+        m = 4, kCent = 8, nCentroids = 8))
+    val restPq = e16.filter($"vec_id" >= 32)
+    VectorOps.appendToIvfPqIndex(restPq, pqGen1)
+    VectorOps.appendToIvfPqIndex(restPq, pqGen1)
+    VectorOps.rebuildIvfPqIndexPointer(e16, pqRoot)
+    VectorOps.buildIvfPqIndex(e16, pqFresh, m = 4, kCent = 8,
+      nCentroids = 8)
+    val pqLive = LayoutOps.resolveIndexPointer(spark, pqRoot)
+    def pqRows(p: String) =
+      VectorOps.ivfPqIndexTopK(e16.filter($"vec_id" < 4), p, k = 5,
+        nProbe = 2).orderBy("probe_id", "rnk").collect().toSeq
+    assert(spark.read.parquet(s"$pqLive/codes").count() === 64L)
+    assert(pqRows(pqLive) === pqRows(pqFresh))
+
+    // MinHash: the 4→6 re-band RETUNE from stored shingles
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1L, "the quick brown fox jumps over the lazy dog at dusk"),
+      (2L, "completely different content about spark physical plans"),
+      (3L, "another unrelated string mentioning parquet row groups")
+    ).toDF("doc_id", "text")
+    val mhRoot = tmpDir("ilc_ptr_mh")
+    val mhFresh = tmpDir("ilc_ptr_mhf")
+    val mhGen1 = LayoutOps.withPointerGeneration(spark, mhRoot)(g =>
+      TextOps.buildMinhashIndex(docs, g, k = 3, numHashes = 12,
+        bands = 4))
+    TextOps.rebuildMinhashIndexPointer(spark, mhRoot, numHashes = 12,
+      bands = 6)
+    TextOps.buildMinhashIndex(docs, mhFresh, k = 3, numHashes = 12,
+      bands = 6)
+    val mhLive = LayoutOps.resolveIndexPointer(spark, mhRoot)
+    assert(mhLive !== mhGen1)
+    val probe = Seq((10L, "the quick brown fox jumps over the lazy " +
+      "dog tonight")).toDF("doc_id", "text")
+    def mhRows(p: String) = TextOps.nearDupAgainstIndex(probe, p,
+        k = 3, numHashes = 12, bands = 6, threshold = 0.5)
+      .orderBy("doc_id", "ref_id").collect().toSeq
+    assert(spark.read.parquet(s"$mhLive/bands").collect().toSet ===
+      spark.read.parquet(s"$mhFresh/bands").collect().toSet)
+    assert(mhRows(mhLive) === mhRows(mhFresh) && mhRows(mhLive).nonEmpty)
+    spark.catalog.clearCache()
+  }
+
+  test("rollbackIndexPointer re-points to the retained predecessor " +
+      "with one pointer write; a second rollback rolls forward; torn " +
+      "rollback pointers can never alias") {
+    val root = java.nio.file.Files
+      .createTempDirectory("ilc_ptr_rb").toString
+    // two generations with DIFFERENT content so answers distinguish them
+    val g1 = LayoutOps.withPointerGeneration(spark, root)(g =>
+      VectorOps.buildIvfIndex(emb(32, patterns = 4), g,
+        nCentroids = 4, iters = 1))
+    val g2 = LayoutOps.withPointerGeneration(spark, root)(g =>
+      VectorOps.buildIvfIndex(emb(64), g, nCentroids = 8, iters = 1))
+    assert(LayoutOps.resolveIndexPointer(spark, root) === g2)
+    val probes = emb(4)
+    val a1 = topkRows(g1, probes)
+    val a2 = topkRows(g2, probes)
+    assert(a1 !== a2, "fixture generations must answer differently")
+    // roll back: gen-00001 is live again, gen-00002 retained
+    assert(LayoutOps.rollbackIndexPointer(spark, root) === g1)
+    assert(LayoutOps.resolveIndexPointer(spark, root) === g1)
+    assert(topkRows(LayoutOps.resolveIndexPointer(spark, root),
+      probes) === a1)
+    // ... so a second rollback rolls FORWARD again
+    assert(LayoutOps.rollbackIndexPointer(spark, root) === g2)
+    assert(topkRows(LayoutOps.resolveIndexPointer(spark, root),
+      probes) === a2)
+    // a torn rollback pointer (prefix of "gen-00001 ptr-00005") must
+    // not alias to gen-00001 — the self-naming token is lost
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val torn = new org.apache.hadoop.fs.Path(s"$root/_ptr/ptr-00005")
+    val out = fs.create(torn, false)
+    try out.write("gen-00001".getBytes("UTF-8")) finally out.close()
+    assert(LayoutOps.resolveIndexPointer(spark, root) === g2,
+      "a torn rollback pointer must not resolve")
+    LayoutOps.recoverPointerSwap(spark, root)
+    assert(!fs.exists(torn))
+    assert(LayoutOps.resolveIndexPointer(spark, root) === g2)
+    // a root with a single generation refuses the rollback loudly
+    val lone = java.nio.file.Files
+      .createTempDirectory("ilc_ptr_rb1").toString
+    LayoutOps.withPointerGeneration(spark, lone)(g =>
+      VectorOps.buildIvfIndex(emb(16, patterns = 4), g,
+        nCentroids = 4, iters = 1))
+    val ex = intercept[IllegalArgumentException] {
+      LayoutOps.rollbackIndexPointer(spark, lone)
+    }
+    assert(ex.getMessage.contains("no predecessor"))
     spark.catalog.clearCache()
   }
 
