@@ -352,12 +352,12 @@ object LayoutOps {
     * Crash windows (every one leaves the old generation serving):
     *  - mid-generation-write: no pointer names it → invisible;
     *    [[recoverPointerSwap]] sweeps the stranded directory;
-    *  - mid-pointer-write: a pointer is valid ONLY if its trimmed
-    *    content equals `gen-<its own number>` AND that directory
-    *    exists — any strict prefix of the correct content fails the
-    *    equality, so a torn write can never alias to a different
-    *    generation; resolution falls back to the previous valid
-    *    pointer and recovery deletes the torn one;
+    *  - mid-pointer-write: a pointer is valid ONLY under
+    *    [[pointerTarget]]'s two content forms (publish `gen-<own n>`,
+    *    rollback `gen-<m> ptr-<own n>`), both chosen so every strict
+    *    prefix fails validation — a torn write can never alias to a
+    *    different generation; resolution falls back to the previous
+    *    valid pointer and recovery deletes the torn one;
     *  - after the pointer write: publish is complete; recovery prunes
     *    all but the live and the immediately-previous generation (kept
     *    for [[rollbackIndexPointer]]).

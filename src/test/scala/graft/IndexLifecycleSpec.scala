@@ -586,6 +586,85 @@ class IndexLifecycleSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("pointer protocol model stress: 300 seeded random ops (publish, " +
+      "rollback, torn pointer, stranded generation, junk bytes, " +
+      "recover) — resolution NEVER leaves the published set and every " +
+      "crash injection is survived") {
+    val root = java.nio.file.Files
+      .createTempDirectory("ilc_ptr_model").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val rnd = new scala.util.Random(0x9027E18L)
+    // model state: generations that completed a commitPointerSwap, in
+    // publish order (resolution must always land on one of these; the
+    // newest is live unless a rollback re-pointed)
+    var published = Vector.empty[String]
+    var expectedLive: Option[String] = None
+    def mkGen(): String = {
+      val gen = LayoutOps.pointerStagingPath(spark, root)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(gen))
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(gen, "payload"), false)
+      try out.write(gen.getBytes("UTF-8")) finally out.close()
+      gen
+    }
+    def writePtr(name: String, content: String): Unit = {
+      // crashes can only tear NEW pointer objects — the protocol never
+      // rewrites a completed one, so neither does the injection
+      val p = new org.apache.hadoop.fs.Path(s"$root/_ptr/$name")
+      if (!fs.exists(p)) {
+        val out = fs.create(p, false)
+        try out.write(content.getBytes("UTF-8")) finally out.close()
+      }
+    }
+    var i = 0
+    while (i < 300) {
+      rnd.nextInt(6) match {
+        case 0 | 1 => // clean publish
+          val gen = mkGen()
+          LayoutOps.commitPointerSwap(spark, root, gen)
+          published :+= gen
+          expectedLive = Some(gen)
+        case 2 => // rollback when a predecessor exists
+          if (published.size >= 2 && expectedLive.isDefined) {
+            val live = LayoutOps.rollbackIndexPointer(spark, root)
+            // rollback lands on a published generation != previous live
+            assert(published.contains(live) &&
+              !expectedLive.contains(live))
+            expectedLive = Some(live)
+          }
+        case 3 => // crash mid-build: stranded unpublished generation
+          mkGen(): Unit
+        case 4 => // crash mid-pointer-write: torn prefix of a real form
+          val n = 1 + rnd.nextInt(99998)
+          val full = f"gen-$n%05d"
+          writePtr(f"ptr-$n%05d",
+            full.take(rnd.nextInt(full.length))) // STRICT prefix
+        case 5 => // junk pointer bytes
+          writePtr(f"ptr-${1 + rnd.nextInt(99998)}%05d",
+            rnd.nextString(rnd.nextInt(20)))
+      }
+      // the invariant, checked after EVERY op: if anything was ever
+      // published, resolution lands on a fully-published generation —
+      // never a stranded or torn target
+      if (expectedLive.isDefined) {
+        val r1 = LayoutOps.resolveIndexPointer(spark, root)
+        assert(published.contains(r1),
+          s"op $i: resolved $r1 is not a published generation")
+        assert(r1 === expectedLive.get,
+          s"op $i: a crash injection moved the live generation")
+        LayoutOps.recoverPointerSwap(spark, root)
+        val r2 = LayoutOps.resolveIndexPointer(spark, root)
+        assert(r2 === r1,
+          s"op $i: recovery changed resolution $r1 -> $r2")
+      } else {
+        LayoutOps.recoverPointerSwap(spark, root) // must not throw
+      }
+      i += 1
+    }
+    assert(published.size > 50, "fixture must actually publish")
+  }
+
   test("rollbackIndexPointer re-points to the retained predecessor " +
       "with one pointer write; a second rollback rolls forward; torn " +
       "rollback pointers can never alias") {
