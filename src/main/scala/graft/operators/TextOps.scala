@@ -1997,6 +1997,276 @@ object TextOps {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ===== persisted SimHash index (the near-dup family's sixth
+  // lifecycle, r18) ==================================================
+
+  /** The banded chunk array of a 64-bit simhash: `bands` equal slices
+    * of 64/bands bits each, LSB slice first — [[simhashPairs]]'s
+    * banding generalized from its fixed 4×16 split. */
+  private def simhashChunks(sig: Column, bands: Int): Column = {
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    array((0 until bands).map(b =>
+      shiftright(sig, b * width).bitwiseAND(lit(mask))): _*)
+  }
+
+  private def requireSimhashBands(bands: Int, op: String): Unit =
+    require(bands >= 2 && bands <= 32 && 64 % bands == 0,
+      s"$op: bands must divide 64 (2/4/8/16/32), got $bands")
+
+  /** The append-unit partition of a simhash bucket: every row of one
+    * (band, chunk) bucket lands in one `part` directory — the
+    * [[buildMinhashIndex]] `bandPart` discipline on integer chunks. */
+  private def simhashPart(band: Column, chunk: Column,
+      nParts: Int): Column =
+    pmod(xxhash64(band, chunk), lit(nParts.toLong)).cast("int")
+
+  /** Manifest reader for the SimHash index consumers; raises with a
+    * build recipe when absent (the unverifiable-index refusal). */
+  private def simhashIndexParams(spark: SparkSession,
+      path: String): (Int, Int) = {
+    val r =
+      try spark.read.parquet(s"$path/params").head()
+      catch {
+        case e: Throwable => throw new IllegalArgumentException(
+          s"simhash index at $path has no params manifest — rebuild " +
+            "with buildSimhashIndex (a banding mismatch between build " +
+            "and query silently returns zero matches, so unverifiable " +
+            "indexes are refused)", e)
+      }
+    (r.getAs[Int]("bands"), r.getAs[Int]("n_parts"))
+  }
+
+  /**
+   * Persisted SIMHASH near-dup index — [[simhashPairs]]' banding with
+   * the [[buildMinhashIndex]] lifecycle: the reference corpus pays its
+   * tokenize+sign cost ONCE, and every daily increment dedups against
+   * it with increment-sized work. Where the MinHash index answers
+   * set-Jaccard near-dup, this one answers HAMMING near-dup over
+   * 64-bit simhashes — the cheaper signal (8 bytes per doc vs a
+   * shingle set) that large crawls screen with first.
+   *
+   * Layout (the minhash index's discipline, one-for-one):
+   *  - `path/bands` — `(band, chunk, ref_id, bn)`, one row per
+   *    (doc, band), hash-partitioned into `n_parts` directories by
+   *    `part = xxhash64(band, chunk) mod n_parts` and sorted within
+   *    partitions by `chunk` (row-group skips for the bucket join);
+   *    `bn` is the precomputed bucket size so query-time
+   *    boilerplate-bucket caps are a PUSHED parquet predicate;
+   *  - `path/sigs` — `(ref_id, sig)`, the 8-byte signatures the
+   *    Hamming verification reads (fetched for matched candidates
+   *    only — and the RETUNE's complete input: re-banding needs no
+   *    corpus text);
+   *  - `path/params` — 1-row `(bands, n_parts)` manifest, REQUIRED
+   *    equal at query/append time (chunk values depend on the band
+   *    split, so a mismatch silently matches nothing — refused loudly,
+   *    the ADVICE r13 discipline).
+   *
+   * Build cost: one corpus pass (tokenize + the native simhash kernel
+   * inside codegen), one (band, chunk)-keyed shuffle for bucket
+   * sizes, one part-keyed shuffle for the layout. Recall contract is
+   * [[simhashPairs]]': candidates must share ≥1 of `bands` chunks —
+   * the pigeonhole GUARANTEES every pair with hamming < bands, and
+   * standard banding odds apply above (more bands = higher recall at
+   * the same maxHamming, retunable later from stored sigs).
+   */
+  def buildSimhashIndex(reference: DataFrame, path: String,
+      bands: Int = 4, nParts: Int = 64): Unit = {
+    requireSimhashBands(bands, "buildSimhashIndex")
+    require(nParts >= 1, "buildSimhashIndex: nParts must be >= 1")
+    val spark = reference.sparkSession
+    graft.functions.ensureRegistered(spark)
+    val sigs = Caches.persist(reference.select(
+      col("doc_id").cast("long").as("ref_id"),
+      graft.functions.simhash64(tokens(col("text"))).as("sig")))
+    val wBucket = Window.partitionBy(col("band"), col("chunk"))
+    sigs.select(col("ref_id"),
+        posexplode(simhashChunks(col("sig"), bands))
+          .as(Seq("band", "chunk")))
+      .withColumn("bn", count(lit(1)).over(wBucket).cast("int"))
+      .withColumn("part", simhashPart(col("band"), col("chunk"), nParts))
+      .repartition(col("part"))
+      .sortWithinPartitions(col("chunk"))
+      .write.mode("overwrite").partitionBy("part")
+      .parquet(s"$path/bands")
+    sigs.write.mode("overwrite").parquet(s"$path/sigs")
+    import spark.implicits._
+    Seq((bands, nParts)).toDF("bands", "n_parts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /**
+   * Query a NEW batch against a [[buildSimhashIndex]] index: same
+   * banding as [[simhashPairs]] but CROSS-corpus — `(doc_id, ref_id,
+   * hamming)` for every new-batch/reference pair sharing a chunk with
+   * hamming <= `maxHamming`. The reference is never re-read as text:
+   * candidates come from the bands equi-join, verification XORs the
+   * 8-byte stored signatures. `bands` must match the manifest
+   * (refused loudly otherwise). `maxBucketSize > 0` is the pushed
+   * `bn` predicate — mass-duplicate buckets skip at scan time.
+   *
+   * Scale shape: the new batch tokenizes+signs map-side and equi-joins
+   * the bands table on (band, chunk) — the optimizer broadcasts the
+   * increment when small (never forced, the domainCap lesson); the
+   * verify join fetches sigs for matched candidates only. The final
+   * distinct is candidate-bounded and absorbs the byte-identical
+   * duplicate rows a crashed-then-retried append leaves behind.
+   */
+  def simhashAgainstIndex(docs: DataFrame, path: String,
+      maxHamming: Int = 8, bands: Int = 4,
+      maxBucketSize: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    val (bB, _) = simhashIndexParams(spark, path)
+    require(bB == bands,
+      s"simhashAgainstIndex: index at $path was built with bands=$bB " +
+        s"but queried with bands=$bands — a mismatch returns zero " +
+        "matches silently, so it is refused")
+    graft.functions.ensureRegistered(spark)
+    val sigsD = Caches.persist(docs.select(
+      col("doc_id").cast("long").as("doc_id"),
+      graft.functions.simhash64(tokens(col("text"))).as("sig")))
+    val idx = spark.read.parquet(s"$path/bands")
+    val refOk =
+      if (maxBucketSize <= 0) idx
+      else idx.filter(col("bn") <= maxBucketSize)
+    val cand = sigsD
+      .select(col("doc_id"), col("sig"),
+        posexplode(simhashChunks(col("sig"), bands))
+          .as(Seq("band", "chunk")))
+      .join(refOk, Seq("band", "chunk"))
+      .select(col("doc_id"), col("sig"), col("ref_id")).distinct()
+    cand
+      .join(spark.read.parquet(s"$path/sigs")
+        .select(col("ref_id"), col("sig").as("sig_r")), Seq("ref_id"))
+      .select(col("doc_id"), col("ref_id"),
+        bit_count(col("sig").bitwiseXOR(col("sig_r"))).cast("int")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /**
+   * INCREMENTAL append for the SimHash index — the
+   * [[appendToMinhashIndex]] discipline verbatim: sign the increment
+   * (increment-sized work), collect its touched `part` set (bounded
+   * <= n_parts), re-read ONLY those partitions, recompute `bn` over
+   * base ∪ increment with the null-exact lag dedup making replays
+   * convergent, dynamic-overwrite JUST the touched directories.
+   * Writes sigs FIRST: sigs without bands are invisible (no candidate
+   * ever forms), while bands without sigs would silently DROP a
+   * candidate at the verify join — the crash ordering protects the
+   * no-false-negative contract. Parameters come from the manifest.
+   * Not concurrency-safe: serialize maintenance per index path.
+   */
+  def appendToSimhashIndex(newDocs: DataFrame, path: String): Unit = {
+    val spark = newDocs.sparkSession
+    val (bands, np) = simhashIndexParams(spark, path)
+    graft.functions.ensureRegistered(spark)
+    val sigsI = Caches.persist(newDocs.select(
+      col("doc_id").cast("long").as("ref_id"),
+      graft.functions.simhash64(tokens(col("text"))).as("sig")))
+    val inc = Caches.persist(sigsI
+      .select(col("ref_id"),
+        posexplode(simhashChunks(col("sig"), bands))
+          .as(Seq("band", "chunk")))
+      .withColumn("part", simhashPart(col("band"), col("chunk"), np)))
+    val touched = inc.select(col("part")).distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq
+    val base = touchedBandPartitions(spark, path, touched)
+    val wBucket = Window.partitionBy(col("band"), col("chunk"))
+    val wOrd = wBucket.orderBy(col("ref_id").asc)
+    val merged = inc
+      .unionByName(base.select(col("ref_id"), col("band"), col("chunk"),
+        col("part"))) // stale bn dropped, recomputed
+      .withColumn("dupb",
+        row_number().over(wOrd) > 1 &&
+          (col("ref_id") <=> lag(col("ref_id"), 1).over(wOrd)))
+      .filter(!col("dupb"))
+      .drop("dupb")
+      .withColumn("bn", count(lit(1)).over(wBucket).cast("int"))
+      .repartition(col("part"))
+      .sortWithinPartitions(col("chunk"))
+      .localCheckpoint(true) // materialize BEFORE overwriting the source
+    sigsI.write.mode("append").parquet(s"$path/sigs")
+    val prevMode = spark.conf.getOption(
+      "spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode("overwrite").partitionBy("part")
+      .parquet(s"$path/bands")
+    finally prevMode match {
+      case Some(m) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    inc.unpersist(false)
+    sigsI.unpersist(false)
+  }
+
+  /**
+   * RETUNE rebuild for the SimHash index — the cheapest retune of any
+   * family: the index stores complete 8-byte signatures, so the band
+   * SPLIT itself (2/4/8/16/32 — the recall dial: candidates are
+   * guaranteed below hamming < bands) re-parameterizes from `sigs`
+   * alone, no corpus text re-read, no signature recompute. Sigs dedup
+   * by ref_id (purging crashed-and-replayed append rows — the repair
+   * half), bn recomputes globally, and the staged index publishes via
+   * the atomic two-rename swap with every crash window restoring the
+   * old index ([[graft.operators.LayoutOps.recoverIndexSwap]] on
+   * entry; retries self-heal). Queries must pass the NEW bands after
+   * a retune — the manifest gate refuses the old ones. Single-writer
+   * per index path, like all index maintenance.
+   */
+  def rebuildSimhashIndex(spark: SparkSession, path: String,
+      bands: Int = 0, nParts: Int = 0): Unit = {
+    LayoutOps.recoverIndexSwap(spark, path)
+    simhashRetuneInto(spark, path, LayoutOps.indexStagingPath(path),
+      bands, nParts)
+    LayoutOps.commitIndexSwap(spark, path)
+  }
+
+  /** The retune core both publish protocols share: parameters resolve
+    * against `src`'s manifest, bands re-derive from the stored sigs,
+    * the pristine layout lands at `dst`. */
+  private def simhashRetuneInto(spark: SparkSession, src: String,
+      dst: String, bands: Int, nParts: Int): Unit = {
+    val (bB, bNp) = simhashIndexParams(spark, src)
+    val bb = if (bands > 0) bands else bB
+    val np = if (nParts > 0) nParts else bNp
+    requireSimhashBands(bb, "rebuildSimhashIndex")
+    graft.functions.ensureRegistered(spark)
+    val sigs = Caches.persist(spark.read.parquet(s"$src/sigs")
+      .dropDuplicates(Seq("ref_id")))
+    val wBucket = Window.partitionBy(col("band"), col("chunk"))
+    try {
+      sigs.select(col("ref_id"),
+          posexplode(simhashChunks(col("sig"), bb))
+            .as(Seq("band", "chunk")))
+        .withColumn("bn", count(lit(1)).over(wBucket).cast("int"))
+        .withColumn("part", simhashPart(col("band"), col("chunk"), np))
+        .repartition(col("part"))
+        .sortWithinPartitions(col("chunk"))
+        .write.mode("overwrite").partitionBy("part")
+        .parquet(s"$dst/bands")
+      sigs.write.mode("overwrite").parquet(s"$dst/sigs")
+      import spark.implicits._
+      Seq((bb, np)).toDF("bands", "n_parts")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dst/params")
+    } finally sigs.unpersist(false)
+  }
+
+  /** [[rebuildSimhashIndex]] for OBJECT-STORE indexes — the same
+    * retune from stored sigs, published through the pointer lifecycle
+    * ([[graft.operators.LayoutOps.withPointerGeneration]]); readers
+    * resolve the live generation via
+    * [[graft.operators.LayoutOps.resolveIndexPointer]]. */
+  def rebuildSimhashIndexPointer(spark: SparkSession, root: String,
+      bands: Int = 0, nParts: Int = 0): Unit = {
+    val live = LayoutOps.resolveIndexPointer(spark, root)
+    LayoutOps.withPointerGeneration(spark, root)(gen =>
+      simhashRetuneInto(spark, live, gen, bands, nParts))
+  }
+
   /** Per-document quality score: length/token/punctuation heuristics in
     * [0,1] (larger = more prose-like). All components deterministic
     * closed-form so external oracles can replicate. */

@@ -399,6 +399,48 @@ object QueryDefs {
           |  FROM cand)
           |WHERE jaccard >= 0.5""".stripMargin
 
+  /** The full cross-corpus SimHash replay shared VERBATIM by
+    * `simhash_index` (build once, query the other split),
+    * `simhash_index_incr` (build + partition-pruned append) and
+    * `simhash_index_rebuild` (append REPLAYED, then the retune
+    * rebuild) — one oracle text keeps the r18 sixth index family's
+    * lifecycle provably in lockstep, exactly the minhashIndexOracle
+    * discipline. Signature arithmetic is the `simhash_pairs` chain
+    * verbatim; the 4×16 banding and hamming <= 10 mirror the Spark
+    * defaults the rows query with. */
+  private val simhashIndexOracle: String =
+    """WITH sigs AS (
+      |  SELECT doc_id, (
+      |    SELECT CAST(sum(CASE WHEN vote <= 0 THEN 0
+      |      WHEN j = 63 THEN -9223372036854775808
+      |      ELSE 1::BIGINT << j END) AS BIGINT)
+      |    FROM (
+      |      SELECT j.j AS j, sum(CASE WHEN
+      |        ((ascii(substr(md5(tok), CAST(j.j//4 + 1 AS INT), 1)) -
+      |          CASE WHEN ascii(substr(md5(tok), CAST(j.j//4 + 1 AS INT), 1)) >= 97
+      |               THEN 87 ELSE 48 END) >> CAST(3 - j.j%4 AS INT)) % 2 = 1
+      |        THEN 1 ELSE -1 END) AS vote
+      |      FROM unnest(list_filter(string_split_regex(trim(text), '\s+'),
+      |             x -> x <> '')) AS u(tok),
+      |           generate_series(0, 63) j(j)
+      |      GROUP BY j.j)
+      |  ) AS sig
+      |  FROM documents),
+      |banded AS (
+      |  SELECT doc_id, sig, b.b AS band,
+      |    (sig >> (b.b*16)) & 65535 AS chunk
+      |  FROM sigs, generate_series(0,3) b(b)),
+      |cand AS (
+      |  SELECT DISTINCT q.doc_id AS doc_id, r.doc_id AS ref_id,
+      |    q.sig AS sig_q, r.sig AS sig_r
+      |  FROM banded q JOIN banded r
+      |    ON q.band = r.band AND q.chunk = r.chunk
+      |  WHERE r.doc_id % 25 = 0 AND q.doc_id % 25 <> 0)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(ref_id AS BIGINT) AS ref_id,
+      |  CAST(bit_count(xor(sig_q, sig_r)) AS INT) AS hamming
+      |FROM cand WHERE bit_count(xor(sig_q, sig_r)) <= 10""".stripMargin
+
   /** DuckDB cosine(x, y) rounded to 6dp — the embed_topk idiom. */
   private def cosSql(x: String, y: String): String =
     s"""round(list_sum(list_transform(list_zip($x, $y),
@@ -3130,6 +3172,70 @@ chunks AS (
         path, threshold = 0.5)
     },
       Some(minhashIndexOracle)),
+
+    // Persisted SIMHASH index (r18 — the near-dup family's sixth
+    // lifecycle): simhashPairs' banding with the minhash index's
+    // layout — bands partitioned by xxhash64(band, chunk) with
+    // precomputed bucket sizes, 8-byte sigs for the Hamming verify,
+    // params manifest refused on mismatch. Oracle = the full
+    // cross-corpus simhash replay (the simhash_pairs chain verbatim):
+    // hash parity certifies the on-disk round trip loses nothing.
+    ("simhash_index", (s: SparkSession, dir: String) => {
+      val tag = dirTag(dir)
+      val docs = t(s, dir, "documents")
+      val path = s"/tmp/graft_shindex/$tag"
+      if (fixtureMemo.add(s"shindex|$dir"))
+        TextOps.buildSimhashIndex(docs.filter(col("doc_id") % 25 === 0),
+          path)
+      TextOps.simhashAgainstIndex(docs.filter(col("doc_id") % 25 =!= 0),
+        path, maxHamming = 10)
+    },
+      Some(simhashIndexOracle)),
+
+    // ... its INCREMENTAL maintenance: the reference split indexed in
+    // TWO installments (build + appendToSimhashIndex with
+    // partition-pruned bn recompute), same full-replay oracle — hash
+    // parity certifies build-once + append == full rebuild.
+    ("simhash_index_incr", (s: SparkSession, dir: String) => {
+      val tag = dirTag(dir)
+      val docs = t(s, dir, "documents")
+      val path = s"/tmp/graft_shindex_incr/$tag"
+      if (fixtureMemo.add(s"shindex_incr|$dir")) {
+        TextOps.buildSimhashIndex(
+          docs.filter(col("doc_id") % 50 === 0), path)
+        TextOps.appendToSimhashIndex(
+          docs.filter(col("doc_id") % 25 === 0 && col("doc_id") % 50 =!= 0),
+          path)
+      }
+      TextOps.simhashAgainstIndex(docs.filter(col("doc_id") % 25 =!= 0),
+        path, maxHamming = 10)
+    },
+      Some(simhashIndexOracle)),
+
+    // ... and its REBUILD lifecycle: half build + half append + that
+    // append REPLAYED verbatim (duplicate sig rows on disk), then
+    // rebuildSimhashIndex re-bands FROM THE STORED SIGS (the cheapest
+    // retune of any family — 8 bytes per doc, no text re-read), dedups
+    // sigs by ref_id, recomputes bn, publishes via the atomic
+    // two-rename swap. Same verbatim oracle certifies rebuild ==
+    // the direct computation.
+    ("simhash_index_rebuild", (s: SparkSession, dir: String) => {
+      val tag = dirTag(dir)
+      val docs = t(s, dir, "documents")
+      val path = s"/tmp/graft_shindex_rb/$tag"
+      if (fixtureMemo.add(s"shindex_rb|$dir")) {
+        TextOps.buildSimhashIndex(
+          docs.filter(col("doc_id") % 50 === 0), path)
+        val inc = docs.filter(
+          col("doc_id") % 25 === 0 && col("doc_id") % 50 =!= 0)
+        TextOps.appendToSimhashIndex(inc, path)
+        TextOps.appendToSimhashIndex(inc, path) // at-least-once replay
+        TextOps.rebuildSimhashIndex(s, path)
+      }
+      TextOps.simhashAgainstIndex(docs.filter(col("doc_id") % 25 =!= 0),
+        path, maxHamming = 10)
+    },
+      Some(simhashIndexOracle)),
 
     // EXACT n-gram Jaccard via the inverted-index set-similarity join —
     // no probabilistic candidate misses, Jaccard from posting counts alone
@@ -6950,6 +7056,21 @@ GROUP BY c.doc_id""")),
           |  CAST(0 AS BIGINT) AS bands_extra,
           |  CAST(0 AS BIGINT) AS shingles_missing,
           |  CAST(0 AS BIGINT) AS shingles_extra,
+          |  CAST(0 AS BIGINT) AS empty_index""".stripMargin)),
+
+    // The SimHash-index lifecycle as a stream (r18): the Hamming
+    // family's twin of stream_index_ingest_check — two strictly-
+    // ordered micro-batches run the flag → in-batch-dedup → append
+    // loop through foreachBatch, and the final on-disk index (bands
+    // incl. maintained bn, sig rows) must be row-identical to a
+    // sequential batch replay of the same simhashIngestIncrement step.
+    ("stream_simhash_ingest_check", (s: SparkSession, dir: String) =>
+      graft.streaming.DocStream.simhashIngestCheck(s, dir),
+      Some(
+        """SELECT CAST(0 AS BIGINT) AS bands_missing,
+          |  CAST(0 AS BIGINT) AS bands_extra,
+          |  CAST(0 AS BIGINT) AS sigs_missing,
+          |  CAST(0 AS BIGINT) AS sigs_extra,
           |  CAST(0 AS BIGINT) AS empty_index""".stripMargin)),
 
     // The BM25-index lifecycle as a stream (r16): two strictly-ordered

@@ -420,6 +420,161 @@ object DocStream {
   }
 
   /**
+   * One increment of the SIMHASH daily dedup loop (r18 — the
+   * [[ingestIncrement]] discipline on the Hamming index): flag the
+   * batch against everything already accepted
+   * ([[graft.operators.TextOps.simhashAgainstIndex]]), drop in-batch
+   * near-dups, append the keepers
+   * ([[graft.operators.TextOps.appendToSimhashIndex]]). In-batch
+   * keeper rule (deterministic, stated): a doc is dropped iff it
+   * hamming-matches a SMALLER-id doc in the same batch —
+   * [[graft.operators.TextOps.simhashPairs]]' `doc_b` side. This is
+   * pairwise (near-dup is not transitive), unlike the minhash loop's
+   * transitive-cluster keepers — the cheaper rule fits the cheaper
+   * signal; chains that need one-keeper-per-cluster semantics should
+   * run the minhash loop.
+   */
+  def simhashIngestIncrement(batch: DataFrame, indexPath: String,
+      maxHamming: Int = 8, bands: Int = 4): Unit =
+    if (!batch.isEmpty) graft.operators.Caches.scoped {
+      val b = batch
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .persist()
+      val flagged = TextOps.simhashAgainstIndex(b, indexPath,
+        maxHamming, bands).select(col("doc_id")).distinct()
+      val fresh = b.join(flagged, Seq("doc_id"), "left_anti").persist()
+      val losers = TextOps.simhashPairs(fresh, maxHamming)
+        .select(col("doc_b").as("doc_id")).distinct()
+      val keepers = fresh.join(losers, Seq("doc_id"), "left_anti")
+      TextOps.appendToSimhashIndex(keepers, indexPath)
+      b.unpersist(false)
+      fresh.unpersist(false)
+    }
+
+  /**
+   * The STREAMING SimHash-index ingest runner — [[indexIngestRun]]
+   * for the Hamming family: each micro-batch runs
+   * [[simhashIngestIncrement]] through `foreachBatch`. Same
+   * at-least-once semantics as the minhash runner: a replayed
+   * COMPLETED batch re-flags its own keepers at hamming 0 and
+   * degenerates to a no-op; a crash inside the append recovers by the
+   * append's sigs-first write ordering (see
+   * [[graft.operators.TextOps.appendToSimhashIndex]]). Appends are
+   * serialized by the single writer. Blocks until the AvailableNow
+   * drain finishes; the query is stopped before a timeout surfaces.
+   */
+  def simhashIngestRun(stream: DataFrame, indexPath: String,
+      checkpoint: String, maxHamming: Int = 8, bands: Int = 4,
+      timeoutMs: Long = 300000L): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        simhashIngestIncrement(b.toDF(), indexPath, maxHamming, bands))
+      .start()
+    val done =
+      try q.awaitTermination(timeoutMs)
+      finally if (q.isActive) q.stop()
+    require(done,
+      s"simhashIngestRun: drain did not finish in $timeoutMs ms")
+  }
+
+  private val simhashIngestStaged =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /**
+   * Structural self-check of the streaming SimHash ingest (all-zeros
+   * pattern, the [[indexIngestCheck]] discipline): the index is built
+   * from the eval split, two disjoint train increments stream through
+   * [[simhashIngestRun]] as two strictly-ordered micro-batches (one
+   * file each, pinned mtimes, `maxFilesPerTrigger = 1`), and the
+   * FINAL on-disk index must be row-identical to a sequential batch
+   * replay of the SAME [[simhashIngestIncrement]] step — bands
+   * (including every maintained bn) and sig rows both ways. The
+   * second batch is the load-bearing one: its flags must see the
+   * first batch's keepers. Violations: `bands_missing`, `bands_extra`,
+   * `sigs_missing`, `sigs_extra`, `empty_index`.
+   */
+  def simhashIngestCheck(spark: SparkSession, dir: String,
+      maxHamming: Int = 10, bands: Int = 4,
+      workDir: String = "/tmp/graft_stream_shingest",
+      timeoutMs: Long = 300000L): DataFrame = {
+    val tag = java.lang.Long.toHexString(
+      (dir + s"|$maxHamming|$bands").hashCode.toLong & 0xffffffffL)
+    val root = s"$workDir/$tag"
+    simhashIngestStaged.synchronized {
+      if (!simhashIngestStaged.contains(root)) {
+        stageSimhashIngest(spark, dir, root, maxHamming, bands,
+          timeoutMs)
+        simhashIngestStaged.add(root)
+      }
+    }
+    def bandRows(p: String) = spark.read.parquet(s"$p/bands")
+      .select(col("ref_id"), col("band"), col("chunk"), col("bn"))
+    def sigRows(p: String) = spark.read.parquet(s"$p/sigs")
+      .select(col("ref_id"), col("sig"))
+    val sb = bandRows(s"$root/idx_stream")
+    val bb = bandRows(s"$root/idx_batch")
+    val ss = sigRows(s"$root/idx_stream")
+    val bs = sigRows(s"$root/idx_batch")
+    bb.exceptAll(sb)
+      .agg(count(lit(1)).cast("long").as("bands_missing"))
+      .crossJoin(sb.exceptAll(bb)
+        .agg(count(lit(1)).cast("long").as("bands_extra")))
+      .crossJoin(bs.exceptAll(ss)
+        .agg(count(lit(1)).cast("long").as("sigs_missing")))
+      .crossJoin(ss.exceptAll(bs)
+        .agg(count(lit(1)).cast("long").as("sigs_extra")))
+      .crossJoin(sb.agg(
+        (count(lit(1)) === 0).cast("long").as("empty_index")))
+  }
+
+  /** [[simhashIngestCheck]]'s one-time staging: clean slate, twin
+    * index builds, the sequential batch replay, the two-file ordered
+    * feed, and the stream drain. */
+  private def stageSimhashIngest(spark: SparkSession, dir: String,
+      root: String, maxHamming: Int, bands: Int,
+      timeoutMs: Long): Unit = {
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmrf)
+      p.delete(): Unit
+    }
+    rmrf(new java.io.File(root))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val ref = docs.filter(col("doc_id") % 25 === 0)
+    val inc1 = docs.filter(col("doc_id") % 25 =!= 0 &&
+      col("doc_id") % 4 === 1)
+    val inc2 = docs.filter(col("doc_id") % 25 =!= 0 &&
+      col("doc_id") % 4 === 3)
+    TextOps.buildSimhashIndex(ref, s"$root/idx_stream", bands)
+    TextOps.buildSimhashIndex(ref, s"$root/idx_batch", bands)
+    // the expected: the SAME increment step, run sequentially in batch
+    simhashIngestIncrement(inc1, s"$root/idx_batch", maxHamming, bands)
+    simhashIngestIncrement(inc2, s"$root/idx_batch", maxHamming, bands)
+    // feed: one data file per increment, mtimes pinned a minute apart
+    // so the file source's oldest-first drain is deterministic
+    val feed = s"$root/feed"
+    def dataFiles() = new java.io.File(feed).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_")
+        && !f.getName.startsWith("."))
+    inc1.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .coalesce(1).write.mode("overwrite").parquet(feed)
+    val t0 = 1700000000000L
+    dataFiles().foreach(_.setLastModified(t0))
+    inc2.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .coalesce(1).write.mode("append").parquet(feed)
+    dataFiles().filter(_.lastModified() != t0)
+      .foreach(_.setLastModified(t0 + 60000L))
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feed)
+    simhashIngestRun(src, s"$root/idx_stream", s"$root/ckpt",
+      maxHamming, bands, timeoutMs)
+  }
+
+  /**
    * The STREAMING BM25-index ingest runner (r16) — the retrieval
    * index's counterpart of [[indexIngestRun]]: each micro-batch of a
    * documents stream appends to a [[graft.operators.TextOps

@@ -410,6 +410,73 @@ class IndexLifecycleSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("rebuildSimhashIndex: the sixth family's lifecycle — same-" +
+      "params rebuild purges a replayed append and equals a fresh " +
+      "build; a 4→8 re-band RETUNE from stored sigs equals a fresh " +
+      "build at the new banding; the pointer twin answers identically") {
+    val ref = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "entirely unrelated reference material"),
+      (102L, "the quick brown fox jumps over the lazy dog"),
+      (103L, "another later crawl increment document")
+    ).toDF("doc_id", "text")
+    val probe = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy cat")
+    ).toDF("doc_id", "text")
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    def pairs(p: String, bands: Int = 4) =
+      TextOps.simhashAgainstIndex(probe, p, maxHamming = 10,
+          bands = bands).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("ref_id"),
+          r.getAs[Int]("hamming"))).toSet
+    def bandRows(p: String) = spark.read.parquet(s"$p/bands")
+      .select("band", "chunk", "ref_id", "bn").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+
+    // dirty: half build + half append + that append REPLAYED
+    val dirty = tmp("shrb_dirty")
+    val fresh = tmp("shrb_fresh")
+    TextOps.buildSimhashIndex(ref.filter($"doc_id" <= 101L), dirty)
+    TextOps.appendToSimhashIndex(ref.filter($"doc_id" >= 102L), dirty)
+    TextOps.appendToSimhashIndex(ref.filter($"doc_id" >= 102L), dirty)
+    assert(spark.read.parquet(s"$dirty/sigs").count() === 6L,
+      "fixture must actually hold replayed duplicate sig rows")
+    TextOps.rebuildSimhashIndex(spark, dirty)
+    TextOps.buildSimhashIndex(ref, fresh)
+    assert(spark.read.parquet(s"$dirty/sigs").count() === 4L,
+      "rebuild must purge replayed sig rows from disk")
+    assert(bandRows(dirty) === bandRows(fresh))
+    assert(pairs(dirty) === pairs(fresh) && pairs(dirty).nonEmpty)
+
+    // the RETUNE: 4 -> 8 bands from STORED sigs (no corpus text);
+    // old banding refused afterwards
+    val fresh8 = tmp("shrb_fresh8")
+    TextOps.rebuildSimhashIndex(spark, dirty, bands = 8)
+    TextOps.buildSimhashIndex(ref, fresh8, bands = 8)
+    assert(bandRows(dirty) === bandRows(fresh8))
+    assert(pairs(dirty, bands = 8) === pairs(fresh8, bands = 8))
+    val e = intercept[IllegalArgumentException] {
+      TextOps.simhashAgainstIndex(probe, dirty, maxHamming = 10)
+    }
+    assert(e.getMessage.contains("built with bands=8"))
+
+    // the pointer twin on a file: root answers like the swap twin
+    val root = tmp("shrb_root")
+    val gen1 = LayoutOps.withPointerGeneration(spark, root)(g =>
+      TextOps.buildSimhashIndex(ref.filter($"doc_id" <= 101L), g))
+    TextOps.appendToSimhashIndex(ref.filter($"doc_id" >= 102L), gen1)
+    TextOps.appendToSimhashIndex(ref.filter($"doc_id" >= 102L), gen1)
+    TextOps.rebuildSimhashIndexPointer(spark, root, bands = 8)
+    val live = LayoutOps.resolveIndexPointer(spark, root)
+    assert(live.endsWith("gen-00002"))
+    assert(bandRows(live) === bandRows(fresh8))
+    assert(pairs(live, bands = 8) === pairs(fresh8, bands = 8))
+    spark.catalog.clearCache()
+  }
+
   test("ivfPqIndexTopK excludeSelf = false keeps colliding-id pairs — " +
       "the PQ twin of the r17 silent-leakage fix (ADVICE r17)") {
     val e16 = emb(64, dims = 16, patterns = 6)

@@ -1439,6 +1439,94 @@ class TextVectorSpec extends SparkSpec {
     assert(e3.getMessage.contains("params manifest"))
   }
 
+  test("simhashAgainstIndex: cross-corpus hamming pairs equal the " +
+      "simhashPairs banding over the union; bn cap drops mass-" +
+      "duplicate buckets; manifest gate refuses mismatches") {
+    val ref = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog", "en", "r", 43L),
+      (101L, "entirely unrelated reference material", "en", "r", 37L),
+      (102L, "the quick brown fox jumps over the lazy dog", "en", "r", 43L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val path = java.nio.file.Files.createTempDirectory("shidx").toString
+    TextOps.buildSimhashIndex(ref, path)
+    def viaIdx(cap: Int) = TextOps.simhashAgainstIndex(docs, path,
+        maxHamming = 10, maxBucketSize = cap).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("ref_id"),
+        r.getAs[Int]("hamming"))).toSet
+    // oracle: simhashPairs over the tagged UNION (query ids < 100 <=
+    // ref ids) restricted to cross pairs — same banding, same hamming,
+    // through a spec-trusted operator instead of the index
+    val direct = TextOps.simhashPairs(
+        docs.select($"doc_id", $"text")
+          .unionByName(ref.select($"doc_id", $"text")), maxHamming = 10)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("hamming")))
+      .filter { case (a, b, _) => a < 100L && b >= 100L }.toSet
+    assert(direct.nonEmpty, "fixture must produce cross matches")
+    assert(viaIdx(0) === direct)
+    // refs 100 and 102 are identical, so every one of their buckets
+    // has bn = 2: a cap of 1 drops all their matches but keeps
+    // unique-ref buckets — the precomputed bn is load-bearing
+    val capped = viaIdx(1)
+    assert(capped !== viaIdx(0))
+    assert(capped.forall { case (_, r, _) => r != 100L && r != 102L })
+    // manifest gate: a banding mismatch silently matches nothing, so
+    // it raises; a manifest-less index is refused
+    val e = intercept[IllegalArgumentException] {
+      TextOps.simhashAgainstIndex(docs, path, maxHamming = 10, bands = 8)
+    }
+    assert(e.getMessage.contains("built with bands=4"))
+    val bare = java.nio.file.Files.createTempDirectory("shidx_bare")
+    val e2 = intercept[IllegalArgumentException] {
+      TextOps.appendToSimhashIndex(ref, bare.toString)
+    }
+    assert(e2.getMessage.contains("params manifest"))
+    spark.catalog.clearCache()
+  }
+
+  test("appendToSimhashIndex: build-once + append is row-identical to " +
+      "a full rebuild (bands incl. recomputed bn, sigs, query result); " +
+      "a replayed append converges") {
+    val ref = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog", "en", "r", 43L),
+      (101L, "entirely unrelated reference material", "en", "r", 37L),
+      (102L, "the quick brown fox jumps over the lazy dog", "en", "r", 43L),
+      (103L, "another later crawl increment document", "en", "r", 38L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val full = java.nio.file.Files.createTempDirectory("shidx_full").toString
+    val incr = java.nio.file.Files.createTempDirectory("shidx_incr").toString
+    TextOps.buildSimhashIndex(ref, full)
+    // day 1: 100/101; day 2 increment: 102 (identical to 100 — its
+    // buckets' bn must grow 1 -> 2 in the touched partitions) + 103
+    TextOps.buildSimhashIndex(ref.filter($"doc_id" <= 101L), incr)
+    TextOps.appendToSimhashIndex(ref.filter($"doc_id" >= 102L), incr)
+    def bandRows(p: String) = spark.read.parquet(s"$p/bands")
+      .select("band", "chunk", "ref_id", "bn").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(bandRows(incr) === bandRows(full),
+      "appended bands (incl. bn maintenance) must equal a full rebuild")
+    def sigRows(p: String) = spark.read.parquet(s"$p/sigs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sigRows(incr) === sigRows(full))
+    def pairs(p: String) = TextOps.simhashAgainstIndex(docs, p,
+        maxHamming = 10).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("ref_id"),
+        r.getAs[Int]("hamming"))).toSet
+    assert(pairs(incr) === pairs(full) && pairs(incr).nonEmpty)
+    // a REPLAYED completed append must converge: band rows identical
+    // (count too — byte-identical dups would collapse in a set
+    // compare), duplicate sig rows absorbed query-side
+    TextOps.appendToSimhashIndex(ref.filter($"doc_id" >= 102L), incr)
+    assert(bandRows(incr) === bandRows(full))
+    assert(spark.read.parquet(s"$incr/bands").count() ===
+      spark.read.parquet(s"$full/bands").count(),
+      "replayed append must not duplicate band rows or inflate bn")
+    assert(pairs(incr) === pairs(full))
+    spark.catalog.clearCache()
+  }
+
   test("repeatedSpans: exact dups fully covered, partial overlap measured") {
     val out = TextOps.repeatedSpans(docs, k = 4, minCount = 2)
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
