@@ -2267,6 +2267,56 @@ object TextOps {
       simhashRetuneInto(spark, live, gen, bands, nParts))
   }
 
+  /** The shared LSH bucket-balance rollup: one row per band over a
+    * bands table whose rows carry `(band, <key>, bn)` — the stored
+    * bucket size makes the monitor a keys-only scan. */
+  private def lshBandStats(bandsTable: DataFrame,
+      keyCol: String): DataFrame = {
+    // one row per BUCKET first (every row of a bucket stores the same
+    // bn, so distinct is exact), then the per-band rollup
+    val buckets = bandsTable
+      .select(col("band"), col(keyCol), col("bn")).distinct()
+    buckets.groupBy(col("band"))
+      .agg(count(lit(1)).cast("long").as("n_buckets"),
+        sum(col("bn")).cast("long").as("n_rows"),
+        max(col("bn")).cast("int").as("max_bn"))
+      .select(col("band").cast("int").as("band"), col("n_buckets"),
+        col("n_rows"), col("max_bn"),
+        round(col("max_bn") * col("n_buckets") /
+          col("n_rows").cast("double"), 6).as("imbalance"))
+  }
+
+  /**
+   * Monitoring report over a persisted SimHash index's bucket balance
+   * — the [[graft.operators.VectorOps.ivfIndexStats]] discipline for
+   * the LSH families, and the operator that tells you WHEN to pull
+   * [[rebuildSimhashIndex]]'s retune dial: one row per band,
+   * `(band, n_buckets, n_rows, max_bn, imbalance)` where `imbalance`
+   * is max-bucket/mean-bucket (1.0 = perfectly balanced; a flooded
+   * bucket is boilerplate mass that makes every query touching it pay
+   * a quadratic candidate fan-out — the signal to cap with
+   * `maxBucketSize` or re-band). Counts are the layout's on-disk
+   * truth: rows duplicated by a replayed at-least-once append count
+   * as stored ([[rebuildSimhashIndex]] is the purge).
+   *
+   * Scale shape: ONE scan of the bands table reading ONLY
+   * (band, chunk, bn) — ref_id is never read — into a
+   * buckets-then-bands aggregation whose output is `bands` rows.
+   */
+  def simhashIndexStats(spark: SparkSession, path: String): DataFrame = {
+    simhashIndexParams(spark, path): Unit // manifest gate: refuse bare dirs
+    lshBandStats(spark.read.parquet(s"$path/bands"), "chunk")
+  }
+
+  /** [[simhashIndexStats]] for the MinHash index — same rollup over
+    * its `(band, band_key, bn)` rows; the monitor half the MinHash
+    * lifecycle was missing (its retune dial is
+    * [[rebuildMinhashIndex]]'s numHashes/bands). */
+  def minhashIndexStats(spark: SparkSession, path: String): DataFrame = {
+    minhashIndexParams(spark, path): Unit // manifest gate: refuse bare dirs
+    lshBandStats(spark.read.parquet(s"$path/bands"), "band_key")
+  }
+
   /** Per-document quality score: length/token/punctuation heuristics in
     * [0,1] (larger = more prose-like). All components deterministic
     * closed-form so external oracles can replicate. */

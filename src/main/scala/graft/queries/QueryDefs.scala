@@ -3237,6 +3237,102 @@ chunks AS (
     },
       Some(simhashIndexOracle)),
 
+    // The LSH bucket-balance MONITOR for the SimHash index (r18 —
+    // the ivfIndexStats discipline): one row per band from the stored
+    // bn column, keys-only scan, the when-to-retune signal. Oracle
+    // replays the reference split's sig chain into bucket counts.
+    ("simhash_index_stats", (s: SparkSession, dir: String) => {
+      val tag = dirTag(dir)
+      val docs = t(s, dir, "documents")
+      val path = s"/tmp/graft_shindex/$tag"
+      if (fixtureMemo.add(s"shindex|$dir"))
+        TextOps.buildSimhashIndex(docs.filter(col("doc_id") % 25 === 0),
+          path)
+      TextOps.simhashIndexStats(s, path)
+    },
+      Some(
+        """WITH sigs AS (
+          |  SELECT doc_id, (
+          |    SELECT CAST(sum(CASE WHEN vote <= 0 THEN 0
+          |      WHEN j = 63 THEN -9223372036854775808
+          |      ELSE 1::BIGINT << j END) AS BIGINT)
+          |    FROM (
+          |      SELECT j.j AS j, sum(CASE WHEN
+          |        ((ascii(substr(md5(tok), CAST(j.j//4 + 1 AS INT), 1)) -
+          |          CASE WHEN ascii(substr(md5(tok), CAST(j.j//4 + 1 AS INT), 1)) >= 97
+          |               THEN 87 ELSE 48 END) >> CAST(3 - j.j%4 AS INT)) % 2 = 1
+          |        THEN 1 ELSE -1 END) AS vote
+          |      FROM unnest(list_filter(string_split_regex(trim(text), '\s+'),
+          |             x -> x <> '')) AS u(tok),
+          |           generate_series(0, 63) j(j)
+          |      GROUP BY j.j)
+          |  ) AS sig
+          |  FROM documents WHERE doc_id % 25 = 0),
+          |banded AS (
+          |  SELECT doc_id, b.b AS band,
+          |    (sig >> (b.b*16)) & 65535 AS chunk
+          |  FROM sigs, generate_series(0,3) b(b)),
+          |buckets AS (
+          |  SELECT band, chunk, count(*) AS bn
+          |  FROM banded GROUP BY 1, 2)
+          |SELECT CAST(band AS INT) AS band,
+          |  CAST(count(*) AS BIGINT) AS n_buckets,
+          |  CAST(sum(bn) AS BIGINT) AS n_rows,
+          |  CAST(max(bn) AS INT) AS max_bn,
+          |  round(max(bn) * count(*) / CAST(sum(bn) AS DOUBLE), 6)
+          |    AS imbalance
+          |FROM buckets GROUP BY band""".stripMargin)),
+
+    // ... and the MinHash twin — the monitor half that family was
+    // missing (its retune dial is rebuildMinhashIndex's
+    // numHashes/bands). Same rollup over (band, band_key, bn); oracle
+    // replays the md5-banding chain into bucket counts.
+    ("near_dup_index_stats", (s: SparkSession, dir: String) => {
+      val tag = dirTag(dir)
+      val docs = t(s, dir, "documents")
+      val path = s"/tmp/graft_mhindex/$tag"
+      if (fixtureMemo.add(s"mhindex|$dir"))
+        TextOps.buildMinhashIndex(docs.filter(col("doc_id") % 25 === 0),
+          path)
+      TextOps.minhashIndexStats(s, path)
+    },
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+          |  FROM documents WHERE doc_id % 25 = 0),
+          |sh AS (
+          |  SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3
+          |      THEN [array_to_string(tk, ' ')]
+          |      ELSE list_transform(range(1, len(tk) - 1),
+          |             i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
+          |  FROM toks),
+          |hm AS (
+          |  SELECT doc_id,
+          |    list_transform(sh, s ->
+          |      md5('0|' || s) || md5('1|' || s) || md5('2|' || s)) AS hs
+          |  FROM sh),
+          |sig AS (
+          |  SELECT doc_id,
+          |    list_transform(range(0, 12), i ->
+          |      list_aggregate(list_transform(hs,
+          |        h -> substr(h, CAST(i*8+1 AS INT), 8)), 'min')) AS mh
+          |  FROM hm),
+          |banded AS (
+          |  SELECT doc_id, b.b AS band,
+          |    md5(array_to_string(mh[b.b*3+1:b.b*3+3], '|')) AS band_key
+          |  FROM sig, generate_series(0, 3) b(b)),
+          |buckets AS (
+          |  SELECT band, band_key, count(*) AS bn
+          |  FROM banded GROUP BY 1, 2)
+          |SELECT CAST(band AS INT) AS band,
+          |  CAST(count(*) AS BIGINT) AS n_buckets,
+          |  CAST(sum(bn) AS BIGINT) AS n_rows,
+          |  CAST(max(bn) AS INT) AS max_bn,
+          |  round(max(bn) * count(*) / CAST(sum(bn) AS DOUBLE), 6)
+          |    AS imbalance
+          |FROM buckets GROUP BY band""".stripMargin)),
+
     // EXACT n-gram Jaccard via the inverted-index set-similarity join —
     // no probabilistic candidate misses, Jaccard from posting counts alone
     ("near_dup_ngram", (s: SparkSession, dir: String) =>

@@ -531,6 +531,64 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("simhash index plans: the bucket cap pushes to the bands scan, " +
+      "the candidate join is never a product, and the stats monitor " +
+      "reads ONLY (band, chunk, bn) — ref_id stays closed") {
+    import spark.implicits._
+    val ref = Seq((100L, "a b c d e", "en", "r", 9L),
+      (101L, "f g h i j", "en", "r", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val docs = Seq((1L, "a b c d e", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val path = Files.createTempDirectory("planspec_shidx").toString
+    graft.operators.TextOps.buildSimhashIndex(ref, path)
+    val p = plan(graft.operators.TextOps.simhashAgainstIndex(
+      docs, path, maxHamming = 10, maxBucketSize = 3))
+    assert(p.contains("LessThanOrEqual(bn,3)"),
+      s"bn cap not pushed to the bands scan:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"index band join regressed to a product:\n$p")
+    // the monitor's scan never opens ref_id (keys-only ReadSchema)
+    val stats = graft.operators.TextOps.simhashIndexStats(spark, path)
+    val sp = plan(stats)
+    val readSchema = "ReadSchema: [^\\n]*".r.findAllIn(sp)
+      .filter(_.contains("bn")).mkString
+    assert(readSchema.nonEmpty && !readSchema.contains("ref_id"),
+      s"stats monitor reads more than (band, chunk, bn):\n$sp")
+    spark.catalog.clearCache()
+  }
+
+  test("appendToSimhashIndex: the bn-maintenance base read PRUNES to " +
+      "the increment's touched part directories (shared " +
+      "touchedBandPartitions — the minhash pin covers the mechanism; " +
+      "this pins the simhash part-column layout feeds it)") {
+    import spark.implicits._
+    val ref = Seq((100L, "a b c d e", "en", "r", 9L),
+      (101L, "f g h i j", "en", "r", 9L),
+      (102L, "k l m n o", "en", "r", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val path = Files.createTempDirectory("planspec_shidx_app").toString
+    graft.operators.TextOps.buildSimhashIndex(ref, path)
+    val parts = spark.read.parquet(s"$path/bands")
+      .select("part").distinct().collect().map(_.getInt(0)).sorted
+    assert(parts.length > 1, "fixture too small to demonstrate pruning")
+    val base = graft.operators.TextOps.touchedBandPartitions(
+      spark, path, Seq(parts.head))
+    base.collect()
+    val scanned = base.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.getOrElse(fail("no FileSourceScanExec in append base read"))
+    val totalFiles = new java.io.File(s"$path/bands").listFiles()
+      .filter(_.getName.startsWith("part=")).map(d =>
+        d.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    assert(scanned < totalFiles,
+      s"append base read scanned all $totalFiles index files")
+    spark.catalog.clearCache()
+  }
+
   test("appendToMinhashIndex: the bn-maintenance base read PRUNES to the " +
       "increment's touched part directories (PartitionFilters, not a " +
       "full index scan)") {

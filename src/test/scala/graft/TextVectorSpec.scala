@@ -1527,6 +1527,43 @@ class TextVectorSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("simhashIndexStats / minhashIndexStats: per-band bucket balance " +
+      "from the stored bn — duplicate mass shows as max_bn, bare dirs " +
+      "are refused") {
+    val ref = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog", "en", "r", 43L),
+      (101L, "entirely unrelated reference material", "en", "r", 37L),
+      (102L, "the quick brown fox jumps over the lazy dog", "en", "r", 43L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val sh = java.nio.file.Files.createTempDirectory("shidx_st").toString
+    val mh = java.nio.file.Files.createTempDirectory("mhidx_st").toString
+    TextOps.buildSimhashIndex(ref, sh)
+    TextOps.buildMinhashIndex(ref, mh)
+    for (stats <- Seq(TextOps.simhashIndexStats(spark, sh),
+        TextOps.minhashIndexStats(spark, mh))) {
+      val rows = stats.collect()
+        .map(r => r.getAs[Int]("band") ->
+          (r.getAs[Long]("n_buckets"), r.getAs[Long]("n_rows"),
+            r.getAs[Int]("max_bn"), r.getAs[Double]("imbalance"))).toMap
+      assert(rows.keySet === Set(0, 1, 2, 3))
+      rows.values.foreach { case (nb, nr, mx, imb) =>
+        // 3 docs → 3 rows per band; 100 == 102 exactly, so they share
+        // every bucket (max_bn = 2) and 101 sits alone → 2 buckets
+        assert(nr === 3L && nb === 2L && mx === 2)
+        assert(imb === BigDecimal(2.0 * 2 / 3)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    val bare = java.nio.file.Files.createTempDirectory("idx_st_bare")
+    intercept[IllegalArgumentException] {
+      TextOps.simhashIndexStats(spark, bare.toString)
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.minhashIndexStats(spark, bare.toString)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("repeatedSpans: exact dups fully covered, partial overlap measured") {
     val out = TextOps.repeatedSpans(docs, k = 4, minCount = 2)
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
