@@ -1967,6 +1967,22 @@ object TextOps {
    * SimHash near-dup pairs: candidates share at least one of four 16-bit
    * signature chunks (standard simhash banding — never all-pairs), then
    * exact Hamming distance filters to `maxHamming`.
+   *
+   * Scale shape (r18, rewritten after a measured cliff): candidate
+   * pairs come from a bucket-keyed SELF-JOIN, which STREAMS them
+   * through the shuffle — the previous collect_list + in-row pair
+   * expansion materialized B² structs per bucket in a single row and
+   * OOM'd a 128 GiB JVM at sf10 on a duplicate-heavy corpus
+   * (SCALE.md r18: the direct path died where the index path's
+   * equi-join survived — this rewrite gives the direct path the same
+   * bounded memory). Output is unchanged: `(doc_a < doc_b, hamming)`,
+   * distinct across shared bands. `maxBucketSize > 0` still drops
+   * pathological mass-duplicate buckets (now via a bucket-count
+   * window riding the join's own exchange) — with streaming pairs the
+   * cap bounds SHUFFLE, no longer survival. The same collect_list
+   * pattern remains in [[minhashCandidatePairs]]/[[ngramJaccardPairs]]
+   * behind their own caps — converting them moves pinned headline
+   * plans, deliberately left for an adjudicated round.
    */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 8,
       maxBucketSize: Int = 0): DataFrame = {
@@ -1975,24 +1991,18 @@ object TextOps {
       graft.functions.simhash64(tokens(col("text"))).as("sig"))
       .transform(Caches.persist(_))
     val banded = sigs.select(col("doc_id"), col("sig"),
-      posexplode(array((0 until 4).map(k =>
-        shiftright(col("sig"), k * 16).bitwiseAND(lit(65535L))): _*))
-        .as(Seq("band", "chunk")))
-    val ids = array_sort(collect_list(struct(col("doc_id"), col("sig"))))
-    val pairs = sortedPairs(col("members"),
-      (a, b) => struct(a.getField("doc_id").as("doc_a"),
-        b.getField("doc_id").as("doc_b"),
-        a.getField("sig").as("sig_a"), b.getField("sig").as("sig_b")))
-    // see nearDupPairs: optional bucket-size cap for pathological
-    // mass-duplicate buckets at scale (opt-in, default = exact recall)
-    val bucketOk =
-      if (maxBucketSize > 0) size(col("members")) <= maxBucketSize else lit(true)
-    banded.groupBy(col("band"), col("chunk"))
-      .agg(ids.as("members"))
-      .filter(size(col("members")) > 1 && bucketOk)
-      .select(explode(pairs).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        bit_count(col("p.sig_a").bitwiseXOR(col("p.sig_b"))).as("hamming"))
+      posexplode(simhashChunks(col("sig"), 4)).as(Seq("band", "chunk")))
+    val capped =
+      if (maxBucketSize <= 0) banded
+      else banded.withColumn("bn", count(lit(1)).over(
+          Window.partitionBy(col("band"), col("chunk"))))
+        .filter(col("bn") <= maxBucketSize).drop("bn")
+    capped.as("a").join(capped.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

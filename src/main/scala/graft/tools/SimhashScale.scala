@@ -71,13 +71,13 @@ object SimhashScale {
         }
         spark.catalog.clearCache()
       })
-      // EXACT mode on the index path only: the GenSf corpus is
-      // duplicate-heavy, so exact-mode candidates grow quadratically
-      // in bucket size — the index path SURVIVES it (the equi-join
-      // streams candidate pairs through the shuffle) where the direct
-      // path OOMs at sf10 (simhashPairs materializes per-bucket B²
-      // pair arrays). That asymmetry is itself the finding; the capped
-      // rows below are the documented 100 TB configuration.
+      // EXACT mode both ways. The first run of this tool OOM'd the
+      // direct path at sf10 — simhashPairs then materialized
+      // per-bucket B² pair arrays in one row — which motivated its
+      // rewrite to a streaming bucket self-join; both paths now carry
+      // the quadratic candidate SHUFFLE (the honest exact-mode cost on
+      // a duplicate-heavy corpus) with bounded memory. The capped rows
+      // are the documented 100 TB configuration.
       show("query(index,exact)", median3 {
         Caches.scoped {
           TextOps.simhashAgainstIndex(inc, idx, maxHamming = 10)
@@ -89,6 +89,17 @@ object SimhashScale {
         Caches.scoped {
           TextOps.simhashAgainstIndex(inc, idx, maxHamming = 10,
             maxBucketSize = 64).count(): Unit
+        }
+        spark.catalog.clearCache()
+      })
+      show("query(direct,exact)", median3 {
+        Caches.scoped {
+          TextOps.simhashPairs(
+              docs.select(col("doc_id"), col("text")).unionByName(
+                inc.select(col("doc_id"), col("text"))),
+              maxHamming = 10)
+            .filter(col("doc_a") < nDocs && col("doc_b") >= nDocs)
+            .count(): Unit
         }
         spark.catalog.clearCache()
       })
