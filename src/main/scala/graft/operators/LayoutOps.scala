@@ -372,12 +372,22 @@ object LayoutOps {
     * ones, so the pointer's atomicity story is untouched; on an object
     * store their parquet commits inherit Spark's committer semantics
     * (use an object-store-native committer, e.g. the S3A magic
-    * committer, as for any parquet append there). */
+    * committer, as for any parquet append there). Visibility rule
+    * (spec-pinned, IndexLifecycleSpec): appends ride the generation
+    * they landed in — rows appended to the live generation VANISH on
+    * [[rollbackIndexPointer]] (the predecessor predates them) and
+    * RETURN when a second rollback rolls forward; an append is only as
+    * durable as its generation's place in the retention window. */
   private def pointerDir(root: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(root, "_ptr")
 
-  private val GenName = "^gen-(\\d{5,})$".r
-  private val PtrName = "^ptr-(\\d{5,})$".r
+  // digit count bounded to 18 (ADVICE r18): 18 digits always fit a
+  // Long, so a junk 19+-digit name (e.g. ptr-99999999999999999999)
+  // is treated as non-matching — the same skip-invalid behavior junk
+  // pointer CONTENT gets — instead of toLong throwing and hard-failing
+  // resolve/recovery on a file recovery could then never sweep
+  private val GenName = "^gen-(\\d{5,18})$".r
+  private val PtrName = "^ptr-(\\d{5,18})$".r
 
   private def genLeaf(n: Long): String = f"gen-$n%05d"
 
@@ -392,7 +402,7 @@ object LayoutOps {
       }
     }
 
-  private val RollbackContent = "^gen-(\\d{5,}) ptr-(\\d{5,})$".r
+  private val RollbackContent = "^gen-(\\d{5,18}) ptr-(\\d{5,18})$".r
 
   /** The validated TARGET generation of `ptr-<n>`, or None. Two valid
     * content forms, both torn-write-proof (every strict prefix of
@@ -468,11 +478,11 @@ object LayoutOps {
 
   /** Publishes a staged generation with ONE pointer-object write (the
     * atomic step on every filesystem, object stores included), then
-    * prunes: all generations except the new live one and its immediate
-    * predecessor (kept for rollback) are deleted, along with their
-    * pointers and any torn/stranded leftovers. */
+    * prunes: all generations beyond the newest `retain` (>= 2 — the
+    * immediate predecessor is always kept for rollback) are deleted,
+    * along with their pointers and any torn/stranded leftovers. */
   private[graft] def commitPointerSwap(spark: SparkSession, root: String,
-      genPath: String): Unit = {
+      genPath: String, retain: Int = 2): Unit = {
     val rp = new org.apache.hadoop.fs.Path(root)
     val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
     val gp = new org.apache.hadoop.fs.Path(genPath)
@@ -493,25 +503,29 @@ object LayoutOps {
         "single-writer per index root")
     val out = fs.create(ptr, false)
     try out.write((genLeaf(n) + "\n").getBytes("UTF-8")) finally out.close()
-    prunePointerGenerations(fs, rp)
+    prunePointerGenerations(fs, rp, retain)
   }
 
   /** Crash-recovery sweep for a pointer-published index — the
     * [[recoverIndexSwap]] counterpart: deletes torn pointers, stranded
-    * unpublished generations, and all history beyond live+previous.
-    * Idempotent; a no-op on a healthy root; safe before the first
-    * publish (nothing valid to keep → only strandeds are swept). */
-  def recoverPointerSwap(spark: SparkSession, root: String): Unit = {
+    * unpublished generations, and all history beyond the newest
+    * `retain` (default 2: live + predecessor). Idempotent; a no-op on
+    * a healthy root; safe before the first publish (nothing valid to
+    * keep → only strandeds are swept). */
+  def recoverPointerSwap(spark: SparkSession, root: String,
+      retain: Int = 2): Unit = {
     val rp = new org.apache.hadoop.fs.Path(root)
     val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
-    prunePointerGenerations(fs, rp)
+    prunePointerGenerations(fs, rp, retain)
   }
 
   private def prunePointerGenerations(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Unit = {
+      root: org.apache.hadoop.fs.Path, retain: Int): Unit = {
+    require(retain >= 2, // the predecessor is rollback's target
+      s"pointer generation retention must keep live+predecessor, got $retain")
     val valid = validPointers(fs, root)
-    val keepPtrs = valid.take(2).map(_._1).toSet // live + predecessor
-    val keepGens = valid.take(2).map(_._2).toSet
+    val keepPtrs = valid.take(retain).map(_._1).toSet
+    val keepGens = valid.take(retain).map(_._2).toSet
     listNumbered(fs, pointerDir(root), PtrName).foreach { case (n, p) =>
       if (!keepPtrs.contains(n)) fs.delete(p, false)
     }
@@ -525,13 +539,22 @@ object LayoutOps {
     * index there), commit with the one-object pointer write, and
     * return the now-live generation path. Works identically on `file:`
     * (how the spec simulates it) and on object stores — no step
-    * renames or overwrites anything. */
-  def withPointerGeneration(spark: SparkSession, root: String)(
-      build: String => Unit): String = {
-    recoverPointerSwap(spark, root)
+    * renames or overwrites anything.
+    *
+    * Reader hazard (ADVICE r18): a reader that resolved the live
+    * generation stays correct across ONE publish (its generation
+    * becomes the retained predecessor) but a SECOND publish prunes
+    * that directory under its scan — missing-file failures, the same
+    * exposure as the rename swap's old-dir delete. Where long scans
+    * overlap frequent publishes, raise `retain` (generations kept
+    * after each publish, default 2 = live + rollback predecessor) so
+    * pruning lags the oldest running reader. */
+  def withPointerGeneration(spark: SparkSession, root: String,
+      retain: Int = 2)(build: String => Unit): String = {
+    recoverPointerSwap(spark, root, retain)
     val gen = pointerStagingPath(spark, root)
     build(gen)
-    commitPointerSwap(spark, root, gen)
+    commitPointerSwap(spark, root, gen, retain)
     gen
   }
 
@@ -546,7 +569,8 @@ object LayoutOps {
     * (it becomes the predecessor), so a second rollback rolls forward
     * again. Refuses when no predecessor generation is retained. Returns
     * the now-live generation path. */
-  def rollbackIndexPointer(spark: SparkSession, root: String): String = {
+  def rollbackIndexPointer(spark: SparkSession, root: String,
+      retain: Int = 2): String = {
     val rp = new org.apache.hadoop.fs.Path(root)
     val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
     val valid = validPointers(fs, rp)
@@ -564,7 +588,7 @@ object LayoutOps {
     val out = fs.create(ptr, false)
     try out.write(f"${genLeaf(prev)} ptr-$n%05d\n".getBytes("UTF-8"))
     finally out.close()
-    prunePointerGenerations(fs, rp)
+    prunePointerGenerations(fs, rp, retain)
     new org.apache.hadoop.fs.Path(rp, genLeaf(prev)).toString
   }
 }

@@ -82,15 +82,6 @@ object TextOps {
     transform(sequence(lit(0), lit(bands - 1)),
       b => md5(concat_ws("|", slice(sig, b * rows + 1, lit(rows)))))
 
-  /** In-bucket candidate expansion shared by the near-dup operators
-    * (text AND vector): `ids` is a SORTED array; emits `mk(a, b)` for
-    * every i < j element pair, so ordered keys give doc_a < doc_b
-    * directly. */
-  private[operators] def sortedPairs(ids: Column,
-      mk: (Column, Column) => Column): Column =
-    flatten(transform(ids, (a, i) =>
-      transform(slice(ids, i + 2, size(ids)), b => mk(a, b))))
-
   /** Exact dedup via content hash: one row per distinct text with the
     * surviving (minimum) doc_id and the duplicate count. */
   def dedupExact(docs: DataFrame): DataFrame =
@@ -329,14 +320,21 @@ object TextOps {
 
   /** The banded-LSH candidate stage shared by [[nearDupPairs]] and
     * [[lshRecallReport]]: `(doc_a < doc_b)` pairs sharing at least one
-    * `(band, band_key)` bucket, via one aggregation per bucket (no
-    * self-join: a join would re-evaluate the signature subtree on both
-    * sides). Buckets are tiny (near-dup clusters), so in-bucket pair
-    * expansion is cheap; `maxBucketSize > 0` drops larger buckets
-    * outright — the 100 TB guard against mass-duplicated boilerplate,
-    * whose pairs exact dedup should have collapsed BEFORE near-dup
-    * detection (run dedupExact first). Default keeps every bucket
-    * (exact recall, the oracle-pinned mode). */
+    * `(band, band_key)` bucket, via a bucket-keyed SELF-JOIN that
+    * STREAMS candidates through the shuffle (r19 — the [[simhashPairs]]
+    * r18 rewrite applied to its siblings: the previous collect_list +
+    * in-row pair expansion materialized B² structs per bucket in a
+    * SINGLE row, the exact idiom SCALE.md r18 measured OOMing a
+    * 128 GiB JVM at sf10 on a duplicate-heavy corpus; a join emits
+    * pairs row-at-a-time, so a flooded bucket costs shuffle, never
+    * survival). Both join inputs shuffle on the same (band, band_key)
+    * keys from the same cached `sh`, so exchange reuse evaluates the
+    * signature subtree once. `maxBucketSize > 0` drops larger buckets
+    * outright via a bucket-count window riding the join's own exchange
+    * — the 100 TB guard against mass-duplicated boilerplate, whose
+    * pairs exact dedup should have collapsed BEFORE near-dup detection
+    * (run dedupExact first). Default keeps every bucket (exact recall,
+    * the oracle-pinned mode). */
   private[graft] def minhashCandidatePairs(sh: DataFrame, numHashes: Int,
       bands: Int, maxBucketSize: Int): DataFrame = {
     val rows = numHashes / bands
@@ -344,16 +342,16 @@ object TextOps {
       posexplode(bandKeys(
         graft.functions.minhash_signature(col("sh"), numHashes), bands, rows))
         .as(Seq("band", "band_key")))
-    val ids = array_sort(collect_list(col("doc_id")))
-    val pairs = sortedPairs(col("ids"),
-      (a, b) => struct(a.as("doc_a"), b.as("doc_b")))
-    val bucketOk =
-      if (maxBucketSize > 0) size(col("ids")) <= maxBucketSize else lit(true)
-    banded.groupBy(col("band"), col("band_key"))
-      .agg(ids.as("ids"))
-      .filter(size(col("ids")) > 1 && bucketOk)
-      .select(explode(pairs).as("pair"))
-      .select(col("pair.doc_a").as("doc_a"), col("pair.doc_b").as("doc_b"))
+    val capped =
+      if (maxBucketSize <= 0) banded
+      else banded.withColumn("bn", count(lit(1)).over(
+          Window.partitionBy(col("band"), col("band_key"))))
+        .filter(col("bn") <= maxBucketSize).drop("bn")
+    capped.as("a").join(capped.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
 
@@ -690,17 +688,13 @@ object TextOps {
     // shingles FIRST (crash ordering — see scaladoc): shingles without
     // bands are invisible; bands without shingles inflate bn on retry
     sh.write.mode("append").parquet(s"$path/shingles")
-    val prevMode = spark.conf.getOption(
-      "spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try merged.write.mode("overwrite").partitionBy("part")
-      .parquet(s"$path/bands")
-    finally prevMode match {
-      case Some(m) =>
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-      case None =>
-        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // per-WRITE dynamic mode (ADVICE r18): the option takes precedence
+    // over the session conf, so two maintenance threads on DIFFERENT
+    // index paths can no longer interleave a conf restore into each
+    // other's overwrite and turn it full-table
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("part").parquet(s"$path/bands")
     inc.unpersist(false)
     sh.unpersist(false)
   }
@@ -864,13 +858,15 @@ object TextOps {
    * comes from posting-list counts alone (|A∩B| = shared postings,
    * |A∪B| = |A| + |B| - |A∩B|) — no second join back to the shingle sets.
    *
-   * Plan shape: one explode + shuffle on shingle (posting lists), one
-   * in-list pair expansion, one aggregation keyed by the pair. Cost is
-   * proportional to Σ|postings|² over shingles, so `maxPostings` > 0
-   * drops shingles appearing in more than that many documents — the
-   * standard frequency filter: stopword-like shingles generate candidate
-   * pairs quadratically but almost never decide a high-threshold match.
-   * The default keeps every shingle (exact, oracle-pinned mode); at
+   * Plan shape: one explode, one shingle-keyed self-join streaming the
+   * in-list pairs through the shuffle (never materializing a list's B²
+   * pair set in one row — see [[simhashPairs]]' r18 scale cliff), one
+   * aggregation keyed by the pair. Cost is proportional to
+   * Σ|postings|² over shingles, so `maxPostings` > 0 drops shingles
+   * appearing in more than that many documents — the standard
+   * frequency filter: stopword-like shingles generate candidate pairs
+   * quadratically but almost never decide a high-threshold match. The
+   * default keeps every shingle (exact, oracle-pinned mode); at
    * 100 TB run `dedupExact` first and set a cap.
    *
    * Like the sibling near-dup operators, the shingle frame stays
@@ -894,19 +890,23 @@ object TextOps {
       .transform(Caches.persist(_))
     val postings = sh.select(col("doc_id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("shingle"))
-    val lists = postings.groupBy(col("shingle"))
-      .agg(array_sort(collect_list(struct(col("doc_id"), col("n_sh"))))
-        .as("ids"))
-      .filter(size(col("ids")) > 1 &&
-        (if (maxPostings > 0) size(col("ids")) <= maxPostings else lit(true)))
-    // struct sort is doc_id-first, so sorted lists pair doc_a < doc_b
-    val pairs = sortedPairs(col("ids"),
-      (a, b) => struct(a.getField("doc_id").as("doc_a"),
-        b.getField("doc_id").as("doc_b"),
-        a.getField("n_sh").as("na"), b.getField("n_sh").as("nb")))
-    val out = lists.select(explode(pairs).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        col("p.na").as("na"), col("p.nb").as("nb"))
+    // pair generation is a posting-keyed SELF-JOIN (r19 — the
+    // simhashPairs r18 rewrite: the previous collect_list + in-row
+    // pair expansion put the full B² pair set of a posting list inside
+    // ONE row, the idiom SCALE.md r18 measured OOMing a 128 GiB JVM on
+    // a duplicate-heavy corpus; the join streams them). The frequency
+    // cap rides the join's own shingle exchange as a count window —
+    // with streaming pairs it bounds shuffle, no longer survival.
+    val capped =
+      if (maxPostings <= 0) postings
+      else postings.withColumn("pn", count(lit(1)).over(
+          Window.partitionBy(col("shingle"))))
+        .filter(col("pn") <= maxPostings).drop("pn")
+    val out = capped.as("a").join(capped.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
       .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("shared"))
       .select(col("doc_a"), col("doc_b"),
@@ -1979,10 +1979,14 @@ object TextOps {
    * distinct across shared bands. `maxBucketSize > 0` still drops
    * pathological mass-duplicate buckets (now via a bucket-count
    * window riding the join's own exchange) — with streaming pairs the
-   * cap bounds SHUFFLE, no longer survival. The same collect_list
-   * pattern remains in [[minhashCandidatePairs]]/[[ngramJaccardPairs]]
-   * behind their own caps — converting them moves pinned headline
-   * plans, deliberately left for an adjudicated round.
+   * cap bounds SHUFFLE, no longer survival. r19 extends the same
+   * rewrite to [[minhashCandidatePairs]] and [[ngramJaccardPairs]]
+   * (the adjudicated pin move VERDICT r18 pre-authorized) and orders
+   * the hamming filter BEFORE the pair distinct: hamming is a function
+   * of the pair, so the reorder is output-identical and the distinct
+   * exchange drops the far-pair fraction — on a 4×16 banding most
+   * random chunk collisions are far pairs, the dominant share of that
+   * exchange at scale.
    */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 8,
       maxBucketSize: Int = 0): DataFrame = {
@@ -2003,8 +2007,8 @@ object TextOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   // ===== persisted SimHash index (the near-dup family's sixth
@@ -2057,16 +2061,21 @@ object TextOps {
    * shingle set) that large crawls screen with first.
    *
    * Layout (the minhash index's discipline, one-for-one):
-   *  - `path/bands` — `(band, chunk, ref_id, bn)`, one row per
+   *  - `path/bands` — `(band, chunk, ref_id, sig, bn)`, one row per
    *    (doc, band), hash-partitioned into `n_parts` directories by
    *    `part = xxhash64(band, chunk) mod n_parts` and sorted within
    *    partitions by `chunk` (row-group skips for the bucket join);
    *    `bn` is the precomputed bucket size so query-time
-   *    boilerplate-bucket caps are a PUSHED parquet predicate;
-   *  - `path/sigs` — `(ref_id, sig)`, the 8-byte signatures the
-   *    Hamming verification reads (fetched for matched candidates
-   *    only — and the RETUNE's complete input: re-banding needs no
-   *    corpus text);
+   *    boilerplate-bucket caps are a PUSHED parquet predicate; `sig`
+   *    is the full 8-byte signature DENORMALIZED onto the band row
+   *    (r19 — VERDICT r18 #2: +8 B/row buys Hamming verification ON
+   *    the bucket-join row itself, eliminating the sigs fetch join
+   *    and its candidate-sized shuffles — SCALE.md r18 measured the
+   *    index-exact path shuffling 4.5× MORE than direct-exact purely
+   *    from that verify join);
+   *  - `path/sigs` — `(ref_id, sig)`, the RETUNE's complete input
+   *    (re-banding needs no corpus text) and the layout's per-doc
+   *    source of truth;
    *  - `path/params` — 1-row `(bands, n_parts)` manifest, REQUIRED
    *    equal at query/append time (chunk values depend on the band
    *    split, so a mismatch silently matches nothing — refused loudly,
@@ -2090,7 +2099,7 @@ object TextOps {
       col("doc_id").cast("long").as("ref_id"),
       graft.functions.simhash64(tokens(col("text"))).as("sig")))
     val wBucket = Window.partitionBy(col("band"), col("chunk"))
-    sigs.select(col("ref_id"),
+    sigs.select(col("ref_id"), col("sig"),
         posexplode(simhashChunks(col("sig"), bands))
           .as(Seq("band", "chunk")))
       .withColumn("bn", count(lit(1)).over(wBucket).cast("int"))
@@ -2111,16 +2120,23 @@ object TextOps {
    * hamming)` for every new-batch/reference pair sharing a chunk with
    * hamming <= `maxHamming`. The reference is never re-read as text:
    * candidates come from the bands equi-join, verification XORs the
-   * 8-byte stored signatures. `bands` must match the manifest
+   * 8-byte signature DENORMALIZED on the matched band row itself
+   * (r19) — no second fetch join. `bands` must match the manifest
    * (refused loudly otherwise). `maxBucketSize > 0` is the pushed
    * `bn` predicate — mass-duplicate buckets skip at scan time.
    *
    * Scale shape: the new batch tokenizes+signs map-side and equi-joins
    * the bands table on (band, chunk) — the optimizer broadcasts the
-   * increment when small (never forced, the domainCap lesson); the
-   * verify join fetches sigs for matched candidates only. The final
-   * distinct is candidate-bounded and absorbs the byte-identical
-   * duplicate rows a crashed-then-retried append leaves behind.
+   * increment when small (never forced, the domainCap lesson);
+   * hamming evaluates and filters ON the join output, so the only
+   * candidate-keyed exchange left is the final distinct over the
+   * SURVIVORS (SCALE.md r18 measured the old verify-join shape
+   * shuffling 445.61 MB at sf10 where direct-exact moved 98.72 — the
+   * index must never shuffle more than the direct path). That
+   * distinct also absorbs the byte-identical duplicate rows a
+   * crashed-then-retried append leaves behind. Pre-r19 indexes
+   * (no `sig` on band rows) are still served through the legacy
+   * sigs-join; rebuild to migrate.
    */
   def simhashAgainstIndex(docs: DataFrame, path: String,
       maxHamming: Int = 8, bands: Int = 4,
@@ -2139,20 +2155,34 @@ object TextOps {
     val refOk =
       if (maxBucketSize <= 0) idx
       else idx.filter(col("bn") <= maxBucketSize)
-    val cand = sigsD
+    val banded = sigsD
       .select(col("doc_id"), col("sig"),
         posexplode(simhashChunks(col("sig"), bands))
           .as(Seq("band", "chunk")))
-      .join(refOk, Seq("band", "chunk"))
-      .select(col("doc_id"), col("sig"), col("ref_id")).distinct()
-    cand
-      .join(spark.read.parquet(s"$path/sigs")
-        .select(col("ref_id"), col("sig").as("sig_r")), Seq("ref_id"))
-      .select(col("doc_id"), col("ref_id"),
-        bit_count(col("sig").bitwiseXOR(col("sig_r"))).cast("int")
-          .as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
+    if (idx.columns.contains("sig"))
+      banded
+        .join(refOk.select(col("band"), col("chunk"), col("ref_id"),
+          col("sig").as("sig_r")), Seq("band", "chunk"))
+        .select(col("doc_id"), col("ref_id"),
+          bit_count(col("sig").bitwiseXOR(col("sig_r"))).cast("int")
+            .as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+        .distinct()
+    else {
+      // legacy pre-r19 layout: candidates dedup first, then verify
+      // against the sigs table (one extra candidate-sized join)
+      val cand = banded
+        .join(refOk, Seq("band", "chunk"))
+        .select(col("doc_id"), col("sig"), col("ref_id")).distinct()
+      cand
+        .join(spark.read.parquet(s"$path/sigs")
+          .select(col("ref_id"), col("sig").as("sig_r")), Seq("ref_id"))
+        .select(col("doc_id"), col("ref_id"),
+          bit_count(col("sig").bitwiseXOR(col("sig_r"))).cast("int")
+            .as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+        .distinct()
+    }
   }
 
   /**
@@ -2163,9 +2193,13 @@ object TextOps {
    * base ∪ increment with the null-exact lag dedup making replays
    * convergent, dynamic-overwrite JUST the touched directories.
    * Writes sigs FIRST: sigs without bands are invisible (no candidate
-   * ever forms), while bands without sigs would silently DROP a
-   * candidate at the verify join — the crash ordering protects the
-   * no-false-negative contract. Parameters come from the manifest.
+   * ever forms), while band rows whose docs are missing from `sigs`
+   * would silently VANISH at the next retune (sigs is the rebuild's
+   * complete input) — the crash ordering protects the
+   * no-false-negative contract across the whole lifecycle.
+   * Parameters come from the manifest. Refuses a pre-r19 legacy
+   * layout (no `sig` on band rows): mixing schemas within one bands
+   * table would make the parquet read flaky — rebuild to migrate.
    * Not concurrency-safe: serialize maintenance per index path.
    */
   def appendToSimhashIndex(newDocs: DataFrame, path: String): Unit = {
@@ -2176,18 +2210,22 @@ object TextOps {
       col("doc_id").cast("long").as("ref_id"),
       graft.functions.simhash64(tokens(col("text"))).as("sig")))
     val inc = Caches.persist(sigsI
-      .select(col("ref_id"),
+      .select(col("ref_id"), col("sig"),
         posexplode(simhashChunks(col("sig"), bands))
           .as(Seq("band", "chunk")))
       .withColumn("part", simhashPart(col("band"), col("chunk"), np)))
     val touched = inc.select(col("part")).distinct()
       .collect().map(_.getInt(0)).toIndexedSeq
     val base = touchedBandPartitions(spark, path, touched)
+    require(base.columns.contains("sig"),
+      s"appendToSimhashIndex: index at $path uses the pre-r19 layout " +
+        "(no sig column on band rows) — run rebuildSimhashIndex to " +
+        "migrate before appending")
     val wBucket = Window.partitionBy(col("band"), col("chunk"))
     val wOrd = wBucket.orderBy(col("ref_id").asc)
     val merged = inc
-      .unionByName(base.select(col("ref_id"), col("band"), col("chunk"),
-        col("part"))) // stale bn dropped, recomputed
+      .unionByName(base.select(col("ref_id"), col("sig"), col("band"),
+        col("chunk"), col("part"))) // stale bn dropped, recomputed
       .withColumn("dupb",
         row_number().over(wOrd) > 1 &&
           (col("ref_id") <=> lag(col("ref_id"), 1).over(wOrd)))
@@ -2198,17 +2236,10 @@ object TextOps {
       .sortWithinPartitions(col("chunk"))
       .localCheckpoint(true) // materialize BEFORE overwriting the source
     sigsI.write.mode("append").parquet(s"$path/sigs")
-    val prevMode = spark.conf.getOption(
-      "spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try merged.write.mode("overwrite").partitionBy("part")
-      .parquet(s"$path/bands")
-    finally prevMode match {
-      case Some(m) =>
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-      case None =>
-        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // per-WRITE dynamic mode (ADVICE r18) — see appendToMinhashIndex
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("part").parquet(s"$path/bands")
     inc.unpersist(false)
     sigsI.unpersist(false)
   }
@@ -2249,7 +2280,7 @@ object TextOps {
       .dropDuplicates(Seq("ref_id")))
     val wBucket = Window.partitionBy(col("band"), col("chunk"))
     try {
-      sigs.select(col("ref_id"),
+      sigs.select(col("ref_id"), col("sig"),
           posexplode(simhashChunks(col("sig"), bb))
             .as(Seq("band", "chunk")))
         .withColumn("bn", count(lit(1)).over(wBucket).cast("int"))
@@ -3718,6 +3749,12 @@ object TextOps {
    * most part directories anyway, so at that scale the join is the
    * right plan and directory pruning has nothing left to win.
    */
+  /** The pruning branch ("literal" | "semi_join") the most recent
+    * [[bm25BatchAgainstIndex]] call in this JVM took — bench-artifact
+    * observability (VERDICT r18 #3). "none" until the first call. */
+  private[graft] val lastBm25BatchBranch =
+    new java.util.concurrent.atomic.AtomicReference[String]("none")
+
   def bm25BatchAgainstIndex(queries: DataFrame, path: String,
       kTop: Int = 20, k1: Double = 1.2, b: Double = 0.75,
       maxLiteralTerms: Int = 4096): DataFrame = {
@@ -3734,8 +3771,14 @@ object TextOps {
       explode(array_distinct(col("terms"))).as("term")))
     val termFrame = qt.select(col("term")).distinct()
     // the literal-vs-join decision needs the count anyway; collect the
-    // vocabulary only when it is small enough to inline
+    // vocabulary only when it is small enough to inline. The decision
+    // is DETERMINISTIC for a fixed batch (a distinct count against a
+    // constant); the taken branch is recorded for the bench artifact
+    // (VERDICT r18 #3 — adjudicating counter drift needs to know
+    // which plan ran)
     val nTerms = termFrame.count()
+    lastBm25BatchBranch.set(
+      if (nTerms <= maxLiteralTerms) "literal" else "semi_join")
     val read =
       if (nTerms <= maxLiteralTerms) {
         val termList = termFrame.collect().map(_.getString(0)).sorted.toSeq

@@ -246,12 +246,16 @@ object DocStream {
       numHashes: Int = 12, bands: Int = 4,
       threshold: Double = 0.8): Unit =
     if (!batch.isEmpty) graft.operators.Caches.scoped {
-      val b = batch
-        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-        .persist()
+      // Caches.persist, not raw .persist (ADVICE r18): the scoped block
+      // then unpersists these even when a mid-batch throw skips the
+      // happy-path unpersists — under streaming retries raw persists
+      // leaked two cached frames per failed micro-batch
+      val b = graft.operators.Caches.persist(batch
+        .select(col("doc_id").cast("long").as("doc_id"), col("text")))
       val flagged = TextOps.nearDupAgainstIndex(b, indexPath, k,
         numHashes, bands, threshold).select(col("doc_id")).distinct()
-      val fresh = b.join(flagged, Seq("doc_id"), "left_anti").persist()
+      val fresh = graft.operators.Caches.persist(
+        b.join(flagged, Seq("doc_id"), "left_anti"))
       val losers = TextOps
         .nearDupClustersMinhash(fresh, k, numHashes, bands, threshold)
         .filter(col("is_keeper") === 0).select(col("doc_id"))
@@ -437,12 +441,14 @@ object DocStream {
   def simhashIngestIncrement(batch: DataFrame, indexPath: String,
       maxHamming: Int = 8, bands: Int = 4): Unit =
     if (!batch.isEmpty) graft.operators.Caches.scoped {
-      val b = batch
-        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-        .persist()
+      // Caches.persist, not raw .persist (ADVICE r18) — see
+      // ingestIncrement
+      val b = graft.operators.Caches.persist(batch
+        .select(col("doc_id").cast("long").as("doc_id"), col("text")))
       val flagged = TextOps.simhashAgainstIndex(b, indexPath,
         maxHamming, bands).select(col("doc_id")).distinct()
-      val fresh = b.join(flagged, Seq("doc_id"), "left_anti").persist()
+      val fresh = graft.operators.Caches.persist(
+        b.join(flagged, Seq("doc_id"), "left_anti"))
       val losers = TextOps.simhashPairs(fresh, maxHamming)
         .select(col("doc_b").as("doc_id")).distinct()
       val keepers = fresh.join(losers, Seq("doc_id"), "left_anti")

@@ -1,0 +1,140 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.BenchMetrics
+import graft.operators.{Caches, TextOps}
+
+/**
+ * The r19 conversion evidence for VERDICT r18 #1: the MinHash and
+ * n-gram-Jaccard candidate generators were rewritten from the
+ * collect_list + in-row B² pair expansion (the idiom SCALE.md r18
+ * MEASURED OOMing a 128 GiB JVM in `simhashPairs` at sf10) to
+ * bucket-keyed streaming self-joins. This tool measures the rewritten
+ * generators on the failure shape itself: the GenSf corpus UNION a
+ * planted mass-duplicate cluster — `dupN` byte-identical copies of one
+ * boilerplate document, the "100 K-copy near-exact cluster" a web
+ * crawl carries before exact dedup runs.
+ *
+ * Why the old form floods here: every cluster member lands in the SAME
+ * (band, band_key) bucket in all 4 bands, so the old plan built
+ * C(dupN, 2) pair structs inside ONE spark row per band —
+ * 16,384 copies → 1.3e8 structs (≳2 GiB of array data) per row, four
+ * such rows at once, before the explode even starts. The self-join
+ * emits the same pairs row-at-a-time: per-task memory is flat and the
+ * quadratic cost moves to the shuffle, where it belongs (and where
+ * `maxBucketSize`/`maxPostings` bound it for production).
+ *
+ * Measured per sf (defaults 1.0, 10.0 — 50 K/500 K base docs):
+ *  - `minhash_cand(exact)`   — the uncapped candidate stage over
+ *    base ∪ cluster(dupN): streams 4·C(dupN,2) join rows into the
+ *    pair distinct; completion with flat task memory IS the claim;
+ *  - `minhash_cand(cap=64)`  — the documented 100 TB configuration:
+ *    the bucket-count window drops the flooded bucket at the
+ *    generator, candidates collapse to the organic corpus's;
+ *  - `near_dup_pairs(cap=64)` — the full capped operator (candidates
+ *    + exact-Jaccard verify) end-to-end;
+ *  - `ngram_pairs(exact)`    — the exact set-similarity join over
+ *    base ∪ cluster(ngramDupN): Σ|postings|² is inherent to EXACT
+ *    n-gram Jaccard (~60 shingles × C(ngramDupN,2) joined rows), so
+ *    the cluster is sized smaller — the point is bounded memory, not
+ *    hiding the quadratic shuffle the semantics demand;
+ *  - `ngram_pairs(cap=64)`   — the production cap: flooded shingles
+ *    dropped at the posting window.
+ *
+ * Queries are warm medians-of-3 with BenchMetrics counters; the
+ * shuffle MB column is the scale story (bytes move only when the plan
+ * or the data moved).
+ */
+object NearDupScale {
+  def main(args: Array[String]): Unit = {
+    val sfs = if (args.nonEmpty) args.map(_.toDouble).toSeq
+      else Seq(1.0, 10.0)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.ensureRegistered(spark)
+    BenchMetrics.install(spark.sparkContext)
+
+    def median3(body: => Unit): BenchMetrics.Rep = {
+      BenchMetrics.timed(spark.sparkContext)(body) // warm-up
+      val reps = (1 to 3).map(_ =>
+        BenchMetrics.timed(spark.sparkContext)(body)).sortBy(_.sec)
+      reps(1)
+    }
+
+    // one fixed ~60-word boilerplate text, dupN byte-identical copies —
+    // the pre-exact-dedup mass cluster
+    def withCluster(base: DataFrame, nBase: Long, dupN: Int): DataFrame = {
+      val boiler = (0 until 60).map(i => s"boilerplate${i % 7}")
+        .mkString(" ")
+      base.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .unionByName(spark.range(dupN).select(
+          (col("id") + nBase).as("doc_id"), lit(boiler).as("text")))
+    }
+
+    for (sf <- sfs) {
+      val dir = s"/tmp/graft_ndscale/sf$sf"
+      def show(name: String, r: BenchMetrics.Rep): Unit =
+        println(f"sf$sf%-4s $name%-22s sec=${r.sec}%7.2f " +
+          f"shuffle_mb=${r.shuffleBytes / 1048576.0}%8.2f " +
+          f"jobs=${r.jobs}%4d task_sec=${r.taskMs / 1e3}%7.2f")
+
+      val docsP = s"$dir/documents.parquet"
+      if (!new java.io.File(docsP).exists())
+        GenSf.documentsDf(spark, sf).coalesce(8)
+          .write.mode("overwrite").parquet(docsP)
+      val base = spark.read.parquet(docsP)
+      val nBase = base.count()
+      val dupN = math.max(512, (16384 * sf / 10.0).toInt)
+      val ngramDupN = math.max(512, (2048 * sf / 10.0).toInt)
+      val corpus = withCluster(base, nBase, dupN)
+      val ngramCorpus = withCluster(base, nBase, ngramDupN)
+      println(s"sf$sf  base=$nBase cluster=$dupN " +
+        s"(minhash pairs from cluster alone: 4x C($dupN,2) = " +
+        s"${4L * dupN * (dupN - 1) / 2} streamed rows) ngramCluster=" +
+        s"$ngramDupN")
+
+      def sh(d: DataFrame): DataFrame =
+        d.select(col("doc_id"),
+          graft.operators.TextOps.shingles(col("text"), 3).as("sh"))
+
+      show("minhash_cand(exact)", median3 {
+        Caches.scoped {
+          val s3 = Caches.persist(sh(corpus))
+          TextOps.minhashCandidatePairs(s3, 12, 4, 0).count(): Unit
+        }
+        spark.catalog.clearCache()
+      })
+      show("minhash_cand(cap=64)", median3 {
+        Caches.scoped {
+          val s3 = Caches.persist(sh(corpus))
+          TextOps.minhashCandidatePairs(s3, 12, 4, 64).count(): Unit
+        }
+        spark.catalog.clearCache()
+      })
+      show("near_dup_pairs(cap=64)", median3 {
+        Caches.scoped {
+          TextOps.nearDupPairs(corpus, maxBucketSize = 64).count(): Unit
+        }
+        spark.catalog.clearCache()
+      })
+      show("ngram_pairs(exact)", median3 {
+        Caches.scoped {
+          TextOps.ngramJaccardPairs(ngramCorpus).count(): Unit
+        }
+        spark.catalog.clearCache()
+      })
+      show("ngram_pairs(cap=64)", median3 {
+        Caches.scoped {
+          TextOps.ngramJaccardPairs(ngramCorpus, maxPostings = 64)
+            .count(): Unit
+        }
+        spark.catalog.clearCache()
+      })
+    }
+    spark.stop()
+  }
+}

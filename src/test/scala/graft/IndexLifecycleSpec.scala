@@ -837,4 +837,91 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(topkRows(live, probes) === before)
     spark.catalog.clearCache()
   }
+
+  test("append -> rollback -> roll-forward visibility under the pointer " +
+      "protocol (VERDICT r18 missing #2): rows appended to the live " +
+      "generation vanish on rollback — the predecessor predates them — " +
+      "and return on roll-forward; recovery mid-state sweeps nothing") {
+    val ref = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "entirely unrelated reference material")
+    ).toDF("doc_id", "text")
+    val inc = Seq(
+      (102L, "a freshly crawled increment document about microscopes")
+    ).toDF("doc_id", "text")
+    val probe = Seq(
+      (0L, "a freshly crawled increment document about microscopes")
+    ).toDF("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("ilc_ptr_append").toString
+    def hits(): Set[Long] =
+      TextOps.simhashAgainstIndex(probe,
+          LayoutOps.resolveIndexPointer(spark, root), maxHamming = 10)
+        .select("ref_id").collect().map(_.getLong(0)).toSet
+    LayoutOps.withPointerGeneration(spark, root)(g =>
+      TextOps.buildSimhashIndex(ref, g))
+    TextOps.rebuildSimhashIndexPointer(spark, root) // gen-00002 live
+    val live = LayoutOps.resolveIndexPointer(spark, root)
+    assert(live.endsWith("gen-00002"))
+    assert(hits() === Set.empty[Long],
+      "fixture probe must not match the pre-append reference")
+    // append lands IN the live generation (immutable to the protocol:
+    // files added, none renamed or rewritten)
+    TextOps.appendToSimhashIndex(inc, live)
+    assert(hits() === Set(102L))
+    // recovery on the mid-append state: live+predecessor retained,
+    // appended rows ride their generation
+    LayoutOps.recoverPointerSwap(spark, root)
+    assert(hits() === Set(102L))
+    // rollback: the predecessor PREDATES the append — rows vanish
+    LayoutOps.rollbackIndexPointer(spark, root)
+    assert(LayoutOps.resolveIndexPointer(spark, root)
+      .endsWith("gen-00001"))
+    assert(hits() === Set.empty[Long],
+      "appended rows must not be visible from the predecessor")
+    // a second rollback rolls FORWARD — the appended rows return
+    LayoutOps.rollbackIndexPointer(spark, root)
+    assert(hits() === Set(102L))
+    spark.catalog.clearCache()
+  }
+
+  test("pointer retention (ADVICE r18): retain = 3 keeps a mid-scan " +
+      "reader's generation across TWO publishes; default 2 prunes to " +
+      "live+predecessor; retain < 2 refused; junk 19+-digit names are " +
+      "non-matching, never a resolve/recovery hard-failure") {
+    val root = java.nio.file.Files
+      .createTempDirectory("ilc_ptr_retain").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def gens(): Set[String] = fs.listStatus(
+        new org.apache.hadoop.fs.Path(root)).map(_.getPath.getName)
+      .filter(_.startsWith("gen-")).toSet
+    val e = emb(32, patterns = 4)
+    def publish(retain: Int): String =
+      LayoutOps.withPointerGeneration(spark, root, retain)(g =>
+        VectorOps.buildIvfIndex(e, g, nCentroids = 4, iters = 1))
+    val g1 = publish(3); publish(3); publish(3)
+    assert(gens() === Set("gen-00001", "gen-00002", "gen-00003"),
+      "retain = 3 must keep the two-publish-old generation")
+    // a reader that resolved g1 BEFORE the two publishes still scans
+    VectorOps.ivfIndexTopK(e.limit(2), g1, k = 3, nProbe = 2).collect()
+    // default retention prunes back to live + predecessor
+    val g4 = publish(2)
+    assert(gens() === Set("gen-00003", "gen-00004"))
+    val ex = intercept[IllegalArgumentException] {
+      LayoutOps.recoverPointerSwap(spark, root, retain = 1)
+    }
+    assert(ex.getMessage.contains("live+predecessor"))
+    // ADVICE r18: a junk name whose digits overflow Long must be
+    // ignored (the skip-invalid discipline junk CONTENT already gets),
+    // not throw NumberFormatException out of resolve/recovery
+    val junk = new org.apache.hadoop.fs.Path(
+      s"$root/_ptr/ptr-99999999999999999999")
+    val out = fs.create(junk, false)
+    try out.write("junk".getBytes("UTF-8")) finally out.close()
+    assert(LayoutOps.resolveIndexPointer(spark, root) === g4)
+    LayoutOps.recoverPointerSwap(spark, root) // must not throw
+    assert(LayoutOps.resolveIndexPointer(spark, root) === g4)
+    spark.catalog.clearCache()
+  }
 }

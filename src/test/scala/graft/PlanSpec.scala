@@ -511,6 +511,31 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("text near-dup candidate generators STREAM pairs from bucket " +
+      "self-joins — no collect_list buffering, no product (r19: the " +
+      "simhashPairs r18 rewrite extended to its siblings — the in-row " +
+      "B² expansion was measured to OOM 128 GiB at sf10)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    for ((name, df) <- Seq(
+        "nearDupPairs" -> graft.operators.TextOps.nearDupPairs(docs),
+        "nearDupPairs(cap)" ->
+          graft.operators.TextOps.nearDupPairs(docs, maxBucketSize = 64),
+        "ngramJaccardPairs" ->
+          graft.operators.TextOps.ngramJaccardPairs(docs),
+        "ngramJaccardPairs(cap)" ->
+          graft.operators.TextOps.ngramJaccardPairs(docs, maxPostings = 64),
+        "simhashPairs" -> graft.operators.TextOps.simhashPairs(docs))) {
+      val p = plan(df)
+      assert(!p.contains("collect_list"),
+        s"$name buffers bucket members in an aggregation row")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$name candidate join regressed to a product")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("nearDupAgainstIndex: the bucket cap pushes to the bands scan as " +
       "a parquet predicate on the precomputed bn; no product") {
     import spark.implicits._
