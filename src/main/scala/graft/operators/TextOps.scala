@@ -846,8 +846,11 @@ object TextOps {
       // candidate-bounded (matched pairs only, never corpus-scale):
       // absorbs the byte-identical duplicate shingle rows a crashed-
       // then-retried append leaves behind (appendToMinhashIndex crash
-      // semantics) — a no-op on a cleanly-built index
-      .distinct()
+      // semantics) — a no-op on a cleanly-built index. Pair-key dedup,
+      // not 3-column distinct: jaccard is a set function of the pair
+      // (replayed rows carry identical values), and keeping it out of
+      // the grouping keys shrinks the exchange (see simhashAgainstIndex)
+      .dropDuplicates(Seq("doc_id", "ref_id"))
   }
 
   /**
@@ -2008,7 +2011,10 @@ object TextOps {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
+      // pair-key dedup, not 3-column distinct: hamming is determined
+      // by the pair, and dropping it from the grouping keys shrinks
+      // the survivor exchange (see simhashAgainstIndex)
+      .dropDuplicates(Seq("doc_a", "doc_b"))
   }
 
   // ===== persisted SimHash index (the near-dup family's sixth
@@ -2167,7 +2173,12 @@ object TextOps {
           bit_count(col("sig").bitwiseXOR(col("sig_r"))).cast("int")
             .as("hamming"))
         .filter(col("hamming") <= maxHamming)
-        .distinct()
+        // dedup on the PAIR alone: hamming is a function of it, so the
+        // output is identical to a 3-column distinct, and keeping the
+        // determined column out of the grouping keys measurably
+        // shrinks the survivor exchange (sf10 probe: 106.78 → 80.38 MB
+        // on ~10M survivors)
+        .dropDuplicates(Seq("doc_id", "ref_id"))
     else {
       // legacy pre-r19 layout: candidates dedup first, then verify
       // against the sigs table (one extra candidate-sized join)
@@ -2181,7 +2192,7 @@ object TextOps {
           bit_count(col("sig").bitwiseXOR(col("sig_r"))).cast("int")
             .as("hamming"))
         .filter(col("hamming") <= maxHamming)
-        .distinct()
+        .dropDuplicates(Seq("doc_id", "ref_id"))
     }
   }
 

@@ -1,7 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scratch driver for one-off probes (see .claude/skills/verify). */
@@ -14,48 +13,66 @@ object Probe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.ensureRegistered(spark)
-    import spark.implicits._
 
-    // r17 probe 1: the appendToMinhashIndex lag-flag dedup must SHARE
-    // the bn window's (band, band_key) exchange — exactly ONE Exchange
-    // in the merged-frame plan (the r16 dropDuplicates shape had two).
-    val rows = Seq((1L, 0, 123L, 3), (1L, 0, 123L, 3), (2L, 0, 123L, 3),
-      (2L, 1, 77L, 5)).toDF("ref_id", "band", "band_key", "part")
-    val wBucket = Window.partitionBy($"band", $"band_key")
-    val wOrd = wBucket.orderBy($"ref_id".asc)
-    val merged = rows
-      .withColumn("dupb", $"ref_id" === lag($"ref_id", 1).over(wOrd))
-      .filter(!coalesce($"dupb", lit(false))).drop("dupb")
-      .withColumn("bn", count(lit(1)).over(wBucket).cast("int"))
-    val p1 = merged.queryExecution.executedPlan.toString
-    println(s"=== minhash merged exchanges: ${
-      "Exchange".r.findAllIn(p1).size} (want 1)")
-
-    // r17 probe 2: the DEFAULT ivfIndexTopK must keep the PARTIAL
-    // WindowGroupLimit below the rank exchange (k-bounded shuffle —
-    // the scale plan), and absorbReplays=true must add its lag dedup
-    // with the SAME exchange count (the dedup rides the rank window;
-    // it forfeits only the partial limit, never adds a shuffle).
-    val e = spark.range(64).select($"id".as("vec_id"),
-      transform(sequence(lit(0), lit(7)), d =>
-        (cos(($"id" % 8 + 1) * (d + 1)) + 0.1).cast("float"))
-        .as("embedding"))
-    val path = java.nio.file.Files.createTempDirectory("probe_ivf").toString
-    graft.operators.VectorOps.buildIvfIndex(e, path, nCentroids = 8,
-      iters = 1)
-    for (absorb <- Seq(false, true)) {
-      val q = graft.operators.VectorOps.ivfIndexTopK(
-        e.filter($"vec_id" < 4), path, k = 3, nProbe = 2,
-        absorbReplays = absorb)
-      q.collect()
-      val p2 = q.queryExecution.executedPlan.toString
-      val nEx = "Exchange".r.findAllIn(p2).size
-      val nPartial = "WindowGroupLimit.*Partial".r.findAllIn(p2).size
-      println(s"=== ivfIndexTopK(absorb=$absorb) exchanges: $nEx " +
-        s"partial-window-limits: $nPartial" +
-        (if (!absorb) " (want >=1 — the k-bounded shuffle)" else ""))
+    // r19 probe: where do the index-exact bytes live after the sig
+    // denormalization? Per-exchange shuffle-write breakdown of
+    // simhashAgainstIndex at sf10 (SimhashScale leaves the fixtures
+    // on disk; the tool's last op retunes the index to bands=8).
+    val dir = "/tmp/graft_shscale/sf10.0"
+    val inc = spark.read.parquet(s"$dir/inc.parquet")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val idx4 = s"$dir/idx4"
+    if (!new java.io.File(idx4).exists())
+      graft.operators.TextOps.buildSimhashIndex(docs, idx4)
+    graft.BenchMetrics.install(spark.sparkContext)
+    def rep(name: String)(body: => Long): Unit = {
+      val r = graft.BenchMetrics.timed(spark.sparkContext) { body: Unit }
+      println(f"=== $name sec=${r.sec}%7.2f mb=${
+        r.shuffleBytes / 1048576.0}%8.2f jobs=${r.jobs} task_s=${
+        r.taskMs / 1e3}%7.1f")
       spark.catalog.clearCache()
     }
+    rep("index-exact")(graft.operators.Caches.scoped {
+      graft.operators.TextOps.simhashAgainstIndex(
+        inc, idx4, maxHamming = 10).count() })
+    rep("index-exact(2keys)")(graft.operators.Caches.scoped {
+      graft.operators.TextOps.simhashAgainstIndex(
+        inc, idx4, maxHamming = 10)
+        .dropDuplicates(Seq("doc_id", "ref_id")).count() })
+    rep("direct-exact")(graft.operators.Caches.scoped {
+      graft.operators.TextOps.simhashPairs(
+        docs.select(col("doc_id"), col("text")).unionByName(
+          inc.select(col("doc_id"), col("text"))), maxHamming = 10)
+        .count() })
+    val q = graft.operators.TextOps.simhashAgainstIndex(
+      inc, idx4, maxHamming = 10)
+    q.count()
+    val plan = q.queryExecution.executedPlan
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case s: org.apache.spark.sql.execution.exchange
+            .ShuffleExchangeExec =>
+          println(s"=== shuffle child=${s.child.nodeName} metrics: " +
+            s.metrics.toSeq.sortBy(_._1).map { case (k, m) =>
+              s"$k=${m.value}" }.mkString(" "))
+        case b: org.apache.spark.sql.execution.exchange
+            .BroadcastExchangeExec =>
+          println(s"=== broadcast exchange child=${b.child.nodeName}")
+        case _ => ()
+      }
+      p.children.foreach(walk)
+      p match {
+        case q2: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q2.plan)
+        case _ => ()
+      }
+    }
+    walk(plan)
+    println("=== join nodes: " +
+      plan.toString.linesIterator.filter(l =>
+        l.contains("Join")).map(_.trim.take(80)).mkString(" | "))
     spark.stop()
   }
 }
