@@ -338,10 +338,15 @@ object TextOps {
   private[graft] def minhashCandidatePairs(sh: DataFrame, numHashes: Int,
       bands: Int, maxBucketSize: Int): DataFrame = {
     val rows = numHashes / bands
-    val banded = sh.select(col("doc_id"),
+    // the banded frame is CACHED so the self-join's two sides read one
+    // materialization — the signature subtree (numHashes md5 rounds per
+    // doc, the stage's CPU) evaluates once, exactly like simhashPairs'
+    // cached sigs. 4 small rows per doc (MEMORY_AND_DISK, spillable);
+    // same plan-lifetime discipline as the sh cache feeding it.
+    val banded = Caches.persist(sh.select(col("doc_id"),
       posexplode(bandKeys(
         graft.functions.minhash_signature(col("sh"), numHashes), bands, rows))
-        .as(Seq("band", "band_key")))
+        .as(Seq("band", "band_key"))))
     val capped =
       if (maxBucketSize <= 0) banded
       else banded.withColumn("bn", count(lit(1)).over(
