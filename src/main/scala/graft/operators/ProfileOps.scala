@@ -150,8 +150,22 @@ object ProfileOps {
     require(minCount >= 1 && maxBasketSize >= 2 && topK >= 1,
       "associationRules: need minCount >= 1, maxBasketSize >= 2, topK >= 1")
     import org.apache.spark.sql.expressions.Window
+    // ONE basket-keyed exchange feeds the whole pipeline (r19): hash
+    // partitioning on b alone satisfies the (b, i) distinct's clustered
+    // distribution (equal pairs share a basket), so repartition(b) →
+    // distinct → size window all ride a single shuffle — previously the
+    // distinct exchanged on (b, i) and the window re-exchanged on (b),
+    // two corpus-sized exchanges for the same frame. The cached frame
+    // also RETAINS hashpartitioning(b), so past the local broadcast
+    // regime the pair self-join on b is co-partitioned from cache (no
+    // per-side exchange at scale). Trade-off, stated: the repartition
+    // ships raw (b, i) rows where the old distinct-first form shipped
+    // map-side-collapsed ones — a wash on basket tables whose rows are
+    // near-distinct already (order lines), and strictly one exchange
+    // cheaper; a heavily duplicated feed should dedup upstream.
     val items = df.select(col(basketCol).cast("long").as("b"),
-      col(itemCol).cast("long").as("i")).distinct()
+      col(itemCol).cast("long").as("i"))
+      .repartition(col("b")).dropDuplicates("b", "i")
     // persisted: four consumers (basket total, item counts, both pair
     // aliases) would otherwise each replay the distinct + size-cap
     // window — 8 redundant shuffles of the corpus-derived frame; the
