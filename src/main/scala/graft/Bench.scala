@@ -27,9 +27,21 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // AQE sort-merge -> shuffled-hash conversion bound (r19, guide
+    // §3.1): convert ONLY when every measured post-shuffle build
+    // partition is under this many bytes — a per-partition safety
+    // bound, not a cluster-size constant, so the same value is correct
+    // at any scale (partitions above it keep the spilling sort-merge).
+    // The static planner path (preferSortMergeJoin=false) stays OFF:
+    // it decides from size ESTIMATES, which are unbounded-wrong after
+    // filters/explodes; the AQE path decides from runtime stats.
+    // Parameterised for ops; 0 disables (Spark's default).
+    val shjBound = sys.env.getOrElse("SPARK_GRAFT_SHJ_BOUND", "64m")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        shjBound)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

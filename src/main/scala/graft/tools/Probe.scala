@@ -1,7 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Scratch driver for one-off probes (see .claude/skills/verify). */
 object Probe {
@@ -13,66 +12,34 @@ object Probe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.ensureRegistered(spark)
-
-    // r19 probe: where do the index-exact bytes live after the sig
-    // denormalization? Per-exchange shuffle-write breakdown of
-    // simhashAgainstIndex at sf10 (SimhashScale leaves the fixtures
-    // on disk; the tool's last op retunes the index to bands=8).
-    val dir = "/tmp/graft_shscale/sf10.0"
-    val inc = spark.read.parquet(s"$dir/inc.parquet")
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val idx4 = s"$dir/idx4"
-    if (!new java.io.File(idx4).exists())
-      graft.operators.TextOps.buildSimhashIndex(docs, idx4)
     graft.BenchMetrics.install(spark.sparkContext)
-    def rep(name: String)(body: => Long): Unit = {
-      val r = graft.BenchMetrics.timed(spark.sparkContext) { body: Unit }
-      println(f"=== $name sec=${r.sec}%7.2f mb=${
-        r.shuffleBytes / 1048576.0}%8.2f jobs=${r.jobs} task_s=${
-        r.taskMs / 1e3}%7.1f")
+
+    // r19 probe: does the AQE sort-merge -> shuffled-hash conversion
+    // (spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold) fire on
+    // the ngram posting self-join, and what does it buy? Interleaved
+    // reps to average box noise; final-plan join nodes printed.
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val fn = graft.SparkEntry.queries("near_dup_ngram")
+    def joins(df: org.apache.spark.sql.DataFrame): String = {
+      val txt = df.queryExecution.executedPlan.toString
+      Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+        .map(n => s"$n=${txt.sliding(n.length).count(_ == n)}")
+        .mkString(" ")
+    }
+    def once(bound: String): Unit = {
+      spark.conf.set(
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", bound)
+      val df = fn(spark, sfDir)
+      val r = graft.BenchMetrics.timed(spark.sparkContext) {
+        df.count(): Unit
+      }
+      println(f"=== bound=$bound%-4s sec=${r.sec}%6.2f mb=${
+        r.shuffleBytes / 1048576.0}%8.2f jobs=${r.jobs} joins=${joins(df)}")
       spark.catalog.clearCache()
     }
-    rep("index-exact")(graft.operators.Caches.scoped {
-      graft.operators.TextOps.simhashAgainstIndex(
-        inc, idx4, maxHamming = 10).count() })
-    rep("index-exact(2keys)")(graft.operators.Caches.scoped {
-      graft.operators.TextOps.simhashAgainstIndex(
-        inc, idx4, maxHamming = 10)
-        .dropDuplicates(Seq("doc_id", "ref_id")).count() })
-    rep("direct-exact")(graft.operators.Caches.scoped {
-      graft.operators.TextOps.simhashPairs(
-        docs.select(col("doc_id"), col("text")).unionByName(
-          inc.select(col("doc_id"), col("text"))), maxHamming = 10)
-        .count() })
-    val q = graft.operators.TextOps.simhashAgainstIndex(
-      inc, idx4, maxHamming = 10)
-    q.count()
-    val plan = q.queryExecution.executedPlan
-    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
-      p match {
-        case a: org.apache.spark.sql.execution.adaptive
-            .AdaptiveSparkPlanExec => walk(a.executedPlan)
-        case s: org.apache.spark.sql.execution.exchange
-            .ShuffleExchangeExec =>
-          println(s"=== shuffle child=${s.child.nodeName} metrics: " +
-            s.metrics.toSeq.sortBy(_._1).map { case (k, m) =>
-              s"$k=${m.value}" }.mkString(" "))
-        case b: org.apache.spark.sql.execution.exchange
-            .BroadcastExchangeExec =>
-          println(s"=== broadcast exchange child=${b.child.nodeName}")
-        case _ => ()
-      }
-      p.children.foreach(walk)
-      p match {
-        case q2: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          walk(q2.plan)
-        case _ => ()
-      }
-    }
-    walk(plan)
-    println("=== join nodes: " +
-      plan.toString.linesIterator.filter(l =>
-        l.contains("Join")).map(_.trim.take(80)).mkString(" | "))
+    once("0") // untimed-ish warm-up pair (JIT)
+    once("64m")
+    for (_ <- 1 to 3) { once("0"); once("64m") }
     spark.stop()
   }
 }
