@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench's one-line JSON contract is parsed from the tail of
+// `sbt runMain graft.Bench` stdout. sbt's default logger decorates every
+// forked-process line with "[info] " and appends its own "[success] ..."
+// line, which has made the contract line unparseable (BENCH_r16-r19:
+// "parsed": null). StdoutOutput passes the forked JVM's stdout through
+// undecorated; sbt's own completion line goes to its logger as before.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
