@@ -35,7 +35,13 @@ object Bench {
     // The static planner path (preferSortMergeJoin=false) stays OFF:
     // it decides from size ESTIMATES, which are unbounded-wrong after
     // filters/explodes; the AQE path decides from runtime stats.
-    // Parameterised for ops; 0 disables (Spark's default).
+    // Parameterised for ops; 0 disables (Spark's default). NOTE
+    // (ADVICE r19): Spark applies the threshold only when it is >=
+    // spark.sql.adaptive.advisoryPartitionSizeInBytes (default 64m) —
+    // a value in (0, 64m) silently disables the conversion rather than
+    // bounding tighter; lower advisory alongside it if you need that.
+    // Firing evidence: tools/ShjProbe (sf1 capped posting join) — at
+    // sf0.1 every convertible join demotes to broadcast first.
     val shjBound = sys.env.getOrElse("SPARK_GRAFT_SHJ_BOUND", "64m")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -866,30 +866,45 @@ object TextOps {
    * comes from posting-list counts alone (|A∩B| = shared postings,
    * |A∪B| = |A| + |B| - |A∩B|) — no second join back to the shingle sets.
    *
-   * Plan shape: one explode, one shingle-keyed self-join streaming the
-   * in-list pairs through the shuffle (never materializing a list's B²
-   * pair set in one row — see [[simhashPairs]]' r18 scale cliff), one
-   * aggregation keyed by the pair. Cost is proportional to
-   * Σ|postings|² over shingles, so `maxPostings` > 0 drops shingles
-   * appearing in more than that many documents — the standard
-   * frequency filter: stopword-like shingles generate candidate pairs
-   * quadratically but almost never decide a high-threshold match. The
-   * default keeps every shingle (exact, oracle-pinned mode); at
-   * 100 TB run `dedupExact` first and set a cap.
+   * Plan shape (r20, exact mode): PPJoin-style prefix filtering
+   * (Chaudhuri/Ganti/Kaushik 2006 "A Primitive Operator for Similarity
+   * Joins"; Xiao et al. 2008 "Efficient Similarity Joins for Near
+   * Duplicate Detection") — candidates come from a self-join on each
+   * document's PREFIX postings only (the first |A| − ⌈t·|A|⌉ + 1
+   * shingles under a global canonical order: document frequency
+   * ascending, shingle ascending), then candidates are verified
+   * exactly against the full cached shingle sets. The prefix-filter
+   * lemma guarantees zero missed pairs: two sets with overlap ≥ o
+   * share an element inside their (len − o + 1)-prefixes under any
+   * common total order, and J ≥ t forces o ≥ ⌈t·max(|A|,|B|)⌉.
+   * Ordering by df ascending puts the QUADRATIC postings (stopword-like
+   * shingles shared by every boilerplate doc) at the END of every
+   * document, where the prefix cut removes them — join cost drops from
+   * Σ|postings|² to Σ|prefix postings|², which is what makes the exact
+   * mode feasible at scale (r19 measured the unfiltered exact join
+   * exhausting ~230 GB of shuffle spill at sf10). A length filter
+   * (t·max ≤ min, a necessary condition for J ≥ t) rides the join
+   * condition. `maxPostings` > 0 keeps the r18/r19 capped mode
+   * unchanged (drop shingles above the cap, count shared postings
+   * directly): its Jaccard is computed from SURVIVING postings, which
+   * a set-verification pass cannot reproduce — and that approximate
+   * algebra is oracle-pinned.
    *
-   * Like the sibling near-dup operators, the shingle frame stays
-   * persisted for the lifetime of the returned (lazy) plan — long-lived
-   * sessions should `spark.catalog.clearCache()` when done with it.
+   * Like the sibling near-dup operators, the shingle frame and the
+   * prefix/capped posting frame stay persisted for the lifetime of the
+   * returned (lazy) plan — long-lived sessions should
+   * `spark.catalog.clearCache()` when done with it.
    */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
       maxPostings: Int = 0): DataFrame =
     ngramJaccardPairsImpl(docs, k, threshold, maxPostings)._1
 
-  /** [[ngramJaccardPairs]] plus its internally persisted shingle frame,
-    * for EAGER callers (nearDupClusters) that can unpersist it once the
-    * pair graph is materialized. */
+  /** [[ngramJaccardPairs]] plus its internally persisted frames (the
+    * shingle frame and the prefix/capped posting frame), for EAGER
+    * callers (nearDupClusters) that can unpersist them once the pair
+    * graph is materialized. */
   private def ngramJaccardPairsImpl(docs: DataFrame, k: Int,
-      threshold: Double, maxPostings: Int): (DataFrame, DataFrame) = {
+      threshold: Double, maxPostings: Int): (DataFrame, Seq[DataFrame]) = {
     // persist the shingle frame: without the barrier, projection collapse
     // inlines the interpreted shingle HOF tree into BOTH the size() and
     // the explode() branches (the SCALE.md subtree-duplication trap)
@@ -902,26 +917,79 @@ object TextOps {
     // simhashPairs r18 rewrite: the previous collect_list + in-row
     // pair expansion put the full B² pair set of a posting list inside
     // ONE row, the idiom SCALE.md r18 measured OOMing a 128 GiB JVM on
-    // a duplicate-heavy corpus; the join streams them). The frequency
-    // cap rides the join's own shingle exchange as a count window —
-    // with streaming pairs it bounds shuffle, no longer survival.
-    val capped =
-      if (maxPostings <= 0) postings
-      else postings.withColumn("pn", count(lit(1)).over(
+    // a duplicate-heavy corpus; the join streams them).
+    if (maxPostings <= 0) {
+      // EXACT mode (r20): PPJoin prefix filter — see the operator doc.
+      // Canonical order = (document frequency asc, shingle asc): the df
+      // window rides the postings' shingle exchange, the rank window
+      // re-keys by doc. Prefix length |A| − ⌈t·|A|⌉ + 1; the ceil gets
+      // a 1e-9 slack DOWNWARD so binary-fp noise in t·|A| can only ever
+      // LENGTHEN a prefix (a longer prefix adds candidates the verify
+      // step discards; a shorter one would silently drop true pairs —
+      // e.g. t=0.8, |A|=5: 0.8*5 computes as 4.0000000000000002, whose
+      // raw ceil is 5, cutting the prefix to 1 element too few).
+      val prefix = postings
+        .withColumn("df", count(lit(1)).over(
+          Window.partitionBy(col("shingle"))))
+        .withColumn("pos", row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("df"), col("shingle"))))
+        .filter(col("pos") <=
+          col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
+        .select(col("doc_id"), col("n_sh"), col("shingle"))
+        // persisted: BOTH candidate-join sides read this frame — without
+        // the barrier the explode + two windows evaluate twice (the r19
+        // near_dup_ngram residual wall: the doubled shingle explode)
+        .transform(Caches.persist(_))
+      // candidate pairs: prefix-posting equi-join + the length filter
+      // (J ≥ t ⟹ t·max(|A|,|B|) ≤ min(|A|,|B|); same 1e-9 slack so the
+      // fp product can only ADMIT a boundary pair, never reject one —
+      // |A|=5, |B|=4, t=0.8 is a legal J=0.8 pair sitting exactly on it)
+      val cand = prefix.as("a").join(prefix.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            col("b.n_sh") >= col("a.n_sh") * lit(threshold) - lit(1e-9) &&
+            col("a.n_sh") >= col("b.n_sh") * lit(threshold) - lit(1e-9))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      // verify candidates EXACTLY against the full cached shingle sets
+      // (the [[nearDupAgainstIndex]] idiom): |A∩B| / |A∪B| over distinct
+      // arrays is integer-identical to the old posting-count algebra
+      // (shared / (na + nb − shared)), so rounding and threshold
+      // comparison are bit-for-bit the r19 results
+      val out = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+          Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round(size(array_intersect(col("sh_a"), col("sh_b")))
+            .cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+      (out, Seq(sh, prefix))
+    } else {
+      // CAPPED mode (unchanged r19 algebra): the frequency cap rides the
+      // join's own shingle exchange as a count window. Persisted (r20):
+      // both join sides read the capped frame, so the explode + cap
+      // window evaluate once (previously twice — the r19 documented
+      // residual wall cost of the streaming conversion).
+      val capped = postings.withColumn("pn", count(lit(1)).over(
           Window.partitionBy(col("shingle"))))
         .filter(col("pn") <= maxPostings).drop("pn")
-    val out = capped.as("a").join(capped.as("b"),
-        col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
-      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("shared"))
-      .select(col("doc_a"), col("doc_b"),
-        round(col("shared").cast("double") /
-          (col("na") + col("nb") - col("shared")), 6).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-    (out, sh)
+        .transform(Caches.persist(_))
+      val out = capped.as("a").join(capped.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+        .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+        .agg(count(lit(1)).as("shared"))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("shared").cast("double") /
+            (col("na") + col("nb") - col("shared")), 6).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+      (out, Seq(sh, capped))
+    }
   }
 
   /**
@@ -1350,12 +1418,13 @@ object TextOps {
   def nearDupClusters(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
       maxIters: Int = 25, driverEdgeLimit: Long = 1000000L,
       maxPostings: Int = 0): DataFrame = {
-    val (rawPairs, shCache) =
+    val (rawPairs, caches) =
       ngramJaccardPairsImpl(docs, k, threshold, maxPostings)
     // connectedComponents is eager: by return, the pair plan (and the
-    // shingle frame under it) has been fully consumed — safe to drop
+    // shingle/posting frames under it) has been fully consumed — safe
+    // to drop
     val out = connectedComponents(rawPairs, maxIters, driverEdgeLimit)
-    shCache.unpersist()
+    caches.foreach(_.unpersist())
     out
   }
 
@@ -1616,18 +1685,27 @@ object TextOps {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
       }
     while (!converged && rounds < maxIters) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
-      // set equality in ONE action (both sides distinct): |next| and
-      // |next \ edges| from the same left-join aggregate — fixpoint
-      // iff the count held and nothing in next is new
-      val conv = next.join(
-          edges.select(col("a"), col("b"), lit(1).as("seen")),
+      // set equality (both sides distinct): |next| and |next \ edges|
+      // decide the fixpoint — the count held and nothing in next is new.
+      // r20: the convergence counters ride the checkpoint
+      // materialization as OBSERVED metrics (CollectMetrics computes
+      // them while the rows stream into the checkpoint blocks), so each
+      // round runs ONE action instead of checkpoint + a separate
+      // aggregate job re-reading the blocks. The seen-join keys on
+      // (a, b), the partitioning smallStar's distinct just established,
+      // so only the (prior-round, checkpointed) edges side exchanges.
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$rounds")
+      val next = smallStar(largeStar(edges))
+        .join(edges.select(col("a"), col("b"), lit(1).as("seen")),
           Seq("a", "b"), "left")
-        .agg(count(lit(1)).as("n"),
+        .observe(obs, count(lit(1)).as("n"),
           coalesce(sum(when(col("seen").isNull, 1L).otherwise(0L)),
-            lit(0L)).as("fresh")).head()
-      val nNext = conv.getLong(0)
-      converged = nNext == n && conv.getLong(1) == 0L
+            lit(0L)).as("fresh"))
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      val m = obs.get
+      val nNext = m("n").asInstanceOf[Long]
+      converged = nNext == n && m("fresh").asInstanceOf[Long] == 0L
       checkpointRdd(edges).foreach(_.unpersist(false))
       edges = next
       n = nNext

@@ -16,7 +16,9 @@ object BenchOne {
     val cpus = if (args.length > 3) args(3) else "4"
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // mirror Bench's AQE shuffled-hash conversion bound (see Bench)
+      // mirror Bench's AQE shuffled-hash conversion bound (see Bench;
+      // NOTE: only applied when >= advisoryPartitionSizeInBytes, 64m
+      // default — sub-64m values silently disable, ADVICE r19)
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         sys.env.getOrElse("SPARK_GRAFT_SHJ_BOUND", "64m"))
       .config("spark.sql.session.timeZone", "UTC")

@@ -536,6 +536,32 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("ngramJaccardPairs posting frames materialize ONCE (r20): both " +
+      "self-join sides read the cached prefix/capped frame, and exact " +
+      "mode verifies candidates against the cached shingle sets") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    // EXACT mode: PPJoin — prefix frame cached (2 scans for the
+    // candidate join) + shingle frame cached (2 scans for the verify
+    // joins); the explode/df-window/rank-window subtree must NOT repeat
+    val exact = plan(graft.operators.TextOps.ngramJaccardPairs(docs))
+    val exactScans = "InMemoryTableScan".r.findAllIn(exact).length
+    assert(exactScans >= 4,
+      s"exact mode expected >=4 cached scans (2 prefix + 2 shingle), " +
+        s"got $exactScans:\n$exact")
+    assert(exact.contains("array_intersect"),
+      "exact mode lost the set-verification stage")
+    // CAPPED mode: the capped posting frame cached, both join sides
+    // read it (r19 left the explode + cap window evaluating twice)
+    val capped = plan(
+      graft.operators.TextOps.ngramJaccardPairs(docs, maxPostings = 64))
+    val cappedScans = "InMemoryTableScan".r.findAllIn(capped).length
+    assert(cappedScans >= 2,
+      s"capped mode expected both join sides on the cached posting " +
+        s"frame, got $cappedScans scans:\n$capped")
+    spark.catalog.clearCache()
+  }
+
   test("nearDupAgainstIndex: the bucket cap pushes to the bands scan as " +
       "a parquet predicate on the precomputed bn; no product") {
     import spark.implicits._

@@ -62,6 +62,42 @@ class TextVectorSpec extends SparkSpec {
     assert(TextOps.ngramJaccardPairs(clones, maxPostings = 3).count() === 0)
   }
 
+  test("ngramJaccardPairs exact mode (r20 PPJoin prefix filter) equals " +
+      "brute-force all-pairs Jaccard on a real corpus at two thresholds") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sh = real.select(col("doc_id").cast("long").as("doc_id"),
+      TextOps.shingles(col("text"), 3).as("sh"))
+    def brute(t: Double) = sh.as("a")
+      .join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh"))), 6).as("jaccard"))
+      .filter(col("jaccard") >= t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for (t <- Seq(0.8, 0.5)) {
+      val got = TextOps.ngramJaccardPairs(real, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === brute(t), s"prefix-filtered join diverged at t=$t")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("ngramJaccardPairs prefix filter keeps the fp-boundary pair: " +
+      "J exactly = threshold where t*|A| lands above an integer in fp") {
+    // |A|=5 shingles, |B|=4, B ⊂ A: J = 4/5 = 0.8 = t, a legal pair.
+    // 0.8*5 computes as 4.0000000000000002 in binary fp; an unslacked
+    // ceil would cut A's prefix one short AND the length filter would
+    // reject |B|=4 < 4.0000000000000002 — both must keep the pair.
+    val boundary = Seq(
+      (0L, "w0 w1 w2 w3 w4 w5 w6", "en", "s", 20L), // 7 tokens -> 5 shingles
+      (1L, "w0 w1 w2 w3 w4 w5", "en", "s", 17L)     // 6 tokens -> 4, all in A
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.ngramJaccardPairs(boundary, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((0L, 1L, 0.8)))
+    spark.catalog.clearCache()
+  }
+
   test("native hash expressions match the column formulations exactly") {
     graft.functions.ensureRegistered(spark)
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
