@@ -870,13 +870,15 @@ object TextOps {
    * (Chaudhuri/Ganti/Kaushik 2006 "A Primitive Operator for Similarity
    * Joins"; Xiao et al. 2008 "Efficient Similarity Joins for Near
    * Duplicate Detection") — candidates come from a self-join on each
-   * document's PREFIX postings only (the first |A| − ⌈t·|A|⌉ + 1
+   * document's PREFIX postings only (the first |A| − ⌈t·|A|⌉ + c
    * shingles under a global canonical order: document frequency
-   * ascending, shingle ascending), then candidates are verified
-   * exactly against the full cached shingle sets. The prefix-filter
-   * lemma guarantees zero missed pairs: two sets with overlap ≥ o
-   * share an element inside their (len − o + 1)-prefixes under any
-   * common total order, and J ≥ t forces o ≥ ⌈t·max(|A|,|B|)⌉.
+   * ascending, shingle ascending) and must share at least
+   * min(c, ⌈t·max(|A|,|B|)⌉) prefix elements; survivors are verified
+   * exactly against the full cached shingle sets. The generalized
+   * prefix-filter lemma guarantees zero missed pairs: two sets with
+   * overlap ≥ o share at least c elements inside their
+   * (len − o + c)-prefixes under any common total order, and J ≥ t
+   * forces o ≥ ⌈t·max(|A|,|B|)⌉.
    * Ordering by df ascending puts the QUADRATIC postings (stopword-like
    * shingles shared by every boilerplate doc) at the END of every
    * document, where the prefix cut removes them — join cost drops from
@@ -922,19 +924,32 @@ object TextOps {
       // EXACT mode (r20): PPJoin prefix filter — see the operator doc.
       // Canonical order = (document frequency asc, shingle asc): the df
       // window rides the postings' shingle exchange, the rank window
-      // re-keys by doc. Prefix length |A| − ⌈t·|A|⌉ + 1; the ceil gets
-      // a 1e-9 slack DOWNWARD so binary-fp noise in t·|A| can only ever
-      // LENGTHEN a prefix (a longer prefix adds candidates the verify
-      // step discards; a shorter one would silently drop true pairs —
-      // e.g. t=0.8, |A|=5: 0.8*5 computes as 4.0000000000000002, whose
-      // raw ceil is 5, cutting the prefix to 1 element too few).
+      // re-keys by doc. C-PREFIX extension (the generalized prefix
+      // lemma): if |A∩B| ≥ o then the (len − o + c)-prefixes share at
+      // least c elements — the c-th smallest shared element sits at
+      // position ≤ len − o + c in both sets. So prefixes are extended
+      // by c−1 elements and a candidate must share ≥ min(c, ⌈t·max⌉)
+      // of them — the count rides the exchange the pair dedup already
+      // pays (groupBy instead of distinct), and it is what keeps the
+      // candidate set verification-sized on corpora whose df is too
+      // uniform for a 1-element prefix to discriminate (a 30-word-vocab
+      // GenSf corpus at sf10 produced 6.6e8 single-element candidates;
+      // sharing ≥2 rare-end elements collapses the accidental ones
+      // quadratically while every true pair keeps ≥ c by the lemma).
+      // Prefix length |A| − ⌈t·|A|⌉ + c; the ceil gets a 1e-9 slack
+      // DOWNWARD so binary-fp noise in t·|A| can only ever LENGTHEN a
+      // prefix (a longer prefix adds candidates the verify step
+      // discards; a shorter one would silently drop true pairs — e.g.
+      // t=0.8, |A|=5: 0.8*5 computes as 4.0000000000000002, whose raw
+      // ceil is 5, cutting the prefix one element short).
+      val c = 2
       val prefix = postings
         .withColumn("df", count(lit(1)).over(
           Window.partitionBy(col("shingle"))))
         .withColumn("pos", row_number().over(Window.partitionBy(col("doc_id"))
           .orderBy(col("df"), col("shingle"))))
         .filter(col("pos") <=
-          col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
+          col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + c)
         .select(col("doc_id"), col("n_sh"), col("shingle"))
         // persisted: BOTH candidate-join sides read this frame — without
         // the barrier the explode + two windows evaluate twice (the r19
@@ -943,14 +958,23 @@ object TextOps {
       // candidate pairs: prefix-posting equi-join + the length filter
       // (J ≥ t ⟹ t·max(|A|,|B|) ≤ min(|A|,|B|); same 1e-9 slack so the
       // fp product can only ADMIT a boundary pair, never reject one —
-      // |A|=5, |B|=4, t=0.8 is a legal J=0.8 pair sitting exactly on it)
+      // |A|=5, |B|=4, t=0.8 is a legal J=0.8 pair sitting exactly on
+      // it), then the c-prefix count filter: a qualifying pair's
+      // guaranteed shared-prefix count is min(c, o_min) with o_min =
+      // ⌈t·max(|A|,|B|)⌉ (the lemma needs o ≥ c; docs with fewer than
+      // c/t shingles can only promise o_min)
       val cand = prefix.as("a").join(prefix.as("b"),
           col("a.shingle") === col("b.shingle") &&
             col("a.doc_id") < col("b.doc_id") &&
             col("b.n_sh") >= col("a.n_sh") * lit(threshold) - lit(1e-9) &&
             col("a.n_sh") >= col("b.n_sh") * lit(threshold) - lit(1e-9))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+        .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+        .agg(count(lit(1)).as("pshared"))
+        .filter(col("pshared") >= least(lit(c),
+          ceil(lit(threshold) * greatest(col("na"), col("nb")) - lit(1e-9))))
+        .select(col("doc_a"), col("doc_b"))
       // verify candidates EXACTLY against the full cached shingle sets
       // (the [[nearDupAgainstIndex]] idiom): |A∩B| / |A∪B| over distinct
       // arrays is integer-identical to the old posting-count algebra
