@@ -62,7 +62,13 @@ object BasketScale {
     val pN = s"$dir/dupN.parquet"
     if (!new java.io.File(p1).exists()) {
       base.write.mode("overwrite").parquet(p1)
-      base.crossJoin(spark.range(dupF).select(lit(1).as("dup")))
+      // SCATTER the duplicate copies across the feed (global order by a
+      // copy-salted hash): adjacent duplicates would let the shuffle
+      // codec run-compress them away and understate the raw exchange —
+      // real event-log duplicates arrive interleaved, not consecutive
+      base.crossJoin(spark.range(dupF).select(col("id").as("dup")))
+        .orderBy(xxhash64(lit("scatter"), col("l_orderkey"),
+          col("l_partkey"), col("dup")))
         .drop("dup").write.mode("overwrite").parquet(pN)
     }
 

@@ -13,13 +13,19 @@ import graft.operators.{Caches, TextOps}
  * measurement existed where the conversion actually FIRES — at sf0.1
  * every convertible join demotes to broadcast first, so the config was
  * evidence-free where it ships. This probe constructs the firing
- * regime with a REAL registry operator at sf1: the capped n-gram
- * posting self-join over GenSf sf1 documents (50 K docs, ~3 M posting
- * rows per side — far past the 10 MB runtime broadcast threshold,
- * while the post-shuffle partitions sit well under 64 MB), runs it
- * under bound 0 (Spark default: conversion off) and bound 64m, and
- * reports the FINAL adaptive plan's join strategy plus the usual
- * counters.
+ * regime with a REAL registry operator at sf1: EXACT-mode
+ * ngramJaccardPairs over GenSf sf1 documents — its candidate join and
+ * set-verification joins read cached frames partitioned on OTHER keys
+ * (doc rank / scan order), so real exchanges feed the joins, the
+ * shuffled sides (tens of MB) sit past the 10 MB runtime broadcast
+ * threshold, and the post-shuffle partitions sit well under 64 MB.
+ * (First probe attempt used the CAPPED posting self-join — it cannot
+ * fire: both sides read one cached frame that already carries
+ * hashpartitioning(shingle) from the cap window, so the join plans
+ * with NO shuffle stages and AQE has nothing to convert; that
+ * negative result is kept in SCALE.md.) Runs under bound 0 (Spark
+ * default: conversion off) and bound 64m, and reports the FINAL
+ * adaptive plan's join strategies plus the usual counters.
  *
  * Spark applies the threshold only when it is >=
  * `spark.sql.adaptive.advisoryPartitionSizeInBytes` (default 64m), so
@@ -52,8 +58,12 @@ object ShjProbe {
       def once(): BenchMetrics.Rep =
         BenchMetrics.timed(spark.sparkContext) {
           Caches.scoped {
-            val df = TextOps.ngramJaccardPairs(docs, maxPostings = 512)
-            df.count(): Unit
+            val df = TextOps.ngramJaccardPairs(docs)
+            // execute THIS queryExecution (df.count() would plan its own
+            // wrapper execution and leave df's adaptive plan unfinalized
+            // — isFinalPlan=false showed the initial SMJs, not the
+            // runtime decision)
+            df.queryExecution.toRdd.count(): Unit
             planStr = df.queryExecution.executedPlan.toString
           }
           spark.catalog.clearCache()
